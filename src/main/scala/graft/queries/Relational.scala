@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Core relational operators from SURVEY.md §2.1/2.2/2.3/2.4/2.6:
+  * scans, projection, predicates, conditional projection, null fill,
+  * dedup, sorts, top-k, limits, global/grouped aggregation, joins
+  * (inner / full-outer / semi / anti).
+  *
+  * Reference behaviors re-expressed Spark-first (citations into
+  * /root/reference): grouped agg & describe (Query.ipynb cells 5-6,16-22),
+  * range query (Query.ipynb cell 7), key-equality + top-k serving scans
+  * (pipeline/API.py:32,44,66), dedup (pipeline/util/util.py:65), null fill
+  * (to_db.py:49), conditional projection (pipeline/util/util.py:89-90),
+  * outer join (pipeline/util/util.py:97).
+  *
+  * Scale notes: every query here is a single declarative plan — filters and
+  * projections reach the parquet scan (PushedFilters / ReadSchema), grouped
+  * aggs get map-side partial aggregation, dimension tables in the join
+  * queries are broadcast so the only shuffle is the fact-side aggregation.
+  * Top-k compiles to TakeOrderedAndProject (no global sort at scale).
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: grouped aggregation with map-side combine. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Global min/max aggregation (Query.ipynb cells 21-22). */
+  def globalMinMax(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      max("l_extendedprice").as("max_price"),
+      min("l_extendedprice").as("min_price"),
+      max("l_quantity").as("max_qty"),
+      min("l_quantity").as("min_qty"))
+
+  /** df.describe() semantics (count/mean/stddev/min/max) as typed columns. */
+  def describeStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count("l_quantity").as("cnt_qty"),
+      avg("l_quantity").as("mean_qty"),
+      stddev_samp("l_quantity").as("std_qty"),
+      min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty"),
+      count("l_extendedprice").as("cnt_price"),
+      avg("l_extendedprice").as("mean_price"),
+      stddev_samp("l_extendedprice").as("std_price"),
+      min("l_extendedprice").as("min_price"),
+      max("l_extendedprice").as("max_price"))
+
+  /** Open-interval range predicate + projection (Query.ipynb cell 7). */
+  def rangeFilter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_shipdate") > lit("1995-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+  /** Key-equality predicate (API.py:32 `WHERE SYMBOL = ?` shape). */
+  def keyFilter(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+
+  /** Conditional projection: gain/loss split (util.py:89-90). */
+  def condProject(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("event_id"),
+      when(col("value") > 100.0, col("value") - 100.0).otherwise(0.0).as("gain"),
+      when(col("value") <= 100.0, lit(100.0) - col("value")).otherwise(0.0).as("loss"))
+
+  /** Null handling: df.na.fill (to_db.py:49) over an induced-null column. */
+  def nullFill(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        when(col("value") < 50.0, lit(null)).otherwise(col("value")).as("value_or_null"))
+      .na.fill(Map("value_or_null" -> -1.0))
+
+  /** Full-row dedup on a projection (util.py:65 dropDuplicates). */
+  def dedupDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select("l_returnflag", "l_linestatus").dropDuplicates()
+
+  /** Global sort (util.py:67). Driver canonicalizes row order; the point is
+    * the operator executes as a range-partitioned sort at scale. */
+  def sortAsc(s: SparkSession, d: String): DataFrame =
+    supplier(s, d).orderBy(col("s_suppkey").asc)
+
+  /** Top-k by time desc (API.py:44,66) — plans TakeOrderedAndProject;
+    * event_id desc as deterministic tie-break. */
+  def topK(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(20)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  /** Plain limit over a deterministic order (API.py:55 LIMIT shape). */
+  def limitSorted(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_orderkey").asc)
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  /** Multi-way inner join, dims broadcast: revenue per nation (TPC-H Q5
+    * shape). At 100 TB the only shuffle is the final groupBy on n_name. */
+  def joinRevenuePerNation(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Equi full-outer join with USING-style coalesced key (util.py:97 —
+    * engine keys on the full join key, fixing the reference's
+    * join-on-date-only latent bug documented in SURVEY §2.3). */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val custPerNation = customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("customers"))
+    val suppPerNation = supplier(s, d)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("suppliers"))
+    custPerNation.join(suppPerNation, Seq("nationkey"), "full_outer")
+  }
+
+  /** Left-semi join: customers with at least one order (EXISTS). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"          -> (q1Agg _),
+    "q_global_minmax" -> (globalMinMax _),
+    "q_describe"      -> (describeStats _),
+    "q_range_filter"  -> (rangeFilter _),
+    "q_key_filter"    -> (keyFilter _),
+    "q_cond_proj"     -> (condProject _),
+    "q_null_fill"     -> (nullFill _),
+    "q_dedup_distinct" -> (dedupDistinct _),
+    "q_sort"          -> (sortAsc _),
+    "q_topk"          -> (topK _),
+    "q_limit"         -> (limitSorted _),
+    "q_join_inner"    -> (joinRevenuePerNation _),
+    "q_join_outer"    -> (joinFullOuter _),
+    "q_join_semi"     -> (joinSemi _),
+    "q_join_anti"     -> (joinAnti _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |  avg(l_quantity) AS avg_qty,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_global_minmax" ->
+      """SELECT max(l_extendedprice) AS max_price, min(l_extendedprice) AS min_price,
+        |  max(l_quantity) AS max_qty, min(l_quantity) AS min_qty FROM lineitem""".stripMargin,
+    "q_describe" ->
+      """SELECT count(l_quantity) AS cnt_qty, avg(l_quantity) AS mean_qty,
+        |  stddev_samp(l_quantity) AS std_qty, min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  count(l_extendedprice) AS cnt_price, avg(l_extendedprice) AS mean_price,
+        |  stddev_samp(l_extendedprice) AS std_price, min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+    "q_range_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate > TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'""".stripMargin,
+    "q_key_filter" ->
+      "SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'",
+    "q_cond_proj" ->
+      """SELECT event_id,
+        |  CASE WHEN value > 100.0 THEN value - 100.0 ELSE 0.0 END AS gain,
+        |  CASE WHEN value <= 100.0 THEN 100.0 - value ELSE 0.0 END AS loss
+        |FROM events""".stripMargin,
+    "q_null_fill" ->
+      """SELECT event_id,
+        |  coalesce(CASE WHEN value < 50.0 THEN NULL ELSE value END, -1.0) AS value_or_null
+        |FROM events""".stripMargin,
+    "q_dedup_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_sort" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey ASC",
+    "q_topk" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+    "q_limit" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC LIMIT 100""".stripMargin,
+    "q_join_inner" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_join_outer" ->
+      """SELECT nationkey, customers, suppliers FROM
+        |  (SELECT c_nationkey AS nationkey, count(*) AS customers FROM customer GROUP BY 1) a
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS nationkey, count(*) AS suppliers FROM supplier GROUP BY 1) b
+        |USING (nationkey)""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+}
