@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact recursive exponentially-weighted moving average — the one
+  * computation in the reference not expressible as a stock batch
+  * expression (SURVEY.md §2.4 A5; reference `pipeline/util/util.py:107-116`
+  * pandas `ewm`, deleted `compute.py` remnant).
+  *
+  * Two forms:
+  *  - [[perRow]]: per-key ordered fold emitting EMA for every row —
+  *    `repartition(key) → sortWithinPartitions(key, order) →
+  *    mapPartitions` with O(1) state per key. Exact for unbounded series
+  *    (unlike the closed-form window, which is double-range-limited), one
+  *    shuffle, streaming-friendly (same fold drives the stateful
+  *    streaming path).
+  *  - [[EwmaAgg]]: an `Aggregator[(Long, Double), _, Double]` usable in
+  *    `groupBy(...).agg(...)` returning the final EMA per key; buffers
+  *    (order, value) pairs so partial merges are order-correct.
+  */
+object Ewma {
+
+  /** Streaming fold: seed = first value, then E = α·x + (1-α)·E. */
+  def fold(alpha: Double)(values: Iterator[Double]): Iterator[Double] = {
+    var state = Double.NaN
+    values.map { x =>
+      state = if (state.isNaN) x else alpha * x + (1 - alpha) * state
+      state
+    }
+  }
+
+  /** Per-row exact EMA. Requires `key` and a numeric/orderable `ord`
+    * column; appends `as` (double). One hash shuffle on `key`, then a
+    * per-partition sorted scan — rows of one key never split across
+    * partitions, so the fold is exact.
+    */
+  def perRow(df: DataFrame, value: String, n: Int, key: Seq[String],
+             ord: Seq[String], as: String = "ema_exact"): DataFrame = {
+    val alpha = 2.0 / (n + 1.0)
+    val outSchema = StructType(df.schema.fields :+ StructField(as, DoubleType))
+    val keyIdx = key.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex(value)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.repartition(key.map(col): _*)
+      .sortWithinPartitions((key ++ ord).map(col): _*)
+      .mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var state = Double.NaN
+        rows.map { row =>
+          val k = keyIdx.map(row.get)
+          if (k != curKey) { curKey = k; state = Double.NaN }
+          val x = row.getAs[Any](valIdx) match {
+            case null => Double.NaN
+            case v: Number => v.doubleValue()
+          }
+          state = if (state.isNaN) x else alpha * x + (1 - alpha) * state
+          Row.fromSeq(row.toSeq :+ (if (state.isNaN) null else state))
+        }
+      }(enc)
+  }
+
+  /** Final-EMA-per-key typed aggregator. Buffers (ord, value) pairs and
+    * sorts at reduce boundaries, so it is correct under Spark's partial
+    * aggregation (merge of unordered partials).
+    */
+  class EwmaAgg(alpha: Double)
+      extends Aggregator[(Long, Double), List[(Long, Double)], Double] {
+    override def zero: List[(Long, Double)] = Nil
+    override def reduce(b: List[(Long, Double)], a: (Long, Double)) = a :: b
+    override def merge(b1: List[(Long, Double)], b2: List[(Long, Double)]) = b1 ::: b2
+    override def finish(b: List[(Long, Double)]): Double = {
+      val it = fold(alpha)(b.sortBy(_._1).iterator.map(_._2))
+      var last = Double.NaN
+      while (it.hasNext) last = it.next()
+      last
+    }
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Double)]]()
+    override def outputEncoder = Encoders.scalaDouble
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical-indicator window operators — the analytical heart of the
+  * reference (SURVEY.md §2.5), re-expressed as declarative Spark window
+  * functions so all per-symbol math shares ONE hash shuffle on the
+  * partition key (reference: `pipeline/util/util.py:76-105`,
+  * `to_db.py:45-47`).
+  *
+  * Semantics decisions (SURVEY §2.5 "EMA semantics note"):
+  *  - `change` / `pctChange`: close minus previous close per key
+  *    (`to_db.py:45`, `warehouse.py:181`).
+  *  - RSI: Cutler's form — simple moving averages of gain/loss over a
+  *    trailing row frame (`util.py:84-105`), computed over a single
+  *    window instead of the reference's re-shuffling outer join on date
+  *    (`util.py:97`, a latent cross-symbol bug documented in SURVEY §2.3).
+  *  - EMA: standard recursive `E_t = α·x_t + (1-α)·E_{t-1}`, seed = first
+  *    value (the reference's batch path `util.py:76-82` disagrees with its
+  *    own pandas path; we implement the published TA semantics). Two
+  *    implementations: a closed-form window expression (oracle-checkable,
+  *    see [[emaClosedForm]]) and an exact sequential fold
+  *    ([[graft.operators.Ewma]]) for unbounded series.
+  *
+  * Scale: every operator here is `Window.partitionBy(key).orderBy(ord)` —
+  * one shuffle by key, then per-partition sorted evaluation; no driver
+  * collection, no UDFs, all codegen-friendly built-ins.
+  */
+object Indicators {
+
+  private def w(key: Seq[String], ord: Seq[Column]) =
+    Window.partitionBy(key.map(col): _*).orderBy(ord: _*)
+
+  /** W1: previous value + absolute change per key (`to_db.py:45`). */
+  def withChange(df: DataFrame, value: String, key: Seq[String], ord: Seq[Column]): DataFrame = {
+    val prev = lag(col(value), 1).over(w(key, ord))
+    df.withColumn("prev_value", prev)
+      .withColumn("change", col(value) - prev)
+  }
+
+  /** W5: pandas pct_change equivalent (`warehouse.py:181`). */
+  def withPctChange(df: DataFrame, value: String, key: Seq[String], ord: Seq[Column]): DataFrame = {
+    val prev = lag(col(value), 1).over(w(key, ord))
+    df.withColumn("pct_change", (col(value) - prev) / prev)
+  }
+
+  /** W3: trailing row-frame mean over `n+1` rows (`util.py:93-94`). */
+  def trailingAvg(df: DataFrame, value: String, n: Int, key: Seq[String],
+                  ord: Seq[Column], as: String = "trailing_avg"): DataFrame =
+    df.withColumn(as,
+      avg(col(value)).over(w(key, ord).rowsBetween(-n, Window.currentRow)))
+
+  /** W2: forward row-frame mean over `n` rows (`util.py:77-79`). */
+  def forwardAvg(df: DataFrame, value: String, n: Int, key: Seq[String],
+                 ord: Seq[Column], as: String = "forward_avg"): DataFrame =
+    df.withColumn(as,
+      avg(col(value)).over(w(key, ord).rowsBetween(Window.currentRow, n - 1)))
+
+  /** Cutler's RSI over a trailing `n+1`-row frame (`util.py:84-105`).
+    * RSI = 100·avgGain/(avgGain+avgLoss); null while no gain/loss history
+    * (first row of each key) or when both averages are zero.
+    */
+  def withRsi(df: DataFrame, value: String, n: Int, key: Seq[String],
+              ord: Seq[Column], as: String = "rsi"): DataFrame = {
+    val win = w(key, ord)
+    val frame = win.rowsBetween(-n, Window.currentRow)
+    val diff = col(value) - lag(col(value), 1).over(win)
+    val gain = when(diff > 0, diff).otherwise(when(diff.isNotNull, 0.0))
+    val loss = when(diff < 0, -diff).otherwise(when(diff.isNotNull, 0.0))
+    val avgGain = avg(gain).over(frame)
+    val avgLoss = avg(loss).over(frame)
+    // ratio-first keeps RSI exactly 100 when avgLoss = 0 (a/a == 1.0
+    // exactly, whereas (100*a)/a can land at 100.00000000000001)
+    df.withColumn(as, lit(100.0) * (avgGain / (avgGain + avgLoss)))
+  }
+
+  /** Recursive EMA via the exact closed form, as pure window expressions.
+    *
+    * With r = 1-α, rn the 1-based row number per key and
+    * S_t = Σ_{i≤t} x_i·r^{-i}: E_t = r^t·(α·S_t + x_1), which equals the
+    * recurrence E_1 = x_1; E_t = α·x_t + (1-α)·E_{t-1}.
+    *
+    * Numerics: r^{-rn} grows as e^{α·rn}, so this form is valid for
+    * per-key series up to ~8000/α rows before double overflow — ample for
+    * daily bars (the reference's domain). For unbounded per-key series use
+    * [[Ewma.perRow]] (exact sequential fold, O(1) state).
+    */
+  def withEmaClosedForm(df: DataFrame, value: String, n: Int, key: Seq[String],
+                        ord: Seq[Column], as: String = "ema"): DataFrame = {
+    val alpha = 2.0 / (n + 1.0)
+    val r = 1.0 - alpha
+    val win = w(key, ord)
+    val cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // row_number materialized first: window expressions cannot nest inside
+    // another windowed aggregate. Same partition/order → still one shuffle.
+    val rn = col("_ema_rn")
+    df.withColumn("_ema_rn", row_number().over(win))
+      .withColumn(as,
+        pow(lit(r), rn) *
+          (lit(alpha) * sum(col(value) * pow(lit(r), -rn)).over(cum) +
+            first(col(value)).over(cum)))
+      .drop("_ema_rn")
+  }
+}

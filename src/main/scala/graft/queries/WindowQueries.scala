@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.Indicators
+
+/** SURVEY.md §2.5 window operators, phrased over the `events` fixture as a
+  * bars view: key = user_id (symbol analog), order = (ts, event_id) —
+  * event_id breaks timestamp ties deterministically — value = close analog.
+  *
+  * Every query is a single `Window.partitionBy(user_id)` pipeline: one hash
+  * shuffle on the key, then sorted per-partition evaluation; this is the
+  * plan shape that survives a 1000-executor scale-up (per-key series stay
+  * together; no cross-key state).
+  */
+object WindowQueries {
+
+  private val KEY = Seq("user_id")
+  private def ORD = Seq(col("ts"), col("event_id"))
+
+  /** W1: lag + absolute change (`to_db.py:45`). */
+  def windowLag(s: SparkSession, d: String): DataFrame =
+    Indicators.withChange(
+      events(s, d).select("user_id", "ts", "event_id", "value"),
+      "value", KEY, ORD)
+
+  /** W3: trailing 26-row mean (`util.py:93-94`). */
+  def windowTrailing(s: SparkSession, d: String): DataFrame =
+    Indicators.trailingAvg(
+      events(s, d).select("user_id", "ts", "event_id", "value"),
+      "value", 25, KEY, ORD)
+
+  /** W2: forward 25-row mean (`util.py:77-79`). */
+  def windowForward(s: SparkSession, d: String): DataFrame =
+    Indicators.forwardAvg(
+      events(s, d).select("user_id", "ts", "event_id", "value"),
+      "value", 25, KEY, ORD)
+
+  /** W5: pct_change (`warehouse.py:181`). */
+  def pctChange(s: SparkSession, d: String): DataFrame =
+    Indicators.withPctChange(
+      events(s, d).select("user_id", "ts", "event_id", "value"),
+      "value", KEY, ORD)
+
+  /** Cutler RSI n=25 (`util.py:84-105`). */
+  def rsi(s: SparkSession, d: String): DataFrame =
+    Indicators.withRsi(
+      events(s, d).select("user_id", "ts", "event_id", "value"),
+      "value", 25, KEY, ORD)
+
+  /** Recursive EMA n=25, closed form (`util.py:76-82` intent; SURVEY §2.5
+    * note — standard recurrence, seed = first value). */
+  def ema(s: SparkSession, d: String): DataFrame =
+    Indicators.withEmaClosedForm(
+      events(s, d).select("user_id", "ts", "event_id", "value"),
+      "value", 25, KEY, ORD)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_lag"      -> (windowLag _),
+    "q_window_trailing" -> (windowTrailing _),
+    "q_window_forward"  -> (windowForward _),
+    "q_pct_change"      -> (pctChange _),
+    "q_rsi"             -> (rsi _),
+    "q_ema"             -> (ema _))
+
+  private val OVER = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
+
+  val oracle: Map[String, String] = Map(
+    "q_window_lag" ->
+      s"""SELECT user_id, ts, event_id, value,
+         |  lag(value, 1) $OVER) AS prev_value,
+         |  value - lag(value, 1) $OVER) AS change
+         |FROM events""".stripMargin,
+    "q_window_trailing" ->
+      s"""SELECT user_id, ts, event_id, value,
+         |  avg(value) $OVER ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS trailing_avg
+         |FROM events""".stripMargin,
+    "q_window_forward" ->
+      s"""SELECT user_id, ts, event_id, value,
+         |  avg(value) $OVER ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS forward_avg
+         |FROM events""".stripMargin,
+    "q_pct_change" ->
+      s"""SELECT user_id, ts, event_id, value,
+         |  (value - lag(value, 1) $OVER)) / lag(value, 1) $OVER) AS pct_change
+         |FROM events""".stripMargin,
+    "q_rsi" ->
+      s"""WITH diffs AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    value - lag(value, 1) $OVER) AS diff
+         |  FROM events
+         |), gl AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN diff > 0 THEN diff WHEN diff IS NOT NULL THEN 0.0 END AS gain,
+         |    CASE WHEN diff < 0 THEN -diff WHEN diff IS NOT NULL THEN 0.0 END AS loss
+         |  FROM diffs
+         |), ag AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    avg(gain) $OVER ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS avg_gain,
+         |    avg(loss) $OVER ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS avg_loss
+         |  FROM gl
+         |)
+         |SELECT user_id, ts, event_id, value,
+         |  100.0 * (avg_gain / (avg_gain + avg_loss)) AS rsi
+         |FROM ag""".stripMargin,
+    "q_ema" ->
+      s"""WITH rn AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    row_number() $OVER) AS r
+         |  FROM events
+         |), acc AS (
+         |  SELECT user_id, ts, event_id, value, r,
+         |    sum(value * pow(24.0/26.0, -r)) $OVER ROWS UNBOUNDED PRECEDING) AS s,
+         |    first_value(value) $OVER ROWS UNBOUNDED PRECEDING) AS x1
+         |  FROM rn
+         |)
+         |SELECT user_id, ts, event_id, value,
+         |  pow(24.0/26.0, r) * ((2.0/26.0) * s + x1) AS ema
+         |FROM acc""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ewma, Indicators}
+
+/** W1-W5/A5 indicator semantics: closed-form EMA vs exact sequential fold,
+  * RSI bounds, change/lag correctness on a hand-computed series.
+  */
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val key = Seq("sym")
+  private def ord = Seq(col("t"))
+
+  private def series(xs: Double*) =
+    xs.zipWithIndex.map { case (x, i) => ("A", i.toLong, x) }.toDF("sym", "t", "close")
+
+  test("withChange = x_t - x_{t-1} per key (W1)") {
+    val df = Indicators.withChange(series(10, 12, 11, 15), "close", key, ord)
+    val got = df.orderBy("t").select("change").collect().map(r => Option(r.get(0)))
+    assert(got(0).isEmpty)
+    assert(got.drop(1).flatten.map(_.asInstanceOf[Double]).sameElements(Array(2.0, -1.0, 4.0)))
+  }
+
+  test("pct_change matches pandas semantics (W5)") {
+    val df = Indicators.withPctChange(series(100, 110, 99), "close", key, ord)
+    val got = df.orderBy("t").select("pct_change").collect()
+    assert(got(0).isNullAt(0))
+    assert(math.abs(got(1).getDouble(0) - 0.10) < 1e-12)
+    assert(math.abs(got(2).getDouble(0) - (-0.10)) < 1e-12)
+  }
+
+  test("trailing/forward row-frame means (W2/W3)") {
+    val df = Indicators.forwardAvg(
+      Indicators.trailingAvg(series(1, 2, 3, 4), "close", 1, key, ord),
+      "close", 2, key, ord)
+    val rows = df.orderBy("t").select("trailing_avg", "forward_avg").collect()
+    // trailing over 2 rows: 1, 1.5, 2.5, 3.5 ; forward over 2 rows: 1.5, 2.5, 3.5, 4
+    assert(rows.map(_.getDouble(0)).sameElements(Array(1.0, 1.5, 2.5, 3.5)))
+    assert(rows.map(_.getDouble(1)).sameElements(Array(1.5, 2.5, 3.5, 4.0)))
+  }
+
+  test("closed-form EMA equals the recursive definition (A5/W4)") {
+    val xs = Seq(50.0, 52.0, 51.0, 53.0, 57.0, 56.0, 58.0, 60.0, 59.0, 61.0)
+    val n = 3
+    val alpha = 2.0 / (n + 1)
+    val expected = xs.tail.scanLeft(xs.head)((e, x) => alpha * x + (1 - alpha) * e)
+    val df = Indicators.withEmaClosedForm(series(xs: _*), "close", n, key, ord)
+    val got = df.orderBy("t").select("ema").collect().map(_.getDouble(0))
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+  }
+
+  test("Ewma.perRow exact fold matches closed form on events fixture") {
+    val ev = Tables.events(spark, sf0001).select("user_id", "event_id", "value")
+    val closed = Indicators.withEmaClosedForm(ev, "value", 25,
+      Seq("user_id"), Seq(col("event_id")))
+    val exact = Ewma.perRow(ev, "value", 25, Seq("user_id"), Seq("event_id"))
+    val joined = closed.join(exact.withColumnRenamed("value", "v2"),
+      Seq("user_id", "event_id"))
+    val maxDiff = joined.agg(max(abs(col("ema") - col("ema_exact")))).head().getDouble(0)
+    assert(maxDiff < 1e-6, s"max closed-vs-exact diff $maxDiff")
+  }
+
+  test("EwmaAgg aggregator is order-insensitive across partials") {
+    import graft.operators.Ewma.EwmaAgg
+    val agg = new EwmaAgg(0.5).toColumn.name("ema_final")
+    val ds = Seq(("A", 3L, 30.0), ("A", 1L, 10.0), ("A", 2L, 20.0),
+                 ("B", 1L, 5.0)).toDF("sym", "t", "x")
+      .repartition(4)
+      .as[(String, Long, Double)]
+    val got = ds.groupByKey(_._1).mapValues(r => (r._2, r._3)).agg(agg)
+      .collect().toMap
+    // A: fold 10 -> .5*20+.5*10=15 -> .5*30+.5*15=22.5
+    assert(math.abs(got("A") - 22.5) < 1e-12)
+    assert(math.abs(got("B") - 5.0) < 1e-12)
+  }
+
+  test("RSI bounded in [0,100] and null-prefixed (property over fixture)") {
+    val ev = Tables.events(spark, sf0001).select("user_id", "event_id", "value")
+    val rsi = Indicators.withRsi(ev, "value", 14, Seq("user_id"), Seq(col("event_id")))
+    val bad = rsi.where(col("rsi") < 0 || col("rsi") > 100).count()
+    assert(bad == 0)
+    // monotone-up series has RSI 100, monotone-down 0
+    val up = Indicators.withRsi(series(1, 2, 3, 4, 5), "close", 3, key, ord)
+      .orderBy(desc("t")).select("rsi").head().getDouble(0)
+    val down = Indicators.withRsi(series(5, 4, 3, 2, 1), "close", 3, key, ord)
+      .orderBy(desc("t")).select("rsi").head().getDouble(0)
+    assert(up == 100.0 && down == 0.0)
+  }
+}

@@ -8,7 +8,7 @@ the matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
 same sf parquet tables, canonicalizes both sides (sort columns by name,
 sort rows, round floats), and reports match/mismatch per query.
 """
-import sys, json, glob, math
+import sys, json, glob, datetime
 
 import duckdb
 import pandas as pd
@@ -21,8 +21,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            # normalize lists/arrays to tuples for sorting
+            # normalize lists/arrays to tuples for sorting; date objects to ts
             df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            if df[c].map(lambda v: v is None or isinstance(v, datetime.date)).all():
+                df[c] = pd.to_datetime(df[c])
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
         if pd.api.types.is_datetime64_any_dtype(df[c]):
