@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for LLM-data pipelines: media as opaque
+  * `binary` columns with typed metadata, plus batch feature extraction.
+  *
+  * The decode step is a clearly-marked deterministic STUB (the container
+  * has no image/audio codecs — builder brief): `fakeDecodeFeatures`
+  * derives a fixed-size float vector from the raw bytes. Everything
+  * Spark-side is real and tested: the schema, the binary column handling,
+  * the `mapPartitions` batch shape (the Scala analog of `mapInPandas` —
+  * per-partition iteration so a real decoder would amortize model/codec
+  * init across rows), and the partitioning story (binary payloads stay
+  * where they are; only extracted features shuffle).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("blob", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("codec", StringType))))))
+
+  /** Synthesize a media table from a text corpus: bytes = UTF-8 payload,
+    * metadata derived deterministically. Stands in for real scraped media
+    * at identical schema/plumbing. */
+  def synthesizeMedia(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(
+      col(id).as("media_id"),
+      when(col(id) % 3 === 0, "image").when(col(id) % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col(text), "UTF-8").as("blob"),
+      struct(
+        (length(col(text)) * 37 % 1920 + 1).cast(IntegerType).as("width"),
+        (length(regexp_replace(col(text), " ", "")) * 17 % 1080 + 1)
+          .cast(IntegerType).as("height"),
+        lit("stub").as("codec")).as("meta"))
+
+  /** Expression-only metadata pass: byte length + content hash — the part
+    * of media handling that needs no codec. */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("media_type"),
+      octet_length(col("blob")).as("byte_len"),
+      md5(col("blob")).as("content_md5"),
+      col("meta.width").as("width"), col("meta.height").as("height"))
+
+  /** STUB decoder ??? — stands in for image decode / audio resample /
+    * frame sampling. Deterministic fake: `dim` features from rolling byte
+    * sums. A real implementation would replace ONLY the inner function;
+    * the batch shape (mapPartitions: per-partition init, row iteration,
+    * fixed-size float output) is the production plumbing. */
+  def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batch feature extraction over the binary column. Output schema:
+    * (media_id, media_type, features array<float>). */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("features", ArrayType(FloatType))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      // per-partition init happens here in a real decoder (codec/model)
+      rows.map { r =>
+        Row(r.getLong(idIdx), r.getString(typeIdx),
+          fakeDecodeFeatures(r.getAs[Array[Byte]](blobIdx), dim).toSeq)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+}

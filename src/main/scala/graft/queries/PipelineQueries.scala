@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** LLM-data-pipeline operators (builder brief extensions) over the
+  * `documents`/`embeddings` fixtures. SQL-expressible ops carry DuckDB
+  * oracles; MinHash/SimHash/LSH use engine-specific hash functions, so
+  * they are registered rows-only and verified by planted-fixture
+  * ScalaTests ([[graft.DedupSpec]], [[graft.SimilaritySpec]]).
+  */
+object PipelineQueries {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    documents(s, d).select(
+      col("doc_id"),
+      TA.tokenCount(t).as("n_tokens"),
+      TA.charCount(t).as("n_chars_m"),
+      TA.avgWordLen(t).as("avg_word_len"),
+      TA.stopwordRatio(t, Stopwords).as("stopword_ratio"))
+  }
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      TA.qualityScore(col("text"), Stopwords).as("quality"))
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TA.langId(col("text")).as("lang_pred"))
+
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      TA.fingerprint(col("text")).as("fp"),
+      TA.bagFingerprint(col("text")).as("bag_fp"))
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(documents(s, d), "doc_id", "text")
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 5)
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(documents(s, d), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  def simhashes(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(documents(s, d), "doc_id", "text")
+
+  def simTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
+
+  def simLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
+
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaStats(
+      Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
+
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"     -> (textStats _),
+    "q_text_quality"   -> (textQuality _),
+    "q_lang_id"        -> (langId _),
+    "q_fingerprint"    -> (fingerprints _),
+    "q_dedup_exact"    -> (dedupExact _),
+    "q_ngram_jaccard"  -> (ngramJaccard _),
+    "q_minhash_pairs"  -> (minhashPairs _),
+    "q_simhash"        -> (simhashes _),
+    "q_sim_topk"       -> (simTopK _),
+    "q_sim_lsh"        -> (simLsh _),
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_multimodal_feat" -> (multimodalFeatures _))
+
+  private val TOKS = "string_split_regex(text, '\\s+')"
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($TOKS) AS n_tokens,
+         |  length(text) AS n_chars_m,
+         |  CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS) AS avg_word_len,
+         |  CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |    / len($TOKS) AS stopword_ratio
+         |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  least(CAST(len($TOKS) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |  + least(CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |          / len($TOKS) * 5.0, 1.0) * 0.4
+         |  + (CASE WHEN CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
+         |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+         |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+         |    len(list_filter($TOKS, t -> t IN ('el','la','de','que','y','en','los'))) AS s_es,
+         |    len(list_filter($TOKS, t -> t IN ('der','die','und','das','ist','von','mit'))) AS s_de
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'unk'
+         |       WHEN s_de > s_en AND s_de > s_es THEN 'de'
+         |       WHEN s_es > s_en THEN 'es'
+         |       ELSE 'en' END AS lang_pred
+         |FROM sc""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(lower(text)) AS fp,
+         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')) AS bag_fp
+         |FROM documents""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM pos),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.shared,
+        |  CAST(p.shared AS DOUBLE) / (ca.n + cb.n - p.shared) AS jaccard
+        |FROM pairs p
+        |JOIN cnt ca ON p.doc_a = ca.doc_id
+        |JOIN cnt cb ON p.doc_b = cb.doc_id""".stripMargin,
+    "q_sim_topk" ->
+      """WITH f AS (SELECT vec_id, unnest(embedding) AS x,
+        |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |q AS (SELECT i, CAST(x AS DOUBLE) AS qx FROM f WHERE vec_id = 0)
+        |SELECT f.vec_id,
+        |  sum(CAST(f.x AS DOUBLE) * qx)
+        |    / (sqrt(sum(CAST(f.x AS DOUBLE) * f.x)) * sqrt(sum(qx * qx))) AS cos_sim
+        |FROM f JOIN q USING (i) WHERE f.vec_id <> 0
+        |GROUP BY f.vec_id
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  strlen(text) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(length(text) * 37 % 1920 + 1 AS INTEGER) AS width,
+        |  CAST(length(replace(text, ' ', '')) * 17 % 1080 + 1 AS INTEGER) AS height
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** SURVEY.md §2.9 — the reference's REST serving contract
+  * (`pipeline/API.py:28-75`), re-expressed as parameterized DataFrame
+  * pipelines over the lake layout, phrased here on the `events` fixture
+  * (user_id = symbol analog, ts = time). Each is filter → orderBy desc →
+  * limit: Spark plans partition-pruned scans (on a symbol-partitioned
+  * lake) + `TakeOrderedAndProject`, the distributed equivalent of
+  * Cassandra's clustering-key reads. Fixed limits get an event_id
+  * tie-break so results are deterministic under parallel execution.
+  *
+  * The generic forms (`olhcWindow` etc.) take parameters; the `q_api_*`
+  * registry entries pin deterministic parameter values for the oracle.
+  */
+object Serving {
+
+  /** GET /OLHC/code/n — bars for a key since a time lower bound
+    * (`API.py:28-37`, intent: args-transposed format bug fixed). */
+  def olhcWindow(df: DataFrame, key: Long, since: String): DataFrame =
+    df.where(col("user_id") === key && col("ts") >= lit(since).cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  /** GET /realtime/code — latest row for a key (`API.py:40-50`). */
+  def latest(df: DataFrame, key: Long): DataFrame =
+    df.where(col("user_id") === key)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  /** GET /news — most recent k rows globally (`API.py:52-62`, LIMIT 6). */
+  def recentGlobal(df: DataFrame, k: Int): DataFrame =
+    df.orderBy(col("ts").desc, col("event_id").desc)
+      .limit(k)
+      .select("event_id", "ts", "event_type", "value")
+
+  /** GET /info/code — last n rows for a key (`API.py:64-75`, LIMIT 2000). */
+  def history(df: DataFrame, key: Long, n: Int): DataFrame =
+    df.where(col("user_id") === key)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(n)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  /** Streaming batch-twin: tumbling event-time window aggregation — the
+    * declarative replacement for the reference's hand-rolled per-message
+    * state (`warehouse.py:167-186`; SURVEY §2.8). Same plan shape as the
+    * Structured Streaming version in [[graft.streaming.EventStream]]:
+    * groupBy(window(ts), key) → count/sum — here via date_trunc so the
+    * oracle can phrase it in ANSI SQL. */
+  def hourlyRollup(df: DataFrame): DataFrame =
+    df.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("value").as("sum_value"),
+        avg("value").as("avg_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_api_olhc"    -> ((s, d) => olhcWindow(events(s, d), 7L, "2024-01-15 00:00:00")),
+    "q_api_latest"  -> ((s, d) => latest(events(s, d), 7L)),
+    "q_api_recent"  -> ((s, d) => recentGlobal(events(s, d), 6)),
+    "q_api_history" -> ((s, d) => history(events(s, d), 3L, 2000)),
+    "q_stream_hourly" -> ((s, d) => hourlyRollup(events(s, d))))
+
+  val oracle: Map[String, String] = Map(
+    "q_api_olhc" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE user_id = 7 AND ts >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "q_api_latest" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE user_id = 7 ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+    "q_api_recent" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 6""".stripMargin,
+    "q_api_history" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE user_id = 3 ORDER BY ts DESC, event_id DESC LIMIT 2000""".stripMargin,
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, sum(value) AS sum_value, avg(value) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),
+      (Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f))
+    ).toDF("a", "b").select(Similarity.cosine($"a", $"b").as("c"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k nearest by cosine, excluding the query") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 5).collect()
+    assert(got.length == 5)
+    assert(!got.map(_.getLong(0)).contains(0L))
+    // descending similarity
+    val sims = got.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted(Ordering[Double].reverse)))
+  }
+
+  test("lshTopK recalls planted near neighbors") {
+    // 200 random background vectors + 5 planted tight neighbors of the
+    // query: the contract of LSH ANN is recalling NEAR vectors, which
+    // uniform random fixtures don't contain
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def noisy() = q.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val rows =
+      (0L, q.toSeq) +:
+      (1L to 5L).map(i => (i, noisy().toSeq)) ++:
+      (6L until 206L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 5,
+      nPlanes = 8, dim = dim).collect().map(_.getLong(0)).toSet
+    assert((1L to 5L).toSet.intersect(approx).size >= 4,
+      s"planted neighbors missed: got $approx")
+  }
+
+  test("bucketPairs only emits pairs above the cosine floor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pairs = Similarity.bucketPairs(emb, "vec_id", "embedding", minCos = 0.5)
+    assert(pairs.where($"cos_sim" < 0.5).count() == 0)
+  }
+}
