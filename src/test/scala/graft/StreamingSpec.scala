@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{EventStream, IndicatorState, TickIngest}
+import graft.streaming.IndicatorState.BarIn
+
+/** T1-T3 streaming behavior via MemoryStream (no broker, synchronous
+  * processAllAvailable), per SURVEY.md §5 item 5.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("T1: tick JSON messages parse, flatten, and normalize (streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = TickIngest.parseTicks(mem.toDF().withColumnRenamed("value", "value"))
+    val q = parsed.writeStream.format("memory").queryName("ticks")
+      .outputMode("append").start()
+    mem.addData(
+      """{"symbol":"FPT","time":"2023-02-07T09:30:00.000Z","open":80.5,"high":81.9,
+        |"low":80.5,"close":80.7,"volume":"750,800","previous_close":"80.1",
+        |"ref":"80.0","ceil":"85.6","floor":"74.4"}""".stripMargin.replace("\n", ""))
+    q.processAllAvailable()
+    val rows = spark.table("ticks").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("symbol") == "FPT")
+    assert(r.getAs[Long]("volume") == 750800L)
+    assert(math.abs(r.getAs[Double]("ref") - 80.0) < 1e-9)
+    assert(r.getAs[Timestamp]("time").toInstant.toString == "2023-02-07T09:30:00Z")
+  }
+
+  test("T3: stateful indicator refresh carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[BarIn]
+    val out = IndicatorState.attach(mem.toDS(), n = 3)
+    val q = out.writeStream.format("memory").queryName("ind")
+      .outputMode("append").start()
+    mem.addData(
+      BarIn("FPT", ts("2023-02-01 00:00:00"), 100.0),
+      BarIn("FPT", ts("2023-02-02 00:00:00"), 110.0))
+    q.processAllAvailable()
+    mem.addData(BarIn("FPT", ts("2023-02-03 00:00:00"), 104.0),
+      BarIn("VNM", ts("2023-02-03 00:00:00"), 50.0))
+    q.processAllAvailable()
+    val rows = spark.table("ind").orderBy("symbol", "time").collect()
+    q.stop()
+    assert(rows.length == 4)
+    val fpt3 = rows(2)
+    // change vs batch-2 state: 104 - 110 = -6 (state survived the batch gap)
+    assert(math.abs(fpt3.getAs[Double]("change") + 6.0) < 1e-9)
+    // ema n=3 (alpha .5): 100 -> 105 -> 104.5
+    assert(math.abs(fpt3.getAs[Double]("ema") - 104.5) < 1e-9)
+    // rsi over diffs [+10, -6]: 100*10/16 / ... avg gain 5, avg loss 3
+    assert(math.abs(fpt3.getAs[Double]("rsi") - 62.5) < 1e-9)
+    // independent key unaffected
+    assert(rows(3).getAs[String]("symbol") == "VNM" &&
+      rows(3).getAs[Double]("change") == 0.0)
+  }
+
+  test("T3 streaming agrees with batch indicators on a replay") {
+    // the same per-key fold, fed in order, must reproduce the batch
+    // closed-form EMA and lag-change
+    val bars = (1 to 40).map(i =>
+      BarIn("A", ts(f"2023-01-01 00:00:${i % 60}%02d"), 100.0 + 7 * math.sin(i)))
+    var state: Option[IndicatorState.BarState] = None
+    val streamed = bars.map { b =>
+      val (o, s) = IndicatorState.step(state, b, 25)
+      state = Some(s)
+      o
+    }
+    val batch = graft.operators.Indicators.withEmaClosedForm(
+      bars.toDF("symbol", "time", "close"), "close", 25,
+      Seq("symbol"), Seq(col("time")))
+      .orderBy("time").select("ema").collect().map(_.getDouble(0))
+    streamed.map(_.ema).zip(batch).foreach { case (s, b) =>
+      assert(math.abs(s - b) < 1e-9, s"stream $s vs batch $b")
+    }
+  }
+
+  test("watermarked tumbling window finalizes closed windows (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStream.windowedCounts(df, "1 hour", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:40:00"), "click", 2.0))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window
+    mem.addData((ts("2024-01-01 13:00:00"), "click", 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("winagg").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Timestamp]("hour") == ts("2024-01-01 10:00:00"))
+    assert(r.getAs[Long]("n") == 2L)
+    assert(math.abs(r.getAs[Double]("sum_value") - 3.0) < 1e-9)
+  }
+
+  test("T2: foreachBatch lake sink appends parquet partitioned by symbol") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lake").toString
+    val mem = MemoryStream[String]
+    val parsed = TickIngest.parseTicks(mem.toDF())
+    val q = TickIngest.startLakeSink(parsed, s"$dir/data", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    mem.addData(
+      """{"symbol":"FPT","time":"2023-02-07T09:30:00.000Z","close":80.7,"volume":"1","previous_close":"80.1","ref":"80.0","ceil":"85.6","floor":"74.4","open":80.5,"high":81.9,"low":80.5}""",
+      """{"symbol":"VNM","time":"2023-02-07T09:30:00.000Z","close":70.1,"volume":"2","previous_close":"70.0","ref":"70.0","ceil":"74.9","floor":"65.1","open":70.0,"high":70.5,"low":69.9}""")
+    q.awaitTermination(30000)
+    val lake = spark.read.parquet(s"$dir/data")
+    assert(lake.count() == 2)
+    assert(lake.select("symbol").distinct().count() == 2)
+  }
+}
