@@ -1,0 +1,30 @@
+package graft
+
+/** Plan-quality audit: prints `explain("formatted")` for representative
+  * queries so scan pushdown, broadcast joins, TakeOrderedAndProject, and
+  * single-shuffle window pipelines are inspectable —
+  * `sbt "runMain graft.ExplainAudit" > docs/EXPLAIN.md`.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val picks = Seq(
+      "q_range_filter",   // expect PushedFilters + pruned ReadSchema
+      "q1_agg",           // expect partial_ aggregation before exchange
+      "q_join_inner",     // expect BroadcastHashJoin on dims
+      "q_topk",           // expect TakeOrderedAndProject
+      "q_rsi",            // expect ONE exchange feeding both window aggs
+      "q_sim_topk")       // expect broadcast of the query vector
+    picks.foreach { name =>
+      println(s"\n## $name\n")
+      SparkEntry.queries(name)(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -18,17 +18,20 @@ object Dedup {
     df.groupBy(md5(lower(col(text))).as("fp"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct (doc, shingle) pairs: `n`-token shingles from a whitespace
-    * tokenization. Explode is linear in corpus token count. */
-  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+  /** (doc, shingle) pairs (NOT deduplicated): `n`-token shingles from a
+    * whitespace tokenization. Explode is linear in corpus token count. */
+  def shinglesRaw(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val toks = split(col(text), "\\s+")
     df.where(size(toks) >= n)
       .select(col(id).as("doc_id"),
         explode(sequence(lit(0), size(toks) - n)).as("i"),
         toks.as("toks"))
       .select(col("doc_id"), concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct (doc, shingle) pairs — set semantics for Jaccard. */
+  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    shinglesRaw(df, id, text, n).distinct()
 
   /** Exact n-gram Jaccard for every pair sharing ≥1 shingle. The join is
     * keyed on the shingle string (skew-safe for natural text; a hot
@@ -49,12 +52,16 @@ object Dedup {
         (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
   }
 
-  /** MinHash signatures: `k` independent hash functions simulated as
-    * xxhash64 with distinct integer salts; signature_i = min over the
-    * doc's shingles. One shuffle (groupBy doc). */
+  /** MinHash signatures: the shingle string is hashed ONCE (xxhash64);
+    * the `k` independent functions are cheap 64-bit re-hashes of that
+    * value — 1 string hash + k fixed-width hashes per shingle instead of
+    * k string hashes. Duplicate shingles need no pre-distinct: min over
+    * the multiset equals min over the set, saving a full shuffle. One
+    * shuffle total (groupBy doc with partial aggregation). */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val base = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
+    val mins = (0 until k).map(i => min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
+    base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
@@ -70,7 +77,7 @@ object Dedup {
                    shingleN: Int = 5, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignatures(shingles(df, id, text, shingleN), k).cache()
+    val sigs = minhashSignatures(shinglesRaw(df, id, text, shingleN), k).cache()
     val banded = sigs.select(col("doc_id"), posexplode(
       array((0 until bands).map(b =>
         xxhash64(lit(b), concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r)): _*))): _*))

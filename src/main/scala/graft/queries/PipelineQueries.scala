@@ -60,6 +60,11 @@ object PipelineQueries {
   def simLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** Embedding-cosine near-dup pairs via LSH buckets (rows-only: bucket
+    * assignment depends on the engine-local hyperplane PRNG). */
+  def simNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.bucketPairs(embeddings(s, d), "vec_id", "embedding", minCos = 0.9)
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaStats(
       Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
@@ -79,6 +84,7 @@ object PipelineQueries {
     "q_simhash"        -> (simhashes _),
     "q_sim_topk"       -> (simTopK _),
     "q_sim_lsh"        -> (simLsh _),
+    "q_sim_neardup"    -> (simNearDup _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _))
 

@@ -44,6 +44,15 @@ object TickIngest {
       .option("subscribe", topic)
       .load()
 
+  /** S4 — Kafka sink framing (reference `producer.py:105-133` sent
+    * Python-repr bytes; we standardize on JSON): any tick-shaped frame →
+    * (key, value) Kafka frame, ready for `.write.format("kafka")` or
+    * `writeStream.format("kafka")`. Keyed by symbol so one symbol's
+    * messages stay ordered within a partition. */
+  def toKafkaFrame(df: DataFrame): DataFrame =
+    df.select(col("symbol").cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
   /** T2 sink: micro-batch append to a symbol-partitioned lake path,
     * deduped on (symbol, time) within each batch (at-least-once upstream
     * becomes effectively-once per batch). */
