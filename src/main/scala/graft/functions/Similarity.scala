@@ -17,13 +17,21 @@ object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Σ aᵢ·bᵢ via zip_with + aggregate (both codegen'd HOFs). */
+  /** Σ aᵢ·bᵢ via zip_with + aggregate higher-order functions — the
+    * portable, built-in-only formulation. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native fused-loop Catalyst expression
+    * ([[VectorExpressions.CosineSim]], codegen'd): one array pass instead
+    * of three interpreted HOF walks — the hot path for corpus-scale
+    * scoring. The HOF form remains as [[cosineHof]] (equality covered by
+    * [[graft.VectorExprSpec]]). */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosineSim(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k by cosine against the stored vector with id `queryId`.
     * The single query row is broadcast; the corpus is scanned map-side and

@@ -40,10 +40,13 @@ object Indicators {
       .withColumn("change", col(value) - prev)
   }
 
-  /** W5: pandas pct_change equivalent (`warehouse.py:181`). */
+  /** W5: pandas pct_change equivalent (`warehouse.py:181`). Zero previous
+    * value yields null (guarded: Spark 4 ANSI mode makes x/0 an error,
+    * and an inf return would poison downstream aggregates). */
   def withPctChange(df: DataFrame, value: String, key: Seq[String], ord: Seq[Column]): DataFrame = {
     val prev = lag(col(value), 1).over(w(key, ord))
-    df.withColumn("pct_change", (col(value) - prev) / prev)
+    df.withColumn("pct_change",
+      when(prev =!= 0.0, (col(value) - prev) / prev))
   }
 
   /** W3: trailing row-frame mean over `n+1` rows (`util.py:93-94`). */
@@ -72,8 +75,11 @@ object Indicators {
     val avgGain = avg(gain).over(frame)
     val avgLoss = avg(loss).over(frame)
     // ratio-first keeps RSI exactly 100 when avgLoss = 0 (a/a == 1.0
-    // exactly, whereas (100*a)/a can land at 100.00000000000001)
-    df.withColumn(as, lit(100.0) * (avgGain / (avgGain + avgLoss)))
+    // exactly, whereas (100*a)/a can land at 100.00000000000001); the
+    // zero-denominator guard (flat series) avoids ANSI-mode x/0 errors
+    // and returns null — "no signal" — instead
+    df.withColumn(as,
+      when(avgGain + avgLoss > 0.0, lit(100.0) * (avgGain / (avgGain + avgLoss))))
   }
 
   /** Recursive EMA via the exact closed form, as pure window expressions.

@@ -147,7 +147,17 @@ object Relational {
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
 
+  /** Distinct aggregation (engine extension beyond the reference's
+    * surface, SURVEY §2.4 ✗ line): exact distinct counts — Spark plans
+    * the expand + two-phase aggregate. */
+  def distinctAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count_distinct(col("l_orderkey")).as("n_orders"),
+      count_distinct(col("l_partkey")).as("n_parts"),
+      count_distinct(col("l_suppkey")).as("n_supps"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distinct_agg"  -> (distinctAgg _),
     "q1_agg"          -> (q1Agg _),
     "q_global_minmax" -> (globalMinMax _),
     "q_describe"      -> (describeStats _),
@@ -165,6 +175,11 @@ object Relational {
     "q_join_anti"     -> (joinAnti _))
 
   val oracle: Map[String, String] = Map(
+    "q_distinct_agg" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -56,7 +56,22 @@ object WindowQueries {
       events(s, d).select("user_id", "ts", "event_id", "value"),
       "value", 25, KEY, ORD)
 
+  /** As-of join (SURVEY §2.3 engine extension): each click gets the most
+    * recent purchase value at-or-before its timestamp, per user — the
+    * tick-to-bar alignment operator, via [[graft.operators.AsOfJoin]]'s
+    * single-shuffle union-scan. Oracle: DuckDB native ASOF LEFT JOIN. */
+  def asof(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    graft.operators.AsOfJoin.asofJoin(
+      clicks, purchases, Seq("user_id"), "ts", "pts", Seq("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof"            -> (asof _),
     "q_window_lag"      -> (windowLag _),
     "q_window_trailing" -> (windowTrailing _),
     "q_window_forward"  -> (windowForward _),
@@ -67,6 +82,11 @@ object WindowQueries {
   private val OVER = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "q_asof" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "q_window_lag" ->
       s"""SELECT user_id, ts, event_id, value,
          |  lag(value, 1) $OVER) AS prev_value,
@@ -82,7 +102,9 @@ object WindowQueries {
          |FROM events""".stripMargin,
     "q_pct_change" ->
       s"""SELECT user_id, ts, event_id, value,
-         |  (value - lag(value, 1) $OVER)) / lag(value, 1) $OVER) AS pct_change
+         |  CASE WHEN lag(value, 1) $OVER) <> 0.0
+         |    THEN (value - lag(value, 1) $OVER)) / lag(value, 1) $OVER)
+         |  END AS pct_change
          |FROM events""".stripMargin,
     "q_rsi" ->
       s"""WITH diffs AS (
@@ -101,7 +123,8 @@ object WindowQueries {
          |  FROM gl
          |)
          |SELECT user_id, ts, event_id, value,
-         |  100.0 * (avg_gain / (avg_gain + avg_loss)) AS rsi
+         |  CASE WHEN avg_gain + avg_loss > 0.0
+         |    THEN 100.0 * (avg_gain / (avg_gain + avg_loss)) END AS rsi
          |FROM ag""".stripMargin,
     "q_ema" ->
       s"""WITH rn AS (

@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin attaches latest right value at-or-before left time per key") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 101.0),
+      ("A", ts("2024-01-01 10:10:00"), 99.0),
+      ("B", ts("2024-01-01 10:07:00"), 50.0)
+    ).toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", ts("2024-01-01 10:03:00"), 1L),  // -> 100.0
+      ("A", ts("2024-01-01 10:05:00"), 2L),  // exact tie -> 101.0 (inclusive)
+      ("A", ts("2024-01-01 10:59:00"), 3L),  // -> 99.0
+      ("B", ts("2024-01-01 10:06:00"), 4L),  // before any quote -> null
+      ("B", ts("2024-01-01 10:08:00"), 5L)   // -> 50.0
+    ).toDF("sym", "tt", "trade_id")
+    val got = AsOfJoin.asofJoin(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(got(1L).contains(100.0))
+    assert(got(2L).contains(101.0))
+    assert(got(3L).contains(99.0))
+    assert(got(4L).isEmpty)
+    assert(got(5L).contains(50.0))
+  }
+
+  test("asofJoin preserves left row count and column order") {
+    val l = Seq(("A", ts("2024-01-01 00:00:01"), "x")).toDF("k", "t", "payload")
+    val r = Seq(("A", ts("2024-01-01 00:00:00"), 1.0, 2.0)).toDF("k", "rt", "v1", "v2")
+    val out = AsOfJoin.asofJoin(l, r, Seq("k"), "t", "rt", Seq("v1", "v2"))
+    assert(out.columns.toSeq == Seq("k", "t", "payload", "v1", "v2"))
+    assert(out.count() == 1)
+  }
+}

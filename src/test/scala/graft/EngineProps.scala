@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.normalize.Normalize
+import graft.operators.Indicators
+
+/** Property-based checks (SURVEY §5 item 2) — ScalaCheck over the engine
+  * operators, evaluated through real Spark plans (one small job per
+  * sample; sample count tuned down accordingly).
+  */
+object EngineProps extends Properties("engine") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.jdk.CollectionConverters._
+
+  private def seriesDf(xs: List[Double]): DataFrame = {
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      org.apache.spark.sql.Row("K", i.toLong, x)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sym",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("close",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
+  private val priceGen = Gen.chooseNum(0.01, 10000.0)
+  private val seriesGen = Gen.nonEmptyListOf(priceGen).map(_.take(60))
+
+  // junk-corrupted numeric strings: digits with commas/spaces/NBSP interleaved
+  private val junkGen: Gen[(Long, String)] = for {
+    n <- Gen.chooseNum(0L, 999999999999L)
+    junk <- Gen.listOf(Gen.oneOf(",", " ", " ", "")).map(_.mkString)
+  } yield (n, n.toString.flatMap(c => c.toString + junk))
+
+  property("toLongCol is total on comma/space/NBSP-corrupted numerics") =
+    forAll(Gen.nonEmptyListOf(junkGen).map(_.take(30))) { cases =>
+      import spark.implicits._
+      val got = cases.map(_._2).toDF("s")
+        .select(Normalize.toLongCol(col("s")).as("v"))
+        .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      got.zip(cases.map(_._1)).forall { case (g, expect) => g.contains(expect) }
+    }
+
+  property("RSI stays in [0,100]") = forAll(seriesGen) { xs =>
+    val df = Indicators.withRsi(seriesDf(xs), "close", 14, Seq("sym"), Seq(col("t")))
+    df.where(col("rsi") < 0 || col("rsi") > 100).count() == 0L
+  }
+
+  property("EMA lies between running min and max of the series prefix") =
+    forAll(seriesGen) { xs =>
+      val df = Indicators.withEmaClosedForm(seriesDf(xs), "close", 10,
+        Seq("sym"), Seq(col("t")))
+      val got = df.orderBy("t").select("ema").collect().map(_.getDouble(0))
+      val eps = 1e-6
+      got.zipWithIndex.forall { case (e, i) =>
+        val prefix = xs.take(i + 1)
+        e >= prefix.min - eps && e <= prefix.max + eps
+      }
+    }
+
+  property("change telescopes: sum(change) == last - first") =
+    forAll(seriesGen.suchThat(_.size >= 2)) { xs =>
+      val df = Indicators.withChange(seriesDf(xs), "close", Seq("sym"), Seq(col("t")))
+      val s = df.agg(sum("change")).head().getDouble(0)
+      math.abs(s - (xs.last - xs.head)) < 1e-6 * math.max(1.0, math.abs(xs.last))
+    }
+
+  property("dropDuplicates is idempotent") = forAll(seriesGen) { xs =>
+    val df = seriesDf(xs ++ xs) // force duplicates
+    val once = df.dropDuplicates()
+    once.count() == once.dropDuplicates().count()
+  }
+
+  property("top-k desc equals reverse of bottom-k asc on distinct keys") =
+    forAll(Gen.chooseNum(1, 20)) { k =>
+      val df = seriesDf((1 to 40).map(_.toDouble).toList)
+      val top = df.orderBy(col("t").desc).limit(k).collect().map(_.getLong(1)).toList
+      val bottom = df.orderBy(col("t").asc).limit(40).collect().map(_.getLong(1))
+        .toList.reverse.take(k)
+      top == bottom
+    }
+}
