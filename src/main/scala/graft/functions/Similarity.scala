@@ -81,6 +81,65 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the IVF
+    * coarse quantizer. Init = first `k` vectors by id (deterministic);
+    * each iteration is two shuffles (assign via broadcast centroids →
+    * per-dimension mean). Returns (centroid_id, centroid array<double>).
+    */
+  def kmeansCentroids(emb: DataFrame, id: String, vec: String,
+                      k: Int, iters: Int): DataFrame = {
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    var centroids = v.orderBy("vid").limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vid"))
+        .cast("int").as("cid"), col("v").as("c"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(v, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c"))
+    }
+    centroids.select(col("cid").as("centroid_id"), col("c").as("centroid"))
+  }
+
+  /** Nearest-centroid assignment (broadcast centroids, map-side argmax). */
+  private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vid").orderBy(col("sim").desc, col("cid").asc)
+    v.crossJoin(broadcast(centroids))
+      .select(col("vid"), col("v"), col("cid"), cosine(col("v"), col("c")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .drop("rk", "sim")
+  }
+
+  /** IVF approximate top-k: coarse-quantize the corpus into `nlist`
+    * centroid lists, probe the `nprobe` lists nearest the query, exact
+    * cosine within the probed lists only. At scale the list id is the
+    * partition key, so a probe scans ~nprobe/nlist of the corpus. */
+  def ivfTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 3): DataFrame = {
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val centroids = kmeansCentroids(emb, id, vec, nlist, iters).cache()
+    val lists = assign(v,
+      centroids.select(col("centroid_id").as("cid"), col("centroid").as("c"))).cache()
+    val q = v.where(col("vid") === queryId).select(col("v").as("qv"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("centroid_id"), cosine(col("centroid"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id").as("cid"))
+    lists.join(broadcast(probed), "cid")
+      .where(col("vid") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vid").as(id), cosine(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** Batch all-pairs near-neighbor candidates via shared LSH bucket —
     * bucket-local join, never the n² cross product. */
   def bucketPairs(emb: DataFrame, id: String, vec: String,

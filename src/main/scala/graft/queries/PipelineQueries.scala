@@ -60,6 +60,11 @@ object PipelineQueries {
   def simLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** IVF approximate top-k (rows-only: centroid init/iteration are
+    * engine-local; recall vs brute force covered in BucketedJoinSpec). */
+  def simIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
+
   /** Embedding-cosine near-dup pairs via LSH buckets (rows-only: bucket
     * assignment depends on the engine-local hyperplane PRNG). */
   def simNearDup(s: SparkSession, d: String): DataFrame =
@@ -85,6 +90,7 @@ object PipelineQueries {
     "q_sim_topk"       -> (simTopK _),
     "q_sim_lsh"        -> (simLsh _),
     "q_sim_neardup"    -> (simNearDup _),
+    "q_sim_ivf"        -> (simIvf _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _))
 

@@ -156,8 +156,48 @@ object Relational {
       count_distinct(col("l_partkey")).as("n_parts"),
       count_distinct(col("l_suppkey")).as("n_supps"))
 
+  /** Hierarchical rollup totals (engine extension): revenue by
+    * (returnflag, linestatus) with subtotals and grand total. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Top-k per group via rank over a key-partitioned window: top 3 orders
+    * by price per customer — the distributed "per-symbol latest bars". */
+  def topKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+
+  /** Set operations: union / intersect / except over projections. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val buyers = orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+    val all = customer(s, d).select(col("c_custkey").as("custkey"))
+    val both = all.intersect(buyers).withColumn("src", lit("buyer"))
+    val only = all.except(buyers).withColumn("src", lit("non_buyer"))
+    both.unionByName(only)
+  }
+
+  /** Uncorrelated scalar subquery: items priced above the global mean. */
+  def aboveAvg(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val avgPrice = li.agg(avg("l_extendedprice").as("ap"))
+    li.join(broadcast(avgPrice))
+      .where(col("l_extendedprice") > col("ap") * 1.5)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_distinct_agg"  -> (distinctAgg _),
+    "q_rollup"        -> (rollupAgg _),
+    "q_topk_group"    -> (topKPerGroup _),
+    "q_set_ops"       -> (setOps _),
+    "q_above_avg"     -> (aboveAvg _),
     "q1_agg"          -> (q1Agg _),
     "q_global_minmax" -> (globalMinMax _),
     "q_describe"      -> (describeStats _),
@@ -175,6 +215,28 @@ object Relational {
     "q_join_anti"     -> (joinAnti _))
 
   val oracle: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_set_ops" ->
+      """SELECT custkey, 'buyer' AS src FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  INTERSECT SELECT DISTINCT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT custkey, 'non_buyer' AS src FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  EXCEPT SELECT DISTINCT o_custkey FROM orders)""".stripMargin,
+    "q_above_avg" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_extendedprice >
+        |  (SELECT avg(l_extendedprice) FROM lineitem) * 1.5""".stripMargin,
     "q_distinct_agg" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         |  count(DISTINCT l_partkey) AS n_parts,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Co-located bucketed join (builder brief: "bucketing for co-located
+  * joins"): two tables bucketed 8-ways on the join key join WITHOUT a
+  * shuffle — the physical plan has no Exchange. This is the 100 TB
+  * fact-to-fact join strategy when both sides are lake tables written
+  * once and joined often.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("joining two bucketed tables plans no shuffle Exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .appName("bucketed")
+      .getOrCreate()
+    try {
+      Tables.orders(s, sf0001)
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+      Tables.lineitem(s, sf0001)
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+      val joined = s.table("lineitem_b")
+        .join(s.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(sum("l_quantity").as("q"))
+      val physical = joined.queryExecution.executedPlan.toString
+      // the join itself must be shuffle-free; only the final groupBy
+      // repartitions. SortMergeJoin reads both sides bucket-aligned.
+      val joinSection = physical.split("SortMergeJoin")(1)
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+        !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles:\n$physical")
+      // result correctness vs unbucketed join
+      val expect = Tables.lineitem(s, sf0001)
+        .join(Tables.orders(s, sf0001), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == expect)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS orders_b")
+      s.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("IVF top-k recalls planted near neighbors and matches brute force head") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def noisy() = q.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val rows =
+      (0L, q.toSeq) +:
+      (1L to 5L).map(i => (i, noisy().toSeq)) ++:
+      (6L until 306L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val ivf = graft.functions.Similarity
+      .ivfTopK(emb, "vec_id", "embedding", 0L, 5, nlist = 8, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert((1L to 5L).toSet.intersect(ivf).size >= 4,
+      s"IVF missed planted neighbors: $ivf")
+  }
+}
