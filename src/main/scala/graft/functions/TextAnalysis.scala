@@ -74,6 +74,30 @@ object TextAnalysis {
     when(maxOf(scores.map(_._2)) === 0, "unk").otherwise(best)
   }
 
+  /** TF-IDF per (doc, term): tf = term count / doc length, idf =
+    * ln(N / docfreq). Three hash-shuffles (term counts, doc lengths, doc
+    * freqs) + broadcast of the scalar corpus size — no driver loops, the
+    * standard distributed formulation.
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, id: String,
+            text: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, explode}
+    val toks = docs.select(col(id).as("doc_id"),
+      explode(tokens(col(text))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val nd = docs.agg(countDistinct(col(id)).as("nd"))
+    tf.join(dl, "doc_id")
+      .join(dfreq, "term")
+      .join(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        (col("n").cast("double") / col("dl")).as("tf"),
+        col("doc_freq"),
+        ((col("n").cast("double") / col("dl")) *
+          log(col("nd").cast("double") / col("doc_freq"))).as("tfidf"))
+  }
+
   /** Exact content fingerprint: md5 of lowercased text. */
   def fingerprint(text: Column): Column = md5(lower(text))
 

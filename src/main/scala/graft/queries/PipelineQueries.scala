@@ -41,6 +41,9 @@ object PipelineQueries {
       TA.fingerprint(col("text")).as("fp"),
       TA.bagFingerprint(col("text")).as("bag_fp"))
 
+  def tfidf(s: SparkSession, d: String): DataFrame =
+    TA.tfidf(documents(s, d), "doc_id", "text")
+
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(documents(s, d), "doc_id", "text")
 
@@ -83,6 +86,7 @@ object PipelineQueries {
     "q_text_quality"   -> (textQuality _),
     "q_lang_id"        -> (langId _),
     "q_fingerprint"    -> (fingerprints _),
+    "q_tfidf"          -> (tfidf _),
     "q_dedup_exact"    -> (dedupExact _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
     "q_minhash_pairs"  -> (minhashPairs _),
@@ -130,6 +134,17 @@ object PipelineQueries {
       s"""SELECT doc_id, md5(lower(text)) AS fp,
          |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')) AS bag_fp
          |FROM documents""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+         |SELECT tf.doc_id, tf.term,
+         |  CAST(tf.n AS DOUBLE) / dl.dl AS tf,
+         |  dfreq.doc_freq,
+         |  (CAST(tf.n AS DOUBLE) / dl.dl) * ln(CAST(nd.nd AS DOUBLE) / dfreq.doc_freq) AS tfidf
+         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
