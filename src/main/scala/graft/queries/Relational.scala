@@ -192,8 +192,34 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** Exact interpolated percentiles per group (engine extension). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+
+  /** Pivot: event counts per user across a fixed event-type set. */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Statistical aggregates: correlation/covariance/variance. */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+      covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_qp"),
+      var_samp(col("l_discount")).as("var_disc"),
+      skewness(col("l_extendedprice")).as("skew_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_distinct_agg"  -> (distinctAgg _),
+    "q_percentiles"   -> (percentiles _),
+    "q_pivot"         -> (pivotCounts _),
+    "q_stats_agg"     -> (statsAgg _),
     "q_rollup"        -> (rollupAgg _),
     "q_topk_group"    -> (topKPerGroup _),
     "q_set_ops"       -> (setOps _),
@@ -215,6 +241,26 @@ object Relational {
     "q_join_anti"     -> (joinAnti _))
 
   val oracle: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT corr(l_quantity, l_extendedprice) AS corr_qty_price,
+        |  covar_samp(l_quantity, l_extendedprice) AS covar_qp,
+        |  var_samp(l_discount) AS var_disc,
+        |  skewness(l_extendedprice) AS skew_price
+        |FROM lineitem""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty, count(*) AS n

@@ -108,6 +108,29 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("sum_value") - 3.0) < 1e-9)
   }
 
+  test("stream-stream interval join: trades enriched with quotes within 10 min") {
+    implicit val sqlCtx = spark.sqlContext
+    val quotes = MemoryStream[(Timestamp, String, Double)]
+    val trades = MemoryStream[(Timestamp, String, Long)]
+    val qDf = quotes.toDF().toDF("qts", "sym", "px").withWatermark("qts", "10 minutes")
+    val tDf = trades.toDF().toDF("tts", "sym", "trade_id").withWatermark("tts", "10 minutes")
+    val q2 = qDf.withColumnRenamed("sym", "qsym")
+    val j2 = tDf.join(q2,
+      col("sym") === col("qsym") &&
+        col("qts") >= col("tts") - expr("INTERVAL 10 MINUTES") &&
+        col("qts") <= col("tts"))
+      .select("trade_id", "px")
+    val q = j2.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    quotes.addData((ts("2024-01-01 10:00:00"), "A", 100.0))
+    trades.addData((ts("2024-01-01 10:05:00"), "A", 1L))   // joins (5 min gap)
+    trades.addData((ts("2024-01-01 10:20:00"), "A", 2L))   // no quote in window
+    q.processAllAvailable()
+    val rows = spark.table("ssj").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    q.stop()
+    assert(rows.toSeq == Seq(1L -> 100.0))
+  }
+
   test("T2: foreachBatch lake sink appends parquet partitioned by symbol") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("lake").toString
