@@ -21,18 +21,20 @@ object Normalize {
     */
   private val JunkRe = "[,\\s \r\n]"
 
-  /** F1 `toFloat` (`util.py:41-44`): strip separators → float. */
+  /** F1 `toFloat` (`util.py:41-44`): strip separators → float. try_cast,
+    * not cast: under Spark 4 ANSI a residual non-numeric (feed
+    * placeholder "-", empty string) must yield null, not kill the job. */
   def toFloatCol(c: Column): Column =
-    regexp_replace(c, JunkRe, "").cast(FloatType)
+    regexp_replace(c, JunkRe, "").try_cast(FloatType)
 
   /** F1 at double precision for downstream indicator math. */
   def toDoubleCol(c: Column): Column =
-    regexp_replace(c, JunkRe, "").cast(DoubleType)
+    regexp_replace(c, JunkRe, "").try_cast(DoubleType)
 
   /** F2 `toInt` (`util.py:46-49`): strip separators → long (fixing the
     * reference's StringType-typed int UDF, `util.py:69`). */
   def toLongCol(c: Column): Column =
-    regexp_replace(c, JunkRe, "").cast(LongType)
+    regexp_replace(c, JunkRe, "").try_cast(LongType)
 
   /** F3 (`util.py:66`): `dd/MM/yyyy` string → date. */
   def parseDateDMY(c: Column): Column = to_date(trim(c), "dd/MM/yyyy")
@@ -50,7 +52,9 @@ object Normalize {
   def parseTickTimeEpoch(c: Column): Column = {
     val hm = regexp_extract(c, "(\\d{1,2}:\\d{2})", 1)
     val dmy = regexp_extract(c, "(\\d{2}/\\d{2}/\\d{4})", 1)
-    unix_timestamp(to_timestamp(concat(dmy, lit(" "), hm), "dd/MM/yyyy HH:mm"))
+    // 'H' (not 'HH'): the feed writes single-digit hours ("9:05"), which
+    // 'HH' rejects — a DateTimeException under ANSI would kill the job
+    unix_timestamp(to_timestamp(concat(dmy, lit(" "), hm), "dd/MM/yyyy H:mm"))
   }
 
   /** F6 `convertTime` (`util.py:24-25`): `dd/MM/yyyy` → epoch seconds. */

@@ -34,27 +34,35 @@ object AsOfJoin {
     val leftCols = left.columns.filterNot(key.contains)
     val t = "_asof_t"
     val tag = "_asof_is_left"
+    // value columns ride under collision-proof temp names (trades.px vs
+    // quotes.px is the natural shape); on output a value column whose
+    // name already exists on the left surfaces as "<name>_asof"
+    val tmp = valueCols.indices.map(i => s"_asof_v$i")
+    val outName = valueCols.map(c => if (left.columns.contains(c)) s"${c}_asof" else c)
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn(tag, lit(1))
-      .select(key.map(col) ++ Seq(col(t), col(tag)) ++
-        leftCols.map(col) ++ valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      .select(key.map(col) ++ Seq(col(t), col(tag)) ++ leftCols.map(col) ++
+        valueCols.zip(tmp).map { case (c, a) =>
+          lit(null).cast(right.schema(c).dataType).as(a)
+        }: _*)
     val r = right
       .withColumn(t, col(rightTime))
       .withColumn(tag, lit(0))
       .select(key.map(col) ++ Seq(col(t), col(tag)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col): _*)
+        valueCols.zip(tmp).map { case (c, a) => col(c).as(a) }: _*)
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col(t).asc, col(tag).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(
         (key.map(col) ++ Seq(col(t), col(tag)) ++ leftCols.map(col) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+          tmp.map(a => last(col(a), ignoreNulls = true).over(w).as(a))): _*)
     // leftTime rides along inside leftCols; drop the helper columns and
     // restore the original left column order
     carried.where(col(tag) === 1)
-      .select(left.columns.map(col) ++ valueCols.map(col): _*)
+      .select(left.columns.map(col) ++
+        tmp.zip(outName).map { case (a, o) => col(a).as(o) }: _*)
   }
 }

@@ -53,12 +53,17 @@ object Ewma {
         rows.map { row =>
           val k = keyIdx.map(row.get)
           if (k != curKey) { curKey = k; state = Double.NaN }
-          val x = row.getAs[Any](valIdx) match {
-            case null => Double.NaN
-            case v: Number => v.doubleValue()
+          row.getAs[Any](valIdx) match {
+            // pandas-ewm null semantics: a null observation emits the
+            // prior state unchanged (null before any observation) —
+            // it must NOT reset or poison the fold
+            case null =>
+              Row.fromSeq(row.toSeq :+ (if (state.isNaN) null else state))
+            case v: Number =>
+              val x = v.doubleValue()
+              state = if (state.isNaN) x else alpha * x + (1 - alpha) * state
+              Row.fromSeq(row.toSeq :+ state)
           }
-          state = if (state.isNaN) x else alpha * x + (1 - alpha) * state
-          Row.fromSeq(row.toSeq :+ (if (state.isNaN) null else state))
         }
       }(enc)
   }

@@ -96,6 +96,9 @@ object Indicators {
   def withEmaClosedForm(df: DataFrame, value: String, n: Int, key: Seq[String],
                         ord: Seq[Column], as: String = "ema"): DataFrame = {
     val alpha = 2.0 / (n + 1.0)
+    require(n >= 2,
+      s"withEmaClosedForm needs n >= 2 (n=$n makes r=0 and pow(0,-rn)=Inf" +
+        " poisons the scan; an n=1 'EMA' is just the value itself)")
     val r = 1.0 - alpha
     val win = w(key, ord)
     val cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `big ⋈ small` on `key`, salted `salt` ways. Result equals
-    * `big.join(small, key)` for any salt ≥ 1. */
+    * `big.join(small, key, joinType)` for inner and left-side join types.
+    * Right/full outer are rejected: unmatched small-side salt replicas
+    * would surface as up-to-`salt` duplicate null-padded rows (salt the
+    * other side instead). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: Seq[String],
                  salt: Int, joinType: String = "inner"): DataFrame = {
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+      s"saltedJoin supports inner/left join types, got '$joinType' — " +
+        "replicated small-side rows would duplicate outer results")
     val s = "_salt"
     val bigSalted = big.withColumn(s, (rand(42) * salt).cast("int"))
     val smallSalted = small.withColumn(s, explode(sequence(lit(0), lit(salt - 1))))

@@ -32,6 +32,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(5L).contains(50.0))
   }
 
+  test("asofJoin handles a value column name shared with the left side") {
+    val trades = Seq(("A", ts("2024-01-01 10:01:00"), 99.9))
+      .toDF("sym", "tt", "px") // left carries its own px
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 100.0))
+      .toDF("sym", "qt", "px")
+    val out = graft.operators.AsOfJoin
+      .asofJoin(trades, quotes, Seq("sym"), "tt", "qt", Seq("px"))
+    assert(out.columns.toSeq == Seq("sym", "tt", "px", "px_asof"))
+    val r = out.head()
+    assert(r.getDouble(2) == 99.9 && r.getDouble(3) == 100.0)
+  }
+
   test("asofJoin preserves left row count and column order") {
     val l = Seq(("A", ts("2024-01-01 00:00:01"), "x")).toDF("k", "t", "payload")
     val r = Seq(("A", ts("2024-01-01 00:00:00"), 1.0, 2.0)).toDF("k", "rt", "v1", "v2")

@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
 class BucketedJoinSpec extends SparkSpec {
 
   test("joining two bucketed tables plans no shuffle Exchange") {
-    val wh = java.nio.file.Files.createTempDirectory("wh").toString
+    // isolate from the shared JVM session: getOrCreate on the existing
+    // default would MUTATE its runtime conf (broadcast threshold) for
+    // every later suite; clear, build fresh, restore in finally
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
     val s = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir", wh)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .appName("bucketed")
@@ -48,6 +53,10 @@ class BucketedJoinSpec extends SparkSpec {
     } finally {
       s.sql("DROP TABLE IF EXISTS orders_b")
       s.sql("DROP TABLE IF EXISTS lineitem_b")
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
     }
   }
 

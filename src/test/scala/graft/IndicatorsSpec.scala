@@ -61,6 +61,19 @@ class IndicatorsSpec extends SparkSpec {
     assert(maxDiff < 1e-6, s"max closed-vs-exact diff $maxDiff")
   }
 
+  test("Ewma.perRow: null observation emits prior state without resetting") {
+    val df = Seq(("A", 1L, java.lang.Double.valueOf(10.0)),
+                 ("A", 2L, null.asInstanceOf[java.lang.Double]),
+                 ("A", 3L, java.lang.Double.valueOf(20.0)))
+      .toDF("sym", "t", "close")
+    val out = Ewma.perRow(df, "close", 3, Seq("sym"), Seq("t"))
+      .orderBy("t").select("ema_exact").collect()
+    assert(out(0).getDouble(0) == 10.0)
+    assert(out(1).getDouble(0) == 10.0)          // null -> carry state
+    // state continued from 10: 0.5*20 + 0.5*10 = 15 (NOT a reseed to 20)
+    assert(math.abs(out(2).getDouble(0) - 15.0) < 1e-12)
+  }
+
   test("EwmaAgg aggregator is order-insensitive across partials") {
     import graft.operators.Ewma.EwmaAgg
     val agg = new EwmaAgg(0.5).toColumn.name("ema_final")

@@ -35,11 +35,21 @@ class NormalizeSpec extends SparkSpec {
     assert(r.getLong(2) == 1675728000L)
   }
 
-  test("tick time string to epoch (F5)") {
-    val df = Seq("14:45 | Cập nhật 07/02/2023").toDF("t")
-      .select(Normalize.parseTickTimeEpoch($"t").as("e"))
-    // 2023-02-07T14:45:00Z
-    assert(df.head().getLong(0) == 1675781100L)
+  test("tick time string to epoch, incl. single-digit hours (F5)") {
+    val df = Seq("14:45 | Cập nhật 07/02/2023", "9:05 | Cập nhật 07/02/2023")
+      .toDF("t").select(Normalize.parseTickTimeEpoch($"t").as("e"))
+    val got = df.collect().map(_.getLong(0))
+    assert(got(0) == 1675781100L) // 2023-02-07T14:45:00Z
+    assert(got(1) == 1675760700L) // 2023-02-07T09:05:00Z
+  }
+
+  test("casts are total under ANSI: junk placeholders yield null, not errors") {
+    val df = Seq("750,800 ", "-", "", "N/A").toDF("s").select(
+      Normalize.toLongCol($"s").as("l"),
+      Normalize.toFloatCol($"s").as("f"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == 750800L)
+    assert(rows.drop(1).forall(r => r.isNullAt(0) && r.isNullAt(1)))
   }
 
   test("change percent extraction (F7)") {
