@@ -101,6 +101,20 @@ object Normalize {
       .otherwise(ts)
   }
 
+  /** F15 `ast.literal_eval` equivalent (`warehouse.py:169,190`): the
+    * reference's producer ships Python-repr dict strings
+    * (`producer.py:126`); rewrite the repr into JSON (quote style,
+    * None/True/False) so `from_json` can take it. Sufficient for the
+    * feed's numeric/symbol payloads; strings with embedded apostrophes
+    * need the JSON producer path ([[graft.streaming.TickIngest.toKafkaFrame]],
+    * the engine's standard). */
+  def pythonReprToJson(c: Column): Column = {
+    val quoted = regexp_replace(c, "'", "\"")
+    val none = regexp_replace(quoted, "\\bNone\\b", "null")
+    val tru = regexp_replace(none, "\\bTrue\\b", "true")
+    regexp_replace(tru, "\\bFalse\\b", "false")
+  }
+
   /** Raw OLHC bar shape (`data/data_olhc` JSON files; FIXTURES.md A1). */
   val rawBarFields: Seq[String] =
     Seq("date", "open", "high", "low", "close", "volume", "value")

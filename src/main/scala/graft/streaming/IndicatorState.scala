@@ -81,4 +81,41 @@ object IndicatorState {
     bars.groupByKey(_.symbol)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateFn(n))
   }
+
+  /** Spark 4 `transformWithState` form of the same refresh — the
+    * arbitrary-state API that supersedes flatMapGroupsWithState
+    * (typed ValueState in the RocksDB state store, timer support,
+    * state TTL). Same [[step]] transition, so both forms agree.
+    * Requires `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` on the session.
+    */
+  class IndicatorProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BarIn, IndicatorOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[BarState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[BarState](
+        "indicator", Encoders.product[BarState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BarIn],
+                                 timers: TimerValues): Iterator[IndicatorOut] = {
+      var cur = Option(state.get())
+      val out = rows.toSeq.sortBy(_.time.getTime).map { bar =>
+        val (o, s) = step(cur, bar, n)
+        cur = Some(s)
+        o
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** [[attach]] via transformWithState (streaming Datasets only). */
+  def attachTws(bars: Dataset[BarIn], n: Int = defaultWindow): Dataset[IndicatorOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val outEnc = Encoders.product[IndicatorOut]
+    bars.groupByKey(_.symbol)(Encoders.STRING)
+      .transformWithState(new IndicatorProcessor(n), TimeMode.None(), OutputMode.Append())
+  }
 }

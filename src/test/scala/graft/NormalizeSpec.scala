@@ -84,6 +84,20 @@ class NormalizeSpec extends SparkSpec {
     assert(got == Seq("a b c", "d e f", "g"))
   }
 
+  test("python-repr message decode (F15): repr dict -> from_json") {
+    val repr = "{'symbol': 'FPT', 'close': 80.7, 'volume': '750,800', 'ref': None}"
+    val df = Seq(repr).toDF("value")
+      .select(from_json(Normalize.pythonReprToJson($"value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "symbol STRING, close DOUBLE, volume STRING, ref STRING")).as("m"))
+      .select($"m.*")
+    val r = df.head()
+    assert(r.getString(0) == "FPT")
+    assert(r.getDouble(1) == 80.7)
+    assert(r.getString(2) == "750,800")
+    assert(r.isNullAt(3))
+  }
+
   test("E1 end-to-end on reference FPT.json: normalize + indicators") {
     val fpt = "/root/reference/data/data_olhc/FPT.json"
     assume(new java.io.File(fpt).exists())

@@ -65,6 +65,47 @@ class StreamingSpec extends SparkSpec {
       rows(3).getAs[Double]("change") == 0.0)
   }
 
+  test("T3 via transformWithState matches flatMapGroupsWithState output") {
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("tws")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val mem = MemoryStream[BarIn]
+      val out = IndicatorState.attachTws(mem.toDS(), n = 3)
+      val q = out.writeStream.format("memory").queryName("tws_ind")
+        .outputMode("append").start()
+      mem.addData(
+        BarIn("FPT", ts("2023-02-01 00:00:00"), 100.0),
+        BarIn("FPT", ts("2023-02-02 00:00:00"), 110.0))
+      q.processAllAvailable()
+      mem.addData(BarIn("FPT", ts("2023-02-03 00:00:00"), 104.0))
+      q.processAllAvailable()
+      val rows = s.table("tws_ind").orderBy("time").collect()
+      q.stop()
+      assert(rows.length == 3)
+      // identical to the flatMapGroupsWithState expectations
+      assert(math.abs(rows(2).getAs[Double]("change") + 6.0) < 1e-9)
+      assert(math.abs(rows(2).getAs[Double]("ema") - 104.5) < 1e-9)
+      assert(math.abs(rows(2).getAs[Double]("rsi") - 62.5) < 1e-9)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+
   test("T3 streaming agrees with batch indicators on a replay") {
     // the same per-key fold, fed in order, must reproduce the batch
     // closed-form EMA and lag-change
