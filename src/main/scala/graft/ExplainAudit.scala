@@ -20,7 +20,9 @@ object ExplainAudit {
       "q_join_inner",     // expect BroadcastHashJoin on dims
       "q_topk",           // expect TakeOrderedAndProject
       "q_rsi",            // expect ONE exchange feeding both window aggs
-      "q_sim_topk")       // expect broadcast of the query vector
+      "q_sim_topk",       // expect broadcast of the query vector
+      "q_asof",           // expect ONE exchange + per-partition sort
+      "q_window_range")   // expect RANGE interval frame in WindowExec
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

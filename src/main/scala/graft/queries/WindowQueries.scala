@@ -70,7 +70,33 @@ object WindowQueries {
       clicks, purchases, Seq("user_id"), "ts", "pts", Seq("value"))
   }
 
+  /** Time-RANGE frame (vs row frames): trailing 2-day mean per key —
+    * event-time window semantics where row counts vary per day. */
+  def windowRange(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("avg_2d", expr(
+        """avg(value) OVER (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 2 DAYS PRECEDING AND CURRENT ROW)""".stripMargin))
+
+  /** first/last value + rank family over key-partitioned windows. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val byTime = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val byValue = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value").asc, col("event_id").asc)
+    val full = byTime.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    events(s, d).select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("first_v", first(col("value")).over(byTime))
+      .withColumn("last_v", last(col("value")).over(full))
+      .withColumn("quartile", ntile(4).over(byValue))
+      .withColumn("pr", percent_rank().over(byValue))
+      .withColumn("rnk", rank().over(byValue))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_range"    -> (windowRange _),
+    "q_window_rank"     -> (windowRank _),
     "q_asof"            -> (asof _),
     "q_window_lag"      -> (windowLag _),
     "q_window_trailing" -> (windowTrailing _),
@@ -82,6 +108,20 @@ object WindowQueries {
   private val OVER = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "q_window_range" ->
+      """SELECT event_id, user_id, ts, value,
+        |  avg(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) AS avg_2d
+        |FROM events""".stripMargin,
+    "q_window_rank" ->
+      """SELECT event_id, user_id, ts, value,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_v,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+        |  ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile,
+        |  percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pr,
+        |  rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rnk
+        |FROM events""".stripMargin,
     "q_asof" ->
       """SELECT c.event_id, c.user_id, c.ts, p.value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
