@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity}
+import graft.operators.Ewma
+
+/** Scale validation probe (evidence for docs/SCALE.md): replicates the
+  * fixture corpus N× with perturbed ids/content and times the pair-space
+  * operators, verifying cost grows ~linearly with corpus size (bucketed
+  * candidate generation), not quadratically; also runs the exact EWM fold
+  * over a single 200k-row key (beyond the closed-form comfort zone).
+  * `sbt "runMain graft.ScaleProbe [factor]"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val nBase = base.count()
+    // replicate with distinct ids and a per-copy token prefix. NOTE: the
+    // prefix only perturbs the leading shingles, so the 20 copies of each
+    // base doc REMAIN near-duplicates — the pair space carries ~190 true
+    // near-dup pairs per base doc (~1M pairs at factor 20), making this a
+    // worst-case dedup stress, not a disjoint-corpus one
+    val big = base.crossJoin(spark.range(factor).toDF("copy"))
+      .select(
+        (col("doc_id") * factor + col("copy")).as("doc_id"),
+        concat(lit("c"), col("copy"), lit(" "), col("text")).as("text"))
+      .repartition(16).cache()
+    val nBig = big.count()
+    println(s"[scale] corpus: $nBase -> $nBig docs")
+
+    time(s"minhash_pairs @${nBase}")(
+      Dedup.minhashPairs(base.select("doc_id", "text"), "doc_id", "text").count())
+    time(s"minhash_pairs @${nBig}")(
+      Dedup.minhashPairs(big, "doc_id", "text").count())
+    time(s"jaccard_pairs @${nBase}")(
+      Dedup.jaccardPairs(base.select("doc_id", "text"), "doc_id", "text", 5).count())
+    time(s"jaccard_pairs @${nBig}")(
+      Dedup.jaccardPairs(big, "doc_id", "text", 5).count())
+    time(s"simhash @${nBig}")(
+      Dedup.simhash(big, "doc_id", "text").count())
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val bigEmb = emb.crossJoin(spark.range(factor).toDF("copy"))
+      .select((col("vec_id") * factor + col("copy")).as("vec_id"), col("embedding"))
+      .cache()
+    println(s"[scale] embeddings: ${bigEmb.count()} vectors")
+    time("brute_topk @40k")(
+      Similarity.bruteForceTopK(bigEmb, "vec_id", "embedding", 0L, 10).count())
+    time("lsh_topk @40k")(
+      Similarity.lshTopK(bigEmb, "vec_id", "embedding", 0L, 10).count())
+
+    // exact EWM over one 200k-row key — far beyond the closed-form
+    // double-range limit; must stream in O(1) state
+    val series = spark.range(200000).select(
+      lit("K").as("sym"), col("id").as("t"),
+      (sin(col("id") / 100.0) * 50 + 100).as("close"))
+    val ema = time("ewma_perRow @200k single key")(
+      Ewma.perRow(series, "close", 25, Seq("sym"), Seq("t")))
+    val last = ema.orderBy(col("t").desc).select("ema_exact").head().getDouble(0)
+    println(s"[scale] ewma final=$last (finite=${!last.isNaN && !last.isInfinite})")
+    spark.stop()
+  }
+}

@@ -18,6 +18,17 @@ object Dedup {
     df.groupBy(md5(lower(col(text))).as("fp"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Corpus dedup keeping full rows: for each distinct content, the row
+    * with the smallest id survives. One window over the content hash —
+    * the operation a training-data pipeline actually runs. */
+  def dedupKeepRows(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(col(text)))).orderBy(col(id).asc)
+    df.withColumn("_ddk_rn", row_number().over(w))
+      .where(col("_ddk_rn") === 1)
+      .drop("_ddk_rn")
+  }
+
   /** (doc, shingle) pairs (NOT deduplicated): `n`-token shingles from a
     * whitespace tokenization. Explode is linear in corpus token count. */
   def shinglesRaw(df: DataFrame, id: String, text: String, n: Int): DataFrame = {

@@ -55,11 +55,12 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket id: bit p = (v · plane_p) >= 0. Vectors with the
-    * same bucket are cosine-close with high probability. */
+    * same bucket are cosine-close with high probability. Projections use
+    * the codegen'd DotProduct expression — the HOF form made bucketing
+    * slower than the brute-force scan it was meant to beat. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val proj = aggregate(
-        zip_with(asDouble(vec), array(plane.map(lit): _*), _ * _), lit(0.0), _ + _)
+      val proj = VectorExpressions.dotProduct(vec, array(plane.map(lit): _*))
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 

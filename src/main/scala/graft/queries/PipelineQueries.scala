@@ -47,6 +47,9 @@ object PipelineQueries {
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(documents(s, d), "doc_id", "text")
 
+  def dedupKeep(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupKeepRows(documents(s, d), "doc_id", "text")
+
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 5)
 
@@ -88,6 +91,7 @@ object PipelineQueries {
     "q_fingerprint"    -> (fingerprints _),
     "q_tfidf"          -> (tfidf _),
     "q_dedup_exact"    -> (dedupExact _),
+    "q_dedup_keep"     -> (dedupKeep _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
     "q_minhash_pairs"  -> (minhashPairs _),
     "q_simhash"        -> (simhashes _),
@@ -148,6 +152,10 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_keep" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents GROUP BY md5(lower(text)))""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
