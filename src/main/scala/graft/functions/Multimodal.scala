@@ -67,6 +67,35 @@ object Multimodal {
     out
   }
 
+  /** Frame sampling STUB ??? — stands in for video frame extraction:
+    * emits `n` evenly-spaced "frames" (byte slices) per video row, one
+    * output row per frame. The real plumbing demonstrated: a generator
+    * (posexplode) over per-row derived arrays, keyed output
+    * (media_id, frame_idx, frame blob) — swap the slicer for a codec and
+    * the plan is unchanged. */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val len = octet_length(col("blob"))
+    val span = greatest(len / n, lit(1))
+    media.where(col("media_type") === "video")
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => substring(col("blob"), (i * span + 1).cast("int"), span.cast("int"))))
+          .as(Seq("frame_idx", "frame")))
+      .where(octet_length(col("frame")) > 0)
+  }
+
+  /** Resize-metadata STUB: recompute target dimensions preserving aspect
+    * ratio — the expression-only half of a resize (the pixel work lives
+    * behind the decode boundary). */
+  def resizeMeta(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val scale = least(lit(maxSide) / greatest(w, h).cast("double"), lit(1.0))
+    media.select(col("media_id"), w.as("width"), h.as("height"),
+      round(w * scale).cast("int").as("out_width"),
+      round(h * scale).cast("int").as("out_height"))
+  }
+
   /** Batch feature extraction over the binary column. Output schema:
     * (media_id, media_type, features array<float>). */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {

@@ -44,6 +44,14 @@ object PipelineQueries {
   def tfidf(s: SparkSession, d: String): DataFrame =
     TA.tfidf(documents(s, d), "doc_id", "text")
 
+  /** Generator/UDTF-analog coverage: positional token explode — one
+    * output row per (doc, position, token). */
+  def explodeTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token")))
+
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(documents(s, d), "doc_id", "text")
 
@@ -90,6 +98,7 @@ object PipelineQueries {
     "q_lang_id"        -> (langId _),
     "q_fingerprint"    -> (fingerprints _),
     "q_tfidf"          -> (tfidf _),
+    "q_explode"        -> (explodeTokens _),
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_keep"     -> (dedupKeep _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
@@ -138,6 +147,11 @@ object PipelineQueries {
       s"""SELECT doc_id, md5(lower(text)) AS fp,
          |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')) AS bag_fp
          |FROM documents""".stripMargin,
+    "q_explode" ->
+      s"""SELECT doc_id,
+         |  generate_subscripts($TOKS, 1) - 1 AS pos,
+         |  unnest($TOKS) AS token
+         |FROM documents WHERE doc_id < 50""".stripMargin,
     "q_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),

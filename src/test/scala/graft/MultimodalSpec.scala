@@ -20,6 +20,22 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getInt(0) >= 1 && meta.getInt(0) <= 1920)
   }
 
+  test("sampleFrames: n byte-slice frames per video row; resizeMeta keeps aspect") {
+    val media = Multimodal.synthesizeMedia(
+      Tables.documents(spark, sf0001), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, 4)
+    val perDoc = frames.groupBy("media_id").count()
+    assert(perDoc.where(col("count") =!= 4).count() == 0)
+    assert(frames.schema("frame").dataType.typeName == "binary")
+    val resized = Multimodal.resizeMeta(media, 256)
+    val bad = resized.where(
+      greatest(col("out_width"), col("out_height")) > 256 ||
+        col("out_width") < 1 || col("out_height") < 1 ||
+        (col("width") <= 256 && col("height") <= 256 &&
+          (col("out_width") =!= col("width") || col("out_height") =!= col("height"))))
+    assert(bad.count() == 0)
+  }
+
   test("extractFeatures: fixed-size float vectors, deterministic") {
     val media = Multimodal.synthesizeMedia(
       Tables.documents(spark, sf0001), "doc_id", "text")

@@ -172,6 +172,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L -> 100.0))
   }
 
+  test("streaming dedup: dropDuplicates with watermark across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val deduped = mem.toDF().toDF("ts", "event_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (ts("2024-01-01 10:00:30"), 1L, 99.0)) // in-batch duplicate
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 10:01:00"), 1L, 77.0), // cross-batch duplicate
+      (ts("2024-01-01 10:02:00"), 2L, 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("sdedup").orderBy("event_id").collect()
+    q.stop()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(rows(0).getDouble(2) == 1.0) // first occurrence won
+  }
+
   test("T2: foreachBatch lake sink appends parquet partitioned by symbol") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("lake").toString
