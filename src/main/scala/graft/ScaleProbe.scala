@@ -28,6 +28,10 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val r = f
       println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // pair operators cache shingles/signatures internally; release them
+      // so successive probes measure operator cost, not cache pressure
+      // (the replicated corpus frames are re-cached below as needed)
+      spark.catalog.clearCache()
       r
     }
 

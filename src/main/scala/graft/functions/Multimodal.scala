@@ -76,12 +76,14 @@ object Multimodal {
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val len = octet_length(col("blob"))
     val span = greatest(len / n, lit(1))
+    // exactly n frames per row — keyed completeness (media_id × frame_idx)
+    // is the contract; frames past a short blob's end are empty rather
+    // than silently missing
     media.where(col("media_type") === "video")
       .select(col("media_id"),
         posexplode(transform(sequence(lit(0), lit(n - 1)),
           i => substring(col("blob"), (i * span + 1).cast("int"), span.cast("int"))))
           .as(Seq("frame_idx", "frame")))
-      .where(octet_length(col("frame")) > 0)
   }
 
   /** Resize-metadata STUB: recompute target dimensions preserving aspect
@@ -91,9 +93,11 @@ object Multimodal {
     val w = col("meta.width")
     val h = col("meta.height")
     val scale = least(lit(maxSide) / greatest(w, h).cast("double"), lit(1.0))
+    // floor at 1: extreme aspect ratios (1919x1) would otherwise round
+    // a dimension to 0
     media.select(col("media_id"), w.as("width"), h.as("height"),
-      round(w * scale).cast("int").as("out_width"),
-      round(h * scale).cast("int").as("out_height"))
+      greatest(lit(1), round(w * scale).cast("int")).as("out_width"),
+      greatest(lit(1), round(h * scale).cast("int")).as("out_height"))
   }
 
   /** Batch feature extraction over the binary column. Output schema:

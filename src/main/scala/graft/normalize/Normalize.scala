@@ -53,8 +53,10 @@ object Normalize {
     val hm = regexp_extract(c, "(\\d{1,2}:\\d{2})", 1)
     val dmy = regexp_extract(c, "(\\d{2}/\\d{2}/\\d{4})", 1)
     // 'H' (not 'HH'): the feed writes single-digit hours ("9:05"), which
-    // 'HH' rejects — a DateTimeException under ANSI would kill the job
-    unix_timestamp(to_timestamp(concat(dmy, lit(" "), hm), "dd/MM/yyyy H:mm"))
+    // 'HH' rejects; try_to_timestamp so a line with no parseable
+    // date/time yields null instead of an ANSI DateTimeException
+    unix_timestamp(try_to_timestamp(concat(dmy, lit(" "), hm),
+      lit("dd/MM/yyyy H:mm")))
   }
 
   /** F6 `convertTime` (`util.py:24-25`): `dd/MM/yyyy` → epoch seconds. */
@@ -110,9 +112,11 @@ object Normalize {
     * the engine's standard). */
   def pythonReprToJson(c: Column): Column = {
     val quoted = regexp_replace(c, "'", "\"")
-    val none = regexp_replace(quoted, "\\bNone\\b", "null")
-    val tru = regexp_replace(none, "\\bTrue\\b", "true")
-    regexp_replace(tru, "\\bFalse\\b", "false")
+    // rewrite keywords only in VALUE position (unquoted, after ':' or in
+    // a list) so string payloads like "status": "None" survive verbatim
+    def kw(col0: Column, py: String, js: String): Column =
+      regexp_replace(col0, s"([:\\[,]\\s*)$py(\\s*[,}\\]])", s"$$1$js$$2")
+    kw(kw(kw(quoted, "None", "null"), "True", "true"), "False", "false")
   }
 
   /** Raw OLHC bar shape (`data/data_olhc` JSON files; FIXTURES.md A1). */

@@ -38,7 +38,13 @@ object AsOfJoin {
     // quotes.px is the natural shape); on output a value column whose
     // name already exists on the left surfaces as "<name>_asof"
     val tmp = valueCols.indices.map(i => s"_asof_v$i")
-    val outName = valueCols.map(c => if (left.columns.contains(c)) s"${c}_asof" else c)
+    // suffix until free so chained as-of joins (px -> px_asof -> px_asof_asof)
+    // never emit duplicate names
+    val outName = valueCols.map { c =>
+      var name = c
+      while (left.columns.contains(name)) name += "_asof"
+      name
+    }
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn(tag, lit(1))

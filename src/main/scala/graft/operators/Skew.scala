@@ -20,7 +20,8 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: Seq[String],
                  salt: Int, joinType: String = "inner"): DataFrame = {
     val normalized = joinType.toLowerCase.replace("_", "")
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+      "semi", "anti")(normalized),
       s"saltedJoin supports inner/left join types, got '$joinType' — " +
         "replicated small-side rows would duplicate outer results")
     val s = "_salt"

@@ -16,16 +16,19 @@ class BucketedJoinSpec extends SparkSpec {
     // every later suite; clear, build fresh, restore in finally
     val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
     val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .config("spark.ui.enabled", "false")
-      .appName("bucketed")
-      .getOrCreate()
+    var s: org.apache.spark.sql.SparkSession = null
     try {
+      // clear/build INSIDE the try: a builder failure must still restore
+      // the shared default session in finally
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.ui.enabled", "false")
+        .appName("bucketed")
+        .getOrCreate()
       Tables.orders(s, sf0001)
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("orders_b")
@@ -51,8 +54,10 @@ class BucketedJoinSpec extends SparkSpec {
       val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(got == expect)
     } finally {
-      s.sql("DROP TABLE IF EXISTS orders_b")
-      s.sql("DROP TABLE IF EXISTS lineitem_b")
+      if (s != null) {
+        s.sql("DROP TABLE IF EXISTS orders_b")
+        s.sql("DROP TABLE IF EXISTS lineitem_b")
+      }
       org.apache.spark.sql.SparkSession.clearDefaultSession()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)

@@ -85,17 +85,25 @@ class NormalizeSpec extends SparkSpec {
   }
 
   test("python-repr message decode (F15): repr dict -> from_json") {
-    val repr = "{'symbol': 'FPT', 'close': 80.7, 'volume': '750,800', 'ref': None}"
+    val repr = "{'symbol': 'FPT', 'close': 80.7, 'volume': '750,800', " +
+      "'ref': None, 'status': 'None'}"
     val df = Seq(repr).toDF("value")
       .select(from_json(Normalize.pythonReprToJson($"value"),
         org.apache.spark.sql.types.StructType.fromDDL(
-          "symbol STRING, close DOUBLE, volume STRING, ref STRING")).as("m"))
+          "symbol STRING, close DOUBLE, volume STRING, ref STRING, status STRING")).as("m"))
       .select($"m.*")
     val r = df.head()
     assert(r.getString(0) == "FPT")
     assert(r.getDouble(1) == 80.7)
     assert(r.getString(2) == "750,800")
-    assert(r.isNullAt(3))
+    assert(r.isNullAt(3))                      // bare None -> JSON null
+    assert(r.getString(4) == "None")           // quoted 'None' preserved
+  }
+
+  test("tick time parse is null-total on malformed lines (F5 under ANSI)") {
+    val df = Seq("Cập nhật", "14:45 | no date here").toDF("t")
+      .select(Normalize.parseTickTimeEpoch($"t").as("e"))
+    assert(df.collect().forall(_.isNullAt(0)))
   }
 
   test("E1 end-to-end on reference FPT.json: normalize + indicators") {

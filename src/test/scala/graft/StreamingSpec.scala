@@ -68,17 +68,18 @@ class StreamingSpec extends SparkSpec {
   test("T3 via transformWithState matches flatMapGroupsWithState output") {
     val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
     val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .appName("tws")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
     try {
+      // clear/build INSIDE the try so finally restores even on failure
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .appName("tws")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
       val mem = MemoryStream[BarIn]
