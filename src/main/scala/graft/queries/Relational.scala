@@ -215,8 +215,36 @@ object Relational {
       var_samp(col("l_discount")).as("var_disc"),
       skewness(col("l_extendedprice")).as("skew_price"))
 
+  /** Full cube over two dimensions (all grouping-set combinations). */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d).cube("o_orderstatus", "o_orderpriority")
+      .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n"))
+
+  /** Conditional/filtered aggregation: per-flag aggregates restricted by
+    * independent predicates. */
+  def condAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag").agg(
+      sum(when(col("l_discount") > 0.05, col("l_extendedprice"))).as("rev_discounted"),
+      count(when(col("l_quantity") >= 30, 1)).as("n_bulk"),
+      avg(when(col("l_linestatus") === "F", col("l_quantity"))).as("avg_qty_f"))
+
+  /** Ordered string aggregation: sorted distinct statuses per flag. */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(concat_ws(",", array_sort(collect_set(col("l_linestatus")))).as("statuses"))
+
+  /** Fixed-width histogram binning + per-bin count. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select((floor(col("l_extendedprice") / 10000) * 10000).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_distinct_agg"  -> (distinctAgg _),
+    "q_cube"          -> (cubeAgg _),
+    "q_cond_agg"      -> (condAgg _),
+    "q_string_agg"    -> (stringAgg _),
+    "q_histogram"     -> (histogram _),
     "q_percentiles"   -> (percentiles _),
     "q_pivot"         -> (pivotCounts _),
     "q_stats_agg"     -> (statsAgg _),
@@ -241,6 +269,24 @@ object Relational {
     "q_join_anti"     -> (joinAnti _))
 
   val oracle: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  sum(o_totalprice) AS total, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice) FILTER (l_discount > 0.05) AS rev_discounted,
+        |  count(*) FILTER (l_quantity >= 30) AS n_bulk,
+        |  avg(l_quantity) FILTER (l_linestatus = 'F') AS avg_qty_f
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_string_agg" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) * 10000 AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
