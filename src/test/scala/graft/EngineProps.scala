@@ -80,6 +80,26 @@ object EngineProps extends Properties("engine") {
       math.abs(s - (xs.last - xs.head)) < 1e-6 * math.max(1.0, math.abs(xs.last))
     }
 
+  property("asofJoin preserves left cardinality and never time-travels") =
+    forAll(Gen.chooseNum(1, 30), Gen.chooseNum(1, 30)) { (nl, nr) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", StringType),
+        StructField("t", LongType), StructField("v", DoubleType)))
+      def mk(n: Int, off: Int) = spark.createDataFrame(
+        (0 until n).map(i => Row(if (i % 2 == 0) "A" else "B",
+          (i * 7 + off).toLong, i.toDouble)).asJava, schema)
+      val left = mk(nl, 3)
+      val right = mk(nr, 0).withColumnRenamed("t", "rt").withColumnRenamed("v", "rv")
+      val out = graft.operators.AsOfJoin.asofJoin(
+        left, right, Seq("k"), "t", "rt", Seq("rt", "rv"))
+      val rows = out.collect()
+      rows.length == nl && rows.forall { r =>
+        r.isNullAt(r.fieldIndex("rt")) ||
+          r.getLong(r.fieldIndex("rt")) <= r.getLong(r.fieldIndex("t"))
+      }
+    }
+
   property("dropDuplicates is idempotent") = forAll(seriesGen) { xs =>
     val df = seriesDf(xs ++ xs) // force duplicates
     val once = df.dropDuplicates()
