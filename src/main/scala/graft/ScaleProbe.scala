@@ -24,14 +24,16 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def time[T](name: String)(f: => T): T = {
+    // probe protocol: clear ALL caches (the pair operators cache
+    // shingle/signature intermediates internally), re-materialize the
+    // input corpus cache via `prep`, THEN time the operator — so each
+    // number is operator cost with a warm input and cold operator state
+    def probe[T](name: String)(prep: => Unit)(f: => T): T = {
+      spark.catalog.clearCache()
+      prep
       val t0 = System.nanoTime()
       val r = f
       println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      // pair operators cache shingles/signatures internally; release them
-      // so successive probes measure operator cost, not cache pressure
-      // (the replicated corpus frames are re-cached below as needed)
-      spark.catalog.clearCache()
       r
     }
 
@@ -50,34 +52,38 @@ object ScaleProbe {
     val nBig = big.count()
     println(s"[scale] corpus: $nBase -> $nBig docs")
 
-    time(s"minhash_pairs @${nBase}")(
+    def warmBig(): Unit = { big.cache(); big.count() }
+
+    probe(s"minhash_pairs @${nBase}")(())(
       Dedup.minhashPairs(base.select("doc_id", "text"), "doc_id", "text").count())
-    time(s"minhash_pairs @${nBig}")(
+    probe(s"minhash_pairs @${nBig}")(warmBig())(
       Dedup.minhashPairs(big, "doc_id", "text").count())
-    time(s"jaccard_pairs @${nBase}")(
+    probe(s"jaccard_pairs @${nBase}")(())(
       Dedup.jaccardPairs(base.select("doc_id", "text"), "doc_id", "text", 5).count())
-    time(s"jaccard_pairs @${nBig}")(
+    probe(s"jaccard_pairs @${nBig}")(warmBig())(
       Dedup.jaccardPairs(big, "doc_id", "text", 5).count())
-    time(s"simhash @${nBig}")(
+    probe(s"simhash @${nBig}")(warmBig())(
       Dedup.simhash(big, "doc_id", "text").count())
 
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val bigEmb = emb.crossJoin(spark.range(factor).toDF("copy"))
       .select((col("vec_id") * factor + col("copy")).as("vec_id"), col("embedding"))
-      .cache()
+    def warmEmb(): Unit = { bigEmb.cache(); bigEmb.count() }
+    warmEmb()
     println(s"[scale] embeddings: ${bigEmb.count()} vectors")
-    time("brute_topk @40k")(
+    probe("brute_topk @40k")(warmEmb())(
       Similarity.bruteForceTopK(bigEmb, "vec_id", "embedding", 0L, 10).count())
-    time("lsh_topk @40k")(
+    probe("lsh_topk @40k")(warmEmb())(
       Similarity.lshTopK(bigEmb, "vec_id", "embedding", 0L, 10).count())
 
     // exact EWM over one 200k-row key — far beyond the closed-form
-    // double-range limit; must stream in O(1) state
+    // double-range limit; must stream in O(1) state. The action is
+    // INSIDE the timer (perRow alone only builds a plan)
     val series = spark.range(200000).select(
       lit("K").as("sym"), col("id").as("t"),
       (sin(col("id") / 100.0) * 50 + 100).as("close"))
-    val ema = time("ewma_perRow @200k single key")(
-      Ewma.perRow(series, "close", 25, Seq("sym"), Seq("t")))
+    val ema = Ewma.perRow(series, "close", 25, Seq("sym"), Seq("t"))
+    probe("ewma_perRow @200k single key")(())(ema.count())
     val last = ema.orderBy(col("t").desc).select("ema_exact").head().getDouble(0)
     println(s"[scale] ewma final=$last (finite=${!last.isNaN && !last.isInfinite})")
     spark.stop()

@@ -47,7 +47,13 @@ object Dedup {
   /** Exact n-gram Jaccard for every pair sharing ≥1 shingle. The join is
     * keyed on the shingle string (skew-safe for natural text; a hot
     * boilerplate shingle can be salted upstream), so only co-shingled
-    * pairs are ever formed — never the full cross product. */
+    * pairs are ever formed — never the full cross product.
+    *
+    * Cache ownership: this operator (and [[minhashPairs]]) caches its
+    * shingle/signature intermediates for the multiple self-join scans;
+    * the cache lives until the session drops it. Long-lived sessions
+    * batching many corpora should `spark.catalog.clearCache()` between
+    * runs (graft.Verify does). */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val sh = shingles(df, id, text, n).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -87,6 +93,10 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: String, text: String,
                    shingleN: Int = 5, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"minhashPairs needs bands in [1,k] dividing k (k=$k, bands=$bands): " +
+        "bands>k would hash zero signature rows per band — every doc " +
+        "collides and the candidate join degenerates to n^2")
     val rows = k / bands
     val sigs = minhashSignatures(shinglesRaw(df, id, text, shingleN), k).cache()
     val banded = sigs.select(col("doc_id"), posexplode(

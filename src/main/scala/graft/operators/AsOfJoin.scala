@@ -37,7 +37,7 @@ object AsOfJoin {
     // value columns ride under collision-proof temp names (trades.px vs
     // quotes.px is the natural shape); on output a value column whose
     // name already exists on the left surfaces as "<name>_asof"
-    val tmp = valueCols.indices.map(i => s"_asof_v$i")
+    val v = "_asof_vals"
     // suffix until free so chained as-of joins (px -> px_asof -> px_asof_asof)
     // never emit duplicate names
     val outName = valueCols.map { c =>
@@ -45,30 +45,34 @@ object AsOfJoin {
       while (left.columns.contains(name)) name += "_asof"
       name
     }
+    // all value columns travel as ONE struct: last(ignoreNulls) then
+    // selects the most recent right ROW atomically — a null FIELD on that
+    // row stays null (matching ASOF semantics) instead of being skipped
+    // in favor of an older row's value, and fields can never mix rows
+    val valStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn(t, col(leftTime))
       .withColumn(tag, lit(1))
-      .select(key.map(col) ++ Seq(col(t), col(tag)) ++ leftCols.map(col) ++
-        valueCols.zip(tmp).map { case (c, a) =>
-          lit(null).cast(right.schema(c).dataType).as(a)
-        }: _*)
+      .select(key.map(col) ++ Seq(col(t), col(tag)) ++ leftCols.map(col) :+
+        lit(null).cast(valStructType).as(v): _*)
     val r = right
       .withColumn(t, col(rightTime))
       .withColumn(tag, lit(0))
       .select(key.map(col) ++ Seq(col(t), col(tag)) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.zip(tmp).map { case (c, a) => col(c).as(a) }: _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as(v): _*)
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col(t).asc, col(tag).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(
-        (key.map(col) ++ Seq(col(t), col(tag)) ++ leftCols.map(col) ++
-          tmp.map(a => last(col(a), ignoreNulls = true).over(w).as(a))): _*)
+        (key.map(col) ++ Seq(col(t), col(tag)) ++ leftCols.map(col) :+
+          last(col(v), ignoreNulls = true).over(w).as(v)): _*)
     // leftTime rides along inside leftCols; drop the helper columns and
     // restore the original left column order
     carried.where(col(tag) === 1)
       .select(left.columns.map(col) ++
-        tmp.zip(outName).map { case (a, o) => col(a).as(o) }: _*)
+        valueCols.zip(outName).map { case (c, o) => col(s"$v.$c").as(o) }: _*)
   }
 }

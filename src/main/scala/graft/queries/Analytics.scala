@@ -35,14 +35,20 @@ object Analytics {
       .select(col("DTYYYYMMDD"), col(kind))
       .where(col("DTYYYYMMDD") > lit(start) && col("DTYYYYMMDD") < lit(end))
 
-  /** SQL twin of [[barsBetween]] via a temp view. */
+  /** SQL twin of [[barsBetween]] via a temp view. Values bind through
+    * named parameter markers (never string interpolation — a
+    * quote-bearing ticker must filter, not parse or inject); the metric
+    * column name, which cannot be a parameter, is validated against the
+    * frame's schema. */
   def barsBetweenSql(spark: SparkSession, df: DataFrame, start: String,
                      end: String, kind: String, ticker: String): DataFrame = {
+    require(df.columns.contains(kind), s"unknown metric column '$kind'")
     df.createOrReplaceTempView("bars")
     spark.sql(
       s"""SELECT DTYYYYMMDD, `$kind` FROM bars
-         |WHERE Ticker = '$ticker' AND DTYYYYMMDD > '$start' AND DTYYYYMMDD < '$end'
-         |""".stripMargin)
+         |WHERE Ticker = :ticker AND DTYYYYMMDD > :start AND DTYYYYMMDD < :end
+         |""".stripMargin,
+      Map("ticker" -> ticker, "start" -> start, "end" -> end))
   }
 
   /** describe() (`Query.ipynb` cells 5-6, 16-20). */

@@ -171,7 +171,7 @@ object PipelineQueries {
         |WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents GROUP BY md5(lower(text)))""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM pos),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -302,11 +302,13 @@ object Relational {
         |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
         |FROM events GROUP BY user_id""".stripMargin,
     "q_stats_agg" ->
-      """SELECT corr(l_quantity, l_extendedprice) AS corr_qty_price,
+      """WITH m AS (SELECT avg(l_extendedprice) AS mu FROM lineitem)
+        |SELECT corr(l_quantity, l_extendedprice) AS corr_qty_price,
         |  covar_samp(l_quantity, l_extendedprice) AS covar_qp,
         |  var_samp(l_discount) AS var_disc,
-        |  skewness(l_extendedprice) AS skew_price
-        |FROM lineitem""".stripMargin,
+        |  avg(pow(l_extendedprice - mu, 3))
+        |    / pow(avg(pow(l_extendedprice - mu, 2)), 1.5) AS skew_price
+        |FROM lineitem, m""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty, count(*) AS n

@@ -32,6 +32,19 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(5L).contains(50.0))
   }
 
+  test("asofJoin: null value on the most recent right row stays null (ASOF semantics)") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(100.0), Some(5.0)),
+      ("A", ts("2024-01-01 10:02:00"), None, Some(7.0)) // latest: px null, sz 7
+    ).toDF("sym", "qt", "px", "sz")
+    val trades = Seq(("A", ts("2024-01-01 10:03:00"), 1L)).toDF("sym", "tt", "id")
+    val r = graft.operators.AsOfJoin
+      .asofJoin(trades, quotes, Seq("sym"), "tt", "qt", Seq("px", "sz")).head()
+    // the 10:02 row is chosen atomically: px null (NOT 100.0 from 10:00), sz 7
+    assert(r.isNullAt(3), s"expected null px from latest row, got ${r.get(3)}")
+    assert(r.getDouble(4) == 7.0)
+  }
+
   test("asofJoin handles a value column name shared with the left side") {
     val trades = Seq(("A", ts("2024-01-01 10:01:00"), 99.9))
       .toDF("sym", "tt", "px") // left carries its own px
