@@ -82,6 +82,32 @@ object Indicators {
       when(avgGain + avgLoss > 0.0, lit(100.0) * (avgGain / (avgGain + avgLoss))))
   }
 
+  /** Bollinger bands: trailing mean ± k·sample-stddev over an
+    * `n+1`-row frame — same single-shuffle window family as RSI. */
+  def withBollinger(df: DataFrame, value: String, n: Int, k: Double,
+                    key: Seq[String], ord: Seq[Column]): DataFrame = {
+    val frame = w(key, ord).rowsBetween(-n, Window.currentRow)
+    val mid = avg(col(value)).over(frame)
+    val sd = stddev_samp(col(value)).over(frame)
+    df.withColumn("bb_mid", mid)
+      .withColumn("bb_upper", mid + lit(k) * sd)
+      .withColumn("bb_lower", mid - lit(k) * sd)
+  }
+
+  /** MACD: EMA(fast) − EMA(slow), signal = EMA(signalN) of the MACD
+    * line, histogram = macd − signal. Three closed-form EMAs composed —
+    * still one hash shuffle on the key (all windows share partitioning).
+    */
+  def withMacd(df: DataFrame, value: String, key: Seq[String], ord: Seq[Column],
+               fast: Int = 12, slow: Int = 26, signalN: Int = 9): DataFrame = {
+    val f = withEmaClosedForm(df, value, fast, key, ord, as = "_macd_f")
+    val s = withEmaClosedForm(f, value, slow, key, ord, as = "_macd_s")
+    val m = s.withColumn("macd", col("_macd_f") - col("_macd_s"))
+      .drop("_macd_f", "_macd_s")
+    withEmaClosedForm(m, "macd", signalN, key, ord, as = "macd_signal")
+      .withColumn("macd_hist", col("macd") - col("macd_signal"))
+  }
+
   /** Recursive EMA via the exact closed form, as pure window expressions.
     *
     * With r = 1-α, rn the 1-based row number per key and

@@ -94,7 +94,28 @@ object WindowQueries {
       .withColumn("rnk", rank().over(byValue))
   }
 
+  /** VWAP shape: quantity-weighted mean price per group. */
+  def vwap(s: SparkSession, d: String): DataFrame =
+    graft.Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg((sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")))
+        .as("vwap"))
+
+  /** Bollinger bands n=19 frame (20 rows), k=2. */
+  def bollinger(s: SparkSession, d: String): DataFrame =
+    Indicators.withBollinger(
+      events(s, d).select("user_id", "ts", "event_id", "value"),
+      "value", 19, 2.0, KEY, ORD)
+
+  /** MACD(12,26,9) via composed closed-form EMAs. */
+  def macd(s: SparkSession, d: String): DataFrame =
+    Indicators.withMacd(
+      events(s, d).select("user_id", "ts", "event_id", "value"),
+      "value", KEY, ORD)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vwap"            -> (vwap _),
+    "q_bollinger"       -> (bollinger _),
+    "q_macd"            -> (macd _),
     "q_window_range"    -> (windowRange _),
     "q_window_rank"     -> (windowRank _),
     "q_asof"            -> (asof _),
@@ -108,6 +129,43 @@ object WindowQueries {
   private val OVER = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "q_vwap" ->
+      """SELECT l_returnflag,
+        |  sum(l_extendedprice * l_quantity) / sum(l_quantity) AS vwap
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_bollinger" ->
+      s"""SELECT user_id, ts, event_id, value,
+         |  avg(value) $OVER ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS bb_mid,
+         |  avg(value) $OVER ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |    + 2.0 * stddev_samp(value) $OVER ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS bb_upper,
+         |  avg(value) $OVER ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |    - 2.0 * stddev_samp(value) $OVER ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS bb_lower
+         |FROM events""".stripMargin,
+    "q_macd" ->
+      s"""WITH rn AS (
+         |  SELECT user_id, ts, event_id, value, row_number() $OVER) AS r
+         |  FROM events
+         |), acc AS (
+         |  SELECT user_id, ts, event_id, value, r,
+         |    sum(value * pow(1.0 - 2.0/13.0, -r)) $OVER ROWS UNBOUNDED PRECEDING) AS sf,
+         |    sum(value * pow(1.0 - 2.0/27.0, -r)) $OVER ROWS UNBOUNDED PRECEDING) AS ss,
+         |    first_value(value) $OVER ROWS UNBOUNDED PRECEDING) AS x1
+         |  FROM rn
+         |), m AS (
+         |  SELECT user_id, ts, event_id, value, r,
+         |    pow(1.0 - 2.0/13.0, r) * ((2.0/13.0) * sf + x1)
+         |      - pow(1.0 - 2.0/27.0, r) * ((2.0/27.0) * ss + x1) AS macd
+         |  FROM acc
+         |), acc2 AS (
+         |  SELECT user_id, ts, event_id, value, r, macd,
+         |    sum(macd * pow(1.0 - 2.0/10.0, -r)) $OVER ROWS UNBOUNDED PRECEDING) AS s2,
+         |    first_value(macd) $OVER ROWS UNBOUNDED PRECEDING) AS m1
+         |  FROM m
+         |)
+         |SELECT user_id, ts, event_id, value, macd,
+         |  pow(1.0 - 2.0/10.0, r) * ((2.0/10.0) * s2 + m1) AS macd_signal,
+         |  macd - pow(1.0 - 2.0/10.0, r) * ((2.0/10.0) * s2 + m1) AS macd_hist
+         |FROM acc2""".stripMargin,
     "q_window_range" ->
       """SELECT event_id, user_id, ts, value,
         |  avg(value) OVER (PARTITION BY user_id ORDER BY ts

@@ -88,6 +88,32 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(got("B") - 5.0) < 1e-12)
   }
 
+  test("Bollinger bands bracket the mid; flat series collapses the band") {
+    val df = Indicators.withBollinger(series(1, 2, 3, 4, 5, 6), "close", 3, 2.0, key, ord)
+    val bad = df.where(col("bb_upper") < col("bb_mid") || col("bb_lower") > col("bb_mid"))
+    assert(bad.count() == 0)
+    val flat = Indicators.withBollinger(series(5, 5, 5, 5), "close", 3, 2.0, key, ord)
+      .orderBy(desc("t")).select("bb_upper", "bb_lower").head()
+    assert(flat.getDouble(0) == 5.0 && flat.getDouble(1) == 5.0)
+  }
+
+  test("MACD matches directly-computed EMA difference and signal recurrence") {
+    val xs = (1 to 50).map(i => 100.0 + 10 * math.sin(i / 5.0))
+    val df = Indicators.withMacd(series(xs: _*), "close", key, ord)
+      .orderBy("t").select("macd", "macd_signal", "macd_hist").collect()
+    def emaSeq(n: Int, in: Seq[Double]) = {
+      val a = 2.0 / (n + 1)
+      in.tail.scanLeft(in.head)((e, x) => a * x + (1 - a) * e)
+    }
+    val expectMacd = emaSeq(12, xs).zip(emaSeq(26, xs)).map { case (f, s) => f - s }
+    val expectSig = emaSeq(9, expectMacd)
+    df.zip(expectMacd.zip(expectSig)).foreach { case (row, (m, sg)) =>
+      assert(math.abs(row.getDouble(0) - m) < 1e-8)
+      assert(math.abs(row.getDouble(1) - sg) < 1e-8)
+      assert(math.abs(row.getDouble(2) - (m - sg)) < 1e-8)
+    }
+  }
+
   test("RSI bounded in [0,100] and null-prefixed (property over fixture)") {
     val ev = Tables.events(spark, sf0001).select("user_id", "event_id", "value")
     val rsi = Indicators.withRsi(ev, "value", 14, Seq("user_id"), Seq(col("event_id")))
