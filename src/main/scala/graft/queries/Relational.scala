@@ -220,6 +220,18 @@ object Relational {
     orders(s, d).cube("o_orderstatus", "o_orderpriority")
       .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n"))
 
+  /** Explicit grouping sets with grouping() markers distinguishing
+    * subtotal rows from genuine nulls. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+  }
+
   /** Conditional/filtered aggregation: per-flag aggregates restricted by
     * independent predicates. */
   def condAgg(s: SparkSession, d: String): DataFrame =
@@ -242,6 +254,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_distinct_agg"  -> (distinctAgg _),
     "q_cube"          -> (cubeAgg _),
+    "q_grouping_sets" -> (groupingSets _),
     "q_cond_agg"      -> (condAgg _),
     "q_string_agg"    -> (stringAgg _),
     "q_histogram"     -> (histogram _),
@@ -273,6 +286,13 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority,
         |  sum(o_totalprice) AS total, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
     "q_cond_agg" ->
       """SELECT l_returnflag,
         |  sum(l_extendedprice) FILTER (l_discount > 0.05) AS rev_discounted,
