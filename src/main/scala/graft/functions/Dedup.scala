@@ -19,25 +19,48 @@ object Dedup {
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Corpus dedup keeping full rows: for each distinct content, the row
-    * with the smallest id survives. One window over the content hash —
-    * the operation a training-data pipeline actually runs. */
+    * with the smallest id survives (`id` must be a row key — unique).
+    * Scale shape: `groupBy(fp).agg(min(id))` + semi-join, so only
+    * (fp, id) pairs ever shuffle — a window over the content hash would
+    * instead sort FULL document rows through the exchange, which is the
+    * difference between shuffling ~50 B/row and ~1 MB/row at corpus
+    * scale. Map-side partial aggregation collapses dup groups early. */
   def dedupKeepRows(df: DataFrame, id: String, text: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(lower(col(text)))).orderBy(col(id).asc)
-    df.withColumn("_ddk_rn", row_number().over(w))
-      .where(col("_ddk_rn") === 1)
-      .drop("_ddk_rn")
+    val fp = md5(lower(col(text)))
+    val keep = df.select(fp.as("_ddk_fp"), col(id).as("_ddk_id"))
+      .groupBy("_ddk_fp").agg(min("_ddk_id").as("_ddk_id"))
+    df.join(keep,
+      fp === col("_ddk_fp") && col(id) === col("_ddk_id"), "left_semi")
+  }
+
+  /** Unlock parallelism for tiny single-file inputs: hash-repartition on
+    * `key` when the scan yields fewer partitions than the session's
+    * parallelism. The shuffle moves raw doc rows (pre-explode, the
+    * cheapest point in the pipeline) and its hashpartitioning(key)
+    * satisfies the downstream `groupBy(key)` requirement, so no second
+    * exchange appears. At corpus scale the file splits already saturate
+    * the cluster and this is skipped — a 1-file local fixture otherwise
+    * runs the whole shingle→hash→partial-agg stage on ONE thread. */
+  private def ensureParallel(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
   }
 
   /** (doc, shingle) pairs (NOT deduplicated): `n`-token shingles from a
     * whitespace tokenization. Explode is linear in corpus token count. */
   def shinglesRaw(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val toks = split(col(text), "\\s+")
-    df.where(size(toks) >= n)
-      .select(col(id).as("doc_id"),
-        explode(sequence(lit(0), size(toks) - n)).as("i"),
-        toks.as("toks"))
-      .select(col("doc_id"), concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
+    // The token array MUST be an attribute before the explode: slicing
+    // `split(text)` directly in the post-Generate projection re-runs the
+    // regex split of the whole document once PER SHINGLE row (O(tokens²)
+    // per doc — measured as the dominant cost of the minhash pipeline).
+    // With `toks` materialized below the Generate, the split runs once
+    // per doc and the per-shingle work is an array slice.
+    df.select(col(id).as("doc_id"), split(col(text), "\\s+").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
   }
 
   /** Distinct (doc, shingle) pairs — set semantics for Jaccard. */
@@ -55,7 +78,7 @@ object Dedup {
     * batching many corpora should `spark.catalog.clearCache()` between
     * runs (graft.Verify does). */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val sh = shingles(df, id, text, n).cache()
+    val sh = shingles(ensureParallel(df, id), id, text, n).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -69,17 +92,51 @@ object Dedup {
         (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
   }
 
-  /** MinHash signatures: the shingle string is hashed ONCE (xxhash64);
-    * the `k` independent functions are cheap 64-bit re-hashes of that
-    * value — 1 string hash + k fixed-width hashes per shingle instead of
-    * k string hashes. Duplicate shingles need no pre-distinct: min over
-    * the multiset equals min over the set, saving a full shuffle. One
-    * shuffle total (groupBy doc with partial aggregation). */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val base = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h0"))
-    val mins = (0 until k).map(i => min(xxhash64(col("h0"), lit(i))).as(s"h$i"))
-    base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  /** Mersenne prime 2³¹−1: universal-hash modulus. Base hashes are
+    * reduced mod P before the (a·h+b) mod P re-hash so every intermediate
+    * stays < 2⁶² — exact in signed 64-bit arithmetic in BOTH engines
+    * (Spark and the DuckDB oracle), which is what makes MinHash
+    * signatures bit-for-bit verifiable across engines. */
+  val P: Long = 2147483647L
+
+  /** Deterministic universal-hash coefficients (aᵢ ∈ [1,P), bᵢ ∈ [0,P))
+    * from a fixed-seed PRNG — driver-computed literals, identical in the
+    * engine plan and the generated oracle SQL. */
+  def universalCoeffs(k: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    def draw(lo: Long): Long = lo + (math.abs(rnd.nextLong()) % (P - lo))
+    val as = Array.fill(k)(draw(1L))
+    val bs = Array.fill(k)(draw(0L))
+    (as, bs)
+  }
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative long. md5 (not
+    * xxhash64) because the oracle engine computes the identical value:
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`. 15 chars keeps the
+    * value < 2⁶⁰, safely inside signed-int64 for downstream arithmetic.
+    * Computed by the native [[Md5Long60]] expression (bit-identical to
+    * the `conv(substring(md5(c),1,15),16,10)` composition, ~4× faster). */
+  def md5Hash60(c: Column): Column = Md5Long60(c)
+
+  /** MinHash signatures: the shingle string is hashed ONCE (md5 → 60-bit
+    * → mod P); the `k` independent functions are cheap universal re-hashes
+    * (aᵢ·h+bᵢ mod P) — 1 string hash + k fixed-width hashes per shingle
+    * instead of k string hashes. Duplicate shingles need no pre-distinct:
+    * min over the multiset equals min over the set, saving a full
+    * shuffle. One shuffle total, with the whole k-wide signature packed
+    * into a single [[ElementwiseLongAgg]] array buffer (map-side partial
+    * aggregation; one 8k-byte buffer per doc instead of k shuffle
+    * columns). */
+  def minhashSignatures(sh: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val (as, bs) = universalCoeffs(k, seed)
+    // The whole row-hash step is ONE fused native expression
+    // ([[MinhashHashes]]): md5 → 60-bit long → k universal re-hashes in a
+    // primitive loop. (A transform() lambda here drops to interpreted
+    // eval — measured 16× slower; a CreateArray of k subexpressions
+    // costs hundreds of ms of Janino compile per plan.)
+    sh.select(col("doc_id"), MinhashHashes(col("shingle"), as, bs, P).as("hv"))
+      .groupBy("doc_id")
+      .agg(ElementwiseAgg.elementwiseMin(col("hv"), k).as("sig"))
   }
 
   /** MinHash+LSH near-dup candidates: signatures banded into `bands`
@@ -98,16 +155,35 @@ object Dedup {
         "bands>k would hash zero signature rows per band — every doc " +
         "collides and the candidate join degenerates to n^2")
     val rows = k / bands
-    val sigs = minhashSignatures(shinglesRaw(df, id, text, shingleN), k).cache()
+    val sigs = minhashSignatures(
+      shinglesRaw(ensureParallel(df, id), id, text, shingleN), k).cache()
+    // Materialize BEFORE the self-join: a lazy cache is only populated by
+    // the first action, so both sides of the banded self-join would each
+    // recompute the full shingle→md5→signature pipeline (measured ~2×
+    // the pipeline cost). One eager pass fills the cache; every later
+    // scan (both join sides + the two est_jaccard joins) reads memory.
+    // At corpus scale this is the standard materialize-then-self-join
+    // shape (signatures are ~0.5 KB/doc; MEMORY_AND_DISK spills safely).
+    sigs.count()
+    // band key = xxhash64 of the band's signature slice (engine-internal:
+    // only COLLISIONS matter, so the oracle can band on the raw slice
+    // values instead — the candidate sets agree)
     val banded = sigs.select(col("doc_id"), posexplode(
       array((0 until bands).map(b =>
-        xxhash64(lit(b), concat_ws(",", (0 until rows).map(r => col("sig")(b * rows + r)): _*))): _*))
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
       .as(Seq("band", "band_hash")))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidate pairs by bucket aggregation, not a self-join: ONE scan of
+    // the signatures and ONE shuffle (groupBy band key) instead of two
+    // scans + a shuffle join. Pair expansion is bucket-local (|bucket|²),
+    // exactly the collision set the join would produce; a pathological
+    // hot bucket (boilerplate corpus) has the same blowup either way and
+    // is the documented salting escape hatch (docs/SCALE.md).
+    val candidates = banded
+      .groupBy("band", "band_hash").agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
       .distinct()
     candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -118,22 +194,81 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over tokens: per bit, sum ±1 weighted by token hash
-    * bit; sign vector packed into a long. One groupBy per doc. */
+  /** SimHash bit width: 60 (not 64) so the packed value and every bit of
+    * the md5-derived token hash stay strictly below 2⁶⁰ — non-negative
+    * signed-int64 in both engines, making the hash oracle-checkable.
+    * Hamming-distance quality at 60 vs 64 bits is indistinguishable for
+    * near-dup detection. */
+  val SimhashBits: Int = 60
+
+  /** SimHash over tokens: per bit, sum ±1 votes from the token hash bit;
+    * sign vector packed into a long. One groupBy per doc, the whole
+    * 60-bit vote vector in a single [[ElementwiseLongAgg]] buffer. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val tok = df.select(col(id).as("doc_id"),
+    val bits = SimhashBits
+    val tok = ensureParallel(df, id).select(col(id).as("doc_id"),
       explode(split(lower(col(text)), "\\s+")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // fused native vote vector (see minhashSignatures for why not a
+    // transform() lambda or a CreateArray of `bits` subexpressions)
+    tok.select(col("doc_id"), SimhashVotes(col("t"), bits).as("v"))
+      .groupBy("doc_id")
+      .agg(ElementwiseAgg.elementwiseSum(col("v"), bits).as("s"))
       .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+        aggregate(
+          zip_with(col("s"), sequence(lit(0), lit(bits - 1)),
+            (sv, b) => when(sv > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+          lit(0L), _ bitwiseOR _).as("simhash"))
   }
 
-  /** Hamming distance between two packed 64-bit simhashes. */
+  /** Hamming distance between two packed simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- oracle twins ----------------------------------------------------
+  // DuckDB SQL replicating the hash pipelines bit-for-bit. Generated here
+  // (not hand-written in the registry) so the universal-hash coefficients
+  // and bit widths are SHARED literals — one source of truth for engine
+  // and oracle.
+
+  /** Oracle for [[minhashPairs]]: same shingles → same 60-bit md5 base
+    * hash → same (aᵢ·h+bᵢ) mod P signature → banding on the raw signature
+    * slice (the engine bands on xxhash64 of the slice; collision sets are
+    * identical modulo 2⁻⁶⁴ hash collisions) → same est_jaccard grid
+    * (multiples of 1/k, exact in binary). */
+  def minhashPairsOracleSql(shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.5, seed: Long = 42L): String = {
+    val rows = k / bands
+    val (as, bs) = universalCoeffs(k, seed)
+    val values = (0 until k).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range(len(t)-${shingleN - 1})) AS i FROM toks WHERE len(t) >= $shingleN),
+       |sh AS (SELECT doc_id, array_to_string(t[i+1:i+$shingleN], ' ') AS shingle FROM pos),
+       |h0 AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle),1,15)) AS BIGINT) % $P AS h FROM sh),
+       |c(i, a, b) AS (VALUES $values),
+       |sig AS (SELECT doc_id, i, min((a * h + b) % $P) AS m FROM h0 CROSS JOIN c GROUP BY 1, 2),
+       |bandsig AS (SELECT doc_id, i // $rows AS band, string_agg(m, ',' ORDER BY i) AS bs
+       |            FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bandsig a JOIN bandsig b
+       |           ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.doc_a, c.doc_b,
+       |          CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / $k AS est_jaccard
+       |        FROM cand c
+       |        JOIN sig sa ON sa.doc_id = c.doc_a
+       |        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       |        GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $threshold""".stripMargin
+  }
+
+  /** Oracle for [[simhash]]: same lowercase tokenization, same 60-bit md5
+    * token hash, same ±1 bit votes, same sign packing. */
+  def simhashOracleSql: String = {
+    val bits = SimhashBits
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
+       |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |          FROM h CROSS JOIN (SELECT unnest(range($bits)) AS b) bb GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id""".stripMargin
+  }
 }

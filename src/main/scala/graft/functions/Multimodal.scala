@@ -100,6 +100,43 @@ object Multimodal {
       greatest(lit(1), round(h * scale).cast("int")).as("out_height"))
   }
 
+  /** Integer twin of [[fakeDecodeFeatures]]: per-bucket byte sums with no
+    * float rounding — the verification projection. `sums(i) = Σ bytes[j]
+    * for j ≡ i (mod dim)` is exact int64 arithmetic an external oracle
+    * can recompute from the payload, where the float features (sequential
+    * f32 rounding) cannot be replicated bit-for-bit engine-to-engine. */
+  def byteSumFeatures(bytes: Array[Byte], dim: Int): Array[Long] = {
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dim) += (bytes(i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  /** [[extractFeatures]] with the integer-sum decode twin, exploded to
+    * one scalar row per (media, feature position) — comparator-friendly
+    * (no array-typed output column) and exactly oracle-checkable. Same
+    * mapPartitions batch plumbing as the float path. */
+  def extractFeatureSums(media: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("media_type", StringType),
+      StructField("feat_sums", ArrayType(LongType, containsNull = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(idIdx), r.getString(typeIdx),
+          byteSumFeatures(r.getAs[Array[Byte]](blobIdx), dim).toSeq)
+      }
+    }(RowEncoder.encoderFor(outSchema))
+      .select(col("media_id"), col("media_type"),
+        posexplode(col("feat_sums")).as(Seq("pos", "feat_sum")))
+  }
+
   /** Batch feature extraction over the binary column. Output schema:
     * (media_id, media_type, features array<float>). */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {

