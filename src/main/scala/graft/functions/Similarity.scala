@@ -181,4 +181,73 @@ object Similarity {
         cosine(col("a.v"), col("b.v")).as("cos_sim"))
       .where(col("cos_sim") >= minCos)
   }
+
+  // ---- oracle twins ----------------------------------------------------
+  // DuckDB SQL replicating the LSH pipelines BIT-FOR-BIT. Two things make
+  // float parity possible: the hyperplanes are driver-computed constants
+  // (rendered below with 18 significant digits — exact double
+  // round-trip), and every accumulation is written as an explicit
+  // left-associative `a+b+c` chain, which is the same IEEE operation
+  // order as the engine's sequential loops (CosineSim / DotProduct).
+  // IVF has NO oracle twin on purpose: k-means centroid sums go through
+  // Spark partial aggregation, whose merge order across shuffle
+  // partitions is not deterministic, so centroid bits are not
+  // reproducible by an external engine (nor run-to-run in the last ulp).
+
+  /** Exact double literal for DuckDB: e-notation parses as DOUBLE there
+    * (a bare decimal literal would be DECIMAL and change the math). */
+  private def dlit(d: Double): String = "%.17e".formatLocal(java.util.Locale.ROOT, d)
+
+  /** Σ col[i]·plane[i] as an explicit left-assoc chain (1-based SQL
+    * array indexing; elements cast float→double like the engine). */
+  private def dotPlaneSql(c: String, plane: Array[Double]): String =
+    plane.zipWithIndex.map { case (p, i) =>
+      s"CAST($c[${i + 1}] AS DOUBLE) * ${dlit(p)}"
+    }.mkString(" + ")
+
+  /** Sign-bit bucket id matching [[lshBucket]]. */
+  private def bucketSql(c: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (plane, p) =>
+      s"(CASE WHEN ${dotPlaneSql(c, plane)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** cos(a,b) matching [[VectorExpressions.CosineSim]]: independent ab /
+    * aa / bb chains (the fused loop's accumulators are independent), 0 on
+    * zero norm. */
+  private def cosineSql(a: String, b: String, dim: Int): String = {
+    def chain(f: Int => String) = (0 until dim).map(f).mkString(" + ")
+    val ab = chain(i => s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
+    val aa = chain(i => s"CAST($a[${i + 1}] AS DOUBLE) * CAST($a[${i + 1}] AS DOUBLE)")
+    val bb = chain(i => s"CAST($b[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
+    s"CASE WHEN ($aa) = 0 OR ($bb) = 0 THEN 0 ELSE ($ab) / (sqrt($aa) * sqrt($bb)) END"
+  }
+
+  /** Oracle for [[bucketPairs]]: same literal hyperplanes → same sign
+    * bits → same buckets → same candidate pairs → same cosine doubles. */
+  def bucketPairsOracleSql(nPlanes: Int = 8, dim: Int = 64,
+                           minCos: Double = 0.8): String = {
+    val planes = hyperplanes(nPlanes, dim)
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", planes)} AS bucket
+       |           FROM embeddings)
+       |SELECT id_a, id_b, cos_sim FROM (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |         ${cosineSql("a.embedding", "b2.embedding", dim)} AS cos_sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |WHERE cos_sim >= ${dlit(minCos)}""".stripMargin
+  }
+
+  /** Oracle for [[lshTopK]]: same buckets, Hamming ≤ 1 probe, exact
+    * cosine, same (cos desc, id asc) tie-break. */
+  def lshTopKOracleSql(queryId: Long, k: Int,
+                       nPlanes: Int = 8, dim: Int = 64): String = {
+    val planes = hyperplanes(nPlanes, dim)
+    s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", planes)} AS bucket
+       |           FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = $queryId)
+       |SELECT vec_id, cos_sim FROM (
+       |  SELECT b.vec_id, ${cosineSql("b.embedding", "q.qe", dim)} AS cos_sim
+       |  FROM b, q
+       |  WHERE b.vec_id <> $queryId AND bit_count(xor(b.bucket, q.qb)) <= 1)
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
 }

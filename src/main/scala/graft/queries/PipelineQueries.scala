@@ -78,15 +78,23 @@ object PipelineQueries {
   def simLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
 
-  /** IVF approximate top-k (rows-only: centroid init/iteration are
-    * engine-local; recall vs brute force covered in BucketedJoinSpec). */
+  /** IVF approximate top-k. Deliberately rows-only: k-means centroid
+    * sums go through partial aggregation whose floating-point merge
+    * order across shuffle partitions is nondeterministic, so centroid
+    * bits are not reproducible by an external engine. Semantics (probe
+    * recall vs brute force, planted clusters) are spec-verified in
+    * [[graft.SimilaritySpec]]. */
   def simIvf(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
 
-  /** Embedding-cosine near-dup pairs via LSH buckets (rows-only: bucket
-    * assignment depends on the engine-local hyperplane PRNG). */
+  /** Embedding-cosine near-dup pairs via LSH buckets — oracle-checked:
+    * the hyperplanes are driver-fixed literals shared with the generated
+    * DuckDB SQL ([[Similarity.bucketPairsOracleSql]]). */
   def simNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.bucketPairs(embeddings(s, d), "vec_id", "embedding", minCos = 0.9)
+    // threshold 0.3 (not the 0.8 operator default): the synthetic
+    // embeddings have no true near-dups (max same-bucket cosine ≈ 0.40),
+    // so a high threshold would make this a vacuous always-empty check
+    Similarity.bucketPairs(embeddings(s, d), "vec_id", "embedding", minCos = 0.3)
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaStats(
@@ -213,6 +221,8 @@ object PipelineQueries {
         |FROM documents""".stripMargin,
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
     "q_simhash" -> Dedup.simhashOracleSql,
+    "q_sim_neardup" -> Similarity.bucketPairsOracleSql(minCos = 0.3),
+    "q_sim_lsh" -> Similarity.lshTopKOracleSql(0L, 10),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for
