@@ -62,8 +62,14 @@ object AsOfJoin {
       .select(key.map(col) ++ Seq(col(t), col(tag)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(valueCols.map(col): _*).as(v): _*)
+    // the value struct itself is the final sort key: right rows sharing
+    // an exact (key, time) would otherwise carry whichever row happened
+    // to sort last (partitioning-dependent). Ordering by the orderable
+    // struct makes the carried row the struct-max — deterministic across
+    // runs and engines. Left rows all have a null struct there, so their
+    // relative order is unaffected.
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col(t).asc, col(tag).asc)
+      .orderBy(col(t).asc, col(tag).asc, col(v).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(

@@ -71,6 +71,15 @@ object Ewma {
   /** Final-EMA-per-key typed aggregator. Buffers (ord, value) pairs and
     * sorts at reduce boundaries, so it is correct under Spark's partial
     * aggregation (merge of unordered partials).
+    *
+    * MEMORY BOUND: the buffer is the key's ENTIRE (ord, value) series —
+    * O(16 bytes × rows-per-key) on one executor, ~160 MB at 10⁷
+    * rows/key. That is the price of order-correct merging inside an
+    * unordered aggregate; it does not spill. Use this form for
+    * many-keys/short-series shapes (daily bars per symbol); for giant
+    * single-key series use [[perRow]], whose state is O(1) per key and
+    * whose sort is Spark's own spillable partition sort — the numbers
+    * agree exactly ([[graft.IndicatorsSpec]] long-series property).
     */
   class EwmaAgg(alpha: Double)
       extends Aggregator[(Long, Double), List[(Long, Double)], Double] {

@@ -108,6 +108,14 @@ object Indicators {
       .withColumn("macd_hist", col("macd") - col("macd_signal"))
   }
 
+  /** Hard numeric ceiling of the closed form: `r^{-rn}` overflows double
+    * past `e^{709.78}`, i.e. rn > 709/(−ln r). 0.98 safety margin keeps
+    * the guard conservative. */
+  def emaClosedFormRowBound(n: Int): Long = {
+    val r = 1.0 - 2.0 / (n + 1.0)
+    (0.98 * 709.0 / -math.log(r)).toLong
+  }
+
   /** Recursive EMA via the exact closed form, as pure window expressions.
     *
     * With r = 1-α, rn the 1-based row number per key and
@@ -115,9 +123,11 @@ object Indicators {
     * recurrence E_1 = x_1; E_t = α·x_t + (1-α)·E_{t-1}.
     *
     * Numerics: r^{-rn} grows as e^{α·rn}, so this form is valid for
-    * per-key series up to ~8000/α rows before double overflow — ample for
-    * daily bars (the reference's domain). For unbounded per-key series use
-    * [[Ewma.perRow]] (exact sequential fold, O(1) state).
+    * per-key series up to [[emaClosedFormRowBound]] rows (~8000/α) —
+    * ample for daily bars (the reference's domain). The bound is ENFORCED
+    * at runtime: a per-key series beyond it raises an error naming
+    * [[Ewma.perRow]] (exact sequential fold, O(1) state, unbounded)
+    * instead of silently emitting Inf/NaN into downstream aggregates.
     */
   def withEmaClosedForm(df: DataFrame, value: String, n: Int, key: Seq[String],
                         ord: Seq[Column], as: String = "ema"): DataFrame = {
@@ -126,6 +136,7 @@ object Indicators {
       s"withEmaClosedForm needs n >= 2 (n=$n makes r=0 and pow(0,-rn)=Inf" +
         " poisons the scan; an n=1 'EMA' is just the value itself)")
     val r = 1.0 - alpha
+    val bound = emaClosedFormRowBound(n)
     val win = w(key, ord)
     val cum = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // row_number materialized first: window expressions cannot nest inside
@@ -133,9 +144,14 @@ object Indicators {
     val rn = col("_ema_rn")
     df.withColumn("_ema_rn", row_number().over(win))
       .withColumn(as,
-        pow(lit(r), rn) *
-          (lit(alpha) * sum(col(value) * pow(lit(r), -rn)).over(cum) +
-            first(col(value)).over(cum)))
+        when(rn > bound, raise_error(lit(
+          s"withEmaClosedForm: per-key series exceeds the closed form's " +
+            s"double-overflow bound ($bound rows at n=$n); use Ewma.perRow " +
+            "for unbounded series")).cast("double"))
+          .otherwise(
+            pow(lit(r), rn) *
+              (lit(alpha) * sum(col(value) * pow(lit(r), -rn)).over(cum) +
+                first(col(value)).over(cum))))
       .drop("_ema_rn")
   }
 }

@@ -73,12 +73,35 @@ object NormalizeQueries {
         avg(col("k")).as("avg_k"),
         max(col("k")).as("max_k"))
 
+  /** News records constructed deterministically from `events` in the
+    * reference's scrape shape (`producer.py:83-88`): epoch-millis STRING
+    * time (hour-truncated so (title,time) keys actually collide and the
+    * upsert has work to do), title/img derived from event columns. */
+  private def newsRaw(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      concat(lit("News: "), col("event_type"), lit(" #"),
+        (col("event_id") % 50).cast("string")).as("title"),
+      concat(lit("https://example.com/"), col("event_type")).as("source"),
+      concat(lit("img_"), (col("event_id") % 10).cast("string")).as("img"),
+      unix_millis(date_trunc("hour", col("ts"))).cast("string").as("time"))
+
+  /** News ingest: typed parse + (title,time) primary-key upsert
+    * (`warehouse.py:93-100,188-196`). */
+  def newsIngest(s: SparkSession, d: String): DataFrame =
+    graft.ingest.NewsIngest.upserted(graft.ingest.NewsIngest.typed(newsRaw(s, d)))
+
+  /** GET /news — latest 6 (`API.py:52-62`). */
+  def newsRecent(s: SparkSession, d: String): DataFrame =
+    graft.ingest.NewsIngest.recent(newsIngest(s, d), 6)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_normalize_cast"   -> (normalizeCast _),
     "q_normalize_dates"  -> (normalizeDates _),
     "q_normalize_change" -> (normalizeChange _),
     "q_struct_flatten"   -> (structFlatten _),
-    "q_props_agg"        -> (propsAgg _))
+    "q_props_agg"        -> (propsAgg _),
+    "q_news_ingest"      -> (newsIngest _),
+    "q_news_recent"      -> (newsRecent _))
 
   val oracle: Map[String, String] = Map(
     "q_normalize_cast" ->
@@ -105,5 +128,23 @@ object NormalizeQueries {
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
         |  avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS avg_k,
         |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_news_ingest" -> NewsOracleSql,
+    "q_news_recent" ->
+      (s"SELECT title, source, img, time FROM ($NewsOracleSql)\n" +
+        "ORDER BY time DESC, title ASC LIMIT 6"))
+
+  /** Shared news oracle: the same raw construction → typed parse →
+    * (title,time) upsert the engine runs. */
+  private lazy val NewsOracleSql: String =
+    """WITH raw AS (SELECT
+      |  concat('News: ', event_type, ' #', CAST(event_id % 50 AS VARCHAR)) AS title,
+      |  concat('https://example.com/', event_type) AS source,
+      |  concat('img_', CAST(event_id % 10 AS VARCHAR)) AS img,
+      |  CAST(epoch_ms(date_trunc('hour', ts)) AS VARCHAR) AS time_s
+      |FROM events),
+      |typed AS (SELECT title, source, img,
+      |                 epoch_ms(TRY_CAST(time_s AS BIGINT)) AS time FROM raw)
+      |SELECT title, min(source) AS source, min(img) AS img, time
+      |FROM typed GROUP BY title, time""".stripMargin
 }

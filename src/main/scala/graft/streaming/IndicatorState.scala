@@ -26,8 +26,13 @@ object IndicatorState {
 
   case class BarIn(symbol: String, time: Timestamp, close: Double)
   case class BarState(closes: List[Double], ema: Double)
+
+  /** `change`/`rsi` are Options so the streaming path emits NULL exactly
+    * where the batch twins do (no previous close / no diff history /
+    * flat series) — not a sentinel 0.0 a consumer could mistake for a
+    * real value. */
   case class IndicatorOut(symbol: String, time: Timestamp, close: Double,
-                          change: Double, rsi: Double, ema: Double)
+                          change: Option[Double], rsi: Option[Double], ema: Double)
 
   val defaultWindow = 25
   def alpha(n: Int): Double = 2.0 / (n + 1.0)
@@ -42,16 +47,19 @@ object IndicatorState {
       case Some(s) => a * bar.close + (1 - a) * s.ema
     }
     val closes = (bar.close :: prevCloses).take(n + 2)
-    val change = prevCloses.headOption.map(bar.close - _).getOrElse(0.0)
+    // null (not 0.0) on the seed row — batch withChange emits lag null
+    val change = prevCloses.headOption.map(bar.close - _)
     val diffs = closes.zip(closes.tail).map { case (cur, prev) => cur - prev }.take(n + 1)
+    // null when there is no diff history or the series is flat — the
+    // same cases where batch withRsi's avgGain+avgLoss>0 guard emits null
     val rsi =
-      if (diffs.isEmpty) 0.0
+      if (diffs.isEmpty) None
       else {
         val gains = diffs.map(d => math.max(d, 0.0))
         val losses = diffs.map(d => math.max(-d, 0.0))
         val g = gains.sum / gains.size
         val l = losses.sum / losses.size
-        if (g + l == 0.0) 0.0 else 100.0 * (g / (g + l))
+        if (g + l == 0.0) None else Some(100.0 * (g / (g + l)))
       }
     (IndicatorOut(bar.symbol, bar.time, bar.close, change, rsi, ema),
       BarState(closes, ema))

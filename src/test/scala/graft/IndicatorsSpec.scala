@@ -88,6 +88,36 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(got("B") - 5.0) < 1e-12)
   }
 
+  test("EwmaAgg long-series key matches the sequential fold exactly") {
+    import graft.operators.Ewma.EwmaAgg
+    val n = 50000
+    val xs = (1 to n).map(i => 100.0 + 10 * math.sin(i * 0.01))
+    val agg = new EwmaAgg(0.1).toColumn.name("ema_final")
+    val got = xs.zipWithIndex.map { case (x, i) => ("K", i.toLong, x) }
+      .toDF("sym", "t", "x").repartition(8)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3)).agg(agg)
+      .collect().toMap
+    val expect = Ewma.fold(0.1)(xs.iterator).foldLeft(Double.NaN)((_, v) => v)
+    assert(math.abs(got("K") - expect) < 1e-9)
+  }
+
+  test("closed-form EMA raises past its documented overflow bound") {
+    val n = 2 // alpha = 2/3, bound ≈ 632 rows
+    val bound = Indicators.emaClosedFormRowBound(n)
+    assert(bound > 100 && bound < 1000)
+    val long = (1 to (bound.toInt + 10)).map(i => ("A", i.toLong, 100.0))
+      .toDF("sym", "t", "close")
+    val ok = Indicators.withEmaClosedForm(long.limit(bound.toInt), "close", n, key, ord)
+    assert(ok.where(col("ema").isNull || isnan(col("ema"))).count() == 0)
+    val ex = intercept[Exception] {
+      Indicators.withEmaClosedForm(long, "close", n, key, ord).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("Ewma.perRow")))
+  }
+
   test("Bollinger bands bracket the mid; flat series collapses the band") {
     val df = Indicators.withBollinger(series(1, 2, 3, 4, 5, 6), "close", 3, 2.0, key, ord)
     val bad = df.where(col("bb_upper") < col("bb_mid") || col("bb_lower") > col("bb_mid"))

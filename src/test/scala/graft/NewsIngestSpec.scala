@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ingest.NewsIngest
+
+/** News pipeline semantics: epoch-millis-string parse (with malformed
+  * tolerance), (title,time) upsert, recent-n serving, JSON edge.
+  */
+class NewsIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def raw = Seq(
+    ("A", "s1", "i1", "1700000000000"),
+    ("A", "s0", "i2", "1700000000000"), // same (title,time) → upsert merges
+    ("B", "s2", "i3", "1700000360000"),
+    ("C", "s3", "i4", "not-a-number")   // malformed time → null ts
+  ).toDF("title", "source", "img", "time")
+
+  test("typed parses epoch-millis strings; malformed becomes null") {
+    val t = NewsIngest.typed(raw).collect().map(r => r.getString(0) -> r.get(3)).toMap
+    assert(t("A") === Timestamp.from(java.time.Instant.ofEpochMilli(1700000000000L)))
+    assert(t("C") === null)
+  }
+
+  test("upserted keeps one row per (title,time) with min payloads") {
+    val up = NewsIngest.upserted(NewsIngest.typed(raw))
+    assert(up.count() === 3)
+    val a = up.where($"title" === "A").head()
+    assert(a.getString(1) === "s0" && a.getString(2) === "i1")
+  }
+
+  test("recent returns latest-n in (time desc, title) order") {
+    val up = NewsIngest.upserted(NewsIngest.typed(raw))
+    val top = NewsIngest.recent(up.where($"time".isNotNull), 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(top === Seq("B", "A"))
+  }
+
+  test("toJsonRows emits one parseable JSON document per row") {
+    val js = NewsIngest.toJsonRows(
+      NewsIngest.upserted(NewsIngest.typed(raw))).collect()
+    assert(js.length === 3)
+    assert(js.forall(s => s.startsWith("{") && s.contains("\"title\":")))
+  }
+}

@@ -60,9 +60,11 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(fpt3.getAs[Double]("ema") - 104.5) < 1e-9)
     // rsi over diffs [+10, -6]: 100*10/16 / ... avg gain 5, avg loss 3
     assert(math.abs(fpt3.getAs[Double]("rsi") - 62.5) < 1e-9)
-    // independent key unaffected
+    // independent key unaffected; seed row has NULL change/rsi (batch
+    // null parity — not sentinel zeros)
     assert(rows(3).getAs[String]("symbol") == "VNM" &&
-      rows(3).getAs[Double]("change") == 0.0)
+      rows(3).isNullAt(rows(3).fieldIndex("change")) &&
+      rows(3).isNullAt(rows(3).fieldIndex("rsi")))
   }
 
   test("T3 via transformWithState matches flatMapGroupsWithState output") {
@@ -125,6 +127,24 @@ class StreamingSpec extends SparkSpec {
     streamed.map(_.ema).zip(batch).foreach { case (s, b) =>
       assert(math.abs(s - b) < 1e-9, s"stream $s vs batch $b")
     }
+    // null-parity edges: seed row has no change/rsi...
+    assert(streamed.head.change.isEmpty && streamed.head.rsi.isEmpty)
+    // ...and a flat series yields rsi null in BOTH paths (batch guard
+    // avgGain+avgLoss>0 emits null; streaming g+l==0 emits None)
+    val flatBars = (1 to 5).map(i =>
+      BarIn("F", ts(f"2023-01-01 00:00:${i}%02d"), 50.0))
+    var fs: Option[IndicatorState.BarState] = None
+    val flatStream = flatBars.map { b =>
+      val (o, s) = IndicatorState.step(fs, b, 25)
+      fs = Some(s)
+      o
+    }
+    assert(flatStream.forall(_.rsi.isEmpty))
+    assert(flatStream.tail.forall(_.change.contains(0.0)))
+    val flatBatch = graft.operators.Indicators.withRsi(
+      flatBars.toDF("symbol", "time", "close"), "close", 25,
+      Seq("symbol"), Seq(col("time")))
+    assert(flatBatch.where(col("rsi").isNotNull).count() == 0)
   }
 
   test("watermarked tumbling window finalizes closed windows (append mode)") {
