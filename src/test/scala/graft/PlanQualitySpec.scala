@@ -55,4 +55,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(physical("q_topk").contains("TakeOrderedAndProject"))
     assert(physical("q_api_latest").contains("TakeOrderedAndProject"))
   }
+
+  test("no registry query plans a cartesian or nested-loop join") {
+    // the negative gate: any future registry query that regresses to a
+    // CartesianProduct / BroadcastNestedLoopJoin (the two shapes that
+    // melt at corpus scale) fails this suite. Intentional tiny-side
+    // crossJoin(broadcast(one-row-query)) compiles to BroadcastNestedLoop
+    // with a literal single-row side — allow ONLY when one side is a
+    // one-row LocalTableScan/broadcast of a single row, which the sim
+    // queries use for the query vector.
+    // single-row broadcast crosses (scalar attach: query vector, global
+    // average, corpus doc count) — a BNLJ whose build side is ONE row is
+    // a broadcast scalar, not a join blow-up
+    val allowed = Set("q_sim_topk", "q_sim_lsh", "q_above_avg", "q_tfidf")
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq
+      p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(p.contains)
+    } yield s"$name:$bad"
+    val unexpected = offenders.filterNot(o => allowed(o.split(":")(0)))
+    assert(unexpected.isEmpty, s"scale-hostile join shapes: $unexpected")
+  }
 }
