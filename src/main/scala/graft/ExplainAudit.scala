@@ -22,7 +22,12 @@ object ExplainAudit {
       "q_rsi",            // expect ONE exchange feeding both window aggs
       "q_sim_topk",       // expect broadcast of the query vector
       "q_asof",           // expect ONE exchange + per-partition sort
-      "q_window_range")   // expect RANGE interval frame in WindowExec
+      "q_window_range",   // expect RANGE interval frame in WindowExec
+      "q_minhash_pairs",  // expect fused MinhashHashes project + ONE
+                          //   ObjectHashAggregate pair (partial+final) +
+                          //   bucket aggregation (no self-join)
+      "q_sim_ivf")        // expect map-side NearestCentroid filter +
+                          //   TakeOrderedAndProject, zero exchanges
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

@@ -44,6 +44,13 @@ object Serving {
       .limit(n)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
+  /** JSON at the API edge: the reference's endpoints return
+    * `df.to_json()` frames (`API.py:36,48,61,75`). One JSON document per
+    * row; the query itself stays a distributed plan and rows are only
+    * collected at the HTTP boundary (these queries are all LIMIT-bounded,
+    * so the edge materialization is O(response), never O(table)). */
+  def jsonEdge(df: DataFrame): org.apache.spark.sql.Dataset[String] = df.toJSON
+
   /** Streaming batch-twin: tumbling event-time window aggregation — the
     * declarative replacement for the reference's hand-rolled per-message
     * state (`warehouse.py:167-186`; SURVEY §2.8). Same plan shape as the

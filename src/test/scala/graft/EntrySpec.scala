@@ -14,6 +14,13 @@ class EntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
-    assert(q.size >= 67 && o.size >= 61)
+    assert(q.size >= 70 && o.size >= 67)
+  }
+
+  test("API queries serialize to JSON frames at the edge (API.py contract)") {
+    val js = graft.queries.Serving.jsonEdge(
+      SparkEntry.queries("q_api_latest")(spark, sf0001)).collect()
+    assert(js.length == 1)
+    assert(js.head.startsWith("{") && js.head.contains("\"event_id\":"))
   }
 }
