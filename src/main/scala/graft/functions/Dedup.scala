@@ -15,7 +15,7 @@ object Dedup {
   /** Exact dedup via content hash: one representative (min id) + group
     * size per distinct content. A single hash-shuffle on the fingerprint. */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
-    df.groupBy(md5(lower(col(text))).as("fp"))
+    ensureParallel(df, id).groupBy(md5(lower(col(text))).as("fp"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Corpus dedup keeping full rows: for each distinct content, the row
@@ -27,9 +27,10 @@ object Dedup {
     * scale. Map-side partial aggregation collapses dup groups early. */
   def dedupKeepRows(df: DataFrame, id: String, text: String): DataFrame = {
     val fp = md5(lower(col(text)))
-    val keep = df.select(fp.as("_ddk_fp"), col(id).as("_ddk_id"))
+    val in = ensureParallel(df, id)
+    val keep = in.select(fp.as("_ddk_fp"), col(id).as("_ddk_id"))
       .groupBy("_ddk_fp").agg(min("_ddk_id").as("_ddk_id"))
-    df.join(keep,
+    in.join(keep,
       fp === col("_ddk_fp") && col(id) === col("_ddk_id"), "left_semi")
   }
 
