@@ -114,4 +114,53 @@ object EngineProps extends Properties("engine") {
         .toList.reverse.take(k)
       top == bottom
     }
+
+  private val docGen: Gen[String] = Gen.nonEmptyListOf(
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+    .map(_.take(40).mkString(" "))
+
+  private def docsDf(texts: List[String]): DataFrame = {
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.Row(i.toLong, t)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+  }
+
+  property("identical docs always collide in MinHash LSH with est 1.0") =
+    forAll(docGen, Gen.chooseNum(2, 4)) { (text, copies) =>
+      val long = (text + " ").repeat(3).trim // ensure >= shingle length
+      val dup = List.fill(copies)(long)
+      val pairs = graft.functions.Dedup.minhashPairs(
+        docsDf(dup), "doc_id", "text", shingleN = 2, k = 16, bands = 4)
+        .collect()
+      pairs.length == copies * (copies - 1) / 2 &&
+        pairs.forall(_.getDouble(2) == 1.0)
+    }
+
+  property("simhash of identical docs is equal; hamming(x,x)=0") =
+    forAll(docGen) { text =>
+      import spark.implicits._
+      val h = graft.functions.Dedup.simhash(
+        docsDf(List(text, text)), "doc_id", "text")
+        .select("simhash").as[Long].collect()
+      h.length == 2 && h(0) == h(1) &&
+        graft.functions.Md5Long60.hash60(text.getBytes) >= 0
+    }
+
+  property("est_jaccard is within the k-granularity grid [0,1]") =
+    forAll(Gen.nonEmptyListOf(docGen).map(_.take(6))) { texts =>
+      val pairs = graft.functions.Dedup.minhashPairs(
+        docsDf(texts.map(t => (t + " ").repeat(2).trim)), "doc_id", "text",
+        shingleN = 2, k = 16, bands = 4, threshold = 0.0)
+        .collect()
+      pairs.forall { r =>
+        val e = r.getDouble(2)
+        e >= 0.0 && e <= 1.0 && math.abs(e * 16 - math.round(e * 16)) < 1e-9
+      }
+    }
 }
