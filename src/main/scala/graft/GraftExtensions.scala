@@ -14,7 +14,9 @@ import graft.functions.{CosineSim, DotProduct}
   * }}}
   *
   * so `SELECT cosine_sim(a, b)` works in plain SQL with the codegen'd
-  * fused-loop expressions — no per-session registration call needed.
+  * fused-loop expressions — no per-session registration call needed —
+  * and installs the [[graft.plans.FoldConstantVector]] optimizer rule
+  * (constant-query-vector norm folding for ANN scans).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -26,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    e.injectOptimizerRule(_ => graft.plans.FoldConstantVector)
   }
 }

@@ -121,6 +121,130 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[DotProduct]] against a plan-time-constant vector
+  * ([[graft.plans.FoldConstantVector]] rewrite target): the constant
+  * rides as a primitive `double[]` reference object, so the generated
+  * code no longer materializes a literal array per ROW before the loop.
+  * Same min-length prefix semantics, same accumulation order →
+  * bit-identical results. */
+case class DotProductConst(child: Expression, vec: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(vec.nonEmpty, "DotProductConst needs a non-empty constant vector")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected array<float|double>, got $t")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    DotProductConst.compute(v.asInstanceOf[ArrayData], vec, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("vec", vec, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DotProductConst.compute($c, $vRef, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DotProductConst =
+    copy(child = newChild)
+}
+
+object DotProductConst {
+  def compute(x: ArrayData, v: Array[Double], isFloat: Boolean): Double = {
+    val n = math.min(x.numElements(), v.length)
+    var ab = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      ab += xv * v(i); i += 1
+    }
+    ab
+  }
+}
+
+/** [[CosineSim]] against a plan-time-constant vector: the constant's
+  * norm `sqrt(Σv²)` is computed ONCE at rewrite time instead of once per
+  * corpus row — an ANN scan against a broadcast/literal query vector
+  * drops a third of its loop work. Bit-identical to [[CosineSim]]: the
+  * precomputed norm is the same sequential accumulation the per-row loop
+  * ran, and the final `ab / (sqrt(aa) * normV)` is the identical IEEE
+  * operation sequence. Rows SHORTER than the constant fall back to the
+  * exact prefix loop (CosineSim scores over the common prefix, where the
+  * constant's prefix norm differs from its full norm). */
+case class CosineSimConst(child: Expression, vec: Array[Double], normV: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(vec.nonEmpty, "CosineSimConst needs a non-empty constant vector")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected array<float|double>, got $t")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    CosineSimConst.compute(v.asInstanceOf[ArrayData], vec, normV, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("vec", vec, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CosineSimConst.compute($c, $vRef, $normV, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CosineSimConst =
+    copy(child = newChild)
+}
+
+object CosineSimConst {
+  /** Sequential Σv² — the same order CosineSim's per-row loop used, so
+    * the folded norm is the bit-identical double. */
+  def seqNorm(v: Array[Double]): Double = {
+    var bb = 0.0
+    var i = 0
+    while (i < v.length) { bb += v(i) * v(i); i += 1 }
+    math.sqrt(bb)
+  }
+
+  def compute(x: ArrayData, v: Array[Double], normV: Double, isFloat: Boolean): Double = {
+    val nx = x.numElements()
+    if (nx < v.length) {
+      // prefix case: replicate CosineSim's exact three-accumulator loop
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < nx) {
+        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = v(i)
+        ab += xv * yv; aa += xv * xv; bb += yv * yv; i += 1
+      }
+      if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+    } else {
+      var ab = 0.0; var aa = 0.0
+      var i = 0
+      while (i < v.length) {
+        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        ab += xv * v(i); aa += xv * xv; i += 1
+      }
+      if (aa == 0.0 || normV == 0.0) 0.0 else ab / (math.sqrt(aa) * normV)
+    }
+  }
+}
+
 /** Map-side nearest-centroid assignment for k-means/IVF: argmax cosine
   * over a driver-broadcast centroid matrix, ties to the lower centroid
   * id (1-based). ONE fused expression means assignment is a pure
