@@ -76,6 +76,21 @@ object ScaleProbe {
     probe("lsh_topk @40k")(warmEmb())(
       Similarity.lshTopK(bigEmb, "vec_id", "embedding", 0L, 10).count())
 
+    // k-means iteration growth: driver-sequenced Lloyd's must be LINEAR
+    // in iters (flat lineage — one job per round); a lineage-chained
+    // implementation re-executes rounds 1..i-1 inside round i and grows
+    // quadratically. Measured ratio should sit near 10/3, not (10/3)².
+    def kmeansTimed(iters: Int): Double = {
+      warmEmb()
+      val t0 = System.nanoTime()
+      Similarity.kmeansLocalCentroids(bigEmb, "vec_id", "embedding", 16, iters)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val k3 = kmeansTimed(3)
+    val k10 = kmeansTimed(10)
+    println(f"[scale] kmeans @40k iters=3 ${k3}%.2f s, iters=10 ${k10}%.2f s, " +
+      f"ratio ${k10 / k3}%.1f (linear ~3.3, quadratic ~11)")
+
     // exact EWM over one 200k-row key — far beyond the closed-form
     // double-range limit; must stream in O(1) state. The action is
     // INSIDE the timer (perRow alone only builds a plan)
