@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.functions.{Dedup, Similarity}
+
+/** Empty-corpus robustness: every dedup/similarity operator must return
+  * an empty result (or fail with a descriptive require) on zero rows —
+  * never NPE or a degenerate plan. Empty partitions are an everyday
+  * occurrence at scale (partition pruning, dead shards).
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyDocs: DataFrame = spark.createDataFrame(
+    java.util.List.of[org.apache.spark.sql.Row](),
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  private def emptyEmb: DataFrame = spark.createDataFrame(
+    java.util.List.of[org.apache.spark.sql.Row](),
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.dedupKeepRows(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text", 3).count() === 0)
+    assert(Dedup.minhashPairs(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() === 0)
+  }
+
+  test("similarity scans return empty on an empty corpus") {
+    assert(Similarity.bruteForceTopK(emptyEmb, "vec_id", "embedding", 0L, 5).count() === 0)
+    assert(Similarity.lshTopK(emptyEmb, "vec_id", "embedding", 0L, 5).count() === 0)
+    assert(Similarity.bucketPairs(emptyEmb, "vec_id", "embedding").count() === 0)
+  }
+
+  test("IVF fails fast with a descriptive message on an empty corpus") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emptyEmb, "vec_id", "embedding", 0L, 5)
+    }
+    assert(ex.getMessage.contains("non-empty"))
+  }
+}
