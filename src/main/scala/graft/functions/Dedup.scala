@@ -80,6 +80,10 @@ object Dedup {
     * runs (graft.Verify does). */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val sh = shingles(ensureParallel(df, id), id, text, n).cache()
+    // eager materialization: the self-join + counts scan this 3× and a
+    // lazy cache would compute the shingle pipeline per scan (see
+    // minhashPairs)
+    sh.count()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
