@@ -50,4 +50,30 @@ object NewsIngest {
     * frames): one JSON document per row, collected only at the serving
     * boundary — never inside a query. */
   def toJsonRows(df: DataFrame): Dataset[String] = df.toJSON
+
+  /** Kafka-shaped news message → typed rows: the producer ships a JSON
+    * array of articles per message (`producer.py:89-104` batches the
+    * scrape; `warehouse.py:190-196` iterates it). `explode` undoes the
+    * batching; [[typed]] parses each article. */
+  def parseNewsMessages(raw: DataFrame): DataFrame =
+    typed(raw
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.ArrayType(Normalize.newsSchema)).as("arr"))
+      .select(explode(col("arr")).as("n"))
+      .select(col("n.*")))
+
+  /** Streaming upsert sink: per micro-batch, dedupe on the (title, time)
+    * primary key and append to the lake — the batch-local analog of the
+    * reference's per-row Cassandra upsert loop, minus the per-row
+    * connection. Cross-batch duplicates resolve at read time via
+    * [[upserted]] (idempotent), so at-least-once delivery is safe. */
+  def startNewsSink(parsed: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upserted(batch).write.mode("append").parquet(path)
+      }
+      .start()
 }

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import graft.ingest.NewsIngest
 
 /** News pipeline semantics: epoch-millis-string parse (with malformed
@@ -42,5 +43,26 @@ class NewsIngestSpec extends SparkSpec {
       NewsIngest.upserted(NewsIngest.typed(raw))).collect()
     assert(js.length === 3)
     assert(js.forall(s => s.startsWith("{") && s.contains("\"title\":")))
+  }
+
+  test("streaming path: batched Kafka message -> typed rows -> upsert sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("newslake").toString
+    val mem = MemoryStream[String]
+    val parsed = NewsIngest.parseNewsMessages(mem.toDF().toDF("value"))
+    val q = NewsIngest.startNewsSink(parsed, s"$dir/lake", s"$dir/ckpt")
+    // one producer message = a JSON ARRAY of articles (batched scrape),
+    // with an in-batch duplicate (title,time) key
+    mem.addData(
+      """[{"title":"A","source":"s1","img":"i1","time":"1700000000000"},
+         |{"title":"A","source":"s0","img":"i2","time":"1700000000000"},
+         |{"title":"B","source":"s2","img":"i3","time":"1700000360000"}]""".stripMargin)
+    q.processAllAvailable()
+    q.stop()
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.count() === 2) // in-batch upsert collapsed the dup title
+    val a = lake.where(col("title") === "A").head()
+    assert(a.getAs[String]("source") === "s0")
   }
 }
