@@ -67,10 +67,14 @@ object NewsIngest {
     * reference's per-row Cassandra upsert loop, minus the per-row
     * connection. Cross-batch duplicates resolve at read time via
     * [[upserted]] (idempotent), so at-least-once delivery is safe. */
-  def startNewsSink(parsed: DataFrame, path: String, checkpoint: String)
+  def startNewsSink(parsed: DataFrame, path: String, checkpoint: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger
+                        .ProcessingTime("900 seconds")) // news cadence, run_pipeline.py:16
       : org.apache.spark.sql.streaming.StreamingQuery =
     parsed.writeStream
       .outputMode("append")
+      .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upserted(batch).write.mode("append").parquet(path)

@@ -51,7 +51,8 @@ class NewsIngestSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("newslake").toString
     val mem = MemoryStream[String]
     val parsed = NewsIngest.parseNewsMessages(mem.toDF().toDF("value"))
-    val q = NewsIngest.startNewsSink(parsed, s"$dir/lake", s"$dir/ckpt")
+    val q = NewsIngest.startNewsSink(parsed, s"$dir/lake", s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
     // one producer message = a JSON ARRAY of articles (batched scrape),
     // with an in-batch duplicate (title,time) key
     mem.addData(
