@@ -15,7 +15,7 @@ object Dedup {
   /** Exact dedup via content hash: one representative (min id) + group
     * size per distinct content. A single hash-shuffle on the fingerprint. */
   def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
-    ensureParallel(df, id).groupBy(md5(lower(col(text))).as("fp"))
+    ensureParallel(df, md5(lower(col(text)))).groupBy(md5(lower(col(text))).as("fp"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Corpus dedup keeping full rows: for each distinct content, the row
@@ -27,7 +27,7 @@ object Dedup {
     * scale. Map-side partial aggregation collapses dup groups early. */
   def dedupKeepRows(df: DataFrame, id: String, text: String): DataFrame = {
     val fp = md5(lower(col(text)))
-    val in = ensureParallel(df, id)
+    val in = ensureParallel(df, fp)
     val keep = in.select(fp.as("_ddk_fp"), col(id).as("_ddk_id"))
       .groupBy("_ddk_fp").agg(min("_ddk_id").as("_ddk_id"))
     in.join(keep,
@@ -35,16 +35,15 @@ object Dedup {
   }
 
   /** Unlock parallelism for tiny single-file inputs: hash-repartition on
-    * `key` when the scan yields fewer partitions than the session's
-    * parallelism. The shuffle moves raw doc rows (pre-explode, the
-    * cheapest point in the pipeline) and its hashpartitioning(key)
-    * satisfies the downstream `groupBy(key)` requirement, so no second
-    * exchange appears. At corpus scale the file splits already saturate
-    * the cluster and this is skipped — a 1-file local fixture otherwise
-    * runs the whole shingle→hash→partial-agg stage on ONE thread. */
-  private def ensureParallel(df: DataFrame, key: String): DataFrame = {
+    * `key` — which callers pass as the expression their downstream
+    * `groupBy` shuffles on, so the exchange is REUSED, not added — when
+    * the scan yields fewer partitions than the session's parallelism.
+    * At corpus scale the file splits already saturate the cluster and
+    * this is skipped — a 1-file local fixture otherwise runs the whole
+    * shingle→hash→partial-agg stage on ONE thread. */
+  private def ensureParallel(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
   }
 
   /** (doc, shingle) pairs (NOT deduplicated): `n`-token shingles from a
@@ -56,7 +55,7 @@ object Dedup {
     // per doc — measured as the dominant cost of the minhash pipeline).
     // With `toks` materialized below the Generate, the split runs once
     // per doc and the per-shingle work is an array slice.
-    df.select(col(id).as("doc_id"), split(col(text), "\\s+").as("toks"))
+    df.select(col(id).as("doc_id"), split(trim(col(text)), "\\s+").as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
@@ -73,13 +72,16 @@ object Dedup {
     * boilerplate shingle can be salted upstream), so only co-shingled
     * pairs are ever formed — never the full cross product.
     *
-    * Cache ownership: this operator (and [[minhashPairs]]) caches its
-    * shingle/signature intermediates for the multiple self-join scans;
-    * the cache lives until the session drops it. Long-lived sessions
-    * batching many corpora should `spark.catalog.clearCache()` between
-    * runs (graft.Verify does). */
+    * Cache ownership: this operator caches its shingle intermediate for
+    * the three scans (counts + both self-join sides) and materializes it
+    * eagerly — note this runs the shingle jobs at DataFrame-CONSTRUCTION
+    * time. The cache lives until the session drops it; long-lived
+    * sessions batching many corpora should `spark.catalog.clearCache()`
+    * between runs (graft.Verify does). ([[minhashPairs]] avoids the
+    * cache entirely — its signature rides through the bucket
+    * aggregation.) */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val sh = shingles(ensureParallel(df, id), id, text, n).cache()
+    val sh = shingles(ensureParallel(df, col(id)), id, text, n).cache()
     // eager materialization: the self-join + counts scan this 3× and a
     // lazy cache would compute the shingle pipeline per scan (see
     // minhashPairs)
@@ -109,7 +111,9 @@ object Dedup {
     * engine plan and the generated oracle SQL. */
   def universalCoeffs(k: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
-    def draw(lo: Long): Long = lo + (math.abs(rnd.nextLong()) % (P - lo))
+    // & Long.MaxValue, not math.abs: abs(Long.MinValue) is NEGATIVE and
+    // would break the a∈[1,P), b∈[0,P) contract for unlucky seeds
+    def draw(lo: Long): Long = lo + ((rnd.nextLong() & Long.MaxValue) % (P - lo))
     val as = Array.fill(k)(draw(1L))
     val bs = Array.fill(k)(draw(0L))
     (as, bs)
@@ -161,38 +165,42 @@ object Dedup {
         "collides and the candidate join degenerates to n^2")
     val rows = k / bands
     val sigs = minhashSignatures(
-      shinglesRaw(ensureParallel(df, id), id, text, shingleN), k).cache()
-    // Materialize BEFORE the self-join: a lazy cache is only populated by
-    // the first action, so both sides of the banded self-join would each
-    // recompute the full shingle→md5→signature pipeline (measured ~2×
-    // the pipeline cost). One eager pass fills the cache; every later
-    // scan (both join sides + the two est_jaccard joins) reads memory.
-    // At corpus scale this is the standard materialize-then-self-join
-    // shape (signatures are ~0.5 KB/doc; MEMORY_AND_DISK spills safely).
-    sigs.count()
+      shinglesRaw(ensureParallel(df, col(id)), id, text, shingleN), k)
+    // SINGLE-CONSUMER pipeline — no cache, no eager materialization, no
+    // construction-time side-effect jobs: the signature pipeline is
+    // scanned exactly once because the full signature RIDES ALONG through
+    // the band fan-out and the bucket aggregation, so the est_jaccard
+    // stage needs no re-join against the signatures. The band shuffle
+    // carries bands×(8·k/bands+8k)-ish bytes per doc (~8 KB at k=64,
+    // bands=16) — bounded, spillable, and cheaper at corpus scale than
+    // keeping a signatures cache resident (or recomputing the pipeline
+    // per self-join side, which is what a lazy cache degenerates to).
+    //
     // band key = xxhash64 of the band's signature slice (engine-internal:
     // only COLLISIONS matter, so the oracle can band on the raw slice
     // values instead — the candidate sets agree)
-    val banded = sigs.select(col("doc_id"), posexplode(
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
       .as(Seq("band", "band_hash")))
-    // Candidate pairs by bucket aggregation, not a self-join: ONE scan of
-    // the signatures and ONE shuffle (groupBy band key) instead of two
-    // scans + a shuffle join. Pair expansion is bucket-local (|bucket|²),
-    // exactly the collision set the join would produce; a pathological
-    // hot bucket (boilerplate corpus) has the same blowup either way and
-    // is the documented salting escape hatch (docs/SCALE.md).
-    val candidates = banded
-      .groupBy("band", "band_hash").agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .where(col("doc_a") < col("doc_b"))
-      .distinct()
-    candidates
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+    // Candidate pairs by bucket aggregation, not a self-join: ONE shuffle
+    // (groupBy band key). Pair expansion is bucket-local (|bucket|²),
+    // exactly the collision set a join would produce; a pathological hot
+    // bucket (boilerplate corpus) has the same blowup either way and is
+    // the documented salting escape hatch (docs/SCALE.md).
+    val pairs = banded
+      .groupBy("band", "band_hash")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+    // a pair colliding in several bands appears once per band; est is a
+    // pure function of the two signatures, so dedup by key keeping any
+    // sig copy (first) — one small shuffle of candidate pairs
+    pairs
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / k).as("est_jaccard"))
@@ -211,8 +219,8 @@ object Dedup {
     * 60-bit vote vector in a single [[ElementwiseLongAgg]] buffer. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     val bits = SimhashBits
-    val tok = ensureParallel(df, id).select(col(id).as("doc_id"),
-      explode(split(lower(col(text)), "\\s+")).as("t"))
+    val tok = ensureParallel(df, col(id)).select(col(id).as("doc_id"),
+      explode(split(trim(lower(col(text))), "\\s+")).as("t"))
     // fused native vote vector (see minhashSignatures for why not a
     // transform() lambda or a CreateArray of `bits` subexpressions)
     tok.select(col("doc_id"), SimhashVotes(col("t"), bits).as("v"))
@@ -244,7 +252,7 @@ object Dedup {
     val rows = k / bands
     val (as, bs) = universalCoeffs(k, seed)
     val values = (0 until k).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(range(len(t)-${shingleN - 1})) AS i FROM toks WHERE len(t) >= $shingleN),
        |sh AS (SELECT doc_id, array_to_string(t[i+1:i+$shingleN], ' ') AS shingle FROM pos),
        |h0 AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle),1,15)) AS BIGINT) % $P AS h FROM sh),
@@ -268,7 +276,7 @@ object Dedup {
     * token hash, same ±1 bit votes, same sign packing. */
   def simhashOracleSql: String = {
     val bits = SimhashBits
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM documents),
        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
        |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
        |          FROM h CROSS JOIN (SELECT unnest(range($bits)) AS b) bb GROUP BY 1, 2)

@@ -142,7 +142,12 @@ object Similarity {
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 3): DataFrame = {
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val cents = kmeansLocalCentroids(emb, id, vec, nlist, iters)
+    // POSITIONS into this matrix are the only centroid ids used below.
+    // The stored cids from kmeansLocalCentroids can have GAPS once an
+    // iteration drops an empty cluster; NearestCentroid emits 1-based
+    // positions into the array it is given, so mixing the two id spaces
+    // would silently probe the wrong lists.
+    val centMatrix: Array[Array[Double]] = kmeansLocalCentroids(emb, id, vec, nlist, iters).map(_._2)
     val qv: Array[Double] = v.where(col("vid") === queryId)
       .select(col("v")).collect() match {
         case Array(r) => r.getSeq[Double](0).toArray
@@ -155,12 +160,12 @@ object Similarity {
       while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
       if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
     }
-    val probed: Array[Int] = cents
-      .map { case (cid, c) => (cid, localCosine(c, qv)) }
-      .sortBy { case (cid, sim) => (-sim, cid) }
+    val probed: Array[Int] = centMatrix.zipWithIndex
+      .map { case (c, i) => (i + 1, localCosine(c, qv)) }
+      .sortBy { case (pos, sim) => (-sim, pos) }
       .take(nprobe).map(_._1)
     val qvLit = array(qv.map(lit): _*)
-    v.where(NearestCentroid(col("v"), cents.map(_._2))
+    v.where(NearestCentroid(col("v"), centMatrix)
         .isin(probed.map(Integer.valueOf): _*))
       .where(col("vid") =!= queryId)
       .select(col("vid").as(id), cosine(col("v"), qvLit).as("cos_sim"))

@@ -13,7 +13,11 @@ object TextAnalysis {
 
   /** Whitespace tokenizer (the BPE-ish regex path: split on runs of
     * whitespace; punctuation kept attached as in raw web text). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  // trim first: Java split drops TRAILING empty strings but keeps
+  // leading ones, while the oracle engine's regex split keeps both —
+  // trimming on both sides makes the token sets identical for texts
+  // with edge whitespace
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

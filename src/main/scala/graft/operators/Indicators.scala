@@ -142,16 +142,33 @@ object Indicators {
     // row_number materialized first: window expressions cannot nest inside
     // another windowed aggregate. Same partition/order → still one shuffle.
     val rn = col("_ema_rn")
+    val ema = pow(lit(r), rn) *
+      (lit(alpha) * sum(col(value) * pow(lit(r), -rn)).over(cum) +
+        first(col(value)).over(cum))
+    // Two overflow guards, both raising instead of silently emitting
+    // Inf/NaN into downstream aggregates:
+    //  - rn > bound: r^-rn itself exceeds double range (row-count cause);
+    //  - non-finite result from FINITE input: the value·r^-rn cumulative
+    //    sum overflowed below the row bound (magnitude cause — e.g.
+    //    VND-denominated 6e10 prices leave far less than e^709 of
+    //    headroom). A non-finite INPUT anywhere in the running prefix
+    //    propagates without raising, as the recursive definition would.
+    val inputFinite = min(
+      when(abs(col(value).cast("double")) <= lit(Double.MaxValue), 1)
+        .otherwise(0)).over(cum) === 1
+    val resultNonFinite = !(abs(ema) <= lit(Double.MaxValue)) // catches NaN too
     df.withColumn("_ema_rn", row_number().over(win))
       .withColumn(as,
         when(rn > bound, raise_error(lit(
           s"withEmaClosedForm: per-key series exceeds the closed form's " +
             s"double-overflow bound ($bound rows at n=$n); use Ewma.perRow " +
             "for unbounded series")).cast("double"))
-          .otherwise(
-            pow(lit(r), rn) *
-              (lit(alpha) * sum(col(value) * pow(lit(r), -rn)).over(cum) +
-                first(col(value)).over(cum))))
+          .when(resultNonFinite && inputFinite, raise_error(lit(
+            s"withEmaClosedForm: value·r^-rn overflowed double range below " +
+              s"the $bound-row bound (large value magnitudes); use " +
+              "Ewma.perRow, whose fold never leaves the value's scale"))
+            .cast("double"))
+          .otherwise(ema))
       .drop("_ema_rn")
   }
 }

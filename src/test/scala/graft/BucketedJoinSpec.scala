@@ -82,4 +82,30 @@ class BucketedJoinSpec extends SparkSpec {
     assert((1L to 5L).toSet.intersect(ivf).size >= 4,
       s"IVF missed planted neighbors: $ivf")
   }
+
+  test("IVF survives dropped empty clusters (duplicate seed vectors)") {
+    import spark.implicits._
+    // init = first k vectors by id; vec 1 duplicates vec 0, so every
+    // point ties to the LOWER centroid and the duplicate's cluster
+    // empties on iteration 1 — probe ids must stay consistent with the
+    // shrunken centroid array (positions, not stored ids)
+    val a = Seq(1.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f, 0.0f)
+    val c = Seq(0.0f, 0.0f, 1.0f)
+    def near(v: Seq[Float], eps: Float) = v.map(_ + eps)
+    val emb = (Seq(
+      (0L, a), (1L, a), (2L, b), (3L, c)) ++
+      (4L to 9L).map(i => (i, near(a, 0.01f * i))) ++
+      (10L to 15L).map(i => (i, near(b, 0.002f * i))) ++
+      (16L to 21L).map(i => (i, near(c, 0.002f * i)))
+    ).toDF("vec_id", "embedding")
+    val got = graft.functions.Similarity
+      .ivfTopK(emb, "vec_id", "embedding", 0L, 4, nlist = 3, nprobe = 1, iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    // nprobe=1 must hit the a-cluster: the nearest neighbors of `a` are
+    // the duplicate and the near-a points, never the b/c clusters
+    assert(got.contains(1L), s"duplicate of the query's own vector missing: $got")
+    assert(got.forall(i => i == 1L || (4L to 9L).contains(i)),
+      s"probe leaked into the wrong centroid list: $got")
+  }
 }

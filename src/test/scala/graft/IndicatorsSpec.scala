@@ -118,6 +118,27 @@ class IndicatorsSpec extends SparkSpec {
     assert(msgs(ex).exists(m => m != null && m.contains("Ewma.perRow")))
   }
 
+  test("closed-form EMA raises on value-magnitude overflow below the row bound") {
+    // 1e160-scale values overflow the value·r^-rn cumulative sum at
+    // ~310 rows with n=2 — well under the ~632-row rn bound, so only the
+    // finiteness guard can catch it
+    val big = (1 to 400).map(i => ("A", i.toLong, 1.0e160)).toDF("sym", "t", "close")
+    val ex = intercept[Exception] {
+      graft.operators.Indicators.withEmaClosedForm(big, "close", 2, key, ord).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("Ewma.perRow")))
+    // a non-finite INPUT propagates instead of raising
+    val withInf = Seq(("A", 1L, 1.0), ("A", 2L, Double.PositiveInfinity),
+      ("A", 3L, 2.0)).toDF("sym", "t", "close")
+    val out = graft.operators.Indicators
+      .withEmaClosedForm(withInf, "close", 2, key, ord)
+      .orderBy("t").select("ema").collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(!java.lang.Double.isFinite(out(2).getDouble(0)))
+  }
+
   test("Bollinger bands bracket the mid; flat series collapses the band") {
     val df = Indicators.withBollinger(series(1, 2, 3, 4, 5, 6), "close", 3, 2.0, key, ord)
     val bad = df.where(col("bb_upper") < col("bb_mid") || col("bb_lower") > col("bb_mid"))
