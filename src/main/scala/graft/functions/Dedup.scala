@@ -188,23 +188,25 @@ object Dedup {
     // exactly the collision set a join would produce; a pathological hot
     // bucket (boilerplate corpus) has the same blowup either way and is
     // the documented salting escape hatch (docs/SCALE.md).
-    val pairs = banded
+    //
+    // est_jaccard is computed INLINE at expansion time with the
+    // codegen'd [[ArrayEqCount]] kernel, so the post-expansion rows are
+    // (doc_a, doc_b, est) — 24 bytes — and the threshold filter runs
+    // BEFORE the distinct. On a dup-heavy corpus (every pair colliding
+    // in all bands), shuffling the expansion with signatures attached
+    // measured 2.5× the whole pipeline; shuffling 24-byte rows is noise.
+    // The 16 per-band copies of a surviving pair collapse in distinct.
+    banded
       .groupBy("band", "band_hash")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
       .where(size(col("ds")) > 1)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .where(col("a.doc_id") < col("b.doc_id"))
-    // a pair colliding in several bands appears once per band; est is a
-    // pure function of the two signatures, so dedup by key keeping any
-    // sig copy (first) — one small shuffle of candidate pairs
-    pairs
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / k).as("est_jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (ArrayEqCount(col("a.sig"), col("b.sig")).cast("double") / k).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** SimHash bit width: 60 (not 64) so the packed value and every bit of

@@ -121,6 +121,57 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Count of positions where two `array<long>` columns hold equal values
+  * (over the common prefix; null elements never match). The MinHash
+  * signature-agreement kernel: `est_jaccard = eq_count / k`. A
+  * codegen'd primitive loop — the `zip_with`/`filter`/`size` HOF chain
+  * is interpreted and becomes the bottleneck when candidate expansion
+  * evaluates millions of pairs. */
+case class ArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected array<long>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayEqCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ArrayEqCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object ArrayEqCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ArrayEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
 /** [[DotProduct]] against a plan-time-constant vector
   * ([[graft.plans.FoldConstantVector]] rewrite target): the constant
   * rides as a primitive `double[]` reference object, so the generated
