@@ -31,10 +31,19 @@ class ExtensionsSpec extends AnyFunSuite {
         .getOrCreate()
       val r = s.sql(
         """SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
-          |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+          |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       md5_long60('alpha') AS h,
+          |       array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq""".stripMargin)
         .head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(r.getDouble(1) - 11.0) < 1e-12)
+      assert(r.getLong(2) >= 0L && r.getLong(2) < (1L << 60))
+      assert(r.getInt(3) == 2)
+      // the optimizer rule is installed too (plan-shape coverage lives
+      // in ConstVectorRuleSpec; over VALUES/literals everything
+      // constant-folds away before the assertion could see it)
+      assert(s.sessionState.optimizer.extendedOperatorOptimizationRules
+        .contains(graft.plans.FoldConstantVector))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
