@@ -55,7 +55,7 @@ object Dedup {
     // per doc — measured as the dominant cost of the minhash pipeline).
     // With `toks` materialized below the Generate, the split runs once
     // per doc and the per-shingle work is an array slice.
-    df.select(col(id).as("doc_id"), split(trim(col(text)), "\\s+").as("toks"))
+    df.select(col(id).as("doc_id"), split(TextAnalysis.wsTrim(col(text)), "\\s+").as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
@@ -185,9 +185,14 @@ object Dedup {
       .as(Seq("band", "band_hash")))
     // Candidate pairs by bucket aggregation, not a self-join: ONE shuffle
     // (groupBy band key). Pair expansion is bucket-local (|bucket|²),
-    // exactly the collision set a join would produce; a pathological hot
-    // bucket (boilerplate corpus) has the same blowup either way and is
-    // the documented salting escape hatch (docs/SCALE.md).
+    // exactly the collision set a join would produce. MEMORY SHAPE: each
+    // bucket's collect_list buffers |bucket|×(8+8k) bytes UNSPILLABLY in
+    // one aggregation buffer (~520 B/member at k=64) — fine for genuine
+    // near-dup groups (tens to thousands of members), catastrophic only
+    // for a DEGENERATE bucket (millions of boilerplate-identical docs),
+    // where the |bucket|² pair space is already fatal in any LSH shape;
+    // the mitigation either way is dropping/salting boilerplate upstream
+    // (docs/SCALE.md).
     //
     // est_jaccard is computed INLINE at expansion time with the
     // codegen'd [[ArrayEqCount]] kernel, so the post-expansion rows are
@@ -222,7 +227,7 @@ object Dedup {
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     val bits = SimhashBits
     val tok = ensureParallel(df, col(id)).select(col(id).as("doc_id"),
-      explode(split(trim(lower(col(text))), "\\s+")).as("t"))
+      explode(split(TextAnalysis.wsTrim(lower(col(text))), "\\s+")).as("t"))
     // fused native vote vector (see minhashSignatures for why not a
     // transform() lambda or a CreateArray of `bits` subexpressions)
     tok.select(col("doc_id"), SimhashVotes(col("t"), bits).as("v"))
@@ -254,7 +259,7 @@ object Dedup {
     val rows = k / bands
     val (as, bs) = universalCoeffs(k, seed)
     val values = (0 until k).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(range(len(t)-${shingleN - 1})) AS i FROM toks WHERE len(t) >= $shingleN),
        |sh AS (SELECT doc_id, array_to_string(t[i+1:i+$shingleN], ' ') AS shingle FROM pos),
        |h0 AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle),1,15)) AS BIGINT) % $P AS h FROM sh),
@@ -278,7 +283,7 @@ object Dedup {
     * token hash, same ±1 bit votes, same sign packing. */
   def simhashOracleSql: String = {
     val bits = SimhashBits
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+')) AS t FROM documents),
        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT) AS h FROM tok),
        |votes AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
        |          FROM h CROSS JOIN (SELECT unnest(range($bits)) AS b) bb GROUP BY 1, 2)

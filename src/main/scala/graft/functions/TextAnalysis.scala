@@ -13,11 +13,14 @@ object TextAnalysis {
 
   /** Whitespace tokenizer (the BPE-ish regex path: split on runs of
     * whitespace; punctuation kept attached as in raw web text). */
-  // trim first: Java split drops TRAILING empty strings but keeps
-  // leading ones, while the oracle engine's regex split keeps both —
-  // trimming on both sides makes the token sets identical for texts
-  // with edge whitespace
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Strip ALL leading/trailing whitespace. Built-in `trim` strips only
+    * ASCII spaces (in Spark AND the oracle engine), so \t/\n edges would
+    * still diverge: Java split drops TRAILING empty strings but keeps
+    * leading ones, while the oracle's regex split keeps both. The oracle
+    * twin is `regexp_replace(x, '^\s+|\s+$', '', 'g')`. */
+  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
+  def tokens(text: Column): Column = split(wsTrim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -153,8 +153,11 @@ object Indicators {
     //    VND-denominated 6e10 prices leave far less than e^709 of
     //    headroom). A non-finite INPUT anywhere in the running prefix
     //    propagates without raising, as the recursive definition would.
+    //    NULL inputs count as finite — sum() skips them, so they cannot
+    //    cause the overflow and must not mask the guard.
     val inputFinite = min(
-      when(abs(col(value).cast("double")) <= lit(Double.MaxValue), 1)
+      when(col(value).isNull ||
+          abs(col(value).cast("double")) <= lit(Double.MaxValue), 1)
         .otherwise(0)).over(cum) === 1
     val resultNonFinite = !(abs(ema) <= lit(Double.MaxValue)) // catches NaN too
     df.withColumn("_ema_rn", row_number().over(win))

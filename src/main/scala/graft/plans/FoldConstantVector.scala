@@ -29,27 +29,29 @@ import graft.functions.{CosineSim, CosineSimConst, DotProduct, DotProductConst}
   */
 object FoldConstantVector extends Rule[LogicalPlan] {
 
-  private def constVec(e: Expression): Option[Array[Double]] = e match {
-    case CreateArray(children, _) if children.nonEmpty && children.forall {
-          case Literal(v, DoubleType) => v != null
-          case _ => false
-        } =>
-      Some(children.map { case Literal(v, _) => v.asInstanceOf[Double] }.toArray)
-    case Literal(data: ArrayData, ArrayType(DoubleType, false)) =>
-      Some(data.toDoubleArray())
-    case _ => None
+  /** Extractor for a non-empty plan-time-constant double vector (both
+    * the CreateArray-of-literals and the constant-folded array-Literal
+    * forms). Empty arrays are NOT matched — the Const expressions
+    * require non-empty vectors, and the originals' empty-input semantics
+    * (score 0.0) should be left untouched. */
+  private object ConstVec {
+    def unapply(e: Expression): Option[Array[Double]] = e match {
+      case CreateArray(children, _) if children.nonEmpty && children.forall {
+            case Literal(v, DoubleType) => v != null
+            case _ => false
+          } =>
+        Some(children.map { case Literal(v, _) => v.asInstanceOf[Double] }.toArray)
+      case Literal(data: ArrayData, ArrayType(DoubleType, false))
+          if data != null && data.numElements() > 0 =>
+        Some(data.toDoubleArray())
+      case _ => None
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case CosineSim(x, e) if constVec(e).isDefined =>
-      val v = constVec(e).get
-      CosineSimConst(x, v, CosineSimConst.seqNorm(v))
-    case CosineSim(e, x) if constVec(e).isDefined =>
-      val v = constVec(e).get
-      CosineSimConst(x, v, CosineSimConst.seqNorm(v))
-    case DotProduct(x, e) if constVec(e).isDefined =>
-      DotProductConst(x, constVec(e).get)
-    case DotProduct(e, x) if constVec(e).isDefined =>
-      DotProductConst(x, constVec(e).get)
+    case CosineSim(x, ConstVec(v)) => CosineSimConst(x, v, CosineSimConst.seqNorm(v))
+    case CosineSim(ConstVec(v), x) => CosineSimConst(x, v, CosineSimConst.seqNorm(v))
+    case DotProduct(x, ConstVec(v)) => DotProductConst(x, v)
+    case DotProduct(ConstVec(v), x) => DotProductConst(x, v)
   }
 }

@@ -53,7 +53,7 @@ object PipelineQueries {
     documents(s, d)
       .where(col("doc_id") < 50)
       .select(col("doc_id"),
-        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "token")))
+        posexplode(TA.tokens(col("text"))).as(Seq("pos", "token")))
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(documents(s, d), "doc_id", "text")
@@ -128,7 +128,10 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _))
 
-  private val TOKS = "string_split_regex(trim(text), '\\s+')"
+  // plain (non-interpolated) string: the regex end-anchor $ needs no
+  // escaping here, and s""-splicing below copies the VALUE verbatim
+  private val TOKS =
+    "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
@@ -162,7 +165,7 @@ object PipelineQueries {
          |FROM sc""".stripMargin,
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(lower(text)) AS fp,
-         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS bag_fp
+         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'), '\\s+'))), ' ')) AS bag_fp
          |FROM documents""".stripMargin,
     "q_explode" ->
       s"""SELECT doc_id,
@@ -188,7 +191,7 @@ object PipelineQueries {
         |WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents GROUP BY md5(lower(text)))""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t FROM documents),
         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM pos),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

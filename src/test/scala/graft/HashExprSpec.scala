@@ -46,6 +46,26 @@ class HashExprSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("wsTrim strips ALL edge whitespace so tokenization has no empty tokens") {
+    import graft.functions.{TextAnalysis => TA}
+    val df = Seq("\tfoo bar\n", "  foo bar  ", "foo bar", "\n", "").toDF("text")
+      .select(TA.tokens($"text").as("toks"))
+    val got = df.collect().map(_.getSeq[String](0).toList)
+    assert(got(0) === List("foo", "bar"))
+    assert(got(1) === List("foo", "bar"))
+    assert(got(2) === List("foo", "bar"))
+    // whitespace-only and empty text both collapse to a single empty
+    // token (Java split of "" yields [""]), identically to the oracle's
+    // regex split of the trimmed text
+    assert(got(3) === List("") && got(4) === List(""))
+    // simhash of texts differing only in edge whitespace is identical
+    val h = graft.functions.Dedup.simhash(
+      Seq((1L, "alpha beta\n"), (2L, "alpha beta"), (3L, "\t alpha beta "))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("simhash").as[Long].collect()
+    assert(h.distinct.length === 1)
+  }
+
   test("null input propagates null through all three expressions") {
     val df = Seq(Option.empty[String], Some("x")).toDF("t")
     val (as, bs) = Dedup.universalCoeffs(4)

@@ -137,6 +137,16 @@ class IndicatorsSpec extends SparkSpec {
       .orderBy("t").select("ema").collect()
     assert(out(0).getDouble(0) == 1.0)
     assert(!java.lang.Double.isFinite(out(2).getDouble(0)))
+    // a NULL input mid-series must NOT disarm the magnitude guard
+    // (sum() skips nulls, so the overflow is still value-caused and must
+    // still raise). The null sits at t=200, before the overflow point.
+    val withNull = (1 to 400).map(i =>
+      ("A", i.toLong, if (i == 200) Option.empty[Double] else Some(1.0e160)))
+      .toDF("sym", "t", "close")
+    val ex2 = intercept[Exception] {
+      graft.operators.Indicators.withEmaClosedForm(withNull, "close", 2, key, ord).collect()
+    }
+    assert(msgs(ex2).exists(m => m != null && m.contains("Ewma.perRow")))
   }
 
   test("Bollinger bands bracket the mid; flat series collapses the band") {
