@@ -96,6 +96,18 @@ object PipelineQueries {
     // so a high threshold would make this a vacuous always-empty check
     Similarity.bucketPairs(embeddings(s, d), "vec_id", "embedding", minCos = 0.3)
 
+  /** The end-to-end training-data-prep shape the individual operators
+    * exist for: exact dedup (keep min-id rows) → quality filter → token
+    * stats. One fingerprint aggregation + semi-join, then pure per-row
+    * expressions — the composed plan inherits each stage's scale
+    * story. */
+  def pipelineClean(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupKeepRows(documents(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        TA.qualityScore(col("text"), Stopwords).as("quality"),
+        TA.tokenCount(col("text")).as("n_tokens"))
+      .where(col("quality") >= 0.5)
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaStats(
       Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
@@ -126,7 +138,8 @@ object PipelineQueries {
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
     "q_multimodal_meta" -> (multimodalMeta _),
-    "q_multimodal_feat" -> (multimodalFeatures _))
+    "q_multimodal_feat" -> (multimodalFeatures _),
+    "q_pipeline_clean"  -> (pipelineClean _))
 
   // plain (non-interpolated) string: the regex end-anchor $ needs no
   // escaping here, and s""-splicing below copies the VALUE verbatim
@@ -245,5 +258,19 @@ object PipelineQueries {
         |allpos AS (SELECT media_id, media_type, CAST(unnest(range(16)) AS INTEGER) AS pos FROM med)
         |SELECT a.media_id, a.media_type, a.pos, COALESCE(s.feat_sum, 0) AS feat_sum
         |FROM allpos a LEFT JOIN sums s
-        |  ON a.media_id = s.media_id AND a.pos = s.pos""".stripMargin)
+        |  ON a.media_id = s.media_id AND a.pos = s.pos""".stripMargin,
+    "q_pipeline_clean" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |             GROUP BY md5(lower(text))),
+         |d AS (SELECT doc_id, text FROM documents
+         |      WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |q AS (SELECT doc_id,
+         |  least(CAST(len($TOKS) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |  + least(CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |          / len($TOKS) * 5.0, 1.0) * 0.4
+         |  + (CASE WHEN CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
+         |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
+         |  CAST(len($TOKS) AS INTEGER) AS n_tokens
+         |FROM d)
+         |SELECT doc_id, quality, n_tokens FROM q WHERE quality >= 0.5""".stripMargin)
 }
