@@ -1,11 +1,26 @@
 package graft
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every registry query
-  * at SPARK_GRAFT_SF_DIR, prints ONE JSON line. A warmup pass first runs
-  * a small job so JVM/codegen/parquet-footer startup cost is not charged
-  * to whichever query happens to run first.
+  * at SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * Methodology:
+  *   - WARMUP runs every registry query once at the smallest available
+  *     SF (sibling `sf0.001` of the bench dir) so Janino codegen, C2
+  *     JIT, and parquet-footer/reader startup are paid before timing —
+  *     the timed numbers then measure data-proportional cost, the
+  *     quantity that predicts behavior on a long-lived cluster, instead
+  *     of charging ~2 s of one-time compilation to whichever query runs
+  *     first with a given operator.
+  *   - `clearCache()` between timed queries: any cache a query builds is
+  *     charged to THAT query (built inside its timed run) and cannot
+  *     distort later queries via heap pressure.
+  *   - The JSON line is kept compact (3-decimal seconds) and printed
+  *     last: the driver's log capture keeps a bounded tail, and a
+  *     full-precision 71-query map overflows it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,9 +35,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: exercise scheduler, codegen, and the parquet read path once
+
+    val warmDir = {
+      val w = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (w.isDirectory && w.getPath != sfDir) w.getPath else sfDir
+    }
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    for ((_, fn) <- SparkEntry.queries) {
+      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    }
+    spark.catalog.clearCache()
+
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -31,13 +55,16 @@ object Bench {
         errors ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

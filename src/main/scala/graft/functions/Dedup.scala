@@ -30,20 +30,34 @@ object Dedup {
     val in = ensureParallel(df, fp)
     val keep = in.select(fp.as("_ddk_fp"), col(id).as("_ddk_id"))
       .groupBy("_ddk_fp").agg(min("_ddk_id").as("_ddk_id"))
+    // <=> not ===: md5(null-text) is null, and a null-rejecting join key
+    // would silently DROP the whole null-text group instead of keeping
+    // its min-id row (groupBy above puts nulls in one group, like SQL
+    // GROUP BY — the join must match that group back).
     in.join(keep,
-      fp === col("_ddk_fp") && col(id) === col("_ddk_id"), "left_semi")
+      (fp <=> col("_ddk_fp")) && col(id) === col("_ddk_id"), "left_semi")
   }
 
   /** Unlock parallelism for tiny single-file inputs: hash-repartition on
     * `key` — which callers pass as the expression their downstream
-    * `groupBy` shuffles on, so the exchange is REUSED, not added — when
-    * the scan yields fewer partitions than the session's parallelism.
-    * At corpus scale the file splits already saturate the cluster and
-    * this is skipped — a 1-file local fixture otherwise runs the whole
-    * shingle→hash→partial-agg stage on ONE thread. */
+    * `groupBy` shuffles on, and the target count is the session's
+    * shuffle-partition count, so the exchange satisfies the downstream
+    * aggregation's required distribution and is REUSED, not added — when
+    * the scan would yield fewer partitions than that. At corpus scale
+    * the file splits already saturate the cluster and this is skipped —
+    * a 1-file local fixture otherwise runs the whole
+    * shingle→hash→partial-agg stage on ONE thread.
+    *
+    * The scan width is ESTIMATED from logical-plan byte stats (file
+    * sizes the relation already listed) rather than `df.rdd`, which
+    * would force eager physical planning per call. */
   private def ensureParallel(df: DataFrame, key: Column): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+    val conf = df.sparkSession.sessionState.conf
+    val p = conf.numShufflePartitions
+    val estScanParts =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes /
+        math.max(1L, conf.filesMaxPartitionBytes)).toLong + 1
+    if (estScanParts < p) df.repartition(p, key) else df
   }
 
   /** (doc, shingle) pairs (NOT deduplicated): `n`-token shingles from a

@@ -159,13 +159,24 @@ case class ElementwiseDoubleSumAgg(
 }
 
 object ElementwiseAgg {
-  /** `min` per array position across the group (MinHash signature agg). */
+  /** `min` per array position across the group (MinHash signature agg).
+    *
+    * CONTRACT: a position never populated by any row (all child arrays
+    * null or shorter than `n`) keeps the `Long.MaxValue` identity — the
+    * result is not nullable, so a degenerate group is indistinguishable
+    * from one whose true min is MaxValue. Callers must guarantee ≥1
+    * full-width, non-null array per group ([[Dedup.minhashSignatures]]
+    * does: every row it aggregates is a k-wide [[MinhashHashes]]
+    * output). */
   def elementwiseMin(c: Column, n: Int): Column =
     ColumnBridge.column(
       ElementwiseLongAgg(ColumnBridge.expression(c), n, isMin = true)
         .toAggregateExpression())
 
-  /** `sum` per array position across the group (SimHash bit-vote agg). */
+  /** `sum` per array position across the group (SimHash bit-vote agg).
+    * Never-populated positions keep the `0` identity (see
+    * [[elementwiseMin]]'s contract note — for a sum the identity is the
+    * natural "no contributions" value, so this is benign). */
   def elementwiseSum(c: Column, n: Int): Column =
     ColumnBridge.column(
       ElementwiseLongAgg(ColumnBridge.expression(c), n, isMin = false)

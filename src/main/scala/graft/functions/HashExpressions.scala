@@ -61,6 +61,20 @@ case class MinhashHashes(child: Expression, as: Array[Long], bs: Array[Long], p:
     extends UnaryExpression {
   require(as.length == bs.length && as.nonEmpty, "coefficient arrays must match and be non-empty")
 
+  // Array params compare by reference under case-class equals, which
+  // would make semantically identical instances unequal and defeat
+  // canonicalization / subexpression elimination / exchange reuse.
+  override def equals(o: Any): Boolean = o match {
+    case m: MinhashHashes =>
+      child == m.child && p == m.p &&
+        java.util.Arrays.equals(as, m.as) && java.util.Arrays.equals(bs, m.bs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, java.lang.Long.valueOf(p),
+      Integer.valueOf(java.util.Arrays.hashCode(as)),
+      Integer.valueOf(java.util.Arrays.hashCode(bs)))
+
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 

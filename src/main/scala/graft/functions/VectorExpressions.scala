@@ -182,6 +182,15 @@ case class DotProductConst(child: Expression, vec: Array[Double])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(vec.nonEmpty, "DotProductConst needs a non-empty constant vector")
 
+  // value-based equality over the Array param (see MinhashHashes)
+  override def equals(o: Any): Boolean = o match {
+    case d: DotProductConst => child == d.child && java.util.Arrays.equals(vec, d.vec)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child,
+      Integer.valueOf(java.util.Arrays.hashCode(vec)))
+
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes()
@@ -234,6 +243,16 @@ object DotProductConst {
 case class CosineSimConst(child: Expression, vec: Array[Double], normV: Double)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(vec.nonEmpty, "CosineSimConst needs a non-empty constant vector")
+
+  // value-based equality over the Array param (see MinhashHashes)
+  override def equals(o: Any): Boolean = o match {
+    case c: CosineSimConst =>
+      child == c.child && normV == c.normV && java.util.Arrays.equals(vec, c.vec)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, java.lang.Double.valueOf(normV),
+      Integer.valueOf(java.util.Arrays.hashCode(vec)))
 
   override def dataType: DataType = DoubleType
 
@@ -307,6 +326,19 @@ object CosineSimConst {
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(centroids.nonEmpty, "NearestCentroid needs at least one centroid")
+
+  // value-based (deep) equality over the nested-Array param (see
+  // MinhashHashes)
+  override def equals(o: Any): Boolean = o match {
+    case n: NearestCentroid =>
+      child == n.child &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]], n.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 

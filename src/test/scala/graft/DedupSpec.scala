@@ -28,6 +28,18 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 0L)
   }
 
+  test("dedupKeepRows keeps the min-id row of the null-text group") {
+    val withNulls = Seq(
+      (0L, Option(base)), (1L, Option(base)),       // dup group, keep 0
+      (2L, None: Option[String]), (3L, None)        // null-text group, keep 2
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupKeepRows(withNulls, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    // a null-rejecting join key (=== on md5(text)) would drop BOTH null
+    // rows; SQL GROUP BY semantics (and the DuckDB oracle) keep one
+    assert(kept.sameElements(Array(0L, 2L)))
+  }
+
   test("jaccardPairs scores planted near-dups high, unrelated pairs absent") {
     val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
