@@ -153,13 +153,6 @@ object Similarity {
         case Array(r) => r.getSeq[Double](0).toArray
         case _ => throw new IllegalArgumentException(s"query id $queryId not found")
       }
-    def localCosine(a: Array[Double], b: Array[Double]): Double = {
-      val n = math.min(a.length, b.length)
-      var ab = 0.0; var aa = 0.0; var bb = 0.0
-      var i = 0
-      while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
-      if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
-    }
     val probed: Array[Int] = centMatrix.zipWithIndex
       .map { case (c, i) => (i + 1, localCosine(c, qv)) }
       .sortBy { case (pos, sim) => (-sim, pos) }
@@ -171,6 +164,51 @@ object Similarity {
       .select(col("vid").as(id), cosine(col("v"), qvLit).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(id).asc)
       .limit(k)
+  }
+
+  /** IVF top-k with FIXED seed centroids — the first `nlist` corpus
+    * vectors by id — and ZERO Lloyd iterations. Identical probe/scan
+    * machinery to [[ivfTopK]] (driver-side probe selection, map-side
+    * [[NearestCentroid]] list filter, TakeOrdered — zero corpus
+    * shuffle), but every number is reproducible by an external engine:
+    * no partial-aggregation centroid sums, so the whole pipeline is
+    * oracle-checkable ([[ivfSeededOracleSql]]). The iterative k-means
+    * quantizer remains the quality path and keeps its spec coverage;
+    * this is the deterministic twin the driver's hard signal can
+    * verify. */
+  def ivfSeededTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+                    k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val centMatrix: Array[Array[Double]] =
+      v.orderBy("vid").limit(nlist).collect().map(_.getSeq[Double](1).toArray)
+    require(centMatrix.nonEmpty, "ivfSeededTopK needs a non-empty corpus")
+    val qv: Array[Double] = v.where(col("vid") === queryId)
+      .select(col("v")).collect() match {
+        case Array(r) => r.getSeq[Double](0).toArray
+        case _ => throw new IllegalArgumentException(s"query id $queryId not found")
+      }
+    val probed: Array[Int] = centMatrix.zipWithIndex
+      .map { case (c, i) => (i + 1, localCosine(c, qv)) }
+      .sortBy { case (pos, sim) => (-sim, pos) }
+      .take(nprobe).map(_._1)
+    val qvLit = array(qv.map(lit): _*)
+    v.where(NearestCentroid(col("v"), centMatrix)
+        .isin(probed.map(Integer.valueOf): _*))
+      .where(col("vid") =!= queryId)
+      .select(col("vid").as(id), cosine(col("v"), qvLit).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** The engine's sequential three-accumulator cosine (CosineSim /
+    * NearestCentroid loop shape) on driver-local arrays — used for probe
+    * selection so driver math is bit-identical to executor math. */
+  private def localCosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+    if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
   /** Batch all-pairs near-neighbor candidates via shared LSH bucket —
@@ -240,6 +278,43 @@ object Similarity {
        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
        |WHERE cos_sim >= ${dlit(minCos)}""".stripMargin
   }
+
+  /** Oracle for [[ivfSeededTopK]]: seeds are the first `nlist` rows by
+    * id (row_number over that order = the engine's 1-based centroid
+    * position); assignment is argmax cosine with ties to the LOWER
+    * position (NearestCentroid's strict `>` keeps the earlier centroid);
+    * probe selection is the same (cos desc, pos asc) top-`nprobe`; the
+    * final scan is exact cosine within probed lists. Every cosine uses
+    * the independent-accumulator chain form, so doubles are
+    * bit-identical to the engine's fused loops. */
+  def ivfSeededOracleSql(queryId: Long, k: Int, nlist: Int = 16,
+                         nprobe: Int = 4, dim: Int = 64): String =
+    s"""WITH seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |sim AS (
+       |  SELECT e.vec_id, s.pos, ${cosineSql("e.embedding", "s.ce", dim)} AS cs
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |asg AS (
+       |  SELECT vec_id, pos FROM (
+       |    SELECT vec_id, pos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM sim) WHERE rn = 1),
+       |qsim AS (
+       |  SELECT s.pos, ${cosineSql("s.ce", "q.qe", dim)} AS cs
+       |  FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) q
+       |  CROSS JOIN seeds s),
+       |probe AS (
+       |  SELECT pos FROM (
+       |    SELECT pos, row_number() OVER (ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM qsim) WHERE rn <= $nprobe)
+       |SELECT vec_id, cos_sim FROM (
+       |  SELECT e.vec_id, ${cosineSql("e.embedding", "q.qe", dim)} AS cos_sim
+       |  FROM embeddings e
+       |  JOIN asg ON asg.vec_id = e.vec_id
+       |  CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) q
+       |  WHERE asg.pos IN (SELECT pos FROM probe) AND e.vec_id <> $queryId)
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT $k""".stripMargin
 
   /** Oracle for [[lshTopK]]: same buckets, Hamming ≤ 1 probe, exact
     * cosine, same (cos desc, id asc) tie-break. */

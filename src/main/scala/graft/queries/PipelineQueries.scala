@@ -78,14 +78,16 @@ object PipelineQueries {
   def simLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
 
-  /** IVF approximate top-k. Deliberately rows-only: k-means centroid
-    * sums go through partial aggregation whose floating-point merge
-    * order across shuffle partitions is nondeterministic, so centroid
-    * bits are not reproducible by an external engine. Semantics (probe
-    * recall vs brute force, planted clusters) are spec-verified in
-    * [[graft.SimilaritySpec]]. */
+  /** IVF approximate top-k, oracle-checked via the SEEDED deterministic
+    * quantizer ([[Similarity.ivfSeededTopK]]): fixed seed centroids and
+    * zero Lloyd iterations make every double reproducible by the DuckDB
+    * twin. The iterative k-means path ([[Similarity.ivfTopK]]) is the
+    * quality quantizer — its centroid sums go through partial
+    * aggregation with nondeterministic FP merge order, so it stays
+    * spec-verified (probe recall vs brute force, planted clusters) in
+    * [[graft.SimilaritySpec]] instead. */
   def simIvf(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
+    Similarity.ivfSeededTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
 
   /** Embedding-cosine near-dup pairs via LSH buckets — oracle-checked:
     * the hyperplanes are driver-fixed literals shared with the generated
@@ -239,6 +241,7 @@ object PipelineQueries {
     "q_simhash" -> Dedup.simhashOracleSql,
     "q_sim_neardup" -> Similarity.bucketPairsOracleSql(minCos = 0.3),
     "q_sim_lsh" -> Similarity.lshTopKOracleSql(0L, 10),
+    "q_sim_ivf" -> Similarity.ivfSeededOracleSql(0L, 10),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for

@@ -83,6 +83,29 @@ class BucketedJoinSpec extends SparkSpec {
       s"IVF missed planted neighbors: $ivf")
   }
 
+  test("seeded IVF (zero iterations) recalls planted near neighbors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def noisy() = q.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    // planted near-dups get HIGH ids: seeds are the first nlist ids, and
+    // a near-dup that is itself a seed anchors its own list instead of
+    // quantizing to the query's list
+    val rows =
+      (0L, q.toSeq) +:
+      (1L until 301L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)) ++:
+      (301L to 305L).map(i => (i, noisy().toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.functions.Similarity
+      .ivfSeededTopK(emb, "vec_id", "embedding", 0L, 5, nlist = 8, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    // the noisy near-dups quantize to the query-seed list (seed 0 IS the
+    // query vector), which is always among the probed lists
+    assert((301L to 305L).toSet.intersect(got).size >= 4,
+      s"seeded IVF missed planted neighbors: $got")
+  }
+
   test("IVF survives dropped empty clusters (duplicate seed vectors)") {
     import spark.implicits._
     // init = first k vectors by id; vec 1 duplicates vec 0, so every
