@@ -2,27 +2,47 @@ package graft
 
 import java.util.Locale
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Per-round benchmark main (driver contract): runs every registry query
   * at SPARK_GRAFT_SF_DIR, prints ONE JSON line.
   *
   * Methodology:
-  *   - WARMUP runs every registry query once at the smallest available
-  *     SF (sibling `sf0.001` of the bench dir) so Janino codegen, C2
-  *     JIT, and parquet-footer/reader startup are paid before timing —
-  *     the timed numbers then measure data-proportional cost, the
-  *     quantity that predicts behavior on a long-lived cluster, instead
-  *     of charging ~2 s of one-time compilation to whichever query runs
-  *     first with a given operator.
+  *   - TIMED ACTION is a full-output materialization: a write to Spark's
+  *     `noop` sink, which pulls every output column through the whole
+  *     plan (codegen, expression eval, shuffle) and discards rows at the
+  *     sink. Under a bare `count()` Catalyst prunes unreferenced
+  *     projection expressions, so select-only queries (text stats,
+  *     normalize casts, indicator projections…) were timed as scan+count
+  *     — the noop write measures the compute the query actually claims
+  *     to do, at zero serialization/IO cost.
+  *   - WARMUP runs every registry query once (same noop action) at the
+  *     smallest available SF (sibling `sf0.001` of the bench dir) so
+  *     Janino codegen, C2 JIT, and parquet-footer/reader startup are paid
+  *     before timing — the timed numbers then measure data-proportional
+  *     cost, the quantity that predicts behavior on a long-lived cluster,
+  *     instead of charging ~2 s of one-time compilation to whichever
+  *     query runs first with a given operator. The warmup dir used is
+  *     reported in the JSON line (`"warmup"`), because falling back to
+  *     the full-SF dir silently changes the methodology (every query
+  *     would run twice at full scale → warm page cache).
   *   - `clearCache()` between timed queries: any cache a query builds is
   *     charged to THAT query (built inside its timed run) and cannot
   *     distort later queries via heap pressure.
   *   - The JSON line is kept compact (3-decimal seconds) and printed
   *     last: the driver's log capture keeps a bounded tail, and a
-  *     full-precision 71-query map overflows it.
+  *     full-precision 71-query map overflows it. The printed total is
+  *     the sum of the ROUNDED per-query values, so consumers recomputing
+  *     the total from `queries` get the `value` field exactly.
   */
 object Bench {
+
+  /** Full-output materialization: every column of every row is computed
+    * and handed to the (discarding) noop sink. The shared timing action
+    * for Bench and [[BenchProbe]]. */
+  def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,17 +60,18 @@ object Bench {
       val w = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (w.isDirectory && w.getPath != sfDir) w.getPath else sfDir
     }
+    System.err.println(s"[bench] warmup dir: $warmDir (bench dir: $sfDir)")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     for ((_, fn) <- SparkEntry.queries) {
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+      try materialize(fn(spark, warmDir)) catch { case _: Throwable => }
     }
     spark.catalog.clearCache()
 
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try materialize(fn(spark, sfDir))
       catch { case e: Throwable =>
         errors ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -60,11 +81,14 @@ object Bench {
       name -> sec
     }
     def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    // round-then-sum: the printed total equals the sum of the printed
+    // per-query values (consumers recompute totals from the map)
+    val rounded = results.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    val qs = rounded.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = if (rounded.nonEmpty) rounded.values.sum else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","warmup":"$warmDir","action":"noop-write"}""")
     spark.stop()
   }
 }

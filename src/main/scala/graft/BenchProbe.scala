@@ -1,9 +1,26 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Dev diagnostic: time individual registry queries cold + warm with the
+  * SAME full-materialization action as [[Bench]].
+  *
+  * Usage: `runMain graft.BenchProbe [--cpus=N] q_name [q_name...]`
+  * SF dir comes from SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  * matching Bench.
+  */
 object BenchProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
-    val cpus = args.headOption.getOrElse("32")
+    val (flags, queries) = args.partition(_.startsWith("--"))
+    val cpus = flags.collectFirst { case f if f.startsWith("--cpus=") => f.stripPrefix("--cpus=") }
+      .getOrElse("32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val unknown = queries.filterNot(SparkEntry.queries.contains)
+    if (queries.isEmpty || unknown.nonEmpty) {
+      System.err.println(
+        s"usage: BenchProbe [--cpus=N] q_name...  (unknown: ${unknown.mkString(",")})")
+      sys.exit(if (queries.isEmpty) 0 else 1)
+    }
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions())
       .master(s"local[$cpus]")
@@ -15,13 +32,15 @@ object BenchProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    for (q <- args.drop(1)) {
+    for (q <- queries) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, sfDir).count()
-      println(f"PROBE $q ${(System.nanoTime()-t0)/1e9}%.2f s")
+      Bench.materialize(SparkEntry.queries(q)(spark, sfDir))
+      println(f"PROBE $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
       val t1 = System.nanoTime()
-      SparkEntry.queries(q)(spark, sfDir).count()
-      println(f"PROBE-warm $q ${(System.nanoTime()-t1)/1e9}%.2f s")
+      Bench.materialize(SparkEntry.queries(q)(spark, sfDir))
+      println(f"PROBE-warm $q ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
