@@ -54,10 +54,14 @@ object Dedup {
   private def ensureParallel(df: DataFrame, key: Column): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val p = conf.numShufflePartitions
-    val estScanParts =
-      (df.queryExecution.optimizedPlan.stats.sizeInBytes /
-        math.max(1L, conf.filesMaxPartitionBytes)).toLong + 1
-    if (estScanParts < p) df.repartition(p, key) else df
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // stats >= defaultSizeInBytes means UNKNOWN (non-file relations
+    // default there), not "huge": fall back to repartitioning — the
+    // exchange is reused by the downstream aggregation either way,
+    // whereas skipping it can leave the whole stage single-threaded
+    val statsUnknown = size >= BigInt(conf.defaultSizeInBytes)
+    val estScanParts = (size / math.max(1L, conf.filesMaxPartitionBytes)).toLong + 1
+    if (statsUnknown || estScanParts < p) df.repartition(p, key) else df
   }
 
   /** (doc, shingle) pairs (NOT deduplicated): `n`-token shingles from a
@@ -228,6 +232,84 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair set: pairs → dup GROUPS,
+    * the form a training-data pipeline actually consumes (keep one
+    * representative per component, drop the rest). Emits
+    * (doc_id, component_rep) for every doc appearing in ≥1 pair, where
+    * component_rep is the minimum doc id in the component — docs in no
+    * pair are their own trivial component and need no row.
+    *
+    * Algorithm: iterative min-label propagation. Each round every vertex
+    * takes the min of its own label and its neighbors' labels — two
+    * hash-shuffles per round (one join edges⋈labels, one groupBy vertex),
+    * both on vertex ids, converging in O(graph diameter) rounds. Near-dup
+    * components are cliques or near-cliques (every member collided with
+    * the rep in some LSH band), so the diameter is 1–2 and the loop
+    * terminates in 2–3 rounds regardless of corpus size; the
+    * driver-sequenced loop per round is O(1) metadata (a counter), never
+    * data. For adversarially CHAIN-shaped graphs (diameter ~n, not a
+    * near-dup shape) the O(log n)-round large-star/small-star algorithm
+    * is the drop-in upgrade — same two-shuffle round structure.
+    *
+    * Lineage: each round's labels are `localCheckpoint`ed — the round
+    * reads the previous round's labels TWICE (join side + neighbor-min
+    * side), so without plan truncation the logical plan DOUBLES per
+    * round and the analyzer stack-overflows near round ~12; a cache
+    * materializes data but leaves the logical plan growing, while the
+    * checkpoint replaces it with a flat LogicalRDD (the standard
+    * iterative-graph fix — GraphFrames does the same). Old rounds'
+    * blocks are dropped by the context cleaner when their RDD is
+    * GC-unreachable. Throws if not converged in `maxIters` (never
+    * returns silently-wrong components).
+    */
+  def connectedComponents(pairs: DataFrame, a: String = "doc_a",
+                          b: String = "doc_b", maxIters: Int = 50): DataFrame = {
+    // symmetric edge set: min-label must flow both ways across a pair.
+    // Built by exploding both directions from ONE scan — a self-union
+    // would compute the upstream pair pipeline (at minhash cost) twice.
+    val edges = pairs.select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var changes = -1L
+    while (changes != 0 && iter < maxIters) {
+      // every id has ≥1 neighbor (it came from the symmetric edge set),
+      // so the inner join keeps every vertex
+      val nbrMin = edges
+        .join(labels.select(col("id").as("_cc_dst"), col("comp").as("_cc_comp")),
+          col("dst") === col("_cc_dst"))
+        .groupBy(col("src")).agg(min(col("_cc_comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"))
+        .select(labels("id"), least(col("comp"), col("nbr_comp")).as("comp"),
+          (col("nbr_comp") < col("comp")).as("_changed"))
+        .localCheckpoint() // eager: materializes AND flattens the plan
+      changes = next.where(col("_changed")).count()
+      labels = next.select(col("id"), col("comp"))
+      iter += 1
+    }
+    edges.unpersist()
+    if (changes != 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "the pair graph has a chain-shaped component far longer than any " +
+          "near-dup structure; use a large-star/small-star formulation")
+    labels.select(col("id").as("doc_id"), col("comp").as("component_rep"))
+  }
+
+  /** End-to-end near-dup grouping: MinHash+LSH pairs → connected
+    * components. The missing link between pair output and the
+    * keep-one-rep-per-group decision a 100 TB dedup pass executes. */
+  def dedupGroups(df: DataFrame, id: String, text: String,
+                  shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                  threshold: Double = 0.5): DataFrame =
+    connectedComponents(minhashPairs(df, id, text, shingleN, k, bands, threshold))
+
   /** SimHash bit width: 60 (not 64) so the packed value and every bit of
     * the md5-derived token hash stay strictly below 2⁶⁰ — non-negative
     * signed-int64 in both engines, making the hash oracle-checkable.
@@ -291,6 +373,24 @@ object Dedup {
        |        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
        |        GROUP BY 1, 2)
        |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= $threshold""".stripMargin
+  }
+
+  /** Oracle for [[dedupGroups]]: the minhash-pair twin wrapped in a
+    * recursive transitive-closure CTE — `walk` enumerates every label
+    * reachable from each vertex over the symmetric edge set, so
+    * `min(comp)` per vertex is exactly the component minimum the
+    * engine's min-label propagation converges to. */
+  def dedupGroupsOracleSql(shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                           threshold: Double = 0.5, seed: Long = 42L): String = {
+    val pairsSql = minhashPairsOracleSql(shingleN, k, bands, threshold, seed)
+    s"""WITH RECURSIVE pairs AS (SELECT * FROM ($pairsSql) q),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |walk(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id)
+       |SELECT id AS doc_id, min(comp) AS component_rep FROM walk GROUP BY id""".stripMargin
   }
 
   /** Oracle for [[simhash]]: same lowercase tokenization, same 60-bit md5

@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Embedding width the generated oracle twins unroll (element_at
+    * chains in [[lshTopKOracleSql]]/[[ivfSeededOracleSql]]/
+    * [[bucketPairsOracleSql]]). The ENGINE adapts to each row's actual
+    * width, so a corpus at any other width would make the oracle — and
+    * only the oracle — silently wrong; callers claiming oracle parity
+    * must guard the input with [[requireWidth]]. */
+  val OracleDim: Int = 64
+
+  /** Pass-through that fails loudly on any row whose vector width is not
+    * `dim` — the guard that keeps the engine and the dim-unrolled oracle
+    * SQL honest with each other. Cheap (one size() branch per row). */
+  def requireWidth(vec: Column, dim: Int = OracleDim): Column =
+    when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"embedding width != $dim (oracle twins unroll $dim-wide chains): got "),
+      size(vec).cast("string"))))
+
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
   /** Σ aᵢ·bᵢ via zip_with + aggregate higher-order functions — the
@@ -129,6 +145,51 @@ object Similarity {
     kmeansLocalCentroids(emb, id, vec, k, iters)
       .map { case (cid, c) => (cid, c.toSeq) }.toSeq
       .toDF("centroid_id", "centroid")
+  }
+
+  /** Deterministic-fold Lloyd iterations: identical
+    * assignment/update/empty-cluster semantics to
+    * [[kmeansLocalCentroids]], but each cluster's per-dim sum is a
+    * SEQUENTIAL left fold over members in id order (collect the
+    * cluster's member vectors, sort by id, fold first→last) — every
+    * output double is then reproducible by an external engine with an
+    * ordered-fold primitive (DuckDB: `list(x ORDER BY id)` +
+    * `list_reduce`), which unlocks a full oracle for the ITERATIVE IVF
+    * path ([[ivfIterOracleSql]]), not just the seeded twin. TEST-SCALE
+    * ONLY: the per-cluster collect_list buffers whole clusters in one
+    * aggregation buffer and the fold is an interpreted HOF;
+    * [[kmeansLocalCentroids]]'s partial-agg sums stay the production
+    * quantizer (order-free merge, bounded buffers), with FP merge order
+    * the documented price of that scalability. */
+  def kmeansDeterministicLocalCentroids(emb: DataFrame, id: String, vec: String,
+                                        k: Int, iters: Int): Array[(Int, Array[Double])] = {
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    var cents: Array[(Int, Array[Double])] =
+      v.orderBy("vid").limit(k).collect().zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getSeq[Double](1).toArray)
+      }
+    require(cents.nonEmpty, "kmeans needs a non-empty corpus")
+    for (_ <- 1 to iters) {
+      cents = v
+        .select(NearestCentroid(col("v"), cents.map(_._2)).as("cid"), col("vid"), col("v"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("vid"), col("v")))).as("ms"),
+          count(lit(1)).as("n"))
+        // left fold seeded with the FIRST member (not zeros): matches
+        // DuckDB list_reduce, and avoids the 0.0 + (-0.0) sign edge
+        .select(col("cid"),
+          aggregate(slice(col("ms"), 2, size(col("ms")) - 1),
+            col("ms").getItem(0).getField("v"),
+            (acc, m) => zip_with(acc, m.getField("v"), _ + _)).as("s"),
+          col("n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          (r.getInt(0), r.getSeq[Double](1).map(_ / n).toArray)
+        }
+        .sortBy(_._1)
+    }
+    cents
   }
 
   /** IVF approximate top-k: coarse-quantize the corpus into `nlist`

@@ -68,32 +68,50 @@ object Ewma {
       }(enc)
   }
 
+  /** Default per-key row bound for [[EwmaAgg]]: 16 bytes × 2²² ≈ 67 MB
+    * of unspillable buffer per key — loud failure well before an
+    * executor-level OOM. */
+  val EwmaAggMaxRowsPerKey: Long = 1L << 22
+
   /** Final-EMA-per-key typed aggregator. Buffers (ord, value) pairs and
     * sorts at reduce boundaries, so it is correct under Spark's partial
     * aggregation (merge of unordered partials).
     *
-    * MEMORY BOUND: the buffer is the key's ENTIRE (ord, value) series —
-    * O(16 bytes × rows-per-key) on one executor, ~160 MB at 10⁷
-    * rows/key. That is the price of order-correct merging inside an
-    * unordered aggregate; it does not spill. Use this form for
-    * many-keys/short-series shapes (daily bars per symbol); for giant
-    * single-key series use [[perRow]], whose state is O(1) per key and
-    * whose sort is Spark's own spillable partition sort — the numbers
-    * agree exactly ([[graft.IndicatorsSpec]] long-series property).
+    * MEMORY BOUND — ENFORCED: the buffer is the key's ENTIRE (ord, value)
+    * series (O(16 bytes × rows-per-key) on one executor; it does not
+    * spill — the price of order-correct merging inside an unordered
+    * aggregate). The aggregator counts buffered rows (O(1), carried in
+    * the buffer) and THROWS with a clear message once a key exceeds
+    * `maxRowsPerKey` (default [[EwmaAggMaxRowsPerKey]] ≈ 4.2M rows
+    * ≈ 67 MB) instead of letting a giant key take down the executor.
+    * Use this form for many-keys/short-series shapes (daily bars per
+    * symbol); for giant single-key series use [[perRow]], whose state is
+    * O(1) per key and whose sort is Spark's own spillable partition
+    * sort — the numbers agree exactly ([[graft.IndicatorsSpec]]
+    * long-series property).
     */
-  class EwmaAgg(alpha: Double)
-      extends Aggregator[(Long, Double), List[(Long, Double)], Double] {
-    override def zero: List[(Long, Double)] = Nil
-    override def reduce(b: List[(Long, Double)], a: (Long, Double)) = a :: b
-    override def merge(b1: List[(Long, Double)], b2: List[(Long, Double)]) = b1 ::: b2
-    override def finish(b: List[(Long, Double)]): Double = {
-      val it = fold(alpha)(b.sortBy(_._1).iterator.map(_._2))
+  class EwmaAgg(alpha: Double, maxRowsPerKey: Long = EwmaAggMaxRowsPerKey)
+      extends Aggregator[(Long, Double), (Long, List[(Long, Double)]), Double] {
+    private def check(n: Long): Long = {
+      if (n > maxRowsPerKey) throw new IllegalStateException(
+        s"EwmaAgg buffered $n rows for one key (bound $maxRowsPerKey): the " +
+          "buffer is unspillable — use Ewma.perRow (O(1) state, spillable " +
+          "sort) for long single-key series, or raise maxRowsPerKey")
+      n
+    }
+    override def zero: (Long, List[(Long, Double)]) = (0L, Nil)
+    override def reduce(b: (Long, List[(Long, Double)]), a: (Long, Double)) =
+      (check(b._1 + 1), a :: b._2)
+    override def merge(b1: (Long, List[(Long, Double)]), b2: (Long, List[(Long, Double)])) =
+      (check(b1._1 + b2._1), b1._2 ::: b2._2)
+    override def finish(b: (Long, List[(Long, Double)])): Double = {
+      val it = fold(alpha)(b._2.sortBy(_._1).iterator.map(_._2))
       var last = Double.NaN
       while (it.hasNext) last = it.next()
       last
     }
     override def bufferEncoder =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Double)]]()
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, List[(Long, Double)])]()
     override def outputEncoder = Encoders.scalaDouble
   }
 }

@@ -72,11 +72,28 @@ object PipelineQueries {
   def simhashes(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(documents(s, d), "doc_id", "text")
 
+  /** Pairs → groups: connected components over the minhash pair output —
+    * (doc_id, component_rep) per near-dup doc, the keep-one-rep decision
+    * a real dedup pass executes. Oracle: recursive transitive-closure
+    * CTE over the same generated pair SQL. */
+  def dedupGroups(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupGroups(documents(s, d), "doc_id", "text")
+
   def simTopK(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** Embeddings with the oracle-parity width guard: the generated
+    * lsh/ivf/near-dup oracle SQL unrolls [[Similarity.OracleDim]]-wide
+    * element chains while the engine adapts to each row's width — any
+    * other corpus width fails loudly here instead of silently diverging
+    * in the oracle only. (q_sim_topk's oracle unnests dynamically and
+    * needs no guard.) */
+  private def embChecked(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).withColumn("embedding",
+      Similarity.requireWidth(col("embedding")))
+
   def simLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
+    Similarity.lshTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
   /** IVF approximate top-k, oracle-checked via the SEEDED deterministic
     * quantizer ([[Similarity.ivfSeededTopK]]): fixed seed centroids and
@@ -87,7 +104,7 @@ object PipelineQueries {
     * spec-verified (probe recall vs brute force, planted clusters) in
     * [[graft.SimilaritySpec]] instead. */
   def simIvf(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfSeededTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
+    Similarity.ivfSeededTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
   /** Embedding-cosine near-dup pairs via LSH buckets — oracle-checked:
     * the hyperplanes are driver-fixed literals shared with the generated
@@ -96,7 +113,26 @@ object PipelineQueries {
     // threshold 0.3 (not the 0.8 operator default): the synthetic
     // embeddings have no true near-dups (max same-bucket cosine ≈ 0.40),
     // so a high threshold would make this a vacuous always-empty check
-    Similarity.bucketPairs(embeddings(s, d), "vec_id", "embedding", minCos = 0.3)
+    Similarity.bucketPairs(embChecked(s, d), "vec_id", "embedding", minCos = 0.3)
+
+  /** Frame sampling surfaced through a hex projection: the operator's
+    * output column is the raw frame BLOB (a byte slice per
+    * (video, frame_idx)); the registry projects it to hex so the driver
+    * comparator sees a plain string. The DuckDB twin slices
+    * hex(encode(text)) at 2 chars/byte — byte-identical frames iff the
+    * hex strings match. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"), n = 4)
+      .select(col("media_id"), col("frame_idx"),
+        hex(col("frame")).as("frame_hex"))
+
+  /** Resize metadata: aspect-preserving target dimensions — double
+    * scale factor and HALF_UP rounding are IEEE-identical in DuckDB
+    * (positive halves round away from zero in both engines). */
+  def multimodalResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeMeta(
+      Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"), maxSide = 512)
 
   /** The end-to-end training-data-prep shape the individual operators
     * exist for: exact dedup (keep min-id rows) → quality filter → token
@@ -134,6 +170,7 @@ object PipelineQueries {
     "q_dedup_keep"     -> (dedupKeep _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
     "q_minhash_pairs"  -> (minhashPairs _),
+    "q_dedup_groups"   -> (dedupGroups _),
     "q_simhash"        -> (simhashes _),
     "q_sim_topk"       -> (simTopK _),
     "q_sim_lsh"        -> (simLsh _),
@@ -141,6 +178,8 @@ object PipelineQueries {
     "q_sim_ivf"        -> (simIvf _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _),
+    "q_multimodal_frames" -> (multimodalFrames _),
+    "q_multimodal_resize" -> (multimodalResize _),
     "q_pipeline_clean"  -> (pipelineClean _))
 
   // plain (non-interpolated) string: the regex end-anchor $ needs no
@@ -238,6 +277,7 @@ object PipelineQueries {
         |  CAST(length(replace(text, ' ', '')) * 17 % 1080 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
+    "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_simhash" -> Dedup.simhashOracleSql,
     "q_sim_neardup" -> Similarity.bucketPairsOracleSql(minCos = 0.3),
     "q_sim_lsh" -> Similarity.lshTopKOracleSql(0L, 10),
@@ -262,6 +302,36 @@ object PipelineQueries {
         |SELECT a.media_id, a.media_type, a.pos, COALESCE(s.feat_sum, 0) AS feat_sum
         |FROM allpos a LEFT JOIN sums s
         |  ON a.media_id = s.media_id AND a.pos = s.pos""".stripMargin,
+    // frame slicing replayed on hex(encode(text)) at 2 chars/byte: the
+    // engine's span is the same IEEE double (len/4), starts/lengths the
+    // same floor-truncated ints, and hex is uppercase in both engines —
+    // frame bytes match iff the hex slices match
+    "q_multimodal_frames" ->
+      """WITH med AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |  octet_length(encode(text)) AS len
+        |FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, h, len, CAST(unnest(range(4)) AS INTEGER) AS frame_idx FROM med),
+        |c AS (SELECT media_id, frame_idx, h,
+        |  greatest(len / 4, CAST(1 AS DOUBLE)) AS span FROM f)
+        |SELECT media_id, frame_idx,
+        |  substr(h, 2 * CAST(floor(frame_idx * span + 1) AS INTEGER) - 1,
+        |         2 * CAST(floor(span) AS INTEGER)) AS frame_hex
+        |FROM c""".stripMargin,
+    // scale factor and rounding are engine-identical: 512/maxdim is one
+    // IEEE double division, and positive exact-half doubles round AWAY
+    // FROM ZERO in both engines (Spark HALF_UP, DuckDB round())
+    "q_multimodal_resize" ->
+      """WITH med AS (SELECT doc_id AS media_id,
+        |  CAST(length(text) * 37 % 1920 + 1 AS INTEGER) AS width,
+        |  CAST(length(replace(text, ' ', '')) * 17 % 1080 + 1 AS INTEGER) AS height
+        |FROM documents),
+        |sc AS (SELECT media_id, width, height,
+        |  least(512 / CAST(greatest(width, height) AS DOUBLE), CAST(1 AS DOUBLE)) AS scale
+        |FROM med)
+        |SELECT media_id, width, height,
+        |  greatest(1, CAST(round(width * scale) AS INTEGER)) AS out_width,
+        |  greatest(1, CAST(round(height * scale) AS INTEGER)) AS out_height
+        |FROM sc""".stripMargin,
     "q_pipeline_clean" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
          |             GROUP BY md5(lower(text))),

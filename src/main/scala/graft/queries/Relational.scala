@@ -122,6 +122,25 @@ object Relational {
         sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** The flagship join over PRE-BUCKETED fact tables: identical plan
+    * shape to [[joinRevenuePerNation]], but `lineitem ⋈ orders` reads
+    * bucket-aligned lake tables (both bucketed on the order key), so the
+    * fact-fact sort-merge join runs with ZERO Exchange below the final
+    * groupBy — the write-once/join-often strategy a 100 TB lake uses for
+    * its biggest recurring join. Dims still broadcast.
+    * [[graft.BucketedJoinSpec]] asserts the no-Exchange plan and value
+    * equality with the unbucketed flagship query. */
+  def joinRevenuePerNationBucketed(s: SparkSession, d: String,
+      lineitemTbl: String = "lineitem_b", ordersTbl: String = "orders_b"): DataFrame =
+    s.table(lineitemTbl)
+      .join(s.table(ordersTbl), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** Equi full-outer join with USING-style coalesced key (util.py:97 —
     * engine keys on the full join key, fixing the reference's
     * join-on-date-only latent bug documented in SURVEY §2.3). */

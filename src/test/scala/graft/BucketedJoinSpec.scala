@@ -53,6 +53,28 @@ class BucketedJoinSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(got == expect)
+
+      // the FLAGSHIP query over the same bucketed tables: fact-fact SMJ
+      // with zero Exchange below the final groupBy, dims broadcast
+      val flagship = queries.Relational.joinRevenuePerNationBucketed(s, sf0001)
+      val fPlan = flagship.queryExecution.executedPlan.toString
+      val fJoin = fPlan.split("SortMergeJoin")(1)
+      assert(!fJoin.contains("Exchange hashpartitioning(l_orderkey") &&
+        !fJoin.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed flagship join still shuffles the facts:\n$fPlan")
+      assert(fPlan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$fPlan")
+      val fGot = flagship.collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val fExpect = queries.Relational.joinRevenuePerNation(s, sf0001).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      // FP tolerance: the two plans merge partial double sums in
+      // different orders (bucketed vs scan-split partials)
+      assert(fGot.keySet == fExpect.keySet)
+      fGot.foreach { case (k, (rev, n)) =>
+        assert(n == fExpect(k)._2)
+        assert(math.abs(rev - fExpect(k)._1) <= 1e-6 * math.max(1.0, math.abs(rev)),
+          s"$k revenue $rev vs ${fExpect(k)._1}")
+      }
     } finally {
       if (s != null) {
         s.sql("DROP TABLE IF EXISTS orders_b")

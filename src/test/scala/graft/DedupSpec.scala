@@ -67,6 +67,38 @@ class DedupSpec extends SparkSpec {
     assert(ham(0L, 3L) > 12)       // unrelated -> far
   }
 
+  test("connectedComponents: min-label propagation finds planted components") {
+    // component {1,2,3} as a CHAIN (1-2, 2-3: needs 2 propagation rounds),
+    // component {5,6} as a single pair, 7-8-9 as a triangle clique
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L)
+    ).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain and throws past maxIters") {
+    // a 12-vertex path: diameter 11, worst case for min-label propagation
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 12 && comps.values.forall(_ == 0L))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 3).collect()
+    }
+  }
+
+  test("dedupGroups groups exact+near dups into one component") {
+    val g = Dedup.dedupGroups(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0,1,2 are one near-dup component (rep = 0); 3 and 4 share no
+    // shingles with anything -> no pair -> no row
+    assert(g == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("minhash est_jaccard approximates exact jaccard on fixture corpus") {
     val docs = Tables.documents(spark, sf0001)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 5)

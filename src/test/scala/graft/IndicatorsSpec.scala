@@ -102,6 +102,28 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(got("K") - expect) < 1e-9)
   }
 
+  test("EwmaAgg throws past its per-key buffer bound instead of OOMing") {
+    import graft.operators.Ewma.EwmaAgg
+    val agg = new EwmaAgg(0.1, maxRowsPerKey = 1000).toColumn.name("ema_final")
+    val ds = (1 to 1500).map(i => ("K", i.toLong, i.toDouble))
+      .toDF("sym", "t", "x").repartition(4)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3)).agg(agg)
+    val ex = intercept[Exception] { ds.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("unspillable")),
+      s"expected the EwmaAgg bound message, got: ${messages(ex)}")
+    // under the bound, same pipeline is fine
+    val ok = new EwmaAgg(0.1, maxRowsPerKey = 2000).toColumn.name("ema_final")
+    val got = (1 to 1500).map(i => ("K", i.toLong, i.toDouble))
+      .toDF("sym", "t", "x").repartition(4)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3)).agg(ok)
+      .collect().toMap
+    assert(got.contains("K"))
+  }
+
   test("closed-form EMA raises past its documented overflow bound") {
     val n = 2 // alpha = 2/3, bound ≈ 632 rows
     val bound = Indicators.emaClosedFormRowBound(n)
