@@ -26,8 +26,10 @@ object ExplainAudit {
       "q_minhash_pairs",  // expect fused MinhashHashes project + ONE
                           //   ObjectHashAggregate pair (partial+final) +
                           //   bucket aggregation (no self-join)
-      "q_sim_ivf")        // expect map-side NearestCentroid filter +
+      "q_sim_ivf",        // expect map-side NearestCentroid filter +
                           //   TakeOrderedAndProject, zero exchanges
+      "q_dedup_groups")   // expect bucket-agg pair gen + per-round
+                          //   LogicalRDD (flat checkpointed lineage)
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

@@ -178,7 +178,7 @@ object Similarity {
         // left fold seeded with the FIRST member (not zeros): matches
         // DuckDB list_reduce, and avoids the 0.0 + (-0.0) sign edge
         .select(col("cid"),
-          aggregate(slice(col("ms"), 2, size(col("ms")) - 1),
+          aggregate(slice(col("ms"), lit(2), size(col("ms")) - 1),
             col("ms").getItem(0).getField("v"),
             (acc, m) => zip_with(acc, m.getField("v"), _ + _)).as("s"),
           col("n"))
@@ -209,6 +209,37 @@ object Similarity {
     // positions into the array it is given, so mixing the two id spaces
     // would silently probe the wrong lists.
     val centMatrix: Array[Array[Double]] = kmeansLocalCentroids(emb, id, vec, nlist, iters).map(_._2)
+    val qv: Array[Double] = v.where(col("vid") === queryId)
+      .select(col("v")).collect() match {
+        case Array(r) => r.getSeq[Double](0).toArray
+        case _ => throw new IllegalArgumentException(s"query id $queryId not found")
+      }
+    val probed: Array[Int] = centMatrix.zipWithIndex
+      .map { case (c, i) => (i + 1, localCosine(c, qv)) }
+      .sortBy { case (pos, sim) => (-sim, pos) }
+      .take(nprobe).map(_._1)
+    val qvLit = array(qv.map(lit): _*)
+    v.where(NearestCentroid(col("v"), centMatrix)
+        .isin(probed.map(Integer.valueOf): _*))
+      .where(col("vid") =!= queryId)
+      .select(col("vid").as(id), cosine(col("v"), qvLit).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** [[ivfTopK]] with the DETERMINISTIC-FOLD quantizer
+    * ([[kmeansDeterministicLocalCentroids]]): real Lloyd iterations AND
+    * full oracle-checkability — every centroid double is an ordered
+    * left fold an external engine replays exactly
+    * ([[ivfIterOracleSql]]). Probe/scan machinery is identical to
+    * [[ivfTopK]] (driver probe selection, map-side [[NearestCentroid]]
+    * filter, TakeOrdered, zero corpus shuffle). */
+  def ivfIterTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+                  k: Int, nlist: Int = 16, nprobe: Int = 4,
+                  iters: Int = 2): DataFrame = {
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val centMatrix: Array[Array[Double]] =
+      kmeansDeterministicLocalCentroids(emb, id, vec, nlist, iters).map(_._2)
     val qv: Array[Double] = v.where(col("vid") === queryId)
       .select(col("v")).collect() match {
         case Array(r) => r.getSeq[Double](0).toArray
@@ -376,6 +407,67 @@ object Similarity {
        |  CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) q
        |  WHERE asg.pos IN (SELECT pos FROM probe) AND e.vec_id <> $queryId)
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT $k""".stripMargin
+
+  /** Oracle for [[ivfIterTopK]]: the Lloyd loop UNROLLED as one CTE
+    * chain per iteration — assignment by the same argmax-cosine (ties to
+    * the lower position), centroid update as `list(ev ORDER BY vec_id)`
+    * + per-dim `list_reduce` left folds (bit-identical to the engine's
+    * sorted sequential fold, seeded with the first member), positions
+    * re-ranked by cid so empty clusters collapse exactly like the
+    * engine's sortBy+position reindex. Probe/final phases mirror
+    * [[ivfSeededOracleSql]] against the LAST iteration's centroids. */
+  def ivfIterOracleSql(queryId: Long, k: Int, nlist: Int = 16,
+                       nprobe: Int = 4, iters: Int = 2,
+                       dim: Int = OracleDim): String = {
+    // centroid per-dim ordered fold: [Σ_fold m[1], …, Σ_fold m[dim]] / n
+    val foldList = (1 to dim)
+      .map(d => s"list_reduce(list_transform(ms, m -> m[$d]), (x, y) -> x + y) / n")
+      .mkString("[", ", ", "]")
+    val iterCtes = (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.vec_id, c.pos, ${cosineSql("e.ev", "c.ce", dim)} AS cs
+         |  FROM e CROSS JOIN c${i - 1} c),
+         |a$i AS (
+         |  SELECT vec_id, pos FROM (
+         |    SELECT vec_id, pos,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+         |    FROM s$i) WHERE rn = 1),
+         |g$i AS (
+         |  SELECT a.pos AS cid, list(e.ev ORDER BY e.vec_id) AS ms, count(*) AS n
+         |  FROM a$i a JOIN e ON a.vec_id = e.vec_id GROUP BY a.pos),
+         |c$i AS (
+         |  SELECT row_number() OVER (ORDER BY cid) AS pos, $foldList AS ce
+         |  FROM g$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, ev AS ce
+       |  FROM (SELECT vec_id, ev FROM e ORDER BY vec_id LIMIT $nlist)),
+       |$iterCtes,
+       |qv AS (SELECT ev AS qe FROM e WHERE vec_id = $queryId),
+       |fs AS (
+       |  SELECT e.vec_id, c.pos, ${cosineSql("e.ev", "c.ce", dim)} AS cs
+       |  FROM e CROSS JOIN c$iters c),
+       |fasg AS (
+       |  SELECT vec_id, pos FROM (
+       |    SELECT vec_id, pos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM fs) WHERE rn = 1),
+       |qsim AS (
+       |  SELECT c.pos, ${cosineSql("c.ce", "qv.qe", dim)} AS cs
+       |  FROM c$iters c CROSS JOIN qv),
+       |probe AS (
+       |  SELECT pos FROM (
+       |    SELECT pos, row_number() OVER (ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM qsim) WHERE rn <= $nprobe)
+       |SELECT vec_id, cos_sim FROM (
+       |  SELECT e.vec_id, ${cosineSql("e.ev", "qv.qe", dim)} AS cos_sim
+       |  FROM e JOIN fasg ON fasg.vec_id = e.vec_id CROSS JOIN qv
+       |  WHERE fasg.pos IN (SELECT pos FROM probe) AND e.vec_id <> $queryId)
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
 
   /** Oracle for [[lshTopK]]: same buckets, Hamming ≤ 1 probe, exact
     * cosine, same (cos desc, id asc) tie-break. */

@@ -106,6 +106,15 @@ object PipelineQueries {
   def simIvf(s: SparkSession, d: String): DataFrame =
     Similarity.ivfSeededTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** ITERATIVE IVF with the deterministic-fold quantizer — real Lloyd
+    * iterations, fully oracle-checked (the r3 verdict's stretch item):
+    * ordered sequential centroid folds make every double reproducible by
+    * DuckDB's `list(ORDER BY)` + `list_reduce`, closing the "iterative
+    * k-means is not oracle-reproducible" gap that previously limited the
+    * oracle to the seeded twin. */
+  def simIvfIter(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfIterTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
+
   /** Embedding-cosine near-dup pairs via LSH buckets — oracle-checked:
     * the hyperplanes are driver-fixed literals shared with the generated
     * DuckDB SQL ([[Similarity.bucketPairsOracleSql]]). */
@@ -176,6 +185,7 @@ object PipelineQueries {
     "q_sim_lsh"        -> (simLsh _),
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
+    "q_sim_ivf_iter"   -> (simIvfIter _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -282,6 +292,7 @@ object PipelineQueries {
     "q_sim_neardup" -> Similarity.bucketPairsOracleSql(minCos = 0.3),
     "q_sim_lsh" -> Similarity.lshTopKOracleSql(0L, 10),
     "q_sim_ivf" -> Similarity.ivfSeededOracleSql(0L, 10),
+    "q_sim_ivf_iter" -> Similarity.ivfIterOracleSql(0L, 10),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for

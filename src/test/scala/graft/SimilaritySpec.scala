@@ -47,6 +47,41 @@ class SimilaritySpec extends SparkSpec {
       s"planted neighbors missed: got $approx")
   }
 
+  test("deterministic-fold centroids track the partial-agg quantizer") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val emb = (0L until 120L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val det = Similarity.kmeansDeterministicLocalCentroids(emb, "vec_id", "embedding", 6, 2)
+    val agg = Similarity.kmeansLocalCentroids(emb, "vec_id", "embedding", 6, 2)
+    // identical run-to-run (the whole point) …
+    val det2 = Similarity.kmeansDeterministicLocalCentroids(emb, "vec_id", "embedding", 6, 2)
+    assert(det.map(_._2.toSeq).toSeq == det2.map(_._2.toSeq).toSeq)
+    // … and numerically the same quantizer as the partial-agg path
+    // (same assignments; only the FP summation order differs)
+    assert(det.length == agg.length)
+    det.zip(agg).foreach { case ((_, cd), (_, ca)) =>
+      cd.zip(ca).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("ivfIterTopK recalls planted near neighbors") {
+    val rnd = new scala.util.Random(29)
+    val dim = 32
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def noisy() = q.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val rows =
+      (0L, q.toSeq) +:
+      (1L until 301L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)) ++:
+      (301L to 305L).map(i => (i, noisy().toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.ivfIterTopK(emb, "vec_id", "embedding", 0L, 5,
+      nlist = 8, nprobe = 3, iters = 2).collect().map(_.getLong(0)).toSet
+    assert((301L to 305L).toSet.intersect(got).size >= 4,
+      s"iterative IVF missed planted neighbors: $got")
+  }
+
   test("bucketPairs only emits pairs above the cosine floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Similarity.bucketPairs(emb, "vec_id", "embedding", minCos = 0.5)
