@@ -38,31 +38,13 @@ object Dedup {
       (fp <=> col("_ddk_fp")) && col(id) === col("_ddk_id"), "left_semi")
   }
 
-  /** Unlock parallelism for tiny single-file inputs: hash-repartition on
-    * `key` — which callers pass as the expression their downstream
-    * `groupBy` shuffles on, and the target count is the session's
-    * shuffle-partition count, so the exchange satisfies the downstream
-    * aggregation's required distribution and is REUSED, not added — when
-    * the scan would yield fewer partitions than that. At corpus scale
-    * the file splits already saturate the cluster and this is skipped —
-    * a 1-file local fixture otherwise runs the whole
-    * shingle→hash→partial-agg stage on ONE thread.
-    *
-    * The scan width is ESTIMATED from logical-plan byte stats (file
-    * sizes the relation already listed) rather than `df.rdd`, which
-    * would force eager physical planning per call. */
-  private def ensureParallel(df: DataFrame, key: Column): DataFrame = {
-    val conf = df.sparkSession.sessionState.conf
-    val p = conf.numShufflePartitions
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // stats >= defaultSizeInBytes means UNKNOWN (non-file relations
-    // default there), not "huge": fall back to repartitioning — the
-    // exchange is reused by the downstream aggregation either way,
-    // whereas skipping it can leave the whole stage single-threaded
-    val statsUnknown = size >= BigInt(conf.defaultSizeInBytes)
-    val estScanParts = (size / math.max(1L, conf.filesMaxPartitionBytes)).toLong + 1
-    if (statsUnknown || estScanParts < p) df.repartition(p, key) else df
-  }
+  /** Unlock parallelism for tiny single-file inputs — the key-ed form of
+    * [[Parallelism.ensureParallel]]: callers pass the expression their
+    * downstream `groupBy` shuffles on, so the exchange satisfies the
+    * downstream aggregation's required distribution and is REUSED, not
+    * added. No-op at corpus scale. */
+  private def ensureParallel(df: DataFrame, key: Column): DataFrame =
+    Parallelism.ensureParallel(df, key)
 
   /** (doc, shingle) pairs (NOT deduplicated): `n`-token shingles from a
     * whitespace tokenization. Explode is linear in corpus token count. */

@@ -20,8 +20,17 @@ object NormalizeQueries {
   /** F1/F2: comma-and-space-corrupted numerics → float/long
     * (`util.py:41-49`; corpus patterns per FIXTURES.md A1, e.g.
     * `"750,800 "`, `"60,902,000,000 "`, NBSP-suffixed prices). */
+  // Conditional parallelism unlock for the expression-only pipelines
+  // below: a single-row-group local fixture scans as ONE partition, so
+  // the per-row normalize expressions (regex, decimal formatting, date
+  // parsing) would run on one core; at scale the file splits already
+  // feed every core and the repartition is skipped (see
+  // graft.functions.Parallelism).
+  private def par(df: DataFrame): DataFrame =
+    graft.functions.Parallelism.ensureParallel(df)
+
   def normalizeCast(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).select(
+    par(lineitem(s, d)).select(
       col("l_orderkey"), col("l_linenumber"),
       concat(col("l_orderkey").cast(StringType), lit(","),
         lpad(col("l_linenumber").cast(StringType), 3, "0"), lit(" ")).as("dirty_long"),
@@ -36,7 +45,7 @@ object NormalizeQueries {
     * (`util.py:24-25,51-55,66`). */
   def normalizeDates(s: SparkSession, d: String): DataFrame = {
     val dmy = date_format(col("o_orderdate"), "dd/MM/yyyy")
-    orders(s, d).select(
+    par(orders(s, d)).select(
       col("o_orderkey"),
       // cast the parsed date to timestamp: parquet date32 vs DuckDB DATE
       // canonicalize differently in pandas; timestamp is unambiguous
@@ -47,7 +56,7 @@ object NormalizeQueries {
 
   /** F7: `"x (y %)"` change strings → fraction (`util.py:27-29`). */
   def normalizeChange(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).select(
+    par(lineitem(s, d)).select(
       col("l_orderkey"), col("l_linenumber"),
       Normalize.convertChange(
         concat(lit("1.0 ("), (col("l_discount") * 100).cast("decimal(6,2)").cast(StringType),

@@ -18,9 +18,15 @@ object PipelineQueries {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  // parallelism unlock for the expression-only text pipelines: the
+  // single-row-group documents fixture scans as ONE partition and the
+  // tokenize/filter lambdas would run on one core; no-op at scale
+  private def par(df: DataFrame): DataFrame =
+    graft.functions.Parallelism.ensureParallel(df)
+
   def textStats(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    documents(s, d).select(
+    par(documents(s, d)).select(
       col("doc_id"),
       TA.tokenCount(t).as("n_tokens"),
       TA.charCount(t).as("n_chars_m"),
@@ -29,17 +35,17 @@ object PipelineQueries {
   }
 
   def textQuality(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    par(documents(s, d)).select(
       col("doc_id"),
       TA.qualityScore(col("text"), Stopwords).as("quality"))
 
   def langId(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    par(documents(s, d)).select(
       col("doc_id"), col("lang"),
       TA.langId(col("text")).as("lang_pred"))
 
   def fingerprints(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    par(documents(s, d)).select(
       col("doc_id"),
       TA.fingerprint(col("text")).as("fp"),
       TA.bagFingerprint(col("text")).as("bag_fp"))

@@ -211,13 +211,22 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
-  /** Exact interpolated percentiles per group (engine extension). */
+  /** Exact interpolated percentiles per group (engine extension). ONE
+    * percentile buffer per group computes all three cut points (the
+    * array form shares the value-count map and its sort; three scalar
+    * calls each built and sorted their own) — and the partial
+    * aggregation is parallelized over the narrow local scan by a
+    * conditional round-robin repartition (the group key has 3 distinct
+    * values, so keying the exchange on it would cap parallelism at 3;
+    * no-op at scale where file splits feed the partials). */
   def percentiles(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d).groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+    graft.functions.Parallelism.ensureParallel(lineitem(s, d))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"))
 
   /** Pivot: event counts per user across a fixed event-type set. */
   def pivotCounts(s: SparkSession, d: String): DataFrame =

@@ -6,9 +6,10 @@
 #        tools/sync_readme_counts.sh /tmp/sbt_test.log
 set -euo pipefail
 log="${1:?usage: sync_readme_counts.sh <sbt-test-log>}"
-total=$(grep -Eo 'Tests: succeeded [0-9]+' "$log" | grep -Eo '[0-9]+' |
-  awk '{s+=$1} END {print s}')
-suites=$(grep -Ec 'Tests: succeeded [0-9]+' "$log")
-[ -n "$total" ] && [ "$total" -gt 0 ]
+# sbt's final summary: "Passed: Total 111, Failed 0, Errors 0, Passed 111"
+total=$(grep -Eo 'Passed: Total [0-9]+' "$log" | tail -1 | grep -Eo '[0-9]+')
+# ScalaTest's aggregate: "Suites: completed 19, aborted 0"
+suites=$(grep -Eo 'Suites: completed [0-9]+' "$log" | tail -1 | grep -Eo '[0-9]+')
+[ -n "$total" ] && [ "$total" -gt 0 ] && [ -n "$suites" ]
 sed -i -E "s|^sbt test .*# .*$|sbt test                # $total checks across $suites suites (generated: tools/sync_readme_counts.sh)|" README.md
 echo "README.md test count set to $total ($suites suites)"
