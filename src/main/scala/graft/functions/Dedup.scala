@@ -82,15 +82,25 @@ object Dedup {
     * aggregation.) */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val sh = shingles(ensureParallel(df, col(id)), id, text, n).cache()
-    // eager materialization: the self-join + counts scan this 3× and a
-    // lazy cache would compute the shingle pipeline per scan (see
+    // eager materialization: the pair generation + counts scan this 2×
+    // and a lazy cache would compute the shingle pipeline per scan (see
     // minhashPairs)
     sh.count()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Shared-shingle pairs by BUCKET AGGREGATION, not a self-join: ONE
+    // shuffle (groupBy shingle + collect_list) + in-bucket expansion,
+    // exactly the collision pairs the join would form but without
+    // shuffling the shingle table twice — the same rewrite that cut
+    // minhashPairs 2.5× (and the same degenerate-bucket memory caveat:
+    // a boilerplate shingle shared by millions of docs buffers its doc
+    // list in one agg buffer; drop/salt boilerplate upstream,
+    // docs/SCALE.md).
+    val pairs = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
@@ -221,7 +231,15 @@ object Dedup {
     * component_rep is the minimum doc id in the component — docs in no
     * pair are their own trivial component and need no row.
     *
-    * Algorithm: iterative min-label propagation. Each round every vertex
+    * Two execution paths, chosen by edge count (the edge set is already
+    * materialized for the round loop, so the count is free):
+    *  - ≤ `driverMaxEdges`: driver-side union-find over the collected
+    *    edge list (16 B/edge) — one job instead of 3–4 shuffle rounds.
+    *    Near-dup edge sets are collision pairs only, so this path serves
+    *    even very large corpora; it is the broadcast-threshold analogy.
+    *  - above it: iterative min-label propagation, fully distributed.
+    *
+    * Distributed algorithm: iterative min-label propagation. Each round every vertex
     * takes the min of its own label and its neighbors' labels — two
     * hash-shuffles per round (one join edges⋈labels, one groupBy vertex),
     * both on vertex ids, converging in O(graph diameter) rounds. Near-dup
@@ -244,17 +262,57 @@ object Dedup {
     * GC-unreachable. Throws if not converged in `maxIters` (never
     * returns silently-wrong components).
     */
+  /** Edge-count threshold below which [[connectedComponents]] solves the
+    * graph with driver-side union-find instead of distributed rounds:
+    * 2M edges ≈ 32 MB collected — the same small-side escape hatch a
+    * broadcast-join threshold encodes. Near-dup edge sets are orders of
+    * magnitude smaller than their corpus (only colliding pairs), so in
+    * practice this path serves even very large corpora; the distributed
+    * rounds remain for graphs past it. */
+  val CcDriverMaxEdges: Long = 2L * 1000 * 1000
+
   def connectedComponents(pairs: DataFrame, a: String = "doc_a",
-                          b: String = "doc_b", maxIters: Int = 50): DataFrame = {
+                          b: String = "doc_b", maxIters: Int = 50,
+                          pairsDistinct: Boolean = false,
+                          driverMaxEdges: Long = CcDriverMaxEdges): DataFrame = {
     // symmetric edge set: min-label must flow both ways across a pair.
     // Built by exploding both directions from ONE scan — a self-union
     // would compute the upstream pair pipeline (at minhash cost) twice.
-    val edges = pairs.select(explode(array(
+    // `pairsDistinct = true` skips the edge dedup shuffle when the
+    // caller guarantees unique undirected pairs (minhashPairs does);
+    // duplicate edges would only cost redundant min() inputs anyway,
+    // never wrong labels.
+    val rawEdges = pairs.select(explode(array(
         struct(col(a).as("src"), col(b).as("dst")),
         struct(col(b).as("src"), col(a).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .cache()
+    val edges = (if (pairsDistinct) rawEdges else rawEdges.distinct()).cache()
+    val edgeCount = edges.count() // materializes the cache either way
+    if (edgeCount <= driverMaxEdges) {
+      // small-graph fast path: collect the (deduplicated) edge list and
+      // union-find on the driver — one job + one tiny createDataFrame
+      // instead of 3–4 rounds of joins/checkpoints. 16 B/edge, bounded
+      // by `driverMaxEdges`; identical output contract.
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val s = row.getLong(0); val d = row.getLong(1)
+        parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+      }
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return parent.keysIterator.map(v => (v, find(v))).toSeq
+        .toDF("doc_id", "component_rep")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
@@ -290,7 +348,8 @@ object Dedup {
   def dedupGroups(df: DataFrame, id: String, text: String,
                   shingleN: Int = 5, k: Int = 64, bands: Int = 16,
                   threshold: Double = 0.5): DataFrame =
-    connectedComponents(minhashPairs(df, id, text, shingleN, k, bands, threshold))
+    connectedComponents(minhashPairs(df, id, text, shingleN, k, bands, threshold),
+      pairsDistinct = true)
 
   /** SimHash bit width: 60 (not 64) so the packed value and every bit of
     * the md5-derived token hash stay strictly below 2⁶⁰ — non-negative

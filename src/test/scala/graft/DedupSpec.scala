@@ -74,21 +74,33 @@ class DedupSpec extends SparkSpec {
       (1L, 2L), (2L, 3L), (5L, 6L),
       (7L, 8L), (8L, 9L), (7L, 9L)
     ).toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L)
+    // driver union-find fast path (default threshold) …
     val comps = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    assert(comps == expect)
+    // … and the distributed label-propagation path agree
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
   }
 
-  test("connectedComponents converges on a long chain and throws past maxIters") {
+  test("distributed path converges on a long chain and throws past maxIters") {
     // a 12-vertex path: diameter 11, worst case for min-label propagation
+    // (driverMaxEdges = 0 forces the distributed rounds)
     val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val comps = Dedup.connectedComponents(chain)
+    val comps = Dedup.connectedComponents(chain, driverMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size == 12 && comps.values.forall(_ == 0L))
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIters = 3).collect()
+      Dedup.connectedComponents(chain, maxIters = 3, driverMaxEdges = 0).collect()
     }
+  }
+
+  test("connectedComponents on an empty pair set returns no rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
   test("dedupGroups groups exact+near dups into one component") {
