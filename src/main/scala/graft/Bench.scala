@@ -76,18 +76,26 @@ object Bench {
 
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
+      // (seconds, succeeded): the min below only considers SUCCESSFUL
+      // runs — a fast failure must not mask a slow success as a phantom
+      // speedup. Both-failed falls back to the min elapsed (plus the
+      // errors entry).
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          if (!errors.contains(name)) errors ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            if (!errors.contains(name)) errors ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        sec
+        (sec, ok)
       }
-      name -> math.min(once(), once())
+      val runs = Seq(once(), once())
+      val good = runs.filter(_._2)
+      name -> (if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).min)
     }
     def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     // round-then-sum: the printed total equals the sum of the printed

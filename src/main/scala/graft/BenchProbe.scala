@@ -17,9 +17,11 @@ object BenchProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val unknown = queries.filterNot(SparkEntry.queries.contains)
     if (queries.isEmpty || unknown.nonEmpty) {
+      // nonzero in BOTH misuse cases: a caller that probes nothing must
+      // not look like a successful run to the invoking script
       System.err.println(
         s"usage: BenchProbe [--cpus=N] q_name...  (unknown: ${unknown.mkString(",")})")
-      sys.exit(if (queries.isEmpty) 0 else 1)
+      sys.exit(1)
     }
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions())

@@ -28,8 +28,12 @@ object ExplainAudit {
                           //   bucket aggregation (no self-join)
       "q_sim_ivf",        // expect map-side NearestCentroid filter +
                           //   TakeOrderedAndProject, zero exchanges
-      "q_dedup_groups")   // expect bucket-agg pair gen + per-round
-                          //   LogicalRDD (flat checkpointed lineage)
+      "q_ngram_jaccard")  // expect ONE bucket aggregation (groupBy
+                          //   shingle + collect_list) generating pairs,
+                          //   no self-join of the shingle table.
+                          //   (q_dedup_groups is not auditable here: at
+                          //   audit scale its union-find fast path
+                          //   returns a LocalRelation by design)
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

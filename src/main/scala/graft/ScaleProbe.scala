@@ -64,13 +64,18 @@ object ScaleProbe {
       Dedup.jaccardPairs(big, "doc_id", "text", 5).count())
     probe(s"simhash @${nBig}")(warmBig())(
       Dedup.simhash(big, "doc_id", "text").count())
-    // pairs → groups over the ~1M-near-dup-pair stress corpus: cost is
-    // minhash pair gen + O(component diameter) label-propagation rounds
-    // (the 20-copy clique structure converges in 2–3)
+    // pairs → groups over the ~1M-near-dup-pair stress corpus. At ~2M
+    // symmetric edges this sits at/below CcDriverMaxEdges, so dedupGroups
+    // measures pair gen + the DRIVER union-find fast path; the
+    // distributed label-propagation rounds are probed separately below
+    // (driverMaxEdges = 0 forces them on the same pair set).
     probe(s"dedup_groups @${nBase}")(())(
       Dedup.dedupGroups(base.select("doc_id", "text"), "doc_id", "text").count())
     probe(s"dedup_groups @${nBig}")(warmBig())(
       Dedup.dedupGroups(big, "doc_id", "text").count())
+    probe(s"cc_distributed @${nBig}")(warmBig())(
+      Dedup.connectedComponents(Dedup.minhashPairs(big, "doc_id", "text"),
+        pairsDistinct = true, driverMaxEdges = 0).count())
 
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val bigEmb = emb.crossJoin(spark.range(factor).toDF("copy"))

@@ -288,22 +288,33 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val edges = (if (pairsDistinct) rawEdges else rawEdges.distinct()).cache()
     val edgeCount = edges.count() // materializes the cache either way
-    if (edgeCount <= driverMaxEdges) {
+    // fast path is LongType-only (primitive arrays); any other id type
+    // routes to the distributed rounds, which are type-generic
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edgeCount <= driverMaxEdges) {
       // small-graph fast path: collect the (deduplicated) edge list and
       // union-find on the driver — one job + one tiny createDataFrame
       // instead of 3–4 rounds of joins/checkpoints. 16 B/edge, bounded
       // by `driverMaxEdges`; identical output contract. All driver-side
       // structures are PRIMITIVE arrays (sorted-id compression + int
       // union-find): a boxed Long map measured ~10 s at 2M edges, the
-      // primitive form is sub-second.
-      val rows = edges.collect()
+      // primitive form is sub-second. The two column collects return
+      // primitive Array[Long] (no Row/tuple boxing — a Row collect is
+      // ~8× the budgeted bytes); they scan the SAME materialized cache
+      // with narrow projections, so row order is identical across both.
+      val spark0 = pairs.sparkSession
+      import spark0.implicits._
+      val srcs: Array[Long] = edges.select(col("src")).as[Long].collect()
+      val dsts: Array[Long] = edges.select(col("dst")).as[Long].collect()
       edges.unpersist()
-      val n = rows.length
+      val n = srcs.length
+      require(dsts.length == n, s"edge column collects disagree: $n vs ${dsts.length}")
       val endpoints = new Array[Long](2 * n)
       var i = 0
       while (i < n) {
-        endpoints(2 * i) = rows(i).getLong(0)
-        endpoints(2 * i + 1) = rows(i).getLong(1)
+        endpoints(2 * i) = srcs(i)
+        endpoints(2 * i + 1) = dsts(i)
         i += 1
       }
       // dense id space: sort endpoints, dedup in place → ids (ascending),
@@ -333,8 +344,6 @@ object Dedup {
         if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
         i += 1
       }
-      val spark = pairs.sparkSession
-      import spark.implicits._
       return (0 until m).map(j => (ids(j), ids(find(j))))
         .toDF("doc_id", "component_rep")
     }

@@ -16,8 +16,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * The scan width is ESTIMATED from logical-plan byte stats (file sizes
   * the relation already listed) rather than `df.rdd`, which would force
   * eager physical planning per call. Stats at or above
-  * `defaultSizeInBytes` mean UNKNOWN (non-file relations default there),
-  * not "huge" — fall back to repartitioning, the safe side.
+  * `defaultSizeInBytes` mean UNKNOWN (RDD-backed relations default
+  * there; file scans and LocalRelations report real sizes) — unknown
+  * SKIPS the repartition: the failure mode of skipping is lost local
+  * parallelism on a rare input shape, while the failure mode of
+  * repartitioning is a full RAW-data shuffle below the map-side partial
+  * aggregation at corpus scale — strictly worse than the shuffle the
+  * downstream aggregation would do on its compacted output.
   */
 object Parallelism {
 
@@ -25,9 +30,9 @@ object Parallelism {
     val conf = df.sparkSession.sessionState.conf
     val p = conf.numShufflePartitions
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val statsUnknown = size >= BigInt(conf.defaultSizeInBytes)
+    val statsKnown = size < BigInt(conf.defaultSizeInBytes)
     val estScanParts = (size / math.max(1L, conf.filesMaxPartitionBytes)).toLong + 1
-    if (statsUnknown || estScanParts < p) {
+    if (statsKnown && estScanParts < p) {
       if (key.isEmpty) df.repartition(p) else df.repartition(p, key: _*)
     } else df
   }

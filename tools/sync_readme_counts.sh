@@ -11,5 +11,9 @@ total=$(grep -Eo 'Passed: Total [0-9]+' "$log" | tail -1 | grep -Eo '[0-9]+')
 # ScalaTest's aggregate: "Suites: completed 19, aborted 0"
 suites=$(grep -Eo 'Suites: completed [0-9]+' "$log" | tail -1 | grep -Eo '[0-9]+')
 [ -n "$total" ] && [ "$total" -gt 0 ] && [ -n "$suites" ]
+grep -Eq '^sbt test .*# ' README.md || {
+  echo "ERROR: README.md has no '^sbt test ... # ...' line to patch" >&2; exit 1; }
 sed -i -E "s|^sbt test .*# .*$|sbt test                # $total checks across $suites suites (generated: tools/sync_readme_counts.sh)|" README.md
+grep -Fq "$total checks across $suites suites" README.md || {
+  echo "ERROR: substitution did not take" >&2; exit 1; }
 echo "README.md test count set to $total ($suites suites)"
