@@ -105,6 +105,79 @@ object TextAnalysis {
           log(col("nd").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  // ---- Gopher-style quality rules (Rae et al. 2021, public ruleset) ---
+
+  /** Gopher-style document quality flags — the standard pre-training
+    * filter battery: word-count band, mean-word-length band, symbol-to-
+    * word ratio (# and … markers), alphabetic-word fraction, minimum
+    * distinct-stopword hits. Each flag is a 0/1 int (comparator-stable
+    * across engines); [[gopherPass]] is their conjunction. Symbol counts
+    * use replace-based counting (length deltas), which has identical
+    * greedy left-to-right semantics in Spark and the oracle engine —
+    * regex-dialect-free. */
+  def gopherFlags(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val meanLen = avgWordLen(text)
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val hashCount = length(text) - length(translate(text, "#", ""))
+    val ellipsisCount = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashCount + ellipsisCount).cast("double") / nWords
+    val stopHits = size(array_intersect(
+      array_distinct(toks), array(stopwords.map(lit): _*)))
+    Seq(
+      "word_count_ok" -> (nWords >= 50 && nWords <= 100000),
+      "mean_word_len_ok" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "symbol_ratio_ok" -> (symbolRatio <= 0.1),
+      "alpha_ratio_ok" -> (alphaWords.cast("double") / nWords >= 0.8),
+      "stopword_ok" -> (stopHits >= 2)
+    ).map { case (n, c) => n -> c.cast("int") }
+  }
+
+  /** 1 iff every Gopher flag passes. */
+  def gopherPass(text: Column, stopwords: Seq[String]): Column =
+    gopherFlags(text, stopwords).map(_._2).reduce(_ * _)
+
+  // ---- deterministic train/val/test splits ----------------------------
+
+  /** Hash bucket in [0, buckets): md5-derived 60-bit hash of the STRING
+    * form of the id — deterministic, engine-independent (the oracle
+    * recomputes the identical value), and uncorrelated with id order, the
+    * property a train/val split needs (contiguous-id splits leak
+    * time/source structure). */
+  def hashBucket(id: Column, buckets: Int = 1000): Column =
+    Md5Long60(id.cast("string")) % buckets
+
+  /** Split label from the hash bucket: first `trainPerMille` buckets →
+    * train, next `valPerMille` → val, rest → test. Per-mille thresholds
+    * keep the arithmetic integral (no FP fractions to mismatch). */
+  def splitLabel(id: Column, trainPerMille: Int = 980,
+                 valPerMille: Int = 10): Column = {
+    val b = hashBucket(id, 1000)
+    when(b < trainPerMille, "train")
+      .when(b < trainPerMille + valPerMille, "val")
+      .otherwise("test")
+  }
+
+  // ---- PII scrubbing ---------------------------------------------------
+
+  /** Email/phone patterns shared by the engine and the generated oracle
+    * SQL — restricted to the regex subset with identical semantics in
+    * Java regex and RE2. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  /** Replace emails/phones with placeholder tokens. Spark's
+    * regexp_replace is replace-ALL by default; the oracle twin must pass
+    * the 'g' flag to match. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Count of email/phone matches (pre-scrub audit column). */
+  def piiCount(c: Column): Column =
+    regexp_count(c, lit(EmailRe)) + regexp_count(c, lit(PhoneRe))
+
   /** Exact content fingerprint: md5 of lowercased text. */
   def fingerprint(text: Column): Column = md5(lower(text))
 

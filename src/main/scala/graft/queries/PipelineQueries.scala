@@ -53,6 +53,39 @@ object PipelineQueries {
   def tfidf(s: SparkSession, d: String): DataFrame =
     TA.tfidf(documents(s, d), "doc_id", "text")
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021): per-rule 0/1
+    * flags + conjunction — the standard pre-training filter set. */
+  def qualityRules(s: SparkSession, d: String): DataFrame = {
+    val flags = TA.gopherFlags(col("text"), Stopwords)
+    par(documents(s, d)).select(
+      col("doc_id") +: flags.map { case (n, c) => c.as(n) } :+
+        TA.gopherPass(col("text"), Stopwords).as("pass"): _*)
+  }
+
+  /** Deterministic hash-based train/val/test assignment: md5-derived
+    * bucket of the id string — engine-independent, order-uncorrelated,
+    * the split a reproducible data pipeline actually ships. */
+  def hashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      TA.hashBucket(col("doc_id")).as("bucket"),
+      TA.splitLabel(col("doc_id")).as("split"))
+
+  /** PII scrub over deterministically-dirtied text (the fixture corpus
+    * has no PII, so each doc_id % 5 == 0 row gets a synthetic email +
+    * phone appended — engine and oracle construct the identical dirty
+    * input, the scrub semantics are what is compared). */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val dirty = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" contact: user"), col("doc_id"),
+        lit("@example.com or 555-123-4567")))
+      .otherwise(col("text"))
+    par(documents(s, d)).select(
+      col("doc_id"),
+      TA.piiCount(dirty).as("n_pii"),
+      TA.scrubPii(dirty).as("scrubbed"))
+  }
+
   /** Generator/UDTF-analog coverage: positional token explode — one
     * output row per (doc, position, token). */
   def explodeTokens(s: SparkSession, d: String): DataFrame =
@@ -180,6 +213,9 @@ object PipelineQueries {
     "q_lang_id"        -> (langId _),
     "q_fingerprint"    -> (fingerprints _),
     "q_tfidf"          -> (tfidf _),
+    "q_quality_rules"  -> (qualityRules _),
+    "q_hash_split"     -> (hashSplit _),
+    "q_pii_scrub"      -> (piiScrub _),
     "q_explode"        -> (explodeTokens _),
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_keep"     -> (dedupKeep _),
@@ -253,6 +289,53 @@ object PipelineQueries {
          |  dfreq.doc_freq,
          |  (CAST(tf.n AS DOUBLE) / dl.dl) * ln(CAST(nd.nd AS DOUBLE) / dfreq.doc_freq) AS tfidf
          |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd""".stripMargin,
+    // Gopher rules: replace-based symbol counting (identical greedy
+    // left-to-right semantics both engines), list_intersect for
+    // distinct-stopword hits, 0/1 int flags
+    "q_quality_rules" ->
+      s"""SELECT doc_id,
+         |  CAST(len($TOKS) BETWEEN 50 AND 100000 AS INT) AS word_count_ok,
+         |  CAST(CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
+         |       BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE) AS INT) AS mean_word_len_ok,
+         |  CAST(((length(text) - length(replace(text, '#', '')))
+         |        + (length(text) - length(replace(text, '...', ''))) / 3)
+         |       / len($TOKS) <= CAST(0.1 AS DOUBLE) AS INT) AS symbol_ratio_ok,
+         |  CAST(CAST(len(list_filter($TOKS, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+         |       / len($TOKS) >= CAST(0.8 AS DOUBLE) AS INT) AS alpha_ratio_ok,
+         |  CAST(len(list_intersect(list_distinct($TOKS),
+         |       ['the','a','of','and','to','in','is'])) >= 2 AS INT) AS stopword_ok,
+         |  CAST(len($TOKS) BETWEEN 50 AND 100000 AS INT)
+         |    * CAST(CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
+         |           BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE) AS INT)
+         |    * CAST(((length(text) - length(replace(text, '#', '')))
+         |            + (length(text) - length(replace(text, '...', ''))) / 3)
+         |           / len($TOKS) <= CAST(0.1 AS DOUBLE) AS INT)
+         |    * CAST(CAST(len(list_filter($TOKS, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+         |           / len($TOKS) >= CAST(0.8 AS DOUBLE) AS INT)
+         |    * CAST(len(list_intersect(list_distinct($TOKS),
+         |           ['the','a','of','and','to','in','is'])) >= 2 AS INT) AS pass
+         |FROM documents""".stripMargin,
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 980 THEN 'train'
+        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 990 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    // same dirty-input construction as the engine; DuckDB regexp_replace
+    // needs the 'g' flag (Spark replaces all matches by default)
+    "q_pii_scrub" ->
+      s"""WITH dirty AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0
+         |       THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+         |       ELSE text END AS t
+         |FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TA.EmailRe}'))
+         |     + len(regexp_extract_all(t, '${TA.PhoneRe}')) AS INT) AS n_pii,
+         |  regexp_replace(regexp_replace(t, '${TA.EmailRe}', '<EMAIL>', 'g'),
+         |                 '${TA.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM dirty""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,

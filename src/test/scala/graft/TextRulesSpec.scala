@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis => TA}
+
+/** Gopher-style quality rules, deterministic hash splits, PII scrub. */
+class TextRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+  // 60 words, prose-like: passes every rule
+  private val good = ("the quick brown fox jumps over the lazy dog and " * 6).trim
+
+  test("gopher flags pass on prose and fail on degenerate docs") {
+    val df = Seq(
+      (1L, good),                         // all pass
+      (2L, "too short"),                  // fails word_count
+      (3L, ("#### " * 60).trim),          // fails symbol ratio + stopwords
+      (4L, ("aaaaaaaaaaaaaaaaaaaaaaaa " * 60).trim) // fails mean word len
+    ).toDF("doc_id", "text")
+    val flags = df.select(col("doc_id") +:
+      TA.gopherFlags(col("text"), stop).map { case (n, c) => c.as(n) } :+
+      TA.gopherPass(col("text"), stop).as("pass"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(flags(1L).getAs[Int]("pass") == 1)
+    assert(flags(2L).getAs[Int]("word_count_ok") == 0 && flags(2L).getAs[Int]("pass") == 0)
+    assert(flags(3L).getAs[Int]("symbol_ratio_ok") == 0 && flags(3L).getAs[Int]("pass") == 0)
+    assert(flags(4L).getAs[Int]("mean_word_len_ok") == 0 && flags(4L).getAs[Int]("pass") == 0)
+  }
+
+  test("hash split is deterministic, complete, and roughly proportioned") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val s1 = ids.select(col("id"), TA.splitLabel(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = ids.select(col("id"), TA.splitLabel(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    val byLabel = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    // 98% / 1% / 1% nominal on 2000 ids: generous bands
+    assert(byLabel("train") > 1900)
+    assert(byLabel.getOrElse("val", 0) + byLabel.getOrElse("test", 0) < 100)
+  }
+
+  test("scrubPii replaces emails and phones and counts them") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@mail.example.org or call 555-123-4567 ok"),
+      (2L, "no pii here")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TA.piiCount(col("text")).as("n"),
+        TA.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 2)
+    assert(out(1L)._2 == "mail me at <EMAIL> or call <PHONE> ok")
+    assert(out(2L) == (0, "no pii here"))
+  }
+}
