@@ -27,6 +27,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text", 3).count() === 0)
     assert(Dedup.minhashPairs(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.dedupGroups(emptyDocs, "doc_id", "text").count() === 0)
   }
 
   test("similarity scans return empty on an empty corpus") {
