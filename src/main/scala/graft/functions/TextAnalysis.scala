@@ -107,6 +107,16 @@ object TextAnalysis {
 
   // ---- Gopher-style quality rules (Rae et al. 2021, public ruleset) ---
 
+  // Rule thresholds — single source of truth for the engine expressions
+  // AND the generated oracle SQL (spliced, never re-typed).
+  val WordCountMin = 50
+  val WordCountMax = 100000
+  val MeanWordLenMin = 3.0
+  val MeanWordLenMax = 10.0
+  val MaxSymbolRatio = 0.1
+  val MinAlphaRatio = 0.8
+  val MinStopwordHits = 2
+
   /** Gopher-style document quality flags — the standard pre-training
     * filter battery: word-count band, mean-word-length band, symbol-to-
     * word ratio (# and … markers), alphabetic-word fraction, minimum
@@ -124,14 +134,14 @@ object TextAnalysis {
     val ellipsisCount = (length(text) -
       length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
     val symbolRatio = (hashCount + ellipsisCount).cast("double") / nWords
-    val stopHits = size(array_intersect(
-      array_distinct(toks), array(stopwords.map(lit): _*)))
+    // array_intersect already dedups — no array_distinct needed
+    val stopHits = size(array_intersect(toks, array(stopwords.map(lit): _*)))
     Seq(
-      "word_count_ok" -> (nWords >= 50 && nWords <= 100000),
-      "mean_word_len_ok" -> (meanLen >= 3.0 && meanLen <= 10.0),
-      "symbol_ratio_ok" -> (symbolRatio <= 0.1),
-      "alpha_ratio_ok" -> (alphaWords.cast("double") / nWords >= 0.8),
-      "stopword_ok" -> (stopHits >= 2)
+      "word_count_ok" -> (nWords >= WordCountMin && nWords <= WordCountMax),
+      "mean_word_len_ok" -> (meanLen >= MeanWordLenMin && meanLen <= MeanWordLenMax),
+      "symbol_ratio_ok" -> (symbolRatio <= MaxSymbolRatio),
+      "alpha_ratio_ok" -> (alphaWords.cast("double") / nWords >= MinAlphaRatio),
+      "stopword_ok" -> (stopHits >= MinStopwordHits)
     ).map { case (n, c) => n -> c.cast("int") }
   }
 
@@ -149,16 +159,25 @@ object TextAnalysis {
   def hashBucket(id: Column, buckets: Int = 1000): Column =
     Md5Long60(id.cast("string")) % buckets
 
-  /** Split label from the hash bucket: first `trainPerMille` buckets →
-    * train, next `valPerMille` → val, rest → test. Per-mille thresholds
-    * keep the arithmetic integral (no FP fractions to mismatch). */
-  def splitLabel(id: Column, trainPerMille: Int = 980,
-                 valPerMille: Int = 10): Column = {
-    val b = hashBucket(id, 1000)
+  // Split thresholds — per-mille so the arithmetic stays integral (no FP
+  // fractions to mismatch); shared with the generated oracle SQL.
+  val TrainPerMille = 980
+  val ValPerMille = 10
+
+  /** Split label from an ALREADY-COMPUTED bucket column: first
+    * `trainPerMille` buckets → train, next `valPerMille` → val, rest →
+    * test — callers project the bucket once instead of re-hashing per
+    * output column. */
+  def splitLabelFromBucket(b: Column, trainPerMille: Int = TrainPerMille,
+                           valPerMille: Int = ValPerMille): Column =
     when(b < trainPerMille, "train")
       .when(b < trainPerMille + valPerMille, "val")
       .otherwise("test")
-  }
+
+  /** Convenience form hashing the id inline (one hash, one label). */
+  def splitLabel(id: Column, trainPerMille: Int = TrainPerMille,
+                 valPerMille: Int = ValPerMille): Column =
+    splitLabelFromBucket(hashBucket(id, 1000), trainPerMille, valPerMille)
 
   // ---- PII scrubbing ---------------------------------------------------
 
@@ -174,9 +193,14 @@ object TextAnalysis {
   def scrubPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
-  /** Count of email/phone matches (pre-scrub audit column). */
+  /** Count of PLACEHOLDERS [[scrubPii]] inserts — phones are counted
+    * AFTER the email pass, mirroring the sequential scrub, so a phone
+    * number embedded inside an email local-part (consumed by the email
+    * replacement) is not double-counted: the audit column always
+    * reconciles with the scrubbed text. */
   def piiCount(c: Column): Column =
-    regexp_count(c, lit(EmailRe)) + regexp_count(c, lit(PhoneRe))
+    regexp_count(c, lit(EmailRe)) +
+      regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(PhoneRe))
 
   /** Exact content fingerprint: md5 of lowercased text. */
   def fingerprint(text: Column): Column = md5(lower(text))

@@ -57,19 +57,22 @@ object PipelineQueries {
     * flags + conjunction — the standard pre-training filter set. */
   def qualityRules(s: SparkSession, d: String): DataFrame = {
     val flags = TA.gopherFlags(col("text"), Stopwords)
-    par(documents(s, d)).select(
-      col("doc_id") +: flags.map { case (n, c) => c.as(n) } :+
-        TA.gopherPass(col("text"), Stopwords).as("pass"): _*)
+    // pass = product of the aliased flag COLUMNS (not a re-derivation of
+    // every rule expression): one source of truth per rule
+    par(documents(s, d))
+      .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+      .select(col("*"), flags.map(f => col(f._1)).reduce(_ * _).as("pass"))
   }
 
   /** Deterministic hash-based train/val/test assignment: md5-derived
     * bucket of the id string — engine-independent, order-uncorrelated,
-    * the split a reproducible data pipeline actually ships. */
+    * the split a reproducible data pipeline actually ships. The bucket
+    * is hashed ONCE and the label derived from the projected column. */
   def hashSplit(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
-      col("doc_id"),
-      TA.hashBucket(col("doc_id")).as("bucket"),
-      TA.splitLabel(col("doc_id")).as("split"))
+    par(documents(s, d))
+      .select(col("doc_id"), TA.hashBucket(col("doc_id")).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        TA.splitLabelFromBucket(col("bucket")).as("split"))
 
   /** PII scrub over deterministically-dirtied text (the fixture corpus
     * has no PII, so each doc_id % 5 == 0 row gets a synthetic email +
@@ -289,41 +292,40 @@ object PipelineQueries {
          |  dfreq.doc_freq,
          |  (CAST(tf.n AS DOUBLE) / dl.dl) * ln(CAST(nd.nd AS DOUBLE) / dfreq.doc_freq) AS tfidf
          |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd""".stripMargin,
-    // Gopher rules: replace-based symbol counting (identical greedy
-    // left-to-right semantics both engines), list_intersect for
-    // distinct-stopword hits, 0/1 int flags
+    // Gopher rules: thresholds SPLICED from the TextAnalysis constants
+    // (one source of truth), replace-based symbol counting (identical
+    // greedy left-to-right semantics both engines), 0/1 int flags; pass
+    // multiplies the flag COLUMNS, never re-derives the rules
     "q_quality_rules" ->
-      s"""SELECT doc_id,
-         |  CAST(len($TOKS) BETWEEN 50 AND 100000 AS INT) AS word_count_ok,
+      s"""SELECT *,
+         |  word_count_ok * mean_word_len_ok * symbol_ratio_ok
+         |    * alpha_ratio_ok * stopword_ok AS pass
+         |FROM (SELECT doc_id,
+         |  CAST(len($TOKS) BETWEEN ${TA.WordCountMin} AND ${TA.WordCountMax} AS INT) AS word_count_ok,
          |  CAST(CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
-         |       BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE) AS INT) AS mean_word_len_ok,
+         |       BETWEEN CAST(${TA.MeanWordLenMin} AS DOUBLE) AND CAST(${TA.MeanWordLenMax} AS DOUBLE) AS INT) AS mean_word_len_ok,
          |  CAST(((length(text) - length(replace(text, '#', '')))
          |        + (length(text) - length(replace(text, '...', ''))) / 3)
-         |       / len($TOKS) <= CAST(0.1 AS DOUBLE) AS INT) AS symbol_ratio_ok,
+         |       / len($TOKS) <= CAST(${TA.MaxSymbolRatio} AS DOUBLE) AS INT) AS symbol_ratio_ok,
          |  CAST(CAST(len(list_filter($TOKS, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-         |       / len($TOKS) >= CAST(0.8 AS DOUBLE) AS INT) AS alpha_ratio_ok,
-         |  CAST(len(list_intersect(list_distinct($TOKS),
-         |       ['the','a','of','and','to','in','is'])) >= 2 AS INT) AS stopword_ok,
-         |  CAST(len($TOKS) BETWEEN 50 AND 100000 AS INT)
-         |    * CAST(CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
-         |           BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE) AS INT)
-         |    * CAST(((length(text) - length(replace(text, '#', '')))
-         |            + (length(text) - length(replace(text, '...', ''))) / 3)
-         |           / len($TOKS) <= CAST(0.1 AS DOUBLE) AS INT)
-         |    * CAST(CAST(len(list_filter($TOKS, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-         |           / len($TOKS) >= CAST(0.8 AS DOUBLE) AS INT)
-         |    * CAST(len(list_intersect(list_distinct($TOKS),
-         |           ['the','a','of','and','to','in','is'])) >= 2 AS INT) AS pass
-         |FROM documents""".stripMargin,
+         |       / len($TOKS) >= CAST(${TA.MinAlphaRatio} AS DOUBLE) AS INT) AS alpha_ratio_ok,
+         |  CAST(len(list_intersect($TOKS,
+         |       [${Stopwords.map(w => s"'$w'").mkString(",")}])) >= ${TA.MinStopwordHits} AS INT) AS stopword_ok
+         |FROM documents)""".stripMargin,
+    // bucket hashed once in the subquery, label derived from it; split
+    // thresholds spliced from the TextAnalysis per-mille constants
     "q_hash_split" ->
-      """SELECT doc_id,
-        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket,
-        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 980 THEN 'train'
-        |       WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 990 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < ${TA.TrainPerMille} THEN 'train'
+         |       WHEN bucket < ${TA.TrainPerMille + TA.ValPerMille} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+         |FROM documents)""".stripMargin,
     // same dirty-input construction as the engine; DuckDB regexp_replace
-    // needs the 'g' flag (Spark replaces all matches by default)
+    // needs the 'g' flag (Spark replaces all matches by default). Phones
+    // counted after the email pass, mirroring piiCount's sequential
+    // reconcile-with-scrub semantics.
     "q_pii_scrub" ->
       s"""WITH dirty AS (SELECT doc_id,
          |  CASE WHEN doc_id % 5 = 0
@@ -332,7 +334,7 @@ object PipelineQueries {
          |FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '${TA.EmailRe}'))
-         |     + len(regexp_extract_all(t, '${TA.PhoneRe}')) AS INT) AS n_pii,
+         |     + len(regexp_extract_all(regexp_replace(t, '${TA.EmailRe}', '<EMAIL>', 'g'), '${TA.PhoneRe}')) AS INT) AS n_pii,
          |  regexp_replace(regexp_replace(t, '${TA.EmailRe}', '<EMAIL>', 'g'),
          |                 '${TA.PhoneRe}', '<PHONE>', 'g') AS scrubbed
          |FROM dirty""".stripMargin,
