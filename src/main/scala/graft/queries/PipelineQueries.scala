@@ -64,6 +64,21 @@ object PipelineQueries {
       .select(col("*"), flags.map(f => col(f._1)).reduce(_ * _).as("pass"))
   }
 
+  /** Repetition rules — the other half of the Gopher filter battery:
+    * top-word fraction (most frequent token's share) and distinct-token
+    * fraction per document. Fully relational (explode → two
+    * aggregations), so the shuffles are the plan and the oracle is plain
+    * SQL; repetitious boilerplate scores high top-word / low distinct. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = par(documents(s, d)).select(col("doc_id"),
+      explode(TA.tokens(col("text"))).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        (max(col("n")).cast("double") / sum(col("n"))).as("top_word_frac"),
+        (count(lit(1)).cast("double") / sum(col("n"))).as("distinct_frac"))
+  }
+
   /** Deterministic hash-based train/val/test assignment: md5-derived
     * bucket of the id string — engine-independent, order-uncorrelated,
     * the split a reproducible data pipeline actually ships. The bucket
@@ -217,6 +232,7 @@ object PipelineQueries {
     "q_fingerprint"    -> (fingerprints _),
     "q_tfidf"          -> (tfidf _),
     "q_quality_rules"  -> (qualityRules _),
+    "q_repetition"     -> (repetition _),
     "q_hash_split"     -> (hashSplit _),
     "q_pii_scrub"      -> (piiScrub _),
     "q_explode"        -> (explodeTokens _),
@@ -312,6 +328,16 @@ object PipelineQueries {
          |  CAST(len(list_intersect($TOKS,
          |       [${Stopwords.map(w => s"'$w'").mkString(",")}])) >= ${TA.MinStopwordHits} AS INT) AS stopword_ok
          |FROM documents)""".stripMargin,
+    // max/sum/count over per-(doc,token) counts: integer aggregation,
+    // one double division per output column at the end
+    "q_repetition" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, count(*) AS n FROM tf GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS top_word_frac,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS distinct_frac
+         |FROM cnt GROUP BY doc_id""".stripMargin,
     // bucket hashed once in the subquery, label derived from it; split
     // thresholds spliced from the TextAnalysis per-mille constants
     "q_hash_split" ->
