@@ -212,6 +212,23 @@ object PipelineQueries {
         TA.tokenCount(col("text")).as("n_tokens"))
       .where(col("quality") >= 0.5)
 
+  /** NEAR-dup-aware training-data prep — the composition a 100 TB
+    * pipeline actually runs: MinHash pairs → connected components →
+    * drop every non-representative member → quality filter → token
+    * stats. Only (doc_id, rep) pairs and the anti-join key ever
+    * shuffle; the quality/token stage is per-row expressions on the
+    * surviving docs. */
+  def pipelineNearDup(s: SparkSession, d: String): DataFrame = {
+    val losers = Dedup.dedupGroups(documents(s, d), "doc_id", "text")
+      .where(col("doc_id") =!= col("component_rep"))
+      .select("doc_id")
+    documents(s, d).join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        TA.qualityScore(col("text"), Stopwords).as("quality"),
+        TA.tokenCount(col("text")).as("n_tokens"))
+      .where(col("quality") >= 0.5)
+  }
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaStats(
       Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
@@ -251,7 +268,8 @@ object PipelineQueries {
     "q_multimodal_feat" -> (multimodalFeatures _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_resize" -> (multimodalResize _),
-    "q_pipeline_clean"  -> (pipelineClean _))
+    "q_pipeline_clean"  -> (pipelineClean _),
+    "q_pipeline_neardup" -> (pipelineNearDup _))
 
   // plain (non-interpolated) string: the regex end-anchor $ needs no
   // escaping here, and s""-splicing below copies the VALUE verbatim
@@ -460,6 +478,24 @@ object PipelineQueries {
         |  greatest(1, CAST(round(width * scale) AS INTEGER)) AS out_width,
         |  greatest(1, CAST(round(height * scale) AS INTEGER)) AS out_height
         |FROM sc""".stripMargin,
+    // near-dup prep: the dedup-groups recursive-CTE twin as a subquery,
+    // NOT IN over its non-representative members, then the same quality
+    // expressions as q_pipeline_clean
+    "q_pipeline_neardup" ->
+      s"""WITH losers AS (
+         |  SELECT doc_id FROM (${Dedup.dedupGroupsOracleSql()}) g
+         |  WHERE doc_id <> component_rep),
+         |d AS (SELECT doc_id, text FROM documents
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |q AS (SELECT doc_id,
+         |  least(CAST(len($TOKS) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |  + least(CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |          / len($TOKS) * 5.0, 1.0) * 0.4
+         |  + (CASE WHEN CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
+         |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
+         |  CAST(len($TOKS) AS INTEGER) AS n_tokens
+         |FROM d)
+         |SELECT doc_id, quality, n_tokens FROM q WHERE quality >= 0.5""".stripMargin,
     "q_pipeline_clean" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
          |             GROUP BY md5(lower(text))),
