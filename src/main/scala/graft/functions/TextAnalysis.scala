@@ -149,6 +149,22 @@ object TextAnalysis {
   def gopherPass(text: Column, stopwords: Seq[String]): Column =
     gopherFlags(text, stopwords).map(_._2).reduce(_ * _)
 
+  /** Repetition stats (the Gopher repetition filters): top-word fraction
+    * (most frequent token's share) and distinct-token fraction per doc.
+    * Fully relational — explode → per-(doc,token) counts → per-doc
+    * max/sum/count — so the two hash shuffles ARE the plan and the
+    * oracle is plain SQL. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, id: String,
+                      text: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, explode, max, sum}
+    docs.select(col(id).as("doc_id"), explode(tokens(col(text))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        (max(col("n")).cast("double") / sum(col("n"))).as("top_word_frac"),
+        (count(lit(1)).cast("double") / sum(col("n"))).as("distinct_frac"))
+  }
+
   // ---- deterministic train/val/test splits ----------------------------
 
   /** Hash bucket in [0, buckets): md5-derived 60-bit hash of the STRING

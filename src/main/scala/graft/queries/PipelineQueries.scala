@@ -69,15 +69,13 @@ object PipelineQueries {
     * fraction per document. Fully relational (explode → two
     * aggregations), so the shuffles are the plan and the oracle is plain
     * SQL; repetitious boilerplate scores high top-word / low distinct. */
-  def repetition(s: SparkSession, d: String): DataFrame = {
-    val toks = par(documents(s, d)).select(col("doc_id"),
-      explode(TA.tokens(col("text"))).as("tok"))
-    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(
-        (max(col("n")).cast("double") / sum(col("n"))).as("top_word_frac"),
-        (count(lit(1)).cast("double") / sum(col("n"))).as("distinct_frac"))
-  }
+  def repetition(s: SparkSession, d: String): DataFrame =
+    // keyed ensureParallel: HashPartitioning(doc_id) satisfies BOTH
+    // downstream groupBy clusterings (subset rule), so the plan carries
+    // one pre-explode exchange instead of round-robin + two hash ones
+    TA.repetitionStats(
+      graft.functions.Parallelism.ensureParallel(documents(s, d), col("doc_id")),
+      "doc_id", "text")
 
   /** Deterministic hash-based train/val/test assignment: md5-derived
     * bucket of the id string — engine-independent, order-uncorrelated,
@@ -276,22 +274,31 @@ object PipelineQueries {
   private val TOKS =
     "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
+  private val STOPLIST = Stopwords.map(w => s"'$w'").mkString(",")
+
+  // TextAnalysis.qualityScore's SQL twin over a relation exposing `text`
+  // — ONE copy spliced into q_text_quality and both pipeline
+  // compositions (a per-query copy would drift silently on a weight or
+  // stopword change)
+  private val QUALITY_SQL =
+    s"""least(CAST(len($TOKS) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |  + least(CAST(len(list_filter($TOKS, t -> t IN ($STOPLIST))) AS DOUBLE)
+       |          / len($TOKS) * 5.0, 1.0) * 0.4
+       |  + (CASE WHEN CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
+       |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len($TOKS) AS n_tokens,
          |  length(text) AS n_chars_m,
          |  CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS) AS avg_word_len,
-         |  CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |  CAST(len(list_filter($TOKS, t -> t IN ($STOPLIST))) AS DOUBLE)
          |    / len($TOKS) AS stopword_ratio
          |FROM documents""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id,
-         |  least(CAST(len($TOKS) AS DOUBLE) / 50.0, 1.0) * 0.4
-         |  + least(CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-         |          / len($TOKS) * 5.0, 1.0) * 0.4
-         |  + (CASE WHEN CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
-         |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+         |  $QUALITY_SQL AS quality
          |FROM documents""".stripMargin,
     "q_lang_id" ->
       s"""WITH sc AS (
@@ -488,11 +495,7 @@ object PipelineQueries {
          |d AS (SELECT doc_id, text FROM documents
          |      WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
          |q AS (SELECT doc_id,
-         |  least(CAST(len($TOKS) AS DOUBLE) / 50.0, 1.0) * 0.4
-         |  + least(CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-         |          / len($TOKS) * 5.0, 1.0) * 0.4
-         |  + (CASE WHEN CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
-         |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
+         |  $QUALITY_SQL AS quality,
          |  CAST(len($TOKS) AS INTEGER) AS n_tokens
          |FROM d)
          |SELECT doc_id, quality, n_tokens FROM q WHERE quality >= 0.5""".stripMargin,
@@ -502,11 +505,7 @@ object PipelineQueries {
          |d AS (SELECT doc_id, text FROM documents
          |      WHERE doc_id IN (SELECT doc_id FROM keep)),
          |q AS (SELECT doc_id,
-         |  least(CAST(len($TOKS) AS DOUBLE) / 50.0, 1.0) * 0.4
-         |  + least(CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-         |          / len($TOKS) * 5.0, 1.0) * 0.4
-         |  + (CASE WHEN CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
-         |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
+         |  $QUALITY_SQL AS quality,
          |  CAST(len($TOKS) AS INTEGER) AS n_tokens
          |FROM d)
          |SELECT doc_id, quality, n_tokens FROM q WHERE quality >= 0.5""".stripMargin)

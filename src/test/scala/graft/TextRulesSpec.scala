@@ -41,6 +41,19 @@ class TextRulesSpec extends SparkSpec {
     assert(byLabel.getOrElse("val", 0) + byLabel.getOrElse("test", 0) < 100)
   }
 
+  test("repetitionStats: planted top-word and distinct fractions") {
+    val df = Seq(
+      (1L, "a a b"),            // top 2/3, distinct 2/3
+      (2L, "x y z"),            // top 1/3, distinct 1
+      (3L, "spam spam spam spam")
+    ).toDF("doc_id", "text")
+    val got = TA.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == (2.0 / 3, 2.0 / 3))
+    assert(got(2L) == (1.0 / 3, 1.0))
+    assert(got(3L) == (1.0, 0.25))
+  }
+
   test("scrubPii replaces emails and phones and counts them") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@mail.example.org or call 555-123-4567 ok"),
