@@ -56,6 +56,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(physical("q_api_latest").contains("TakeOrderedAndProject"))
   }
 
+  test("r3 regression-cluster plan shapes stay pinned") {
+    // these four queries swung 3-5x in round-3 bench numbers with
+    // UNCHANGED plans (measurement noise, docs/BENCH_NOTES.md) — pin
+    // the plan shapes mechanically so a real future regression is a
+    // test failure, not a bench-number argument
+    val topk = physical("q_sim_topk")
+    assert(topk.contains("TakeOrderedAndProject"), topk.take(400))
+    assert(!topk.contains("Exchange hashpartitioning"),
+      s"q_sim_topk shuffles the corpus:\n${topk.take(800)}")
+    val olhc = physical("q_api_olhc")
+    assert(olhc.contains("PushedFilters: [") &&
+      !olhc.contains("PushedFilters: []"), olhc.take(600))
+    val ca = physical("q_cond_agg")
+    assert("HashAggregate".r.findAllIn(ca).length >= 2,
+      s"q_cond_agg lost its map-side partial aggregation:\n${ca.take(800)}")
+    val ji = physical("q_join_inner")
+    assert(ji.contains("BroadcastHashJoin"), ji.take(800))
+  }
+
   test("no registry query plans a cartesian or nested-loop join") {
     // the negative gate: any future registry query that regresses to a
     // CartesianProduct / BroadcastNestedLoopJoin (the two shapes that
