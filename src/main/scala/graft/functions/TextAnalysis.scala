@@ -165,6 +165,31 @@ object TextAnalysis {
         (count(lit(1)).cast("double") / sum(col("n"))).as("distinct_frac"))
   }
 
+  /** Word n-grams as space-joined strings — empty array when the doc has
+    * fewer than n tokens (the `when` guard also keeps `sequence` from
+    * receiving a descending 0..negative range, which would silently step
+    * backwards). Pure per-row expression: no explode, no shuffle. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher dup-n-gram repetition rule (Rae et al. 2021 §A1.1): the
+    * fraction of n-gram occurrences that repeat an earlier occurrence —
+    * `1 - distinct/total` over the doc's n-grams. NULL when the doc has
+    * fewer than n tokens (no grams to judge). Stays a per-row array
+    * expression (scan-speed over 100 TB); the relational explode form in
+    * [[repetitionStats]] covers the token-level half of the battery. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = ngrams(text, n)
+    when(size(g) > 0,
+      (size(g) - size(array_distinct(g))).cast("double") / size(g))
+  }
+
   // ---- deterministic train/val/test splits ----------------------------
 
   /** Hash bucket in [0, buckets): md5-derived 60-bit hash of the STRING

@@ -77,6 +77,21 @@ object PipelineQueries {
       graft.functions.Parallelism.ensureParallel(documents(s, d), col("doc_id")),
       "doc_id", "text")
 
+  /** Dup-n-gram repetition rules — the n-gram half of the Gopher battery
+    * (q_repetition covers the token half): per-doc duplicated-bigram and
+    * duplicated-5-gram fractions, computed as pure per-row array
+    * expressions (no explode, no shuffle — scan-speed at 100 TB). Counts
+    * ride along so the fraction's denominator is auditable. */
+  def dupNgrams(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    par(documents(s, d)).select(
+      col("doc_id"),
+      size(TA.ngrams(t, 2)).as("n_bigrams"),
+      TA.dupNgramFrac(t, 2).as("dup_bigram_frac"),
+      size(TA.ngrams(t, 5)).as("n_5grams"),
+      TA.dupNgramFrac(t, 5).as("dup_5gram_frac"))
+  }
+
   /** Deterministic hash-based train/val/test assignment: md5-derived
     * bucket of the id string — engine-independent, order-uncorrelated,
     * the split a reproducible data pipeline actually ships. The bucket
@@ -248,6 +263,7 @@ object PipelineQueries {
     "q_tfidf"          -> (tfidf _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
+    "q_dup_ngrams"     -> (dupNgrams _),
     "q_hash_split"     -> (hashSplit _),
     "q_pii_scrub"      -> (piiScrub _),
     "q_explode"        -> (explodeTokens _),
@@ -363,6 +379,29 @@ object PipelineQueries {
          |  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS top_word_frac,
          |  CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS distinct_frac
          |FROM cnt GROUP BY doc_id""".stripMargin,
+    // n-gram lists built with the same slice bounds as the engine's
+    // transform/slice expression; < n tokens → 0 grams and NULL fracs
+    "q_dup_ngrams" ->
+      s"""WITH g AS (SELECT doc_id,
+         |  CASE WHEN len($TOKS) >= 2
+         |    THEN list_transform(range(1, len($TOKS)),
+         |           i -> array_to_string(($TOKS)[i:i+1], ' '))
+         |    ELSE [] END AS g2,
+         |  CASE WHEN len($TOKS) >= 5
+         |    THEN list_transform(range(1, len($TOKS) - 3),
+         |           i -> array_to_string(($TOKS)[i:i+4], ' '))
+         |    ELSE [] END AS g5
+         |FROM documents)
+         |SELECT doc_id,
+         |  len(g2) AS n_bigrams,
+         |  CASE WHEN len(g2) > 0
+         |    THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+         |  END AS dup_bigram_frac,
+         |  len(g5) AS n_5grams,
+         |  CASE WHEN len(g5) > 0
+         |    THEN CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5)
+         |  END AS dup_5gram_frac
+         |FROM g""".stripMargin,
     // bucket hashed once in the subquery, label derived from it; split
     // thresholds spliced from the TextAnalysis per-mille constants
     "q_hash_split" ->

@@ -70,6 +70,42 @@ object WindowQueries {
       clicks, purchases, Seq("user_id"), "ts", "pts", Seq("value"))
   }
 
+  /** Sessionization (engine extension in the §2.5 window family): per-user
+    * activity sessions with a 4-hour inactivity gap, via Spark's native
+    * `session_window` aggregation — one hash shuffle on the key, then
+    * per-partition sorted session merge. Session end = last event + gap,
+    * and touching windows merge (diff == gap → same session); the oracle
+    * twin is the gaps-and-islands form (`lag` + running sum of
+    * new-session flags) with the matching `<=` boundary. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.sessionAgg(
+      events(s, d).select("user_id", "ts", "value"),
+      "ts", "4 hours", Seq("user_id"),
+      Seq(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value")))
+
+  /** Keyless interval join (engine extension, SURVEY §2.3 join family):
+    * every error event landing inside the 2-hour window opened by any
+    * signup event — a pure range predicate with NO equi-key, the shape
+    * Spark would otherwise plan as BroadcastNestedLoopJoin. Routed through
+    * [[graft.operators.RangeJoin]]'s bucketed formulation (1-hour buckets
+    * over epoch µs) so the physical plan is a plain shuffled equi-join on
+    * the bucket id. Oracle: the naive inequality join, which DuckDB's
+    * IEJoin handles fine at test scale. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val hourUs = 3600L * 1000000L
+    val signups = ev.where(col("event_type") === "signup").select(
+      col("event_id").as("signup_id"), col("ts").as("signup_ts"),
+      unix_micros(col("ts")).as("lo"),
+      (unix_micros(col("ts")) + 2 * hourUs).as("hi"))
+    val errors = ev.where(col("event_type") === "error").select(
+      col("event_id").as("error_id"), col("ts").as("error_ts"),
+      unix_micros(col("ts")).as("p"))
+    graft.operators.RangeJoin
+      .bucketedRangeJoin(errors, "p", signups, "lo", "hi", hourUs)
+      .select("signup_id", "error_id", "signup_ts", "error_ts")
+  }
+
   /** Time-RANGE frame (vs row frames): trailing 2-day mean per key —
     * event-time window semantics where row counts vary per day. */
   def windowRange(s: SparkSession, d: String): DataFrame =
@@ -119,6 +155,8 @@ object WindowQueries {
     "q_window_range"    -> (windowRange _),
     "q_window_rank"     -> (windowRank _),
     "q_asof"            -> (asof _),
+    "q_session"         -> (sessionize _),
+    "q_range_join"      -> (rangeJoin _),
     "q_window_lag"      -> (windowLag _),
     "q_window_trailing" -> (windowTrailing _),
     "q_window_forward"  -> (windowForward _),
@@ -180,6 +218,34 @@ object WindowQueries {
         |  percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pr,
         |  rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rnk
         |FROM events""".stripMargin,
+    // gaps-and-islands twin of session_window: diff == gap MERGES (<=),
+    // matching Spark's touch-merges session semantics (SessionWindowSpec)
+    "q_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              <= INTERVAL 4 HOUR THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 4 HOUR AS session_end,
+        |  count(*) AS n_events,
+        |  sum(value) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // the engine's bucketed equi-join must equal the naive range join
+    "q_range_join" ->
+      """SELECT s.signup_id, e.error_id, s.signup_ts, e.error_ts
+        |FROM (SELECT event_id AS signup_id, ts AS signup_ts FROM events
+        |      WHERE event_type = 'signup') s
+        |JOIN (SELECT event_id AS error_id, ts AS error_ts FROM events
+        |      WHERE event_type = 'error') e
+        |  ON e.error_ts >= s.signup_ts
+        | AND e.error_ts < s.signup_ts + INTERVAL 2 HOUR""".stripMargin,
     "q_asof" ->
       """SELECT c.event_id, c.user_id, c.ts, p.value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c

@@ -38,6 +38,33 @@ class SessionWindowSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n") == 1 && rows(1).getAs[Double]("s") == 4.0)
   }
 
+  test("batch sessionAgg merges at exactly the gap, splits just past it") {
+    // Spark merges sessions whose windows TOUCH (start <= prev end), so
+    // an event exactly `gap` after the previous one stays in the same
+    // session — the oracle twin must use `diff <= gap → same session`.
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), "u1", 1.0),
+      (ts("2024-01-01 10:05:00"), "u1", 2.0),  // EXACTLY the gap: merges
+      (ts("2024-01-01 10:10:01"), "u1", 4.0),  // 1s past the gap: new session
+      (ts("2024-01-01 10:00:00"), "u2", 16.0)  // other key: never merges
+    ).toDF("ts", "user", "value")
+    val got = graft.operators.Sessionize
+      .sessionAgg(df, "ts", "5 minutes", Seq("user"),
+        Seq(count(lit(1)).as("n"), sum($"value").as("s")))
+      .orderBy("user", "session_start")
+      .collect()
+    assert(got.length == 3)
+    val s1 = got(0)
+    assert(s1.getAs[String]("user") == "u1" && s1.getAs[Long]("n") == 2
+      && s1.getAs[Double]("s") == 3.0)
+    // end = last event + gap, not first event + gap
+    assert(s1.getAs[Timestamp]("session_end") == ts("2024-01-01 10:10:00"))
+    val s2 = got(1)
+    assert(s2.getAs[Long]("n") == 1 && s2.getAs[Double]("s") == 4.0
+      && s2.getAs[Timestamp]("session_start") == ts("2024-01-01 10:10:01"))
+    assert(got(2).getAs[String]("user") == "u2")
+  }
+
   test("approx_count_distinct within 5% of exact on fixture keys") {
     val li = Tables.lineitem(spark, sf0001)
     val r = li.agg(

@@ -54,6 +54,28 @@ class TextRulesSpec extends SparkSpec {
     assert(got(3L) == (1.0, 0.25))
   }
 
+  test("dupNgramFrac: planted repeats, short docs NULL, gram counts") {
+    val df = Seq(
+      (1L, "a b a b a"),       // bigrams: ab,ba,ab,ba → 4 grams, 2 distinct
+      (2L, "v w x y z"),       // all bigrams distinct
+      (3L, "one"),             // < 2 tokens: no grams
+      (4L, "p q p q p q p q")  // 7 bigrams {pq,qp} → dup 5/7
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        size(TA.ngrams(col("text"), 2)).as("n"),
+        TA.dupNgramFrac(col("text"), 2).as("f"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), Option(r.get(2)))).toMap
+    assert(got(1L) == (4, Some(0.5)))
+    assert(got(2L) == (4, Some(0.0)))
+    assert(got(3L) == (0, None))
+    assert(got(4L) == (7, Some(5.0 / 7)))
+    // 5-grams: doc 4 has 4 of them, "p q p q p" repeating → 2 distinct
+    val g5 = df.where(col("doc_id") === 4)
+      .select(TA.dupNgramFrac(col("text"), 5)).head().getDouble(0)
+    assert(g5 == 0.5)
+  }
+
   test("scrubPii replaces emails and phones and counts them") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@mail.example.org or call 555-123-4567 ok"),
