@@ -28,12 +28,19 @@ object ExplainAudit {
                           //   bucket aggregation (no self-join)
       "q_sim_ivf",        // expect map-side NearestCentroid filter +
                           //   TakeOrderedAndProject, zero exchanges
-      "q_ngram_jaccard")  // expect ONE bucket aggregation (groupBy
+      "q_ngram_jaccard",  // expect ONE bucket aggregation (groupBy
                           //   shingle + collect_list) generating pairs,
                           //   no self-join of the shingle table.
                           //   (q_dedup_groups is not auditable here: at
                           //   audit scale its union-find fast path
                           //   returns a LocalRelation by design)
+      "q_session",        // expect ONE exchange on user_id feeding
+                          //   UpdatingSessions + session-window agg
+      "q_range_join",     // expect a shuffled EQUI-join on the bucket id
+                          //   (never BNLJ/cartesian) with the range
+                          //   predicate as the join's post-condition
+      "q_dup_ngrams")     // expect a single codegen'd Project of the two
+                          //   NgramRepetition structs over the scan
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

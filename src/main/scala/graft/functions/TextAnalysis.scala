@@ -181,14 +181,26 @@ object TextAnalysis {
   /** Gopher dup-n-gram repetition rule (Rae et al. 2021 §A1.1): the
     * fraction of n-gram occurrences that repeat an earlier occurrence —
     * `1 - distinct/total` over the doc's n-grams. NULL when the doc has
-    * fewer than n tokens (no grams to judge). Stays a per-row array
-    * expression (scan-speed over 100 TB); the relational explode form in
-    * [[repetitionStats]] covers the token-level half of the battery. */
+    * fewer than n tokens (no grams to judge). This is the reference
+    * (interpreted-HOF) formulation; hot paths use [[ngramRepetition]],
+    * the fused native expression with identical semantics
+    * ([[graft.TextRulesSpec]] asserts the equivalence). */
   def dupNgramFrac(text: Column, n: Int): Column = {
     val g = ngrams(text, n)
     when(size(g) > 0,
       (size(g) - size(array_distinct(g))).cast("double") / size(g))
   }
+
+  /** Fused dup-n-gram stats as ONE codegen'd hash-set pass per row:
+    * struct<n_grams:int, dup_frac:double> (dup_frac NULL below n
+    * tokens). ~10× the interpreted [[dupNgramFrac]] chain, which walks
+    * the gram array three times through lambda dispatch — project the
+    * struct once, then extract fields (field access on an attribute is
+    * free; Catalyst will not inline-duplicate a non-cheap expression). */
+  def ngramRepetition(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftext.ColumnBridge.column(
+      NgramRepetition(
+        org.apache.spark.sql.graftext.ColumnBridge.expression(tokens(text)), n))
 
   // ---- deterministic train/val/test splits ----------------------------
 

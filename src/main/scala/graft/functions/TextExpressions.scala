@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native text-repetition expression (builder brief: custom `Expression`
+  * with `doGenCode` beats a UDF beats interpreted HOFs).
+  *
+  * The higher-order-function formulation of the dup-n-gram rule
+  * ([[TextAnalysis.dupNgramFrac]]: transform → slice → concat_ws →
+  * array_distinct) is interpreted — every gram allocates a lambda-eval'd
+  * slice copy plus a joined string, and `size`/`array_distinct` walk the
+  * gram array again. That made q_dup_ngrams the slowest query in the
+  * round-4 bench (3.3 s at sf0.1, ~5× the next text query). This
+  * expression fuses gram construction + distinct counting into ONE
+  * hash-set pass per row, called from whole-stage codegen, and returns
+  * both outputs (total grams, duplicated fraction) in a single struct so
+  * the pass never runs twice per n.
+  *
+  * Tokens come from whitespace splitting, so they cannot contain ' ' and
+  * the space-joined gram key is injective — HashSet-of-joined-string
+  * distinct equals distinct over token tuples (the exact semantics of the
+  * HOF form and the DuckDB oracle twin; [[graft.TextRulesSpec]] asserts
+  * native == HOF on crafted docs).
+  */
+case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = NgramRepetition.Out
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramRepetition.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.NgramRepetition.compute($arr, $n);")
+
+  override protected def withNewChildInternal(c: Expression): NgramRepetition =
+    copy(child = c)
+}
+
+object NgramRepetition {
+  /** struct<n_grams:int, dup_frac:double> — dup_frac is NULL when the doc
+    * has fewer than n tokens (no grams to judge), matching the HOF form
+    * and the oracle's CASE WHEN. */
+  val Out: StructType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = true)))
+
+  /** One pass: build each space-joined gram into a reused StringBuilder,
+    * count first-occurrences via HashSet. Called from generated code. */
+  def compute(arr: ArrayData, n: Int): InternalRow = {
+    val m = arr.numElements()
+    val total = m - n + 1
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, null))
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val t = arr.getUTF8String(i)
+      toks(i) = if (t == null) "" else t.toString
+      i += 1
+    }
+    val seen = new java.util.HashSet[String](total * 2)
+    var distinct = 0
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      if (seen.add(sb.toString)) distinct += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, (total - distinct).toDouble / total))
+  }
+}

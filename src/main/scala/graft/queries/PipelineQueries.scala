@@ -79,17 +79,21 @@ object PipelineQueries {
 
   /** Dup-n-gram repetition rules — the n-gram half of the Gopher battery
     * (q_repetition covers the token half): per-doc duplicated-bigram and
-    * duplicated-5-gram fractions, computed as pure per-row array
-    * expressions (no explode, no shuffle — scan-speed at 100 TB). Counts
-    * ride along so the fraction's denominator is auditable. */
+    * duplicated-5-gram fractions via [[graft.functions.NgramRepetition]],
+    * the fused native expression (one codegen'd hash-set pass per (row,
+    * n) — no explode, no shuffle, scan-speed at 100 TB). Each struct is
+    * projected once so fields never re-run the pass. */
   def dupNgrams(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    par(documents(s, d)).select(
-      col("doc_id"),
-      size(TA.ngrams(t, 2)).as("n_bigrams"),
-      TA.dupNgramFrac(t, 2).as("dup_bigram_frac"),
-      size(TA.ngrams(t, 5)).as("n_5grams"),
-      TA.dupNgramFrac(t, 5).as("dup_5gram_frac"))
+    par(documents(s, d))
+      .select(col("doc_id"),
+        TA.ngramRepetition(t, 2).as("r2"),
+        TA.ngramRepetition(t, 5).as("r5"))
+      .select(col("doc_id"),
+        col("r2.n_grams").as("n_bigrams"),
+        col("r2.dup_frac").as("dup_bigram_frac"),
+        col("r5.n_grams").as("n_5grams"),
+        col("r5.dup_frac").as("dup_5gram_frac"))
   }
 
   /** Deterministic hash-based train/val/test assignment: md5-derived

@@ -76,6 +76,35 @@ class TextRulesSpec extends SparkSpec {
     assert(g5 == 0.5)
   }
 
+  test("ngramRepetition (native) == dupNgramFrac (HOF) on fixture docs") {
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    for (n <- Seq(2, 5)) {
+      val diff = docs.select(
+          TA.ngramRepetition(col("text"), n).as("r"),
+          size(TA.ngrams(col("text"), n)).as("hof_n"),
+          TA.dupNgramFrac(col("text"), n).as("hof_f"))
+        .where(col("r.n_grams") =!= col("hof_n") ||
+          !(col("r.dup_frac") <=> col("hof_f")))
+      assert(diff.count() == 0, s"native/HOF divergence at n=$n")
+    }
+    // crafted boundary rows: exact repeats and the below-n NULL
+    val df = Seq((1L, "a b a b a"), (2L, "one")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TA.ngramRepetition(col("text"), 2).as("r"))
+      .select(col("doc_id"), col("r.n_grams"), col("r.dup_frac"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), Option(r.get(2)))).toMap
+    assert(got(1L) == (4, Some(0.5)))
+    assert(got(2L) == (0, None))
+  }
+
+  test("ngramRepetition stays inside whole-stage codegen") {
+    // the `*(n)` prefix marks a WholeStageCodegen stage; a codegen
+    // fallback would print a bare `Project`
+    val plan = Tables.documents(spark, sf0001)
+      .select(TA.ngramRepetition(col("text"), 2).as("r"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("scrubPii replaces emails and phones and counts them") {
     val df = Seq(
       (1L, "mail me at jane.doe+x@mail.example.org or call 555-123-4567 ok"),
