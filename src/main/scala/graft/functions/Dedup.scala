@@ -173,9 +173,6 @@ object Dedup {
       s"minhashPairs needs bands in [1,k] dividing k (k=$k, bands=$bands): " +
         "bands>k would hash zero signature rows per band — every doc " +
         "collides and the candidate join degenerates to n^2")
-    val rows = k / bands
-    val sigs = minhashSignatures(
-      shinglesRaw(ensureParallel(df, col(id)), id, text, shingleN), k)
     // SINGLE-CONSUMER pipeline — no cache, no eager materialization, no
     // construction-time side-effect jobs: the signature pipeline is
     // scanned exactly once because the full signature RIDES ALONG through
@@ -189,10 +186,7 @@ object Dedup {
     // band key = xxhash64 of the band's signature slice (engine-internal:
     // only COLLISIONS matter, so the oracle can band on the raw slice
     // values instead — the candidate sets agree)
-    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(
-      array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
-      .as(Seq("band", "band_hash")))
+    val banded = bandedSignatures(df, id, text, shingleN, k, bands)
     // Candidate pairs by bucket aggregation, not a self-join: ONE shuffle
     // (groupBy band key). Pair expansion is bucket-local (|bucket|²),
     // exactly the collision set a join would produce. MEMORY SHAPE: each
@@ -202,7 +196,9 @@ object Dedup {
     // for a DEGENERATE bucket (millions of boilerplate-identical docs),
     // where the |bucket|² pair space is already fatal in any LSH shape;
     // the mitigation either way is dropping/salting boilerplate upstream
-    // (docs/SCALE.md).
+    // (docs/SCALE.md). [[minhashPairsJoin]] is the spill-safe twin: same
+    // output through a sort-merge self-join whose match-group buffer
+    // spills to disk instead of OOMing the agg buffer.
     //
     // est_jaccard is computed INLINE at expansion time with the
     // codegen'd [[ArrayEqCount]] kernel, so the post-expansion rows are
@@ -220,6 +216,57 @@ object Dedup {
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (ArrayEqCount(col("a.sig"), col("b.sig")).cast("double") / k).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** (doc_id, sig, band, band_hash) band fan-out shared by the two pair
+    * expansions — the full signature rides along so est_jaccard needs no
+    * re-join against the signature table. */
+  private def bandedSignatures(df: DataFrame, id: String, text: String,
+                               shingleN: Int, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(
+      shinglesRaw(ensureParallel(df, col(id)), id, text, shingleN), k)
+    sigs.select(col("doc_id"), col("sig"), posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+      .as(Seq("band", "band_hash")))
+  }
+
+  /** Spill-safe twin of [[minhashPairs]] for DEGENERATE buckets: pair
+    * expansion by a bucket-keyed sort-merge SELF-JOIN instead of the
+    * groupBy+collect_list bucket aggregation. Identical output
+    * ([[graft.DedupSpec]] asserts set equality).
+    *
+    * Trade: the bucket aggregation holds each bucket's members in ONE
+    * unspillable agg buffer (~520 B/member at k=64) — optimal for
+    * natural near-dup buckets (its |bucket| is tens to thousands), a
+    * memory cliff for a boilerplate bucket with millions of identical
+    * docs. SortMergeJoin instead buffers the match group in an
+    * ExternalAppendOnlyUnsafeRowArray, which SPILLS to disk past
+    * `spark.sql.sortMergeJoinExec.buffer.spill.threshold` — the pipeline
+    * degrades to disk speed instead of OOMing (the |bucket|² pair count
+    * is still the real cost; drop/salt boilerplate upstream either way).
+    * Price of safety: the banded-signature pipeline feeds TWO join sides
+    * (computed twice from the scan, or once if the caller persists
+    * signatures to the lake first — at 100 TB they would be a persisted
+    * artifact anyway) and the join shuffle carries full signatures on
+    * both sides. Default remains the aggregation path. */
+  def minhashPairsJoin(df: DataFrame, id: String, text: String,
+                       shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"minhashPairsJoin needs bands in [1,k] dividing k (k=$k, bands=$bands)")
+    val banded = bandedSignatures(df, id, text, shingleN, k, bands)
+    val a = banded.select(col("band").as("_ba"), col("band_hash").as("_ha"),
+      col("doc_id").as("doc_a"), col("sig").as("_sa"))
+    val b = banded.select(col("band").as("_bb"), col("band_hash").as("_hb"),
+      col("doc_id").as("doc_b"), col("sig").as("_sb"))
+    a.join(b, col("_ba") === col("_bb") && col("_ha") === col("_hb") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (ArrayEqCount(col("_sa"), col("_sb")).cast("double") / k).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()
   }
@@ -372,8 +419,82 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds — " +
           "the pair graph has a chain-shaped component far longer than any " +
-          "near-dup structure; use a large-star/small-star formulation")
+          "near-dup structure; use connectedComponentsStar (O(log n) rounds " +
+          "on any graph shape)")
     labels.select(col("id").as("doc_id"), col("comp").as("component_rep"))
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    * in MapReduce and Beyond", SoCC 2014; the algorithm GraphFrames
+    * ships): converges in O(log n) rounds on ANY graph shape, including
+    * the diameter-n chains where [[connectedComponents]]' min-label
+    * propagation needs O(diameter) rounds. Same output contract:
+    * (doc_id, component_rep = component min) for every vertex in ≥1 pair.
+    *
+    * Per round, two half-steps of two hash-shuffles each (a groupBy for
+    * the per-vertex min, a join to re-attach it) — the same shuffle
+    * budget per round as min-label propagation, so the win is purely the
+    * round count. Large-star hooks every neighbor LARGER than u onto
+    * min(Γ(u) ∪ {u}), halving tall trees; small-star re-hooks every
+    * smaller neighbor (and u itself) onto the local min, flattening
+    * toward stars. The fixed point is a star per component rooted at the
+    * component minimum.
+    *
+    * Convergence test is EXACT set equality against the previous round
+    * (both sides distinct + localCheckpoint'ed, so it is two cheap jobs
+    * on materialized data) — not GraphFrames' monotone-sum heuristic —
+    * because this is also the correctness reference for the spec.
+    * Min-label remains the default in [[dedupGroups]]: near-dup
+    * components are diameter-1–2 cliques where it terminates in 2–3
+    * rounds; this is the adversarial-shape escape hatch. */
+  def connectedComponentsStar(pairs: DataFrame, a: String = "doc_a",
+                              b: String = "doc_b",
+                              maxIters: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // large-star over the SYMMETRIC neighbor set, built by exploding
+      // both directions from one scan (see connectedComponents)
+      val sym = edges.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val lsMin = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the large→small orientation (large-star output is
+      // already (larger, smaller), so no re-orientation shuffle needed);
+      // emits (v, m) for every small neighbor plus (u, m) for u itself —
+      // both from ONE scan of the joined frame via explode
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(explode(array(
+            struct(col("v").as("s"), col("m")),
+            struct(col("u").as("s"), col("m")))).as("e"))
+        .select(col("e.s").as("u"), col("e.m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      edges = ss
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds " +
+          "(needs O(log n); raise maxIters)")
+    // fixed point = stars (child → component min): children label from
+    // their edge, roots label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("component_rep"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("component_rep")).distinct())
   }
 
   /** End-to-end near-dup grouping: MinHash+LSH pairs → connected

@@ -101,6 +101,43 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents on an empty pair set returns no rows") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).count() == 0)
+    assert(Dedup.connectedComponentsStar(empty).count() == 0)
+  }
+
+  test("connectedComponentsStar matches union-find on planted components") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L),
+      (9L, 7L)                         // reversed duplicate must be benign
+    ).toDF("doc_a", "doc_b")
+    val expect = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == expect)
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on a chain") {
+    // 64-vertex path: diameter 63. Min-label propagation needs 63 rounds
+    // (shown by the maxIters probe below); large-star/small-star halves
+    // tree height per round, so 15 rounds is ample for log2(64)=6 plus
+    // constant-factor slack — the cap is the assertion.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(chain, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 64 && star.values.forall(_ == 0L))
+    intercept[IllegalStateException] { // min-label at the same cap: stuck
+      Dedup.connectedComponents(chain, maxIters = 15, driverMaxEdges = 0).collect()
+    }
+  }
+
+  test("minhashPairsJoin (spill-safe) == minhashPairs (bucket agg)") {
+    val docs = Tables.documents(spark, sf0001)
+    val agg = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val join = Dedup.minhashPairsJoin(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(agg.nonEmpty && join == agg)
   }
 
   test("dedupGroups groups exact+near dups into one component") {
