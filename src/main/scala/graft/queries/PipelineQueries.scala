@@ -153,6 +153,15 @@ object PipelineQueries {
   def dedupGroups(s: SparkSession, d: String): DataFrame =
     Dedup.dedupGroups(documents(s, d), "doc_id", "text")
 
+  /** Same pairs → groups contract through the large-star/small-star
+    * rounds ([[Dedup.connectedComponentsStar]]) — the O(log n)
+    * adversarial-shape path, checked against the SAME recursive-CTE
+    * oracle as q_dedup_groups (identical output by definition of
+    * connected components, so one oracle serves both algorithms). */
+  def dedupGroupsStar(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponentsStar(
+      Dedup.minhashPairs(documents(s, d), "doc_id", "text"))
+
   def simTopK(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
 
@@ -276,6 +285,7 @@ object PipelineQueries {
     "q_ngram_jaccard"  -> (ngramJaccard _),
     "q_minhash_pairs"  -> (minhashPairs _),
     "q_dedup_groups"   -> (dedupGroups _),
+    "q_dedup_star"     -> (dedupGroupsStar _),
     "q_simhash"        -> (simhashes _),
     "q_sim_topk"       -> (simTopK _),
     "q_sim_lsh"        -> (simLsh _),
@@ -473,6 +483,7 @@ object PipelineQueries {
         |FROM documents""".stripMargin,
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
+    "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
     "q_simhash" -> Dedup.simhashOracleSql,
     "q_sim_neardup" -> Similarity.bucketPairsOracleSql(minCos = 0.3),
     "q_sim_lsh" -> Similarity.lshTopKOracleSql(0L, 10),

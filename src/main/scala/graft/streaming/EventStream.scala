@@ -25,4 +25,25 @@ object EventStream {
         avg("value").as("avg_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"), col("avg_value"))
+
+  /** Streaming exact dedup with BOUNDED state: content-fingerprint rows
+    * (md5 of `textCol`, same fingerprint as the batch
+    * [[graft.functions.Dedup]] operators) deduplicated via
+    * `dropDuplicatesWithinWatermark` — dedup state for a fingerprint is
+    * EVICTED once the watermark passes its last sighting plus `horizon`,
+    * so state is O(distinct docs per horizon), not O(distinct docs ever).
+    * That eviction is the difference between this and plain
+    * `dropDuplicates` (which pins every key forever and OOMs on an
+    * unbounded document stream): a duplicate arriving AFTER the horizon
+    * is re-emitted — the contract a continuously-ingesting corpus
+    * pipeline wants, because cross-horizon dedup belongs to the batch
+    * compaction pass over the lake ([[graft.functions.Dedup.dedupKeepRows]]). */
+  def dedupDocStream(docs: DataFrame, tsCol: String = "ts",
+                     textCol: String = "text",
+                     horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_fp", md5(lower(col(textCol))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
 }

@@ -213,6 +213,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getDouble(2) == 1.0) // first occurrence won
   }
 
+  test("dedupDocStream: bounded-state dedup evicts past the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val deduped = graft.streaming.EventStream.dedupDocStream(
+      mem.toDF().toDF("ts", "doc_id", "text"), horizon = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("docdedup")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:00:00"), 1L, "hello world"))
+    q.processAllAvailable()
+    // duplicate content within the horizon: dropped (different doc_id —
+    // dedup is on the content fingerprint, not the row)
+    mem.addData((ts("2024-01-01 10:05:00"), 2L, "hello world"),
+      (ts("2024-01-01 10:10:00"), 3L, "fresh content"))
+    q.processAllAvailable()
+    // advance the watermark far past 10:00 + 1h, evicting the state…
+    mem.addData((ts("2024-01-01 13:00:00"), 4L, "mover"))
+    q.processAllAvailable()
+    // …so the same content re-emits (plain dropDuplicates would pin the
+    // fingerprint forever — unbounded state on an unbounded corpus)
+    mem.addData((ts("2024-01-01 13:30:00"), 5L, "hello world"))
+    q.processAllAvailable()
+    val got = spark.table("docdedup").collect().map(_.getLong(1)).sorted.toSeq
+    q.stop()
+    assert(got == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("T2: foreachBatch lake sink appends parquet partitioned by symbol") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("lake").toString
