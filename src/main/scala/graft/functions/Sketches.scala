@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftext.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Distinct-count sketching for corpus statistics (vocabulary size,
+  * distinct shingles/URLs/fingerprints) where the exact answer needs a
+  * full `distinct()` shuffle of every distinct value — at 100 TB, often
+  * more expensive than the query it serves.
+  *
+  * The sketch here is KMV (k minimum values, Bar-Yossef et al. 2002) over
+  * the engine's md5-derived 60-bit hash, NOT HyperLogLog, for one
+  * deliberate reason: KMV over a fixed hash is fully DETERMINISTIC — the
+  * k smallest distinct hashes are a set property of the data, independent
+  * of partitioning, merge order, or row order. That makes the estimate
+  * bit-for-bit reproducible by the DuckDB oracle (`ORDER BY hash LIMIT
+  * k`), so the sketch gets a real CORRECTNESS row, where an HLL register
+  * array would be engine-private state with at best a rows-only check.
+  * Accuracy is the textbook ~1/√k relative error (k=256 → ~6%).
+  *
+  * Scale shape: one [[KmvLongAgg]] per group — a bounded k-long sorted
+  * buffer with map-side partial aggregation, so each partition ships one
+  * ≤(8k+4)-byte buffer to the final merge; the corpus itself never
+  * shuffles and distinct values are never materialized.
+  */
+object Sketches {
+
+  /** Hash-space size of [[Dedup.md5Hash60]]: estimates assume uniform
+    * hashes in [0, 2⁶⁰). Exactly representable as a double. */
+  val HashSpace: Double = math.pow(2, 60)
+
+  /** The k smallest DISTINCT values of `c` across the group, as a sorted
+    * `array<long>` (shorter than k iff the group has fewer distinct
+    * values — the caller's exact-count escape hatch). */
+  def kMinValues(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvLongAgg(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** KMV estimator over a [[kMinValues]] result: exact size when the
+    * group had < k distinct values, else (k−1)·2⁶⁰ / kth-min. The
+    * numerator is a driver-computed double literal ((k−1)·2⁶⁰ is exact —
+    * k−1 < 2⁵³⁻⁶⁰ bits), so engine and oracle perform the identical
+    * single IEEE division. */
+  def kmvEstimate(kept: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    when(size(kept) < k, size(kept).cast("double"))
+      .otherwise(lit((k - 1).toDouble * HashSpace) /
+        kept(size(kept) - 1).cast("double"))
+  }
+
+  /** DuckDB twin of [[kmvEstimate]] ∘ [[kMinValues]] over a relation
+    * exposing distinct hashes as `h`: same k-min set, same CASE, same
+    * left-to-right division. `%.17e` renders the numerator exactly
+    * (a bare decimal literal would be DECIMAL, not DOUBLE, in DuckDB). */
+  def kmvEstimateSql(k: Int): String = {
+    val num = "%.17e".format((k - 1).toDouble * HashSpace)
+    s"""kmin AS (SELECT h FROM h ORDER BY h LIMIT $k),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth_min FROM kmin)
+       |SELECT n_kept, kth_min,
+       |  CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |       ELSE CAST($num AS DOUBLE) / CAST(kth_min AS DOUBLE) END AS est_distinct
+       |FROM s""".stripMargin
+  }
+}
+
+/** Bounded k-min-values buffer: sorted distinct prefix of a k-long
+  * primitive array. Insertion is a binary search plus an arraycopy only
+  * when the value actually enters the k-set — once the buffer saturates,
+  * the `h >= max` early exit rejects almost every row with one compare. */
+final class KmvBuffer(val k: Int) {
+  val vals = new Array[Long](k)
+  var size = 0
+
+  def insert(h: Long): Unit = {
+    if (size == k && h >= vals(k - 1)) return
+    val idx = java.util.Arrays.binarySearch(vals, 0, size, h)
+    if (idx >= 0) return // already in the k-set
+    val ins = -idx - 1
+    val shift = math.min(size, k - 1) - ins
+    if (shift > 0) System.arraycopy(vals, ins, vals, ins + 1, shift)
+    vals(ins) = h
+    if (size < k) size += 1
+  }
+}
+
+/** The k smallest distinct longs across a group as one
+  * [[TypedImperativeAggregate]]: partial aggregation keeps a bounded
+  * [[KmvBuffer]] per partition (ObjectHashAggregate map-side combine);
+  * null inputs are skipped. Same buffer/serialization discipline as
+  * [[ElementwiseLongAgg]]. */
+case class KmvLongAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k > 0, s"KmvLongAgg needs k > 0, got $k")
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: KmvBuffer, b2: KmvBuffer): KmvBuffer = {
+    var i = 0
+    while (i < b2.size) { b1.insert(b2.vals(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: KmvBuffer): Any =
+    new GenericArrayData(java.util.Arrays.copyOf(buf.vals, buf.size))
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.vals(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new KmvBuffer(k)
+    out.size = n
+    var i = 0
+    while (i < n) { out.vals(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvLongAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvLongAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): KmvLongAgg =
+    copy(child = newChild)
+}

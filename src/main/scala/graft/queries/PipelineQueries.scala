@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.functions.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis => TA}
 
 /** LLM-data-pipeline operators (builder brief extensions) over the
   * `documents`/`embeddings` fixtures. Every hash-based op (MinHash,
@@ -153,6 +153,29 @@ object PipelineQueries {
   def dedupGroups(s: SparkSession, d: String): DataFrame =
     Dedup.dedupGroups(documents(s, d), "doc_id", "text")
 
+  /** Corpus shingle-universe size via the KMV distinct-count sketch
+    * ([[Sketches]]): k smallest distinct 60-bit shingle hashes in ONE
+    * bounded-buffer aggregate — no `distinct()` shuffle of the ~n×tokens
+    * shingle set — then the (k−1)·2⁶⁰/kth-min estimate. This is the
+    * sizing statistic a shingle-dedup pass wants before it runs
+    * (bucket-count/skew planning for [[Dedup.jaccardPairs]]).
+    * Deterministic by construction, so unlike HLL it carries a bit-exact
+    * DuckDB oracle. (The doc-token vocabulary would be the natural demo
+    * target, but the synthetic fixture has only ~31 distinct tokens —
+    * below k — which would leave the estimator branch untested.) */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val kept = Dedup.shinglesRaw(par(documents(s, d)), "doc_id", "text", 5)
+      .select(Sketches.kMinValues(Dedup.md5Hash60(col("shingle")), k).as("kept"))
+    kept.select(
+      size(col("kept")).cast("long").as("n_kept"),
+      // guarded: a zero-row corpus still yields one agg row with an
+      // empty array, and ANSI mode turns kept[-1] into an error
+      when(size(col("kept")) > 0, col("kept")(size(col("kept")) - 1))
+        .as("kth_min"),
+      Sketches.kmvEstimate(col("kept"), k).as("est_distinct"))
+  }
+
   /** Same pairs → groups contract through the large-star/small-star
     * rounds ([[Dedup.connectedComponentsStar]]) — the O(log n)
     * adversarial-shape path, checked against the SAME recursive-CTE
@@ -286,6 +309,7 @@ object PipelineQueries {
     "q_minhash_pairs"  -> (minhashPairs _),
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
+    "q_kmv_distinct"   -> (kmvDistinct _),
     "q_simhash"        -> (simhashes _),
     "q_sim_topk"       -> (simTopK _),
     "q_sim_lsh"        -> (simLsh _),
@@ -484,6 +508,14 @@ object PipelineQueries {
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
+    // same toks/pos/sh shingle pipeline as the minhash oracle, hashed
+    // with the same md5-60bit map (no mod-P reduction here)
+    "q_kmv_distinct" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
+         |sh AS (SELECT array_to_string(t[i+1:i+5], ' ') AS s FROM pos),
+         |h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h FROM sh),
+         |${Sketches.kmvEstimateSql(256)}""".stripMargin,
     "q_simhash" -> Dedup.simhashOracleSql,
     "q_sim_neardup" -> Similarity.bucketPairsOracleSql(minCos = 0.3),
     "q_sim_lsh" -> Similarity.lshTopKOracleSql(0L, 10),

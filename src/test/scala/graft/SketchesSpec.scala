@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Sketches}
+
+/** KMV distinct-count sketch: exactness below k, accuracy above it, and
+  * the determinism (partition-independence) that earns it an oracle. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kept(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.select(Sketches.kMinValues(Dedup.md5Hash60(col("v")), k).as("kept"),
+        Sketches.kmvEstimate(col("kept"), k).as("est"))
+
+  test("below k distinct values the estimate is the exact count") {
+    val df = (0 until 100).map(i => s"tok${i % 40}").toDF("v") // 40 distinct
+    val r = kept(df, 256).head()
+    assert(r.getAs[scala.collection.Seq[Long]]("kept").size == 40)
+    assert(r.getAs[Double]("est") == 40.0)
+  }
+
+  // the fixture's token vocabulary (~31) is below any useful k; its
+  // ~25k distinct 5-gram shingles are the estimator-branch workload
+  private def shingles = Dedup.shinglesRaw(
+      Tables.documents(spark, sf0001), "doc_id", "text", 5)
+    .select(col("shingle").as("v"))
+
+  test("estimate lands within ~1/sqrt(k) of exact distinct at fixture scale") {
+    val exact = shingles.distinct().count().toDouble
+    val est = kept(shingles, 256).head().getAs[Double]("est")
+    assert(exact > 256, s"fixture shingle universe too small ($exact) for the sketch branch")
+    assert(math.abs(est - exact) / exact < 0.2,
+      s"KMV est $est vs exact $exact: off by ${math.abs(est - exact) / exact}")
+  }
+
+  test("the k-min set is partition-independent (deterministic merges)") {
+    val one = kept(shingles.coalesce(1), 64).head().getAs[scala.collection.Seq[Long]]("kept")
+    val many = kept(shingles.repartition(16), 64).head().getAs[scala.collection.Seq[Long]]("kept")
+    assert(one == many && one.size == 64 && one == one.sorted)
+  }
+
+  test("duplicate and null inputs never distort the k-set") {
+    val df = (Seq.fill(50)("same") ++ Seq("a", "b", null)).toDF("v")
+    val r = kept(df, 8).head()
+    // md5 of a null string is null -> skipped; 3 distinct non-null values
+    assert(r.getAs[scala.collection.Seq[Long]]("kept").size == 3 && r.getAs[Double]("est") == 3.0)
+  }
+}
