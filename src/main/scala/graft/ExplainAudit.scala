@@ -39,8 +39,11 @@ object ExplainAudit {
       "q_range_join",     // expect a shuffled EQUI-join on the bucket id
                           //   (never BNLJ/cartesian) with the range
                           //   predicate as the join's post-condition
-      "q_dup_ngrams")     // expect a single codegen'd Project of the two
+      "q_dup_ngrams",     // expect a single codegen'd Project of the two
                           //   NgramRepetition structs over the scan
+      "q_kmv_distinct")   // expect partial+final ObjectHashAggregate of
+                          //   ONE bounded KmvLongAgg buffer — no distinct
+                          //   exchange of the shingle set
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

@@ -11,8 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (the BPE-ish regex path: split on runs of
-    * whitespace; punctuation kept attached as in raw web text). */
   /** Strip ALL leading/trailing whitespace. Built-in `trim` strips only
     * ASCII spaces (in Spark AND the oracle engine), so \t/\n edges would
     * still diverge: Java split drops TRAILING empty strings but keeps
@@ -20,9 +18,32 @@ object TextAnalysis {
     * twin is `regexp_replace(x, '^\s+|\s+$', '', 'g')`. */
   def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
 
+  /** Whitespace tokenizer: split on runs of whitespace; punctuation kept
+    * attached as in raw web text. ([[bpeTokenCount]] is the
+    * subword-style counterpart.) */
   def tokens(text: Column): Column = split(wsTrim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, then
+    * space-prefixed letter runs / digit runs / symbol runs. This is the
+    * piece-boundary grammar BPE vocabularies are trained over, so its
+    * match count tracks "how many subword tokens will this text cost"
+    * far better than whitespace words (code and punctuation-dense text
+    * fan out; prose stays ~1 piece per word). Two deliberate deviations
+    * from the original GPT-2 regex, both for engine-portability: no
+    * `\s+(?!\S)` lookahead branch (RE2 — the oracle engine's regex — has
+    * no lookahead) and no standalone-whitespace branch (a token COUNT
+    * wants pieces, not separators; the scanner skips unmatched
+    * whitespace on its own). Alternation is leftmost-first in BOTH Java
+    * regex and RE2, so the same string yields the same matches. */
+  val BpeTokenRe: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Subword-piece count under [[BpeTokenRe]] — the "BPE-ish regex"
+    * token counter: one codegen'd regexp_extract_all per row, no UDF. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
 
   def charCount(text: Column): Column = length(text)
 

@@ -153,6 +153,21 @@ object PipelineQueries {
   def dedupGroups(s: SparkSession, d: String): DataFrame =
     Dedup.dedupGroups(documents(s, d), "doc_id", "text")
 
+  /** Token-cost statistics — BOTH counters the builder brief names:
+    * whitespace words and BPE-ish subword pieces
+    * ([[TA.bpeTokenCount]], the GPT-2 pre-tokenizer grammar), plus
+    * their ratio (the "how much will this text cost to train on"
+    * statistic: ~1 for prose, fans out on code/punctuation-dense text).
+    * Pure per-row regexp expressions — scan-speed at 100 TB. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    par(documents(s, d)).select(
+      col("doc_id"),
+      TA.tokenCount(col("text")).as("n_words"),
+      TA.bpeTokenCount(col("text")).as("n_pieces"),
+      // words >= 1 always (split of "" is [""]), so the ratio is total
+      (TA.bpeTokenCount(col("text")).cast("double") /
+        TA.tokenCount(col("text"))).as("pieces_per_word"))
+
   /** Corpus shingle-universe size via the KMV distinct-count sketch
     * ([[Sketches]]): k smallest distinct 60-bit shingle hashes in ONE
     * bounded-buffer aggregate — no `distinct()` shuffle of the ~n×tokens
@@ -310,6 +325,7 @@ object PipelineQueries {
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
     "q_kmv_distinct"   -> (kmvDistinct _),
+    "q_token_count"    -> (tokenCounts _),
     "q_simhash"        -> (simhashes _),
     "q_sim_topk"       -> (simTopK _),
     "q_sim_lsh"        -> (simLsh _),
@@ -508,6 +524,18 @@ object PipelineQueries {
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
+    // the BPE regex is the SAME Scala constant, SQL-quoted; leftmost-
+    // first alternation matches in Java regex and RE2 alike (the
+    // pattern deliberately avoids lookahead, which RE2 lacks)
+    "q_token_count" -> {
+      val re = TA.BpeTokenRe.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len($TOKS) AS INT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '$re')) AS INT) AS n_pieces,
+         |  CAST(len(regexp_extract_all(text, '$re')) AS DOUBLE)
+         |    / CAST(len($TOKS) AS DOUBLE) AS pieces_per_word
+         |FROM documents""".stripMargin
+    },
     // same toks/pos/sh shingle pipeline as the minhash oracle, hashed
     // with the same md5-60bit map (no mod-P reduction here)
     "q_kmv_distinct" ->

@@ -96,6 +96,19 @@ class TextRulesSpec extends SparkSpec {
     assert(got(2L) == (0, None))
   }
 
+  test("bpeTokenCount: subword pieces per GPT-2 pre-tokenizer grammar") {
+    val df = Seq(
+      (1L, "hello world"),   // "hello", " world"            -> 2 pieces, 2 words
+      (2L, "don't stop"),    // "don", "'t", " stop"         -> 3 pieces, 2 words
+      (3L, "x=1+2"),         // letter/symbol/digit runs     -> 5 pieces, 1 word
+      (4L, "")               // no pieces; split("") = [""]  -> 0 pieces, 1 word
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TA.bpeTokenCount(col("text")).as("p"),
+        TA.tokenCount(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got == Map(1L -> (2, 2), 2L -> (3, 2), 3L -> (5, 1), 4L -> (0, 1)))
+  }
+
   test("ngramRepetition stays inside whole-stage codegen") {
     // the `*(n)` prefix marks a WholeStageCodegen stage; a codegen
     // fallback would print a bare `Project`
