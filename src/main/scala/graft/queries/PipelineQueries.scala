@@ -168,6 +168,24 @@ object PipelineQueries {
       (TA.bpeTokenCount(col("text")).cast("double") /
         TA.tokenCount(col("text"))).as("pieces_per_word"))
 
+  /** Corpus length quantiles from a DETERMINISTIC hash sample — the
+    * bounded-state quantile path: an exact `percentile` buffer holds
+    * every distinct value it sees, so at corpus scale the estimator runs
+    * on a fixed-rate md5-bucket sample (the same 60-bit hash family as
+    * q_hash_split — reproducible across engines AND runs, unlike
+    * `rand()`/`TABLESAMPLE`). The sample is a plain filter below the
+    * aggregation, so 15/16 of the corpus is dropped before any state
+    * builds; sampling error on quantiles is the usual O(1/√sample). */
+  def sampleQuantiles(s: SparkSession, d: String): DataFrame =
+    par(documents(s, d))
+      .where(TA.hashBucket(col("doc_id"), 16) === 0)
+      .agg(count(lit(1)).as("n_sampled"),
+        expr("percentile(length(text), array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("n_sampled"),
+        col("ps").getItem(0).as("len_p50"),
+        col("ps").getItem(1).as("len_p90"),
+        col("ps").getItem(2).as("len_p99"))
+
   /** Corpus shingle-universe size via the KMV distinct-count sketch
     * ([[Sketches]]): k smallest distinct 60-bit shingle hashes in ONE
     * bounded-buffer aggregate — no `distinct()` shuffle of the ~n×tokens
@@ -326,6 +344,7 @@ object PipelineQueries {
     "q_dedup_star"     -> (dedupGroupsStar _),
     "q_kmv_distinct"   -> (kmvDistinct _),
     "q_token_count"    -> (tokenCounts _),
+    "q_sample_quantiles" -> (sampleQuantiles _),
     "q_simhash"        -> (simhashes _),
     "q_sim_topk"       -> (simTopK _),
     "q_sim_lsh"        -> (simLsh _),
@@ -524,6 +543,16 @@ object PipelineQueries {
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
+    // same md5-bucket family as q_hash_split; quantile_cont matches
+    // Spark's interpolated percentile bit-for-bit (q_percentiles
+    // established the parity)
+    "q_sample_quantiles" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+        |  quantile_cont(length(text), 0.5) AS len_p50,
+        |  quantile_cont(length(text), 0.9) AS len_p90,
+        |  quantile_cont(length(text), 0.99) AS len_p99
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 = 0""".stripMargin,
     // the BPE regex is the SAME Scala constant, SQL-quoted; leftmost-
     // first alternation matches in Java regex and RE2 alike (the
     // pattern deliberately avoids lookahead, which RE2 lacks)

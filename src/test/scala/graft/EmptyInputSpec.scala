@@ -26,8 +26,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.dedupKeepRows(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "text", 3).count() === 0)
     assert(Dedup.minhashPairs(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.minhashPairsJoin(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.simhash(emptyDocs, "doc_id", "text").count() === 0)
     assert(Dedup.dedupGroups(emptyDocs, "doc_id", "text").count() === 0)
+  }
+
+  test("KMV sketch on an empty corpus yields the empty k-set, estimate 0") {
+    import org.apache.spark.sql.functions.col
+    val r = emptyDocs
+      .select(graft.functions.Sketches.kMinValues(
+        Dedup.md5Hash60(col("text")), 8).as("kept"),
+        graft.functions.Sketches.kmvEstimate(col("kept"), 8).as("est"))
+      .head() // global agg over zero rows still emits one row
+    assert(r.getAs[scala.collection.Seq[Long]]("kept").isEmpty)
+    assert(r.getAs[Double]("est") == 0.0)
   }
 
   test("similarity scans return empty on an empty corpus") {
