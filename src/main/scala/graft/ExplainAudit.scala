@@ -35,7 +35,8 @@ object ExplainAudit {
                           //   audit scale its union-find fast path
                           //   returns a LocalRelation by design)
       "q_session",        // expect ONE exchange on user_id feeding
-                          //   UpdatingSessions + session-window agg
+                          //   MergingSessions + session-window agg
+                          //   (UpdatingSessions is the streaming twin)
       "q_range_join",     // expect a shuffled EQUI-join on the bucket id
                           //   (never BNLJ/cartesian) with the range
                           //   predicate as the join's post-condition

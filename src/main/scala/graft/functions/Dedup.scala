@@ -451,11 +451,19 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, a: String = "doc_a",
                               b: String = "doc_b",
                               maxIters: Int = 50): DataFrame = {
-    var edges = pairs
+    // ONE scan of the (possibly expensive) pair pipeline, checkpointed
+    // BEFORE the self-loop split: a self-pair (v, v) carries no
+    // connectivity, but its vertex is still "in ≥1 pair" and owes a
+    // trivial (v, v) output row — dropping it entirely would diverge
+    // from connectedComponents and the walk-CTE oracle
+    val edges0 = pairs
       .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
-      .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    val selfVerts = edges0.where(col("u") === col("v"))
+      .select(col("u").as("doc_id"))
+    var edges = edges0.where(col("u") =!= col("v"))
+    var prevCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -483,8 +491,12 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
+      // the previous round's count is carried forward — one convergence
+      // job per round (plus the except), not two
+      val ssCount = ss.count()
+      converged = ssCount == prevCount && ss.except(edges).isEmpty
       edges = ss
+      prevCount = ssCount
       iter += 1
     }
     if (!converged)
@@ -492,9 +504,13 @@ object Dedup {
         s"connectedComponentsStar did not converge in $maxIters rounds " +
           "(needs O(log n); raise maxIters)")
     // fixed point = stars (child → component min): children label from
-    // their edge, roots label themselves
-    edges.select(col("u").as("doc_id"), col("v").as("component_rep"))
+    // their edge, roots label themselves; self-pair-only vertices are
+    // their own trivial components
+    val star = edges.select(col("u").as("doc_id"), col("v").as("component_rep"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("component_rep")).distinct())
+    star.union(selfVerts
+      .join(star, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component_rep")))
   }
 
   /** End-to-end near-dup grouping: MinHash+LSH pairs → connected

@@ -15,7 +15,17 @@ object TextAnalysis {
     * ASCII spaces (in Spark AND the oracle engine), so \t/\n edges would
     * still diverge: Java split drops TRAILING empty strings but keeps
     * leading ones, while the oracle's regex split keeps both. The oracle
-    * twin is `regexp_replace(x, '^\s+|\s+$', '', 'g')`. */
+    * twin is `regexp_replace(x, '^\s+|\s+$', '', 'g')`.
+    *
+    * KNOWN `\s` ENGINE DIVERGENCE: Java's `\s` is `[ \t\n\x0B\f\r]` while
+    * RE2's (DuckDB's) is `[ \t\n\f\r]` — vertical tab (U+000B) is the one
+    * ASCII character they disagree on. Every `\s`-based twin (tokens,
+    * shingles, simhash, repetition) inherits this: a corpus containing
+    * literal vertical tabs would tokenize differently in the two engines.
+    * Accepted as out-of-contract for these twins (U+000B essentially does
+    * not occur in text corpora; normalize F9-style stripping removes it
+    * upstream); [[BpeTokenRe]] — written later, with the claim made
+    * explicit — spells out the class instead. */
   def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** Whitespace tokenizer: split on runs of whitespace; punctuation kept
@@ -36,9 +46,13 @@ object TextAnalysis {
     * no lookahead) and no standalone-whitespace branch (a token COUNT
     * wants pieces, not separators; the scanner skips unmatched
     * whitespace on its own). Alternation is leftmost-first in BOTH Java
-    * regex and RE2, so the same string yields the same matches. */
+    * regex and RE2, so the same string yields the same matches — and the
+    * whitespace exclusion is the EXPLICIT class `[ \t\n\x0B\f\r]`, not
+    * `\s`, because Java's `\s` includes vertical tab while RE2's does
+    * not (the one ASCII character the two engines disagree on — see the
+    * [[wsTrim]] note for where `\s` remains). */
   val BpeTokenRe: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
 
   /** Subword-piece count under [[BpeTokenRe]] — the "BPE-ish regex"
     * token counter: one codegen'd regexp_extract_all per row, no UDF. */
@@ -221,7 +235,11 @@ object TextAnalysis {
   def ngramRepetition(text: Column, n: Int): Column =
     org.apache.spark.sql.graftext.ColumnBridge.column(
       NgramRepetition(
-        org.apache.spark.sql.graftext.ColumnBridge.expression(tokens(text)), n))
+        // coalesce to []: tokens(NULL) is NULL and the expression would
+        // null-propagate to a NULL struct, where the HOF form (and the
+        // oracle's CASE ... ELSE []) yields n_grams = 0 for null text
+        org.apache.spark.sql.graftext.ColumnBridge.expression(
+          coalesce(tokens(text), array().cast("array<string>"))), n))
 
   // ---- deterministic train/val/test splits ----------------------------
 

@@ -108,7 +108,8 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (5L, 6L),
       (7L, 8L), (8L, 9L), (7L, 9L),
-      (9L, 7L)                         // reversed duplicate must be benign
+      (9L, 7L),                        // reversed duplicate must be benign
+      (10L, 10L)                       // self-pair-only vertex: (10, 10) row
     ).toDF("doc_a", "doc_b")
     val expect = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

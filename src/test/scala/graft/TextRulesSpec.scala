@@ -83,17 +83,21 @@ class TextRulesSpec extends SparkSpec {
           TA.ngramRepetition(col("text"), n).as("r"),
           size(TA.ngrams(col("text"), n)).as("hof_n"),
           TA.dupNgramFrac(col("text"), n).as("hof_f"))
-        .where(col("r.n_grams") =!= col("hof_n") ||
+        // null-safe BOTH halves: a plain =!= is null-blind and would
+        // hide a NULL-vs-0 divergence instead of failing on it
+        .where(!(col("r.n_grams") <=> col("hof_n")) ||
           !(col("r.dup_frac") <=> col("hof_f")))
       assert(diff.count() == 0, s"native/HOF divergence at n=$n")
     }
-    // crafted boundary rows: exact repeats and the below-n NULL
-    val df = Seq((1L, "a b a b a"), (2L, "one")).toDF("doc_id", "text")
+    // crafted boundary rows: exact repeats, the below-n NULL, null text
+    val df = Seq((1L, Option("a b a b a")), (2L, Option("one")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
     val got = df.select(col("doc_id"), TA.ngramRepetition(col("text"), 2).as("r"))
       .select(col("doc_id"), col("r.n_grams"), col("r.dup_frac"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), Option(r.get(2)))).toMap
     assert(got(1L) == (4, Some(0.5)))
     assert(got(2L) == (0, None))
+    assert(got(3L) == (0, None)) // null text == HOF's empty-gram result
   }
 
   test("bpeTokenCount: subword pieces per GPT-2 pre-tokenizer grammar") {
@@ -101,12 +105,16 @@ class TextRulesSpec extends SparkSpec {
       (1L, "hello world"),   // "hello", " world"            -> 2 pieces, 2 words
       (2L, "don't stop"),    // "don", "'t", " stop"         -> 3 pieces, 2 words
       (3L, "x=1+2"),         // letter/symbol/digit runs     -> 5 pieces, 1 word
-      (4L, "")               // no pieces; split("") = [""]  -> 0 pieces, 1 word
+      (4L, ""),              // no pieces; split("") = [""]  -> 0 pieces, 1 word
+      (5L, "a\u000Bb")       // vertical tab: excluded from symbol runs by
+                             // the explicit class (Java and RE2 disagree
+                             // on \s for exactly this char) -> 2 pieces
     ).toDF("doc_id", "text")
     val got = df.select(col("doc_id"), TA.bpeTokenCount(col("text")).as("p"),
         TA.tokenCount(col("text")).as("w"))
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
-    assert(got == Map(1L -> (2, 2), 2L -> (3, 2), 3L -> (5, 1), 4L -> (0, 1)))
+    assert(got == Map(1L -> (2, 2), 2L -> (3, 2), 3L -> (5, 1), 4L -> (0, 1),
+      5L -> (2, 2)))
   }
 
   test("ngramRepetition stays inside whole-stage codegen") {
