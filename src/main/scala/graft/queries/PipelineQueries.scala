@@ -143,6 +143,13 @@ object PipelineQueries {
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(documents(s, d), "doc_id", "text")
 
+  /** The spill-safe pair expansion ([[Dedup.minhashPairsJoin]]) against
+    * the SAME generated oracle as q_minhash_pairs — identical output by
+    * construction, so the degenerate-bucket escape hatch is
+    * oracle-checked end-to-end, not just spec'd equal. */
+  def minhashJoin(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairsJoin(documents(s, d), "doc_id", "text")
+
   def simhashes(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(documents(s, d), "doc_id", "text")
 
@@ -340,6 +347,7 @@ object PipelineQueries {
     "q_dedup_keep"     -> (dedupKeep _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
     "q_minhash_pairs"  -> (minhashPairs _),
+    "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
     "q_kmv_distinct"   -> (kmvDistinct _),
@@ -541,6 +549,7 @@ object PipelineQueries {
         |  CAST(length(replace(text, ' ', '')) * 17 % 1080 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
+    "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
     // same md5-bucket family as q_hash_split; quantile_cont matches
