@@ -241,6 +241,19 @@ object TextAnalysis {
         org.apache.spark.sql.graftext.ColumnBridge.expression(
           coalesce(tokens(text), array().cast("array<string>"))), n))
 
+  /** Gopher duplicate-LINE rule (Rae et al. 2021 §A1.1, the line-level
+    * sibling of [[dupNgramFrac]]): fraction of a doc's lines that repeat
+    * an earlier line — boilerplate headers/footers and scraped nav bars
+    * score high. Lines split on literal newline; a no-newline doc is one
+    * unique line (fraction 0). Null text propagates null, like the other
+    * per-row rules. */
+  def dupLineFrac(text: Column): Column = {
+    val lines = split(text, "\n")
+    (size(lines) - size(array_distinct(lines))).cast("double") / size(lines)
+  }
+
+  def lineCount(text: Column): Column = size(split(text, "\n"))
+
   // ---- deterministic train/val/test splits ----------------------------
 
   /** Hash bucket in [0, buckets): md5-derived 60-bit hash of the STRING

@@ -96,6 +96,24 @@ object PipelineQueries {
         col("r5.dup_frac").as("dup_5gram_frac"))
   }
 
+  /** Duplicate-line rule — the line-level member of the Gopher battery
+    * (q_dup_ngrams covers n-grams, q_repetition covers tokens). The
+    * fixture docs are single-line, which would make the rule vacuously
+    * 0 everywhere, so every doc_id % 3 == 0 row gets its first 40 chars
+    * appended twice as extra lines — the q_pii_scrub pattern: engine and
+    * oracle construct the IDENTICAL multi-line input, and the rule's
+    * semantics are what is compared. */
+  def dupLines(s: SparkSession, d: String): DataFrame = {
+    val lined = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+        lit("\n"), substring(col("text"), 1, 40)))
+      .otherwise(col("text"))
+    par(documents(s, d)).select(
+      col("doc_id"),
+      TA.lineCount(lined).as("n_lines"),
+      TA.dupLineFrac(lined).as("dup_line_frac"))
+  }
+
   /** Deterministic hash-based train/val/test assignment: md5-derived
     * bucket of the id string — engine-independent, order-uncorrelated,
     * the split a reproducible data pipeline actually ships. The bucket
@@ -340,6 +358,7 @@ object PipelineQueries {
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
     "q_dup_ngrams"     -> (dupNgrams _),
+    "q_dup_lines"      -> (dupLines _),
     "q_hash_split"     -> (hashSplit _),
     "q_pii_scrub"      -> (piiScrub _),
     "q_explode"        -> (explodeTokens _),
@@ -462,6 +481,20 @@ object PipelineQueries {
          |FROM cnt GROUP BY doc_id""".stripMargin,
     // n-gram lists built with the same slice bounds as the engine's
     // transform/slice expression; < n tokens → 0 grams and NULL fracs
+    // same planted multi-line construction as the engine (chr(10) is the
+    // literal newline Spark's lit("\n") concatenates)
+    "q_dup_lines" ->
+      """WITH lined AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+        |       ELSE text END AS t
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(string_split(t, chr(10))) AS INT) AS n_lines,
+        |  CAST(len(string_split(t, chr(10)))
+        |       - len(list_distinct(string_split(t, chr(10)))) AS DOUBLE)
+        |    / len(string_split(t, chr(10))) AS dup_line_frac
+        |FROM lined""".stripMargin,
     "q_dup_ngrams" ->
       s"""WITH g AS (SELECT doc_id,
          |  CASE WHEN len($TOKS) >= 2

@@ -100,6 +100,20 @@ class TextRulesSpec extends SparkSpec {
     assert(got(3L) == (0, None)) // null text == HOF's empty-gram result
   }
 
+  test("dupLineFrac: planted duplicate lines, single-line docs score 0") {
+    val df = Seq(
+      (1L, "one line only"),              // 1 line, 0 dups
+      (2L, "head\nbody\nhead"),           // 3 lines, "head" repeats -> 1/3
+      (3L, "x\nx\nx\nx"),                 // 4 lines, 1 distinct -> 3/4
+      (4L, "a\nb")                        // all distinct -> 0
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TA.lineCount(col("text")).as("n"),
+        TA.dupLineFrac(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> (1, 0.0), 2L -> (3, 1.0 / 3), 3L -> (4, 0.75),
+      4L -> (2, 0.0)))
+  }
+
   test("bpeTokenCount: subword pieces per GPT-2 pre-tokenizer grammar") {
     val df = Seq(
       (1L, "hello world"),   // "hello", " world"            -> 2 pieces, 2 words
