@@ -76,6 +76,25 @@ object ScaleProbe {
     probe(s"cc_distributed @${nBig}")(warmBig())(
       Dedup.connectedComponents(Dedup.minhashPairs(big, "doc_id", "text"),
         pairsDistinct = true, driverMaxEdges = 0).count())
+    // large-star/small-star on the SAME ~1M-pair set: worst-case-shape
+    // insurance should cost the same order as min-label here (near-dup
+    // cliques converge in 2-3 rounds under either algorithm)
+    probe(s"cc_star @${nBig}")(warmBig())(
+      Dedup.connectedComponentsStar(
+        Dedup.minhashPairs(big, "doc_id", "text")).count())
+    // spill-safe pair expansion: same collision pair space through the
+    // sort-merge self-join (two signature-pipeline sides instead of one
+    // agg — the expected ~2× shows up here, not super-linear growth)
+    probe(s"minhash_join @${nBase}")(())(
+      Dedup.minhashPairsJoin(base.select("doc_id", "text"), "doc_id", "text").count())
+    probe(s"minhash_join @${nBig}")(warmBig())(
+      Dedup.minhashPairsJoin(big, "doc_id", "text").count())
+    // KMV distinct-shingle sketch: bounded buffers -> scan-speed growth
+    probe(s"kmv_distinct @${nBig}")(warmBig())(
+      Dedup.shinglesRaw(big, "doc_id", "text", 5)
+        .select(graft.functions.Sketches.kMinValues(
+          Dedup.md5Hash60(col("shingle")), 256).as("kept"))
+        .count())
 
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val bigEmb = emb.crossJoin(spark.range(factor).toDF("copy"))

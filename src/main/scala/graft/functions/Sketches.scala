@@ -56,6 +56,20 @@ object Sketches {
         kept(size(kept) - 1).cast("double"))
   }
 
+  /** Merge two k-min sets into the k-min set of the UNION — the sketch
+    * mergeability that makes distinct-counting work shard-wise: sketch
+    * each shard/day/partition independently, merge the ≤8k-byte arrays
+    * centrally, never rescan. KMV merge is exact by construction (the k
+    * smallest of a union are among the union of each side's k smallest),
+    * so the merged estimate is identical to sketching the union
+    * directly — [[graft.SketchesSpec]] asserts that equality. Pure array
+    * expressions, usable across DataFrames (unlike the aggregate's
+    * internal merge, which only combines within one aggregation). */
+  def kmvMerge(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+  }
+
   /** DuckDB twin of [[kmvEstimate]] ∘ [[kMinValues]] over a relation
     * exposing distinct hashes as `h`: same k-min set, same CASE, same
     * left-to-right division. `%.17e` renders the numerator exactly

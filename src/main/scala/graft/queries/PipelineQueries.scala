@@ -234,6 +234,29 @@ object PipelineQueries {
       Sketches.kmvEstimate(col("kept"), k).as("est_distinct"))
   }
 
+  /** Sketch MERGEABILITY end-to-end: the even-doc and odd-doc halves of
+    * the corpus are sketched independently (the shard-wise pattern — at
+    * 100 TB each day/partition sketches itself and only ≤8k-byte arrays
+    * travel), then [[Sketches.kmvMerge]] combines the two k-min sets
+    * into the union's k-min set — EXACTLY what sketching the whole
+    * corpus yields. Both shard sketches ride ONE aggregate over one
+    * scan via conditional inputs (KmvLongAgg skips nulls), so the plan
+    * is a single ObjectHashAggregate — no join of single-row frames,
+    * which Catalyst would constant-fold into the BNLJ the plan-quality
+    * gate rejects (it did: the first cut joined on a literal key and
+    * the gate caught the fold). */
+  def kmvUnion(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val h = Dedup.md5Hash60(col("shingle"))
+    Dedup.shinglesRaw(par(documents(s, d)), "doc_id", "text", 5)
+      .agg(
+        Sketches.kMinValues(when(col("doc_id") % 2 === 0, h), k).as("kept_0"),
+        Sketches.kMinValues(when(col("doc_id") % 2 === 1, h), k).as("kept_1"))
+      .select(Sketches.kmvMerge(col("kept_0"), col("kept_1"), k).as("kept"))
+      .select(size(col("kept")).cast("long").as("n_kept"),
+        Sketches.kmvEstimate(col("kept"), k).as("est_distinct"))
+  }
+
   /** Same pairs → groups contract through the large-star/small-star
     * rounds ([[Dedup.connectedComponentsStar]]) — the O(log n)
     * adversarial-shape path, checked against the SAME recursive-CTE
@@ -370,6 +393,7 @@ object PipelineQueries {
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
     "q_kmv_distinct"   -> (kmvDistinct _),
+    "q_kmv_union"      -> (kmvUnion _),
     "q_token_count"    -> (tokenCounts _),
     "q_sample_quantiles" -> (sampleQuantiles _),
     "q_simhash"        -> (simhashes _),
@@ -606,6 +630,22 @@ object PipelineQueries {
          |  CAST(len(regexp_extract_all(text, '$re')) AS DOUBLE)
          |    / CAST(len($TOKS) AS DOUBLE) AS pieces_per_word
          |FROM documents""".stripMargin
+    },
+    // shard-wise twin: per-parity k-min lists merged with list ops —
+    // the same merge the engine's kmvMerge expression performs
+    "q_kmv_union" -> {
+      val num = "%.17e".format(255.0 * graft.functions.Sketches.HashSpace)
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
+         |sh AS (SELECT doc_id % 2 AS p, array_to_string(t[i+1:i+5], ' ') AS s FROM pos),
+         |h AS (SELECT DISTINCT p, CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h FROM sh),
+         |ke AS (SELECT list(h ORDER BY h) AS l FROM (SELECT h FROM h WHERE p = 0 ORDER BY h LIMIT 256)),
+         |ko AS (SELECT list(h ORDER BY h) AS l FROM (SELECT h FROM h WHERE p = 1 ORDER BY h LIMIT 256)),
+         |m AS (SELECT list_sort(list_distinct(ke.l || ko.l))[1:256] AS kept FROM ke, ko)
+         |SELECT CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CASE WHEN len(kept) < 256 THEN CAST(len(kept) AS DOUBLE)
+         |       ELSE CAST($num AS DOUBLE) / CAST(kept[len(kept)] AS DOUBLE) END AS est_distinct
+         |FROM m""".stripMargin
     },
     // same toks/pos/sh shingle pipeline as the minhash oracle, hashed
     // with the same md5-60bit map (no mod-P reduction here)

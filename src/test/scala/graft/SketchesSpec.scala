@@ -39,6 +39,20 @@ class SketchesSpec extends SparkSpec {
     assert(one == many && one.size == 64 && one == one.sorted)
   }
 
+  test("kmvMerge of shard sketches equals sketching the union directly") {
+    val evens = shingles.where(expr("abs(hash(v)) % 2 = 0"))
+    val odds = shingles.where(expr("abs(hash(v)) % 2 = 1"))
+    def sketch(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.select(Sketches.kMinValues(Dedup.md5Hash60(col("v")), 64).as(name))
+        .withColumn("_j", lit(1))
+    val merged = sketch(evens, "a").join(sketch(odds, "b"), "_j")
+      .select(Sketches.kmvMerge(col("a"), col("b"), 64).as("kept"))
+      .head().getAs[scala.collection.Seq[Long]]("kept")
+    val direct = sketch(shingles, "kept").select("kept")
+      .head().getAs[scala.collection.Seq[Long]]("kept")
+    assert(merged == direct && merged.size == 64)
+  }
+
   test("duplicate and null inputs never distort the k-set") {
     val df = (Seq.fill(50)("same") ++ Seq("a", "b", null)).toDF("v")
     val r = kept(df, 8).head()
