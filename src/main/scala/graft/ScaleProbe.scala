@@ -89,12 +89,15 @@ object ScaleProbe {
       Dedup.minhashPairsJoin(base.select("doc_id", "text"), "doc_id", "text").count())
     probe(s"minhash_join @${nBig}")(warmBig())(
       Dedup.minhashPairsJoin(big, "doc_id", "text").count())
-    // KMV distinct-shingle sketch: bounded buffers -> scan-speed growth
+    // KMV distinct-shingle sketch: bounded buffers -> scan-speed growth.
+    // head(), NOT count(): under count() Catalyst prunes the unreferenced
+    // aggregate expression and the probe would time an empty shell (the
+    // same pruning Bench's noop action exists to defeat)
     probe(s"kmv_distinct @${nBig}")(warmBig())(
       Dedup.shinglesRaw(big, "doc_id", "text", 5)
         .select(graft.functions.Sketches.kMinValues(
           Dedup.md5Hash60(col("shingle")), 256).as("kept"))
-        .count())
+        .head())
 
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val bigEmb = emb.crossJoin(spark.range(factor).toDF("copy"))

@@ -67,7 +67,12 @@ object Sketches {
     * internal merge, which only combines within one aggregation). */
   def kmvMerge(a: Column, b: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
-    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    // coalesce each side to []: in the shard-wise pattern a missing
+    // shard (outer-join NULL for an absent day/partition) must act as
+    // the empty set, not null-propagate through concat and silently
+    // destroy the merged sketch
+    def orEmpty(c: Column) = coalesce(c, array().cast("array<long>"))
+    slice(array_sort(array_distinct(concat(orEmpty(a), orEmpty(b)))), 1, k)
   }
 
   /** DuckDB twin of [[kmvEstimate]] ∘ [[kMinValues]] over a relation

@@ -641,7 +641,8 @@ object PipelineQueries {
          |h AS (SELECT DISTINCT p, CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h FROM sh),
          |ke AS (SELECT list(h ORDER BY h) AS l FROM (SELECT h FROM h WHERE p = 0 ORDER BY h LIMIT 256)),
          |ko AS (SELECT list(h ORDER BY h) AS l FROM (SELECT h FROM h WHERE p = 1 ORDER BY h LIMIT 256)),
-         |m AS (SELECT list_sort(list_distinct(ke.l || ko.l))[1:256] AS kept FROM ke, ko)
+         |m AS (SELECT list_sort(list_distinct(coalesce(ke.l, []) || coalesce(ko.l, [])))[1:256] AS kept
+         |      FROM ke, ko)
          |SELECT CAST(len(kept) AS BIGINT) AS n_kept,
          |  CASE WHEN len(kept) < 256 THEN CAST(len(kept) AS DOUBLE)
          |       ELSE CAST($num AS DOUBLE) / CAST(kept[len(kept)] AS DOUBLE) END AS est_distinct

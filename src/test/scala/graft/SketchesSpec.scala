@@ -51,6 +51,14 @@ class SketchesSpec extends SparkSpec {
     val direct = sketch(shingles, "kept").select("kept")
       .head().getAs[scala.collection.Seq[Long]]("kept")
     assert(merged == direct && merged.size == 64)
+    // a missing shard (outer-join NULL) is the empty set, not a sketch
+    // killer: merge(x, NULL) == x
+    val withNull = sketch(shingles, "kept")
+      .select(col("kept"),
+        Sketches.kmvMerge(col("kept"), lit(null).cast("array<long>"), 64).as("m"))
+      .head()
+    assert(withNull.getAs[scala.collection.Seq[Long]]("m") ==
+      withNull.getAs[scala.collection.Seq[Long]]("kept"))
   }
 
   test("duplicate and null inputs never distort the k-set") {
