@@ -257,6 +257,26 @@ object PipelineQueries {
         Sketches.kmvEstimate(col("kept"), k).as("est_distinct"))
   }
 
+  /** GROUPED sketching: one bounded KMV buffer PER LANGUAGE in a single
+    * aggregation — the per-partition corpus-stats shape (vocabulary per
+    * language/source/day) where an exact per-group distinct would
+    * shuffle every distinct value of every group. k=64 per group keeps
+    * the whole hash-agg state at 5 langs × 516 B. */
+  def kmvByLang(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val hashed = par(documents(s, d))
+      .select(col("lang"), split(TA.wsTrim(col("text")), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("lang"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 5)).as("i"))
+      .select(col("lang"), Dedup.md5Hash60(
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(5)))).as("h"))
+    hashed.groupBy("lang")
+      .agg(Sketches.kMinValues(col("h"), k).as("kept"))
+      .select(col("lang"), size(col("kept")).cast("long").as("n_kept"),
+        Sketches.kmvEstimate(col("kept"), k).as("est_distinct"))
+  }
+
   /** Same pairs → groups contract through the large-star/small-star
     * rounds ([[Dedup.connectedComponentsStar]]) — the O(log n)
     * adversarial-shape path, checked against the SAME recursive-CTE
@@ -394,6 +414,7 @@ object PipelineQueries {
     "q_dedup_star"     -> (dedupGroupsStar _),
     "q_kmv_distinct"   -> (kmvDistinct _),
     "q_kmv_union"      -> (kmvUnion _),
+    "q_kmv_by_lang"    -> (kmvByLang _),
     "q_token_count"    -> (tokenCounts _),
     "q_sample_quantiles" -> (sampleQuantiles _),
     "q_simhash"        -> (simhashes _),
@@ -630,6 +651,21 @@ object PipelineQueries {
          |  CAST(len(regexp_extract_all(text, '$re')) AS DOUBLE)
          |    / CAST(len($TOKS) AS DOUBLE) AS pieces_per_word
          |FROM documents""".stripMargin
+    },
+    // grouped twin: per-lang k-min sets via a ranked window (the
+    // relational spelling of "k smallest distinct per group")
+    "q_kmv_by_lang" -> {
+      val num = "%.17e".format(63.0 * graft.functions.Sketches.HashSpace)
+      s"""WITH toks AS (SELECT lang, $TOKS AS t FROM documents),
+         |pos AS (SELECT lang, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
+         |sh AS (SELECT lang, array_to_string(t[i+1:i+5], ' ') AS s FROM pos),
+         |h AS (SELECT DISTINCT lang, CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h FROM sh),
+         |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth FROM r WHERE rn <= 64 GROUP BY lang)
+         |SELECT lang, n_kept,
+         |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE CAST($num AS DOUBLE) / CAST(kth AS DOUBLE) END AS est_distinct
+         |FROM g""".stripMargin
     },
     // shard-wise twin: per-parity k-min lists merged with list ops —
     // the same merge the engine's kmvMerge expression performs
