@@ -75,6 +75,18 @@ object Sketches {
     slice(array_sort(array_distinct(concat(orEmpty(a), orEmpty(b)))), 1, k)
   }
 
+  /** Distinct-intersection estimate by inclusion–exclusion over the
+    * exact union merge: |A∩B| ≈ est(A) + est(B) − est(A∪B), floored at
+    * 0 (the subtraction of three ~1/√k estimates can dip negative on
+    * near-disjoint sets). Error grows with |A∪B|/|A∩B|, the usual KMV
+    * intersection caveat — fine for the "how much does this shard
+    * overlap the corpus" question, not for tiny intersections. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    greatest(lit(0.0),
+      kmvEstimate(a, k) + kmvEstimate(b, k) - kmvEstimate(kmvMerge(a, b, k), k))
+  }
+
   /** DuckDB twin of [[kmvEstimate]] ∘ [[kMinValues]] over a relation
     * exposing distinct hashes as `h`: same k-min set, same CASE, same
     * left-to-right division. `%.17e` renders the numerator exactly

@@ -61,6 +61,22 @@ class SketchesSpec extends SparkSpec {
       withNull.getAs[scala.collection.Seq[Long]]("kept"))
   }
 
+  test("kmvIntersectEstimate recovers a planted overlap") {
+    // shards of 30k and 25k values sharing exactly 15k: ids as strings
+    // through the same md5 path the corpus operators use
+    val a = spark.range(0, 30000).selectExpr("cast(id as string) as v")
+    val b = spark.range(15000, 40000).selectExpr("cast(id as string) as v")
+    def sk(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.select(Sketches.kMinValues(Dedup.md5Hash60(col("v")), 1024).as(name))
+    // 1x1 crossJoin is fine in a spec; registry queries avoid it for
+    // the plan-quality gate
+    val est = sk(a, "ka").crossJoin(sk(b, "kb"))
+      .select(Sketches.kmvIntersectEstimate(col("ka"), col("kb"), 1024).as("i"))
+      .head().getAs[Double]("i")
+    assert(math.abs(est - 15000.0) / 15000.0 < 0.25,
+      s"intersection est $est vs true 15000")
+  }
+
   test("duplicate and null inputs never distort the k-set") {
     val df = (Seq.fill(50)("same") ++ Seq("a", "b", null)).toDF("v")
     val r = kept(df, 8).head()

@@ -239,6 +239,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("KMV sketch maintains incrementally over a stream (complete mode)") {
+    // the same KmvLongAgg the batch queries use: its serialized buffer
+    // is the streaming state, so corpus stats stay current per
+    // micro-batch without re-scanning history
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{Dedup, Sketches}
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("v")
+      .groupBy()
+      .agg(Sketches.kMinValues(Dedup.md5Hash60(col("v")), 8).as("kept"))
+      .writeStream.format("memory").queryName("kmvstream")
+      .outputMode("complete").start()
+    mem.addData("a", "b", "c")
+    q.processAllAvailable()
+    mem.addData("b", "d") // dup "b" must not distort; "d" must enter
+    q.processAllAvailable()
+    val streamed = spark.table("kmvstream").head()
+      .getAs[scala.collection.Seq[Long]]("kept")
+    q.stop()
+    val batch = Seq("a", "b", "c", "d").toDF("v")
+      .select(Sketches.kMinValues(Dedup.md5Hash60(col("v")), 8).as("kept"))
+      .head().getAs[scala.collection.Seq[Long]]("kept")
+    assert(streamed == batch && streamed.size == 4)
+  }
+
   test("T2: foreachBatch lake sink appends parquet partitioned by symbol") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("lake").toString
