@@ -80,7 +80,14 @@ object Sketches {
     * 0 (the subtraction of three ~1/√k estimates can dip negative on
     * near-disjoint sets). Error grows with |A∪B|/|A∩B|, the usual KMV
     * intersection caveat — fine for the "how much does this shard
-    * overlap the corpus" question, not for tiny intersections. */
+    * overlap the corpus" question, not for tiny intersections.
+    *
+    * Cost note: [[kmvEstimate]] references its argument three times, so
+    * the inlined [[kmvMerge]] tree appears 3× in the unoptimized plan;
+    * whole-stage codegen's subexpression elimination collapses them,
+    * but callers applying this per-row at volume in a NON-codegen
+    * context should materialize the merge first
+    * (`.select(kmvMerge(a, b, k).as("m"))`, then estimate over `m`). */
   def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
     greatest(lit(0.0),

@@ -184,6 +184,10 @@ object PipelineQueries {
     * their ratio (the "how much will this text cost to train on"
     * statistic: ~1 for prose, fans out on code/punctuation-dense text).
     * Pure per-row regexp expressions — scan-speed at 100 TB. */
+  /** Global sketch width shared by q_kmv_distinct / q_kmv_union and
+    * their generated oracle SQL — one literal, zero drift. */
+  private val KmvK = 256
+
   def tokenCounts(s: SparkSession, d: String): DataFrame =
     par(documents(s, d)).select(
       col("doc_id"),
@@ -222,7 +226,7 @@ object PipelineQueries {
     * target, but the synthetic fixture has only ~31 distinct tokens —
     * below k — which would leave the estimator branch untested.) */
   def kmvDistinct(s: SparkSession, d: String): DataFrame = {
-    val k = 256
+    val k = KmvK
     val kept = Dedup.shinglesRaw(par(documents(s, d)), "doc_id", "text", 5)
       .select(Sketches.kMinValues(Dedup.md5Hash60(col("shingle")), k).as("kept"))
     kept.select(
@@ -246,7 +250,7 @@ object PipelineQueries {
     * gate rejects (it did: the first cut joined on a literal key and
     * the gate caught the fold). */
   def kmvUnion(s: SparkSession, d: String): DataFrame = {
-    val k = 256
+    val k = KmvK
     val h = Dedup.md5Hash60(col("shingle"))
     Dedup.shinglesRaw(par(documents(s, d)), "doc_id", "text", 5)
       .agg(
@@ -257,25 +261,28 @@ object PipelineQueries {
         Sketches.kmvEstimate(col("kept"), k).as("est_distinct"))
   }
 
+  /** Per-group sketch width for q_kmv_by_lang — ONE constant spliced
+    * into the engine query AND all four occurrences in the generated
+    * oracle SQL (the TA.* threshold pattern: shared literals cannot
+    * drift apart). */
+  private val KmvLangK = 64
+
   /** GROUPED sketching: one bounded KMV buffer PER LANGUAGE in a single
     * aggregation — the per-partition corpus-stats shape (vocabulary per
     * language/source/day) where an exact per-group distinct would
     * shuffle every distinct value of every group. k=64 per group keeps
-    * the whole hash-agg state at 5 langs × 516 B. */
-  def kmvByLang(s: SparkSession, d: String): DataFrame = {
-    val k = 64
-    val hashed = par(documents(s, d))
-      .select(col("lang"), split(TA.wsTrim(col("text")), "\\s+").as("toks"))
-      .where(size(col("toks")) >= 5)
-      .select(col("lang"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - 5)).as("i"))
-      .select(col("lang"), Dedup.md5Hash60(
-        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(5)))).as("h"))
-    hashed.groupBy("lang")
-      .agg(Sketches.kMinValues(col("h"), k).as("kept"))
+    * the whole hash-agg state at 5 langs × 516 B. Shingles come from
+    * the SAME [[Dedup.shinglesRaw]] pipeline as every other shingle
+    * consumer (keyed by lang instead of doc_id), so tokenization can
+    * never drift from q_kmv_distinct/q_ngram_jaccard. */
+  def kmvByLang(s: SparkSession, d: String): DataFrame =
+    Dedup.shinglesRaw(par(documents(s, d)), "lang", "text", 5)
+      .withColumnRenamed("doc_id", "lang")
+      .groupBy("lang")
+      .agg(Sketches.kMinValues(
+        Dedup.md5Hash60(col("shingle")), KmvLangK).as("kept"))
       .select(col("lang"), size(col("kept")).cast("long").as("n_kept"),
-        Sketches.kmvEstimate(col("kept"), k).as("est_distinct"))
-  }
+        Sketches.kmvEstimate(col("kept"), KmvLangK).as("est_distinct"))
 
   /** Same pairs → groups contract through the large-star/small-star
     * rounds ([[Dedup.connectedComponentsStar]]) — the O(log n)
@@ -653,34 +660,37 @@ object PipelineQueries {
          |FROM documents""".stripMargin
     },
     // grouped twin: per-lang k-min sets via a ranked window (the
-    // relational spelling of "k smallest distinct per group")
+    // relational spelling of "k smallest distinct per group"); every k
+    // literal is spliced from the shared KmvLangK constant
     "q_kmv_by_lang" -> {
-      val num = "%.17e".format(63.0 * graft.functions.Sketches.HashSpace)
+      val k = KmvLangK
+      val num = "%.17e".format((k - 1).toDouble * graft.functions.Sketches.HashSpace)
       s"""WITH toks AS (SELECT lang, $TOKS AS t FROM documents),
          |pos AS (SELECT lang, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
          |sh AS (SELECT lang, array_to_string(t[i+1:i+5], ' ') AS s FROM pos),
          |h AS (SELECT DISTINCT lang, CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h FROM sh),
          |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
-         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth FROM r WHERE rn <= 64 GROUP BY lang)
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth FROM r WHERE rn <= $k GROUP BY lang)
          |SELECT lang, n_kept,
-         |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+         |  CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
          |       ELSE CAST($num AS DOUBLE) / CAST(kth AS DOUBLE) END AS est_distinct
          |FROM g""".stripMargin
     },
     // shard-wise twin: per-parity k-min lists merged with list ops —
     // the same merge the engine's kmvMerge expression performs
     "q_kmv_union" -> {
-      val num = "%.17e".format(255.0 * graft.functions.Sketches.HashSpace)
+      val k = KmvK
+      val num = "%.17e".format((k - 1).toDouble * graft.functions.Sketches.HashSpace)
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
          |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
          |sh AS (SELECT doc_id % 2 AS p, array_to_string(t[i+1:i+5], ' ') AS s FROM pos),
          |h AS (SELECT DISTINCT p, CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h FROM sh),
-         |ke AS (SELECT list(h ORDER BY h) AS l FROM (SELECT h FROM h WHERE p = 0 ORDER BY h LIMIT 256)),
-         |ko AS (SELECT list(h ORDER BY h) AS l FROM (SELECT h FROM h WHERE p = 1 ORDER BY h LIMIT 256)),
-         |m AS (SELECT list_sort(list_distinct(coalesce(ke.l, []) || coalesce(ko.l, [])))[1:256] AS kept
+         |ke AS (SELECT list(h ORDER BY h) AS l FROM (SELECT h FROM h WHERE p = 0 ORDER BY h LIMIT $k)),
+         |ko AS (SELECT list(h ORDER BY h) AS l FROM (SELECT h FROM h WHERE p = 1 ORDER BY h LIMIT $k)),
+         |m AS (SELECT list_sort(list_distinct(coalesce(ke.l, []) || coalesce(ko.l, [])))[1:$k] AS kept
          |      FROM ke, ko)
          |SELECT CAST(len(kept) AS BIGINT) AS n_kept,
-         |  CASE WHEN len(kept) < 256 THEN CAST(len(kept) AS DOUBLE)
+         |  CASE WHEN len(kept) < $k THEN CAST(len(kept) AS DOUBLE)
          |       ELSE CAST($num AS DOUBLE) / CAST(kept[len(kept)] AS DOUBLE) END AS est_distinct
          |FROM m""".stripMargin
     },
@@ -691,7 +701,7 @@ object PipelineQueries {
          |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
          |sh AS (SELECT array_to_string(t[i+1:i+5], ' ') AS s FROM pos),
          |h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) AS h FROM sh),
-         |${Sketches.kmvEstimateSql(256)}""".stripMargin,
+         |${Sketches.kmvEstimateSql(KmvK)}""".stripMargin,
     "q_simhash" -> Dedup.simhashOracleSql,
     "q_sim_neardup" -> Similarity.bucketPairsOracleSql(minCos = 0.3),
     "q_sim_lsh" -> Similarity.lshTopKOracleSql(0L, 10),
