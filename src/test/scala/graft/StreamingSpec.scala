@@ -264,6 +264,62 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 4)
   }
 
+  test("windowed KMV: per-hour vocabulary sketches finalize under watermark") {
+    // corpus stats per ingestion window — the continuous-pipeline shape:
+    // bounded sketch state per open window, windows finalized and
+    // EVICTED once the watermark passes (append mode), so state is
+    // O(open windows × k), independent of stream length
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{Dedup, Sketches}
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(Sketches.kMinValues(Dedup.md5Hash60(col("v")), 8).as("kept"))
+      .select(col("window.start").as("h"), size(col("kept")).as("n"))
+      .writeStream.format("memory").queryName("kmvwin")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 10:10:00"), "b"),
+      (ts("2024-01-01 10:20:00"), "a")) // dup within the window
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 13:00:00"), "z")) // watermark past 10:00+1h+30m
+    q.processAllAvailable()
+    val rows = spark.table("kmvwin").collect()
+      .map(r => r.getAs[Timestamp]("h") -> r.getAs[Int]("n")).toMap
+    q.stop()
+    // only the finalized 10:00 window emitted; 2 distinct values sketched
+    assert(rows == Map(ts("2024-01-01 10:00:00") -> 2))
+  }
+
+  test("composed streaming prep: content dedup then windowed token stats") {
+    // the continuous ingest shape end-to-end: fingerprint dedup
+    // (bounded state) feeding a watermarked per-window aggregation —
+    // TWO chained stateful operators in one append-mode query
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.{TextAnalysis => TA}
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.EventStream.dedupDocStream(
+        mem.toDF().toDF("ts", "doc_id", "text"), horizon = "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TA.tokenCount(col("text"))).as("n_tokens"))
+      .select(col("window.start").as("h"), col("n_docs"), col("n_tokens"))
+      .writeStream.format("memory").queryName("prepwin")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 10:05:00"), 1L, "alpha beta gamma"),
+      (ts("2024-01-01 10:10:00"), 2L, "alpha beta gamma"), // dup: dropped
+      (ts("2024-01-01 10:20:00"), 3L, "delta epsilon"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 13:00:00"), 4L, "mover")) // close the window
+    q.processAllAvailable()
+    val rows = spark.table("prepwin").collect()
+      .map(r => (r.getAs[Timestamp]("h"), r.getLong(1), r.getLong(2)))
+    q.stop()
+    // 2 surviving docs (3 + 2 tokens) in the finalized 10:00 window
+    assert(rows.toSeq == Seq((ts("2024-01-01 10:00:00"), 2L, 5L)))
+  }
+
   test("T2: foreachBatch lake sink appends parquet partitioned by symbol") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("lake").toString
