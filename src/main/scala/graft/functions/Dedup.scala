@@ -46,9 +46,11 @@ object Dedup {
   private def ensureParallel(df: DataFrame, key: Column): DataFrame =
     Parallelism.ensureParallel(df, key)
 
-  /** (doc, shingle) pairs (NOT deduplicated): `n`-token shingles from a
-    * whitespace tokenization. Explode is linear in corpus token count. */
-  def shinglesRaw(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+  /** (doc, position, shingle) triples (NOT deduplicated): `n`-token
+    * shingles from a whitespace tokenization, with their 0-based token
+    * offset — the positioned form [[winnowFingerprints]] needs. Explode
+    * is linear in corpus token count. */
+  def shinglesPos(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     // The token array MUST be an attribute before the explode: slicing
     // `split(text)` directly in the post-Generate projection re-runs the
     // regex split of the whole document once PER SHINGLE row (O(tokens²)
@@ -59,13 +61,51 @@ object Dedup {
       .where(size(col("toks")) >= n)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("i"),
         concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("shingle"))
   }
+
+  /** (doc, shingle) pairs (NOT deduplicated) — the position-free form
+    * every hash pipeline consumes. */
+  def shinglesRaw(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    shinglesPos(df, id, text, n).select(col("doc_id"), col("shingle"))
 
   /** Distinct (doc, shingle) pairs — set semantics for Jaccard. */
   def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     shinglesRaw(df, id, text, n).distinct()
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS algorithm): the distinct set of windowed MINIMA over the
+    * rolling shingle-hash sequence. Every window of `w` consecutive
+    * shingle hashes contributes its minimum, so any match of length
+    * ≥ `n + w − 1` tokens between two documents is GUARANTEED to share a
+    * fingerprint (the winnowing guarantee) while storing only ~2/(w+1)
+    * of the hashes — the sub-document dedup key that whole-doc md5
+    * ([[TextAnalysis.fingerprint]]) cannot provide, catching documents
+    * that share plagiarized/boilerplate PASSAGES rather than full text.
+    *
+    * Scale shape: one per-doc window (hash-partition by doc, sort by
+    * position inside the partition — the repetitionStats shuffle shape)
+    * then a distinct on (doc, fp). The 60-bit md5-derived hash keeps the
+    * whole pipeline bit-reproducible by the DuckDB oracle's identical
+    * window expression. */
+  def winnowFingerprints(df: DataFrame, id: String, text: String,
+                         n: Int = 5, w: Int = 4): DataFrame = {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, w - 1)
+    shinglesPos(ensureParallel(df, col(id)), id, text, n)
+      .select(col("doc_id"), col("i"), md5Hash60(col("shingle")).as("h"))
+      .select(col("doc_id"), col("i"),
+        min(col("h")).over(win).as("fp"),
+        max(col("i")).over(Window.partitionBy("doc_id")).as("_mx"))
+      // windows that would run past the last shingle are partial — the
+      // canonical algorithm emits only full windows
+      .where(col("i") <= col("_mx") - (w - 1))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
 
   /** Exact n-gram Jaccard for every pair sharing ≥1 shingle. The join is
     * keyed on the shingle string (skew-safe for natural text; a hot

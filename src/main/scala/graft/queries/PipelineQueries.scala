@@ -156,6 +156,13 @@ object PipelineQueries {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 5)
 
+  /** Winnowing fingerprints — the ROLLING-hash document fingerprint of
+    * the builder brief (windowed minima over the shingle-hash stream,
+    * MOSS-style): sub-document passage-level dedup keys where
+    * q_fingerprint's whole-doc md5 only catches exact full-text dups. */
+  def winnow(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowFingerprints(documents(s, d), "doc_id", "text")
+
   // no global orderBy: the driver canonicalizes row order before hashing,
   // and a total sort of the pair set is pure cost at corpus scale
   def minhashPairs(s: SparkSession, d: String): DataFrame =
@@ -415,6 +422,7 @@ object PipelineQueries {
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_keep"     -> (dedupKeep _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
+    "q_winnow"         -> (winnow _),
     "q_minhash_pairs"  -> (minhashPairs _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
@@ -633,6 +641,16 @@ object PipelineQueries {
         |  CAST(length(text) * 37 % 1920 + 1 AS INTEGER) AS width,
         |  CAST(length(replace(text, ' ', '')) * 17 % 1080 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+    // winnowing twin: the identical 60-bit shingle hash under the
+    // identical ROWS window (n=5, w=4 — the engine defaults)
+    "q_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
+         |sh AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(array_to_string(t[i+1:i+5], ' ')),1,15)) AS BIGINT) AS h FROM pos),
+         |w AS (SELECT doc_id, i,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |  max(i) OVER (PARTITION BY doc_id) AS mx FROM sh)
+         |SELECT DISTINCT doc_id, fp FROM w WHERE i <= mx - 3""".stripMargin,
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
     "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),

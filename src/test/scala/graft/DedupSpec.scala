@@ -149,6 +149,31 @@ class DedupSpec extends SparkSpec {
     assert(g == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
 
+  test("winnowing: shared passages share fingerprints, disjoint docs none") {
+    // n=5, w=4: any shared run of >= n+w-1 = 8 tokens must share a
+    // fingerprint (the winnowing guarantee)
+    val passage = (0 until 10).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha one two three four $passage"),
+      (2L, s"beta five six seven eight nine $passage"), // same passage, other prefix
+      (3L, (0 until 20).map(i => s"other$i").mkString(" ")) // disjoint
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 10-token passage missed")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // identical docs fingerprint identically, and winnowing is a
+    // SUBSET-sized set (density ~2/(w+1)) of the full shingle hashes
+    val dup = Seq((7L, docs.where($"doc_id" === 1).head().getString(1)))
+      .toDF("doc_id", "text")
+    val fps7 = Dedup.winnowFingerprints(dup, "doc_id", "text")
+      .collect().map(_.getLong(1)).toSet
+    assert(fps7 == fps(1L))
+    val nShingles = Dedup.shingles(docs.where($"doc_id" === 1), "doc_id", "text", 5).count()
+    assert(fps(1L).size < nShingles)
+  }
+
   test("minhash est_jaccard approximates exact jaccard on fixture corpus") {
     val docs = Tables.documents(spark, sf0001)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 5)
