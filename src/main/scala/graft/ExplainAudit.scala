@@ -42,9 +42,12 @@ object ExplainAudit {
                           //   predicate as the join's post-condition
       "q_dup_ngrams",     // expect a single codegen'd Project of the two
                           //   NgramRepetition structs over the scan
-      "q_kmv_distinct")   // expect partial+final ObjectHashAggregate of
+      "q_kmv_distinct",   // expect partial+final ObjectHashAggregate of
                           //   ONE bounded KmvLongAgg buffer — no distinct
                           //   exchange of the shingle set
+      "q_winnow")         // expect ONE hash exchange on doc_id feeding
+                          //   the in-partition sort + running-min Window,
+                          //   then the distinct aggregation
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

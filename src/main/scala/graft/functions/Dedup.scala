@@ -97,12 +97,15 @@ object Dedup {
       .rowsBetween(Window.currentRow, w - 1)
     shinglesPos(ensureParallel(df, col(id)), id, text, n)
       .select(col("doc_id"), col("i"), md5Hash60(col("shingle")).as("h"))
-      .select(col("doc_id"), col("i"),
+      // fp and the full-window test share ONE frame spec, so Catalyst
+      // plans a single Window pass (a max(i)-over-partition test would
+      // stack a second Window operator over the same sort)
+      .select(col("doc_id"),
         min(col("h")).over(win).as("fp"),
-        max(col("i")).over(Window.partitionBy("doc_id")).as("_mx"))
+        count(lit(1)).over(win).as("_wn"))
       // windows that would run past the last shingle are partial — the
       // canonical algorithm emits only full windows
-      .where(col("i") <= col("_mx") - (w - 1))
+      .where(col("_wn") === w)
       .select(col("doc_id"), col("fp"))
       .distinct()
   }

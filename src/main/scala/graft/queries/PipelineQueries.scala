@@ -647,10 +647,11 @@ object PipelineQueries {
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
          |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
          |sh AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(array_to_string(t[i+1:i+5], ' ')),1,15)) AS BIGINT) AS h FROM pos),
-         |w AS (SELECT doc_id, i,
+         |w AS (SELECT doc_id,
          |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-         |  max(i) OVER (PARTITION BY doc_id) AS mx FROM sh)
-         |SELECT DISTINCT doc_id, fp FROM w WHERE i <= mx - 3""".stripMargin,
+         |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         |  FROM sh)
+         |SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4""".stripMargin,
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
     "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
