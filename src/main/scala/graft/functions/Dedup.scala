@@ -152,6 +152,28 @@ object Dedup {
         (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
   }
 
+  /** Passage-overlap candidate pairs from [[winnowFingerprints]]: docs
+    * sharing ≥ `minShared` winnow fingerprints, with the shared count —
+    * the partial-plagiarism/boilerplate-passage detector (minhash scores
+    * WHOLE-document similarity; two long documents sharing one
+    * paragraph score near 0 there but surface here). Same bucket-
+    * aggregation pair generation as [[jaccardPairs]]: one groupBy on the
+    * fingerprint, in-bucket expansion, cost ∝ fingerprint collisions —
+    * never n² (and winnowing already thinned the hash stream ~2/(w+1)).
+    * The degenerate-bucket caveat and mitigation are jaccardPairs's
+    * (docs/SCALE.md). */
+  def winnowPairs(df: DataFrame, id: String, text: String,
+                  n: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame =
+    winnowFingerprints(df, id, text, n, w)
+      .groupBy("fp").agg(collect_list(col("doc_id")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+
   /** Mersenne prime 2³¹−1: universal-hash modulus. Base hashes are
     * reduced mod P before the (a·h+b) mod P re-hash so every intermediate
     * stays < 2⁶² — exact in signed 64-bit arithmetic in BOTH engines

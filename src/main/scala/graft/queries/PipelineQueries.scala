@@ -163,6 +163,11 @@ object PipelineQueries {
   def winnow(s: SparkSession, d: String): DataFrame =
     Dedup.winnowFingerprints(documents(s, d), "doc_id", "text")
 
+  /** Passage-overlap pairs over the winnow fingerprints — catches
+    * shared-paragraph pairs whole-document minhash scores near 0. */
+  def winnowPairsQ(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairs(documents(s, d), "doc_id", "text")
+
   // no global orderBy: the driver canonicalizes row order before hashing,
   // and a total sort of the pair set is pure cost at corpus scale
   def minhashPairs(s: SparkSession, d: String): DataFrame =
@@ -423,6 +428,7 @@ object PipelineQueries {
     "q_dedup_keep"     -> (dedupKeep _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
     "q_winnow"         -> (winnow _),
+    "q_winnow_pairs"   -> (winnowPairsQ _),
     "q_minhash_pairs"  -> (minhashPairs _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
@@ -654,6 +660,20 @@ object PipelineQueries {
          |SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4""".stripMargin,
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
     "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
+    // the winnow CTE self-joined on fingerprint: docs sharing >= 2
+    "q_winnow_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
+         |sh AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(array_to_string(t[i+1:i+5], ' ')),1,15)) AS BIGINT) AS h FROM pos),
+         |w AS (SELECT doc_id,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         |  FROM sh),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
     // same md5-bucket family as q_hash_split; quantile_cont matches

@@ -172,6 +172,12 @@ class DedupSpec extends SparkSpec {
     assert(fps7 == fps(1L))
     val nShingles = Dedup.shingles(docs.where($"doc_id" === 1), "doc_id", "text", 5).count()
     assert(fps(1L).size < nShingles)
+    // pair surface: the passage-sharing pair appears, the disjoint doc
+    // pairs with nobody (minShared=1: the guarantee promises >= 1)
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
   test("minhash est_jaccard approximates exact jaccard on fixture corpus") {
