@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WindowQueries.queries ++ NormalizeQueries.queries ++
-      Serving.queries ++ PipelineQueries.queries ++ Analytics.queries
+      Serving.queries ++ PipelineQueries.queries ++ CurationQueries.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ WindowQueries.oracle ++ NormalizeQueries.oracle ++
-      Serving.oracle ++ PipelineQueries.oracle ++ Analytics.oracle
+      Serving.oracle ++ PipelineQueries.oracle ++ CurationQueries.oracle ++
+      Analytics.oracle
 }

@@ -483,4 +483,70 @@ object Similarity {
        |  WHERE b.vec_id <> $queryId AND bit_count(xor(b.bucket, q.qb)) <= 1)
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT $k""".stripMargin
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * cluster-then-cosine — coarse-quantize the corpus (same fixed seed
+    * centroids as [[ivfSeededTopK]]: first `nlist` vectors by id, zero
+    * Lloyd iterations, so every double is oracle-reproducible), then
+    * compare cosine ONLY within each cluster and mark the higher-id
+    * member of every pair above `minCos` as dropped. Output: one row per
+    * vector — (id, cid, dropped 0/1).
+    *
+    * Scale shape: assignment is a map-side [[NearestCentroid]] projection
+    * against driver-literal centroids (no join, no shuffle); the
+    * candidate pair space is cluster-local via ONE self-join on `cid` —
+    * never n² — and only (vid, cid) pairs travel into the final
+    * marking join. The |cluster|² caveat is the same as
+    * [[bucketPairs]]/LSH banding: at corpus scale `nlist` grows with n
+    * (SemDeDup runs ~100k clusters on web-scale corpora) so clusters
+    * stay bounded; the driver-side centroid collect is O(nlist·dim)
+    * metadata, the [[kmeansLocalCentroids]] contract. */
+  def semDedup(emb: DataFrame, id: String, vec: String,
+               nlist: Int = 16, minCos: Double = 0.3): DataFrame = {
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val centMatrix: Array[Array[Double]] =
+      v.orderBy("vid").limit(nlist).collect().map(_.getSeq[Double](1).toArray)
+    require(centMatrix.nonEmpty, "semDedup needs a non-empty corpus")
+    val assigned = v.select(col("vid"), col("v"),
+      NearestCentroid(col("v"), centMatrix).as("cid"))
+    // higher-id member of every same-cluster pair with cosine >= minCos;
+    // the join condition keeps the pair space cluster-local and the
+    // cosine is the fused-loop expression, evaluated once per candidate
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
+      .where(cosine(col("a.v"), col("b.v")) >= minCos)
+      .select(col("b.vid").as("vid")).distinct()
+    assigned.select(col("vid"), col("cid"))
+      .join(dropped.withColumn("d", lit(1)), Seq("vid"), "left")
+      .select(col("vid").as(id), col("cid"),
+        coalesce(col("d"), lit(0)).as("dropped"))
+  }
+
+  /** Oracle for [[semDedup]]: the seeded-centroid assignment CTE of
+    * [[ivfSeededOracleSql]] (row_number argmax with the same
+    * cs-DESC/pos-ASC tie-break as NearestCentroid), a cluster-local pair
+    * join, and the same left-assoc cosine chains — every compared double
+    * is bit-identical to the engine's fused loops. */
+  def semDedupOracleSql(nlist: Int = 16, minCos: Double = 0.3,
+                        dim: Int = 64): String =
+    s"""WITH seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |sim AS (
+       |  SELECT e.vec_id, s.pos, ${cosineSql("e.embedding", "s.ce", dim)} AS cs
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |asg AS (
+       |  SELECT vec_id, CAST(pos AS INTEGER) AS cid FROM (
+       |    SELECT vec_id, pos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM sim) WHERE rn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cosineSql("ea.embedding", "eb.embedding", dim)} >= ${dlit(minCos)})
+       |SELECT asg.vec_id, asg.cid,
+       |  CAST(CASE WHEN dropped.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS dropped
+       |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id""".stripMargin
 }

@@ -16,7 +16,7 @@ import graft.functions.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis =>
   */
 object PipelineQueries {
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[queries] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   // parallelism unlock for the expression-only text pipelines: the
   // single-row-group documents fixture scans as ONE partition and the
@@ -453,7 +453,7 @@ object PipelineQueries {
 
   // plain (non-interpolated) string: the regex end-anchor $ needs no
   // escaping here, and s""-splicing below copies the VALUE verbatim
-  private val TOKS =
+  private[queries] val TOKS =
     "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
   private val STOPLIST = Stopwords.map(w => s"'$w'").mkString(",")
@@ -462,7 +462,7 @@ object PipelineQueries {
   // — ONE copy spliced into q_text_quality and both pipeline
   // compositions (a per-query copy would drift silently on a weight or
   // stopword change)
-  private val QUALITY_SQL =
+  private[queries] val QUALITY_SQL =
     s"""least(CAST(len($TOKS) AS DOUBLE) / 50.0, 1.0) * 0.4
        |  + least(CAST(len(list_filter($TOKS, t -> t IN ($STOPLIST))) AS DOUBLE)
        |          / len($TOKS) * 5.0, 1.0) * 0.4

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, TextAnalysis => TA}
+import graft.queries.CurationQueries
+
+/** Curation operators: chunking, quality top-p, mixture planning,
+  * decontamination, SemDeDup — planted-fixture semantics. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunksOf: sliding windows cover every token with the planted overlap") {
+    // 100 numbered tokens -> starts 0,30,60,90: sizes 40,40,40,10
+    val text = (0 until 100).map(i => s"t$i").mkString(" ")
+    val rows = CurationQueries.chunksOf(Seq((7L, text)).toDF("doc_id", "text"))
+      .orderBy("chunk_idx").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(40, 40, 40, 10))
+    val texts = rows.map(_.getAs[String]("chunk_text"))
+    assert(texts(0).startsWith("t0 t1 ") && texts(0).endsWith(" t39"))
+    assert(texts(3) == (90 until 100).map(i => s"t$i").mkString(" "))
+    // overlap invariant: each full chunk's last 10 tokens are the next
+    // chunk's first 10
+    for (i <- 0 until 2) {
+      assert(texts(i).split(" ").takeRight(10).toSeq ==
+        texts(i + 1).split(" ").take(10).toSeq)
+    }
+    // short doc: one chunk, intact
+    val one = CurationQueries.chunksOf(Seq((1L, "a b c")).toDF("doc_id", "text"))
+      .collect()
+    assert(one.length == 1 && one.head.getAs[String]("chunk_text") == "a b c")
+  }
+
+  test("qualityTopPOf: keeps the better half per language") {
+    val stop = "the a of and to in is"
+    // per lang: two docs, one prose-like (high quality), one degenerate
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over " + stop + " ") * 6, "en"),
+      (2L, "zz", "en"),
+      (3L, ("the quick brown fox jumps over " + stop + " ") * 6, "es"),
+      (4L, "qq", "es")).toDF("doc_id", "text", "lang")
+    val kept = CurationQueries.qualityTopPOf(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("mixPlanOf: shares and capped sampling rates from planted counts") {
+    // srcA: 30 tokens, srcB: 10 tokens -> total 40, uniform target 20/source
+    val docs = Seq(
+      (1L, (1 to 15).map(_ => "w").mkString(" "), "srcA"),
+      (2L, (1 to 15).map(_ => "w").mkString(" "), "srcA"),
+      (3L, (1 to 10).map(_ => "w").mkString(" "), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = CurationQueries.mixPlanOf(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+         r.getAs[Double]("token_share"), r.getAs[Double]("sampling_rate"))).toMap
+    assert(got("srcA") == ((2L, 30L, 0.75, 20.0 / 30.0)))
+    assert(got("srcB") == ((1L, 10L, 0.25, 1.0))) // capped at 1: cannot upsample
+  }
+
+  test("decontaminateOf: flags exactly the train docs sharing a bench shingle") {
+    // find one bench-bucket id and two train-bucket ids deterministically
+    val ids = spark.range(0, 200)
+      .select(col("id"), TA.hashBucket(col("id"), 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val benchId = ids.collectFirst { case (i, b) if b == 15 => i }.get
+    val Seq(cleanId, dirtyId) = ids.collect { case (i, b) if b != 15 => i }.take(2).toSeq
+    val shared = "alpha beta gamma delta epsilon" // one 5-shingle
+    val docs = Seq(
+      (benchId, s"$shared zeta eta theta iota kappa"),
+      (dirtyId, s"prefix words here then $shared and a tail of words"),
+      (cleanId, "completely different tokens with no overlap at all nine ten"))
+      .toDF("doc_id", "text")
+    val got = CurationQueries.decontaminateOf(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_id") == dirtyId)
+    assert(r.getAs[Long]("n_hits") == 1L)
+    assert(r.getAs[Double]("contam_frac") ==
+      1.0 / r.getAs[Long]("n_shingles"))
+  }
+
+  test("semDedup: drops the higher-id member of close same-cluster pairs") {
+    // seeds = first 2 vectors: v1 -> cluster axis x, v2 -> cluster axis y;
+    // v5/v6 are near-copies of v1/v2, v3/v4 are same-cluster but distant
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.8f, 0.6f)),   // cos(v1,v3)=0.8 < 0.9 -> kept
+      (4L, Seq(0.6f, 0.8f)),   // cos(v2,v4)=0.8 < 0.9 -> kept
+      (5L, Seq(1.0f, 0.001f)), // ~v1 -> dropped
+      (6L, Seq(0.001f, 1.0f))) // ~v2 -> dropped
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, "vec_id", "embedding",
+        nlist = 2, minCos = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cid"), r.getAs[Int]("dropped"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got.filter(_._2._2 == 1).keySet == Set(5L, 6L))
+    // cluster assignment follows the nearest seed
+    assert(got(1L)._1 == got(3L)._1 && got(1L)._1 == got(5L)._1)
+    assert(got(2L)._1 == got(4L)._1 && got(2L)._1 == got(6L)._1)
+    assert(got(1L)._1 != got(2L)._1)
+  }
+
+  test("semDedup is deterministic across runs") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def run() = Similarity.semDedup(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(run() == run())
+  }
+}
