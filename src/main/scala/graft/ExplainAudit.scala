@@ -45,9 +45,19 @@ object ExplainAudit {
       "q_kmv_distinct",   // expect partial+final ObjectHashAggregate of
                           //   ONE bounded KmvLongAgg buffer — no distinct
                           //   exchange of the shingle set
-      "q_winnow")         // expect ONE hash exchange on doc_id feeding
+      "q_winnow",         // expect ONE hash exchange on doc_id feeding
                           //   the in-partition sort + running-min Window,
                           //   then the distinct aggregation
+      "q_chunk",          // expect scan → project → Generate → project,
+                          //   ZERO exchanges (pure per-row fan-out)
+      "q_decontaminate",  // expect the bench shingles under a
+                          //   BroadcastExchange and ONE doc_id hash
+                          //   exchange for the per-doc counts
+      "q_semdedup",       // expect map-side NearestCentroid projection
+                          //   (no centroid join) + cid-keyed self-join
+      "q_bloom_semi")     // expect a map-side BloomContainsLong Filter
+                          //   directly over the lineitem scan, BELOW the
+                          //   exact semi-join
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

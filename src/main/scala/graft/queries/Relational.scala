@@ -160,6 +160,20 @@ object Relational {
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_mktsegment")
 
+  /** Fact-to-fact semi-join through the Bloom pre-filter
+    * ([[graft.functions.Bloom.bloomSemiJoin]]): lineitems of urgent
+    * orders. Neither side broadcasts as rows at corpus scale, but the
+    * urgent-order KEY SET compresses to 8 KB of bits that prune the
+    * lineitem side map-side before the exact semi-join's shuffle; the
+    * result is identical to the plain semi-join (no false negatives +
+    * exact join removes false positives), so the oracle is ordinary
+    * SQL. */
+  def joinBloomSemi(s: SparkSession, d: String): DataFrame =
+    graft.functions.Bloom.bloomSemiJoin(
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
+      orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+      "l_orderkey", "o_orderkey")
+
   /** Left-anti join: customers with no orders (NOT EXISTS). */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     customer(s, d)
@@ -307,7 +321,8 @@ object Relational {
     "q_join_inner"    -> (joinRevenuePerNation _),
     "q_join_outer"    -> (joinFullOuter _),
     "q_join_semi"     -> (joinSemi _),
-    "q_join_anti"     -> (joinAnti _))
+    "q_join_anti"     -> (joinAnti _),
+    "q_bloom_semi"    -> (joinBloomSemi _))
 
   val oracle: Map[String, String] = Map(
     "q_cube" ->
@@ -449,5 +464,10 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    // the Bloom pre-filter is semantically invisible — plain semi-join SQL
+    "q_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin)
 }
