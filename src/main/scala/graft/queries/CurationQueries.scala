@@ -153,6 +153,94 @@ object CurationQueries {
         (col("n_hits").cast("double") / col("n_shingles")).as("contam_frac"))
   }
 
+  // ---- capped soft dedup ----------------------------------------------
+
+  /** Copies kept per exact fingerprint. */
+  private val DupCap = 2
+
+  /** Soft dedup: keep up to [[DupCap]] copies per exact fingerprint —
+    * the capped variant pipelines use when some duplication is signal
+    * (a document repeated across crawl dumps is evidence of quality,
+    * but a million copies is boilerplate). The fixture corpus has no
+    * exact dups, so every doc_id % 7 == 0 row is replaced by one shared
+    * boilerplate string — the q_pii_scrub pattern: engine and oracle
+    * construct the IDENTICAL input and the cap semantics are compared.
+    *
+    * Scale shape: ONE fingerprint-keyed window (hash-shuffle on fp,
+    * in-partition sort by id) over (fp, id) pairs — document text never
+    * sorts through the exchange. */
+  def dedupCap(s: SparkSession, d: String): DataFrame =
+    dedupCapOf(par(documents(s, d)))
+
+  def dedupCapOf(docs: DataFrame): DataFrame = {
+    val t = when(col("doc_id") % 7 === 0,
+      lit("boilerplate terms of service apply to this document"))
+      .otherwise(col("text"))
+    docs.select(col("doc_id"), md5(lower(t)).as("fp"))
+      .withColumn("copy_rank", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("copy_rank") <= DupCap)
+  }
+
+  // ---- token-budget selection -----------------------------------------
+
+  /** Token budget for [[tokenBudget]] — roughly half the sf0.01 corpus
+    * token mass, so the boundary lands mid-corpus and both the kept and
+    * cut sides are non-trivial. */
+  private val TokenBudget = 6000L
+  /** Quality-bucket fan-out for the distributed prefix sum. */
+  private val BudgetBuckets = 64
+
+  /** Greedy token-budget selection: take documents in quality order
+    * (best first, doc_id tie-break) until the cumulative token count
+    * exceeds the budget — the "fill the training mix from the top"
+    * selection.
+    *
+    * The naive spelling is `sum(n_tokens) OVER (ORDER BY quality DESC,
+    * doc_id)` — an UNPARTITIONED ordered window, which Spark executes in
+    * ONE partition: the whole corpus funnels through a single task, the
+    * canonical scale-killer. This operator instead computes the SAME
+    * exact prefix sum as a two-level decomposition (the distributed
+    * prefix-sum pattern):
+    *   1. bucket by floor(quality·B) — monotone in quality, so global
+    *      order ≡ (bucket DESC, quality DESC, doc_id);
+    *   2. within-bucket running sums via a window PARTITIONED by bucket
+    *      (parallel across B buckets);
+    *   3. per-bucket totals (≤ B+1 rows) get an ordered offset cumsum on
+    *      the tiny aggregated frame, broadcast-joined back;
+    *   4. cum = bucket offset + within-bucket running sum — bit-equal to
+    *      the single-window spelling, which is exactly what the oracle
+    *      runs in DuckDB.
+    * Skewed quality distributions concentrate buckets; raise B or salt
+    * equal-quality runs (doc_id is already in the sort key, so
+    * correctness never depends on the bucket histogram). */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetOf(par(documents(s, d)))
+
+  def tokenBudgetOf(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      TA.qualityScore(col("text"), Stopwords).as("quality"),
+      TA.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("qb", floor(col("quality") * BudgetBuckets).cast("int"))
+    val within = scored.withColumn("within_cum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("qb").orderBy(col("quality").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-bucket totals: <= BudgetBuckets+1 rows — the offset cumsum and
+    // its window run on this aggregated frame, never on documents
+    val offsets = scored.groupBy("qb")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_tokens")).over(
+          Window.orderBy(col("qb").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("qb"), col("offset"))
+    within.join(broadcast(offsets), Seq("qb"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        (col("offset") + col("within_cum")).as("cum_tokens"))
+      .where(col("cum_tokens") <= budget)
+  }
+
   // ---- semantic dedup --------------------------------------------------
 
   /** SemDeDup over the embedding corpus — [[Similarity.semDedup]] with
@@ -169,6 +257,8 @@ object CurationQueries {
     "q_quality_topp"  -> (qualityTopP _),
     "q_mix_plan"      -> (mixPlan _),
     "q_decontaminate" -> (decontaminate _),
+    "q_dedup_cap"     -> (dedupCap _),
+    "q_token_budget"  -> (tokenBudget _),
     "q_semdedup"      -> (semDedupQ _))
 
   val oracle: Map[String, String] = Map(
@@ -223,5 +313,33 @@ object CurationQueries {
          |  CAST(count(hit) AS BIGINT) AS n_hits,
          |  CAST(count(hit) AS DOUBLE) / count(*) AS contam_frac
          |FROM j GROUP BY doc_id HAVING count(hit) > 0""".stripMargin,
+    // same planted boilerplate construction as the engine; row_number
+    // over (fp, doc_id) is fully deterministic
+    "q_dedup_cap" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |       THEN 'boilerplate terms of service apply to this document'
+         |       ELSE text END AS tt
+         |FROM documents),
+         |r AS (SELECT doc_id, md5(lower(tt)) AS fp,
+         |        CAST(row_number() OVER (PARTITION BY md5(lower(tt))
+         |                                ORDER BY doc_id) AS INTEGER) AS copy_rank
+         |      FROM t)
+         |SELECT doc_id, fp, copy_rank FROM r WHERE copy_rank <= $DupCap""".stripMargin,
+    // the oracle runs the SINGLE-WINDOW spelling the engine decomposes:
+    // same total order (quality DESC, doc_id), same integer sums — the
+    // two-level prefix sum must reproduce it exactly
+    "q_token_budget" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  $QUALITY_SQL AS quality,
+         |  CAST(len($TOKS) AS INTEGER) AS n_tokens
+         |FROM documents),
+         |c AS (SELECT doc_id, quality, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS BIGINT) AS cum_tokens
+         |      FROM q)
+         |SELECT doc_id, quality, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= $TokenBudget""".stripMargin,
     "q_semdedup" -> Similarity.semDedupOracleSql())
 }

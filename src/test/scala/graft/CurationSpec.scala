@@ -81,6 +81,41 @@ class CurationSpec extends SparkSpec {
       1.0 / r.getAs[Long]("n_shingles"))
   }
 
+  test("dedupCapOf: keeps at most two copies per planted boilerplate group") {
+    // ids 0..29: %7==0 -> 0,7,14,21,28 share one boilerplate fp
+    val docs = (0L until 30L).map(i => (i, s"unique text number $i with some words"))
+      .toDF("doc_id", "text")
+    val got = CurationQueries.dedupCapOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val boiler = Set(0L, 7L, 14L, 21L, 28L)
+    assert(got.keySet.intersect(boiler) == Set(0L, 7L)) // cap = 2, min ids win
+    assert(got(0L) == 1 && got(7L) == 2)
+    assert((0L until 30L).filterNot(boiler).forall(i => got(i) == 1))
+  }
+
+  test("tokenBudgetOf: two-level prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val stop = "the a of and to in is"
+    // varied lengths/qualities so docs spread across quality buckets
+    val docs = (0L until 60L).map { i =>
+      val reps = 1 + (i % 7).toInt
+      (i, (s"some words $stop number $i " * reps).trim)
+    }.toDF("doc_id", "text")
+    val budget = 800L
+    val naive = docs.select(col("doc_id"),
+        functions.TextAnalysis.qualityScore(col("text"),
+          Seq("the", "a", "of", "and", "to", "in", "is")).as("quality"),
+        functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.orderBy(col("quality").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum_tokens") <= budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    val got = CurationQueries.tokenBudgetOf(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(got == naive && got.nonEmpty && got.size < 60)
+  }
+
   test("semDedup: drops the higher-id member of close same-cluster pairs") {
     // seeds = first 2 vectors: v1 -> cluster axis x, v2 -> cluster axis y;
     // v5/v6 are near-copies of v1/v2, v3/v4 are same-cluster but distant
