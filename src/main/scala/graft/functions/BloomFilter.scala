@@ -82,6 +82,17 @@ object Bloom {
   def contains(key: Column, words: Array[Long], k: Int = 3): Column =
     ColumnBridge.column(BloomContainsLong(ColumnBridge.expression(key), words, k))
 
+  /** Bloom bits over a document set's distinct shingle hashes — the
+    * build side of ingest-time decontamination
+    * ([[graft.streaming.EventStream.curateDocStream]]). One bounded
+    * aggregate over the (small, static) benchmark suite; O(KB) to the
+    * driver. */
+  def shingleBloom(bench: DataFrame, id: String, text: String,
+                   n: Int = 5, mBits: Int = 1 << 16, k: Int = 3): Array[Long] =
+    Dedup.shingles(bench, id, text, n)
+      .select(bloomAgg(Dedup.md5Hash60(col("shingle")), mBits, k).as("w"))
+      .collect()(0).getSeq[Long](0).toArray
+
   /** Exact semi-join of `fact` rows whose `factKey` appears in `dim`'s
     * `dimKey`, with the Bloom pre-filter pruning the fact side map-side
     * before the exact join's shuffle. Result is identical to the plain

@@ -46,4 +46,36 @@ object EventStream {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** Ingest-time curation: per-row quality gate + Bloom-probe
+    * decontamination — STATELESS by construction, so it composes with
+    * any downstream streaming stage without watermark coupling.
+    *
+    * The benchmark's shingle set rides as driver-literal Bloom bits
+    * ([[graft.functions.Bloom]], built once from the static held-out
+    * suite by [[graft.functions.Bloom.shingleBloom]]): per document, the
+    * shingle ARRAY is built in-row (transform over sequence — no
+    * explode, no shuffle, no state) and a doc is dropped when ANY
+    * shingle probes positive. Bloom false positives (~1e-4 at the
+    * default sizing) drop a clean doc at ingest — the conservative
+    * direction for a prefilter; the authoritative exact pass is the
+    * batch decontamination over the lake
+    * ([[graft.queries.CurationQueries.decontaminate]]), same contract
+    * as streaming-vs-batch dedup above. */
+  def curateDocStream(docs: DataFrame, benchBloom: Array[Long],
+                      stopwords: Seq[String], minQuality: Double = 0.5,
+                      textCol: String = "text", n: Int = 5,
+                      bloomK: Int = 3): DataFrame = {
+    import graft.functions.{Bloom, Dedup, TextAnalysis}
+    val toks = TextAnalysis.tokens(col(textCol))
+    val shingles = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol), stopwords))
+      .where(col("quality") >= minQuality)
+      .where(!exists(shingles,
+        s => Bloom.contains(Dedup.md5Hash60(s), benchBloom, bloomK)))
+  }
 }

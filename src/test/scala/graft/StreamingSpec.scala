@@ -335,4 +335,32 @@ class StreamingSpec extends SparkSpec {
     assert(lake.count() == 2)
     assert(lake.select("symbol").distinct().count() == 2)
   }
+
+  test("curateDocStream: ingest-time quality gate + bloom decontamination") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val words = graft.functions.Bloom.shingleBloom(bench, "doc_id", "text")
+    val good = ("the quick brown fox jumps over the lazy dog and " * 6).trim
+    val contaminated = good + " alpha beta gamma delta epsilon"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.curateDocStream(
+        mem.toDF().toDF("doc_id", "text"), words, stop)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, good),         // survives: good quality, no bench overlap
+      (2L, "zz"),         // dropped: fails the quality gate
+      (3L, contaminated)) // dropped: shares a bench 5-shingle
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("curated").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+    // the in-row shingle construction matches the batch explode pipeline
+    val arr = graft.streaming.EventStream.curateDocStream(
+      Seq((9L, contaminated)).toDF("doc_id", "text"), new Array[Long](16), stop)
+    assert(arr.count() == 1) // empty bloom: nothing probes positive
+  }
 }
