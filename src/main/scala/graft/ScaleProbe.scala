@@ -98,6 +98,17 @@ object ScaleProbe {
         .select(graft.functions.Sketches.kMinValues(
           Dedup.md5Hash60(col("shingle")), 256).as("kept"))
         .head())
+    // curation layer at the replicated corpus: decontamination's cost is
+    // the shingle pipeline (broadcast probe adds nothing super-linear),
+    // token-budget is two windows + a tiny broadcast, chunking is
+    // scan-speed fan-out (noop-materialized so the slice/concat isn't
+    // pruned away — the Bench action lesson)
+    probe(s"decontaminate @${nBig}")(warmBig())(
+      graft.queries.CurationQueries.decontaminateOf(big).count())
+    probe(s"token_budget @${nBig}")(warmBig())(
+      graft.queries.CurationQueries.tokenBudgetOf(big, 60000L * factor).count())
+    probe(s"chunks @${nBig}")(warmBig())(
+      Bench.materialize(graft.queries.CurationQueries.chunksOf(big)))
 
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val bigEmb = emb.crossJoin(spark.range(factor).toDF("copy"))
@@ -109,6 +120,11 @@ object ScaleProbe {
       Similarity.bruteForceTopK(bigEmb, "vec_id", "embedding", 0L, 10).count())
     probe("lsh_topk @40k")(warmEmb())(
       Similarity.lshTopK(bigEmb, "vec_id", "embedding", 0L, 10).count())
+    // SemDeDup at 40k vectors with nlist SCALED to the corpus (256 →
+    // ~160-wide clusters): the cluster-local pair space stays ~Σ|c|²,
+    // the knob the operator's scale story depends on
+    probe("semdedup @40k nlist=256")(warmEmb())(
+      Similarity.semDedup(bigEmb, "vec_id", "embedding", nlist = 256).count())
 
     // k-means iteration growth: driver-sequenced Lloyd's must be LINEAR
     // in iters (flat lineage — one job per round); a lineage-chained
