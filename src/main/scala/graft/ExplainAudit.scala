@@ -48,8 +48,11 @@ object ExplainAudit {
       "q_winnow",         // expect ONE hash exchange on doc_id feeding
                           //   the in-partition sort + running-min Window,
                           //   then the distinct aggregation
-      "q_chunk",          // expect scan → project → Generate → project,
-                          //   ZERO exchanges (pure per-row fan-out)
+      "q_chunk",          // expect scan → project → Generate → project;
+                          //   the ONE exchange is the round-robin
+                          //   parallelism unlock on the single-row-group
+                          //   fixture (no-op at corpus scale) — no
+                          //   data-dependent exchange anywhere
       "q_decontaminate",  // expect the bench shingles under a
                           //   BroadcastExchange and ONE doc_id hash
                           //   exchange for the per-doc counts

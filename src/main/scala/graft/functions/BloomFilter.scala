@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftext.ColumnBridge
+import org.apache.spark.sql.types
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /** Bloom-filter semi-join reduction — the standard big-join pruning
@@ -100,6 +101,19 @@ object Bloom {
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
                     factKey: String, dimKey: String,
                     mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    // INTEGRAL keys only: the long widening below is lossless for them,
+    // which is what keeps the no-false-negative guarantee honest. A
+    // string/decimal key would cast to null (or throw under ANSI) and
+    // silently DROP matching rows — fail loudly at build time instead.
+    def requireIntegral(df: DataFrame, name: String): Unit = {
+      val t = df.schema(name).dataType
+      require(t == types.LongType || t == types.IntegerType ||
+          t == types.ShortType || t == types.ByteType,
+        s"bloomSemiJoin needs an integral key, got $name: $t " +
+          "(hash non-integral keys to a long — e.g. Dedup.md5Hash60 — first)")
+    }
+    requireIntegral(fact, factKey)
+    requireIntegral(dim, dimKey)
     // ONE aggregate job over the build side's keys: mBits/8 bytes per
     // partition to the final OR-merge, then O(KB) to the driver
     val words = dim.select(bloomAgg(col(dimKey).cast("long"), mBits, k).as("w"))
@@ -125,6 +139,14 @@ case class BloomLongAgg(
 
   require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
   require(k >= 1, s"Bloom needs k >= 1 hash functions, got $k")
+
+  // analysis-time type enforcement (the probe twin BloomContainsLong has
+  // the same rule): a non-long key would otherwise ClassCastException
+  // mid-job inside update()
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected bigint key, got $t")
+  }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)
 

@@ -138,13 +138,7 @@ object Dedup {
     // a boilerplate shingle shared by millions of docs buffers its doc
     // list in one agg buffer; drop/salt boilerplate upstream,
     // docs/SCALE.md).
-    val pairs = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .where(col("a") < col("b"))
-      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    val pairs = bucketPairCounts(sh, "shingle", "shared")
     pairs
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
@@ -164,15 +158,26 @@ object Dedup {
     * (docs/SCALE.md). */
   def winnowPairs(df: DataFrame, id: String, text: String,
                   n: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame =
-    winnowFingerprints(df, id, text, n, w)
-      .groupBy("fp").agg(collect_list(col("doc_id")).as("ds"))
+    bucketPairCounts(winnowFingerprints(df, id, text, n, w), "fp", "shared_fps")
+      .where(col("shared_fps") >= minShared)
+
+  /** The shared bucket-aggregation pair expansion: ONE groupBy on the
+    * bucket key (collect_list of doc ids), in-bucket a<b expansion, then
+    * the per-pair shared-bucket count — exactly the collision pairs a
+    * self-join would form without shuffling the table twice. One source
+    * of truth so the degenerate-bucket mitigation (drop/salt boilerplate
+    * upstream, docs/SCALE.md) can never be fixed in one caller and
+    * missed in the other. Input: (doc_id, `key`) rows, distinct per
+    * pair-relevant occurrence. */
+  private def bucketPairCounts(df: DataFrame, key: String,
+                               countName: String): DataFrame =
+    df.groupBy(key).agg(collect_list(col("doc_id")).as("ds"))
       .where(size(col("ds")) > 1)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .where(col("a") < col("b"))
       .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .where(col("shared_fps") >= minShared)
+      .agg(count(lit(1)).as(countName))
 
   /** Mersenne prime 2³¹−1: universal-hash modulus. Base hashes are
     * reduced mod P before the (a·h+b) mod P re-hash so every intermediate

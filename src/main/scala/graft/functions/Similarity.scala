@@ -268,12 +268,22 @@ object Similarity {
     * quantizer remains the quality path and keeps its spec coverage;
     * this is the deterministic twin the driver's hard signal can
     * verify. */
+  /** The SEEDED-quantizer contract shared by [[ivfSeededTopK]] and
+    * [[semDedup]] (and their generated oracle CTEs): centroids are the
+    * first `nlist` vectors by id, double-cast, zero Lloyd iterations —
+    * one copy so a tie-break or cast change can never break one
+    * caller's oracle parity silently. `v` must carry (vid, v:
+    * array<double>). */
+  private def seededCentroids(v: DataFrame, nlist: Int): Array[Array[Double]] = {
+    val cents = v.orderBy("vid").limit(nlist).collect().map(_.getSeq[Double](1).toArray)
+    require(cents.nonEmpty, "seeded quantizer needs a non-empty corpus")
+    cents
+  }
+
   def ivfSeededTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
                     k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val centMatrix: Array[Array[Double]] =
-      v.orderBy("vid").limit(nlist).collect().map(_.getSeq[Double](1).toArray)
-    require(centMatrix.nonEmpty, "ivfSeededTopK needs a non-empty corpus")
+    val centMatrix: Array[Array[Double]] = seededCentroids(v, nlist)
     val qv: Array[Double] = v.where(col("vid") === queryId)
       .select(col("v")).collect() match {
         case Array(r) => r.getSeq[Double](0).toArray
@@ -504,9 +514,7 @@ object Similarity {
   def semDedup(emb: DataFrame, id: String, vec: String,
                nlist: Int = 16, minCos: Double = 0.3): DataFrame = {
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val centMatrix: Array[Array[Double]] =
-      v.orderBy("vid").limit(nlist).collect().map(_.getSeq[Double](1).toArray)
-    require(centMatrix.nonEmpty, "semDedup needs a non-empty corpus")
+    val centMatrix: Array[Array[Double]] = seededCentroids(v, nlist)
     val assigned = v.select(col("vid"), col("v"),
       NearestCentroid(col("v"), centMatrix).as("cid"))
     // higher-id member of every same-cluster pair with cosine >= minCos;

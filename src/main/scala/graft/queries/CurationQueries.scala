@@ -138,8 +138,15 @@ object CurationQueries {
     decontaminateOf(par(documents(s, d)))
 
   def decontaminateOf(docs: DataFrame): DataFrame = {
+    // cached + eagerly materialized (jaccardPairs contract): the bench
+    // and train sides both consume the distinct-shingle pipeline, and
+    // without the cache the full explode+distinct runs twice — at the
+    // 100 TB shape the bench side is a separate small suite, but when it
+    // IS derived from the corpus (this fixture), one scan must suffice
     val sh = Dedup.shingles(docs, "doc_id", "text", 5)
       .withColumn("bucket", TA.hashBucket(col("doc_id"), BenchBuckets))
+      .cache()
+    sh.count()
     val bench = sh.where(col("bucket") === BenchBucket)
       .select("shingle").distinct()
     sh.where(col("bucket") =!= BenchBucket)
@@ -218,10 +225,16 @@ object CurationQueries {
     tokenBudgetOf(par(documents(s, d)))
 
   def tokenBudgetOf(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    // cached + eagerly materialized (the jaccardPairs cache-ownership
+    // contract — Verify/Bench clearCache() between queries): the window
+    // and the offsets aggregation are two consumers, and without the
+    // cache each re-runs the regex-heavy score/tokenize scan
     val scored = docs.select(col("doc_id"),
       TA.qualityScore(col("text"), Stopwords).as("quality"),
       TA.tokenCount(col("text")).as("n_tokens"))
       .withColumn("qb", floor(col("quality") * BudgetBuckets).cast("int"))
+      .cache()
+    scored.count()
     val within = scored.withColumn("within_cum",
       sum(col("n_tokens")).over(
         Window.partitionBy("qb").orderBy(col("quality").desc, col("doc_id").asc)

@@ -469,6 +469,18 @@ object PipelineQueries {
        |  + (CASE WHEN CAST(length(text) - len($TOKS) + 1 AS DOUBLE) / len($TOKS)
        |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2""".stripMargin
 
+  // the winnow fingerprint pipeline (n=5 shingles, w=4 rolling-min
+  // window) as one shared CTE prefix — q_winnow and q_winnow_pairs both
+  // splice it, so the hash/window definition exists exactly once
+  private val WINNOW_CTES =
+    s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
+       |sh AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(array_to_string(t[i+1:i+5], ' ')),1,15)) AS BIGINT) AS h FROM pos),
+       |w AS (SELECT doc_id,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+       |  FROM sh)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id,
@@ -648,27 +660,17 @@ object PipelineQueries {
         |  CAST(length(replace(text, ' ', '')) * 17 % 1080 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
     // winnowing twin: the identical 60-bit shingle hash under the
-    // identical ROWS window (n=5, w=4 — the engine defaults)
+    // identical ROWS window (n=5, w=4 — the engine defaults); ONE CTE
+    // prefix shared with q_winnow_pairs (the QUALITY_SQL rule: a second
+    // copy would drift on any hash/window change)
     "q_winnow" ->
-      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
-         |sh AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(array_to_string(t[i+1:i+5], ' ')),1,15)) AS BIGINT) AS h FROM pos),
-         |w AS (SELECT doc_id,
-         |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-         |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-         |  FROM sh)
+      s"""$WINNOW_CTES
          |SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4""".stripMargin,
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
     "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
     // the winnow CTE self-joined on fingerprint: docs sharing >= 2
     "q_winnow_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
-         |sh AS (SELECT doc_id, i, CAST(concat('0x', substr(md5(array_to_string(t[i+1:i+5], ' ')),1,15)) AS BIGINT) AS h FROM pos),
-         |w AS (SELECT doc_id,
-         |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-         |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-         |  FROM sh),
+      s"""$WINNOW_CTES,
          |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(count(*) AS BIGINT) AS shared_fps
