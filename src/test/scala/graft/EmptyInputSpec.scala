@@ -48,6 +48,27 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.bucketPairs(emptyEmb, "vec_id", "embedding").count() === 0)
   }
 
+  test("curation layer returns empty on an empty corpus") {
+    import graft.queries.CurationQueries
+    assert(CurationQueries.chunksOf(emptyDocs).count() === 0)
+    assert(CurationQueries.decontaminateOf(emptyDocs).count() === 0)
+    assert(CurationQueries.dedupCapOf(emptyDocs).count() === 0)
+    assert(CurationQueries.tokenBudgetOf(emptyDocs).count() === 0)
+    // seeded quantizers (semDedup, ivfSeededTopK) REQUIRE a non-empty
+    // corpus — descriptive failure, not an NPE or silent empty
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(emptyEmb, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("non-empty corpus"))
+    // bloom build over zero keys: empty bits, probe rejects everything,
+    // semi-join result empty
+    val emptyKeys = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("k", LongType))))
+    assert(graft.functions.Bloom.bloomSemiJoin(
+      spark.range(5).toDF("k"), emptyKeys, "k", "k").count() === 0)
+  }
+
   test("IVF fails fast with a descriptive message on an empty corpus") {
     val ex = intercept[IllegalArgumentException] {
       Similarity.ivfTopK(emptyEmb, "vec_id", "embedding", 0L, 5)

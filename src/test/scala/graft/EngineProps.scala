@@ -163,4 +163,27 @@ object EngineProps extends Properties("engine") {
         e >= 0.0 && e <= 1.0 && math.abs(e * 16 - math.round(e * 16)) < 1e-9
       }
     }
+
+  property("chunking covers every token in order, with the stride overlap") =
+    forAll(Gen.chooseNum(1, 200)) { nTokens =>
+      val text = (0 until nTokens).map(i => s"w$i").mkString(" ")
+      val chunks = graft.queries.CurationQueries.chunksOf(docsDf(List(text)))
+        .orderBy("chunk_idx").collect()
+        .map(_.getAs[String]("chunk_text").split(" ").toSeq)
+      // concatenating each chunk's non-overlapped prefix (stride tokens)
+      // plus the last chunk's tail reconstructs the document exactly
+      val rebuilt = chunks.init.flatMap(_.take(30)) ++ chunks.last
+      rebuilt.toSeq == (0 until nTokens).map(i => s"w$i") &&
+        chunks.forall(_.size <= 40)
+    }
+
+  // pure-JVM bloom property: no Spark job per sample, so it can afford
+  // real case counts
+  property("bloom never reports an inserted key absent") =
+    forAll(Gen.nonEmptyListOf(Gen.long).map(_.take(500)),
+           Gen.chooseNum(1, 5)) { (keys, k) =>
+      val words = new Array[Long](64)
+      keys.foreach(graft.functions.Bloom.setBits(words, _, k))
+      keys.forall(graft.functions.Bloom.mightContain(words, _, k))
+    }
 }
