@@ -265,6 +265,26 @@ object CurationQueries {
         Similarity.requireWidth(col("embedding"))),
       "vec_id", "embedding")
 
+  /** Cross-modal curation composition — the third member of the
+    * composition family (q_pipeline_clean: exact dedup; q_pipeline_neardup:
+    * minhash components; this: EMBEDDING-space dedup): drop every doc
+    * whose embedding SemDeDup marks as a semantic duplicate, then the
+    * standard quality gate + token stats. Only (vec_id) drop keys cross
+    * from the embedding side — an anti-join key set, never vectors. */
+  def pipelineSemantic(s: SparkSession, d: String): DataFrame = {
+    val dropped = Similarity.semDedup(
+        embeddings(s, d).withColumn("embedding",
+          Similarity.requireWidth(col("embedding"))),
+        "vec_id", "embedding")
+      .where(col("dropped") === 1)
+      .select(col("vec_id").as("doc_id"))
+    documents(s, d).join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        TA.qualityScore(col("text"), Stopwords).as("quality"),
+        TA.tokenCount(col("text")).as("n_tokens"))
+      .where(col("quality") >= 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk"         -> (chunks _),
     "q_quality_topp"  -> (qualityTopP _),
@@ -272,7 +292,8 @@ object CurationQueries {
     "q_decontaminate" -> (decontaminate _),
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
-    "q_semdedup"      -> (semDedupQ _))
+    "q_semdedup"      -> (semDedupQ _),
+    "q_pipeline_semantic" -> (pipelineSemantic _))
 
   val oracle: Map[String, String] = Map(
     // range(0, len, stride) enumerates the same starts as the engine's
@@ -354,5 +375,16 @@ object CurationQueries {
          |      FROM q)
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= $TokenBudget""".stripMargin,
-    "q_semdedup" -> Similarity.semDedupOracleSql())
+    "q_semdedup" -> Similarity.semDedupOracleSql(),
+    // the semdedup twin as a subquery; NOT IN over its dropped members,
+    // then the same quality expressions as the other compositions
+    "q_pipeline_semantic" ->
+      s"""WITH sd AS (${Similarity.semDedupOracleSql()}),
+         |d AS (SELECT doc_id, text FROM documents
+         |      WHERE doc_id NOT IN (SELECT vec_id FROM sd WHERE dropped = 1)),
+         |q AS (SELECT doc_id,
+         |  $QUALITY_SQL AS quality,
+         |  CAST(len($TOKS) AS INTEGER) AS n_tokens
+         |FROM d)
+         |SELECT doc_id, quality, n_tokens FROM q WHERE quality >= 0.5""".stripMargin)
 }

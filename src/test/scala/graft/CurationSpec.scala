@@ -139,6 +139,20 @@ class CurationSpec extends SparkSpec {
     assert(got(1L)._1 != got(2L)._1)
   }
 
+  test("pipelineSemantic composes semdedup drops with the quality gate") {
+    val got = CurationQueries.pipelineSemantic(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = Similarity.semDedup(
+        Tables.embeddings(spark, sf0001), "vec_id", "embedding")
+      .where(col("dropped") === 1).select("vec_id").as[Long].collect().toSet
+    val expected = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        functions.TextAnalysis.qualityScore(col("text"),
+          Seq("the", "a", "of", "and", "to", "in", "is")).as("q"))
+      .where(col("q") >= 0.5).select("doc_id").as[Long].collect().toSet -- dropped
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("semDedup is deterministic across runs") {
     val emb = Tables.embeddings(spark, sf0001)
     def run() = Similarity.semDedup(emb, "vec_id", "embedding")
