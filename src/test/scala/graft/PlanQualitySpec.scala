@@ -75,6 +75,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(ji.contains("BroadcastHashJoin"), ji.take(800))
   }
 
+  test("curation-layer plan shapes stay pinned") {
+    // q_token_budget: the document-side window MUST be partitioned (the
+    // two-level prefix sum exists to avoid the one-partition global
+    // window); the only unpartitioned window runs above the <=65-row
+    // bucket aggregate
+    val tb = SparkEntry.queries("q_token_budget")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(tb).map(_.group(1)).toList
+    assert(winSpecs.nonEmpty, tb.take(600))
+    // the doc-side cumsum window carries the qb partition column; the
+    // offset window (over the aggregated frame) is the unpartitioned one
+    assert(winSpecs.exists(_.contains("qb#")),
+      s"q_token_budget lost its partitioned document-side window:\n$winSpecs")
+    // q_decontaminate: the bench shingle side broadcasts — the train
+    // side must never shuffle for the probe join
+    val dc = physical("q_decontaminate")
+    assert(dc.contains("BroadcastHashJoin") || dc.contains("BroadcastExchange"),
+      dc.take(800))
+    // q_semdedup: assignment is the map-side NearestCentroid projection
+    // (no centroid join anywhere in the plan)
+    val sd = physical("q_semdedup")
+    assert(sd.contains("nearestcentroid") || sd.contains("NearestCentroid"),
+      sd.take(800))
+    // q_bloom_semi: the literal-bits probe filter sits BELOW the exact
+    // join — the filter must appear in the fact-side subtree, and the
+    // join stays an equi semi-join
+    val bs = physical("q_bloom_semi")
+    val joinIdx = bs.indexOf("LeftSemi")
+    val filterIdx = bs.indexOf("bloomcontainslong")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"q_bloom_semi probe filter not below the semi-join:\n${bs.take(900)}")
+  }
+
   test("no registry query plans a cartesian or nested-loop join") {
     // the negative gate: any future registry query that regresses to a
     // CartesianProduct / BroadcastNestedLoopJoin (the two shapes that
