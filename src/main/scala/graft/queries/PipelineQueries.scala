@@ -156,6 +156,28 @@ object PipelineQueries {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 5)
 
+  /** Minimum docs sharing a shingle + result cap for q_boilerplate —
+    * shared with the oracle SQL. */
+  private val BoilerMinDf = 3
+  private val BoilerTopK = 50
+
+  /** Boilerplate mining: the corpus-wide most-repeated shingles by
+    * document frequency — the operator that FEEDS the degenerate-bucket
+    * mitigation every pair-space op documents ("drop/salt boilerplate
+    * upstream", docs/SCALE.md): its output is the drop/salt list. ONE
+    * map-side-combined groupBy on the distinct (doc, shingle) pairs,
+    * then TakeOrdered on (df DESC, shingle) — no global sort. */
+  def boilerplate(s: SparkSession, d: String): DataFrame =
+    boilerplateOf(par(documents(s, d)), BoilerMinDf, BoilerTopK)
+
+  def boilerplateOf(docs: DataFrame, minDf: Int, topK: Int): DataFrame =
+    Dedup.shingles(docs, "doc_id", "text", 5)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDf)
+      .orderBy(col("doc_freq").desc, col("shingle").asc)
+      .limit(topK)
+
   /** Winnowing fingerprints — the ROLLING-hash document fingerprint of
     * the builder brief (windowed minima over the shingle-hash stream,
     * MOSS-style): sub-document passage-level dedup keys where
@@ -427,6 +449,7 @@ object PipelineQueries {
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_keep"     -> (dedupKeep _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
+    "q_boilerplate"    -> (boilerplate _),
     "q_winnow"         -> (winnow _),
     "q_winnow_pairs"   -> (winnowPairsQ _),
     "q_minhash_pairs"  -> (minhashPairs _),
@@ -623,6 +646,15 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    // same toks/pos/sh distinct-shingle CTEs as the jaccard oracle; the
+    // (doc_freq DESC, shingle) order makes the top-k fully deterministic
+    "q_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM pos)
+         |SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+         |FROM sh GROUP BY shingle HAVING count(*) >= $BoilerMinDf
+         |ORDER BY doc_freq DESC, shingle ASC LIMIT $BoilerTopK""".stripMargin,
     "q_dedup_keep" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id IN (

@@ -153,6 +153,24 @@ class CurationSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("boilerplateOf surfaces the planted shared shingle, respects minDf") {
+    import graft.queries.PipelineQueries
+    val boiler = "all rights reserved by the company"
+    val docs = (0L until 10L).map { i =>
+      val body = s"unique filler words number $i go here now"
+      (i, if (i < 4) s"$body $boiler" else body)
+    }.toDF("doc_id", "text")
+    val got = PipelineQueries.boilerplateOf(docs, minDf = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // only shingles of the planted tail appear in >= 3 docs
+    assert(got.nonEmpty && got.forall(_._2 == 4L))
+    assert(got.exists(_._1 == "rights reserved by the company"))
+    // TakeOrderedAndProject, never a global sort of the shingle table
+    val plan = PipelineQueries.boilerplateOf(docs, 3, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
   test("semDedup is deterministic across runs") {
     val emb = Tables.embeddings(spark, sf0001)
     def run() = Similarity.semDedup(emb, "vec_id", "embedding")
