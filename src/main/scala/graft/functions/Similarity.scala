@@ -511,24 +511,39 @@ object Similarity {
     * (SemDeDup runs ~100k clusters on web-scale corpora) so clusters
     * stay bounded; the driver-side centroid collect is O(nlist·dim)
     * metadata, the [[kmeansLocalCentroids]] contract. */
-  def semDedup(emb: DataFrame, id: String, vec: String,
-               nlist: Int = 16, minCos: Double = 0.3): DataFrame = {
+  private def semAssign(emb: DataFrame, id: String, vec: String,
+                        nlist: Int): DataFrame = {
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val centMatrix: Array[Array[Double]] = seededCentroids(v, nlist)
-    val assigned = v.select(col("vid"), col("v"),
-      NearestCentroid(col("v"), centMatrix).as("cid"))
-    // higher-id member of every same-cluster pair with cosine >= minCos;
-    // the join condition keeps the pair space cluster-local and the
-    // cosine is the fused-loop expression, evaluated once per candidate
-    val dropped = assigned.as("a").join(assigned.as("b"),
+    v.select(col("vid"), col("v"),
+      NearestCentroid(col("v"), seededCentroids(v, nlist)).as("cid"))
+  }
+
+  /** Higher-id member of every same-cluster pair with cosine >= minCos;
+    * the join condition keeps the pair space cluster-local and the
+    * cosine is the fused-loop expression, evaluated once per candidate. */
+  private def semDroppedVids(assigned: DataFrame, minCos: Double): DataFrame =
+    assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
       .where(cosine(col("a.v"), col("b.v")) >= minCos)
       .select(col("b.vid").as("vid")).distinct()
+
+  def semDedup(emb: DataFrame, id: String, vec: String,
+               nlist: Int = 16, minCos: Double = 0.3): DataFrame = {
+    val assigned = semAssign(emb, id, vec, nlist)
     assigned.select(col("vid"), col("cid"))
-      .join(dropped.withColumn("d", lit(1)), Seq("vid"), "left")
+      .join(semDroppedVids(assigned, minCos).withColumn("d", lit(1)),
+        Seq("vid"), "left")
       .select(col("vid").as(id), col("cid"),
         coalesce(col("d"), lit(0)).as("dropped"))
   }
+
+  /** Just the dropped-id set — consumers that only anti-join the drops
+    * (e.g. the q_pipeline_semantic composition) skip [[semDedup]]'s
+    * per-vector marking join and full-corpus projection. */
+  def semDedupDropped(emb: DataFrame, id: String, vec: String,
+                      nlist: Int = 16, minCos: Double = 0.3): DataFrame =
+    semDroppedVids(semAssign(emb, id, vec, nlist), minCos)
+      .select(col("vid").as(id))
 
   /** Oracle for [[semDedup]]: the seeded-centroid assignment CTE of
     * [[ivfSeededOracleSql]] (row_number argmax with the same

@@ -256,14 +256,17 @@ object CurationQueries {
 
   // ---- semantic dedup --------------------------------------------------
 
+  /** Embeddings with the oracle-parity width guard (the generated SQL
+    * unrolls [[Similarity.OracleDim]]-wide cosine chains) — one wrapper
+    * for every semdedup consumer. */
+  private def embChecked(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).withColumn("embedding",
+      Similarity.requireWidth(col("embedding")))
+
   /** SemDeDup over the embedding corpus — [[Similarity.semDedup]] with
-    * the oracle-parity width guard (the generated SQL unrolls
-    * [[Similarity.OracleDim]]-wide cosine chains). */
+    * the width guard. */
   def semDedupQ(s: SparkSession, d: String): DataFrame =
-    Similarity.semDedup(
-      embeddings(s, d).withColumn("embedding",
-        Similarity.requireWidth(col("embedding"))),
-      "vec_id", "embedding")
+    Similarity.semDedup(embChecked(s, d), "vec_id", "embedding")
 
   /** Cross-modal curation composition — the third member of the
     * composition family (q_pipeline_clean: exact dedup; q_pipeline_neardup:
@@ -272,11 +275,9 @@ object CurationQueries {
     * standard quality gate + token stats. Only (vec_id) drop keys cross
     * from the embedding side — an anti-join key set, never vectors. */
   def pipelineSemantic(s: SparkSession, d: String): DataFrame = {
-    val dropped = Similarity.semDedup(
-        embeddings(s, d).withColumn("embedding",
-          Similarity.requireWidth(col("embedding"))),
-        "vec_id", "embedding")
-      .where(col("dropped") === 1)
+    // just the drop-key set: skips semDedup's per-vector marking join —
+    // only anti-join keys cross the modality boundary
+    val dropped = Similarity.semDedupDropped(embChecked(s, d), "vec_id", "embedding")
       .select(col("vec_id").as("doc_id"))
     documents(s, d).join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),

@@ -49,11 +49,20 @@ class EmptyInputSpec extends SparkSpec {
   }
 
   test("curation layer returns empty on an empty corpus") {
-    import graft.queries.CurationQueries
+    import graft.queries.{CurationQueries, PipelineQueries}
     assert(CurationQueries.chunksOf(emptyDocs).count() === 0)
     assert(CurationQueries.decontaminateOf(emptyDocs).count() === 0)
     assert(CurationQueries.dedupCapOf(emptyDocs).count() === 0)
     assert(CurationQueries.tokenBudgetOf(emptyDocs).count() === 0)
+    assert(PipelineQueries.boilerplateOf(emptyDocs, 3, 10).count() === 0)
+    // window-based curation over zero rows (needs the lang/source cols)
+    val emptyFull = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType),
+        StructField("source", StringType))))
+    assert(graft.queries.CurationQueries.qualityTopPOf(emptyFull).count() === 0)
+    assert(graft.queries.CurationQueries.mixPlanOf(emptyFull).count() === 0)
     // seeded quantizers (semDedup, ivfSeededTopK) REQUIRE a non-empty
     // corpus — descriptive failure, not an NPE or silent empty
     val e = intercept[IllegalArgumentException] {

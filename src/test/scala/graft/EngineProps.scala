@@ -177,13 +177,16 @@ object EngineProps extends Properties("engine") {
         chunks.forall(_.size <= 40)
     }
 
-  // pure-JVM bloom property: no Spark job per sample, so it can afford
-  // real case counts
+  // pure-JVM bloom property. NOTE: the object-wide minSuccessfulTests(8)
+  // cap applies here too, so each SAMPLE sweeps every k in 1..5 over its
+  // whole key set — 8 samples × 5 k-values × ≤500 keys of structural
+  // coverage, not 8 single-(keys,k) cases
   property("bloom never reports an inserted key absent") =
-    forAll(Gen.nonEmptyListOf(Gen.long).map(_.take(500)),
-           Gen.chooseNum(1, 5)) { (keys, k) =>
-      val words = new Array[Long](64)
-      keys.foreach(graft.functions.Bloom.setBits(words, _, k))
-      keys.forall(graft.functions.Bloom.mightContain(words, _, k))
+    forAll(Gen.nonEmptyListOf(Gen.long).map(_.take(500))) { keys =>
+      (1 to 5).forall { k =>
+        val words = new Array[Long](64)
+        keys.foreach(graft.functions.Bloom.setBits(words, _, k))
+        keys.forall(graft.functions.Bloom.mightContain(words, _, k))
+      }
     }
 }

@@ -85,9 +85,11 @@ class PlanQualitySpec extends SparkSpec {
     val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
       .findAllMatchIn(tb).map(_.group(1)).toList
     assert(winSpecs.nonEmpty, tb.take(600))
-    // the doc-side cumsum window carries the qb partition column; the
-    // offset window (over the aggregated frame) is the unpartitioned one
-    assert(winSpecs.exists(_.contains("qb#")),
+    // the doc-side cumsum window must carry qb as a PARTITION column
+    // (first position, no sort direction) ahead of the quality sort key.
+    // A bare contains("qb#") would also match the offsets window's
+    // ORDER BY qb DESC and make this pin vacuous.
+    assert(winSpecs.exists(s => "^qb#\\d+, quality#\\d+ DESC".r.findFirstIn(s).isDefined),
       s"q_token_budget lost its partitioned document-side window:\n$winSpecs")
     // q_decontaminate: the bench shingle side broadcasts — the train
     // side must never shuffle for the probe join
