@@ -140,6 +140,37 @@ object TextAnalysis {
           log(col("nd").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  /** Unigram cross-entropy scoring — the deterministic analog of a
+    * CCNet-style LM-perplexity quality filter (Wenzek et al. 2020 filter
+    * CommonCrawl by LM perplexity; the unigram model is its degenerate,
+    * fully-reproducible form): per document, the mean −ln p(token) under
+    * the CORPUS unigram distribution, plus its exp (the perplexity).
+    * Repetitive/boilerplate docs score LOW (their tokens are corpus-
+    * frequent); rare-token noise scores HIGH — both tails are filter
+    * candidates.
+    *
+    * Scale shape: one token-keyed shuffle for the frequency table, one
+    * broadcast scalar (corpus token count — the tfidf `nd` pattern), one
+    * doc-keyed aggregation with map-side partials. The frequency join is
+    * vocabulary-keyed; at corpus scale the vocab table is ~millions of
+    * rows — Spark broadcast-joins it when small, shuffle-joins
+    * otherwise. */
+  def unigramXent(docs: org.apache.spark.sql.DataFrame, id: String,
+                  text: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count, exp, explode}
+    val toks = docs.select(col(id).as("doc_id"),
+      explode(tokens(col(text))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(freq, "term")
+      .join(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log(col("tc").cast("double") / col("total"))).as("xent"))
+      .select(col("doc_id"), col("n_tokens"), col("xent"),
+        exp(col("xent")).as("ppl"))
+  }
+
   // ---- Gopher-style quality rules (Rae et al. 2021, public ruleset) ---
 
   // Rule thresholds — single source of truth for the engine expressions

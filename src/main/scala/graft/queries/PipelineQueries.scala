@@ -53,6 +53,11 @@ object PipelineQueries {
   def tfidf(s: SparkSession, d: String): DataFrame =
     TA.tfidf(documents(s, d), "doc_id", "text")
 
+  /** Statistical quality scoring: corpus-unigram cross-entropy +
+    * perplexity per document ([[TA.unigramXent]]). */
+  def unigramPpl(s: SparkSession, d: String): DataFrame =
+    TA.unigramXent(par(documents(s, d)), "doc_id", "text")
+
   /** Gopher-style quality-rule battery (Rae et al. 2021): per-rule 0/1
     * flags + conjunction — the standard pre-training filter set. */
   def qualityRules(s: SparkSession, d: String): DataFrame = {
@@ -439,6 +444,7 @@ object PipelineQueries {
     "q_lang_id"        -> (langId _),
     "q_fingerprint"    -> (fingerprints _),
     "q_tfidf"          -> (tfidf _),
+    "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
     "q_dup_ngrams"     -> (dupNgrams _),
@@ -550,6 +556,18 @@ object PipelineQueries {
          |  dfreq.doc_freq,
          |  (CAST(tf.n AS DOUBLE) / dl.dl) * ln(CAST(nd.nd AS DOUBLE) / dfreq.doc_freq) AS tfidf
          |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd""".stripMargin,
+    // same token stream; avg-of-logs merge order differs at ~1e-12 and
+    // the driver's 6-decimal float rounding absorbs it (the q_tfidf
+    // precedent)
+    "q_unigram_ppl" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS tc FROM toks GROUP BY term),
+         |tot AS (SELECT count(*) AS total FROM toks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  avg(-ln(CAST(tc AS DOUBLE) / total)) AS xent,
+         |  exp(avg(-ln(CAST(tc AS DOUBLE) / total))) AS ppl
+         |FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
     // Gopher rules: thresholds SPLICED from the TextAnalysis constants
     // (one source of truth), replace-based symbol counting (identical
     // greedy left-to-right semantics both engines), 0/1 int flags; pass

@@ -171,6 +171,21 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("unigramXent: exact cross-entropy on a planted corpus") {
+    // corpus tokens: a a b -> p(a)=2/3, p(b)=1/3
+    val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = functions.TextAnalysis.unigramXent(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val xa = -math.log(2.0 / 3.0)
+    val xb = -math.log(1.0 / 3.0)
+    assert(got(1L)._1 == 2L && math.abs(got(1L)._2 - xa) < 1e-12)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - xb) < 1e-12)
+    // common-token doc scores LOWER xent than rare-token doc, ppl = e^xent
+    assert(got(1L)._2 < got(2L)._2)
+    assert(math.abs(got(2L)._3 - math.exp(xb)) < 1e-9)
+  }
+
   test("semDedup is deterministic across runs") {
     val emb = Tables.embeddings(spark, sf0001)
     def run() = Similarity.semDedup(emb, "vec_id", "embedding")
