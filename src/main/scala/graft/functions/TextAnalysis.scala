@@ -121,11 +121,19 @@ object TextAnalysis {
     * freqs) + broadcast of the scalar corpus size — no driver loops, the
     * standard distributed formulation.
     */
+  /** The (doc_id, term) exploded token stream — ONE definition for every
+    * corpus-statistics consumer ([[tfidf]], [[unigramXent]]), the same
+    * consolidation the shingle pipeline has in [[Dedup.shinglesRaw]]. */
+  private def explodedTerms(docs: org.apache.spark.sql.DataFrame, id: String,
+                            text: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    docs.select(col(id).as("doc_id"), explode(tokens(col(text))).as("term"))
+  }
+
   def tfidf(docs: org.apache.spark.sql.DataFrame, id: String,
             text: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, explode}
-    val toks = docs.select(col(id).as("doc_id"),
-      explode(tokens(col(text))).as("term"))
+    import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct}
+    val toks = explodedTerms(docs, id, text)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("doc_freq"))
@@ -150,18 +158,19 @@ object TextAnalysis {
     * candidates.
     *
     * Scale shape: one token-keyed shuffle for the frequency table, one
-    * broadcast scalar (corpus token count — the tfidf `nd` pattern), one
-    * doc-keyed aggregation with map-side partials. The frequency join is
+    * broadcast scalar, one doc-keyed aggregation with map-side partials.
+    * The corpus token total is summed from the VOCABULARY-sized freq
+    * aggregate (bit-identical to counting the token stream), not from a
+    * third tokenize+explode pass over the corpus. The frequency join is
     * vocabulary-keyed; at corpus scale the vocab table is ~millions of
     * rows — Spark broadcast-joins it when small, shuffle-joins
     * otherwise. */
   def unigramXent(docs: org.apache.spark.sql.DataFrame, id: String,
                   text: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{avg, broadcast, col, count, exp, explode}
-    val toks = docs.select(col(id).as("doc_id"),
-      explode(tokens(col(text))).as("term"))
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count, exp, sum}
+    val toks = explodedTerms(docs, id, text)
     val freq = toks.groupBy("term").agg(count(lit(1)).as("tc"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    val total = freq.agg(sum(col("tc")).as("total"))
     toks.join(freq, "term")
       .join(broadcast(total))
       .groupBy("doc_id")
