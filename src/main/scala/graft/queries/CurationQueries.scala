@@ -112,6 +112,32 @@ object CurationQueries {
           .as("sampling_rate"))
   }
 
+  /** Hash resolution for mixture application: rates are per-million, so
+    * the keep test is integral-vs-double with exact doubles on both
+    * sides. */
+  private val MixBuckets = 1000000
+
+  /** APPLY the mixture plan: deterministically downsample each source to
+    * its [[mixPlanOf]] sampling rate via the md5 hash-bucket family —
+    * keep a doc iff bucket(doc_id) < rate·10⁶. Reproducible across
+    * engines and runs (unlike `rand()`/`TABLESAMPLE`), uncorrelated with
+    * id order, and exact on both sides because the rate doubles already
+    * have oracle bit-parity (q_mix_plan's established hash match).
+    *
+    * Scale shape: the plan side aggregates to |sources| rows and
+    * BROADCASTS back; the apply side is one scan + a per-row hash
+    * comparison — no shuffle of the corpus. */
+  def mixApply(s: SparkSession, d: String): DataFrame =
+    mixApplyOf(par(documents(s, d)))
+
+  def mixApplyOf(docs: DataFrame): DataFrame = {
+    val rates = mixPlanOf(docs).select(col("source"), col("sampling_rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .where(TA.hashBucket(col("doc_id"), MixBuckets).cast("double") <
+        col("sampling_rate") * MixBuckets)
+      .select(col("doc_id"), col("source"))
+  }
+
   // ---- benchmark decontamination ---------------------------------------
 
   /** Hash bucket (mod [[BenchBuckets]]) whose documents form the held-out
@@ -290,11 +316,26 @@ object CurationQueries {
     "q_chunk"         -> (chunks _),
     "q_quality_topp"  -> (qualityTopP _),
     "q_mix_plan"      -> (mixPlan _),
+    "q_mix_apply"     -> (mixApply _),
     "q_decontaminate" -> (decontaminate _),
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
     "q_semdedup"      -> (semDedupQ _),
     "q_pipeline_semantic" -> (pipelineSemantic _))
+
+  // the mixture-plan SQL — q_mix_plan's oracle AND the CTE q_mix_apply
+  // builds on (one copy, zero drift on a rate-formula change)
+  private val MIX_PLAN_SQL =
+    s"""SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+       |  least(CAST(1 AS DOUBLE),
+       |        CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)) AS sampling_rate
+       |FROM (SELECT source, n_docs, n_tokens,
+       |        CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+       |        count(*) OVER () AS n_sources
+       |      FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
+       |            FROM documents GROUP BY source))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // range(0, len, stride) enumerates the same starts as the engine's
@@ -317,19 +358,16 @@ object CurationQueries {
          |SELECT doc_id, lang, quality, q_rank FROM r WHERE q_rank <= $TopP""".stripMargin,
     // sum(BIGINT) is HUGEINT in DuckDB — cast back at each level so the
     // arithmetic runs in the same int64/double domains as the engine
-    "q_mix_plan" ->
-      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |             CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
-         |           FROM documents GROUP BY source),
-         |w AS (SELECT source, n_docs, n_tokens,
-         |        CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
-         |        count(*) OVER () AS n_sources
-         |      FROM s)
-         |SELECT source, n_docs, n_tokens,
-         |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
-         |  least(CAST(1 AS DOUBLE),
-         |        CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)) AS sampling_rate
-         |FROM w""".stripMargin,
+    "q_mix_plan" -> MIX_PLAN_SQL,
+    // the plan SQL spliced as a CTE (one source of truth with
+    // q_mix_plan), the q_hash_split md5 bucket at per-million
+    // resolution, strict < on bit-identical doubles both sides
+    "q_mix_apply" ->
+      s"""WITH plan AS ($MIX_PLAN_SQL)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN plan ON d.source = plan.source
+         |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |           % 1000000 AS DOUBLE) < sampling_rate * 1000000""".stripMargin,
     // same toks/pos CTEs as every shingle oracle; benchmark membership
     // is the q_hash_split md5 bucket of the doc id
     "q_decontaminate" ->

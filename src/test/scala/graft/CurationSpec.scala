@@ -59,6 +59,31 @@ class CurationSpec extends SparkSpec {
     assert(got("srcB") == ((1L, 10L, 0.25, 1.0))) // capped at 1: cannot upsample
   }
 
+  test("mixApplyOf: keeps full-rate sources whole, downsamples the rest by hash") {
+    // srcA rate = 2/3 (overweight), srcB rate = 1.0 (under target)
+    val docs = (0L until 40L).map { i =>
+      val src = if (i < 30) "srcA" else "srcB"
+      (i, (1 to 10).map(_ => "w").mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+    // plan: A 300 tokens, B 100 -> total 400, target 200/source
+    // -> rate A = 200/300, rate B = 1.0
+    val kept = CurationQueries.mixApplyOf(docs)
+      .collect().map(r => r.getLong(0)).toSet
+    assert((30L until 40L).forall(kept)) // rate 1.0: every srcB doc kept
+    val rateA = 200.0 / 300.0
+    val expectedA = (0L until 30L).filter { i =>
+      val bucket = spark.range(i, i + 1)
+        .select(functions.TextAnalysis.hashBucket(col("id"), 1000000))
+        .head().getLong(0)
+      bucket < rateA * 1000000
+    }.toSet
+    assert(kept.filter(_ < 30L) == expectedA && expectedA.nonEmpty
+      && expectedA.size < 30)
+    // deterministic: a second run keeps the identical set
+    assert(CurationQueries.mixApplyOf(docs)
+      .collect().map(_.getLong(0)).toSet == kept)
+  }
+
   test("decontaminateOf: flags exactly the train docs sharing a bench shingle") {
     // find one bench-bucket id and two train-bucket ids deterministically
     val ids = spark.range(0, 200)
