@@ -109,6 +109,10 @@ object ScaleProbe {
       graft.queries.CurationQueries.tokenBudgetOf(big, 60000L * factor).count())
     probe(s"chunks @${nBig}")(warmBig())(
       Bench.materialize(graft.queries.CurationQueries.chunksOf(big)))
+    // corpus-statistics scoring: one vocab shuffle + one doc aggregation
+    // — expected ~linear in corpus tokens
+    probe(s"unigram_xent @${nBig}")(warmBig())(
+      Bench.materialize(graft.functions.TextAnalysis.unigramXent(big, "doc_id", "text")))
 
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val bigEmb = emb.crossJoin(spark.range(factor).toDF("copy"))
