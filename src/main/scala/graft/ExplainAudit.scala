@@ -58,9 +58,15 @@ object ExplainAudit {
                           //   exchange for the per-doc counts
       "q_semdedup",       // expect map-side NearestCentroid projection
                           //   (no centroid join) + cid-keyed self-join
-      "q_bloom_semi")     // expect a map-side BloomContainsLong Filter
+      "q_bloom_semi",     // expect a map-side BloomContainsLong Filter
                           //   directly over the lineitem scan, BELOW the
                           //   exact semi-join
+      "q_token_budget",   // expect the doc-side Window PARTITIONED by
+                          //   the quality bucket + the offsets window
+                          //   only above the tiny per-bucket aggregate
+      "q_unigram_ppl")    // expect one vocab-keyed exchange (freq), a
+                          //   broadcast scalar total, one doc-keyed
+                          //   aggregation — the tfidf topology
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")
