@@ -26,12 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     reported in the JSON line (`"warmup"`), because falling back to
   *     the full-SF dir silently changes the methodology (every query
   *     would run twice at full scale → warm page cache).
-  *   - TIMED VALUE is the MINIMUM of two runs (cache cleared between
-  *     them, so each run pays its own cache builds): this box is shared
-  *     and single-run samples swing 2–3× on transient contention —
-  *     min-of-N estimates the noise floor, the standard benchmarking
-  *     answer, and is what made round 3's phantom per-query
-  *     "regressions" (docs/BENCH_NOTES.md) possible to rule out.
+  *   - TIMED VALUE is the MINIMUM of `SPARK_GRAFT_BENCH_RUNS` runs
+  *     (default 3; cache cleared between them, so each run pays its own
+  *     cache builds): this box is shared and single-run samples swing
+  *     2–5× on transient contention — min-of-N estimates the noise
+  *     floor, the standard benchmarking answer, and is what made round
+  *     3's phantom per-query "regressions" (docs/BENCH_NOTES.md)
+  *     possible to rule out. Three runs (vs r4-early's two) because a
+  *     contention window that spans two adjacent runs of one query was
+  *     observed in practice (the 4.7 s q_pipeline_semantic/q_props_agg/
+  *     q_session cluster, re-probed at 0.5–1.4 s warm).
   *   - `clearCache()` between timed queries: any cache a query builds is
   *     charged to THAT query (built inside its timed run) and cannot
   *     distort later queries via heap pressure.
@@ -75,6 +79,8 @@ object Bench {
     spark.catalog.clearCache()
 
     var errors = List.empty[String]
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     val results = SparkEntry.queries.map { case (name, fn) =>
       // (seconds, succeeded): the min below only considers SUCCESSFUL
       // runs — a fast failure must not mask a slow success as a phantom
@@ -93,7 +99,7 @@ object Bench {
         spark.catalog.clearCache()
         (sec, ok)
       }
-      val runs = Seq(once(), once())
+      val runs = Seq.fill(nRuns)(once())
       val good = runs.filter(_._2)
       name -> (if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).min)
     }
@@ -105,7 +111,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (rounded.nonEmpty) rounded.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","warmup":"$warmDir","action":"noop-write","runs":"min-of-2"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","warmup":"$warmDir","action":"noop-write","runs":"min-of-$nRuns"}""")
     spark.stop()
   }
 }

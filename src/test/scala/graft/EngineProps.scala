@@ -177,6 +177,20 @@ object EngineProps extends Properties("engine") {
         chunks.forall(_.size <= 40)
     }
 
+  property("mixPlan: shares sum to 1, rates capped at 1, no source starved") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1, 40)).map(_.take(5))) { sizes =>
+      import spark.implicits._
+      val docs = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s * 1000L + i, ("w " * (i % 7 + 1)).trim, s"src$s"))
+      }.toDF("doc_id", "text", "source")
+      val rows = graft.queries.CurationQueries.mixPlanOf(docs).collect()
+      val shares = rows.map(_.getAs[Double]("token_share"))
+      val rates = rows.map(_.getAs[Double]("sampling_rate"))
+      rows.length == sizes.length &&
+        math.abs(shares.sum - 1.0) < 1e-9 &&
+        rates.forall(r => r > 0.0 && r <= 1.0)
+    }
+
   // pure-JVM bloom property. NOTE: the object-wide minSuccessfulTests(8)
   // cap applies here too, so each SAMPLE sweeps every k in 1..5 over its
   // whole key set — 8 samples × 5 k-values × ≤500 keys of structural
