@@ -58,6 +58,47 @@ object CurationQueries {
         least(size(col("toks")) - col("start"), lit(ChunkSize))
           .cast("int").as("n_chunk_tokens"))
 
+  /** CDC boundary modulus: a token ends its chunk when its 60-bit hash
+    * ≡ 0 (mod this) → expected chunk length ≈ CdcMask tokens. */
+  private val CdcMask = 16
+
+  /** CONTENT-DEFINED chunking (the FastCDC/LBFS boundary idea,
+    * Muthitacharoen et al. 2001, applied at token granularity):
+    * chunk boundaries fall AFTER tokens whose content hash ≡ 0 mod
+    * [[CdcMask]], so boundaries are a function of the CONTENT, not the
+    * offset — insert a sentence at the front and every chunk beyond the
+    * next boundary is byte-identical to the unedited document's (the
+    * property that makes chunk-level dedup robust to edits, which
+    * fixed-stride q_chunk fundamentally cannot be: a one-token insertion
+    * shifts every q_chunk window).
+    *
+    * Scale shape: ONE hash-exchange on doc_id serves both the
+    * running-boundary-count window AND the (doc, chunk) aggregation
+    * (subset rule); chunk text is reassembled order-exactly via
+    * sort-by-position inside the aggregation, never a second window. */
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunksOf(graft.functions.Parallelism.ensureParallel(
+      documents(s, d), col("doc_id")))
+
+  def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(TA.tokens(col("text"))).as(Seq("pos", "tok")))
+    // boundary AFTER the matching token: the running count over STRICTLY
+    // PRIOR positions means a boundary token is the last of its chunk
+    val prior = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("b",
+        (Dedup.md5Hash60(col("tok")) % CdcMask === 0).cast("int"))
+      .withColumn("chunk_idx",
+        coalesce(sum(col("b")).over(prior), lit(0)).cast("int"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).cast("int").as("n_chunk_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            _.getField("tok")), " ").as("chunk_text"))
+  }
+
   // ---- quality top-p per language --------------------------------------
 
   /** Keep the top-`TopP` fraction by quality within each language — the
@@ -314,6 +355,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk"         -> (chunks _),
+    "q_cdc_chunk"     -> (cdcChunks _),
     "q_quality_topp"  -> (qualityTopP _),
     "q_mix_plan"      -> (mixPlan _),
     "q_mix_apply"     -> (mixApply _),
@@ -349,6 +391,24 @@ object CurationQueries {
          |  array_to_string(t[start + 1 : start + $ChunkSize], ' ') AS chunk_text,
          |  CAST(least(len(t) - start, $ChunkSize) AS INTEGER) AS n_chunk_tokens
          |FROM st""".stripMargin,
+    // same 60-bit token hash, same strictly-prior running boundary
+    // count, chunk text re-ordered by position in the aggregate
+    "q_cdc_chunk" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  generate_subscripts($TOKS, 1) - 1 AS pos, unnest($TOKS) AS tok
+         |FROM documents),
+         |b AS (SELECT doc_id, pos, tok,
+         |  CASE WHEN CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % $CdcMask = 0
+         |       THEN 1 ELSE 0 END AS is_b
+         |FROM toks),
+         |c AS (SELECT doc_id, pos, tok,
+         |  CAST(coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS chunk_idx
+         |FROM b)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(count(*) AS INTEGER) AS n_chunk_tokens,
+         |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+         |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
     "q_quality_topp" ->
       s"""WITH q AS (SELECT doc_id, lang, $QUALITY_SQL AS quality FROM documents),
          |r AS (SELECT doc_id, lang, quality,

@@ -31,6 +31,31 @@ class CurationSpec extends SparkSpec {
     assert(one.length == 1 && one.head.getAs[String]("chunk_text") == "a b c")
   }
 
+  test("cdcChunksOf: reconstruction + shift-robust boundaries") {
+    import graft.functions.Dedup
+    val words = (0 until 120).map(i => s"tok$i")
+    val text = words.mkString(" ")
+    def chunksOf(t: String): Seq[(Int, String)] =
+      CurationQueries.cdcChunksOf(Seq((1L, t)).toDF("doc_id", "text"))
+        .orderBy("chunk_idx")
+        .collect().map(r => r.getAs[Int]("chunk_idx") -> r.getAs[String]("chunk_text")).toSeq
+    val base = chunksOf(text)
+    // chunks concatenated in order reconstruct the document exactly
+    assert(base.map(_._2).mkString(" ") == text)
+    // boundary rule matches the hash: a chunk's LAST token hashes to 0
+    // mod 16 (except possibly the final chunk)
+    val hash0 = (t: String) => Seq(t).toDF("t")
+      .select(Dedup.md5Hash60(col("t")) % 16).head().getLong(0) == 0L
+    base.init.foreach { case (_, c) => assert(hash0(c.split(" ").last), c) }
+    // CONTENT-DEFINED robustness: prepend a token — every chunk after
+    // the first boundary is identical to the unedited document's chunks
+    // (fixed-stride chunking shifts every window instead)
+    val shifted = chunksOf("inserted " + text)
+    val commonTail = base.map(_._2).toSet.intersect(shifted.map(_._2).toSet)
+    assert(commonTail.size >= base.size - 1,
+      s"expected all but the first chunk shared, got ${commonTail.size}/${base.size}")
+  }
+
   test("qualityTopPOf: keeps the better half per language") {
     val stop = "the a of and to in is"
     // per lang: two docs, one prose-like (high quality), one degenerate
