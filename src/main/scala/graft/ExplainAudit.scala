@@ -64,9 +64,11 @@ object ExplainAudit {
       "q_token_budget",   // expect the doc-side Window PARTITIONED by
                           //   the quality bucket + the offsets window
                           //   only above the tiny per-bucket aggregate
-      "q_unigram_ppl")    // expect one vocab-keyed exchange (freq), a
-                          //   broadcast scalar total, one doc-keyed
-                          //   aggregation — the tfidf topology
+      "q_unigram_ppl")    // expect TWO corpus token passes (cached
+                          //   vocab-sized freq build + probe join), the
+                          //   total as a broadcast scalar read from the
+                          //   freq CACHE (InMemoryTableScan, no third
+                          //   corpus pass), one doc-keyed aggregation
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

@@ -157,19 +157,22 @@ object TextAnalysis {
     * frequent); rare-token noise scores HIGH — both tails are filter
     * candidates.
     *
-    * Scale shape: one token-keyed shuffle for the frequency table, one
-    * broadcast scalar, one doc-keyed aggregation with map-side partials.
-    * The corpus token total is summed from the VOCABULARY-sized freq
-    * aggregate (bit-identical to counting the token stream), not from a
-    * third tokenize+explode pass over the corpus. The frequency join is
-    * vocabulary-keyed; at corpus scale the vocab table is ~millions of
-    * rows — Spark broadcast-joins it when small, shuffle-joins
-    * otherwise. */
+    * Scale shape: TWO passes over the corpus token stream — the freq
+    * build and the probe join (the tfidf topology) — plus one doc-keyed
+    * aggregation with map-side partials. The VOCABULARY-sized freq
+    * aggregate is cached and eagerly materialized (the two-consumer
+    * cache contract): its second consumer, the corpus-total sum, reads
+    * the cached vocab rows instead of re-executing the whole
+    * scan→explode→aggregate subtree (bit-identical to counting the
+    * token stream). The frequency join is vocabulary-keyed; at corpus
+    * scale the vocab table is ~millions of rows — Spark broadcast-joins
+    * it when small, shuffle-joins otherwise. */
   def unigramXent(docs: org.apache.spark.sql.DataFrame, id: String,
                   text: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{avg, broadcast, col, count, exp, sum}
     val toks = explodedTerms(docs, id, text)
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("tc")).cache()
+    freq.count()
     val total = freq.agg(sum(col("tc")).as("total"))
     toks.join(freq, "term")
       .join(broadcast(total))

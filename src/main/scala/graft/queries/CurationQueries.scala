@@ -62,6 +62,17 @@ object CurationQueries {
     * ≡ 0 (mod this) → expected chunk length ≈ CdcMask tokens. */
   private val CdcMask = 16
 
+  /** Forced-cut cap (FastCDC's max-size rule): a boundary is also forced
+    * at every CdcMaxLen-th absolute token position, so an adversarial
+    * document whose tokens never hash to a boundary (one repeated
+    * non-boundary token — real boilerplate does this) cannot degenerate
+    * into a single unbounded chunk buffered in one aggregation group.
+    * 16× the expected length, so random text virtually never hits it
+    * ((15/16)^256 ≈ 6e-8 per position run); forced cuts are
+    * offset-based, so shift-robustness is bounded rather than absolute —
+    * exactly the trade FastCDC's max-size cut makes. */
+  private val CdcMaxLen = 256
+
   /** CONTENT-DEFINED chunking (the FastCDC/LBFS boundary idea,
     * Muthitacharoen et al. 2001, applied at token granularity):
     * chunk boundaries fall AFTER tokens whose content hash ≡ 0 mod
@@ -89,7 +100,8 @@ object CurationQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
       .withColumn("b",
-        (Dedup.md5Hash60(col("tok")) % CdcMask === 0).cast("int"))
+        (Dedup.md5Hash60(col("tok")) % CdcMask === 0 ||
+          (col("pos") + 1) % CdcMaxLen === 0).cast("int"))
       .withColumn("chunk_idx",
         coalesce(sum(col("b")).over(prior), lit(0)).cast("int"))
       .groupBy("doc_id", "chunk_idx")
@@ -399,6 +411,7 @@ object CurationQueries {
          |FROM documents),
          |b AS (SELECT doc_id, pos, tok,
          |  CASE WHEN CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT) % $CdcMask = 0
+         |         OR (pos + 1) % $CdcMaxLen = 0
          |       THEN 1 ELSE 0 END AS is_b
          |FROM toks),
          |c AS (SELECT doc_id, pos, tok,

@@ -43,10 +43,14 @@ class CurationSpec extends SparkSpec {
     // chunks concatenated in order reconstruct the document exactly
     assert(base.map(_._2).mkString(" ") == text)
     // boundary rule matches the hash: a chunk's LAST token hashes to 0
-    // mod 16 (except possibly the final chunk)
-    val hash0 = (t: String) => Seq(t).toDF("t")
-      .select(Dedup.md5Hash60(col("t")) % 16).head().getLong(0) == 0L
-    base.init.foreach { case (_, c) => assert(hash0(c.split(" ").last), c) }
+    // mod 16 (except possibly the final chunk; no forced cuts — the doc
+    // is shorter than the 256-token cap). ONE batched hash job, not one
+    // per chunk.
+    val lastToks = base.init.map(_._2.split(" ").last)
+    val hashes = lastToks.toDF("t")
+      .select(col("t"), Dedup.md5Hash60(col("t")) % 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    lastToks.foreach(t => assert(hashes(t) == 0L, t))
     // CONTENT-DEFINED robustness: prepend a token — every chunk after
     // the first boundary is identical to the unedited document's chunks
     // (fixed-stride chunking shifts every window instead)
@@ -54,6 +58,15 @@ class CurationSpec extends SparkSpec {
     val commonTail = base.map(_._2).toSet.intersect(shifted.map(_._2).toSet)
     assert(commonTail.size >= base.size - 1,
       s"expected all but the first chunk shared, got ${commonTail.size}/${base.size}")
+    // degenerate doc (one repeated non-boundary token): the forced-cut
+    // cap bounds every chunk at 256 tokens instead of one unbounded
+    // aggregation buffer
+    val nonBoundary = (0 until 50).map(i => s"nb$i").toDF("t")
+      .select(col("t"), Dedup.md5Hash60(col("t")) % 16)
+      .collect().collectFirst { case r if r.getLong(1) != 0L => r.getString(0) }.get
+    val degenerate = chunksOf(((1 to 600).map(_ => nonBoundary)).mkString(" "))
+    assert(degenerate.size == 3) // 600 tokens / 256-cap -> 256+256+88
+    assert(degenerate.forall(_._2.split(" ").length <= 256))
   }
 
   test("qualityTopPOf: keeps the better half per language") {
@@ -96,12 +109,11 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert((30L until 40L).forall(kept)) // rate 1.0: every srcB doc kept
     val rateA = 200.0 / 300.0
-    val expectedA = (0L until 30L).filter { i =>
-      val bucket = spark.range(i, i + 1)
-        .select(functions.TextAnalysis.hashBucket(col("id"), 1000000))
-        .head().getLong(0)
-      bucket < rateA * 1000000
-    }.toSet
+    // ONE batched hash job for all 30 ids, not one per id
+    val buckets = spark.range(0, 30)
+      .select(col("id"), functions.TextAnalysis.hashBucket(col("id"), 1000000))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedA = (0L until 30L).filter(buckets(_) < rateA * 1000000).toSet
     assert(kept.filter(_ < 30L) == expectedA && expectedA.nonEmpty
       && expectedA.size < 30)
     // deterministic: a second run keeps the identical set
