@@ -113,6 +113,8 @@ object ScaleProbe {
     // — expected ~linear in corpus tokens
     probe(s"unigram_xent @${nBig}")(warmBig())(
       Bench.materialize(graft.functions.TextAnalysis.unigramXent(big, "doc_id", "text")))
+    probe(s"cdc_chunks @${nBig}")(warmBig())(
+      Bench.materialize(graft.queries.CurationQueries.cdcChunksOf(big)))
 
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val bigEmb = emb.crossJoin(spark.range(factor).toDF("copy"))

@@ -177,6 +177,29 @@ object EngineProps extends Properties("engine") {
         chunks.forall(_.size <= 40)
     }
 
+  property("tokenBudget two-level prefix sum equals the naive global window") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1, 9)).map(_.take(25)),
+           Gen.chooseNum(20L, 200L)) { (reps, budget) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val stop = "the a of and to in is"
+      val docs = reps.zipWithIndex.map { case (r, i) =>
+        (i.toLong, (s"some words $stop number $i " * r).trim)
+      }.toDF("doc_id", "text")
+      val naive = docs.select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityScore(col("text"),
+            Seq("the", "a", "of", "and", "to", "in", "is")).as("quality"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          Window.orderBy(col("quality").desc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("cum_tokens") <= budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      val got = graft.queries.CurationQueries.tokenBudgetOf(docs, budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      got == naive
+    }
+
   property("mixPlan: shares sum to 1, rates capped at 1, no source starved") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(1, 40)).map(_.take(5))) { sizes =>
       import spark.implicits._
