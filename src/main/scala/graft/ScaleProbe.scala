@@ -82,6 +82,12 @@ object ScaleProbe {
     probe(s"cc_star @${nBig}")(warmBig())(
       Dedup.connectedComponentsStar(
         Dedup.minhashPairs(big, "doc_id", "text")).count())
+    // production convergence (monotone fingerprint + one final except):
+    // same output (DedupSpec pins it), ~one job/round cheaper
+    probe(s"cc_star_prod @${nBig}")(warmBig())(
+      Dedup.connectedComponentsStar(
+        Dedup.minhashPairs(big, "doc_id", "text"),
+        exactConvergence = false).count())
     // spill-safe pair expansion: same collision pair space through the
     // sort-merge self-join (two signature-pipeline sides instead of one
     // agg — the expected ~2× shows up here, not super-linear growth)
@@ -105,6 +111,13 @@ object ScaleProbe {
     // pruned away — the Bench action lesson)
     probe(s"decontaminate @${nBig}")(warmBig())(
       graft.queries.CurationQueries.decontaminateOf(big).count())
+    // the production two-input shape: bench side broadcast, no corpus
+    // cache — should track the single-corpus twin (the shingle pipeline
+    // dominates both)
+    probe(s"decontaminate_x @${nBig}")(warmBig())(
+      graft.queries.CurationQueries.decontaminateAgainst(
+        big.where(col("doc_id") % 16 =!= 15),
+        big.where(col("doc_id") % 16 === 15)).count())
     probe(s"token_budget @${nBig}")(warmBig())(
       graft.queries.CurationQueries.tokenBudgetOf(big, 60000L * factor).count())
     probe(s"chunks @${nBig}")(warmBig())(
@@ -131,6 +144,14 @@ object ScaleProbe {
     // the knob the operator's scale story depends on
     probe("semdedup @40k nlist=256")(warmEmb())(
       Similarity.semDedup(bigEmb, "vec_id", "embedding", nlist = 256).count())
+    // the cross-modal composition (q_pipeline_semantic shape) at the
+    // replicated corpora: embedding-side drops anti-joined into the
+    // document-side quality gate — only doc_id keys cross modalities.
+    // doc_id and vec_id replicas share the id transform, so the join
+    // keys align as in the fixture.
+    probe(s"pipeline_semantic @${nBig}")({ warmBig(); warmEmb() })(
+      graft.queries.CurationQueries.pipelineSemanticOf(
+        big, bigEmb, nlist = 256).count())
 
     // k-means iteration growth: driver-sequenced Lloyd's must be LINEAR
     // in iters (flat lineage — one job per round); a lineage-chained

@@ -94,10 +94,41 @@ object Bloom {
       .select(bloomAgg(Dedup.md5Hash60(col("shingle")), mBits, k).as("w"))
       .collect()(0).getSeq[Long](0).toArray
 
+  /** Bits per expected build-side key when auto-sizing: m ≈ 10·n at k=3
+    * gives ≈ (1−e^{−0.3})³ ≈ 1.7% false-positive rate — real pruning,
+    * cheap bits. */
+  val AutoBitsPerKey: Int = 10
+
+  /** Auto-size ceiling: 2²⁶ bits = 8 MB of driver metadata / codegen
+    * reference object — past ~6.7M build keys the filter saturates
+    * gracefully (pruning degrades, exact join keeps correctness) rather
+    * than ballooning the plan. */
+  val AutoMaxBits: Int = 1 << 26
+
+  /** Smallest multiple of 64 ≥ `AutoBitsPerKey`·n, clamped to
+    * [floor, [[AutoMaxBits]]]. */
+  def sizedBits(nKeys: Long, floor: Int): Int = {
+    val want = math.min(AutoMaxBits.toLong,
+      math.max(floor.toLong, AutoBitsPerKey * nKeys))
+    (((want + 63) / 64) * 64).toInt
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Bloom")
+
   /** Exact semi-join of `fact` rows whose `factKey` appears in `dim`'s
     * `dimKey`, with the Bloom pre-filter pruning the fact side map-side
     * before the exact join's shuffle. Result is identical to the plain
-    * semi-join by the no-false-negative guarantee. */
+    * semi-join by the no-false-negative guarantee.
+    *
+    * SIZING: `mBits` is a floor, not the final size. The build aggregate
+    * also counts the build-side keys (same single job); if the count
+    * needs more bits than `mBits` for a useful false-positive rate
+    * (≈[[AutoBitsPerKey]] bits/key), the filter is REBUILT once at
+    * [[sizedBits]] — without this, a fixed 2¹⁶-bit default saturates to
+    * a ~40% false-positive rate at ~30k keys and the map-side pruning
+    * silently degrades to a pass-through (correctness unaffected; the
+    * exact semi-join always runs). The realized set-bit fraction is
+    * logged either way so saturation is visible in ops. */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
                     factKey: String, dimKey: String,
                     mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
@@ -114,10 +145,26 @@ object Bloom {
     }
     requireIntegral(fact, factKey)
     requireIntegral(dim, dimKey)
-    // ONE aggregate job over the build side's keys: mBits/8 bytes per
-    // partition to the final OR-merge, then O(KB) to the driver
-    val words = dim.select(bloomAgg(col(dimKey).cast("long"), mBits, k).as("w"))
-      .collect()(0).getSeq[Long](0).toArray
+    // ONE aggregate job over the build side's keys gets the bits AND the
+    // key count (mBits/8 bytes per partition to the final OR-merge, then
+    // O(KB) to the driver); a second build job runs only when the count
+    // shows the floor-size filter would saturate
+    val first = dim
+      .select(bloomAgg(col(dimKey).cast("long"), mBits, k).as("w"),
+        count(col(dimKey)).as("n"))
+      .head()
+    val nKeys = first.getLong(1)
+    val need = sizedBits(nKeys, mBits)
+    val words =
+      if (need <= mBits) first.getSeq[Long](0).toArray
+      else dim.select(bloomAgg(col(dimKey).cast("long"), need, k).as("w"))
+        .head().getSeq[Long](0).toArray
+    val setFrac = words.map(java.lang.Long.bitCount(_).toLong).sum.toDouble /
+      (words.length.toLong * 64)
+    log.info(f"bloomSemiJoin: $nKeys%d build keys, ${words.length * 64}%d bits " +
+      f"(floor $mBits%d), set-bit fraction $setFrac%.3f" +
+      (if (setFrac > 0.5) " — SATURATED: pruning degraded, exact join still correct"
+       else ""))
     fact.where(contains(col(factKey).cast("long"), words, k))
       .join(dim.select(col(dimKey).as("__bloom_key")).distinct(),
         col(factKey) === col("__bloom_key"), "left_semi")

@@ -110,25 +110,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Drop a boilerplate shingle/fingerprint list from a bucket-keyed
+    * stream BEFORE pair generation — the in-code form of the
+    * degenerate-bucket mitigation every pair-space operator documents
+    * ("drop/salt boilerplate upstream", docs/SCALE.md). `drop` is the
+    * [[graft.queries.PipelineQueries.boilerplateOf]] output shape (any
+    * frame with a `key`-named column; extra columns ignored) — small by
+    * construction (top-k mined shingles), so it BROADCASTS and the
+    * anti-join is a map-side hash probe, never a shuffle of the
+    * shingle stream. */
+  private def dropKeys(df: DataFrame, key: String, drop: Option[DataFrame]): DataFrame =
+    drop match {
+      case Some(d) =>
+        df.join(broadcast(d.select(col(key)).distinct()), Seq(key), "left_anti")
+      case None => df
+    }
+
   /** Exact n-gram Jaccard for every pair sharing ≥1 shingle. The join is
     * keyed on the shingle string (skew-safe for natural text; a hot
-    * boilerplate shingle can be salted upstream), so only co-shingled
+    * boilerplate shingle is excluded via `dropShingles` — the
+    * [[graft.queries.PipelineQueries.boilerplateOf]] output, applied as
+    * a broadcast anti-join before bucketing), so only co-shingled
     * pairs are ever formed — never the full cross product.
     *
     * Cache ownership: this operator caches its shingle intermediate for
-    * the three scans (counts + both self-join sides) and materializes it
-    * eagerly — note this runs the shingle jobs at DataFrame-CONSTRUCTION
-    * time. The cache lives until the session drops it; long-lived
-    * sessions batching many corpora should `spark.catalog.clearCache()`
-    * between runs (graft.Verify does). ([[minhashPairs]] avoids the
+    * the three scans (counts + both self-join sides). The cache is LAZY —
+    * no job runs until the caller's first action, which materializes it
+    * once for all three consumers (they share one plan/action). The cache
+    * lives until the session drops it; long-lived sessions batching many
+    * corpora should `spark.catalog.clearCache()` between runs
+    * (graft.Verify and graft.Bench do). ([[minhashPairs]] avoids the
     * cache entirely — its signature rides through the bucket
     * aggregation.) */
-  def jaccardPairs(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val sh = shingles(ensureParallel(df, col(id)), id, text, n).cache()
-    // eager materialization: the pair generation + counts scan this 2×
-    // and a lazy cache would compute the shingle pipeline per scan (see
-    // minhashPairs)
-    sh.count()
+  def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+                   dropShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = dropKeys(shingles(ensureParallel(df, col(id)), id, text, n),
+      "shingle", dropShingles).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // Shared-shingle pairs by BUCKET AGGREGATION, not a self-join: ONE
     // shuffle (groupBy shingle + collect_list) + in-bucket expansion,
@@ -238,7 +255,8 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, id: String, text: String,
                    shingleN: Int = 5, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   dropShingles: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"minhashPairs needs bands in [1,k] dividing k (k=$k, bands=$bands): " +
         "bands>k would hash zero signature rows per band — every doc " +
@@ -256,7 +274,7 @@ object Dedup {
     // band key = xxhash64 of the band's signature slice (engine-internal:
     // only COLLISIONS matter, so the oracle can band on the raw slice
     // values instead — the candidate sets agree)
-    val banded = bandedSignatures(df, id, text, shingleN, k, bands)
+    val banded = bandedSignatures(df, id, text, shingleN, k, bands, dropShingles)
     // Candidate pairs by bucket aggregation, not a self-join: ONE shuffle
     // (groupBy band key). Pair expansion is bucket-local (|bucket|²),
     // exactly the collision set a join would produce. MEMORY SHAPE: each
@@ -292,12 +310,20 @@ object Dedup {
 
   /** (doc_id, sig, band, band_hash) band fan-out shared by the two pair
     * expansions — the full signature rides along so est_jaccard needs no
-    * re-join against the signature table. */
+    * re-join against the signature table. An optional boilerplate
+    * `dropShingles` list is anti-joined out BEFORE hashing (see
+    * [[dropKeys]]): signatures are then minima over the doc's
+    * NON-boilerplate shingles, so a million-doc boilerplate bucket can
+    * no longer form. Docs whose every shingle is dropped leave the
+    * pipeline entirely (no signature → no pairs), which is the intended
+    * semantics: pure-boilerplate documents have no content to match. */
   private def bandedSignatures(df: DataFrame, id: String, text: String,
-                               shingleN: Int, k: Int, bands: Int): DataFrame = {
+                               shingleN: Int, k: Int, bands: Int,
+                               dropShingles: Option[DataFrame] = None): DataFrame = {
     val rows = k / bands
     val sigs = minhashSignatures(
-      shinglesRaw(ensureParallel(df, col(id)), id, text, shingleN), k)
+      dropKeys(shinglesRaw(ensureParallel(df, col(id)), id, text, shingleN),
+        "shingle", dropShingles), k)
     sigs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
@@ -325,10 +351,11 @@ object Dedup {
     * both sides. Default remains the aggregation path. */
   def minhashPairsJoin(df: DataFrame, id: String, text: String,
                        shingleN: Int = 5, k: Int = 64, bands: Int = 16,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5,
+                       dropShingles: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"minhashPairsJoin needs bands in [1,k] dividing k (k=$k, bands=$bands)")
-    val banded = bandedSignatures(df, id, text, shingleN, k, bands)
+    val banded = bandedSignatures(df, id, text, shingleN, k, bands, dropShingles)
     val a = banded.select(col("band").as("_ba"), col("band_hash").as("_ha"),
       col("doc_id").as("doc_a"), col("sig").as("_sa"))
     val b = banded.select(col("band").as("_bb"), col("band_hash").as("_hb"),
@@ -511,16 +538,27 @@ object Dedup {
     * toward stars. The fixed point is a star per component rooted at the
     * component minimum.
     *
-    * Convergence test is EXACT set equality against the previous round
-    * (both sides distinct + localCheckpoint'ed, so it is two cheap jobs
-    * on materialized data) — not GraphFrames' monotone-sum heuristic —
-    * because this is also the correctness reference for the spec.
+    * Convergence test, two modes behind `exactConvergence`:
+    *  - `true` (default — the correctness reference): EXACT set equality
+    *    against the previous round (count + except: two jobs/round on
+    *    materialized data).
+    *  - `false` (production — the GraphFrames-style cheap-signal
+    *    heuristic): per round ONE aggregate job collects (edge count,
+    *    XOR(xxh64(u)), XOR(xxh64(v))); an unchanged triple signals a
+    *    candidate fixed point — which is then CONFIRMED with a single
+    *    except before exiting. Net: one job
+    *    per round instead of two, one except total instead of one per
+    *    round, and the confirm step means the heuristic can never return
+    *    a non-fixed-point (a pathological triple collision just costs
+    *    one extra round). [[graft.DedupSpec]] asserts both modes emit
+    *    identical components on clique/chain/self-loop fixtures.
     * Min-label remains the default in [[dedupGroups]]: near-dup
     * components are diameter-1–2 cliques where it terminates in 2–3
     * rounds; this is the adversarial-shape escape hatch. */
   def connectedComponentsStar(pairs: DataFrame, a: String = "doc_a",
                               b: String = "doc_b",
-                              maxIters: Int = 50): DataFrame = {
+                              maxIters: Int = 50,
+                              exactConvergence: Boolean = true): DataFrame = {
     // ONE scan of the (possibly expensive) pair pipeline, checkpointed
     // BEFORE the self-loop split: a self-pair (v, v) carries no
     // connectivity, but its vertex is still "in ≥1 pair" and owes a
@@ -533,7 +571,22 @@ object Dedup {
     val selfVerts = edges0.where(col("u") === col("v"))
       .select(col("u").as("doc_id"))
     var edges = edges0.where(col("u") =!= col("v"))
-    var prevCount = edges.count()
+    // heuristic-mode round fingerprint: ONE aggregate job — (count,
+    // XOR(xxh64(u)), XOR(xxh64(v))). xxhash64 keeps it type-generic (ids
+    // need not be numeric); bit_xor is order-independent and can never
+    // overflow (a SUM would raise under ANSI mode). XOR's multiset
+    // blindness is fine because an equal fingerprint only GATES the
+    // exact except confirm below — it never certifies convergence alone.
+    def signature(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u))"), expr("bit_xor(xxhash64(v))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var prevCount = if (exactConvergence) edges.count() else -1L
+    var prevSig: Option[(Long, Long, Long)] =
+      if (exactConvergence) None else Some(signature(edges))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -561,12 +614,21 @@ object Dedup {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      // the previous round's count is carried forward — one convergence
-      // job per round (plus the except), not two
-      val ssCount = ss.count()
-      converged = ssCount == prevCount && ss.except(edges).isEmpty
+      if (exactConvergence) {
+        // the previous round's count is carried forward — one convergence
+        // job per round (plus the except), not two
+        val ssCount = ss.count()
+        converged = ssCount == prevCount && ss.except(edges).isEmpty
+        prevCount = ssCount
+      } else {
+        // one fingerprint job per round; the exact except runs ONLY when
+        // the fingerprint repeats (short-circuit), confirming the fixed
+        // point before exit — never more than once on a converging run
+        val sig = signature(ss)
+        converged = prevSig.contains(sig) && ss.except(edges).isEmpty
+        prevSig = Some(sig)
+      }
       edges = ss
-      prevCount = ssCount
       iter += 1
     }
     if (!converged)

@@ -520,7 +520,21 @@ object Similarity {
 
   /** Higher-id member of every same-cluster pair with cosine >= minCos;
     * the join condition keeps the pair space cluster-local and the
-    * cosine is the fused-loop expression, evaluated once per candidate. */
+    * cosine is the fused-loop expression, evaluated once per candidate.
+    *
+    * RETENTION SEMANTICS — pairwise drop, NOT keep-one-per-component:
+    * every vector that is the higher id of ANY above-threshold pair is
+    * dropped, even when its lower-id partner was itself dropped by an
+    * earlier pair (transitive over-dropping). This is deliberately
+    * STRICTER than the SemDeDup paper's keep-one-representative-per-
+    * duplicate-group reading: within a near-dup chain a…b…c it keeps
+    * only the minimum id, and it does so with ONE cluster-local join —
+    * no connected-components rounds — which is also what makes it
+    * expressible as plain SQL for the oracle. Callers wanting
+    * paper-faithful keep-one-per-component retention should feed the
+    * above-threshold pairs to [[Dedup.connectedComponents]] and keep
+    * each component's min id; for dedup purposes the sets differ only
+    * on chains whose links straddle the threshold. */
   private def semDroppedVids(assigned: DataFrame, minCos: Double): DataFrame =
     assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))

@@ -160,19 +160,21 @@ object TextAnalysis {
     * Scale shape: TWO passes over the corpus token stream — the freq
     * build and the probe join (the tfidf topology) — plus one doc-keyed
     * aggregation with map-side partials. The VOCABULARY-sized freq
-    * aggregate is cached and eagerly materialized (the two-consumer
-    * cache contract): its second consumer, the corpus-total sum, reads
-    * the cached vocab rows instead of re-executing the whole
-    * scan→explode→aggregate subtree (bit-identical to counting the
-    * token stream). The frequency join is vocabulary-keyed; at corpus
-    * scale the vocab table is ~millions of rows — Spark broadcast-joins
-    * it when small, shuffle-joins otherwise. */
+    * aggregate is cached LAZILY (the two-consumer cache contract — no
+    * job runs before the caller's first action): its second consumer,
+    * the corpus-total sum, reads the cached vocab rows instead of
+    * re-executing the whole scan→explode→aggregate subtree
+    * (bit-identical to counting the token stream). The cache belongs to
+    * the session — long-lived sessions batching many corpora should
+    * `spark.catalog.clearCache()` between runs (Verify/Bench do). The
+    * frequency join is vocabulary-keyed; at corpus scale the vocab
+    * table is ~millions of rows — Spark broadcast-joins it when small,
+    * shuffle-joins otherwise. */
   def unigramXent(docs: org.apache.spark.sql.DataFrame, id: String,
                   text: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{avg, broadcast, col, count, exp, sum}
     val toks = explodedTerms(docs, id, text)
     val freq = toks.groupBy("term").agg(count(lit(1)).as("tc")).cache()
-    freq.count()
     val total = freq.agg(sum(col("tc")).as("total"))
     toks.join(freq, "term")
       .join(broadcast(total))

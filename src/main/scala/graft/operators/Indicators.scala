@@ -108,6 +108,35 @@ object Indicators {
       .withColumn("macd_hist", col("macd") - col("macd_signal"))
   }
 
+  /** The reference batch path's EMA quirk weight (SURVEY §2.5 note;
+    * reference `util.py:76-82`): seeding with a FORWARD n-row mean and
+    * then applying the smoothing recurrence n−1 times against the SAME
+    * row's value collapses algebraically to a fixed convex combination —
+    * weight `(1-α)^{n-1}` on the seed, the rest on the value. Computed
+    * once here and spliced as a LITERAL into both the engine expression
+    * and the oracle SQL, so pow() rounding can never split the two. */
+  def emaRefWeight(n: Int): Double = math.pow(1.0 - 2.0 / (n + 1.0), n - 1)
+
+  /** REFERENCE-COMPAT EMA — the literal `util.py:76-82` batch semantics
+    * behind an explicit opt-in, making the engine's documented deviation
+    * (standard recursive EMA, [[withEmaClosedForm]]) CHECKABLE instead of
+    * only documented: `ema_ref = value·(1-w) + fwd_mean_n(value)·w` with
+    * `w = (1-α)^{n-1}` ([[emaRefWeight]]). At n=25 this is
+    * ≈ 0.854·value + 0.146·fwd-mean₂₅ — NOT a textbook EMA (the
+    * reference disagrees with its own pandas path); use it only to
+    * reproduce reference outputs bit-for-bit. Same single-shuffle window
+    * topology as every other indicator; the forward frame is partial
+    * near the series end (mean over the remaining rows), matching the
+    * reference's frame semantics. */
+  def withEmaReferenceCompat(df: DataFrame, value: String, n: Int,
+                             key: Seq[String], ord: Seq[Column],
+                             as: String = "ema_ref"): DataFrame = {
+    val wgt = emaRefWeight(n)
+    val seed = avg(col(value))
+      .over(w(key, ord).rowsBetween(Window.currentRow, n - 1))
+    df.withColumn(as, col(value) * lit(1.0 - wgt) + seed * lit(wgt))
+  }
+
   /** Hard numeric ceiling of the closed form: `r^{-rn}` overflows double
     * past `e^{709.78}`, i.e. rn > 709/(−ln r). 0.98 safety margin keeps
     * the guard conservative. */

@@ -216,20 +216,44 @@ object CurationQueries {
   def decontaminate(s: SparkSession, d: String): DataFrame =
     decontaminateOf(par(documents(s, d)))
 
+  /** Single-corpus twin (fixture shape): the bench set is a hash bucket
+    * of the SAME corpus, so one shingle pipeline feeds both sides. The
+    * shared intermediate is cached LAZILY — no job runs before the
+    * caller's first action (which materializes it once for both
+    * consumers; they share one plan). Long-lived sessions should
+    * `spark.catalog.clearCache()` between corpora (Verify/Bench do).
+    * The PRODUCTION shape — bench as a separate external eval suite,
+    * broadcast, no corpus-scale cache at all — is
+    * [[decontaminateAgainst]]. */
   def decontaminateOf(docs: DataFrame): DataFrame = {
-    // cached + eagerly materialized (jaccardPairs contract): the bench
-    // and train sides both consume the distinct-shingle pipeline, and
-    // without the cache the full explode+distinct runs twice — at the
-    // 100 TB shape the bench side is a separate small suite, but when it
-    // IS derived from the corpus (this fixture), one scan must suffice
     val sh = Dedup.shingles(docs, "doc_id", "text", 5)
       .withColumn("bucket", TA.hashBucket(col("doc_id"), BenchBuckets))
       .cache()
-    sh.count()
     val bench = sh.where(col("bucket") === BenchBucket)
       .select("shingle").distinct()
-    sh.where(col("bucket") =!= BenchBucket)
-      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("shingle"), "left")
+    contaminated(sh.where(col("bucket") =!= BenchBucket), bench)
+  }
+
+  /** TWO-CORPUS benchmark decontamination — the production signature a
+    * real pipeline calls: `train` is the 100 TB corpus, `bench` the
+    * held-out eval suite (MBs by construction). The bench side's distinct
+    * shingles BROADCAST; the train side is ONE shingle pipeline feeding
+    * one doc-keyed aggregation with map-side partial counts — no cache,
+    * no construction-time jobs, nothing corpus-scale held resident.
+    * Output contract matches [[decontaminateOf]]: one row per
+    * contaminated train doc with shingle/hit counts and the hit
+    * fraction. */
+  def decontaminateAgainst(train: DataFrame, bench: DataFrame,
+                           n: Int = 5): DataFrame =
+    contaminated(
+      Dedup.shingles(train, "doc_id", "text", n),
+      Dedup.shingles(bench, "doc_id", "text", n).select("shingle").distinct())
+
+  /** Shared probe+aggregate tail: left-join train (doc, shingle) pairs
+    * against the broadcast bench shingle set, count hits per doc. */
+  private def contaminated(trainSh: DataFrame, benchSh: DataFrame): DataFrame =
+    trainSh
+      .join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("shingle"), "left")
       .groupBy("doc_id")
       // count(lit) = all distinct shingles; count(hit) skips the nulls
       // the left join leaves on unmatched shingles
@@ -237,6 +261,18 @@ object CurationQueries {
       .where(col("n_hits") > 0)
       .select(col("doc_id"), col("n_shingles"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_shingles")).as("contam_frac"))
+
+  /** Registry form of [[decontaminateAgainst]]: the fixture's bench
+    * bucket split into a SEPARATE input frame first, then the two-input
+    * API — same answer as q_decontaminate (the split commutes with
+    * shingling), but exercising the no-cache broadcast-bench path the
+    * 100 TB design calls for. */
+  def decontaminateX(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val bucket = TA.hashBucket(col("doc_id"), BenchBuckets)
+    decontaminateAgainst(
+      docs.where(bucket =!= BenchBucket),
+      docs.where(bucket === BenchBucket))
   }
 
   // ---- capped soft dedup ----------------------------------------------
@@ -304,16 +340,17 @@ object CurationQueries {
     tokenBudgetOf(par(documents(s, d)))
 
   def tokenBudgetOf(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
-    // cached + eagerly materialized (the jaccardPairs cache-ownership
-    // contract — Verify/Bench clearCache() between queries): the window
-    // and the offsets aggregation are two consumers, and without the
-    // cache each re-runs the regex-heavy score/tokenize scan
+    // cached LAZILY (the jaccardPairs cache-ownership contract —
+    // Verify/Bench clearCache() between queries): the window and the
+    // offsets aggregation are two consumers of one action's plan, and
+    // without the cache each re-runs the regex-heavy score/tokenize
+    // scan. No job runs at construction time — the first action
+    // materializes the cache for both consumers.
     val scored = docs.select(col("doc_id"),
       TA.qualityScore(col("text"), Stopwords).as("quality"),
       TA.tokenCount(col("text")).as("n_tokens"))
       .withColumn("qb", floor(col("quality") * BudgetBuckets).cast("int"))
       .cache()
-    scored.count()
     val within = scored.withColumn("within_cum",
       sum(col("n_tokens")).over(
         Window.partitionBy("qb").orderBy(col("quality").desc, col("doc_id").asc)
@@ -353,12 +390,18 @@ object CurationQueries {
     * whose embedding SemDeDup marks as a semantic duplicate, then the
     * standard quality gate + token stats. Only (vec_id) drop keys cross
     * from the embedding side — an anti-join key set, never vectors. */
-  def pipelineSemantic(s: SparkSession, d: String): DataFrame = {
+  def pipelineSemantic(s: SparkSession, d: String): DataFrame =
+    pipelineSemanticOf(documents(s, d), embChecked(s, d))
+
+  /** Frame-level form ([[graft.ScaleProbe]] feeds replicated corpora):
+    * `nlist` scales with the corpus (SemDeDup's bounded-cluster knob). */
+  def pipelineSemanticOf(docs: DataFrame, emb: DataFrame,
+                         nlist: Int = 16): DataFrame = {
     // just the drop-key set: skips semDedup's per-vector marking join —
     // only anti-join keys cross the modality boundary
-    val dropped = Similarity.semDedupDropped(embChecked(s, d), "vec_id", "embedding")
+    val dropped = Similarity.semDedupDropped(emb, "vec_id", "embedding", nlist)
       .select(col("vec_id").as("doc_id"))
-    documents(s, d).join(dropped, Seq("doc_id"), "left_anti")
+    docs.join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         TA.qualityScore(col("text"), Stopwords).as("quality"),
         TA.tokenCount(col("text")).as("n_tokens"))
@@ -372,6 +415,7 @@ object CurationQueries {
     "q_mix_plan"      -> (mixPlan _),
     "q_mix_apply"     -> (mixApply _),
     "q_decontaminate" -> (decontaminate _),
+    "q_decontaminate_x" -> (decontaminateX _),
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
     "q_semdedup"      -> (semDedupQ _),
@@ -454,6 +498,30 @@ object CurationQueries {
          |j AS (SELECT t.doc_id, bench.shingle AS hit
          |      FROM sh t LEFT JOIN bench ON t.shingle = bench.shingle
          |      WHERE t.bucket <> $BenchBucket)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(hit) AS BIGINT) AS n_hits,
+         |  CAST(count(hit) AS DOUBLE) / count(*) AS contam_frac
+         |FROM j GROUP BY doc_id HAVING count(hit) > 0""".stripMargin,
+    // the two-input twin: train/bench split FIRST (mirroring the
+    // decontaminateAgainst signature), then independent shingle
+    // pipelines — must equal q_decontaminate (the split commutes with
+    // shingling)
+    "q_decontaminate_x" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents
+         |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |          % $BenchBuckets <> $BenchBucket),
+         |benchd AS (SELECT doc_id, text FROM documents
+         |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |          % $BenchBuckets = $BenchBucket),
+         |ttoks AS (SELECT doc_id, $TOKS AS t FROM train),
+         |tpos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM ttoks WHERE len(t) >= 5),
+         |tsh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM tpos),
+         |btoks AS (SELECT doc_id, $TOKS AS t FROM benchd),
+         |bpos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM btoks WHERE len(t) >= 5),
+         |bsh AS (SELECT DISTINCT array_to_string(t[i+1:i+5], ' ') AS shingle FROM bpos),
+         |j AS (SELECT t.doc_id, b.shingle AS hit
+         |      FROM tsh t LEFT JOIN bsh b ON t.shingle = b.shingle)
          |SELECT doc_id,
          |  CAST(count(*) AS BIGINT) AS n_shingles,
          |  CAST(count(hit) AS BIGINT) AS n_hits,

@@ -327,10 +327,15 @@ object PipelineQueries {
     * rounds ([[Dedup.connectedComponentsStar]]) — the O(log n)
     * adversarial-shape path, checked against the SAME recursive-CTE
     * oracle as q_dedup_groups (identical output by definition of
-    * connected components, so one oracle serves both algorithms). */
+    * connected components, so one oracle serves both algorithms).
+    * Registered in PRODUCTION convergence mode (monotone fingerprint +
+    * one final confirming except) so the bench measures the shape a
+    * 100 TB run uses; DedupSpec pins heuristic ≡ exact on fixtures and
+    * the oracle still checks the output here. */
   def dedupGroupsStar(s: SparkSession, d: String): DataFrame =
     Dedup.connectedComponentsStar(
-      Dedup.minhashPairs(documents(s, d), "doc_id", "text"))
+      Dedup.minhashPairs(documents(s, d), "doc_id", "text"),
+      exactConvergence = false)
 
   def simTopK(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)

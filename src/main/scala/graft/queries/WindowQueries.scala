@@ -56,6 +56,15 @@ object WindowQueries {
       events(s, d).select("user_id", "ts", "event_id", "value"),
       "value", 25, KEY, ORD)
 
+  /** Reference-compat EMA variant (`util.py:76-82` literal semantics —
+    * forward-mean seed + same-row refinements, collapsed to its closed
+    * form): the engine's documented deviation from the reference batch
+    * path, made oracle-checkable. */
+  def emaRef(s: SparkSession, d: String): DataFrame =
+    Indicators.withEmaReferenceCompat(
+      events(s, d).select("user_id", "ts", "event_id", "value"),
+      "value", 25, KEY, ORD)
+
   /** As-of join (SURVEY §2.3 engine extension): each click gets the most
     * recent purchase value at-or-before its timestamp, per user — the
     * tick-to-bar alignment operator, via [[graft.operators.AsOfJoin]]'s
@@ -162,7 +171,8 @@ object WindowQueries {
     "q_window_forward"  -> (windowForward _),
     "q_pct_change"      -> (pctChange _),
     "q_rsi"             -> (rsi _),
-    "q_ema"             -> (ema _))
+    "q_ema"             -> (ema _),
+    "q_ema_ref"         -> (emaRef _))
 
   private val OVER = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
@@ -290,6 +300,19 @@ object WindowQueries {
          |  CASE WHEN avg_gain + avg_loss > 0.0
          |    THEN 100.0 * (avg_gain / (avg_gain + avg_loss)) END AS rsi
          |FROM ag""".stripMargin,
+    // the weight is a SHARED Scala-computed literal (Indicators
+    // .emaRefWeight) spliced into both engines — pow() never runs in
+    // either plan, so its rounding can't split them; e-notation parses
+    // as DOUBLE in DuckDB (a bare decimal would be DECIMAL)
+    "q_ema_ref" -> {
+      val wgt = Indicators.emaRefWeight(25)
+      def dl(d: Double) = "%.17e".formatLocal(java.util.Locale.ROOT, d)
+      s"""SELECT user_id, ts, event_id, value,
+         |  value * ${dl(1.0 - wgt)}
+         |    + avg(value) $OVER ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) * ${dl(wgt)}
+         |    AS ema_ref
+         |FROM events""".stripMargin
+    },
     "q_ema" ->
       s"""WITH rn AS (
          |  SELECT user_id, ts, event_id, value,

@@ -50,6 +50,32 @@ class BloomSpec extends SparkSpec {
       s"expected BloomContainsLong filter in plan:\n$plan")
   }
 
+  test("auto-sizing: build-side cardinality rebuilds a saturating filter") {
+    // sizedBits math: floor wins for small n, 10 bits/key (rounded to
+    // 64) past it, ceiling at AutoMaxBits
+    assert(Bloom.sizedBits(100, 1 << 16) == (1 << 16))
+    assert(Bloom.sizedBits(30000, 1 << 16) == ((300000 + 63) / 64) * 64)
+    assert(Bloom.sizedBits(100000000L, 1 << 16) == Bloom.AutoMaxBits)
+    // 30k build keys against the 2^16 default floor used to saturate
+    // (~40% fp): the auto-rebuild must restore REAL pruning. Compare the
+    // surviving-row count after the probe filter alone (before the exact
+    // join) via a manual probe at both sizes.
+    val keys = (0L until 30000L).map(_ * 2654435761L + 17)
+    val small = new Array[Long]((1 << 16) / 64)
+    val sized = new Array[Long](Bloom.sizedBits(30000, 1 << 16) / 64)
+    keys.foreach { k => Bloom.setBits(small, k, 3); Bloom.setBits(sized, k, 3) }
+    val probes = (1L to 20000L).map(_ * 7919L + 3)
+    val fpSmall = probes.count(Bloom.mightContain(small, _, 3))
+    val fpSized = probes.count(Bloom.mightContain(sized, _, 3))
+    assert(fpSmall > 5000, s"fixture not saturating the small filter: $fpSmall")
+    assert(fpSized < 600, s"sized filter still leaking: $fpSized / 20000")
+    // end-to-end: the semi-join stays exact with auto-sizing in play
+    val fact = spark.range(0, 60000).select(col("id").as("fk"))
+    val dim = spark.range(0, 60000, 2).select(col("id").as("dk"))
+    val got = Bloom.bloomSemiJoin(fact, dim, "fk", "dk").count()
+    assert(got == 30000L)
+  }
+
   test("null fact keys never pass the probe filter (SQL join semantics)") {
     val fact = Seq(Some(1L), None, Some(2L)).toDF("fk")
     val dim = Seq(1L).toDF("dk")

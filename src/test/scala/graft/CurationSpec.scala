@@ -143,6 +143,74 @@ class CurationSpec extends SparkSpec {
       1.0 / r.getAs[Long]("n_shingles"))
   }
 
+  test("decontaminateAgainst: two-corpus form flags planted contamination") {
+    val shared = "alpha beta gamma delta epsilon" // one 5-shingle
+    val bench = Seq((100L, s"$shared zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words here then $shared and a tail of words"),
+      (2L, "completely different tokens with no overlap at all nine ten"))
+      .toDF("doc_id", "text")
+    val got = CurationQueries.decontaminateAgainst(train, bench).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("doc_id") == 1L)
+    assert(got.head.getAs[Long]("n_hits") == 1L)
+  }
+
+  test("decontaminateAgainst on the fixture bucket split == decontaminateOf") {
+    // the split commutes with shingling: feeding the bench bucket as a
+    // separate corpus must reproduce the single-corpus twin exactly
+    val docs = Tables.documents(spark, sf0001)
+    val bucket = TA.hashBucket(col("doc_id"), 16)
+    val two = CurationQueries.decontaminateAgainst(
+        docs.where(bucket =!= 15), docs.where(bucket === 15))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = CurationQueries.decontaminateOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(two == one && two.nonEmpty)
+    spark.catalog.clearCache() // decontaminateOf's documented contract
+  }
+
+  test("cache-bearing operators trigger no Spark jobs at construction time") {
+    // the lazy-cache contract: building the DataFrame is free; the first
+    // ACTION materializes shared intermediates. A construction-time job
+    // would surprise composing callers (and broke API expectations in r4
+    // review). Counted via listener; a marker action then fences event
+    // delivery (events arrive in order, so once the marker's job event
+    // lands, any earlier job event would already have landed).
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString("; "))
+    }
+    spark.catalog.clearCache()
+    // the parquet read runs its own schema-inference job — construct the
+    // input BEFORE the listener so only operator-construction work counts
+    val docs = Tables.documents(spark, sf0001)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      CurationQueries.decontaminateOf(docs)
+      CurationQueries.tokenBudgetOf(docs)
+      CurationQueries.decontaminateAgainst(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1))
+      functions.TextAnalysis.unigramXent(docs, "doc_id", "text")
+      functions.Dedup.jaccardPairs(docs, "doc_id", "text", 5)
+      // marker: an RDD action — exactly ONE job, no AQE stage jobs —
+      // and the only job this test may observe
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.currentTimeMillis + 30000
+      while (jobs.isEmpty && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(jobs.size == 1 && jobs.peek().contains("count at"),
+        s"expected only the marker job, saw ${jobs.size}: " +
+          jobs.toArray.mkString(" | ") +
+          " — an operator ran work at DataFrame-construction time")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("dedupCapOf: keeps at most two copies per planted boilerplate group") {
     // ids 0..29: %7==0 -> 0,7,14,21,28 share one boilerplate fp
     val docs = (0L until 30L).map(i => (i, s"unique text number $i with some words"))

@@ -132,6 +132,63 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dropShingles neutralizes a planted boilerplate bucket, keeps real pairs") {
+    // 30-token boilerplate suffix on EVERY doc: 200 otherwise-disjoint
+    // filler docs (4 unique tokens each) become pairwise near-dups
+    // through the shared run alone — the degenerate-bucket shape whose
+    // |bucket|² pair space (and unspillable agg buffer) is the scale
+    // hazard docs/SCALE.md describes
+    val boiler = (0 until 30).map(i => s"tos$i").mkString(" ")
+    val filler = (100 until 300).map(i =>
+      (i.toLong, (0 until 4).map(j => s"u${i}x$j").mkString(" ") + " " + boiler))
+      .toDF("doc_id", "text")
+    val noisy = corpus.select($"doc_id",
+      concat($"text", lit(" " + boiler)).as("text")).union(filler)
+    // without the drop list, boilerplate glues the disjoint fillers
+    val raw = Dedup.minhashPairs(noisy, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw.exists { case (a, b) => a >= 100L && b >= 100L },
+      "fixture failed to create boilerplate-only pairs")
+    // the drop list IS the q_boilerplate output — the mined high-df
+    // shingles feed straight back in (the in-code mitigation loop)
+    val drop = graft.queries.PipelineQueries.boilerplateOf(
+      noisy, minDf = 50, topK = 100)
+    val cleaned = Dedup.minhashPairs(noisy, "doc_id", "text", threshold = 0.5,
+      dropShingles = Some(drop))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // boilerplate-only pairs are gone entirely…
+    assert(!cleaned.keys.exists { case (a, b) => a >= 100L || b >= 100L })
+    // …while content pairs survive on their non-boilerplate shingles
+    assert(cleaned((0L, 2L)) == 1.0 && cleaned.contains((0L, 1L)))
+    // same contract through the exact-jaccard path
+    val jac = Dedup.jaccardPairs(noisy, "doc_id", "text", 5,
+      dropShingles = Some(drop))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(!jac.keys.exists { case (a, b) => a >= 100L || b >= 100L })
+    assert(jac((0L, 2L)) == 1.0 && jac((0L, 1L)) > 0.5)
+  }
+
+  test("star CC production convergence equals the exact check on all shapes") {
+    // clique + pair + chain + reversed dup + self-loop: the fixture zoo
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (9L, 7L), (10L, 10L)
+    ).toDF("doc_a", "doc_b")
+    val exact = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prod = Dedup.connectedComponentsStar(pairs, exactConvergence = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prod == exact)
+    // diameter-63 chain within the same O(log n) round budget: the
+    // heuristic's confirm-on-fingerprint-repeat must not burn extra
+    // rounds (one pathological extra round is the worst case)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val prodChain = Dedup.connectedComponentsStar(chain, maxIters = 16,
+      exactConvergence = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prodChain.size == 64 && prodChain.values.forall(_ == 0L))
+  }
+
   test("minhashPairsJoin (spill-safe) == minhashPairs (bucket agg)") {
     val docs = Tables.documents(spark, sf0001)
     val agg = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)

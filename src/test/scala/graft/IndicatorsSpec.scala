@@ -50,6 +50,32 @@ class IndicatorsSpec extends SparkSpec {
     got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
   }
 
+  test("reference-compat EMA equals the literal seed+refinement loop") {
+    // replicate util.py:76-82 LITERALLY: seed = forward mean of the next
+    // n values (clipped at the series end), then n-1 applications of
+    // e = α·x + (1-α)·e against the SAME row's x — the quirk the compat
+    // variant's closed form (value·(1-w) + fwd_mean·w) must reproduce
+    val xs = (1 to 60).map(i => 100.0 + 7 * math.sin(i))
+    val n = 25
+    val alpha = 2.0 / (n + 1)
+    val expect = xs.indices.map { i =>
+      val fwd = xs.slice(i, math.min(i + n, xs.length))
+      var e = fwd.sum / fwd.size
+      for (_ <- 1 until n) e = alpha * xs(i) + (1 - alpha) * e
+      e
+    }
+    val got = Indicators.withEmaReferenceCompat(
+        series(xs: _*), "close", n, key, ord)
+      .orderBy("t").select("ema_ref").collect().map(_.getDouble(0))
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"$g vs $e") }
+    // and it deliberately DISAGREES with the standard recursive EMA —
+    // the deviation the SURVEY documents, now checkable
+    val std = Indicators.withEmaClosedForm(series(xs: _*), "close", n, key, ord)
+      .orderBy("t").select("ema").collect().map(_.getDouble(0))
+    assert(got.zip(std).exists { case (a, b) => math.abs(a - b) > 1e-6 })
+  }
+
   test("Ewma.perRow exact fold matches closed form on events fixture") {
     val ev = Tables.events(spark, sf0001).select("user_id", "event_id", "value")
     val closed = Indicators.withEmaClosedForm(ev, "value", 25,

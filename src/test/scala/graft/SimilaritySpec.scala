@@ -64,6 +64,18 @@ class SimilaritySpec extends SparkSpec {
     det.zip(agg).foreach { case ((_, cd), (_, ca)) =>
       cd.zip(ca).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
     }
+    // and on the FIXTURE embeddings (the registry's data shape, more
+    // Lloyd rounds): a silent regression in the production partial-agg
+    // path cannot hide behind its documented FP-merge-order freedom —
+    // the two quantizers must stay within 1e-9 per centroid coordinate
+    val fx = Tables.embeddings(spark, sf0001)
+    val fd = Similarity.kmeansDeterministicLocalCentroids(fx, "vec_id", "embedding", 8, 3)
+    val fa = Similarity.kmeansLocalCentroids(fx, "vec_id", "embedding", 8, 3)
+    assert(fd.length == fa.length && fd.nonEmpty)
+    fd.zip(fa).foreach { case ((cidD, cd), (cidA, ca)) =>
+      assert(cidD == cidA)
+      cd.zip(ca).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
   }
 
   test("ivfIterTopK recalls planted near neighbors") {

@@ -336,6 +336,41 @@ class StreamingSpec extends SparkSpec {
     assert(lake.select("symbol").distinct().count() == 2)
   }
 
+  test("T2: lake sink is idempotent across batch replays (exactly-once)") {
+    // a crash between the parquet append and the checkpoint commit
+    // replays the whole micro-batch — the anti-join against the target's
+    // (symbol, time) keys must make the replay a no-op (the reference's
+    // Cassandra-PK upsert semantics)
+    val dir = java.nio.file.Files.createTempDirectory("lake-replay").toString
+    val path = s"$dir/data"
+    val batch1 = Seq(
+      ("FPT", ts("2023-02-07 09:30:00"), 80.7),
+      ("FPT", ts("2023-02-07 09:30:00"), 80.7), // in-batch dup
+      ("VNM", ts("2023-02-07 09:30:00"), 70.1))
+      .toDF("symbol", "time", "close")
+    TickIngest.appendBatchIdempotent(batch1, path)
+    assert(spark.read.parquet(path).count() == 2)
+    // full replay: nothing new lands
+    TickIngest.appendBatchIdempotent(batch1, path)
+    assert(spark.read.parquet(path).count() == 2)
+    // partial overlap: only the genuinely new rows append
+    val batch2 = Seq(
+      ("FPT", ts("2023-02-07 09:30:00"), 99.9), // key exists: dropped
+      ("FPT", ts("2023-02-07 09:30:10"), 80.9), // new time
+      ("HPG", ts("2023-02-07 09:30:00"), 21.5)) // new symbol
+      .toDF("symbol", "time", "close")
+    TickIngest.appendBatchIdempotent(batch2, path)
+    val lake = spark.read.parquet(path)
+    assert(lake.count() == 4)
+    // the existing key kept its ORIGINAL row (append-only, no overwrite)
+    assert(lake.where(col("symbol") === "FPT" &&
+      col("time") === ts("2023-02-07 09:30:00"))
+      .head().getAs[Double]("close") == 80.7)
+    // empty batch: no-op, no write
+    TickIngest.appendBatchIdempotent(batch1.limit(0), path)
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
   test("curateDocStream: ingest-time quality gate + bloom decontamination") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
