@@ -56,6 +56,9 @@ object ExplainAudit {
       "q_decontaminate",  // expect the bench shingles under a
                           //   BroadcastExchange and ONE doc_id hash
                           //   exchange for the per-doc counts
+      "q_decontaminate_x",// the two-input production path: same
+                          //   broadcast contract, but NO InMemoryRelation
+                          //   anywhere — nothing corpus-scale cached
       "q_semdedup",       // expect map-side NearestCentroid projection
                           //   (no centroid join) + cid-keyed self-join
       "q_bloom_semi",     // expect a map-side BloomContainsLong Filter

@@ -650,8 +650,10 @@ object Dedup {
     * keep-one-rep-per-group decision a 100 TB dedup pass executes. */
   def dedupGroups(df: DataFrame, id: String, text: String,
                   shingleN: Int = 5, k: Int = 64, bands: Int = 16,
-                  threshold: Double = 0.5): DataFrame =
-    connectedComponents(minhashPairs(df, id, text, shingleN, k, bands, threshold),
+                  threshold: Double = 0.5,
+                  dropShingles: Option[DataFrame] = None): DataFrame =
+    connectedComponents(
+      minhashPairs(df, id, text, shingleN, k, bands, threshold, dropShingles),
       pairsDistinct = true)
 
   /** SimHash bit width: 60 (not 64) so the packed value and every bit of

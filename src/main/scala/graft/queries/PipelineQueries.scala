@@ -337,6 +337,37 @@ object PipelineQueries {
       Dedup.minhashPairs(documents(s, d), "doc_id", "text"),
       exactConvergence = false)
 
+  /** Near-dup groups → BEST-member retention: for each connected
+    * component, keep the HIGHEST-QUALITY member (doc_id tie-break), not
+    * the min-id one — what a production dedup pass actually retains
+    * (min-id keeps whichever crawl copy happened to enumerate first;
+    * quality-argmax keeps the cleanest copy). Output: one row per
+    * component with its kept member, the kept quality, and the member
+    * count.
+    *
+    * Scale shape: components cover only docs in ≥1 pair (collision-
+    * bounded, tiny vs corpus); quality evaluates AFTER the member join,
+    * so the regex battery runs per MEMBER, not per corpus row. The
+    * argmax and the member count share ONE component_rep hash-shuffle
+    * (two Window functions over the same partitioning → one Exchange). */
+  def dedupBest(s: SparkSession, d: String): DataFrame =
+    dedupBestOf(par(documents(s, d)))
+
+  def dedupBestOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = Dedup.dedupGroups(docs, "doc_id", "text")
+    val w = Window.partitionBy("component_rep")
+    comps.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("component_rep"), col("doc_id"),
+        TA.qualityScore(col("text"), Stopwords).as("quality"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("quality").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .where(col("rk") === 1)
+      .select(col("component_rep"), col("doc_id").as("keep_id"),
+        col("quality").as("keep_quality"), col("n_members"))
+  }
+
   def simTopK(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(embeddings(s, d), "vec_id", "embedding", 0L, 10)
 
@@ -467,6 +498,7 @@ object PipelineQueries {
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
+    "q_dedup_best"     -> (dedupBest _),
     "q_kmv_distinct"   -> (kmvDistinct _),
     "q_kmv_union"      -> (kmvUnion _),
     "q_kmv_by_lang"    -> (kmvByLang _),
@@ -733,6 +765,21 @@ object PipelineQueries {
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
+    // the groups oracle as a derived table, then the same quality
+    // expression as every other quality consumer and a row_number
+    // argmax with the engine's exact (quality DESC, doc_id) tie-break
+    "q_dedup_best" ->
+      s"""WITH comps AS (SELECT * FROM (${Dedup.dedupGroupsOracleSql()}) g),
+         |q AS (SELECT c.component_rep, c.doc_id, $QUALITY_SQL AS quality
+         |      FROM comps c JOIN documents ON documents.doc_id = c.doc_id),
+         |r AS (SELECT component_rep, doc_id, quality,
+         |        row_number() OVER (PARTITION BY component_rep
+         |                           ORDER BY quality DESC, doc_id ASC) AS rk,
+         |        count(*) OVER (PARTITION BY component_rep) AS nm
+         |      FROM q)
+         |SELECT component_rep, doc_id AS keep_id, quality AS keep_quality,
+         |  CAST(nm AS BIGINT) AS n_members
+         |FROM r WHERE rk = 1""".stripMargin,
     // same md5-bucket family as q_hash_split; quantile_cont matches
     // Spark's interpolated percentile bit-for-bit (q_percentiles
     // established the parity)

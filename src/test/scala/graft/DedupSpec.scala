@@ -189,6 +189,21 @@ class DedupSpec extends SparkSpec {
     assert(prodChain.size == 64 && prodChain.values.forall(_ == 0L))
   }
 
+  test("dedupBestOf keeps the highest-quality member per component") {
+    // 0 and 2 identical, 1 a superset with stopwords appended: one
+    // component of three; 1 scores highest quality (stopword term) and
+    // must be the kept member despite 0 being the min-id rep
+    val withStops = base + " the a of and to in is"
+    val docs = Seq((0L, base), (1L, withStops), (2L, base))
+      .toDF("doc_id", "text")
+    val got = graft.queries.PipelineQueries.dedupBestOf(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("component_rep") == 0L)
+    assert(r.getAs[Long]("keep_id") == 1L)
+    assert(r.getAs[Long]("n_members") == 3L)
+  }
+
   test("minhashPairsJoin (spill-safe) == minhashPairs (bucket agg)") {
     val docs = Tables.documents(spark, sf0001)
     val agg = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)

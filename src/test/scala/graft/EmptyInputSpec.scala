@@ -31,6 +31,34 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.dedupGroups(emptyDocs, "doc_id", "text").count() === 0)
   }
 
+  test("two-corpus decontamination handles empty train/bench sides") {
+    import spark.implicits._
+    import graft.queries.CurationQueries
+    val some = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // empty train: nothing to flag; empty bench: nothing contaminates
+    assert(CurationQueries.decontaminateAgainst(emptyDocs, some).count() === 0)
+    assert(CurationQueries.decontaminateAgainst(some, emptyDocs).count() === 0)
+    assert(CurationQueries.decontaminateAgainst(emptyDocs, emptyDocs).count() === 0)
+  }
+
+  test("a drop list covering every shingle empties the pair pipelines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val all = Dedup.shingles(docs, "doc_id", "text", 5)
+      .select("shingle").distinct()
+    assert(Dedup.minhashPairs(docs, "doc_id", "text",
+      dropShingles = Some(all)).count() === 0)
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 5,
+      dropShingles = Some(all)).count() === 0)
+    spark.catalog.clearCache() // jaccardPairs' documented cache contract
+    // and an EMPTY drop list is a no-op, not a filter-everything
+    assert(Dedup.minhashPairs(docs, "doc_id", "text",
+      dropShingles = Some(emptyDocs.select(col("text").as("shingle")))).count() === 1)
+  }
+
   test("KMV sketch on an empty corpus yields the empty k-set, estimate 0") {
     import org.apache.spark.sql.functions.col
     val r = emptyDocs
@@ -55,6 +83,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationQueries.dedupCapOf(emptyDocs).count() === 0)
     assert(CurationQueries.tokenBudgetOf(emptyDocs).count() === 0)
     assert(PipelineQueries.boilerplateOf(emptyDocs, 3, 10).count() === 0)
+    assert(PipelineQueries.dedupBestOf(emptyDocs).count() === 0)
     // window-based curation over zero rows (needs the lang/source cols)
     val emptyFull = spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](),

@@ -200,6 +200,23 @@ object EngineProps extends Properties("engine") {
       got == naive
     }
 
+  property("two-corpus decontamination equals the single-corpus twin") =
+    forAll(Gen.nonEmptyListOf(docGen).map(_.take(20))) { texts =>
+      // decontaminateOf buckets the SAME corpus by hash; feeding the
+      // bucket split through the two-input production API must agree
+      // exactly (the split commutes with shingling) — including when
+      // the bench bucket lands empty
+      val docs = docsDf(texts.map(t => (t + " ").repeat(2).trim))
+      val bucket = graft.functions.TextAnalysis.hashBucket(col("doc_id"), 16)
+      val one = graft.queries.CurationQueries.decontaminateOf(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val two = graft.queries.CurationQueries.decontaminateAgainst(
+          docs.where(bucket =!= 15), docs.where(bucket === 15))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      spark.catalog.clearCache() // decontaminateOf's documented contract
+      one == two
+    }
+
   property("mixPlan: shares sum to 1, rates capped at 1, no source starved") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(1, 40)).map(_.take(5))) { sizes =>
       import spark.implicits._

@@ -45,7 +45,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("indicator pipeline shuffles exactly once (single Exchange)") {
-    Seq("q_rsi", "q_ema", "q_asof").foreach { q =>
+    Seq("q_rsi", "q_ema", "q_ema_ref", "q_asof").foreach { q =>
       val n = "Exchange hashpartitioning".r.findAllIn(physical(q)).length
       assert(n == 1, s"$q has $n hash exchanges, expected 1")
     }
@@ -96,6 +96,12 @@ class PlanQualitySpec extends SparkSpec {
     val dc = physical("q_decontaminate")
     assert(dc.contains("BroadcastHashJoin") || dc.contains("BroadcastExchange"),
       dc.take(800))
+    // q_decontaminate_x: the TWO-INPUT production path keeps the same
+    // broadcast contract — bench shingles broadcast, train side never
+    // shuffles for the probe
+    val dcx = physical("q_decontaminate_x")
+    assert(dcx.contains("BroadcastHashJoin") || dcx.contains("BroadcastExchange"),
+      dcx.take(800))
     // q_semdedup: assignment is the map-side NearestCentroid projection
     // (no centroid join anywhere in the plan)
     val sd = physical("q_semdedup")
