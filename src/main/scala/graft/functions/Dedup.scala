@@ -38,6 +38,30 @@ object Dedup {
       (fp <=> col("_ddk_fp")) && col(id) === col("_ddk_id"), "left_semi")
   }
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: dedup a NEW batch
+    * against an already-ingested corpus, keeping (a) only rows whose
+    * content fingerprint has never been seen and (b) one min-id
+    * representative per duplicate group WITHIN the batch. At 100 TB the
+    * `seen` side is the lake's persisted fingerprint column (a narrow
+    * scan), not re-hashed documents — this signature takes any frame
+    * carrying `text`, so callers pass either.
+    *
+    * Scale shape: one distinct-fingerprint aggregation over the seen
+    * side (md5 strings, ~32 B/row — map-side combine collapses dup
+    * groups early), one fp-keyed anti-join, then [[dedupKeepRows]]'s
+    * (fp, id) aggregation + semi-join — full new-batch rows never sort
+    * through an exchange, and nothing corpus-scale is cached or
+    * collected. Null-text groups use the same `<=>` discipline as
+    * [[dedupKeepRows]]: a null-text row in `seen` blocks null-text
+    * new rows (SQL GROUP BY semantics, spec-pinned). */
+  def dedupNewRows(newDocs: DataFrame, seen: DataFrame,
+                   id: String, text: String): DataFrame = {
+    val fp = md5(lower(col(text)))
+    val seenFps = seen.select(fp.as("_seen_fp")).distinct()
+    val fresh = newDocs.join(seenFps, fp <=> col("_seen_fp"), "left_anti")
+    dedupKeepRows(fresh, id, text)
+  }
+
   /** Unlock parallelism for tiny single-file inputs — the key-ed form of
     * [[Parallelism.ensureParallel]]: callers pass the expression their
     * downstream `groupBy` shuffles on, so the exchange satisfies the
@@ -695,16 +719,34 @@ object Dedup {
     * hash → same (aᵢ·h+bᵢ) mod P signature → banding on the raw signature
     * slice (the engine bands on xxhash64 of the slice; collision sets are
     * identical modulo 2⁻⁶⁴ hash collisions) → same est_jaccard grid
-    * (multiples of 1/k, exact in binary). */
+    * (multiples of 1/k, exact in binary).
+    *
+    * `dropMinDfTopK = Some((minDf, topK))` replays the in-code
+    * boilerplate mitigation: the drop list is re-derived exactly as
+    * [[graft.queries.PipelineQueries.boilerplateOf]] does (distinct
+    * (doc, shingle) pairs → df ≥ minDf → top-k by (df DESC, shingle)) and
+    * ANTI JOINed out of the raw shingle stream before hashing — the
+    * oracle twin of the `dropShingles` parameter. */
   def minhashPairsOracleSql(shingleN: Int = 5, k: Int = 64, bands: Int = 16,
-                            threshold: Double = 0.5, seed: Long = 42L): String = {
+                            threshold: Double = 0.5, seed: Long = 42L,
+                            dropMinDfTopK: Option[(Int, Int)] = None): String = {
     val rows = k / bands
     val (as, bs) = universalCoeffs(k, seed)
     val values = (0 until k).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
+    val dropCtes = dropMinDfTopK.map { case (minDf, topK) =>
+      s"""dropl AS (SELECT shingle FROM (
+         |    SELECT shingle, count(*) AS df
+         |    FROM (SELECT DISTINCT doc_id, shingle FROM sh) GROUP BY shingle
+         |    HAVING count(*) >= $minDf)
+         |  ORDER BY df DESC, shingle LIMIT $topK),
+         |shk AS (SELECT sh.doc_id, sh.shingle FROM sh ANTI JOIN dropl USING (shingle)),
+         |""".stripMargin
+    }.getOrElse("")
+    val shSrc = if (dropMinDfTopK.isDefined) "shk" else "sh"
     s"""WITH toks AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(range(len(t)-${shingleN - 1})) AS i FROM toks WHERE len(t) >= $shingleN),
        |sh AS (SELECT doc_id, array_to_string(t[i+1:i+$shingleN], ' ') AS shingle FROM pos),
-       |h0 AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle),1,15)) AS BIGINT) % $P AS h FROM sh),
+       |${dropCtes}h0 AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle),1,15)) AS BIGINT) % $P AS h FROM $shSrc),
        |c(i, a, b) AS (VALUES $values),
        |sig AS (SELECT doc_id, i, min((a * h + b) % $P) AS m FROM h0 CROSS JOIN c GROUP BY 1, 2),
        |bandsig AS (SELECT doc_id, i // $rows AS band, string_agg(m, ',' ORDER BY i) AS bs

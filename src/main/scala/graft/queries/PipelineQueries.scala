@@ -337,6 +337,37 @@ object PipelineQueries {
       Dedup.minhashPairs(documents(s, d), "doc_id", "text"),
       exactConvergence = false)
 
+  /** The in-code boilerplate mitigation, oracle-checked END TO END: the
+    * drop list is mined by [[boilerplateOf]] (the q_boilerplate
+    * operator) and fed straight back into [[Dedup.minhashPairs]]'s
+    * `dropShingles` parameter — signatures become minima over each
+    * doc's NON-boilerplate shingles, so a corpus-wide boilerplate run
+    * can never form a degenerate LSH bucket. The oracle re-derives the
+    * identical drop list and ANTI JOINs it before hashing
+    * ([[Dedup.minhashPairsOracleSql]] with `dropMinDfTopK`). */
+  def minhashDropped(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    Dedup.minhashPairs(docs, "doc_id", "text",
+      dropShingles = Some(boilerplateOf(docs, BoilerMinDf, BoilerTopK)))
+  }
+
+  /** INCREMENTAL exact dedup (the daily-ingest shape) over a planted
+    * split: the q_dedup_cap boilerplate construction plants exact dups
+    * (every doc_id % 7 == 0 shares one text), then doc_id % 3 splits the
+    * corpus into SEEN (already ingested) and NEW (today's batch) — new
+    * docs whose fingerprint exists in seen are blocked, and the
+    * remaining within-batch dup group keeps its min id
+    * ([[Dedup.dedupNewRows]]). */
+  def dedupIncr(s: SparkSession, d: String): DataFrame = {
+    val t = when(col("doc_id") % 7 === 0,
+      lit("boilerplate terms of service apply to this document"))
+      .otherwise(col("text"))
+    val docs = par(documents(s, d)).select(col("doc_id"), t.as("text"))
+    Dedup.dedupNewRows(
+      docs.where(col("doc_id") % 3 =!= 0),
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text")
+  }
+
   /** Near-dup groups → BEST-member retention: for each connected
     * component, keep the HIGHEST-QUALITY member (doc_id tie-break), not
     * the min-id one — what a production dedup pass actually retains
@@ -499,6 +530,8 @@ object PipelineQueries {
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
     "q_dedup_best"     -> (dedupBest _),
+    "q_dedup_incr"     -> (dedupIncr _),
+    "q_minhash_dropped" -> (minhashDropped _),
     "q_kmv_distinct"   -> (kmvDistinct _),
     "q_kmv_union"      -> (kmvUnion _),
     "q_kmv_by_lang"    -> (kmvByLang _),
@@ -763,6 +796,27 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS shared_fps
          |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // same mined drop list (distinct-pair df >= minDf, top-k by
+    // (df DESC, shingle)), ANTI JOINed before the signature CTEs
+    "q_minhash_dropped" -> Dedup.minhashPairsOracleSql(
+      dropMinDfTopK = Some((BoilerMinDf, BoilerTopK))),
+    // planted construction shared with q_dedup_cap; seen-side distinct
+    // fingerprints block new rows, min-id wins within the batch
+    "q_dedup_incr" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN 'boilerplate terms of service apply to this document'
+        |       ELSE text END AS text
+        |FROM documents),
+        |newb AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
+        |seen AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+        |fresh AS (SELECT n.* FROM newb n
+        |          ANTI JOIN (SELECT DISTINCT md5(lower(text)) AS fp FROM seen) s
+        |            ON md5(lower(n.text)) = s.fp),
+        |keep AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS kid
+        |         FROM fresh GROUP BY 1)
+        |SELECT f.doc_id, f.text FROM fresh f
+        |JOIN keep k ON md5(lower(f.text)) = k.fp AND f.doc_id = k.kid""".stripMargin,
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
     // the groups oracle as a derived table, then the same quality

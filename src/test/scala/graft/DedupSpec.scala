@@ -189,6 +189,28 @@ class DedupSpec extends SparkSpec {
     assert(prodChain.size == 64 && prodChain.values.forall(_ == 0L))
   }
 
+  test("dedupNewRows: seen fingerprints block, min-id wins within batch") {
+    val seen = Seq(
+      (0L, Option("already ingested text")),
+      (1L, None: Option[String]))           // null-text group IS seen
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, Option("already ingested text")), // blocked: fp in seen
+      (11L, None: Option[String]),            // blocked: null group seen
+      (12L, None),                            // blocked: null group seen
+      (13L, Option("genuinely new content")), // kept (min of its group)
+      (14L, Option("genuinely new content")), // dropped: in-batch dup
+      (15L, Option("another new document")))  // kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupNewRows(fresh, seen, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(13L, 15L)))
+    // an empty seen side degenerates to plain within-batch dedup
+    val nothingSeen = Dedup.dedupNewRows(fresh, seen.limit(0), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(nothingSeen.sameElements(Array(10L, 11L, 13L, 15L)))
+  }
+
   test("dedupBestOf keeps the highest-quality member per component") {
     // 0 and 2 identical, 1 a superset with stopwords appended: one
     // component of three; 1 scores highest quality (stopword term) and
