@@ -118,17 +118,64 @@ object CurationQueries {
     * thresholds would starve low-resource languages. percent_rank over
     * (quality DESC, doc_id ASC) is fully deterministic: the quality
     * doubles are bit-identical in both engines (q_text_quality's
-    * established parity) and the id breaks ties totally.
-    *
-    * Scale shape: ONE hash-shuffle on `lang` + per-partition sort — the
-    * standard window topology; with per-language skew the salted-window
-    * variant in operators/Skew.scala applies. */
+    * established parity) and the id breaks ties totally. */
   private val TopP = 0.5
+  /** Quality-bucket fan-out for the decomposed per-language rank. */
+  private val TopPBuckets = 64
 
   def qualityTopP(s: SparkSession, d: String): DataFrame =
     qualityTopPOf(par(documents(s, d)))
 
-  def qualityTopPOf(docs: DataFrame): DataFrame =
+  /** DECOMPOSED percent_rank — the [[tokenBudgetOf]] two-level pattern
+    * applied to the per-language rank cut. The naive spelling (what the
+    * oracle runs, and what [[qualityTopPWindowed]] keeps as the spec
+    * reference) is `percent_rank() OVER (PARTITION BY lang ORDER BY
+    * quality DESC, doc_id)` — at 100 TB with one dominant language that
+    * window funnels most of the corpus through ONE task. Since the
+    * order is total, the global per-language rank decomposes exactly:
+    *   1. bucket by floor(quality·B) — monotone in the sort key, so
+    *      rank ≡ (rows in higher buckets) + (rank within bucket);
+    *   2. within-(lang, bucket) row_number — parallel across langs×B
+    *      partitions regardless of language skew;
+    *   3. per-(lang, bucket) counts (≤ |langs|·(B+1) rows) get the
+    *      offset cumsum and the language total on the tiny aggregated
+    *      frame, broadcast back;
+    *   4. percent_rank = (offset + rn − 1)/(n_lang − 1) — the same two
+    *      exactly-representable integers percent_rank divides, so the
+    *      double is BIT-EQUAL to the window spelling (single-row
+    *      languages are percent_rank's 0.0 special case).
+    * Skewed quality histograms concentrate buckets; raise B (doc_id is
+    * in the sort key, so correctness never depends on the histogram). */
+  def qualityTopPOf(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("lang"),
+        TA.qualityScore(col("text"), Stopwords).as("quality"))
+      .withColumn("qb", floor(col("quality") * TopPBuckets).cast("int"))
+      .cache() // lazy; two consumers share the first action's plan
+    val within = scored.withColumn("_rn", row_number().over(
+      Window.partitionBy("lang", "qb")
+        .orderBy(col("quality").desc, col("doc_id").asc)))
+    val offsets = scored.groupBy("lang", "qb")
+      .agg(count(lit(1)).as("_bn"))
+      .withColumn("_offset",
+        coalesce(sum(col("_bn")).over(
+          Window.partitionBy("lang").orderBy(col("qb").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_bn")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("qb"), col("_offset"), col("_n"))
+    within.join(broadcast(offsets), Seq("lang", "qb"))
+      .withColumn("q_rank",
+        when(col("_n") === 1, lit(0.0))
+          .otherwise((col("_offset") + col("_rn") - 1).cast("double") /
+            (col("_n") - 1).cast("double")))
+      .where(col("q_rank") <= TopP)
+      .select(col("doc_id"), col("lang"), col("quality"), col("q_rank"))
+  }
+
+  /** The single-window spelling — kept as the spec reference
+    * ([[graft.CurationSpec]] pins decomposed ≡ windowed; the DuckDB
+    * oracle runs the same percent_rank SQL). */
+  def qualityTopPWindowed(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"),
         TA.qualityScore(col("text"), Stopwords).as("quality"))

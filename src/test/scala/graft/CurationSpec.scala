@@ -82,6 +82,24 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("qualityTopPOf decomposition is bit-equal to the percent_rank window") {
+    // the decomposed per-language rank (bucketed row_number + tiny
+    // offsets frame) must reproduce percent_rank EXACTLY — same rank
+    // integers, same double division — including single-doc languages
+    // (percent_rank's 0.0 special case) and tie-heavy score runs
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text", "lang")
+      .union(Seq((100001L, "one lonely doc", "xx")).toDF("doc_id", "text", "lang"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    val dec = canon(CurationQueries.qualityTopPOf(docs))
+    val win = canon(CurationQueries.qualityTopPWindowed(docs))
+    spark.catalog.clearCache()
+    assert(dec == win && dec.nonEmpty)
+    // the lonely language's only doc has q_rank exactly 0.0 and is kept
+    assert(dec.exists { case (id, lang, _, qr) => lang == "xx" && qr == 0.0 })
+  }
+
   test("mixPlanOf: shares and capped sampling rates from planted counts") {
     // srcA: 30 tokens, srcB: 10 tokens -> total 40, uniform target 20/source
     val docs = Seq(
@@ -192,6 +210,7 @@ class CurationSpec extends SparkSpec {
     try {
       CurationQueries.decontaminateOf(docs)
       CurationQueries.tokenBudgetOf(docs)
+      CurationQueries.qualityTopPOf(docs)
       CurationQueries.decontaminateAgainst(
         docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1))
       functions.TextAnalysis.unigramXent(docs, "doc_id", "text")

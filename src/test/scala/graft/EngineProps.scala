@@ -200,6 +200,42 @@ object EngineProps extends Properties("engine") {
       got == naive
     }
 
+  property("decomposed per-language percent_rank equals the window spelling") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(docGen, Gen.oneOf("en", "es", "vi")))
+        .map(_.take(24))) { rows =>
+      // random quality ties (docGen's tiny vocab collides often) and
+      // skewed language histograms: the bucketed row_number + offsets
+      // decomposition must match percent_rank bit-for-bit
+      val docs = spark.createDataFrame(
+        rows.zipWithIndex.map { case ((t, l), i) =>
+          org.apache.spark.sql.Row(i.toLong, t, l)
+        }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType))))
+      def canon(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+      val dec = canon(graft.queries.CurationQueries.qualityTopPOf(docs))
+      val win = canon(graft.queries.CurationQueries.qualityTopPWindowed(docs))
+      spark.catalog.clearCache()
+      dec == win
+    }
+
+  property("incremental dedup: empty seen == plain dedup; self-seen == empty") =
+    forAll(Gen.nonEmptyListOf(docGen).map(_.take(12))) { texts =>
+      val docs = docsDf(texts)
+      val a = graft.functions.Dedup.dedupNewRows(docs, docs.limit(0), "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      val b = graft.functions.Dedup.dedupKeepRows(docs, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      val c = graft.functions.Dedup.dedupNewRows(docs, docs, "doc_id", "text").count()
+      a == b && c == 0
+    }
+
   property("two-corpus decontamination equals the single-corpus twin") =
     forAll(Gen.nonEmptyListOf(docGen).map(_.take(20))) { texts =>
       // decontaminateOf buckets the SAME corpus by hash; feeding the

@@ -91,6 +91,18 @@ class PlanQualitySpec extends SparkSpec {
     // ORDER BY qb DESC and make this pin vacuous.
     assert(winSpecs.exists(s => "^qb#\\d+, quality#\\d+ DESC".r.findFirstIn(s).isDefined),
       s"q_token_budget lost its partitioned document-side window:\n$winSpecs")
+    // q_quality_topp: the document-side window MUST carry the quality
+    // bucket as a partition column alongside lang (the decomposition
+    // exists to avoid one giant window partition per dominant
+    // language); the lang-only windows run over the tiny per-bucket
+    // aggregate frame
+    val qt = SparkEntry.queries("q_quality_topp")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val qtSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(qt).map(_.group(1)).toList
+    assert(qtSpecs.exists(s =>
+      "^lang#\\d+, qb#\\d+, quality#\\d+ DESC".r.findFirstIn(s).isDefined),
+      s"q_quality_topp lost its (lang, qb)-partitioned document window:\n$qtSpecs")
     // q_decontaminate: the bench shingle side broadcasts — the train
     // side must never shuffle for the probe join
     val dc = physical("q_decontaminate")
