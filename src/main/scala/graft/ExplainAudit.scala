@@ -67,6 +67,9 @@ object ExplainAudit {
       "q_token_budget",   // expect the doc-side Window PARTITIONED by
                           //   the quality bucket + the offsets window
                           //   only above the tiny per-bucket aggregate
+      "q_quality_topp",   // expect the doc-side Window PARTITIONED by
+                          //   (lang, qb); lang-only windows run above
+                          //   the per-bucket aggregate frame only
       "q_unigram_ppl")    // expect TWO corpus token passes (cached
                           //   vocab-sized freq build + probe join), the
                           //   total as a broadcast scalar read from the

@@ -109,6 +109,21 @@ object ScaleProbe {
     // token-budget is two windows + a tiny broadcast, chunking is
     // scan-speed fan-out (noop-materialized so the slice/concat isn't
     // pruned away — the Bench action lesson)
+    // incremental dedup: seen-side distinct fingerprints (narrow md5
+    // strings) + one anti-join — expected scan-speed at any split
+    probe(s"dedup_incr @${nBig}")(warmBig())(
+      Dedup.dedupNewRows(
+        big.where(col("doc_id") % 3 =!= 0),
+        big.where(col("doc_id") % 3 === 0), "doc_id", "text").count())
+    // groups → best-member retention: pair gen + CC dominate; the
+    // quality argmax adds one window over the member set only
+    probe(s"dedup_best @${nBig}")(warmBig())(
+      graft.queries.PipelineQueries.dedupBestOf(big).count())
+    // per-language top-p through the decomposed percent_rank: parallel
+    // across (lang × quality-bucket) partitions regardless of skew
+    probe(s"quality_topp @${nBig}")(warmBig())(
+      graft.queries.CurationQueries.qualityTopPOf(
+        big.withColumn("lang", concat(lit("l"), col("doc_id") % 3))).count())
     probe(s"decontaminate @${nBig}")(warmBig())(
       graft.queries.CurationQueries.decontaminateOf(big).count())
     // the production two-input shape: bench side broadcast, no corpus

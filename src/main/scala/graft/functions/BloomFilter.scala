@@ -145,13 +145,17 @@ object Bloom {
     }
     requireIntegral(fact, factKey)
     requireIntegral(dim, dimKey)
-    // ONE aggregate job over the build side's keys gets the bits AND the
-    // key count (mBits/8 bytes per partition to the final OR-merge, then
-    // O(KB) to the driver); a second build job runs only when the count
-    // shows the floor-size filter would saturate
+    // ONE aggregate job over the build side's keys gets the bits AND a
+    // DISTINCT-key estimate (mBits/8 bytes per partition to the final
+    // OR-merge, then O(KB) to the driver); a second build job runs only
+    // when the estimate shows the floor-size filter would saturate.
+    // Distinct (approx HLL, ±2% — ample for a bits-per-key decision),
+    // NOT count(*): a duplicate-heavy build side (10M rows over 5k keys)
+    // sets only 5k keys' worth of bits, and a row count would trigger a
+    // pointless full-size rebuild.
     val first = dim
       .select(bloomAgg(col(dimKey).cast("long"), mBits, k).as("w"),
-        count(col(dimKey)).as("n"))
+        approx_count_distinct(col(dimKey)).as("n"))
       .head()
     val nKeys = first.getLong(1)
     val need = sizedBits(nKeys, mBits)

@@ -162,8 +162,14 @@ object CurationQueries {
           Window.partitionBy("lang").orderBy(col("qb").desc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_n", sum(col("_bn")).over(Window.partitionBy("lang")))
-      .select(col("lang"), col("qb"), col("_offset"), col("_n"))
-    within.join(broadcast(offsets), Seq("lang", "qb"))
+      .select(col("lang").as("_o_lang"), col("qb").as("_o_qb"),
+        col("_offset"), col("_n"))
+    // null-safe on BOTH keys: a null lang (its own percent_rank
+    // partition) or null quality (null bucket, ranked NULLS-LAST like
+    // the DESC window) must re-join its offsets — a USING join would
+    // silently DROP those rows while the windowed spelling ranks them
+    within.join(broadcast(offsets),
+        col("lang") <=> col("_o_lang") && col("qb") <=> col("_o_qb"))
       .withColumn("q_rank",
         when(col("_n") === 1, lit(0.0))
           .otherwise((col("_offset") + col("_rn") - 1).cast("double") /

@@ -812,11 +812,12 @@ object PipelineQueries {
         |seen AS (SELECT * FROM t WHERE doc_id % 3 = 0),
         |fresh AS (SELECT n.* FROM newb n
         |          ANTI JOIN (SELECT DISTINCT md5(lower(text)) AS fp FROM seen) s
-        |            ON md5(lower(n.text)) = s.fp),
+        |            ON md5(lower(n.text)) IS NOT DISTINCT FROM s.fp),
         |keep AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS kid
         |         FROM fresh GROUP BY 1)
         |SELECT f.doc_id, f.text FROM fresh f
-        |JOIN keep k ON md5(lower(f.text)) = k.fp AND f.doc_id = k.kid""".stripMargin,
+        |JOIN keep k ON md5(lower(f.text)) IS NOT DISTINCT FROM k.fp
+        |           AND f.doc_id = k.kid""".stripMargin,
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
     // the groups oracle as a derived table, then the same quality

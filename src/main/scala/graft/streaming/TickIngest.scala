@@ -67,32 +67,55 @@ object TickIngest {
     * the checkpoint commit replays the batch; without the anti-join the
     * replay duplicates every row.
     *
-    * Scale shape: the existing-keys read is PRUNED twice — to the
-    * batch's symbol partitions (directory pruning on the partition
-    * column) and to the batch's [min, max] event-time range (parquet
-    * row-group stats) — so it touches a sliver of the lake, not a
-    * table scan; only (symbol, time) key columns are read. The batch is
-    * persisted across its two consumers (key-bounds agg + anti-join) and
-    * unpersisted after the write. */
+    * Scale shape: the existing-keys read LISTS ONLY the batch's symbol
+    * partition directories (O(batch symbols) discovery per batch — a
+    * whole-lake `read.parquet(root)` would re-list every file ever
+    * written each trigger, and a 10 s-cadence sink falls behind once the
+    * lake holds 10⁵+ files) and is further pruned to the batch's
+    * [min, max] event-time range (parquet row-group stats); only
+    * (symbol, time) key columns are read. A symbol directory that does
+    * not exist yet (first batch for that symbol, or a brand-new lake)
+    * contributes nothing; any OTHER filesystem/read error PROPAGATES —
+    * swallowing it would silently disable idempotence for the batch.
+    * Null keys still dedup: the anti-join is null-safe on both columns
+    * and null event times ride past the time-range pushdown, so a
+    * replayed null-keyed row cannot re-append forever. The batch is
+    * persisted across its consumers and unpersisted after the write. */
   def appendBatchIdempotent(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
     val b = batch.dropDuplicates("symbol", "time").persist()
     try {
-      val bounds = b.agg(min(col("time")), max(col("time"))).head()
-      if (!bounds.isNullAt(0)) { // null min(time) ⇔ empty batch: no write
-        val fresh = scala.util.Try(spark.read.parquet(path)) // absent on first batch
-          .toOption match {
-          case Some(existing) =>
-            val syms = b.select("symbol").distinct().collect().map(_.get(0))
-            val existingKeys = existing
-              .where(col("symbol").isin(syms: _*) &&
-                col("time").between(lit(bounds.get(0)), lit(bounds.get(1))))
-              .select("symbol", "time")
-            b.join(existingKeys, Seq("symbol", "time"), "left_anti")
-          case None => b
+      if (b.isEmpty) return
+      // null symbols land in Hive's default partition dir on write — the
+      // replay check must look there too
+      val syms: Array[String] = b.select("symbol").distinct().collect()
+        .map(r => if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
+                  else String.valueOf(r.get(0)))
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val touched = syms.map(s => new org.apache.hadoop.fs.Path(root, s"symbol=$s"))
+        .filter(fs.exists(_))
+      val fresh =
+        if (touched.isEmpty) b
+        else {
+          val bounds = b.agg(min(col("time")), max(col("time"))).head()
+          // an all-null-time batch still appends (and still dedups on
+          // the null key) — min(time)=null must NOT read as "empty"
+          val timePred =
+            if (bounds.isNullAt(0)) col("time").isNull
+            else col("time").isNull ||
+              col("time").between(lit(bounds.get(0)), lit(bounds.get(1)))
+          val existingKeys = spark.read
+            .option("basePath", path)
+            .parquet(touched.map(_.toString): _*)
+            .where(timePred)
+            .select(col("symbol").as("_ek_symbol"), col("time").as("_ek_time"))
+          b.join(existingKeys,
+            col("symbol") <=> col("_ek_symbol") &&
+              col("time") <=> col("_ek_time"),
+            "left_anti")
         }
-        fresh.write.mode("append").partitionBy("symbol").parquet(path)
-      }
+      fresh.write.mode("append").partitionBy("symbol").parquet(path)
     } finally b.unpersist()
   }
 

@@ -88,10 +88,17 @@ class CurationSpec extends SparkSpec {
     // integers, same double division — including single-doc languages
     // (percent_rank's 0.0 special case) and tie-heavy score runs
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text", "lang")
-      .union(Seq((100001L, "one lonely doc", "xx")).toDF("doc_id", "text", "lang"))
+      .union(Seq(
+        (100001L, Option("one lonely doc"), Option("xx")),
+        // null lang: its own percent_rank partition (single doc → 0.0)
+        (100002L, Option("a doc with no language tag"), None),
+        // null text → null quality: NULLS-LAST in the DESC order, must
+        // survive the decomposition's join, not silently vanish
+        (100003L, None: Option[String], Option("xx")))
+        .toDF("doc_id", "text", "lang"))
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getString(1),
-        r.getDouble(2), r.getDouble(3))).toSet
+        Option(r.get(2)), r.getDouble(3))).toSet
     val dec = canon(CurationQueries.qualityTopPOf(docs))
     val win = canon(CurationQueries.qualityTopPWindowed(docs))
     spark.catalog.clearCache()

@@ -369,6 +369,23 @@ class StreamingSpec extends SparkSpec {
     // empty batch: no-op, no write
     TickIngest.appendBatchIdempotent(batch1.limit(0), path)
     assert(spark.read.parquet(path).count() == 4)
+    // null keys are still exactly-once: a null event time (malformed
+    // upstream tick) and a null symbol must both append once and dedup
+    // on replay — a null-rejecting anti-join would re-append them on
+    // every replay, an all-null-time batch must not read as "empty"
+    val nullish = Seq(
+      ("FPT", null.asInstanceOf[Timestamp], 11.1),
+      (null.asInstanceOf[String], ts("2023-02-07 09:31:00"), 12.2))
+      .toDF("symbol", "time", "close")
+    TickIngest.appendBatchIdempotent(nullish, path)
+    assert(spark.read.parquet(path).count() == 6)
+    TickIngest.appendBatchIdempotent(nullish, path) // replay: no-op
+    assert(spark.read.parquet(path).count() == 6)
+    val allNullTime = Seq(("VNM", null.asInstanceOf[Timestamp], 13.3))
+      .toDF("symbol", "time", "close")
+    TickIngest.appendBatchIdempotent(allNullTime, path)
+    TickIngest.appendBatchIdempotent(allNullTime, path)
+    assert(spark.read.parquet(path).count() == 7)
   }
 
   test("curateDocStream: ingest-time quality gate + bloom decontamination") {
