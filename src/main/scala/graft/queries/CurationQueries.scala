@@ -328,6 +328,57 @@ object CurationQueries {
       docs.where(bucket === BenchBucket))
   }
 
+  // ---- drop-reason audit -------------------------------------------------
+
+  /** Quality floor shared by the audit and the pipeline compositions. */
+  private val AuditQualityMin = 0.5
+
+  /** Per-document curation AUDIT — the observability layer a production
+    * pipeline runs next to its yield numbers: every document gets the
+    * FIRST gate that would drop it, in the pipeline's evaluation order
+    * (bench holdout → exact dedup → decontamination → quality floor), or
+    * `kept`. Drop-reason attribution is how a data team explains a
+    * yield change ("the new crawl is 40% exact dups, not lower
+    * quality") without re-running the pipeline once per gate.
+    *
+    * Planted construction: the q_dedup_cap boilerplate replacement
+    * (every doc_id % 7 == 0 shares one text) gives the exact-dup gate
+    * real work on the dup-free fixture; all gates see the SAME planted
+    * text, in engine and oracle alike.
+    *
+    * Scale shape: each gate contributes only a KEY set (keeper ids,
+    * contaminated ids) left-joined onto the train scan — the quality
+    * expression evaluates inline; nothing materializes more than
+    * (doc_id, flag) pairs per gate, and the statuses are disjoint by
+    * construction of the CASE order. */
+  def dropReasons(s: SparkSession, d: String): DataFrame = {
+    val t = when(col("doc_id") % 7 === 0,
+      lit("boilerplate terms of service apply to this document"))
+      .otherwise(col("text"))
+    dropReasonsOf(par(documents(s, d)).select(col("doc_id"), t.as("text")))
+  }
+
+  def dropReasonsOf(docs: DataFrame): DataFrame = {
+    val bench = TA.hashBucket(col("doc_id"), BenchBuckets) === BenchBucket
+    val train = docs.where(!bench)
+    // exact dedup runs over the TRAIN side only (bench is held out
+    // before any mutation of the training pool)
+    val keepers = Dedup.dedupKeepRows(train, "doc_id", "text")
+      .select(col("doc_id"), lit(1).as("_keeper"))
+    val contaminated = decontaminateOf(docs)
+      .select(col("doc_id"), lit(1).as("_contam"))
+    train
+      .join(keepers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_keeper").isNull, lit("exact_dup"))
+          .when(col("_contam") === 1, lit("contaminated"))
+          .when(TA.qualityScore(col("text"), Stopwords) < AuditQualityMin,
+            lit("low_quality"))
+          .otherwise(lit("kept")).as("status"))
+      .union(docs.where(bench).select(col("doc_id"), lit("bench").as("status")))
+  }
+
   // ---- capped soft dedup ----------------------------------------------
 
   /** Copies kept per exact fingerprint. */
@@ -469,6 +520,7 @@ object CurationQueries {
     "q_mix_apply"     -> (mixApply _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_x" -> (decontaminateX _),
+    "q_drop_reasons"  -> (dropReasons _),
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
     "q_semdedup"      -> (semDedupQ _),
@@ -580,6 +632,42 @@ object CurationQueries {
          |  CAST(count(hit) AS BIGINT) AS n_hits,
          |  CAST(count(hit) AS DOUBLE) / count(*) AS contam_frac
          |FROM j GROUP BY doc_id HAVING count(hit) > 0""".stripMargin,
+    // planted construction + the three gate CTEs in the engine's CASE
+    // order; keeper join is null-safe like dedupKeepRows' <=> discipline
+    "q_drop_reasons" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |       THEN 'boilerplate terms of service apply to this document'
+         |       ELSE text END AS text
+         |FROM documents),
+         |b AS (SELECT doc_id, text,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |    % $BenchBuckets AS bucket FROM t),
+         |train AS (SELECT doc_id, text FROM b WHERE bucket <> $BenchBucket),
+         |keepers AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS kid
+         |            FROM train GROUP BY 1),
+         |toks AS (SELECT doc_id, $TOKS AS tk FROM t),
+         |pos AS (SELECT doc_id, tk, unnest(range(len(tk)-4)) AS i
+         |        FROM toks WHERE len(tk) >= 5),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i+1:i+5], ' ') AS shingle,
+         |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |           % $BenchBuckets AS bucket
+         |       FROM pos),
+         |bsh AS (SELECT DISTINCT shingle FROM sh WHERE bucket = $BenchBucket),
+         |contam AS (SELECT s.doc_id FROM sh s JOIN bsh ON s.shingle = bsh.shingle
+         |           WHERE s.bucket <> $BenchBucket GROUP BY s.doc_id),
+         |r AS (SELECT tr.doc_id, tr.text, k.kid, c.doc_id AS cid
+         |      FROM train tr
+         |      JOIN keepers k ON md5(lower(tr.text)) IS NOT DISTINCT FROM k.fp
+         |      LEFT JOIN contam c ON c.doc_id = tr.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id <> kid THEN 'exact_dup'
+         |       WHEN cid IS NOT NULL THEN 'contaminated'
+         |       WHEN $QUALITY_SQL < $AuditQualityMin THEN 'low_quality'
+         |       ELSE 'kept' END AS status
+         |FROM r
+         |UNION ALL
+         |SELECT doc_id, 'bench' AS status FROM b WHERE bucket = $BenchBucket""".stripMargin,
     // same planted boilerplate construction as the engine; row_number
     // over (fp, doc_id) is fully deterministic
     "q_dedup_cap" ->

@@ -237,6 +237,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dropReasonsOf attributes the first failing gate per document") {
+    val ids = spark.range(0, 300)
+      .select(col("id"), TA.hashBucket(col("id"), 16).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val benchId = ids.collectFirst { case (i, b) if b == 15 => i }.get
+    val Seq(dupA, dupB, contamId, lowQId, goodId) =
+      ids.collect { case (i, b) if b != 15 => i }.take(5).toSeq
+    val shared = "alpha beta gamma delta epsilon" // one bench 5-shingle
+    val prose = ("the quick brown fox jumps over the a of and to in is " * 6).trim
+    val docs = Seq(
+      (benchId, s"$shared zeta eta theta iota kappa"),
+      (dupA, prose),                                   // keeper of the dup pair
+      (dupB, prose),                                   // exact_dup (higher id...
+      (contamId, s"prefix words then $shared and a long tail here"),
+      (lowQId, "zz"),
+      (goodId, prose + " unique suffix tokens here"))
+      .toDF("doc_id", "text")
+    val got = CurationQueries.dropReasonsOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.catalog.clearCache()
+    assert(got(benchId) == "bench")
+    // min-id keeps: whichever of the pair is smaller is the keeper
+    val (keeper, dup) = if (dupA < dupB) (dupA, dupB) else (dupB, dupA)
+    assert(got(dup) == "exact_dup")
+    assert(got(keeper) == "kept")
+    assert(got(contamId) == "contaminated")
+    assert(got(lowQId) == "low_quality")
+    assert(got(goodId) == "kept")
+    assert(got.size == 6) // statuses partition the corpus: one row per doc
+  }
+
   test("dedupCapOf: keeps at most two copies per planted boilerplate group") {
     // ids 0..29: %7==0 -> 0,7,14,21,28 share one boilerplate fp
     val docs = (0L until 30L).map(i => (i, s"unique text number $i with some words"))
