@@ -319,6 +319,14 @@ object Dedup {
     // in all bands), shuffling the expansion with signatures attached
     // measured 2.5× the whole pipeline; shuffling 24-byte rows is noise.
     // The 16 per-band copies of a surviving pair collapse in distinct.
+    bandedPairTail(banded, k, threshold)
+  }
+
+  /** The bucket-aggregation pair-expansion tail over a banded-signature
+    * frame — shared by [[minhashPairs]] and
+    * [[minhashPairsFromSignatures]]. */
+  private def bandedPairTail(banded: DataFrame, k: Int,
+                             threshold: Double): DataFrame =
     banded
       .groupBy("band", "band_hash")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
@@ -330,6 +338,38 @@ object Dedup {
         (ArrayEqCount(col("a.sig"), col("b.sig")).cast("double") / k).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()
+
+  /** Pair expansion over PERSISTED signatures — the 100 TB shape the
+    * spill-safe twin's docs point at: compute [[minhashSignatures]]
+    * once, write the (doc_id, sig) frame to the lake (64-long arrays,
+    * ~520 B/doc — a tiny fraction of corpus bytes), then run every
+    * banding/threshold experiment from the artifact without re-shingling
+    * the corpus. `sigs` must carry (doc_id, sig: array<long> of width
+    * EXACTLY k) from the same (k, seed) the experiment assumes —
+    * signatures are seed-bound, so persist the seed alongside. The
+    * width is ENFORCED per row: a mismatched k would otherwise fail in
+    * BOTH directions silently (narrower sigs make the out-of-range
+    * bands hash empty slices — every doc collides there and the
+    * expansion degenerates to n²; wider sigs inflate est_jaccard past
+    * 1.0, since the estimate divides the full-array match count by k).
+    * Null-sig rows (a left join against the artifact leaves them) are
+    * dropped up front: no signature ⇒ no pairs — without the filter
+    * they would all collide into one wasted bucket per band. Identical
+    * output to [[minhashPairs]] on the frame the signatures were built
+    * from ([[graft.DedupSpec]] round-trips through parquet). */
+  def minhashPairsFromSignatures(sigs: DataFrame, k: Int = 64,
+                                 bands: Int = 16,
+                                 threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"minhashPairsFromSignatures needs bands in [1,k] dividing k (k=$k, bands=$bands)")
+    val checked = sigs
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"),
+        when(size(col("sig")) === k, col("sig")).otherwise(raise_error(concat(
+          lit(s"minhashPairsFromSignatures: expected sig width $k (signatures " +
+            "are (k, seed)-bound — re-read the artifact's k), got "),
+          size(col("sig")).cast("string")))).as("sig"))
+    bandedPairTail(bandSigs(checked, k, bands), k, threshold)
   }
 
   /** (doc_id, sig, band, band_hash) band fan-out shared by the two pair
@@ -343,11 +383,17 @@ object Dedup {
     * semantics: pure-boilerplate documents have no content to match. */
   private def bandedSignatures(df: DataFrame, id: String, text: String,
                                shingleN: Int, k: Int, bands: Int,
-                               dropShingles: Option[DataFrame] = None): DataFrame = {
-    val rows = k / bands
-    val sigs = minhashSignatures(
+                               dropShingles: Option[DataFrame] = None): DataFrame =
+    bandSigs(minhashSignatures(
       dropKeys(shinglesRaw(ensureParallel(df, col(id)), id, text, shingleN),
-        "shingle", dropShingles), k)
+        "shingle", dropShingles), k), k, bands)
+
+  /** The band fan-out itself — ONE copy of the band key definition
+    * (xxhash64 over the band's signature slice), shared by the inline
+    * pipeline and the persisted-artifact path so a band-key change can
+    * never split their outputs silently. */
+  private def bandSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     sigs.select(col("doc_id"), col("sig"), posexplode(
       array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))

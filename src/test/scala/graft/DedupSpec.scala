@@ -189,6 +189,37 @@ class DedupSpec extends SparkSpec {
     assert(prodChain.size == 64 && prodChain.values.forall(_ == 0L))
   }
 
+  test("pairs from PERSISTED signatures round-trip identical to direct") {
+    // the 100 TB shape: signatures written once, every banding
+    // experiment runs from the artifact — parquet round-trip must not
+    // perturb a single pair or estimate
+    val docs = Tables.documents(spark, sf0001)
+    val direct = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("sigs").toString
+    Dedup.minhashSignatures(
+        Dedup.shinglesRaw(docs, "doc_id", "text", 5), 64)
+      .write.mode("overwrite").parquet(dir)
+    val fromArtifact = Dedup.minhashPairsFromSignatures(spark.read.parquet(dir))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(direct.nonEmpty && fromArtifact == direct)
+    // width mismatch fails LOUDLY (narrower sigs would degenerate the
+    // out-of-range bands to whole-corpus buckets; wider ones inflate
+    // est_jaccard past 1.0 — both silent without the guard)
+    val e = intercept[Exception] {
+      Dedup.minhashPairsFromSignatures(spark.read.parquet(dir), k = 32,
+        bands = 16).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("expected sig width 32"))
+    // null sigs (left-join shape): dropped, not one degenerate bucket
+    val withNulls = spark.read.parquet(dir).union(
+      spark.range(900000, 900005).select(col("id").as("doc_id"),
+        lit(null).cast("array<bigint>").as("sig")))
+    val padded = Dedup.minhashPairsFromSignatures(withNulls)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(padded == direct)
+  }
+
   test("dedupNewRows: seen fingerprints block, min-id wins within batch") {
     val seen = Seq(
       (0L, Option("already ingested text")),
