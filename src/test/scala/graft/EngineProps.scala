@@ -225,6 +225,22 @@ object EngineProps extends Properties("engine") {
       dec == win
     }
 
+  property("star CC production convergence equals exact mode on random graphs") =
+    forAll(Gen.nonEmptyListOf(
+        Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))).map(_.take(20))) { es =>
+      // random multigraphs over 16 vertices: self-loops, duplicate and
+      // reversed edges, chains, cliques — the fingerprint-gated
+      // heuristic must emit the identical component map
+      import spark.implicits._
+      val pairs = es.toDF("doc_a", "doc_b")
+      val exact = graft.functions.Dedup.connectedComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prod = graft.functions.Dedup.connectedComponentsStar(pairs,
+          exactConvergence = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      prod == exact
+    }
+
   property("incremental dedup: empty seen == plain dedup; self-seen == empty") =
     forAll(Gen.nonEmptyListOf(docGen).map(_.take(12))) { texts =>
       val docs = docsDf(texts)

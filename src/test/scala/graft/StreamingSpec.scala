@@ -388,6 +388,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 7)
   }
 
+  test("lake compaction: many small batch files become few, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("lake-compact").toString
+    val path = s"$dir/data"
+    // six micro-batches -> >= 6 files in the FPT partition
+    (0 until 6).foreach { i =>
+      TickIngest.appendBatchIdempotent(
+        Seq(("FPT", ts(f"2023-02-07 09:30:$i%02d"), 80.0 + i),
+          ("VNM", ts(f"2023-02-07 09:30:$i%02d"), 70.0 + i))
+          .toDF("symbol", "time", "close"), path)
+    }
+    val beforeRows = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Timestamp]("time"),
+        r.getAs[Double]("close"))).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles(sym: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(path, s"symbol=$sym"))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(nFiles("FPT") >= 6)
+    val (parts, before, after) =
+      graft.streaming.LakeMaintenance.compactLake(spark, path)
+    assert(parts == 2 && before >= 12 && after == 2)
+    assert(nFiles("FPT") == 1 && nFiles("VNM") == 1)
+    // identical rows, partition column intact, and the sink's replay
+    // dedup still sees the compacted keys
+    val afterRows = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Timestamp]("time"),
+        r.getAs[Double]("close"))).toSet
+    assert(afterRows == beforeRows && afterRows.size == 12)
+    TickIngest.appendBatchIdempotent(
+      Seq(("FPT", ts("2023-02-07 09:30:00"), 99.9))
+        .toDF("symbol", "time", "close"), path)
+    assert(spark.read.parquet(path).count() == 12)
+    // idempotent second compaction: nothing above the file threshold
+    assert(graft.streaming.LakeMaintenance.compactLake(spark, path) == ((0, 0, 0)))
+  }
+
   test("curateDocStream: ingest-time quality gate + bloom decontamination") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
