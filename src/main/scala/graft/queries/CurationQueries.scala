@@ -24,6 +24,28 @@ object CurationQueries {
   private def par(df: DataFrame): DataFrame =
     graft.functions.Parallelism.ensureParallel(df)
 
+  // ---- planted exact-dup construction ---------------------------------
+  // The dup-free fixture needs planted duplicates for the exact-dedup
+  // operators (q_dedup_cap, q_dedup_incr, q_drop_reasons). ONE Scala
+  // helper + ONE SQL CTE, spliced everywhere — a per-query copy of the
+  // text or the modulus would let engine and oracle drift silently.
+
+  private[queries] val PlantedBoiler =
+    "boilerplate terms of service apply to this document"
+
+  /** Every doc_id % 7 == 0 row's text replaced by [[PlantedBoiler]];
+    * output is exactly (doc_id, text). */
+  private[queries] def plantDups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, lit(PlantedBoiler))
+        .otherwise(col("text")).as("text"))
+
+  /** The identical construction as a spliceable oracle CTE body. */
+  private[queries] val PLANT_CTE =
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN '$PlantedBoiler' ELSE text END AS text
+       |FROM documents""".stripMargin
+
   // ---- sliding-window chunking ----------------------------------------
 
   /** Tokens per chunk / tokens between chunk starts. Stride < size gives
@@ -351,12 +373,8 @@ object CurationQueries {
     * expression evaluates inline; nothing materializes more than
     * (doc_id, flag) pairs per gate, and the statuses are disjoint by
     * construction of the CASE order. */
-  def dropReasons(s: SparkSession, d: String): DataFrame = {
-    val t = when(col("doc_id") % 7 === 0,
-      lit("boilerplate terms of service apply to this document"))
-      .otherwise(col("text"))
-    dropReasonsOf(par(documents(s, d)).select(col("doc_id"), t.as("text")))
-  }
+  def dropReasons(s: SparkSession, d: String): DataFrame =
+    dropReasonsOf(plantDups(par(documents(s, d))))
 
   def dropReasonsOf(docs: DataFrame): DataFrame = {
     val bench = TA.hashBucket(col("doc_id"), BenchBuckets) === BenchBucket
@@ -388,9 +406,9 @@ object CurationQueries {
     * the capped variant pipelines use when some duplication is signal
     * (a document repeated across crawl dumps is evidence of quality,
     * but a million copies is boilerplate). The fixture corpus has no
-    * exact dups, so every doc_id % 7 == 0 row is replaced by one shared
-    * boilerplate string — the q_pii_scrub pattern: engine and oracle
-    * construct the IDENTICAL input and the cap semantics are compared.
+    * exact dups, so the shared [[plantDups]] construction plants them —
+    * the q_pii_scrub pattern: engine and oracle construct the IDENTICAL
+    * input and the cap semantics are compared.
     *
     * Scale shape: ONE fingerprint-keyed window (hash-shuffle on fp,
     * in-partition sort by id) over (fp, id) pairs — document text never
@@ -398,15 +416,12 @@ object CurationQueries {
   def dedupCap(s: SparkSession, d: String): DataFrame =
     dedupCapOf(par(documents(s, d)))
 
-  def dedupCapOf(docs: DataFrame): DataFrame = {
-    val t = when(col("doc_id") % 7 === 0,
-      lit("boilerplate terms of service apply to this document"))
-      .otherwise(col("text"))
-    docs.select(col("doc_id"), md5(lower(t)).as("fp"))
+  def dedupCapOf(docs: DataFrame): DataFrame =
+    plantDups(docs)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .withColumn("copy_rank", row_number().over(
         Window.partitionBy("fp").orderBy("doc_id")))
       .where(col("copy_rank") <= DupCap)
-  }
 
   // ---- token-budget selection -----------------------------------------
 
@@ -635,11 +650,7 @@ object CurationQueries {
     // planted construction + the three gate CTEs in the engine's CASE
     // order; keeper join is null-safe like dedupKeepRows' <=> discipline
     "q_drop_reasons" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 7 = 0
-         |       THEN 'boilerplate terms of service apply to this document'
-         |       ELSE text END AS text
-         |FROM documents),
+      s"""WITH t AS ($PLANT_CTE),
          |b AS (SELECT doc_id, text,
          |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          |    % $BenchBuckets AS bucket FROM t),
@@ -668,16 +679,12 @@ object CurationQueries {
          |FROM r
          |UNION ALL
          |SELECT doc_id, 'bench' AS status FROM b WHERE bucket = $BenchBucket""".stripMargin,
-    // same planted boilerplate construction as the engine; row_number
-    // over (fp, doc_id) is fully deterministic
+    // the shared planted construction; row_number over (fp, doc_id) is
+    // fully deterministic
     "q_dedup_cap" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 7 = 0
-         |       THEN 'boilerplate terms of service apply to this document'
-         |       ELSE text END AS tt
-         |FROM documents),
-         |r AS (SELECT doc_id, md5(lower(tt)) AS fp,
-         |        CAST(row_number() OVER (PARTITION BY md5(lower(tt))
+      s"""WITH t AS ($PLANT_CTE),
+         |r AS (SELECT doc_id, md5(lower(text)) AS fp,
+         |        CAST(row_number() OVER (PARTITION BY md5(lower(text))
          |                                ORDER BY doc_id) AS INTEGER) AS copy_rank
          |      FROM t)
          |SELECT doc_id, fp, copy_rank FROM r WHERE copy_rank <= $DupCap""".stripMargin,

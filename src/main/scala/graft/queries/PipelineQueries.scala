@@ -352,17 +352,14 @@ object PipelineQueries {
   }
 
   /** INCREMENTAL exact dedup (the daily-ingest shape) over a planted
-    * split: the q_dedup_cap boilerplate construction plants exact dups
-    * (every doc_id % 7 == 0 shares one text), then doc_id % 3 splits the
-    * corpus into SEEN (already ingested) and NEW (today's batch) — new
-    * docs whose fingerprint exists in seen are blocked, and the
-    * remaining within-batch dup group keeps its min id
+    * split: the shared [[CurationQueries.plantDups]] construction plants
+    * exact dups (every doc_id % 7 == 0 shares one text), then doc_id % 3
+    * splits the corpus into SEEN (already ingested) and NEW (today's
+    * batch) — new docs whose fingerprint exists in seen are blocked, and
+    * the remaining within-batch dup group keeps its min id
     * ([[Dedup.dedupNewRows]]). */
   def dedupIncr(s: SparkSession, d: String): DataFrame = {
-    val t = when(col("doc_id") % 7 === 0,
-      lit("boilerplate terms of service apply to this document"))
-      .otherwise(col("text"))
-    val docs = par(documents(s, d)).select(col("doc_id"), t.as("text"))
+    val docs = CurationQueries.plantDups(par(documents(s, d)))
     Dedup.dedupNewRows(
       docs.where(col("doc_id") % 3 =!= 0),
       docs.where(col("doc_id") % 3 === 0), "doc_id", "text")
@@ -800,14 +797,10 @@ object PipelineQueries {
     // (df DESC, shingle)), ANTI JOINed before the signature CTEs
     "q_minhash_dropped" -> Dedup.minhashPairsOracleSql(
       dropMinDfTopK = Some((BoilerMinDf, BoilerTopK))),
-    // planted construction shared with q_dedup_cap; seen-side distinct
-    // fingerprints block new rows, min-id wins within the batch
+    // the shared planted construction; seen-side distinct fingerprints
+    // block new rows, min-id wins within the batch
     "q_dedup_incr" ->
-      """WITH t AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 0
-        |       THEN 'boilerplate terms of service apply to this document'
-        |       ELSE text END AS text
-        |FROM documents),
+      s"""WITH t AS (${CurationQueries.PLANT_CTE}),
         |newb AS (SELECT * FROM t WHERE doc_id % 3 <> 0),
         |seen AS (SELECT * FROM t WHERE doc_id % 3 = 0),
         |fresh AS (SELECT n.* FROM newb n

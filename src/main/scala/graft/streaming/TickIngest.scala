@@ -86,15 +86,21 @@ object TickIngest {
     val b = batch.dropDuplicates("symbol", "time").persist()
     try {
       if (b.isEmpty) return
-      // null symbols land in Hive's default partition dir on write — the
-      // replay check must look there too
-      val syms: Array[String] = b.select("symbol").distinct().collect()
-        .map(r => if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
-                  else String.valueOf(r.get(0)))
+      // partition dir names use Spark's OWN escaping (a raw "symbol=$s"
+      // misses any symbol containing '=', '/', '%', … — fs.exists comes
+      // back false and the idempotence anti-join silently disappears for
+      // that symbol); null symbols land in Hive's default partition
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val symType = b.schema("symbol").dataType
+      val syms: Array[Option[String]] = b.select("symbol").distinct().collect()
+        .map(r => if (r.isNullAt(0)) None else Some(String.valueOf(r.get(0))))
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val touched = syms.map(s => new org.apache.hadoop.fs.Path(root, s"symbol=$s"))
-        .filter(fs.exists(_))
+      val touched = syms.map { s =>
+        val dirName = "symbol=" + s.map(ExternalCatalogUtils.escapePathName)
+          .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        (s, new org.apache.hadoop.fs.Path(root, dirName))
+      }.filter(t => fs.exists(t._2))
       val fresh =
         if (touched.isEmpty) b
         else {
@@ -105,11 +111,18 @@ object TickIngest {
             if (bounds.isNullAt(0)) col("time").isNull
             else col("time").isNull ||
               col("time").between(lit(bounds.get(0)), lit(bounds.get(1)))
-          val existingKeys = spark.read
-            .option("basePath", path)
-            .parquet(touched.map(_.toString): _*)
-            .where(timePred)
-            .select(col("symbol").as("_ek_symbol"), col("time").as("_ek_time"))
+          // per-dir reads with the symbol attached as a LITERAL of the
+          // batch column's type — NOT partition-column discovery, whose
+          // type inference coerces numeric-looking partition values
+          // ("005930" reads back as 5930, and the replay key silently
+          // stops matching)
+          val existingKeys = touched.map { case (s, dir) =>
+            spark.read.parquet(dir.toString)
+              .where(timePred)
+              .select(s.map(v => lit(v)).getOrElse(lit(null))
+                .cast(symType).as("_ek_symbol"),
+                col("time").as("_ek_time"))
+          }.reduce(_ union _)
           b.join(existingKeys,
             col("symbol") <=> col("_ek_symbol") &&
               col("time") <=> col("_ek_time"),

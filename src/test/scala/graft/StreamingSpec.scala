@@ -386,6 +386,16 @@ class StreamingSpec extends SparkSpec {
     TickIngest.appendBatchIdempotent(allNullTime, path)
     TickIngest.appendBatchIdempotent(allNullTime, path)
     assert(spark.read.parquet(path).count() == 7)
+    // symbols needing partition-name ESCAPING ("ES=F" writes to
+    // symbol=ES%3DF) must still dedup on replay — a raw "symbol=$s"
+    // existence check misses the escaped dir and silently re-appends
+    val escaped = Seq(("ES=F", ts("2023-02-07 09:32:00"), 14.4))
+      .toDF("symbol", "time", "close")
+    TickIngest.appendBatchIdempotent(escaped, path)
+    TickIngest.appendBatchIdempotent(escaped, path)
+    val lake2 = spark.read.parquet(path)
+    assert(lake2.count() == 8)
+    assert(lake2.where(col("symbol") === "ES=F").count() == 1)
   }
 
   test("lake compaction: many small batch files become few, rows intact") {
