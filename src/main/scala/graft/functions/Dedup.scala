@@ -388,6 +388,16 @@ object Dedup {
       dropKeys(shinglesRaw(ensureParallel(df, col(id)), id, text, shingleN),
         "shingle", dropShingles), k), k, bands)
 
+  /** Public (doc_id, band, band_hash) projection of [[bandSigs]] — the
+    * compact LSH membership a near-dup GATE persists as its seen-state
+    * (the signature itself stays out of the state table: ~16 longs/doc
+    * instead of ~(16+64)). */
+  def signatureBands(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"signatureBands needs bands in [1,k] dividing k (k=$k, bands=$bands)")
+    bandSigs(sigs, k, bands).select(col("doc_id"), col("band"), col("band_hash"))
+  }
+
   /** The band fan-out itself — ONE copy of the band key definition
     * (xxhash64 over the band's signature slice), shared by the inline
     * pipeline and the persisted-artifact path so a band-key change can

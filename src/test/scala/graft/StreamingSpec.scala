@@ -398,6 +398,44 @@ class StreamingSpec extends SparkSpec {
     assert(lake2.where(col("symbol") === "ES=F").count() == 1)
   }
 
+  test("NearDupGate: cross-batch near-dups drop, replays idempotent") {
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val other = (0 until 60).map(i => s"alpha$i").mkString(" ")
+    // batch 1: A, its exact copy, and one distinct doc — the batch-local
+    // component keeps min id, the distinct doc passes
+    val b1 = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    assert(NearDupGate.curateBatch(b1, out, state) == 2L)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 3L)))
+    // batch 2: a NEAR-dup of an admitted doc (one token changed) drops
+    // via the state probe; a genuinely new doc and a too-short-to-
+    // shingle doc both pass
+    val b2 = Seq(
+      (10L, base.replace("tok57", "changed")),
+      (11L, (0 until 60).map(i => s"beta$i").mkString(" ")),
+      (12L, "tiny doc"))
+      .toDF("doc_id", "text")
+    assert(NearDupGate.curateBatch(b2, out, state) == 4L)
+    // full replay of batch 2: nothing new lands in out OR duplicates
+    assert(NearDupGate.curateBatch(b2, out, state) == 4L)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 3L, 11L, 12L)))
+    // and through the streaming sink: one more near-dup + one new doc
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = NearDupGate.startNearDupSink(
+      mem.toDF().toDF("doc_id", "text"), out, state, s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    mem.addData((20L, other.replace("alpha57", "x")), // near-dup of 3: drop
+      (21L, (0 until 60).map(i => s"gamma$i").mkString(" ")))
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 3L, 11L, 12L, 21L)))
+  }
+
   test("lake compaction: many small batch files become few, rows intact") {
     val dir = java.nio.file.Files.createTempDirectory("lake-compact").toString
     val path = s"$dir/data"
