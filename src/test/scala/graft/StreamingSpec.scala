@@ -411,26 +411,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
       .sameElements(Array(1L, 3L)))
     // batch 2: a NEAR-dup of an admitted doc (one token changed) drops
-    // via the state probe; a genuinely new doc and a too-short-to-
-    // shingle doc both pass
+    // via the state probe; an exact copy of DROPPED doc 2 drops too
+    // (the state registers dropped docs' bands, not just survivors');
+    // a genuinely new doc and a too-short-to-shingle doc both pass
     val b2 = Seq(
       (10L, base.replace("tok57", "changed")),
       (11L, (0 until 60).map(i => s"beta$i").mkString(" ")),
-      (12L, "tiny doc"))
+      (12L, "tiny doc"),
+      (13L, base))
       .toDF("doc_id", "text")
-    assert(NearDupGate.curateBatch(b2, out, state) == 4L)
-    // full replay of batch 2: nothing new lands in out OR duplicates
-    assert(NearDupGate.curateBatch(b2, out, state) == 4L)
+    assert(NearDupGate.curateBatch(b2, out, state) == 2L)
+    // full replay of batch 2: zero newly admitted, no duplicates
+    assert(NearDupGate.curateBatch(b2, out, state) == 0L)
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
       .sameElements(Array(1L, 3L, 11L, 12L)))
+    // parameter binding: a restart with different banding fails loudly
+    // instead of silently never colliding with the existing state
+    val pex = intercept[IllegalArgumentException] {
+      NearDupGate.curateBatch(b2, out, state, bands = 32)
+    }
+    assert(pex.getMessage.contains("parameter-bound"))
     // and through the streaming sink: one more near-dup + one new doc
+    // (data added BEFORE start: AvailableNow snapshots offsets at start)
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
+    mem.addData((20L, other.replace("alpha57", "x")), // near-dup of 3: drop
+      (21L, (0 until 60).map(i => s"gamma$i").mkString(" ")))
     val q = NearDupGate.startNearDupSink(
       mem.toDF().toDF("doc_id", "text"), out, state, s"$dir/ckpt",
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    mem.addData((20L, other.replace("alpha57", "x")), // near-dup of 3: drop
-      (21L, (0 until 60).map(i => s"gamma$i").mkString(" ")))
     q.awaitTermination(60000)
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
       .sameElements(Array(1L, 3L, 11L, 12L, 21L)))
