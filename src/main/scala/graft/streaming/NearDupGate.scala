@@ -61,8 +61,14 @@ import graft.functions.Dedup
   * Scale shape: the state probe reads only (band, band_hash) — at 10⁹
   * seen docs that is ~16·10⁹ rows of two longs, a bucketed/Z-ordered
   * table in production; the semi-join is band_hash-keyed and never
-  * touches document text. [[LakeMaintenance.compactLake]]-style
-  * compaction applies to both output and state dirs. */
+  * touches document text. The output-side replay anti-join reads the
+  * output's doc_id column in full each batch — correct but growing;
+  * it cannot be time-pruned (a restart after arbitrary downtime replays
+  * a batch whose rows landed arbitrarily long ago), so the production
+  * move is a MERGE-capable table format (or a doc_id-bucketed output
+  * whose buckets broadcast) once the output outgrows a column scan.
+  * [[LakeMaintenance.compactLake]]-style compaction applies to both
+  * output and state dirs. */
 object NearDupGate {
 
   /** One micro-batch through the gate. `batch` must carry
