@@ -22,9 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators that cache intermediates (shingles, signatures,
-      // centroids) would otherwise accumulate storage across all queries
-      spark.catalog.clearCache()
+      // no clearCache: operators own no session-lifetime caches (r6 —
+      // CacheOwnershipSpec pins that nothing stays persisted after an
+      // action; internal caches like connectedComponents' edge set
+      // unpersist themselves)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

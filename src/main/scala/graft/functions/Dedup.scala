@@ -157,20 +157,27 @@ object Dedup {
     * a broadcast anti-join before bucketing), so only co-shingled
     * pairs are ever formed — never the full cross product.
     *
-    * Cache ownership: this operator caches its shingle intermediate for
-    * the three scans (counts + both self-join sides). The cache is LAZY —
-    * no job runs until the caller's first action, which materializes it
-    * once for all three consumers (they share one plan/action). The cache
-    * lives until the session drops it; long-lived sessions batching many
-    * corpora should `spark.catalog.clearCache()` between runs
-    * (graft.Verify and graft.Bench do). ([[minhashPairs]] avoids the
-    * cache entirely — its signature rides through the bucket
-    * aggregation.) */
+    * Cache ownership: NONE — this operator owns no session-lifetime
+    * cache (the r5 spelling cached the shingle intermediate for its
+    * three consumers, leaving a corpus-scale cache resident until
+    * someone called `clearCache()`; ADVICE additionally noted the lazy
+    * cache could not even guarantee single computation under concurrent
+    * stage scheduling). Instead BOTH consumers — the per-doc shingle
+    * counts and the pair expansion — read the SAME shingle-bucket
+    * aggregation: per-doc counts are recovered by re-exploding the
+    * bucket doc-lists (every distinct (doc, shingle) pair appears in
+    * exactly one bucket, so the multiset is identical). The two
+    * branches' shingle-keyed exchanges are canonically identical, so
+    * Spark plans ONE shuffle write (ReusedExchange —
+    * [[graft.PlanQualitySpec]] pins it) and the corpus is scanned,
+    * exploded, and deduped exactly once with nothing left resident. */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                    dropShingles: Option[DataFrame] = None): DataFrame = {
     val sh = dropKeys(shingles(ensureParallel(df, col(id)), id, text, n),
-      "shingle", dropShingles).cache()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      "shingle", dropShingles)
+    val buckets = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+    val counts = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // Shared-shingle pairs by BUCKET AGGREGATION, not a self-join: ONE
     // shuffle (groupBy shingle + collect_list) + in-bucket expansion,
     // exactly the collision pairs the join would form but without
@@ -179,7 +186,7 @@ object Dedup {
     // a boilerplate shingle shared by millions of docs buffers its doc
     // list in one agg buffer; drop/salt boilerplate upstream,
     // docs/SCALE.md).
-    val pairs = bucketPairCounts(sh, "shingle", "shared")
+    val pairs = pairTailFromBuckets(buckets, "shared")
     pairs
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
@@ -212,7 +219,16 @@ object Dedup {
     * pair-relevant occurrence. */
   private def bucketPairCounts(df: DataFrame, key: String,
                                countName: String): DataFrame =
-    df.groupBy(key).agg(collect_list(col("doc_id")).as("ds"))
+    pairTailFromBuckets(
+      df.groupBy(key).agg(collect_list(col("doc_id")).as("ds")), countName)
+
+  /** The expansion tail over an already-aggregated bucket frame
+    * (`ds`: collected doc-id list per bucket) — split out so
+    * [[jaccardPairs]] can feed its counts AND pairs from one bucket
+    * aggregation (ReusedExchange; see its cache-ownership note). */
+  private def pairTailFromBuckets(buckets: DataFrame,
+                                  countName: String): DataFrame =
+    buckets
       .where(size(col("ds")) > 1)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))

@@ -159,14 +159,15 @@ object TextAnalysis {
     *
     * Scale shape: TWO passes over the corpus token stream — the freq
     * build and the probe join (the tfidf topology) — plus one doc-keyed
-    * aggregation with map-side partials. The VOCABULARY-sized freq
-    * aggregate is cached LAZILY (the two-consumer cache contract — no
-    * job runs before the caller's first action): its second consumer,
-    * the corpus-total sum, reads the cached vocab rows instead of
-    * re-executing the whole scan→explode→aggregate subtree
-    * (bit-identical to counting the token stream). The cache belongs to
-    * the session — long-lived sessions batching many corpora should
-    * `spark.catalog.clearCache()` between runs (Verify/Bench do). The
+    * aggregation with map-side partials. The corpus token TOTAL is NOT
+    * summed from the freq aggregate (which would make freq a
+    * two-consumer frame needing a session-lifetime cache — the
+    * clearCache footgun r5's ADVICE flagged): the exploded row count
+    * equals the per-doc token-count sum, so `total` comes from one
+    * cheap scan of `docs` with no explode and no shuffle, bit-identical
+    * (integer row counts) to sum(tc). freq then has exactly ONE
+    * consumer, no cache exists, and nothing session-owned outlives the
+    * caller's action ([[graft.CacheOwnershipSpec]] pins this). The
     * frequency join is vocabulary-keyed; at corpus scale the vocab
     * table is ~millions of rows — Spark broadcast-joins it when small,
     * shuffle-joins otherwise. */
@@ -174,8 +175,12 @@ object TextAnalysis {
                   text: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{avg, broadcast, col, count, exp, sum}
     val toks = explodedTerms(docs, id, text)
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("tc")).cache()
-    val total = freq.agg(sum(col("tc")).as("total"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("tc"))
+    // size(tokens(null)) is null → sum skips it, exactly matching the
+    // zero rows explode() emits for null text; empty text contributes
+    // its one empty-string token on both sides
+    val total = docs.agg(
+      sum(size(tokens(col(text)))).as("total"))
     toks.join(freq, "term")
       .join(broadcast(total))
       .groupBy("doc_id")

@@ -169,11 +169,20 @@ object CurationQueries {
     * Skewed quality histograms concentrate buckets; raise B (doc_id is
     * in the sort key, so correctness never depends on the histogram). */
   def qualityTopPOf(docs: DataFrame): DataFrame = {
+    // NO cache on the two-consumer scored frame: the second consumer
+    // (per-(lang, qb) counts) re-runs the scan + quality projection but
+    // aggregates with map-side partials to ≤ |langs|·(B+1) rows — one
+    // extra corpus pass, bounded output. The r5 spelling cached this
+    // row-scale frame for the session instead (the clearCache footgun;
+    // ADVICE also noted the lazy cache couldn't even guarantee single
+    // computation under concurrent stage scheduling) — at 100 TB an
+    // extra streaming aggregation pass is the right trade against
+    // row-scale resident storage. [[graft.CacheOwnershipSpec]] pins
+    // that nothing stays persisted after the action.
     val scored = docs
       .select(col("doc_id"), col("lang"),
         TA.qualityScore(col("text"), Stopwords).as("quality"))
       .withColumn("qb", floor(col("quality") * TopPBuckets).cast("int"))
-      .cache() // lazy; two consumers share the first action's plan
     val within = scored.withColumn("_rn", row_number().over(
       Window.partitionBy("lang", "qb")
         .orderBy(col("quality").desc, col("doc_id").asc)))
@@ -292,21 +301,21 @@ object CurationQueries {
     decontaminateOf(par(documents(s, d)))
 
   /** Single-corpus twin (fixture shape): the bench set is a hash bucket
-    * of the SAME corpus, so one shingle pipeline feeds both sides. The
-    * shared intermediate is cached LAZILY — no job runs before the
-    * caller's first action (which materializes it once for both
-    * consumers; they share one plan). Long-lived sessions should
-    * `spark.catalog.clearCache()` between corpora (Verify/Bench do).
-    * The PRODUCTION shape — bench as a separate external eval suite,
-    * broadcast, no corpus-scale cache at all — is
-    * [[decontaminateAgainst]]. */
+    * of the SAME corpus. Bucket membership is per-document, so the
+    * split COMMUTES with shingling — splitting documents first and
+    * shingling each side through the production two-corpus path
+    * ([[decontaminateAgainst]]) yields the identical two shingle sets
+    * the r5 spelling built by shingling once and splitting after, with
+    * the corpus-scale session cache (and its clearCache contract) gone
+    * entirely. Measured CHEAPER than the cached spelling too
+    * (BENCH_r05: the split form q_decontaminate_x ran 0.94 s vs this
+    * twin's cached 1.14 s). The single-frame signature is kept for the
+    * registry/oracle continuity of q_decontaminate. */
   def decontaminateOf(docs: DataFrame): DataFrame = {
-    val sh = Dedup.shingles(docs, "doc_id", "text", 5)
-      .withColumn("bucket", TA.hashBucket(col("doc_id"), BenchBuckets))
-      .cache()
-    val bench = sh.where(col("bucket") === BenchBucket)
-      .select("shingle").distinct()
-    contaminated(sh.where(col("bucket") =!= BenchBucket), bench)
+    val bucket = TA.hashBucket(col("doc_id"), BenchBuckets)
+    decontaminateAgainst(
+      docs.where(bucket =!= BenchBucket),
+      docs.where(bucket === BenchBucket))
   }
 
   /** TWO-CORPUS benchmark decontamination — the production signature a
@@ -459,17 +468,16 @@ object CurationQueries {
     tokenBudgetOf(par(documents(s, d)))
 
   def tokenBudgetOf(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
-    // cached LAZILY (the jaccardPairs cache-ownership contract —
-    // Verify/Bench clearCache() between queries): the window and the
-    // offsets aggregation are two consumers of one action's plan, and
-    // without the cache each re-runs the regex-heavy score/tokenize
-    // scan. No job runs at construction time — the first action
-    // materializes the cache for both consumers.
+    // NO cache (the qualityTopPOf trade, same reasoning): the offsets
+    // branch re-runs the regex-heavy score/tokenize scan but aggregates
+    // with map-side partials straight to ≤ B+1 rows — one extra
+    // streaming pass instead of a row-scale frame held resident for the
+    // session behind a clearCache contract. CacheOwnershipSpec pins
+    // that no persisted storage outlives the action.
     val scored = docs.select(col("doc_id"),
       TA.qualityScore(col("text"), Stopwords).as("quality"),
       TA.tokenCount(col("text")).as("n_tokens"))
       .withColumn("qb", floor(col("quality") * BudgetBuckets).cast("int"))
-      .cache()
     val within = scored.withColumn("within_cum",
       sum(col("n_tokens")).over(
         Window.partitionBy("qb").orderBy(col("quality").desc, col("doc_id").asc)
