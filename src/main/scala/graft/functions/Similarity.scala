@@ -559,14 +559,45 @@ object Similarity {
     semDroppedVids(semAssign(emb, id, vec, nlist), minCos)
       .select(col("vid").as(id))
 
-  /** Oracle for [[semDedup]]: the seeded-centroid assignment CTE of
-    * [[ivfSeededOracleSql]] (row_number argmax with the same
-    * cs-DESC/pos-ASC tie-break as NearestCentroid), a cluster-local pair
-    * join, and the same left-assoc cosine chains — every compared double
-    * is bit-identical to the engine's fused loops. */
-  def semDedupOracleSql(nlist: Int = 16, minCos: Double = 0.3,
-                        dim: Int = 64): String =
-    s"""WITH seeds AS (
+  /** PAPER-FAITHFUL keep-one-per-component SemDeDup — the alternative
+    * retention the [[semDroppedVids]] note names, shipped as an option:
+    * the same cluster-local above-threshold pairs feed
+    * [[Dedup.connectedComponents]] and exactly one representative (the
+    * component MINIMUM id) survives per near-dup group. Identical output
+    * contract to [[semDedup]] — (id, cid, dropped 0/1) per vector. The
+    * two variants differ only on chains whose links straddle the
+    * threshold: pairwise-drop can drop a vector whose own partner was
+    * already dropped (transitive over-dropping), keep-one never drops
+    * below one survivor per component.
+    *
+    * Scale shape: the pair join is the same cluster-local one as
+    * [[semDedup]]; only (vid, vid) pair keys enter the CC rounds
+    * (bounded driver union-find fast path with the distributed
+    * fallback), and the final marking is one key-only left join. */
+  def semDedupCC(emb: DataFrame, id: String, vec: String,
+                 nlist: Int = 16, minCos: Double = 0.3): DataFrame = {
+    val assigned = semAssign(emb, id, vec, nlist)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
+      .where(cosine(col("a.v"), col("b.v")) >= minCos)
+      .select(col("a.vid").as("doc_a"), col("b.vid").as("doc_b"))
+    // pairs are unique by construction (one assigned row per vid, a<b)
+    val comps = Dedup.connectedComponents(pairs, pairsDistinct = true)
+      .select(col("doc_id").as("vid"), col("component_rep"))
+    assigned.select(col("vid"), col("cid"))
+      .join(comps, Seq("vid"), "left")
+      .select(col("vid").as(id), col("cid"),
+        when(col("component_rep").isNotNull &&
+          col("component_rep") =!= col("vid"), 1)
+          .otherwise(0).cast("int").as("dropped"))
+  }
+
+  /** The shared seeds/sim/asg assignment CTE block (the
+    * [[ivfSeededOracleSql]] row_number argmax with the same
+    * cs-DESC/pos-ASC tie-break as NearestCentroid) — one copy for both
+    * semdedup oracles, zero drift. */
+  private def semAssignCtes(nlist: Int, dim: Int): String =
+    s"""seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
        |sim AS (
@@ -576,7 +607,15 @@ object Similarity {
        |  SELECT vec_id, CAST(pos AS INTEGER) AS cid FROM (
        |    SELECT vec_id, pos,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
-       |    FROM sim) WHERE rn = 1),
+       |    FROM sim) WHERE rn = 1)""".stripMargin
+
+  /** Oracle for [[semDedup]]: the shared assignment CTEs, a
+    * cluster-local pair join, and the same left-assoc cosine chains —
+    * every compared double is bit-identical to the engine's fused
+    * loops. */
+  def semDedupOracleSql(nlist: Int = 16, minCos: Double = 0.3,
+                        dim: Int = 64): String =
+    s"""WITH ${semAssignCtes(nlist, dim)},
        |dropped AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -586,4 +625,32 @@ object Similarity {
        |SELECT asg.vec_id, asg.cid,
        |  CAST(CASE WHEN dropped.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS dropped
        |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id""".stripMargin
+
+  /** Oracle for [[semDedupCC]]: the same assignment + above-threshold
+    * pair CTEs, then the [[Dedup.dedupGroupsOracleSql]] transitive-
+    * closure walk — min(comp) per vertex is the component minimum the
+    * engine's connectedComponents converges to; dropped = vertex in ≥1
+    * pair whose component minimum is not itself. */
+  def semDedupCCOracleSql(nlist: Int = 16, minCos: Double = 0.3,
+                          dim: Int = 64): String =
+    s"""WITH RECURSIVE ${semAssignCtes(nlist, dim)},
+       |pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cosineSql("ea.embedding", "eb.embedding", dim)} >= ${dlit(minCos)}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |walk(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id),
+       |rep AS (SELECT id AS vec_id, min(comp) AS component_rep
+       |        FROM walk GROUP BY id)
+       |SELECT asg.vec_id, asg.cid,
+       |  CAST(CASE WHEN rep.component_rep IS NOT NULL
+       |              AND rep.component_rep <> asg.vec_id
+       |       THEN 1 ELSE 0 END AS INTEGER) AS dropped
+       |FROM asg LEFT JOIN rep ON asg.vec_id = rep.vec_id""".stripMargin
 }

@@ -511,6 +511,13 @@ object CurationQueries {
   def semDedupQ(s: SparkSession, d: String): DataFrame =
     Similarity.semDedup(embChecked(s, d), "vec_id", "embedding")
 
+  /** Keep-one-per-component SemDeDup variant (r5 VERDICT item 6) —
+    * [[Similarity.semDedupCC]]: paper-faithful retention via connected
+    * components over the above-threshold pairs; q_semdedup keeps the
+    * stricter pairwise-drop semantics unchanged. */
+  def semDedupCCQ(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedupCC(embChecked(s, d), "vec_id", "embedding")
+
   /** Cross-modal curation composition — the third member of the
     * composition family (q_pipeline_clean: exact dedup; q_pipeline_neardup:
     * minhash components; this: EMBEDDING-space dedup): drop every doc
@@ -547,6 +554,7 @@ object CurationQueries {
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
     "q_semdedup"      -> (semDedupQ _),
+    "q_semdedup_cc"   -> (semDedupCCQ _),
     "q_pipeline_semantic" -> (pipelineSemantic _))
 
   // the mixture-plan SQL — q_mix_plan's oracle AND the CTE q_mix_apply
@@ -712,6 +720,7 @@ object CurationQueries {
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= $TokenBudget""".stripMargin,
     "q_semdedup" -> Similarity.semDedupOracleSql(),
+    "q_semdedup_cc" -> Similarity.semDedupCCOracleSql(),
     // the semdedup twin as a subquery; NOT IN over its dropped members,
     // then the same quality expressions as the other compositions
     "q_pipeline_semantic" ->

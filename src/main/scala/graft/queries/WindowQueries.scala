@@ -65,6 +65,21 @@ object WindowQueries {
       events(s, d).select("user_id", "ts", "event_id", "value"),
       "value", 25, KEY, ORD)
 
+  /** T3's deterministic BATCH TWIN as a registry query (r5 VERDICT item
+    * 7): the streaming indicator state machine
+    * ([[graft.streaming.IndicatorState.step]]) replayed relationally —
+    * change (lag), Cutler RSI n=25, and the recursive EMA n=25 in ONE
+    * key-partitioned window pipeline, so the reference's core stateful
+    * capability gets a DuckDB oracle row in addition to its
+    * streaming-vs-batch parity spec ([[graft.StreamingSpec]] pins that
+    * a step-fold over sorted bars reproduces exactly these columns). */
+  def indicatorReplay(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select("user_id", "ts", "event_id", "value")
+    val withC = Indicators.withChange(base, "value", KEY, ORD).drop("prev_value")
+    val withR = Indicators.withRsi(withC, "value", 25, KEY, ORD)
+    Indicators.withEmaClosedForm(withR, "value", 25, KEY, ORD)
+  }
+
   /** As-of join (SURVEY §2.3 engine extension): each click gets the most
     * recent purchase value at-or-before its timestamp, per user — the
     * tick-to-bar alignment operator, via [[graft.operators.AsOfJoin]]'s
@@ -172,7 +187,8 @@ object WindowQueries {
     "q_pct_change"      -> (pctChange _),
     "q_rsi"             -> (rsi _),
     "q_ema"             -> (ema _),
-    "q_ema_ref"         -> (emaRef _))
+    "q_ema_ref"         -> (emaRef _),
+    "q_indicator_replay" -> (indicatorReplay _))
 
   private val OVER = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
@@ -313,6 +329,30 @@ object WindowQueries {
          |    AS ema_ref
          |FROM events""".stripMargin
     },
+    // the T3 batch twin: q_window_lag's change + q_rsi's Cutler CTE +
+    // q_ema's closed form, fused over the same key/order
+    "q_indicator_replay" ->
+      s"""WITH rn AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    row_number() $OVER) AS r,
+         |    value - lag(value, 1) $OVER) AS diff
+         |  FROM events
+         |), acc AS (
+         |  SELECT user_id, ts, event_id, value, r, diff,
+         |    sum(value * pow(24.0/26.0, -r)) $OVER ROWS UNBOUNDED PRECEDING) AS s,
+         |    first_value(value) $OVER ROWS UNBOUNDED PRECEDING) AS x1,
+         |    avg(CASE WHEN diff > 0 THEN diff WHEN diff IS NOT NULL THEN 0.0 END)
+         |      $OVER ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS avg_gain,
+         |    avg(CASE WHEN diff < 0 THEN -diff WHEN diff IS NOT NULL THEN 0.0 END)
+         |      $OVER ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS avg_loss
+         |  FROM rn
+         |)
+         |SELECT user_id, ts, event_id, value,
+         |  diff AS change,
+         |  CASE WHEN avg_gain + avg_loss > 0.0
+         |    THEN 100.0 * (avg_gain / (avg_gain + avg_loss)) END AS rsi,
+         |  pow(24.0/26.0, r) * ((2.0/26.0) * s + x1) AS ema
+         |FROM acc""".stripMargin,
     "q_ema" ->
       s"""WITH rn AS (
          |  SELECT user_id, ts, event_id, value,

@@ -47,6 +47,39 @@ class SimilaritySpec extends SparkSpec {
       s"planted neighbors missed: got $approx")
   }
 
+  test("semDedupCC keeps exactly one representative per near-dup component") {
+    // a 3-vector near-dup CHAIN inside one cluster: a~b and b~c above
+    // threshold, a~c below it. Pairwise-drop (semDedup) drops b AND c;
+    // keep-one (semDedupCC) must also keep exactly {a} — and on a chain
+    // whose a-c link straddles the threshold the component is still one
+    // group, so both b and c drop with rep a. Also: vectors in NO pair
+    // carry dropped = 0.
+    val dim = 8
+    def v(xs: Double*): Seq[Float] = {
+      val a = xs.toArray ++ Array.fill(dim - xs.length)(0.0)
+      a.map(_.toFloat).toSeq
+    }
+    // unit-ish vectors: cos(a,b)=cos(b,c)~0.95, cos(a,c)~0.81 — with
+    // minCos=0.9 the chain's ends are NOT directly paired
+    val a = v(1.0, 0.0)
+    val b = v(0.95, 0.312)
+    val c = v(0.81, 0.59)
+    val far = v(0.0, 0.0, 1.0)
+    val emb = Seq((1L, a), (2L, b), (3L, c), (9L, far))
+      .toDF("vec_id", "embedding")
+    val cc = Similarity.semDedupCC(emb, "vec_id", "embedding",
+        nlist = 1, minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cc == Map(1L -> 0, 2L -> 1, 3L -> 1, 9L -> 0), cc.toString)
+    // pairwise variant agrees here (chain middle + end both drop); the
+    // variants differ only in which SURVIVOR count is guaranteed — CC
+    // always keeps >= 1 per component
+    val pw = Similarity.semDedup(emb, "vec_id", "embedding",
+        nlist = 1, minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(pw(1L) == 0 && pw(2L) == 1 && pw(3L) == 1)
+  }
+
   test("deterministic-fold centroids track the partial-agg quantizer") {
     val rnd = new scala.util.Random(23)
     val dim = 16

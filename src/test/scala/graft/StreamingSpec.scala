@@ -147,6 +147,43 @@ class StreamingSpec extends SparkSpec {
     assert(flatBatch.where(col("rsi").isNotNull).count() == 0)
   }
 
+  test("q_indicator_replay (T3 batch twin) equals the streaming step fold") {
+    // the registry's relational replay of the indicator state machine
+    // must reproduce the step() fold row for row — change, rsi, AND ema —
+    // so the oracle row added for T3 really checks the streaming
+    // semantics, not a lookalike
+    val rows = SparkEntry.queries("q_indicator_replay")(spark, sf0001)
+      .orderBy("user_id", "ts", "event_id").collect()
+    assert(rows.length > 500)
+    var checked = 0
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, urs) =>
+      var st: Option[IndicatorState.BarState] = None
+      urs.foreach { r =>
+        val bar = IndicatorState.BarIn(
+          uid.toString, r.getAs[Timestamp]("ts"), r.getAs[Double]("value"))
+        val (o, s2) = IndicatorState.step(st, bar, 25)
+        st = Some(s2)
+        def cell(name: String): Option[Double] =
+          if (r.isNullAt(r.fieldIndex(name))) None
+          else Some(r.getAs[Double](name))
+        def close(a: Option[Double], b: Option[Double], what: String): Unit =
+          (a, b) match {
+            case (None, None) => ()
+            case (Some(x), Some(y)) =>
+              assert(math.abs(x - y) <= 1e-6 * (1.0 + math.abs(y)),
+                s"$what for user $uid at ${bar.time}: batch $x vs fold $y")
+            case _ => fail(s"$what null-parity for user $uid at ${bar.time}: " +
+              s"batch $a vs fold $b")
+          }
+        close(cell("change"), o.change, "change")
+        close(cell("rsi"), o.rsi, "rsi")
+        close(cell("ema"), Some(o.ema), "ema")
+        checked += 1
+      }
+    }
+    assert(checked == rows.length)
+  }
+
   test("watermarked tumbling window finalizes closed windows (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
