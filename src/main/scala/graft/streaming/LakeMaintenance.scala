@@ -1,15 +1,23 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Lake maintenance for the micro-batch sink's small-files problem: a
   * 10-second append cadence ([[TickIngest.startLakeSink]]) accretes one
-  * parquet file per batch per symbol — ~8.6k files/symbol/day — and
+  * parquet file per batch per partition — ~8.6k files/partition/day — and
   * every downstream scan pays per-file open/footer costs while the
-  * driver pays per-file listing. Compaction rewrites each symbol
-  * partition into ⌈bytes/target⌉ files sized for the scan-side
+  * driver pays per-file listing. Compaction rewrites each partition
+  * into ⌈bytes/target⌉ files sized for the scan-side
   * `maxPartitionBytes` split.
+  *
+  * Three entry points over ONE per-directory kernel:
+  *  - [[compactLake]] — the tick lake's `symbol=` partitions;
+  *  - [[compactPartitioned]] — any prefix-named partition layout (the
+  *    near-dup gate's `bucket=` dirs — [[NearDupGate]] wires this in);
+  *  - [[compactFlat]] — a single unpartitioned directory (the r5
+  *    ADVICE gap: the old symbol=-only walk was a silent no-op on flat
+  *    dirs).
   *
   * Consistency contract (plain parquet directories — no table format, so
   * no snapshot isolation): the compacted files are fully written into a
@@ -19,23 +27,28 @@ import org.apache.spark.sql.SparkSession
   * failure inside the window therefore leaves all originals intact;
   * the worst case is DUPLICATED rows (already-renamed compacted files
   * alongside originals), bounded to one partition and repairable by a
-  * dedup rewrite — rows are never lost, and a stale `.compact_tmp_`
+  * dedup rewrite — rows are never lost, and a stale `.compact_tmp`
   * dir from a crashed run holds only copies of still-present originals,
   * so deleting it on the next run is safe. A failed rename rolls the
-  * already-renamed files back out before aborting. Readers listing
-  * mid-swap can still observe the duplicate window — run compaction in
-  * a maintenance window, pause the sink for the touched symbols, or
-  * adopt a transactional table format when concurrent readers matter.
+  * already-renamed files back out before aborting. Compacted names carry
+  * nanoTime AND a random UUID, so the abort path can only fire on real
+  * rename failures, never on a cross-JVM stamp collision. Readers
+  * listing mid-swap can still observe the duplicate window — run
+  * compaction in a maintenance window, pause the sink for the touched
+  * partitions (the [[TickIngest.startLakeSink]]/[[NearDupGate]] hooks
+  * run it INSIDE foreachBatch, where the stream's own appends are
+  * naturally paused), or adopt a transactional table format when
+  * concurrent readers matter.
   *
   * The rewrite reads EXACTLY the file list captured before the job (not
-  * the live directory): a file the 10-second sink appends concurrently
-  * is neither compacted nor deleted — without that, its rows would be
-  * folded into the compacted output while the original survived the
-  * swap, duplicating them unconditionally.
+  * the live directory): a file a concurrent sink appends is neither
+  * compacted nor deleted — without that, its rows would be folded into
+  * the compacted output while the original survived the swap,
+  * duplicating them unconditionally.
   *
   * Scale shape: one partition at a time — the rewrite is a single
-  * coalesce(⌈bytes/target⌉) job over one symbol's files; driver FS work
-  * is O(files in that partition), never the whole lake. */
+  * coalesce(⌈bytes/target⌉) job over one partition's files; driver FS
+  * work is O(files in that partition), never the whole lake. */
 object LakeMaintenance {
 
   /** Compact every `symbol=` partition under `path` that holds more than
@@ -43,51 +56,85 @@ object LakeMaintenance {
     * before, files after). */
   def compactLake(spark: SparkSession, path: String,
                   targetBytes: Long = 128L << 20,
-                  maxFiles: Int = 4): (Int, Int, Int) = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+                  maxFiles: Int = 4): (Int, Int, Int) =
+    compactPartitioned(spark, path, "symbol=", targetBytes, maxFiles)
+
+  /** Compact every partition dir named `prefix…` under `path` (the
+    * generalized walk: `symbol=` for the tick lake, `bucket=` for the
+    * near-dup gate's state/output layouts). */
+  def compactPartitioned(spark: SparkSession, path: String, prefix: String,
+                         targetBytes: Long = 128L << 20,
+                         maxFiles: Int = 4): (Int, Int, Int) = {
+    require(prefix.nonEmpty, "compactPartitioned needs a partition-dir " +
+      "prefix; use compactFlat for an unpartitioned directory")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return (0, 0, 0)
     var parts = 0; var before = 0; var after = 0
     fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith("symbol="))
+      .map(_.getPath).filter(_.getName.startsWith(prefix))
       .foreach { p =>
-        val files = fs.listStatus(p)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        if (files.length > maxFiles) {
-          val bytes = files.map(_.getLen).sum
-          val n = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
-          val tmp = new Path(root, s".compact_tmp_${p.getName}")
-          fs.delete(tmp, true) // stale temp: copies of still-present originals
-          // rewrite EXACTLY the captured file list (see consistency
-          // contract); the data files carry no partition column — it
-          // lives in the dir name, which stays put
-          spark.read.parquet(files.map(_.getPath.toString): _*)
-            .coalesce(n).write.mode("overwrite").parquet(tmp.toString)
-          val compacted = fs.listStatus(tmp)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          // COMMIT ORDER — rename in first (stamped names can't collide
-          // with a prior run's output), delete originals only after every
-          // rename succeeded; see the loss-proof contract above
-          val stamp = java.lang.Long.toHexString(System.nanoTime())
-          val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
-          val allRenamed = compacted.zipWithIndex.forall { case (f, i) =>
-            val dest = new Path(p, f"compacted-$stamp-$i%05d.parquet")
-            val ok = fs.rename(f.getPath, dest)
-            if (ok) renamed += dest
-            ok
-          }
-          if (!allRenamed) {
-            renamed.foreach(fs.delete(_, false)) // originals all intact
-            fs.delete(tmp, true)
-            throw new java.io.IOException(
-              s"compactLake: rename into $p failed; partition left unchanged")
-          }
-          files.foreach(f => fs.delete(f.getPath, false))
-          fs.delete(tmp, true)
-          parts += 1; before += files.length; after += compacted.length
+        compactOneDir(spark, fs, p, targetBytes, maxFiles).foreach {
+          case (b, a) => parts += 1; before += b; after += a
         }
       }
     (parts, before, after)
+  }
+
+  /** Compact ONE unpartitioned directory (returns the same triple shape;
+    * parts is 0 or 1). */
+  def compactFlat(spark: SparkSession, dir: String,
+                  targetBytes: Long = 128L << 20,
+                  maxFiles: Int = 4): (Int, Int, Int) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0, 0, 0)
+    compactOneDir(spark, fs, p, targetBytes, maxFiles)
+      .map { case (b, a) => (1, b, a) }.getOrElse((0, 0, 0))
+  }
+
+  /** The per-directory kernel: captured-file-list rewrite + loss-proof
+    * swap (contract above). The temp dir lives INSIDE the partition as a
+    * dot-dir — hidden from Spark readers, deleted up front if a crashed
+    * run left one. Returns Some((files before, files after)) iff the dir
+    * exceeded `maxFiles` and was compacted. */
+  private def compactOneDir(spark: SparkSession, fs: FileSystem, p: Path,
+                            targetBytes: Long, maxFiles: Int): Option[(Int, Int)] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val files = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.length <= maxFiles) return None
+    val bytes = files.map(_.getLen).sum
+    val n = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val tmp = new Path(p, ".compact_tmp")
+    fs.delete(tmp, true) // stale temp: copies of still-present originals
+    // rewrite EXACTLY the captured file list (see consistency contract);
+    // any partition column lives in the dir name, which stays put
+    spark.read.parquet(files.map(_.getPath.toString): _*)
+      .coalesce(n).write.mode("overwrite").parquet(tmp.toString)
+    val compacted = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // COMMIT ORDER — rename in first, delete originals only after every
+    // rename succeeded; see the loss-proof contract above. The name
+    // carries time + UUID so a collision with ANY prior run's output is
+    // impossible and the rollback path below only fires on real failures
+    val stamp = java.lang.Long.toHexString(System.nanoTime()) + "-" +
+      java.util.UUID.randomUUID().toString
+    val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val allRenamed = compacted.zipWithIndex.forall { case (f, i) =>
+      val dest = new Path(p, f"compacted-$stamp-$i%05d.parquet")
+      val ok = fs.rename(f.getPath, dest)
+      if (ok) renamed += dest
+      ok
+    }
+    if (!allRenamed) {
+      renamed.foreach(fs.delete(_, false)) // originals all intact
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compactLake: rename into $p failed; partition left unchanged")
+    }
+    files.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
+    Some((files.length, compacted.length))
   }
 }

@@ -1,10 +1,11 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.functions.Dedup
+import graft.functions.{ArrayEqCount, Dedup}
 
 /** Streaming NEAR-duplicate gate — the MinHash+LSH counterpart of
   * [[EventStream.dedupDocStream]] (which is exact-fingerprint only): a
@@ -12,64 +13,120 @@ import graft.functions.Dedup
   * anything already seen, not just byte-identical ones.
   *
   * Design: per micro-batch BATCH computation inside `foreachBatch`, with
-  * the seen-state as a LAKE TABLE of LSH band memberships — not operator
-  * state. That choice buys three things a `flatMapGroupsWithState`
-  * formulation cannot: (a) the admit decision needs ALL of a doc's bands
-  * (any-band collision), which per-band keyed state cannot aggregate in
-  * one stateful pass; (b) the state survives checkpoint loss and is
-  * inspectable/compactable like any other table; (c) replays are
-  * idempotent end-to-end (below). Per batch: one signature pipeline over
-  * the batch, one semi-join against the state's (band, band_hash) keys,
-  * one batch-local pair expansion — the batch is small (seconds of
-  * stream); the state table is the only thing that grows, at ~`bands`
-  * longs per SEEN doc.
+  * the seen-state as LAKE TABLES — not operator state. That choice buys
+  * three things a `flatMapGroupsWithState` formulation cannot: (a) the
+  * admit decision needs ALL of a doc's bands (any-band collision), which
+  * per-band keyed state cannot aggregate in one stateful pass; (b) the
+  * state survives checkpoint loss and is inspectable/compactable like
+  * any other table; (c) replays are idempotent end-to-end (below).
   *
-  * Admit rule (conservative-drop, the [[EventStream.curateDocStream]]
-  * Bloom philosophy): a doc is DROPPED if any LSH band collides with a
-  * previously seen doc's band (probable near-dup, no verification pass —
-  * the false-positive rate is the banding collision probability), or if
-  * it is a non-minimum member of a batch-local near-dup component (those
-  * pairs ARE est-verified at `threshold`, via the same
-  * [[Dedup.minhashPairsFromSignatures]] the batch operators use). Docs
-  * too short to shingle (< n tokens) carry no signature and pass the
-  * gate. The state registers the bands of EVERY processed doc —
+  * == Bucketed layout — per-batch cost bounded by the batch, not |state|
+  *
+  * Every table the gate probes is HASH-BUCKETED into `buckets` partition
+  * directories, and each batch reads ONLY the buckets its own keys hash
+  * into (explicit directory selection — pruned buckets are never even
+  * listed):
+  *  - `state/bands/bucket=N` — (doc_id, band, band_hash) LSH band
+  *    memberships, bucketed by pmod(band_hash, buckets); the collision
+  *    probe joins on (band, band_hash).
+  *  - `state/sigs/bucket=N`  — (doc_id, sig) full k-long MinHash
+  *    signatures, bucketed by pmod(xxhash64(doc_id), buckets); read only
+  *    for the doc_ids the band probe actually collided with.
+  *  - `out/bucket=N`         — admitted rows, bucketed by
+  *    pmod(xxhash64(doc_id), buckets); the replay anti-join reads only
+  *    the buckets the batch's own doc_ids land in (the r5 full-column
+  *    output scan is gone).
+  * A micro-batch with m keys touches ≤ min(m, buckets) buckets, so
+  * per-batch bytes ≈ touched/buckets × |table| — the bucket count is the
+  * index fan-out. As the state grows, [[reshardState]] (a maintenance
+  * operation, gate paused) rewrites the layout at a higher `buckets` so
+  * per-bucket size stays near a target and per-batch probe cost stays
+  * proportional to the BATCH's collision set — the LSM-style re-shard
+  * answer to a plain-parquet lake having no secondary index. (A
+  * MERGE-capable table format with clustering gives this for free; the
+  * bucketed layout is the table-format-free equivalent.)
+  * [[LakeMaintenance.compactPartitioned]](dir, "bucket=") compacts the
+  * one-file-per-batch accretion in all three layouts —
+  * [[startNearDupSink]]'s `compactEvery` wires it in.
+  *
+  * == Admit rule — est-VERIFIED drops, batch and state symmetric
+  *
+  * A doc is DROPPED iff
+  *  - some batch-LOCAL near-dup component contains it and it is not the
+  *    component minimum (pairs est-verified at `threshold` via
+  *    [[Dedup.minhashPairsFromSignatures]]); or
+  *  - a STATE band collision pairs it with a seen doc whose full
+  *    signature estimates Jaccard ≥ `threshold` (the seen signature is
+  *    fetched from `state/sigs` by the colliding doc_ids only — r5
+  *    dropped on ANY band collision unverified, a false-positive rate
+  *    equal to the banding collision probability; both directions are
+  *    now symmetric); or
+  *  - it is too short to shingle (< shingleN tokens) and its whole-text
+  *    fingerprint (md5-60 of lowercased text, null text ≡ empty) matches
+  *    a seen short doc's — short docs carry a `band = -1` fingerprint
+  *    row in `state/bands`, closing the r5 hole where unlimited exact
+  *    copies of a short doc were admitted forever. Within a batch the
+  *    minimum-id copy survives. Near-dup (not exact) short docs still
+  *    pass: below shingleN tokens there is no signature to verify
+  *    against, a documented limit.
+  * The state registers the bands+fingerprints of EVERY processed doc —
   * survivors and dropped alike — so a later copy of a dropped document
-  * still collides (registering only survivors would re-admit exact
-  * copies of chain-dropped members).
+  * still collides; signatures are registered for every shingleable doc.
   *
-  * Replay idempotence, by ordering: survivors append to the OUTPUT first
-  * (anti-joined against the output's existing doc_ids, so a replayed
-  * batch re-admits nothing), the batch's band memberships append to the
-  * STATE second. The state append depends only on the batch itself —
-  * never on the output anti-join — so a crash between the two appends
-  * cannot lose a batch's state: the replay recomputes and appends the
-  * identical rows, and duplicate state rows are harmless to a semi-join
-  * probe. Exactly-once output, at-least-once state.
+  * == Replay idempotence, by ordering
   *
-  * Parameter binding: band hashes are (shingleN, k, bands, seed)-bound —
-  * restarting the gate with different parameters would make probes
-  * against the old state silently never collide. The state dir carries a
-  * `_gate_params` marker written on first use and VERIFIED on every
-  * batch; a mismatch fails loudly. (The seed is [[Dedup]]'s fixed
-  * default, 42.)
+  * Survivors append to the OUTPUT first (anti-joined against the
+  * output's existing doc_ids in the touched buckets, so a replayed batch
+  * re-admits nothing), the batch's band/fingerprint memberships and
+  * signatures append to the STATE second. The state appends depend only
+  * on the batch itself — never on the output anti-join — so a crash
+  * between the appends cannot lose state: the stream cannot advance past
+  * an uncommitted batch, the replay recomputes and re-appends identical
+  * rows, and duplicate state rows are inert (the probes are
+  * join-distinct). Exactly-once output, at-least-once state.
+  *
+  * Parameter binding: band hashes AND the bucket layout are
+  * (shingleN, k, bands, seed, buckets)-bound — restarting the gate with
+  * different parameters would silently never collide (or probe the wrong
+  * directories). The state dir carries a `_gate_params` marker written
+  * on first use and VERIFIED on every batch; a mismatch fails loudly.
+  * ([[reshardState]] is the one legal way to change `buckets`; it
+  * rewrites the marker.) A v1 (r5) state dir fails the same check —
+  * it carries no signatures, so it cannot be est-verified against.
   *
   * Path probes check existence explicitly ([[TickIngest]]'s discipline);
   * real IO errors PROPAGATE and fail the batch so the streaming engine
   * retries — a swallowed read error would silently disable the gate or
-  * the output's exactly-once for that batch.
-  *
-  * Scale shape: the state probe reads only (band, band_hash) — at 10⁹
-  * seen docs that is ~16·10⁹ rows of two longs, a bucketed/Z-ordered
-  * table in production; the semi-join is band_hash-keyed and never
-  * touches document text. The output-side replay anti-join reads the
-  * output's doc_id column in full each batch — correct but growing;
-  * it cannot be time-pruned (a restart after arbitrary downtime replays
-  * a batch whose rows landed arbitrarily long ago), so the production
-  * move is a MERGE-capable table format (or a doc_id-bucketed output
-  * whose buckets broadcast) once the output outgrows a column scan.
-  * [[LakeMaintenance.compactLake]]-style compaction applies to both
-  * output and state dirs. */
+  * the output's exactly-once for that batch. */
 object NearDupGate {
+
+  /** Default bucket fan-out — sized so fixture-scale states stay
+    * readable while the pruning math is real; production gates size
+    * this so |state|/buckets ≈ one scan-split (then re-shard as the
+    * state grows). */
+  val DefaultBuckets = 64
+
+  private def keyBucket(c: Column, buckets: Int): Column =
+    pmod(c, lit(buckets.toLong)).cast("int")
+
+  private def idBucket(c: Column, buckets: Int): Column =
+    pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
+
+  /** Some(frame) iff ≥1 of the requested bucket dirs exists with parquet
+    * part files — EXPLICIT directory selection (never a root listing),
+    * so pruned buckets cost nothing; existence probes only, real IO
+    * errors propagate. */
+  private def readBuckets(spark: SparkSession, dir: String,
+                          buckets: Seq[Int]): Option[DataFrame] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val dirs = buckets.sorted.map(b => new Path(root, s"bucket=$b"))
+      .filter(p => fs.exists(p) && fs.listStatus(p)
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+  }
 
   /** One micro-batch through the gate. `batch` must carry
     * (doc_id: long-orderable, text: string). Returns the number of rows
@@ -77,100 +134,210 @@ object NearDupGate {
     * batch). */
   def curateBatch(batch: DataFrame, outPath: String, statePath: String,
                   shingleN: Int = 5, k: Int = 64, bands: Int = 16,
-                  threshold: Double = 0.5): Long = {
+                  threshold: Double = 0.5,
+                  buckets: Int = DefaultBuckets): Long = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = batch.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-
-    /** Some(read) iff the dir exists AND holds parquet part files;
-      * existence probes only — real IO errors propagate. */
-    def parquetIn(p: String): Option[DataFrame] = {
-      val hp = new Path(p)
-      val fs = hp.getFileSystem(conf)
-      val has = fs.exists(hp) && fs.listStatus(hp)
-        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (has) Some(spark.read.parquet(p)) else None
-    }
-
-    val b = batch.dropDuplicates("doc_id").persist()
+    // every multi-consumer frame is persisted and fully materialized
+    // (by the collects/count below) BEFORE the appends at the end — a
+    // recompute after the writes could observe the just-written rows
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def hold(df: DataFrame): DataFrame = { persisted += df.persist(); df }
     try {
+      val b = hold(batch.dropDuplicates("doc_id"))
       if (b.isEmpty) return 0L
-      bindParams(spark, statePath, shingleN, k, bands)
-      val sigs = Dedup.minhashSignatures(
-        Dedup.shinglesRaw(b, "doc_id", "text", shingleN), k).persist()
-      try {
-        val banded = Dedup.signatureBands(sigs, k, bands)
-        // gate 1: any-band collision with the seen state (semi-join —
-        // duplicate state rows are inert, no distinct needed)
-        val stateCollided = parquetIn(statePath).map { seen =>
-          banded.join(seen.select("band", "band_hash"),
+      bindParams(spark, statePath, shingleN, k, bands, buckets)
+      val sigs = hold(Dedup.minhashSignatures(
+        Dedup.shinglesRaw(b, "doc_id", "text", shingleN), k))
+      val banded = Dedup.signatureBands(sigs, k, bands)
+      // short docs (< shingleN tokens — no signature): whole-text
+      // fingerprint as a band = -1 row in the same probe keyspace;
+      // null text fingerprints like empty text (md5(null) is null and a
+      // null key would land in the default partition, invisible to the
+      // bucket probe)
+      val shortFps = b.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(-1).as("band"),
+          Dedup.md5Hash60(coalesce(lower(col("text")), lit(""))).as("band_hash"))
+      val probe = hold(
+        banded.select("doc_id", "band", "band_hash").unionByName(shortFps)
+          .withColumn("bucket", keyBucket(col("band_hash"), buckets)))
+      val touched = probe.select("bucket").distinct().collect().map(_.getInt(0))
+      val stateBands = readBuckets(spark, s"$statePath/bands", touched.toSeq)
+
+      // ---- gate 1: state collisions ---------------------------------
+      // short docs: exact fingerprint match drops outright
+      val shortStateDropped = stateBands.map { sb =>
+        probe.where(col("band") === -1)
+          .join(sb.where(col("band") === -1).select("band", "band_hash"),
             Seq("band", "band_hash"), "left_semi")
-            .select("doc_id")
-        }
-        // gate 2: batch-local near-dup components — min id survives
-        val localPairs = Dedup.minhashPairsFromSignatures(sigs, k, bands, threshold)
-        val localDropped = Dedup.connectedComponents(localPairs, pairsDistinct = true)
-          .where(col("doc_id") =!= col("component_rep"))
           .select("doc_id")
-        val gated = stateCollided
-          .foldLeft(b.join(localDropped, Seq("doc_id"), "left_anti")) {
-            (acc, sc) => acc.join(sc, Seq("doc_id"), "left_anti")
-          }
-        // output first, replay-idempotent on doc_id. PERSISTED: the
-        // admit decision is computed ONCE — its plan reads outPath, and
-        // recomputing it after the write below could observe the just-
-        // written rows
-        val fresh = (parquetIn(outPath) match {
-          case Some(existing) =>
-            gated.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
-          case None => gated
-        }).persist()
-        try {
-          val admitted = fresh.count()
-          fresh.write.mode("append").parquet(outPath)
-          // state second: the WHOLE batch's band memberships (survivors
-          // and dropped), independent of the output anti-join — see the
-          // crash-window contract above
-          banded.write.mode("append").parquet(statePath)
-          admitted
-        } finally fresh.unpersist()
-      } finally sigs.unpersist()
-    } finally b.unpersist()
+      }
+      // shingleable docs: band collision is only a CANDIDATE — fetch the
+      // colliding seen docs' signatures (bucket-pruned by their ids) and
+      // drop only when the estimated Jaccard clears the threshold,
+      // symmetric with the batch-local pair path
+      val verifiedStateDropped = stateBands.flatMap { sb =>
+        val cand = hold(
+          probe.where(col("band") >= 0)
+            .join(sb.where(col("band") >= 0)
+              .select(col("band"), col("band_hash"), col("doc_id").as("seen_id")),
+              Seq("band", "band_hash"))
+            .select(col("doc_id"), col("seen_id")).distinct())
+        val seenBuckets = cand.select(idBucket(col("seen_id"), buckets).as("sb"))
+          .distinct().collect().map(_.getInt(0))
+        readBuckets(spark, s"$statePath/sigs", seenBuckets.toSeq).map { ss =>
+          cand
+            .join(ss.select(col("doc_id").as("seen_id"), col("sig").as("seen_sig")),
+              Seq("seen_id"))
+            .join(sigs, Seq("doc_id"))
+            .where(ArrayEqCount(col("sig"), col("seen_sig"))
+              .cast("double") / k >= threshold)
+            .select("doc_id").distinct()
+        }
+      }
+
+      // ---- gate 2: batch-local components ---------------------------
+      val localPairs = Dedup.minhashPairsFromSignatures(sigs, k, bands, threshold)
+      val localDropped = Dedup.connectedComponents(localPairs, pairsDistinct = true)
+        .where(col("doc_id") =!= col("component_rep"))
+        .select("doc_id")
+      // batch-local short-doc exact dedup: min id per fingerprint wins
+      val shortLocalDropped = probe.where(col("band") === -1)
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("band_hash").orderBy("doc_id")))
+        .where(col("_rn") > 1).select("doc_id")
+
+      val gated = (Seq(localDropped, shortLocalDropped) ++
+        shortStateDropped ++ verifiedStateDropped)
+        .foldLeft(b) { (acc, d) => acc.join(d, Seq("doc_id"), "left_anti") }
+
+      // ---- output, replay-idempotent and bucket-pruned --------------
+      val gatedB = hold(gated.withColumn("bucket", idBucket(col("doc_id"), buckets)))
+      val outBuckets = gatedB.select("bucket").distinct().collect().map(_.getInt(0))
+      val fresh = hold(readBuckets(spark, outPath, outBuckets.toSeq) match {
+        case Some(existing) =>
+          gatedB.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+        case None => gatedB
+      })
+      val admitted = fresh.count()
+      fresh.write.mode("append").partitionBy("bucket").parquet(outPath)
+      // state second: the WHOLE batch's memberships (survivors and
+      // dropped), independent of the output anti-join — see the
+      // crash-window contract above
+      probe.write.mode("append").partitionBy("bucket").parquet(s"$statePath/bands")
+      sigs.withColumn("bucket", idBucket(col("doc_id"), buckets))
+        .write.mode("append").partitionBy("bucket").parquet(s"$statePath/sigs")
+      admitted
+    } finally persisted.foreach(_.unpersist())
   }
 
   /** Write-once / verify-always parameter marker in the state dir. */
-  private def bindParams(spark: org.apache.spark.sql.SparkSession,
-                         statePath: String, shingleN: Int, k: Int,
-                         bands: Int): Unit = {
+  private def bindParams(spark: SparkSession, statePath: String,
+                         shingleN: Int, k: Int, bands: Int,
+                         buckets: Int): Unit = {
     val marker = new Path(statePath, "_gate_params")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val expect = s"shingleN=$shingleN,k=$k,bands=$bands,seed=42"
+    val expect = paramString(shingleN, k, bands, buckets)
     if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+      val got = readMarker(fs, marker)
       require(got == expect,
         s"NearDupGate state at $statePath was built with ($got) but this " +
-          s"gate runs ($expect) — band hashes are parameter-bound and the " +
-          "probe would silently never collide; use a fresh statePath or " +
-          "matching parameters")
+          s"gate runs ($expect) — band hashes and the bucket layout are " +
+          "parameter-bound and the probe would silently miss; use a fresh " +
+          "statePath, matching parameters, or reshardState for a bucket change")
     } else {
-      val out = fs.create(marker, true)
-      try out.write(expect.getBytes("UTF-8")) finally out.close()
+      writeMarker(fs, marker, expect)
     }
   }
 
-  /** The gate as a streaming sink: docs stream → near-dup-gated lake. */
+  private def paramString(shingleN: Int, k: Int, bands: Int, buckets: Int) =
+    s"shingleN=$shingleN,k=$k,bands=$bands,seed=42,buckets=$buckets,v=2"
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem, marker: Path): String = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, marker: Path,
+                          s: String): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** MAINTENANCE: rewrite the gate's three bucketed layouts at a new
+    * bucket count — the re-shard that keeps per-bucket size (and so
+    * per-batch probe cost) bounded as the state grows. MUST run with the
+    * gate stopped (it is the bucket-layout analog of a compaction
+    * window). Ordering is replacement-before-delete per layout: the new
+    * layout is fully written to a hidden temp dir, the old dir moves
+    * aside, the temp renames in, the old dir deletes; the `_gate_params`
+    * marker updates LAST, so a crash mid-reshard leaves the marker
+    * naming the OLD bucket count and a restarted gate fails the param
+    * check loudly (recover by re-running reshard — the `.reshard_*`
+    * temp/aside dirs are complete copies) instead of probing a
+    * half-moved layout. */
+  def reshardState(spark: SparkSession, outPath: String, statePath: String,
+                   newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    val marker = new Path(statePath, "_gate_params")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker), s"no gate state at $statePath to reshard")
+    val old = readMarker(fs, marker)
+    val re = ",buckets=(\\d+),".r
+    val oldBuckets = re.findFirstMatchIn(old).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"unparseable _gate_params at $statePath: $old"))
+    def swap(dir: String, rebucket: DataFrame => DataFrame): Unit = {
+      val p = new Path(dir)
+      if (!fs.exists(p)) return
+      val tmp = new Path(p.getParent, "." + p.getName + ".reshard_tmp")
+      val aside = new Path(p.getParent, "." + p.getName + ".reshard_old")
+      fs.delete(tmp, true); fs.delete(aside, true)
+      rebucket(spark.read.parquet(dir).drop("bucket"))
+        .write.partitionBy("bucket").parquet(tmp.toString)
+      if (!fs.rename(p, aside) || !fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"reshardState: swap failed for $dir; data intact in " +
+            s"$aside and/or $tmp")
+      fs.delete(aside, true)
+    }
+    swap(s"$statePath/bands",
+      _.withColumn("bucket", keyBucket(col("band_hash"), newBuckets)))
+    swap(s"$statePath/sigs",
+      _.withColumn("bucket", idBucket(col("doc_id"), newBuckets)))
+    swap(outPath,
+      _.withColumn("bucket", idBucket(col("doc_id"), newBuckets)))
+    writeMarker(fs, marker,
+      old.replace(s"buckets=$oldBuckets", s"buckets=$newBuckets"))
+  }
+
+  /** The gate as a streaming sink: docs stream → near-dup-gated lake.
+    * `compactEvery` > 0 runs
+    * [[LakeMaintenance.compactPartitioned]](…, "bucket=") over the
+    * state and output layouts every that-many batches, inside
+    * foreachBatch — where this stream's own appends are naturally
+    * paused for the touched dirs (the compaction contract). */
   def startNearDupSink(docs: DataFrame, outPath: String, statePath: String,
                        checkpoint: String,
                        trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                        shingleN: Int = 5, k: Int = 64, bands: Int = 16,
-                       threshold: Double = 0.5): StreamingQuery =
+                       threshold: Double = 0.5,
+                       buckets: Int = DefaultBuckets,
+                       compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, outPath, statePath, shingleN, k, bands, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, outPath, statePath, shingleN, k, bands,
+          threshold, buckets)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          val s = batch.sparkSession
+          LakeMaintenance.compactPartitioned(s, s"$statePath/bands", "bucket=")
+          LakeMaintenance.compactPartitioned(s, s"$statePath/sigs", "bucket=")
+          LakeMaintenance.compactPartitioned(s, outPath, "bucket=")
+        }
         ()
       }
       .start()

@@ -135,15 +135,28 @@ object TickIngest {
   /** T2 sink: micro-batch append to a symbol-partitioned lake path via
     * [[appendBatchIdempotent]] — deduped on (symbol, time) within each
     * batch AND against the target, so at-least-once upstream and
-    * crash-replayed batches both land exactly-once in the lake. */
+    * crash-replayed batches both land exactly-once in the lake.
+    *
+    * `compactEvery` > 0 runs [[LakeMaintenance.compactLake]] every
+    * that-many batches INSIDE foreachBatch — between this stream's own
+    * appends, which is exactly the "pause the sink for the touched
+    * symbols" window the compaction contract asks for (a 10 s cadence
+    * otherwise accretes ~8.6k files/symbol/day unboundedly). The
+    * replay-dedup anti-join reads the compacted keys like any others
+    * ([[graft.StreamingSpec]] pins rows + idempotence across a
+    * compaction). */
   def startLakeSink(parsed: DataFrame, path: String, checkpoint: String,
-                    trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+                    trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                    compactEvery: Int = 0): StreamingQuery =
     parsed.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatchIdempotent(batch, path)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          LakeMaintenance.compactLake(batch.sparkSession, path)
+        ()
       }
       .start()
 }
