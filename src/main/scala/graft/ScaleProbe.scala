@@ -183,6 +183,93 @@ object ScaleProbe {
     println(f"[scale] kmeans @40k iters=3 ${k3}%.2f s, iters=10 ${k10}%.2f s, " +
       f"ratio ${k10 / k3}%.1f (linear ~3.3, quadratic ~11)")
 
+    // ---- streaming near-dup gate: bucketed state probes ---------------
+    // Seed three gate states — 5k docs, 100k docs (bucketed at 1024),
+    // and 100k docs at buckets=1 (the flat-scan twin: SAME code, bucket
+    // pruning off — the r5 full-table-probe shape). Then time ONE small
+    // probe batch (4 docs ≈ 66 touched band buckets of 1024) against
+    // each: the bucketed 20× probe must cost a FRACTION of the flat 20×
+    // probe, and reshard keeps that fraction as the state grows.
+    import graft.streaming.{LakeMaintenance, NearDupGate}
+    val tmp = java.nio.file.Files.createTempDirectory("gate-scale").toString
+    val GateBuckets = 1024
+    def gDir(n: String) = (s"$tmp/$n/out", s"$tmp/$n/state")
+    // UNTIMED write-path warmup (the Bench warmup philosophy): nothing
+    // earlier in this probe writes parquet, and a first 1024-dir
+    // dynamic-partition write pays parquet-writer/committer JIT across
+    // thousands of file opens — measured ~17 s of pure first-run cost
+    // that would otherwise be charged to whichever seed runs first. The
+    // warmup is a full-size seed into a throwaway dir so the timed
+    // seeds below measure steady-state write cost.
+    locally {
+      val (o, s) = gDir("warm")
+      NearDupGate.curateBatch(base.select("doc_id", "text"), o, s,
+        buckets = GateBuckets)
+    }
+    probe(s"gate_seed @${nBase} b$GateBuckets")(()) {
+      val (o, s) = gDir("s1")
+      NearDupGate.curateBatch(base.select("doc_id", "text"), o, s,
+        buckets = GateBuckets)
+    }
+    probe(s"gate_seed @${nBig} b$GateBuckets")(warmBig()) {
+      val (o, s) = gDir("s20")
+      NearDupGate.curateBatch(big, o, s, buckets = GateBuckets)
+    }
+    probe(s"gate_seed @${nBig} flat")(warmBig()) {
+      val (o, s) = gDir("f20")
+      NearDupGate.curateBatch(big, o, s, buckets = 1)
+    }
+    def gateProbeBatch(tag: String) =
+      (0 until 4).map(i => ((1L << 40) + i,
+        (0 until 80).map(j => s"$tag${i}q$j").mkString(" ")))
+        .toDF("doc_id", "text")
+    probe(s"gate_probe @${nBase} b$GateBuckets")(()) {
+      val (o, s) = gDir("s1")
+      NearDupGate.curateBatch(gateProbeBatch("a"), o, s, buckets = GateBuckets)
+    }
+    probe(s"gate_probe @${nBig} b$GateBuckets")(()) {
+      val (o, s) = gDir("s20")
+      NearDupGate.curateBatch(gateProbeBatch("b"), o, s, buckets = GateBuckets)
+    }
+    probe(s"gate_probe @${nBig} flat")(()) {
+      val (o, s) = gDir("f20")
+      NearDupGate.curateBatch(gateProbeBatch("c"), o, s, buckets = 1)
+    }
+    // The SCALE-relevant probe metric is BYTES TOUCHED, not local[16]
+    // wall-clock (at 1.6M state rows job overhead dominates the timing
+    // above): the fraction of state a probe batch reads is
+    // touched-buckets/total, and it holds at ANY state size because the
+    // bucket is a pure hash of the probe key. Recomputed here from the
+    // public pipeline (same expressions the gate uses).
+    locally {
+      val pb = gateProbeBatch("m")
+      val touched = Dedup.signatureBands(
+          Dedup.minhashSignatures(
+            Dedup.shinglesRaw(pb, "doc_id", "text", 5), 64), 64, 16)
+        .select(pmod(col("band_hash"), lit(GateBuckets.toLong)).cast("int").as("b"))
+        .distinct().as[Int].collect().toSet
+      val (_, statePath) = gDir("s20")
+      val root = new org.apache.hadoop.fs.Path(s"$statePath/bands")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(root).filter(_.isDirectory)
+      def bytes(ds: Seq[org.apache.hadoop.fs.FileStatus]): Long =
+        ds.map(d => fs.listStatus(d.getPath).filter(_.isFile).map(_.getLen).sum).sum
+      val total = bytes(dirs.toSeq)
+      val hit = bytes(dirs.filter(d =>
+        touched.contains(d.getPath.getName.stripPrefix("bucket=").toInt)).toSeq)
+      println(f"[scale] gate probe touches ${touched.size}/$GateBuckets band " +
+        f"buckets = ${100.0 * hit / total}%.1f%% of state bytes " +
+        "(state-size-independent: the bucket is a pure key hash)")
+    }
+    // ---- compaction cost tracks the partition's file count ------------
+    val f10 = s"$tmp/files10"; val f200 = s"$tmp/files200"
+    spark.range(100000).repartition(10).write.parquet(f10)
+    spark.range(100000).repartition(200).write.parquet(f200)
+    probe("compact_flat 10 files")(())(
+      LakeMaintenance.compactFlat(spark, f10, maxFiles = 1))
+    probe("compact_flat 200 files")(())(
+      LakeMaintenance.compactFlat(spark, f200, maxFiles = 1))
+
     // exact EWM over one 200k-row key — far beyond the closed-form
     // double-range limit; must stream in O(1) state. The action is
     // INSIDE the timer (perRow alone only builds a plan)

@@ -169,7 +169,7 @@ object Dedup {
     * exactly one bucket, so the multiset is identical). The two
     * branches' shingle-keyed exchanges are canonically identical, so
     * Spark plans ONE shuffle write (ReusedExchange —
-    * [[graft.PlanQualitySpec]] pins it) and the corpus is scanned,
+    * [[graft.CacheOwnershipSpec]] pins it) and the corpus is scanned,
     * exploded, and deduped exactly once with nothing left resident. */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
                    dropShingles: Option[DataFrame] = None): DataFrame = {

@@ -45,7 +45,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("indicator pipeline shuffles exactly once (single Exchange)") {
-    Seq("q_rsi", "q_ema", "q_ema_ref", "q_asof").foreach { q =>
+    Seq("q_rsi", "q_ema", "q_ema_ref", "q_asof", "q_indicator_replay").foreach { q =>
       val n = "Exchange hashpartitioning".r.findAllIn(physical(q)).length
       assert(n == 1, s"$q has $n hash exchanges, expected 1")
     }
