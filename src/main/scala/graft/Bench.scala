@@ -120,7 +120,13 @@ object Bench {
     // SPARK_GRAFT_ROUND). Round-over-round audits then never depend on
     // the driver's capture window.
     try {
-      val repo = new java.io.File(".").getCanonicalFile
+      // anchor at the repo root (first ancestor with build.sbt), not
+      // bare cwd — a wrapper launching from elsewhere would otherwise
+      // silently write docs/ somewhere useless
+      val repo = Iterator.iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
+        .takeWhile(_ != null).take(8)
+        .find(d => new java.io.File(d, "build.sbt").isFile)
+        .getOrElse(new java.io.File(".").getCanonicalFile)
       val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
         .getOrElse {
           val re = "CORRECTNESS_r(\\d+)\\.json".r
@@ -130,8 +136,15 @@ object Bench {
         }
       val docs = new java.io.File(repo, "docs")
       docs.mkdirs()
-      java.nio.file.Files.writeString(
-        new java.io.File(docs, f"BENCH_FULL_r$round%02d.json").toPath, line)
+      // never overwrite a prior round's record: a re-run AFTER the
+      // round's CORRECTNESS file landed infers the NEXT round's number,
+      // and clobbering that file would hand a later audit mislabeled
+      // data — divert re-runs to a -rerun name instead
+      val target = new java.io.File(docs, f"BENCH_FULL_r$round%02d.json")
+      val out = if (target.exists)
+        new java.io.File(docs, f"BENCH_FULL_r$round%02d-rerun.json")
+      else target
+      java.nio.file.Files.writeString(out.toPath, line)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-record write failed: ${e.getMessage}")
     }

@@ -131,7 +131,7 @@ object LakeMaintenance {
       renamed.foreach(fs.delete(_, false)) // originals all intact
       fs.delete(tmp, true)
       throw new java.io.IOException(
-        s"compactLake: rename into $p failed; partition left unchanged")
+        s"compaction: rename into $p failed; partition left unchanged")
     }
     files.foreach(f => fs.delete(f.getPath, false))
     fs.delete(tmp, true)

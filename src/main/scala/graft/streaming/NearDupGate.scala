@@ -112,6 +112,17 @@ object NearDupGate {
   private def idBucket(c: Column, buckets: Int): Column =
     pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
 
+  /** ONE copy of the dynamic-write clustering (curateBatch appends AND
+    * reshardState rewrites): cluster by the bucket key so an append
+    * adds at most one file per touched bucket, with an EXPLICIT
+    * partition count so AQE cannot coalesce a small batch to a single
+    * task that opens every file serially. */
+  private def clusterByBucket(df: DataFrame, buckets: Int): DataFrame =
+    df.repartition(
+      math.max(1, math.min(buckets,
+        df.sparkSession.sparkContext.defaultParallelism)),
+      col("bucket"))
+
   /** Some(frame) iff ≥1 of the requested bucket dirs exists with parquet
     * part files — EXPLICIT directory selection (never a root listing),
     * so pruned buckets cost nothing; existence probes only, real IO
@@ -144,7 +155,15 @@ object NearDupGate {
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def hold(df: DataFrame): DataFrame = { persisted += df.persist(); df }
     try {
-      val b = hold(batch.dropDuplicates("doc_id"))
+      // null doc_ids are DROPPED up front, documented: a row with no
+      // identity cannot participate in the idempotent output (a
+      // null-keyed anti-join never matches, so it would re-append on
+      // every replay) and its bucket hash is null (a poison pill for
+      // the collected bucket lists). The id is the caller's row-key
+      // contract; rows violating it are excluded like dropDuplicates
+      // excludes later copies.
+      val b = hold(batch.where(col("doc_id").isNotNull)
+        .dropDuplicates("doc_id"))
       if (b.isEmpty) return 0L
       bindParams(spark, statePath, shingleN, k, bands, buckets)
       val sigs = hold(Dedup.minhashSignatures(
@@ -231,10 +250,8 @@ object NearDupGate {
       // then opens every touched bucket's file SERIALLY (measured ~17 s
       // for a 3×1024-file seed) — pinning ~parallelism partitions keeps
       // clustering AND parallel writers
-      val writeParts = math.max(1,
-        math.min(buckets, spark.sparkContext.defaultParallelism))
       def clustered(df: DataFrame): DataFrame =
-        df.repartition(writeParts, col("bucket"))
+        clusterByBucket(df, buckets)
       clustered(fresh)
         .write.mode("append").partitionBy("bucket").parquet(outPath)
       // state second: the WHOLE batch's memberships (survivors and
@@ -286,36 +303,52 @@ object NearDupGate {
     * bucket count — the re-shard that keeps per-bucket size (and so
     * per-batch probe cost) bounded as the state grows. MUST run with the
     * gate stopped (it is the bucket-layout analog of a compaction
-    * window). Ordering is replacement-before-delete per layout: the new
-    * layout is fully written to a hidden temp dir, the old dir moves
-    * aside, the temp renames in, the old dir deletes; the `_gate_params`
-    * marker updates LAST, so a crash mid-reshard leaves the marker
-    * naming the OLD bucket count and a restarted gate fails the param
-    * check loudly (recover by re-running reshard — the `.reshard_*`
-    * temp/aside dirs are complete copies) instead of probing a
-    * half-moved layout. */
+    * window).
+    *
+    * Crash contract, FENCE-FIRST: before any data moves, the
+    * `_gate_params` marker is rewritten with a `;resharding_to=` fence —
+    * from that instant ANY gate restart fails `bindParams` loudly (the
+    * marker equals no runnable parameter string), so a half-moved
+    * layout can never be silently probed, including the two windows a
+    * marker-LAST ordering would miss (crash after a swap with the old
+    * marker still matching old-bucket gates; crash between the two
+    * renames leaving the layout dir absent, which a matching gate would
+    * read as empty state). Each layout swap is
+    * replacement-before-delete (full temp write → old moves aside →
+    * temp renames in → aside deletes) and RE-ENTRANT: a rerun first
+    * restores a half-swapped dir from its aside copy, so re-running
+    * `reshardState` is the complete crash recovery; the clean marker is
+    * written only after every swap finished. */
   def reshardState(spark: SparkSession, outPath: String, statePath: String,
                    newBuckets: Int): Unit = {
     require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
     val marker = new Path(statePath, "_gate_params")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(marker), s"no gate state at $statePath to reshard")
-    val old = readMarker(fs, marker)
+    // a `;resharding_to=` suffix from an interrupted run is accepted —
+    // rerunning reshard IS the recovery path; the clean prefix carries
+    // the authoritative old bucket count
+    val old = readMarker(fs, marker).takeWhile(_ != ';')
     val re = ",buckets=(\\d+),".r
     val oldBuckets = re.findFirstMatchIn(old).map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
         s"unparseable _gate_params at $statePath: $old"))
+    // FENCE: no gate may run until the clean marker returns
+    writeMarker(fs, marker, old + s";resharding_to=$newBuckets")
     def swap(dir: String, rebucket: DataFrame => DataFrame): Unit = {
       val p = new Path(dir)
-      if (!fs.exists(p)) return
       val tmp = new Path(p.getParent, "." + p.getName + ".reshard_tmp")
       val aside = new Path(p.getParent, "." + p.getName + ".reshard_old")
+      // recover a half-swapped prior attempt: if the layout dir is
+      // gone, its aside copy is the authoritative data — restore it
+      // BEFORE the cleanup deletes below (deleting aside while p is
+      // missing would destroy the only copy)
+      if (!fs.exists(p) && fs.exists(aside))
+        require(fs.rename(aside, p), s"reshardState: could not restore $p from $aside")
+      if (!fs.exists(p)) return
       fs.delete(tmp, true); fs.delete(aside, true)
-      rebucket(spark.read.parquet(dir).drop("bucket"))
-        // cluster before the dynamic write; explicit count so AQE
-        // cannot serialize the writers (see curateBatch)
-        .repartition(math.max(1, math.min(newBuckets,
-          spark.sparkContext.defaultParallelism)), col("bucket"))
+      clusterByBucket(rebucket(spark.read.parquet(dir).drop("bucket")),
+          newBuckets)
         .write.partitionBy("bucket").parquet(tmp.toString)
       if (!fs.rename(p, aside) || !fs.rename(tmp, p))
         throw new java.io.IOException(

@@ -587,6 +587,62 @@ class StreamingSpec extends SparkSpec {
       .sameElements(Array(0L, 1L, 2L, 3L, 4L, 103L)))
   }
 
+  test("NearDupGate: null doc_ids drop instead of poisoning the batch") {
+    // a row with no identity can't be replay-idempotent (null-keyed
+    // anti-joins never match) and its null bucket hash crashed the
+    // collected bucket list — the contract is: excluded up front
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-null").toString
+    val text = (0 until 60).map(i => s"n$i").mkString(" ")
+    val b = Seq((java.lang.Long.valueOf(1L), text),
+        (null.asInstanceOf[java.lang.Long], (0 until 60).map(i => s"m$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(NearDupGate.curateBatch(b, s"$dir/out", s"$dir/state") == 1L)
+    assert(spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect()
+      .sameElements(Array(1L)))
+  }
+
+  test("NearDupGate: reshard fence fails gates loudly; rerun recovers a crash") {
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-fence").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val doc = (0 until 60).map(i => s"f$i").mkString(" ")
+    assert(NearDupGate.curateBatch(
+      Seq((1L, doc)).toDF("doc_id", "text"), out, state, buckets = 8) == 1L)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash mid-reshard: the fence marker is down and the
+    // bands layout has moved aside (the window where a marker-LAST
+    // protocol would let an old-bucket gate silently read empty state)
+    val marker = new org.apache.hadoop.fs.Path(state, "_gate_params")
+    val params = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val o = fs.create(marker, true)
+    o.write((params + ";resharding_to=32").getBytes("UTF-8")); o.close()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(state, "bands"),
+      new org.apache.hadoop.fs.Path(state, ".bands.reshard_old")))
+    // ANY gate run now fails loudly — old and new bucket counts alike
+    Seq(8, 32).foreach { bkts =>
+      val ex = intercept[IllegalArgumentException] {
+        NearDupGate.curateBatch(
+          Seq((2L, doc)).toDF("doc_id", "text"), out, state, buckets = bkts)
+      }
+      assert(ex.getMessage.contains("resharding_to"), ex.getMessage)
+    }
+    // rerunning reshard IS the recovery: restores the aside copy, then
+    // completes the move — the near-dup probe works at the new count
+    NearDupGate.reshardState(spark, out, state, 32)
+    assert(NearDupGate.curateBatch(
+      Seq((3L, doc.replace("f57", "x"))).toDF("doc_id", "text"),
+      out, state, buckets = 32) == 0L)
+    assert(NearDupGate.curateBatch(
+      Seq((4L, (0 until 60).map(i => s"g$i").mkString(" "))).toDF("doc_id", "text"),
+      out, state, buckets = 32) == 1L)
+  }
+
   test("lake sink compaction hook bounds files across batches, rows intact") {
     // VERDICT item 3's acceptance: a sink run for 2N batches with
     // compactEvery = N keeps per-partition file counts bounded and the
