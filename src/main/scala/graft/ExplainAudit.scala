@@ -70,11 +70,19 @@ object ExplainAudit {
       "q_quality_topp",   // expect the doc-side Window PARTITIONED by
                           //   (lang, qb); lang-only windows run above
                           //   the per-bucket aggregate frame only
-      "q_unigram_ppl")    // expect TWO corpus token passes (cached
-                          //   vocab-sized freq build + probe join), the
-                          //   total as a broadcast scalar read from the
-                          //   freq CACHE (InMemoryTableScan, no third
-                          //   corpus pass), one doc-keyed aggregation
+      "q_unigram_ppl",    // expect TWO corpus token passes (vocab-sized
+                          //   freq build + probe join), the total as a
+                          //   broadcast scalar from a NO-SHUFFLE doc
+                          //   scan (r6: no cache, no InMemoryRelation
+                          //   anywhere), one doc-keyed aggregation
+      "q_indicator_replay", // expect ONE exchange on user_id feeding
+                          //   every Window op (change + RSI + EMA — the
+                          //   T3 batch twin shares the q_rsi shape)
+      "q_semdedup_cc")    // expect the q_semdedup assignment shape
+                          //   (map-side NearestCentroid, cid-keyed
+                          //   self-join); the CC rounds run at action
+                          //   time, so the static plan shows the pair
+                          //   side feeding the component join
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")
