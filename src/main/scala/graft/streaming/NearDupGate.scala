@@ -42,7 +42,9 @@ import graft.functions.{ArrayEqCount, Dedup}
   * operation, gate paused) rewrites the layout at a higher `buckets` so
   * per-bucket size stays near a target and per-batch probe cost stays
   * proportional to the BATCH's collision set — the LSM-style re-shard
-  * answer to a plain-parquet lake having no secondary index. (A
+  * answer to a plain-parquet lake having no secondary index; the sink's
+  * `reshardBucketBytes` option runs it AUTOMATICALLY in the compaction
+  * maintenance window when a bucket outgrows the target. (A
   * MERGE-capable table format with clustering gives this for free; the
   * bucketed layout is the table-format-free equivalent.)
   * [[LakeMaintenance.compactPartitioned]](dir, "bucket=") compacts the
@@ -142,7 +144,15 @@ object NearDupGate {
   /** One micro-batch through the gate. `batch` must carry
     * (doc_id: long-orderable, text: string). Returns the number of rows
     * THIS call admitted to the output (0 for an empty or fully-replayed
-    * batch). */
+    * batch).
+    *
+    * `buckets` is the INITIAL layout fan-out, used only when this call
+    * creates a fresh state; for an existing state the `_gate_params`
+    * marker is authoritative (the bucket count is layout, not hash
+    * semantics — [[reshardState]] legally changes it between runs, and
+    * a caller-supplied stale count must not make probes silently read
+    * the wrong directories). Hash parameters (shingleN, k, bands, seed)
+    * are strictly verified against the marker as before. */
   def curateBatch(batch: DataFrame, outPath: String, statePath: String,
                   shingleN: Int = 5, k: Int = 64, bands: Int = 16,
                   threshold: Double = 0.5,
@@ -165,7 +175,7 @@ object NearDupGate {
       val b = hold(batch.where(col("doc_id").isNotNull)
         .dropDuplicates("doc_id"))
       if (b.isEmpty) return 0L
-      bindParams(spark, statePath, shingleN, k, bands, buckets)
+      val nb = bindParams(spark, statePath, shingleN, k, bands, buckets)
       val sigs = hold(Dedup.minhashSignatures(
         Dedup.shinglesRaw(b, "doc_id", "text", shingleN), k))
       val banded = Dedup.signatureBands(sigs, k, bands)
@@ -179,7 +189,7 @@ object NearDupGate {
           Dedup.md5Hash60(coalesce(lower(col("text")), lit(""))).as("band_hash"))
       val probe = hold(
         banded.select("doc_id", "band", "band_hash").unionByName(shortFps)
-          .withColumn("bucket", keyBucket(col("band_hash"), buckets)))
+          .withColumn("bucket", keyBucket(col("band_hash"), nb)))
       val touched = probe.select("bucket").distinct().collect().map(_.getInt(0))
       val stateBands = readBuckets(spark, s"$statePath/bands", touched.toSeq)
 
@@ -202,7 +212,7 @@ object NearDupGate {
               .select(col("band"), col("band_hash"), col("doc_id").as("seen_id")),
               Seq("band", "band_hash"))
             .select(col("doc_id"), col("seen_id")).distinct())
-        val seenBuckets = cand.select(idBucket(col("seen_id"), buckets).as("sb"))
+        val seenBuckets = cand.select(idBucket(col("seen_id"), nb).as("sb"))
           .distinct().collect().map(_.getInt(0))
         readBuckets(spark, s"$statePath/sigs", seenBuckets.toSeq).map { ss =>
           cand
@@ -231,7 +241,7 @@ object NearDupGate {
         .foldLeft(b) { (acc, d) => acc.join(d, Seq("doc_id"), "left_anti") }
 
       // ---- output, replay-idempotent and bucket-pruned --------------
-      val gatedB = hold(gated.withColumn("bucket", idBucket(col("doc_id"), buckets)))
+      val gatedB = hold(gated.withColumn("bucket", idBucket(col("doc_id"), nb)))
       val outBuckets = gatedB.select("bucket").distinct().collect().map(_.getInt(0))
       val fresh = hold(readBuckets(spark, outPath, outBuckets.toSeq) match {
         case Some(existing) =>
@@ -251,7 +261,7 @@ object NearDupGate {
       // for a 3×1024-file seed) — pinning ~parallelism partitions keeps
       // clustering AND parallel writers
       def clustered(df: DataFrame): DataFrame =
-        clusterByBucket(df, buckets)
+        clusterByBucket(df, nb)
       clustered(fresh)
         .write.mode("append").partitionBy("bucket").parquet(outPath)
       // state second: the WHOLE batch's memberships (survivors and
@@ -259,29 +269,54 @@ object NearDupGate {
       // crash-window contract above
       clustered(probe)
         .write.mode("append").partitionBy("bucket").parquet(s"$statePath/bands")
-      clustered(sigs.withColumn("bucket", idBucket(col("doc_id"), buckets)))
+      clustered(sigs.withColumn("bucket", idBucket(col("doc_id"), nb)))
         .write.mode("append").partitionBy("bucket").parquet(s"$statePath/sigs")
       admitted
     } finally persisted.foreach(_.unpersist())
   }
 
-  /** Write-once / verify-always parameter marker in the state dir. */
+  /** Write-once / verify-always parameter marker in the state dir.
+    * Returns the EFFECTIVE bucket count: the marker's for an existing
+    * state (layout is marker-authoritative — [[reshardState]] legally
+    * changes it between runs), `defaultBuckets` for a fresh one. Hash
+    * parameters are strictly verified; a reshard fence
+    * (`;resharding_to=`) fails every gate run until the reshard
+    * completes. */
   private def bindParams(spark: SparkSession, statePath: String,
                          shingleN: Int, k: Int, bands: Int,
-                         buckets: Int): Unit = {
+                         defaultBuckets: Int): Int = {
     val marker = new Path(statePath, "_gate_params")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val expect = paramString(shingleN, k, bands, buckets)
     if (fs.exists(marker)) {
       val got = readMarker(fs, marker)
-      require(got == expect,
+      require(!got.contains(";resharding_to="),
+        s"NearDupGate state at $statePath has a reshard in progress or " +
+          s"crashed mid-way ($got) — rerun reshardState to complete it " +
+          "before running the gate")
+      val prefix = s"shingleN=$shingleN,k=$k,bands=$bands,seed=42,buckets="
+      val bucketsRe = java.util.regex.Pattern.quote(prefix) + "(\\d+),v=2"
+      val m = bucketsRe.r.findFirstMatchIn(got).filter(_.matched == got)
+      require(m.isDefined,
         s"NearDupGate state at $statePath was built with ($got) but this " +
-          s"gate runs ($expect) — band hashes and the bucket layout are " +
-          "parameter-bound and the probe would silently miss; use a fresh " +
-          "statePath, matching parameters, or reshardState for a bucket change")
+          s"gate runs (${paramString(shingleN, k, bands, defaultBuckets)}) " +
+          "— band hashes are parameter-bound and the probe would silently " +
+          "never collide; use a fresh statePath or matching parameters")
+      m.get.group(1).toInt
     } else {
-      writeMarker(fs, marker, expect)
+      writeMarker(fs, marker, paramString(shingleN, k, bands, defaultBuckets))
+      defaultBuckets
     }
+  }
+
+  /** The state's current bucket fan-out, from the authoritative marker
+    * (the [[startNearDupSink]] auto-reshard hook reads it to grow the
+    * layout). */
+  def currentBuckets(spark: SparkSession, statePath: String): Option[Int] = {
+    val marker = new Path(statePath, "_gate_params")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else ",buckets=(\\d+),".r.findFirstMatchIn(readMarker(fs, marker))
+      .map(_.group(1).toInt)
   }
 
   private def paramString(shingleN: Int, k: Int, bands: Int, buckets: Int) =
@@ -367,18 +402,35 @@ object NearDupGate {
   }
 
   /** The gate as a streaming sink: docs stream → near-dup-gated lake.
+    *
     * `compactEvery` > 0 runs
     * [[LakeMaintenance.compactPartitioned]](…, "bucket=") over the
     * state and output layouts every that-many batches, inside
     * foreachBatch — where this stream's own appends are naturally
-    * paused for the touched dirs (the compaction contract). */
+    * paused for the touched dirs (the compaction contract).
+    *
+    * `reshardBucketBytes` > 0 (requires `compactEvery`) makes the
+    * bounded-probe-cost story AUTOMATIC: in the same maintenance
+    * window, if the largest `state/bands` bucket exceeds the target,
+    * [[reshardState]] rewrites all three layouts at 4× the current
+    * fan-out (the marker is authoritative, so subsequent batches pick
+    * the new count up without operator action). Per-batch probe cost
+    * then stays ≈ touched-buckets × target bytes — proportional to the
+    * batch's collision set — no matter how large the seen-state grows.
+    * Running inside foreachBatch gives the reshard its required
+    * gate-paused window for this stream; concurrent EXTERNAL readers
+    * of the output still want a maintenance window or a table format. */
   def startNearDupSink(docs: DataFrame, outPath: String, statePath: String,
                        checkpoint: String,
                        trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                        shingleN: Int = 5, k: Int = 64, bands: Int = 16,
                        threshold: Double = 0.5,
                        buckets: Int = DefaultBuckets,
-                       compactEvery: Int = 0): StreamingQuery =
+                       compactEvery: Int = 0,
+                       reshardBucketBytes: Long = 0L): StreamingQuery = {
+    require(reshardBucketBytes == 0 || compactEvery > 0,
+      "reshardBucketBytes needs compactEvery > 0 — resharding runs in " +
+        "the compaction maintenance window")
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -391,8 +443,29 @@ object NearDupGate {
           LakeMaintenance.compactPartitioned(s, s"$statePath/bands", "bucket=")
           LakeMaintenance.compactPartitioned(s, s"$statePath/sigs", "bucket=")
           LakeMaintenance.compactPartitioned(s, outPath, "bucket=")
+          if (reshardBucketBytes > 0 &&
+              maxBucketBytes(s, s"$statePath/bands") > reshardBucketBytes)
+            currentBuckets(s, statePath).foreach { cur =>
+              reshardState(s, outPath, statePath, cur * 4)
+            }
         }
         ()
       }
       .start()
+  }
+
+  /** Largest per-bucket byte size under a bucketed layout (0 when the
+    * dir doesn't exist) — the auto-reshard trigger metric. Driver FS
+    * work is O(buckets) listings, maintenance-window-only. */
+  private def maxBucketBytes(spark: SparkSession, dir: String): Long = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val sizes = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(d => fs.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum)
+    if (sizes.isEmpty) 0L else sizes.max
+  }
 }

@@ -569,13 +569,15 @@ class StreamingSpec extends SparkSpec {
     assert(NearDupGate.curateBatch(
       Seq((100L, doc(0).replace("d0w57", "x"))).toDF("doc_id", "text"),
       out, state, buckets = 8) == 0L)
-    // reshard 8 -> 32: layout + marker rewritten, gate continues
+    // reshard 8 -> 32: layout + marker rewritten, gate continues — and
+    // the marker is AUTHORITATIVE for the layout, so a caller still
+    // passing the pre-reshard count (the auto-reshard sink's situation
+    // every batch after a reshard) probes the new layout correctly
     NearDupGate.reshardState(spark, out, state, 32)
-    val pex = intercept[IllegalArgumentException] {
-      NearDupGate.curateBatch(
-        Seq((101L, doc(1))).toDF("doc_id", "text"), out, state, buckets = 8)
-    }
-    assert(pex.getMessage.contains("parameter-bound"))
+    assert(NearDupGate.currentBuckets(spark, state).contains(32))
+    assert(NearDupGate.curateBatch(
+      Seq((101L, doc(1).replace("d1w3", "z"))).toDF("doc_id", "text"),
+      out, state, buckets = 8) == 0L) // stale param, marker wins
     assert(NearDupGate.curateBatch(
       Seq((102L, doc(2).replace("d2w10", "y"))).toDF("doc_id", "text"),
       out, state, buckets = 32) == 0L) // resharded probe still collides
@@ -585,6 +587,33 @@ class StreamingSpec extends SparkSpec {
     assert(NearDupGate.curateBatch(b, out, state, buckets = 32) == 0L) // replay
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
       .sameElements(Array(0L, 1L, 2L, 3L, 4L, 103L)))
+  }
+
+  test("NearDupGate sink: auto-reshard grows the layout past the byte target") {
+    // reshardBucketBytes makes bounded probe cost AUTOMATIC: when the
+    // largest band bucket outgrows the target during the compaction
+    // window, the sink reshards to 4x the marker's fan-out and later
+    // batches pick the new count up from the marker — dedup semantics
+    // unbroken across the growth
+    import graft.streaming.NearDupGate
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup-auto").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    def doc(i: Int): String = (0 until 60).map(j => s"a${i}w$j").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val q = NearDupGate.startNearDupSink(
+      mem.toDF().toDF("doc_id", "text"), out, state, s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      buckets = 2, compactEvery = 1, reshardBucketBytes = 1L)
+    mem.addData((0L, doc(0)), (1L, doc(1)))
+    q.processAllAvailable() // batch 0: curate, compact, reshard 2 -> 8
+    assert(NearDupGate.currentBuckets(spark, state).contains(8))
+    mem.addData((10L, doc(0).replace("a0w7", "x")), // near-dup: drop
+      (11L, doc(7)))                                // fresh: admit
+    q.processAllAvailable() // batch 1 probes the 8-bucket layout
+    q.stop()
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .sameElements(Array(0L, 1L, 11L)))
   }
 
   test("NearDupGate: null doc_ids drop instead of poisoning the batch") {
