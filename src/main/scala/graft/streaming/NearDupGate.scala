@@ -319,6 +319,23 @@ object NearDupGate {
       .map(_.group(1).toInt)
   }
 
+  /** Complete an interrupted reshard if the marker carries a fence:
+    * reruns [[reshardState]] toward the fenced target (the rerun IS the
+    * crash recovery — it restores half-swapped dirs first). Returns
+    * true iff a recovery ran. [[startNearDupSink]] calls this at the
+    * top of every batch so a crash mid-auto-reshard self-heals on
+    * stream restart instead of wedging on the fence. */
+  def recoverReshard(spark: SparkSession, outPath: String,
+                     statePath: String): Boolean = {
+    val marker = new Path(statePath, "_gate_params")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return false
+    ";resharding_to=(\\d+)".r.findFirstMatchIn(readMarker(fs, marker)) match {
+      case Some(m) => reshardState(spark, outPath, statePath, m.group(1).toInt); true
+      case None => false
+    }
+  }
+
   private def paramString(shingleN: Int, k: Int, bands: Int, buckets: Int) =
     s"shingleN=$shingleN,k=$k,bands=$bands,seed=42,buckets=$buckets,v=2"
 
@@ -436,6 +453,10 @@ object NearDupGate {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // a crash mid-auto-reshard left a fence: complete it before
+        // curating (rerunning reshard IS the recovery), so a restarted
+        // stream self-heals instead of failing the fence check forever
+        recoverReshard(batch.sparkSession, outPath, statePath)
         curateBatch(batch, outPath, statePath, shingleN, k, bands,
           threshold, buckets)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {

@@ -572,9 +572,21 @@ class StreamingSpec extends SparkSpec {
     // reshard 8 -> 32: layout + marker rewritten, gate continues — and
     // the marker is AUTHORITATIVE for the layout, so a caller still
     // passing the pre-reshard count (the auto-reshard sink's situation
-    // every batch after a reshard) probes the new layout correctly
+    // every batch after a reshard) probes the new layout correctly.
+    // The reshard must preserve the EXACT row sets of all three
+    // layouts (only bucket assignments change).
+    def rowSets = (
+      spark.read.parquet(s"$state/bands").drop("bucket").collect()
+        .map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$state/sigs").drop("bucket")
+        .selectExpr("doc_id", "cast(sig as string)").collect()
+        .map(_.toString).sorted.toSeq,
+      spark.read.parquet(out).drop("bucket").collect()
+        .map(_.toString).sorted.toSeq)
+    val beforeRows = rowSets
     NearDupGate.reshardState(spark, out, state, 32)
     assert(NearDupGate.currentBuckets(spark, state).contains(32))
+    assert(rowSets == beforeRows, "reshard changed table contents")
     assert(NearDupGate.curateBatch(
       Seq((101L, doc(1).replace("d1w3", "z"))).toDF("doc_id", "text"),
       out, state, buckets = 8) == 0L) // stale param, marker wins
@@ -661,9 +673,13 @@ class StreamingSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("resharding_to"), ex.getMessage)
     }
-    // rerunning reshard IS the recovery: restores the aside copy, then
-    // completes the move — the near-dup probe works at the new count
-    NearDupGate.reshardState(spark, out, state, 32)
+    // recoverReshard completes the interrupted move toward the fenced
+    // target (what the sink calls on every batch) — restores the aside
+    // copy, finishes the swaps, clears the fence; the near-dup probe
+    // then works at the new count
+    assert(NearDupGate.recoverReshard(spark, out, state))
+    assert(!NearDupGate.recoverReshard(spark, out, state)) // idempotent no-op
+    assert(NearDupGate.currentBuckets(spark, state).contains(32))
     assert(NearDupGate.curateBatch(
       Seq((3L, doc.replace("f57", "x"))).toDF("doc_id", "text"),
       out, state, buckets = 32) == 0L)
