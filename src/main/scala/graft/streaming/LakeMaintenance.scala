@@ -53,18 +53,24 @@ object LakeMaintenance {
 
   /** Compact every `symbol=` partition under `path` that holds more than
     * `maxFiles` parquet files. Returns (partitions compacted, files
-    * before, files after). */
+    * before, files after). `snapshotRoot`: when the named dir has
+    * [[Snapshot]] manifests, replaced originals are RETIRED into its
+    * `_stale` tree and a new manifest version commits per compacted
+    * partition — concurrent manifest readers keep a consistent view. */
   def compactLake(spark: SparkSession, path: String,
                   targetBytes: Long = 128L << 20,
-                  maxFiles: Int = 4): (Int, Int, Int) =
-    compactPartitioned(spark, path, "symbol=", targetBytes, maxFiles)
+                  maxFiles: Int = 4,
+                  snapshotRoot: Option[String] = None): (Int, Int, Int) =
+    compactPartitioned(spark, path, "symbol=", targetBytes, maxFiles,
+      snapshotRoot)
 
   /** Compact every partition dir named `prefix…` under `path` (the
     * generalized walk: `symbol=` for the tick lake, `bucket=` for the
     * near-dup gate's state/output layouts). */
   def compactPartitioned(spark: SparkSession, path: String, prefix: String,
                          targetBytes: Long = 128L << 20,
-                         maxFiles: Int = 4): (Int, Int, Int) = {
+                         maxFiles: Int = 4,
+                         snapshotRoot: Option[String] = None): (Int, Int, Int) = {
     require(prefix.nonEmpty, "compactPartitioned needs a partition-dir " +
       "prefix; use compactFlat for an unpartitioned directory")
     val root = new Path(path)
@@ -74,9 +80,8 @@ object LakeMaintenance {
     fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith(prefix))
       .foreach { p =>
-        compactOneDir(spark, fs, p, targetBytes, maxFiles).foreach {
-          case (b, a) => parts += 1; before += b; after += a
-        }
+        compactOneDir(spark, fs, p, targetBytes, maxFiles, snapshotRoot)
+          .foreach { case (b, a) => parts += 1; before += b; after += a }
       }
     (parts, before, after)
   }
@@ -85,11 +90,12 @@ object LakeMaintenance {
     * parts is 0 or 1). */
   def compactFlat(spark: SparkSession, dir: String,
                   targetBytes: Long = 128L << 20,
-                  maxFiles: Int = 4): (Int, Int, Int) = {
+                  maxFiles: Int = 4,
+                  snapshotRoot: Option[String] = None): (Int, Int, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return (0, 0, 0)
-    compactOneDir(spark, fs, p, targetBytes, maxFiles)
+    compactOneDir(spark, fs, p, targetBytes, maxFiles, snapshotRoot)
       .map { case (b, a) => (1, b, a) }.getOrElse((0, 0, 0))
   }
 
@@ -99,7 +105,8 @@ object LakeMaintenance {
     * run left one. Returns Some((files before, files after)) iff the dir
     * exceeded `maxFiles` and was compacted. */
   private def compactOneDir(spark: SparkSession, fs: FileSystem, p: Path,
-                            targetBytes: Long, maxFiles: Int): Option[(Int, Int)] = {
+                            targetBytes: Long, maxFiles: Int,
+                            snapshotRoot: Option[String] = None): Option[(Int, Int)] = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val files = fs.listStatus(p)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -133,7 +140,16 @@ object LakeMaintenance {
       throw new java.io.IOException(
         s"compaction: rename into $p failed; partition left unchanged")
     }
-    files.foreach(f => fs.delete(f.getPath, false))
+    snapshotRoot.filter(Snapshot.enabled(spark, _)) match {
+      case Some(r) =>
+        // retire the originals and re-list this partition in ONE commit:
+        // manifest readers at older versions resolve them from _stale
+        val rootUri = new Path(r).toUri.getPath.stripSuffix("/")
+        val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        Snapshot.commit(spark, r, Seq(rel),
+          retired = files.map(_.getPath).toSeq)
+      case None => files.foreach(f => fs.delete(f.getPath, false))
+    }
     fs.delete(tmp, true)
     Some((files.length, compacted.length))
   }

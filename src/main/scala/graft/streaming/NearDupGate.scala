@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,36 +20,41 @@ import graft.functions.{ArrayEqCount, Dedup}
   * state survives checkpoint loss and is inspectable/compactable like
   * any other table; (c) replays are idempotent end-to-end (below).
   *
-  * == Bucketed layout — per-batch cost bounded by the batch, not |state|
+  * == Split-trie layout — per-batch cost bounded by the batch, not |state|
   *
-  * Every table the gate probes is HASH-BUCKETED into `buckets` partition
-  * directories, and each batch reads ONLY the buckets its own keys hash
-  * into (explicit directory selection — pruned buckets are never even
-  * listed):
-  *  - `state/bands/bucket=N` — (doc_id, band, band_hash) LSH band
-  *    memberships, bucketed by pmod(band_hash, buckets); the collision
-  *    probe joins on (band, band_hash).
-  *  - `state/sigs/bucket=N`  — (doc_id, sig) full k-long MinHash
-  *    signatures, bucketed by pmod(xxhash64(doc_id), buckets); read only
-  *    for the doc_ids the band probe actually collided with.
-  *  - `out/bucket=N`         — admitted rows, bucketed by
-  *    pmod(xxhash64(doc_id), buckets); the replay anti-join reads only
-  *    the buckets the batch's own doc_ids land in (the r5 full-column
-  *    output scan is gone).
-  * A micro-batch with m keys touches ≤ min(m, buckets) buckets, so
-  * per-batch bytes ≈ touched/buckets × |table| — the bucket count is the
-  * index fan-out. As the state grows, [[reshardState]] (a maintenance
-  * operation, gate paused) rewrites the layout at a higher `buckets` so
-  * per-bucket size stays near a target and per-batch probe cost stays
-  * proportional to the BATCH's collision set — the LSM-style re-shard
-  * answer to a plain-parquet lake having no secondary index; the sink's
-  * `reshardBucketBytes` option runs it AUTOMATICALLY in the compaction
-  * maintenance window when a bucket outgrows the target. (A
+  * Every table the gate probes is HASH-PARTITIONED into an
+  * extendible-hash TRIE of directories, and each batch reads ONLY the
+  * leaves its own keys hash into (explicit directory selection — pruned
+  * leaves are never even listed). The trie root is `buckets` dirs
+  * (`bucket=N`, N = pmod(hash, buckets)); a leaf that outgrows the byte
+  * target is SPLIT into 4 children (`bucket=N/child=M`, M = the next two
+  * bits of the key hash), children split again into `child2=`, `child3=`…
+  * as they grow. The `_gate_params` marker records the split set, so a
+  * key resolves to exactly one leaf at any trie shape. Three layouts:
+  *  - `state/bands` — (doc_id, band, band_hash) LSH band memberships,
+  *    keyed by band_hash; the collision probe joins on (band, band_hash).
+  *  - `state/sigs`  — (doc_id, sig) full k-long MinHash signatures,
+  *    keyed by xxhash64(doc_id); read only for the doc_ids the band
+  *    probe actually collided with.
+  *  - `out`         — admitted rows, keyed by xxhash64(doc_id); the
+  *    replay anti-join reads only the leaves the batch's ids land in.
+  * A micro-batch with m keys touches ≤ m leaves, so per-batch bytes ≈
+  * touched-leaves × leaf-target — proportional to the BATCH's collision
+  * set no matter how large the seen-state grows.
+  *
+  * Growth is INCREMENTAL: [[splitLargestLeaf]] (run automatically in the
+  * sink's compaction window when `reshardBucketBytes` > 0) splits ONE
+  * over-target leaf per maintenance window, so the maintenance pause is
+  * bounded by one leaf's bytes (≈ the target), never O(|state|) — the
+  * r6 stop-the-world reshard is now only the OPTIONAL [[reshardState]]
+  * (a full-rewrite escape hatch for re-choosing the root fan-out). A
   * MERGE-capable table format with clustering gives this for free; the
-  * bucketed layout is the table-format-free equivalent.)
-  * [[LakeMaintenance.compactPartitioned]](dir, "bucket=") compacts the
-  * one-file-per-batch accretion in all three layouts —
-  * [[startNearDupSink]]'s `compactEvery` wires it in.
+  * split trie is the table-format-free equivalent. Skew guard: a leaf
+  * whose rows all carry one hash key (a hot boilerplate band, a common
+  * short-doc fingerprint) can never shrink by splitting — it is skipped
+  * with a log line instead of growing the trie forever.
+  * [[compactLayouts]] compacts the one-file-per-batch accretion in every
+  * leaf — [[startNearDupSink]]'s `compactEvery` wires it in.
   *
   * == Admit rule — est-VERIFIED drops, batch and state symmetric
   *
@@ -59,18 +64,13 @@ import graft.functions.{ArrayEqCount, Dedup}
   *    [[Dedup.minhashPairsFromSignatures]]); or
   *  - a STATE band collision pairs it with a seen doc whose full
   *    signature estimates Jaccard ≥ `threshold` (the seen signature is
-  *    fetched from `state/sigs` by the colliding doc_ids only — r5
-  *    dropped on ANY band collision unverified, a false-positive rate
-  *    equal to the banding collision probability; both directions are
-  *    now symmetric); or
+  *    fetched from `state/sigs` by the colliding doc_ids only); or
   *  - it is too short to shingle (< shingleN tokens) and its whole-text
   *    fingerprint (md5-60 of lowercased text, null text ≡ empty) matches
   *    a seen short doc's — short docs carry a `band = -1` fingerprint
-  *    row in `state/bands`, closing the r5 hole where unlimited exact
-  *    copies of a short doc were admitted forever. Within a batch the
-  *    minimum-id copy survives. Near-dup (not exact) short docs still
-  *    pass: below shingleN tokens there is no signature to verify
-  *    against, a documented limit.
+  *    row in `state/bands`. Within a batch the minimum-id copy survives.
+  *    Near-dup (not exact) short docs still pass: below shingleN tokens
+  *    there is no signature to verify against, a documented limit.
   * The state registers the bands+fingerprints of EVERY processed doc —
   * survivors and dropped alike — so a later copy of a dropped document
   * still collides; signatures are registered for every shingleable doc.
@@ -78,7 +78,7 @@ import graft.functions.{ArrayEqCount, Dedup}
   * == Replay idempotence, by ordering
   *
   * Survivors append to the OUTPUT first (anti-joined against the
-  * output's existing doc_ids in the touched buckets, so a replayed batch
+  * output's existing doc_ids in the touched leaves, so a replayed batch
   * re-admits nothing), the batch's band/fingerprint memberships and
   * signatures append to the STATE second. The state appends depend only
   * on the batch itself — never on the output anti-join — so a crash
@@ -87,14 +87,29 @@ import graft.functions.{ArrayEqCount, Dedup}
   * rows, and duplicate state rows are inert (the probes are
   * join-distinct). Exactly-once output, at-least-once state.
   *
-  * Parameter binding: band hashes AND the bucket layout are
-  * (shingleN, k, bands, seed, buckets)-bound — restarting the gate with
-  * different parameters would silently never collide (or probe the wrong
-  * directories). The state dir carries a `_gate_params` marker written
-  * on first use and VERIFIED on every batch; a mismatch fails loudly.
-  * ([[reshardState]] is the one legal way to change `buckets`; it
-  * rewrites the marker.) A v1 (r5) state dir fails the same check —
-  * it carries no signatures, so it cannot be est-verified against.
+  * == Maintenance crash contract — ONE fence, ALWAYS recoverable
+  *
+  * Every maintenance mutation (leaf split, full reshard) first rewrites
+  * the `_gate_params` marker with a fence suffix (`;splitting=`,
+  * `;split_cleanup=`, `;resharding_to=`) — from that instant ANY gate
+  * run fails [[bindParams]] loudly, so a half-moved layout can never be
+  * silently probed. [[recoverReshard]] (called by the sink at the top of
+  * every batch) completes whichever operation the fence names; all three
+  * are re-entrant. A leaf split is two-phase: children are fully written
+  * into a hidden temp dir under the `splitting` fence (direct files
+  * still authoritative — a crash just reruns the write); ONE marker
+  * write then both adds the leaf to the split set and flips the fence to
+  * `split_cleanup` (the commit point — children now authoritative);
+  * cleanup moves the children in, deletes the stale direct files, and
+  * clears the fence.
+  *
+  * Parameter binding: band hashes AND the trie layout are
+  * (shingleN, k, bands, seed, buckets, splits)-bound — restarting the
+  * gate with different parameters would silently never collide (or probe
+  * the wrong directories). The state dir carries a `_gate_params` marker
+  * written on first use and VERIFIED on every batch; a mismatch fails
+  * loudly. A v2 (r6) state dir fails the same check — its marker does
+  * not carry the split-trie section.
   *
   * Path probes check existence explicitly ([[TickIngest]]'s discipline);
   * real IO errors PROPAGATE and fail the batch so the streaming engine
@@ -102,43 +117,177 @@ import graft.functions.{ArrayEqCount, Dedup}
   * the output's exactly-once for that batch. */
 object NearDupGate {
 
-  /** Default bucket fan-out — sized so fixture-scale states stay
-    * readable while the pruning math is real; production gates size
-    * this so |state|/buckets ≈ one scan-split (then re-shard as the
-    * state grows). */
+  /** Default root fan-out — sized so fixture-scale states stay readable
+    * while the pruning math is real; production gates size this so
+    * |state|/buckets ≈ one scan-split, then let leaf splits absorb
+    * growth. */
   val DefaultBuckets = 64
+
+  /** Maximum split depth: effective fan-out buckets·4¹² (~17M leaves per
+    * root bucket) — bounds marker size and keeps the child-hash modulus
+    * far from 64-bit overflow. An over-target leaf at max depth is
+    * logged and left alone. */
+  val MaxSplitDepth = 12
+
+  /** Parsed `_gate_params`: the hash parameters plus the split trie.
+    * `splits` maps each layout ("bands"/"sigs"/"out") to its set of
+    * SPLIT node paths — a path `List(b, c1, c2…)` means that node's data
+    * lives in its 4 children, not in the node dir itself. The set is
+    * prefix-closed by construction (only leaves split). */
+  private[streaming] final case class GateParams(
+      shingleN: Int, k: Int, bands: Int, buckets: Int,
+      splits: Map[String, Set[List[Int]]]) {
+    def splitSet(l: String): Set[List[Int]] = splits.getOrElse(l, Set.empty)
+    def withSplit(l: String, p: List[Int]): GateParams =
+      copy(splits = splits.updated(l, splitSet(l) + p))
+    def render: String = {
+      def enc(l: String) =
+        splitSet(l).toSeq.map(_.mkString("/")).sorted.mkString(".")
+      s"shingleN=$shingleN,k=$k,bands=$bands,seed=42,buckets=$buckets," +
+        s"split=bands:${enc("bands")}|sigs:${enc("sigs")}|out:${enc("out")},v=3"
+    }
+  }
+
+  private[streaming] object GateParams {
+    val Layouts: Seq[String] = Seq("bands", "sigs", "out")
+    def emptySplits: Map[String, Set[List[Int]]] =
+      Layouts.map(_ -> Set.empty[List[Int]]).toMap
+    private val Re =
+      ("""shingleN=(\d+),k=(\d+),bands=(\d+),seed=42,buckets=(\d+),""" +
+        """split=bands:([0-9/.]*)\|sigs:([0-9/.]*)\|out:([0-9/.]*),v=3""").r
+    def parse(s: String): Option[GateParams] = s match {
+      case Re(sn, kk, bb, bk, sb, ss, so) =>
+        def dec(x: String): Set[List[Int]] =
+          if (x.isEmpty) Set.empty
+          else x.split("\\.").map(_.split("/").map(_.toInt).toList).toSet
+        Some(GateParams(sn.toInt, kk.toInt, bb.toInt, bk.toInt,
+          Map("bands" -> dec(sb), "sigs" -> dec(ss), "out" -> dec(so))))
+      case _ => None
+    }
+  }
 
   private def keyBucket(c: Column, buckets: Int): Column =
     pmod(c, lit(buckets.toLong)).cast("int")
 
-  private def idBucket(c: Column, buckets: Int): Column =
-    pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
+  /** Partition-dir name for split level `d` ≥ 1. Level 1 matches the
+    * natural `bucket=N/child=M` reading; deeper levels number the dir so
+    * dynamic-partition writes (which key dirs by column name) stay
+    * unambiguous. */
+  private def childName(d: Int): String = if (d == 1) "child" else s"child$d"
 
-  /** ONE copy of the dynamic-write clustering (curateBatch appends AND
-    * reshardState rewrites): cluster by the bucket key so an append
-    * adds at most one file per touched bucket, with an EXPLICIT
-    * partition count so AQE cannot coalesce a small batch to a single
-    * task that opens every file serially. */
-  private def clusterByBucket(df: DataFrame, buckets: Int): DataFrame =
-    df.repartition(
-      math.max(1, math.min(buckets,
-        df.sparkSession.sparkContext.defaultParallelism)),
-      col("bucket"))
+  /** Child index at split level `d` (≥ 1): the next two bits of the key
+    * hash beyond what `bucket` and shallower children already fixed —
+    * the rows of node (b, c1…c_{d-1}) scatter over exactly 4 values, and
+    * pmod keeps the assignment consistent for negative xxhash64 keys. */
+  private def childCol(hash: Column, buckets: Int, d: Int): Column = {
+    val lo = buckets.toLong << (2 * (d - 1))
+    floor(pmod(hash, lit(lo * 4)) / lit(lo)).cast("int")
+  }
 
-  /** Some(frame) iff ≥1 of the requested bucket dirs exists with parquet
+  private def nodeRel(path: List[Int]): String =
+    (s"bucket=${path.head}" +: path.tail.zipWithIndex.map {
+      case (c, i) => s"${childName(i + 1)}=$c"
+    }).mkString("/")
+
+  private def nodeDir(root: Path, path: List[Int]): Path =
+    new Path(root, nodeRel(path))
+
+  private def layoutDir(layoutKey: String, outPath: String,
+                        statePath: String): String = layoutKey match {
+    case "bands" => s"$statePath/bands"
+    case "sigs"  => s"$statePath/sigs"
+    case "out"   => outPath
+    case other   => throw new IllegalArgumentException(s"unknown layout $other")
+  }
+
+  /** The hash column each layout is keyed by — ONE definition so the
+    * write path, the probe path, and the split rewrite can never
+    * disagree on where a row lives. */
+  private def layoutHash(layoutKey: String): Column = layoutKey match {
+    case "bands" => col("band_hash")
+    case _       => xxhash64(col("doc_id"))
+  }
+
+  /** Walk one key's (bucket, child…) tuple down the split trie to its
+    * leaf. Terminates: `splits` paths are ≤ MaxSplitDepth long and
+    * `children` carries one index per possible level. */
+  private def resolveLeaf(bucket: Int, children: IndexedSeq[Int],
+                          splits: Set[List[Int]]): List[Int] = {
+    var p = List(bucket)
+    while (splits.contains(p)) p = p :+ children(p.length - 1)
+    p
+  }
+
+  /** The distinct trie leaves a frame's keys hash into — the driver-side
+    * list that makes every read an EXPLICIT directory selection. Bounded:
+    * ≤ min(batch keys, existing leaves) entries. */
+  private def touchedLeaves(df: DataFrame, hash: Column, buckets: Int,
+                            splits: Set[List[Int]]): Seq[List[Int]] = {
+    val maxD = if (splits.isEmpty) 0 else splits.map(_.length).max
+    val cols = keyBucket(hash, buckets).as("__b") +:
+      (1 to maxD).map(d => childCol(hash, buckets, d).as(s"__c$d"))
+    df.select(cols: _*).distinct().collect()
+      .map(r => resolveLeaf(r.getInt(0), (1 to maxD).map(r.getInt), splits))
+      .distinct.toSeq
+  }
+
+  /** Some(frame) iff ≥ 1 of the requested leaf dirs exists with parquet
     * part files — EXPLICIT directory selection (never a root listing),
-    * so pruned buckets cost nothing; existence probes only, real IO
+    * so pruned leaves cost nothing; existence probes only, real IO
     * errors propagate. */
-  private def readBuckets(spark: SparkSession, dir: String,
-                          buckets: Seq[Int]): Option[DataFrame] = {
+  private def readLeaves(spark: SparkSession, dir: String,
+                         leaves: Seq[List[Int]]): Option[DataFrame] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
-    val dirs = buckets.sorted.map(b => new Path(root, s"bucket=$b"))
+    val dirs = leaves.sortBy(_.mkString("/")).map(nodeDir(root, _))
       .filter(p => fs.exists(p) && fs.listStatus(p)
         .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
     if (dirs.isEmpty) None
     else Some(spark.read.parquet(dirs.map(_.toString): _*))
+  }
+
+  /** ONE copy of the dynamic-write clustering (batch appends AND split/
+    * reshard rewrites): cluster by the partition key so an append adds
+    * at most one file per touched leaf, with an EXPLICIT partition count
+    * so AQE cannot coalesce a small batch to a single task that opens
+    * every file serially. */
+  private def clusterBy(df: DataFrame, cols: Seq[String], fanout: Int): DataFrame =
+    df.repartition(
+      math.max(1, math.min(fanout,
+        df.sparkSession.sparkContext.defaultParallelism)),
+      cols.map(col): _*)
+
+  /** Append `df` into a layout's split trie: rows land in the LEAF their
+    * key resolves to (depth-0 rows as direct `bucket=N` files, split-off
+    * rows under `bucket=N/child=M…`) — one dynamic-partition write per
+    * occupied depth. The depth test is a driver-literal membership probe
+    * on the path string (split sets are small; a production-scale trie
+    * would broadcast-join a split table instead). */
+  private def writeLayout(df: DataFrame, hash: Column, dir: String,
+                          buckets: Int, splits: Set[List[Int]]): Unit = {
+    val maxD = if (splits.isEmpty) 0 else splits.map(_.length).max
+    var out = df.withColumn("bucket", keyBucket(hash, buckets))
+    for (d <- 1 to maxD) out = out.withColumn(childName(d), childCol(hash, buckets, d))
+    val byLen = splits.groupBy(_.length)
+      .map { case (l, ps) => l -> ps.map(_.mkString("/")).toSeq }
+    // depth(row) = length of its longest split prefix; the split set is
+    // prefix-closed, so testing shallow→deep with a when-chain is exact
+    var depth: Column = lit(0)
+    for (d <- 1 to maxD; strs <- byLen.get(d)) {
+      val pathStr = concat_ws("/",
+        (col("bucket") +: (1 until d).map(i => col(childName(i))))
+          .map(_.cast("string")): _*)
+      depth = when(pathStr.isin(strs: _*), lit(d)).otherwise(depth)
+    }
+    out = out.withColumn("__depth", depth)
+    for (d <- (Seq(0) ++ byLen.keys).distinct.sorted) {
+      val partCols = "bucket" +: (1 to d).map(childName)
+      val drops = ((d + 1) to maxD).map(childName) :+ "__depth"
+      val sub = out.where(col("__depth") === d).drop(drops: _*)
+      clusterBy(sub, partCols, buckets)
+        .write.mode("append").partitionBy(partCols: _*).parquet(dir)
+    }
   }
 
   /** One micro-batch through the gate. `batch` must carry
@@ -146,13 +295,14 @@ object NearDupGate {
     * THIS call admitted to the output (0 for an empty or fully-replayed
     * batch).
     *
-    * `buckets` is the INITIAL layout fan-out, used only when this call
+    * `buckets` is the INITIAL root fan-out, used only when this call
     * creates a fresh state; for an existing state the `_gate_params`
-    * marker is authoritative (the bucket count is layout, not hash
-    * semantics — [[reshardState]] legally changes it between runs, and
-    * a caller-supplied stale count must not make probes silently read
-    * the wrong directories). Hash parameters (shingleN, k, bands, seed)
-    * are strictly verified against the marker as before. */
+    * marker is authoritative (the trie shape is layout, not hash
+    * semantics — [[splitLargestLeaf]]/[[reshardState]] legally change it
+    * between runs, and a caller-supplied stale count must not make
+    * probes silently read the wrong directories). Hash parameters
+    * (shingleN, k, bands, seed) are strictly verified against the
+    * marker. */
   def curateBatch(batch: DataFrame, outPath: String, statePath: String,
                   shingleN: Int = 5, k: Int = 64, bands: Int = 16,
                   threshold: Double = 0.5,
@@ -169,13 +319,14 @@ object NearDupGate {
       // identity cannot participate in the idempotent output (a
       // null-keyed anti-join never matches, so it would re-append on
       // every replay) and its bucket hash is null (a poison pill for
-      // the collected bucket lists). The id is the caller's row-key
+      // the collected leaf lists). The id is the caller's row-key
       // contract; rows violating it are excluded like dropDuplicates
       // excludes later copies.
       val b = hold(batch.where(col("doc_id").isNotNull)
         .dropDuplicates("doc_id"))
       if (b.isEmpty) return 0L
-      val nb = bindParams(spark, statePath, shingleN, k, bands, buckets)
+      val gp = bindParams(spark, statePath, shingleN, k, bands, buckets)
+      val nb = gp.buckets
       val sigs = hold(Dedup.minhashSignatures(
         Dedup.shinglesRaw(b, "doc_id", "text", shingleN), k))
       val banded = Dedup.signatureBands(sigs, k, bands)
@@ -183,15 +334,14 @@ object NearDupGate {
       // fingerprint as a band = -1 row in the same probe keyspace;
       // null text fingerprints like empty text (md5(null) is null and a
       // null key would land in the default partition, invisible to the
-      // bucket probe)
+      // leaf probe)
       val shortFps = b.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit(-1).as("band"),
           Dedup.md5Hash60(coalesce(lower(col("text")), lit(""))).as("band_hash"))
       val probe = hold(
-        banded.select("doc_id", "band", "band_hash").unionByName(shortFps)
-          .withColumn("bucket", keyBucket(col("band_hash"), nb)))
-      val touched = probe.select("bucket").distinct().collect().map(_.getInt(0))
-      val stateBands = readBuckets(spark, s"$statePath/bands", touched.toSeq)
+        banded.select("doc_id", "band", "band_hash").unionByName(shortFps))
+      val stateBands = readLeaves(spark, s"$statePath/bands",
+        touchedLeaves(probe, col("band_hash"), nb, gp.splitSet("bands")))
 
       // ---- gate 1: state collisions ---------------------------------
       // short docs: exact fingerprint match drops outright
@@ -202,7 +352,7 @@ object NearDupGate {
           .select("doc_id")
       }
       // shingleable docs: band collision is only a CANDIDATE — fetch the
-      // colliding seen docs' signatures (bucket-pruned by their ids) and
+      // colliding seen docs' signatures (leaf-pruned by their ids) and
       // drop only when the estimated Jaccard clears the threshold,
       // symmetric with the batch-local pair path
       val verifiedStateDropped = stateBands.flatMap { sb =>
@@ -212,17 +362,17 @@ object NearDupGate {
               .select(col("band"), col("band_hash"), col("doc_id").as("seen_id")),
               Seq("band", "band_hash"))
             .select(col("doc_id"), col("seen_id")).distinct())
-        val seenBuckets = cand.select(idBucket(col("seen_id"), nb).as("sb"))
-          .distinct().collect().map(_.getInt(0))
-        readBuckets(spark, s"$statePath/sigs", seenBuckets.toSeq).map { ss =>
-          cand
-            .join(ss.select(col("doc_id").as("seen_id"), col("sig").as("seen_sig")),
-              Seq("seen_id"))
-            .join(sigs, Seq("doc_id"))
-            .where(ArrayEqCount(col("sig"), col("seen_sig"))
-              .cast("double") / k >= threshold)
-            .select("doc_id").distinct()
-        }
+        readLeaves(spark, s"$statePath/sigs",
+          touchedLeaves(cand, xxhash64(col("seen_id")), nb, gp.splitSet("sigs")))
+          .map { ss =>
+            cand
+              .join(ss.select(col("doc_id").as("seen_id"), col("sig").as("seen_sig")),
+                Seq("seen_id"))
+              .join(sigs, Seq("doc_id"))
+              .where(ArrayEqCount(col("sig"), col("seen_sig"))
+                .cast("double") / k >= threshold)
+              .select("doc_id").distinct()
+          }
       }
 
       // ---- gate 2: batch-local components ---------------------------
@@ -240,77 +390,75 @@ object NearDupGate {
         shortStateDropped ++ verifiedStateDropped)
         .foldLeft(b) { (acc, d) => acc.join(d, Seq("doc_id"), "left_anti") }
 
-      // ---- output, replay-idempotent and bucket-pruned --------------
-      val gatedB = hold(gated.withColumn("bucket", idBucket(col("doc_id"), nb)))
-      val outBuckets = gatedB.select("bucket").distinct().collect().map(_.getInt(0))
-      val fresh = hold(readBuckets(spark, outPath, outBuckets.toSeq) match {
+      // ---- output, replay-idempotent and leaf-pruned ----------------
+      val gatedB = hold(gated)
+      val outLeaves =
+        touchedLeaves(gatedB, xxhash64(col("doc_id")), nb, gp.splitSet("out"))
+      val fresh = hold(readLeaves(spark, outPath, outLeaves) match {
         case Some(existing) =>
           gatedB.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
         case None => gatedB
       })
       val admitted = fresh.count()
-      // every dynamic-partition write CLUSTERS by the partition key
-      // first: without it each of T tasks opens a writer per touched
-      // bucket (T×buckets files per append, the classic dynamic-
-      // partition write amplification — measured 6× the whole batch
-      // cost at buckets=1024); clustered, an append adds at most one
-      // file per touched bucket and the shuffle moves only batch-sized
-      // data. The partition count is EXPLICIT: an expression-only
-      // repartition lets AQE coalesce a small batch to one task, which
-      // then opens every touched bucket's file SERIALLY (measured ~17 s
-      // for a 3×1024-file seed) — pinning ~parallelism partitions keeps
-      // clustering AND parallel writers
-      def clustered(df: DataFrame): DataFrame =
-        clusterByBucket(df, nb)
-      clustered(fresh)
-        .write.mode("append").partitionBy("bucket").parquet(outPath)
+      writeLayout(fresh, xxhash64(col("doc_id")), outPath, nb, gp.splitSet("out"))
+      // snapshot commit for external readers (opt-in — Snapshot.init on
+      // the output dir): RECONCILES the leaves touched by the WHOLE
+      // batch's ids (not just the survivors'), so a replay after a
+      // crash between the append and this commit re-lists the leaves
+      // the crashed attempt wrote into even when every replayed doc now
+      // drops at gate 1 (its own state rows est-verify at 1.0) and the
+      // survivor set is empty
+      if (Snapshot.enabled(spark, outPath))
+        Snapshot.commit(spark, outPath,
+          touchedLeaves(b, xxhash64(col("doc_id")), nb, gp.splitSet("out"))
+            .map(nodeRel))
       // state second: the WHOLE batch's memberships (survivors and
       // dropped), independent of the output anti-join — see the
       // crash-window contract above
-      clustered(probe)
-        .write.mode("append").partitionBy("bucket").parquet(s"$statePath/bands")
-      clustered(sigs.withColumn("bucket", idBucket(col("doc_id"), nb)))
-        .write.mode("append").partitionBy("bucket").parquet(s"$statePath/sigs")
+      writeLayout(probe, col("band_hash"), s"$statePath/bands", nb,
+        gp.splitSet("bands"))
+      writeLayout(sigs, xxhash64(col("doc_id")), s"$statePath/sigs", nb,
+        gp.splitSet("sigs"))
       admitted
     } finally persisted.foreach(_.unpersist())
   }
 
   /** Write-once / verify-always parameter marker in the state dir.
-    * Returns the EFFECTIVE bucket count: the marker's for an existing
-    * state (layout is marker-authoritative — [[reshardState]] legally
-    * changes it between runs), `defaultBuckets` for a fresh one. Hash
-    * parameters are strictly verified; a reshard fence
-    * (`;resharding_to=`) fails every gate run until the reshard
-    * completes. */
+    * Returns the EFFECTIVE layout: the marker's for an existing state
+    * (trie shape is marker-authoritative — splits/reshards legally
+    * change it between runs), a fresh flat layout at `defaultBuckets`
+    * for a new one. Hash parameters are strictly verified; a maintenance
+    * fence (`;splitting=` / `;split_cleanup=` / `;resharding_to=`) fails
+    * every gate run until [[recoverReshard]] completes it. */
   private def bindParams(spark: SparkSession, statePath: String,
                          shingleN: Int, k: Int, bands: Int,
-                         defaultBuckets: Int): Int = {
+                         defaultBuckets: Int): GateParams = {
     val marker = new Path(statePath, "_gate_params")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {
       val got = readMarker(fs, marker)
-      require(!got.contains(";resharding_to="),
-        s"NearDupGate state at $statePath has a reshard in progress or " +
-          s"crashed mid-way ($got) — rerun reshardState to complete it " +
-          "before running the gate")
-      val prefix = s"shingleN=$shingleN,k=$k,bands=$bands,seed=42,buckets="
-      val bucketsRe = java.util.regex.Pattern.quote(prefix) + "(\\d+),v=2"
-      val m = bucketsRe.r.findFirstMatchIn(got).filter(_.matched == got)
-      require(m.isDefined,
+      require(!got.contains(";"),
+        s"NearDupGate state at $statePath has an interrupted maintenance " +
+          s"operation ($got) — run recoverReshard (the sink does this " +
+          "automatically on restart) to complete it before running the gate")
+      val parsed = GateParams.parse(got)
+      require(parsed.exists(p =>
+          p.shingleN == shingleN && p.k == k && p.bands == bands),
         s"NearDupGate state at $statePath was built with ($got) but this " +
-          s"gate runs (${paramString(shingleN, k, bands, defaultBuckets)}) " +
+          s"gate runs (shingleN=$shingleN,k=$k,bands=$bands,seed=42) " +
           "— band hashes are parameter-bound and the probe would silently " +
           "never collide; use a fresh statePath or matching parameters")
-      m.get.group(1).toInt
+      parsed.get
     } else {
-      writeMarker(fs, marker, paramString(shingleN, k, bands, defaultBuckets))
-      defaultBuckets
+      val p = GateParams(shingleN, k, bands, defaultBuckets, GateParams.emptySplits)
+      writeMarker(fs, marker, p.render)
+      p
     }
   }
 
-  /** The state's current bucket fan-out, from the authoritative marker
-    * (the [[startNearDupSink]] auto-reshard hook reads it to grow the
-    * layout). */
+  /** The state's current ROOT bucket fan-out, from the authoritative
+    * marker (leaf splits grow the trie below this count; only
+    * [[reshardState]] changes it). */
   def currentBuckets(spark: SparkSession, statePath: String): Option[Int] = {
     val marker = new Path(statePath, "_gate_params")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -319,43 +467,269 @@ object NearDupGate {
       .map(_.group(1).toInt)
   }
 
-  /** Complete an interrupted reshard if the marker carries a fence:
-    * reruns [[reshardState]] toward the fenced target (the rerun IS the
-    * crash recovery — it restores half-swapped dirs first). Returns
-    * true iff a recovery ran. [[startNearDupSink]] calls this at the
-    * top of every batch so a crash mid-auto-reshard self-heals on
-    * stream restart instead of wedging on the fence. */
+  /** Parsed clean marker, or None when no state exists. Throws on an
+    * interrupted maintenance fence — callers that can complete it use
+    * [[recoverReshard]] first. */
+  private def cleanParams(fs: FileSystem, statePath: String): Option[GateParams] = {
+    val marker = new Path(statePath, "_gate_params")
+    if (!fs.exists(marker)) return None
+    val raw = readMarker(fs, marker)
+    require(!raw.contains(";"),
+      s"interrupted maintenance at $statePath ($raw) — run recoverReshard first")
+    Some(GateParams.parse(raw).getOrElse(throw new IllegalStateException(
+      s"unparseable _gate_params at $statePath: $raw")))
+  }
+
+  /** Complete an interrupted maintenance operation if the marker carries
+    * a fence: reruns the fenced operation (the rerun IS the crash
+    * recovery — each operation is re-entrant). Returns true iff a
+    * recovery ran. [[startNearDupSink]] calls this at the top of every
+    * batch so a crash mid-maintenance self-heals on stream restart
+    * instead of wedging on the fence. */
   def recoverReshard(spark: SparkSession, outPath: String,
                      statePath: String): Boolean = {
     val marker = new Path(statePath, "_gate_params")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) return false
-    ";resharding_to=(\\d+)".r.findFirstMatchIn(readMarker(fs, marker)) match {
-      case Some(m) => reshardState(spark, outPath, statePath, m.group(1).toInt); true
-      case None => false
+    val raw = readMarker(fs, marker)
+    raw.dropWhile(_ != ';') match {
+      case "" => false
+      case f if f.startsWith(";resharding_to=") =>
+        reshardState(spark, outPath, statePath,
+          f.stripPrefix(";resharding_to=").toInt)
+        true
+      case f if f.startsWith(";splitting=") || f.startsWith(";split_cleanup=") =>
+        val body = f.drop(f.indexOf('=') + 1) // "layout:path"
+        val Array(l, pstr) = body.split(":", 2)
+        splitNode(spark, outPath, statePath, l,
+          pstr.split("/").map(_.toInt).toList)
+        true
+      case other => throw new IllegalStateException(
+        s"unknown maintenance fence at $statePath: $other")
     }
   }
 
-  private def paramString(shingleN: Int, k: Int, bands: Int, buckets: Int) =
-    s"shingleN=$shingleN,k=$k,bands=$bands,seed=42,buckets=$buckets,v=2"
-
-  private def readMarker(fs: org.apache.hadoop.fs.FileSystem, marker: Path): String = {
+  private def readMarker(fs: FileSystem, marker: Path): String = {
     val in = fs.open(marker)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
   }
 
-  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, marker: Path,
-                          s: String): Unit = {
+  private def writeMarker(fs: FileSystem, marker: Path, s: String): Unit = {
     val out = fs.create(marker, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
-  /** MAINTENANCE: rewrite the gate's three bucketed layouts at a new
-    * bucket count — the re-shard that keeps per-bucket size (and so
-    * per-batch probe cost) bounded as the state grows. MUST run with the
-    * gate stopped (it is the bucket-layout analog of a compaction
-    * window).
+  /** MAINTENANCE: split ONE trie leaf into its 4 children — the bounded
+    * incremental reshard. The window this needs the gate paused for is
+    * one leaf's bytes (the split reads and rewrites exactly that leaf),
+    * never O(|state|). MUST run with the gate stopped for this state
+    * (the sink's auto-hook runs it inside `foreachBatch`, where the
+    * stream's own batches are naturally paused).
+    *
+    * Crash contract (see the class doc): `;splitting=` fence → children
+    * fully written to a hidden temp dir → ONE commit write (split set +
+    * `;split_cleanup=` fence) → children move in, direct files delete,
+    * fence clears. Re-entrant at every point; [[recoverReshard]] reruns
+    * it from the fence. */
+  def splitNode(spark: SparkSession, outPath: String, statePath: String,
+                layoutKey: String, path: List[Int]): Unit =
+    splitNodeImpl(spark, outPath, statePath, layoutKey, path,
+      crashAfterCommit = false)
+
+  /** [[splitNode]] with a test-only fault injection point: throw right
+    * after the commit marker write (children authoritative, direct files
+    * still present, cleanup fence down) — the crash window the recovery
+    * spec pins. */
+  private[graft] def splitNodeImpl(spark: SparkSession, outPath: String,
+      statePath: String, layoutKey: String, path: List[Int],
+      crashAfterCommit: Boolean): Unit = {
+    require(GateParams.Layouts.contains(layoutKey),
+      s"unknown layout $layoutKey (expected one of ${GateParams.Layouts})")
+    require(path.nonEmpty && path.tail.forall(c => c >= 0 && c < 4),
+      s"malformed node path ${path.mkString("/")}")
+    require(path.length <= MaxSplitDepth,
+      s"split depth ${path.length} exceeds MaxSplitDepth=$MaxSplitDepth")
+    val marker = new Path(statePath, "_gate_params")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker), s"no gate state at $statePath to split")
+    val raw = readMarker(fs, marker)
+    val base = raw.takeWhile(_ != ';')
+    val pstr = path.mkString("/")
+    val fence = raw.drop(base.length)
+    require(fence.isEmpty || fence == s";splitting=$layoutKey:$pstr" ||
+        fence == s";split_cleanup=$layoutKey:$pstr",
+      s"a DIFFERENT maintenance operation is interrupted ($raw) — run " +
+        "recoverReshard to complete it before splitting")
+    val gp = GateParams.parse(base).getOrElse(throw new IllegalStateException(
+      s"unparseable _gate_params at $statePath: $base"))
+    require(path.head >= 0 && path.head < gp.buckets,
+      s"bucket ${path.head} outside root fan-out ${gp.buckets}")
+    (1 until path.length).foreach { l =>
+      require(gp.splitSet(layoutKey).contains(path.take(l)),
+        s"cannot split $pstr: ancestor ${path.take(l).mkString("/")} of " +
+          s"$layoutKey is not split")
+    }
+    val root = new Path(layoutDir(layoutKey, outPath, statePath))
+    val leaf = nodeDir(root, path)
+    val tmp = new Path(leaf, ".split_tmp")
+    val d = path.length
+    if (!gp.splitSet(layoutKey).contains(path)) {
+      val files =
+        if (!fs.exists(leaf)) Array.empty[FileStatus]
+        else fs.listStatus(leaf)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (files.isEmpty) {
+        // nothing to split — clear a dangling fence, leave the trie alone
+        if (fence.nonEmpty) writeMarker(fs, marker, base)
+        return
+      }
+      // FENCE phase 1: no gate may run while the leaf is half-split; the
+      // direct files stay authoritative until the commit below, so a
+      // crash anywhere in this phase just reruns the child write
+      writeMarker(fs, marker, base + s";splitting=$layoutKey:$pstr")
+      fs.delete(tmp, true)
+      val cn = childName(d)
+      clusterBy(
+        spark.read.parquet(files.map(_.getPath.toString): _*)
+          .withColumn(cn, childCol(layoutHash(layoutKey), gp.buckets, d)),
+        Seq(cn), 4)
+        .write.partitionBy(cn).parquet(tmp.toString)
+      // COMMIT — one marker write adds the path to the split set and
+      // flips the fence to cleanup: from here the children are the
+      // authoritative copy and the direct files are garbage
+      writeMarker(fs, marker,
+        gp.withSplit(layoutKey, path).render + s";split_cleanup=$layoutKey:$pstr")
+    }
+    if (crashAfterCommit) throw new java.io.IOException(
+      s"splitNode: injected crash after commit for $layoutKey:$pstr (test hook)")
+    // CLEANUP (re-entrant): move children out of the temp dir, then drop
+    // the now-redundant direct files and the fence
+    if (fs.exists(tmp)) {
+      fs.listStatus(tmp)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(childName(d) + "="))
+        .foreach { c =>
+          val dest = new Path(leaf, c.getPath.getName)
+          // rename is an atomic move — a child lives in tmp OR at dest,
+          // never both; an existing dest means a prior attempt moved it
+          if (fs.exists(dest)) fs.delete(c.getPath, true)
+          else require(fs.rename(c.getPath, dest),
+            s"splitNode: rename ${c.getPath} -> $dest failed")
+        }
+      fs.delete(tmp, true)
+    }
+    if (fs.exists(leaf)) {
+      val (parts, rest) = fs.listStatus(leaf).filter(_.isFile)
+        .partition(_.getPath.getName.endsWith(".parquet"))
+      if (Snapshot.enabled(spark, root.toString))
+        // retire the stale direct files and re-list the leaf (now the
+        // child dirs) in ONE commit — external readers at older versions
+        // keep resolving the retired files from _stale
+        Snapshot.commit(spark, root.toString, Seq(nodeRel(path)),
+          retired = parts.map(_.getPath).toSeq)
+      else parts.foreach(f => fs.delete(f.getPath, false))
+      rest.foreach(f => fs.delete(f.getPath, false))
+    }
+    writeMarker(fs, marker, readMarker(fs, marker).takeWhile(_ != ';'))
+  }
+
+  /** Existing leaf dirs of a layout (per the marker's split trie) with
+    * their parquet byte sizes. Driver FS work is O(leaves) listings,
+    * maintenance-window-only. */
+  private def leafSizes(fs: FileSystem, root: Path, gp: GateParams,
+                        layoutKey: String): Seq[(List[Int], Long)] = {
+    if (!fs.exists(root)) return Nil
+    val splits = gp.splitSet(layoutKey)
+    def expand(p: List[Int]): Seq[List[Int]] =
+      if (splits.contains(p)) (0 until 4).flatMap(c => expand(p :+ c)) else Seq(p)
+    (0 until gp.buckets).flatMap(b => expand(List(b))).flatMap { p =>
+      val d = nodeDir(root, p)
+      if (!fs.exists(d)) None
+      else Some(p -> fs.listStatus(d)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum)
+    }.filter(_._2 > 0)
+  }
+
+  /** MAINTENANCE: find the single largest over-target leaf across the
+    * three layouts and split it — the auto-reshard step the sink runs
+    * once per compaction window. At most ONE leaf rewrite per call keeps
+    * the maintenance pause bounded by `targetBytes`-ish regardless of
+    * state size.
+    *
+    * Skew guard (r6 ADVICE): a leaf whose rows all hash to ONE child —
+    * a single hot (band, band_hash) key such as a very common short-doc
+    * fingerprint or boilerplate band — cannot shrink by splitting;
+    * without the guard every window would re-split it, growing the trie
+    * geometrically while the leaf never shrinks. Such leaves (and
+    * leaves already at [[MaxSplitDepth]]) are skipped with a log line;
+    * the next-largest splittable leaf is taken instead. Returns the
+    * (layout, path) split, or None when nothing is over target or
+    * splittable. */
+  def splitLargestLeaf(spark: SparkSession, outPath: String, statePath: String,
+                       targetBytes: Long): Option[(String, List[Int])] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = new Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val gp = cleanParams(fs, statePath).getOrElse(return None)
+    val over = GateParams.Layouts.flatMap { l =>
+      leafSizes(fs, new Path(layoutDir(l, outPath, statePath)), gp, l)
+        .filter(_._2 > targetBytes).map { case (p, bytes) => (l, p, bytes) }
+    }.sortBy(-_._3)
+    val pick = over.view.filter { case (l, p, bytes) =>
+      if (p.length >= MaxSplitDepth) {
+        System.err.println(s"[NearDupGate] leaf $l:${p.mkString("/")} " +
+          s"($bytes B > $targetBytes) is at MaxSplitDepth=$MaxSplitDepth — skipping")
+        false
+      } else {
+        val leaf = nodeDir(new Path(layoutDir(l, outPath, statePath)), p)
+        val files = fs.listStatus(leaf)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        val children = spark.read.parquet(files.map(_.getPath.toString): _*)
+          .select(childCol(layoutHash(l), gp.buckets, p.length).as("c"))
+          .distinct().count()
+        if (children > 1) true
+        else {
+          System.err.println(s"[NearDupGate] leaf $l:${p.mkString("/")} " +
+            s"($bytes B > $targetBytes) is dominated by a single hash key — " +
+            "splitting cannot shrink it; skipping (drop/salt the hot key upstream)")
+          false
+        }
+      }
+    }.headOption
+    pick.foreach { case (l, p, _) => splitNode(spark, outPath, statePath, l, p) }
+    pick.map { case (l, p, _) => (l, p) }
+  }
+
+  /** MAINTENANCE: compact the one-file-per-batch accretion in every LEAF
+    * dir of all three layouts (split-trie aware —
+    * [[LakeMaintenance.compactPartitioned]] walks only one directory
+    * level). No-op while a maintenance fence is down (that operation
+    * owns the window; the sink recovers it first). */
+  def compactLayouts(spark: SparkSession, outPath: String, statePath: String,
+                     targetBytes: Long = 128L << 20, maxFiles: Int = 4): Unit = {
+    val fs = new Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(statePath, "_gate_params")
+    if (!fs.exists(marker) || readMarker(fs, marker).contains(";")) return
+    val gp = GateParams.parse(readMarker(fs, marker)).getOrElse(return)
+    for (l <- GateParams.Layouts) {
+      val root = new Path(layoutDir(l, outPath, statePath))
+      leafSizes(fs, root, gp, l).foreach { case (p, _) =>
+        // snapshotRoot is a no-op for layouts without manifests — the
+        // enabled() probe inside the kernel gates the retire path
+        LakeMaintenance.compactFlat(spark, nodeDir(root, p).toString,
+          targetBytes, maxFiles, snapshotRoot = Some(root.toString))
+      }
+    }
+  }
+
+  /** MAINTENANCE ESCAPE HATCH: rewrite all three layouts FLAT at a new
+    * root bucket count (splits reset to none) — a full O(|state|)
+    * rewrite, the operation [[splitLargestLeaf]] exists to avoid.
+    * Legitimate uses: re-choosing a badly-sized initial fan-out, or
+    * collapsing a deep trie after a mass deletion. MUST run with the
+    * gate stopped.
     *
     * Crash contract, FENCE-FIRST: before any data moves, the
     * `_gate_params` marker is rewritten with a `;resharding_to=` fence —
@@ -379,15 +753,18 @@ object NearDupGate {
     require(fs.exists(marker), s"no gate state at $statePath to reshard")
     // a `;resharding_to=` suffix from an interrupted run is accepted —
     // rerunning reshard IS the recovery path; the clean prefix carries
-    // the authoritative old bucket count
-    val old = readMarker(fs, marker).takeWhile(_ != ';')
-    val re = ",buckets=(\\d+),".r
-    val oldBuckets = re.findFirstMatchIn(old).map(_.group(1).toInt)
-      .getOrElse(throw new IllegalStateException(
-        s"unparseable _gate_params at $statePath: $old"))
+    // the authoritative old layout
+    val raw = readMarker(fs, marker)
+    val base = raw.takeWhile(_ != ';')
+    val fence = raw.drop(base.length)
+    require(fence.isEmpty || fence == s";resharding_to=$newBuckets",
+      s"a DIFFERENT maintenance operation is interrupted ($raw) — run " +
+        "recoverReshard to complete it before resharding")
+    val gp = GateParams.parse(base).getOrElse(throw new IllegalStateException(
+      s"unparseable _gate_params at $statePath: $base"))
     // FENCE: no gate may run until the clean marker returns
-    writeMarker(fs, marker, old + s";resharding_to=$newBuckets")
-    def swap(dir: String, rebucket: DataFrame => DataFrame): Unit = {
+    writeMarker(fs, marker, base + s";resharding_to=$newBuckets")
+    def swap(dir: String, hash: Column): Unit = {
       val p = new Path(dir)
       val tmp = new Path(p.getParent, "." + p.getName + ".reshard_tmp")
       val aside = new Path(p.getParent, "." + p.getName + ".reshard_old")
@@ -398,45 +775,90 @@ object NearDupGate {
       if (!fs.exists(p) && fs.exists(aside))
         require(fs.rename(aside, p), s"reshardState: could not restore $p from $aside")
       if (!fs.exists(p)) return
+      // r6 ADVICE: a layout dir that exists but holds no parquet part
+      // files (an empty append left only _SUCCESS — all docs dropped,
+      // or an all-short-doc stream wrote an empty sigs frame) must
+      // reshard to NOTHING — spark.read would fail schema inference
+      // and wedge the stream behind the fence forever
+      if (!hasParquetRecursively(fs, p)) return
       fs.delete(tmp, true); fs.delete(aside, true)
-      clusterByBucket(rebucket(spark.read.parquet(dir).drop("bucket")),
-          newBuckets)
+      // recursive lookup reads every leaf of a split trie flat (the
+      // partition cols live only in dir names, which are re-derived)
+      clusterBy(
+        spark.read.option("recursiveFileLookup", "true").parquet(dir)
+          .withColumn("bucket", keyBucket(hash, newBuckets)),
+        Seq("bucket"), newBuckets)
         .write.partitionBy("bucket").parquet(tmp.toString)
       if (!fs.rename(p, aside) || !fs.rename(tmp, p))
         throw new java.io.IOException(
           s"reshardState: swap failed for $dir; data intact in " +
             s"$aside and/or $tmp")
+      // snapshot-enabled dir: the rename carried `_snapshots`/`_stale`
+      // into the aside tree — move them back, then RETIRE the old data
+      // files (rel paths from the aside tree) under one full-re-list
+      // commit, so manifest readers at pre-reshard versions stay
+      // readable. Happy-path only: a crash inside this window can reset
+      // snapshot history (the sink re-inits on the next batch; the
+      // documented reshard-escape-hatch trade — data itself is crash-safe
+      // via the aside copy either way).
+      val asideSnaps = Seq("_snapshots", "_stale").map(new Path(aside, _))
+      if (fs.exists(asideSnaps.head)) {
+        asideSnaps.filter(fs.exists(_)).foreach { d =>
+          require(fs.rename(d, new Path(p, d.getName)),
+            s"reshardState: could not restore ${d.getName} into $p")
+        }
+        val asideUri = aside.toUri.getPath.stripSuffix("/")
+        def dataFiles(q: Path): Seq[Path] =
+          if (!fs.exists(q)) Nil
+          else fs.listStatus(q).toSeq.flatMap { s =>
+            val n = s.getPath.getName
+            if (n.startsWith(".") || n.startsWith("_")) Nil
+            else if (s.isDirectory) dataFiles(s.getPath)
+            else if (n.endsWith(".parquet")) Seq(s.getPath) else Nil
+          }
+        Snapshot.commit(spark, dir, Seq(""), retiredAs = dataFiles(aside)
+          .map(f => f -> f.toUri.getPath.stripPrefix(asideUri).stripPrefix("/")))
+      }
       fs.delete(aside, true)
     }
-    swap(s"$statePath/bands",
-      _.withColumn("bucket", keyBucket(col("band_hash"), newBuckets)))
-    swap(s"$statePath/sigs",
-      _.withColumn("bucket", idBucket(col("doc_id"), newBuckets)))
-    swap(outPath,
-      _.withColumn("bucket", idBucket(col("doc_id"), newBuckets)))
+    swap(s"$statePath/bands", col("band_hash"))
+    swap(s"$statePath/sigs", xxhash64(col("doc_id")))
+    swap(outPath, xxhash64(col("doc_id")))
     writeMarker(fs, marker,
-      old.replace(s"buckets=$oldBuckets", s"buckets=$newBuckets"))
+      gp.copy(buckets = newBuckets, splits = GateParams.emptySplits).render)
   }
+
+  /** True iff any non-hidden descendant of `p` is a parquet part file —
+    * mirrors what a Spark recursive read would actually load (dot/
+    * underscore names are hidden to Spark's file index, so crash-window
+    * temp dirs don't count). */
+  private def hasParquetRecursively(fs: FileSystem, p: Path): Boolean =
+    fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(".") || n.startsWith("_")) false
+      else if (s.isFile) n.endsWith(".parquet")
+      else hasParquetRecursively(fs, s.getPath)
+    }
 
   /** The gate as a streaming sink: docs stream → near-dup-gated lake.
     *
-    * `compactEvery` > 0 runs
-    * [[LakeMaintenance.compactPartitioned]](…, "bucket=") over the
-    * state and output layouts every that-many batches, inside
-    * foreachBatch — where this stream's own appends are naturally
-    * paused for the touched dirs (the compaction contract).
+    * `compactEvery` > 0 runs [[compactLayouts]] over the state and
+    * output tries every that-many batches, inside foreachBatch — where
+    * this stream's own appends are naturally paused for the touched
+    * dirs (the compaction contract).
     *
     * `reshardBucketBytes` > 0 (requires `compactEvery`) makes the
     * bounded-probe-cost story AUTOMATIC: in the same maintenance
-    * window, if the largest `state/bands` bucket exceeds the target,
-    * [[reshardState]] rewrites all three layouts at 4× the current
-    * fan-out (the marker is authoritative, so subsequent batches pick
-    * the new count up without operator action). Per-batch probe cost
-    * then stays ≈ touched-buckets × target bytes — proportional to the
-    * batch's collision set — no matter how large the seen-state grows.
-    * Running inside foreachBatch gives the reshard its required
-    * gate-paused window for this stream; concurrent EXTERNAL readers
-    * of the output still want a maintenance window or a table format. */
+    * window, [[splitLargestLeaf]] splits at most ONE over-target leaf
+    * into its 4 children (the marker is authoritative, so subsequent
+    * batches pick the new trie up without operator action). Per-batch
+    * probe cost then stays ≈ touched-leaves × target bytes —
+    * proportional to the batch's collision set — and the maintenance
+    * pause stays ≈ one leaf's bytes, no matter how large the seen-state
+    * grows. Running inside foreachBatch gives both operations their
+    * required gate-paused window for this stream; concurrent EXTERNAL
+    * readers of the output still want a maintenance window or a table
+    * format. */
   def startNearDupSink(docs: DataFrame, outPath: String, statePath: String,
                        checkpoint: String,
                        trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
@@ -444,49 +866,36 @@ object NearDupGate {
                        threshold: Double = 0.5,
                        buckets: Int = DefaultBuckets,
                        compactEvery: Int = 0,
-                       reshardBucketBytes: Long = 0L): StreamingQuery = {
+                       reshardBucketBytes: Long = 0L,
+                       snapshots: Boolean = false): StreamingQuery = {
     require(reshardBucketBytes == 0 || compactEvery > 0,
-      "reshardBucketBytes needs compactEvery > 0 — resharding runs in " +
+      "reshardBucketBytes needs compactEvery > 0 — leaf splits run in " +
         "the compaction maintenance window")
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // a crash mid-auto-reshard left a fence: complete it before
-        // curating (rerunning reshard IS the recovery), so a restarted
-        // stream self-heals instead of failing the fence check forever
+        // snapshots=true: manifest the OUTPUT dir so concurrent external
+        // readers get version-consistent reads across compaction/splits
+        // ([[Snapshot]]). init is idempotent and re-arms after a
+        // history-resetting reshard crash.
+        if (snapshots) Snapshot.init(batch.sparkSession, outPath)
+        // a crash mid-maintenance left a fence: complete it before
+        // curating (rerunning the fenced operation IS the recovery), so
+        // a restarted stream self-heals instead of failing the fence
+        // check forever
         recoverReshard(batch.sparkSession, outPath, statePath)
         curateBatch(batch, outPath, statePath, shingleN, k, bands,
           threshold, buckets)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
           val s = batch.sparkSession
-          LakeMaintenance.compactPartitioned(s, s"$statePath/bands", "bucket=")
-          LakeMaintenance.compactPartitioned(s, s"$statePath/sigs", "bucket=")
-          LakeMaintenance.compactPartitioned(s, outPath, "bucket=")
-          if (reshardBucketBytes > 0 &&
-              maxBucketBytes(s, s"$statePath/bands") > reshardBucketBytes)
-            currentBuckets(s, statePath).foreach { cur =>
-              reshardState(s, outPath, statePath, cur * 4)
-            }
+          compactLayouts(s, outPath, statePath)
+          if (reshardBucketBytes > 0)
+            splitLargestLeaf(s, outPath, statePath, reshardBucketBytes)
         }
         ()
       }
       .start()
-  }
-
-  /** Largest per-bucket byte size under a bucketed layout (0 when the
-    * dir doesn't exist) — the auto-reshard trigger metric. Driver FS
-    * work is O(buckets) listings, maintenance-window-only. */
-  private def maxBucketBytes(spark: SparkSession, dir: String): Long = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return 0L
-    val sizes = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .map(d => fs.listStatus(d.getPath)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen).sum)
-    if (sizes.isEmpty) 0L else sizes.max
   }
 }

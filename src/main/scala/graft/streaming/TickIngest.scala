@@ -144,18 +144,33 @@ object TickIngest {
     * otherwise accretes ~8.6k files/symbol/day unboundedly). The
     * replay-dedup anti-join reads the compacted keys like any others
     * ([[graft.StreamingSpec]] pins rows + idempotence across a
-    * compaction). */
+    * compaction).
+    *
+    * `snapshots` = true additionally maintains [[Snapshot]] manifests
+    * over the lake root (init + a reconciling commit of the batch's
+    * touched `symbol=` partitions each batch; compaction retires
+    * replaced files instead of deleting), so concurrent external
+    * readers can pin a version across maintenance windows. */
   def startLakeSink(parsed: DataFrame, path: String, checkpoint: String,
                     trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-                    compactEvery: Int = 0): StreamingQuery =
+                    compactEvery: Int = 0,
+                    snapshots: Boolean = false): StreamingQuery =
     parsed.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (snapshots) Snapshot.init(spark, path)
         appendBatchIdempotent(batch, path)
+        if (snapshots)
+          // reconcile the whole root: symbol dirs are few (one per
+          // instrument) and the listing is one level deep; this also
+          // heals any crash window between append and commit
+          Snapshot.commit(spark, path, Seq(""))
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          LakeMaintenance.compactLake(batch.sparkSession, path)
+          LakeMaintenance.compactLake(spark, path,
+            snapshotRoot = if (snapshots) Some(path) else None)
         ()
       }
       .start()

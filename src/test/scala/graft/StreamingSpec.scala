@@ -601,12 +601,27 @@ class StreamingSpec extends SparkSpec {
       .sameElements(Array(0L, 1L, 2L, 3L, 4L, 103L)))
   }
 
-  test("NearDupGate sink: auto-reshard grows the layout past the byte target") {
-    // reshardBucketBytes makes bounded probe cost AUTOMATIC: when the
-    // largest band bucket outgrows the target during the compaction
-    // window, the sink reshards to 4x the marker's fan-out and later
-    // batches pick the new count up from the marker — dedup semantics
-    // unbroken across the growth
+  /** Marker text + split-path count helpers for the trie tests. */
+  private def gateMarker(state: String): String = {
+    val p = new org.apache.hadoop.fs.Path(state, "_gate_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+  private def gateSplitCount(state: String): Int = {
+    val re = "split=bands:([^|]*)\\|sigs:([^|]*)\\|out:([^,]*),".r
+    re.findFirstMatchIn(gateMarker(state)).map(m => (1 to 3)
+      .map(m.group).map(s => if (s.isEmpty) 0 else s.split("\\.").length).sum)
+      .getOrElse(-1)
+  }
+
+  test("NearDupGate sink: auto-split grows the trie past the byte target") {
+    // reshardBucketBytes makes bounded probe cost AUTOMATIC — and the
+    // maintenance window bounded too: each compaction window splits at
+    // most ONE over-target leaf into its 4 children (never the r6
+    // stop-the-world full rewrite); later batches pick the grown trie
+    // up from the marker — dedup semantics unbroken across the growth
     import graft.streaming.NearDupGate
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("neardup-auto").toString
@@ -618,14 +633,179 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
       buckets = 2, compactEvery = 1, reshardBucketBytes = 1L)
     mem.addData((0L, doc(0)), (1L, doc(1)))
-    q.processAllAvailable() // batch 0: curate, compact, reshard 2 -> 8
-    assert(NearDupGate.currentBuckets(spark, state).contains(8))
+    q.processAllAvailable() // batch 0: curate, compact, split ONE leaf
+    // the root fan-out never changes; the trie grew by exactly one split
+    assert(NearDupGate.currentBuckets(spark, state).contains(2))
+    assert(gateSplitCount(state) == 1, gateMarker(state))
     mem.addData((10L, doc(0).replace("a0w7", "x")), // near-dup: drop
       (11L, doc(7)))                                // fresh: admit
-    q.processAllAvailable() // batch 1 probes the 8-bucket layout
+    q.processAllAvailable() // batch 1 probes the mixed trie
     q.stop()
-    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    // a mixed-depth trie defeats plain partition inference — external
+    // readers go through the manifest/recursive path, not spark.read(dir)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .select("doc_id").as[Long].collect().sorted
       .sameElements(Array(0L, 1L, 11L)))
+    assert(gateSplitCount(state) == 2, gateMarker(state)) // one more window, one more leaf
+  }
+
+  test("NearDupGate: splitLargestLeaf splits one leaf; probes stay correct") {
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-split").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    def doc(i: Int): String = (0 until 60).map(j => s"s${i}w$j").mkString(" ")
+    assert(NearDupGate.curateBatch(
+      (0 until 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 8L)
+    def allRows(d: String) =
+      spark.read.option("recursiveFileLookup", "true").parquet(d)
+        .selectExpr("*").collect().map(_.toString).sorted.toSeq
+    def snapshot = (allRows(s"$state/bands"),
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$state/sigs")
+        .selectExpr("doc_id", "cast(sig as string)").collect()
+        .map(_.toString).sorted.toSeq,
+      allRows(out))
+    val before = snapshot
+    // ONE leaf splits; every row of all three layouts is preserved
+    val s1 = NearDupGate.splitLargestLeaf(spark, out, state, 1L)
+    assert(s1.isDefined)
+    assert(gateSplitCount(state) == 1, gateMarker(state))
+    assert(snapshot == before, "split changed table contents")
+    // the split leaf's dir now holds only child dirs, no direct files
+    locally {
+      val (l, p) = s1.get
+      val root = new org.apache.hadoop.fs.Path(
+        if (l == "out") out else s"$state/$l")
+      val leaf = p.tail.zipWithIndex.foldLeft(
+        new org.apache.hadoop.fs.Path(root, s"bucket=${p.head}")) {
+        case (q, (c, i)) => new org.apache.hadoop.fs.Path(q,
+          (if (i == 0) "child" else s"child${i + 1}") + s"=$c")
+      }
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(leaf)
+      assert(entries.exists(e => e.isDirectory && e.getPath.getName.startsWith("child")))
+      assert(!entries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet")))
+    }
+    // semantics across the mixed trie: near-dup drops, fresh admits,
+    // replay no-op (stale caller-supplied buckets: marker wins)
+    assert(NearDupGate.curateBatch(
+      Seq((100L, doc(3).replace("s3w9", "x"))).toDF("doc_id", "text"),
+      out, state, buckets = 64) == 0L)
+    val fresh = Seq((101L, (0 until 60).map(j => s"fresh$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(NearDupGate.curateBatch(fresh, out, state, buckets = 2) == 1L)
+    assert(NearDupGate.curateBatch(fresh, out, state, buckets = 2) == 0L)
+    // the next window splits a DIFFERENT leaf (one per window, bounded)
+    val s2 = NearDupGate.splitLargestLeaf(spark, out, state, 1L)
+    assert(s2.isDefined && s2 != s1)
+    // a child can split AGAIN (depth 2) — recursive growth, no promotion
+    locally {
+      val (l, p) = s1.get
+      val root = new org.apache.hadoop.fs.Path(
+        if (l == "out") out else s"$state/$l")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val leaf = new org.apache.hadoop.fs.Path(root, s"bucket=${p.head}")
+      val child = fs.listStatus(leaf)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("child="))
+        .find(c => fs.listStatus(c.getPath)
+          .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      assert(child.isDefined, "split leaf has no non-empty children")
+      val cIdx = child.get.getPath.getName.stripPrefix("child=").toInt
+      val beforeDeep = snapshot
+      NearDupGate.splitNode(spark, out, state, l, p :+ cIdx)
+      assert(snapshot == beforeDeep, "depth-2 split changed table contents")
+      assert(NearDupGate.curateBatch(
+        Seq((102L, doc(5).replace("s5w2", "y"))).toDF("doc_id", "text"),
+        out, state, buckets = 2) == 0L) // still collides through depth 2
+    }
+  }
+
+  test("NearDupGate: crash mid-split self-heals in both fence phases") {
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-splitcrash").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    def doc(i: Int): String = (0 until 60).map(j => s"c${i}w$j").mkString(" ")
+    assert(NearDupGate.curateBatch(
+      (0 until 6).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 6L)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bandsLeafWithData(b: Int): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$state/bands/bucket=$b")
+      fs.exists(p) && fs.listStatus(p)
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val target = if (bandsLeafWithData(0)) List(0) else List(1)
+    def allRows(d: String) =
+      spark.read.option("recursiveFileLookup", "true").parquet(d)
+        .collect().map(_.toString).sorted.toSeq
+    val before = allRows(s"$state/bands")
+    // CRASH WINDOW 2: after the commit write (children authoritative,
+    // stale direct files still present, cleanup fence down)
+    intercept[java.io.IOException] {
+      NearDupGate.splitNodeImpl(spark, out, state, "bands", target,
+        crashAfterCommit = true)
+    }
+    assert(gateMarker(state).contains(s";split_cleanup=bands:${target.mkString("/")}"))
+    // any gate run fails loudly while fenced
+    val ex = intercept[IllegalArgumentException] {
+      NearDupGate.curateBatch(
+        Seq((50L, doc(0))).toDF("doc_id", "text"), out, state, buckets = 2)
+    }
+    assert(ex.getMessage.contains("split_cleanup"), ex.getMessage)
+    // recovery (what the sink runs every batch) completes the cleanup
+    assert(NearDupGate.recoverReshard(spark, out, state))
+    assert(!gateMarker(state).contains(";"))
+    assert(allRows(s"$state/bands") == before, "recovered split lost/duplicated rows")
+    // CRASH WINDOW 1: fence down, nothing written yet (marker-first
+    // ordering) — recovery reruns the whole split
+    val other = List(1 - target.head)
+    val fenced = gateMarker(state) + s";splitting=bands:${other.head}"
+    locally {
+      val m = new org.apache.hadoop.fs.Path(state, "_gate_params")
+      val o = fs.create(m, true)
+      o.write(fenced.getBytes("UTF-8")); o.close()
+    }
+    val ex2 = intercept[IllegalArgumentException] {
+      NearDupGate.curateBatch(
+        Seq((51L, doc(1))).toDF("doc_id", "text"), out, state, buckets = 2)
+    }
+    assert(ex2.getMessage.contains("splitting"), ex2.getMessage)
+    assert(NearDupGate.recoverReshard(spark, out, state))
+    assert(!gateMarker(state).contains(";"))
+    assert(allRows(s"$state/bands") == before, "recovered split lost/duplicated rows")
+    // the healed trie still gates correctly
+    assert(NearDupGate.curateBatch(
+      Seq((60L, doc(2).replace("c2w11", "z"))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 0L)
+    assert(NearDupGate.curateBatch(
+      Seq((61L, (0 until 60).map(j => s"h$j").mkString(" "))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 1L)
+  }
+
+  test("NearDupGate: skew guard never splits a single-key leaf") {
+    // r6 ADVICE: all rows of one hot (band, band_hash) key land in the
+    // same child at ANY fan-out, so splitting can never shrink such a
+    // leaf — without the guard every maintenance window would re-split
+    // it, growing the trie geometrically forever. The hot-key shape
+    // here: exact copies of one short doc appending the SAME band=-1
+    // fingerprint row every batch (dropped docs register state too).
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-skew").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    assert(NearDupGate.curateBatch(
+      Seq((1L, "hot tiny")).toDF("doc_id", "text"), out, state, buckets = 1) == 1L)
+    (2 to 6).foreach { i =>
+      assert(NearDupGate.curateBatch(
+        Seq((i.toLong, "hot tiny")).toDF("doc_id", "text"), out, state) == 0L)
+    }
+    // the bands leaf is far over a 1-byte target but carries ONE
+    // distinct key (and the out leaf one doc): nothing is splittable
+    assert(NearDupGate.splitLargestLeaf(spark, out, state, 1L).isEmpty)
+    assert(gateSplitCount(state) == 0, gateMarker(state))
+    // stable under repeated windows — no runaway fan-out growth
+    assert(NearDupGate.splitLargestLeaf(spark, out, state, 1L).isEmpty)
+    assert(gateSplitCount(state) == 0, gateMarker(state))
   }
 
   test("NearDupGate: null doc_ids drop instead of poisoning the batch") {
