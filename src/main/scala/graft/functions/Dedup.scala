@@ -94,6 +94,24 @@ object Dedup {
   def shinglesRaw(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     shinglesPos(df, id, text, n).select(col("doc_id"), col("shingle"))
 
+  /** (doc, shingle) pairs of CHARACTER n-grams — the signature keyspace
+    * for documents too short to token-shingle (a 3-token doc has zero
+    * 5-token shingles, so token MinHash is blind to it; char trigrams
+    * still give ~len hashes to sign). A doc shorter than `n` chars
+    * contributes its whole text as the single shingle (substr clamps),
+    * so every non-empty text is signable; null/empty texts contribute
+    * nothing — they stay on the exact-fingerprint path. Same explode
+    * shape as [[shinglesPos]]: linear in corpus chars. */
+  def charShinglesRaw(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    require(n >= 1, s"char shingle width must be >= 1, got $n")
+    df.select(col(id).as("doc_id"), col(text).as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) >= 1)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1),
+          greatest(length(col("__t")) - (n - 1), lit(1)))).as("__i"))
+      .select(col("doc_id"), col("__t").substr(col("__i"), lit(n)).as("shingle"))
+  }
+
   /** Distinct (doc, shingle) pairs — set semantics for Jaccard. */
   def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     shinglesRaw(df, id, text, n).distinct()

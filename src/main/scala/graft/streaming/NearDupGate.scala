@@ -65,12 +65,15 @@ import graft.functions.{ArrayEqCount, Dedup}
   *  - a STATE band collision pairs it with a seen doc whose full
   *    signature estimates Jaccard ≥ `threshold` (the seen signature is
   *    fetched from `state/sigs` by the colliding doc_ids only); or
-  *  - it is too short to shingle (< shingleN tokens) and its whole-text
-  *    fingerprint (md5-60 of lowercased text, null text ≡ empty) matches
-  *    a seen short doc's — short docs carry a `band = -1` fingerprint
-  *    row in `state/bands`. Within a batch the minimum-id copy survives.
-  *    Near-dup (not exact) short docs still pass: below shingleN tokens
-  *    there is no signature to verify against, a documented limit.
+  *  - it is too short to shingle (< shingleN tokens) and EITHER its
+  *    whole-text fingerprint (md5-60 of lowercased text, null text ≡
+  *    empty; a `band = -1` row in `state/bands`) matches a seen short
+  *    doc's, OR its char-[[CharShingleN]]-gram MinHash signature (bands
+  *    at `band <= -2`, the word/char keyspaces disjoint) est-verifies ≥
+  *    `threshold` against a colliding seen short doc — so NEAR-dup
+  *    short docs drop too, not just exact copies (closing the r6 gap).
+  *    Within a batch the minimum-id copy of a component survives; only
+  *    null/empty-text docs remain exact-only (nothing to sign).
   * The state registers the bands+fingerprints of EVERY processed doc —
   * survivors and dropped alike — so a later copy of a dropped document
   * still collides; signatures are registered for every shingleable doc.
@@ -128,6 +131,18 @@ object NearDupGate {
     * far from 64-bit overflow. An over-target leaf at max depth is
     * logged and left alone. */
   val MaxSplitDepth = 12
+
+  /** Character n-gram width for the short-doc signature fallback — a
+    * COMPILE-TIME constant (not a parameter) so it can never drift
+    * between the run that wrote a state and the run probing it without
+    * a code change; trigrams are the standard char-shingle width (MOSS,
+    * n-gram LM practice). */
+  val CharShingleN = 3
+
+  /** Char bands occupy `CharBandBase - band` (−2, −3, …): disjoint from
+    * word bands (≥ 0) and the exact-fingerprint band (−1), so the two
+    * signature keyspaces can never cross-collide. */
+  val CharBandBase = -2
 
   /** Parsed `_gate_params`: the hash parameters plus the split trie.
     * `splits` maps each layout ("bands"/"sigs"/"out") to its set of
@@ -330,16 +345,32 @@ object NearDupGate {
       val sigs = hold(Dedup.minhashSignatures(
         Dedup.shinglesRaw(b, "doc_id", "text", shingleN), k))
       val banded = Dedup.signatureBands(sigs, k, bands)
-      // short docs (< shingleN tokens — no signature): whole-text
-      // fingerprint as a band = -1 row in the same probe keyspace;
-      // null text fingerprints like empty text (md5(null) is null and a
-      // null key would land in the default partition, invisible to the
-      // leaf probe)
-      val shortFps = b.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
+      // short docs (< shingleN tokens — no token signature) get TWO
+      // probe keyspaces:
+      //  (a) a whole-text fingerprint as band = -1 — the exact path,
+      //      and the ONLY path for null/empty text (null fingerprints
+      //      like empty text: md5(null) is null and a null key would
+      //      land in the default partition, invisible to the leaf probe)
+      //  (b) char-[[CharShingleN]]-gram MinHash signatures banded into
+      //      band <= -2 (CharBandBase - band), so NEAR-dup short docs
+      //      est-verify exactly like long docs instead of passing
+      //      unchecked (the r6 documented gap). Word bands (>= 0), the
+      //      fingerprint band (-1), and char bands (<= -2) are disjoint
+      //      ranges, so a char signature can never est-verify against a
+      //      token signature — and a doc is in exactly one sig keyspace.
+      val short = hold(b.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti"))
+      val shortFps = short
         .select(col("doc_id"), lit(-1).as("band"),
           Dedup.md5Hash60(coalesce(lower(col("text")), lit(""))).as("band_hash"))
+      val csigs = hold(Dedup.minhashSignatures(
+        Dedup.charShinglesRaw(short, "doc_id", "text", CharShingleN), k))
+      val cbanded = Dedup.signatureBands(csigs, k, bands)
+        .select(col("doc_id"), (lit(CharBandBase) - col("band")).as("band"),
+          col("band_hash"))
+      val allSigs = hold(sigs.unionByName(csigs))
       val probe = hold(
-        banded.select("doc_id", "band", "band_hash").unionByName(shortFps))
+        banded.select("doc_id", "band", "band_hash")
+          .unionByName(cbanded).unionByName(shortFps))
       val stateBands = readLeaves(spark, s"$statePath/bands",
         touchedLeaves(probe, col("band_hash"), nb, gp.splitSet("bands")))
 
@@ -351,14 +382,16 @@ object NearDupGate {
             Seq("band", "band_hash"), "left_semi")
           .select("doc_id")
       }
-      // shingleable docs: band collision is only a CANDIDATE — fetch the
-      // colliding seen docs' signatures (leaf-pruned by their ids) and
-      // drop only when the estimated Jaccard clears the threshold,
-      // symmetric with the batch-local pair path
+      // signed docs (token OR char keyspace): band collision is only a
+      // CANDIDATE — fetch the colliding seen docs' signatures
+      // (leaf-pruned by their ids) and drop only when the estimated
+      // Jaccard clears the threshold, symmetric with the batch-local
+      // pair path. Disjoint band ranges keep the keyspaces from ever
+      // cross-pairing.
       val verifiedStateDropped = stateBands.flatMap { sb =>
         val cand = hold(
-          probe.where(col("band") >= 0)
-            .join(sb.where(col("band") >= 0)
+          probe.where(col("band") =!= -1)
+            .join(sb.where(col("band") =!= -1)
               .select(col("band"), col("band_hash"), col("doc_id").as("seen_id")),
               Seq("band", "band_hash"))
             .select(col("doc_id"), col("seen_id")).distinct())
@@ -368,7 +401,7 @@ object NearDupGate {
             cand
               .join(ss.select(col("doc_id").as("seen_id"), col("sig").as("seen_sig")),
                 Seq("seen_id"))
-              .join(sigs, Seq("doc_id"))
+              .join(allSigs, Seq("doc_id"))
               .where(ArrayEqCount(col("sig"), col("seen_sig"))
                 .cast("double") / k >= threshold)
               .select("doc_id").distinct()
@@ -376,7 +409,10 @@ object NearDupGate {
       }
 
       // ---- gate 2: batch-local components ---------------------------
+      // word pairs and char pairs ride one component pass — the doc sets
+      // are disjoint, so the union stays a distinct undirected pair set
       val localPairs = Dedup.minhashPairsFromSignatures(sigs, k, bands, threshold)
+        .unionByName(Dedup.minhashPairsFromSignatures(csigs, k, bands, threshold))
       val localDropped = Dedup.connectedComponents(localPairs, pairsDistinct = true)
         .where(col("doc_id") =!= col("component_rep"))
         .select("doc_id")
@@ -417,7 +453,7 @@ object NearDupGate {
       // crash-window contract above
       writeLayout(probe, col("band_hash"), s"$statePath/bands", nb,
         gp.splitSet("bands"))
-      writeLayout(sigs, xxhash64(col("doc_id")), s"$statePath/sigs", nb,
+      writeLayout(allSigs, xxhash64(col("doc_id")), s"$statePath/sigs", nb,
         gp.splitSet("sigs"))
       admitted
     } finally persisted.foreach(_.unpersist())

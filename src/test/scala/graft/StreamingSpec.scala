@@ -788,16 +788,17 @@ class StreamingSpec extends SparkSpec {
     // same child at ANY fan-out, so splitting can never shrink such a
     // leaf — without the guard every maintenance window would re-split
     // it, growing the trie geometrically forever. The hot-key shape
-    // here: exact copies of one short doc appending the SAME band=-1
-    // fingerprint row every batch (dropped docs register state too).
+    // here: exact copies of one EMPTY doc appending the SAME band=-1
+    // fingerprint row every batch (dropped docs register state too;
+    // empty text has no char shingles, so the fp row is its ONLY key).
     import graft.streaming.NearDupGate
     val dir = java.nio.file.Files.createTempDirectory("neardup-skew").toString
     val (out, state) = (s"$dir/out", s"$dir/state")
     assert(NearDupGate.curateBatch(
-      Seq((1L, "hot tiny")).toDF("doc_id", "text"), out, state, buckets = 1) == 1L)
+      Seq((1L, "")).toDF("doc_id", "text"), out, state, buckets = 1) == 1L)
     (2 to 6).foreach { i =>
       assert(NearDupGate.curateBatch(
-        Seq((i.toLong, "hot tiny")).toDF("doc_id", "text"), out, state) == 0L)
+        Seq((i.toLong, "")).toDF("doc_id", "text"), out, state) == 0L)
     }
     // the bands leaf is far over a 1-byte target but carries ONE
     // distinct key (and the out leaf one doc): nothing is splittable
@@ -806,6 +807,39 @@ class StreamingSpec extends SparkSpec {
     // stable under repeated windows — no runaway fan-out growth
     assert(NearDupGate.splitLargestLeaf(spark, out, state, 1L).isEmpty)
     assert(gateSplitCount(state) == 0, gateMarker(state))
+  }
+
+  test("NearDupGate: char-shingle fallback drops NEAR-dup short docs") {
+    // the r6 documented gap: docs below shingleN tokens had no signature,
+    // so only EXACT copies dropped. Char-trigram MinHash gives short docs
+    // a verifiable signature in a disjoint band range (<= -2)
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-char").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    // 4-token docs (< shingleN = 5): in-batch near-copies form one
+    // char-sig component — the min id survives; a distinct short doc
+    // and an empty doc pass through
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delt"), // near-copy: drop (est >= 0.5)
+      (3L, "totally different words here"),
+      (4L, "")).toDF("doc_id", "text")
+    assert(NearDupGate.curateBatch(b1, out, state) == 3L)
+    // cross-batch: near-copy of a SEEN short doc est-verifies against
+    // the fetched char signature and drops; distinct short doc admits
+    val b2 = Seq(
+      (10L, "alpha beta gamma felta"), // near-dup of 1: drop
+      (11L, "orange mango papaya kiwi")).toDF("doc_id", "text")
+    assert(NearDupGate.curateBatch(b2, out, state) == 1L)
+    // near-copy of a DROPPED short doc also drops (state registers all),
+    // and genuinely distinct short docs keep passing
+    val b3 = Seq(
+      (20L, "alpha beta gamma del"), // near-dup of dropped 2
+      (21L, "quick brown fox jumps")).toDF("doc_id", "text")
+    assert(NearDupGate.curateBatch(b3, out, state) == 1L)
+    assert(NearDupGate.curateBatch(b2, out, state) == 0L) // replay: no-op
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 3L, 4L, 11L, 21L)))
   }
 
   test("NearDupGate: null doc_ids drop instead of poisoning the batch") {
