@@ -871,6 +871,70 @@ object Dedup {
        |SELECT id AS doc_id, min(comp) AS component_rep FROM walk GROUP BY id""".stripMargin
   }
 
+  /** Oracle for [[graft.streaming.NearDupGate.batchDecision]] — the
+    * streaming gate's single-batch admit rule on empty state: long docs
+    * drop as non-minimum members of est-verified word-shingle MinHash
+    * pair components; short docs (< shingleN tokens) drop as non-minimum
+    * members of char-`charN`-gram pair components OR as non-minimum
+    * exact whole-text-fingerprint copies. `docsSelect` is the SQL
+    * producing the (doc_id, text) batch — the registry query constructs
+    * short docs by truncation, engine and oracle identically. Both
+    * signature chains are the [[minhashPairsOracleSql]] hash pipeline
+    * (md5 → 60-bit → k universal re-hashes), banded on raw slice values
+    * (only collisions matter). */
+  def gateDecisionOracleSql(docsSelect: String, shingleN: Int = 5,
+                            k: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.5, seed: Long = 42L,
+                            charN: Int = 3): String = {
+    val rows = k / bands
+    val (as, bs) = universalCoeffs(k, seed)
+    val values = (0 until k).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
+    s"""WITH RECURSIVE docs AS ($docsSelect),
+       |toks AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') AS t FROM docs),
+       |c(i, a, b) AS (VALUES $values),
+       |pos AS (SELECT doc_id, t, unnest(range(len(t)-${shingleN - 1})) AS i FROM toks WHERE len(t) >= $shingleN),
+       |sh AS (SELECT doc_id, array_to_string(t[i+1:i+$shingleN], ' ') AS shingle FROM pos),
+       |h0 AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle),1,15)) AS BIGINT) % $P AS h FROM sh),
+       |sig AS (SELECT doc_id, i, min((a * h + b) % $P) AS m FROM h0 CROSS JOIN c GROUP BY 1, 2),
+       |bandsig AS (SELECT doc_id, i // $rows AS band, string_agg(m, ',' ORDER BY i) AS bs FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
+       |wpairs AS (SELECT x.doc_a, x.doc_b
+       |           FROM cand x JOIN sig sa ON sa.doc_id = x.doc_a
+       |           JOIN sig sb ON sb.doc_id = x.doc_b AND sb.i = sa.i
+       |           GROUP BY 1, 2
+       |           HAVING CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / $k >= $threshold),
+       |shortd AS (SELECT d.doc_id, d.text FROM docs d JOIN toks tt ON d.doc_id = tt.doc_id
+       |           WHERE coalesce(len(tt.t) >= $shingleN, FALSE) = FALSE),
+       |cpos AS (SELECT doc_id, text, unnest(range(1, greatest(len(text) - ${charN - 1}, 1) + 1)) AS i
+       |         FROM shortd WHERE text IS NOT NULL AND len(text) >= 1),
+       |csh AS (SELECT doc_id, substr(text, i, $charN) AS shingle FROM cpos),
+       |ch0 AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle),1,15)) AS BIGINT) % $P AS h FROM csh),
+       |csig AS (SELECT doc_id, i, min((a * h + b) % $P) AS m FROM ch0 CROSS JOIN c GROUP BY 1, 2),
+       |cbandsig AS (SELECT doc_id, i // $rows AS band, string_agg(m, ',' ORDER BY i) AS bs FROM csig GROUP BY 1, 2),
+       |ccand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM cbandsig a JOIN cbandsig b ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id),
+       |cpairs AS (SELECT x.doc_a, x.doc_b
+       |           FROM ccand x JOIN csig sa ON sa.doc_id = x.doc_a
+       |           JOIN csig sb ON sb.doc_id = x.doc_b AND sb.i = sa.i
+       |           GROUP BY 1, 2
+       |           HAVING CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / $k >= $threshold),
+       |pairs AS (SELECT doc_a, doc_b FROM wpairs UNION SELECT doc_a, doc_b FROM cpairs),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |walk(id, comp) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id),
+       |pairdrop AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING id <> min(comp)),
+       |fp AS (SELECT doc_id, CAST(concat('0x', substr(md5(coalesce(lower(text), '')),1,15)) AS BIGINT) AS f FROM shortd),
+       |fpdrop AS (SELECT doc_id FROM (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp) WHERE rn > 1)
+       |SELECT doc_id FROM docs
+       |WHERE doc_id NOT IN (SELECT doc_id FROM pairdrop)
+       |  AND doc_id NOT IN (SELECT doc_id FROM fpdrop)""".stripMargin
+  }
+
   /** Oracle for [[simhash]]: same lowercase tokenization, same 60-bit md5
     * token hash, same ±1 bit votes, same sign packing. */
   def simhashOracleSql: String = {

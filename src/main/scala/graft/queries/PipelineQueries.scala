@@ -502,7 +502,26 @@ object PipelineQueries {
     Multimodal.extractFeatureSums(
       Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
 
+  /** The streaming near-dup gate's single-batch admit decision
+    * ([[graft.streaming.NearDupGate.batchDecision]] — pinned equal to
+    * `curateBatch` on empty state by `StreamingSpec`) over the
+    * documents fixture. The fixture has no short docs, so every
+    * doc_id % 5 == 0 row is truncated to its first 3 tokens — engine
+    * and oracle construct the IDENTICAL input (the q_dup_lines
+    * pattern) — which exercises all three drop rules: word-pair
+    * components, char-trigram pair components, and exact short-doc
+    * fingerprints. */
+  def neardupGate(s: SparkSession, d: String): DataFrame = {
+    val toks = split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")
+    val truncated = when(col("doc_id") % 5 === 0,
+      concat_ws(" ", slice(toks, 1, 3))).otherwise(col("text"))
+    graft.streaming.NearDupGate.batchDecision(
+      par(documents(s, d)).select(col("doc_id"), truncated.as("text")))
+      .select("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neardup_gate"   -> (neardupGate _),
     "q_text_stats"     -> (textStats _),
     "q_text_quality"   -> (textQuality _),
     "q_lang_id"        -> (langId _),
@@ -813,6 +832,12 @@ object PipelineQueries {
         |           AND f.doc_id = k.kid""".stripMargin,
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
+    // the gate decision over the truncation-constructed batch — the
+    // docs CTE is the engine's truncation verbatim in DuckDB terms
+    "q_neardup_gate" -> Dedup.gateDecisionOracleSql(
+      s"""SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |  THEN array_to_string(($TOKS)[1:3], ' ')
+         |  ELSE text END AS text FROM documents""".stripMargin),
     // the groups oracle as a derived table, then the same quality
     // expression as every other quality consumer and a row_number
     // argmax with the engine's exact (quality DESC, doc_id) tie-break

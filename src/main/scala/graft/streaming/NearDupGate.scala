@@ -459,6 +459,44 @@ object NearDupGate {
     } finally persisted.foreach(_.unpersist())
   }
 
+  /** The gate's admit rule for ONE batch against EMPTY state, as a pure
+    * DataFrame function — [[curateBatch]]'s gate 2 exactly (against
+    * empty state, gate 1 vacuously passes, so this IS the whole
+    * decision): `batch` (doc_id, text, …) → the admitted rows.
+    *  - word-signed docs (≥ shingleN tokens): non-minimum members of
+    *    est-verified MinHash pair components drop;
+    *  - short docs: non-minimum members of char-[[CharShingleN]]-gram
+    *    pair components drop, and non-minimum exact whole-text
+    *    fingerprint copies drop (the only rule for empty/null text).
+    * Registered as `q_neardup_gate` with a DuckDB oracle
+    * ([[graft.functions.Dedup.gateDecisionOracleSql]]), and pinned
+    * equal to `curateBatch`-on-empty-state by `StreamingSpec` — the
+    * hash-exact coverage for the streaming gate's decision logic.
+    * Kept free of the persistence concerns (leaf probes, holds, state
+    * writes) so it stays a registry-runnable plan. */
+  def batchDecision(batch: DataFrame, shingleN: Int = 5, k: Int = 64,
+                    bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val b = batch.where(col("doc_id").isNotNull).dropDuplicates("doc_id")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.shinglesRaw(b, "doc_id", "text", shingleN), k)
+    val short = b.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    val csigs = Dedup.minhashSignatures(
+      Dedup.charShinglesRaw(short, "doc_id", "text", CharShingleN), k)
+    val localPairs = Dedup.minhashPairsFromSignatures(sigs, k, bands, threshold)
+      .unionByName(Dedup.minhashPairsFromSignatures(csigs, k, bands, threshold))
+    val pairDropped = Dedup.connectedComponents(localPairs, pairsDistinct = true)
+      .where(col("doc_id") =!= col("component_rep"))
+      .select("doc_id")
+    val fpDropped = short
+      .select(col("doc_id"),
+        Dedup.md5Hash60(coalesce(lower(col("text")), lit(""))).as("_fp"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_fp").orderBy("doc_id")))
+      .where(col("_rn") > 1).select("doc_id")
+    Seq(pairDropped, fpDropped)
+      .foldLeft(b) { (acc, d) => acc.join(d, Seq("doc_id"), "left_anti") }
+  }
+
   /** Write-once / verify-always parameter marker in the state dir.
     * Returns the EFFECTIVE layout: the marker's for an existing state
     * (trie shape is marker-authoritative — splits/reshards legally

@@ -842,6 +842,30 @@ class StreamingSpec extends SparkSpec {
       .sameElements(Array(1L, 3L, 4L, 11L, 21L)))
   }
 
+  test("NearDupGate: batchDecision equals curateBatch on empty state") {
+    // the registry row q_neardup_gate runs batchDecision; this pins it
+    // to the streaming gate's actual first-batch behavior so the oracle
+    // coverage transfers to curateBatch
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-twin").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    def long(i: Int): String = (0 until 60).map(j => s"t${i}w$j").mkString(" ")
+    val batch = Seq(
+      (1L, long(1)), (2L, long(1).replace("t1w7", "x")), // word near-dups
+      (3L, long(3)),
+      (4L, "alpha beta gamma delta"), (5L, "alpha beta gamma delt"), // char near-dups
+      (6L, "some other short"),
+      (7L, ""), (8L, ""), // exact empty pair
+      (9L, "unrelated text entirely")).toDF("doc_id", "text")
+    NearDupGate.curateBatch(batch, out, state)
+    val streamed = spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val decided = NearDupGate.batchDecision(batch)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(decided == streamed)
+    assert(decided == Seq(1L, 3L, 4L, 6L, 7L, 9L))
+  }
+
   test("NearDupGate: null doc_ids drop instead of poisoning the batch") {
     // a row with no identity can't be replay-idempotent (null-keyed
     // anti-joins never match) and its null bucket hash crashed the
