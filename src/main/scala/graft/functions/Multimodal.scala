@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing for LLM-data pipelines: media as opaque
   * `binary` columns with typed metadata, plus batch feature extraction.
   *
-  * The decode step is a clearly-marked deterministic STUB (the container
-  * has no image/audio codecs — builder brief): `fakeDecodeFeatures`
-  * derives a fixed-size float vector from the raw bytes. Everything
-  * Spark-side is real and tested: the schema, the binary column handling,
-  * the `mapPartitions` batch shape (the Scala analog of `mapInPandas` —
-  * per-partition iteration so a real decoder would amortize model/codec
-  * init across rows), and the partitioning story (binary payloads stay
-  * where they are; only extracted features shuffle).
+  * IMAGE decode is REAL ([[decodeImage]]/[[imageStats]] —
+  * `javax.imageio`'s JDK-built-in PNG/JPEG/GIF/BMP readers, no external
+  * codec needed); audio/video decode remains a clearly-marked
+  * deterministic STUB (`fakeDecodeFeatures`, the container has no such
+  * codecs — builder brief), with undecodable bytes falling back to the
+  * stub path so one plan serves a mixed corpus. Everything Spark-side is
+  * real and tested: the schema, the binary column handling, the
+  * `mapPartitions` batch shape (the Scala analog of `mapInPandas` —
+  * per-partition iteration so a decoder amortizes codec/model init
+  * across rows), and the partitioning story (binary payloads stay where
+  * they are; only extracted features shuffle).
   */
 object Multimodal {
 
@@ -135,6 +138,84 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
       .select(col("media_id"), col("media_type"),
         posexplode(col("feat_sums")).as(Seq("pos", "feat_sum")))
+  }
+
+  /** REAL image decode — `javax.imageio` ships PNG/JPEG/GIF/BMP readers
+    * in the JDK, so this needs no external codec: bytes → (width,
+    * height, channels, per-channel means in [0,1]). None for bytes no
+    * installed reader accepts — callers fall back to the stub path so
+    * non-image payloads keep flowing through the same plumbing.
+    * Channel means walk the ARGB int per pixel (O(w·h), the decode
+    * itself already paid that); alpha is reported as a 4th channel when
+    * the color model carries one. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null } // malformed container
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return None
+    val hasAlpha = img.getColorModel.hasAlpha
+    val sums = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        sums(0) += (argb >>> 16) & 0xff
+        sums(1) += (argb >>> 8) & 0xff
+        sums(2) += argb & 0xff
+        sums(3) += (argb >>> 24) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h * 255L
+    val ch = if (hasAlpha) 4 else 3
+    Some((w, h, ch, Array.tabulate(ch)(i => sums(i).toDouble / n)))
+  }
+
+  /** Image statistics through the SAME `mapPartitions` decode boundary
+    * as [[extractFeatures]] — but with the REAL decoder in front:
+    * decodable blobs report actual dimensions and channel means
+    * (`decoded = true`), everything else falls back to the synthesized
+    * metadata + whole-blob byte mean (`decoded = false`), so one plan
+    * serves a mixed corpus of real images and opaque payloads. This is
+    * the production shape the stub always stood in for: swap
+    * granularity is the inner function, the plan is unchanged. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      // a real deployment would init shared decoder state here, once
+      // per partition — ImageIO readers are static, so nothing to do
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        decodeImage(bytes) match {
+          case Some((w, h, ch, means)) =>
+            Row(r.getLong(idIdx), true, w, h, ch,
+              means(0), means(1), means(2))
+          case None =>
+            val meta = r.getStruct(metaIdx)
+            val mean =
+              if (bytes.isEmpty) 0.0
+              else bytes.map(b => (b & 0xff).toLong).sum.toDouble /
+                (bytes.length * 255.0)
+            Row(r.getLong(idIdx), false,
+              meta.getInt(0), meta.getInt(1), 0, mean, mean, mean)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
   }
 
   /** Batch feature extraction over the binary column. Output schema:

@@ -3,11 +3,68 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.Multimodal
 
-/** Binary-column plumbing: schema, deterministic stub decode, batch
-  * shape. The decode itself is a stub (no codecs in-container); what's
-  * verified is the Spark-side contract a real decoder would slot into.
+/** Binary-column plumbing: schema, batch shape, and the decode boundary
+  * — REAL for images (javax.imageio, JDK-built-in readers, verified on
+  * generated PNG/JPEG fixtures below), deterministic stub for the
+  * codec-less media types.
   */
 class MultimodalSpec extends SparkSpec {
+
+  /** PNG bytes for a w×h image filled by (x, y) → packed RGB. */
+  private def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage: real PNG decode — exact dims and channel means") {
+    // 4x2: left half pure red, right half pure blue -> mean_r = mean_b
+    // = 0.5 EXACTLY (4 of 8 pixels at 255), mean_g = 0
+    val bytes = png(4, 2)((x, _) => if (x < 2) 0xff0000 else 0x0000ff)
+    val Some((w, h, ch, means)) = Multimodal.decodeImage(bytes)
+    assert(w == 4 && h == 2 && ch == 3)
+    assert(means(0) == 0.5 && means(1) == 0.0 && means(2) == 0.5)
+    // JPEG round-trips through the same reader (lossy — dims only)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val Some((jw, jh, _, _)) = Multimodal.decodeImage(bos.toByteArray)
+    assert(jw == 4 && jh == 2)
+    // non-image bytes refuse instead of garbage
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("imageStats: real decode and stub fallback share one plan") {
+    import spark.implicits._
+    val checker = png(2, 2)((x, y) =>
+      if ((x + y) % 2 == 0) 0xffffff else 0x000000) // 2 white, 2 black
+    val rows = Seq(
+      (1L, "image", checker, (7, 9, "png")),
+      (2L, "image", "opaque payload".getBytes.toSeq.toArray, (640, 480, "stub")))
+      .toDF("media_id", "media_type", "blob", "m")
+      .select(col("media_id"), col("media_type"), col("blob"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("codec")).as("meta"))
+    val out = Multimodal.imageStats(rows).orderBy("media_id").collect()
+    val real = out(0)
+    assert(real.getBoolean(1) && real.getInt(2) == 2 && real.getInt(3) == 2)
+    assert(real.getInt(4) == 3 && real.getDouble(5) == 0.5 &&
+      real.getDouble(6) == 0.5 && real.getDouble(7) == 0.5)
+    val stub = out(1)
+    assert(!stub.getBoolean(1), "opaque bytes must take the fallback path")
+    assert(stub.getInt(2) == 640 && stub.getInt(3) == 480 && stub.getInt(4) == 0)
+    assert(stub.getDouble(5) > 0 && stub.getDouble(5) == stub.getDouble(6))
+    // the synthesized corpus flows through the same operator end-to-end
+    // (UTF-8 payloads all take the fallback), proving mixed-plan safety
+    val corpus = Multimodal.imageStats(Multimodal.synthesizeMedia(
+      Tables.documents(spark, sf0001), "doc_id", "text"))
+    assert(corpus.where(col("decoded")).count() == 0)
+    assert(corpus.count() == Tables.documents(spark, sf0001).count())
+  }
 
   test("synthesizeMedia produces typed binary + metadata schema") {
     val media = Multimodal.synthesizeMedia(
