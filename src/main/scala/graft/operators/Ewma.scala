@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   *    streaming path).
   *  - [[EwmaAgg]]: an `Aggregator[(Long, Double), _, Double]` usable in
   *    `groupBy(...).agg(...)` returning the final EMA per key; buffers
-  *    (order, value) pairs so partial merges are order-correct.
+  *    (order, value) pairs so partial merges are order-correct —
+  *    bounded, loud-failing past [[EwmaAggMaxRowsPerKey]].
+  *  - [[emaSegmented]]: the final-EMA-per-key shape WITHOUT the
+  *    full-series buffer — a two-level segmented scan over composed
+  *    affine maps, O(chunk) memory at any series length.
   */
 object Ewma {
 
@@ -72,6 +76,69 @@ object Ewma {
     * of unspillable buffer per key — loud failure well before an
     * executor-level OOM. */
   val EwmaAggMaxRowsPerKey: Long = 1L << 22
+
+  /** Final EMA per key via a TWO-LEVEL SEGMENTED SCAN — the
+    * bounded-memory form of [[EwmaAgg]] for series of ANY length. The
+    * EMA step is the affine map E ↦ (1−α)·E + α·x, and affine maps
+    * compose associatively, so a chunk `[x₁…x_m]` summarizes to
+    * (a, b, y): `a = (1−α)^m` (how much incoming state survives the
+    * chunk), `b` the composed offset, and `y` the chunk's SEEDED result
+    * (the state after the chunk when its first observation seeds).
+    * Level 1 folds each (key, chunk)'s sorted observations into that
+    * summary; level 2 composes summaries in chunk order — the first
+    * chunk contributes `y`, every later chunk maps `y ↦ aᵢ·y + bᵢ`.
+    *
+    * Mathematically exact (associativity is exact in the reals; doubles
+    * re-associate, so results agree with the sequential fold to ulps —
+    * the property spec pins ≤ 1e-10 relative). Memory: level 1 buffers
+    * one CHUNK's rows, level 2 one key's CHUNK COUNT — vs [[EwmaAgg]]'s
+    * full-series buffer, which hard-fails past [[EwmaAggMaxRowsPerKey]].
+    * Both folds are `aggregate(array_sort(collect_list(…)))` — stock
+    * codegen'd expressions, no UDAF, two ordinary spillable-shuffle
+    * aggregations in the plan.
+    *
+    * `chunk = floor(ord / chunkWidth)` — any monotone-in-ord binning
+    * works; width ≈ √(rows per key) balances the levels. Rows with null
+    * value or null ord are identity maps and are dropped up front
+    * (pandas-ewm null semantics for the FINAL state). `ord` must be
+    * integral and unique per key (ties would fold in array order, which
+    * a buffer-order-dependent [[EwmaAgg]] does not define either).
+    * Output: key columns + `as`, one row per key. */
+  def emaSegmented(df: DataFrame, value: String, n: Int, key: Seq[String],
+                   ord: String, chunkWidth: Long = 1L << 16,
+                   as: String = "ema"): DataFrame = {
+    require(chunkWidth >= 1, s"chunkWidth must be >= 1, got $chunkWidth")
+    require(key.nonEmpty, "emaSegmented needs >= 1 key column")
+    val alpha = 2.0 / (n + 1.0)
+    val keep = lit(1.0 - alpha)
+    val obs = struct(col(ord).cast("long").as("o"),
+      col(value).cast("double").as("x"))
+    val summaries = df
+      .where(col(value).isNotNull && col(ord).isNotNull)
+      .withColumn("__chunk", floor(col(ord).cast("long") / chunkWidth))
+      .groupBy(key.map(col) :+ col("__chunk"): _*)
+      .agg(array_sort(collect_list(obs)).as("__arr"))
+      .select(key.map(col) :+ col("__chunk") :+ aggregate(
+        col("__arr"),
+        struct(lit(1.0).as("a"), lit(0.0).as("b"),
+          lit(null).cast("double").as("y")),
+        (acc, e) => struct(
+          (acc("a") * keep).as("a"),
+          (acc("b") * keep + lit(alpha) * e("x")).as("b"),
+          when(acc("y").isNull, e("x"))
+            .otherwise(lit(alpha) * e("x") + keep * acc("y")).as("y")))
+        .as("__s"): _*)
+    summaries
+      .groupBy(key.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("__chunk").as("o"),
+        col("__s.a").as("a"), col("__s.b").as("b"), col("__s.y").as("y"))))
+        .as("__cs"))
+      .select(key.map(col) :+ aggregate(
+        col("__cs"),
+        lit(null).cast("double"),
+        (acc, s) => when(acc.isNull, s("y"))
+          .otherwise(s("a") * acc + s("b"))).as(as): _*)
+  }
 
   /** Final-EMA-per-key typed aggregator. Buffers (ord, value) pairs and
     * sorts at reduce boundaries, so it is correct under Spark's partial

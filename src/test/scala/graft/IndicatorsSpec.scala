@@ -128,6 +128,48 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(got("K") - expect) < 1e-9)
   }
 
+  test("emaSegmented: segmented scan matches EwmaAgg and the fold") {
+    import graft.operators.Ewma.EwmaAgg
+    // multi-key, irregular ords (gaps, non-zero start), values from a
+    // deterministic hash — the property: two-level affine composition
+    // equals the sequential fold to re-association ulps
+    val rows = for {
+      (sym, seed) <- Seq(("A", 1), ("B", 7), ("C", 13))
+      i <- 0 until 997
+    } yield (sym, seed * 3 + i * 5L, // unique, non-contiguous ords
+      80.0 + ((i * seed * 2654435761L) % 1000L).toDouble / 25.0)
+    val df = rows.toDF("sym", "t", "x").repartition(8)
+    val expect = rows.groupBy(_._1).map { case (sym, rs) =>
+      sym -> Ewma.fold(0.2)(rs.sortBy(_._2).iterator.map(_._3))
+        .foldLeft(Double.NaN)((_, v) => v)
+    }
+    // chunkWidth small enough that every key spans many chunks, and a
+    // single-chunk width as the degenerate case
+    for (w <- Seq(64L, 1L << 40)) {
+      val got = Ewma.emaSegmented(df, "x", 9, Seq("sym"), "t", chunkWidth = w)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      expect.foreach { case (sym, e) =>
+        assert(math.abs(got(sym) - e) / math.abs(e) < 1e-10,
+          s"sym=$sym w=$w got=${got(sym)} expect=$e")
+      }
+    }
+    // and against EwmaAgg itself on the same frame (alpha = 2/(9+1))
+    val agg = new EwmaAgg(0.2).toColumn.name("ema_final")
+    val viaAgg = df.as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3)).agg(agg).collect().toMap
+    val seg = Ewma.emaSegmented(df, "x", 9, Seq("sym"), "t", chunkWidth = 128)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    viaAgg.foreach { case (sym, e) =>
+      assert(math.abs(seg(sym) - e) / math.abs(e) < 1e-10) }
+    // null values are identity maps: final EMA unchanged by null rows
+    val withNulls = df.unionByName(
+      Seq(("A", 9999L, null.asInstanceOf[java.lang.Double]))
+        .toDF("sym", "t", "x"))
+    val gotN = Ewma.emaSegmented(withNulls, "x", 9, Seq("sym"), "t",
+      chunkWidth = 64).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(gotN("A") - expect("A")) / math.abs(expect("A")) < 1e-10)
+  }
+
   test("EwmaAgg throws past its per-key buffer bound instead of OOMing") {
     import graft.operators.Ewma.EwmaAgg
     val agg = new EwmaAgg(0.1, maxRowsPerKey = 1000).toColumn.name("ema_final")
