@@ -141,9 +141,14 @@ object Bench {
       // and clobbering that file would hand a later audit mislabeled
       // data — divert re-runs to a -rerun name instead
       val target = new java.io.File(docs, f"BENCH_FULL_r$round%02d.json")
-      val out = if (target.exists)
-        new java.io.File(docs, f"BENCH_FULL_r$round%02d-rerun.json")
-      else target
+      // multiple re-runs before the round's CORRECTNESS file lands must
+      // not clobber each other either: probe -rerun, -rerun2, -rerun3…
+      // for the first free name (r6 ADVICE)
+      val out = if (!target.exists) target
+      else Iterator.from(1).map(i => new java.io.File(docs,
+          f"BENCH_FULL_r$round%02d-rerun" +
+            (if (i == 1) "" else i.toString) + ".json"))
+        .find(!_.exists).get
       java.nio.file.Files.writeString(out.toPath, line)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-record write failed: ${e.getMessage}")

@@ -78,11 +78,32 @@ object ExplainAudit {
       "q_indicator_replay", // expect ONE exchange on user_id feeding
                           //   every Window op (change + RSI + EMA — the
                           //   T3 batch twin shares the q_rsi shape)
-      "q_semdedup_cc")    // expect the q_semdedup assignment shape
+      "q_semdedup_cc",    // expect the q_semdedup assignment shape
                           //   (map-side NearestCentroid, cid-keyed
                           //   self-join); the CC rounds run at action
                           //   time, so the static plan shows the pair
                           //   side feeding the component join
+      "q_drop_reasons",   // the most expensive non-dedup query (r6
+                          //   audit): expect the whole rule battery as
+                          //   ONE codegen'd Project over the scan — the
+                          //   only exchanges are the parallelism unlock
+                          //   and the tiny corpus-stats aggregate
+      "q_minhash_dropped",// expect the drop-list miner (shingle-df agg
+                          //   + top-k) anti-joined BELOW the signature
+                          //   pipeline — boilerplate never reaches the
+                          //   band shuffle
+      "q_pipeline_neardup", // expect the pair pipeline feeding CC and a
+                          //   doc_id anti-join; quality/token stage as
+                          //   expressions on survivors, no extra
+                          //   corpus-scale shuffle
+      "q_percentiles",    // expect ONE exact-percentile aggregation
+                          //   (partial+final) — no per-row window, no
+                          //   global sort
+      "q_neardup_gate")   // expect the word+char signature pipelines
+                          //   unioned into ONE CC input, fingerprint
+                          //   row_number windows partitioned by hash —
+                          //   no unpartitioned window, no self-join of
+                          //   the doc table
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

@@ -235,6 +235,45 @@ object ScaleProbe {
       val (o, s) = gDir("f20")
       NearDupGate.curateBatch(gateProbeBatch("c"), o, s, buckets = 1)
     }
+    // ---- 10k-doc batch: the verified-drop sig fetch at volume ---------
+    // (r6 item 7) — half the batch near-dups the seeded state (prefix
+    // perturbation, the corpus note above), so the state-collision →
+    // signature-fetch → est-verify path does real work; half is fresh.
+    // Sub-linearity evidence: the SAME batch shape against 1× and 20×
+    // state — wall-clock must grow far slower than the 20× state ratio
+    // (each batch reads only its own collision set's buckets/rows).
+    def tenK(tag: String, idBase: Long) = {
+      val near = big.limit(5000).select(
+        (lit(idBase) + col("doc_id")).as("doc_id"),
+        concat(lit(s"$tag "), col("text")).as("text"))
+      val fresh = spark.range(5000).select(
+        (lit(idBase * 2) + col("id")).as("doc_id"),
+        concat_ws(" ", (0 until 80).map(j =>
+          concat(lit(s"$tag${j}x"), col("id"))): _*).as("text"))
+      near.unionByName(fresh).repartition(16)
+    }
+    val adm1 = probe(s"gate_probe 10k docs @${nBase} b$GateBuckets")(()) {
+      val (o, s) = gDir("s1")
+      NearDupGate.curateBatch(tenK("p", 1L << 41), o, s, buckets = GateBuckets)
+    }
+    val adm20 = probe(s"gate_probe 10k docs @${nBig} b$GateBuckets")(()) {
+      val (o, s) = gDir("s20")
+      NearDupGate.curateBatch(tenK("q", 1L << 43), o, s, buckets = GateBuckets)
+    }
+    println(s"[scale] gate 10k-doc admits: $adm1 @1x, $adm20 @20x " +
+      "(near-half dropped via est-verified state collisions)")
+    // ---- maintenance window: ONE leaf split, cost ~ leaf bytes --------
+    // (r7 headline) — the incremental reshard's pause is one leaf's
+    // rewrite (~ state/1024 here), never O(|state|); the probe after it
+    // shows the mixed trie still bucket-prunes.
+    probe(s"gate_split_leaf @${nBig} (maintenance window)")(()) {
+      val (o, s) = gDir("s20")
+      NearDupGate.splitLargestLeaf(spark, o, s, targetBytes = 1L)
+    }
+    probe(s"gate_probe post-split @${nBig}")(()) {
+      val (o, s) = gDir("s20")
+      NearDupGate.curateBatch(gateProbeBatch("d"), o, s, buckets = GateBuckets)
+    }
     // The SCALE-relevant probe metric is BYTES TOUCHED, not local[16]
     // wall-clock (at 1.6M state rows job overhead dominates the timing
     // above): the fraction of state a probe batch reads is
@@ -280,6 +319,22 @@ object ScaleProbe {
     probe("ewma_perRow @200k single key")(())(ema.count())
     val last = ema.orderBy(col("t").desc).select("ema_exact").head().getDouble(0)
     println(s"[scale] ewma final=$last (finite=${!last.isNaN && !last.isInfinite})")
+
+    // segmented-scan EWM on ONE 8M-row key — PAST EwmaAgg's enforced
+    // 2^22 buffer bound (which would throw here): two bounded
+    // aggregations, each buffering at most chunkWidth rows / chunk
+    // count. Cross-checked against the O(1)-state sequential fold.
+    val longSeries = spark.range(8000000).select(
+      lit("K").as("sym"), col("id").as("t"),
+      (sin(col("id") / 100.0) * 50 + 100).as("close"))
+    val segFinal = probe("ewma_segmented @8M single key")(()) {
+      Ewma.emaSegmented(longSeries, "close", 25, Seq("sym"), "t")
+        .head().getDouble(1)
+    }
+    val foldFinal = Ewma.perRow(longSeries, "close", 25, Seq("sym"), Seq("t"))
+      .orderBy(col("t").desc).select("ema_exact").head().getDouble(0)
+    println(f"[scale] ewma_segmented final=$segFinal vs fold=$foldFinal " +
+      f"(rel err ${math.abs(segFinal - foldFinal) / math.abs(foldFinal)}%.2e)")
     spark.stop()
   }
 }
