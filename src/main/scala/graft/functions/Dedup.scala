@@ -94,6 +94,15 @@ object Dedup {
   def shinglesRaw(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     shinglesPos(df, id, text, n).select(col("doc_id"), col("shingle"))
 
+  /** True iff `text` yields ZERO n-token shingles — the exact complement
+    * of [[shinglesPos]]'s `size(toks) >= n` keep-filter (null text → no
+    * tokens → short), as a scan-level predicate. Callers split a batch
+    * into signed/short sides with this instead of anti-joining against
+    * the signature pipeline's doc_ids, which would run the whole MinHash
+    * chain a second time just to enumerate who got a signature. */
+  def tooShortToShingle(text: Column, n: Int): Column =
+    coalesce(size(split(TextAnalysis.wsTrim(text), "\\s+")) < n, lit(true))
+
   /** (doc, shingle) pairs of CHARACTER n-grams — the signature keyspace
     * for documents too short to token-shingle (a 3-token doc has zero
     * 5-token shingles, so token MinHash is blind to it; char trigrams

@@ -358,7 +358,9 @@ object NearDupGate {
       //      fingerprint band (-1), and char bands (<= -2) are disjoint
       //      ranges, so a char signature can never est-verify against a
       //      token signature — and a doc is in exactly one sig keyspace.
-      val short = hold(b.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti"))
+      // predicate, not an anti-join vs sigs (see batchDecision) — b is
+      // persisted, so this is a cheap in-memory filter
+      val short = hold(b.where(Dedup.tooShortToShingle(col("text"), shingleN)))
       val shortFps = short
         .select(col("doc_id"), lit(-1).as("band"),
           Dedup.md5Hash60(coalesce(lower(col("text")), lit(""))).as("band_hash"))
@@ -479,7 +481,10 @@ object NearDupGate {
     val b = batch.where(col("doc_id").isNotNull).dropDuplicates("doc_id")
     val sigs = Dedup.minhashSignatures(
       Dedup.shinglesRaw(b, "doc_id", "text", shingleN), k)
-    val short = b.join(sigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    // scan-level predicate, NOT an anti-join vs sigs' doc_ids — the
+    // anti-join form re-runs the whole MinHash chain to enumerate the
+    // signed side (measured ~1/3 of this query's cost)
+    val short = b.where(Dedup.tooShortToShingle(col("text"), shingleN))
     val csigs = Dedup.minhashSignatures(
       Dedup.charShinglesRaw(short, "doc_id", "text", CharShingleN), k)
     val localPairs = Dedup.minhashPairsFromSignatures(sigs, k, bands, threshold)
