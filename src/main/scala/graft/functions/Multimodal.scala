@@ -149,9 +149,14 @@ object Multimodal {
     * itself already paid that); alpha is reported as a 4th channel when
     * the color model carries one. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
+    if (bytes == null) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null } // malformed container
+      // NonFatal, not just IOException: the JDK readers throw
+      // RuntimeExceptions (AIOOBE, NegativeArraySize, CMMException…) on
+      // malformed containers, and "undecodable falls back to the stub"
+      // must hold for those too — a corrupt row must not kill the job
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val (w, h) = (img.getWidth, img.getHeight)
     if (w <= 0 || h <= 0) return None
@@ -208,7 +213,7 @@ object Multimodal {
           case None =>
             val meta = r.getStruct(metaIdx)
             val mean =
-              if (bytes.isEmpty) 0.0
+              if (bytes == null || bytes.isEmpty) 0.0
               else bytes.map(b => (b & 0xff).toLong).sum.toDouble /
                 (bytes.length * 255.0)
             Row(r.getLong(idIdx), false,

@@ -850,7 +850,16 @@ object NearDupGate {
       // recover a half-swapped prior attempt: if the layout dir is
       // gone, its aside copy is the authoritative data — restore it
       // BEFORE the cleanup deletes below (deleting aside while p is
-      // missing would destroy the only copy)
+      // missing would destroy the only copy). A p that EXISTS but holds
+      // no data files while aside holds the data is the same crash
+      // window with a recreated shell on top (e.g. Snapshot.init ran
+      // before recovery): the shell is disposable — drop it so the
+      // restore path fires instead of silently abandoning the aside
+      // copy as an empty layout.
+      if (fs.exists(p) && !hasParquetRecursively(fs, p) &&
+          fs.exists(aside) && hasParquetRecursively(fs, aside))
+        require(fs.delete(p, true),
+          s"reshardState: could not clear dataless shell $p for restore")
       if (!fs.exists(p) && fs.exists(aside))
         require(fs.rename(aside, p), s"reshardState: could not restore $p from $aside")
       if (!fs.exists(p)) return
@@ -886,17 +895,12 @@ object NearDupGate {
           require(fs.rename(d, new Path(p, d.getName)),
             s"reshardState: could not restore ${d.getName} into $p")
         }
-        val asideUri = aside.toUri.getPath.stripSuffix("/")
-        def dataFiles(q: Path): Seq[Path] =
-          if (!fs.exists(q)) Nil
-          else fs.listStatus(q).toSeq.flatMap { s =>
-            val n = s.getPath.getName
-            if (n.startsWith(".") || n.startsWith("_")) Nil
-            else if (s.isDirectory) dataFiles(s.getPath)
-            else if (n.endsWith(".parquet")) Seq(s.getPath) else Nil
-          }
-        Snapshot.commit(spark, dir, Seq(""), retiredAs = dataFiles(aside)
-          .map(f => f -> f.toUri.getPath.stripPrefix(asideUri).stripPrefix("/")))
+        // ONE copy of the non-hidden-parquet walk (Snapshot owns it);
+        // listing the aside tree against ITSELF yields rel paths that
+        // are exactly the original layout-relative paths
+        Snapshot.commit(spark, dir, Seq(""),
+          retiredAs = Snapshot.listDataFiles(fs, aside, aside)
+            .map(rel => new Path(aside, rel) -> rel))
       }
       fs.delete(aside, true)
     }
@@ -955,16 +959,19 @@ object NearDupGate {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // a crash mid-maintenance left a fence: complete it before
+        // curating (rerunning the fenced operation IS the recovery), so
+        // a restarted stream self-heals instead of failing the fence
+        // check forever. MUST run BEFORE Snapshot.init: init's mkdirs
+        // would recreate an output dir a crashed reshard renamed aside,
+        // and the swap's restore check keys on that dir's absence (the
+        // dataless-shell guard in swap is the second line of defense).
+        recoverReshard(batch.sparkSession, outPath, statePath)
         // snapshots=true: manifest the OUTPUT dir so concurrent external
         // readers get version-consistent reads across compaction/splits
         // ([[Snapshot]]). init is idempotent and re-arms after a
         // history-resetting reshard crash.
         if (snapshots) Snapshot.init(batch.sparkSession, outPath)
-        // a crash mid-maintenance left a fence: complete it before
-        // curating (rerunning the fenced operation IS the recovery), so
-        // a restarted stream self-heals instead of failing the fence
-        // check forever
-        recoverReshard(batch.sparkSession, outPath, statePath)
         curateBatch(batch, outPath, statePath, shingleN, k, bands,
           threshold, buckets)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {

@@ -102,8 +102,10 @@ object Snapshot {
   /** Non-hidden parquet part files under `dir`, as root-relative paths.
     * Dot/underscore names are skipped at every level — the same
     * hidden-file rule Spark's file index applies, so `_stale`,
-    * `_snapshots`, and in-flight `.tmp` dirs never enter a manifest. */
-  private def listDataFiles(fs: FileSystem, root: Path, dir: Path): Seq[String] = {
+    * `_snapshots`, and in-flight `.tmp` dirs never enter a manifest.
+    * `private[streaming]` so maintenance callers (reshard) reuse THIS
+    * walk instead of growing drift-prone copies. */
+  private[streaming] def listDataFiles(fs: FileSystem, root: Path, dir: Path): Seq[String] = {
     val rootUri = root.toUri.getPath.stripSuffix("/")
     def rel(p: Path): String =
       p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
@@ -140,10 +142,12 @@ object Snapshot {
     // root (reshard's aside tree).
     val rootUri = rootP.toUri.getPath.stripSuffix("/")
     val moves = retired.map { f =>
-      val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      require(!rel.startsWith("/") && rel.nonEmpty,
+      // check containment BEFORE stripping: stripPrefix on a non-prefix
+      // is a no-op and the old post-strip check could never fire
+      val raw = f.toUri.getPath
+      require(raw.startsWith(rootUri + "/"),
         s"retired file $f is not under snapshot root $root")
-      f -> rel
+      f -> raw.stripPrefix(rootUri + "/")
     } ++ retiredAs
     if (moves.nonEmpty) {
       val staleV = new Path(new Path(rootP, StaleDir), vName(next))
@@ -182,11 +186,19 @@ object Snapshot {
       throw new IllegalStateException(
         s"Snapshot: version $v at $root was vacuumed (manifest expired)")
     val staleRoot = new Path(rootP, StaleDir)
+    // `>= v`, not `> v`: a file live at v is normally retired by a
+    // LATER commit, but a crash between a maintenance op's retire-moves
+    // and its manifest write leaves files in `_stale/vN` while the
+    // manifest numbered N is written by a later, unrelated commit that
+    // inherited the old entries — those entries must still resolve.
+    // Safe in the normal case: commit N's own manifest never lists the
+    // files commit N retired, so `_stale/vN` can't double-serve an
+    // N-manifest read.
     lazy val staleVs: Seq[Long] =
       if (!fs.exists(staleRoot)) Nil
       else fs.listStatus(staleRoot).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.matches("v\\d{8}"))
-        .map(_.drop(1).toLong).filter(_ > v).sorted.toSeq
+        .map(_.drop(1).toLong).filter(_ >= v).sorted.toSeq
     readManifest(fs, rootP, v).map { rel =>
       val live = new Path(rootP, rel)
       if (fs.exists(live)) live.toString
@@ -246,11 +258,12 @@ object Snapshot {
   }
 
   /** Expire history: keep the newest `keepVersions` manifests readable,
-    * DELETE older manifests and the `_stale` trees of commits at or
-    * below the cutoff (a `_stale/vN` tree holds files retired BY commit
-    * N — needed only by versions < N, all expired once N ≤ cutoff).
-    * Returns (manifests deleted, stale trees deleted). Size retention
-    * to the longest-running external reader. */
+    * DELETE older manifests and the `_stale` trees strictly below the
+    * cutoff (a `_stale/vN` tree holds files retired BY commit N —
+    * needed by versions < N, plus version N itself under filesAt's
+    * crash-inheritance rule, all expired once N < cutoff). Returns
+    * (manifests deleted, stale trees deleted). Size retention to the
+    * longest-running external reader. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val rootP = new Path(root)
@@ -264,10 +277,13 @@ object Snapshot {
         p.getName.drop(1).toLong < cutoff)
       .foreach { p => fs.delete(p, false); m += 1 }
     val staleRoot = new Path(rootP, StaleDir)
+    // strictly < cutoff (not <=): filesAt's crash-inheritance rule may
+    // resolve version `cutoff` entries out of `_stale/v<cutoff>`, so
+    // that tree outlives the versions below it by one step
     if (fs.exists(staleRoot))
       fs.listStatus(staleRoot).filter(_.isDirectory).map(_.getPath)
         .filter(p => p.getName.matches("v\\d{8}") &&
-          p.getName.drop(1).toLong <= cutoff)
+          p.getName.drop(1).toLong < cutoff)
         .foreach { p => fs.delete(p, true); s += 1 }
     (m, s)
   }

@@ -80,12 +80,17 @@ object TickIngest {
     * Null keys still dedup: the anti-join is null-safe on both columns
     * and null event times ride past the time-range pushdown, so a
     * replayed null-keyed row cannot re-append forever. The batch is
-    * persisted across its consumers and unpersisted after the write. */
-  def appendBatchIdempotent(batch: DataFrame, path: String): Unit = {
+    * persisted across its consumers and unpersisted after the write.
+    *
+    * Returns the batch's `symbol=` partition dir names (Spark-escaped,
+    * root-relative) — the write's touched set, which the snapshot sink
+    * commits so manifest maintenance stays O(batch symbols), never a
+    * whole-lake re-list. Empty batch → Nil. */
+  def appendBatchIdempotent(batch: DataFrame, path: String): Seq[String] = {
     val spark = batch.sparkSession
     val b = batch.dropDuplicates("symbol", "time").persist()
     try {
-      if (b.isEmpty) return
+      if (b.isEmpty) return Nil
       // partition dir names use Spark's OWN escaping (a raw "symbol=$s"
       // misses any symbol containing '=', '/', '%', … — fs.exists comes
       // back false and the idempotence anti-join silently disappears for
@@ -96,11 +101,12 @@ object TickIngest {
         .map(r => if (r.isNullAt(0)) None else Some(String.valueOf(r.get(0))))
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val touched = syms.map { s =>
+      val allDirs = syms.map { s =>
         val dirName = "symbol=" + s.map(ExternalCatalogUtils.escapePathName)
           .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
         (s, new org.apache.hadoop.fs.Path(root, dirName))
-      }.filter(t => fs.exists(t._2))
+      }
+      val touched = allDirs.filter(t => fs.exists(t._2))
       val fresh =
         if (touched.isEmpty) b
         else {
@@ -129,6 +135,7 @@ object TickIngest {
             "left_anti")
         }
       fresh.write.mode("append").partitionBy("symbol").parquet(path)
+      allDirs.map(_._2.getName).toSeq
     } finally b.unpersist()
   }
 
@@ -147,10 +154,13 @@ object TickIngest {
     * compaction).
     *
     * `snapshots` = true additionally maintains [[Snapshot]] manifests
-    * over the lake root (init + a reconciling commit of the batch's
-    * touched `symbol=` partitions each batch; compaction retires
-    * replaced files instead of deleting), so concurrent external
-    * readers can pin a version across maintenance windows. */
+    * over the lake root: each batch commits a reconciling re-list of
+    * ONLY its touched `symbol=` partitions (returned by the append — a
+    * whole-root re-list every 10 s would grow with lake size), and
+    * compaction retires replaced files instead of deleting, so
+    * concurrent external readers can pin a version across maintenance
+    * windows. A crash between append and commit heals because the
+    * replayed batch touches the same partitions. */
   def startLakeSink(parsed: DataFrame, path: String, checkpoint: String,
                     trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                     compactEvery: Int = 0,
@@ -162,12 +172,9 @@ object TickIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         if (snapshots) Snapshot.init(spark, path)
-        appendBatchIdempotent(batch, path)
-        if (snapshots)
-          // reconcile the whole root: symbol dirs are few (one per
-          // instrument) and the listing is one level deep; this also
-          // heals any crash window between append and commit
-          Snapshot.commit(spark, path, Seq(""))
+        val touched = appendBatchIdempotent(batch, path)
+        if (snapshots && touched.nonEmpty)
+          Snapshot.commit(spark, path, touched)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           LakeMaintenance.compactLake(spark, path,
             snapshotRoot = if (snapshots) Some(path) else None)

@@ -36,6 +36,11 @@ class MultimodalSpec extends SparkSpec {
     // non-image bytes refuse instead of garbage
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
     assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // a TRUNCATED container (valid magic, cut body) must also refuse —
+    // JDK readers throw runtime exceptions on malformed media, and the
+    // mixed-corpus contract demands the fallback, not a dead task
+    assert(Multimodal.decodeImage(bytes.take(24)).isEmpty)
   }
 
   test("imageStats: real decode and stub fallback share one plan") {

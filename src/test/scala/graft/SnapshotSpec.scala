@@ -91,11 +91,14 @@ class SnapshotSpec extends SparkSpec {
     def batch(ts: Long*) = ts.map(t =>
       ("FPT", new java.sql.Timestamp(t * 1000L), 10.0 + t)).toDF(
       "symbol", "time", "price")
-    TickIngest.appendBatchIdempotent(batch(1, 2), lake)
-    Snapshot.commit(spark, lake, Seq(""))
+    // the sink's exact wiring: commit ONLY the append's returned touched
+    // partitions (a whole-root re-list would grow with lake size)
+    val t1 = TickIngest.appendBatchIdempotent(batch(1, 2), lake)
+    assert(t1 == Seq("symbol=FPT"))
+    Snapshot.commit(spark, lake, t1)
     val v1 = Snapshot.latestVersion(spark, lake).get
-    TickIngest.appendBatchIdempotent(batch(3, 4, 5), lake)
-    Snapshot.commit(spark, lake, Seq(""))
+    val t2 = TickIngest.appendBatchIdempotent(batch(3, 4, 5), lake)
+    Snapshot.commit(spark, lake, t2)
     val v2 = Snapshot.latestVersion(spark, lake).get
     // explicit-file reads bypass partition discovery — partitionCols
     // reconstructs `symbol` from the manifest's relative paths (works
@@ -119,6 +122,73 @@ class SnapshotSpec extends SparkSpec {
     // without a manifest the same moment would double-read or miss rows;
     // the live dir itself holds only the compacted files
     assert(spark.read.parquet(lake).count() == 5)
+  }
+
+  test("reshard crash: a recreated dataless shell doesn't mask the aside restore") {
+    // the review-found window: reshardState crashes right after
+    // rename(out, aside); a restarted sink (or any external mkdirs,
+    // e.g. Snapshot.init) recreates a DATALESS out dir before recovery
+    // runs. The old restore check keyed on `!exists(out)` and would
+    // read the shell as an empty layout — silently abandoning every
+    // admitted row in the aside copy.
+    val dir = java.nio.file.Files.createTempDirectory("snap-reshard-crash").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    Snapshot.init(spark, out)
+    assert(NearDupGate.curateBatch(
+      (0 until 4).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 4L)
+    // simulate the crash window by hand: fence down, out renamed aside
+    val marker = new Path(state, "_gate_params")
+    val base = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    locally {
+      val o = fs.create(marker, true)
+      try o.write((base + ";resharding_to=4").getBytes("UTF-8"))
+      finally o.close()
+    }
+    require(fs.rename(new Path(out), new Path(dir, ".out.reshard_old")))
+    Snapshot.init(spark, out) // the shell: out exists, zero data files
+    // recovery must restore the aside copy and complete the reshard
+    assert(NearDupGate.recoverReshard(spark, out, state))
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(out)
+      .select("doc_id").as[Long].collect().sorted.toSeq == (0L until 4L))
+    // manifests survived inside the aside tree and keep committing
+    assert(Snapshot.readVersion(spark, out).get
+      .select("doc_id").as[Long].collect().sorted.toSeq == (0L until 4L))
+    // the restored state still gates (near-dup of doc 1 drops)
+    assert(NearDupGate.curateBatch(
+      Seq((50L, doc(1).replace("s1w7", "zz"))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 0L)
+  }
+
+  test("filesAt resolves entries orphaned by a retire-then-crash window") {
+    // the review-found window in compaction: originals moved into
+    // _stale/vN, crash before manifest N writes; a later unrelated
+    // commit takes number N and INHERITS the old entries. Resolution
+    // must search _stale/vN for version-N reads (>= v, not > v).
+    val root = java.nio.file.Files.createTempDirectory("snap-orphan").toString
+    Snapshot.init(spark, root)
+    spark.range(5).toDF("id").coalesce(1).write.parquet(s"$root/a")
+    assert(Snapshot.commit(spark, root, Seq("")) == 1L)
+    // simulate: retire one live file under version 2, manifest never lands
+    val aDir = new Path(s"$root/a")
+    val f = fs.listStatus(aDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+    val dest = new Path(s"$root/_stale/v00000002/a/${f.getName}")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(f, dest))
+    // a later, unrelated commit becomes version 2
+    spark.range(5, 8).toDF("id").coalesce(1).write.parquet(s"$root/b")
+    assert(Snapshot.commit(spark, root, Seq("b")) == 2L)
+    // both versions read the full original row set
+    for (v <- Seq(1L, 2L)) {
+      val ids = Snapshot.readVersion(spark, root, Some(v)).get
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids.take(5) == (0L until 5L), s"v$v lost the orphaned file")
+    }
   }
 
   test("crash between append and commit heals on the replayed batch") {
