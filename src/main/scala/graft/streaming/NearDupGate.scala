@@ -457,6 +457,19 @@ object NearDupGate {
         gp.splitSet("bands"))
       writeLayout(allSigs, xxhash64(col("doc_id")), s"$statePath/sigs", nb,
         gp.splitSet("sigs"))
+      // the STATE layouts honor snapshots too (a user may init them for
+      // external state inspection): split/compaction already retire
+      // per-root, so batch appends must commit per-root as well or an
+      // enabled state manifest would go permanently stale. Probes are
+      // one exists() per layout when disabled — free.
+      if (Snapshot.enabled(spark, s"$statePath/bands"))
+        Snapshot.commit(spark, s"$statePath/bands",
+          touchedLeaves(probe, col("band_hash"), nb, gp.splitSet("bands"))
+            .map(nodeRel))
+      if (Snapshot.enabled(spark, s"$statePath/sigs"))
+        Snapshot.commit(spark, s"$statePath/sigs",
+          touchedLeaves(allSigs, xxhash64(col("doc_id")), nb, gp.splitSet("sigs"))
+            .map(nodeRel))
       admitted
     } finally persisted.foreach(_.unpersist())
   }
@@ -501,6 +514,18 @@ object NearDupGate {
     Seq(pairDropped, fpDropped)
       .foldLeft(b) { (acc, d) => acc.join(d, Seq("doc_id"), "left_anti") }
   }
+
+  /** Read the gate's admitted output as ONE DataFrame — the reader-side
+    * answer to the split trie's mixed directory depths, which defeat
+    * plain `spark.read.parquet(dir)` partition inference. Prefers the
+    * [[Snapshot]] manifest when the dir has one (version-consistent
+    * under concurrent maintenance — the production path for external
+    * readers); falls back to a recursive-lookup read, which is only
+    * safe while the gate's maintenance is paused. */
+  def readOutput(spark: SparkSession, outPath: String): DataFrame =
+    (if (Snapshot.enabled(spark, outPath)) Snapshot.readVersion(spark, outPath)
+     else None).getOrElse(
+      spark.read.option("recursiveFileLookup", "true").parquet(outPath))
 
   /** Write-once / verify-always parameter marker in the state dir.
     * Returns the EFFECTIVE layout: the marker's for an existing state

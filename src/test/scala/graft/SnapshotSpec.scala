@@ -77,11 +77,36 @@ class SnapshotSpec extends SparkSpec {
     val v6 = Snapshot.latestVersion(spark, out).get
     assert(ids(out, v6) == (0L until 8L) :+ 21L)
 
+    // readOutput prefers the manifest (version-consistent external read)
+    assert(NearDupGate.readOutput(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      (0L until 8L) :+ 21L)
+
     // VACUUM is the only deleter: keep the 2 newest versions readable,
     // older pins lose their retired files and fail LOUDLY
     Snapshot.vacuum(spark, out, keepVersions = 2)
     assert(ids(out, v6) == (0L until 8L) :+ 21L)
     intercept[IllegalStateException] { ids(out, v1) }
+  }
+
+  test("state layouts honor snapshots symmetrically with the output") {
+    // split/compaction retire per-root; if batch appends didn't commit
+    // per-root too, an enabled state manifest would go stale forever
+    val dir = java.nio.file.Files.createTempDirectory("snap-state").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    Snapshot.init(spark, s"$state/bands")
+    Snapshot.init(spark, s"$state/sigs")
+    assert(NearDupGate.curateBatch(
+      (0 until 4).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 4L)
+    for (layout <- Seq("bands", "sigs")) {
+      val root = s"$state/$layout"
+      assert(Snapshot.latestVersion(spark, root).contains(1L), layout)
+      val viaManifest = Snapshot.readVersion(spark, root).get.count()
+      val viaDir = spark.read.option("recursiveFileLookup", "true")
+        .parquet(root).count()
+      assert(viaManifest == viaDir && viaManifest > 0, layout)
+    }
   }
 
   test("lake sink path: append commits + compaction retire keep pinned versions") {

@@ -642,8 +642,9 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable() // batch 1 probes the mixed trie
     q.stop()
     // a mixed-depth trie defeats plain partition inference — external
-    // readers go through the manifest/recursive path, not spark.read(dir)
-    assert(spark.read.option("recursiveFileLookup", "true").parquet(out)
+    // readers go through readOutput (manifest when present, recursive
+    // lookup here)
+    assert(NearDupGate.readOutput(spark, out)
       .select("doc_id").as[Long].collect().sorted
       .sameElements(Array(0L, 1L, 11L)))
     assert(gateSplitCount(state) == 2, gateMarker(state)) // one more window, one more leaf
