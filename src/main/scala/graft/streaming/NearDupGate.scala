@@ -975,10 +975,14 @@ object NearDupGate {
                        buckets: Int = DefaultBuckets,
                        compactEvery: Int = 0,
                        reshardBucketBytes: Long = 0L,
-                       snapshots: Boolean = false): StreamingQuery = {
+                       snapshots: Boolean = false,
+                       snapshotKeepVersions: Int = 0): StreamingQuery = {
     require(reshardBucketBytes == 0 || compactEvery > 0,
       "reshardBucketBytes needs compactEvery > 0 — leaf splits run in " +
         "the compaction maintenance window")
+    require(snapshotKeepVersions == 0 || (snapshots && compactEvery > 0),
+      "snapshotKeepVersions needs snapshots=true and compactEvery > 0 — " +
+        "vacuum runs in the compaction maintenance window")
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -1004,6 +1008,15 @@ object NearDupGate {
           compactLayouts(s, outPath, statePath)
           if (reshardBucketBytes > 0)
             splitLargestLeaf(s, outPath, statePath, reshardBucketBytes)
+          // retention rides the same maintenance window: without a
+          // vacuum cadence the _stale trees grow without bound (every
+          // compaction/split retires instead of deleting). Keep sized
+          // to the longest external reader; state roots vacuum too if
+          // a user enabled manifests on them.
+          if (snapshotKeepVersions > 0)
+            (outPath +: Seq(s"$statePath/bands", s"$statePath/sigs"))
+              .filter(Snapshot.enabled(s, _))
+              .foreach(Snapshot.vacuum(s, _, snapshotKeepVersions))
         }
         ()
       }

@@ -164,7 +164,11 @@ object TickIngest {
   def startLakeSink(parsed: DataFrame, path: String, checkpoint: String,
                     trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                     compactEvery: Int = 0,
-                    snapshots: Boolean = false): StreamingQuery =
+                    snapshots: Boolean = false,
+                    snapshotKeepVersions: Int = 0): StreamingQuery = {
+    require(snapshotKeepVersions == 0 || (snapshots && compactEvery > 0),
+      "snapshotKeepVersions needs snapshots=true and compactEvery > 0 — " +
+        "vacuum runs in the compaction maintenance window")
     parsed.writeStream
       .outputMode("append")
       .trigger(trigger)
@@ -175,10 +179,16 @@ object TickIngest {
         val touched = appendBatchIdempotent(batch, path)
         if (snapshots && touched.nonEmpty)
           Snapshot.commit(spark, path, touched)
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
           LakeMaintenance.compactLake(spark, path,
             snapshotRoot = if (snapshots) Some(path) else None)
+          // retention in the same window — without a vacuum cadence the
+          // _stale trees grow without bound
+          if (snapshotKeepVersions > 0)
+            Snapshot.vacuum(spark, path, snapshotKeepVersions)
+        }
         ()
       }
       .start()
+  }
 }

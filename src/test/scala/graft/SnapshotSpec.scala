@@ -89,6 +89,34 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalStateException] { ids(out, v1) }
   }
 
+  test("sink wiring: per-batch commits + vacuum retention in the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("snap-sink").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val mem = MemoryStream[(Long, String)]
+    val q = NearDupGate.startNearDupSink(
+      mem.toDF().toDF("doc_id", "text"), out, state, s"$dir/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      buckets = 2, compactEvery = 1, snapshots = true,
+      snapshotKeepVersions = 1)
+    mem.addData((0L, doc(0)), (1L, doc(1)))
+    q.processAllAvailable()
+    mem.addData((2L, doc(2)))
+    q.processAllAvailable()
+    mem.addData((3L, doc(0)), (4L, doc(4))) // 3 = exact dup: drop
+    q.processAllAvailable()
+    q.stop()
+    assert(NearDupGate.readOutput(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 4L))
+    // keep=1: each maintenance window expired the previous manifests —
+    // only the newest survives (no stale trees yet: nothing compacted)
+    val vs = fs.listStatus(new Path(out, "_snapshots"))
+      .filter(_.isFile).map(_.getPath.getName).filter(_.matches("v\\d{8}"))
+    assert(vs.length == 1, vs.mkString(","))
+  }
+
   test("state layouts honor snapshots symmetrically with the output") {
     // split/compaction retire per-root; if batch appends didn't commit
     // per-root too, an enabled state manifest would go stale forever
