@@ -178,7 +178,13 @@ object Snapshot {
 
   /** Resolve version `v`'s manifest to readable absolute paths — live
     * tree first, else the `_stale` tree of a LATER commit. Throws when a
-    * file was vacuumed (the version is past retention). */
+    * file was vacuumed (the version is past retention).
+    *
+    * Resolution is LISTING-based, not per-entry `exists` probes: one
+    * recursive walk of the live tree plus one per (lazily-visited)
+    * stale tree — O(trees) batch listings instead of O(manifest
+    * entries) round-trips, the difference between usable and not on an
+    * object store. */
   def filesAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
@@ -199,15 +205,19 @@ object Snapshot {
       else fs.listStatus(staleRoot).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.matches("v\\d{8}"))
         .map(_.drop(1).toLong).filter(_ >= v).sorted.toSeq
+    val live: Set[String] = listDataFiles(fs, rootP, rootP).toSet
+    // one rel-set per stale tree, built only when a miss first reaches it
+    lazy val staleSets: Seq[(Long, Set[String])] = staleVs.map { sv =>
+      val tree = new Path(staleRoot, vName(sv))
+      sv -> listDataFiles(fs, tree, tree).toSet
+    }
     readManifest(fs, rootP, v).map { rel =>
-      val live = new Path(rootP, rel)
-      if (fs.exists(live)) live.toString
-      else staleVs.map(sv => new Path(new Path(staleRoot, vName(sv)), rel))
-        .find(fs.exists(_))
-        .getOrElse(throw new IllegalStateException(
-          s"Snapshot: $rel of version $v at $root was vacuumed — " +
-            "version is past the retention window"))
-        .toString
+      if (live.contains(rel)) new Path(rootP, rel).toString
+      else staleSets.collectFirst { case (sv, set) if set.contains(rel) =>
+        new Path(new Path(staleRoot, vName(sv)), rel).toString
+      }.getOrElse(throw new IllegalStateException(
+        s"Snapshot: $rel of version $v at $root was vacuumed — " +
+          "version is past the retention window"))
     }
   }
 
