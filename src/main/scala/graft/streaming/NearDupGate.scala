@@ -373,8 +373,11 @@ object NearDupGate {
       val probe = hold(
         banded.select("doc_id", "band", "band_hash")
           .unionByName(cbanded).unionByName(shortFps))
-      val stateBands = readLeaves(spark, s"$statePath/bands",
-        touchedLeaves(probe, col("band_hash"), nb, gp.splitSet("bands")))
+      // computed once: the read probe here and the bands snapshot commit
+      // below (when enabled) use the identical leaf list
+      val probeLeaves =
+        touchedLeaves(probe, col("band_hash"), nb, gp.splitSet("bands"))
+      val stateBands = readLeaves(spark, s"$statePath/bands", probeLeaves)
 
       // ---- gate 1: state collisions ---------------------------------
       // short docs: exact fingerprint match drops outright
@@ -462,14 +465,17 @@ object NearDupGate {
       // per-root, so batch appends must commit per-root as well or an
       // enabled state manifest would go permanently stale. Probes are
       // one exists() per layout when disabled — free.
-      if (Snapshot.enabled(spark, s"$statePath/bands"))
-        Snapshot.commit(spark, s"$statePath/bands",
-          touchedLeaves(probe, col("band_hash"), nb, gp.splitSet("bands"))
-            .map(nodeRel))
-      if (Snapshot.enabled(spark, s"$statePath/sigs"))
-        Snapshot.commit(spark, s"$statePath/sigs",
+      if (probeLeaves.nonEmpty && Snapshot.enabled(spark, s"$statePath/bands"))
+        Snapshot.commit(spark, s"$statePath/bands", probeLeaves.map(nodeRel))
+      if (Snapshot.enabled(spark, s"$statePath/sigs")) {
+        // can be EMPTY (an all-empty-text batch signs nothing) — skip
+        // rather than churn a no-op manifest version toward the vacuum
+        // cutoff
+        val sigLeaves =
           touchedLeaves(allSigs, xxhash64(col("doc_id")), nb, gp.splitSet("sigs"))
-            .map(nodeRel))
+        if (sigLeaves.nonEmpty)
+          Snapshot.commit(spark, s"$statePath/sigs", sigLeaves.map(nodeRel))
+      }
       admitted
     } finally persisted.foreach(_.unpersist())
   }
@@ -980,9 +986,13 @@ object NearDupGate {
     require(reshardBucketBytes == 0 || compactEvery > 0,
       "reshardBucketBytes needs compactEvery > 0 — leaf splits run in " +
         "the compaction maintenance window")
-    require(snapshotKeepVersions == 0 || (snapshots && compactEvery > 0),
-      "snapshotKeepVersions needs snapshots=true and compactEvery > 0 — " +
-        "vacuum runs in the compaction maintenance window")
+    // no `snapshots` requirement: the vacuum loop filters by
+    // Snapshot.enabled, so a state-root-only manifest setup (user ran
+    // init on $statePath/bands for inspection, output unmanifested)
+    // still gets its retention bounded
+    require(snapshotKeepVersions == 0 || compactEvery > 0,
+      "snapshotKeepVersions needs compactEvery > 0 — vacuum runs in " +
+        "the compaction maintenance window")
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)

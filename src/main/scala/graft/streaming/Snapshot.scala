@@ -206,11 +206,14 @@ object Snapshot {
         .map(_.getPath.getName).filter(_.matches("v\\d{8}"))
         .map(_.drop(1).toLong).filter(_ >= v).sorted.toSeq
     val live: Set[String] = listDataFiles(fs, rootP, rootP).toSet
-    // one rel-set per stale tree, built only when a miss first reaches it
-    lazy val staleSets: Seq[(Long, Set[String])] = staleVs.map { sv =>
-      val tree = new Path(staleRoot, vName(sv))
-      sv -> listDataFiles(fs, tree, tree).toSet
-    }
+    // one rel-set per stale tree; LazyList memoizes AND lists each tree
+    // only when a miss actually reaches it (a strict Seq would walk
+    // every retained tree on the first miss)
+    lazy val staleSets: LazyList[(Long, Set[String])] =
+      LazyList.from(staleVs).map { sv =>
+        val tree = new Path(staleRoot, vName(sv))
+        sv -> listDataFiles(fs, tree, tree).toSet
+      }
     readManifest(fs, rootP, v).map { rel =>
       if (live.contains(rel)) new Path(rootP, rel).toString
       else staleSets.collectFirst { case (sv, set) if set.contains(rel) =>
