@@ -244,6 +244,53 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("property: every pinned version stays exact under a random op sequence") {
+    // deterministic-seed sequence of appends and compactions; after
+    // EVERY op, EVERY version committed so far must read exactly the
+    // row set it pinned — the whole module's contract in one invariant
+    val root = java.nio.file.Files.createTempDirectory("snap-prop").toString
+    Snapshot.init(spark, root)
+    val rnd = new scala.util.Random(42)
+    var nextId = 0L
+    val pinned = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    var liveIds = Set.empty[Long]
+    def verifyAll(): Unit = pinned.foreach { case (v, expect) =>
+      val got = Snapshot.readVersion(spark, root, Some(v)).get
+        .select("id").as[Long].collect().toSet
+      assert(got == expect, s"version $v drifted: ${got.size} vs ${expect.size}")
+    }
+    for (step <- 0 until 12) {
+      if (step == 0 || rnd.nextDouble() < 0.7) {
+        // append 1-3 rows into one of two partition dirs, commit it
+        val d = if (rnd.nextBoolean()) "a" else "b"
+        val n = 1 + rnd.nextInt(3)
+        val ids = (nextId until nextId + n); nextId += n
+        spark.range(ids.head, ids.last + 1).toDF("id")
+          .coalesce(1).write.mode("append").parquet(s"$root/$d")
+        liveIds ++= ids
+        val v = Snapshot.commit(spark, root, Seq(d))
+        pinned(v) = liveIds
+      } else {
+        // compact one dir (retires originals under a fresh version)
+        val d = if (rnd.nextBoolean()) "a" else "b"
+        LakeMaintenance.compactFlat(spark, s"$root/$d", maxFiles = 1,
+          snapshotRoot = Some(root))
+      }
+      verifyAll()
+    }
+    // retention: newest 2 stay exact, older pins fail loudly
+    val latest = Snapshot.latestVersion(spark, root).get
+    Snapshot.vacuum(spark, root, keepVersions = 2)
+    pinned.foreach { case (v, expect) =>
+      if (v >= latest - 1)
+        assert(Snapshot.readVersion(spark, root, Some(v)).get
+          .select("id").as[Long].collect().toSet == expect)
+      else intercept[IllegalStateException] {
+        Snapshot.readVersion(spark, root, Some(v))
+      }
+    }
+  }
+
   test("crash between append and commit heals on the replayed batch") {
     val dir = java.nio.file.Files.createTempDirectory("snap-crash").toString
     val (out, state) = (s"$dir/out", s"$dir/state")
