@@ -867,6 +867,29 @@ class StreamingSpec extends SparkSpec {
     assert(decided == Seq(1L, 3L, 4L, 6L, 7L, 9L))
   }
 
+  test("NearDupGate: a pre-split-trie marker fails loudly, never probes wrong") {
+    // the class doc's compatibility contract: an r6-format state marker
+    // (no split-trie section) must fail bindParams with the
+    // parameter-bound message — silently probing a layout whose trie
+    // shape is unknown would miss collisions without a trace
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-v2marker").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(state))
+    val m = new org.apache.hadoop.fs.Path(state, "_gate_params")
+    val o = fs.create(m, true)
+    o.write("shingleN=5,k=64,bands=16,seed=42,buckets=64".getBytes("UTF-8"))
+    o.close()
+    val ex = intercept[IllegalArgumentException] {
+      NearDupGate.curateBatch(
+        Seq((1L, "a doc long enough to shingle into something"))
+          .toDF("doc_id", "text"), out, state)
+    }
+    assert(ex.getMessage.contains("was built with"), ex.getMessage)
+  }
+
   test("NearDupGate: null doc_ids drop instead of poisoning the batch") {
     // a row with no identity can't be replay-idempotent (null-keyed
     // anti-joins never match) and its null bucket hash crashed the
