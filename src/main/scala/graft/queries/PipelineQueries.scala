@@ -520,8 +520,35 @@ object PipelineQueries {
       .select("doc_id")
   }
 
+  /** Rows to keep per language in [[stratifiedSample]] — one literal
+    * shared with the generated oracle SQL. */
+  private val StratifiedN = 25
+
+  /** Deterministic stratified sampling: EXACTLY min(N, |group|) docs per
+    * language, drawn by md5-hash order — the fixed-size per-stratum
+    * draw an eval/holdout split wants (q_hash_split is the rate-based
+    * sibling; q_mix_apply the per-source-rate one). Hash order makes
+    * the draw reproducible across engines AND runs (no rand()/
+    * TABLESAMPLE), and stable under corpus re-partitioning. Scale
+    * shape: ONE window partitioned by (lang) — parallel across
+    * languages; for a skew-dominant language compose with a
+    * [[TA.hashBucket]] pre-filter (the q_sample_quantiles pattern) so
+    * the window sorts a 1/16 subsample instead of the full stratum —
+    * a uniform subsample of a uniform draw is the same distribution. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(Dedup.md5Hash60(col("doc_id").cast("string")).asc,
+        col("doc_id").asc)
+    par(documents(s, d))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= StratifiedN)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_neardup_gate"   -> (neardupGate _),
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats"     -> (textStats _),
     "q_text_quality"   -> (textQuality _),
     "q_lang_id"        -> (langId _),
@@ -832,6 +859,14 @@ object PipelineQueries {
         |           AND f.doc_id = k.kid""".stripMargin,
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
+    // same md5-60 hash order, same (hash, doc_id) tie-break
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, sample_rank FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
+         |             doc_id) AS sample_rank
+         |  FROM documents)
+         |WHERE sample_rank <= $StratifiedN""".stripMargin,
     // the gate decision over the truncation-constructed batch — the
     // docs CTE is the engine's truncation verbatim in DuckDB terms
     "q_neardup_gate" -> Dedup.gateDecisionOracleSql(
