@@ -302,6 +302,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization ADC top-k — the compression half of IVF-PQ,
+    * the standard ANN design past the point where raw vectors fit the
+    * scan budget (Jégou, Douze, Schmid 2011): split each vector into
+    * `m` subspaces, learn a per-subspace codebook (the
+    * deterministic-fold Lloyd of [[kmeansDeterministicLocalCentroids]],
+    * so every codebook double is oracle-replayable), and score docs
+    * ASYMMETRICALLY — the query stays exact while each doc contributes
+    * `Σ_s lut[s][code_s]`, where `lut[s][c] = ⟨query_s, codeword_c⟩` is
+    * a DRIVER-computed literal table (m·ks doubles).
+    *
+    * Scale shape: per-row work is m map-side [[NearestCentroid]]
+    * assignments + m literal-array lookups + (m−1) adds — no shuffle,
+    * one scan into TakeOrderedAndProject. At corpus scale the codes are
+    * a PERSISTED byte artifact (m·log₂(ks) bits per doc — a 64-float
+    * vector compresses to m bytes) and the scan reads only codes; here
+    * they are derived inline because the fixture stores raw vectors.
+    * Training is m small k-means over slices (driver holds m·ks·(dim/m)
+    * doubles — the kmeans trade, documented there). Returns (id,
+    * adc_dot): top `k` by approximate dot, ties by id. */
+  def pqTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+             k: Int, m: Int = 4, ks: Int = 8, iters: Int = 2,
+             dim: Int = OracleDim): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      kmeansDeterministicLocalCentroids(
+        v.select(col("vid"), slice(col("v"), s * sub + 1, sub).as("vs")),
+        "vid", "vs", ks, iters).map(_._2)
+    }
+    val qv: Array[Double] = v.where(col("vid") === queryId)
+      .select(col("v")).collect() match {
+        case Array(r) => r.getSeq[Double](0).toArray
+        case _ => throw new IllegalArgumentException(s"query id $queryId not found")
+      }
+    // ADC lookup tables: ⟨query slice, codeword⟩ on the driver with the
+    // same left-accumulator loop the executors use — bit-identical
+    val lut: Array[Array[Double]] = Array.tabulate(m) { s =>
+      books(s).map(localDot(qv.slice(s * sub, (s + 1) * sub), _))
+    }
+    // subspace scores add in subspace order (reduceLeft) — the oracle
+    // spells the identical left-associated chain
+    val score = (0 until m).map { s =>
+      element_at(array(lut(s).map(lit): _*),
+        NearestCentroid(slice(col("v"), s * sub + 1, sub), books(s)))
+    }.reduceLeft(_ + _)
+    v.where(col("vid") =!= queryId)
+      .select(col("vid").as(id), score.as("adc_dot"))
+      .orderBy(col("adc_dot").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** The engine's sequential dot-accumulator loop on driver-local
+    * arrays — [[pqTopK]]'s LUT builder; bit-identical to the executor
+    * loop and to a left-associated SQL `+` chain. */
+  private def localDot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var ab = 0.0
+    var i = 0
+    while (i < n) { ab += a(i) * b(i); i += 1 }
+    ab
+  }
+
   /** The engine's sequential three-accumulator cosine (CosineSim /
     * NearestCentroid loop shape) on driver-local arrays — used for probe
     * selection so driver math is bit-identical to executor math. */
@@ -355,6 +418,80 @@ object Similarity {
     planes.zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN ${dotPlaneSql(c, plane)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Oracle for [[pqTopK]]: per subspace, the [[ivfIterOracleSql]] CTE
+    * machinery over the embedding SLICE (same seeded init, same ordered
+    * list_reduce centroid folds, same (cos DESC, pos ASC) assignment),
+    * then the query-codeword dot as the same left-associated chain the
+    * driver's LUT loop runs, and subspace scores added in subspace
+    * order — every double retraces the engine's exact op sequence. */
+  def pqOracleSql(queryId: Long, k: Int, m: Int = 4, ks: Int = 8,
+                  iters: Int = 2, dim: Int = OracleDim): String = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    def subCtes(s: Int): String = {
+      val lo = s * sub + 1
+      val hi = (s + 1) * sub
+      val foldList = (1 to sub)
+        .map(d => s"list_reduce(list_transform(ms, m -> m[$d]), (x, y) -> x + y) / n")
+        .mkString("[", ", ", "]")
+      val iterCtes = (1 to iters).map { i =>
+        s"""s${s}_$i AS (
+           |  SELECT e.vec_id, c.pos, ${cosineSql("e.ev", "c.ce", sub)} AS cs
+           |  FROM e$s e CROSS JOIN c${s}_${i - 1} c),
+           |a${s}_$i AS (
+           |  SELECT vec_id, pos FROM (
+           |    SELECT vec_id, pos,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+           |    FROM s${s}_$i) WHERE rn = 1),
+           |g${s}_$i AS (
+           |  SELECT a.pos AS cid, list(e.ev ORDER BY e.vec_id) AS ms, count(*) AS n
+           |  FROM a${s}_$i a JOIN e$s e ON a.vec_id = e.vec_id GROUP BY a.pos),
+           |c${s}_$i AS (
+           |  SELECT row_number() OVER (ORDER BY cid) AS pos, $foldList AS ce
+           |  FROM g${s}_$i)""".stripMargin
+      }.mkString(",\n")
+      s"""e$s AS (
+         |  SELECT vec_id, list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS ev
+         |  FROM embeddings),
+         |c${s}_0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, ev AS ce
+         |  FROM (SELECT vec_id, ev FROM e$s ORDER BY vec_id LIMIT $ks)),
+         |$iterCtes,
+         |fs$s AS (
+         |  SELECT e.vec_id, c.pos, ${cosineSql("e.ev", "c.ce", sub)} AS cs
+         |  FROM e$s e CROSS JOIN c${s}_$iters c),
+         |fa$s AS (
+         |  SELECT vec_id, pos FROM (
+         |    SELECT vec_id, pos,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+         |    FROM fs$s) WHERE rn = 1),
+         |q$s AS (SELECT ev AS qe FROM e$s WHERE vec_id = $queryId),
+         |lut$s AS (
+         |  SELECT c.pos, ${dotSql("c.ce", "q.qe", sub)} AS d
+         |  FROM c${s}_$iters c CROSS JOIN q$s q),
+         |sc$s AS (
+         |  SELECT fa.vec_id, l.d FROM fa$s fa JOIN lut$s l ON fa.pos = l.pos)""".stripMargin
+    }
+    val joins = (1 until m)
+      .map(s => s"  JOIN sc$s ON sc$s.vec_id = sc0.vec_id").mkString("\n")
+    val sum = (0 until m).map(s => s"sc$s.d").mkString(" + ")
+    s"""WITH ${(0 until m).map(subCtes).mkString(",\n")}
+       |SELECT vec_id, adc_dot FROM (
+       |  SELECT sc0.vec_id, $sum AS adc_dot
+       |  FROM sc0
+       |$joins
+       |  WHERE sc0.vec_id <> $queryId)
+       |ORDER BY adc_dot DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** ⟨a,b⟩ as the left-associated chain matching the sequential
+    * accumulator loop (0.0 + x₀ ≡ x₀ exactly, so the seedless chain and
+    * the zero-seeded loop produce identical doubles). */
+  private def dotSql(a: String, b: String, dim: Int): String =
+    (0 until dim)
+      .map(i => s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
 
   /** cos(a,b) matching [[VectorExpressions.CosineSim]]: independent ab /
     * aa / bb chains (the fused loop's accumulators are independent), 0 on

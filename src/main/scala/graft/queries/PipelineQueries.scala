@@ -432,6 +432,13 @@ object PipelineQueries {
   def simIvfIter(s: SparkSession, d: String): DataFrame =
     Similarity.ivfIterTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** Product-quantization ADC top-k ([[Similarity.pqTopK]]) — the
+    * vector-compression scale path: per-subspace deterministic-Lloyd
+    * codebooks, asymmetric lookup-table scoring, fully oracle-checked
+    * down to the codebook doubles. */
+  def simPq(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
+
   /** Embedding-cosine near-dup pairs via LSH buckets — oracle-checked:
     * the hyperplanes are driver-fixed literals shared with the generated
     * DuckDB SQL ([[Similarity.bucketPairsOracleSql]]). */
@@ -586,6 +593,7 @@ object PipelineQueries {
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
     "q_sim_ivf_iter"   -> (simIvfIter _),
+    "q_sim_pq"         -> (simPq _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -958,6 +966,7 @@ object PipelineQueries {
     "q_sim_lsh" -> Similarity.lshTopKOracleSql(0L, 10),
     "q_sim_ivf" -> Similarity.ivfSeededOracleSql(0L, 10),
     "q_sim_ivf_iter" -> Similarity.ivfIterOracleSql(0L, 10),
+    "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for

@@ -127,6 +127,31 @@ class SimilaritySpec extends SparkSpec {
       s"iterative IVF missed planted neighbors: $got")
   }
 
+  test("pqTopK: ADC recalls planted near neighbors, deterministically") {
+    val rnd = new scala.util.Random(31)
+    val dim = 32
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def noisy() = q.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val rows =
+      (0L, q.toSeq) +:
+      (1L until 201L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)) ++:
+      (201L to 205L).map(i => (i, noisy().toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    def run() = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 5,
+      m = 4, ks = 8, iters = 2, dim = dim).collect()
+    val got = run()
+    // ADC is an approximation of the dot product: near-copies of the
+    // query reconstruct onto the query's own codewords, so most of the
+    // top-5 must be planted neighbors
+    assert((201L to 205L).toSet.intersect(got.map(_.getLong(0)).toSet).size >= 4,
+      s"PQ ADC missed planted neighbors: ${got.map(_.getLong(0)).mkString(",")}")
+    // scores descend and the whole result is run-to-run deterministic
+    // (codebooks, LUTs, and ranking carry no randomness)
+    assert(got.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+    assert(run().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      got.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("bucketPairs only emits pairs above the cosine floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Similarity.bucketPairs(emb, "vec_id", "embedding", minCos = 0.5)
