@@ -99,11 +99,16 @@ object ExplainAudit {
       "q_percentiles",    // expect ONE exact-percentile aggregation
                           //   (partial+final) — no per-row window, no
                           //   global sort
-      "q_neardup_gate")   // expect the word+char signature pipelines
+      "q_neardup_gate",   // expect the word+char signature pipelines
                           //   unioned into ONE CC input, fingerprint
                           //   row_number windows partitioned by hash —
                           //   no unpartitioned window, no self-join of
                           //   the doc table
+      "q_sim_pq")         // expect map-side NearestCentroid codes +
+                          //   literal-array LUT lookups feeding
+                          //   TakeOrderedAndProject — zero exchanges
+                          //   in the scoring scan (codebooks are
+                          //   driver literals)
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

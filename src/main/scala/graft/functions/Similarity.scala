@@ -319,8 +319,12 @@ object Similarity {
     * vector compresses to m bytes) and the scan reads only codes; here
     * they are derived inline because the fixture stores raw vectors.
     * Training is m small k-means over slices (driver holds m·ks·(dim/m)
-    * doubles — the kmeans trade, documented there). Returns (id,
-    * adc_dot): top `k` by approximate dot, ties by id. */
+    * doubles — the kmeans trade, documented there); the ORDERED-fold
+    * trainer is what buys the bit-exact oracle and dominates this
+    * query's bench cost — a production deployment trains with
+    * [[kmeansLocalCentroids]] (partial-agg sums, order-free merge) and
+    * keeps the identical scoring plan. Returns (id, adc_dot): top `k`
+    * by approximate dot, ties by id. */
   def pqTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
              k: Int, m: Int = 4, ks: Int = 8, iters: Int = 2,
              dim: Int = OracleDim): DataFrame = {
