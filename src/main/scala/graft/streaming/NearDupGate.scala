@@ -76,7 +76,8 @@ import graft.functions.{ArrayEqCount, Dedup}
   *    null/empty-text docs remain exact-only (nothing to sign).
   * The state registers the bands+fingerprints of EVERY processed doc —
   * survivors and dropped alike — so a later copy of a dropped document
-  * still collides; signatures are registered for every shingleable doc.
+  * still collides; signatures are registered for every SIGNED doc
+  * (token keyspace for long docs, char keyspace for short ones).
   *
   * == Replay idempotence, by ordering
   *
@@ -103,8 +104,11 @@ import graft.functions.{ArrayEqCount, Dedup}
   * still authoritative — a crash just reruns the write); ONE marker
   * write then both adds the leaf to the split set and flips the fence to
   * `split_cleanup` (the commit point — children now authoritative);
-  * cleanup moves the children in, deletes the stale direct files, and
-  * clears the fence.
+  * cleanup moves the children in, deletes the stale direct files (or
+  * RETIRES them into the layout's [[Snapshot]] `_stale` tree when
+  * manifests are enabled), and clears the fence. External readers of a
+  * mixed-depth trie go through [[readOutput]] — plain
+  * `spark.read.parquet(dir)` partition inference rejects mixed depths.
   *
   * Parameter binding: band hashes AND the trie layout are
   * (shingleN, k, bands, seed, buckets, splits)-bound — restarting the
