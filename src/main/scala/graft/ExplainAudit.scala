@@ -104,11 +104,15 @@ object ExplainAudit {
                           //   row_number windows partitioned by hash —
                           //   no unpartitioned window, no self-join of
                           //   the doc table
-      "q_sim_pq")         // expect map-side NearestCentroid codes +
+      "q_sim_pq",         // expect map-side NearestCentroid codes +
                           //   literal-array LUT lookups feeding
                           //   TakeOrderedAndProject — zero exchanges
                           //   in the scoring scan (codebooks are
                           //   driver literals)
+      "q_ema_seg")        // expect TWO hash aggregations (chunk-level
+                          //   then key-level segmented scan) — no
+                          //   one-partition window, no full-series
+                          //   buffer anywhere in the plan
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

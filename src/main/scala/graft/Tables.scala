@@ -37,7 +37,13 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      // fail FAST on anything else (a string column from a corrupted
+      // fixture would cast to null timestamps and silently poison every
+      // downstream window/ordering query)
+      case other => throw new IllegalStateException(
+        s"events.ts: expected nanos-as-long / TIMESTAMP / TIMESTAMP_NTZ, got $other")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

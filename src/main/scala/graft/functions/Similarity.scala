@@ -331,28 +331,172 @@ object Similarity {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      kmeansDeterministicLocalCentroids(
-        v.select(col("vid"), slice(col("v"), s * sub + 1, sub).as("vs")),
-        "vid", "vs", ks, iters).map(_._2)
-    }
-    val qv: Array[Double] = v.where(col("vid") === queryId)
-      .select(col("v")).collect() match {
-        case Array(r) => r.getSeq[Double](0).toArray
-        case _ => throw new IllegalArgumentException(s"query id $queryId not found")
-      }
-    // ADC lookup tables: ⟨query slice, codeword⟩ on the driver with the
-    // same left-accumulator loop the executors use — bit-identical
-    val lut: Array[Array[Double]] = Array.tabulate(m) { s =>
-      books(s).map(localDot(qv.slice(s * sub, (s + 1) * sub), _))
-    }
-    // subspace scores add in subspace order (reduceLeft) — the oracle
-    // spells the identical left-associated chain
+    val books = trainPqBooks(v, m, ks, iters, sub)
+    val qv = collectQueryVector(v, queryId)
+    val lut = pqLut(books, qv, sub)
+    // per-row codes are derived inline (NearestCentroid per subspace);
+    // the persisted-artifact path (pqTrain/pqProbeCodes) scores the SAME
+    // lut over STORED codes instead — SimilaritySpec pins equality
     val score = (0 until m).map { s =>
       element_at(array(lut(s).map(lit): _*),
         NearestCentroid(slice(col("v"), s * sub + 1, sub), books(s)))
     }.reduceLeft(_ + _)
     v.where(col("vid") =!= queryId)
+      .select(col("vid").as(id), score.as("adc_dot"))
+      .orderBy(col("adc_dot").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** Per-subspace deterministic-fold codebooks — the trainer shared by
+    * [[pqTopK]], [[pqTrain]] and [[ivfPqTopK]] (one copy so the fused
+    * path, the persisted artifacts and the IVF composition can never
+    * train differently). `v` carries (vid, v: array<double>). */
+  private def trainPqBooks(v: DataFrame, m: Int, ks: Int, iters: Int,
+                           sub: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { s =>
+      kmeansDeterministicLocalCentroids(
+        v.select(col("vid"), slice(col("v"), s * sub + 1, sub).as("vs")),
+        "vid", "vs", ks, iters).map(_._2)
+    }
+
+  /** ADC lookup tables: `lut[s][c] = ⟨query slice s, codeword c⟩`,
+    * computed on the driver with the same left-accumulator loop the
+    * executors use — bit-identical; subspace scores later add in
+    * subspace order (reduceLeft), the oracle spells the identical
+    * left-associated chain. */
+  private def pqLut(books: Array[Array[Array[Double]]], qv: Array[Double],
+                    sub: Int): Array[Array[Double]] =
+    Array.tabulate(books.length) { s =>
+      books(s).map(localDot(qv.slice(s * sub, (s + 1) * sub), _))
+    }
+
+  private def collectQueryVector(v: DataFrame, queryId: Long): Array[Double] =
+    v.where(col("vid") === queryId).select(col("v")).collect() match {
+      case Array(r) => r.getSeq[Double](0).toArray
+      case _ => throw new IllegalArgumentException(s"query id $queryId not found")
+    }
+
+  /** PQ TRAINING AS A PERSISTED ARTIFACT (r7 VERDICT item 4) — the
+    * production shape: train once, write codebooks + per-vector codes as
+    * tables, probe many times with ZERO training jobs. Returns
+    * (codebooks, codes):
+    *  - codebooks: (s int, pos int, codeword array<double>) — m·ks rows
+    *    of dim/m doubles; tiny metadata, broadcast-read at probe time.
+    *  - codes: (vid, code array<int>) — `code[s+1]` is the 1-based
+    *    codeword position of subspace `s`; the m·log₂(ks)-bit compressed
+    *    representation (a 64-float vector → m small ints ≈ m bytes on
+    *    parquet), the only thing an ADC probe scans.
+    * Scale shape: codes derive in ONE map-side pass (m [[NearestCentroid]]
+    * assignments per row, no shuffle); writing them partitions like any
+    * table write. */
+  def pqTrain(emb: DataFrame, id: String, vec: String, m: Int = 4,
+              ks: Int = 8, iters: Int = 2,
+              dim: Int = OracleDim): (DataFrame, DataFrame) = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val books = trainPqBooks(v, m, ks, iters, sub)
+    val codebooks = books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cw, c) => (s, c + 1, cw.toSeq) }
+    }.toSeq.toDF("s", "pos", "codeword")
+    val codes = v.select(col("vid"), array((0 until m).map { s =>
+      NearestCentroid(slice(col("v"), s * sub + 1, sub), books(s))
+    }: _*).as("code"))
+    (codebooks, codes)
+  }
+
+  /** [[pqTrain]] to disk: `dir/codebooks` + `dir/codes` parquet. */
+  def pqWriteArtifacts(emb: DataFrame, id: String, vec: String, dir: String,
+                       m: Int = 4, ks: Int = 8, iters: Int = 2,
+                       dim: Int = OracleDim): Unit = {
+    val (codebooks, codes) = pqTrain(emb, id, vec, m, ks, iters, dim)
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** ADC top-k over STORED codes — the probe half of the persisted-PQ
+    * pattern: collect the m·ks codebook rows (bounded metadata), build
+    * the query's lookup tables on the driver, and scan ONLY the codes
+    * table — per row m literal-array lookups + (m−1) adds, no raw
+    * vectors read, no training job, no shuffle; one scan into
+    * TakeOrderedAndProject. Bit-identical to [[pqTopK]]'s fused scoring
+    * for the same corpus/params ([[graft.SimilaritySpec]] pins it):
+    * stored codes are the same NearestCentroid assignments, the lut the
+    * same driver loop, the sum the same left-associated chain. */
+  def pqProbeCodes(codebooks: DataFrame, codes: DataFrame, qv: Array[Double],
+                   k: Int, idOut: String = "vec_id",
+                   excludeId: Option[Long] = None): DataFrame = {
+    val collected = codebooks.select(col("s"), col("pos"), col("codeword"))
+      .collect()
+    require(collected.nonEmpty, "empty codebooks artifact")
+    val m = collected.map(_.getInt(0)).max + 1
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      collected.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+    val sub = books.head.head.length
+    val lut = pqLut(books, qv, sub)
+    val score = (0 until m).map { s =>
+      element_at(array(lut(s).map(lit): _*), element_at(col("code"), s + 1))
+    }.reduceLeft(_ + _)
+    excludeId.fold(codes)(q => codes.where(col("vid") =!= q))
+      .select(col("vid").as(idOut), score.as("adc_dot"))
+      .orderBy(col("adc_dot").desc, col(idOut).asc)
+      .limit(k)
+  }
+
+  /** [[pqProbeCodes]] from the [[pqWriteArtifacts]] layout, with the
+    * query vector looked up in the corpus by id. */
+  def pqProbeFromDir(emb: DataFrame, id: String, vec: String, dir: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    pqProbeCodes(spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"),
+      collectQueryVector(v, queryId), k, idOut = id, excludeId = Some(queryId))
+  }
+
+  /** IVF-PQ — the standard web-scale ANN composition (r7 VERDICT item
+    * 5; Jégou et al. 2011 §IV): a coarse quantizer routes the probe to
+    * `nprobe` of `nlist` inverted lists, and within the probed lists
+    * docs score by the PQ ADC sum instead of raw-vector cosine. The
+    * probe therefore scans ~nprobe/nlist of the CODES (m bytes/vector),
+    * never the raw corpus — the two independent compressions compose.
+    *
+    * Determinism contract (what buys the DuckDB oracle,
+    * [[ivfPqOracleSql]]): the coarse quantizer is the SEEDED one (first
+    * `nlist` vectors by id, zero Lloyd — the [[ivfSeededTopK]]
+    * contract); codebooks are the deterministic-fold trainer on raw
+    * slices (the [[pqTopK]] contract, no residual encoding — Faiss's
+    * `by_residual=false` variant); probe selection and ADC scoring
+    * reuse the exact driver/executor loops of both parents.
+    * Plan shape: one map-side scan — [[NearestCentroid]] list filter +
+    * m code assignments + m literal lookups — into
+    * TakeOrderedAndProject; zero shuffles, zero joins. */
+  def ivfPqTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+                k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+                ks: Int = 8, iters: Int = 2,
+                dim: Int = OracleDim): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val coarse = seededCentroids(v, nlist)
+    val qv = collectQueryVector(v, queryId)
+    val probed: Array[Int] = coarse.zipWithIndex
+      .map { case (c, i) => (i + 1, localCosine(c, qv)) }
+      .sortBy { case (pos, sim) => (-sim, pos) }
+      .take(nprobe).map(_._1)
+    val books = trainPqBooks(v, m, ks, iters, sub)
+    val lut = pqLut(books, qv, sub)
+    val score = (0 until m).map { s =>
+      element_at(array(lut(s).map(lit): _*),
+        NearestCentroid(slice(col("v"), s * sub + 1, sub), books(s)))
+    }.reduceLeft(_ + _)
+    v.where(NearestCentroid(col("v"), coarse)
+        .isin(probed.map(Integer.valueOf): _*))
+      .where(col("vid") =!= queryId)
       .select(col("vid").as(id), score.as("adc_dot"))
       .orderBy(col("adc_dot").desc, col(id).asc)
       .limit(k)
@@ -433,59 +577,110 @@ object Similarity {
                   iters: Int = 2, dim: Int = OracleDim): String = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    def subCtes(s: Int): String = {
-      val lo = s * sub + 1
-      val hi = (s + 1) * sub
-      val foldList = (1 to sub)
-        .map(d => s"list_reduce(list_transform(ms, m -> m[$d]), (x, y) -> x + y) / n")
-        .mkString("[", ", ", "]")
-      val iterCtes = (1 to iters).map { i =>
-        s"""s${s}_$i AS (
-           |  SELECT e.vec_id, c.pos, ${cosineSql("e.ev", "c.ce", sub)} AS cs
-           |  FROM e$s e CROSS JOIN c${s}_${i - 1} c),
-           |a${s}_$i AS (
-           |  SELECT vec_id, pos FROM (
-           |    SELECT vec_id, pos,
-           |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
-           |    FROM s${s}_$i) WHERE rn = 1),
-           |g${s}_$i AS (
-           |  SELECT a.pos AS cid, list(e.ev ORDER BY e.vec_id) AS ms, count(*) AS n
-           |  FROM a${s}_$i a JOIN e$s e ON a.vec_id = e.vec_id GROUP BY a.pos),
-           |c${s}_$i AS (
-           |  SELECT row_number() OVER (ORDER BY cid) AS pos, $foldList AS ce
-           |  FROM g${s}_$i)""".stripMargin
-      }.mkString(",\n")
-      s"""e$s AS (
-         |  SELECT vec_id, list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS ev
-         |  FROM embeddings),
-         |c${s}_0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, ev AS ce
-         |  FROM (SELECT vec_id, ev FROM e$s ORDER BY vec_id LIMIT $ks)),
-         |$iterCtes,
-         |fs$s AS (
-         |  SELECT e.vec_id, c.pos, ${cosineSql("e.ev", "c.ce", sub)} AS cs
-         |  FROM e$s e CROSS JOIN c${s}_$iters c),
-         |fa$s AS (
-         |  SELECT vec_id, pos FROM (
-         |    SELECT vec_id, pos,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
-         |    FROM fs$s) WHERE rn = 1),
-         |q$s AS (SELECT ev AS qe FROM e$s WHERE vec_id = $queryId),
-         |lut$s AS (
-         |  SELECT c.pos, ${dotSql("c.ce", "q.qe", sub)} AS d
-         |  FROM c${s}_$iters c CROSS JOIN q$s q),
-         |sc$s AS (
-         |  SELECT fa.vec_id, l.d FROM fa$s fa JOIN lut$s l ON fa.pos = l.pos)""".stripMargin
-    }
     val joins = (1 until m)
       .map(s => s"  JOIN sc$s ON sc$s.vec_id = sc0.vec_id").mkString("\n")
     val sum = (0 until m).map(s => s"sc$s.d").mkString(" + ")
-    s"""WITH ${(0 until m).map(subCtes).mkString(",\n")}
+    s"""WITH ${(0 until m).map(pqSubCtes(_, queryId, ks, iters, sub)).mkString(",\n")}
        |SELECT vec_id, adc_dot FROM (
        |  SELECT sc0.vec_id, $sum AS adc_dot
        |  FROM sc0
        |$joins
        |  WHERE sc0.vec_id <> $queryId)
+       |ORDER BY adc_dot DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** One subspace's CTE block for the PQ oracles — slice extraction,
+    * seeded init, `iters` unrolled deterministic-fold Lloyd rounds,
+    * final assignment `fa{s}`, query LUT `lut{s}`, and per-doc subspace
+    * score `sc{s}` — shared by [[pqOracleSql]] and [[ivfPqOracleSql]]
+    * so the composition can never drift from the pure-PQ oracle. */
+  private def pqSubCtes(s: Int, queryId: Long, ks: Int, iters: Int,
+                        sub: Int): String = {
+    val lo = s * sub + 1
+    val hi = (s + 1) * sub
+    val foldList = (1 to sub)
+      .map(d => s"list_reduce(list_transform(ms, m -> m[$d]), (x, y) -> x + y) / n")
+      .mkString("[", ", ", "]")
+    val iterCtes = (1 to iters).map { i =>
+      s"""s${s}_$i AS (
+         |  SELECT e.vec_id, c.pos, ${cosineSql("e.ev", "c.ce", sub)} AS cs
+         |  FROM e$s e CROSS JOIN c${s}_${i - 1} c),
+         |a${s}_$i AS (
+         |  SELECT vec_id, pos FROM (
+         |    SELECT vec_id, pos,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+         |    FROM s${s}_$i) WHERE rn = 1),
+         |g${s}_$i AS (
+         |  SELECT a.pos AS cid, list(e.ev ORDER BY e.vec_id) AS ms, count(*) AS n
+         |  FROM a${s}_$i a JOIN e$s e ON a.vec_id = e.vec_id GROUP BY a.pos),
+         |c${s}_$i AS (
+         |  SELECT row_number() OVER (ORDER BY cid) AS pos, $foldList AS ce
+         |  FROM g${s}_$i)""".stripMargin
+    }.mkString(",\n")
+    s"""e$s AS (
+       |  SELECT vec_id, list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS ev
+       |  FROM embeddings),
+       |c${s}_0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, ev AS ce
+       |  FROM (SELECT vec_id, ev FROM e$s ORDER BY vec_id LIMIT $ks)),
+       |$iterCtes,
+       |fs$s AS (
+       |  SELECT e.vec_id, c.pos, ${cosineSql("e.ev", "c.ce", sub)} AS cs
+       |  FROM e$s e CROSS JOIN c${s}_$iters c),
+       |fa$s AS (
+       |  SELECT vec_id, pos FROM (
+       |    SELECT vec_id, pos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM fs$s) WHERE rn = 1),
+       |q$s AS (SELECT ev AS qe FROM e$s WHERE vec_id = $queryId),
+       |lut$s AS (
+       |  SELECT c.pos, ${dotSql("c.ce", "q.qe", sub)} AS d
+       |  FROM c${s}_$iters c CROSS JOIN q$s q),
+       |sc$s AS (
+       |  SELECT fa.vec_id, l.d FROM fa$s fa JOIN lut$s l ON fa.pos = l.pos)""".stripMargin
+  }
+
+  /** Oracle for [[ivfPqTopK]]: [[ivfSeededOracleSql]]'s coarse
+    * seeds/assignment/probe CTEs (prefixed `c`) composed with
+    * [[pqSubCtes]]'s per-subspace ADC machinery — the final select is
+    * the PQ score sum restricted to vec_ids whose coarse list is
+    * probed. Every double retraces one of the two parents' already-
+    * verified op sequences. */
+  def ivfPqOracleSql(queryId: Long, k: Int, nlist: Int = 16,
+                     nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                     iters: Int = 2, dim: Int = OracleDim): String = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val joins = (1 until m)
+      .map(s => s"  JOIN sc$s ON sc$s.vec_id = sc0.vec_id").mkString("\n")
+    val sum = (0 until m).map(s => s"sc$s.d").mkString(" + ")
+    s"""WITH cseeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |csim AS (
+       |  SELECT e.vec_id, s.pos, ${cosineSql("e.embedding", "s.ce", dim)} AS cs
+       |  FROM embeddings e CROSS JOIN cseeds s),
+       |casg AS (
+       |  SELECT vec_id, pos FROM (
+       |    SELECT vec_id, pos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |cqsim AS (
+       |  SELECT s.pos, ${cosineSql("s.ce", "q.qe", dim)} AS cs
+       |  FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) q
+       |  CROSS JOIN cseeds s),
+       |cprobe AS (
+       |  SELECT pos FROM (
+       |    SELECT pos, row_number() OVER (ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM cqsim) WHERE rn <= $nprobe),
+       |${(0 until m).map(pqSubCtes(_, queryId, ks, iters, sub)).mkString(",\n")}
+       |SELECT vec_id, adc_dot FROM (
+       |  SELECT sc0.vec_id, $sum AS adc_dot
+       |  FROM sc0
+       |$joins
+       |  JOIN casg ON casg.vec_id = sc0.vec_id
+       |  WHERE casg.pos IN (SELECT pos FROM cprobe)
+       |    AND sc0.vec_id <> $queryId)
        |ORDER BY adc_dot DESC, vec_id ASC LIMIT $k""".stripMargin
   }
 

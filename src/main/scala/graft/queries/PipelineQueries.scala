@@ -439,6 +439,13 @@ object PipelineQueries {
   def simPq(s: SparkSession, d: String): DataFrame =
     Similarity.pqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** IVF-PQ ([[Similarity.ivfPqTopK]]) — the standard web-scale ANN
+    * composition: seeded coarse lists route the probe to nprobe/nlist of
+    * the corpus, PQ ADC scores within the probed lists only; oracle
+    * composes the two parents' already-verified CTE machinery. */
+  def simIvfPq(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
+
   /** Embedding-cosine near-dup pairs via LSH buckets — oracle-checked:
     * the hyperplanes are driver-fixed literals shared with the generated
     * DuckDB SQL ([[Similarity.bucketPairsOracleSql]]). */
@@ -594,6 +601,7 @@ object PipelineQueries {
     "q_sim_ivf"        -> (simIvf _),
     "q_sim_ivf_iter"   -> (simIvfIter _),
     "q_sim_pq"         -> (simPq _),
+    "q_sim_ivfpq"      -> (simIvfPq _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -967,6 +975,7 @@ object PipelineQueries {
     "q_sim_ivf" -> Similarity.ivfSeededOracleSql(0L, 10),
     "q_sim_ivf_iter" -> Similarity.ivfIterOracleSql(0L, 10),
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
+    "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for

@@ -56,6 +56,22 @@ object WindowQueries {
       events(s, d).select("user_id", "ts", "event_id", "value"),
       "value", 25, KEY, ORD)
 
+  /** Final EMA per key via [[graft.operators.Ewma.emaSegmented]] — the
+    * bounded-memory two-level segmented scan (r7 VERDICT item 2 asked for
+    * an oracle row). `(user_id, ts)` is unique in the events fixture at
+    * every SF (checked), so `unix_micros(ts)` is the integral per-key
+    * ordering the operator requires and agrees with the (ts, event_id)
+    * order every other window query uses. chunkWidth = 1 day of µs →
+    * ~30 chunks over the one-month fixture span; the plan is two ordinary
+    * hash aggregations (no one-partition window, no full-series buffer).
+    */
+  def emaSeg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ewma.emaSegmented(
+      events(s, d).select(col("user_id"), unix_micros(col("ts")).as("ord_us"),
+        col("value")),
+      "value", 25, Seq("user_id"), "ord_us",
+      chunkWidth = 86400L * 1000000L, as = "ema")
+
   /** Reference-compat EMA variant (`util.py:76-82` literal semantics —
     * forward-mean seed + same-row refinements, collapsed to its closed
     * form): the engine's documented deviation from the reference batch
@@ -187,6 +203,7 @@ object WindowQueries {
     "q_pct_change"      -> (pctChange _),
     "q_rsi"             -> (rsi _),
     "q_ema"             -> (ema _),
+    "q_ema_seg"         -> (emaSeg _),
     "q_ema_ref"         -> (emaRef _),
     "q_indicator_replay" -> (indicatorReplay _))
 
@@ -353,6 +370,23 @@ object WindowQueries {
          |    THEN 100.0 * (avg_gain / (avg_gain + avg_loss)) END AS rsi,
          |  pow(24.0/26.0, r) * ((2.0/26.0) * s + x1) AS ema
          |FROM acc""".stripMargin,
+    // final-EMA-per-key twin: q_ema's closed form, last row per key.
+    // (user_id, ts) is unique so ORDER BY ts == ORDER BY ts, event_id.
+    "q_ema_seg" ->
+      s"""WITH rn AS (
+         |  SELECT user_id, value,
+         |    row_number() $OVER) AS r
+         |  FROM events
+         |), acc AS (
+         |  SELECT user_id, r,
+         |    sum(value * pow(24.0/26.0, -r)) OVER (PARTITION BY user_id
+         |      ORDER BY r ROWS UNBOUNDED PRECEDING) AS s,
+         |    first_value(value) OVER (PARTITION BY user_id ORDER BY r) AS x1
+         |  FROM rn
+         |)
+         |SELECT user_id, pow(24.0/26.0, r) * ((2.0/26.0) * s + x1) AS ema
+         |FROM acc
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY r DESC) = 1""".stripMargin,
     "q_ema" ->
       s"""WITH rn AS (
          |  SELECT user_id, ts, event_id, value,

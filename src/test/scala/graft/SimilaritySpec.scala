@@ -152,6 +152,58 @@ class SimilaritySpec extends SparkSpec {
       got.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("pqProbeFromDir over persisted artifacts equals the fused pqTopK path") {
+    val rnd = new scala.util.Random(37)
+    val dim = 32
+    val emb = (0L until 150L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pq_artifacts").toString
+    Similarity.pqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      m = 4, ks = 8, iters = 2, dim = dim)
+    // codes are the compressed representation: one array<int> of m per id
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == 150L)
+    assert(codes.select(size($"code")).distinct().collect().map(_.getInt(0)).toSeq == Seq(4))
+    val books = spark.read.parquet(s"$dir/codebooks")
+    assert(books.count() == 4L * 8L)
+    // probe from STORED codes (zero training jobs) must be bit-identical
+    // to the fused train-in-query path: same assignments, same LUT loop,
+    // same left-associated subspace sum
+    val fused = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10,
+      m = 4, ks = 8, iters = 2, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probe = Similarity.pqProbeFromDir(emb, "vec_id", "embedding", dir, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe == fused, s"artifact probe diverged:\n$probe\nvs\n$fused")
+  }
+
+  test("ivfPqTopK recalls planted near neighbors and agrees with PQ on probed lists") {
+    val rnd = new scala.util.Random(41)
+    val dim = 32
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def noisy() = q.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val rows =
+      (0L, q.toSeq) +:
+      (1L until 201L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)) ++:
+      (201L to 205L).map(i => (i, noisy().toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 5,
+      nlist = 8, nprobe = 3, m = 4, ks = 8, iters = 2, dim = dim).collect()
+    assert((201L to 205L).toSet.intersect(got.map(_.getLong(0)).toSet).size >= 4,
+      s"IVF-PQ missed planted neighbors: ${got.map(_.getLong(0)).mkString(",")}")
+    // composition contract: IVF-PQ's scores are PQ's ADC scores — every
+    // returned (id, score) must appear identically in the pure-PQ
+    // ranking over the full corpus (IVF only FILTERS the candidate set)
+    val pqAll = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 206,
+      m = 4, ks = 8, iters = 2, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { r =>
+      assert(pqAll(r.getLong(0)) == r.getDouble(1),
+        s"score drift for ${r.getLong(0)}")
+    }
+  }
+
   test("bucketPairs only emits pairs above the cosine floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Similarity.bucketPairs(emb, "vec_id", "embedding", minCos = 0.5)
