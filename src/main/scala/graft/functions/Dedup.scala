@@ -400,9 +400,18 @@ object Dedup {
     * they would all collide into one wasted bucket per band. Identical
     * output to [[minhashPairs]] on the frame the signatures were built
     * from ([[graft.DedupSpec]] round-trips through parquet). */
+  /** `dropBands`: optional (band, band_hash) keys excluded from the
+    * collision expansion (broadcast anti-join on the banded fan-out) —
+    * the BAND-granularity mitigation for hot/boilerplate band keys a
+    * near-dup gate mines from its state ([[graft.streaming.NearDupGate]]
+    * hot-band list). Near-dup pairs still collide on their other
+    * bands; only the dropped keys' degenerate buckets disappear. The
+    * shingle-granularity equivalent for the from-text pipelines is
+    * [[minhashPairs]]' `dropShingles`. */
   def minhashPairsFromSignatures(sigs: DataFrame, k: Int = 64,
                                  bands: Int = 16,
-                                 threshold: Double = 0.5): DataFrame = {
+                                 threshold: Double = 0.5,
+                                 dropBands: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"minhashPairsFromSignatures needs bands in [1,k] dividing k (k=$k, bands=$bands)")
     val checked = sigs
@@ -412,7 +421,11 @@ object Dedup {
           lit(s"minhashPairsFromSignatures: expected sig width $k (signatures " +
             "are (k, seed)-bound — re-read the artifact's k), got "),
           size(col("sig")).cast("string")))).as("sig"))
-    bandedPairTail(bandSigs(checked, k, bands), k, threshold)
+    val banded = bandSigs(checked, k, bands)
+    val pruned = dropBands.fold(banded)(d =>
+      banded.join(broadcast(d.select("band", "band_hash")),
+        Seq("band", "band_hash"), "left_anti"))
+    bandedPairTail(pruned, k, threshold)
   }
 
   /** (doc_id, sig, band, band_hash) band fan-out shared by the two pair

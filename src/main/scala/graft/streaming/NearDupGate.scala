@@ -49,10 +49,14 @@ import graft.functions.{ArrayEqCount, Dedup}
   * r6 stop-the-world reshard is now only the OPTIONAL [[reshardState]]
   * (a full-rewrite escape hatch for re-choosing the root fan-out). A
   * MERGE-capable table format with clustering gives this for free; the
-  * split trie is the table-format-free equivalent. Skew guard: a leaf
-  * whose rows all carry one hash key (a hot boilerplate band, a common
-  * short-doc fingerprint) can never shrink by splitting — it is skipped
-  * with a log line instead of growing the trie forever.
+  * split trie is the table-format-free equivalent. Skew: a leaf whose
+  * rows all carry one hash key (a hot boilerplate band, a common
+  * short-doc fingerprint) can never shrink by splitting — the split
+  * guard skips it, and [[mitigateHotBands]] (run in the same
+  * maintenance window when `hotBandMembers` > 0) mines such keys into a
+  * persisted drop list consumed by [[curateBatch]]: the leaf stops
+  * growing, its rows rewrite out (Snapshot-retired), and every future
+  * probe's per-band collision fan-out is bounded by `maxBandMembers`.
   * [[compactLayouts]] compacts the one-file-per-batch accretion in every
   * leaf — [[startNearDupSink]]'s `compactEvery` wires it in.
   *
@@ -219,6 +223,33 @@ object NearDupGate {
     case other   => throw new IllegalArgumentException(s"unknown layout $other")
   }
 
+  /** The hot-band drop list lives NEXT TO `_gate_params` (underscore
+    * prefix: hidden from any recursive data read). Append-only parquet
+    * of (band, band_hash) keys — duplicates are inert (the consumer is
+    * an anti-join), so a crash between the append and the leaf rewrite
+    * in [[mitigateHotBands]] at worst re-mines the same keys. */
+  private def hotBandsDir(statePath: String): String = s"$statePath/_hot_bands"
+
+  /** The mined hot-band keys, or None when none were ever mined. Tiny
+    * (bounded by layout-bytes / `maxBandMembers` keys) — consumers
+    * broadcast it. */
+  def readHotBands(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    val dir = new Path(hotBandsDir(statePath))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir) && fs.listStatus(dir)
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
+  private def appendHotBands(spark: SparkSession, statePath: String,
+                             keys: Seq[(Int, Long)]): Unit = {
+    import spark.implicits._
+    if (keys.nonEmpty)
+      keys.toDF("band", "band_hash").coalesce(1)
+        .write.mode("append").parquet(hotBandsDir(statePath))
+  }
+
   /** The hash column each layout is keyed by — ONE definition so the
     * write path, the probe path, and the split rewrite can never
     * disagree on where a row lives. */
@@ -374,9 +405,22 @@ object NearDupGate {
         .select(col("doc_id"), (lit(CharBandBase) - col("band")).as("band"),
           col("band_hash"))
       val allSigs = hold(sigs.unionByName(csigs))
-      val probe = hold(
+      // mined hot-band keys (boilerplate bands / ubiquitous keys whose
+      // collision sets would dominate every probe — [[mitigateHotBands]])
+      // are anti-joined out of the probe BEFORE leaf selection, state
+      // collision, AND state registration: the hot leaf stops growing
+      // and its collision set is never fetched again. Genuinely-near-dup
+      // docs still collide on their other bands; a doc whose EVERY band
+      // is hot is pure boilerplate, with no content signal to match (the
+      // dropShingles semantics). band = -1 is never mined, so the exact
+      // short-doc path is untouched.
+      val hotBands = readHotBands(spark, statePath)
+      def pruneHot(df: DataFrame): DataFrame = hotBands.fold(df)(h =>
+        df.join(broadcast(h.select("band", "band_hash")),
+          Seq("band", "band_hash"), "left_anti"))
+      val probe = hold(pruneHot(
         banded.select("doc_id", "band", "band_hash")
-          .unionByName(cbanded).unionByName(shortFps))
+          .unionByName(cbanded).unionByName(shortFps)))
       // computed once: the read probe here and the bands snapshot commit
       // below (when enabled) use the identical leaf list
       val probeLeaves =
@@ -419,9 +463,19 @@ object NearDupGate {
 
       // ---- gate 2: batch-local components ---------------------------
       // word pairs and char pairs ride one component pass — the doc sets
-      // are disjoint, so the union stays a distinct undirected pair set
-      val localPairs = Dedup.minhashPairsFromSignatures(sigs, k, bands, threshold)
-        .unionByName(Dedup.minhashPairsFromSignatures(csigs, k, bands, threshold))
+      // are disjoint, so the union stays a distinct undirected pair set.
+      // The hot-band list prunes the LOCAL expansions too (a batch full
+      // of boilerplate-band docs would otherwise self-pair O(m²) inside
+      // the batch): word keys pass through as-is; char keys map back
+      // from the stored keyspace (band = CharBandBase − raw) to the raw
+      // band ids the local banding emits.
+      val wordDrop = hotBands.map(_.where(col("band") >= 0))
+      val charDrop = hotBands.map(_.where(col("band") <= CharBandBase)
+        .select((lit(CharBandBase) - col("band")).as("band"), col("band_hash")))
+      val localPairs = Dedup.minhashPairsFromSignatures(sigs, k, bands, threshold,
+          dropBands = wordDrop)
+        .unionByName(Dedup.minhashPairsFromSignatures(csigs, k, bands, threshold,
+          dropBands = charDrop))
       val localDropped = Dedup.connectedComponents(localPairs, pairsDistinct = true)
         .where(col("doc_id") =!= col("component_rep"))
         .select("doc_id")
@@ -806,13 +860,102 @@ object NearDupGate {
         else {
           System.err.println(s"[NearDupGate] leaf $l:${p.mkString("/")} " +
             s"($bytes B > $targetBytes) is dominated by a single hash key — " +
-            "splitting cannot shrink it; skipping (drop/salt the hot key upstream)")
+            "splitting cannot shrink it; skipping (mitigateHotBands mines " +
+            "such keys into the drop list in the same maintenance window)")
           false
         }
       }
     }.headOption
     pick.foreach { case (l, p, _) => splitNode(spark, outPath, statePath, l, p) }
     pick.map { case (l, p, _) => (l, p) }
+  }
+
+  /** MAINTENANCE: mine HOT band keys out of over-target `bands` leaves —
+    * the automatic mitigation for the one leaf shape [[splitLargestLeaf]]
+    * correctly refuses (a leaf dominated by a single hash key: a
+    * boilerplate band shared by a large fraction of the corpus, a
+    * ubiquitous short-doc char band). Splitting cannot shrink such a
+    * leaf, and without mitigation every colliding batch would fetch and
+    * est-verify the key's ENTIRE membership — the r7 adversarial scale
+    * edge.
+    *
+    * Rule: inside any `bands` leaf over `targetBytes`, every
+    * (band ≠ -1, band_hash) key with ≥ `maxBandMembers` membership rows
+    * is mined. `maxBandMembers` is therefore a direct PER-PROBE COST
+    * BOUND: after mitigation no band collision can ever fan out to more
+    * than that many signature fetches. Mined keys are (1) appended to
+    * the persisted drop list next to `_gate_params` — [[curateBatch]]
+    * anti-joins it before probing AND before state registration, so the
+    * leaf stops growing and the key's collision set is never read
+    * again — and (2) their existing state rows are rewritten out of the
+    * leaf (retired through [[Snapshot]] when the layout has manifests,
+    * so pinned external readers keep resolving). Near-dup docs keep
+    * dropping via their other bands; only the mined keys' degenerate
+    * collision channels disappear — the [[graft.functions.Dedup]]
+    * `dropShingles` semantics at band granularity.
+    *
+    * The EXACT-fingerprint band (-1) is never dropped (a collision
+    * there IS the decision, not a candidate) — a hot fingerprint key's
+    * rows are instead DEDUPED to one representative per key, which is
+    * semantics-preserving (the probe is an existence semi-join) and
+    * bounds that leaf the same way.
+    *
+    * Crash order: the drop-list append lands BEFORE the leaf rewrite,
+    * so a crash between them leaves the key suppressed (no regrowth)
+    * with stale state rows that the next maintenance window re-mines;
+    * duplicate drop-list rows are inert. MUST run in the maintenance
+    * window (gate paused), like every other maintenance operation.
+    * Returns the newly mined (band, band_hash) keys. */
+  def mitigateHotBands(spark: SparkSession, outPath: String, statePath: String,
+                       targetBytes: Long, maxBandMembers: Long): Seq[(Int, Long)] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(maxBandMembers > 0, s"maxBandMembers must be positive, got $maxBandMembers")
+    val fs = new Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val gp = cleanParams(fs, statePath).getOrElse(return Nil)
+    val root = new Path(layoutDir("bands", outPath, statePath))
+    val mined = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    import spark.implicits._
+    leafSizes(fs, root, gp, "bands")
+      .filter(_._2 > targetBytes).foreach { case (p, bytes) =>
+        val leaf = nodeDir(root, p)
+        val files = fs.listStatus(leaf)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (files.nonEmpty) {
+          val df = spark.read.parquet(files.map(_.getPath.toString): _*)
+          // bounded collect: at most leafRows / maxBandMembers keys
+          val over = df.groupBy("band", "band_hash").count()
+            .where(col("count") >= maxBandMembers).collect()
+          val hot = over.filter(_.getInt(0) != -1)
+            .map(r => (r.getInt(0), r.getLong(1))).toSeq
+          val fpHot = over.filter(_.getInt(0) == -1).map(_.getLong(1)).toSeq
+          if (hot.nonEmpty || fpHot.nonEmpty) {
+            // drop list FIRST (crash order — see the contract above)
+            appendHotBands(spark, statePath, hot)
+            mined ++= hot
+            var keep =
+              if (hot.isEmpty) df
+              else df.join(broadcast(hot.toDF("band", "band_hash")),
+                Seq("band", "band_hash"), "left_anti")
+            if (fpHot.nonEmpty) {
+              val isHotFp = col("band") === -1 &&
+                col("band_hash").isin(fpHot.map(java.lang.Long.valueOf): _*)
+              keep = keep.withColumn("_rn", row_number().over(
+                  Window.partitionBy("band", "band_hash").orderBy("doc_id")))
+                .where(!isHotFp || col("_rn") === 1).drop("_rn")
+            }
+            keep.coalesce(4).write.mode("append").parquet(leaf.toString)
+            if (Snapshot.enabled(spark, root.toString))
+              Snapshot.commit(spark, root.toString, Seq(nodeRel(p)),
+                retired = files.map(_.getPath).toSeq)
+            else files.foreach(f => fs.delete(f.getPath, false))
+            System.err.println(s"[NearDupGate] mitigated hot leaf " +
+              s"bands:${p.mkString("/")} ($bytes B): dropped ${hot.size} " +
+              s"band key(s), deduped ${fpHot.size} fingerprint key(s)")
+          }
+        }
+      }
+    mined.toSeq
   }
 
   /** MAINTENANCE: compact the one-file-per-batch accretion in every LEAF
@@ -985,11 +1128,15 @@ object NearDupGate {
                        buckets: Int = DefaultBuckets,
                        compactEvery: Int = 0,
                        reshardBucketBytes: Long = 0L,
+                       hotBandMembers: Long = 0L,
                        snapshots: Boolean = false,
                        snapshotKeepVersions: Int = 0): StreamingQuery = {
     require(reshardBucketBytes == 0 || compactEvery > 0,
       "reshardBucketBytes needs compactEvery > 0 — leaf splits run in " +
         "the compaction maintenance window")
+    require(hotBandMembers == 0 || reshardBucketBytes > 0,
+      "hotBandMembers needs reshardBucketBytes > 0 — hot-band mining " +
+        "shares the over-target-leaf trigger and the maintenance window")
     // no `snapshots` requirement: the vacuum loop filters by
     // Snapshot.enabled, so a state-root-only manifest setup (user ran
     // init on $statePath/bands for inspection, output unmanifested)
@@ -1020,6 +1167,12 @@ object NearDupGate {
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
           val s = batch.sparkSession
           compactLayouts(s, outPath, statePath)
+          // mine hot bands BEFORE the split pick: a mitigated leaf
+          // shrinks below target, so the split takes a genuinely
+          // splittable (multi-key) leaf instead of skipping the hot one
+          if (hotBandMembers > 0)
+            mitigateHotBands(s, outPath, statePath, reshardBucketBytes,
+              hotBandMembers)
           if (reshardBucketBytes > 0)
             splitLargestLeaf(s, outPath, statePath, reshardBucketBytes)
           // retention rides the same maintenance window: without a

@@ -650,6 +650,91 @@ class StreamingSpec extends SparkSpec {
     assert(gateSplitCount(state) == 2, gateMarker(state)) // one more window, one more leaf
   }
 
+  test("NearDupGate: mitigateHotBands bounds hot leaves, near-dups still drop") {
+    // the r7 adversarial scale edge: a band key shared by a large corpus
+    // fraction (boilerplate) dominates one leaf; the split skew guard
+    // refuses it, and before r8 nothing shrank it — every colliding
+    // batch fetched the whole collision set. mitigateHotBands mines such
+    // keys into the persisted drop list, rewrites their rows out, and
+    // curateBatch consumes the list before probing AND registration.
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-hot").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    def bandsBytes: Long = {
+      val root = new org.apache.hadoop.fs.Path(s"$state/bands")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Long =
+        fs.listStatus(p).map { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) s.getLen else 0L
+        }.sum
+      walk(root)
+    }
+    val boiler = (0 until 60).map(i => s"bp$i").mkString(" ")
+    def copies(idBase: Long, n: Int) =
+      (0 until n).map(i => (idBase + i, boiler)).toDF("doc_id", "text")
+    // 3 batches of identical long docs: batch 1 admits the min id, the
+    // rest drop — but EVERY doc registers its 16 band rows, so the
+    // boilerplate keys accrete 120 membership rows each
+    assert(NearDupGate.curateBatch(copies(0, 40), out, state, buckets = 4) == 1L)
+    assert(NearDupGate.curateBatch(copies(1000, 40), out, state, buckets = 4) == 0L)
+    assert(NearDupGate.curateBatch(copies(2000, 40), out, state, buckets = 4) == 0L)
+    val before = bandsBytes
+    // maintenance: every key with >= 100 membership rows in an
+    // over-target leaf is mined (the 120-row boilerplate bands qualify;
+    // maxBandMembers is the per-probe collision fan-out bound)
+    val mined = NearDupGate.mitigateHotBands(spark, out, state,
+      targetBytes = 1L, maxBandMembers = 100L)
+    assert(mined.nonEmpty, "no hot bands mined")
+    assert(mined.forall(_._1 != -1), "the exact-fingerprint band must never be mined")
+    assert(bandsBytes < before, s"hot leaf did not shrink: $before -> $bandsBytes")
+    // idempotent: the rows are rewritten out, nothing new to mine
+    assert(NearDupGate.mitigateHotBands(spark, out, state, 1L, 100L).isEmpty)
+    val stable = bandsBytes
+    // regrowth STOPS: another copy batch registers no rows for mined
+    // bands (pure-boilerplate docs — every band hot — carry no content
+    // signal, the dropShingles semantics: they are admitted, not probed)
+    assert(NearDupGate.curateBatch(copies(3000, 5), out, state, buckets = 4) == 5L)
+    assert(bandsBytes == stable,
+      s"mined bands regrew: $stable -> $bandsBytes")
+    // near-dup detection SURVIVES for non-boilerplate content: fresh doc
+    // admits, its near-dup drops via its own (un-mined) bands
+    val fresh = (0 until 60).map(i => s"nx$i").mkString(" ")
+    assert(NearDupGate.curateBatch(
+      Seq((5000L, fresh)).toDF("doc_id", "text"), out, state, buckets = 4) == 1L)
+    assert(NearDupGate.curateBatch(
+      Seq((5001L, fresh.replace("nx57", "y"))).toDF("doc_id", "text"),
+      out, state, buckets = 4) == 0L)
+  }
+
+  test("NearDupGate: hot short-doc fingerprints dedupe without losing exactness") {
+    // the OTHER hot-key shape: a ubiquitous short doc. Its band = -1
+    // fingerprint rows accrete one per processed copy; dropping the key
+    // would break exact dedup (the collision IS the decision), so
+    // mitigation DEDUPES the rows to one representative instead.
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-hotfp").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    def rows(idBase: Long, n: Int) =
+      (0 until n).map(i => (idBase + i, "tiny doc")).toDF("doc_id", "text")
+    assert(NearDupGate.curateBatch(rows(0, 60), out, state, buckets = 4) == 1L)
+    assert(NearDupGate.curateBatch(rows(1000, 60), out, state, buckets = 4) == 0L)
+    def fpRows: Long = {
+      val root = new org.apache.hadoop.fs.Path(s"$state/bands")
+      spark.read.option("recursiveFileLookup", "true").parquet(root.toString)
+        .where($"band" === -1).count()
+    }
+    assert(fpRows == 120L)
+    val mined = NearDupGate.mitigateHotBands(spark, out, state,
+      targetBytes = 1L, maxBandMembers = 100L)
+    assert(mined.isEmpty, "fingerprint keys must dedupe, not join the drop list")
+    assert(fpRows == 1L, s"expected 1 deduped fingerprint row, got $fpRows")
+    // exact-drop semantics intact: a new copy still drops, fresh passes
+    assert(NearDupGate.curateBatch(rows(2000, 3), out, state, buckets = 4) == 0L)
+    assert(NearDupGate.curateBatch(
+      Seq((3000L, "other tiny")).toDF("doc_id", "text"), out, state, buckets = 4) == 1L)
+  }
+
   test("NearDupGate: splitLargestLeaf splits one leaf; probes stay correct") {
     import graft.streaming.NearDupGate
     val dir = java.nio.file.Files.createTempDirectory("neardup-split").toString
