@@ -262,6 +262,20 @@ object ScaleProbe {
     }
     println(s"[scale] gate 10k-doc admits: $adm1 @1x, $adm20 @20x " +
       "(near-half dropped via est-verified state collisions)")
+    // ---- cost decomposition: state-cost vs batch-cost (r7 item 8) -----
+    // The same 10k-doc batch against an EMPTY state isolates the
+    // BATCH-side cost (signature pipelines + batch-local CC +
+    // registration writes — everything that depends only on the batch);
+    // the @1x/@20x runs above add the STATE-side cost (leaf probes +
+    // collision sig fetches + est-verify). state share = measured −
+    // empty-state baseline, and it tracks the batch's COLLISION SET,
+    // not |state|.
+    val admE = probe(s"gate_probe 10k docs @empty state")(()) {
+      val (o, s) = gDir("empty")
+      NearDupGate.curateBatch(tenK("r", 1L << 45), o, s, buckets = GateBuckets)
+    }
+    println(s"[scale] gate 10k-doc decomposition baseline admits: $admE " +
+      "(no state: every component minimum admits)")
     // ---- maintenance window: ONE leaf split, cost ~ leaf bytes --------
     // (r7 headline) — the incremental reshard's pause is one leaf's
     // rewrite (~ state/1024 here), never O(|state|); the probe after it
@@ -300,6 +314,43 @@ object ScaleProbe {
         f"buckets = ${100.0 * hit / total}%.1f%% of state bytes " +
         "(state-size-independent: the bucket is a pure key hash)")
     }
+    // ---- hot-band mitigation: per-batch cost flat under a flood -------
+    // (r8 item) The leaf shape splitLargestLeaf refuses: a boilerplate
+    // template floods a fixed 16-band key set, so every colliding batch
+    // fetches the keys' ENTIRE membership (grows with every prior flood
+    // batch) and est-verifies against it. After mitigateHotBands mines
+    // the (diverse-membership) keys into the drop list, the same batch
+    // shape neither probes nor regrows them — per-batch cost drops to
+    // the batch's own work and stays flat no matter how many floods
+    // came before. Bucket count is small here: trie fan-out is
+    // irrelevant to a hot KEY (all rows share one hash).
+    locally {
+      val (o, s) = gDir("hot")
+      val common = (0 until 200).map(i => s"hb$i").mkString(" ")
+      def flood(idBase: Long, n: Int) =
+        spark.range(n).select((lit(idBase) + col("id")).as("doc_id"),
+          concat(lit(common + " u"),
+            (col("id") + lit(idBase)).cast("string")).as("text"))
+      (0 until 10).foreach { i =>
+        NearDupGate.curateBatch(flood(i * 1000L, 500), o, s, buckets = 64)
+      }
+      probe(s"gate_flood_batch pre-mitigation (5k-member keys)")(()) {
+        NearDupGate.curateBatch(flood(1L << 30, 500), o, s, buckets = 64)
+      }
+      val minedHot = probe("gate_mitigate_hot_bands (maintenance)")(()) {
+        NearDupGate.mitigateHotBands(spark, o, s,
+          targetBytes = 1L, maxBandMembers = 256L)
+      }
+      probe("gate_flood_batch post-mitigation")(()) {
+        NearDupGate.curateBatch(flood(2L << 30, 500), o, s, buckets = 64)
+      }
+      probe("gate_flood_batch post-mitigation 2")(()) {
+        NearDupGate.curateBatch(flood(3L << 30, 500), o, s, buckets = 64)
+      }
+      println(s"[scale] hot-band mitigation mined ${minedHot.size} diverse " +
+        "band key(s); post-mitigation flood batches do not regrow them")
+    }
+
     // ---- compaction cost tracks the partition's file count ------------
     val f10 = s"$tmp/files10"; val f200 = s"$tmp/files200"
     spark.range(100000).repartition(10).write.parquet(f10)

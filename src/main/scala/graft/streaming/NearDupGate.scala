@@ -250,6 +250,39 @@ object NearDupGate {
         .write.mode("append").parquet(hotBandsDir(statePath))
   }
 
+  /** MAINTENANCE: compact the append-only hot-band drop list to ONE
+    * distinct-keys file. The list grows by a tiny file per
+    * [[mitigateHotBands]] run and duplicate keys are inert for the
+    * anti-join consumer — but neither is free to read forever, so the
+    * maintenance cadence ([[compactLayouts]]) rewrites it bounded at
+    * exactly the distinct key count. Replace-before-delete: the merged
+    * file renames in FIRST, the originals delete after — a crash
+    * between the two leaves duplicate keys, which are inert; no crash
+    * point loses a key (losing one would silently re-open a mined
+    * collision channel). */
+  def compactHotBands(spark: SparkSession, statePath: String): Unit = {
+    val dir = new Path(hotBandsDir(statePath))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val files = fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.length <= 1) return
+    val tmp = new Path(dir, ".hotbands_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(files.map(_.getPath.toString): _*)
+      .distinct().coalesce(1).write.parquet(tmp.toString)
+    val stamp = java.util.UUID.randomUUID().toString
+    fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        require(fs.rename(f.getPath,
+          new Path(dir, f"hotbands-$stamp-$i%03d.parquet")),
+          s"compactHotBands: rename into $dir failed")
+      }
+    files.foreach(f => fs.delete(f.getPath, false))
+    fs.delete(tmp, true)
+  }
+
   /** The hash column each layout is keyed by — ONE definition so the
     * write path, the probe path, and the split rewrite can never
     * disagree on where a row lives. */
@@ -411,16 +444,27 @@ object NearDupGate {
       // collision, AND state registration: the hot leaf stops growing
       // and its collision set is never fetched again. Genuinely-near-dup
       // docs still collide on their other bands; a doc whose EVERY band
-      // is hot is pure boilerplate, with no content signal to match (the
-      // dropShingles semantics). band = -1 is never mined, so the exact
-      // short-doc path is untouched.
+      // is hot is pure boilerplate, with no NEAR-dup content signal left
+      // (the dropShingles semantics) — but EXACT dedup must survive even
+      // for those, so any doc the prune left with zero probe rows falls
+      // back to the whole-text fingerprint channel (band = -1: probed,
+      // registered, deduped-not-dropped, and never minable). band = -1
+      // is never mined, so the exact short-doc path is untouched.
       val hotBands = readHotBands(spark, statePath)
       def pruneHot(df: DataFrame): DataFrame = hotBands.fold(df)(h =>
         df.join(broadcast(h.select("band", "band_hash")),
           Seq("band", "band_hash"), "left_anti"))
-      val probe = hold(pruneHot(
-        banded.select("doc_id", "band", "band_hash")
-          .unionByName(cbanded).unionByName(shortFps)))
+      val preHot = banded.select("doc_id", "band", "band_hash")
+        .unionByName(cbanded).unionByName(shortFps)
+      val pruned = pruneHot(preHot)
+      val probe = hold(hotBands.fold(pruned) { _ =>
+        val allHot = preHot.select("doc_id").distinct()
+          .join(pruned.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        val hotFps = b.join(allHot, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), lit(-1).as("band"),
+            Dedup.md5Hash60(coalesce(lower(col("text")), lit(""))).as("band_hash"))
+        pruned.unionByName(hotFps)
+      })
       // computed once: the read probe here and the bands snapshot commit
       // below (when enabled) use the identical leaf list
       val probeLeaves =
@@ -881,22 +925,41 @@ object NearDupGate {
     *
     * Rule: inside any `bands` leaf over `targetBytes`, every
     * (band ≠ -1, band_hash) key with ≥ `maxBandMembers` membership rows
-    * is mined. `maxBandMembers` is therefore a direct PER-PROBE COST
-    * BOUND: after mitigation no band collision can ever fan out to more
-    * than that many signature fetches. Mined keys are (1) appended to
-    * the persisted drop list next to `_gate_params` — [[curateBatch]]
-    * anti-joins it before probing AND before state registration, so the
-    * leaf stops growing and the key's collision set is never read
-    * again — and (2) their existing state rows are rewritten out of the
-    * leaf (retired through [[Snapshot]] when the layout has manifests,
-    * so pinned external readers keep resolving). Near-dup docs keep
-    * dropping via their other bands; only the mined keys' degenerate
-    * collision channels disappear — the [[graft.functions.Dedup]]
-    * `dropShingles` semantics at band granularity.
+    * is a mitigation candidate, but a key can be hot for TWO different
+    * reasons and only one of them may be dropped:
+    *  - DIVERSE membership (many distinct documents sharing one band —
+    *    true boilerplate): the band carries no discriminative signal;
+    *    the key is MINED — (1) appended to the persisted drop list next
+    *    to `_gate_params` ([[curateBatch]] anti-joins it before probing
+    *    AND before state registration, so the leaf stops growing and
+    *    the key's collision set is never read again) and (2) its state
+    *    rows are rewritten out of the leaf (retired through
+    *    [[Snapshot]] when the layout has manifests, so pinned external
+    *    readers keep resolving). Near-dup docs keep dropping via their
+    *    other bands — the [[graft.functions.Dedup]] `dropShingles`
+    *    semantics at band granularity.
+    *  - DUPLICATE CLUSTER (one document ingested many times — a copy
+    *    flood): every membership row carries the SAME full signature,
+    *    so dropping the key would permanently disable near-dup
+    *    detection for future VARIANTS of that document (exact copies
+    *    still drop via other channels) — a recall loss, not a
+    *    mitigation. Such keys are instead DEDUPED to one representative
+    *    row (min doc_id), which is semantics-preserving (the probe
+    *    est-verifies against the representative's signature, identical
+    *    to any other member's) and bounds the leaf the same way.
+    * Diversity is measured as the count of distinct full signatures
+    * among the key's members, fetched from `state/sigs` by the member
+    * doc_ids only (leaf-pruned; bounded by the leaf's own row count).
+    * A member with no signature row (possible only in the
+    * bands-written/sigs-unwritten replay crash window) counts as zero —
+    * erring toward dedupe, the recall-preserving side.
+    * `maxBandMembers` remains a direct PER-PROBE COST BOUND either way:
+    * after mitigation no band collision can ever fan out to more than
+    * that many signature fetches.
     *
     * The EXACT-fingerprint band (-1) is never dropped (a collision
     * there IS the decision, not a candidate) — a hot fingerprint key's
-    * rows are instead DEDUPED to one representative per key, which is
+    * rows are always DEDUPED to one representative per key, which is
     * semantics-preserving (the probe is an existence semi-join) and
     * bounds that leaf the same way.
     *
@@ -926,10 +989,35 @@ object NearDupGate {
           // bounded collect: at most leafRows / maxBandMembers keys
           val over = df.groupBy("band", "band_hash").count()
             .where(col("count") >= maxBandMembers).collect()
-          val hot = over.filter(_.getInt(0) != -1)
+          val cand = over.filter(_.getInt(0) != -1)
             .map(r => (r.getInt(0), r.getLong(1))).toSeq
           val fpHot = over.filter(_.getInt(0) == -1).map(_.getLong(1)).toSeq
-          if (hot.nonEmpty || fpHot.nonEmpty) {
+          // diversity split (see the contract above): a candidate key
+          // whose members all carry ONE signature is a duplicate
+          // cluster — dedupe, never drop. Bounded: the member set is a
+          // subset of this leaf's rows; the sig fetch is leaf-pruned by
+          // the member ids.
+          val (hot, dupKeys) = if (cand.isEmpty) (Nil, Nil) else {
+            val candDf = broadcast(cand.toDF("band", "band_hash"))
+            val members = df.join(candDf, Seq("band", "band_hash"), "left_semi")
+            val memberIds = members.select("doc_id").distinct()
+            val sigLeaves = touchedLeaves(memberIds, xxhash64(col("doc_id")),
+              gp.buckets, gp.splitSet("sigs"))
+            val diversity: Map[(Int, Long), Long] =
+              readLeaves(spark, s"$statePath/sigs", sigLeaves) match {
+                case Some(ss) =>
+                  members.join(ss.select(col("doc_id"), col("sig")),
+                      Seq("doc_id"), "left")
+                    .groupBy("band", "band_hash")
+                    .agg(countDistinct(xxhash64(col("sig"))).as("nsig"))
+                    .collect()
+                    .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+                    .toMap
+                case None => Map.empty
+              }
+            cand.partition(k => diversity.getOrElse(k, 0L) > 1L)
+          }
+          if (hot.nonEmpty || fpHot.nonEmpty || dupKeys.nonEmpty) {
             // drop list FIRST (crash order — see the contract above)
             appendHotBands(spark, statePath, hot)
             mined ++= hot
@@ -937,12 +1025,16 @@ object NearDupGate {
               if (hot.isEmpty) df
               else df.join(broadcast(hot.toDF("band", "band_hash")),
                 Seq("band", "band_hash"), "left_anti")
-            if (fpHot.nonEmpty) {
-              val isHotFp = col("band") === -1 &&
-                col("band_hash").isin(fpHot.map(java.lang.Long.valueOf): _*)
-              keep = keep.withColumn("_rn", row_number().over(
+            val dedupKeys = fpHot.map(h => (-1, h)) ++ dupKeys
+            if (dedupKeys.nonEmpty) {
+              keep = keep
+                .join(broadcast(dedupKeys.toDF("band", "band_hash")
+                  .withColumn("_dd", lit(true))),
+                  Seq("band", "band_hash"), "left")
+                .withColumn("_rn", row_number().over(
                   Window.partitionBy("band", "band_hash").orderBy("doc_id")))
-                .where(!isHotFp || col("_rn") === 1).drop("_rn")
+                .where(col("_dd").isNull || col("_rn") === 1)
+                .drop("_rn", "_dd")
             }
             keep.coalesce(4).write.mode("append").parquet(leaf.toString)
             if (Snapshot.enabled(spark, root.toString))
@@ -951,7 +1043,8 @@ object NearDupGate {
             else files.foreach(f => fs.delete(f.getPath, false))
             System.err.println(s"[NearDupGate] mitigated hot leaf " +
               s"bands:${p.mkString("/")} ($bytes B): dropped ${hot.size} " +
-              s"band key(s), deduped ${fpHot.size} fingerprint key(s)")
+              s"diverse band key(s), deduped ${dupKeys.size} " +
+              s"duplicate-cluster + ${fpHot.size} fingerprint key(s)")
           }
         }
       }
@@ -979,6 +1072,9 @@ object NearDupGate {
           targetBytes, maxFiles, snapshotRoot = Some(root.toString))
       }
     }
+    // the drop list rides the same cadence — bounded at its distinct
+    // key count instead of one file per mitigation run
+    compactHotBands(spark, statePath)
   }
 
   /** MAINTENANCE ESCAPE HATCH: rewrite all three layouts FLAT at a new
@@ -1021,6 +1117,44 @@ object NearDupGate {
       s"unparseable _gate_params at $statePath: $base"))
     // FENCE: no gate may run until the clean marker returns
     writeMarker(fs, marker, base + s";resharding_to=$newBuckets")
+    // Re-entrant tail of a snapshot-enabled swap: move the manifest
+    // trees the p→aside rename carried out back into p, then RETIRE the
+    // aside tree's remaining data files under one full-re-list commit,
+    // so manifest readers at pre-reshard versions stay resolvable.
+    // Every step tolerates a prior partial run: tree moves skip
+    // already-moved trees (merging children into a shell a premature
+    // Snapshot.init recreated on p — new children win, and real
+    // collisions are impossible while the fence blocks every gate run),
+    // and Snapshot.commit's retire skips already-retired files. Called
+    // from the happy path AND from the crash-recovery preamble, closing
+    // the r8 "a crash mid-swap resets snapshot history" window.
+    def finishSnapshotSwap(p: Path, aside: Path, dir: String): Unit = {
+      Seq("_snapshots", "_stale").map(new Path(aside, _)).filter(fs.exists)
+        .foreach { d =>
+          val dest = new Path(p, d.getName)
+          if (!fs.exists(dest))
+            require(fs.rename(d, dest),
+              s"reshardState: could not restore ${d.getName} into $p")
+          else {
+            fs.listStatus(d).foreach { c =>
+              val cd = new Path(dest, c.getPath.getName)
+              if (!fs.exists(cd))
+                require(fs.rename(c.getPath, cd),
+                  s"reshardState: could not merge ${c.getPath} into $dest")
+            }
+            require(fs.delete(d, true),
+              s"reshardState: could not drop merged ${d.getName} at $d")
+          }
+        }
+      if (Snapshot.enabled(spark, dir)) {
+        // listing the aside tree against ITSELF yields rel paths that
+        // are exactly the original layout-relative paths
+        val dataRels = Snapshot.listDataFiles(fs, aside, aside)
+        if (dataRels.nonEmpty)
+          Snapshot.commit(spark, dir, Seq(""),
+            retiredAs = dataRels.map(rel => new Path(aside, rel) -> rel))
+      }
+    }
     def swap(dir: String, hash: Column): Unit = {
       val p = new Path(dir)
       val tmp = new Path(p.getParent, "." + p.getName + ".reshard_tmp")
@@ -1040,6 +1174,18 @@ object NearDupGate {
           s"reshardState: could not clear dataless shell $p for restore")
       if (!fs.exists(p) && fs.exists(aside))
         require(fs.rename(aside, p), s"reshardState: could not restore $p from $aside")
+      // crash-recovery: p already swapped in while the aside tree still
+      // exists — a rerun after a crash in the snapshot restore/retire
+      // window below. FINISH that window before the cleanup deletes
+      // (the aside tree holds the manifests and/or every pre-reshard
+      // data file pinned versions resolve through).
+      if (fs.exists(p) && fs.exists(aside) &&
+          (fs.exists(new Path(aside, "_snapshots")) ||
+            Snapshot.enabled(spark, dir))) {
+        finishSnapshotSwap(p, aside, dir)
+        require(fs.delete(aside, true),
+          s"reshardState: could not drop recovered aside tree $aside")
+      }
       if (!fs.exists(p)) return
       // r6 ADVICE: a layout dir that exists but holds no parquet part
       // files (an empty append left only _SUCCESS — all docs dropped,
@@ -1063,23 +1209,11 @@ object NearDupGate {
       // into the aside tree — move them back, then RETIRE the old data
       // files (rel paths from the aside tree) under one full-re-list
       // commit, so manifest readers at pre-reshard versions stay
-      // readable. Happy-path only: a crash inside this window can reset
-      // snapshot history (the sink re-inits on the next batch; the
-      // documented reshard-escape-hatch trade — data itself is crash-safe
-      // via the aside copy either way).
-      val asideSnaps = Seq("_snapshots", "_stale").map(new Path(aside, _))
-      if (fs.exists(asideSnaps.head)) {
-        asideSnaps.filter(fs.exists(_)).foreach { d =>
-          require(fs.rename(d, new Path(p, d.getName)),
-            s"reshardState: could not restore ${d.getName} into $p")
-        }
-        // ONE copy of the non-hidden-parquet walk (Snapshot owns it);
-        // listing the aside tree against ITSELF yields rel paths that
-        // are exactly the original layout-relative paths
-        Snapshot.commit(spark, dir, Seq(""),
-          retiredAs = Snapshot.listDataFiles(fs, aside, aside)
-            .map(rel => new Path(aside, rel) -> rel))
-      }
+      // readable. Crash-safe: a rerun's recovery preamble re-enters
+      // [[finishSnapshotSwap]] (every step is skip-if-done), so no
+      // crash point inside this window can strand or reset history.
+      if (fs.exists(new Path(aside, "_snapshots")))
+        finishSnapshotSwap(p, aside, dir)
       fs.delete(aside, true)
     }
     swap(s"$statePath/bands", col("band_hash"))

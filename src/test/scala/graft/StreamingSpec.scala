@@ -650,13 +650,16 @@ class StreamingSpec extends SparkSpec {
     assert(gateSplitCount(state) == 2, gateMarker(state)) // one more window, one more leaf
   }
 
-  test("NearDupGate: mitigateHotBands bounds hot leaves, near-dups still drop") {
+  test("NearDupGate: mitigateHotBands mines diverse boilerplate bands, near-dups still drop") {
     // the r7 adversarial scale edge: a band key shared by a large corpus
     // fraction (boilerplate) dominates one leaf; the split skew guard
     // refuses it, and before r8 nothing shrank it — every colliding
     // batch fetched the whole collision set. mitigateHotBands mines such
     // keys into the persisted drop list, rewrites their rows out, and
     // curateBatch consumes the list before probing AND registration.
+    // Only DIVERSE keys (many distinct member signatures) are mined —
+    // a duplicate cluster (one doc flooded) dedupes instead, see the
+    // hot short-doc test below.
     import graft.streaming.NearDupGate
     val dir = java.nio.file.Files.createTempDirectory("neardup-hot").toString
     val (out, state) = (s"$dir/out", s"$dir/state")
@@ -670,33 +673,55 @@ class StreamingSpec extends SparkSpec {
         }.sum
       walk(root)
     }
-    val boiler = (0 until 60).map(i => s"bp$i").mkString(" ")
-    def copies(idBase: Long, n: Int) =
-      (0 until n).map(i => (idBase + i, boiler)).toDF("doc_id", "text")
-    // 3 batches of identical long docs: batch 1 admits the min id, the
-    // rest drop — but EVERY doc registers its 16 band rows, so the
-    // boilerplate keys accrete 120 membership rows each
-    assert(NearDupGate.curateBatch(copies(0, 40), out, state, buckets = 4) == 1L)
-    assert(NearDupGate.curateBatch(copies(1000, 40), out, state, buckets = 4) == 0L)
-    assert(NearDupGate.curateBatch(copies(2000, 40), out, state, buckets = 4) == 0L)
+    // template corpus: 200 common tokens + ONE unique trailing token per
+    // doc. Only 1 of 197 shingles differs, so nearly every doc's 16 band
+    // values are the all-common ones — each dominant band key accretes
+    // 100+ membership rows carrying MANY DISTINCT full signatures (the
+    // unique shingle wins some minhash position for a good fraction of
+    // docs): the diverse-boilerplate hot-key shape.
+    val common = (0 until 200).map(i => s"bp$i").mkString(" ")
+    def tpl(idBase: Long, n: Int) =
+      (0 until n).map(i => (idBase + i, s"$common u${idBase + i}"))
+        .toDF("doc_id", "text")
+    // batch 1 admits the component minimum, the rest est-verify ~0.99
+    // and drop — but EVERY processed doc registers its 16 band rows
+    assert(NearDupGate.curateBatch(tpl(0, 50), out, state, buckets = 4) == 1L)
+    assert(NearDupGate.curateBatch(tpl(1000, 50), out, state, buckets = 4) == 0L)
+    assert(NearDupGate.curateBatch(tpl(2000, 50), out, state, buckets = 4) == 0L)
     val before = bandsBytes
-    // maintenance: every key with >= 100 membership rows in an
-    // over-target leaf is mined (the 120-row boilerplate bands qualify;
-    // maxBandMembers is the per-probe collision fan-out bound)
+    // maintenance: every DIVERSE key with >= 100 membership rows in an
+    // over-target leaf is mined (maxBandMembers is the per-probe
+    // collision fan-out bound)
     val mined = NearDupGate.mitigateHotBands(spark, out, state,
       targetBytes = 1L, maxBandMembers = 100L)
     assert(mined.nonEmpty, "no hot bands mined")
-    assert(mined.forall(_._1 != -1), "the exact-fingerprint band must never be mined")
+    assert(mined.forall(_._1 >= 0),
+      "only diverse word-band keys should be mined here")
     assert(bandsBytes < before, s"hot leaf did not shrink: $before -> $bandsBytes")
     // idempotent: the rows are rewritten out, nothing new to mine
     assert(NearDupGate.mitigateHotBands(spark, out, state, 1L, 100L).isEmpty)
-    val stable = bandsBytes
-    // regrowth STOPS: another copy batch registers no rows for mined
-    // bands (pure-boilerplate docs — every band hot — carry no content
-    // signal, the dropShingles semantics: they are admitted, not probed)
-    assert(NearDupGate.curateBatch(copies(3000, 5), out, state, buckets = 4) == 5L)
-    assert(bandsBytes == stable,
-      s"mined bands regrew: $stable -> $bandsBytes")
+    // regrowth STOPS: new template docs register NOTHING under the mined
+    // keys (their doc-unique band rows may still register — that is the
+    // leaf growing at corpus rate, not at flood rate). Distinct template
+    // variants are admitted: the mined boilerplate bands were their only
+    // shared signal (the dropShingles semantics).
+    assert(NearDupGate.curateBatch(tpl(3000, 5), out, state, buckets = 4) == 5L)
+    val minedDf = mined.toDF("band", "band_hash")
+    val bandRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$state/bands")
+    assert(bandRows.join(minedDf, Seq("band", "band_hash"), "left_semi")
+      .count() == 0L, "mined band keys regrew")
+    // EXACT dedup survives total boilerplate: the pure-common doc's
+    // every band is mined, so it rides the whole-text fingerprint
+    // fallback channel (band = -1: probed + registered, never mined)
+    assert(NearDupGate.curateBatch(
+      Seq((6000L, common)).toDF("doc_id", "text"), out, state, buckets = 4) == 1L)
+    assert(NearDupGate.curateBatch(
+      Seq((6001L, common)).toDF("doc_id", "text"), out, state, buckets = 4) == 0L)
+    // batch-local too: identical all-hot copies dedupe to one inside a batch
+    assert(NearDupGate.curateBatch(
+      (0 until 5).map(i => (7000L + i, s"$common extracopy"))
+        .toDF("doc_id", "text"), out, state, buckets = 4) == 1L)
     // near-dup detection SURVIVES for non-boilerplate content: fresh doc
     // admits, its near-dup drops via its own (un-mined) bands
     val fresh = (0 until 60).map(i => s"nx$i").mkString(" ")
@@ -705,6 +730,50 @@ class StreamingSpec extends SparkSpec {
     assert(NearDupGate.curateBatch(
       Seq((5001L, fresh.replace("nx57", "y"))).toDF("doc_id", "text"),
       out, state, buckets = 4) == 0L)
+  }
+
+  test("NearDupGate: compactHotBands bounds the drop list without losing keys") {
+    // the drop list accretes one tiny file per mitigateHotBands run
+    // (duplicates inert, growth unbounded); the maintenance cadence
+    // compacts it to ONE distinct-keys file with the key set unchanged
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-hotcompact").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    def tpl(c: String, idBase: Long, n: Int) =
+      (0 until n).map { i =>
+        val id = idBase + i
+        (id, s"$c u$id v$id w$id") // 3 unique tokens: distinct signatures
+      }.toDF("doc_id", "text")
+    val common1 = (0 until 200).map(i => s"aa$i").mkString(" ")
+    val common2 = (0 until 200).map(i => s"zz$i").mkString(" ")
+    // two mitigation rounds against two different boilerplate templates
+    // → two drop-list files
+    assert(NearDupGate.curateBatch(tpl(common1, 0, 12), out, state, buckets = 4) == 1L)
+    val mined1 = NearDupGate.mitigateHotBands(spark, out, state,
+      targetBytes = 1L, maxBandMembers = 10L)
+    assert(mined1.nonEmpty)
+    assert(NearDupGate.curateBatch(tpl(common2, 1000, 12), out, state, buckets = 4) == 1L)
+    val mined2 = NearDupGate.mitigateHotBands(spark, out, state,
+      targetBytes = 1L, maxBandMembers = 10L)
+    assert(mined2.nonEmpty)
+    def dropFiles: Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$state/_hot_bands")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    def keys = NearDupGate.readHotBands(spark, state).get
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(dropFiles >= 2)
+    val before = keys
+    NearDupGate.compactHotBands(spark, state)
+    assert(dropFiles == 1, "drop list not bounded to one file")
+    assert(keys == before, "compaction changed the mined key set")
+    // idempotent, and the compacted list still prunes: fresh template-1
+    // variants carry no remaining shared signal, so they admit
+    NearDupGate.compactHotBands(spark, state)
+    assert(dropFiles == 1)
+    assert(NearDupGate.curateBatch(tpl(common1, 3000, 3), out, state, buckets = 4) == 3L)
   }
 
   test("NearDupGate: hot short-doc fingerprints dedupe without losing exactness") {
