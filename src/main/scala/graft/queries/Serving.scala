@@ -44,6 +44,28 @@ object Serving {
       .limit(n)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
+  /** The serving-side LAKE read — the DataFrame the endpoint queries
+    * above should be pointed at in production. When the lake root
+    * carries [[graft.streaming.Snapshot]] manifests (the
+    * `startLakeSink(snapshots = true)` shape), the file list is resolved
+    * from one manifest VERSION (caller-pinned, default latest), so a
+    * serving read concurrent with compaction or maintenance never sees a
+    * half-swapped partition: files retired by a concurrent rewrite stay
+    * resolvable under `_stale` until vacuum, exactly like the gate's own
+    * [[graft.streaming.NearDupGate.readOutput]]. Falls back to a plain
+    * partition-discovery read when snapshots were never initialized
+    * (safe only while maintenance is paused).
+    *
+    * `partitionCols` names the Hive-style dir columns to reconstruct
+    * (the tick lake is `symbol=`-partitioned; explicit-file reads bypass
+    * partition discovery). */
+  def lakeTable(spark: SparkSession, path: String,
+                version: Option[Long] = None,
+                partitionCols: Seq[String] = Seq("symbol")): DataFrame =
+    (if (graft.streaming.Snapshot.enabled(spark, path))
+       graft.streaming.Snapshot.readVersion(spark, path, version, partitionCols)
+     else None).getOrElse(spark.read.parquet(path))
+
   /** JSON at the API edge: the reference's endpoints return
     * `df.to_json()` frames (`API.py:36,48,61,75`). One JSON document per
     * row; the query itself stays a distributed plan and rows are only

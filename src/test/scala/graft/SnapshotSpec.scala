@@ -316,4 +316,107 @@ class SnapshotSpec extends SparkSpec {
     val v2 = Snapshot.latestVersion(spark, out).get
     assert(v2 > v1 && ids(out, v2) == Seq(0L, 1L))
   }
+
+  test("reshard crash AFTER the swap renames keeps pre-crash versions resolvable") {
+    // the r8 known-limit window, now closed: reshardState crashes after
+    // rename(out → aside) + rename(tmp → out) but BEFORE the snapshot
+    // trees move back and the old files retire — the aside tree holds
+    // the manifests and every pre-crash data file. Recovery (rerunning
+    // the reshard, which the fence mandates) must re-enter the
+    // restore/retire tail instead of deleting the aside tree.
+    val dir = java.nio.file.Files.createTempDirectory("snap-reshard-crash2").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    Snapshot.init(spark, out)
+    assert(NearDupGate.curateBatch(
+      (0 until 4).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 4L)
+    val v1 = Snapshot.latestVersion(spark, out).get
+    assert(NearDupGate.curateBatch(
+      (4 until 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 4L)
+    val v2 = Snapshot.latestVersion(spark, out).get
+    // simulate the crash window by hand: fence down, out swapped aside,
+    // a fresh out already renamed in (same logical rows, new files),
+    // manifests still inside the aside tree
+    val marker = new Path(state, "_gate_params")
+    val base = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    locally {
+      val o = fs.create(marker, true)
+      try o.write((base + ";resharding_to=4").getBytes("UTF-8"))
+      finally o.close()
+    }
+    val aside = new Path(dir, ".out.reshard_old")
+    val swapped = spark.read.option("recursiveFileLookup", "true")
+      .parquet(out).persist()
+    swapped.count()
+    require(fs.rename(new Path(out), aside))
+    swapped.write.parquet(out) // "tmp renamed in", manifest-less
+    swapped.unpersist()
+    // recovery completes the reshard AND the snapshot tail
+    assert(NearDupGate.recoverReshard(spark, out, state))
+    assert(!fs.exists(aside), "recovery must consume the aside tree")
+    // both pre-crash versions still resolve exactly (from _stale)
+    assert(ids(out, v1) == (0L until 4L))
+    assert(ids(out, v2) == (0L until 8L))
+    // the post-recovery latest reads the full row set
+    assert(Snapshot.readVersion(spark, out).get
+      .select("doc_id").as[Long].collect().sorted.toSeq == (0L until 8L))
+    // the recovered state still gates (near-dup of doc 1 drops)
+    assert(NearDupGate.curateBatch(
+      Seq((50L, doc(1).replace("s1w7", "zz"))).toDF("doc_id", "text"),
+      out, state, buckets = 2) == 0L)
+  }
+
+  test("Serving.lakeTable: snapshot-pinned tick-lake reads survive concurrent compaction") {
+    import graft.queries.Serving
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("snap-serving").toString
+    val path = s"$dir/data"
+    Snapshot.init(spark, path)
+    // four appends accrete one file per symbol partition each, each with
+    // a reconciling manifest commit (the startLakeSink(snapshots=true)
+    // shape, run synchronously here)
+    (0 until 4).foreach { i =>
+      val touched = TickIngest.appendBatchIdempotent(
+        Seq(("FPT", t(s"2023-02-07 09:3$i:00"), 80.0 + i),
+            ("VNM", t(s"2023-02-07 09:3$i:00"), 70.0 + i))
+          .toDF("symbol", "time", "close"), path)
+      Snapshot.commit(spark, path, touched)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("symbol").cast("string"), col("time"), col("close"))
+        .collect().map(_.toString).sorted.toSeq
+    val v0 = Snapshot.latestVersion(spark, path).get
+    val before = rows(Serving.lakeTable(spark, path))
+    assert(before.size == 8)
+    // compaction rewrites both partitions, retiring the originals
+    // through the manifest (never deleting)
+    val (parts, nb, na) = LakeMaintenance.compactPartitioned(
+      spark, path, "symbol=", maxFiles = 1, snapshotRoot = Some(path))
+    assert(parts == 2 && na < nb, s"no compaction: $parts parts, $nb -> $na")
+    // a serving reader that pinned v0 BEFORE the compaction still
+    // resolves the retired files (from _stale) and sees the identical
+    // row set — no half-swapped partition is ever visible
+    assert(rows(Serving.lakeTable(spark, path, version = Some(v0))) == before)
+    // the default (latest-manifest) read sees the same logical rows
+    assert(rows(Serving.lakeTable(spark, path)) == before)
+    // endpoint composition on the pinned table stays a normal plan
+    val latestFpt = Serving.lakeTable(spark, path)
+      .where(col("symbol") === "FPT")
+      .orderBy(col("time").desc).limit(1)
+      .select("close").collect().map(_.getDouble(0)).toSeq
+    assert(latestFpt == Seq(83.0))
+    // fallback: a lake that never opted into snapshots reads via plain
+    // partition discovery
+    val plain = s"$dir/plain"
+    TickIngest.appendBatchIdempotent(
+      Seq(("FPT", t("2023-02-07 09:30:00"), 80.0))
+        .toDF("symbol", "time", "close"), plain)
+    assert(rows(Serving.lakeTable(spark, plain)).size == 1)
+  }
 }
