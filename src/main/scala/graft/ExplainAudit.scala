@@ -109,6 +109,18 @@ object ExplainAudit {
                           //   TakeOrderedAndProject — zero exchanges
                           //   in the scoring scan (codebooks are
                           //   driver literals)
+      "q_sim_ivfpq",      // expect ONE map-side scan: NearestCentroid
+                          //   coarse-list filter + m code assignments +
+                          //   literal LUT lookups feeding
+                          //   TakeOrderedAndProject — zero joins, zero
+                          //   exchanges beyond the top-k
+      "q_sim_pq_probe",   // the persisted-artifact serving shape:
+                          //   expect a scan of ONLY the codes table
+                          //   (vid + m-int code, no raw vectors, no
+                          //   training aggregation anywhere) into
+                          //   TakeOrderedAndProject
+      "q_sim_ivfpq_probe",// same, plus the stored-list isin filter
+                          //   pushed at the codes scan
       "q_ema_seg")        // expect TWO hash aggregations (chunk-level
                           //   then key-level segmented scan) — no
                           //   one-partition window, no full-series

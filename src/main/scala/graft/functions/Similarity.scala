@@ -441,8 +441,16 @@ object Similarity {
     val score = (0 until m).map { s =>
       element_at(array(lut(s).map(lit): _*), element_at(col("code"), s + 1))
     }.reduceLeft(_ + _)
+    // width guard: codes written with a DIFFERENT m than these
+    // codebooks' would silently score NULL (element_at past the end) —
+    // mismatched artifacts must fail loudly, like the sig-width guard
+    // in Dedup.minhashPairsFromSignatures
+    val checked = when(size(col("code")) === m, score)
+      .otherwise(raise_error(concat(
+        lit(s"pq codes artifact width "), size(col("code")).cast("string"),
+        lit(s" does not match codebooks m=$m"))).cast("double"))
     excludeId.fold(codes)(q => codes.where(col("vid") =!= q))
-      .select(col("vid").as(idOut), score.as("adc_dot"))
+      .select(col("vid").as(idOut), checked.as("adc_dot"))
       .orderBy(col("adc_dot").desc, col(idOut).asc)
       .limit(k)
   }
@@ -456,6 +464,80 @@ object Similarity {
     pqProbeCodes(spark.read.parquet(s"$dir/codebooks"),
       spark.read.parquet(s"$dir/codes"),
       collectQueryVector(v, queryId), k, idOut = id, excludeId = Some(queryId))
+  }
+
+  /** Coarse-list probe selection — the driver loop shared by the fused
+    * [[ivfPqTopK]] and the artifact probe [[ivfPqProbeFromDir]], so the
+    * two paths can never rank lists differently: nearest `nprobe`
+    * 1-based list positions by [[localCosine]], position ascending on
+    * ties. */
+  private def probedLists(coarse: Array[Array[Double]], qv: Array[Double],
+                          nprobe: Int): Array[Int] =
+    coarse.zipWithIndex
+      .map { case (c, i) => (i + 1, localCosine(c, qv)) }
+      .sortBy { case (pos, sim) => (-sim, pos) }
+      .take(nprobe).map(_._1)
+
+  /** IVF-PQ INDEXING AS PERSISTED ARTIFACTS (r8 VERDICT item 8) — the
+    * production shape of [[ivfPqTopK]]: one indexing job writes
+    *  - `dir/codebooks` (s, pos, codeword) — [[pqTrain]]'s layout;
+    *  - `dir/coarse`    (pos, centroid)   — the `nlist` seeded coarse
+    *    centroids (bounded metadata, collected at probe time);
+    *  - `dir/codes`     (vid, list, code) — each vector's 1-based
+    *    coarse-list assignment NEXT TO its m-byte PQ code, computed in
+    *    the same single map-side pass (no join at write OR probe time).
+    * A probe then reads tiny metadata + the codes table only — zero
+    * training jobs, zero raw-vector reads; partitioning the codes write
+    * by `list` (callers may repartition before writing at scale) turns
+    * the probe's list filter into partition pruning. */
+  def ivfPqWriteArtifacts(emb: DataFrame, id: String, vec: String,
+                          dir: String, nlist: Int = 16, m: Int = 4,
+                          ks: Int = 8, iters: Int = 2,
+                          dim: Int = OracleDim): Unit = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val coarse = seededCentroids(v, nlist)
+    val books = trainPqBooks(v, m, ks, iters, sub)
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cw, c) => (s, c + 1, cw.toSeq) }
+    }.toSeq.toDF("s", "pos", "codeword")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    coarse.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }.toSeq
+      .toDF("pos", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    v.select(col("vid"),
+        NearestCentroid(col("v"), coarse).as("list"),
+        array((0 until m).map { s =>
+          NearestCentroid(slice(col("v"), s * sub + 1, sub), books(s))
+        }: _*).as("code"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** The probe half of [[ivfPqWriteArtifacts]]: select `nprobe` lists
+    * against the stored coarse centroids, then ADC-score ONLY the codes
+    * rows in those lists via [[pqProbeCodes]] — one filtered scan of
+    * the codes table into TakeOrderedAndProject, zero training jobs,
+    * zero joins. Bit-identical to the fused [[ivfPqTopK]] for the same
+    * corpus/params ([[graft.SimilaritySpec]] pins it): same seeded
+    * coarse quantizer, same probe-selection loop, same stored
+    * assignments, same lut, same left-associated sum. */
+  def ivfPqProbeFromDir(emb: DataFrame, id: String, vec: String,
+                        dir: String, queryId: Long, k: Int,
+                        nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val qv = collectQueryVector(v, queryId)
+    val coarse = spark.read.parquet(s"$dir/coarse").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    require(coarse.nonEmpty, "empty coarse-centroid artifact")
+    val probed = probedLists(coarse, qv, nprobe)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .where(col("list").isin(probed.map(Integer.valueOf): _*))
+    pqProbeCodes(spark.read.parquet(s"$dir/codebooks"), codes.drop("list"),
+      qv, k, idOut = id, excludeId = Some(queryId))
   }
 
   /** IVF-PQ — the standard web-scale ANN composition (r7 VERDICT item
@@ -484,10 +566,7 @@ object Similarity {
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
     val coarse = seededCentroids(v, nlist)
     val qv = collectQueryVector(v, queryId)
-    val probed: Array[Int] = coarse.zipWithIndex
-      .map { case (c, i) => (i + 1, localCosine(c, qv)) }
-      .sortBy { case (pos, sim) => (-sim, pos) }
-      .take(nprobe).map(_._1)
+    val probed = probedLists(coarse, qv, nprobe)
     val books = trainPqBooks(v, m, ks, iters, sub)
     val lut = pqLut(books, qv, sub)
     val score = (0 until m).map { s =>

@@ -446,6 +446,27 @@ object PipelineQueries {
   def simIvfPq(s: SparkSession, d: String): DataFrame =
     Similarity.ivfPqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** The persisted-PQ probe — [[Similarity.pqWriteArtifacts]] →
+    * [[Similarity.pqProbeFromDir]] through a REAL parquet artifact
+    * round-trip: the zero-training-jobs production serving shape,
+    * driver-verified against the same oracle as `q_sim_pq` (the probe
+    * is spec-pinned bit-identical to the fused scoring). */
+  def simPqProbe(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-art").toString
+    Similarity.pqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", dir)
+    Similarity.pqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
+  }
+
+  /** The persisted IVF-PQ probe — [[Similarity.ivfPqWriteArtifacts]] →
+    * [[Similarity.ivfPqProbeFromDir]]: stored coarse lists + codes, one
+    * filtered codes scan, zero training jobs; same oracle as
+    * `q_sim_ivfpq`. */
+  def simIvfPqProbe(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-art").toString
+    Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", dir)
+    Similarity.ivfPqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
+  }
+
   /** Embedding-cosine near-dup pairs via LSH buckets — oracle-checked:
     * the hyperplanes are driver-fixed literals shared with the generated
     * DuckDB SQL ([[Similarity.bucketPairsOracleSql]]). */
@@ -601,7 +622,9 @@ object PipelineQueries {
     "q_sim_ivf"        -> (simIvf _),
     "q_sim_ivf_iter"   -> (simIvfIter _),
     "q_sim_pq"         -> (simPq _),
+    "q_sim_pq_probe"   -> (simPqProbe _),
     "q_sim_ivfpq"      -> (simIvfPq _),
+    "q_sim_ivfpq_probe" -> (simIvfPqProbe _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -975,7 +998,9 @@ object PipelineQueries {
     "q_sim_ivf" -> Similarity.ivfSeededOracleSql(0L, 10),
     "q_sim_ivf_iter" -> Similarity.ivfIterOracleSql(0L, 10),
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
+    "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),
+    "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for

@@ -176,6 +176,48 @@ class SimilaritySpec extends SparkSpec {
     val probe = Similarity.pqProbeFromDir(emb, "vec_id", "embedding", dir, 0L, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(probe == fused, s"artifact probe diverged:\n$probe\nvs\n$fused")
+    // MISMATCHED artifacts fail loudly: codes written at a different m
+    // than the codebooks' must not silently null/mis-rank the score
+    val dir2 = java.nio.file.Files.createTempDirectory("pq_artifacts_m8").toString
+    Similarity.pqWriteArtifacts(emb, "vec_id", "embedding", dir2,
+      m = 8, ks = 8, iters = 2, dim = dim)
+    val ex = intercept[Exception] {
+      Similarity.pqProbeCodes(spark.read.parquet(s"$dir/codebooks"),
+        spark.read.parquet(s"$dir2/codes"),
+        Array.fill(dim)(0.1), 10).collect()
+    }
+    assert(ex.getMessage != null &&
+      (ex.getMessage.contains("does not match codebooks") ||
+        String.valueOf(ex.getCause).contains("does not match codebooks")),
+      s"wrong failure: $ex")
+  }
+
+  test("ivfPqProbeFromDir over persisted artifacts equals the fused ivfPqTopK path") {
+    val rnd = new scala.util.Random(53)
+    val dim = 32
+    val emb = (0L until 200L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_artifacts").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      nlist = 16, m = 4, ks = 8, iters = 2, dim = dim)
+    // artifact shape: every vector carries a 1-based list id and an
+    // m-int code; coarse holds the nlist seeded centroids
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == 200L)
+    assert(codes.select(min($"list"), max($"list")).collect().map(r =>
+      (r.getInt(0) >= 1) && (r.getInt(1) <= 16)).head)
+    assert(spark.read.parquet(s"$dir/coarse").count() == 16L)
+    // probe from STORED lists + codes (zero training jobs) must be
+    // bit-identical to the fused train-in-query path: same seeded
+    // quantizer, same probe-selection loop, same assignments, same sum
+    val fused = Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 10,
+      nlist = 16, nprobe = 4, m = 4, ks = 8, iters = 2, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probe = Similarity.ivfPqProbeFromDir(emb, "vec_id", "embedding",
+      dir, 0L, 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe == fused, s"ivfpq artifact probe diverged:\n$probe\nvs\n$fused")
   }
 
   test("ivfPqTopK recalls planted near neighbors and agrees with PQ on probed lists") {
