@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL ([[decodeImage]]/[[imageStats]] —
   * `javax.imageio`'s JDK-built-in PNG/JPEG/GIF/BMP readers, no external
-  * codec needed); audio/video decode remains a clearly-marked
-  * deterministic STUB (`fakeDecodeFeatures`, the container has no such
-  * codecs — builder brief), with undecodable bytes falling back to the
-  * stub path so one plan serves a mixed corpus. Everything Spark-side is
+  * codec needed), and so is AUDIO ([[decodeAudio]]/[[audioStats]] —
+  * `javax.sound.sampled`'s JDK-built-in WAV/AIFF/AU readers); video
+  * decode remains a clearly-marked deterministic STUB
+  * (`fakeDecodeFeatures`, the container has no video codec — builder
+  * brief), with undecodable bytes falling back to the stub path so one
+  * plan serves a mixed corpus. Everything Spark-side is
   * real and tested: the schema, the binary column handling, the
   * `mapPartitions` batch shape (the Scala analog of `mapInPandas` —
   * per-partition iteration so a decoder amortizes codec/model init
@@ -218,6 +220,106 @@ object Multimodal {
                 (bytes.length * 255.0)
             Row(r.getLong(idIdx), false,
               meta.getInt(0), meta.getInt(1), 0, mean, mean, mean)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** REAL audio decode — `javax.sound.sampled` ships WAV/AIFF/AU
+    * readers in the JDK, so this needs no external codec: bytes →
+    * (sample rate, channels, frames, duration seconds, RMS amplitude
+    * in [0,1]). None for bytes no installed reader accepts or PCM
+    * encodings outside the JDK's common set (8-bit signed/unsigned,
+    * 16-bit signed either endianness) — callers fall back to the stub
+    * path, mirroring [[decodeImage]]. RMS walks every sample of every
+    * channel normalized to [-1,1]; O(frames·channels), the decode
+    * already streamed those bytes. */
+  def decodeAudio(bytes: Array[Byte]): Option[(Float, Int, Long, Double, Double)] = {
+    if (bytes == null) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      // NonFatal like the image path: malformed containers throw
+      // RuntimeExceptions from the JDK parsers; a corrupt row must not
+      // kill the job
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val sr = fmt.getSampleRate
+      val ch = fmt.getChannels
+      val bits = fmt.getSampleSizeInBits
+      val enc = fmt.getEncoding
+      if (frames <= 0 || sr <= 0 || ch <= 0) return None
+      val signed16 = enc == AudioFormat.Encoding.PCM_SIGNED && bits == 16
+      val signed8 = enc == AudioFormat.Encoding.PCM_SIGNED && bits == 8
+      val unsigned8 = enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+      if (!signed16 && !signed8 && !unsigned8) return None
+      val data = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = ais.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = ais.read(chunk) }
+        buf.toByteArray
+      }
+      var sumSq = 0.0
+      var count = 0L
+      if (signed16) {
+        val big = fmt.isBigEndian
+        var i = 0
+        while (i + 1 < data.length) {
+          val s =
+            if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+          val x = s / 32768.0
+          sumSq += x * x; count += 1; i += 2
+        }
+      } else {
+        var i = 0
+        while (i < data.length) {
+          val x =
+            if (signed8) data(i) / 128.0
+            else ((data(i) & 0xff) - 128) / 128.0
+          sumSq += x * x; count += 1; i += 1
+        }
+      }
+      val rms = if (count == 0) 0.0 else math.sqrt(sumSq / count)
+      Some((sr, ch, frames, frames.toDouble / sr, rms))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally ais.close()
+  }
+
+  /** Audio statistics through the SAME `mapPartitions` decode boundary
+    * as [[imageStats]] — the REAL decoder in front, stub fallback
+    * behind: decodable blobs (JDK WAV/AIFF/AU) report actual sample
+    * rate / channels / duration / RMS (`decoded = true`); everything
+    * else falls back to zero metadata + the whole-blob byte mean as a
+    * stand-in amplitude (`decoded = false`), so one plan serves a
+    * mixed corpus of real audio and opaque payloads. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("sample_rate", DoubleType),
+      StructField("channels", IntegerType),
+      StructField("frames", LongType),
+      StructField("duration_sec", DoubleType),
+      StructField("rms", DoubleType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        decodeAudio(bytes) match {
+          case Some((sr, ch, frames, dur, rms)) =>
+            Row(r.getLong(idIdx), true, sr.toDouble, ch, frames, dur, rms)
+          case None =>
+            val mean =
+              if (bytes == null || bytes.isEmpty) 0.0
+              else bytes.map(b => (b & 0xff).toLong).sum.toDouble /
+                (bytes.length * 255.0)
+            Row(r.getLong(idIdx), false, 0.0, 0, 0L, 0.0, mean)
         }
       }
     }(RowEncoder.encoderFor(outSchema))

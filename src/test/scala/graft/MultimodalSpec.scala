@@ -71,6 +71,47 @@ class MultimodalSpec extends SparkSpec {
     assert(corpus.count() == Tables.documents(spark, sf0001).count())
   }
 
+  test("decodeAudio: real WAV decode — rate, channels, duration, RMS") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // a 0.5 s 440 Hz sine at amplitude 0.5, 16-bit mono PCM 8 kHz,
+    // written through the JDK's own WAV writer
+    val sr = 8000f
+    val n = 4000
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (amp * math.sin(2 * math.Pi * 440 * i / sr) * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte        // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sr, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val Some((rate, ch, frames, dur, rms)) = Multimodal.decodeAudio(wav)
+    assert(rate == 8000f && ch == 1 && frames == 4000L)
+    assert(math.abs(dur - 0.5) < 1e-9)
+    // a sine's RMS is amp/sqrt(2)
+    assert(math.abs(rms - amp / math.sqrt(2)) < 0.01, s"rms=$rms")
+    // opaque payloads don't decode
+    assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+
+    // audioStats: one plan serves real WAVs and opaque payloads
+    import spark.implicits._
+    val media = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", "opaque bytes".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "blob")
+    val stats = Multimodal.audioStats(media).orderBy("media_id").collect()
+    assert(stats(0).getBoolean(1) && stats(0).getDouble(2) == 8000.0 &&
+      stats(0).getLong(4) == 4000L)
+    assert(!stats(1).getBoolean(1) && stats(1).getDouble(2) == 0.0 &&
+      stats(1).getDouble(6) > 0.0) // byte-mean fallback amplitude
+  }
+
   test("synthesizeMedia produces typed binary + metadata schema") {
     val media = Multimodal.synthesizeMedia(
       Tables.documents(spark, sf0001), "doc_id", "text")
