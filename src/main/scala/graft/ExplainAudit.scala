@@ -121,6 +121,12 @@ object ExplainAudit {
                           //   TakeOrderedAndProject
       "q_sim_ivfpq_probe",// same, plus the stored-list isin filter
                           //   pushed at the codes scan
+      "q_ann_join",       // batch retrieval: expect the routed query
+                          //   side under a BroadcastExchange, the
+                          //   corpus scanned map-side (NearestCentroid
+                          //   assignment, no corpus shuffle), and ONE
+                          //   qid-keyed exchange for the per-query
+                          //   top-k window — candidate-proportional
       "q_ema_seg")        // expect TWO hash aggregations (chunk-level
                           //   then key-level segmented scan) — no
                           //   one-partition window, no full-series

@@ -466,6 +466,105 @@ object Similarity {
       collectQueryVector(v, queryId), k, idOut = id, excludeId = Some(queryId))
   }
 
+  /** BATCH ANN JOIN — top-k approximate neighbors for EVERY query
+    * vector at once: the retrieval shape a training-data pipeline needs
+    * (cross-dataset near-dup sweeps, hard-negative mining, corpus
+    * matching), where the single-query probes above are the serving
+    * shape. IVF composition, all pieces already oracle-verified:
+    *  - coarse lists: the SEEDED quantizer on the CORPUS (first `nlist`
+    *    vectors by id — deterministic), corpus rows assigned map-side
+    *    by [[NearestCentroid]];
+    *  - query routing: each query's `nprobe` nearest centroids computed
+    *    AS EXPRESSIONS — per-centroid [[VectorExpressions.CosineSim]]
+    *    (the codegen'd sequential loop, bit-identical to the driver's
+    *    [[localCosine]]) ranked by the same (−sim, pos) order as
+    *    [[probedLists]] — then exploded to (qid, list): nprobe rows per
+    *    query, no driver collect of the query set;
+    *  - candidate join: the routed query side BROADCASTS (nprobe
+    *    id+vector rows per query), so the corpus scan stays map-side
+    *    with ZERO corpus shuffle; candidates ≈ nprobe/nlist of the
+    *    corpus per query;
+    *  - exact cosine on candidates + per-query top-k: ONE shuffle,
+    *    keyed by qid, sized by the CANDIDATE set — never the corpus.
+    * Self-pairs (equal ids) are excluded so a corpus can query itself.
+    * Output: (query_id, `id`, cos_sim), top `k` per query, ties by id. */
+  def annJoin(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, nlist: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    val v = corpus.select(col(id).as("vid"),
+      transform(col(vec), _.cast("double")).as("v"))
+    val q = queries.select(col(id).as("qid"),
+      transform(col(vec), _.cast("double")).as("qv"))
+    val coarse = seededCentroids(v, nlist)
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe=$nprobe must be in [1, ${coarse.length}]")
+    val simPos = (1 to coarse.length).map { pos =>
+      struct(cosine(col("qv"), array(coarse(pos - 1).map(lit): _*)).as("cs"),
+        lit(pos).as("pos"))
+    }
+    val ranked = array_sort(array(simPos: _*), (l, r) =>
+      when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        .when(l.getField("pos") < r.getField("pos"), -1)
+        .otherwise(1))
+    val routed = q.select(col("qid"), col("qv"),
+      explode(transform(slice(ranked, 1, nprobe),
+        s => s.getField("pos"))).as("list"))
+    val assigned = v.select(col("vid"), col("v"),
+      NearestCentroid(col("v"), coarse).as("list"))
+    assigned.join(broadcast(routed), Seq("list"))
+      .where(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        cosine(col("v"), col("qv")).as("cos_sim"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("vid").asc)))
+      .where(col("_rn") <= k).drop("_rn")
+      .select(col("qid").as("query_id"), col("vid").as(id), col("cos_sim"))
+      .orderBy(col("query_id"), col("cos_sim").desc, col(id))
+  }
+
+  /** Oracle for [[annJoin]] with the query set `vec_id < nq` drawn from
+    * the corpus itself: the [[ivfSeededOracleSql]] CTE machinery with
+    * the single query row generalized to a query TABLE — per-query
+    * probe ranking and per-query top-k are the same window, partitioned
+    * by qid. */
+  def annJoinOracleSql(nq: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                       dim: Int = OracleDim): String =
+    s"""WITH seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |sim AS (
+       |  SELECT e.vec_id, s.pos, ${cosineSql("e.embedding", "s.ce", dim)} AS cs
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |asg AS (
+       |  SELECT vec_id, pos FROM (
+       |    SELECT vec_id, pos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM sim) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nq),
+       |qsim AS (
+       |  SELECT q.qid, s.pos, ${cosineSql("q.qe", "s.ce", dim)} AS cs
+       |  FROM q CROSS JOIN seeds s),
+       |probe AS (
+       |  SELECT qid, pos FROM (
+       |    SELECT qid, pos,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM qsim) WHERE rn <= $nprobe)
+       |SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT cand.*, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+       |  FROM (
+       |    SELECT q.qid AS query_id, e.vec_id,
+       |           ${cosineSql("e.embedding", "q.qe", dim)} AS cos_sim
+       |    FROM embeddings e
+       |    JOIN asg ON asg.vec_id = e.vec_id
+       |    JOIN probe ON probe.pos = asg.pos
+       |    JOIN q ON q.qid = probe.qid
+       |    WHERE e.vec_id <> q.qid) cand)
+       |WHERE rn <= $k
+       |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
+
   /** Coarse-list probe selection — the driver loop shared by the fused
     * [[ivfPqTopK]] and the artifact probe [[ivfPqProbeFromDir]], so the
     * two paths can never rank lists differently: nearest `nprobe`

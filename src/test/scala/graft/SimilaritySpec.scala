@@ -220,6 +220,37 @@ class SimilaritySpec extends SparkSpec {
     assert(probe == fused, s"ivfpq artifact probe diverged:\n$probe\nvs\n$fused")
   }
 
+  test("annJoin: per-query top-k equals the single-query IVF probe; planted recall") {
+    val rnd = new scala.util.Random(61)
+    val dim = 32
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0L until 200L).map(i => (i, vec()))
+    // plant: 150+i is a noisy copy of i for the three query ids
+    val planted = base.map { case (i, v) =>
+      if (i >= 150L && i < 153L) {
+        val src = base((i - 150L).toInt)._2
+        (i, src.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      } else (i, v)
+    }
+    val emb = planted.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val joined = Similarity.annJoin(emb,
+        emb.where($"vec_id" < 3), "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // bit-exact parity with the already-oracled single-query probe,
+    // query by query (same seeded centroids, same routing order, same
+    // scoring loop)
+    (0L until 3L).foreach { qid =>
+      val single = Similarity.ivfSeededTopK(emb, "vec_id", "embedding", qid, 10)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined.filter(_._1 == qid) == single, s"qid=$qid diverged")
+    }
+    // the planted near-copy is every query's top hit
+    (0L until 3L).foreach { qid =>
+      assert(joined.filter(_._1 == qid).head._2 == 150L + qid,
+        s"qid=$qid did not recall its planted copy")
+    }
+  }
+
   test("ivfPqTopK recalls planted near neighbors and agrees with PQ on probed lists") {
     val rnd = new scala.util.Random(41)
     val dim = 32
