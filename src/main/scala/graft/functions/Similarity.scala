@@ -615,6 +615,56 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** The stored codebooks as driver arrays — shared by the probes and
+    * the incremental appenders so every consumer decodes the artifact
+    * identically: `books(s)(c)` is subspace `s`'s codeword at 1-based
+    * position `c + 1`. */
+  private def readBooks(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Array[Array[Array[Double]]] = {
+    val collected = spark.read.parquet(s"$dir/codebooks")
+      .select(col("s"), col("pos"), col("codeword")).collect()
+    require(collected.nonEmpty, "empty codebooks artifact")
+    val m = collected.map(_.getInt(0)).max + 1
+    Array.tabulate(m) { s =>
+      collected.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+  }
+
+  /** INCREMENTAL INDEXING: encode NEW vectors with the STORED
+    * codebooks (+ coarse centroids when the layout has them) and append
+    * to `dir/codes` — the index-maintenance shape that makes the
+    * artifacts append-forever: no retraining, no rewrite of existing
+    * rows, one map-side encode pass per batch. Codebook drift under a
+    * shifting corpus is handled by periodic re-train + re-encode (a new
+    * dir), never per-append. Callers own id-disjointness — re-appending
+    * an id duplicates it, like any append-only table. Works on both the
+    * [[pqWriteArtifacts]] layout (codes = vid, code) and the
+    * [[ivfPqWriteArtifacts]] layout (codes = vid, list, code — detected
+    * by the `coarse` table's presence). */
+  def pqAppendToDir(newVecs: DataFrame, id: String, vec: String,
+                    dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val v = newVecs.select(col(id).as("vid"),
+      transform(col(vec), _.cast("double")).as("v"))
+    val books = readBooks(spark, dir)
+    val m = books.length
+    val sub = books.head.head.length
+    val code = array((0 until m).map { s =>
+      NearestCentroid(slice(col("v"), s * sub + 1, sub), books(s))
+    }: _*).as("code")
+    val coarsePath = new org.apache.hadoop.fs.Path(s"$dir/coarse")
+    val hasCoarse = coarsePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(coarsePath)
+    val encoded =
+      if (hasCoarse) {
+        val coarse = spark.read.parquet(s"$dir/coarse").collect()
+          .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+        v.select(col("vid"), NearestCentroid(col("v"), coarse).as("list"), code)
+      } else v.select(col("vid"), code)
+    encoded.write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** The probe half of [[ivfPqWriteArtifacts]]: select `nprobe` lists
     * against the stored coarse centroids, then ADC-score ONLY the codes
     * rows in those lists via [[pqProbeCodes]] — one filtered scan of

@@ -220,6 +220,57 @@ class SimilaritySpec extends SparkSpec {
     assert(probe == fused, s"ivfpq artifact probe diverged:\n$probe\nvs\n$fused")
   }
 
+  test("pqAppendToDir: incremental encode with stored codebooks, probes see appended rows") {
+    val rnd = new scala.util.Random(67)
+    val dim = 32
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0L until 150L).map(i => (i, vec()))
+    val emb = base.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_incr").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      nlist = 16, m = 4, ks = 8, iters = 2, dim = dim)
+    val probeBefore = Similarity.ivfPqProbeFromDir(emb, "vec_id", "embedding",
+      dir, 0L, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // append 50 new vectors, one a planted near-copy of the query
+    val q0 = base(0)._2
+    val extra = (150L until 200L).map { i =>
+      val v = if (i == 170L) q0.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+              else vec()
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    Similarity.pqAppendToDir(extra, "vec_id", "embedding", dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == 200L)
+    // appended rows carry the SAME encoding the original write produces:
+    // original rows are untouched and a probe sees old + new together
+    val probeAfter = Similarity.ivfPqProbeFromDir(emb, "vec_id", "embedding",
+      dir, 0L, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeAfter.map(_._1).contains(170L),
+      s"appended near-copy not recalled: $probeAfter")
+    // old candidates keep their exact ADC scores (codebooks unchanged)
+    val afterMap = probeAfter.toMap
+    probeBefore.foreach { case (vid, s) =>
+      afterMap.get(vid).foreach(s2 => assert(s2 == s, s"score drifted for $vid"))
+    }
+    // determinism: appending the same batch to a twin dir yields
+    // byte-identical code rows
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_incr2").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir2,
+      nlist = 16, m = 4, ks = 8, iters = 2, dim = dim)
+    Similarity.pqAppendToDir(extra, "vec_id", "embedding", dir2)
+    def codeRows(d: String) = spark.read.parquet(s"$d/codes")
+      .selectExpr("vid", "list", "cast(code as string)")
+      .collect().map(_.toString).sorted.toSeq
+    assert(codeRows(dir) == codeRows(dir2))
+    // the flat PQ layout appends too (no coarse table -> no list column)
+    val pdir = java.nio.file.Files.createTempDirectory("pq_incr").toString
+    Similarity.pqWriteArtifacts(emb, "vec_id", "embedding", pdir,
+      m = 4, ks = 8, iters = 2, dim = dim)
+    Similarity.pqAppendToDir(extra, "vec_id", "embedding", pdir)
+    val pcodes = spark.read.parquet(s"$pdir/codes")
+    assert(pcodes.count() == 200L && !pcodes.columns.contains("list"))
+  }
+
   test("annJoin: per-query top-k equals the single-query IVF probe; planted recall") {
     val rnd = new scala.util.Random(61)
     val dim = 32
