@@ -159,6 +159,14 @@ object ScaleProbe {
     // the knob the operator's scale story depends on
     probe("semdedup @40k nlist=256")(warmEmb())(
       Similarity.semDedup(bigEmb, "vec_id", "embedding", nlist = 256).count())
+    // BATCH retrieval at 20× the corpus: 100 queries × nprobe lists
+    // broadcast against the 40k-vector corpus — candidates ≈
+    // nprobe/nlist of the corpus per query, top-k shuffle sized by
+    // candidates, never the corpus. nlist scales with the corpus (256)
+    // so the per-list fan-out stays ~160 vectors.
+    probe("ann_join 100q @40k nlist=256")(warmEmb())(
+      Similarity.annJoin(bigEmb, bigEmb.where(col("vec_id") < 100),
+        "vec_id", "embedding", 10, nlist = 256, nprobe = 8).count())
     // the cross-modal composition (q_pipeline_semantic shape) at the
     // replicated corpora: embedding-side drops anti-joined into the
     // document-side quality gate — only doc_id keys cross modalities.

@@ -776,6 +776,73 @@ class StreamingSpec extends SparkSpec {
     assert(NearDupGate.curateBatch(tpl(common1, 3000, 3), out, state, buckets = 4) == 3L)
   }
 
+  test("NearDupGate property: invariants hold under a random flood/mitigation sequence") {
+    // randomized (fixed-seed) interleaving of short-doc duplicate
+    // floods, diverse boilerplate batches, fresh docs, and maintenance.
+    // Afterwards, regardless of what got mined or deduped:
+    //  (a) an exact copy of ANY seen short doc still drops — the
+    //      fingerprint channel (band = -1) is deduped, never dropped;
+    //  (b) a genuinely fresh doc still admits;
+    //  (c) a near-dup variant of a previously admitted fresh doc still
+    //      drops — unique docs' band keys can never become hot;
+    //  (d) immediately after each mitigation, no band key in the state
+    //      exceeds the maxBandMembers bound (the per-probe fan-out cap).
+    // (An exact copy of a PRE-mitigation all-boilerplate doc is the one
+    // deliberate non-invariant: mining erased its entire channel — the
+    // dropShingles semantics, pinned in the diverse-boilerplate test.)
+    import graft.streaming.NearDupGate
+    val rnd = new scala.util.Random(97)
+    val dir = java.nio.file.Files.createTempDirectory("neardup-prop").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val common = (0 until 200).map(i => s"pp$i").mkString(" ")
+    var nextId = 5000L
+    def id(): Long = { nextId += 1; nextId }
+    val shortSeen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val freshSeen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def curate(rows: Seq[(Long, String)]): Long =
+      NearDupGate.curateBatch(rows.toDF("doc_id", "text"), out, state, buckets = 4)
+    def maxMembership: Long =
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$state/bands")
+        .groupBy("band", "band_hash").count()
+        .agg(max("count")).head().getLong(0)
+    for (step <- 0 until 6) {
+      rnd.nextInt(3) match {
+        case 0 => // duplicate flood of one short doc
+          val text = s"tiny flood ${rnd.nextInt(3)}"
+          curate((0 until 15).map(_ => (id(), text)))
+          shortSeen += text
+        case 1 => // diverse boilerplate: shared template, unique tails
+          curate((0 until 12).map { _ =>
+            val i = id(); (i, s"$common u$i v$i")
+          })
+        case 2 => // fresh unique long docs
+          val docs = (0 until 3).map { _ =>
+            val i = id()
+            (i, (0 until 60).map(j => s"f${i}w$j").mkString(" "))
+          }
+          assert(curate(docs) == 3L, s"step $step: fresh docs must admit")
+          freshSeen ++= docs.map(_._2)
+      }
+      if (rnd.nextBoolean()) {
+        NearDupGate.mitigateHotBands(spark, out, state,
+          targetBytes = 1L, maxBandMembers = 10L)
+        assert(maxMembership < 10L,
+          s"step $step: mitigation left a key over the fan-out bound")
+      }
+    }
+    // (a) every distinct seen short doc's exact copy drops
+    shortSeen.distinct.foreach { t =>
+      assert(curate(Seq((id(), t))) == 0L, s"seen short doc readmitted: $t")
+    }
+    // (b) fresh admits, (c) its near-dup variant drops
+    freshSeen.headOption.foreach { t =>
+      assert(curate(Seq((id(), t.replace("w7 ", "w7x ")))) == 0L,
+        "near-dup variant of an admitted fresh doc passed the gate")
+    }
+    assert(curate(Seq((id(),
+      (0 until 60).map(j => s"brandnew$j").mkString(" ")))) == 1L)
+  }
+
   test("NearDupGate: hot short-doc fingerprints dedupe without losing exactness") {
     // the OTHER hot-key shape: a ubiquitous short doc. Its band = -1
     // fingerprint rows accrete one per processed copy; dropping the key
