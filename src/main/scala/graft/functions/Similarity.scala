@@ -496,20 +496,7 @@ object Similarity {
     val q = queries.select(col(id).as("qid"),
       transform(col(vec), _.cast("double")).as("qv"))
     val coarse = seededCentroids(v, nlist)
-    require(nprobe >= 1 && nprobe <= coarse.length,
-      s"nprobe=$nprobe must be in [1, ${coarse.length}]")
-    val simPos = (1 to coarse.length).map { pos =>
-      struct(cosine(col("qv"), array(coarse(pos - 1).map(lit): _*)).as("cs"),
-        lit(pos).as("pos"))
-    }
-    val ranked = array_sort(array(simPos: _*), (l, r) =>
-      when(l.getField("cs") > r.getField("cs"), -1)
-        .when(l.getField("cs") < r.getField("cs"), 1)
-        .when(l.getField("pos") < r.getField("pos"), -1)
-        .otherwise(1))
-    val routed = q.select(col("qid"), col("qv"),
-      explode(transform(slice(ranked, 1, nprobe),
-        s => s.getField("pos"))).as("list"))
+    val routed = routeQueries(q, coarse, nprobe)
     val assigned = v.select(col("vid"), col("v"),
       NearestCentroid(col("v"), coarse).as("list"))
     assigned.join(broadcast(routed), Seq("list"))
@@ -522,6 +509,80 @@ object Similarity {
       .where(col("_rn") <= k).drop("_rn")
       .select(col("qid").as("query_id"), col("vid").as(id), col("cos_sim"))
       .orderBy(col("query_id"), col("cos_sim").desc, col(id))
+  }
+
+  /** Per-query probe routing AS EXPRESSIONS — [[annJoin]]'s query side,
+    * shared with the artifact twin: cosine to each centroid literal
+    * (the codegen'd sequential [[VectorExpressions.CosineSim]],
+    * bit-identical to the driver [[localCosine]] loop), ranked by the
+    * same (−sim, pos) order as [[probedLists]], exploded to
+    * (qid, qv, list) — `nprobe` rows per query, no driver collect of
+    * the query set. */
+  private def routeQueries(q: DataFrame, coarse: Array[Array[Double]],
+                           nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe=$nprobe must be in [1, ${coarse.length}]")
+    val simPos = (1 to coarse.length).map { pos =>
+      struct(cosine(col("qv"), array(coarse(pos - 1).map(lit): _*)).as("cs"),
+        lit(pos).as("pos"))
+    }
+    val ranked = array_sort(array(simPos: _*), (l, r) =>
+      when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        .when(l.getField("pos") < r.getField("pos"), -1)
+        .otherwise(1))
+    q.select(col("qid"), col("qv"),
+      explode(transform(slice(ranked, 1, nprobe),
+        s => s.getField("pos"))).as("list"))
+  }
+
+  /** BATCH retrieval over the PERSISTED index — [[annJoin]]'s query-set
+    * shape composed with [[ivfPqWriteArtifacts]]'s storage: route every
+    * query against the stored coarse centroids, then ADC-score the
+    * stored codes in the probed lists, all in ONE plan with zero
+    * training jobs and zero codes-table shuffle (the routed queries
+    * broadcast; the only exchange is the candidate-sized per-query
+    * top-k). With a query COLUMN the [[pqProbeCodes]] lookup table
+    * cannot be a driver literal, so each subspace instead contributes
+    * `DotProduct(codebook[s][code_s], qv_s)` with the codebook as a
+    * nested array literal — the same sequential loop, bit-identical per
+    * query to the single-query probe ([[graft.SimilaritySpec]] pins
+    * it). Output: (query_id, `id`, adc_dot), top `k` per query. */
+  def annJoinPqFromDir(queries: DataFrame, id: String, vec: String,
+                       dir: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col(id).as("qid"),
+      transform(col(vec), _.cast("double")).as("qv"))
+    val coarse = spark.read.parquet(s"$dir/coarse").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+    require(coarse.nonEmpty, "empty coarse-centroid artifact")
+    val books = readBooks(spark, dir)
+    val m = books.length
+    val sub = books.head.head.length
+    val routed = routeQueries(q, coarse, nprobe)
+    val bookLits = books.map(book =>
+      array(book.map(cw => array(cw.map(lit): _*)): _*))
+    val score = (0 until m).map { s =>
+      VectorExpressions.dotProduct(
+        element_at(bookLits(s), element_at(col("code"), s + 1)),
+        slice(col("qv"), s * sub + 1, sub))
+    }.reduceLeft(_ + _)
+    // the same codes-width guard as pqProbeCodes: mismatched artifacts
+    // fail loudly, never null-rank
+    val checked = when(size(col("code")) === m, score)
+      .otherwise(raise_error(concat(
+        lit(s"pq codes artifact width "), size(col("code")).cast("string"),
+        lit(s" does not match codebooks m=$m"))).cast("double"))
+    spark.read.parquet(s"$dir/codes")
+      .join(broadcast(routed), Seq("list"))
+      .where(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), checked.as("adc_dot"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("adc_dot").desc, col("vid").asc)))
+      .where(col("_rn") <= k).drop("_rn")
+      .select(col("qid").as("query_id"), col("vid").as(id), col("adc_dot"))
+      .orderBy(col("query_id"), col("adc_dot").desc, col(id))
   }
 
   /** Oracle for [[annJoin]] with the query set `vec_id < nq` drawn from
@@ -822,8 +883,12 @@ object Similarity {
     * final assignment `fa{s}`, query LUT `lut{s}`, and per-doc subspace
     * score `sc{s}` — shared by [[pqOracleSql]] and [[ivfPqOracleSql]]
     * so the composition can never drift from the pure-PQ oracle. */
-  private def pqSubCtes(s: Int, queryId: Long, ks: Int, iters: Int,
-                        sub: Int): String = {
+  /** The query-independent half of one subspace's ADC machinery:
+    * slice extraction, seeded init, `iters` unrolled deterministic-fold
+    * Lloyd rounds, final assignments (`fa$s`). Shared by the
+    * single-query tail ([[pqSubCtes]]) and the query-table tail
+    * ([[pqSubCtesBatch]]). */
+  private def pqTrainCtes(s: Int, ks: Int, iters: Int, sub: Int): String = {
     val lo = s * sub + 1
     val hi = (s + 1) * sub
     val foldList = (1 to sub)
@@ -859,14 +924,31 @@ object Similarity {
        |  SELECT vec_id, pos FROM (
        |    SELECT vec_id, pos,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
-       |    FROM fs$s) WHERE rn = 1),
+       |    FROM fs$s) WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqSubCtes(s: Int, queryId: Long, ks: Int, iters: Int,
+                        sub: Int): String =
+    s"""${pqTrainCtes(s, ks, iters, sub)},
        |q$s AS (SELECT ev AS qe FROM e$s WHERE vec_id = $queryId),
        |lut$s AS (
        |  SELECT c.pos, ${dotSql("c.ce", "q.qe", sub)} AS d
        |  FROM c${s}_$iters c CROSS JOIN q$s q),
        |sc$s AS (
        |  SELECT fa.vec_id, l.d FROM fa$s fa JOIN lut$s l ON fa.pos = l.pos)""".stripMargin
-  }
+
+  /** [[pqSubCtes]] with the single query generalized to the query TABLE
+    * `vec_id < nq`: lut and scores carry a `qid` key. */
+  private def pqSubCtesBatch(s: Int, nq: Long, ks: Int, iters: Int,
+                             sub: Int): String =
+    s"""${pqTrainCtes(s, ks, iters, sub)},
+       |q$s AS (SELECT vec_id AS qid, ev AS qe FROM e$s WHERE vec_id < $nq),
+       |lut$s AS (
+       |  SELECT q.qid, c.pos, ${dotSql("c.ce", "q.qe", sub)} AS d
+       |  FROM c${s}_$iters c CROSS JOIN q$s q),
+       |sc$s AS (
+       |  SELECT l.qid, fa.vec_id, l.d
+       |  FROM fa$s fa JOIN lut$s l ON fa.pos = l.pos)""".stripMargin
 
   /** Oracle for [[ivfPqTopK]]: [[ivfSeededOracleSql]]'s coarse
     * seeds/assignment/probe CTEs (prefixed `c`) composed with
@@ -910,6 +992,56 @@ object Similarity {
        |  WHERE casg.pos IN (SELECT pos FROM cprobe)
        |    AND sc0.vec_id <> $queryId)
        |ORDER BY adc_dot DESC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Oracle for [[annJoinPqFromDir]] with the query set `vec_id < nq`:
+    * [[ivfPqOracleSql]]'s coarse + per-subspace machinery with every
+    * query-dependent CTE generalized to carry a `qid` key
+    * ([[pqSubCtesBatch]]); the artifact path replays the identical
+    * doubles because codebooks/coarse/codes are a pure function of the
+    * corpus and params. */
+  def annJoinPqOracleSql(nq: Long, k: Int, nlist: Int = 16,
+                         nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                         iters: Int = 2, dim: Int = OracleDim): String = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val joins = (1 until m)
+      .map(s => s"    JOIN sc$s ON sc$s.qid = sc0.qid AND sc$s.vec_id = sc0.vec_id")
+      .mkString("\n")
+    val sum = (0 until m).map(s => s"sc$s.d").mkString(" + ")
+    s"""WITH cseeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |csim AS (
+       |  SELECT e.vec_id, s.pos, ${cosineSql("e.embedding", "s.ce", dim)} AS cs
+       |  FROM embeddings e CROSS JOIN cseeds s),
+       |casg AS (
+       |  SELECT vec_id, pos FROM (
+       |    SELECT vec_id, pos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM csim) WHERE rn = 1),
+       |cq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nq),
+       |cqsim AS (
+       |  SELECT cq.qid, s.pos, ${cosineSql("cq.qe", "s.ce", dim)} AS cs
+       |  FROM cq CROSS JOIN cseeds s),
+       |cprobe AS (
+       |  SELECT qid, pos FROM (
+       |    SELECT qid, pos,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, pos ASC) AS rn
+       |    FROM cqsim) WHERE rn <= $nprobe),
+       |${(0 until m).map(pqSubCtesBatch(_, nq, ks, iters, sub)).mkString(",\n")}
+       |SELECT query_id, vec_id, adc_dot FROM (
+       |  SELECT cand.*, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dot DESC, vec_id ASC) AS rn
+       |  FROM (
+       |    SELECT sc0.qid AS query_id, sc0.vec_id, $sum AS adc_dot
+       |    FROM sc0
+       |$joins
+       |    JOIN casg ON casg.vec_id = sc0.vec_id
+       |    JOIN cprobe ON cprobe.qid = sc0.qid AND cprobe.pos = casg.pos
+       |    WHERE sc0.vec_id <> sc0.qid) cand)
+       |WHERE rn <= $k
+       |ORDER BY query_id, adc_dot DESC, vec_id""".stripMargin
   }
 
   /** ⟨a,b⟩ as the left-associated chain matching the sequential

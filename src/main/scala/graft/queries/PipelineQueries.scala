@@ -483,6 +483,17 @@ object PipelineQueries {
     Similarity.ivfPqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
 
+  /** Batch ADC retrieval over the PERSISTED IVF-PQ index
+    * ([[Similarity.annJoinPqFromDir]]) — the query-set twin of
+    * `q_sim_ivfpq_probe`: stored coarse routing + stored codes, the
+    * whole query set in one plan, zero training jobs. */
+  def simAnnJoinPq(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"ivfpq:$d")(
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
+    Similarity.annJoinPqFromDir(embChecked(s, d).where(col("vec_id") < 4),
+      "vec_id", "embedding", dir, 5)
+  }
+
   /** Batch ANN join ([[Similarity.annJoin]]) — top-k neighbors for
     * EVERY query vector in one plan (cross-dataset retrieval /
     * hard-negative mining), queries drawn from the corpus itself
@@ -651,6 +662,7 @@ object PipelineQueries {
     "q_sim_ivfpq"      -> (simIvfPq _),
     "q_sim_ivfpq_probe" -> (simIvfPqProbe _),
     "q_ann_join"       -> (simAnnJoin _),
+    "q_ann_join_pq"    -> (simAnnJoinPq _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -1028,6 +1040,7 @@ object PipelineQueries {
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),
     "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10),
     "q_ann_join" -> Similarity.annJoinOracleSql(8L, 5),
+    "q_ann_join_pq" -> Similarity.annJoinPqOracleSql(4L, 5),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for

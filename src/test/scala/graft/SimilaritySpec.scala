@@ -220,6 +220,30 @@ class SimilaritySpec extends SparkSpec {
     assert(probe == fused, s"ivfpq artifact probe diverged:\n$probe\nvs\n$fused")
   }
 
+  test("annJoinPqFromDir: batch ADC over stored artifacts equals the single-query probe") {
+    val rnd = new scala.util.Random(71)
+    val dim = 32
+    val emb = (0L until 200L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_batch").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      nlist = 16, m = 4, ks = 8, iters = 2, dim = dim)
+    val joined = Similarity.annJoinPqFromDir(
+        emb.where($"vec_id" < 3), "vec_id", "embedding", dir, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // bit-exact, query by query, vs the single-query artifact probe:
+    // same stored coarse routing (expression vs driver loop), same
+    // stored codes, same asymmetric per-subspace sum (column-side
+    // DotProduct vs driver lut literals)
+    (0L until 3L).foreach { qid =>
+      val single = Similarity.ivfPqProbeFromDir(emb, "vec_id", "embedding",
+          dir, qid, 10)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(joined.filter(_._1 == qid) == single, s"qid=$qid diverged")
+    }
+  }
+
   test("pqAppendToDir: incremental encode with stored codebooks, probes see appended rows") {
     val rnd = new scala.util.Random(67)
     val dim = 32
