@@ -461,8 +461,8 @@ object Similarity {
                      queryId: Long, k: Int): DataFrame = {
     val spark = emb.sparkSession
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    pqProbeCodes(spark.read.parquet(s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"),
+    pqProbeCodes(readArtifact(spark, s"$dir/codebooks"),
+      readArtifact(spark, s"$dir/codes"),
       collectQueryVector(v, queryId), k, idOut = id, excludeId = Some(queryId))
   }
 
@@ -553,7 +553,7 @@ object Similarity {
     val spark = queries.sparkSession
     val q = queries.select(col(id).as("qid"),
       transform(col(vec), _.cast("double")).as("qv"))
-    val coarse = spark.read.parquet(s"$dir/coarse").collect()
+    val coarse = readArtifact(spark, s"$dir/coarse").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     require(coarse.nonEmpty, "empty coarse-centroid artifact")
     val books = readBooks(spark, dir)
@@ -573,7 +573,7 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"pq codes artifact width "), size(col("code")).cast("string"),
         lit(s" does not match codebooks m=$m"))).cast("double"))
-    spark.read.parquet(s"$dir/codes")
+    readArtifact(spark, s"$dir/codes")
       .join(broadcast(routed), Seq("list"))
       .where(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"), checked.as("adc_dot"))
@@ -676,13 +676,26 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
+  /** Artifact-table read honoring an optional
+    * [[graft.streaming.Snapshot]] manifest on the dir: when the caller
+    * inited snapshots (typically on `codes`, the only growing table), a
+    * probe lists files from the latest COMMITTED manifest — so a probe
+    * concurrent with an in-flight [[pqAppendToDir]] or a compaction
+    * sees a consistent committed row set, never a half-written file.
+    * Plain directory read otherwise. */
+  private def readArtifact(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    (if (graft.streaming.Snapshot.enabled(spark, path))
+       graft.streaming.Snapshot.readVersion(spark, path)
+     else None).getOrElse(spark.read.parquet(path))
+
   /** The stored codebooks as driver arrays — shared by the probes and
     * the incremental appenders so every consumer decodes the artifact
     * identically: `books(s)(c)` is subspace `s`'s codeword at 1-based
     * position `c + 1`. */
   private def readBooks(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Array[Array[Array[Double]]] = {
-    val collected = spark.read.parquet(s"$dir/codebooks")
+    val collected = readArtifact(spark, s"$dir/codebooks")
       .select(col("s"), col("pos"), col("codeword")).collect()
     require(collected.nonEmpty, "empty codebooks artifact")
     val m = collected.map(_.getInt(0)).max + 1
@@ -719,11 +732,15 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(coarsePath)
     val encoded =
       if (hasCoarse) {
-        val coarse = spark.read.parquet(s"$dir/coarse").collect()
+        val coarse = readArtifact(spark, s"$dir/coarse").collect()
           .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
         v.select(col("vid"), NearestCentroid(col("v"), coarse).as("list"), code)
       } else v.select(col("vid"), code)
     encoded.write.mode("append").parquet(s"$dir/codes")
+    // snapshot-enabled codes table: publish the append atomically —
+    // probes keep reading the previous manifest until this commit lands
+    if (graft.streaming.Snapshot.enabled(spark, s"$dir/codes"))
+      graft.streaming.Snapshot.commit(spark, s"$dir/codes", Seq(""))
   }
 
   /** The probe half of [[ivfPqWriteArtifacts]]: select `nprobe` lists
@@ -740,13 +757,13 @@ object Similarity {
     val spark = emb.sparkSession
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
     val qv = collectQueryVector(v, queryId)
-    val coarse = spark.read.parquet(s"$dir/coarse").collect()
+    val coarse = readArtifact(spark, s"$dir/coarse").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     require(coarse.nonEmpty, "empty coarse-centroid artifact")
     val probed = probedLists(coarse, qv, nprobe)
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = readArtifact(spark, s"$dir/codes")
       .where(col("list").isin(probed.map(Integer.valueOf): _*))
-    pqProbeCodes(spark.read.parquet(s"$dir/codebooks"), codes.drop("list"),
+    pqProbeCodes(readArtifact(spark, s"$dir/codebooks"), codes.drop("list"),
       qv, k, idOut = id, excludeId = Some(queryId))
   }
 

@@ -295,6 +295,46 @@ class SimilaritySpec extends SparkSpec {
     assert(pcodes.count() == 200L && !pcodes.columns.contains("list"))
   }
 
+  test("ANN artifact snapshots: probes read committed manifests; in-flight appends invisible") {
+    import graft.streaming.Snapshot
+    import org.apache.hadoop.fs.Path
+    val rnd = new scala.util.Random(79)
+    val dim = 32
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq
+    val emb = (0L until 150L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_snap").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      nlist = 16, m = 4, ks = 8, iters = 2, dim = dim)
+    val codes = s"$dir/codes"
+    val fs = new Path(codes).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshot.init(spark, codes)
+    Snapshot.commit(spark, codes, Seq(""))
+    def probe() = Similarity.ivfPqProbeFromDir(emb, "vec_id", "embedding",
+      dir, 0L, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = probe()
+    // simulate an IN-FLIGHT append (files landed, commit not yet):
+    // hide the manifest dir during the append so its auto-commit is
+    // skipped, exactly the crash/concurrency window
+    val snapDir = new Path(codes, "_snapshots")
+    val hidden = new Path(codes, ".snapshots_hidden")
+    require(fs.rename(snapDir, hidden))
+    val extra = (150L until 200L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    Similarity.pqAppendToDir(extra, "vec_id", "embedding", dir)
+    require(fs.rename(hidden, snapDir))
+    // a probe via the manifest must NOT see the uncommitted files
+    assert(probe() == before, "probe saw an uncommitted append")
+    // publish: the same full-re-list commit pqAppendToDir issues
+    Snapshot.commit(spark, codes, Seq(""))
+    assert(Snapshot.readVersion(spark, codes).get.count() == 200L)
+    // and a snapshot-enabled append auto-commits a new version
+    val v1 = Snapshot.latestVersion(spark, codes).get
+    Similarity.pqAppendToDir(
+      (200L until 210L).map(i => (i, vec())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(Snapshot.latestVersion(spark, codes).get > v1)
+    assert(Snapshot.readVersion(spark, codes).get.count() == 210L)
+  }
+
   test("annJoin: per-query top-k equals the single-query IVF probe; planted recall") {
     val rnd = new scala.util.Random(61)
     val dim = 32
