@@ -274,7 +274,7 @@ object Similarity {
     * one copy so a tie-break or cast change can never break one
     * caller's oracle parity silently. `v` must carry (vid, v:
     * array<double>). */
-  private def seededCentroids(v: DataFrame, nlist: Int): Array[Array[Double]] = {
+  private[graft] def seededCentroids(v: DataFrame, nlist: Int): Array[Array[Double]] = {
     val cents = v.orderBy("vid").limit(nlist).collect().map(_.getSeq[Double](1).toArray)
     require(cents.nonEmpty, "seeded quantizer needs a non-empty corpus")
     cents
@@ -518,7 +518,7 @@ object Similarity {
     * same (−sim, pos) order as [[probedLists]], exploded to
     * (qid, qv, list) — `nprobe` rows per query, no driver collect of
     * the query set. */
-  private def routeQueries(q: DataFrame, coarse: Array[Array[Double]],
+  private[graft] def routeQueries(q: DataFrame, coarse: Array[Array[Double]],
                            nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= coarse.length,
       s"nprobe=$nprobe must be in [1, ${coarse.length}]")
