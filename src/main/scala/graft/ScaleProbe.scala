@@ -359,6 +359,50 @@ object ScaleProbe {
         "band key(s); post-mitigation flood batches do not regrow them")
     }
 
+    // ---- streaming SEMANTIC gate: list-pruned embedding state probes --
+    // Seed the embedding gate with the 40k-vector corpus (nlist=256,
+    // trained from the seed batch and persisted), then time ONE
+    // 10-vector probe batch: it reads only its routed nprobe=8 lists —
+    // the same batch-cost-not-state-cost contract as the text gate, in
+    // embedding space, with the bytes fraction ≈ nprobe/nlist by
+    // construction.
+    locally {
+      import graft.streaming.SemDeDupGate
+      val (o, s2) = (s"$tmp/semgate/out", s"$tmp/semgate/state")
+      val vb = bigEmb.select(col("vec_id").as("vid"), col("embedding").as("v"))
+      probe("semgate_seed @40k nlist=256")(warmEmb()) {
+        SemDeDupGate.curateBatch(vb, o, s2, minCos = 0.95,
+          nlist = 256, nprobe = 8)
+      }
+      val pb = bigEmb.orderBy("vec_id").limit(10)
+        .select((col("vec_id") + lit(1L << 40)).as("vid"),
+          col("embedding").as("v"))
+      val adm = probe("semgate_probe 10 vecs @40k")(()) {
+        SemDeDupGate.curateBatch(pb, o, s2, minCos = 0.95,
+          nlist = 256, nprobe = 8)
+      }
+      // exact copies under fresh ids: every one must drop via state
+      println(s"[scale] semgate probe admits: $adm of 10 exact copies " +
+        "(0 expected — all drop against the seeded state)")
+      // the scale-honest metric, as for the text gate: bytes touched
+      val root = new org.apache.hadoop.fs.Path(s"$s2/vecs")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(root).filter(_.isDirectory)
+      def bytesOf(ds: Seq[org.apache.hadoop.fs.FileStatus]): Long =
+        ds.map(d => fs.listStatus(d.getPath).filter(_.isFile).map(_.getLen).sum).sum
+      val coarse = spark.read.parquet(s"$s2/_centroids").collect()
+        .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      val touched = Similarity.routeQueries(
+          pb.select(col("vid").as("qid"),
+            transform(col("v"), _.cast("double")).as("qv")), coarse, 8)
+        .select("list").distinct().as[Int].collect().toSet
+      val total = bytesOf(dirs.toSeq)
+      val hit = bytesOf(dirs.filter(d =>
+        touched.contains(d.getPath.getName.stripPrefix("list=").toInt)).toSeq)
+      println(f"[scale] semgate probe touches ${touched.size}/256 lists = " +
+        f"${100.0 * hit / total}%.1f%% of state bytes")
+    }
+
     // ---- compaction cost tracks the partition's file count ------------
     val f10 = s"$tmp/files10"; val f200 = s"$tmp/files200"
     spark.range(100000).repartition(10).write.parquet(f10)
