@@ -58,6 +58,34 @@ class SemDeDupGateSpec extends SparkSpec {
       out, state, minCos = 0.9, nlist = 4, nprobe = 2) == 0L)
   }
 
+  test("maintenance: generic list-dir compaction keeps gate semantics") {
+    // the state accretes one file per batch per touched list — the
+    // text gate's problem, solved by the SAME generic kernel: the
+    // layout is plain `list=N` dirs, so LakeMaintenance
+    // .compactPartitioned needs no gate-specific code
+    import graft.streaming.LakeMaintenance
+    val rnd = new scala.util.Random(101)
+    def vec() = Array.fill(dim)(rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("semgate-compact").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val base = (0 until 8).map(i => (i.toLong, vec()))
+    base.foreach { case (i, v) =>
+      SemDeDupGate.curateBatch(Seq((i, v.toSeq)).toDF("vid", "v"),
+        out, state, minCos = 0.9, nlist = 2, nprobe = 1)
+    }
+    val (parts, nb, na) = LakeMaintenance.compactPartitioned(
+      spark, s"$state/vecs", "list=", maxFiles = 1)
+    assert(parts >= 1 && na < nb, s"no compaction: $parts, $nb -> $na")
+    // the compacted state still drops a near-dup and admits a fresh one
+    assert(SemDeDupGate.curateBatch(
+      Seq((100L, base(3)._2.map(x => x + 0.02 * rnd.nextGaussian()).toSeq))
+        .toDF("vid", "v"),
+      out, state, minCos = 0.9, nlist = 2, nprobe = 1) == 0L)
+    assert(SemDeDupGate.curateBatch(
+      Seq((101L, vec().toSeq)).toDF("vid", "v"),
+      out, state, minCos = 0.9, nlist = 2, nprobe = 1) == 1L)
+  }
+
   test("sink wiring: foreachBatch gate over a memory stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
