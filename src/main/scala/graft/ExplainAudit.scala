@@ -127,6 +127,11 @@ object ExplainAudit {
                           //   assignment, no corpus shuffle), and ONE
                           //   qid-keyed exchange for the per-query
                           //   top-k window — candidate-proportional
+      "q_ann_join_pq",    // the same query-set shape over the STORED
+                          //   index: expect a scan of only the codes
+                          //   table joined to the broadcast routed
+                          //   queries, nested-literal codebook lookups,
+                          //   no training aggregation anywhere
       "q_ema_seg")        // expect TWO hash aggregations (chunk-level
                           //   then key-level segmented scan) — no
                           //   one-partition window, no full-series
