@@ -75,6 +75,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(ji.contains("BroadcastHashJoin"), ji.take(800))
   }
 
+  test("batch retrieval plan shapes stay pinned") {
+    // q_ann_join / q_ann_join_pq: the routed query side must BROADCAST
+    // (the zero-corpus-shuffle contract), candidates must never come
+    // from a cartesian product, and the per-query top-k window must be
+    // partitioned (qid), with WindowGroupLimit pre-reducing below it
+    Seq("q_ann_join", "q_ann_join_pq").foreach { q =>
+      val p = physical(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost the broadcast candidate join:\n${p.take(800)}")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a product join:\n${p.take(800)}")
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost the partial top-k pushdown:\n${p.take(800)}")
+      // exactly ONE data exchange: the qid-keyed top-k (the final
+      // presentation sort is a rangepartitioning exchange, not hash)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n == 1, s"$q has $n hash exchanges, expected 1:\n${p.take(800)}")
+    }
+  }
+
   test("curation-layer plan shapes stay pinned") {
     // q_token_budget: the document-side window MUST be partitioned (the
     // two-level prefix sum exists to avoid the one-partition global
