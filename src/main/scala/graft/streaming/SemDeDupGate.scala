@@ -25,7 +25,12 @@ import graft.functions.{NearestCentroid, Similarity, VectorExpressions}
   *  - the quantizer must be IDENTICAL across batches or probes would
   *    silently read the wrong lists — the first batch trains and
   *    PERSISTS it (`state/_centroids`, write-once, underscore-hidden);
-  *    every later batch loads it. The analog of `_gate_params`.
+  *    every later batch loads it. The analog of `_gate_params`. A seed
+  *    batch SMALLER than `nlist` legally persists an undersized
+  *    quantizer; the effective probe width clamps to the persisted
+  *    centroid count (probing every list = exact), so a tiny first
+  *    micro-batch can never wedge the gate, and a hot list from a
+  *    coarse seed is re-balanced incrementally by [[splitList]].
   *  - admit rule, batch and state symmetric with batch [[graft
   *    .functions.Similarity.semDedup]]: within the batch, the higher id
   *    of any same-cluster pair with cosine ≥ `minCos` drops (min id
@@ -34,22 +39,98 @@ import graft.functions.{NearestCentroid, Similarity, VectorExpressions}
   *    processed vector registers its (list, vid, v) row — survivors and
   *    dropped alike — so a later near-dup of a dropped vector still
   *    collides.
-  *  - replay idempotence by the same ordering contract: survivors
-  *    append to the OUTPUT first (anti-joined against the touched
-  *    output lists' existing ids), the batch's state rows append second
-  *    and depend only on the batch itself, so a crash between the
-  *    appends replays into a no-op.
+  *  - replay idempotence, BOTH sides: survivors append to the OUTPUT
+  *    first (anti-joined against the touched output lists' existing
+  *    ids), the batch's state rows append second, anti-joined against
+  *    the probed lists' existing vids (registration targets the
+  *    1-nearest list, which is always among the `nprobe` probed lists,
+  *    so the probe read covers every registration target) — a crash
+  *    between the appends, or a full re-run of a processed batch,
+  *    replays into a true no-op on output AND state.
+  *  - maintenance runs behind a FENCE (`state/_sem_fence`): the gate
+  *    refuses to run while an operation owns the window, a crashed
+  *    operation is completed by [[recoverMaintenance]] (the sink calls
+  *    it at the top of every batch), and state/output dirs support
+  *    [[Snapshot]] manifests ([[initSnapshots]]) so external readers
+  *    and probes see committed versions across compaction.
   *
-  * vs the text gate: no split trie (list count is fixed at init — a
-  * skewed list is re-balanced by re-training offline into a new state,
-  * the retrain-to-a-new-dir contract the ANN artifacts document), no
-  * est-verify step (cosine IS the exact decision, there is no cheaper
-  * candidate signal to verify), no short-doc fallback (every vector has
-  * full signal). */
+  * vs the text gate: no est-verify step (cosine IS the exact decision,
+  * there is no cheaper candidate signal to verify), no short-doc
+  * fallback (every vector has full signal). The text gate's
+  * `splitLargestLeaf` has a direct analog in [[splitList]]: a hot
+  * `list=N` re-partitions under sub-centroids trained on its own rows
+  * (persisted, versioned) without touching any other list. */
 object SemDeDupGate {
 
   private def centroidsPath(statePath: String) = s"$statePath/_centroids"
+  private def subCentroidsPath(statePath: String, list: Int) =
+    s"$statePath/_subcentroids/list=$list"
   private def vecsPath(statePath: String) = s"$statePath/vecs"
+  private def fencePath(statePath: String) = new Path(statePath, "_sem_fence")
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Turn [[Snapshot]] manifests ON for the gate's two growing tables
+    * (idempotent): external readers then see committed versions across
+    * concurrent appends/compaction, and [[readOutput]] prefers the
+    * manifest. */
+  def initSnapshots(spark: SparkSession, outPath: String,
+                    statePath: String): Unit = {
+    Snapshot.init(spark, outPath)
+    Snapshot.init(spark, vecsPath(statePath))
+  }
+
+  /** The gate's admitted output as ONE DataFrame (vid, v, list) —
+    * snapshot-manifest read when the dir has one (version-consistent
+    * under concurrent maintenance), plain partitioned read otherwise
+    * (safe only while maintenance is paused). Mirrors
+    * [[NearDupGate.readOutput]]. */
+  def readOutput(spark: SparkSession, outPath: String): DataFrame =
+    (if (Snapshot.enabled(spark, outPath))
+       // manifest partition cols come back as strings — cast to match
+       // the plain partitioned read's inferred int
+       Snapshot.readVersion(spark, outPath, partitionCols = Seq("list"))
+         .map(_.withColumn("list", col("list").cast("int")))
+     else None).getOrElse(spark.read.parquet(outPath))
+
+  private def readFence(spark: SparkSession, statePath: String): Option[String] = {
+    val fs = fsOf(spark, statePath)
+    val f = fencePath(statePath)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def writeFence(spark: SparkSession, statePath: String, s: String): Unit = {
+    val fs = fsOf(spark, statePath)
+    val out = fs.create(fencePath(statePath), true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def clearFence(spark: SparkSession, statePath: String): Unit =
+    fsOf(spark, statePath).delete(fencePath(statePath), false)
+
+  /** Complete an interrupted maintenance operation if the fence is
+    * down (the rerun IS the recovery — each operation is re-entrant).
+    * Returns true iff a recovery ran. [[startSemDeDupSink]] calls this
+    * at the top of every batch so a crash mid-maintenance self-heals on
+    * stream restart instead of wedging on the fence. */
+  def recoverMaintenance(spark: SparkSession, outPath: String,
+                         statePath: String): Boolean =
+    readFence(spark, statePath) match {
+      case None => false
+      case Some("compacting") =>
+        compactState(spark, outPath, statePath); true
+      case Some(f) if f.startsWith("splitting=") =>
+        val Array(l, n) = f.stripPrefix("splitting=").split(":", 2)
+        splitList(spark, statePath, l.toInt, n.toInt); true
+      case Some(other) => throw new IllegalStateException(
+        s"unknown maintenance fence at $statePath: $other")
+    }
 
   /** Load the persisted quantizer, or train-and-persist it from this
     * batch (first call). Deterministic: the seeded first-`nlist`
@@ -72,18 +153,66 @@ object SemDeDupGate {
     }
   }
 
+  /** Persisted sub-centroids for split lists: `list -> sub-centroid
+    * matrix` for every `_subcentroids/list=N` dir. Bounded metadata
+    * (splits × nsub × dim doubles). */
+  private def loadSubCentroids(spark: SparkSession,
+                               statePath: String): Map[Int, Array[Array[Double]]] = {
+    val root = new Path(s"$statePath/_subcentroids")
+    val fs = fsOf(spark, statePath)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("list=")).map { p =>
+        val l = p.getName.stripPrefix("list=").toInt
+        l -> spark.read.parquet(p.toString).collect()
+          .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      }.toMap
+  }
+
   /** The (list, dir) pairs that exist with data under `root` — explicit
     * directory selection; the list id rides along because reading a
-    * partition dir directly loses the dir-name column. */
+    * partition dir directly loses the dir-name column. A SPLIT list's
+    * rows live one level deeper (`list=N/sub=M`), so the listing
+    * recurses into sub-dirs — still only within the selected lists. */
   private def listDirs(spark: SparkSession, root: String,
                        lists: Seq[Int]): Seq[(Int, String)] = {
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootP)) return Nil
-    lists.sorted.map(l => (l, new Path(rootP, s"list=$l")))
-      .filter { case (_, p) => fs.exists(p) && fs.listStatus(p)
-        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")) }
-      .map { case (l, p) => (l, p.toString) }
+    def dataDirs(p: Path): Seq[Path] = {
+      if (!fs.exists(p)) return Nil
+      val st = fs.listStatus(p)
+      val here =
+        if (st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+          Seq(p)
+        else Nil
+      here ++ st.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("sub="))
+        .flatMap(s => dataDirs(s.getPath))
+    }
+    lists.sorted.flatMap { l =>
+      dataDirs(new Path(rootP, s"list=$l")).map(d => (l, d.toString))
+    }
+  }
+
+  /** As [[listDirs]], but restricted within a SPLIT list to the `subs`
+    * sub-lists (un-split flat files in the list root are always
+    * included — a list mid-migration keeps full recall). */
+  private def listSubDirs(spark: SparkSession, root: String, list: Int,
+                          subs: Seq[Int]): Seq[(Int, String)] = {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lp = new Path(rootP, s"list=$list")
+    if (!fs.exists(lp)) return Nil
+    val st = fs.listStatus(lp)
+    val flat =
+      if (st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+        Seq((list, lp.toString))
+      else Nil
+    flat ++ subs.sorted.map(m => new Path(lp, s"sub=$m"))
+      .filter(p => fs.exists(p) && fs.listStatus(p)
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+      .map(p => (list, p.toString))
   }
 
   /** One micro-batch through the gate. `batch` must carry
@@ -91,8 +220,14 @@ object SemDeDupGate {
     * rows THIS call admitted (0 for an empty or fully-replayed batch). */
   def curateBatch(batch: DataFrame, outPath: String, statePath: String,
                   minCos: Double = 0.8, nlist: Int = 16,
-                  nprobe: Int = 4): Long = {
+                  nprobe: Int = 4, subProbe: Int = 2): Long = {
     val spark = batch.sparkSession
+    readFence(spark, statePath).foreach { f =>
+      throw new IllegalStateException(
+        s"SemDeDupGate state at $statePath has an interrupted maintenance " +
+          s"operation ($f) — run recoverMaintenance (the sink does this " +
+          "automatically on restart) before running the gate")
+    }
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def hold(df: DataFrame): DataFrame = { persisted += df.persist(); df }
     try {
@@ -100,26 +235,44 @@ object SemDeDupGate {
         .select(col("vid"), transform(col("v"), _.cast("double")).as("v")))
       if (b.isEmpty) return 0L
       val coarse = bindCentroids(spark, statePath, b, nlist)
+      // the wedge guard: a seed batch smaller than `nprobe` persists an
+      // undersized quantizer — clamp the effective probe width so the
+      // gate keeps running (probing every persisted list = exact)
+      val np = math.min(nprobe, coarse.length)
+      val subCents = loadSubCentroids(spark, statePath)
       val assigned = hold(b.withColumn("list", NearestCentroid(col("v"), coarse)))
 
       // ---- gate 1: state collisions in the probed lists -------------
       val routed = hold(Similarity.routeQueries(
-        b.select(col("vid").as("qid"), col("v").as("qv")), coarse, nprobe))
+        b.select(col("vid").as("qid"), col("v").as("qv")), coarse, np))
       val touched = routed.select("list").distinct()
         .collect().map(_.getInt(0)).toSeq
-      val stateDropped = listDirs(spark, vecsPath(statePath), touched) match {
+      // split lists probe only their routed sub-lists; the sub routing
+      // is the same NearestCentroid driver-free expression, collected
+      // per (list, sub) — bounded by touched × subProbe
+      val (splitTouched, flatTouched) = touched.partition(subCents.contains)
+      val flatDirs = listDirs(spark, vecsPath(statePath), flatTouched)
+      val splitDirs = splitTouched.flatMap { l =>
+        val sp = math.min(subProbe, subCents(l).length)
+        val subs = routed.where(col("list") === l)
+          .select(explode(slice(rankedPositions(col("qv"), subCents(l)), 1, sp))
+            .as("sub")).distinct().collect().map(_.getInt(0)).toSeq
+        listSubDirs(spark, vecsPath(statePath), l, subs)
+      }
+      val seenOpt = (flatDirs ++ splitDirs) match {
         case Nil => None
         case dirs =>
           // per-dir reads with the list id attached as a literal — the
           // partition column lives only in the dir name
-          val seen = dirs.map { case (l, d) =>
+          Some(hold(dirs.map { case (l, d) =>
             spark.read.parquet(d).select(col("vid").as("seen_id"),
               col("v").as("seen_v"), lit(l).as("list"))
-          }.reduce(_ unionByName _)
-          Some(routed.join(seen, Seq("list"))
-            .where(VectorExpressions.cosineSim(col("qv"), col("seen_v")) >= minCos)
-            .select(col("qid").as("vid")).distinct())
+          }.reduce(_ unionByName _)))
       }
+      val stateDropped = seenOpt.map(seen =>
+        routed.join(seen, Seq("list"))
+          .where(VectorExpressions.cosineSim(col("qv"), col("seen_v")) >= minCos)
+          .select(col("qid").as("vid")).distinct())
 
       // ---- gate 2: batch-local pairwise drop (the semDedup rule) ----
       val localDropped = assigned.as("a").join(assigned.as("b"),
@@ -146,17 +299,202 @@ object SemDeDupGate {
       fresh.select(col("vid"), col("v"), col("list"))
         .repartition(math.min(nlist, 32), col("list"))
         .write.partitionBy("list").mode("append").parquet(outPath)
+      if (outLists.nonEmpty && Snapshot.enabled(spark, outPath))
+        Snapshot.commit(spark, outPath, outLists.map(l => s"list=$l"))
       // state second: the WHOLE batch registers, survivors and dropped
-      // alike, independent of the output anti-join (the crash contract)
-      assigned.select(col("vid"), col("v"), col("list"))
-        .repartition(math.min(nlist, 32), col("list"))
+      // alike — anti-joined against the probed lists' existing vids
+      // (registration targets the 1-nearest list ⊆ the probed lists),
+      // so a replayed batch appends NOTHING: true no-op on both sides
+      val stateRows = assigned.select(col("vid"), col("v"), col("list"))
+      val stateFresh = seenOpt.fold(stateRows)(seen =>
+        stateRows.join(seen.select(col("seen_id").as("vid")),
+          Seq("vid"), "left_anti"))
+      // sub assignment for split lists: NearestCentroid IS rankedPositions'
+      // top-1 (argmax cosine, lower pos on ties) — same routing both ways
+      val withSub = subCents.foldLeft(
+          stateFresh.withColumn("sub", lit(null.asInstanceOf[Integer]))) {
+        case (df, (l, cs)) => df.withColumn("sub",
+          when(col("list") === l, NearestCentroid(col("v"), cs))
+            .otherwise(col("sub")))
+      }
+      val stateLists = stateFresh.select("list").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // split lists write one level deeper; partitionBy drops null subs
+      // into the flat list dir via two writes
+      val (splitRows, flatRows) = (withSub.where(col("sub").isNotNull),
+        withSub.where(col("sub").isNull).drop("sub"))
+      flatRows.repartition(math.min(nlist, 32), col("list"))
         .write.partitionBy("list").mode("append").parquet(vecsPath(statePath))
+      if (!splitRows.isEmpty)
+        splitRows.repartition(math.min(nlist, 32), col("list"), col("sub"))
+          .write.partitionBy("list", "sub").mode("append")
+          .parquet(vecsPath(statePath))
+      if (stateLists.nonEmpty && Snapshot.enabled(spark, vecsPath(statePath)))
+        Snapshot.commit(spark, vecsPath(statePath),
+          stateLists.map(l => s"list=$l"))
       admitted
     } finally persisted.foreach(_.unpersist())
   }
 
+  /** The positions (1-based) of `cents` ranked by cosine to `v`
+    * descending, position ascending on ties — the same (−sim, pos)
+    * order as [[Similarity.routeQueries]], as one array expression. */
+  private def rankedPositions(v: org.apache.spark.sql.Column,
+                              cents: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val simPos = (1 to cents.length).map { pos =>
+      struct(VectorExpressions.cosineSim(v,
+        array(cents(pos - 1).map(lit): _*)).as("cs"), lit(pos).as("pos"))
+    }
+    transform(array_sort(array(simPos: _*), (l, r) =>
+      when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        .when(l.getField("pos") < r.getField("pos"), -1)
+        .otherwise(1)), s => s.getField("pos"))
+  }
+
+  /** MAINTENANCE: compact the one-file-per-batch accretion in every
+    * list dir of the output and state layouts (snapshot-aware — with
+    * manifests enabled, replaced files retire into `_stale` and a new
+    * version commits per compacted dir). Runs behind the fence; MUST
+    * run with the gate paused (the sink's hook runs it inside
+    * `foreachBatch`). Re-entrant: a crash mid-compaction leaves the
+    * fence down and [[recoverMaintenance]] reruns it — the kernel's
+    * loss-proof swap tolerates the rerun. */
+  def compactState(spark: SparkSession, outPath: String, statePath: String,
+                   targetBytes: Long = 128L << 20, maxFiles: Int = 4): Unit = {
+    readFence(spark, statePath).foreach { f =>
+      require(f == "compacting",
+        s"a DIFFERENT maintenance operation is interrupted ($f) — run " +
+          "recoverMaintenance to complete it before compacting")
+    }
+    writeFence(spark, statePath, "compacting")
+    for (root <- Seq(outPath, vecsPath(statePath))) {
+      val rootP = new Path(root)
+      val fs = fsOf(spark, root)
+      if (fs.exists(rootP)) {
+        fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("list=")).foreach { lp =>
+            LakeMaintenance.compactFlat(spark, lp.toString, targetBytes,
+              maxFiles, snapshotRoot = Some(root))
+            fs.listStatus(lp).filter(_.isDirectory).map(_.getPath)
+              .filter(_.getName.startsWith("sub=")).foreach { sp =>
+                LakeMaintenance.compactFlat(spark, sp.toString, targetBytes,
+                  maxFiles, snapshotRoot = Some(root))
+              }
+          }
+      }
+    }
+    clearFence(spark, statePath)
+  }
+
+  /** MAINTENANCE: split ONE hot state list into `nsub` sub-lists under
+    * sub-centroids trained on the list's OWN rows (seeded deterministic
+    * — first `nsub` by vid) — the embedding-space analog of the text
+    * gate's `splitLargestLeaf`: the window is one list's bytes, never
+    * O(|state|), and no other list is touched. After the split, probes
+    * into this list read only the query's `subProbe` nearest sub-lists
+    * and new registrations land in their 1-nearest sub-list.
+    *
+    * Crash contract, fence-first: `splitting=N:nsub` fence → sub rows
+    * fully written under `list=N/sub=M` → sub-centroids persisted
+    * (`_subcentroids/list=N`, the COMMIT point — routing consults them
+    * only once this write lands) → flat originals retire → fence
+    * clears. Re-entrant at every point ([[recoverMaintenance]] reruns
+    * it): a rerun before the commit point rewrites the sub dirs from
+    * the still-present flat files; after it, the remaining flat files
+    * re-shard into subs (already-written rows dedupe by the state
+    * append's anti-join contract — sub rows and flat rows never
+    * double-read because the flat originals delete before the fence
+    * clears, and a probe mid-crash reads flat + subs, which
+    * over-returns duplicates that are inert for an existence gate). */
+  def splitList(spark: SparkSession, statePath: String, list: Int,
+                nsub: Int = 4): Unit = {
+    require(nsub >= 2, s"nsub must be >= 2, got $nsub")
+    readFence(spark, statePath).foreach { f =>
+      require(f == s"splitting=$list:$nsub",
+        s"a DIFFERENT maintenance operation is interrupted ($f) — run " +
+          "recoverMaintenance to complete it before splitting")
+    }
+    val root = vecsPath(statePath)
+    val fs = fsOf(spark, statePath)
+    val lp = new Path(root, s"list=$list")
+    if (!fs.exists(lp)) { clearFence(spark, statePath); return }
+    val flat = fs.listStatus(lp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (flat.isEmpty) { clearFence(spark, statePath); return }
+    writeFence(spark, statePath, s"splitting=$list:$nsub")
+    val rows = spark.read.parquet(flat.map(_.getPath.toString): _*)
+      .select(col("vid"), col("v"))
+    // sub-quantizer: seeded from the list's own rows, persisted BESIDE
+    // _centroids — same deterministic contract as the coarse quantizer.
+    // A prior crashed run's subcentroids are reused (routing must not
+    // flip between reruns once any sub rows exist).
+    val subDir = new Path(subCentroidsPath(statePath, list))
+    val subs: Array[Array[Double]] =
+      if (fs.exists(subDir) && fs.listStatus(subDir)
+          .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+        spark.read.parquet(subDir.toString).collect()
+          .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      else Similarity.seededCentroids(rows, nsub)
+    // sub rows first (append; reruns anti-join against existing vids)
+    val assigned = rows.withColumn("sub", NearestCentroid(col("v"), subs))
+    val existingSubDirs = listSubDirs(spark, root, list, 1 to subs.length)
+      .map(_._2).filter(_.contains("sub="))
+    val freshRows = existingSubDirs match {
+      case Nil => assigned
+      case dirs => assigned.join(
+        spark.read.parquet(dirs: _*).select("vid"), Seq("vid"), "left_anti")
+    }
+    freshRows.repartition(math.min(subs.length, 32), col("sub"))
+      .write.partitionBy("sub").mode("append").parquet(lp.toString)
+    // COMMIT point: routing consults _subcentroids only after this write
+    if (!(fs.exists(subDir) && fs.listStatus(subDir)
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))) {
+      import spark.implicits._
+      subs.zipWithIndex.map { case (c, i) => (i + 1, c.toSeq) }.toSeq
+        .toDF("pos", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(subDir.toString)
+    }
+    // retire the flat originals — snapshot-aware like compaction
+    if (Snapshot.enabled(spark, root))
+      Snapshot.commit(spark, root, Seq(s"list=$list"),
+        retired = flat.map(_.getPath).toSeq)
+    else flat.foreach(f => fs.delete(f.getPath, false))
+    clearFence(spark, statePath)
+    System.err.println(s"[SemDeDupGate] split hot list=$list into " +
+      s"${subs.length} sub-lists (${flat.length} flat files retired)")
+  }
+
+  /** Test-only: raise a maintenance fence as a crashed operation would
+    * leave it — the injection point for the recovery specs. */
+  private[graft] def raiseFenceForTest(spark: SparkSession, statePath: String,
+                                       fence: String): Unit =
+    writeFence(spark, statePath, fence)
+
+  /** Test-only fault injection: run [[splitList]]'s fence + sub-row
+    * write, then stop BEFORE the sub-centroid commit point — the crash
+    * window [[recoverMaintenance]]'s rerun must close. */
+  private[graft] def splitListCrashBeforeCommit(spark: SparkSession,
+      statePath: String, list: Int, nsub: Int): Unit = {
+    val root = vecsPath(statePath)
+    val fs = fsOf(spark, statePath)
+    val lp = new Path(root, s"list=$list")
+    val flat = fs.listStatus(lp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(flat.nonEmpty, "crash-injection needs a non-empty flat list")
+    writeFence(spark, statePath, s"splitting=$list:$nsub")
+    val rows = spark.read.parquet(flat.map(_.getPath.toString): _*)
+      .select(col("vid"), col("v"))
+    val subs = Similarity.seededCentroids(rows, nsub)
+    rows.withColumn("sub", NearestCentroid(col("v"), subs))
+      .repartition(math.min(subs.length, 32), col("sub"))
+      .write.partitionBy("sub").mode("append").parquet(lp.toString)
+    // crash: no _subcentroids write, no retire, fence stays down
+  }
+
   /** The gate as a streaming sink: vectors stream → semantically-deduped
-    * lake, one [[curateBatch]] per micro-batch inside foreachBatch. */
+    * lake, one [[curateBatch]] per micro-batch inside foreachBatch;
+    * recovers any interrupted maintenance at the top of every batch. */
   def startSemDeDupSink(vecs: DataFrame, outPath: String, statePath: String,
                         checkpoint: String,
                         trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
@@ -167,6 +505,7 @@ object SemDeDupGate {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        recoverMaintenance(batch.sparkSession, outPath, statePath)
         curateBatch(batch, outPath, statePath, minCos, nlist, nprobe)
         ()
       }

@@ -36,9 +36,15 @@ class SemDeDupGateSpec extends SparkSpec {
       .toDF("vid", "v")
     assert(SemDeDupGate.curateBatch(batch2, out, state,
       minCos = 0.9, nlist = 4, nprobe = 2) == 1L)
-    // replay of batch 2 is a no-op (output anti-join; state rows inert)
+    // replay of batch 2 is a TRUE no-op: output anti-joined AND state
+    // anti-joined — row counts stable on both sides
+    val stateBefore = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$state/vecs").count()
     assert(SemDeDupGate.curateBatch(batch2, out, state,
       minCos = 0.9, nlist = 4, nprobe = 2) == 0L)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$state/vecs").count() == stateBefore,
+      "replay must not accrete duplicate state rows")
     val outRows = spark.read.parquet(out)
     assert(outRows.select("vid").distinct().count() == 30L) // 29 + 1
     assert(!outRows.select("vid").as[Long].collect().contains(100L))
@@ -84,6 +90,159 @@ class SemDeDupGateSpec extends SparkSpec {
     assert(SemDeDupGate.curateBatch(
       Seq((101L, vec().toSeq)).toDF("vid", "v"),
       out, state, minCos = 0.9, nlist = 2, nprobe = 1) == 1L)
+  }
+
+  test("a seed micro-batch smaller than nprobe cannot wedge the gate") {
+    // the r9 ADVICE wedge: a tiny first batch persists an undersized
+    // quantizer; routeQueries' nprobe<=nlist require would then throw
+    // forever. The effective probe width clamps instead.
+    val rnd = new scala.util.Random(97)
+    def vec() = Array.fill(dim)(rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("semgate-wedge").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val v0 = vec()
+    // seed batch: 2 vectors < nprobe=4
+    assert(SemDeDupGate.curateBatch(
+      Seq((0L, v0.toSeq), (1L, vec().toSeq)).toDF("vid", "v"),
+      out, state, minCos = 0.9, nlist = 16, nprobe = 4) == 2L)
+    // quantizer persisted undersized — and the gate keeps running
+    assert(spark.read.parquet(s"$state/_centroids").count() == 2L)
+    val batch2 = Seq(
+      (10L, v0.map(x => x + 0.02 * rnd.nextGaussian()).toSeq), // near-dup: drop
+      (11L, vec().toSeq)).toDF("vid", "v")                     // fresh: admit
+    assert(SemDeDupGate.curateBatch(batch2, out, state,
+      minCos = 0.9, nlist = 16, nprobe = 4) == 1L)
+  }
+
+  test("maintenance fence: gate refuses while down, recovery completes compaction") {
+    import graft.streaming.Snapshot
+    val rnd = new scala.util.Random(107)
+    def vec() = Array.fill(dim)(rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("semgate-fence").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    SemDeDupGate.initSnapshots(spark, out, state)
+    val base = (0 until 10).map(i => (i.toLong, vec()))
+    base.foreach { case (i, v) =>
+      SemDeDupGate.curateBatch(Seq((i, v.toSeq)).toDF("vid", "v"),
+        out, state, minCos = 0.9, nlist = 2, nprobe = 1)
+    }
+    // a reader pins the current committed output version
+    val pinnedV = Snapshot.latestVersion(spark, out).get
+    val pinnedVids = Snapshot.readVersion(spark, out, Some(pinnedV))
+      .get.select("vid").as[Long].collect().toSet
+    // crash injection: a compaction died with the fence down — the gate
+    // must refuse loudly, recovery must complete the operation
+    SemDeDupGate.raiseFenceForTest(spark, state, "compacting")
+    val ex = intercept[IllegalStateException] {
+      SemDeDupGate.curateBatch(Seq((50L, vec().toSeq)).toDF("vid", "v"),
+        out, state, minCos = 0.9, nlist = 2, nprobe = 1)
+    }
+    assert(ex.getMessage.contains("recoverMaintenance"))
+    assert(SemDeDupGate.recoverMaintenance(spark, out, state))
+    // compaction ran: per-list file count bounded at maxFiles
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vecFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/vecs"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("list="))
+      .map(p => fs.listStatus(p.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+    assert(vecFiles.forall(_ <= 4), s"uncompacted: ${vecFiles.toSeq}")
+    // the pinned pre-compaction version still resolves (retired files
+    // served from _stale) with the same rows
+    assert(Snapshot.readVersion(spark, out, Some(pinnedV))
+      .get.select("vid").as[Long].collect().toSet == pinnedVids)
+    // and the recovered gate still drops/admits correctly
+    assert(SemDeDupGate.curateBatch(
+      Seq((60L, base(3)._2.map(x => x + 0.02 * rnd.nextGaussian()).toSeq))
+        .toDF("vid", "v"),
+      out, state, minCos = 0.9, nlist = 2, nprobe = 1) == 0L)
+    assert(SemDeDupGate.curateBatch(
+      Seq((61L, vec().toSeq)).toDF("vid", "v"),
+      out, state, minCos = 0.9, nlist = 2, nprobe = 1) == 1L)
+    // readOutput prefers the committed manifest
+    assert(SemDeDupGate.readOutput(spark, out)
+      .select("vid").as[Long].collect().toSet
+      == (base.map(_._1).toSet + 61L))
+  }
+
+  test("incremental list split: decisions unchanged, probes read sub-lists only") {
+    val rnd = new scala.util.Random(211)
+    def vec() = Array.fill(dim)(rnd.nextGaussian())
+    def noisy(v: Array[Double], eps: Double = 0.02) =
+      v.map(x => x + eps * rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("semgate-split").toString
+    // two identical states: `ctl` stays flat, `spl` gets the hot list split
+    val states = Seq((s"$dir/out-ctl", s"$dir/state-ctl"),
+      (s"$dir/out-spl", s"$dir/state-spl"))
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    states.foreach { case (out, state) =>
+      assert(SemDeDupGate.curateBatch(
+        base.map { case (i, v) => (i, v.toSeq) }.toDF("vid", "v"),
+        out, state, minCos = 0.9, nlist = 2, nprobe = 1) == 40L)
+    }
+    // split the larger list of the spl state into 4 sub-lists
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listBytes(state: String, l: Int): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$state/vecs/list=$l")
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    }
+    val hot = Seq(1, 2).maxBy(listBytes(s"$dir/state-spl", _))
+    SemDeDupGate.splitList(spark, s"$dir/state-spl", hot, nsub = 4)
+    // structural: flat files retired, sub dirs hold the rows
+    val hotDir = new org.apache.hadoop.fs.Path(s"$dir/state-spl/vecs/list=$hot")
+    assert(!fs.listStatus(hotDir)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+    val subDirs = fs.listStatus(hotDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("sub="))
+    assert(subDirs.length >= 2)
+    // the SAME probe batches produce the SAME decisions in both states
+    val probes = Seq(
+      (100L, noisy(base(5)._2).toSeq),   // near-dup of a seen vector
+      (101L, vec().toSeq),               // fresh
+      (102L, noisy(base(17)._2).toSeq),  // near-dup
+      (103L, vec().toSeq))               // fresh
+    val admitted = states.map { case (out, state) =>
+      SemDeDupGate.curateBatch(probes.toDF("vid", "v"), out, state,
+        minCos = 0.9, nlist = 2, nprobe = 1, subProbe = 2)
+    }
+    assert(admitted.head == admitted.last,
+      s"split changed admit count: $admitted")
+    val outs = states.map { case (out, _) =>
+      spark.read.parquet(out).select("vid").as[Long].collect().toSet }
+    assert(outs.head == outs.last, "split changed the admitted set")
+    // post-split registrations land in sub-lists (no flat regrowth)
+    assert(!fs.listStatus(hotDir)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+    // crash injection: a split dies AFTER sub rows write but BEFORE the
+    // sub-centroid commit — recovery reruns it to completion and the
+    // state does not duplicate rows
+    val stateRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/state-spl/vecs")
+    val rowsBefore = stateRows.count()
+    val cold = Seq(1, 2).find(_ != hot).get
+    if (listBytes(s"$dir/state-spl", cold) > 0) {
+      SemDeDupGate.splitListCrashBeforeCommit(spark, s"$dir/state-spl", cold, 2)
+      intercept[IllegalStateException] {
+        SemDeDupGate.curateBatch(Seq((200L, vec().toSeq)).toDF("vid", "v"),
+          s"$dir/out-spl", s"$dir/state-spl",
+          minCos = 0.9, nlist = 2, nprobe = 1)
+      }
+      assert(SemDeDupGate.recoverMaintenance(
+        spark, s"$dir/out-spl", s"$dir/state-spl"))
+      assert(spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/state-spl/vecs").count() == rowsBefore,
+        "split recovery must not duplicate state rows")
+      // decisions still match the control after the recovered split
+      val admitted2 = states.map { case (out, state) =>
+        SemDeDupGate.curateBatch(
+          Seq((300L, noisy(base(9)._2).toSeq), (301L, vec().toSeq))
+            .toDF("vid", "v"),
+          out, state, minCos = 0.9, nlist = 2, nprobe = 1, subProbe = 2)
+      }
+      assert(admitted2.head == admitted2.last)
+    }
   }
 
   test("sink wiring: foreachBatch gate over a memory stream") {
