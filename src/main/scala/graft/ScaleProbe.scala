@@ -403,6 +403,44 @@ object ScaleProbe {
         f"${100.0 * hit / total}%.1f%% of state bytes")
     }
 
+    // ---- embedding-gate compaction: measured, not asserted ------------
+    // (r9 item 7) One-file-per-batch accretion in the list dirs, then
+    // the gate's own fenced compaction: before/after file counts and
+    // the SAME probe batch timed against each layout.
+    locally {
+      import graft.streaming.SemDeDupGate
+      val (o, s) = (s"$tmp/semgate-compact/out", s"$tmp/semgate-compact/state")
+      val all = bigEmb.orderBy("vec_id").limit(4000)
+        .select(col("vec_id").as("vid"), col("embedding").as("v")).cache()
+      all.count()
+      (0 until 16).foreach { i =>
+        SemDeDupGate.curateBatch(all.where(pmod(col("vid"), lit(16)) === i),
+          o, s, minCos = 0.95, nlist = 64, nprobe = 4)
+      }
+      val root = new org.apache.hadoop.fs.Path(s"$s/vecs")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def stateFiles(): Int = fs.listStatus(root).filter(_.isDirectory)
+        .map(d => fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))).sum
+      val pb = bigEmb.orderBy("vec_id").limit(10)
+        .select((col("vec_id") + lit(1L << 41)).as("vid"),
+          col("embedding").as("v"))
+      val filesBefore = stateFiles()
+      probe("semgate_probe pre-compaction")(())(
+        SemDeDupGate.curateBatch(pb, o, s, minCos = 0.95,
+          nlist = 64, nprobe = 4))
+      probe("semgate_compact (maintenance)")(())(
+        SemDeDupGate.compactState(spark, o, s, maxFiles = 2))
+      val filesAfter = stateFiles()
+      probe("semgate_probe post-compaction")(())(
+        SemDeDupGate.curateBatch(
+          pb.select((col("vid") + 10L).as("vid"), col("v")), o, s,
+          minCos = 0.95, nlist = 64, nprobe = 4))
+      println(s"[scale] semgate compaction: state files $filesBefore -> " +
+        s"$filesAfter (probe opens track file count, rows unchanged)")
+      all.unpersist()
+    }
+
     // ---- compaction cost tracks the partition's file count ------------
     val f10 = s"$tmp/files10"; val f200 = s"$tmp/files200"
     spark.range(100000).repartition(10).write.parquet(f10)
@@ -438,6 +476,65 @@ object ScaleProbe {
       .orderBy(col("t").desc).select("ema_exact").head().getDouble(0)
     println(f"[scale] ewma_segmented final=$segFinal vs fold=$foldFinal " +
       f"(rel err ${math.abs(segFinal - foldFinal) / math.abs(foldFinal)}%.2e)")
+
+    annSelfSweep(spark)
+    spark.stop()
+  }
+
+  /** CORPUS-SELF-SWEEP batch ANN join (the r9 weak boundary, closed by
+    * the size-gated shuffled fallback): the corpus queries ITSELF —
+    * the routed query side is corpus-scale, far past any broadcast
+    * budget, so [[Similarity.annJoin]] shifts to the list-partitioned
+    * sort-merge candidate join. Records wall time AND actual shuffle
+    * bytes (a broadcast here would have to ship
+    * routed-bytes × executors and build it in every task's memory).
+    * Synthetic deterministic vectors (diverse directions — replicating
+    * fixture rows would collapse the seeded centroids into duplicate
+    * lists). Runs standalone via [[AnnSweepProbe]]. */
+  def annSelfSweep(spark: SparkSession, n: Long = 100000L,
+                   nlist: Int = 512, nprobe: Int = 4): Unit = {
+    val dim = 64
+    val sweep = spark.range(n).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(1), lit(dim)),
+        j => sin(col("vec_id") * j.cast("double") * 0.7321)).as("embedding"))
+      .repartition(16).cache()
+    sweep.count()
+    var shuffleBytes = 0L
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(sl)
+    val t0 = System.nanoTime()
+    val rows = Similarity.annJoin(sweep, sweep, "vec_id", "embedding", 10,
+      nlist = nlist, nprobe = nprobe).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000) // listener bus drain
+    spark.sparkContext.removeSparkListener(sl)
+    val routedEst = n * nprobe * (dim * 8L + 32L)
+    println(f"[scale] ann_join_self @$n nlist=$nlist nprobe=$nprobe: " +
+      f"$rows rows in $secs%.1f s; shuffle write ${shuffleBytes / 1e6}%.0f MB " +
+      f"(routed est ${routedEst / 1e6}%.0f MB >> 8 MB gate -> merge join, " +
+      "no broadcast)")
+    sweep.unpersist()
+  }
+}
+
+/** Standalone entry for [[ScaleProbe.annSelfSweep]] — the
+  * corpus-self-sweep evidence row without the full probe suite:
+  * `sbt "runMain graft.AnnSweepProbe [n]"`. */
+object AnnSweepProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ScaleProbe.annSelfSweep(spark,
+      args.headOption.map(_.toLong).getOrElse(100000L))
     spark.stop()
   }
 }

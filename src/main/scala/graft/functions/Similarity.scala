@@ -480,17 +480,29 @@ object Similarity {
     *    [[localCosine]]) ranked by the same (−sim, pos) order as
     *    [[probedLists]] — then exploded to (qid, list): nprobe rows per
     *    query, no driver collect of the query set;
-    *  - candidate join: the routed query side BROADCASTS (nprobe
-    *    id+vector rows per query), so the corpus scan stays map-side
-    *    with ZERO corpus shuffle; candidates ≈ nprobe/nlist of the
-    *    corpus per query;
+    *  - candidate join ([[listJoin]], size-gated): under the broadcast
+    *    gate the routed query side BROADCASTS (nprobe id+vector rows
+    *    per query), so the corpus scan stays map-side with ZERO corpus
+    *    shuffle; past it (corpus-scale query sets) both sides
+    *    hash-partition on `list` into a spill-safe sort-merge join —
+    *    candidates ≈ nprobe/nlist of the corpus per query either way;
     *  - exact cosine on candidates + per-query top-k: ONE shuffle,
     *    keyed by qid, sized by the CANDIDATE set — never the corpus.
     * Self-pairs (equal ids) are excluded so a corpus can query itself.
-    * Output: (query_id, `id`, cos_sim), top `k` per query, ties by id. */
+    * Output: (query_id, `id`, cos_sim), top `k` per query, ties by id.
+    *
+    * SIZE-GATED candidate join (the r9 scale boundary): the routed
+    * query side (nprobe id+vector rows per query) broadcasts only
+    * while its estimated bytes fit `maxBroadcastBytes`; past that —
+    * the corpus-self-sweep shape, where a broadcast is a
+    * driver/executor OOM — both sides hash-partition on `list` into a
+    * spill-safe sort-merge join instead ([[listJoin]]). Results are
+    * plan-independent (same join condition, same qid top-k); the spec
+    * pins shuffled ≡ broadcast. */
   def annJoin(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, nlist: Int = 16,
-              nprobe: Int = 4): DataFrame = {
+              nprobe: Int = 4,
+              maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
     val v = corpus.select(col(id).as("vid"),
       transform(col(vec), _.cast("double")).as("v"))
     val q = queries.select(col(id).as("qid"),
@@ -499,7 +511,7 @@ object Similarity {
     val routed = routeQueries(q, coarse, nprobe)
     val assigned = v.select(col("vid"), col("v"),
       NearestCentroid(col("v"), coarse).as("list"))
-    assigned.join(broadcast(routed), Seq("list"))
+    listJoin(assigned, routed, q, nprobe, coarse.head.length, maxBroadcastBytes)
       .where(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         cosine(col("v"), col("qv")).as("cos_sim"))
@@ -509,6 +521,30 @@ object Similarity {
       .where(col("_rn") <= k).drop("_rn")
       .select(col("qid").as("query_id"), col("vid").as(id), col("cos_sim"))
       .orderBy(col("query_id"), col("cos_sim").desc, col(id))
+  }
+
+  /** Broadcast gate default: stay safely inside Spark's own 10 MB
+    * autoBroadcast comfort zone; a routed side past this is exactly the
+    * non-broadcastable-small-side scale-killer. */
+  val DefaultMaxBroadcastBytes: Long = 8L << 20
+
+  /** The candidate join of both batch-ANN paths, size-gated: estimate
+    * the routed side as `|queries| × nprobe × (vector + id + list +
+    * row overhead)` — ONE count job over the (tiny relative to the
+    * join) query set — and broadcast under the gate; over it,
+    * hash-partition BOTH sides on `list` into a sort-merge join
+    * (spill-safe, no driver materialization; at production scale a
+    * codes table bucketed by `list` elides its side of the exchange).
+    * The estimate intentionally over-counts (uncompressed in-memory
+    * widths) — erring toward the shuffle is the safe direction. */
+  private def listJoin(corpusSide: DataFrame, routed: DataFrame,
+                       q: DataFrame, nprobe: Int, dim: Int,
+                       maxBroadcastBytes: Long): DataFrame = {
+    val routedBytes = q.count() * nprobe * (dim * 8L + 32L)
+    if (routedBytes <= maxBroadcastBytes)
+      corpusSide.join(broadcast(routed), Seq("list"))
+    else
+      corpusSide.join(routed.hint("merge"), Seq("list"))
   }
 
   /** Per-query probe routing AS EXPRESSIONS — [[annJoin]]'s query side,
@@ -540,16 +576,19 @@ object Similarity {
     * shape composed with [[ivfPqWriteArtifacts]]'s storage: route every
     * query against the stored coarse centroids, then ADC-score the
     * stored codes in the probed lists, all in ONE plan with zero
-    * training jobs and zero codes-table shuffle (the routed queries
-    * broadcast; the only exchange is the candidate-sized per-query
-    * top-k). With a query COLUMN the [[pqProbeCodes]] lookup table
+    * training jobs; under the size gate ([[listJoin]]) the routed
+    * queries broadcast and the codes table never shuffles — the only
+    * exchange is the candidate-sized per-query top-k — while a
+    * corpus-scale query set shifts to the list-partitioned sort-merge
+    * fallback. With a query COLUMN the [[pqProbeCodes]] lookup table
     * cannot be a driver literal, so each subspace instead contributes
     * `DotProduct(codebook[s][code_s], qv_s)` with the codebook as a
     * nested array literal — the same sequential loop, bit-identical per
     * query to the single-query probe ([[graft.SimilaritySpec]] pins
     * it). Output: (query_id, `id`, adc_dot), top `k` per query. */
   def annJoinPqFromDir(queries: DataFrame, id: String, vec: String,
-                       dir: String, k: Int, nprobe: Int = 4): DataFrame = {
+                       dir: String, k: Int, nprobe: Int = 4,
+                       maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
     val spark = queries.sparkSession
     val q = queries.select(col(id).as("qid"),
       transform(col(vec), _.cast("double")).as("qv"))
@@ -573,8 +612,8 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"pq codes artifact width "), size(col("code")).cast("string"),
         lit(s" does not match codebooks m=$m"))).cast("double"))
-    readArtifact(spark, s"$dir/codes")
-      .join(broadcast(routed), Seq("list"))
+    listJoin(readArtifact(spark, s"$dir/codes"), routed, q, nprobe,
+        m * sub, maxBroadcastBytes)
       .where(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"), checked.as("adc_dot"))
       .withColumn("_rn", row_number().over(

@@ -366,6 +366,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annJoin size gate: shuffled fallback equals the broadcast path, plans differ") {
+    val rnd = new scala.util.Random(131)
+    val dim = 32
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val emb = (0L until 300L).map(i => (i, vec().toSeq)).toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 20)
+    def run(maxBytes: Long) = Similarity.annJoin(emb, queries,
+        "vec_id", "embedding", 5, maxBroadcastBytes = maxBytes)
+    // identical results either side of the gate — the fallback changes
+    // ONLY the physical candidate join, never the semantics
+    val bPath = run(Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sPath = run(0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sPath == bPath, "shuffled ANN join diverged from broadcast path")
+    // plan shapes: broadcast under the gate, list-partitioned
+    // sort-merge over it (AQE off so the pre-execution plan is final)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bPlan = run(Long.MaxValue).queryExecution.executedPlan.toString
+      val sPlan = run(0L).queryExecution.executedPlan.toString
+      assert(bPlan.contains("BroadcastHashJoin"), s"no broadcast:\n$bPlan")
+      assert(sPlan.contains("SortMergeJoin"), s"no merge join:\n$sPlan")
+      assert(!sPlan.contains("BroadcastHashJoin"),
+        s"shuffled path still broadcasts:\n$sPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // same gate on the persisted-index twin
+    val pdir = java.nio.file.Files.createTempDirectory("annjoin_gate").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", pdir,
+      nlist = 16, m = 4, ks = 8, iters = 2, dim = dim)
+    def runPq(maxBytes: Long) = Similarity.annJoinPqFromDir(queries,
+      "vec_id", "embedding", pdir, 5, maxBroadcastBytes = maxBytes)
+    val bPq = runPq(Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sPq = runPq(0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sPq == bPq, "shuffled PQ ANN join diverged from broadcast path")
+  }
+
   test("ivfPqTopK recalls planted near neighbors and agrees with PQ on probed lists") {
     val rnd = new scala.util.Random(41)
     val dim = 32
