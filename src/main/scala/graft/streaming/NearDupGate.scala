@@ -147,6 +147,15 @@ object NearDupGate {
     * n-gram LM practice). */
   val CharShingleN = 3
 
+  /** Minimum distinct member signatures for [[mitigateHotBands]] to
+    * MINE (permanently drop) a hot band key as diverse boilerplate —
+    * below this a hot key is a low-cardinality copy/variant flood and
+    * dedupes instead, preserving the band channel's recall (r9 ADVICE:
+    * a `> 1` rule let a two-variant flood kill its channel). True
+    * boilerplate keys carry hundreds of distinct signatures, so the
+    * constant only has to clear plausible variant-flood cardinality. */
+  val MinedMinSigs = 8L
+
   /** Char bands occupy `CharBandBase - band` (−2, −3, …): disjoint from
     * word bands (≥ 0) and the exact-fingerprint band (−1), so the two
     * signature keyspaces can never cross-collide. */
@@ -938,18 +947,22 @@ object NearDupGate {
     *    readers keep resolving). Near-dup docs keep dropping via their
     *    other bands — the [[graft.functions.Dedup]] `dropShingles`
     *    semantics at band granularity.
-    *  - DUPLICATE CLUSTER (one document ingested many times — a copy
-    *    flood): every membership row carries the SAME full signature,
-    *    so dropping the key would permanently disable near-dup
-    *    detection for future VARIANTS of that document (exact copies
-    *    still drop via other channels) — a recall loss, not a
-    *    mitigation. Such keys are instead DEDUPED to one representative
-    *    row (min doc_id), which is semantics-preserving (the probe
-    *    est-verifies against the representative's signature, identical
-    *    to any other member's) and bounds the leaf the same way.
+    *  - DUPLICATE CLUSTER (one document — or a handful of variants —
+    *    ingested many times: a copy flood): the membership carries only
+    *    a FEW distinct full signatures, so dropping the key would
+    *    permanently disable near-dup detection for future VARIANTS of
+    *    those documents (exact copies still drop via other channels) —
+    *    a recall loss, not a mitigation. Such keys are instead DEDUPED
+    *    to one representative row per key (min doc_id), which is
+    *    semantics-preserving for the dominant exact-copy case and
+    *    bounds the leaf the same way.
     * Diversity is measured as the count of distinct full signatures
     * among the key's members, fetched from `state/sigs` by the member
-    * doc_ids only (leaf-pruned; bounded by the leaf's own row count).
+    * doc_ids only (leaf-pruned; bounded by the leaf's own row count);
+    * a key is mined only at ≥ [[MinedMinSigs]] distinct signatures
+    * (r9 ADVICE: at `> 1` a TWO-variant copy-flood counted as diverse
+    * boilerplate and lost its band channel — low-cardinality variant
+    * floods now fall on the dedupe side).
     * A member with no signature row (possible only in the
     * bands-written/sigs-unwritten replay crash window) counts as zero —
     * erring toward dedupe, the recall-preserving side.
@@ -1015,7 +1028,7 @@ object NearDupGate {
                     .toMap
                 case None => Map.empty
               }
-            cand.partition(k => diversity.getOrElse(k, 0L) > 1L)
+            cand.partition(k => diversity.getOrElse(k, 0L) >= MinedMinSigs)
           }
           if (hot.nonEmpty || fpHot.nonEmpty || dupKeys.nonEmpty) {
             // drop list FIRST (crash order — see the contract above)

@@ -732,6 +732,50 @@ class StreamingSpec extends SparkSpec {
       out, state, buckets = 4) == 0L)
   }
 
+  test("NearDupGate: a low-cardinality variant flood dedupes — its band channel survives") {
+    // r9 ADVICE: under the old `nsig > 1` rule, a flood of just TWO
+    // variants of one document counted as "diverse boilerplate" and was
+    // mined — permanently disabling near-dup detection on that band
+    // channel, the exact recall loss the duplicate-cluster carve-out
+    // exists to prevent. Mining now requires >= MinedMinSigs distinct
+    // member signatures; a 2-signature flood falls on the dedupe side.
+    import graft.streaming.NearDupGate
+    val dir = java.nio.file.Files.createTempDirectory("neardup-varflood").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val base = (0 until 80).map(i => s"vf$i").mkString(" ")
+    val variantB = base.replace("vf70", "zz")
+    // 120 copies across batches, alternating the two variants: every
+    // shared band key accretes 100+ members carrying exactly 2 distinct
+    // signatures
+    def flood(idBase: Long) = (0 until 40).map { i =>
+      (idBase + i, if (i % 2 == 0) base else variantB)
+    }.toDF("doc_id", "text")
+    assert(NearDupGate.curateBatch(flood(0), out, state, buckets = 4) == 1L)
+    assert(NearDupGate.curateBatch(flood(1000), out, state, buckets = 4) == 0L)
+    assert(NearDupGate.curateBatch(flood(2000), out, state, buckets = 4) == 0L)
+    // maintenance: the hot keys are a variant flood, NOT boilerplate —
+    // nothing may be mined; the keys dedupe to one representative each
+    // (threshold 50 catches both the 120-member shared keys and the
+    // 60-member keys where one variant's unique shingle won a band)
+    val mined = NearDupGate.mitigateHotBands(spark, out, state,
+      targetBytes = 1L, maxBandMembers = 50L)
+    assert(mined.isEmpty,
+      s"a 2-variant flood was mined as diverse boilerplate: $mined")
+    // the channel SURVIVES: a fresh near-dup variant of the flooded doc
+    // still collides (with the deduped representative) and drops
+    assert(NearDupGate.curateBatch(
+      Seq((9000L, base.replace("vf10", "qq"))).toDF("doc_id", "text"),
+      out, state, buckets = 4) == 0L)
+    // and the leaf is bounded: the hot keys' membership deduped
+    val bandRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$state/bands")
+    val maxMembers = bandRows.where(col("band") >= 0)
+      .groupBy("band", "band_hash").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxMembers <= 10L,
+      s"variant-flood keys not deduped: max membership $maxMembers")
+  }
+
   test("NearDupGate: compactHotBands bounds the drop list without losing keys") {
     // the drop list accretes one tiny file per mitigateHotBands run
     // (duplicates inert, growth unbounded); the maintenance cadence
@@ -747,12 +791,15 @@ class StreamingSpec extends SparkSpec {
     val common1 = (0 until 200).map(i => s"aa$i").mkString(" ")
     val common2 = (0 until 200).map(i => s"zz$i").mkString(" ")
     // two mitigation rounds against two different boilerplate templates
-    // → two drop-list files
-    assert(NearDupGate.curateBatch(tpl(common1, 0, 12), out, state, buckets = 4) == 1L)
+    // → two drop-list files. 30 docs/template so the shared band keys
+    // carry well over MinedMinSigs distinct member signatures (at 12 a
+    // handful of all-common-signature docs can dip nsig below the
+    // mined threshold and flip the keys to the dedupe side)
+    assert(NearDupGate.curateBatch(tpl(common1, 0, 30), out, state, buckets = 4) == 1L)
     val mined1 = NearDupGate.mitigateHotBands(spark, out, state,
       targetBytes = 1L, maxBandMembers = 10L)
     assert(mined1.nonEmpty)
-    assert(NearDupGate.curateBatch(tpl(common2, 1000, 12), out, state, buckets = 4) == 1L)
+    assert(NearDupGate.curateBatch(tpl(common2, 1000, 30), out, state, buckets = 4) == 1L)
     val mined2 = NearDupGate.mitigateHotBands(spark, out, state,
       targetBytes = 1L, maxBandMembers = 10L)
     assert(mined2.nonEmpty)
