@@ -10,17 +10,21 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL ([[decodeImage]]/[[imageStats]] —
   * `javax.imageio`'s JDK-built-in PNG/JPEG/GIF/BMP readers, no external
-  * codec needed), and so is AUDIO ([[decodeAudio]]/[[audioStats]] —
-  * `javax.sound.sampled`'s JDK-built-in WAV/AIFF/AU readers); video
-  * decode remains a clearly-marked deterministic STUB
-  * (`fakeDecodeFeatures`, the container has no video codec — builder
-  * brief), with undecodable bytes falling back to the stub path so one
-  * plan serves a mixed corpus. Everything Spark-side is
-  * real and tested: the schema, the binary column handling, the
-  * `mapPartitions` batch shape (the Scala analog of `mapInPandas` —
-  * per-partition iteration so a decoder amortizes codec/model init
-  * across rows), and the partitioning story (binary payloads stay where
-  * they are; only extracted features shuffle).
+  * codec needed), so is AUDIO ([[decodeAudio]]/[[audioStats]] —
+  * `javax.sound.sampled`'s JDK-built-in WAV/AIFF/AU readers), and so is
+  * VIDEO CONTAINER METADATA ([[decodeVideoMeta]]/[[videoStats]] — a
+  * dependency-free MP4 `moov`/`mvhd`/`tkhd` box walk and AVI `avih`
+  * header parse: duration, dimensions, track count). Only PIXEL-level
+  * video decode (frame rasterization) remains a clearly-marked
+  * deterministic STUB (`fakeDecodeFeatures`/[[sampleFrames]]'s byte
+  * slicing — the container ships no video codec, builder brief), with
+  * undecodable bytes falling back to the stub path so one plan serves
+  * a mixed corpus. Everything Spark-side is real and tested: the
+  * schema, the binary column handling, the `mapPartitions` batch shape
+  * (the Scala analog of `mapInPandas` — per-partition iteration so a
+  * decoder amortizes codec/model init across rows), and the
+  * partitioning story (binary payloads stay where they are; only
+  * extracted features shuffle).
   */
 object Multimodal {
 
@@ -57,11 +61,14 @@ object Multimodal {
       md5(col("blob")).as("content_md5"),
       col("meta.width").as("width"), col("meta.height").as("height"))
 
-  /** STUB decoder ??? — stands in for image decode / audio resample /
-    * frame sampling. Deterministic fake: `dim` features from rolling byte
-    * sums. A real implementation would replace ONLY the inner function;
-    * the batch shape (mapPartitions: per-partition init, row iteration,
-    * fixed-size float output) is the production plumbing. */
+  /** STUB decoder ??? — stands in for pixel/sample-level feature
+    * extraction, the one remaining codec gap now that image
+    * ([[decodeImage]]), audio ([[decodeAudio]]) and video container
+    * metadata ([[decodeVideoMeta]]) are real. Deterministic fake: `dim`
+    * features from rolling byte sums. A real implementation would
+    * replace ONLY the inner function; the batch shape (mapPartitions:
+    * per-partition init, row iteration, fixed-size float output) is the
+    * production plumbing. */
   def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -320,6 +327,152 @@ object Multimodal {
               else bytes.map(b => (b & 0xff).toLong).sum.toDouble /
                 (bytes.length * 255.0)
             Row(r.getLong(idIdx), false, 0.0, 0, 0L, 0.0, mean)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  // ---- video container metadata: dependency-free box/header parse ----
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+
+  /** The (type, contentStart, end) triples of the ISO-BMFF boxes packed
+    * in `b[from, to)` — one level; callers recurse into container boxes
+    * (`moov`, `trak`). Tolerates 64-bit largesize and a final
+    * size-0-to-end box; stops at the first malformed header. */
+  private def mp4Boxes(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = from
+    var ok = true
+    while (ok && o + 8 <= to) {
+      var size = be32(b, o)
+      val typ = new String(b, o + 4, 4, "ISO-8859-1")
+      var hdr = 8
+      if (size == 1 && o + 16 <= to) { size = be64(b, o + 8); hdr = 16 }
+      else if (size == 0) size = (to - o).toLong
+      if (size < hdr || size > to - o) ok = false
+      else { out += ((typ, o + hdr, o + size.toInt)); o += size.toInt }
+    }
+    out.result()
+  }
+
+  private def parseMp4(b: Array[Byte]): Option[(Double, Int, Int, Int)] = {
+    val top = mp4Boxes(b, 0, b.length)
+    if (!top.exists(_._1 == "ftyp")) return None
+    top.find(_._1 == "moov").flatMap { case (_, s, e) =>
+      val inner = mp4Boxes(b, s, e)
+      // mvhd: fullbox — version 0 packs timescale/duration as u32 at
+      // content offsets 12/16, version 1 as u32/u64 at 20/24
+      val dur = inner.find(_._1 == "mvhd").flatMap { case (_, ms, me) =>
+        (b(ms) & 0xff) match {
+          case 1 if me - ms >= 32 =>
+            val ts = be32(b, ms + 20)
+            if (ts > 0) Some(be64(b, ms + 24).toDouble / ts) else None
+          case 0 if me - ms >= 20 =>
+            val ts = be32(b, ms + 12)
+            if (ts > 0) Some(be32(b, ms + 16).toDouble / ts) else None
+          case _ => None
+        }
+      }
+      val traks = inner.filter(_._1 == "trak")
+      // tkhd: width/height as 16.16 fixed-point at content offset 76
+      // (v0) / 88 (v1); the first track with non-zero dims is the video
+      // track (audio tracks carry zeros)
+      val dims = traks.iterator.flatMap { case (_, ts, te) =>
+        mp4Boxes(b, ts, te).find(_._1 == "tkhd").flatMap { case (_, hs, he) =>
+          val wOff = if ((b(hs) & 0xff) == 1) hs + 88 else hs + 76
+          if (wOff + 8 <= he) {
+            val w = (be32(b, wOff) >> 16).toInt
+            val h = (be32(b, wOff + 4) >> 16).toInt
+            if (w > 0 && h > 0) Some((w, h)) else None
+          } else None
+        }
+      }.nextOption()
+      dur.map(d => (d, dims.map(_._1).getOrElse(0),
+        dims.map(_._2).getOrElse(0), traks.length))
+    }
+  }
+
+  private def parseAvi(b: Array[Byte]): Option[(Double, Int, Int, Int)] = {
+    // the required `avih` main header sits early in the `hdrl` LIST; a
+    // bounded linear scan for its fourcc keeps the parse tolerant of
+    // odd chunk padding. Fields are little-endian u32s.
+    val limit = math.min(b.length - 48, 4096)
+    var idx = -1
+    var o = 12
+    while (idx < 0 && o < limit) {
+      if (b(o) == 'a' && b(o + 1) == 'v' && b(o + 2) == 'i' && b(o + 3) == 'h')
+        idx = o
+      o += 1
+    }
+    if (idx < 0) return None
+    val hs = idx + 8 // past fourcc + chunk size
+    val usPerFrame = le32(b, hs)
+    val frames = le32(b, hs + 16)
+    val streams = le32(b, hs + 24)
+    val w = le32(b, hs + 32).toInt
+    val h = le32(b, hs + 36).toInt
+    Some((if (usPerFrame > 0) frames * usPerFrame / 1e6 else 0.0,
+      w, h, streams.toInt))
+  }
+
+  /** REAL video container-metadata decode — no codec required: an MP4
+    * (ISO-BMFF) `moov` walk (`mvhd` timescale/duration, `tkhd` track
+    * dims, `trak` count) or an AVI `avih` main-header parse. Returns
+    * (duration seconds, width, height, track/stream count); None for
+    * bytes that are neither container — callers fall back to the stub
+    * path, mirroring [[decodeImage]]/[[decodeAudio]]. Pixel-level frame
+    * decode stays behind the [[sampleFrames]] stub (no codec in the
+    * JDK); this retires the metadata half of the video stub. */
+  def decodeVideoMeta(bytes: Array[Byte]): Option[(Double, Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 16) return None
+    try {
+      val isMp4 = bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p'
+      val isAvi = bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'A' && bytes(9) == 'V' &&
+        bytes(10) == 'I' && bytes(11) == ' '
+      if (isMp4) parseMp4(bytes)
+      else if (isAvi) parseAvi(bytes)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Video statistics through the SAME `mapPartitions` decode boundary
+    * as [[imageStats]]/[[audioStats]] — the REAL container parser in
+    * front, stub fallback behind: parseable blobs (MP4/AVI) report
+    * actual duration / dimensions / track count (`decoded = true`);
+    * everything else falls back to the synthesized metadata dims + zero
+    * duration (`decoded = false`), so one plan serves a mixed corpus of
+    * real containers and opaque payloads. */
+  def videoStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("duration_sec", DoubleType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("tracks", IntegerType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        decodeVideoMeta(bytes) match {
+          case Some((dur, w, h, tracks)) =>
+            Row(r.getLong(idIdx), true, dur, w, h, tracks)
+          case None =>
+            val meta = r.getStruct(metaIdx)
+            Row(r.getLong(idIdx), false, 0.0,
+              meta.getInt(0), meta.getInt(1), 0)
         }
       }
     }(RowEncoder.encoderFor(outSchema))

@@ -447,14 +447,31 @@ object PipelineQueries {
     Similarity.ivfPqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
   /** Index-once/probe-many: the PQ/IVF-PQ artifact dirs are cached per
-    * (kind, corpus dir) for the JVM's lifetime, so the FIRST registry
-    * invocation pays the real train-and-write round-trip and every
-    * repeat (the bench's warmup + min-of-N runs) measures the PROBE
-    * alone — exactly the production serving split the artifacts exist
-    * for. Correctness is unaffected: the artifacts are a pure function
-    * of the corpus dir and the fixed params. */
+    * (kind, corpus dir, corpus FINGERPRINT) for the JVM's lifetime, so
+    * the FIRST registry invocation pays the real train-and-write
+    * round-trip and every repeat (the bench's warmup + min-of-N runs)
+    * measures the PROBE alone — exactly the production serving split
+    * the artifacts exist for. The fingerprint (file names + lengths +
+    * mtimes of the embeddings table) guards the r9 ADVICE staleness
+    * window: a corpus parquet REGENERATED at the same dir within one
+    * JVM misses the cache and retrains instead of silently scoring
+    * stale artifacts. Correctness is unaffected either way: the
+    * artifacts are a pure function of the corpus bytes and the fixed
+    * params. */
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corpusFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val st =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+        else Seq(fs.getFileStatus(p))
+      java.lang.Long.toHexString(st.map(f => f.getPath.getName.hashCode * 31L +
+        f.getLen * 17L + f.getModificationTime).sum)
+    }
+  }
   private def cachedArtifacts(key: String)(build: String => Unit): String =
     artifactCache.computeIfAbsent(key, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft-ann-art").toString
@@ -468,7 +485,7 @@ object PipelineQueries {
     * driver-verified against the same oracle as `q_sim_pq` (the probe
     * is spec-pinned bit-identical to the fused scoring). */
   def simPqProbe(s: SparkSession, d: String): DataFrame = {
-    val dir = cachedArtifacts(s"pq:$d")(
+    val dir = cachedArtifacts(s"pq:$d:${corpusFingerprint(s, d)}")(
       Similarity.pqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
     Similarity.pqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
@@ -478,7 +495,7 @@ object PipelineQueries {
     * filtered codes scan, zero training jobs; same oracle as
     * `q_sim_ivfpq`. */
   def simIvfPqProbe(s: SparkSession, d: String): DataFrame = {
-    val dir = cachedArtifacts(s"ivfpq:$d")(
+    val dir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
       Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
     Similarity.ivfPqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
@@ -488,7 +505,7 @@ object PipelineQueries {
     * `q_sim_ivfpq_probe`: stored coarse routing + stored codes, the
     * whole query set in one plan, zero training jobs. */
   def simAnnJoinPq(s: SparkSession, d: String): DataFrame = {
-    val dir = cachedArtifacts(s"ivfpq:$d")(
+    val dir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
       Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
     Similarity.annJoinPqFromDir(embChecked(s, d).where(col("vec_id") < 4),
       "vec_id", "embedding", dir, 5)

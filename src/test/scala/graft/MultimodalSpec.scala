@@ -112,6 +112,57 @@ class MultimodalSpec extends SparkSpec {
       stats(1).getDouble(6) > 0.0) // byte-mean fallback amplitude
   }
 
+  test("decodeVideoMeta: MP4 box walk + AVI header parse; stub fallback") {
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be32(content.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ content
+    // a minimal generated MP4: ftyp + moov(mvhd timescale=1000
+    // duration=5000, video trak 320x240, zero-dim audio trak)
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(5000))
+    val tkhdContent = new Array[Byte](84) // v0: 16.16 dims at 76/80
+    System.arraycopy(be32(320L << 16), 0, tkhdContent, 76, 4)
+    System.arraycopy(be32(240L << 16), 0, tkhdContent, 80, 4)
+    val traks = box("trak", box("tkhd", tkhdContent)) ++
+      box("trak", box("tkhd", new Array[Byte](84)))
+    val mp4 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", mvhd ++ traks)
+    assert(Multimodal.decodeVideoMeta(mp4).contains((5.0, 320, 240, 2)))
+
+    // a minimal AVI: RIFF/AVI + LIST hdrl + avih (LE): 25 fps × 250
+    // frames, 640x480, 2 streams
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(40000), 0, avih, 0, 4)  // dwMicroSecPerFrame
+    System.arraycopy(le32(250), 0, avih, 16, 4)   // dwTotalFrames
+    System.arraycopy(le32(2), 0, avih, 24, 4)     // dwStreams
+    System.arraycopy(le32(640), 0, avih, 32, 4)
+    System.arraycopy(le32(480), 0, avih, 36, 4)
+    val hdrl = "hdrl".getBytes ++ "avih".getBytes ++ le32(56) ++ avih
+    val body = "AVI ".getBytes ++ "LIST".getBytes ++ le32(hdrl.length) ++ hdrl
+    val avi = "RIFF".getBytes ++ le32(body.length) ++ body
+    val Some((dur, w, h, streams)) = Multimodal.decodeVideoMeta(avi)
+    assert(math.abs(dur - 10.0) < 1e-9 && w == 640 && h == 480 && streams == 2)
+
+    // neither container: no decode
+    assert(Multimodal.decodeVideoMeta("plain text payload xx".getBytes).isEmpty)
+    assert(Multimodal.decodeVideoMeta(null).isEmpty)
+
+    // videoStats: one plan serves real containers and opaque payloads
+    import spark.implicits._
+    val media = Seq((1L, "video", mp4), (2L, "video", "opaque".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "blob")
+      .withColumn("meta", struct(lit(111).as("width"), lit(222).as("height"),
+        lit("stub").as("codec")))
+    val stats = Multimodal.videoStats(media).orderBy("media_id").collect()
+    assert(stats(0).getBoolean(1) && stats(0).getDouble(2) == 5.0 &&
+      stats(0).getInt(3) == 320 && stats(0).getInt(4) == 240 &&
+      stats(0).getInt(5) == 2)
+    assert(!stats(1).getBoolean(1) && stats(1).getDouble(2) == 0.0 &&
+      stats(1).getInt(3) == 111 && stats(1).getInt(4) == 222)
+  }
+
   test("synthesizeMedia produces typed binary + metadata schema") {
     val media = Multimodal.synthesizeMedia(
       Tables.documents(spark, sf0001), "doc_id", "text")
