@@ -62,6 +62,47 @@ object Dedup {
     dedupKeepRows(fresh, id, text)
   }
 
+  /** CROSS-document line deduplication — the CCNet/C4 curation pass that
+    * strips boilerplate LINES (nav bars, cookie banners, share buttons)
+    * repeated across ≥ `minDocs` distinct documents, then reconstructs
+    * each document's text from its surviving lines in original order.
+    * Complements the within-doc rule ([[TextAnalysis.dupLineFrac]]) and
+    * whole-doc dedup ([[exactGroups]]): a line is dropped for being
+    * common across the CORPUS, not within one document.
+    *
+    * Output: (id, clean_text, n_kept); a document whose every line is
+    * boilerplate disappears (zero surviving lines — its reconstructed
+    * text would be meaningless).
+    *
+    * Scale shape: one posexplode (no shuffle), one hash aggregation on
+    * the line to count distinct docs (map-side combine collapses each
+    * partition's repeats first), one line-keyed anti-join, one id-keyed
+    * aggregation to reassemble — all shuffles carry (line, id, pos)
+    * triples, never full documents. The hot-line set is tiny by
+    * definition (lines crossing the threshold), so AQE turns the
+    * anti-join into a broadcast; at 100 TB the join key would be a
+    * 128-bit line hash rather than the string (kept literal here so the
+    * oracle can recompute it), and the reassembly shuffle is the
+    * documents' own bytes once — the floor for any rewrite pass. */
+  def lineDedup(df: DataFrame, id: String, text: String,
+                minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = ensureParallel(df, col(id))
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct(col(id)).as("_ld_nd"))
+      .where(col("_ld_nd") >= minDocs)
+      .select("line")
+    lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col(id))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x("line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Unlock parallelism for tiny single-file inputs — the key-ed form of
     * [[Parallelism.ensureParallel]]: callers pass the expression their
     * downstream `groupBy` shuffles on, so the exchange satisfies the

@@ -445,6 +445,83 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  // ---- deterministic container synthesis (fixture generators) ----------
+
+  private def be32b(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32b(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def isoBox(typ: String, content: Array[Byte]): Array[Byte] =
+    be32b(content.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ content
+
+  /** A minimal REAL MP4 (ISO-BMFF) container: `ftyp` + `moov`(`mvhd`
+    * timescale 1000 / duration `durMs`, `tracks` traks — the first
+    * carries the 16.16 fixed-point dims, the rest zero-dim audio-style).
+    * Deterministic bytes; [[decodeVideoMeta]] inverts it to
+    * (durMs/1000.0, w, h, tracks). */
+  def minimalMp4(durMs: Long, w: Int, h: Int, tracks: Int): Array[Byte] = {
+    require(tracks >= 1, s"tracks must be >= 1, got $tracks")
+    val mvhd = isoBox("mvhd",
+      be32b(0) ++ be32b(0) ++ be32b(0) ++ be32b(1000) ++ be32b(durMs))
+    val traks = (0 until tracks).map { i =>
+      val c = new Array[Byte](84) // tkhd v0: 16.16 dims at 76/80
+      if (i == 0) {
+        System.arraycopy(be32b(w.toLong << 16), 0, c, 76, 4)
+        System.arraycopy(be32b(h.toLong << 16), 0, c, 80, 4)
+      }
+      isoBox("trak", isoBox("tkhd", c))
+    }.reduce(_ ++ _)
+    isoBox("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      isoBox("moov", mvhd ++ traks)
+  }
+
+  /** A minimal REAL AVI: RIFF/`AVI ` + `hdrl` LIST holding the required
+    * `avih` main header (all LE u32s). [[decodeVideoMeta]] inverts it to
+    * (frames*usPerFrame/1e6, w, h, streams). */
+  def minimalAvi(usPerFrame: Long, frames: Long, w: Int, h: Int,
+                 streams: Int): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32b(usPerFrame), 0, avih, 0, 4)
+    System.arraycopy(le32b(frames), 0, avih, 16, 4)
+    System.arraycopy(le32b(streams), 0, avih, 24, 4)
+    System.arraycopy(le32b(w), 0, avih, 32, 4)
+    System.arraycopy(le32b(h), 0, avih, 36, 4)
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++
+      "avih".getBytes("ISO-8859-1") ++ le32b(56) ++ avih
+    val body = "AVI ".getBytes("ISO-8859-1") ++
+      "LIST".getBytes("ISO-8859-1") ++ le32b(hdrl.length) ++ hdrl
+    "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+  }
+
+  /** Synthesize a VIDEO media table whose blobs are REAL containers
+    * built at id-derived closed forms (shared verbatim with the
+    * `q_multimodal_video` DuckDB oracle, which recomputes the expected
+    * metadata arithmetically — the check is that the container parse
+    * INVERTS this synthesis): id % 7 == 0 → opaque payload (stub
+    * fallback exercises the mixed-corpus path), else even id → MP4
+    * (duration id*137 % 30000 + 1000 ms, tracks id/2 % 2 + 1), odd id →
+    * AVI (25 fps × (id % 750 + 25) frames, id % 3 + 1 streams); both
+    * real shapes at dims (id*37 % 1904 + 16, id*17 % 1064 + 16). Runs
+    * in the same mapPartitions codec boundary as the decode side. */
+  def synthesizeVideoMedia(docs: DataFrame, id: String): DataFrame =
+    docs.select(col(id).cast(LongType).as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        val blob: Array[Byte] =
+          if (i % 7 == 0) s"opaque payload $i".getBytes("UTF-8")
+          else if (i % 2 == 0)
+            minimalMp4(i * 137 % 30000 + 1000,
+              (i * 37 % 1904 + 16).toInt, (i * 17 % 1064 + 16).toInt,
+              (i / 2 % 2 + 1).toInt)
+          else
+            minimalAvi(40000L, i % 750 + 25,
+              (i * 37 % 1904 + 16).toInt, (i * 17 % 1064 + 16).toInt,
+              (i % 3 + 1).toInt)
+        Row(i, "video", blob,
+          Row((i * 37 % 1920 + 1).toInt, (i * 17 % 1080 + 1).toInt, "stub"))
+      }
+    }(RowEncoder.encoderFor(mediaSchema))
+
   /** Video statistics through the SAME `mapPartitions` decode boundary
     * as [[imageStats]]/[[audioStats]] — the REAL container parser in
     * front, stub fallback behind: parseable blobs (MP4/AVI) report

@@ -119,6 +119,26 @@ object PipelineQueries {
       TA.dupLineFrac(lined).as("dup_line_frac"))
   }
 
+  /** CROSS-document line dedup ([[Dedup.lineDedup]], the CCNet/C4
+    * boilerplate-line strip) over a deterministically-dirtied corpus:
+    * the fixture docs are single-line, so every doc_id % 2 == 0 row
+    * gains a global boilerplate footer and every doc_id % 3 == 0 row a
+    * per-lang share bar — engine and oracle construct the IDENTICAL
+    * multi-line input (the q_pii_scrub pattern). The global footer and
+    * each lang's share bar cross the minDocs=5 threshold and are
+    * stripped corpus-wide; each doc's own content line survives unless
+    * the fixture duplicated that text across ≥5 docs (then BOTH sides
+    * drop it — cross-doc semantics, not an artifact). */
+  def lineDedupQ(s: SparkSession, d: String): DataFrame = {
+    val dirty = documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit("\nFollow us on social media"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, concat(lit("\nShare this in "), col("lang")))
+          .otherwise(lit(""))).as("text"))
+    Dedup.lineDedup(dirty, "doc_id", "text", minDocs = 5)
+  }
+
   /** Deterministic hash-based train/val/test assignment: md5-derived
     * bucket of the id string — engine-independent, order-uncorrelated,
     * the split a reproducible data pipeline actually ships. The bucket
@@ -577,6 +597,18 @@ object PipelineQueries {
       .where(col("quality") >= 0.5)
   }
 
+  /** Video container-metadata decode over REAL synthesized MP4/AVI blobs
+    * ([[Multimodal.synthesizeVideoMedia]] → [[Multimodal.videoStats]]):
+    * the oracle recomputes the expected metadata arithmetically from the
+    * synthesis closed forms, so row equality proves the engine's MP4
+    * box walk / AVI header parse INVERTS the container encoding —
+    * byte-level decode checked through SQL an external oracle can run.
+    * id % 7 rows are opaque payloads exercising the stub fallback
+    * inside the same plan. */
+  def multimodalVideo(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoStats(
+      Multimodal.synthesizeVideoMedia(par(documents(s, d)), "doc_id"))
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaStats(
       Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
@@ -647,6 +679,7 @@ object PipelineQueries {
     "q_repetition"     -> (repetition _),
     "q_dup_ngrams"     -> (dupNgrams _),
     "q_dup_lines"      -> (dupLines _),
+    "q_line_dedup"     -> (lineDedupQ _),
     "q_hash_split"     -> (hashSplit _),
     "q_pii_scrub"      -> (piiScrub _),
     "q_explode"        -> (explodeTokens _),
@@ -684,6 +717,7 @@ object PipelineQueries {
     "q_multimodal_feat" -> (multimodalFeatures _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_resize" -> (multimodalResize _),
+    "q_multimodal_video" -> (multimodalVideo _),
     "q_pipeline_clean"  -> (pipelineClean _),
     "q_pipeline_neardup" -> (pipelineNearDup _))
 
@@ -821,6 +855,26 @@ object PipelineQueries {
         |       - len(list_distinct(string_split(t, chr(10)))) AS DOUBLE)
         |    / len(string_split(t, chr(10))) AS dup_line_frac
         |FROM lined""".stripMargin,
+    // cross-doc line dedup: identical dirty construction as the engine;
+    // docs whose every line is boilerplate drop out of the group-by
+    "q_line_dedup" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Follow us on social media' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Share this in ' || lang ELSE '' END AS t
+        |FROM documents),
+        |lines AS (SELECT doc_id,
+        |  unnest(string_split(t, chr(10))) AS line,
+        |  generate_subscripts(string_split(t, chr(10)), 1) AS pos
+        |FROM dirty),
+        |hot AS (SELECT line FROM lines GROUP BY line
+        |        HAVING count(DISTINCT doc_id) >= 5),
+        |kept AS (SELECT l.* FROM lines l
+        |         WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.line = l.line))
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+        |  count(*) AS n_kept
+        |FROM kept GROUP BY doc_id""".stripMargin,
     "q_dup_ngrams" ->
       s"""WITH g AS (SELECT doc_id,
          |  CASE WHEN len($TOKS) >= 2
@@ -1108,6 +1162,23 @@ object PipelineQueries {
         |  greatest(1, CAST(round(width * scale) AS INTEGER)) AS out_width,
         |  greatest(1, CAST(round(height * scale) AS INTEGER)) AS out_height
         |FROM sc""".stripMargin,
+    // the synthesis closed forms recomputed arithmetically — equality
+    // proves the engine's container parse inverts the encoder (the
+    // engine side decodes BYTES; only the expected values are SQL)
+    "q_multimodal_video" ->
+      """SELECT doc_id AS media_id,
+        |  doc_id % 7 <> 0 AS decoded,
+        |  CASE WHEN doc_id % 7 = 0 THEN 0.0
+        |       WHEN doc_id % 2 = 0 THEN (doc_id * 137 % 30000 + 1000) / 1000.0
+        |       ELSE (doc_id % 750 + 25) * 40000 / 1000000.0 END AS duration_sec,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id * 37 % 1920 + 1
+        |            ELSE doc_id * 37 % 1904 + 16 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN doc_id * 17 % 1080 + 1
+        |            ELSE doc_id * 17 % 1064 + 16 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+        |            WHEN doc_id % 2 = 0 THEN doc_id // 2 % 2 + 1
+        |            ELSE doc_id % 3 + 1 END AS INTEGER) AS tracks
+        |FROM documents""".stripMargin,
     // near-dup prep: the dedup-groups recursive-CTE twin as a subquery,
     // NOT IN over its non-representative members, then the same quality
     // expressions as q_pipeline_clean

@@ -318,4 +318,28 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(est(k) - j) < 0.25, s"pair $k est ${est(k)} vs exact $j")
     }
   }
+
+  test("lineDedup strips cross-doc boilerplate lines, keeps order, drops emptied docs") {
+    val docs = Seq(
+      (1L, "unique one\nSHARED FOOTER"),
+      (2L, "unique two\nSHARED FOOTER\nalso two"),
+      (3L, "SHARED FOOTER\nunique three"),
+      (4L, "SHARED FOOTER"), // every line boilerplate → doc drops out
+      (5L, "solo five")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "unique one", 1L),
+      (2L, "unique two\nalso two", 2L), // order preserved around the strip
+      (3L, "unique three", 1L),
+      (5L, "solo five", 1L)))
+    // the threshold counts DISTINCT docs, not occurrences: a line
+    // repeated within one doc never reaches minDocs on its own
+    val rep = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val kept = Dedup.lineDedup(rep, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(kept == Seq((1L, "x\nx\nx"), (2L, "y")))
+  }
 }

@@ -209,4 +209,40 @@ class MultimodalSpec extends SparkSpec {
     val c = sums.agg(corr(col("l1"), col("len"))).head().getDouble(0)
     assert(c > 0.99, s"feature mass should track byte length, corr=$c")
   }
+
+  test("container generators round-trip; synthesizeVideoMedia decodes at the closed forms") {
+    // the decode inverts the encode, byte-for-byte containers
+    assert(Multimodal.decodeVideoMeta(Multimodal.minimalMp4(2500, 640, 360, 2))
+      .contains((2.5, 640, 360, 2)))
+    val Some((d, w, h, s)) =
+      Multimodal.decodeVideoMeta(Multimodal.minimalAvi(40000, 100, 320, 200, 3))
+    assert(math.abs(d - 4.0) < 1e-9 && w == 320 && h == 200 && s == 3)
+
+    // the synthesized media table decodes at the id-derived closed forms
+    // (the same forms the q_multimodal_video oracle recomputes in SQL)
+    import spark.implicits._
+    val ids = Seq(0L, 2L, 3L, 7L, 9L, 10L)
+    val stats = Multimodal.videoStats(
+        Multimodal.synthesizeVideoMedia(ids.toDF("doc_id"), "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getDouble(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    for (i <- ids) {
+      val (dec, dur, ww, hh, tr) = stats(i)
+      if (i % 7 == 0) {
+        assert(!dec && dur == 0.0 && tr == 0, s"id $i: opaque row decoded")
+        assert(ww == (i * 37 % 1920 + 1).toInt && hh == (i * 17 % 1080 + 1).toInt)
+      } else {
+        assert(dec, s"id $i: container failed to decode")
+        assert(ww == (i * 37 % 1904 + 16).toInt && hh == (i * 17 % 1064 + 16).toInt)
+        if (i % 2 == 0) {
+          assert(dur == (i * 137 % 30000 + 1000) / 1000.0, s"id $i mp4 duration")
+          assert(tr == (i / 2 % 2 + 1).toInt, s"id $i mp4 tracks")
+        } else {
+          assert(dur == (i % 750 + 25) * 40000 / 1e6, s"id $i avi duration")
+          assert(tr == (i % 3 + 1).toInt, s"id $i avi streams")
+        }
+      }
+    }
+  }
 }

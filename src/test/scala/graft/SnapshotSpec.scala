@@ -419,4 +419,60 @@ class SnapshotSpec extends SparkSpec {
         .toDF("symbol", "time", "close"), plain)
     assert(rows(Serving.lakeTable(spark, plain)).size == 1)
   }
+
+  test("Serving.history on a pinned lake stays exact across a crashed compaction swap") {
+    // the q_api_history endpoint shape (filter → orderBy desc → limit n)
+    // served from Snapshot-pinned lake reads, asserted across BOTH
+    // maintenance hazards: a completed compaction (originals retired
+    // through the manifest) and the crash window where a compaction
+    // moved a live file into the next version's _stale tree and died
+    // before its manifest wrote.
+    import graft.queries.Serving
+    import org.apache.spark.sql.functions.col
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("snap-serving-hist").toString
+    val path = s"$dir/data"
+    Snapshot.init(spark, path)
+    (0 until 5).foreach { i =>
+      val touched = TickIngest.appendBatchIdempotent(
+        Seq(("FPT", t(s"2023-02-07 09:3$i:00"), 80.0 + i),
+            ("VNM", t(s"2023-02-07 09:3$i:00"), 70.0 + i))
+          .toDF("symbol", "time", "close"), path)
+      Snapshot.commit(spark, path, touched)
+    }
+    val v0 = Snapshot.latestVersion(spark, path).get
+    def history(version: Option[Long]): Seq[(java.sql.Timestamp, Double)] = {
+      val q = Serving.lakeTable(spark, path, version)
+        .where(col("symbol") === "FPT")
+        .orderBy(col("time").desc).limit(3)
+        .select("time", "close")
+      assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+        "the endpoint read must plan the top-k, not a global sort")
+      q.collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+    }
+    val expected = (4 to 2 by -1).map(i => (t(s"2023-02-07 09:3$i:00"), 80.0 + i))
+    assert(history(Some(v0)) == expected)
+    // maintenance compacts both partitions, retiring originals through
+    // the manifest — the pinned AND latest endpoint reads must not move
+    val (parts, nb, na) = LakeMaintenance.compactPartitioned(
+      spark, path, "symbol=", maxFiles = 1, snapshotRoot = Some(path))
+    assert(parts == 2 && na < nb, s"no compaction: $parts parts, $nb -> $na")
+    val v1 = Snapshot.latestVersion(spark, path).get
+    assert(v1 > v0)
+    assert(history(Some(v0)) == expected, "pre-compaction pin drifted")
+    assert(history(None) == expected, "latest-version read drifted")
+    // crash window: a second compaction retired a live FPT file into
+    // _stale/v(N+1) and died before manifest N+1 wrote — the latest
+    // committed manifest still lists that file, which filesAt resolves
+    // from the stale tree (the >= v rule)
+    val fpt = new Path(s"$path/symbol=FPT")
+    val live = fs.listStatus(fpt)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head.getPath
+    val orphan = new Path(
+      f"$path/_stale/v${v1 + 1}%08d/symbol=FPT/${live.getName}")
+    fs.mkdirs(orphan.getParent)
+    require(fs.rename(live, orphan))
+    assert(history(Some(v0)) == expected, "pinned read broken by the crash window")
+    assert(history(None) == expected, "latest read broken by the crash window")
+  }
 }
