@@ -156,3 +156,44 @@ object Bench {
     spark.stop()
   }
 }
+
+/** Cold-vs-warm honesty probe for the persisted-index queries
+  * (`q_sim_pq_probe` / `q_sim_ivfpq_probe` / `q_ann_join_pq`): the bench's
+  * min-of-3 measures the WARM zero-training probe (artifact dirs cached
+  * per corpus per JVM — the index-once/probe-many serving split), so this
+  * main records what the first (cold) touch pays: run 1 trains and writes
+  * the index artifacts, runs 2-3 only probe the stored codes. Codegen/JIT
+  * is pre-warmed at the sf0.001 sibling (a DIFFERENT artifact cache key —
+  * the bench-SF artifacts stay cold for run 1). The ivfpq artifacts are
+  * SHARED by `q_sim_ivfpq_probe` and `q_ann_join_pq`; pass a single query
+  * name to measure its cold number in its own JVM.
+  * `sbt "runMain graft.ColdWarmProbe [names…]"`. */
+object ColdWarmProbe {
+  def main(args: Array[String]): Unit = {
+    val names: Seq[String] = if (args.nonEmpty) args.toSeq
+      else Seq("q_sim_pq_probe", "q_sim_ivfpq_probe", "q_ann_join_pq")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- names)
+      try Bench.materialize(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001"))
+      catch { case e: Throwable =>
+        System.err.println(s"[coldwarm] warmup $n failed: ${e.getMessage}") }
+    for (n <- names; r <- 1 to 3) {
+      val t0 = System.nanoTime()
+      Bench.materialize(SparkEntry.queries(n)(spark, sfDir))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[coldwarm] $n run$r ($sfDir): $secs%.2f s" +
+        (if (r == 1) " (cold: trains + writes artifacts)" else " (warm probe)"))
+    }
+    spark.stop()
+  }
+}

@@ -538,3 +538,57 @@ object AnnSweepProbe {
     spark.stop()
   }
 }
+
+/** Standalone entry for the embedding-gate compaction evidence row
+  * (the r9 verdict's measured-not-asserted item): one-file-per-batch
+  * accretion across 16 micro-batches, then the gate's own fenced
+  * [[graft.streaming.SemDeDupGate.compactState]], with the SAME probe
+  * batch timed against the pre- and post-compaction layouts.
+  * `sbt "runMain graft.SemGateCompactionProbe"`. */
+object SemGateCompactionProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.SemDeDupGate
+    def probe[T](name: String)(f: => T): T = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("semgate-compact").toString
+    val (o, s) = (s"$tmp/out", s"$tmp/state")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val all = emb.orderBy("vec_id").limit(4000)
+      .select(col("vec_id").as("vid"), col("embedding").as("v")).cache()
+    all.count()
+    (0 until 16).foreach { i =>
+      SemDeDupGate.curateBatch(all.where(pmod(col("vid"), lit(16)) === i),
+        o, s, minCos = 0.95, nlist = 64, nprobe = 4)
+    }
+    val root = new org.apache.hadoop.fs.Path(s"$s/vecs")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stateFiles(): Int = fs.listStatus(root).filter(_.isDirectory)
+      .map(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))).sum
+    val pb = emb.orderBy("vec_id").limit(10)
+      .select((col("vec_id") + lit(1L << 41)).as("vid"), col("embedding").as("v"))
+    val filesBefore = stateFiles()
+    probe("semgate_probe pre-compaction")(
+      SemDeDupGate.curateBatch(pb, o, s, minCos = 0.95, nlist = 64, nprobe = 4))
+    probe("semgate_compact (maintenance)")(
+      SemDeDupGate.compactState(spark, o, s, maxFiles = 2))
+    val filesAfter = stateFiles()
+    probe("semgate_probe post-compaction")(
+      SemDeDupGate.curateBatch(pb.select((col("vid") + 10L).as("vid"), col("v")),
+        o, s, minCos = 0.95, nlist = 64, nprobe = 4))
+    println(s"[scale] semgate compaction: state files $filesBefore -> $filesAfter")
+    spark.stop()
+  }
+}
