@@ -132,10 +132,17 @@ object ExplainAudit {
                           //   table joined to the broadcast routed
                           //   queries, nested-literal codebook lookups,
                           //   no training aggregation anywhere
-      "q_ema_seg")        // expect TWO hash aggregations (chunk-level
+      "q_ema_seg",        // expect TWO hash aggregations (chunk-level
                           //   then key-level segmented scan) — no
                           //   one-partition window, no full-series
                           //   buffer anywhere in the plan
+      "q_line_dedup",     // expect posexplode → line-keyed distinct-doc
+                          //   aggregation → anti-join → ONE doc_id
+                          //   reassembly aggregation; shuffles carry
+                          //   (line, id, pos) triples, never full docs
+      "q_multimodal_video") // expect a pure MapPartitions codec
+                          //   boundary — no hash exchange anywhere
+                          //   (only the fixture parallelism unlock)
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

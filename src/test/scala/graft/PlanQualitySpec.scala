@@ -171,4 +171,21 @@ class PlanQualitySpec extends SparkSpec {
     val unexpected = offenders.filterNot(o => allowed(o.split(":")(0)))
     assert(unexpected.isEmpty, s"scale-hostile join shapes: $unexpected")
   }
+
+  test("r10 additions: line-dedup and video-decode plan shapes") {
+    // q_line_dedup: explode + two hash aggregations (map-side partials)
+    // + an anti-join — never a cartesian; full documents only shuffle in
+    // the final reassembly
+    val ld = physical("q_line_dedup")
+    assert(ld.contains("Generate posexplode"), ld.take(800))
+    assert("HashAggregate".r.findAllIn(ld).length >= 2,
+      s"q_line_dedup lost its partial aggregation:\n${ld.take(800)}")
+    // q_multimodal_video: a pure per-row codec boundary — no hash
+    // exchange anywhere (the only allowed exchange is the tiny-fixture
+    // round-robin parallelism unlock, absent at corpus scale)
+    val mv = physical("q_multimodal_video")
+    assert(!mv.contains("Exchange hashpartitioning"),
+      s"video decode must not shuffle:\n${mv.take(800)}")
+    assert(mv.contains("MapPartitions"), mv.take(800))
+  }
 }
