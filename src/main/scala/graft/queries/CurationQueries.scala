@@ -497,6 +497,51 @@ object CurationQueries {
       .where(col("cum_tokens") <= budget)
   }
 
+  /** SEQUENCE PACKING assignment — the training-data step that lays
+    * documents head-to-tail into fixed-length context windows (GPT-style
+    * packed pretraining batches): in deterministic doc_id order, each
+    * document starts at the corpus-wide token offset `start_tok` =
+    * Σ n_tokens of all earlier docs, and lands in window
+    * `bin = start_tok div seqLen` at `bin_offset = start_tok mod seqLen`
+    * (documents may straddle windows — the bin is where the doc STARTS,
+    * which is all a pack-writer needs to route rows to shards).
+    *
+    * The global running sum is the q_token_budget decomposition, keyed
+    * by doc_id RANGE chunks instead of quality buckets (any monotone
+    * bucketing preserves the order; fixed-width `chunkWidth` keeps the
+    * within-chunk windows parallel and the offsets frame at
+    * ⌈idRange/chunkWidth⌉ rows — size chunkWidth so that count stays
+    * ~10⁵ at corpus scale, or add a third level for more). Integer
+    * `div`/`mod` throughout: ids and offsets stay exact past 2⁵³ where
+    * a double floor would silently round. */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packSequencesOf(par(documents(s, d)))
+
+  def packSequencesOf(docs: DataFrame, seqLen: Long = 2048,
+                      chunkWidth: Long = 65536): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TA.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("ck", expr(s"doc_id div $chunkWidth"))
+    val within = base.withColumn("within_cum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("ck").orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-chunk totals: the only unpartitioned window runs on this
+    // aggregated frame (⌈idRange/chunkWidth⌉ rows), never on documents
+    val offsets = base.groupBy("ck")
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("chunk_tokens")).over(
+          Window.orderBy(col("ck").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("ck"), col("offset"))
+    within.join(broadcast(offsets), Seq("ck"))
+      .withColumn("start_tok", col("offset") + col("within_cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"start_tok div $seqLen").as("bin"),
+        expr(s"start_tok % $seqLen").as("bin_offset"))
+  }
+
   // ---- semantic dedup --------------------------------------------------
 
   /** Embeddings with the oracle-parity width guard (the generated SQL
@@ -553,6 +598,7 @@ object CurationQueries {
     "q_drop_reasons"  -> (dropReasons _),
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
+    "q_pack"          -> (packSequences _),
     "q_semdedup"      -> (semDedupQ _),
     "q_semdedup_cc"   -> (semDedupCCQ _),
     "q_pipeline_semantic" -> (pipelineSemantic _))
@@ -719,6 +765,20 @@ object CurationQueries {
          |      FROM q)
          |SELECT doc_id, quality, n_tokens, cum_tokens
          |FROM c WHERE cum_tokens <= $TokenBudget""".stripMargin,
+    // the single-window spelling the two-level decomposition is
+    // bit-equal to; DuckDB sum() returns HUGEINT → cast before div/mod
+    "q_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS BIGINT) AS start_tok
+         |      FROM t)
+         |SELECT doc_id, n_tokens,
+         |  start_tok // 2048 AS bin,
+         |  start_tok % 2048 AS bin_offset
+         |FROM c""".stripMargin,
     "q_semdedup" -> Similarity.semDedupOracleSql(),
     "q_semdedup_cc" -> Similarity.semDedupCCOracleSql(),
     // the semdedup twin as a subquery; NOT IN over its dropped members,

@@ -53,6 +53,32 @@ object PipelineQueries {
   def tfidf(s: SparkSession, d: String): DataFrame =
     TA.tfidf(documents(s, d), "doc_id", "text")
 
+  private val PostingsCap = 16
+
+  /** Inverted-index build — the retrieval-side artifact (keyword/BM25
+    * search, doc-frequency stats) over the same corpus: per token, the
+    * distinct-document frequency and the first [[PostingsCap]] doc ids
+    * ascending as a comma-joined postings preview. ONE explode of each
+    * doc's DISTINCT token set + ONE token-keyed aggregation: `df` is
+    * count(*) over (doc, token) pairs, and the postings column uses the
+    * bounded min-k aggregate ([[Sketches.kMinValues]] — a k-slot sorted
+    * buffer with map-side combine), so a stopword-scale token costs a
+    * 16-slot buffer, never a corpus-length collect_list; the true df
+    * always ships alongside the capped preview (no silent truncation). */
+  def postingsQ(s: SparkSession, d: String): DataFrame =
+    postingsOf(par(documents(s, d)))
+
+  def postingsOf(docs: DataFrame, cap: Int = PostingsCap): DataFrame = {
+    val toks = split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")
+    docs
+      .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(Sketches.kMinValues(col("doc_id"), cap),
+            _.cast("string"))).as("postings"))
+  }
+
   /** Statistical quality scoring: corpus-unigram cross-entropy +
     * perplexity per document ([[TA.unigramXent]]). */
   def unigramPpl(s: SparkSession, d: String): DataFrame =
@@ -674,6 +700,7 @@ object PipelineQueries {
     "q_lang_id"        -> (langId _),
     "q_fingerprint"    -> (fingerprints _),
     "q_tfidf"          -> (tfidf _),
+    "q_postings"       -> (postingsQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -797,6 +824,14 @@ object PipelineQueries {
          |  dfreq.doc_freq,
          |  (CAST(tf.n AS DOUBLE) / dl.dl) * ln(CAST(nd.nd AS DOUBLE) / dfreq.doc_freq) AS tfidf
          |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd""".stripMargin,
+    // per-doc distinct token set, so count(*) IS the doc frequency; the
+    // capped postings preview is the sorted id list's first 16 both ways
+    "q_postings" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(list_distinct($TOKS)) AS token
+         |            FROM documents)
+         |SELECT token, count(*) AS df,
+         |  array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings
+         |FROM tok GROUP BY token""".stripMargin,
     // same token stream; avg-of-logs merge order differs at ~1e-12 and
     // the driver's 6-decimal float rounding absorbs it (the q_tfidf
     // precedent)

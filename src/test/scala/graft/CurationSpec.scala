@@ -379,4 +379,44 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(run() == run())
   }
+
+  test("packSequencesOf: two-level decomposition equals the sequential fold; straddlers keep their start bin") {
+    import graft.queries.CurationQueries
+    // sparse ids across chunk boundaries (chunkWidth=64), token counts
+    // sized so docs straddle seqLen=1024 windows
+    val sizes = Seq(0L -> 5, 1L -> 2000, 2L -> 100, 63L -> 3000,
+      64L -> 10, 700L -> 2048, 700000L -> 7)
+    val docs = sizes.map { case (id, n) =>
+      (id, (0 until n).map(i => s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = CurationQueries.packSequencesOf(docs, seqLen = 1024, chunkWidth = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // the sequential spelling the decomposition must be bit-equal to
+    var cum = 0L
+    for ((id, n) <- sizes.sortBy(_._1)) {
+      val (nt, bin, off) = out(id)
+      assert(nt == n, s"doc $id token count")
+      assert(bin == cum / 1024, s"doc $id bin: got $bin, want ${cum / 1024}")
+      assert(off == cum % 1024, s"doc $id offset")
+      cum += n
+    }
+    // doc 1 (starts at 5, 2000 tokens) straddles windows 0..1 but is
+    // assigned its START window
+    assert(out(1L)._2 == 0L && out(2L)._2 == (5L + 2000) / 1024)
+  }
+
+  test("postingsOf: true df with a bounded sorted min-k preview") {
+    import graft.queries.PipelineQueries
+    // 20 docs share token "common"; each has a unique token too
+    val docs = (0 until 20).map(i => (100L - i, s"common uniq$i common"))
+      .toDF("doc_id", "text")
+    val rows = PipelineQueries.postingsOf(docs, cap = 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val (df, post) = rows("common")
+    assert(df == 20L, "per-doc duplicate token must count once")
+    // preview: the 16 SMALLEST ids ascending, capped below the true df
+    assert(post == (81L to 96L).mkString(","), post)
+    assert(rows("uniq3") == ((1L, "97")))
+  }
 }

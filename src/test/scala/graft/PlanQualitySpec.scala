@@ -187,5 +187,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!mv.contains("Exchange hashpartitioning"),
       s"video decode must not shuffle:\n${mv.take(800)}")
     assert(mv.contains("MapPartitions"), mv.take(800))
+    // q_pack: the document-side running sum MUST be partitioned by the
+    // id-range chunk (the q_token_budget discipline — the only
+    // unpartitioned window runs over the tiny per-chunk aggregate)
+    val pk = SparkEntry.queries("q_pack")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val pkWins = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(pk).map(_.group(1)).toList
+    assert(pkWins.exists(s => "^ck#\\d+L?, doc_id#\\d+".r.findFirstIn(s).isDefined),
+      s"q_pack lost its chunk-partitioned document window:\n$pkWins")
+    // q_postings: the bounded min-k aggregate, never a corpus-length
+    // collect_list buffer per token
+    val po = physical("q_postings")
+    assert(po.contains("ObjectHashAggregate"), po.take(600))
+    assert(!po.toLowerCase.contains("collect_list"),
+      "postings must use the bounded min-k agg")
   }
 }
