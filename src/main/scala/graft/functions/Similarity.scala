@@ -534,7 +534,9 @@ object Similarity {
     * join) query set — and broadcast under the gate; over it,
     * hash-partition BOTH sides on `list` into a sort-merge join
     * (spill-safe, no driver materialization; at production scale a
-    * codes table bucketed by `list` elides its side of the exchange).
+    * codes table bucketed by `list` elides its side of the exchange —
+    * proven mechanically in `BucketedJoinSpec`: the bucketed layout
+    * joins with ONE list exchange, the flat layout with two).
     * The estimate intentionally over-counts (uncompressed in-memory
     * widths) — erring toward the shuffle is the safe direction. */
   private def listJoin(corpusSide: DataFrame, routed: DataFrame,

@@ -87,6 +87,61 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("a list-bucketed codes table elides its side of the shuffled ANN-join exchange") {
+    // the listJoin scale claim, proven mechanically: past the broadcast
+    // gate both sides hash-partition on `list` — but when the stored
+    // codes table is WRITTEN bucketed by list (the production layout for
+    // index-once/probe-many), its exchange is elided entirely and only
+    // the routed query side shuffles. Same session-isolation discipline
+    // as the bucketed-tables test above.
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    var s: org.apache.spark.sql.SparkSession = null
+    try {
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.ui.enabled", "false")
+        .appName("bucketed-ann")
+        .getOrCreate()
+      val ss = s
+      import ss.implicits._
+      val rnd = new scala.util.Random(7)
+      val emb = (0L until 500L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+        .toDF("vid", "v")
+      // a deterministic list assignment stands in for NearestCentroid:
+      // the exchange mechanics under test depend only on the layout
+      val assigned = emb.withColumn("list", pmod(hash(col("vid")), lit(16)))
+      assigned.write.mode("overwrite").bucketBy(8, "list").saveAsTable("codes_b")
+      val routed = emb.where(col("vid") < 50)
+        .select(col("vid").as("qid"), col("v").as("qv"))
+        .withColumn("list", explode(array(
+          pmod(hash(col("qid")), lit(16)), pmod(hash(col("qid") + 1), lit(16)))))
+      def nListExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning\\(list".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      val bucketed = s.table("codes_b").join(routed.hint("merge"), Seq("list"))
+      assert(bucketed.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+      assert(nListExchanges(bucketed) == 1,
+        s"bucketed codes side must not shuffle:\n${bucketed.queryExecution.executedPlan}")
+      // the same join against the unbucketed frame shuffles BOTH sides
+      val flat = assigned.join(routed.hint("merge"), Seq("list"))
+      assert(nListExchanges(flat) == 2,
+        s"control: expected both sides to shuffle:\n${flat.queryExecution.executedPlan}")
+      // identical join output either way
+      assert(bucketed.count() == flat.count() && bucketed.count() > 0)
+    } finally {
+      if (s != null) s.sql("DROP TABLE IF EXISTS codes_b")
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+
   test("IVF top-k recalls planted near neighbors and matches brute force head") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
