@@ -148,6 +148,45 @@ object TextAnalysis {
           log(col("nd").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  /** BM25 retrieval scoring (Robertson–Spärck Jones, the Lucene-style
+    * always-positive idf) of every document against a FIXED query term
+    * set: score(d) = Σ_{t∈q} ln(1 + (N−df_t+0.5)/(df_t+0.5)) ·
+    * n_t·(k1+1) / (n_t + k1·(1−b+b·dl/avgdl)). Output
+    * (doc_id, bm25, n_hits) for documents matching ≥1 query term — the
+    * scoring half of a keyword-search/BM25-retrieval pass (the postings
+    * operator is the index half).
+    *
+    * Scale shape: the tfidf topology with the probe side FILTERED to
+    * the |q| query terms BEFORE any shuffle — the (doc, term) and df
+    * aggregations run over the filtered explode (≈ df_t rows per term,
+    * never the corpus token stream); dl is a per-row expression
+    * (tokenCount ≡ the exploded count, the unigramXent identity), and
+    * (N, avgdl) is a single-row broadcast scalar. avgdl is bit-equal
+    * across engines: token counts are small integers, so double
+    * accumulation is exact in any order and the average is one exact
+    * division. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+           terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count, countDistinct, sum}
+    val toks = explodedTerms(docs, id, text).where(col("term").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    val dl = docs.select(col(id).as("doc_id"), tokenCount(col(text)).as("dl"))
+    val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val scal = docs.agg(countDistinct(col(id)).cast("double").as("nd"),
+      avg(tokenCount(col(text)).cast("double")).as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(scal))
+      .withColumn("idf", log(lit(1.0) +
+        (col("nd") - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5)))
+      .withColumn("contrib", col("idf") * (col("n") * lit(k1 + 1)) /
+        (col("n") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("bm25"), count(lit(1)).as("n_hits"))
+  }
+
   /** Unigram cross-entropy scoring — the deterministic analog of a
     * CCNet-style LM-perplexity quality filter (Wenzek et al. 2020 filter
     * CommonCrawl by LM perplexity; the unigram model is its degenerate,

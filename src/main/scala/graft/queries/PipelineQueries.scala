@@ -55,6 +55,16 @@ object PipelineQueries {
 
   private val PostingsCap = 16
 
+  /** Fixed query terms for the BM25 row: two corpus-common terms plus
+    * the rare `dup` (df ≈ 5% of docs), so the idf spread is real. */
+  private val Bm25Terms = Seq("join", "filter", "dup")
+
+  /** BM25 scoring of the corpus against [[Bm25Terms]]
+    * ([[TA.bm25]]) — the scoring half of keyword retrieval
+    * (`q_postings` is the index half). */
+  def bm25Q(s: SparkSession, d: String): DataFrame =
+    TA.bm25(par(documents(s, d)), "doc_id", "text", Bm25Terms)
+
   /** Inverted-index build — the retrieval-side artifact (keyword/BM25
     * search, doc-frequency stats) over the same corpus: per token, the
     * distinct-document frequency and the first [[PostingsCap]] doc ids
@@ -701,6 +711,7 @@ object PipelineQueries {
     "q_fingerprint"    -> (fingerprints _),
     "q_tfidf"          -> (tfidf _),
     "q_postings"       -> (postingsQ _),
+    "q_bm25"           -> (bm25Q _),
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -832,6 +843,27 @@ object PipelineQueries {
          |SELECT token, count(*) AS df,
          |  array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings
          |FROM tok GROUP BY token""".stripMargin,
+    // identical formula shape term-by-term (left-assoc products and the
+    // same literal arithmetic); the per-doc sum over <= 3 contributions
+    // may merge in a different order — the driver's 6-decimal rounding
+    // absorbs it (the q_tfidf precedent). avgdl is bit-equal: integer
+    // token counts accumulate exactly in double in any order
+    "q_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |qt AS (SELECT doc_id, term FROM toks
+         |       WHERE term IN ('join', 'filter', 'dup')),
+         |tf AS (SELECT doc_id, term, count(*) AS n FROM qt GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl FROM documents),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM qt GROUP BY 1),
+         |scal AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd,
+         |                avg(CAST(len($TOKS) AS DOUBLE)) AS avgdl FROM documents)
+         |SELECT tf.doc_id,
+         |  CAST(sum(ln(1.0 + (scal.nd - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))
+         |       * (tf.n * ${1.2 + 1}) / (tf.n + 1.2 * (${1 - 0.75} + 0.75 * dl.dl / scal.avgdl)))
+         |     AS DOUBLE) AS bm25,
+         |  count(*) AS n_hits
+         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN scal
+         |GROUP BY tf.doc_id""".stripMargin,
     // same token stream; avg-of-logs merge order differs at ~1e-12 and
     // the driver's 6-decimal float rounding absorbs it (the q_tfidf
     // precedent)

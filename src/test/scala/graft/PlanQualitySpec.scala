@@ -162,7 +162,8 @@ class PlanQualitySpec extends SparkSpec {
     // average, corpus doc count) — a BNLJ whose build side is ONE row is
     // a broadcast scalar, not a join blow-up
     val allowed = Set("q_sim_topk", "q_sim_lsh", "q_above_avg", "q_tfidf",
-      "q_unigram_ppl") // corpus-token-count scalar attach, the tfidf shape
+      "q_unigram_ppl", // corpus-token-count scalar attach, the tfidf shape
+      "q_bm25")        // (N, avgdl) single-row scalar attach, same shape
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
