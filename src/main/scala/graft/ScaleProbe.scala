@@ -592,3 +592,39 @@ object SemGateCompactionProbe {
     spark.stop()
   }
 }
+
+/** Standalone evidence row for [[graft.functions.Dedup.lineDedup]] at
+  * the 20×-replicated corpus: the line-frequency aggregation + anti-join
+  * + reassembly against ~100k multi-line docs with planted cross-doc
+  * boilerplate. `sbt "runMain graft.LineDedupProbe [factor]"`. */
+object LineDedupProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    // every doc gets a shared global footer + a per-copy banner (hot at
+    // factor docs each) + its own text line; ids perturbed per copy
+    val big = base.crossJoin(spark.range(factor).toDF("copy"))
+      .select(
+        (col("doc_id") * factor + col("copy")).as("doc_id"),
+        concat(col("text"), lit("\nGLOBAL FOOTER LINE"),
+          lit("\nbanner "), col("copy"), lit("\nc"), col("copy"),
+          lit(" "), col("text")).as("text"))
+      .repartition(16).cache()
+    val n = big.count()
+    val t0 = System.nanoTime()
+    val out = Dedup.lineDedup(big, "doc_id", "text", minDocs = 5)
+    val (rows, kept) = (out.count(),
+      out.agg(sum(col("n_kept"))).head().getLong(0))
+    println(f"[scale] line_dedup @$n docs: $rows docs out, $kept lines kept " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s (global footer + " +
+      "per-copy banners + 20-way duplicated content lines stripped)")
+    spark.stop()
+  }
+}

@@ -515,7 +515,10 @@ object CurationQueries {
     * `div`/`mod` throughout: ids and offsets stay exact past 2⁵³ where
     * a double floor would silently round. */
   def packSequences(s: SparkSession, d: String): DataFrame =
-    packSequencesOf(par(documents(s, d)))
+    // chunkWidth 512 (not the 65536 default): the fixture's dense ids
+    // then span multiple chunks, so the registry row exercises the
+    // multi-chunk decomposition, not a degenerate single-chunk window
+    packSequencesOf(par(documents(s, d)), chunkWidth = 512)
 
   def packSequencesOf(docs: DataFrame, seqLen: Long = 2048,
                       chunkWidth: Long = 65536): DataFrame = {
