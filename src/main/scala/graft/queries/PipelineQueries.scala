@@ -78,16 +78,41 @@ object PipelineQueries {
   def postingsQ(s: SparkSession, d: String): DataFrame =
     postingsOf(par(documents(s, d)))
 
-  def postingsOf(docs: DataFrame, cap: Int = PostingsCap): DataFrame = {
+  def postingsOf(docs: DataFrame, cap: Int = PostingsCap): DataFrame =
+    postingsIndexOf(docs, cap).select(col("token"), col("df"),
+      concat_ws(",",
+        transform(col("post_ids"), _.cast("string"))).as("postings"))
+
+  /** The ARRAY-form postings index — (token, df, post_ids) with the
+    * preview as a sorted capped `array<long>` — the MERGEABLE artifact
+    * behind [[postingsOf]] (the registry row projects it to a string
+    * for the driver comparator). */
+  def postingsIndexOf(docs: DataFrame, cap: Int = PostingsCap): DataFrame = {
     val toks = split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")
     docs
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"),
-        concat_ws(",",
-          transform(Sketches.kMinValues(col("doc_id"), cap),
-            _.cast("string"))).as("postings"))
+        Sketches.kMinValues(col("doc_id"), cap).as("post_ids"))
   }
+
+  /** INCREMENTAL index maintenance — the daily-ingest shape: fold a new
+    * batch's postings index into the stored one WITHOUT rescanning the
+    * corpus. `df` adds (callers must hand in batches with doc ids the
+    * stored index has never seen — the [[Dedup.dedupNewRows]]
+    * discipline); the capped preview merges EXACTLY
+    * ([[Sketches.kmvMerge]]: the k smallest of a union are among the
+    * union of each side's k smallest, and a full-outer NULL side acts
+    * as the empty set). One token-keyed full-outer join of two
+    * index-sized tables — the corpus is never touched.
+    * `CurationSpec` pins merge(index(A), index(B)) ≡ index(A ∪ B). */
+  def mergePostings(stored: DataFrame, delta: DataFrame,
+                    cap: Int = PostingsCap): DataFrame =
+    stored.as("a").join(delta.as("b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("a.df"), lit(0L)) + coalesce(col("b.df"), lit(0L))).as("df"),
+        Sketches.kmvMerge(col("a.post_ids"), col("b.post_ids"), cap)
+          .as("post_ids"))
 
   /** Statistical quality scoring: corpus-unigram cross-entropy +
     * perplexity per document ([[TA.unigramXent]]). */

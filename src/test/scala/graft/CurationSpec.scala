@@ -419,4 +419,24 @@ class CurationSpec extends SparkSpec {
     assert(post == (81L to 96L).mkString(","), post)
     assert(rows("uniq3") == ((1L, "97")))
   }
+
+  test("postings index merges shard-wise: merge(index(A), index(B)) == index(A u B)") {
+    import graft.queries.PipelineQueries._
+    // disjoint doc-id shards sharing some tokens; cap 4 forces real
+    // preview merging (union previews exceed the cap on shared tokens)
+    val a = (0L until 8L).map(i => (i, s"shared a$i both")).toDF("doc_id", "text")
+    val b = (100L until 106L).map(i => (i, s"shared b$i")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2).toList)).toSet
+    val merged = rows(mergePostings(
+      postingsIndexOf(a, cap = 4), postingsIndexOf(b, cap = 4), cap = 4))
+    val direct = rows(postingsIndexOf(a.unionByName(b), cap = 4))
+    assert(merged == direct, s"merged=$merged\ndirect=$direct")
+    // spot checks: shared token's df spans shards, preview is the 4
+    // smallest union ids; one-sided tokens pass through untouched
+    assert(merged.contains(("shared", 14L, List(0L, 1L, 2L, 3L))))
+    assert(merged.contains(("both", 8L, List(0L, 1L, 2L, 3L))))
+    assert(merged.contains(("b101", 1L, List(101L))))
+  }
 }

@@ -295,4 +295,29 @@ object EngineProps extends Properties("engine") {
         keys.forall(graft.functions.Bloom.mightContain(words, _, k))
       }
     }
+
+  // random corpora from a 5-line alphabet so cross-doc collisions are
+  // dense; the reference is the direct spelling of the contract
+  private val linesGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.oneOf("aaa", "bbb", "ccc", "ddd", "eee")).map(_.take(5))
+  property("lineDedup equals the brute-force reference on random corpora") =
+    forAll(Gen.nonEmptyListOf(linesGen).map(_.take(8)),
+           Gen.chooseNum(2, 4)) { (corpus, minDocs) =>
+      import spark.implicits._
+      val df = corpus.zipWithIndex
+        .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+        .toDF("doc_id", "text")
+      val got = graft.functions.Dedup.lineDedup(df, "doc_id", "text", minDocs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val nDocsByLine = corpus.zipWithIndex
+        .flatMap { case (ls, i) => ls.distinct.map(_ -> i) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val hot = nDocsByLine.filter(_._2 >= minDocs).keySet
+      val expect = corpus.zipWithIndex.flatMap { case (ls, i) =>
+        val kept = ls.filterNot(hot)
+        if (kept.isEmpty) None
+        else Some((i.toLong, kept.mkString("\n"), kept.size.toLong))
+      }.toSet
+      got == expect
+    }
 }
