@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.Sketches
+
+/** Continuously-maintained inverted index over a document stream — the
+  * streaming twin of [[graft.queries.PipelineQueries.postingsOf]]: each
+  * micro-batch's postings index lands as its own `shard=b<batchId>`
+  * partition, and reads merge the shards exactly (df sums; the capped
+  * preview re-aggregates under the KMV union property, so the merged
+  * preview equals indexing the union directly).
+  *
+  * Replay idempotence BY CONSTRUCTION: a shard write is
+  * `mode(overwrite)` into the batch's OWN directory — a replayed batch
+  * rewrites identical content into the same dir and no other shard is
+  * touched, so no seen-set or anti-join is needed (contrast the
+  * row-append sinks, which must anti-join). The df-additivity contract
+  * is the [[graft.functions.Dedup.dedupNewRows]] discipline: feed the
+  * gate FRESH documents only (each doc id in exactly one batch).
+  *
+  * Scale shape: per batch, one batch-sized aggregation (vocab of the
+  * BATCH, not the corpus); reads merge K shard tables of vocab-sized
+  * rows — `compactEvery` bounds K by merging all shards into one in a
+  * maintenance window inside `foreachBatch` (the stream's own appends
+  * are naturally paused there). With [[Snapshot]] manifests enabled,
+  * external readers pin a version across that compaction: replaced
+  * shards retire to `_stale` instead of being deleted.
+  */
+object PostingsIndex {
+
+  val DefaultCap = 16
+
+  /** One batch's shard: the batch-local postings index written
+    * (overwrite) into `shard=b<batchId>`. Returns the relative dir. */
+  def writeShard(batchDocs: DataFrame, indexPath: String, batchId: Long,
+                 cap: Int = DefaultCap): String = {
+    val rel = s"shard=b$batchId"
+    graft.queries.PipelineQueries.postingsIndexOf(batchDocs, cap)
+      .write.mode("overwrite").parquet(s"$indexPath/$rel")
+    rel
+  }
+
+  /** Merge shard-index rows (token, df, post_ids) into one index. Two
+    * aggregations over vocab-sized frames: df sums; previews explode
+    * and re-aggregate through the bounded min-k — exact by the KMV
+    * union property, never corpus-touching. */
+  def mergeShards(shards: DataFrame, cap: Int = DefaultCap): DataFrame = {
+    val dfAgg = shards.groupBy("token").agg(sum(col("df")).as("df"))
+    val prev = shards.select(col("token"), explode(col("post_ids")).as("pid"))
+      .groupBy("token").agg(Sketches.kMinValues(col("pid"), cap).as("post_ids"))
+    dfAgg.join(prev, Seq("token"))
+  }
+
+  /** The serving read: all live shards merged. With [[Snapshot]]
+    * manifests, `version` pins a committed shard set across concurrent
+    * compaction (retired shards resolve from `_stale`). */
+  def readIndex(spark: SparkSession, indexPath: String,
+                cap: Int = DefaultCap,
+                version: Option[Long] = None): DataFrame = {
+    val shards =
+      (if (Snapshot.enabled(spark, indexPath))
+         Snapshot.readVersion(spark, indexPath, version, Seq("shard"))
+       else None).getOrElse(spark.read.parquet(indexPath))
+    mergeShards(shards.drop("shard"), cap)
+  }
+
+  private def shardDirs(spark: SparkSession, indexPath: String): Seq[Path] = {
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("shard=")).toSeq
+  }
+
+  /** Maintenance: merge every live shard into ONE (`shard=m<stamp>`,
+    * stamp unique so no replayed batch shard can collide). Runs inside
+    * the sink's `foreachBatch` (appends paused). Commit order is
+    * loss-proof: the merged shard is fully written FIRST. With
+    * snapshots, the originals then retire through one manifest commit —
+    * manifest readers never see merged and originals together, and
+    * pinned versions keep resolving the retired shards from `_stale`.
+    * Without snapshots the originals are deleted after the merged write
+    * succeeded; a crash inside that window leaves BOTH live, which a
+    * raw reader would double-count — the recovery rule is mechanical
+    * (delete the newest `m` shard, whose content is still derivable
+    * from the surviving originals, then re-run), but the manifest path
+    * is the production answer. Returns (shards before, after). */
+  def compactShards(spark: SparkSession, indexPath: String,
+                    cap: Int = DefaultCap): (Int, Int) = {
+    val dirs = shardDirs(spark, indexPath)
+    if (dirs.length <= 1) return (dirs.length, dirs.length)
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = mergeShards(
+      spark.read.parquet(dirs.map(_.toString): _*), cap)
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val rel = s"shard=m$stamp"
+    merged.write.mode("overwrite").parquet(s"$indexPath/$rel")
+    if (Snapshot.enabled(spark, indexPath)) {
+      val retired = dirs.flatMap(d => fs.listStatus(d)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath))
+      Snapshot.commit(spark, indexPath, Seq(""), retired = retired)
+      dirs.foreach(d => if (fs.listStatus(d)
+        .forall(s => !s.getPath.getName.endsWith(".parquet")))
+        fs.delete(d, true))
+    } else dirs.foreach(fs.delete(_, true))
+    (dirs.length, shardDirs(spark, indexPath).length)
+  }
+
+  /** The per-batch body (exposed for replay tests): write the batch
+    * shard, commit the manifest, compact on cadence. */
+  def indexBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                 cap: Int = DefaultCap, compactEvery: Int = 0,
+                 snapshots: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    if (snapshots) Snapshot.init(spark, indexPath)
+    val rel = writeShard(batch, indexPath, batchId, cap)
+    if (snapshots) Snapshot.commit(spark, indexPath, Seq(rel))
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      compactShards(spark, indexPath, cap)
+  }
+
+  /** The streaming sink: docs (doc_id, text) → continuously-maintained
+    * shard-partitioned postings index. */
+  def startIndexSink(docs: DataFrame, indexPath: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                     cap: Int = DefaultCap, compactEvery: Int = 0,
+                     snapshots: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch, batchId, indexPath, cap, compactEvery, snapshots)
+      }
+      .start()
+}
