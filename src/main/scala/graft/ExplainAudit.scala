@@ -140,9 +140,20 @@ object ExplainAudit {
                           //   aggregation → anti-join → ONE doc_id
                           //   reassembly aggregation; shuffles carry
                           //   (line, id, pos) triples, never full docs
-      "q_multimodal_video") // expect a pure MapPartitions codec
+      "q_multimodal_video", // expect a pure MapPartitions codec
                           //   boundary — no hash exchange anywhere
                           //   (only the fixture parallelism unlock)
+      "q_pack",           // expect the doc-side running-sum Window
+                          //   PARTITIONED by the id-range chunk; the
+                          //   only unpartitioned window runs over the
+                          //   tiny per-chunk offsets aggregate
+      "q_postings",       // expect ONE token-keyed ObjectHashAggregate
+                          //   pair (bounded min-k buffer + df count) —
+                          //   no collect_list, no window
+      "q_bm25")           // expect the term filter BELOW the explode's
+                          //   aggregations (df-sized frames), dl as a
+                          //   per-row projection, and (N, avgdl) as a
+                          //   single-row broadcast scalar attach
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

@@ -628,3 +628,81 @@ object LineDedupProbe {
     spark.stop()
   }
 }
+
+/** Skewed-state evidence for the embedding gate's incremental list
+  * split: a state with ONE hot list (half the corpus quantizes there),
+  * the SAME probe batch timed against the skewed layout and the
+  * post-[[graft.streaming.SemDeDupGate.splitList]] layout, with the
+  * bytes a probe's routed reads can touch (hot-list flat bytes vs the
+  * subProbe largest sub-lists). `sbt "runMain graft.SemGateSplitProbe"`. */
+object SemGateSplitProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.streaming.SemDeDupGate
+    val tmp = java.nio.file.Files.createTempDirectory("semgate-split").toString
+    val (o, s) = (s"$tmp/out", s"$tmp/state")
+    val dim = 32
+    val rnd = new scala.util.Random(97)
+    def vec() = Seq.fill(dim)(rnd.nextGaussian())
+    // 16 diverse low-id seeds anchor the coarse lists; then HALF the
+    // corpus crowds seed 0's direction -> one hot list
+    val seeds = (0L until 16L).map(i => (i, vec()))
+    val anchor = seeds.head._2
+    // the hot list is MULTI-MODAL: four sub-directions crowd seed 0's
+    // coarse list (each mode separable by sub-centroids). The contrast
+    // shape — one tight single cluster — is probed afterwards: it is
+    // the embedding analog of the text gate's single-hot-key leaf,
+    // which splitting cannot shrink (documented boundary)
+    val modes = (0 until 4).map(_ => vec().map(_ * 0.6))
+    val hotRows = (16L until 20016L).map { i =>
+      val m = modes((i % 4).toInt)
+      (i, anchor.zip(m).map { case (a, o) => a + o + 0.05 * rnd.nextGaussian() })
+    }
+    val coldRows = (20016L until 40016L).map(i => (i, vec()))
+    val seed = (seeds ++ hotRows ++ coldRows).toDF("vid", "v")
+      .repartition(16).cache()
+    seed.count()
+    SemDeDupGate.curateBatch(seed, o, s, minCos = 0.98, nlist = 16, nprobe = 2)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirBytes(p: String): Long = {
+      val pp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(pp)) 0L
+      else fs.listStatus(pp).filter(_.isFile).map(_.getLen).sum
+    }
+    val hot = (0 until 16).maxBy(l => dirBytes(s"$s/vecs/list=$l"))
+    val hotBytes = dirBytes(s"$s/vecs/list=$hot")
+    def probeBatch(tag: String, off: Long): Unit = {
+      // probes are near-dups of MODE 0 — post-split they route to mode
+      // 0's sub-lists only
+      val pb = (0 until 10).map { i =>
+        (off + i, anchor.zip(modes(0)).map { case (a, m) =>
+          a + m + 0.05 * rnd.nextGaussian() })
+      }.toDF("vid", "v")
+      val t0 = System.nanoTime()
+      val adm = SemDeDupGate.curateBatch(pb, o, s, minCos = 0.98,
+        nlist = 16, nprobe = 2)
+      println(f"[scale] semgate_split probe $tag: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s (admits $adm of 10)")
+    }
+    probeBatch("PRE-split (hot flat list)", 1L << 41)
+    val t0 = System.nanoTime()
+    SemDeDupGate.splitList(spark, s, hot, nsub = 8)
+    println(f"[scale] semgate_split maintenance (split list=$hot into 8): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    probeBatch("POST-split (sub-lists)", 1L << 42)
+    val subBytes = (0 until 8)
+      .map(sb => dirBytes(s"$s/vecs/list=$hot/sub=$sb")).sorted.reverse
+    println(f"[scale] semgate_split bytes: hot flat list ${hotBytes / 1e6}%.1f MB; " +
+      f"post-split a probe touches <= subProbe=2 sub-lists <= " +
+      f"${subBytes.take(2).sum / 1e6}%.1f MB of ${subBytes.sum / 1e6}%.1f MB total")
+    spark.stop()
+  }
+}
