@@ -113,4 +113,22 @@ class EmptyInputSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("non-empty"))
   }
+
+  test("r10 additions return empty (or pass through) on empty corpora") {
+    import graft.queries.{CurationQueries, PipelineQueries}
+    assert(Dedup.lineDedup(emptyDocs, "doc_id", "text", minDocs = 2).count() === 0)
+    assert(CurationQueries.packSequencesOf(emptyDocs).count() === 0)
+    assert(PipelineQueries.postingsIndexOf(emptyDocs).count() === 0)
+    // merging an empty delta (or into an empty store) passes the other
+    // side through unchanged — the first-ever-batch and quiet-day shapes
+    import spark.implicits._
+    val some = PipelineQueries.postingsIndexOf(
+      Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text"), cap = 4)
+    val empty = PipelineQueries.postingsIndexOf(emptyDocs, cap = 4)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    assert(rows(PipelineQueries.mergePostings(some, empty, cap = 4)) == rows(some))
+    assert(rows(PipelineQueries.mergePostings(empty, some, cap = 4)) == rows(some))
+    assert(PipelineQueries.mergePostings(empty, empty, cap = 4).count() === 0)
+  }
 }
