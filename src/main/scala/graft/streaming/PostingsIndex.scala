@@ -13,13 +13,15 @@ import graft.functions.Sketches
   * preview re-aggregates under the KMV union property, so the merged
   * preview equals indexing the union directly).
   *
-  * Replay idempotence BY CONSTRUCTION: a shard write is
-  * `mode(overwrite)` into the batch's OWN directory — a replayed batch
-  * rewrites identical content into the same dir and no other shard is
-  * touched, so no seen-set or anti-join is needed (contrast the
-  * row-append sinks, which must anti-join). The df-additivity contract
-  * is the [[graft.functions.Dedup.dedupNewRows]] discipline: feed the
-  * gate FRESH documents only (each doc id in exactly one batch).
+  * Replay idempotence BY CONSTRUCTION: a replayed batch rewrites
+  * identical content into its OWN shard directory and no other shard
+  * is touched, so no seen-set or anti-join is needed (contrast the
+  * row-append sinks, which must anti-join). Without snapshots that
+  * rewrite is a plain `mode(overwrite)`; with snapshots it is
+  * append-then-retire through the manifest ([[indexBatch]]), so pinned
+  * versions survive the replay. The df-additivity contract is the
+  * [[graft.functions.Dedup.dedupNewRows]] discipline: feed the gate
+  * FRESH documents only (each doc id in exactly one batch).
   *
   * Scale shape: per batch, one batch-sized aggregation (vocab of the
   * BATCH, not the corpus); reads merge K shard tables of vocab-sized
@@ -34,7 +36,10 @@ object PostingsIndex {
   val DefaultCap = 16
 
   /** One batch's shard: the batch-local postings index written
-    * (overwrite) into `shard=b<batchId>`. Returns the relative dir. */
+    * (overwrite) into `shard=b<batchId>`. Returns the relative dir.
+    * This is the NON-manifest path — under snapshots, [[indexBatch]]
+    * uses append-then-retire instead so pinned versions survive a
+    * replay's rewrite. */
   def writeShard(batchDocs: DataFrame, indexPath: String, batchId: Long,
                  cap: Int = DefaultCap): String = {
     val rel = s"shard=b$batchId"
@@ -112,14 +117,38 @@ object PostingsIndex {
   }
 
   /** The per-batch body (exposed for replay tests): write the batch
-    * shard, commit the manifest, compact on cadence. */
+    * shard, commit the manifest, compact on cadence.
+    *
+    * Under snapshots the shard REWRITE is manifest-safe, not a blind
+    * overwrite: a replayed batch's prior files may be referenced by
+    * committed manifests, and `mode(overwrite)` would DELETE them,
+    * dangling every pinned version that lists them. Instead the replay
+    * APPENDS fresh files (unique names) and retires the prior ones
+    * through the same commit — pinned versions keep resolving the old
+    * copies from `_stale`, the new manifest lists only the fresh
+    * content, and the replay stays an index no-op (identical rows). A
+    * crash between the append and the commit leaves both file sets in
+    * the dir, but no MANIFEST ever references both — the next replay
+    * retires everything it found. (Raw non-manifest readers can see
+    * the duplicate window; manifests are the production read path.) */
   def indexBatch(batch: DataFrame, batchId: Long, indexPath: String,
                  cap: Int = DefaultCap, compactEvery: Int = 0,
                  snapshots: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    if (snapshots) Snapshot.init(spark, indexPath)
-    val rel = writeShard(batch, indexPath, batchId, cap)
-    if (snapshots) Snapshot.commit(spark, indexPath, Seq(rel))
+    if (snapshots) {
+      Snapshot.init(spark, indexPath)
+      val rel = s"shard=b$batchId"
+      val dirP = new Path(s"$indexPath/$rel")
+      val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existing =
+        if (!fs.exists(dirP)) Nil
+        else fs.listStatus(dirP).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).toSeq
+      graft.queries.PipelineQueries.postingsIndexOf(batch, cap)
+        .write.mode("append").parquet(dirP.toString)
+      Snapshot.commit(spark, indexPath, Seq(rel), retired = existing)
+    } else writeShard(batch, indexPath, batchId, cap)
     if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
       compactShards(spark, indexPath, cap)
   }

@@ -30,10 +30,17 @@ class PostingsIndexSpec extends SparkSpec {
     assert(direct.exists { case (t, df, p) =>
       t == "common" && df == 40L && p == List(0L, 1L, 2L, 3L) })
 
-    // replay of an already-committed batch rewrites only its own shard
+    // replay of an already-committed batch rewrites only its own shard,
+    // and a version pinned BEFORE the replay keeps resolving — the
+    // rewrite retires the prior files through the manifest instead of
+    // deleting them out from under pinned readers
+    val vPre = Snapshot.latestVersion(spark, idx).get
     PostingsIndex.indexBatch(batches(2), 2, idx, cap = 4, snapshots = true)
     assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == direct,
       "replayed batch changed the index")
+    assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4,
+      version = Some(vPre))) == direct,
+      "pinned pre-replay version broken by the shard rewrite")
 
     // compact all shards into one; a version pinned BEFORE compaction
     // still reads the identical index (retired shards resolve from
