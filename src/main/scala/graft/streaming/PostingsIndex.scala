@@ -95,10 +95,32 @@ object PostingsIndex {
     * is the production answer. Returns (shards before, after). */
   def compactShards(spark: SparkSession, indexPath: String,
                     cap: Int = DefaultCap): (Int, Int) = {
-    val dirs = shardDirs(spark, indexPath)
-    if (dirs.length <= 1) return (dirs.length, dirs.length)
+    val allDirs = shardDirs(spark, indexPath)
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery preamble (manifest path): a compaction that crashed
+    // between its merged-shard write and its commit left an ORPHAN
+    // m-shard no manifest references — merging it alongside the still-
+    // live originals would double-count every df. Orphans are exactly
+    // the shard dirs with no file in the latest manifest; their content
+    // is still derivable from the referenced originals, so deleting
+    // them up front is safe and makes re-running the compaction the
+    // recovery procedure.
+    val dirs = (if (!Snapshot.enabled(spark, indexPath)) allDirs
+      else Snapshot.latestVersion(spark, indexPath) match {
+        case None => allDirs
+        case Some(v) =>
+          val referenced = Snapshot.filesAt(spark, indexPath, v)
+            .map(new Path(_).toUri.getPath).toSet
+          val (live, orphans) = allDirs.partition { d =>
+            fs.listStatus(d).exists(f => f.isFile &&
+              f.getPath.getName.endsWith(".parquet") &&
+              referenced.contains(f.getPath.toUri.getPath))
+          }
+          orphans.foreach(fs.delete(_, true))
+          live
+      })
+    if (dirs.length <= 1) return (dirs.length, dirs.length)
     val merged = mergeShards(
       spark.read.parquet(dirs.map(_.toString): _*), cap)
     val stamp = java.lang.Long.toHexString(System.nanoTime())

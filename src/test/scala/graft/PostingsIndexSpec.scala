@@ -56,8 +56,20 @@ class PostingsIndexSpec extends SparkSpec {
     PostingsIndex.indexBatch(docs(100 until 105), 4, idx, cap = 4,
       snapshots = true)
     val all = batches.reduce(_ unionByName _).unionByName(docs(100 until 105))
-    assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) ==
-      rows(graft.queries.PipelineQueries.postingsIndexOf(all, cap = 4)))
+    val allRows = rows(graft.queries.PipelineQueries.postingsIndexOf(all, cap = 4))
+    assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == allRows)
+
+    // crash-injected compaction recovery: a compaction that died
+    // between its merged-shard write and its commit left an ORPHAN
+    // m-shard no manifest references — re-running compactShards must
+    // delete it first (merging it would double-count every df)
+    PostingsIndex.mergeShards(
+        spark.read.parquet(idx).drop("shard"), cap = 4)
+      .write.parquet(s"$idx/shard=mCRASH")
+    val (nb2, na2) = PostingsIndex.compactShards(spark, idx, cap = 4)
+    assert(na2 == 1, s"recovery compaction $nb2 -> $na2")
+    assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == allRows,
+      "orphan m-shard double-counted into the recovered index")
   }
 
   test("the live sink maintains the index across micro-batches with compaction") {
