@@ -542,8 +542,13 @@ object Similarity {
   private def listJoin(corpusSide: DataFrame, routed: DataFrame,
                        q: DataFrame, nprobe: Int, dim: Int,
                        maxBroadcastBytes: Long): DataFrame = {
-    val routedBytes = q.count() * nprobe * (dim * 8L + 32L)
-    if (routedBytes <= maxBroadcastBytes)
+    // bounded existence check, not a full count: the gate only needs
+    // "more than maxRows queries?", so it scans at most maxRows+1 rows —
+    // a corpus-scale query side (the self-sweep shape) never pays a
+    // full count job just to learn it is over the threshold
+    val maxRows = maxBroadcastBytes / (nprobe * (dim * 8L + 32L))
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    if (q.limit(probe).count() <= maxRows)
       corpusSide.join(broadcast(routed), Seq("list"))
     else
       corpusSide.join(routed.hint("merge"), Seq("list"))
