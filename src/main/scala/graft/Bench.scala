@@ -106,20 +106,25 @@ object Bench {
     // round-then-sum: the printed total equals the sum of the printed
     // per-query values (consumers recompute totals from the map)
     val rounded = results.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
-    val qs = rounded.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (rounded.nonEmpty) rounded.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","warmup":"$warmDir","action":"noop-write","runs":"min-of-$nRuns"}"""
-    println(line)
-    // SELF-REPORTED full record: the driver's log capture truncates the
-    // printed line to ~2000 chars, losing the tail of the per-query map
-    // in BENCH_r{N}.json — so the complete map is also written to
-    // docs/BENCH_FULL_r{N}.json, where N is inferred from the highest
-    // driver-written CORRECTNESS_r{N}.json + 1 (overridable via
-    // SPARK_GRAFT_ROUND). Round-over-round audits then never depend on
-    // the driver's capture window.
-    try {
+    def lineOf(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,$extra"errors":$errs,"sf":"$sfDir","warmup":"$warmDir","action":"noop-write","runs":"min-of-$nRuns"}"""
+    val fullQs = rounded.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine = lineOf(fullQs, "")
+    // SELF-REPORTED full record: the driver's log capture keeps only
+    // the LAST ~2000 chars of output, so a 128-query map printed as one
+    // line loses its head and the driver's BENCH_r{N}.json records
+    // `parsed: null`. The complete map goes to docs/BENCH_FULL_r{N}.json
+    // (N inferred from the highest driver-written CORRECTNESS_r{N}.json
+    // + 1, overridable via SPARK_GRAFT_ROUND); the PRINTED line is kept
+    // under the capture window so it round-trips through json.load:
+    // its `queries` map holds the slowest entries that fit the budget,
+    // `omitted_sec` the rounded-sum of the rest (so value == sum of the
+    // printed map + omitted_sec), and `queries_full` the on-disk path
+    // of the complete record.
+    val fullRecordPath: String = try {
       // anchor at the repo root (first ancestor with build.sbt), not
       // bare cwd — a wrapper launching from elsewhere would otherwise
       // silently write docs/ somewhere useless
@@ -149,10 +154,25 @@ object Bench {
           f"BENCH_FULL_r$round%02d-rerun" +
             (if (i == 1) "" else i.toString) + ".json"))
         .find(!_.exists).get
-      java.nio.file.Files.writeString(out.toPath, line)
+      java.nio.file.Files.writeString(out.toPath, fullLine)
+      "docs/" + out.getName
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-record write failed: ${e.getMessage}")
+      ""
     }
+    // headline map: slowest-first entries until the printed line fits
+    // the capture window with margin for the trailing sbt lines
+    val MaxLine = 1700
+    val byTime = rounded.toSeq.sortBy { case (k, v) => (-v, k) }
+    val extraOf = (omitted: Seq[(String, Double)]) =>
+      s""""omitted_sec":${fmt(omitted.map(_._2).sum)},"n_queries":${rounded.size},"queries_full":"$fullRecordPath","""
+    val headline = Iterator.range(byTime.size, -1, -1).map { n =>
+      val (kept, omitted) = byTime.splitAt(n)
+      lineOf(kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}"), extraOf(omitted))
+    }.find(_.length <= MaxLine)
+      .getOrElse(lineOf("{}", extraOf(byTime)))
+    println(if (fullLine.length <= MaxLine) fullLine else headline)
     spark.stop()
   }
 }

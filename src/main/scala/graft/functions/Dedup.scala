@@ -89,7 +89,12 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = ensureParallel(df, col(id))
       .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
-    val hot = lines.groupBy("line")
+    // blank/whitespace-only lines are EXEMPT from the cross-doc
+    // threshold (CCNet/C4 discipline): once >= minDocs docs contain an
+    // empty line — inevitable in any multi-paragraph corpus — counting
+    // them would strip every blank line corpus-wide and collapse
+    // paragraph structure. They always survive into the reassembly.
+    val hot = lines.where(col("line").rlike("\\S")).groupBy("line")
       .agg(countDistinct(col(id)).as("_ld_nd"))
       .where(col("_ld_nd") >= minDocs)
       .select("line")

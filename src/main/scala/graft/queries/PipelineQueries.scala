@@ -88,7 +88,10 @@ object PipelineQueries {
     * behind [[postingsOf]] (the registry row projects it to a string
     * for the driver comparator). */
   def postingsIndexOf(docs: DataFrame, cap: Int = PostingsCap): DataFrame = {
-    val toks = split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")
+    // the ONE corpus tokenizer ([[TA.tokens]], with its documented \s
+    // caveat) — an inline re-spelling here would silently desync
+    // q_postings from q_tfidf/q_bm25 on the first tokenizer change
+    val toks = TA.tokens(col("text"))
     docs
       .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
       .groupBy("token")
@@ -959,7 +962,9 @@ object PipelineQueries {
         |  unnest(string_split(t, chr(10))) AS line,
         |  generate_subscripts(string_split(t, chr(10)), 1) AS pos
         |FROM dirty),
-        |hot AS (SELECT line FROM lines GROUP BY line
+        |hot AS (SELECT line FROM lines
+        |        WHERE regexp_matches(line, '\S')
+        |        GROUP BY line
         |        HAVING count(DISTINCT doc_id) >= 5),
         |kept AS (SELECT l.* FROM lines l
         |         WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.line = l.line))

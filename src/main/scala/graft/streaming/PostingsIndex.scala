@@ -106,10 +106,17 @@ object PostingsIndex {
     // is still derivable from the referenced originals, so deleting
     // them up front is safe and makes re-running the compaction the
     // recovery procedure.
-    val dirs = (if (!Snapshot.enabled(spark, indexPath)) allDirs
-      else Snapshot.latestVersion(spark, indexPath) match {
-        case None => allDirs
-        case Some(v) =>
+    // (live shard dirs, merge input): with manifests, the merge MUST
+    // read only manifest-referenced files, never the live dirs raw — a
+    // batch replay that crashed between its append and its commit
+    // leaves the shard dir holding referenced old files AND
+    // unreferenced duplicates, and a raw-dir merge would double-count
+    // every df of that batch. Without manifests there is no reference
+    // set, so the raw dirs are the only possible input (the documented
+    // non-manifest caveat).
+    val (dirs, mergeInput) =
+      (if (!Snapshot.enabled(spark, indexPath)) None
+       else Snapshot.latestVersion(spark, indexPath).map { v =>
           val referenced = Snapshot.filesAt(spark, indexPath, v)
             .map(new Path(_).toUri.getPath).toSet
           val (live, orphans) = allDirs.partition { d =>
@@ -118,11 +125,14 @@ object PostingsIndex {
               referenced.contains(f.getPath.toUri.getPath))
           }
           orphans.foreach(fs.delete(_, true))
-          live
-      })
+          (live, live.flatMap(d => fs.listStatus(d).collect {
+            case f if f.isFile && f.getPath.getName.endsWith(".parquet") &&
+              referenced.contains(f.getPath.toUri.getPath) =>
+              f.getPath.toString
+          }))
+       }).getOrElse((allDirs, allDirs.map(_.toString)))
     if (dirs.length <= 1) return (dirs.length, dirs.length)
-    val merged = mergeShards(
-      spark.read.parquet(dirs.map(_.toString): _*), cap)
+    val merged = mergeShards(spark.read.parquet(mergeInput: _*), cap)
     val stamp = java.lang.Long.toHexString(System.nanoTime())
     val rel = s"shard=m$stamp"
     merged.write.mode("overwrite").parquet(s"$indexPath/$rel")

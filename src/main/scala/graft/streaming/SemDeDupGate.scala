@@ -35,10 +35,24 @@ import graft.functions.{NearestCentroid, Similarity, VectorExpressions}
   *    .functions.Similarity.semDedup]]: within the batch, the higher id
   *    of any same-cluster pair with cosine ≥ `minCos` drops (min id
   *    survives a near-dup group); against state, a vector drops when
-  *    ANY seen vector in its probed lists clears `minCos`. EVERY
-  *    processed vector registers its (list, vid, v) row — survivors and
-  *    dropped alike — so a later near-dup of a dropped vector still
-  *    collides.
+  *    ANY seen vector in its probed lists clears `minCos`. Only
+  *    SURVIVORS register their (list, vid, v) row — a dropped vector's
+  *    neighborhood is already covered at `minCos` by whatever it
+  *    dropped against (its representative), so registering it would
+  *    add bytes every later probe of that list pays without changing
+  *    any first-order decision. This is what bounds state under a
+  *    tight-cluster flood — the exact shape a dedup gate exists for:
+  *    a sustained stream of one semantic cluster keeps ONE
+  *    representative, not the whole flood, and per-batch probe bytes
+  *    stay flat no matter how long the flood runs (register-all grew
+  *    them linearly forever, and [[splitList]] provably cannot
+  *    separate near-identical vectors — docs/SCALE.md). The accepted,
+  *    bounded TRANSITIVE-RECALL deviation: for a chain x—y—z with
+  *    cos(x,y) ≥ t, cos(y,z) ≥ t but cos(x,z) < t, where y dropped
+  *    against registered x, a later z now ADMITS (register-all dropped
+  *    it against the unregistered-now y). Greedy leader clustering has
+  *    exactly this property; `SemDeDupGateSpec` pins both the
+  *    unchanged non-transitive decisions and this deviation.
   *  - replay idempotence, BOTH sides: survivors append to the OUTPUT
   *    first (anti-joined against the touched output lists' existing
   *    ids), the batch's state rows append second, anti-joined against
@@ -301,11 +315,15 @@ object SemDeDupGate {
         .write.partitionBy("list").mode("append").parquet(outPath)
       if (outLists.nonEmpty && Snapshot.enabled(spark, outPath))
         Snapshot.commit(spark, outPath, outLists.map(l => s"list=$l"))
-      // state second: the WHOLE batch registers, survivors and dropped
-      // alike — anti-joined against the probed lists' existing vids
-      // (registration targets the 1-nearest list ⊆ the probed lists),
-      // so a replayed batch appends NOTHING: true no-op on both sides
-      val stateRows = assigned.select(col("vid"), col("v"), col("list"))
+      // state second: SURVIVORS ONLY register — a dropped vector's
+      // representative already covers its neighborhood at minCos, and
+      // registering drops is what let a tight-cluster flood grow probe
+      // cost without bound (see the object doc's flood/transitive-recall
+      // contract). Anti-joined against the probed lists' existing vids
+      // (registration targets the 1-nearest list ⊆ the probed lists);
+      // on a replay every survivor now collides with its own state row
+      // at gate 1, so a replayed batch appends NOTHING on either side.
+      val stateRows = gatedAssigned.select(col("vid"), col("v"), col("list"))
       val stateFresh = seenOpt.fold(stateRows)(seen =>
         stateRows.join(seen.select(col("seen_id").as("vid")),
           Seq("vid"), "left_anti"))

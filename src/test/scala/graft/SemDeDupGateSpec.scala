@@ -5,7 +5,10 @@ import graft.streaming.SemDeDupGate
 
 /** Streaming SemDeDup — the embedding-space gate: cross-batch semantic
   * near-dups drop against coarse-list-partitioned lake state, replays
-  * are idempotent, and near-dups of DROPPED vectors still collide. */
+  * are idempotent, only SURVIVORS register (state stays flat under a
+  * tight-cluster flood), and a near-dup of a dropped vector still
+  * collides whenever its REPRESENTATIVE covers it — with the bounded
+  * transitive-recall deviation pinned explicitly. */
 class SemDeDupGateSpec extends SparkSpec {
   import spark.implicits._
 
@@ -27,12 +30,13 @@ class SemDeDupGateSpec extends SparkSpec {
     assert(SemDeDupGate.curateBatch(batch1, out, state,
       minCos = 0.9, nlist = 4, nprobe = 2) == 29L)
     // batch 2: a near-dup of a seen survivor drops, a near-dup of the
-    // DROPPED id-25 vector (≈ id 3) also drops — every processed vector
-    // registered — and a fresh vector admits
+    // DROPPED id-25 vector also drops — 25's REPRESENTATIVE (admitted
+    // id 3) covers its neighborhood, which is the survivors-only
+    // registration contract — and a fresh vector admits
     val batch2 = Seq(
       (100L, noisy(base(7L)).toSeq),  // near-dup of admitted: drop
       (101L, vec().toSeq),            // fresh: admit
-      (102L, noisy(base(3L)).toSeq))  // near-dup of the dropped 25's twin: drop
+      (102L, noisy(base(3L)).toSeq))  // near-dup of dropped 25 ≈ its rep 3: drop
       .toDF("vid", "v")
     assert(SemDeDupGate.curateBatch(batch2, out, state,
       minCos = 0.9, nlist = 4, nprobe = 2) == 1L)
@@ -62,6 +66,71 @@ class SemDeDupGateSpec extends SparkSpec {
     assert(SemDeDupGate.curateBatch(
       Seq((200L, noisy(base(11L)).toSeq)).toDF("vid", "v"),
       out, state, minCos = 0.9, nlist = 4, nprobe = 2) == 0L)
+    // survivors-only registration: state vids == admitted vids (the
+    // dropped 25/100/102 never register)
+    val stateVids = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$state/vecs").select("vid").as[Long].collect().toSet
+    assert(stateVids == outRows.select("vid").as[Long].collect().toSet,
+      "state must hold exactly the admitted representatives")
+  }
+
+  test("survivors-only registration: state stays FLAT under a tight-cluster flood") {
+    // the r10 scale boundary, closed: a sustained flood of ONE semantic
+    // cluster is the exact shape a dedup gate exists for. Register-all
+    // grew the hot list linearly with stream length — and splitList
+    // provably cannot separate near-identical vectors (docs/SCALE.md) —
+    // so every later probe paid the whole flood. Survivors-only keeps
+    // ONE representative: state rows and per-batch probe bytes stay
+    // flat no matter how long the flood runs.
+    val rnd = new scala.util.Random(131)
+    val dir = java.nio.file.Files.createTempDirectory("semgate-flood").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val center = Array.fill(dim)(rnd.nextGaussian())
+    def member() = center.map(x => x + 0.01 * rnd.nextGaussian())
+    // admit decisions are cluster-LOCAL (the semDedup rule joins on the
+    // routed list), so a cluster straddling list boundaries may keep up
+    // to one representative per touched list — the bound is the LIST
+    // count, never the stream length. The pin is flatness: every
+    // admission happens in batch 0, and state never grows after it.
+    val runs = (0 until 6).map { b =>
+      val batch = (0 until 50).map(i =>
+        ((b * 50 + i).toLong, member().toSeq)).toDF("vid", "v")
+      val adm = SemDeDupGate.curateBatch(batch, out, state,
+        minCos = 0.9, nlist = 4, nprobe = 2)
+      (adm, spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$state/vecs").count())
+    }
+    val reps = runs.head._2
+    assert(reps <= 4L, s"representatives bounded by nlist, got $reps")
+    assert(runs.tail.forall(_._1 == 0L),
+      s"flood batches after the first must admit nothing: ${runs.map(_._1)}")
+    assert(runs.forall(_._2 == reps),
+      s"flood must not grow state past batch 0's representatives " +
+        s"(register-all grew it by ~50/batch): ${runs.map(_._2)}")
+  }
+
+  test("transitive-recall deviation of survivors-only registration, pinned") {
+    // The accepted, documented recall change: a chain x—y—z with
+    // cos(x,y) >= t, cos(y,z) >= t but cos(x,z) < t. y drops against
+    // registered x and does NOT register (x is its representative); a
+    // later z collides with nothing registered and ADMITS. Register-all
+    // dropped z against y — survivors-only trades that 2-hop drop for
+    // flood-proof state (greedy leader clustering semantics).
+    val dirT = java.nio.file.Files.createTempDirectory("semgate-chain").toString
+    val (out, state) = (s"$dirT/out", s"$dirT/state")
+    val a = math.acos(0.92) // cos(a)=0.92 >= t=0.9; cos(2a)=0.6928 < t
+    def rot(theta: Double) = Array.tabulate(dim) {
+      case 0 => math.cos(theta); case 1 => math.sin(theta); case _ => 0.0
+    }
+    def one(vid: Long, v: Array[Double]) =
+      Seq((vid, v.toSeq)).toDF("vid", "v")
+    assert(SemDeDupGate.curateBatch(one(1L, rot(0)), out, state,
+      minCos = 0.9, nlist = 2, nprobe = 2) == 1L)       // x: admit
+    assert(SemDeDupGate.curateBatch(one(2L, rot(a)), out, state,
+      minCos = 0.9, nlist = 2, nprobe = 2) == 0L)       // y: drop vs x
+    assert(SemDeDupGate.curateBatch(one(3L, rot(2 * a)), out, state,
+      minCos = 0.9, nlist = 2, nprobe = 2) == 1L,       // z: ADMITS
+      "2-hop chain member must admit under survivors-only registration")
   }
 
   test("maintenance: generic list-dir compaction keeps gate semantics") {
