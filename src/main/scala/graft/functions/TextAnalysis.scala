@@ -187,6 +187,63 @@ object TextAnalysis {
       .agg(sum(col("contrib")).as("bm25"), count(lit(1)).as("n_hits"))
   }
 
+  /** The TF half of the inverted index — the stored artifact
+    * [[bm25FromIndex]] scores from: one row per (token, doc_id) with
+    * the in-document term frequency. At corpus scale this table is
+    * PARTITIONED BY token, so a query-term lookup is partition pruning
+    * (scan cost Σ df over the query terms), never an index scan; and
+    * df(t) is derivable as the per-token row count — each (token, doc)
+    * pair appears exactly once. Under the fresh-docs discipline
+    * ([[graft.functions.Dedup.dedupNewRows]]) shards over disjoint doc
+    * batches are df-additive and merge by plain UNION —
+    * [[graft.streaming.PostingsIndex.tfIndexBatch]] maintains it
+    * continuously from a document stream. */
+  def tfPostings(docs: org.apache.spark.sql.DataFrame, id: String,
+                 text: String): org.apache.spark.sql.DataFrame =
+    explodedTerms(docs, id, text)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("term").as("token"), col("doc_id"), col("tf"))
+
+  /** Doc-length sidecar (doc_id, dl) — the second stored artifact BM25
+    * needs: dl is the length normalizer, and (N, avgdl) are its two
+    * aggregates. One expression per row at index time; doc-scale rows
+    * (never token-scale) forever after. */
+  def docLengths(docs: org.apache.spark.sql.DataFrame, id: String,
+                 text: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(id).as("doc_id"), tokenCount(col(text)).cast("long").as("dl"))
+
+  /** BM25 scored purely FROM THE STORED INDEX — no corpus access: `tf`
+    * is the (token, doc_id, tf) table of [[tfPostings]] (or the
+    * streaming-maintained shards, merged), `dl` the (doc_id, dl)
+    * sidecar of [[docLengths]]. df(t) = per-token row count of the
+    * query slice; (N, avgdl) are one aggregation over the doc-scale
+    * sidecar, broadcast as a single row; the contrib expression is
+    * IDENTICAL to [[bm25]]'s, so index-served scores equal
+    * corpus-recomputed scores (`q_bm25_index` is oracle-pinned to
+    * `q_bm25`'s SQL). The query-term filter is the first operation on
+    * the tf table — with token-partitioned storage that is partition
+    * pruning, which is the whole point of serving from the index. */
+  def bm25FromIndex(tf: org.apache.spark.sql.DataFrame,
+                    dl: org.apache.spark.sql.DataFrame, terms: Seq[String],
+                    k1: Double = 1.2,
+                    b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count, sum}
+    val qtf = tf.where(col("token").isin(terms: _*))
+    val dfreq = qtf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val scal = dl.agg(count(lit(1)).cast("double").as("nd"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    qtf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .join(broadcast(scal))
+      .withColumn("idf", log(lit(1.0) +
+        (col("nd") - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5)))
+      .withColumn("contrib", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).as("bm25"), count(lit(1)).as("n_hits"))
+  }
+
   /** Unigram cross-entropy scoring — the deterministic analog of a
     * CCNet-style LM-perplexity quality filter (Wenzek et al. 2020 filter
     * CommonCrawl by LM perplexity; the unigram model is its degenerate,

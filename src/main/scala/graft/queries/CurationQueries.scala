@@ -521,7 +521,18 @@ object CurationQueries {
     packSequencesOf(par(documents(s, d)), chunkWidth = 512)
 
   def packSequencesOf(docs: DataFrame, seqLen: Long = 2048,
-                      chunkWidth: Long = 65536): DataFrame = {
+                      chunkWidth: Long = 65536): DataFrame =
+    packBase(docs, chunkWidth)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"start_tok div $seqLen").as("bin"),
+        expr(s"start_tok % $seqLen").as("bin_offset"))
+
+  /** The shared (doc_id, n_tokens, start_tok) frame behind [[
+    * packSequencesOf]] and [[packRowsOf]]: the corpus-wide running
+    * token offset via the two-level chunked prefix-sum decomposition
+    * (per-chunk windows parallel; the only unpartitioned window runs
+    * on the ⌈idRange/chunkWidth⌉-row chunk-totals frame). */
+  private def packBase(docs: DataFrame, chunkWidth: Long): DataFrame = {
     val base = docs.select(col("doc_id"),
       TA.tokenCount(col("text")).as("n_tokens"))
       .withColumn("ck", expr(s"doc_id div $chunkWidth"))
@@ -540,10 +551,40 @@ object CurationQueries {
       .select(col("ck"), col("offset"))
     within.join(broadcast(offsets), Seq("ck"))
       .withColumn("start_tok", col("offset") + col("within_cum") - col("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"start_tok div $seqLen").as("bin"),
-        expr(s"start_tok % $seqLen").as("bin_offset"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"))
   }
+
+  /** Window-straddle PACK ROWS — the writer-facing form of
+    * [[packSequencesOf]] (which emits only each doc's START bin): one
+    * row per (document, window) INTERSECTION, `(doc_id, bin, tok_from,
+    * tok_to)` with doc-relative token offsets `[tok_from, tok_to)`. A
+    * doc inside one window emits one row; a doc crossing window
+    * boundaries emits one row per touched bin — exactly what a pack
+    * writer needs to route each slice to its shard. By construction
+    * every bin's slice lengths sum to `seqLen` except the corpus-final
+    * bin (`CurationSpec` pins it). Scale shape: packBase's chunked
+    * prefix sum plus ONE per-doc bounded explode (⌈n_tokens/seqLen⌉+1
+    * rows max) — no corpus-wide window, no new shuffle past the
+    * reused decomposition. Empty docs emit no rows (nothing to pack);
+    * integer div throughout keeps offsets exact past 2⁵³. */
+  def packRows(s: SparkSession, d: String): DataFrame =
+    // chunkWidth 512 for the same reason as q_pack: the fixture's dense
+    // ids must span multiple chunks so the registry row exercises the
+    // multi-chunk decomposition
+    packRowsOf(par(documents(s, d)), chunkWidth = 512)
+
+  def packRowsOf(docs: DataFrame, seqLen: Long = 2048,
+                 chunkWidth: Long = 65536): DataFrame =
+    packBase(docs, chunkWidth)
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("start_tok"), col("n_tokens"),
+        explode(sequence(expr(s"start_tok div $seqLen"),
+          expr(s"(start_tok + n_tokens - 1) div $seqLen"))).as("bin"))
+      .select(col("doc_id"), col("bin"),
+        (greatest(col("start_tok"), col("bin") * seqLen) - col("start_tok"))
+          .as("tok_from"),
+        (least(col("start_tok") + col("n_tokens"), (col("bin") + 1) * seqLen)
+          - col("start_tok")).as("tok_to"))
 
   // ---- semantic dedup --------------------------------------------------
 
@@ -602,6 +643,7 @@ object CurationQueries {
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
     "q_pack"          -> (packSequences _),
+    "q_pack_rows"     -> (packRows _),
     "q_semdedup"      -> (semDedupQ _),
     "q_semdedup_cc"   -> (semDedupCCQ _),
     "q_pipeline_semantic" -> (pipelineSemantic _))
@@ -782,6 +824,20 @@ object CurationQueries {
          |  start_tok // 2048 AS bin,
          |  start_tok % 2048 AS bin_offset
          |FROM c""".stripMargin,
+    "q_pack_rows" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS BIGINT) AS start_tok
+         |      FROM t)
+         |SELECT doc_id, bin,
+         |  GREATEST(start_tok, bin * 2048) - start_tok AS tok_from,
+         |  LEAST(start_tok + n_tokens, (bin + 1) * 2048) - start_tok AS tok_to
+         |FROM c, UNNEST(generate_series(start_tok // 2048,
+         |         (start_tok + n_tokens - 1) // 2048)) AS u(bin)
+         |WHERE n_tokens > 0""".stripMargin,
     "q_semdedup" -> Similarity.semDedupOracleSql(),
     "q_semdedup_cc" -> Similarity.semDedupCCOracleSql(),
     // the semdedup twin as a subquery; NOT IN over its dropped members,

@@ -65,6 +65,22 @@ object PipelineQueries {
   def bm25Q(s: SparkSession, d: String): DataFrame =
     TA.bm25(par(documents(s, d)), "doc_id", "text", Bm25Terms)
 
+  /** BM25 scored purely from the STORED index artifacts
+    * ([[TA.bm25FromIndex]] over [[TA.tfPostings]] + [[TA.docLengths]])
+    * — the proof that the index the engine continuously maintains
+    * ([[graft.streaming.PostingsIndex.tfIndexBatch]]) answers the
+    * engine's own flagship scoring query: this registry row builds the
+    * artifacts then scores ONLY from them, and is oracle-pinned to the
+    * exact SQL of `q_bm25` (identical scores, corpus never consulted at
+    * scoring time). At serving scale the build is amortized — the
+    * streaming sink maintains the artifacts and `PostingsIndexSpec`
+    * pins that index-served BM25 survives shard merges. */
+  def bm25IndexQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    TA.bm25FromIndex(TA.tfPostings(docs, "doc_id", "text"),
+      TA.docLengths(docs, "doc_id", "text"), Bm25Terms)
+  }
+
   /** Inverted-index build — the retrieval-side artifact (keyword/BM25
     * search, doc-frequency stats) over the same corpus: per token, the
     * distinct-document frequency and the first [[PostingsCap]] doc ids
@@ -740,6 +756,7 @@ object PipelineQueries {
     "q_tfidf"          -> (tfidf _),
     "q_postings"       -> (postingsQ _),
     "q_bm25"           -> (bm25Q _),
+    "q_bm25_index"     -> (bm25IndexQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -817,6 +834,26 @@ object PipelineQueries {
        |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
        |  FROM sh)""".stripMargin
 
+  /** The one BM25 oracle — shared by `q_bm25` (corpus-recomputed) and
+    * `q_bm25_index` (served from the stored tf/dl artifacts): the two
+    * rows hashing equal against the SAME SQL is the parity proof. */
+  private val Bm25Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+       |qt AS (SELECT doc_id, term FROM toks
+       |       WHERE term IN ('join', 'filter', 'dup')),
+       |tf AS (SELECT doc_id, term, count(*) AS n FROM qt GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl FROM documents),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM qt GROUP BY 1),
+       |scal AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd,
+       |                avg(CAST(len($TOKS) AS DOUBLE)) AS avgdl FROM documents)
+       |SELECT tf.doc_id,
+       |  CAST(sum(ln(1.0 + (scal.nd - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))
+       |       * (tf.n * ${1.2 + 1}) / (tf.n + 1.2 * (${1 - 0.75} + 0.75 * dl.dl / scal.avgdl)))
+       |     AS DOUBLE) AS bm25,
+       |  count(*) AS n_hits
+       |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN scal
+       |GROUP BY tf.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id,
@@ -876,22 +913,10 @@ object PipelineQueries {
     // may merge in a different order — the driver's 6-decimal rounding
     // absorbs it (the q_tfidf precedent). avgdl is bit-equal: integer
     // token counts accumulate exactly in double in any order
-    "q_bm25" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
-         |qt AS (SELECT doc_id, term FROM toks
-         |       WHERE term IN ('join', 'filter', 'dup')),
-         |tf AS (SELECT doc_id, term, count(*) AS n FROM qt GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl FROM documents),
-         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM qt GROUP BY 1),
-         |scal AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd,
-         |                avg(CAST(len($TOKS) AS DOUBLE)) AS avgdl FROM documents)
-         |SELECT tf.doc_id,
-         |  CAST(sum(ln(1.0 + (scal.nd - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))
-         |       * (tf.n * ${1.2 + 1}) / (tf.n + 1.2 * (${1 - 0.75} + 0.75 * dl.dl / scal.avgdl)))
-         |     AS DOUBLE) AS bm25,
-         |  count(*) AS n_hits
-         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN scal
-         |GROUP BY tf.doc_id""".stripMargin,
+    "q_bm25" -> Bm25Sql,
+    // index-served BM25 must equal corpus-recomputed BM25 — the SAME
+    // oracle SQL pins q_bm25_index to q_bm25
+    "q_bm25_index" -> Bm25Sql,
     // same token stream; avg-of-logs merge order differs at ~1e-12 and
     // the driver's 6-decimal float rounding absorbs it (the q_tfidf
     // precedent)

@@ -242,6 +242,29 @@ object Relational {
         col("ps").getItem(1).as("p90"),
         col("ps").getItem(2).as("p99"))
 
+  /** The SCALE path for grouped percentiles, as a registered query —
+    * the approx twin of [[percentiles]]: `approx_percentile`
+    * (Greenwald–Khanna summaries) holds a bounded sketch per group
+    * instead of the exact per-group value-count map, so executor
+    * memory is O(accuracy-bound) REGARDLESS of group size — the
+    * documented 100 TB answer for q_percentiles' known memory boundary
+    * (docs/SCALE.md). Accuracy 10000 bounds rank error to n/10000 per
+    * group. The sketch algorithm is engine-specific, so this row
+    * deliberately has NO DuckDB oracle (the driver records the weaker
+    * rows-only check); `AnalyticsSpec` pins |approx − exact| within
+    * the rank-error bound against [[percentiles]] on the same data —
+    * the verification an approx operator can actually promise. */
+  def percentilesApprox(s: SparkSession, d: String): DataFrame =
+    graft.functions.Parallelism.ensureParallel(lineitem(s, d))
+      .groupBy("l_returnflag")
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"))
+
   /** Pivot: event counts per user across a fixed event-type set. */
   def pivotCounts(s: SparkSession, d: String): DataFrame =
     events(s, d).groupBy("user_id")
@@ -301,6 +324,7 @@ object Relational {
     "q_string_agg"    -> (stringAgg _),
     "q_histogram"     -> (histogram _),
     "q_percentiles"   -> (percentiles _),
+    "q_percentiles_approx" -> (percentilesApprox _),
     "q_pivot"         -> (pivotCounts _),
     "q_stats_agg"     -> (statsAgg _),
     "q_rollup"        -> (rollupAgg _),

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.functions.Sketches
+import graft.functions.{Sketches, TextAnalysis}
 
 /** Continuously-maintained inverted index over a document stream — the
   * streaming twin of [[graft.queries.PipelineQueries.postingsOf]]: each
@@ -16,7 +16,14 @@ import graft.functions.Sketches
   * Replay idempotence BY CONSTRUCTION: a replayed batch rewrites
   * identical content into its OWN shard directory and no other shard
   * is touched, so no seen-set or anti-join is needed (contrast the
-  * row-append sinks, which must anti-join). Without snapshots that
+  * row-append sinks, which must anti-join). The one case where the
+  * rewrite is NOT safe is a batch whose shard a COMPACTION already
+  * consumed (in-band: crash between the `compactEvery` compaction and
+  * the checkpoint commit; or any out-of-band compaction) — re-creating
+  * `shard=b<id>` would then double-count it against the merged shard.
+  * Merged shards therefore carry a replay WATERMARK in their dir name
+  * (`shard=m<stamp>u<maxBatch>`), and a replayed batch at or below a
+  * committed watermark is a deliberate no-op ([[mergedUpTo]]). Without snapshots that
   * rewrite is a plain `mode(overwrite)`; with snapshots it is
   * append-then-retire through the manifest ([[indexBatch]]), so pinned
   * versions survive the replay. The df-additivity contract is the
@@ -72,6 +79,41 @@ object PostingsIndex {
     mergeShards(shards.drop("shard"), cap)
   }
 
+  private val MergedShardRe = "m[0-9a-f]+u([0-9]+)".r
+  private val BatchShardRe = "b([0-9]+)".r
+
+  /** Highest batch id whose shard content is already folded into a
+    * COMMITTED merged shard — parsed from live m-shard names
+    * (`shard=m<stamp>u<maxBatch>`). A replayed batch at or below this
+    * water-mark must SKIP its shard write: its rows live inside the
+    * merged shard now, and re-creating `shard=b<id>` would double-count
+    * them. That window is real in-band — a crash between the
+    * `compactEvery` compaction (inside foreachBatch) and the
+    * checkpoint commit replays a batch whose shard the compaction just
+    * consumed — and for any out-of-band compaction racing a replay.
+    * Under snapshots only manifest-referenced m-shards count: an ORPHAN
+    * m-shard from a crashed compaction preserved nothing, so trusting
+    * its watermark would drop the replayed batch's data. */
+  private def mergedUpTo(spark: SparkSession, root: String): Option[Long] = {
+    val dirs = shardDirs(spark, root)
+    val live: Seq[Path] =
+      if (!Snapshot.enabled(spark, root)) dirs
+      else Snapshot.latestVersion(spark, root) match {
+        case None => dirs
+        case Some(v) =>
+          val fs = new Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val referenced = Snapshot.filesAt(spark, root, v)
+            .map(new Path(_).toUri.getPath).toSet
+          dirs.filter(d => fs.listStatus(d).exists(f => f.isFile &&
+            f.getPath.getName.endsWith(".parquet") &&
+            referenced.contains(f.getPath.toUri.getPath)))
+      }
+    live.map(_.getName.stripPrefix("shard=")).collect {
+      case MergedShardRe(n) => n.toLong
+    }.maxOption
+  }
+
   private def shardDirs(spark: SparkSession, indexPath: String): Seq[Path] = {
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -94,7 +136,20 @@ object PostingsIndex {
     * from the surviving originals, then re-run), but the manifest path
     * is the production answer. Returns (shards before, after). */
   def compactShards(spark: SparkSession, indexPath: String,
-                    cap: Int = DefaultCap): (Int, Int) = {
+                    cap: Int = DefaultCap): (Int, Int) =
+    compactWith(spark, indexPath, mergeShards(_, cap))
+
+  /** Union-merge compaction for the DOC-DISJOINT shard tables (the tf
+    * postings and doc-length sidecar of [[tfIndexBatch]]): shards never
+    * share a doc id under the fresh-docs discipline, so the merged
+    * shard is the plain union — a rewrite, not a re-aggregation. Same
+    * loss-proof commit order and orphan recovery as [[compactShards]]. */
+  def compactUnionShards(spark: SparkSession,
+                         indexPath: String): (Int, Int) =
+    compactWith(spark, indexPath, identity)
+
+  private def compactWith(spark: SparkSession, indexPath: String,
+                          merge: DataFrame => DataFrame): (Int, Int) = {
     val allDirs = shardDirs(spark, indexPath)
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -132,9 +187,15 @@ object PostingsIndex {
           }))
        }).getOrElse((allDirs, allDirs.map(_.toString)))
     if (dirs.length <= 1) return (dirs.length, dirs.length)
-    val merged = mergeShards(spark.read.parquet(mergeInput: _*), cap)
+    val merged = merge(spark.read.parquet(mergeInput: _*))
     val stamp = java.lang.Long.toHexString(System.nanoTime())
-    val rel = s"shard=m$stamp"
+    // the merged shard's name carries the replay watermark: the highest
+    // batch id whose content it (transitively) contains — see mergedUpTo
+    val maxB = dirs.map(_.getName.stripPrefix("shard=")).collect {
+      case BatchShardRe(n) => n.toLong
+      case MergedShardRe(n) => n.toLong
+    }.maxOption
+    val rel = s"shard=m$stamp" + maxB.map(m => s"u$m").getOrElse("")
     merged.write.mode("overwrite").parquet(s"$indexPath/$rel")
     if (Snapshot.enabled(spark, indexPath)) {
       val retired = dirs.flatMap(d => fs.listStatus(d)
@@ -166,23 +227,107 @@ object PostingsIndex {
   def indexBatch(batch: DataFrame, batchId: Long, indexPath: String,
                  cap: Int = DefaultCap, compactEvery: Int = 0,
                  snapshots: Boolean = false): Unit = {
-    val spark = batch.sparkSession
-    if (snapshots) {
-      Snapshot.init(spark, indexPath)
-      val rel = s"shard=b$batchId"
-      val dirP = new Path(s"$indexPath/$rel")
-      val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val existing =
-        if (!fs.exists(dirP)) Nil
-        else fs.listStatus(dirP).filter(f =>
-          f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath).toSeq
-      graft.queries.PipelineQueries.postingsIndexOf(batch, cap)
-        .write.mode("append").parquet(dirP.toString)
-      Snapshot.commit(spark, indexPath, Seq(rel), retired = existing)
-    } else writeShard(batch, indexPath, batchId, cap)
+    if (mergedUpTo(batch.sparkSession, indexPath).exists(batchId <= _))
+      return // replayed batch already folded into a committed m-shard
+    if (snapshots)
+      writeShardManifestSafe(
+        graft.queries.PipelineQueries.postingsIndexOf(batch, cap),
+        indexPath, batchId)
+    else writeShard(batch, indexPath, batchId, cap)
     if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-      compactShards(spark, indexPath, cap)
+      compactShards(batch.sparkSession, indexPath, cap)
+  }
+
+  /** The manifest-safe shard rewrite shared by [[indexBatch]] and
+    * [[tfIndexBatch]]: append fresh files (unique names), retire the
+    * batch's prior ones through the same commit. */
+  private def writeShardManifestSafe(df: DataFrame, root: String,
+                                     batchId: Long): Unit = {
+    val spark = df.sparkSession
+    Snapshot.init(spark, root)
+    val rel = s"shard=b$batchId"
+    val dirP = new Path(s"$root/$rel")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (!fs.exists(dirP)) Nil
+      else fs.listStatus(dirP).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq
+    df.write.mode("append").parquet(dirP.toString)
+    Snapshot.commit(spark, root, Seq(rel), retired = existing)
+  }
+
+  // ---- the TF half of the index: BM25 served from stored shards ------
+
+  /** Per-batch maintenance of the TF postings table (token, doc_id, tf)
+    * and its doc-length sidecar (doc_id, dl) — the artifacts
+    * [[graft.functions.TextAnalysis.bm25FromIndex]] scores from, so the
+    * continuously-maintained index can answer the engine's flagship
+    * scoring query without touching the corpus. Shard-per-batch gives
+    * the same replay-idempotence-BY-CONSTRUCTION as [[indexBatch]];
+    * under the fresh-docs discipline shards are doc-disjoint, so the
+    * merged table is the plain UNION of shards (no aggregation at read)
+    * and compaction is a rewrite ([[compactUnionShards]]). */
+  def tfIndexBatch(batch: DataFrame, batchId: Long, tfPath: String,
+                   dlPath: String, compactEvery: Int = 0,
+                   snapshots: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    // replay watermark per artifact: each skips independently (a crash
+    // between the two writes replays with only one of them folded)
+    val tfMerged = mergedUpTo(spark, tfPath).exists(batchId <= _)
+    val dlMerged = mergedUpTo(spark, dlPath).exists(batchId <= _)
+    if (!tfMerged) {
+      val tf = TextAnalysis.tfPostings(batch, "doc_id", "text")
+      if (snapshots) writeShardManifestSafe(tf, tfPath, batchId)
+      else tf.write.mode("overwrite").parquet(s"$tfPath/shard=b$batchId")
+    }
+    if (!dlMerged) {
+      val dl = TextAnalysis.docLengths(batch, "doc_id", "text")
+      if (snapshots) writeShardManifestSafe(dl, dlPath, batchId)
+      else dl.write.mode("overwrite").parquet(s"$dlPath/shard=b$batchId")
+    }
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+      compactUnionShards(spark, tfPath)
+      compactUnionShards(spark, dlPath)
+    }
+  }
+
+  /** Serving read for the union-merged shard tables (tf / doc-lengths):
+    * all live shards, version-pinnable under [[Snapshot]] manifests. */
+  def readUnionShards(spark: SparkSession, root: String,
+                      version: Option[Long] = None): DataFrame =
+    (if (Snapshot.enabled(spark, root))
+       Snapshot.readVersion(spark, root, version, Seq("shard"))
+     else None).getOrElse(spark.read.parquet(root)).drop("shard")
+
+  /** The streaming sink for the TF half: docs (doc_id, text) →
+    * continuously-maintained BM25-servable index artifacts. */
+  def startTfIndexSink(docs: DataFrame, tfPath: String, dlPath: String,
+                       checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                       compactEvery: Int = 0,
+                       snapshots: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tfIndexBatch(batch, batchId, tfPath, dlPath, compactEvery, snapshots)
+      }
+      .start()
+
+  /** Test-only fault injection: run [[compactShards]]' merged-shard
+    * write, then stop BEFORE the manifest commit — leaving exactly the
+    * orphan-m-shard crash window the recovery preamble must close. */
+  private[graft] def compactShardsCrashAfterMerge(spark: SparkSession,
+      indexPath: String, cap: Int = DefaultCap): Unit = {
+    val dirs = shardDirs(spark, indexPath)
+    require(dirs.length > 1, "crash-injection needs >1 live shard")
+    val merged = mergeShards(
+      spark.read.parquet(dirs.map(_.toString): _*).drop("shard"), cap)
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    merged.write.mode("overwrite").parquet(s"$indexPath/shard=m$stamp")
+    // crash: no Snapshot.commit, originals stay live, m-shard is orphan
   }
 
   /** The streaming sink: docs (doc_id, text) → continuously-maintained

@@ -54,6 +54,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(d("max").toDouble == 14.0)
   }
 
+  test("q_percentiles_approx: inside the GK rank-error window of q_percentiles") {
+    // the scale twin's verifiable promise: approx_percentile(…, acc)
+    // returns a REAL data value whose rank is within n/acc of the
+    // target rank. Pin both the approx value and the exact interpolated
+    // percentile inside the same order-statistic window [rank−slack,
+    // rank+slack] per (group, p) on the fixture — the check an approx
+    // operator can actually make (a DuckDB hash oracle cannot: the
+    // sketch is engine-specific, hence the deliberate rows-only row).
+    import graft.queries.Relational
+    val d = "/root/testdata/sf0.001"
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = toMap(Relational.percentiles(spark, d))
+    val approx = toMap(Relational.percentilesApprox(spark, d))
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    val byGroup = graft.Tables.lineitem(spark, d)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted)
+      .toMap
+    for ((g, sorted) <- byGroup; (p, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val n = sorted.length
+      val slack = math.max(1, math.ceil(n / 10000.0).toInt)
+      val idx = p * (n - 1)
+      val lo = sorted(math.max(0, math.floor(idx).toInt - slack))
+      val hi = sorted(math.min(n - 1, math.ceil(idx).toInt + slack))
+      val v = approx(g)(i)
+      assert(v >= lo && v <= hi, s"group $g p$p: approx $v outside [$lo, $hi]")
+      val e = exact(g)(i)
+      assert(e >= lo && e <= hi, s"group $g p$p: exact $e outside [$lo, $hi]")
+    }
+  }
+
   test("S4: Kafka frame is (key, value-JSON) keyed by symbol") {
     val df = Seq(("FPT", 80.5, 750800L)).toDF("symbol", "close", "volume")
     val frame = TickIngest.toKafkaFrame(df)

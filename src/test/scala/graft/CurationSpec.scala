@@ -406,6 +406,48 @@ class CurationSpec extends SparkSpec {
     assert(out(1L)._2 == 0L && out(2L)._2 == (5L + 2000) / 1024)
   }
 
+  test("packRowsOf: slices tile every window exactly; per-doc slices reassemble the doc") {
+    import graft.queries.CurationQueries
+    // same corpus shape as the packSequencesOf test (note an
+    // empty-STRING doc still counts one token — the tokenizer's
+    // split('') == [''] convention, identical in both engines — so the
+    // n_tokens > 0 guard only excludes hypothetical zero-count rows)
+    val sizes = Seq(0L -> 5, 1L -> 2000, 2L -> 100, 63L -> 3000,
+      64L -> 10, 700L -> 2048, 700000L -> 7)
+    val docs = sizes.map { case (id, n) =>
+      (id, (0 until n).map(i => s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = CurationQueries.packRowsOf(docs, seqLen = 1024, chunkWidth = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every window's slice lengths sum to seqLen, except the corpus-
+    // final window (the partial tail) — the pack-writer contract
+    val total = sizes.map(_._2.toLong).sum
+    val byBin = rows.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val lastBin = (total - 1) / 1024
+    assert(byBin.keySet == (0L to lastBin).toSet, s"bins ${byBin.keySet}")
+    for (b <- 0L until lastBin)
+      assert(byBin(b) == 1024L, s"bin $b holds ${byBin(b)} tokens")
+    assert(byBin(lastBin) == total - lastBin * 1024,
+      s"tail bin ${byBin(lastBin)}")
+    // per-doc: slices are contiguous [0..n_tokens) in bin order —
+    // concatenating them reassembles the document
+    val pack = CurationQueries.packSequencesOf(docs, seqLen = 1024, chunkWidth = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    rows.groupBy(_._1).foreach { case (id, ss) =>
+      val ordered = ss.sortBy(_._2)
+      val (n, startBin) = pack(id)
+      assert(ordered.head._2 == startBin, s"doc $id first slice bin")
+      assert(ordered.head._3 == 0L, s"doc $id first slice must start at 0")
+      assert(ordered.last._4 == n.toLong, s"doc $id last slice must end at n")
+      ordered.sliding(2).filter(_.length == 2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(a._4 == b._3 && b._2 == a._2 + 1,
+          s"doc $id slices not contiguous: $a -> $b")
+      }
+    }
+  }
+
   test("postingsOf: true df with a bounded sorted min-k preview") {
     import graft.queries.PipelineQueries
     // 20 docs share token "common"; each has a unique token too

@@ -70,6 +70,15 @@ class PostingsIndexSpec extends SparkSpec {
     assert(na2 == 1, s"recovery compaction $nb2 -> $na2")
     assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == allRows,
       "orphan m-shard double-counted into the recovered index")
+
+    // the OTHER replay window: a batch whose shard a compaction already
+    // consumed (in-band: crash between the compactEvery compaction and
+    // the checkpoint commit). The merged shard's watermark makes the
+    // replay a no-op — without it, shard=b0 would be re-created and
+    // every batch-0 df double-counted against the merged shard
+    PostingsIndex.indexBatch(batches(0), 0, idx, cap = 4, snapshots = true)
+    assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == allRows,
+      "replay of a compaction-consumed batch double-counted")
   }
 
   test("the live sink maintains the index across micro-batches with compaction") {
@@ -95,5 +104,90 @@ class PostingsIndexSpec extends SparkSpec {
     assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == expect)
     assert(expect.exists { case (t, df, p) =>
       t == "x" && df == 3L && p == List(1L, 2L, 3L) })
+  }
+
+  test("a reader pinned at version v is bit-stable through crash + recovery + re-compaction") {
+    // the r10 verdict's missing window: the orphan-m-shard recovery was
+    // crash-injected, but nothing pinned a READER across the whole arc
+    // — pin v, crash a compaction after its merged write, recover (the
+    // re-run deletes the orphan), compact again after a new batch. The
+    // pinned read must return the identical index at every point.
+    val dir = java.nio.file.Files.createTempDirectory("postings-pin").toString
+    val idx = s"$dir/index"
+    val batches = (0 until 3).map(b => docs(b * 10 until b * 10 + 10))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      PostingsIndex.indexBatch(b, i, idx, cap = 4, snapshots = true)
+    }
+    val expect = rows(graft.queries.PipelineQueries.postingsIndexOf(
+      batches.reduce(_ unionByName _), cap = 4))
+    val vPin = Snapshot.latestVersion(spark, idx).get
+    def pinned() = rows(PostingsIndex.readIndex(spark, idx, cap = 4,
+      version = Some(vPin)))
+
+    // crash: merged m-shard fully written, manifest never committed
+    PostingsIndex.compactShardsCrashAfterMerge(spark, idx, cap = 4)
+    assert(pinned() == expect, "pinned read drifted inside the crash window")
+    assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == expect,
+      "latest manifest read saw the orphan m-shard")
+
+    // recovery: the re-run deletes the orphan, merges the referenced
+    // originals, retires them through the manifest
+    val (_, na) = PostingsIndex.compactShards(spark, idx, cap = 4)
+    assert(na == 1, s"recovery left $na shards")
+    assert(pinned() == expect, "pinned read drifted across recovery")
+    assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == expect)
+
+    // a further append + re-compaction after the recovery
+    PostingsIndex.indexBatch(docs(100 until 110), 3, idx, cap = 4,
+      snapshots = true)
+    PostingsIndex.compactShards(spark, idx, cap = 4)
+    assert(pinned() == expect, "pinned read broken by post-recovery compaction")
+  }
+
+  test("the streaming tf index serves BM25 across shard merges") {
+    // the two halves of keyword retrieval COMPOSE: the continuously-
+    // maintained tf/doc-length artifacts answer the flagship scoring
+    // query without touching the corpus, through replay and compaction
+    import graft.functions.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("postings-tf").toString
+    val (tfP, dlP) = (s"$dir/tf", s"$dir/dl")
+    def tdocs(ids: Range) = ids.map(i => (i.toLong,
+      s"join ${if (i % 2 == 0) "filter join" else "plain"} dup word$i"))
+      .toDF("doc_id", "text")
+    val batches = (0 until 3).map(b => tdocs(b * 7 until b * 7 + 7))
+    // compactEvery=2: batch 1 triggers a mid-stream union compaction
+    batches.zipWithIndex.foreach { case (b, i) =>
+      PostingsIndex.tfIndexBatch(b, i, tfP, dlP, compactEvery = 2,
+        snapshots = true)
+    }
+    val terms = Seq("join", "filter", "dup")
+    def bm25Map(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    def servedMap() = bm25Map(TextAnalysis.bm25FromIndex(
+      PostingsIndex.readUnionShards(spark, tfP),
+      PostingsIndex.readUnionShards(spark, dlP), terms))
+    val direct = bm25Map(TextAnalysis.bm25(
+      batches.reduce(_ unionByName _), "doc_id", "text", terms))
+    def assertServes(label: String): Unit = {
+      val served = servedMap()
+      assert(served.keySet == direct.keySet, s"$label: doc sets differ")
+      served.foreach { case (k, (s, h)) =>
+        val (ds, dh) = direct(k)
+        assert(h == dh && math.abs(s - ds) < 1e-9,
+          s"$label: doc $k served ($s,$h) vs direct ($ds,$dh)")
+      }
+    }
+    assertServes("post-ingest")
+    // replay of a committed batch is a no-op on the served scores
+    val tfRows = PostingsIndex.readUnionShards(spark, tfP).count()
+    PostingsIndex.tfIndexBatch(batches(1), 1, tfP, dlP, snapshots = true)
+    assert(PostingsIndex.readUnionShards(spark, tfP).count() == tfRows,
+      "replayed batch changed the tf index")
+    assertServes("post-replay")
+    // full union compaction of both artifacts — still identical
+    PostingsIndex.compactUnionShards(spark, tfP)
+    PostingsIndex.compactUnionShards(spark, dlP)
+    assertServes("post-compaction")
   }
 }
