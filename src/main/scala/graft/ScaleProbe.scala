@@ -485,6 +485,56 @@ object ScaleProbe {
         "grew ~2k rows/batch, probes paid the whole flood)")
     }
 
+    // ---- snapshot retention: _stale accretion bounded by vacuum -------
+    // (r10 verdict item 5) Under the append-retire discipline every
+    // compaction's replaced files move to `_stale/v<N>` instead of
+    // being deleted, so a long-lived gate accretes retired bytes
+    // without bound unless vacuum runs. Measured: a 24-batch stream
+    // with compaction every 6 batches, then Snapshot.vacuum at a
+    // keep=2 floor — files/bytes before vs after, with a reader pinned
+    // AT the retention floor proven bit-stable across the vacuum.
+    locally {
+      import graft.streaming.{SemDeDupGate, Snapshot}
+      val (o, s) = (s"$tmp/semgate-vac/out", s"$tmp/semgate-vac/state")
+      SemDeDupGate.initSnapshots(spark, o, s)
+      val all = bigEmb.orderBy("vec_id").limit(2400)
+        .select(col("vec_id").as("vid"), col("embedding").as("v")).cache()
+      all.count()
+      (0 until 24).foreach { i =>
+        SemDeDupGate.curateBatch(all.where(pmod(col("vid"), lit(24)) === i),
+          o, s, minCos = 0.95, nlist = 32, nprobe = 4)
+        if (i % 6 == 5) SemDeDupGate.compactState(spark, o, s, maxFiles = 2)
+      }
+      def du(p: String): (Long, Long) = {
+        val root = new org.apache.hadoop.fs.Path(p)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        var files = 0L; var bytes = 0L
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) { val f = it.next(); files += 1; bytes += f.getLen }
+        (files, bytes)
+      }
+      val vecsRoot = s"$s/vecs"
+      val latest = Snapshot.latestVersion(spark, vecsRoot).get
+      val keep = 2
+      val floor = latest - keep + 1
+      def pinnedRows(): Long = Snapshot.readVersion(spark, vecsRoot,
+        Some(floor), Seq("list")).get.count()
+      val pinnedBefore = pinnedRows()
+      val before = du(vecsRoot)
+      val (mv, sv) = probe("semgate_vacuum keep=2")(())(
+        Snapshot.vacuum(spark, vecsRoot, keep))
+      val after = du(vecsRoot)
+      require(pinnedRows() == pinnedBefore,
+        "vacuum broke the retention-floor pinned reader")
+      require(after._2 <= before._2 && after._1 <= before._1,
+        s"vacuum grew the state dir: $before -> $after")
+      println(s"[scale] semgate vacuum: state files ${before._1} -> " +
+        s"${after._1}, bytes ${before._2} -> ${after._2} " +
+        s"($mv manifests, $sv stale trees removed); reader pinned at " +
+        s"retention floor v$floor stable at $pinnedBefore rows")
+      all.unpersist()
+    }
+
     // ---- compaction cost tracks the partition's file count ------------
     val f10 = s"$tmp/files10"; val f200 = s"$tmp/files200"
     spark.range(100000).repartition(10).write.parquet(f10)

@@ -14,12 +14,16 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled`'s JDK-built-in WAV/AIFF/AU readers), and so is
   * VIDEO CONTAINER METADATA ([[decodeVideoMeta]]/[[videoStats]] — a
   * dependency-free MP4 `moov`/`mvhd`/`tkhd` box walk and AVI `avih`
-  * header parse: duration, dimensions, track count). Only PIXEL-level
-  * video decode (frame rasterization) remains a clearly-marked
-  * deterministic STUB (`fakeDecodeFeatures`/[[sampleFrames]]'s byte
-  * slicing — the container ships no video codec, builder brief), with
-  * undecodable bytes falling back to the stub path so one plan serves
-  * a mixed corpus. Everything Spark-side is real and tested: the
+  * header parse: duration, dimensions, track count), and so is
+  * PIXEL-level frame decode for UNCOMPRESSED payloads
+  * ([[extractAviFrames]]/[[frameStats]] — the RIFF `movi` chunk walk
+  * feeding the JDK BMP reader, exact pixels, oracle-checked by
+  * `q_multimodal_pixels`). Only COMPRESSED-codec rasterization
+  * (H.264/VP9…) remains a clearly-marked deterministic STUB
+  * (`fakeDecodeFeatures`/[[sampleFrames]]'s byte slicing — the
+  * container ships no such codec, builder brief), with undecodable
+  * bytes falling back to the stub path so one plan serves a mixed
+  * corpus. Everything Spark-side is real and tested: the
   * schema, the binary column handling, the `mapPartitions` batch shape
   * (the Scala analog of `mapInPandas` — per-partition iteration so a
   * decoder amortizes codec/model init across rows), and the
@@ -554,6 +558,178 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  // ---- pixel-level frame decode: real for uncompressed payloads -------
+
+  private def writeLE32(out: Array[Byte], o: Int, v: Long): Unit = {
+    out(o) = (v & 0xff).toByte
+    out(o + 1) = ((v >> 8) & 0xff).toByte
+    out(o + 2) = ((v >> 16) & 0xff).toByte
+    out(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** A minimal REAL 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + bottom-up BGR rows padded to 4 bytes) — the
+    * JDK's own `javax.imageio` BMP reader decodes it exactly (BI_RGB,
+    * no color management), so generated frames round-trip pixel-exact
+    * through [[decodeImage]]. `pix(x, y)` returns packed 0xRRGGBB. */
+  def minimalBmp(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bmp dims must be positive: ${w}x$h")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    writeLE32(out, 2, 54L + dataSize)
+    writeLE32(out, 10, 54)
+    writeLE32(out, 14, 40)
+    writeLE32(out, 18, w)
+    writeLE32(out, 22, h)
+    out(26) = 1  // planes (LE16)
+    out(28) = 24 // bits per pixel (LE16)
+    writeLE32(out, 34, dataSize)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = pix(x, y)
+        val o = 54 + (h - 1 - y) * rowSize + x * 3
+        out(o) = (rgb & 0xff).toByte
+        out(o + 1) = ((rgb >> 8) & 0xff).toByte
+        out(o + 2) = ((rgb >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** [[minimalAvi]] extended with a `movi` LIST of `00db` (uncompressed
+    * DIB) frame chunks — the standard place an AVI keeps its frame
+    * payloads. [[extractAviFrames]] inverts it. */
+  def minimalAviFrames(usPerFrame: Long, w: Int, h: Int, streams: Int,
+                       frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32b(usPerFrame), 0, avih, 0, 4)
+    System.arraycopy(le32b(frames.length), 0, avih, 16, 4)
+    System.arraycopy(le32b(streams), 0, avih, 24, 4)
+    System.arraycopy(le32b(w), 0, avih, 32, 4)
+    System.arraycopy(le32b(h), 0, avih, 36, 4)
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++
+      "avih".getBytes("ISO-8859-1") ++ le32b(56) ++ avih
+    val movi = "movi".getBytes("ISO-8859-1") ++ frames.flatMap { f =>
+      "00db".getBytes("ISO-8859-1") ++ le32b(f.length) ++ f ++
+        (if (f.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    }
+    val body = "AVI ".getBytes("ISO-8859-1") ++
+      "LIST".getBytes("ISO-8859-1") ++ le32b(hdrl.length) ++ hdrl ++
+      "LIST".getBytes("ISO-8859-1") ++ le32b(movi.length) ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+  }
+
+  /** REAL frame extraction from an AVI container — the RIFF chunk walk
+    * (recursing into LISTs) collecting `..db`/`..dc` stream-data
+    * payloads in order. None for non-AVI bytes or an AVI with no frame
+    * chunks — callers fall back to the stub path, the
+    * [[decodeVideoMeta]] discipline one level deeper. */
+  def extractAviFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'A' && bytes(9) == 'V' &&
+        bytes(10) == 'I' && bytes(11) == ' ')) return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var o = from
+      var ok = true
+      while (ok && o + 8 <= to) {
+        val four = new String(bytes, o, 4, "ISO-8859-1")
+        val size = le32(bytes, o + 4).toInt
+        if (size < 0 || o + 8 + size > to) ok = false
+        else {
+          if (four == "LIST" && size >= 4) walk(o + 12, o + 8 + size)
+          else if (four.endsWith("db") || four.endsWith("dc"))
+            frames += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + size)
+          o += 8 + size + (size & 1)
+        }
+      }
+    }
+    try walk(12, bytes.length)
+    catch { case scala.util.control.NonFatal(_) => return None }
+    val fs = frames.result()
+    if (fs.isEmpty) None else Some(fs)
+  }
+
+  /** PIXEL-level frame statistics — the operator that retires the
+    * rasterization stub for uncompressed payloads: per video row,
+    * frames come out of the REAL container walk ([[extractAviFrames]])
+    * and each frame rasterizes through the REAL [[decodeImage]] (the
+    * JDK BMP reader — DIB/BMP frames decode to exact pixels). One row
+    * per (media, frame): (media_id, frame_idx, decoded, width, height,
+    * mean_r, mean_g, mean_b). Frames a codec the JDK lacks (compressed
+    * `..dc` chunks) report `decoded = false` with zeroed stats, and a
+    * blob that is not a frame-bearing AVI emits ONE fallback row — the
+    * mixed-corpus discipline of [[imageStats]]/[[videoStats]], so one
+    * plan serves real containers, compressed codecs, and opaque bytes.
+    * Same `mapPartitions` codec boundary; binary payloads never
+    * shuffle, only the fixed-width stats rows do. */
+  def frameStats(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("decoded", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        extractAviFrames(r.getAs[Array[Byte]](blobIdx)) match {
+          case Some(frames) => frames.iterator.zipWithIndex.map {
+            case (f, k) => decodeImage(f) match {
+              case Some((w, h, _, means)) =>
+                Row(id, k, true, w, h, means(0), means(1), means(2))
+              case None => Row(id, k, false, 0, 0, 0.0, 0.0, 0.0)
+            }
+          }
+          case None => Iterator.single(Row(id, 0, false, 0, 0, 0.0, 0.0, 0.0))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Synthesize a FRAME-BEARING video table at id-derived closed forms
+    * (shared verbatim with the `q_multimodal_pixels` DuckDB oracle,
+    * which recomputes the expected stats arithmetically — the check is
+    * that container walk + BMP rasterization INVERT this synthesis):
+    * id % 5 == 0 → opaque payload (stub fallback); else an AVI holding
+    * `id % 3 + 1` solid-color BMP frames at dims (id*13 % 24 + 4,
+    * id*7 % 16 + 4), frame k colored (id*31+k*17, id*11+k*7, id*5+k*3)
+    * each mod 256. A solid frame's channel mean is EXACTLY c/255 (IEEE
+    * division of the same rational), so the oracle is hash-exact. */
+  def synthesizeFrameMedia(docs: DataFrame, id: String): DataFrame =
+    docs.select(col(id).cast(LongType).as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        val blob: Array[Byte] =
+          if (i % 5 == 0) s"opaque payload $i".getBytes("UTF-8")
+          else {
+            val w = (i * 13 % 24 + 4).toInt
+            val h = (i * 7 % 16 + 4).toInt
+            val frames = (0 to (i % 3).toInt).map { k =>
+              val rr = ((i * 31 + k * 17) % 256).toInt
+              val gg = ((i * 11 + k * 7) % 256).toInt
+              val bb = ((i * 5 + k * 3) % 256).toInt
+              minimalBmp(w, h)((_, _) => (rr << 16) | (gg << 8) | bb)
+            }
+            minimalAviFrames(40000L, w, h, 1, frames)
+          }
+        Row(i, "video", blob,
+          Row((i * 37 % 1920 + 1).toInt, (i * 17 % 1080 + 1).toInt, "stub"))
+      }
+    }(RowEncoder.encoderFor(mediaSchema))
 
   /** Batch feature extraction over the binary column. Output schema:
     * (media_id, media_type, features array<float>). */

@@ -689,6 +689,19 @@ object PipelineQueries {
     Multimodal.videoStats(
       Multimodal.synthesizeVideoMedia(par(documents(s, d)), "doc_id"))
 
+  /** PIXEL-level frame rasterization, oracle-checked: id-closed-form
+    * AVI containers holding solid-color BMP frames
+    * ([[Multimodal.synthesizeFrameMedia]]) pass through the REAL
+    * container walk + JDK BMP decode ([[Multimodal.frameStats]]); the
+    * oracle recomputes the expected per-frame stats arithmetically, so
+    * row equality proves rasterization inverts the pixel encoding —
+    * the stub retired one level deeper than `q_multimodal_video`.
+    * id % 5 rows are opaque payloads exercising the fallback in the
+    * same plan. */
+  def multimodalPixels(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameStats(
+      Multimodal.synthesizeFrameMedia(par(documents(s, d)), "doc_id"))
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaStats(
       Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
@@ -801,6 +814,7 @@ object PipelineQueries {
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_resize" -> (multimodalResize _),
     "q_multimodal_video" -> (multimodalVideo _),
+    "q_multimodal_pixels" -> (multimodalPixels _),
     "q_pipeline_clean"  -> (pipelineClean _),
     "q_pipeline_neardup" -> (pipelineNearDup _))
 
@@ -1301,6 +1315,22 @@ object PipelineQueries {
         |            WHEN doc_id % 2 = 0 THEN doc_id // 2 % 2 + 1
         |            ELSE doc_id % 3 + 1 END AS INTEGER) AS tracks
         |FROM documents""".stripMargin,
+    // pixel parity: a solid-color frame's channel mean is exactly
+    // c/255 (IEEE division of the same rational on both sides), so the
+    // BMP rasterization is hash-checkable through arithmetic SQL
+    "q_multimodal_pixels" ->
+      """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
+        |  true AS decoded,
+        |  CAST(doc_id * 13 % 24 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id * 7 % 16 + 4 AS INTEGER) AS height,
+        |  ((doc_id * 31 + k * 17) % 256) / 255.0 AS mean_r,
+        |  ((doc_id * 11 + k * 7) % 256) / 255.0 AS mean_g,
+        |  ((doc_id * 5 + k * 3) % 256) / 255.0 AS mean_b
+        |FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS u(k)
+        |WHERE doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT doc_id, 0, false, 0, 0, 0.0, 0.0, 0.0
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     // near-dup prep: the dedup-groups recursive-CTE twin as a subquery,
     // NOT IN over its non-representative members, then the same quality
     // expressions as q_pipeline_clean

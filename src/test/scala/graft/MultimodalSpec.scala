@@ -9,6 +9,7 @@ import graft.functions.Multimodal
   * codec-less media types.
   */
 class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
 
   /** PNG bytes for a w×h image filled by (x, y) → packed RGB. */
   private def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
@@ -188,6 +189,56 @@ class MultimodalSpec extends SparkSpec {
         (col("width") <= 256 && col("height") <= 256 &&
           (col("out_width") =!= col("width") || col("out_height") =!= col("height"))))
     assert(bad.count() == 0)
+  }
+
+  test("frameStats: AVI frame walk + real BMP rasterization; fallbacks share the plan") {
+    // direct round-trip: a non-solid (checkerboard) BMP decodes to
+    // exact pixels — 4 of 8 white => channel means exactly 0.5
+    val cb = Multimodal.minimalBmp(4, 2)((x, y) =>
+      if ((x + y) % 2 == 0) 0xFFFFFF else 0x000000)
+    val Some((w0, h0, _, m0)) = Multimodal.decodeImage(cb)
+    assert(w0 == 4 && h0 == 2 && m0(0) == 0.5 && m0(1) == 0.5 && m0(2) == 0.5)
+    // container walk inverts the movi packing, order preserved
+    val f0 = Multimodal.minimalBmp(9, 5)((_, _) => 0xFF8040)
+    val avi = Multimodal.minimalAviFrames(40000, 9, 5, 1, Seq(f0, cb))
+    val Some(frames) = Multimodal.extractAviFrames(avi)
+    assert(frames.length == 2 && frames(0).sameElements(f0) &&
+      frames(1).sameElements(cb))
+    // the container's metadata half still parses (avih intact)
+    assert(Multimodal.decodeVideoMeta(avi).exists(_._2 == 9))
+
+    // the operator over the closed-form corpus: real frames decode to
+    // the synthesis colors; opaque ids (i % 5 == 0) emit one fallback
+    // row; an undecodable frame INSIDE a valid container keeps its row
+    val ids = (0 until 12).map(_.toLong).toDF("doc_id")
+    val out = Multimodal.frameStats(Multimodal.synthesizeFrameMedia(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    for (i <- 0L until 12L) {
+      if (i % 5 == 0) {
+        val r = out((i, 0))
+        assert(!r.getBoolean(2) && r.getInt(3) == 0 && r.getDouble(5) == 0.0)
+        assert(!out.contains((i, 1)))
+      } else {
+        val nf = (i % 3).toInt
+        for (k <- 0 to nf) {
+          val r = out((i, k))
+          assert(r.getBoolean(2), s"id $i frame $k must decode")
+          assert(r.getInt(3) == (i * 13 % 24 + 4).toInt &&
+            r.getInt(4) == (i * 7 % 16 + 4).toInt, s"id $i frame $k dims")
+          assert(r.getDouble(5) == ((i * 31 + k * 17) % 256) / 255.0 &&
+            r.getDouble(6) == ((i * 11 + k * 7) % 256) / 255.0 &&
+            r.getDouble(7) == ((i * 5 + k * 3) % 256) / 255.0,
+            s"id $i frame $k means")
+        }
+        assert(!out.contains((i, nf + 1)))
+      }
+    }
+    // compressed/unknown codec payload: the walk finds the chunk, the
+    // rasterizer declines, the row survives as decoded=false
+    assert(Multimodal.extractAviFrames(
+      Multimodal.minimalAviFrames(40000, 4, 2, 1, Seq("notabmp".getBytes)))
+      .exists(_.length == 1))
+    assert(Multimodal.decodeImage("notabmp".getBytes("UTF-8")).isEmpty)
   }
 
   test("extractFeatures: fixed-size float vectors, deterministic") {
