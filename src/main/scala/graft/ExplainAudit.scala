@@ -150,10 +150,25 @@ object ExplainAudit {
       "q_postings",       // expect ONE token-keyed ObjectHashAggregate
                           //   pair (bounded min-k buffer + df count) —
                           //   no collect_list, no window
-      "q_bm25")           // expect the term filter BELOW the explode's
+      "q_bm25",           // expect the term filter BELOW the explode's
                           //   aggregations (df-sized frames), dl as a
                           //   per-row projection, and (N, avgdl) as a
                           //   single-row broadcast scalar attach
+      "q_bm25_index",     // the index-SERVED twin: expect the term
+                          //   filter directly over the tf artifact
+                          //   (partition pruning once the table is
+                          //   token-partitioned), df as a count over
+                          //   the pruned slice, (N, avgdl) from the
+                          //   doc-scale dl sidecar — never the corpus
+      "q_pack_rows",      // expect q_pack's chunk-partitioned running
+                          //   sum plus ONE bounded per-doc Generate
+                          //   (bin sequence) — no corpus-wide window
+      "q_multimodal_pixels", // expect a pure MapPartitions codec
+                          //   boundary (container walk + BMP raster) —
+                          //   no hash exchange; blobs never shuffle
+      "q_percentiles_approx") // expect ObjectHashAggregate of bounded
+                          //   GK sketches (partial+final) — the memory-
+                          //   safe twin of q_percentiles' exact buffers
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

@@ -497,12 +497,22 @@ object ScaleProbe {
       import graft.streaming.{SemDeDupGate, Snapshot}
       val (o, s) = (s"$tmp/semgate-vac/out", s"$tmp/semgate-vac/state")
       SemDeDupGate.initSnapshots(spark, o, s)
-      val all = bigEmb.orderBy("vec_id").limit(2400)
-        .select(col("vec_id").as("vid"), col("embedding").as("v")).cache()
-      all.count()
+      // DISTINCT pseudo-random vectors (64-dim, xxhash64-derived — a
+      // LINEAR lattice like (a·id + b·j) mod m is NOT usable here: its
+      // vectors are correlated sawtooths with pairwise cosines far
+      // above any threshold): pairwise cosines concentrate near 0, so
+      // every batch ADMITS and the state keeps appending + committing —
+      // the accretion shape retention exists for (near-dup floods are
+      // the FLOOD probe's job)
+      def distinctBatch(idBase: Long, n: Int) = {
+        val vid = lit(idBase) + col("id")
+        spark.range(n).select(vid.as("vid"),
+          transform(sequence(lit(1), lit(64)), j =>
+            (xxhash64(vid, j) % 1000).cast("double")).as("v"))
+      }
       (0 until 24).foreach { i =>
-        SemDeDupGate.curateBatch(all.where(pmod(col("vid"), lit(24)) === i),
-          o, s, minCos = 0.95, nlist = 32, nprobe = 4)
+        SemDeDupGate.curateBatch(distinctBatch(i * 100L, 100),
+          o, s, minCos = 0.95, nlist = 8, nprobe = 4)
         if (i % 6 == 5) SemDeDupGate.compactState(spark, o, s, maxFiles = 2)
       }
       def du(p: String): (Long, Long) = {
@@ -532,7 +542,6 @@ object ScaleProbe {
         s"${after._1}, bytes ${before._2} -> ${after._2} " +
         s"($mv manifests, $sv stale trees removed); reader pinned at " +
         s"retention floor v$floor stable at $pinnedBefore rows")
-      all.unpersist()
     }
 
     // ---- compaction cost tracks the partition's file count ------------

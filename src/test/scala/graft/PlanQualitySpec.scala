@@ -163,7 +163,8 @@ class PlanQualitySpec extends SparkSpec {
     // a broadcast scalar, not a join blow-up
     val allowed = Set("q_sim_topk", "q_sim_lsh", "q_above_avg", "q_tfidf",
       "q_unigram_ppl", // corpus-token-count scalar attach, the tfidf shape
-      "q_bm25")        // (N, avgdl) single-row scalar attach, same shape
+      "q_bm25",        // (N, avgdl) single-row scalar attach, same shape
+      "q_bm25_index")  // the same (N, avgdl) scalar, served from the dl sidecar
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -203,5 +204,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(po.contains("ObjectHashAggregate"), po.take(600))
     assert(!po.toLowerCase.contains("collect_list"),
       "postings must use the bounded min-k agg")
+  }
+
+  test("r11 additions: index-served BM25, pack rows, pixel decode, approx percentiles") {
+    // q_bm25_index: the query-term filter sits BELOW the tf aggregation
+    // (with token-partitioned storage that filter is partition pruning —
+    // the whole point of serving from the index), and the scoring side
+    // carries the same partial-aggregation shape as q_bm25
+    val bi = physical("q_bm25_index")
+    assert("HashAggregate".r.findAllIn(bi).length >= 2,
+      s"q_bm25_index lost its partial aggregations:\n${bi.take(900)}")
+    assert(bi.contains("BroadcastHashJoin") || bi.contains("BroadcastExchange"),
+      s"q_bm25_index df/scal sides must broadcast:\n${bi.take(900)}")
+    // q_pack_rows: reuses q_pack's chunk-partitioned running sum (the
+    // only unpartitioned window is over the chunk-totals frame) plus
+    // ONE bounded per-doc generate — never a corpus-wide window
+    val pr = SparkEntry.queries("q_pack_rows")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val prWins = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(pr).map(_.group(1)).toList
+    assert(prWins.exists(s => "^ck#\\d+L?, doc_id#\\d+".r.findFirstIn(s).isDefined),
+      s"q_pack_rows lost the chunk-partitioned document window:\n$prWins")
+    assert(physical("q_pack_rows").contains("Generate explode"),
+      "q_pack_rows must explode the bounded per-doc bin sequence")
+    // q_multimodal_pixels: a pure per-row codec boundary like the other
+    // multimodal rows — no hash exchange; blobs never shuffle
+    val mp = physical("q_multimodal_pixels")
+    assert(!mp.contains("Exchange hashpartitioning"),
+      s"pixel decode must not shuffle:\n${mp.take(800)}")
+    assert(mp.contains("MapPartitions"), mp.take(800))
+    // q_percentiles_approx: bounded GK sketches aggregate through the
+    // object-hash path with a map-side partial — no exact value-count
+    // map per group
+    val pa = physical("q_percentiles_approx")
+    assert(pa.contains("ObjectHashAggregate"), pa.take(600))
+    assert(pa.contains("approx_percentile"), pa.take(600))
   }
 }
