@@ -161,8 +161,16 @@ object Multimodal {
     * Channel means walk the ARGB int per pixel (O(w·h), the decode
     * itself already paid that); alpha is reported as a 4th channel when
     * the color model carries one. */
+  /** ImageIO's default ImageInputStream spools through a DISK-backed
+    * scratch file per read — measured as the dominant cost of small-
+    * frame decodes under thread parallelism (temp-file create/delete
+    * per frame). Heap-backed streams instead; executed once per JVM. */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
     if (bytes == null) return None
+    imageIoNoDiskCache
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       // NonFatal, not just IOException: the JDK readers throw

@@ -131,4 +131,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(rows(PipelineQueries.mergePostings(empty, some, cap = 4)) == rows(some))
     assert(PipelineQueries.mergePostings(empty, empty, cap = 4).count() === 0)
   }
+
+  test("r11 additions return empty on empty corpora") {
+    import graft.queries.CurationQueries
+    import graft.functions.{Multimodal, TextAnalysis}
+    assert(CurationQueries.packRowsOf(emptyDocs).count() === 0)
+    assert(TextAnalysis.tfPostings(emptyDocs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.docLengths(emptyDocs, "doc_id", "text").count() === 0)
+    // BM25 served from an EMPTY index: no query-term rows, no scored
+    // docs — the scalar agg's one zero-count row must not fabricate any
+    assert(TextAnalysis.bm25FromIndex(
+      TextAnalysis.tfPostings(emptyDocs, "doc_id", "text"),
+      TextAnalysis.docLengths(emptyDocs, "doc_id", "text"),
+      Seq("join")).count() === 0)
+    val emptyMedia = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](), Multimodal.mediaSchema)
+    assert(Multimodal.frameStats(emptyMedia).count() === 0)
+  }
 }

@@ -190,4 +190,39 @@ class PostingsIndexSpec extends SparkSpec {
     PostingsIndex.compactUnionShards(spark, dlP)
     assertServes("post-compaction")
   }
+
+  test("the live tf sink maintains BM25-servable artifacts") {
+    import graft.functions.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tf-sink").toString
+    val (tfP, dlP) = (s"$dir/tf", s"$dir/dl")
+    val rows = Seq((1L, "join filter x"), (2L, "join y"), (3L, "dup dup z"),
+      (4L, "plain"), (5L, "filter join dup"))
+    val mem = MemoryStream[(Long, String)]
+    val q = PostingsIndex.startTfIndexSink(
+      mem.toDF().toDF("doc_id", "text"), tfP, dlP, s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactEvery = 2, snapshots = true)
+    try {
+      mem.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      mem.addData(rows(2), rows(3))
+      q.processAllAvailable() // batch 1 -> union compaction fires
+      mem.addData(rows(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("join", "filter", "dup")
+    val served = TextAnalysis.bm25FromIndex(
+      PostingsIndex.readUnionShards(spark, tfP),
+      PostingsIndex.readUnionShards(spark, dlP), terms)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val direct = TextAnalysis.bm25(rows.toDF("doc_id", "text"),
+      "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(served.keySet == direct.keySet && served.nonEmpty)
+    served.foreach { case (k, (s, h)) =>
+      val (ds, dh) = direct(k)
+      assert(h == dh && math.abs(s - ds) < 1e-9, s"doc $k: ($s,$h) vs ($ds,$dh)")
+    }
+  }
 }
