@@ -244,6 +244,31 @@ object TextAnalysis {
       .agg(sum(col("contrib")).as("bm25"), count(lit(1)).as("n_hits"))
   }
 
+  /** TF-IDF served purely FROM THE STORED INDEX — the [[bm25FromIndex]]
+    * discipline applied to the other corpus-statistics scorer: `tf` is
+    * [[tfPostings]]' (token, doc_id, tf) table, `dl` the (doc_id, dl)
+    * sidecar. doc_freq(t) = per-token row count, N = one count over the
+    * doc-scale sidecar; identical output to [[tfidf]] on the same
+    * corpus (`q_tfidf_index` shares `q_tfidf`'s oracle SQL). Unlike the
+    * BM25 path there is no query-term filter — tfidf scores EVERY
+    * (doc, term) pair — so the vocab-keyed doc_freq join stays a
+    * shuffle join (broadcasting a corpus vocabulary would not scale);
+    * only the single-row N attaches as a broadcast scalar. */
+  def tfidfFromIndex(tf: org.apache.spark.sql.DataFrame,
+                     dl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count}
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val nd = dl.agg(count(lit(1)).as("nd"))
+    tf.join(dl, "doc_id")
+      .join(dfreq, "token")
+      .join(broadcast(nd))
+      .select(col("doc_id"), col("token").as("term"),
+        (col("tf").cast("double") / col("dl")).as("tf"),
+        col("doc_freq"),
+        ((col("tf").cast("double") / col("dl")) *
+          log(col("nd").cast("double") / col("doc_freq"))).as("tfidf"))
+  }
+
   /** Unigram cross-entropy scoring — the deterministic analog of a
     * CCNet-style LM-perplexity quality filter (Wenzek et al. 2020 filter
     * CommonCrawl by LM perplexity; the unigram model is its degenerate,

@@ -81,6 +81,21 @@ object PipelineQueries {
       TA.docLengths(docs, "doc_id", "text"), Bm25Terms)
   }
 
+  /** TF-IDF served from the same stored artifacts ([[TA.tfidfFromIndex]])
+    * — proves the tf/dl index is a GENERAL corpus-statistics artifact,
+    * not a BM25 one-off; oracle-pinned to `q_tfidf`'s exact SQL. */
+  def tfidfIndexQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    TA.tfidfFromIndex(TA.tfPostings(docs, "doc_id", "text"),
+      TA.docLengths(docs, "doc_id", "text"))
+  }
+
+  /** The SERVING form of keyword retrieval: BM25 top-k
+    * (`TakeOrderedAndProject` — never a global sort), deterministic
+    * doc_id tie-break. */
+  def bm25TopKQ(s: SparkSession, d: String): DataFrame =
+    bm25Q(s, d).orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+
   /** Inverted-index build — the retrieval-side artifact (keyword/BM25
     * search, doc-frequency stats) over the same corpus: per token, the
     * distinct-document frequency and the first [[PostingsCap]] doc ids
@@ -770,6 +785,8 @@ object PipelineQueries {
     "q_postings"       -> (postingsQ _),
     "q_bm25"           -> (bm25Q _),
     "q_bm25_index"     -> (bm25IndexQ _),
+    "q_tfidf_index"    -> (tfidfIndexQ _),
+    "q_bm25_topk"      -> (bm25TopKQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -848,6 +865,20 @@ object PipelineQueries {
        |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
        |  FROM sh)""".stripMargin
 
+  /** The one TF-IDF oracle — shared by `q_tfidf` (corpus-recomputed)
+    * and `q_tfidf_index` (served from the stored tf/dl artifacts). */
+  private val TfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1),
+       |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+       |SELECT tf.doc_id, tf.term,
+       |  CAST(tf.n AS DOUBLE) / dl.dl AS tf,
+       |  dfreq.doc_freq,
+       |  (CAST(tf.n AS DOUBLE) / dl.dl) * ln(CAST(nd.nd AS DOUBLE) / dfreq.doc_freq) AS tfidf
+       |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd""".stripMargin
+
   /** The one BM25 oracle — shared by `q_bm25` (corpus-recomputed) and
     * `q_bm25_index` (served from the stored tf/dl artifacts): the two
     * rows hashing equal against the SAME SQL is the parity proof. */
@@ -903,17 +934,10 @@ object PipelineQueries {
          |  generate_subscripts($TOKS, 1) - 1 AS pos,
          |  unnest($TOKS) AS token
          |FROM documents WHERE doc_id < 50""".stripMargin,
-    "q_tfidf" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1),
-         |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
-         |SELECT tf.doc_id, tf.term,
-         |  CAST(tf.n AS DOUBLE) / dl.dl AS tf,
-         |  dfreq.doc_freq,
-         |  (CAST(tf.n AS DOUBLE) / dl.dl) * ln(CAST(nd.nd AS DOUBLE) / dfreq.doc_freq) AS tfidf
-         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd""".stripMargin,
+    "q_tfidf" -> TfidfSql,
+    // index-served tf-idf must equal corpus-recomputed tf-idf — the
+    // SAME oracle SQL pins q_tfidf_index to q_tfidf
+    "q_tfidf_index" -> TfidfSql,
     // per-doc distinct token set, so count(*) IS the doc frequency; the
     // capped postings preview is the sorted id list's first 16 both ways
     "q_postings" ->
@@ -931,6 +955,12 @@ object PipelineQueries {
     // index-served BM25 must equal corpus-recomputed BM25 — the SAME
     // oracle SQL pins q_bm25_index to q_bm25
     "q_bm25_index" -> Bm25Sql,
+    // the serving cut: same scores, ordered and bounded — double-sum
+    // merge-order divergence is sub-ulp-per-term and the top-20 scores
+    // on the fixture are well separated, so the selected SET is stable
+    "q_bm25_topk" ->
+      s"""SELECT * FROM ($Bm25Sql)
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // same token stream; avg-of-logs merge order differs at ~1e-12 and
     // the driver's 6-decimal float rounding absorbs it (the q_tfidf
     // precedent)

@@ -164,7 +164,9 @@ class PlanQualitySpec extends SparkSpec {
     val allowed = Set("q_sim_topk", "q_sim_lsh", "q_above_avg", "q_tfidf",
       "q_unigram_ppl", // corpus-token-count scalar attach, the tfidf shape
       "q_bm25",        // (N, avgdl) single-row scalar attach, same shape
-      "q_bm25_index")  // the same (N, avgdl) scalar, served from the dl sidecar
+      "q_bm25_index",  // the same (N, avgdl) scalar, served from the dl sidecar
+      "q_bm25_topk",   // the bm25 shape under a TakeOrdered cut
+      "q_tfidf_index") // the N single-row scalar, served from the dl sidecar
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -239,5 +241,10 @@ class PlanQualitySpec extends SparkSpec {
     val pa = physical("q_percentiles_approx")
     assert(pa.contains("ObjectHashAggregate"), pa.take(600))
     assert(pa.contains("approx_percentile"), pa.take(600))
+    // q_bm25_topk: the serving cut compiles to TakeOrderedAndProject,
+    // never a global sort
+    val bt = physical("q_bm25_topk")
+    assert(bt.contains("TakeOrderedAndProject"), bt.take(600))
+    assert(!bt.contains("Sort ["), s"q_bm25_topk planned a full sort:\n${bt.take(600)}")
   }
 }
