@@ -854,6 +854,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ with EXACT RE-RANK — the standard recall-recovery knob of
+    * every production PQ deployment (Jégou et al.'s IVFADC+R): the ADC
+    * scan shortlists `shortlist` candidates cheaply (compressed codes,
+    * probed lists only), then ONLY those rows fetch their raw vectors
+    * for an exact-cosine re-rank of the final top-`k`. Quantization
+    * error can reorder near-ties or admit a false positive into an ADC
+    * top-k; re-ranking confines that error to the shortlist boundary
+    * at the cost of `shortlist` raw-vector reads per query — the
+    * cheap-filter/exact-verify split, with the expensive side bounded
+    * by a constant. Scale shape: the parents' map-side ADC scan plus
+    * one join of the `shortlist`-row candidate set back to the corpus
+    * (AQE broadcasts the tiny side), so raw vectors are read for
+    * `shortlist` rows, never the corpus. */
+  def ivfPqRerankTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+                      k: Int, shortlist: Int = 50, nlist: Int = 16,
+                      nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                      iters: Int = 2, dim: Int = OracleDim): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val cand = ivfPqTopK(emb, id, vec, queryId, shortlist, nlist, nprobe,
+      m, ks, iters, dim).select(col(id))
+    val v = emb.select(col(id), transform(col(vec), _.cast("double")).as("v"))
+    val qv = collectQueryVector(
+      v.select(col(id).as("vid"), col("v")), queryId)
+    cand.join(v, Seq(id))
+      .select(col(id),
+        VectorExpressions.cosineSim(col("v"), array(qv.map(lit): _*)).as("cos"))
+      .orderBy(col("cos").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** Oracle for [[ivfPqRerankTopK]]: the verified ADC machinery as a
+    * subquery shortlist, re-scored by the exact unrolled cosine. */
+  def ivfPqRerankOracleSql(queryId: Long, k: Int, shortlist: Int = 50,
+                           nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+                           ks: Int = 8, iters: Int = 2,
+                           dim: Int = OracleDim): String =
+    s"""SELECT t.vec_id, ${cosineSql("e.embedding", "q.qe", dim)} AS cos
+       |FROM (${ivfPqOracleSql(queryId, shortlist, nlist, nprobe, m, ks, iters, dim)}) t
+       |JOIN embeddings e ON e.vec_id = t.vec_id
+       |CROSS JOIN (SELECT embedding AS qe FROM embeddings
+       |            WHERE vec_id = $queryId) q
+       |ORDER BY cos DESC, t.vec_id ASC LIMIT $k""".stripMargin
+
   /** The engine's sequential dot-accumulator loop on driver-local
     * arrays — [[pqTopK]]'s LUT builder; bit-identical to the executor
     * loop and to a left-associated SQL `+` chain. */

@@ -561,6 +561,12 @@ object PipelineQueries {
   def simIvfPq(s: SparkSession, d: String): DataFrame =
     Similarity.ivfPqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** IVF-PQ + exact re-rank ([[Similarity.ivfPqRerankTopK]]) — the
+    * IVFADC+R serving shape: a 50-candidate ADC shortlist re-scored by
+    * exact cosine on raw vectors, top-10 returned. */
+  def simIvfPqRerank(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqRerankTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
+
   /** Index-once/probe-many: the PQ/IVF-PQ artifact dirs are cached per
     * (kind, corpus dir, corpus FINGERPRINT) for the JVM's lifetime, so
     * the FIRST registry invocation pays the real train-and-write
@@ -823,6 +829,7 @@ object PipelineQueries {
     "q_sim_pq"         -> (simPq _),
     "q_sim_pq_probe"   -> (simPqProbe _),
     "q_sim_ivfpq"      -> (simIvfPq _),
+    "q_sim_ivfpq_rerank" -> (simIvfPqRerank _),
     "q_sim_ivfpq_probe" -> (simIvfPqProbe _),
     "q_ann_join"       -> (simAnnJoin _),
     "q_ann_join_pq"    -> (simAnnJoinPq _),
@@ -1275,6 +1282,7 @@ object PipelineQueries {
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),
+    "q_sim_ivfpq_rerank" -> Similarity.ivfPqRerankOracleSql(0L, 10),
     "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10),
     "q_ann_join" -> Similarity.annJoinOracleSql(8L, 5),
     "q_ann_join_pq" -> Similarity.annJoinPqOracleSql(4L, 5),

@@ -432,6 +432,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerankTopK: exhaustive shortlist + full probes degrade to exact brute force") {
+    // the IVFADC+R contract collapses to exact search when nothing is
+    // pruned: nprobe == nlist (every list scanned) and a corpus-wide
+    // shortlist mean the ADC stage only ORDERS candidates, and the
+    // exact re-rank then reproduces bruteForceTopK bit-for-bit —
+    // quantization error confined entirely to the (empty) boundary
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rr = Similarity.ivfPqRerankTopK(emb, "vec_id", "embedding", 0L,
+        k = 8, shortlist = 100000, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr == exact, s"rerank-with-no-pruning diverged:\n$rr\nvs\n$exact")
+    // and at production settings the re-rank never returns a LOWER
+    // exact cosine in its top-k than the pure ADC ordering would
+    val adcIds = Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 8)
+      .collect().map(_.getLong(0)).toSet
+    val rrProd = Similarity.ivfPqRerankTopK(emb, "vec_id", "embedding", 0L,
+        k = 8, shortlist = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rrProd.length == 8)
+    assert(rrProd.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "re-ranked scores must be exact-cosine descending")
+    // the shortlist covers the ADC top-k, so re-rank can only improve
+    assert(adcIds.subsetOf(
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 24)
+        .collect().map(_.getLong(0)).toSet))
+  }
+
   test("bucketPairs only emits pairs above the cosine floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Similarity.bucketPairs(emb, "vec_id", "embedding", minCos = 0.5)
