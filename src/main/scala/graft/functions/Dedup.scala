@@ -80,25 +80,31 @@ object Dedup {
     * aggregation to reassemble — all shuffles carry (line, id, pos)
     * triples, never full documents. The hot-line set is tiny by
     * definition (lines crossing the threshold), so AQE turns the
-    * anti-join into a broadcast; at 100 TB the join key would be a
-    * 128-bit line hash rather than the string (kept literal here so the
-    * oracle can recompute it), and the reassembly shuffle is the
-    * documents' own bytes once — the floor for any rewrite pass. */
+    * anti-join into a broadcast; the hot-line statistics are keyed on
+    * the 128-bit `md5(line)` rather than the line STRING, so the
+    * countDistinct expansion and the hot-set shuffle carry fixed
+    * 16-byte keys no matter how long boilerplate lines get (a nav-bar
+    * line is routinely hundreds of bytes; the semantics are identical
+    * modulo md5 collisions, which are negligible and deterministic —
+    * the DuckDB oracle compares OUTPUT, which is unchanged). The
+    * reassembly shuffle is the documents' own bytes once — the floor
+    * for any rewrite pass. */
   def lineDedup(df: DataFrame, id: String, text: String,
                 minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = ensureParallel(df, col(id))
       .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .withColumn("_lk", md5(col("line")))
     // blank/whitespace-only lines are EXEMPT from the cross-doc
     // threshold (CCNet/C4 discipline): once >= minDocs docs contain an
     // empty line — inevitable in any multi-paragraph corpus — counting
     // them would strip every blank line corpus-wide and collapse
     // paragraph structure. They always survive into the reassembly.
-    val hot = lines.where(col("line").rlike("\\S")).groupBy("line")
+    val hot = lines.where(col("line").rlike("\\S")).groupBy("_lk")
       .agg(countDistinct(col(id)).as("_ld_nd"))
       .where(col("_ld_nd") >= minDocs)
-      .select("line")
-    lines.join(hot, Seq("line"), "left_anti")
+      .select("_lk")
+    lines.join(hot, Seq("_lk"), "left_anti")
       .groupBy(col(id))
       .agg(
         array_join(
