@@ -884,6 +884,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[ivfPqRerankTopK]] SERVED from the persisted artifacts — the
+    * production IVFADC+R split: the ADC shortlist comes from the STORED
+    * coarse routing + codes (zero training jobs, ~nprobe/nlist of the
+    * codes scanned), then only the `shortlist` candidates join back to
+    * the raw corpus for the exact-cosine re-rank. Same oracle as the
+    * fused path. */
+  def ivfPqRerankFromDir(emb: DataFrame, id: String, vec: String,
+                         dir: String, queryId: Long, k: Int,
+                         shortlist: Int = 50, nprobe: Int = 4): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val cand = ivfPqProbeFromDir(emb, id, vec, dir, queryId, shortlist,
+      nprobe).select(col(id))
+    val v = emb.select(col(id), transform(col(vec), _.cast("double")).as("v"))
+    val qv = collectQueryVector(
+      v.select(col(id).as("vid"), col("v")), queryId)
+    cand.join(v, Seq(id))
+      .select(col(id),
+        VectorExpressions.cosineSim(col("v"), array(qv.map(lit): _*)).as("cos"))
+      .orderBy(col("cos").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** Oracle for [[ivfPqRerankTopK]]: the verified ADC machinery as a
     * subquery shortlist, re-scored by the exact unrolled cosine. */
   def ivfPqRerankOracleSql(queryId: Long, k: Int, shortlist: Int = 50,

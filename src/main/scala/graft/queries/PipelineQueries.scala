@@ -567,6 +567,17 @@ object PipelineQueries {
   def simIvfPqRerank(s: SparkSession, d: String): DataFrame =
     Similarity.ivfPqRerankTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** IVFADC+R over the PERSISTED index — the serving split: stored
+    * coarse routing + codes shortlist (zero training jobs), raw-vector
+    * exact re-rank only for the shortlist; same oracle as the fused
+    * rerank row. */
+  def simIvfPqRerankProbe(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
+    Similarity.ivfPqRerankFromDir(embChecked(s, d), "vec_id", "embedding",
+      dir, 0L, 10)
+  }
+
   /** Index-once/probe-many: the PQ/IVF-PQ artifact dirs are cached per
     * (kind, corpus dir, corpus FINGERPRINT) for the JVM's lifetime, so
     * the FIRST registry invocation pays the real train-and-write
@@ -830,6 +841,7 @@ object PipelineQueries {
     "q_sim_pq_probe"   -> (simPqProbe _),
     "q_sim_ivfpq"      -> (simIvfPq _),
     "q_sim_ivfpq_rerank" -> (simIvfPqRerank _),
+    "q_sim_ivfpq_rerank_probe" -> (simIvfPqRerankProbe _),
     "q_sim_ivfpq_probe" -> (simIvfPqProbe _),
     "q_ann_join"       -> (simAnnJoin _),
     "q_ann_join_pq"    -> (simAnnJoinPq _),
@@ -1283,6 +1295,7 @@ object PipelineQueries {
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),
     "q_sim_ivfpq_rerank" -> Similarity.ivfPqRerankOracleSql(0L, 10),
+    "q_sim_ivfpq_rerank_probe" -> Similarity.ivfPqRerankOracleSql(0L, 10),
     "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10),
     "q_ann_join" -> Similarity.annJoinOracleSql(8L, 5),
     "q_ann_join_pq" -> Similarity.annJoinPqOracleSql(4L, 5),

@@ -459,6 +459,14 @@ class SimilaritySpec extends SparkSpec {
     assert(adcIds.subsetOf(
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 24)
         .collect().map(_.getLong(0)).toSet))
+    // the PERSISTED-artifact serving path returns the identical result
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-rr").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir)
+    val served = Similarity.ivfPqRerankFromDir(emb, "vec_id", "embedding",
+        dir, 0L, k = 8, shortlist = 24)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == rrProd.toSeq,
+      s"stored-artifact rerank diverged from fused:\n$served\nvs\n${rrProd.toSeq}")
   }
 
   test("bucketPairs only emits pairs above the cosine floor") {
