@@ -191,7 +191,8 @@ object Bench {
 object ColdWarmProbe {
   def main(args: Array[String]): Unit = {
     val names: Seq[String] = if (args.nonEmpty) args.toSeq
-      else Seq("q_sim_pq_probe", "q_sim_ivfpq_probe", "q_ann_join_pq")
+      else Seq("q_sim_pq_probe", "q_sim_ivfpq_probe", "q_ann_join_pq",
+        "q_sim_ivfpq_rerank_probe")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
