@@ -906,6 +906,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH IVFADC+R over the persisted index — the query-set twin of
+    * [[ivfPqRerankFromDir]]: every query's `shortlist`-candidate ADC
+    * set (from stored codes, [[annJoinPqFromDir]]) joins back to the
+    * raw corpus ONCE, exact cosine re-scores, and a per-query top-k
+    * window cuts the final k. Scale shape: the candidate frame is
+    * nq × shortlist rows of (qid, vid) keys — the raw-vector join is
+    * candidate-proportional (AQE broadcasts whichever side is small;
+    * at corpus scale both hash-partition on the id), the query side
+    * re-attaches by qid broadcast, and the top-k window runs over
+    * shortlist-bounded partitions. Raw vectors are read for the
+    * candidate set only, never corpus × queries. */
+  def annJoinPqRerankFromDir(queries: DataFrame, corpus: DataFrame,
+                             id: String, vec: String, dir: String, k: Int,
+                             shortlist: Int = 20, nprobe: Int = 4,
+                             maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val cand = annJoinPqFromDir(queries, id, vec, dir, shortlist, nprobe,
+      maxBroadcastBytes).select(col("query_id"), col(id))
+    val v = corpus.select(col(id), transform(col(vec), _.cast("double")).as("v"))
+    val q = queries.select(col(id).as("query_id"),
+      transform(col(vec), _.cast("double")).as("qv"))
+    cand.join(v, Seq(id)).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col(id),
+        VectorExpressions.cosineSim(col("v"), col("qv")).as("cos"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col(id).asc)))
+      .where(col("_rn") <= k).drop("_rn")
+      .orderBy(col("query_id"), col("cos").desc, col(id))
+  }
+
+  /** Oracle for [[annJoinPqRerankFromDir]] with the query set
+    * `vec_id < nq`: the verified batch-ADC machinery as a subquery
+    * shortlist, exact-cosine re-scored per query. */
+  def annJoinPqRerankOracleSql(nq: Long, k: Int, shortlist: Int = 20,
+                               nlist: Int = 16, nprobe: Int = 4,
+                               m: Int = 4, ks: Int = 8, iters: Int = 2,
+                               dim: Int = OracleDim): String =
+    s"""WITH rsc AS (
+       |  SELECT t.query_id, t.vec_id,
+       |         ${cosineSql("e.embedding", "qe.embedding", dim)} AS cos
+       |  FROM (${annJoinPqOracleSql(nq, shortlist, nlist, nprobe, m, ks, iters, dim)}) t
+       |  JOIN embeddings e ON e.vec_id = t.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = t.query_id)
+       |SELECT query_id, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM rsc) WHERE rn <= $k
+       |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+
   /** Oracle for [[ivfPqRerankTopK]]: the verified ADC machinery as a
     * subquery shortlist, re-scored by the exact unrolled cosine. */
   def ivfPqRerankOracleSql(queryId: Long, k: Int, shortlist: Int = 50,

@@ -643,6 +643,18 @@ object PipelineQueries {
       "vec_id", "embedding", dir, 5)
   }
 
+  /** Batch IVFADC+R over the persisted index
+    * ([[Similarity.annJoinPqRerankFromDir]]) — the query-set rerank:
+    * stored-code ADC shortlists for every query, raw vectors read for
+    * the candidate set only, exact-cosine per-query top-k. */
+  def simAnnJoinRerank(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
+    Similarity.annJoinPqRerankFromDir(
+      embChecked(s, d).where(col("vec_id") < 4), embChecked(s, d),
+      "vec_id", "embedding", dir, k = 5, shortlist = 20)
+  }
+
   /** Batch ANN join ([[Similarity.annJoin]]) — top-k neighbors for
     * EVERY query vector in one plan (cross-dataset retrieval /
     * hard-negative mining), queries drawn from the corpus itself
@@ -842,6 +854,7 @@ object PipelineQueries {
     "q_sim_ivfpq"      -> (simIvfPq _),
     "q_sim_ivfpq_rerank" -> (simIvfPqRerank _),
     "q_sim_ivfpq_rerank_probe" -> (simIvfPqRerankProbe _),
+    "q_ann_join_rerank" -> (simAnnJoinRerank _),
     "q_sim_ivfpq_probe" -> (simIvfPqProbe _),
     "q_ann_join"       -> (simAnnJoin _),
     "q_ann_join_pq"    -> (simAnnJoinPq _),
@@ -1299,6 +1312,7 @@ object PipelineQueries {
     "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10),
     "q_ann_join" -> Similarity.annJoinOracleSql(8L, 5),
     "q_ann_join_pq" -> Similarity.annJoinPqOracleSql(4L, 5),
+    "q_ann_join_rerank" -> Similarity.annJoinPqRerankOracleSql(4L, 5),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for

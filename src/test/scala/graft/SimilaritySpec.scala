@@ -467,6 +467,16 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(served == rrProd.toSeq,
       s"stored-artifact rerank diverged from fused:\n$served\nvs\n${rrProd.toSeq}")
+    // and the BATCH query-set rerank agrees with the single-query path
+    // for each of its queries
+    val batch = Similarity.annJoinPqRerankFromDir(
+        emb.where(col("vec_id") < 2), emb, "vec_id", "embedding", dir,
+        k = 8, shortlist = 24)
+      .where(col("query_id") === 0L)
+      .select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == served,
+      s"batch rerank diverged from single-query:\n$batch\nvs\n$served")
   }
 
   test("bucketPairs only emits pairs above the cosine floor") {
