@@ -645,23 +645,33 @@ object Multimodal {
         bytes(3) == 'F' && bytes(8) == 'A' && bytes(9) == 'V' &&
         bytes(10) == 'I' && bytes(11) == ' ')) return None
     val frames = Seq.newBuilder[Array[Byte]]
-    def walk(from: Int, to: Int): Unit = {
-      var o = from
+    // ITERATIVE walk (explicit worklist, not recursion): a corrupt or
+    // adversarial blob of deeply nested LIST headers would otherwise
+    // StackOverflow — a VirtualMachineError that NonFatal does NOT
+    // catch, so one bad row would kill the task instead of falling
+    // back to the stub path (the mixed-corpus contract)
+    // DFS pre-order preserved: on a LIST, push the continuation AFTER
+    // it, then the nested range, and yield — pop order descends first,
+    // exactly the recursive traversal's frame order
+    val work = scala.collection.mutable.Stack((12, bytes.length))
+    try while (work.nonEmpty) {
+      var (o, to) = work.pop()
       var ok = true
       while (ok && o + 8 <= to) {
         val four = new String(bytes, o, 4, "ISO-8859-1")
         val size = le32(bytes, o + 4).toInt
         if (size < 0 || o + 8 + size > to) ok = false
-        else {
-          if (four == "LIST" && size >= 4) walk(o + 12, o + 8 + size)
-          else if (four.endsWith("db") || four.endsWith("dc"))
+        else if (four == "LIST" && size >= 4) {
+          work.push((o + 8 + size + (size & 1), to))
+          work.push((o + 12, o + 8 + size))
+          ok = false
+        } else {
+          if (four.endsWith("db") || four.endsWith("dc"))
             frames += java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + size)
           o += 8 + size + (size & 1)
         }
       }
-    }
-    try walk(12, bytes.length)
-    catch { case scala.util.control.NonFatal(_) => return None }
+    } catch { case scala.util.control.NonFatal(_) => return None }
     val fs = frames.result()
     if (fs.isEmpty) None else Some(fs)
   }

@@ -925,9 +925,15 @@ object Similarity {
     val cand = annJoinPqFromDir(queries, id, vec, dir, shortlist, nprobe,
       maxBroadcastBytes).select(col("query_id"), col(id))
     val v = corpus.select(col(id), transform(col(vec), _.cast("double")).as("v"))
+    // NO broadcast hint on the query re-attach: a hint would override
+    // the size checks the shortlist stage carefully honors
+    // (maxBroadcastBytes gates listJoin) and force-collect a
+    // corpus-scale query set onto the driver. Unhinted, AQE broadcasts
+    // a small query side and falls back to a shuffled join past the
+    // threshold — the same degradation contract as the ADC stage.
     val q = queries.select(col(id).as("query_id"),
       transform(col(vec), _.cast("double")).as("qv"))
-    cand.join(v, Seq(id)).join(broadcast(q), Seq("query_id"))
+    cand.join(v, Seq(id)).join(q, Seq("query_id"))
       .select(col("query_id"), col(id),
         VectorExpressions.cosineSim(col("v"), col("qv")).as("cos"))
       .withColumn("_rn", row_number().over(

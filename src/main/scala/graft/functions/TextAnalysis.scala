@@ -138,14 +138,24 @@ object TextAnalysis {
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("doc_freq"))
     val nd = docs.agg(countDistinct(col(id)).as("nd"))
-    tf.join(dl, "doc_id")
+    tfidfScoreJoined(tf.join(dl, "doc_id")
       .join(dfreq, "term")
-      .join(broadcast(nd))
-      .select(col("doc_id"), col("term"),
-        (col("n").cast("double") / col("dl")).as("tf"),
-        col("doc_freq"),
-        ((col("n").cast("double") / col("dl")) *
-          log(col("nd").cast("double") / col("doc_freq"))).as("tfidf"))
+      .join(broadcast(nd)), col("n"))
+  }
+
+  /** The ONE tf-idf projection tail shared by [[tfidf]] and
+    * [[tfidfFromIndex]] — the [[bm25ScoreJoined]] discipline: parity
+    * between corpus-recomputed and index-served scores rests on a
+    * single formula definition. `joined` carries (doc_id, term, <n>,
+    * dl, doc_freq, nd) per (doc, term). */
+  private def tfidfScoreJoined(joined: org.apache.spark.sql.DataFrame,
+                               n: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    joined.select(col("doc_id"), col("term"),
+      (n.cast("double") / col("dl")).as("tf"),
+      col("doc_freq"),
+      ((n.cast("double") / col("dl")) *
+        log(col("nd").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
   /** BM25 retrieval scoring (Robertson–Spärck Jones, the Lucene-style
@@ -169,20 +179,34 @@ object TextAnalysis {
            terms: Seq[String], k1: Double = 1.2,
            b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    import org.apache.spark.sql.functions.{avg, broadcast, col, count, countDistinct, sum}
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count, countDistinct}
     val toks = explodedTerms(docs, id, text).where(col("term").isin(terms: _*))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
     val dl = docs.select(col(id).as("doc_id"), tokenCount(col(text)).as("dl"))
     val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("doc_freq"))
     val scal = docs.agg(countDistinct(col(id)).cast("double").as("nd"),
       avg(tokenCount(col(text)).cast("double")).as("avgdl"))
-    tf.join(dl, "doc_id")
+    bm25ScoreJoined(tf.join(dl, "doc_id")
       .join(broadcast(dfreq), "term")
-      .join(broadcast(scal))
+      .join(broadcast(scal)), col("n"), k1, b)
+  }
+
+  /** The ONE BM25 scoring tail — idf, contrib, per-doc aggregation —
+    * shared by [[bm25]] (corpus-recomputed) and [[bm25FromIndex]]
+    * (index-served). Their oracle-pinned parity rests on this being a
+    * single definition: an inline re-spelling would desync the two on
+    * the first formula tweak, the exact failure mode the shared
+    * [[tokens]] tokenizer closed for the postings operators. `joined`
+    * carries (doc_id, <n>, dl, doc_freq, nd, avgdl) per (doc, term). */
+  private def bm25ScoreJoined(joined: org.apache.spark.sql.DataFrame,
+                              n: Column, k1: Double,
+                              b: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, sum}
+    joined
       .withColumn("idf", log(lit(1.0) +
         (col("nd") - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5)))
-      .withColumn("contrib", col("idf") * (col("n") * lit(k1 + 1)) /
-        (col("n") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", col("idf") * (n * lit(k1 + 1)) /
+        (n + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(sum(col("contrib")).as("bm25"), count(lit(1)).as("n_hits"))
   }
@@ -233,15 +257,9 @@ object TextAnalysis {
     val dfreq = qtf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     val scal = dl.agg(count(lit(1)).cast("double").as("nd"),
       avg(col("dl").cast("double")).as("avgdl"))
-    qtf.join(dl, "doc_id")
+    bm25ScoreJoined(qtf.join(dl, "doc_id")
       .join(broadcast(dfreq), "token")
-      .join(broadcast(scal))
-      .withColumn("idf", log(lit(1.0) +
-        (col("nd") - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5)))
-      .withColumn("contrib", col("idf") * (col("tf") * lit(k1 + 1)) /
-        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(sum(col("contrib")).as("bm25"), count(lit(1)).as("n_hits"))
+      .join(broadcast(scal)), col("tf"), k1, b)
   }
 
   /** TF-IDF served purely FROM THE STORED INDEX — the [[bm25FromIndex]]
@@ -257,16 +275,13 @@ object TextAnalysis {
   def tfidfFromIndex(tf: org.apache.spark.sql.DataFrame,
                      dl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count}
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val terms = tf.select(col("token").as("term"), col("doc_id"),
+      col("tf").as("n_idx"))
+    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val nd = dl.agg(count(lit(1)).as("nd"))
-    tf.join(dl, "doc_id")
-      .join(dfreq, "token")
-      .join(broadcast(nd))
-      .select(col("doc_id"), col("token").as("term"),
-        (col("tf").cast("double") / col("dl")).as("tf"),
-        col("doc_freq"),
-        ((col("tf").cast("double") / col("dl")) *
-          log(col("nd").cast("double") / col("doc_freq"))).as("tfidf"))
+    tfidfScoreJoined(terms.join(dl, "doc_id")
+      .join(dfreq, "term")
+      .join(broadcast(nd)), col("n_idx"))
   }
 
   /** Unigram cross-entropy scoring — the deterministic analog of a

@@ -96,23 +96,37 @@ object PostingsIndex {
     * its watermark would drop the replayed batch's data. */
   private def mergedUpTo(spark: SparkSession, root: String): Option[Long] = {
     val dirs = shardDirs(spark, root)
-    val live: Seq[Path] =
-      if (!Snapshot.enabled(spark, root)) dirs
-      else Snapshot.latestVersion(spark, root) match {
-        case None => dirs
-        case Some(v) =>
-          val fs = new Path(root)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val referenced = Snapshot.filesAt(spark, root, v)
-            .map(new Path(_).toUri.getPath).toSet
-          dirs.filter(d => fs.listStatus(d).exists(f => f.isFile &&
-            f.getPath.getName.endsWith(".parquet") &&
-            referenced.contains(f.getPath.toUri.getPath)))
-      }
-    live.map(_.getName.stripPrefix("shard=")).collect {
-      case MergedShardRe(n) => n.toLong
-    }.maxOption
+    // cheap pre-check: with no m-named dir at all (every uncompacted
+    // stream, compactEvery=0 default) there is no watermark to trust —
+    // skip the manifest resolution entirely, so the common path costs
+    // one dir listing, not a per-batch recursive manifest walk that
+    // grows with shard count
+    if (!dirs.exists(d => MergedShardRe.findFirstIn(
+        d.getName.stripPrefix("shard=")).isDefined)) return None
+    liveShardDirs(spark, root, dirs)._1
+      .map(_.getName.stripPrefix("shard=")).collect {
+        case MergedShardRe(n) => n.toLong
+      }.maxOption
   }
+
+  /** (manifest-referenced live shard dirs, referenced-file paths) —
+    * ONE definition of "live" shared by [[mergedUpTo]] (watermark
+    * trust) and [[compactWith]] (orphan detection + merge input), so
+    * the two can never disagree on what a crashed compaction left
+    * behind. Without snapshots every dir is live and the referenced
+    * set is empty (callers fall back to raw dirs). */
+  private def liveShardDirs(spark: SparkSession, root: String,
+      dirs: Seq[Path]): (Seq[Path], Set[String]) =
+    (if (!Snapshot.enabled(spark, root)) None
+     else Snapshot.latestVersion(spark, root).map { v =>
+       val fs = new Path(root)
+         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+       val referenced = Snapshot.filesAt(spark, root, v)
+         .map(new Path(_).toUri.getPath).toSet
+       (dirs.filter(d => fs.listStatus(d).exists(f => f.isFile &&
+         f.getPath.getName.endsWith(".parquet") &&
+         referenced.contains(f.getPath.toUri.getPath))), referenced)
+     }).getOrElse((dirs, Set.empty))
 
   private def shardDirs(spark: SparkSession, indexPath: String): Seq[Path] = {
     val root = new Path(indexPath)
@@ -169,23 +183,18 @@ object PostingsIndex {
     // every df of that batch. Without manifests there is no reference
     // set, so the raw dirs are the only possible input (the documented
     // non-manifest caveat).
-    val (dirs, mergeInput) =
-      (if (!Snapshot.enabled(spark, indexPath)) None
-       else Snapshot.latestVersion(spark, indexPath).map { v =>
-          val referenced = Snapshot.filesAt(spark, indexPath, v)
-            .map(new Path(_).toUri.getPath).toSet
-          val (live, orphans) = allDirs.partition { d =>
-            fs.listStatus(d).exists(f => f.isFile &&
-              f.getPath.getName.endsWith(".parquet") &&
-              referenced.contains(f.getPath.toUri.getPath))
-          }
-          orphans.foreach(fs.delete(_, true))
-          (live, live.flatMap(d => fs.listStatus(d).collect {
-            case f if f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              referenced.contains(f.getPath.toUri.getPath) =>
-              f.getPath.toString
-          }))
-       }).getOrElse((allDirs, allDirs.map(_.toString)))
+    val (dirs, mergeInput) = {
+      val (live, referenced) = liveShardDirs(spark, indexPath, allDirs)
+      if (referenced.isEmpty) (allDirs, allDirs.map(_.toString))
+      else {
+        allDirs.filterNot(live.toSet).foreach(fs.delete(_, true)) // orphans
+        (live, live.flatMap(d => fs.listStatus(d).collect {
+          case f if f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            referenced.contains(f.getPath.toUri.getPath) =>
+            f.getPath.toString
+        }))
+      }
+    }
     if (dirs.length <= 1) return (dirs.length, dirs.length)
     val merged = merge(spark.read.parquet(mergeInput: _*))
     val stamp = java.lang.Long.toHexString(System.nanoTime())
@@ -227,8 +236,10 @@ object PostingsIndex {
   def indexBatch(batch: DataFrame, batchId: Long, indexPath: String,
                  cap: Int = DefaultCap, compactEvery: Int = 0,
                  snapshots: Boolean = false): Unit = {
-    if (mergedUpTo(batch.sparkSession, indexPath).exists(batchId <= _))
+    if (mergedUpTo(batch.sparkSession, indexPath).exists(batchId <= _)) {
+      logWatermarkSkip(indexPath, batchId)
       return // replayed batch already folded into a committed m-shard
+    }
     if (snapshots)
       writeShardManifestSafe(
         graft.queries.PipelineQueries.postingsIndexOf(batch, cap),
@@ -237,6 +248,21 @@ object PostingsIndex {
     if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
       compactShards(batch.sparkSession, indexPath, cap)
   }
+
+  /** The watermark skip is only correct for a TRUE replay — same
+    * checkpoint lineage, same batch content. A NEW stream (deleted or
+    * repointed checkpoint) over an existing compacted index restarts
+    * batch ids at 0 and would silently lose its first batches here, so
+    * the skip logs loudly with the remediation: one checkpoint per
+    * index dir is the contract (the fresh-docs discipline's sibling);
+    * a new stream needs a fresh index dir. */
+  private def logWatermarkSkip(root: String, batchId: Long): Unit =
+    System.err.println(s"[PostingsIndex] batch $batchId at or below the " +
+      s"merged-shard watermark of $root — treating as a checkpoint " +
+      "replay and SKIPPING the write (its content is inside the merged " +
+      "shard). If this is a NEW stream over an existing index, its " +
+      "documents are NOT being indexed: use a fresh index dir (one " +
+      "checkpoint per index dir is the contract).")
 
   /** The manifest-safe shard rewrite shared by [[indexBatch]] and
     * [[tfIndexBatch]]: append fresh files (unique names), retire the
@@ -276,6 +302,8 @@ object PostingsIndex {
     // between the two writes replays with only one of them folded)
     val tfMerged = mergedUpTo(spark, tfPath).exists(batchId <= _)
     val dlMerged = mergedUpTo(spark, dlPath).exists(batchId <= _)
+    if (tfMerged) logWatermarkSkip(tfPath, batchId)
+    if (dlMerged) logWatermarkSkip(dlPath, batchId)
     if (!tfMerged) {
       val tf = TextAnalysis.tfPostings(batch, "doc_id", "text")
       if (snapshots) writeShardManifestSafe(tf, tfPath, batchId)
@@ -326,7 +354,15 @@ object PostingsIndex {
     val merged = mergeShards(
       spark.read.parquet(dirs.map(_.toString): _*).drop("shard"), cap)
     val stamp = java.lang.Long.toHexString(System.nanoTime())
-    merged.write.mode("overwrite").parquet(s"$indexPath/shard=m$stamp")
+    // the orphan carries the watermark SUFFIX exactly as compactWith
+    // names it before the commit — the hazard mergedUpTo must distrust
+    // is precisely an UNCOMMITTED watermark-bearing m-shard
+    val maxB = dirs.map(_.getName.stripPrefix("shard=")).collect {
+      case BatchShardRe(n) => n.toLong
+      case MergedShardRe(n) => n.toLong
+    }.maxOption
+    val rel = s"shard=m$stamp" + maxB.map(m => s"u$m").getOrElse("")
+    merged.write.mode("overwrite").parquet(s"$indexPath/$rel")
     // crash: no Snapshot.commit, originals stay live, m-shard is orphan
   }
 

@@ -124,11 +124,26 @@ class PostingsIndexSpec extends SparkSpec {
     def pinned() = rows(PostingsIndex.readIndex(spark, idx, cap = 4,
       version = Some(vPin)))
 
-    // crash: merged m-shard fully written, manifest never committed
+    // crash: merged m-shard fully written (CARRYING its watermark
+    // suffix, as compactWith names it), manifest never committed
     PostingsIndex.compactShardsCrashAfterMerge(spark, idx, cap = 4)
     assert(pinned() == expect, "pinned read drifted inside the crash window")
     assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == expect,
       "latest manifest read saw the orphan m-shard")
+    // a replay INSIDE the crash window must NOT trust the orphan's
+    // watermark (it committed nothing): the shard rewrite still runs —
+    // fresh files land in shard=b0 — instead of silently skipping
+    val b0 = new org.apache.hadoop.fs.Path(s"$idx/shard=b0")
+    val fs0 = b0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def b0files() = fs0.listStatus(b0)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val preReplay = b0files()
+    PostingsIndex.indexBatch(batches(0), 0, idx, cap = 4, snapshots = true)
+    assert(b0files() != preReplay,
+      "replay skipped its rewrite: the UNCOMMITTED orphan watermark was trusted")
+    assert(pinned() == expect, "pinned read drifted across the in-window replay")
+    assert(rows(PostingsIndex.readIndex(spark, idx, cap = 4)) == expect)
 
     // recovery: the re-run deletes the orphan, merges the referenced
     // originals, retires them through the manifest
