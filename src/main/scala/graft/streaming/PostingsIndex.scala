@@ -42,6 +42,27 @@ object PostingsIndex {
 
   val DefaultCap = 16
 
+  /** Physical token-bucket count for the TF postings layout: the tf
+    * table is PARTITIONED BY `tbucket = md5(token)[0] mod TokenBuckets`
+    * inside every shard, so a query-term lookup prunes to its terms'
+    * bucket dirs at FILE level — the partition-pruning claim made real
+    * in storage, on both read paths (plain partitioned read via the
+    * partition-column filter; manifest read via [[Snapshot.readVersion]]'s
+    * `keepRel` file-list pruning). md5's first byte (not a Spark-side
+    * hash) because the bucket of a LITERAL query term must be
+    * computable on the driver with zero jobs ([[tokenBucketLocal]]) and
+    * bit-identically to the stored column. */
+  val TokenBuckets = 64
+
+  def tokenBucket(token: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(token), 1, 2), 16, 10).cast("int") % TokenBuckets)
+
+  def tokenBucketLocal(token: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+    (d(0) & 0xff) % TokenBuckets
+  }
+
   /** One batch's shard: the batch-local postings index written
     * (overwrite) into `shard=b<batchId>`. Returns the relative dir.
     * This is the NON-manifest path — under snapshots, [[indexBatch]]
@@ -109,6 +130,21 @@ object PostingsIndex {
       }.maxOption
   }
 
+  /** All parquet files under `d`, RECURSIVELY — shard dirs may nest
+    * partition dirs (the tf layout's `tbucket=K`), so direct listings
+    * are never enough. */
+  private def parquetFilesUnder(fs: org.apache.hadoop.fs.FileSystem,
+                                d: Path): Seq[Path] = {
+    if (!fs.exists(d)) return Nil
+    val out = Seq.newBuilder[Path]
+    val it = fs.listFiles(d, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath
+    }
+    out.result()
+  }
+
   /** (manifest-referenced live shard dirs, referenced-file paths) —
     * ONE definition of "live" shared by [[mergedUpTo]] (watermark
     * trust) and [[compactWith]] (orphan detection + merge input), so
@@ -123,9 +159,8 @@ object PostingsIndex {
          .getFileSystem(spark.sparkContext.hadoopConfiguration)
        val referenced = Snapshot.filesAt(spark, root, v)
          .map(new Path(_).toUri.getPath).toSet
-       (dirs.filter(d => fs.listStatus(d).exists(f => f.isFile &&
-         f.getPath.getName.endsWith(".parquet") &&
-         referenced.contains(f.getPath.toUri.getPath))), referenced)
+       (dirs.filter(d => parquetFilesUnder(fs, d)
+         .exists(p => referenced.contains(p.toUri.getPath))), referenced)
      }).getOrElse((dirs, Set.empty))
 
   private def shardDirs(spark: SparkSession, indexPath: String): Seq[Path] = {
@@ -158,12 +193,22 @@ object PostingsIndex {
     * share a doc id under the fresh-docs discipline, so the merged
     * shard is the plain union — a rewrite, not a re-aggregation. Same
     * loss-proof commit order and orphan recovery as [[compactShards]]. */
-  def compactUnionShards(spark: SparkSession,
-                         indexPath: String): (Int, Int) =
-    compactWith(spark, indexPath, identity)
+  def compactUnionShards(spark: SparkSession, indexPath: String,
+                         tokenBuckets: Boolean = false): (Int, Int) =
+    compactWith(spark, indexPath, identity,
+      if (!tokenBuckets) (df, p) => df.write.mode("overwrite").parquet(p)
+      else (df, p) =>
+        // merge input read from explicit FILE paths loses the dir-name
+        // partition column, so the bucket is re-derived from the token
+        // (a pure function — identical values) and the rewrite keeps
+        // the partitioned layout pruning depends on
+        df.drop("tbucket").withColumn("tbucket", tokenBucket(col("token")))
+          .write.partitionBy("tbucket").mode("overwrite").parquet(p))
 
   private def compactWith(spark: SparkSession, indexPath: String,
-                          merge: DataFrame => DataFrame): (Int, Int) = {
+                          merge: DataFrame => DataFrame,
+                          writeMerged: (DataFrame, String) => Unit =
+                            (df, p) => df.write.mode("overwrite").parquet(p)): (Int, Int) = {
     val allDirs = shardDirs(spark, indexPath)
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -188,11 +233,9 @@ object PostingsIndex {
       if (referenced.isEmpty) (allDirs, allDirs.map(_.toString))
       else {
         allDirs.filterNot(live.toSet).foreach(fs.delete(_, true)) // orphans
-        (live, live.flatMap(d => fs.listStatus(d).collect {
-          case f if f.isFile && f.getPath.getName.endsWith(".parquet") &&
-            referenced.contains(f.getPath.toUri.getPath) =>
-            f.getPath.toString
-        }))
+        (live, live.flatMap(d => parquetFilesUnder(fs, d)
+          .filter(p => referenced.contains(p.toUri.getPath))
+          .map(_.toString)))
       }
     }
     if (dirs.length <= 1) return (dirs.length, dirs.length)
@@ -205,15 +248,12 @@ object PostingsIndex {
       case MergedShardRe(n) => n.toLong
     }.maxOption
     val rel = s"shard=m$stamp" + maxB.map(m => s"u$m").getOrElse("")
-    merged.write.mode("overwrite").parquet(s"$indexPath/$rel")
+    writeMerged(merged, s"$indexPath/$rel")
     if (Snapshot.enabled(spark, indexPath)) {
-      val retired = dirs.flatMap(d => fs.listStatus(d)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath))
+      val retired = dirs.flatMap(d => parquetFilesUnder(fs, d))
       Snapshot.commit(spark, indexPath, Seq(""), retired = retired)
-      dirs.foreach(d => if (fs.listStatus(d)
-        .forall(s => !s.getPath.getName.endsWith(".parquet")))
-        fs.delete(d, true))
+      dirs.foreach(d =>
+        if (parquetFilesUnder(fs, d).isEmpty) fs.delete(d, true))
     } else dirs.foreach(fs.delete(_, true))
     (dirs.length, shardDirs(spark, indexPath).length)
   }
@@ -268,18 +308,19 @@ object PostingsIndex {
     * [[tfIndexBatch]]: append fresh files (unique names), retire the
     * batch's prior ones through the same commit. */
   private def writeShardManifestSafe(df: DataFrame, root: String,
-                                     batchId: Long): Unit = {
+                                     batchId: Long,
+                                     partitionBy: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     Snapshot.init(spark, root)
     val rel = s"shard=b$batchId"
     val dirP = new Path(s"$root/$rel")
     val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (!fs.exists(dirP)) Nil
-      else fs.listStatus(dirP).filter(f =>
-        f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath).toSeq
-    df.write.mode("append").parquet(dirP.toString)
+    // RECURSIVE: a partitioned shard (tf's tbucket dirs) nests its
+    // parquet files one level down
+    val existing = parquetFilesUnder(fs, dirP)
+    val w = df.write.mode("append")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dirP.toString)
     Snapshot.commit(spark, root, Seq(rel), retired = existing)
   }
 
@@ -306,8 +347,11 @@ object PostingsIndex {
     if (dlMerged) logWatermarkSkip(dlPath, batchId)
     if (!tfMerged) {
       val tf = TextAnalysis.tfPostings(batch, "doc_id", "text")
-      if (snapshots) writeShardManifestSafe(tf, tfPath, batchId)
-      else tf.write.mode("overwrite").parquet(s"$tfPath/shard=b$batchId")
+        .withColumn("tbucket", tokenBucket(col("token")))
+      if (snapshots)
+        writeShardManifestSafe(tf, tfPath, batchId, Seq("tbucket"))
+      else tf.write.partitionBy("tbucket").mode("overwrite")
+        .parquet(s"$tfPath/shard=b$batchId")
     }
     if (!dlMerged) {
       val dl = TextAnalysis.docLengths(batch, "doc_id", "text")
@@ -315,9 +359,57 @@ object PostingsIndex {
       else dl.write.mode("overwrite").parquet(s"$dlPath/shard=b$batchId")
     }
     if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
-      compactUnionShards(spark, tfPath)
+      compactUnionShards(spark, tfPath, tokenBuckets = true)
       compactUnionShards(spark, dlPath)
     }
+  }
+
+  /** The token-bucket-PRUNED tf read: scans ONLY the given buckets'
+    * partition dirs — file-level pruning on both read paths (plain
+    * partitioned read: partition-column filter; manifest read:
+    * [[Snapshot.readVersion]]'s `keepRel` pre-filters the resolved file
+    * list). No bucket filter reads everything. */
+  def readTfIndex(spark: SparkSession, tfPath: String,
+                  version: Option[Long] = None,
+                  buckets: Option[Set[Int]] = None): DataFrame = {
+    val bucketRe = "(?:^|/)tbucket=([0-9]+)(?:/|$)".r
+    val df =
+      (if (Snapshot.enabled(spark, tfPath))
+         Snapshot.readVersion(spark, tfPath, version,
+           Seq("shard", "tbucket"),
+           keepRel = rel => buckets.forall(bs =>
+             bucketRe.findFirstMatchIn(rel)
+               .forall(m => bs(m.group(1).toInt))))
+       else None).getOrElse {
+        val raw = spark.read.parquet(tfPath)
+        buckets.fold(raw)(bs =>
+          raw.where(col("tbucket").isin(bs.toSeq.map(Integer.valueOf): _*)))
+      }
+    // the manifest path parses partition values as strings, and an old
+    // un-bucketed layout has no tbucket at all — normalize to int
+    val withB =
+      if (df.columns.contains("tbucket"))
+        df.withColumn("tbucket", col("tbucket").cast("int"))
+      else df.withColumn("tbucket", lit(null).cast("int"))
+    // keepRel prunes FILES; the row filter still applies (it also
+    // covers the everything-excluded fallback read)
+    buckets.fold(withB)(bs => withB.where(
+        col("tbucket").isin(bs.toSeq.map(Integer.valueOf): _*)))
+      .drop("shard")
+  }
+
+  /** BM25 served from the STORED layout with REAL pruning: the query
+    * terms' buckets are computed on the driver ([[tokenBucketLocal]],
+    * zero jobs), the tf scan touches only those bucket dirs, and the
+    * shared scorer ([[TextAnalysis.bm25FromIndex]]) does the rest. */
+  def bm25FromStored(spark: SparkSession, tfPath: String, dlPath: String,
+                     terms: Seq[String], k1: Double = 1.2,
+                     b: Double = 0.75,
+                     version: Option[Long] = None): DataFrame = {
+    val buckets = terms.map(tokenBucketLocal).toSet
+    TextAnalysis.bm25FromIndex(
+      readTfIndex(spark, tfPath, version, Some(buckets)).drop("tbucket"),
+      readUnionShards(spark, dlPath, version), terms, k1, b)
   }
 
   /** Serving read for the union-merged shard tables (tf / doc-lengths):

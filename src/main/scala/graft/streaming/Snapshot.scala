@@ -235,9 +235,18 @@ object Snapshot {
     * read per distinct partition-value tuple, unioned, values unescaped
     * as strings (cast downstream if needed), Hive's default-partition
     * name read back as null. */
+  /** `keepRel` is the manifest-path analog of partition PRUNING: it
+    * filters the version's root-relative file paths BEFORE any read,
+    * so a partition-dir predicate (e.g. `tbucket=K` membership) skips
+    * the excluded files entirely — the same file-level pruning a plain
+    * partitioned read gets from a partition-column filter. Falls back
+    * to reading everything when it would exclude ALL files (the
+    * caller's row filter still applies; an empty parquet read cannot
+    * infer a schema). */
   def readVersion(spark: SparkSession, root: String,
                   version: Option[Long] = None,
-                  partitionCols: Seq[String] = Nil): Option[DataFrame] = {
+                  partitionCols: Seq[String] = Nil,
+                  keepRel: String => Boolean = _ => true): Option[DataFrame] = {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val v = version.orElse(latestVersion(spark, root)).getOrElse(return None)
@@ -246,9 +255,13 @@ object Snapshot {
     if (!fs.exists(new Path(new Path(rootP, SnapDir), vName(v))))
       throw new IllegalStateException(
         s"Snapshot: version $v at $root was vacuumed (manifest expired)")
-    val rels = readManifest(fs, rootP, v)
-    if (rels.isEmpty) return None
-    val resolved = filesAt(spark, root, v)
+    val relsAll = readManifest(fs, rootP, v)
+    if (relsAll.isEmpty) return None
+    val resolvedAll = filesAt(spark, root, v)
+    val prunedPairs = (relsAll zip resolvedAll).filter(p => keepRel(p._1))
+    val (rels, resolved) =
+      if (prunedPairs.nonEmpty) prunedPairs.unzip
+      else (relsAll, resolvedAll) // see scaladoc: never an empty read
     if (partitionCols.isEmpty) return Some(spark.read.parquet(resolved: _*))
     def values(rel: String): Seq[Option[String]] = {
       val kv = rel.split("/").dropRight(1).flatMap { seg =>

@@ -200,10 +200,43 @@ class PostingsIndexSpec extends SparkSpec {
     assert(PostingsIndex.readUnionShards(spark, tfP).count() == tfRows,
       "replayed batch changed the tf index")
     assertServes("post-replay")
-    // full union compaction of both artifacts — still identical
-    PostingsIndex.compactUnionShards(spark, tfP)
+    // full union compaction of both artifacts — still identical (tf
+    // keeps its token-bucketed layout through the rewrite)
+    PostingsIndex.compactUnionShards(spark, tfP, tokenBuckets = true)
     PostingsIndex.compactUnionShards(spark, dlP)
     assertServes("post-compaction")
+
+    // the STORED layout prunes: a single-term read touches only that
+    // term's bucket dirs — here through the MANIFEST path (snapshots
+    // are on), i.e. keepRel file-list pruning, across the compacted
+    // m-shard too
+    val bJoin = PostingsIndex.tokenBucketLocal("join")
+    val pruned = PostingsIndex.readTfIndex(spark, tfP,
+      buckets = Some(Set(bJoin)))
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains(s"tbucket=$bJoin")),
+      s"manifest-path pruning leaked: ${pruned.inputFiles.toSeq}")
+    // and the pruned server returns the same scores
+    val stored = bm25Map(PostingsIndex.bm25FromStored(spark, tfP, dlP, terms))
+    assert(stored.keySet == direct.keySet)
+    stored.foreach { case (k, (s, h)) =>
+      val (ds, dh) = direct(k)
+      assert(h == dh && math.abs(s - ds) < 1e-9,
+        s"bm25FromStored: doc $k ($s,$h) vs ($ds,$dh)")
+    }
+
+    // raw-path pruning too (no snapshots): the plain partitioned read
+    // prunes at PLANNING time from the partition-column filter —
+    // inputFiles reflects the pre-planning file index, so the pin is
+    // the scan's PartitionFilters clause (the PlanQualitySpec idiom)
+    val dir2 = java.nio.file.Files.createTempDirectory("postings-tf-raw").toString
+    PostingsIndex.tfIndexBatch(batches(0), 0, s"$dir2/tf", s"$dir2/dl")
+    val prunedRaw = PostingsIndex.readTfIndex(spark, s"$dir2/tf",
+      buckets = Some(Set(bJoin)))
+    val rawPlan = prunedRaw.queryExecution.executedPlan.toString
+    assert(rawPlan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*tbucket".r.findFirstIn(rawPlan).isDefined,
+      s"raw-path scan carries no tbucket partition filter:\n${rawPlan.take(900)}")
   }
 
   test("the live tf sink maintains BM25-servable artifacts") {
