@@ -90,6 +90,23 @@ object PipelineQueries {
       TA.docLengths(docs, "doc_id", "text"))
   }
 
+  /** BM25 over PERSISTED tf/doc-length artifacts with the PRUNED read
+    * ([[graft.streaming.PostingsIndex.bm25FromStored]]) — the serving
+    * twin of `q_bm25_index`, the `q_sim_*_probe` convention applied to
+    * keyword retrieval: artifacts write once per (corpus fingerprint,
+    * JVM); every later call scans ONLY the query terms' token-bucket
+    * dirs (PartitionFilters on `tbucket`, plan-pinned). Same oracle as
+    * `q_bm25`. */
+  def bm25StoredQ(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(
+        s"tfidx:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      graft.streaming.PostingsIndex.tfIndexBatch(
+        par(documents(s, d)), 0L, s"$dir/tf", s"$dir/dl")
+    }
+    graft.streaming.PostingsIndex.bm25FromStored(
+      s, s"$dir/tf", s"$dir/dl", Bm25Terms)
+  }
+
   /** The SERVING form of keyword retrieval: BM25 top-k
     * (`TakeOrderedAndProject` — never a global sort), deterministic
     * doc_id tie-break. */
@@ -592,8 +609,12 @@ object PipelineQueries {
     * params. */
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def corpusFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+  private def corpusFingerprint(s: SparkSession, d: String): String =
+    corpusFingerprintOf(s, d, "embeddings")
+
+  private def corpusFingerprintOf(s: SparkSession, d: String,
+                                  table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else {
@@ -816,6 +837,7 @@ object PipelineQueries {
     "q_bm25_index"     -> (bm25IndexQ _),
     "q_tfidf_index"    -> (tfidfIndexQ _),
     "q_bm25_topk"      -> (bm25TopKQ _),
+    "q_bm25_stored"    -> (bm25StoredQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -987,6 +1009,7 @@ object PipelineQueries {
     // index-served BM25 must equal corpus-recomputed BM25 — the SAME
     // oracle SQL pins q_bm25_index to q_bm25
     "q_bm25_index" -> Bm25Sql,
+    "q_bm25_stored" -> Bm25Sql,
     // the serving cut: same scores, ordered and bounded — double-sum
     // merge-order divergence is sub-ulp-per-term and the top-20 scores
     // on the fixture are well separated, so the selected SET is stable

@@ -166,6 +166,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_bm25",        // (N, avgdl) single-row scalar attach, same shape
       "q_bm25_index",  // the same (N, avgdl) scalar, served from the dl sidecar
       "q_bm25_topk",   // the bm25 shape under a TakeOrdered cut
+      "q_bm25_stored", // the same scalar, served from stored artifacts
       "q_tfidf_index") // the N single-row scalar, served from the dl sidecar
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
@@ -241,6 +242,11 @@ class PlanQualitySpec extends SparkSpec {
     val pa = physical("q_percentiles_approx")
     assert(pa.contains("ObjectHashAggregate"), pa.take(600))
     assert(pa.contains("approx_percentile"), pa.take(600))
+    // q_bm25_stored: the persisted-artifact server scans ONLY the
+    // query terms' token-bucket dirs — partition pruning, plan-pinned
+    val bs = physical("q_bm25_stored")
+    assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(bs).isDefined,
+      s"q_bm25_stored tf scan carries no tbucket partition filter:\n${bs.take(900)}")
     // q_bm25_topk: the serving cut compiles to TakeOrderedAndProject,
     // never a global sort
     val bt = physical("q_bm25_topk")
