@@ -874,6 +874,17 @@ object Similarity {
     require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
     val cand = ivfPqTopK(emb, id, vec, queryId, shortlist, nlist, nprobe,
       m, ks, iters, dim).select(col(id))
+    exactCosineRerank(cand, emb, id, vec, queryId, k)
+  }
+
+  /** The ONE exact-cosine re-rank tail shared by the fused
+    * ([[ivfPqRerankTopK]]) and stored-artifact ([[ivfPqRerankFromDir]])
+    * paths — the [[graft.functions.TextAnalysis]] shared-scoring-tail
+    * discipline: the two are oracle-pinned to agree, so the tie-break,
+    * cast, and cosine must have a single definition. */
+  private def exactCosineRerank(cand: DataFrame, emb: DataFrame,
+                                id: String, vec: String, queryId: Long,
+                                k: Int): DataFrame = {
     val v = emb.select(col(id), transform(col(vec), _.cast("double")).as("v"))
     val qv = collectQueryVector(
       v.select(col(id).as("vid"), col("v")), queryId)
@@ -896,14 +907,7 @@ object Similarity {
     require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
     val cand = ivfPqProbeFromDir(emb, id, vec, dir, queryId, shortlist,
       nprobe).select(col(id))
-    val v = emb.select(col(id), transform(col(vec), _.cast("double")).as("v"))
-    val qv = collectQueryVector(
-      v.select(col(id).as("vid"), col("v")), queryId)
-    cand.join(v, Seq(id))
-      .select(col(id),
-        VectorExpressions.cosineSim(col("v"), array(qv.map(lit): _*)).as("cos"))
-      .orderBy(col("cos").desc, col(id).asc)
-      .limit(k)
+    exactCosineRerank(cand, emb, id, vec, queryId, k)
   }
 
   /** BATCH IVFADC+R over the persisted index — the query-set twin of

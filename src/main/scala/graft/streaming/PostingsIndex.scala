@@ -127,7 +127,7 @@ object PostingsIndex {
     liveShardDirs(spark, root, dirs)._1
       .map(_.getName.stripPrefix("shard=")).collect {
         case MergedShardRe(n) => n.toLong
-      }.maxOption
+      }.maxOption  // (the listing map is discarded here — one probe)
   }
 
   /** All parquet files under `d`, RECURSIVELY — shard dirs may nest
@@ -152,16 +152,21 @@ object PostingsIndex {
     * behind. Without snapshots every dir is live and the referenced
     * set is empty (callers fall back to raw dirs). */
   private def liveShardDirs(spark: SparkSession, root: String,
-      dirs: Seq[Path]): (Seq[Path], Set[String]) =
+      dirs: Seq[Path]): (Seq[Path], Set[String], Map[Path, Seq[Path]]) =
     (if (!Snapshot.enabled(spark, root)) None
      else Snapshot.latestVersion(spark, root).map { v =>
        val fs = new Path(root)
          .getFileSystem(spark.sparkContext.hadoopConfiguration)
        val referenced = Snapshot.filesAt(spark, root, v)
          .map(new Path(_).toUri.getPath).toSet
-       (dirs.filter(d => parquetFilesUnder(fs, d)
-         .exists(p => referenced.contains(p.toUri.getPath))), referenced)
-     }).getOrElse((dirs, Set.empty))
+       // list each dir ONCE and hand the map back — compactWith needs
+       // the same listings for merge input and retirement, and a
+       // recursive listing per dir is an object-store round-trip
+       val files = dirs.map(d => d -> parquetFilesUnder(fs, d)).toMap
+       (dirs.filter(d => files(d)
+         .exists(p => referenced.contains(p.toUri.getPath))),
+         referenced, files)
+     }).getOrElse((dirs, Set.empty, Map.empty))
 
   private def shardDirs(spark: SparkSession, indexPath: String): Seq[Path] = {
     val root = new Path(indexPath)
@@ -194,9 +199,18 @@ object PostingsIndex {
     * shard is the plain union — a rewrite, not a re-aggregation. Same
     * loss-proof commit order and orphan recovery as [[compactShards]]. */
   def compactUnionShards(spark: SparkSession, indexPath: String,
-                         tokenBuckets: Boolean = false): (Int, Int) =
+                         tokenBuckets: Boolean = false): (Int, Int) = {
+    // layout AUTO-DETECT, OR'd with the flag: a caller-remembered
+    // boolean must never be able to flatten an existing token-bucketed
+    // layout (a flat m-shard would break every pruned read after it) —
+    // if any live shard nests tbucket= dirs, the rewrite keeps them
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketed = tokenBuckets || shardDirs(spark, indexPath).exists(d =>
+      fs.listStatus(d).exists(st => st.isDirectory &&
+        st.getPath.getName.startsWith("tbucket=")))
     compactWith(spark, indexPath, identity,
-      if (!tokenBuckets) (df, p) => df.write.mode("overwrite").parquet(p)
+      if (!bucketed) (df, p) => df.write.mode("overwrite").parquet(p)
       else (df, p) =>
         // merge input read from explicit FILE paths loses the dir-name
         // partition column, so the bucket is re-derived from the token
@@ -204,6 +218,7 @@ object PostingsIndex {
         // the partitioned layout pruning depends on
         df.drop("tbucket").withColumn("tbucket", tokenBucket(col("token")))
           .write.partitionBy("tbucket").mode("overwrite").parquet(p))
+  }
 
   private def compactWith(spark: SparkSession, indexPath: String,
                           merge: DataFrame => DataFrame,
@@ -228,14 +243,15 @@ object PostingsIndex {
     // every df of that batch. Without manifests there is no reference
     // set, so the raw dirs are the only possible input (the documented
     // non-manifest caveat).
-    val (dirs, mergeInput) = {
-      val (live, referenced) = liveShardDirs(spark, indexPath, allDirs)
-      if (referenced.isEmpty) (allDirs, allDirs.map(_.toString))
+    val (dirs, mergeInput, listed) = {
+      val (live, referenced, files) = liveShardDirs(spark, indexPath, allDirs)
+      if (referenced.isEmpty)
+        (allDirs, allDirs.map(_.toString), Map.empty[Path, Seq[Path]])
       else {
         allDirs.filterNot(live.toSet).foreach(fs.delete(_, true)) // orphans
-        (live, live.flatMap(d => parquetFilesUnder(fs, d)
+        (live, live.flatMap(d => files(d)
           .filter(p => referenced.contains(p.toUri.getPath))
-          .map(_.toString)))
+          .map(_.toString)), files)
       }
     }
     if (dirs.length <= 1) return (dirs.length, dirs.length)
@@ -250,7 +266,8 @@ object PostingsIndex {
     val rel = s"shard=m$stamp" + maxB.map(m => s"u$m").getOrElse("")
     writeMerged(merged, s"$indexPath/$rel")
     if (Snapshot.enabled(spark, indexPath)) {
-      val retired = dirs.flatMap(d => parquetFilesUnder(fs, d))
+      val retired = dirs.flatMap(d =>
+        listed.getOrElse(d, parquetFilesUnder(fs, d)))
       Snapshot.commit(spark, indexPath, Seq(""), retired = retired)
       dirs.foreach(d =>
         if (parquetFilesUnder(fs, d).isEmpty) fs.delete(d, true))
@@ -380,20 +397,23 @@ object PostingsIndex {
            keepRel = rel => buckets.forall(bs =>
              bucketRe.findFirstMatchIn(rel)
                .forall(m => bs(m.group(1).toInt))))
-       else None).getOrElse {
-        val raw = spark.read.parquet(tfPath)
-        buckets.fold(raw)(bs =>
-          raw.where(col("tbucket").isin(bs.toSeq.map(Integer.valueOf): _*)))
-      }
-    // the manifest path parses partition values as strings, and an old
-    // un-bucketed layout has no tbucket at all — normalize to int
+       else None).getOrElse(spark.read.parquet(tfPath))
+    // the manifest path parses partition values as strings, and an
+    // un-bucketed layout (a flat m-shard, or a pre-layout index) has no
+    // tbucket at all — normalize to int, null for flat files
     val withB =
       if (df.columns.contains("tbucket"))
         df.withColumn("tbucket", col("tbucket").cast("int"))
       else df.withColumn("tbucket", lit(null).cast("int"))
-    // keepRel prunes FILES; the row filter still applies (it also
-    // covers the everything-excluded fallback read)
-    buckets.fold(withB)(bs => withB.where(
+    // ONE bucket predicate for both paths: file-level pruning comes
+    // from keepRel on the manifest path and from this partition-column
+    // filter at planning time on the raw path (the redundant int cast
+    // folds away, so the predicate reaches PartitionFilters). NULL
+    // tbucket rows — an un-bucketed layout — are deliberately KEPT:
+    // they may hold the query terms, and silently dropping them would
+    // turn a layout mix into wrong doc frequencies; the scorer's token
+    // filter is the decider for them.
+    buckets.fold(withB)(bs => withB.where(col("tbucket").isNull ||
         col("tbucket").isin(bs.toSeq.map(Integer.valueOf): _*)))
       .drop("shard")
   }
@@ -405,11 +425,17 @@ object PostingsIndex {
   def bm25FromStored(spark: SparkSession, tfPath: String, dlPath: String,
                      terms: Seq[String], k1: Double = 1.2,
                      b: Double = 0.75,
-                     version: Option[Long] = None): DataFrame = {
+                     tfVersion: Option[Long] = None,
+                     dlVersion: Option[Long] = None): DataFrame = {
+    // the two roots are pinned SEPARATELY: their version counters can
+    // drift permanently (a crash between the tf and dl writes replays
+    // into an extra tf commit), so a single shared number would pair
+    // two different logical corpus states — callers pin each root to
+    // the versions they observed together
     val buckets = terms.map(tokenBucketLocal).toSet
     TextAnalysis.bm25FromIndex(
-      readTfIndex(spark, tfPath, version, Some(buckets)).drop("tbucket"),
-      readUnionShards(spark, dlPath, version), terms, k1, b)
+      readTfIndex(spark, tfPath, tfVersion, Some(buckets)).drop("tbucket"),
+      readUnionShards(spark, dlPath, dlVersion), terms, k1, b)
   }
 
   /** Serving read for the union-merged shard tables (tf / doc-lengths):
