@@ -239,6 +239,39 @@ class PostingsIndexSpec extends SparkSpec {
       s"raw-path scan carries no tbucket partition filter:\n${rawPlan.take(900)}")
   }
 
+  test("a crash between the tf and dl shard writes replays to a consistent pair") {
+    // the split-write window: tfIndexBatch writes the tf shard, then
+    // the dl shard — a crash between them leaves the pair inconsistent
+    // until the checkpoint replays the batch. The replay must heal it:
+    // the tf rewrite is a content no-op, the dl side lands, and the
+    // served scores equal the direct computation.
+    import graft.functions.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("tf-crash").toString
+    val (tfP, dlP) = (s"$dir/tf", s"$dir/dl")
+    val b0 = Seq((1L, "join filter a"), (2L, "dup b")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "join c"), (4L, "filter dup d")).toDF("doc_id", "text")
+    PostingsIndex.tfIndexBatch(b0, 0, tfP, dlP)
+    // crash injection: batch 1's tf shard lands, its dl shard does NOT
+    TextAnalysis.tfPostings(b1, "doc_id", "text")
+      .withColumn("tbucket", PostingsIndex.tokenBucket(col("token")))
+      .write.partitionBy("tbucket").mode("overwrite")
+      .parquet(s"$tfP/shard=b1")
+    // replay heals: tf rewritten (identical content), dl written
+    PostingsIndex.tfIndexBatch(b1, 1, tfP, dlP)
+    val terms = Seq("join", "filter", "dup")
+    val served = PostingsIndex.bm25FromStored(spark, tfP, dlP, terms)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val direct = TextAnalysis.bm25(b0.unionByName(b1), "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(served.keySet == direct.keySet && served.nonEmpty)
+    served.foreach { case (k, (s, h)) =>
+      val (ds, dh) = direct(k)
+      assert(h == dh && math.abs(s - ds) < 1e-9,
+        s"post-crash-replay doc $k: ($s,$h) vs ($ds,$dh)")
+    }
+  }
+
   test("the live tf sink maintains BM25-servable artifacts") {
     import graft.functions.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
