@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract needs the forked main's JSON line to be the
+// LAST raw stdout line of the sbt invocation: StdoutOutput passes the
+// forked process's output through un-prefixed (no "[info] " wrapper),
+// and showSuccess drops the trailing "[success] Total time" line, so a
+// driver tailing the log can json-parse the final line directly.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -166,9 +166,13 @@ object ExplainAudit {
       "q_multimodal_pixels", // expect a pure MapPartitions codec
                           //   boundary (container walk + BMP raster) —
                           //   no hash exchange; blobs never shuffle
-      "q_percentiles_approx") // expect ObjectHashAggregate of bounded
+      "q_percentiles_approx", // expect ObjectHashAggregate of bounded
                           //   GK sketches (partial+final) — the memory-
                           //   safe twin of q_percentiles' exact buffers
+      "q_bm25_topk_stored") // expect the endpoint composition in ONE
+                          //   plan: PartitionFilters on tbucket at the
+                          //   stored tf scan AND TakeOrderedAndProject
+                          //   on top — never a global sort
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

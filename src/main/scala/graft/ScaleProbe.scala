@@ -809,3 +809,186 @@ object SemGateSplitProbe {
     spark.stop()
   }
 }
+
+/** Measured ANN recall evidence (docs/SCALE.md): recall@10 vs the exact
+  * cosine top-10 for the stored-artifact IVF-PQ ADC probe and its
+  * IVFADC+R exact-re-rank twin, across nprobe settings, averaged over
+  * query vectors drawn from the corpus — the accuracy/cost curve a
+  * user tuning nprobe actually needs. Artifacts are written ONCE (the
+  * serving shape); each setting then probes the stored codes only, so
+  * the sweep prices recall against scan fraction, not training.
+  * `sbt "runMain graft.AnnRecallProbe [nQueries]"`. */
+object AnnRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val nq = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1").cache()
+    val n = emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("ann-recall").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir)
+    val k = 10
+    val qids = 0L until nq.toLong
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val exact = qids.map(q => q -> ids(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k))).toMap
+    println(s"[scale] ann_recall corpus=$n queries=$nq k=$k " +
+      "(nlist=16 m=4 ks=8, shortlist=50)")
+    for (np <- Seq(1, 2, 4, 8)) {
+      def recall(f: Long => org.apache.spark.sql.DataFrame): Double =
+        qids.map(q => ids(f(q)).intersect(exact(q)).size / k.toDouble)
+          .sum / nq
+      val adc = recall(q => Similarity.ivfPqProbeFromDir(
+        emb, "vec_id", "embedding", dir, q, k, nprobe = np))
+      val rr = recall(q => Similarity.ivfPqRerankFromDir(
+        emb, "vec_id", "embedding", dir, q, k, shortlist = 50, nprobe = np))
+      println(f"[scale] ann_recall nprobe=$np: adc recall@10 = $adc%.3f, " +
+        f"ivfadc+r recall@10 = $rr%.3f (scan fraction ~ ${np / 16.0}%.3f)")
+    }
+    spark.stop()
+  }
+}
+
+/** Stopword-bound evidence for the stored BM25 scorer (docs/SCALE.md):
+  * tf/dl/df artifacts over a factor×-replicated corpus whose every doc
+  * carries a planted stopword; the same two-term query served
+  * unbounded vs df-bounded, with the bytes the scoring scan actually
+  * read (stage input metrics). Partition pruning prunes to the
+  * stopword's BUCKET — its Σ df posting rows are corpus-scale
+  * regardless — so only the df cut keeps the scan bounded by the
+  * surviving terms' posting lists.
+  * `sbt "runMain graft.Bm25StopwordProbe [factor]"`. */
+object Bm25StopwordProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.streaming.PostingsIndex
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    // every doc starts with the planted stopword; "join" keeps its
+    // natural (rare) df from the fixture text
+    val big = base.crossJoin(spark.range(factor).toDF("copy"))
+      .select((col("doc_id") * factor + col("copy")).as("doc_id"),
+        concat(lit("the c"), col("copy"), lit(" "), col("text")).as("text"))
+      .repartition(16).cache()
+    val n = big.count()
+    val tmp = java.nio.file.Files.createTempDirectory("bm25-stop").toString
+    val (tfP, dlP, dfP) = (s"$tmp/tf", s"$tmp/dl", s"$tmp/df")
+    PostingsIndex.tfIndexBatch(big, 0, tfP, dlP, dfPath = Some(dfP))
+    val terms = Seq("join", "the")
+    var bytesRead = 0L
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytesRead += s.stageInfo.taskMetrics.inputMetrics.bytesRead
+    }
+    def measure(label: String)(f: => Long): Unit = {
+      bytesRead = 0L
+      spark.sparkContext.addSparkListener(sl)
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drain
+      spark.sparkContext.removeSparkListener(sl)
+      println(f"[scale] bm25_stopword $label%-28s $rows%9d docs scored, " +
+        f"${bytesRead / 1e6}%8.1f MB read, $secs%6.2f s")
+    }
+    println(s"[scale] bm25_stopword corpus=$n docs, query=$terms " +
+      "(planted 'the' df = N)")
+    measure("unbounded")(
+      PostingsIndex.bm25FromStored(spark, tfP, dlP, terms).count())
+    measure("df-bounded (maxDfFrac=0.5)")(
+      PostingsIndex.bm25FromStored(spark, tfP, dlP, terms,
+        dfPath = Some(dfP), maxDfFrac = Some(0.5)).count())
+    measure("rare term alone (floor)")(
+      PostingsIndex.bm25FromStored(spark, tfP, dlP, Seq("join")).count())
+    spark.stop()
+  }
+}
+
+/** tf-index retention evidence (docs/SCALE.md): a long snapshot-enabled
+  * tf stream with cadence compactions accretes `_stale` trees under the
+  * append-retire discipline; [[graft.streaming.Snapshot.vacuum]] at a
+  * pinned floor trims files/bytes while a reader pinned AT the floor
+  * stays bit-stable — the gate-state retention probe's discipline
+  * applied to the tf/dl/df artifact roots.
+  * `sbt "runMain graft.TfIndexVacuumProbe [batches]"`. */
+object TfIndexVacuumProbe {
+  def main(args: Array[String]): Unit = {
+    val nBatches = args.headOption.map(_.toInt).getOrElse(24)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{PostingsIndex, Snapshot}
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text").cache()
+    base.count()
+    val tmp = java.nio.file.Files.createTempDirectory("tf-vacuum").toString
+    val (tfP, dlP, dfP) = (s"$tmp/tf", s"$tmp/dl", s"$tmp/df")
+    (0 until nBatches).foreach { b =>
+      PostingsIndex.tfIndexBatch(
+        base.where(org.apache.spark.sql.functions.pmod(col("doc_id"),
+          org.apache.spark.sql.functions.lit(nBatches)) === b)
+          .select((col("doc_id") + b).as("doc_id"), col("text")),
+        b, tfP, dlP, compactEvery = 4, snapshots = true,
+        dfPath = Some(dfP))
+    }
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def treeStats(p: String): (Long, Long) = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(root)) return (0L, 0L)
+      var files = 0L; var bytes = 0L
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) { val f = it.next(); files += 1; bytes += f.getLen }
+      (files, bytes)
+    }
+    def allStats(): (Long, Long) = {
+      val s = Seq(tfP, dlP, dfP).map(treeStats)
+      (s.map(_._1).sum, s.map(_._2).sum)
+    }
+    // the retention floor: vacuum keeps 2 versions, so pin the oldest
+    // version that SURVIVES and prove it bit-stable across the vacuum
+    val keep = 2
+    val floorTf = Snapshot.latestVersion(spark, tfP).get - keep + 1
+    val floorDl = Snapshot.latestVersion(spark, dlP).get - keep + 1
+    val terms = Seq("join", "filter", "dup")
+    def pinnedScores() = PostingsIndex.bm25FromStored(spark, tfP, dlP,
+      terms, tfVersion = Some(floorTf), dlVersion = Some(floorDl))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val before = allStats()
+    val scoresBefore = pinnedScores()
+    val (mTf, sTf) = Snapshot.vacuum(spark, tfP, keep)
+    val (mDl, sDl) = Snapshot.vacuum(spark, dlP, keep)
+    val (mDf, sDf) = Snapshot.vacuum(spark, dfP, keep)
+    val after = allStats()
+    val scoresAfter = pinnedScores()
+    println(f"[scale] tf_vacuum $nBatches batches, compactEvery=4, keep=$keep: " +
+      f"${before._1} files / ${before._2 / 1e6}%.2f MB -> " +
+      f"${after._1} files / ${after._2 / 1e6}%.2f MB " +
+      f"(manifests deleted ${mTf + mDl + mDf}, stale trees ${sTf + sDl + sDf})")
+    println(s"[scale] tf_vacuum pinned-at-floor reader bit-stable: " +
+      s"${scoresBefore == scoresAfter} (${scoresBefore.length} rows)")
+    require(scoresBefore == scoresAfter,
+      "pinned-at-floor read drifted across vacuum")
+    spark.stop()
+  }
+}

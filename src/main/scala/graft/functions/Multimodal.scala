@@ -15,15 +15,17 @@ import org.apache.spark.sql.types._
   * VIDEO CONTAINER METADATA ([[decodeVideoMeta]]/[[videoStats]] — a
   * dependency-free MP4 `moov`/`mvhd`/`tkhd` box walk and AVI `avih`
   * header parse: duration, dimensions, track count), and so is
-  * PIXEL-level frame decode for UNCOMPRESSED payloads
-  * ([[extractAviFrames]]/[[frameStats]] — the RIFF `movi` chunk walk
-  * feeding the JDK BMP reader, exact pixels, oracle-checked by
-  * `q_multimodal_pixels`). Only COMPRESSED-codec rasterization
-  * (H.264/VP9…) remains a clearly-marked deterministic STUB
-  * (`fakeDecodeFeatures`/[[sampleFrames]]'s byte slicing — the
-  * container ships no such codec, builder brief), with undecodable
-  * bytes falling back to the stub path so one plan serves a mixed
-  * corpus. Everything Spark-side is real and tested: the
+  * PIXEL-level frame decode ([[extractAviFrames]]/[[frameStats]] — the
+  * RIFF `movi` chunk walk feeding the JDK's image readers: complete
+  * BMPs and headerless DIBs ([[wrapDibFrame]]) through the BMP reader
+  * — exact pixels, oracle-checked by `q_multimodal_pixels` — and MJPEG
+  * `..dc` frames, a COMPRESSED intra-frame codec, through the JPEG
+  * reader, oracle-checked by `q_multimodal_mjpeg`). Only INTER-frame
+  * codec rasterization (H.264/VP9…) remains a clearly-marked
+  * deterministic STUB (`fakeDecodeFeatures`/[[sampleFrames]]'s byte
+  * slicing — the container ships no such codec, builder brief), with
+  * undecodable bytes falling back to the stub path so one plan serves
+  * a mixed corpus. Everything Spark-side is real and tested: the
   * schema, the binary column handling, the `mapPartitions` batch shape
   * (the Scala analog of `mapInPandas` — per-partition iteration so a
   * decoder amortizes codec/model init across rows), and the
@@ -164,15 +166,16 @@ object Multimodal {
   /** ImageIO's default ImageInputStream spools through a DISK-backed
     * scratch file per read — measured as the dominant cost of small-
     * frame decodes under thread parallelism (temp-file create/delete
-    * per frame). Heap-backed streams instead; executed once per JVM. */
-  private lazy val imageIoNoDiskCache: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
-
+    * per frame). A heap-backed [[javax.imageio.stream.MemoryCacheImageInputStream]]
+    * PER DECODE avoids it without flipping the process-global
+    * `ImageIO.setUseCache` flag (which would change behavior for every
+    * other ImageIO user co-resident in the executor JVM). */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Double])] = {
     if (bytes == null) return None
-    imageIoNoDiskCache
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      try javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
       // NonFatal, not just IOException: the JDK readers throw
       // RuntimeExceptions (AIOOBE, NegativeArraySize, CMMException…) on
       // malformed containers, and "undecodable falls back to the stub"
@@ -615,7 +618,8 @@ object Multimodal {
     * DIB) frame chunks — the standard place an AVI keeps its frame
     * payloads. [[extractAviFrames]] inverts it. */
   def minimalAviFrames(usPerFrame: Long, w: Int, h: Int, streams: Int,
-                       frames: Seq[Array[Byte]]): Array[Byte] = {
+                       frames: Seq[Array[Byte]],
+                       fourcc: String = "00db"): Array[Byte] = {
     val avih = new Array[Byte](56)
     System.arraycopy(le32b(usPerFrame), 0, avih, 0, 4)
     System.arraycopy(le32b(frames.length), 0, avih, 16, 4)
@@ -625,13 +629,77 @@ object Multimodal {
     val hdrl = "hdrl".getBytes("ISO-8859-1") ++
       "avih".getBytes("ISO-8859-1") ++ le32b(56) ++ avih
     val movi = "movi".getBytes("ISO-8859-1") ++ frames.flatMap { f =>
-      "00db".getBytes("ISO-8859-1") ++ le32b(f.length) ++ f ++
+      fourcc.getBytes("ISO-8859-1") ++ le32b(f.length) ++ f ++
         (if (f.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
     }
     val body = "AVI ".getBytes("ISO-8859-1") ++
       "LIST".getBytes("ISO-8859-1") ++ le32b(hdrl.length) ++ hdrl ++
       "LIST".getBytes("ISO-8859-1") ++ le32b(movi.length) ++ movi
     "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+  }
+
+  /** A REAL baseline JPEG of a solid GRAY frame, encoded by the JDK's
+    * own `javax.imageio` JPEG writer at quality 1.0 — the MJPEG frame
+    * payload generator. Gray specifically: for r = g = b = c the
+    * JFIF YCbCr transform gives Y = c exactly and Cb = Cr = 128, a
+    * constant block's DCT carries only the DC coefficient, and the
+    * quality-1.0 quantization tables leave it intact — so the decode
+    * round-trips PIXEL-EXACT (channel means are exactly c/255, the
+    * closed form the `q_multimodal_mjpeg` oracle recomputes in SQL).
+    * Chroma subsampling averages constant planes losslessly, so the
+    * exactness holds at any frame size. */
+  def minimalJpegGray(w: Int, h: Int, c: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && c >= 0 && c <= 255,
+      s"jpeg frame out of range: ${w}x$h gray $c")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (c << 16) | (c << 8) | c
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Standard AVIs carry `00db` chunks as HEADERLESS DIB data — a
+    * BITMAPINFOHEADER (or a raster preceded by one) with no 14-byte
+    * BITMAPFILEHEADER — which `ImageIO`'s BMP reader rejects. Detect
+    * the bare header (leading LE32 biSize = 40) and prepend a
+    * synthesized file header so real-world uncompressed frames decode
+    * instead of uniformly reporting `decoded = false`; the data offset
+    * accounts for a palette when biBitCount ≤ 8 (biClrUsed entries, or
+    * the full 2^bpp table when biClrUsed = 0). Frames that already
+    * start with 'BM' (complete BMP files, as [[minimalBmp]] emits) and
+    * non-DIB payloads (JPEG frames of an MJPEG stream) pass through
+    * untouched. */
+  def wrapDibFrame(f: Array[Byte]): Array[Byte] = {
+    if (f == null || f.length < 40) return f
+    if (f(0) == 'B' && f(1) == 'M') return f
+    if (le32(f, 0) != 40L) return f
+    val bpp = ((f(14) & 0xff) | ((f(15) & 0xff) << 8))
+    val clrUsed = le32(f, 32)
+    val palette =
+      if (bpp > 8) 0L
+      else if (clrUsed > 0) clrUsed * 4L
+      else (1L << bpp) * 4L
+    val out = new Array[Byte](14 + f.length)
+    out(0) = 'B'; out(1) = 'M'
+    writeLE32(out, 2, 14L + f.length)
+    writeLE32(out, 10, 14L + 40L + palette)
+    System.arraycopy(f, 0, out, 14, f.length)
+    out
   }
 
   /** REAL frame extraction from an AVI container — the RIFF chunk walk
@@ -677,14 +745,17 @@ object Multimodal {
   }
 
   /** PIXEL-level frame statistics — the operator that retires the
-    * rasterization stub for uncompressed payloads: per video row,
-    * frames come out of the REAL container walk ([[extractAviFrames]])
-    * and each frame rasterizes through the REAL [[decodeImage]] (the
-    * JDK BMP reader — DIB/BMP frames decode to exact pixels). One row
-    * per (media, frame): (media_id, frame_idx, decoded, width, height,
-    * mean_r, mean_g, mean_b). Frames a codec the JDK lacks (compressed
-    * `..dc` chunks) report `decoded = false` with zeroed stats, and a
-    * blob that is not a frame-bearing AVI emits ONE fallback row — the
+    * rasterization stub for every codec the JDK ships a reader for:
+    * per video row, frames come out of the REAL container walk
+    * ([[extractAviFrames]]) and each frame rasterizes through the REAL
+    * [[decodeImage]] — complete BMP files and headerless DIBs (via
+    * [[wrapDibFrame]]) through the BMP reader, MJPEG `..dc` frames
+    * (standalone JPEGs, the dominant compressed intra-frame AVI codec)
+    * through the JPEG reader. One row per (media, frame): (media_id,
+    * frame_idx, decoded, width, height, mean_r, mean_g, mean_b).
+    * Frames of a codec the JDK lacks (inter-frame codecs: MPEG-4,
+    * H.264…) report `decoded = false` with zeroed stats, and a blob
+    * that is not a frame-bearing AVI emits ONE fallback row — the
     * mixed-corpus discipline of [[imageStats]]/[[videoStats]], so one
     * plan serves real containers, compressed codecs, and opaque bytes.
     * Same `mapPartitions` codec boundary; binary payloads never
@@ -706,7 +777,7 @@ object Multimodal {
         val id = r.getLong(idIdx)
         extractAviFrames(r.getAs[Array[Byte]](blobIdx)) match {
           case Some(frames) => frames.iterator.zipWithIndex.map {
-            case (f, k) => decodeImage(f) match {
+            case (f, k) => decodeImage(wrapDibFrame(f)) match {
               case Some((w, h, _, means)) =>
                 Row(id, k, true, w, h, means(0), means(1), means(2))
               case None => Row(id, k, false, 0, 0, 0.0, 0.0, 0.0)
@@ -746,6 +817,35 @@ object Multimodal {
           }
         Row(i, "video", blob,
           Row((i * 37 % 1920 + 1).toInt, (i * 17 % 1080 + 1).toInt, "stub"))
+      }
+    }(RowEncoder.encoderFor(mediaSchema))
+
+  /** The COMPRESSED-codec twin of [[synthesizeFrameMedia]]: MJPEG AVIs
+    * — `00dc` chunks holding standalone JPEGs ([[minimalJpegGray]]) —
+    * at the same id-derived closed forms, restricted to GRAY frames
+    * (c = (id·31 + k·17) mod 256 on all three channels) because gray
+    * solids are the subset the JPEG codec round-trips pixel-exact
+    * (see [[minimalJpegGray]]); the `q_multimodal_mjpeg` DuckDB oracle
+    * recomputes the expected stats arithmetically, so row equality
+    * proves the container walk + JDK JPEG rasterization INVERT a
+    * COMPRESSED encoding. id % 5 == 0 rows stay opaque payloads
+    * (fallback path in the same plan). */
+  def synthesizeMjpegMedia(docs: DataFrame, id: String): DataFrame =
+    docs.select(col(id).cast(LongType).as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        val blob: Array[Byte] =
+          if (i % 5 == 0) s"opaque payload $i".getBytes("UTF-8")
+          else {
+            val w = (i * 13 % 24 + 4).toInt
+            val h = (i * 7 % 16 + 4).toInt
+            val frames = (0 to (i % 3).toInt).map { k =>
+              minimalJpegGray(w, h, ((i * 31 + k * 17) % 256).toInt)
+            }
+            minimalAviFrames(40000L, w, h, 1, frames, fourcc = "00dc")
+          }
+        Row(i, "video", blob,
+          Row((i * 37 % 1920 + 1).toInt, (i * 17 % 1080 + 1).toInt, "MJPG"))
       }
     }(RowEncoder.encoderFor(mediaSchema))
 

@@ -113,6 +113,18 @@ object PipelineQueries {
   def bm25TopKQ(s: SparkSession, d: String): DataFrame =
     bm25Q(s, d).orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
 
+  /** The composition a search ENDPOINT actually calls: BM25 top-k cut
+    * over the PERSISTED artifacts — `q_bm25_stored`'s token-bucket-
+    * pruned scan (PartitionFilters on `tbucket`) under `q_bm25_topk`'s
+    * `TakeOrderedAndProject` (never a global sort; deterministic doc_id
+    * tie-break). Without this cut the stored server returns ALL
+    * matching docs — corpus-scale for a common term at 100 TB; with it,
+    * k rows leave the aggregation. Oracle-pinned to `q_bm25_topk`'s
+    * exact SQL, so stored-pruned-served top-k ≡ corpus-recomputed
+    * top-k. */
+  def bm25TopKStoredQ(s: SparkSession, d: String): DataFrame =
+    bm25StoredQ(s, d).orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
+
   /** Inverted-index build — the retrieval-side artifact (keyword/BM25
     * search, doc-frequency stats) over the same corpus: per token, the
     * distinct-document frequency and the first [[PostingsCap]] doc ids
@@ -767,6 +779,18 @@ object PipelineQueries {
     Multimodal.frameStats(
       Multimodal.synthesizeFrameMedia(par(documents(s, d)), "doc_id"))
 
+  /** COMPRESSED-codec rasterization, oracle-checked: MJPEG AVIs —
+    * `00dc` chunks holding REAL JDK-encoded JPEGs of solid gray frames
+    * ([[Multimodal.synthesizeMjpegMedia]]) — through the same container
+    * walk + [[Multimodal.frameStats]], now hitting the JPEG reader.
+    * Gray solids at quality 1.0 round-trip pixel-exact (constant-block
+    * DCT carries only the DC coefficient; unit quantization preserves
+    * it), so the oracle's closed-form c/255 means stay hash-exact even
+    * through a lossy codec. id % 5 rows exercise the opaque fallback. */
+  def multimodalMjpeg(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameStats(
+      Multimodal.synthesizeMjpegMedia(par(documents(s, d)), "doc_id"))
+
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.mediaStats(
       Multimodal.synthesizeMedia(documents(s, d), "doc_id", "text"))
@@ -838,6 +862,7 @@ object PipelineQueries {
     "q_tfidf_index"    -> (tfidfIndexQ _),
     "q_bm25_topk"      -> (bm25TopKQ _),
     "q_bm25_stored"    -> (bm25StoredQ _),
+    "q_bm25_topk_stored" -> (bm25TopKStoredQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -886,6 +911,7 @@ object PipelineQueries {
     "q_multimodal_resize" -> (multimodalResize _),
     "q_multimodal_video" -> (multimodalVideo _),
     "q_multimodal_pixels" -> (multimodalPixels _),
+    "q_multimodal_mjpeg" -> (multimodalMjpeg _),
     "q_pipeline_clean"  -> (pipelineClean _),
     "q_pipeline_neardup" -> (pipelineNearDup _))
 
@@ -1014,6 +1040,11 @@ object PipelineQueries {
     // merge-order divergence is sub-ulp-per-term and the top-20 scores
     // on the fixture are well separated, so the selected SET is stable
     "q_bm25_topk" ->
+      s"""SELECT * FROM ($Bm25Sql)
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // the stored-artifact serving cut must return the SAME top-k as the
+    // corpus-recomputed one — the SAME oracle SQL pins it to q_bm25_topk
+    "q_bm25_topk_stored" ->
       s"""SELECT * FROM ($Bm25Sql)
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // same token stream; avg-of-logs merge order differs at ~1e-12 and
@@ -1414,6 +1445,23 @@ object PipelineQueries {
         |  ((doc_id * 31 + k * 17) % 256) / 255.0 AS mean_r,
         |  ((doc_id * 11 + k * 7) % 256) / 255.0 AS mean_g,
         |  ((doc_id * 5 + k * 3) % 256) / 255.0 AS mean_b
+        |FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS u(k)
+        |WHERE doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT doc_id, 0, false, 0, 0, 0.0, 0.0, 0.0
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // the MJPEG twin: gray solid frames, c = (id*31 + k*17) mod 256 on
+    // all three channels — the subset the JPEG codec round-trips
+    // pixel-exact at quality 1.0, so a COMPRESSED decode stays
+    // arithmetic-SQL-checkable (see Multimodal.minimalJpegGray)
+    "q_multimodal_mjpeg" ->
+      """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
+        |  true AS decoded,
+        |  CAST(doc_id * 13 % 24 + 4 AS INTEGER) AS width,
+        |  CAST(doc_id * 7 % 16 + 4 AS INTEGER) AS height,
+        |  ((doc_id * 31 + k * 17) % 256) / 255.0 AS mean_r,
+        |  ((doc_id * 31 + k * 17) % 256) / 255.0 AS mean_g,
+        |  ((doc_id * 31 + k * 17) % 256) / 255.0 AS mean_b
         |FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS u(k)
         |WHERE doc_id % 5 <> 0
         |UNION ALL

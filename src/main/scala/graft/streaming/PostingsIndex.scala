@@ -246,7 +246,14 @@ object PostingsIndex {
     val (dirs, mergeInput, listed) = {
       val (live, referenced, files) = liveShardDirs(spark, indexPath, allDirs)
       if (referenced.isEmpty)
-        (allDirs, allDirs.map(_.toString), Map.empty[Path, Seq[Path]])
+        // explicit FILE paths, not dir paths: a partitioned shard
+        // layout (tf/df's nested tbucket= dirs) under multiple shard
+        // roots fails partition discovery as a multi-dir read — and
+        // the manifest branch below reads files too, so both paths
+        // hand writeMerged partition-column-free rows (the bucketed
+        // rewriters re-derive tbucket from the token)
+        (allDirs, allDirs.flatMap(d => parquetFilesUnder(fs, d))
+          .map(_.toString), Map.empty[Path, Seq[Path]])
       else {
         allDirs.filterNot(live.toSet).foreach(fs.delete(_, true)) // orphans
         (live, live.flatMap(d => files(d)
@@ -275,6 +282,97 @@ object PostingsIndex {
     (dirs.length, shardDirs(spark, indexPath).length)
   }
 
+  // ---- checkpoint lineage: one checkpoint per index dir, enforced ----
+
+  /** Enforce the one-checkpoint-per-index-dir contract the watermark
+    * skip depends on. The skip is only correct for a TRUE replay (same
+    * checkpoint lineage, same batch content); a NEW stream — deleted or
+    * repointed checkpoint — restarts batch ids at 0 and would silently
+    * lose its first batches to the skip. Sinks therefore record their
+    * checkpoint path in a `_lineage` marker at the index root on first
+    * write, and every later batch verifies it:
+    *   - marker matches the stream's checkpoint → true replay, the
+    *     skip (and any normal write) proceeds;
+    *   - marker differs → ALWAYS throw (even above the watermark: two
+    *     checkpoints interleaving batch ids into one index double-
+    *     counts docs);
+    *   - marker absent and the batch is about to watermark-SKIP →
+    *     throw: an un-lineaged compacted index under a fresh stream is
+    *     exactly the silent-loss case — a startup error is recoverable,
+    *     silent index loss is not.
+    * Direct API calls (lineage = None: tests, out-of-band maintenance)
+    * keep the logged-skip behavior — they have no checkpoint to verify. */
+  private def verifyLineage(spark: SparkSession, root: String,
+                            lineage: Option[String],
+                            aboutToSkip: Boolean): Unit =
+    lineage.foreach { ck =>
+      val p = new Path(s"$root/_lineage")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker =
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(in.readAllBytes(), "UTF-8").trim)
+          finally in.close()
+        }
+      marker match {
+        case Some(m) if m == ck => ()
+        case Some(m) => throw new IllegalStateException(
+          s"index at $root belongs to checkpoint lineage '$m' but this " +
+          s"stream runs from '$ck' — one checkpoint per index dir is the " +
+          "contract; a second stream's batch ids would double-count or " +
+          "silently drop documents. Use a fresh index dir.")
+        case None if aboutToSkip => throw new IllegalStateException(
+          s"batch at or below the merged-shard watermark of $root, and " +
+          s"the index carries no _lineage marker for checkpoint '$ck' — " +
+          "this looks like a NEW stream (fresh or repointed checkpoint) " +
+          "over an existing compacted index, whose first batches the " +
+          "replay skip would silently lose. Use a fresh index dir, or " +
+          "restore the original checkpoint.")
+        case None =>
+          val out = fs.create(p, true)
+          try out.write(ck.getBytes("UTF-8")) finally out.close()
+      }
+    }
+
+  // ---- tf/dl consistency pairs: atomic-by-ordering version pairing ----
+
+  /** Record which (tfVersion, dlVersion) MANIFEST versions describe the
+    * SAME corpus state — written AFTER both commits of a batch
+    * succeeded, as an empty marker `_pairs/v<tf>-<dl>` under the tf
+    * root. The two roots' version counters can drift permanently (a
+    * crash between the tf and dl writes replays into an extra tf
+    * commit), so "latest of each" can pair two different corpus
+    * states; "latest recorded pair" cannot: the marker only exists if
+    * both commits it names had landed, and a crash before the marker
+    * simply leaves the previous pair current until the replay completes
+    * the batch and records a fresh one. */
+  private def recordPair(spark: SparkSession, tfPath: String,
+                         tfV: Long, dlV: Long): Unit = {
+    val p = new Path(s"$tfPath/_pairs/v$tfV-$dlV")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.close()
+  }
+
+  private val PairRe = "v([0-9]+)-([0-9]+)".r
+
+  /** Latest mutually-consistent (tfVersion, dlVersion) pair — what a
+    * serving caller should pin instead of trusting two independent
+    * "latest version" reads ([[bm25FromStored]] resolves through this
+    * when no explicit versions are given). None when the index was
+    * built without snapshots (no versions to pair). */
+  def latestConsistentPair(spark: SparkSession,
+                           tfPath: String): Option[(Long, Long)] = {
+    val d = new Path(s"$tfPath/_pairs")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+      case PairRe(t, l) => (t.toLong, l.toLong)
+    }.maxOption
+  }
+
   /** The per-batch body (exposed for replay tests): write the batch
     * shard, commit the manifest, compact on cadence.
     *
@@ -292,8 +390,11 @@ object PostingsIndex {
     * the duplicate window; manifests are the production read path.) */
   def indexBatch(batch: DataFrame, batchId: Long, indexPath: String,
                  cap: Int = DefaultCap, compactEvery: Int = 0,
-                 snapshots: Boolean = false): Unit = {
-    if (mergedUpTo(batch.sparkSession, indexPath).exists(batchId <= _)) {
+                 snapshots: Boolean = false,
+                 lineage: Option[String] = None): Unit = {
+    val skip = mergedUpTo(batch.sparkSession, indexPath).exists(batchId <= _)
+    verifyLineage(batch.sparkSession, indexPath, lineage, aboutToSkip = skip)
+    if (skip) {
       logWatermarkSkip(indexPath, batchId)
       return // replayed batch already folded into a committed m-shard
     }
@@ -307,12 +408,16 @@ object PostingsIndex {
   }
 
   /** The watermark skip is only correct for a TRUE replay — same
-    * checkpoint lineage, same batch content. A NEW stream (deleted or
-    * repointed checkpoint) over an existing compacted index restarts
-    * batch ids at 0 and would silently lose its first batches here, so
-    * the skip logs loudly with the remediation: one checkpoint per
-    * index dir is the contract (the fresh-docs discipline's sibling);
-    * a new stream needs a fresh index dir. */
+    * checkpoint lineage, same batch content. On the SINK path that is
+    * ENFORCED: [[verifyLineage]] throws when the `_lineage` marker
+    * disagrees with (or cannot confirm) the stream's checkpoint, so a
+    * new stream over an existing compacted index fails at startup
+    * instead of silently losing its first batches. This log remains
+    * for the direct-API path (lineage = None: tests, out-of-band
+    * maintenance), which has no checkpoint to verify — there the skip
+    * logs loudly with the remediation: one checkpoint per index dir is
+    * the contract (the fresh-docs discipline's sibling); a new stream
+    * needs a fresh index dir. */
   private def logWatermarkSkip(root: String, batchId: Long): Unit =
     System.err.println(s"[PostingsIndex] batch $batchId at or below the " +
       s"merged-shard watermark of $root — treating as a checkpoint " +
@@ -354,17 +459,23 @@ object PostingsIndex {
     * and compaction is a rewrite ([[compactUnionShards]]). */
   def tfIndexBatch(batch: DataFrame, batchId: Long, tfPath: String,
                    dlPath: String, compactEvery: Int = 0,
-                   snapshots: Boolean = false): Unit = {
+                   snapshots: Boolean = false,
+                   dfPath: Option[String] = None,
+                   lineage: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     // replay watermark per artifact: each skips independently (a crash
     // between the two writes replays with only one of them folded)
     val tfMerged = mergedUpTo(spark, tfPath).exists(batchId <= _)
     val dlMerged = mergedUpTo(spark, dlPath).exists(batchId <= _)
+    val dfMerged = dfPath.exists(p => mergedUpTo(spark, p).exists(batchId <= _))
+    verifyLineage(spark, tfPath, lineage, aboutToSkip = tfMerged)
+    verifyLineage(spark, dlPath, lineage, aboutToSkip = dlMerged)
+    dfPath.foreach(p => verifyLineage(spark, p, lineage, aboutToSkip = dfMerged))
     if (tfMerged) logWatermarkSkip(tfPath, batchId)
     if (dlMerged) logWatermarkSkip(dlPath, batchId)
+    val tf = TextAnalysis.tfPostings(batch, "doc_id", "text")
+      .withColumn("tbucket", tokenBucket(col("token")))
     if (!tfMerged) {
-      val tf = TextAnalysis.tfPostings(batch, "doc_id", "text")
-        .withColumn("tbucket", tokenBucket(col("token")))
       if (snapshots)
         writeShardManifestSafe(tf, tfPath, batchId, Seq("tbucket"))
       else tf.write.partitionBy("tbucket").mode("overwrite")
@@ -375,11 +486,48 @@ object PostingsIndex {
       if (snapshots) writeShardManifestSafe(dl, dlPath, batchId)
       else dl.write.mode("overwrite").parquet(s"$dlPath/shard=b$batchId")
     }
+    // the df SUMMARY sidecar (token, df) — vocab-scale, bucket-
+    // partitioned like tf: what lets a serving query bound a stopword
+    // term's cost BEFORE the corpus-scale tf scan ([[bm25FromStored]]'s
+    // maxDfFrac). Batch-local df rows are additive across the doc-
+    // disjoint shards (fresh-docs discipline), so reads sum per token.
+    dfPath.foreach { dp =>
+      if (!dfMerged) {
+        val df = tf.groupBy("token", "tbucket")
+          .agg(count(lit(1)).as("df"))
+        if (snapshots) writeShardManifestSafe(df, dp, batchId, Seq("tbucket"))
+        else df.write.partitionBy("tbucket").mode("overwrite")
+          .parquet(s"$dp/shard=b$batchId")
+      } else logWatermarkSkip(dp, batchId)
+    }
     if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
       compactUnionShards(spark, tfPath, tokenBuckets = true)
       compactUnionShards(spark, dlPath)
+      dfPath.foreach(compactDfShards(spark, _))
     }
+    // the consistency pair lands strictly LAST — after both commits
+    // (and the cadence compaction, so the pair names versions a reader
+    // resolves without _stale indirection): a crash anywhere above
+    // leaves the previous pair current, and the replay that completes
+    // the batch records the fresh one — so the latest recorded pair
+    // always names two versions of ONE corpus state
+    if (snapshots) for {
+      tfV <- Snapshot.latestVersion(spark, tfPath)
+      dlV <- Snapshot.latestVersion(spark, dlPath)
+    } recordPair(spark, tfPath, tfV, dlV)
   }
+
+  /** Re-aggregating compaction for the df summary sidecar: shards hold
+    * batch-local (token, tbucket, df) rows, so the merged shard sums df
+    * per token — vocab-scale both sides — and the rewrite keeps the
+    * token-bucket partitioning pruned reads depend on. Same loss-proof
+    * commit order and orphan recovery as [[compactShards]]. */
+  def compactDfShards(spark: SparkSession, dfPath: String): (Int, Int) =
+    compactWith(spark, dfPath,
+      df => df.drop("tbucket").groupBy("token")
+        .agg(sum(col("df")).as("df"))
+        .withColumn("tbucket", tokenBucket(col("token"))),
+      (df, p) => df.write.partitionBy("tbucket").mode("overwrite").parquet(p))
 
   /** The token-bucket-PRUNED tf read: scans ONLY the given buckets'
     * partition dirs — file-level pruning on both read paths (plain
@@ -397,7 +545,7 @@ object PostingsIndex {
            keepRel = rel => buckets.forall(bs =>
              bucketRe.findFirstMatchIn(rel)
                .forall(m => bs(m.group(1).toInt))))
-       else None).getOrElse(spark.read.parquet(tfPath))
+       else None).getOrElse(readRawMaybeMixed(spark, tfPath))
     // the manifest path parses partition values as strings, and an
     // un-bucketed layout (a flat m-shard, or a pre-layout index) has no
     // tbucket at all — normalize to int, null for flat files
@@ -418,24 +566,100 @@ object PostingsIndex {
       .drop("shard")
   }
 
+  /** Raw (non-manifest) read that survives a LAYOUT MIX: a root holding
+    * both token-bucketed shards (nested `tbucket=` dirs) and flat ones
+    * (a pre-layout index a bucketed stream later appended to) fails
+    * `spark.read.parquet(root)` outright — partition discovery rejects
+    * conflicting directory structures. The mix is split per layout and
+    * unioned: bucketed shards read with `basePath` (partition columns
+    * and their planning-time pruning intact), flat shards read with a
+    * null `tbucket`. The single-layout common case stays the plain
+    * root read (unchanged plan shape). */
+  private def readRawMaybeMixed(spark: SparkSession,
+                                root: String): DataFrame = {
+    val dirs = shardDirs(spark, root)
+    if (dirs.isEmpty) return spark.read.parquet(root)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (bucketed, flat) = dirs.partition(d =>
+      fs.listStatus(d).exists(st => st.isDirectory &&
+        st.getPath.getName.startsWith("tbucket=")))
+    if (bucketed.isEmpty || flat.isEmpty) spark.read.parquet(root)
+    else {
+      val bDf = spark.read.option("basePath", root)
+        .parquet(bucketed.map(_.toString): _*)
+      val fDf = spark.read.option("basePath", root)
+        .parquet(flat.map(_.toString): _*)
+        .withColumn("tbucket", lit(null).cast("int"))
+      bDf.withColumn("tbucket", col("tbucket").cast("int"))
+        .unionByName(fDf.select(bDf.columns.map(col): _*))
+    }
+  }
+
+  /** The df-summary read twin of [[readTfIndex]]: the (token, df)
+    * summary for the given buckets, shard-summed (batch-local df rows
+    * are additive over doc-disjoint shards). Vocab-bucket-scale. */
+  def readDfIndex(spark: SparkSession, dfPath: String,
+                  version: Option[Long] = None,
+                  buckets: Option[Set[Int]] = None): DataFrame =
+    readTfIndex(spark, dfPath, version, buckets)
+      .drop("tbucket").groupBy("token").agg(sum(col("df")).as("df"))
+
   /** BM25 served from the STORED layout with REAL pruning: the query
     * terms' buckets are computed on the driver ([[tokenBucketLocal]],
     * zero jobs), the tf scan touches only those bucket dirs, and the
-    * shared scorer ([[TextAnalysis.bm25FromIndex]]) does the rest. */
+    * shared scorer ([[TextAnalysis.bm25FromIndex]]) does the rest.
+    *
+    * Version pinning: explicit `tfVersion`/`dlVersion` win; with BOTH
+    * unset, the read resolves the latest CONSISTENT pair recorded by
+    * [[tfIndexBatch]] ([[latestConsistentPair]]) — never two
+    * independent "latest" reads whose counters may have drifted across
+    * a split-write crash replay.
+    *
+    * Stopword bound: partition pruning prunes to a term's BUCKET, not
+    * its posting list — a stopword's Σ df rows are corpus-scale
+    * regardless. With `dfPath` + `maxDfFrac` set, terms whose corpus df
+    * exceeds `maxDfFrac · N` are dropped BEFORE the tf scan, decided
+    * from the vocab-scale df summary (a ≤|terms|-row driver collect),
+    * so the scan stays bounded by the surviving terms' posting lists.
+    * The score deviation is bounded by the dropped terms' idf — ≈0 for
+    * a true stopword by the BM25 idf formula (df→N ⇒ idf→ln(1+~0)) —
+    * and docs whose ONLY hits were dropped terms leave the result set
+    * (classic stopword-removal semantics); `PostingsIndexSpec` pins the
+    * bound. The df summary itself is read un-versioned: it only gates
+    * the CUT decision, never the scores, which come from tf/dl alone. */
   def bm25FromStored(spark: SparkSession, tfPath: String, dlPath: String,
                      terms: Seq[String], k1: Double = 1.2,
                      b: Double = 0.75,
                      tfVersion: Option[Long] = None,
-                     dlVersion: Option[Long] = None): DataFrame = {
-    // the two roots are pinned SEPARATELY: their version counters can
-    // drift permanently (a crash between the tf and dl writes replays
-    // into an extra tf commit), so a single shared number would pair
-    // two different logical corpus states — callers pin each root to
-    // the versions they observed together
-    val buckets = terms.map(tokenBucketLocal).toSet
+                     dlVersion: Option[Long] = None,
+                     dfPath: Option[String] = None,
+                     maxDfFrac: Option[Double] = None): DataFrame = {
+    val (tfV, dlV) = (tfVersion, dlVersion) match {
+      case (None, None) => latestConsistentPair(spark, tfPath)
+        .map { case (t, l) => (Some(t), Some(l)) }.getOrElse((None, None))
+      case pinned => pinned
+    }
+    val dl = readUnionShards(spark, dlPath, dlV)
+    val kept = (dfPath, maxDfFrac) match {
+      case (Some(dp), Some(frac)) =>
+        val n = dl.count().toDouble // one doc-scale aggregate
+        val dfBuckets = terms.map(tokenBucketLocal).toSet
+        val dfs = readDfIndex(spark, dp, buckets = Some(dfBuckets))
+          .where(col("token").isin(terms: _*))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        terms.filterNot(t => dfs.getOrElse(t, 0L) > frac * n)
+      case _ => terms
+    }
+    if (kept.isEmpty)
+      // every query term was stopword-cut: empty result, scorer schema
+      return dl.select(col("doc_id")).limit(0)
+        .withColumn("bm25", lit(0.0))
+        .withColumn("n_hits", lit(0L))
+    val buckets = kept.map(tokenBucketLocal).toSet
     TextAnalysis.bm25FromIndex(
-      readTfIndex(spark, tfPath, tfVersion, Some(buckets)).drop("tbucket"),
-      readUnionShards(spark, dlPath, dlVersion), terms, k1, b)
+      readTfIndex(spark, tfPath, tfV, Some(buckets)).drop("tbucket"),
+      dl, kept, k1, b)
   }
 
   /** Serving read for the union-merged shard tables (tf / doc-lengths):
@@ -452,15 +676,31 @@ object PostingsIndex {
                        checkpoint: String,
                        trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                        compactEvery: Int = 0,
-                       snapshots: Boolean = false): StreamingQuery =
+                       snapshots: Boolean = false,
+                       dfPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        tfIndexBatch(batch, batchId, tfPath, dlPath, compactEvery, snapshots)
+        tfIndexBatch(batch, batchId, tfPath, dlPath, compactEvery, snapshots,
+          dfPath, lineage = Some(checkpoint))
       }
       .start()
+
+  /** Test-only fault injection: run ONLY the tf half of [[tfIndexBatch]]
+    * (manifest-safe write + commit), then stop BEFORE the dl write and
+    * the pair record — the split-write crash window
+    * [[latestConsistentPair]] must confine: the tf version counter
+    * advances past the last recorded pair, and a pair-resolved read
+    * must keep serving the pre-crash corpus state. */
+  private[graft] def tfIndexBatchCrashAfterTf(batch: DataFrame,
+                                              batchId: Long,
+                                              tfPath: String): Unit =
+    writeShardManifestSafe(
+      TextAnalysis.tfPostings(batch, "doc_id", "text")
+        .withColumn("tbucket", tokenBucket(col("token"))),
+      tfPath, batchId, Seq("tbucket"))
 
   /** Test-only fault injection: run [[compactShards]]' merged-shard
     * write, then stop BEFORE the manifest commit — leaving exactly the
@@ -495,7 +735,8 @@ object PostingsIndex {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        indexBatch(batch, batchId, indexPath, cap, compactEvery, snapshots)
+        indexBatch(batch, batchId, indexPath, cap, compactEvery, snapshots,
+          lineage = Some(checkpoint))
       }
       .start()
 }

@@ -241,6 +241,59 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage("notabmp".getBytes("UTF-8")).isEmpty)
   }
 
+  test("MJPEG frames rasterize pixel-exact; headerless DIBs decode via the wrap") {
+    // the COMPRESSED-codec decode: a gray solid JPEG at quality 1.0
+    // round-trips exactly (constant-block DCT = DC only, unit
+    // quantization) — the property the q_multimodal_mjpeg oracle's
+    // closed form depends on
+    for (c <- Seq(0, 7, 128, 255)) {
+      val j = Multimodal.minimalJpegGray(13, 9, c)
+      // a real JPEG signature, not a BMP
+      assert((j(0) & 0xff) == 0xff && (j(1) & 0xff) == 0xd8)
+      val Some((w, h, _, m)) = Multimodal.decodeImage(j)
+      assert(w == 13 && h == 9)
+      assert(m(0) == c / 255.0 && m(1) == c / 255.0 && m(2) == c / 255.0,
+        s"gray $c decoded to (${m(0)},${m(1)},${m(2)})")
+    }
+    // the operator over the closed-form MJPEG corpus — identical
+    // structure to the BMP test, now through a compressed codec
+    val ids = (0 until 12).map(_.toLong).toDF("doc_id")
+    val out = Multimodal.frameStats(Multimodal.synthesizeMjpegMedia(ids, "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    for (i <- 0L until 12L if i % 5 != 0; k <- 0 to (i % 3).toInt) {
+      val r = out((i, k))
+      val c = ((i * 31 + k * 17) % 256) / 255.0
+      assert(r.getBoolean(2), s"id $i frame $k must decode")
+      assert(r.getInt(3) == (i * 13 % 24 + 4).toInt &&
+        r.getInt(4) == (i * 7 % 16 + 4).toInt, s"id $i frame $k dims")
+      assert(r.getDouble(5) == c && r.getDouble(6) == c && r.getDouble(7) == c,
+        s"id $i frame $k means")
+    }
+
+    // headerless DIB (how standard AVIs actually pack 00db chunks:
+    // BITMAPINFOHEADER + raster, no BITMAPFILEHEADER): the wrap
+    // synthesizes the file header and the JDK BMP reader decodes the
+    // exact pixels; complete BMPs and JPEGs pass through untouched
+    val bmp = Multimodal.minimalBmp(6, 4)((x, _) =>
+      if (x < 3) 0xFF0000 else 0x0000FF)
+    val dib = java.util.Arrays.copyOfRange(bmp, 14, bmp.length)
+    assert(Multimodal.decodeImage(dib).isEmpty,
+      "a bare DIB should not decode without the wrap")
+    val Some((dw, dh, _, dm)) = Multimodal.decodeImage(Multimodal.wrapDibFrame(dib))
+    assert(dw == 6 && dh == 4 && dm(0) == 0.5 && dm(1) == 0.0 && dm(2) == 0.5)
+    assert(Multimodal.wrapDibFrame(bmp).sameElements(bmp),
+      "a complete BMP must pass through untouched")
+    // and inside a container: an AVI of headerless-DIB frames decodes
+    // through frameStats end to end
+    val avi = Multimodal.minimalAviFrames(40000, 6, 4, 1, Seq(dib))
+    val rows = Multimodal.frameStats(
+      Seq((1L, "video", avi, (6, 4, "raw"))).toDF("media_id", "media_type", "blob", "meta"))
+      .collect()
+    assert(rows.length == 1 && rows(0).getBoolean(2) &&
+      rows(0).getInt(3) == 6 && rows(0).getDouble(5) == 0.5,
+      s"headerless DIB in-container decode failed: ${rows.toSeq}")
+  }
+
   test("extractFeatures: fixed-size float vectors, deterministic") {
     val media = Multimodal.synthesizeMedia(
       Tables.documents(spark, sf0001), "doc_id", "text")

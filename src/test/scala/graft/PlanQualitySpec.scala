@@ -167,6 +167,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_bm25_index",  // the same (N, avgdl) scalar, served from the dl sidecar
       "q_bm25_topk",   // the bm25 shape under a TakeOrdered cut
       "q_bm25_stored", // the same scalar, served from stored artifacts
+      "q_bm25_topk_stored", // the stored scalar under the TakeOrdered cut
       "q_tfidf_index") // the N single-row scalar, served from the dl sidecar
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
@@ -252,5 +253,14 @@ class PlanQualitySpec extends SparkSpec {
     val bt = physical("q_bm25_topk")
     assert(bt.contains("TakeOrderedAndProject"), bt.take(600))
     assert(!bt.contains("Sort ["), s"q_bm25_topk planned a full sort:\n${bt.take(600)}")
+    // q_bm25_topk_stored: the endpoint composition keeps BOTH
+    // properties in one plan — the pruned PartitionFilters scan of the
+    // stored layout AND the TakeOrderedAndProject cut on top of it
+    val bts = physical("q_bm25_topk_stored")
+    assert(bts.contains("TakeOrderedAndProject"), bts.take(600))
+    assert(!bts.contains("Sort ["),
+      s"q_bm25_topk_stored planned a full sort:\n${bts.take(600)}")
+    assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(bts).isDefined,
+      s"q_bm25_topk_stored tf scan carries no tbucket partition filter:\n${bts.take(900)}")
   }
 }

@@ -272,6 +272,207 @@ class PostingsIndexSpec extends SparkSpec {
     }
   }
 
+  test("the recorded tf/dl pair never mixes corpus states across a split-write crash") {
+    // the version-drift hazard the _pairs sidecar closes: a crash
+    // between the tf commit and the dl write leaves tf's version
+    // counter one ahead — "latest of each" would score batch-1 tf rows
+    // against a batch-0 dl sidecar (two different corpus states). The
+    // pair marker lands strictly AFTER both commits, so the latest
+    // RECORDED pair always names one corpus state, through the crash
+    // window and after the replay heals it.
+    import graft.functions.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("tf-pairs").toString
+    val (tfP, dlP) = (s"$dir/tf", s"$dir/dl")
+    val b0 = Seq((1L, "join filter a"), (2L, "dup b join")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "join c"), (4L, "filter dup d")).toDF("doc_id", "text")
+    val terms = Seq("join", "filter", "dup")
+    def bm25Map(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    def directMap(docs: org.apache.spark.sql.DataFrame) =
+      bm25Map(TextAnalysis.bm25(docs, "doc_id", "text", terms))
+    def assertSame(label: String, a: Map[Long, (Double, Long)],
+                   b: Map[Long, (Double, Long)]): Unit = {
+      assert(a.keySet == b.keySet, s"$label: doc sets differ")
+      a.foreach { case (k, (s, h)) =>
+        val (ds, dh) = b(k)
+        assert(h == dh && math.abs(s - ds) < 1e-9,
+          s"$label: doc $k ($s,$h) vs ($ds,$dh)")
+      }
+    }
+    PostingsIndex.tfIndexBatch(b0, 0, tfP, dlP, snapshots = true)
+    val pair0 = PostingsIndex.latestConsistentPair(spark, tfP)
+    assert(pair0.isDefined, "batch 0 recorded no pair")
+    // crash: batch 1's tf shard COMMITS, its dl shard never lands, no
+    // fresh pair is recorded — tf's latest version now leads the pair
+    PostingsIndex.tfIndexBatchCrashAfterTf(b1, 1, tfP)
+    assert(Snapshot.latestVersion(spark, tfP).get > pair0.get._1,
+      "crash injection did not advance the tf version")
+    assert(PostingsIndex.latestConsistentPair(spark, tfP) == pair0,
+      "the crash window must not surface a new pair")
+    // the naive latest-of-each read WOULD mix states (b1 tf rows over a
+    // b0-only dl sidecar)...
+    assert(PostingsIndex.readTfIndex(spark, tfP)
+      .select("doc_id").distinct().count() == 4,
+      "latest tf should already hold batch 1's docs")
+    assert(PostingsIndex.readUnionShards(spark, dlP).count() == 2,
+      "dl must still hold only batch 0")
+    // ...but the pair-resolved default read keeps serving exactly the
+    // pre-crash corpus state
+    assertSame("inside the crash window",
+      bm25Map(PostingsIndex.bm25FromStored(spark, tfP, dlP, terms)),
+      directMap(b0))
+    // the replay completes the batch and records the fresh pair
+    PostingsIndex.tfIndexBatch(b1, 1, tfP, dlP, snapshots = true)
+    val pair1 = PostingsIndex.latestConsistentPair(spark, tfP)
+    assert(pair1.isDefined && pair1.get._1 > pair0.get._1)
+    assertSame("after the healing replay",
+      bm25Map(PostingsIndex.bm25FromStored(spark, tfP, dlP, terms)),
+      directMap(b0.unionByName(b1)))
+    // and the old pair stays pinnable: scoring at pair0 still serves b0
+    assertSame("pinned at the pre-crash pair",
+      bm25Map(PostingsIndex.bm25FromStored(spark, tfP, dlP, terms,
+        tfVersion = Some(pair0.get._1), dlVersion = Some(pair0.get._2))),
+      directMap(b0))
+  }
+
+  test("the df-bounded stored scorer cuts stopword terms inside the pinned deviation") {
+    // partition pruning prunes to a term's BUCKET, not its posting
+    // list: a stopword's Σ df tf rows are corpus-scale regardless. The
+    // df summary sidecar lets the scorer drop such terms BEFORE the tf
+    // scan; the price is a score deviation bounded by the dropped
+    // terms' idf — which the BM25 formula sends to ~0 as df → N.
+    val n = 40
+    val corpus = (0 until n).map { i =>
+      val rare = if (i % 10 == 0) " join" else ""
+      (i.toLong, s"the common$rare word$i")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tf-dfbound").toString
+    val (tfP, dlP, dfP) = (s"$dir/tf", s"$dir/dl", s"$dir/df")
+    PostingsIndex.tfIndexBatch(corpus, 0, tfP, dlP, dfPath = Some(dfP))
+    val terms = Seq("join", "the")
+    def scoreMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = scoreMap(PostingsIndex.bm25FromStored(spark, tfP, dlP, terms))
+    val bounded = scoreMap(PostingsIndex.bm25FromStored(spark, tfP, dlP,
+      terms, dfPath = Some(dfP), maxDfFrac = Some(0.5)))
+    // "the" (df = N) is cut; "join" (df = 4) survives — the deviation
+    // of every surviving doc is at most the dropped term's maximum
+    // possible contribution, idf · (k1+1), computed from the ACTUAL df
+    val (k1, dfThe) = (1.2, n)
+    val maxDev = math.log(1.0 + (n - dfThe + 0.5) / (dfThe + 0.5)) * (k1 + 1)
+    assert(bounded.keySet == full.keySet.filter(_ % 10 == 0),
+      "bounded result must keep exactly the docs with a surviving-term hit")
+    bounded.foreach { case (k, s) =>
+      assert(math.abs(full(k) - s) <= maxDev + 1e-9,
+        s"doc $k deviates ${math.abs(full(k) - s)} > bound $maxDev")
+    }
+    // docs that left the result set had ONLY stopword hits — their full
+    // score is itself inside the dropped-term bound
+    (full.keySet -- bounded.keySet).foreach { k =>
+      assert(full(k) <= maxDev + 1e-9,
+        s"dropped doc $k had a non-stopword score ${full(k)}")
+    }
+    // exactness below the threshold: a frac no term crosses cuts
+    // nothing and the result is IDENTICAL to the unbounded read
+    val exact = scoreMap(PostingsIndex.bm25FromStored(spark, tfP, dlP,
+      terms, dfPath = Some(dfP), maxDfFrac = Some(1.0)))
+    assert(exact == full, "frac=1.0 must be bit-identical to unbounded")
+    // every term cut: empty result, scorer schema intact
+    val allCut = PostingsIndex.bm25FromStored(spark, tfP, dlP, Seq("the"),
+      dfPath = Some(dfP), maxDfFrac = Some(0.5))
+    assert(allCut.columns.toSeq == Seq("doc_id", "bm25", "n_hits") &&
+      allCut.count() == 0)
+    // and the df summary survives its re-aggregating compaction
+    PostingsIndex.tfIndexBatch(
+      Seq((100L, "the extra join doc")).toDF("doc_id", "text"), 1,
+      tfP, dlP, dfPath = Some(dfP))
+    PostingsIndex.compactDfShards(spark, dfP)
+    val dfRows = PostingsIndex.readDfIndex(spark, dfP)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfRows("the") == (n + 1) && dfRows("join") == 5,
+      s"compacted df summary wrong: $dfRows")
+  }
+
+  test("a new stream over a compacted index fails fast instead of losing batches") {
+    // the lineage contract: the watermark skip is only safe for a TRUE
+    // replay. A sink records its checkpoint in _lineage; a different
+    // checkpoint — or none recorded where a skip is imminent — throws
+    // at the first batch instead of silently dropping it.
+    val dir = java.nio.file.Files.createTempDirectory("postings-lineage").toString
+    val idx = s"$dir/index"
+    val b = docs(0 until 5)
+    PostingsIndex.indexBatch(b, 0, idx, snapshots = true,
+      lineage = Some("ckA"))
+    PostingsIndex.indexBatch(docs(5 until 10), 1, idx, snapshots = true,
+      lineage = Some("ckA"))
+    PostingsIndex.compactShards(spark, idx) // watermark m-shard exists
+    val before = rows(PostingsIndex.readIndex(spark, idx))
+    // true replay (same lineage): silent skip, content unchanged
+    PostingsIndex.indexBatch(b, 0, idx, snapshots = true,
+      lineage = Some("ckA"))
+    assert(rows(PostingsIndex.readIndex(spark, idx)) == before)
+    // a NEW stream (different checkpoint) must fail fast — both below
+    // the watermark (the silent-loss case)...
+    intercept[IllegalStateException] {
+      PostingsIndex.indexBatch(docs(100 until 105), 0, idx,
+        snapshots = true, lineage = Some("ckB"))
+    }
+    // ...and above it (interleaved batch ids would double-count docs)
+    intercept[IllegalStateException] {
+      PostingsIndex.indexBatch(docs(100 until 105), 99, idx,
+        snapshots = true, lineage = Some("ckB"))
+    }
+    assert(rows(PostingsIndex.readIndex(spark, idx)) == before,
+      "a rejected stream must leave the index untouched")
+    // an UN-lineaged compacted index under a fresh sink: the imminent
+    // skip cannot be confirmed as a replay — throw, never drop
+    val idx2 = s"$dir/index2"
+    PostingsIndex.indexBatch(b, 0, idx2, snapshots = true)
+    PostingsIndex.indexBatch(docs(5 until 10), 1, idx2, snapshots = true)
+    PostingsIndex.compactShards(spark, idx2)
+    intercept[IllegalStateException] {
+      PostingsIndex.indexBatch(docs(100 until 105), 0, idx2,
+        snapshots = true, lineage = Some("ckC"))
+    }
+    // the direct API (no lineage) keeps the documented logged skip
+    val n2 = rows(PostingsIndex.readIndex(spark, idx2))
+    PostingsIndex.indexBatch(docs(100 until 105), 0, idx2, snapshots = true)
+    assert(rows(PostingsIndex.readIndex(spark, idx2)) == n2)
+  }
+
+  test("the raw tf read survives a flat/bucketed shard layout mix") {
+    // a pre-layout index (flat shards) a bucketed stream later appended
+    // to: spark.read.parquet(root) rejects the conflicting directory
+    // structures outright, so the raw path splits per layout and unions
+    // — null tbucket for flat rows, which the bucket filter must KEEP
+    // (they may hold the query terms; the scorer's token filter decides)
+    import graft.functions.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("tf-mixed").toString + "/tf"
+    val b0 = Seq((1L, "join alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "join gamma")).toDF("doc_id", "text")
+    // flat shard (no tbucket dirs — the pre-layout format)
+    TextAnalysis.tfPostings(b0, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/shard=b0")
+    // bucketed shard (the current layout)
+    TextAnalysis.tfPostings(b1, "doc_id", "text")
+      .withColumn("tbucket", PostingsIndex.tokenBucket(col("token")))
+      .write.partitionBy("tbucket").mode("overwrite")
+      .parquet(s"$root/shard=b1")
+    val all = PostingsIndex.readTfIndex(spark, root)
+    assert(all.select("doc_id").distinct().count() == 3,
+      "mixed-layout read lost a shard")
+    val bJoin = PostingsIndex.tokenBucketLocal("join")
+    val filtered = PostingsIndex.readTfIndex(spark, root,
+      buckets = Some(Set(bJoin)))
+    // both "join" rows visible: the bucketed one via its bucket dir,
+    // the flat one via the kept null-tbucket rows
+    assert(filtered.where(col("token") === "join")
+      .select("doc_id").distinct().count() == 2,
+      "bucket filter dropped flat-layout rows")
+  }
+
   test("the live tf sink maintains BM25-servable artifacts") {
     import graft.functions.TextAnalysis
     implicit val sqlCtx = spark.sqlContext

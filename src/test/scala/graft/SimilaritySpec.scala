@@ -484,4 +484,37 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.bucketPairs(emb, "vec_id", "embedding", minCos = 0.5)
     assert(pairs.where($"cos_sim" < 0.5).count() == 0)
   }
+
+  test("IVFADC+R recall floor: exact re-rank never loses to the plain ADC top-k") {
+    // the invariant behind the rerank knob: both the ADC top-k and the
+    // rerank top-k are subsets of the same `shortlist`-candidate set,
+    // and the rerank selects the shortlist's exact-cosine best — so any
+    // true-top-k member inside the shortlist is KEPT by the rerank,
+    // making recall@k(rerank) >= recall@k(adc) per query, at every
+    // nprobe. (AnnRecallProbe measures the absolute curve at sf0.1;
+    // this pins the ordering on the fixture.)
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    val dir = java.nio.file.Files.createTempDirectory("ann-recall-floor").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir)
+    val k = 10
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    var strictlyBetter = 0
+    for (q <- 0L until 8L; np <- Seq(1, 4)) {
+      val exact = ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k))
+      val adc = ids(Similarity.ivfPqProbeFromDir(
+        emb, "vec_id", "embedding", dir, q, k, nprobe = np))
+      val rr = ids(Similarity.ivfPqRerankFromDir(
+        emb, "vec_id", "embedding", dir, q, k, shortlist = 50, nprobe = np))
+      val (ra, rb) = ((adc & exact).size, (rr & exact).size)
+      assert(rb >= ra,
+        s"q=$q nprobe=$np: rerank recall $rb < adc recall $ra")
+      if (rb > ra) strictlyBetter += 1
+    }
+    // the knob must be observable, not vacuous: somewhere in the sweep
+    // the re-rank actually recovered a quantization-lost neighbor
+    assert(strictlyBetter > 0,
+      "re-rank never improved on ADC anywhere in the sweep — fixture too easy")
+    emb.unpersist()
+  }
 }
