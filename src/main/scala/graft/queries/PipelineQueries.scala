@@ -97,14 +97,33 @@ object PipelineQueries {
     * JVM); every later call scans ONLY the query terms' token-bucket
     * dirs (PartitionFilters on `tbucket`, plan-pinned). Same oracle as
     * `q_bm25`. */
-  def bm25StoredQ(s: SparkSession, d: String): DataFrame = {
-    val dir = cachedArtifacts(
+  private def bm25StoredArtifacts(s: SparkSession, d: String): String =
+    cachedArtifacts(
         s"tfidx:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
       graft.streaming.PostingsIndex.tfIndexBatch(
-        par(documents(s, d)), 0L, s"$dir/tf", s"$dir/dl")
+        par(documents(s, d)), 0L, s"$dir/tf", s"$dir/dl",
+        dfPath = Some(s"$dir/df"))
     }
+
+  def bm25StoredQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
     graft.streaming.PostingsIndex.bm25FromStored(
       s, s"$dir/tf", s"$dir/dl", Bm25Terms)
+  }
+
+  /** The DF-BOUNDED serving mode as a first-class oracled row: the
+    * vocab-scale df summary sidecar decides BEFORE the tf scan that a
+    * term with corpus df > maxDfFrac·N is cut (here 0.5 cuts the
+    * corpus-common 'join'/'filter' at df ≈ 0.79·N and keeps the rare
+    * 'dup'), so a stopword's corpus-scale posting list never enters
+    * the scan. The cut rule is deterministic SQL — the oracle applies
+    * the same df ≤ frac·N filter to the term set — so the bounded
+    * server is hash-checked end to end, not just spec-bounded. */
+  def bm25DfBoundedQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
+    graft.streaming.PostingsIndex.bm25FromStored(
+      s, s"$dir/tf", s"$dir/dl", Bm25Terms,
+      dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.5))
   }
 
   /** The SERVING form of keyword retrieval: BM25 top-k
@@ -863,6 +882,7 @@ object PipelineQueries {
     "q_bm25_topk"      -> (bm25TopKQ _),
     "q_bm25_stored"    -> (bm25StoredQ _),
     "q_bm25_topk_stored" -> (bm25TopKStoredQ _),
+    "q_bm25_df_bounded" -> (bm25DfBoundedQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -1047,6 +1067,34 @@ object PipelineQueries {
     "q_bm25_topk_stored" ->
       s"""SELECT * FROM ($Bm25Sql)
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // the df-bounded server: the SAME scoring SQL over the term set
+    // restricted by the deterministic cut rule (df <= 0.5 * N) — the
+    // oracle recomputes the cut, so the bounded path is hash-checked,
+    // not just deviation-bounded. N is the document count (the dl
+    // sidecar's row count on the Spark side)
+    "q_bm25_df_bounded" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |qt0 AS (SELECT doc_id, term FROM toks
+         |        WHERE term IN ('join', 'filter', 'dup')),
+         |nd0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |kept AS (SELECT term FROM
+         |           (SELECT term, count(DISTINCT doc_id) AS df0
+         |            FROM qt0 GROUP BY 1), nd0
+         |         WHERE df0 <= 0.5 * n),
+         |qt AS (SELECT doc_id, term FROM qt0
+         |       WHERE term IN (SELECT term FROM kept)),
+         |tf AS (SELECT doc_id, term, count(*) AS n FROM qt GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl FROM documents),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM qt GROUP BY 1),
+         |scal AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd,
+         |                avg(CAST(len($TOKS) AS DOUBLE)) AS avgdl FROM documents)
+         |SELECT tf.doc_id,
+         |  CAST(sum(ln(1.0 + (scal.nd - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))
+         |       * (tf.n * ${1.2 + 1}) / (tf.n + 1.2 * (${1 - 0.75} + 0.75 * dl.dl / scal.avgdl)))
+         |     AS DOUBLE) AS bm25,
+         |  count(*) AS n_hits
+         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN scal
+         |GROUP BY tf.doc_id""".stripMargin,
     // same token stream; avg-of-logs merge order differs at ~1e-12 and
     // the driver's 6-decimal float rounding absorbs it (the q_tfidf
     // precedent)

@@ -168,6 +168,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_bm25_topk",   // the bm25 shape under a TakeOrdered cut
       "q_bm25_stored", // the same scalar, served from stored artifacts
       "q_bm25_topk_stored", // the stored scalar under the TakeOrdered cut
+      "q_bm25_df_bounded", // the same stored scalar, df-cut term set
       "q_tfidf_index") // the N single-row scalar, served from the dl sidecar
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
