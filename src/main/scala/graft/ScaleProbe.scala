@@ -830,26 +830,37 @@ object AnnRecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1").cache()
     val n = emb.count()
-    val dir = java.nio.file.Files.createTempDirectory("ann-recall").toString
-    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir)
     val k = 10
     val qids = 0L until nq.toLong
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.collect().map(_.getLong(0)).toSet
     val exact = qids.map(q => q -> ids(
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k))).toMap
-    println(s"[scale] ann_recall corpus=$n queries=$nq k=$k " +
-      "(nlist=16 m=4 ks=8, shortlist=50)")
-    for (np <- Seq(1, 2, 4, 8)) {
-      def recall(f: Long => org.apache.spark.sql.DataFrame): Double =
-        qids.map(q => ids(f(q)).intersect(exact(q)).size / k.toDouble)
-          .sum / nq
-      val adc = recall(q => Similarity.ivfPqProbeFromDir(
-        emb, "vec_id", "embedding", dir, q, k, nprobe = np))
-      val rr = recall(q => Similarity.ivfPqRerankFromDir(
-        emb, "vec_id", "embedding", dir, q, k, shortlist = 50, nprobe = np))
-      println(f"[scale] ann_recall nprobe=$np: adc recall@10 = $adc%.3f, " +
-        f"ivfadc+r recall@10 = $rr%.3f (scan fraction ~ ${np / 16.0}%.3f)")
+    println(s"[scale] ann_recall corpus=$n queries=$nq k=$k, nlist=16")
+    // two code sizes: the registry default (m=4, ks=8 — 12-bit codes,
+    // oracle-tuned for determinism, not recall) and a denser book
+    // (m=8, ks=16 — 32-bit codes) showing the other recall knob
+    for ((m, ks) <- Seq((4, 8), (8, 16))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"ann-recall-$m-$ks").toString
+      Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+        m = m, ks = ks)
+      for (np <- Seq(1, 2, 4, 8)) {
+        def recall(f: Long => org.apache.spark.sql.DataFrame): Double =
+          qids.map(q => ids(f(q)).intersect(exact(q)).size / k.toDouble)
+            .sum / nq
+        val adc = recall(q => Similarity.ivfPqProbeFromDir(
+          emb, "vec_id", "embedding", dir, q, k, nprobe = np))
+        val rr = Seq(50, 200, 1000).map(sl => sl -> recall(q =>
+          Similarity.ivfPqRerankFromDir(
+            emb, "vec_id", "embedding", dir, q, k, shortlist = sl, nprobe = np)))
+        // shortlist >> candidate count re-ranks EVERY probed-list vector
+        // exactly, so the last column IS the probed lists' coverage
+        // ceiling — what any ranking over these candidates could reach
+        println(f"[scale] ann_recall m=$m ks=$ks nprobe=$np " +
+          f"(scan ~${np / 16.0}%.3f): adc = $adc%.3f, " +
+          rr.map { case (sl, r) => f"rerank@$sl = $r%.3f" }.mkString(", ") +
+          " (rerank@1000 = list-coverage ceiling)")
+      }
     }
     spark.stop()
   }
@@ -877,8 +888,8 @@ object Bm25StopwordProbe {
     import org.apache.spark.sql.functions.{col, concat, lit}
     import graft.streaming.PostingsIndex
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
-    // every doc starts with the planted stopword; "join" keeps its
-    // natural (rare) df from the fixture text
+    // every doc starts with the planted stopword; "dup" keeps its
+    // natural rare df (~5% of docs) from the fixture text
     val big = base.crossJoin(spark.range(factor).toDF("copy"))
       .select((col("doc_id") * factor + col("copy")).as("doc_id"),
         concat(lit("the c"), col("copy"), lit(" "), col("text")).as("text"))
@@ -887,7 +898,7 @@ object Bm25StopwordProbe {
     val tmp = java.nio.file.Files.createTempDirectory("bm25-stop").toString
     val (tfP, dlP, dfP) = (s"$tmp/tf", s"$tmp/dl", s"$tmp/df")
     PostingsIndex.tfIndexBatch(big, 0, tfP, dlP, dfPath = Some(dfP))
-    val terms = Seq("join", "the")
+    val terms = Seq("dup", "the")
     var bytesRead = 0L
     val sl = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -913,7 +924,7 @@ object Bm25StopwordProbe {
       PostingsIndex.bm25FromStored(spark, tfP, dlP, terms,
         dfPath = Some(dfP), maxDfFrac = Some(0.5)).count())
     measure("rare term alone (floor)")(
-      PostingsIndex.bm25FromStored(spark, tfP, dlP, Seq("join")).count())
+      PostingsIndex.bm25FromStored(spark, tfP, dlP, Seq("dup")).count())
     spark.stop()
   }
 }
