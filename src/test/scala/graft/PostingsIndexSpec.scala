@@ -507,4 +507,57 @@ class PostingsIndexSpec extends SparkSpec {
       assert(h == dh && math.abs(s - ds) < 1e-9, s"doc $k: ($s,$h) vs ($ds,$dh)")
     }
   }
+
+  test("the live tf sink end to end: df sidecar, recorded pairs, lineage enforcement") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tf-sink-e2e").toString
+    val (tfP, dlP, dfP) = (s"$dir/tf", s"$dir/dl", s"$dir/df")
+    val mem = MemoryStream[(Long, String)]
+    val q = PostingsIndex.startTfIndexSink(
+      mem.toDF().toDF("doc_id", "text"), tfP, dlP, s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactEvery = 2, snapshots = true, dfPath = Some(dfP))
+    try {
+      mem.addData((1L, "the alpha dup"), (2L, "the beta"))
+      q.processAllAvailable()
+      mem.addData((3L, "the gamma"), (4L, "the delta dup"))
+      q.processAllAvailable() // batch 1 -> union + df compaction fires
+      mem.addData((5L, "the epsilon"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the sink recorded a consistent pair, and the pair-resolved
+    // df-bounded server cuts the every-doc 'the' while scoring 'dup'
+    assert(PostingsIndex.latestConsistentPair(spark, tfP).isDefined,
+      "sink recorded no tf/dl pair")
+    val bounded = PostingsIndex.bm25FromStored(spark, tfP, dlP,
+      Seq("dup", "the"), dfPath = Some(dfP), maxDfFrac = Some(0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(bounded == Set(1L, 4L),
+      s"df-bounded sink-maintained serve returned $bounded")
+    // the sink stamped its lineage on all three roots: a SECOND sink
+    // over the same roots from a DIFFERENT checkpoint fails its first
+    // batch instead of silently corrupting the index
+    Seq(tfP, dlP, dfP).foreach { p =>
+      assert(new java.io.File(s"$p/_lineage").isFile, s"no _lineage at $p")
+    }
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = PostingsIndex.startTfIndexSink(
+      mem2.toDF().toDF("doc_id", "text"), tfP, dlP, s"$dir/ck2",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      snapshots = true, dfPath = Some(dfP))
+    try {
+      mem2.addData((100L, "the rogue"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(err.getMessage.contains("lineage") ||
+        Option(err.getCause).exists(_.getMessage.contains("lineage")),
+        s"unexpected failure: ${err.getMessage}")
+    } finally q2.stop()
+    // and the rejected stream left the artifacts untouched: the
+    // pair-resolved serve still returns exactly the five-doc corpus
+    assert(PostingsIndex.readUnionShards(spark, dlP).count() == 5,
+      "rejected stream mutated the dl sidecar")
+  }
 }
