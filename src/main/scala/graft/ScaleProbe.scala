@@ -837,13 +837,15 @@ object AnnRecallProbe {
     val exact = qids.map(q => q -> ids(
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k))).toMap
     println(s"[scale] ann_recall corpus=$n queries=$nq k=$k, nlist=16")
-    // two code sizes: the registry default (m=4, ks=8 — 12-bit codes,
-    // oracle-tuned for determinism, not recall) and a denser book
-    // (m=8, ks=16 — 32-bit codes) showing the other recall knob
-    for ((m, ks) <- Seq((4, 8), (8, 16))) {
-      val dir = java.nio.file.Files.createTempDirectory(s"ann-recall-$m-$ks").toString
+    // three configs: the registry default (m=4, ks=8 — 12-bit codes,
+    // oracle-tuned for determinism, not recall), a denser book
+    // (m=8, ks=16 — 32-bit codes), and the denser book over
+    // unit-normalized vectors (cosine-faithful ADC — the geometry fix)
+    for ((m, ks, nrm) <- Seq((4, 8, false), (8, 16, false), (8, 16, true))) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ann-recall-$m-$ks-$nrm").toString
       Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
-        m = m, ks = ks)
+        m = m, ks = ks, normalize = nrm)
       for (np <- Seq(1, 2, 4, 8)) {
         def recall(f: Long => org.apache.spark.sql.DataFrame): Double =
           qids.map(q => ids(f(q)).intersect(exact(q)).size / k.toDouble)
@@ -856,7 +858,7 @@ object AnnRecallProbe {
         // shortlist >> candidate count re-ranks EVERY probed-list vector
         // exactly, so the last column IS the probed lists' coverage
         // ceiling — what any ranking over these candidates could reach
-        println(f"[scale] ann_recall m=$m ks=$ks nprobe=$np " +
+        println(f"[scale] ann_recall m=$m ks=$ks norm=$nrm nprobe=$np " +
           f"(scan ~${np / 16.0}%.3f): adc = $adc%.3f, " +
           rr.map { case (sl, r) => f"rerank@$sl = $r%.3f" }.mkString(", ") +
           " (rerank@1000 = list-coverage ceiling)")

@@ -376,6 +376,36 @@ object Similarity {
       case _ => throw new IllegalArgumentException(s"query id $queryId not found")
     }
 
+  // ---- cosine-faithful ADC: normalize at index time ------------------
+
+  /** Unit-normalize the `v` column of a (vid, v) frame — FAISS's
+    * cosine-via-inner-product discipline: after normalization, a dot
+    * product IS the cosine, so ADC ranking stops preferring large-norm
+    * vectors over direction-aligned ones (the defect `AnnRecallProbe`
+    * measures on raw vectors: adc recall FALLS as nprobe admits more
+    * large-norm false positives). Zero vectors pass through unscaled
+    * (the cosine guard's sibling). The norm is the codegen'd
+    * [[VectorExpressions.dotProduct]] fold — the same left-to-right
+    * accumulation the DuckDB oracle spells as a literal chain, so
+    * normalized values stay bit-identical engine-to-oracle. */
+  private def unitNormFrame(v: DataFrame,
+                            cols: (String, String) = ("vid", "v")): DataFrame = {
+    val (idc, vc) = cols
+    v.withColumn("_nrm",
+        sqrt(VectorExpressions.dotProduct(col(vc), col(vc))))
+      .select(col(idc), transform(col(vc),
+        x => when(col("_nrm") === 0, x).otherwise(x / col("_nrm"))).as(vc))
+  }
+
+  /** The driver-side twin of [[unitNormFrame]] for a collected query
+    * vector — same op sequence (left-fold x·x, sqrt, per-element
+    * divide), so a stored-artifact probe's normalized query is
+    * bit-identical to the fused path's. */
+  private def localUnitNorm(a: Array[Double]): Array[Double] = {
+    val nrm = math.sqrt(localDot(a, a))
+    if (nrm == 0) a else a.map(_ / nrm)
+  }
+
   /** PQ TRAINING AS A PERSISTED ARTIFACT (r7 VERDICT item 4) — the
     * production shape: train once, write codebooks + per-vector codes as
     * tables, probe many times with ZERO training jobs. Returns
@@ -597,8 +627,12 @@ object Similarity {
                        dir: String, k: Int, nprobe: Int = 4,
                        maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
     val spark = queries.sparkSession
-    val q = queries.select(col(id).as("qid"),
+    val q0 = queries.select(col(id).as("qid"),
       transform(col(vec), _.cast("double")).as("qv"))
+    // batch queries against a normalized index normalize in-frame —
+    // same meta-driven rule as the single-query probe
+    val q = if (artifactNormalized(spark, dir))
+      unitNormFrame(q0, cols = ("qid", "qv")) else q0
     val coarse = readArtifact(spark, s"$dir/coarse").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     require(coarse.nonEmpty, "empty coarse-centroid artifact")
@@ -699,12 +733,21 @@ object Similarity {
   def ivfPqWriteArtifacts(emb: DataFrame, id: String, vec: String,
                           dir: String, nlist: Int = 16, m: Int = 4,
                           ks: Int = 8, iters: Int = 2,
-                          dim: Int = OracleDim): Unit = {
+                          dim: Int = OracleDim,
+                          normalize: Boolean = false): Unit = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val spark = emb.sparkSession
     import spark.implicits._
-    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val v0 = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val v = if (normalize) unitNormFrame(v0) else v0
+    // the normalization choice is an ARTIFACT property, not a caller
+    // convention: a self-describing meta table makes every later
+    // consumer (probes, appenders, batch joins) treat queries and new
+    // vectors the same way the index was built — a mis-remembered flag
+    // would silently rank against the wrong geometry
+    Seq(("normalized", normalize.toString)).toDF("key", "value")
+      .write.mode("overwrite").parquet(s"$dir/meta")
     val coarse = seededCentroids(v, nlist)
     val books = trainPqBooks(v, m, ks, iters, sub)
     books.zipWithIndex.flatMap { case (book, s) =>
@@ -734,6 +777,19 @@ object Similarity {
     (if (graft.streaming.Snapshot.enabled(spark, path))
        graft.streaming.Snapshot.readVersion(spark, path)
      else None).getOrElse(spark.read.parquet(path))
+
+  /** Whether the artifacts at `dir` were built over unit-normalized
+    * vectors ([[ivfPqWriteArtifacts]]'s meta marker). Absent meta —
+    * pre-r12 artifacts, or the [[pqWriteArtifacts]] layout — means
+    * raw vectors. */
+  private def artifactNormalized(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
+      spark.read.parquet(s"$dir/meta")
+        .where(col("key") === "normalized" && col("value") === "true")
+        .head(1).nonEmpty
+  }
 
   /** The stored codebooks as driver arrays — shared by the probes and
     * the incremental appenders so every consumer decodes the artifact
@@ -765,8 +821,12 @@ object Similarity {
   def pqAppendToDir(newVecs: DataFrame, id: String, vec: String,
                     dir: String): Unit = {
     val spark = newVecs.sparkSession
-    val v = newVecs.select(col(id).as("vid"),
+    val v0 = newVecs.select(col(id).as("vid"),
       transform(col(vec), _.cast("double")).as("v"))
+    // appended vectors must enter the index's own geometry: a raw
+    // append into a normalized index would encode magnitudes the
+    // stored codes deliberately erased
+    val v = if (artifactNormalized(spark, dir)) unitNormFrame(v0) else v0
     val books = readBooks(spark, dir)
     val m = books.length
     val sub = books.head.head.length
@@ -802,7 +862,10 @@ object Similarity {
                         nprobe: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val qv = collectQueryVector(v, queryId)
+    val qvRaw = collectQueryVector(v, queryId)
+    // a normalized index must see a normalized query — the geometry is
+    // an artifact property (meta marker), never a caller convention
+    val qv = if (artifactNormalized(spark, dir)) localUnitNorm(qvRaw) else qvRaw
     val coarse = readArtifact(spark, s"$dir/coarse").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     require(coarse.nonEmpty, "empty coarse-centroid artifact")
@@ -833,10 +896,15 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
                 k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
                 ks: Int = 8, iters: Int = 2,
-                dim: Int = OracleDim): DataFrame = {
+                dim: Int = OracleDim,
+                normalize: Boolean = false): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    val v0 = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
+    // normalize = true: cosine-faithful ADC ([[unitNormFrame]]) — the
+    // quantizer trains on, and scores against, unit vectors, so
+    // adc_dot approximates COSINE instead of the raw dot
+    val v = if (normalize) unitNormFrame(v0) else v0
     val coarse = seededCentroids(v, nlist)
     val qv = collectQueryVector(v, queryId)
     val probed = probedLists(coarse, qv, nprobe)
@@ -1077,7 +1145,8 @@ object Similarity {
     * Lloyd rounds, final assignments (`fa$s`). Shared by the
     * single-query tail ([[pqSubCtes]]) and the query-table tail
     * ([[pqSubCtesBatch]]). */
-  private def pqTrainCtes(s: Int, ks: Int, iters: Int, sub: Int): String = {
+  private def pqTrainCtes(s: Int, ks: Int, iters: Int, sub: Int,
+                          tbl: String = "embeddings"): String = {
     val lo = s * sub + 1
     val hi = (s + 1) * sub
     val foldList = (1 to sub)
@@ -1101,7 +1170,7 @@ object Similarity {
     }.mkString(",\n")
     s"""e$s AS (
        |  SELECT vec_id, list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS ev
-       |  FROM embeddings),
+       |  FROM $tbl),
        |c${s}_0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, ev AS ce
        |  FROM (SELECT vec_id, ev FROM e$s ORDER BY vec_id LIMIT $ks)),
@@ -1117,8 +1186,8 @@ object Similarity {
   }
 
   private def pqSubCtes(s: Int, queryId: Long, ks: Int, iters: Int,
-                        sub: Int): String =
-    s"""${pqTrainCtes(s, ks, iters, sub)},
+                        sub: Int, tbl: String = "embeddings"): String =
+    s"""${pqTrainCtes(s, ks, iters, sub, tbl)},
        |q$s AS (SELECT ev AS qe FROM e$s WHERE vec_id = $queryId),
        |lut$s AS (
        |  SELECT c.pos, ${dotSql("c.ce", "q.qe", sub)} AS d
@@ -1147,18 +1216,50 @@ object Similarity {
     * verified op sequences. */
   def ivfPqOracleSql(queryId: Long, k: Int, nlist: Int = 16,
                      nprobe: Int = 4, m: Int = 4, ks: Int = 8,
-                     iters: Int = 2, dim: Int = OracleDim): String = {
+                     iters: Int = 2, dim: Int = OracleDim): String =
+    "WITH " + ivfPqOracleCtes(queryId, k, nlist, nprobe, m, ks, iters, dim,
+      "embeddings")
+
+  /** Oracle for `ivfPqTopK(normalize = true)`: the identical coarse +
+    * per-subspace machinery run over a UNIT-NORMALIZED twin of the
+    * embeddings table — norm as the same literal left-associated x·x
+    * chain the engine's dotProduct folds, sqrt, per-element divide
+    * (zero vectors pass through), so every downstream double is
+    * bit-identical to the Spark path's. */
+  def ivfPqCosOracleSql(queryId: Long, k: Int, nlist: Int = 16,
+                        nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                        iters: Int = 2, dim: Int = OracleDim): String =
+    s"""WITH embeddings_n AS (
+       |${normalizedTableSql(dim)}),
+       |""".stripMargin +
+      ivfPqOracleCtes(queryId, k, nlist, nprobe, m, ks, iters, dim,
+        "embeddings_n")
+
+  private def normalizedTableSql(dim: Int): String = {
+    val aa = (1 to dim)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    s"""  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+       |                ELSE CAST(x AS DOUBLE) / nrm END) AS embedding
+       |  FROM (SELECT vec_id, embedding, sqrt($aa) AS nrm FROM embeddings)""".stripMargin
+  }
+
+  private def ivfPqOracleCtes(queryId: Long, k: Int, nlist: Int,
+                              nprobe: Int, m: Int, ks: Int,
+                              iters: Int, dim: Int, tbl: String): String = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val joins = (1 until m)
       .map(s => s"  JOIN sc$s ON sc$s.vec_id = sc0.vec_id").mkString("\n")
     val sum = (0 until m).map(s => s"sc$s.d").mkString(" + ")
-    s"""WITH cseeds AS (
+    s"""cseeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |  FROM (SELECT vec_id, embedding FROM $tbl ORDER BY vec_id LIMIT $nlist)),
        |csim AS (
        |  SELECT e.vec_id, s.pos, ${cosineSql("e.embedding", "s.ce", dim)} AS cs
-       |  FROM embeddings e CROSS JOIN cseeds s),
+       |  FROM $tbl e CROSS JOIN cseeds s),
        |casg AS (
        |  SELECT vec_id, pos FROM (
        |    SELECT vec_id, pos,
@@ -1166,13 +1267,13 @@ object Similarity {
        |    FROM csim) WHERE rn = 1),
        |cqsim AS (
        |  SELECT s.pos, ${cosineSql("s.ce", "q.qe", dim)} AS cs
-       |  FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId) q
+       |  FROM (SELECT embedding AS qe FROM $tbl WHERE vec_id = $queryId) q
        |  CROSS JOIN cseeds s),
        |cprobe AS (
        |  SELECT pos FROM (
        |    SELECT pos, row_number() OVER (ORDER BY cs DESC, pos ASC) AS rn
        |    FROM cqsim) WHERE rn <= $nprobe),
-       |${(0 until m).map(pqSubCtes(_, queryId, ks, iters, sub)).mkString(",\n")}
+       |${(0 until m).map(pqSubCtes(_, queryId, ks, iters, sub, tbl)).mkString(",\n")}
        |SELECT vec_id, adc_dot FROM (
        |  SELECT sc0.vec_id, $sum AS adc_dot
        |  FROM sc0

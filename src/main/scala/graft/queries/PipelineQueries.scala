@@ -684,6 +684,28 @@ object PipelineQueries {
     Similarity.ivfPqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
 
+  /** COSINE-FAITHFUL IVF-PQ ([[Similarity.ivfPqTopK]] with
+    * `normalize = true`) — FAISS's cosine-via-inner-product
+    * discipline: the quantizer trains on, and ADC scores against,
+    * unit vectors, so `adc_dot` approximates cosine instead of the
+    * raw dot (whose large-norm bias `AnnRecallProbe` measures). The
+    * oracle runs the identical machinery over a unit-normalized SQL
+    * twin of the table — hash-exact. */
+  def simIvfPqCos(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10,
+      normalize = true)
+
+  /** The persisted twin of `q_sim_ivfpq_cos`: artifacts written
+    * normalized (the geometry recorded in the self-describing meta
+    * marker), the probe auto-normalizes its query from that marker —
+    * no caller flag to mis-remember. Same oracle as the fused row. */
+  def simIvfPqCosProbe(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"ivfpqcos:$d:${corpusFingerprint(s, d)}")(
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        normalize = true))
+    Similarity.ivfPqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
+  }
+
   /** Batch ADC retrieval over the PERSISTED IVF-PQ index
     * ([[Similarity.annJoinPqFromDir]]) — the query-set twin of
     * `q_sim_ivfpq_probe`: stored coarse routing + stored codes, the
@@ -919,6 +941,8 @@ object PipelineQueries {
     "q_sim_pq"         -> (simPq _),
     "q_sim_pq_probe"   -> (simPqProbe _),
     "q_sim_ivfpq"      -> (simIvfPq _),
+    "q_sim_ivfpq_cos"  -> (simIvfPqCos _),
+    "q_sim_ivfpq_cos_probe" -> (simIvfPqCosProbe _),
     "q_sim_ivfpq_rerank" -> (simIvfPqRerank _),
     "q_sim_ivfpq_rerank_probe" -> (simIvfPqRerankProbe _),
     "q_ann_join_rerank" -> (simAnnJoinRerank _),
@@ -1409,6 +1433,11 @@ object PipelineQueries {
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),
+    // the cosine-faithful twin: same machinery over a unit-normalized
+    // SQL twin of the table; the persisted probe shares it (stored
+    // codes + meta-driven query normalization replay the same doubles)
+    "q_sim_ivfpq_cos" -> Similarity.ivfPqCosOracleSql(0L, 10),
+    "q_sim_ivfpq_cos_probe" -> Similarity.ivfPqCosOracleSql(0L, 10),
     "q_sim_ivfpq_rerank" -> Similarity.ivfPqRerankOracleSql(0L, 10),
     "q_sim_ivfpq_rerank_probe" -> Similarity.ivfPqRerankOracleSql(0L, 10),
     "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10),

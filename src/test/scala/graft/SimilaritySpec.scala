@@ -485,6 +485,56 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.where($"cos_sim" < 0.5).count() == 0)
   }
 
+  test("normalized IVF-PQ ranks direction over magnitude; meta governs probes and appends") {
+    // the defect the normalize flag fixes, planted: query q; A is
+    // direction-aligned with q at small norm (true cosine neighbor),
+    // B is a far-direction vector at huge norm (dot(q,B) > dot(q,A)).
+    // Raw ADC ranks B first; cosine-faithful ADC ranks A first.
+    val dim = 8
+    def v(xs: Double*) = xs.padTo(dim, 0.0)
+    val qv = v(1.0, 0.0)
+    val rows = Seq(
+      0L -> qv,                          // the query
+      1L -> v(0.30, 0.01),               // A: aligned, small norm
+      2L -> v(40.0, 69.0),               // B: ~60° off, huge norm
+      // filler so nlist=2/ks=2 training has material
+      3L -> v(0.0, 1.0), 4L -> v(-1.0, 0.5), 5L -> v(0.5, -0.5),
+      6L -> v(0.2, 0.9), 7L -> v(-0.3, -0.8))
+    val emb = rows.toDF("vec_id", "embedding")
+    def top1(normalize: Boolean): Long =
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 1,
+        nlist = 2, nprobe = 2, m = 2, ks = 4, dim = dim,
+        normalize = normalize).collect()(0).getLong(0)
+    assert(top1(normalize = false) == 2L,
+      "raw ADC should prefer the huge-norm decoy (the defect)")
+    assert(top1(normalize = true) == 1L,
+      "normalized ADC must prefer the direction-aligned neighbor")
+
+    // stored twin: normalized artifacts + meta-driven query norm are
+    // bit-identical to the fused normalized path
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-cos").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      nlist = 2, m = 2, ks = 4, dim = dim, normalize = true)
+    val fused = Similarity.ivfPqTopK(emb, "vec_id", "embedding", 0L, 5,
+      nlist = 2, nprobe = 2, m = 2, ks = 4, dim = dim, normalize = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val stored = Similarity.ivfPqProbeFromDir(emb, "vec_id", "embedding",
+      dir, 0L, 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fused == stored,
+      s"stored normalized probe diverged from fused:\n$fused\n$stored")
+
+    // append honors the meta geometry: a 3x-scaled copy of vector 1
+    // must encode to the same unit vector, hence the same ADC score
+    val dup = Seq(99L -> rows(1)._2.map(_ * 3.0)).toDF("vec_id", "embedding")
+    Similarity.pqAppendToDir(dup, "vec_id", "embedding", dir)
+    val scores = Similarity.ivfPqProbeFromDir(emb.unionByName(dup),
+      "vec_id", "embedding", dir, 0L, 9, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.contains(99L) && scores(99L) == scores(1L),
+      s"scaled append must land on the same unit code: $scores")
+  }
+
   test("IVFADC+R recall floor: exact re-rank never loses to the plain ADC top-k") {
     // the invariant behind the rerank knob: both the ADC top-k and the
     // rerank top-k are subsets of the same `shortlist`-candidate set,
