@@ -1198,8 +1198,8 @@ object Similarity {
   /** [[pqSubCtes]] with the single query generalized to the query TABLE
     * `vec_id < nq`: lut and scores carry a `qid` key. */
   private def pqSubCtesBatch(s: Int, nq: Long, ks: Int, iters: Int,
-                             sub: Int): String =
-    s"""${pqTrainCtes(s, ks, iters, sub)},
+                             sub: Int, tbl: String = "embeddings"): String =
+    s"""${pqTrainCtes(s, ks, iters, sub, tbl)},
        |q$s AS (SELECT vec_id AS qid, ev AS qe FROM e$s WHERE vec_id < $nq),
        |lut$s AS (
        |  SELECT q.qid, c.pos, ${dotSql("c.ce", "q.qe", sub)} AS d
@@ -1292,25 +1292,45 @@ object Similarity {
     * corpus and params. */
   def annJoinPqOracleSql(nq: Long, k: Int, nlist: Int = 16,
                          nprobe: Int = 4, m: Int = 4, ks: Int = 8,
-                         iters: Int = 2, dim: Int = OracleDim): String = {
+                         iters: Int = 2, dim: Int = OracleDim): String =
+    "WITH " + annJoinPqOracleCtes(nq, k, nlist, nprobe, m, ks, iters, dim,
+      "embeddings")
+
+  /** Oracle for [[annJoinPqFromDir]] over NORMALIZED artifacts — the
+    * batch twin of [[ivfPqCosOracleSql]]: identical machinery over the
+    * unit-normalized SQL twin of the table (queries included: the
+    * meta-driven in-frame normalization replays the same doubles). */
+  def annJoinPqCosOracleSql(nq: Long, k: Int, nlist: Int = 16,
+                            nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                            iters: Int = 2, dim: Int = OracleDim): String =
+    s"""WITH embeddings_n AS (
+       |${normalizedTableSql(dim)}),
+       |""".stripMargin +
+      annJoinPqOracleCtes(nq, k, nlist, nprobe, m, ks, iters, dim,
+        "embeddings_n")
+
+  private def annJoinPqOracleCtes(nq: Long, k: Int, nlist: Int,
+                                  nprobe: Int, m: Int, ks: Int,
+                                  iters: Int, dim: Int,
+                                  tbl: String): String = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val joins = (1 until m)
       .map(s => s"    JOIN sc$s ON sc$s.qid = sc0.qid AND sc$s.vec_id = sc0.vec_id")
       .mkString("\n")
     val sum = (0 until m).map(s => s"sc$s.d").mkString(" + ")
-    s"""WITH cseeds AS (
+    s"""cseeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |  FROM (SELECT vec_id, embedding FROM $tbl ORDER BY vec_id LIMIT $nlist)),
        |csim AS (
        |  SELECT e.vec_id, s.pos, ${cosineSql("e.embedding", "s.ce", dim)} AS cs
-       |  FROM embeddings e CROSS JOIN cseeds s),
+       |  FROM $tbl e CROSS JOIN cseeds s),
        |casg AS (
        |  SELECT vec_id, pos FROM (
        |    SELECT vec_id, pos,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
        |    FROM csim) WHERE rn = 1),
-       |cq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nq),
+       |cq AS (SELECT vec_id AS qid, embedding AS qe FROM $tbl WHERE vec_id < $nq),
        |cqsim AS (
        |  SELECT cq.qid, s.pos, ${cosineSql("cq.qe", "s.ce", dim)} AS cs
        |  FROM cq CROSS JOIN cseeds s),
@@ -1319,7 +1339,7 @@ object Similarity {
        |    SELECT qid, pos,
        |           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, pos ASC) AS rn
        |    FROM cqsim) WHERE rn <= $nprobe),
-       |${(0 until m).map(pqSubCtesBatch(_, nq, ks, iters, sub)).mkString(",\n")}
+       |${(0 until m).map(pqSubCtesBatch(_, nq, ks, iters, sub, tbl)).mkString(",\n")}
        |SELECT query_id, vec_id, adc_dot FROM (
        |  SELECT cand.*, row_number() OVER (
        |    PARTITION BY query_id ORDER BY adc_dot DESC, vec_id ASC) AS rn

@@ -717,6 +717,19 @@ object PipelineQueries {
       "vec_id", "embedding", dir, 5)
   }
 
+  /** The batch twin of `q_sim_ivfpq_cos_probe`: [[Similarity.annJoinPqFromDir]]
+    * over the NORMALIZED artifacts — the meta marker makes the batch
+    * join normalize its query frame in-frame, so the whole cos family
+    * (single probe, batch join, appends) shares one stored geometry.
+    * Hash-oracled via the normalized SQL twin. */
+  def simAnnJoinCos(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"ivfpqcos:$d:${corpusFingerprint(s, d)}")(
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        normalize = true))
+    Similarity.annJoinPqFromDir(embChecked(s, d).where(col("vec_id") < 4),
+      "vec_id", "embedding", dir, 5)
+  }
+
   /** Batch IVFADC+R over the persisted index
     * ([[Similarity.annJoinPqRerankFromDir]]) — the query-set rerank:
     * stored-code ADC shortlists for every query, raw vectors read for
@@ -943,6 +956,7 @@ object PipelineQueries {
     "q_sim_ivfpq"      -> (simIvfPq _),
     "q_sim_ivfpq_cos"  -> (simIvfPqCos _),
     "q_sim_ivfpq_cos_probe" -> (simIvfPqCosProbe _),
+    "q_ann_join_cos"   -> (simAnnJoinCos _),
     "q_sim_ivfpq_rerank" -> (simIvfPqRerank _),
     "q_sim_ivfpq_rerank_probe" -> (simIvfPqRerankProbe _),
     "q_ann_join_rerank" -> (simAnnJoinRerank _),
@@ -1443,6 +1457,7 @@ object PipelineQueries {
     "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10),
     "q_ann_join" -> Similarity.annJoinOracleSql(8L, 5),
     "q_ann_join_pq" -> Similarity.annJoinPqOracleSql(4L, 5),
+    "q_ann_join_cos" -> Similarity.annJoinPqCosOracleSql(4L, 5),
     "q_ann_join_rerank" -> Similarity.annJoinPqRerankOracleSql(4L, 5),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same

@@ -347,6 +347,11 @@ object PostingsIndex {
     * both commits it names had landed, and a crash before the marker
     * simply leaves the previous pair current until the replay completes
     * the batch and records a fresh one. */
+  /** Pair-marker history kept on disk: enough for any realistic
+    * pinned-pair rollback window, bounded so a long-lived stream does
+    * not accrete one marker file per batch forever. */
+  private val PairsKept = 32
+
   private def recordPair(spark: SparkSession, tfPath: String,
                          tfV: Long, dlV: Long): Unit = {
     val p = new Path(s"$tfPath/_pairs/v$tfV-$dlV")
@@ -354,6 +359,14 @@ object PostingsIndex {
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
     out.close()
+    // prune markers beyond the newest PairsKept — readers only resolve
+    // the MAX, so deleting strictly-older markers can never change a
+    // concurrent read; explicit-version pins don't consult _pairs
+    val all = fs.listStatus(p.getParent).toSeq.map(_.getPath).collect {
+      case q if PairRe.findFirstIn(q.getName).isDefined => q
+    }.sortBy(q => PairRe.findFirstMatchIn(q.getName)
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).get)
+    all.dropRight(PairsKept).foreach(fs.delete(_, false))
   }
 
   private val PairRe = "v([0-9]+)-([0-9]+)".r

@@ -263,5 +263,22 @@ class PlanQualitySpec extends SparkSpec {
       s"q_bm25_topk_stored planned a full sort:\n${bts.take(600)}")
     assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(bts).isDefined,
       s"q_bm25_topk_stored tf scan carries no tbucket partition filter:\n${bts.take(900)}")
+    // q_bm25_df_bounded: the df cut happens BEFORE planning, so the tf
+    // scan's partition filter names exactly ONE bucket (the surviving
+    // rare term's) where the unbounded stored row names all three
+    // query terms' buckets — the stopword's posting list never enters
+    // the plan at all
+    // a multi-term cut prints as `tbucket IN (...)`; a single surviving
+    // bucket optimizes to the equality form `tbucket#N = K`
+    val dbIn = """tbucket[^\]]*IN \(([0-9,]+)\)""".r
+    val dbEq = """tbucket#\d+ = ([0-9]+)""".r
+    def bucketsIn(p: String): Set[Int] =
+      dbIn.findFirstMatchIn(p).map(_.group(1).split(",").map(_.trim.toInt).toSet)
+        .getOrElse(dbEq.findAllMatchIn(p).map(_.group(1).toInt).toSet)
+    val dbP = physical("q_bm25_df_bounded")
+    assert(bucketsIn(dbP).size == 1,
+      s"df-bounded scan should prune to ONE bucket, got ${bucketsIn(dbP)}:\n${dbP.take(900)}")
+    assert(bucketsIn(bs).size == 3,
+      s"unbounded stored scan should carry all 3 term buckets, got ${bucketsIn(bs)}")
   }
 }
