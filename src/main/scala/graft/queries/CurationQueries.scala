@@ -283,6 +283,28 @@ object CurationQueries {
   private val BenchBuckets = 16
   private val BenchBucket = 15
 
+  private lazy val DecontaminateXSql: String =
+      s"""WITH train AS (SELECT doc_id, text FROM documents
+         |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |          % $BenchBuckets <> $BenchBucket),
+         |benchd AS (SELECT doc_id, text FROM documents
+         |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |          % $BenchBuckets = $BenchBucket),
+         |ttoks AS (SELECT doc_id, $TOKS AS t FROM train),
+         |tpos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM ttoks WHERE len(t) >= 5),
+         |tsh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM tpos),
+         |btoks AS (SELECT doc_id, $TOKS AS t FROM benchd),
+         |bpos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM btoks WHERE len(t) >= 5),
+         |bsh AS (SELECT DISTINCT array_to_string(t[i+1:i+5], ' ') AS shingle FROM bpos),
+         |j AS (SELECT t.doc_id, b.shingle AS hit
+         |      FROM tsh t LEFT JOIN bsh b ON t.shingle = b.shingle)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(hit) AS BIGINT) AS n_hits,
+         |  CAST(count(hit) AS DOUBLE) / count(*) AS contam_frac
+         |FROM j GROUP BY doc_id HAVING count(hit) > 0""".stripMargin
+
+
   /** Benchmark decontamination: flag training documents that share any
     * 5-token shingle with the held-out set — the n-gram-overlap check
     * every serious pre-training pipeline runs against its eval suites
@@ -357,6 +379,43 @@ object CurationQueries {
     decontaminateAgainst(
       docs.where(bucket =!= BenchBucket),
       docs.where(bucket === BenchBucket))
+  }
+
+  /** Persist a bench set's distinct shingle fingerprints — the
+    * decontamination artifact: bench sets are STATIC (a fixed eval
+    * suite) while training corpora churn, so shingling the bench once
+    * and probing the stored set per corpus batch is the production
+    * shape — the `q_sim_*_probe` / `q_bm25_stored` write-once
+    * convention applied to decontamination. The artifact is the
+    * distinct-shingle set only (compact: ≈ bench token count rows),
+    * broadcast at probe time. */
+  def benchShingleArtifacts(bench: DataFrame, dir: String,
+                            n: Int = 5): Unit =
+    Dedup.shingles(bench, "doc_id", "text", n)
+      .select("shingle").distinct()
+      .write.mode("overwrite").parquet(s"$dir/bench_shingles")
+
+  /** Decontaminate `train` against a PERSISTED bench shingle set
+    * ([[benchShingleArtifacts]]) — zero bench-side compute per run;
+    * identical scoring tail to [[decontaminateAgainst]], so the stored
+    * path is oracle-pinned to `q_decontaminate_x`'s exact SQL. */
+  def decontaminateFromDir(train: DataFrame, dir: String,
+                           n: Int = 5): DataFrame =
+    contaminated(
+      Dedup.shingles(train, "doc_id", "text", n),
+      train.sparkSession.read.parquet(s"$dir/bench_shingles"))
+
+  /** The stored-artifact registry row: bench shingles write once per
+    * (corpus fingerprint, JVM); every later call probes the stored
+    * set. Same oracle as `q_decontaminate_x`. */
+  def decontaminateStored(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val bucket = TA.hashBucket(col("doc_id"), BenchBuckets)
+    val dir = PipelineQueries.cachedArtifacts(
+        s"decon:$d:${PipelineQueries.corpusFingerprintOf(s, d, "documents")}") {
+      dir => benchShingleArtifacts(docs.where(bucket === BenchBucket), dir)
+    }
+    decontaminateFromDir(docs.where(bucket =!= BenchBucket), dir)
   }
 
   // ---- drop-reason audit -------------------------------------------------
@@ -639,6 +698,7 @@ object CurationQueries {
     "q_mix_apply"     -> (mixApply _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_x" -> (decontaminateX _),
+    "q_decontaminate_stored" -> (decontaminateStored _),
     "q_drop_reasons"  -> (dropReasons _),
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
@@ -734,26 +794,10 @@ object CurationQueries {
     // decontaminateAgainst signature), then independent shingle
     // pipelines — must equal q_decontaminate (the split commutes with
     // shingling)
-    "q_decontaminate_x" ->
-      s"""WITH train AS (SELECT doc_id, text FROM documents
-         |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |          % $BenchBuckets <> $BenchBucket),
-         |benchd AS (SELECT doc_id, text FROM documents
-         |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |          % $BenchBuckets = $BenchBucket),
-         |ttoks AS (SELECT doc_id, $TOKS AS t FROM train),
-         |tpos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM ttoks WHERE len(t) >= 5),
-         |tsh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM tpos),
-         |btoks AS (SELECT doc_id, $TOKS AS t FROM benchd),
-         |bpos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM btoks WHERE len(t) >= 5),
-         |bsh AS (SELECT DISTINCT array_to_string(t[i+1:i+5], ' ') AS shingle FROM bpos),
-         |j AS (SELECT t.doc_id, b.shingle AS hit
-         |      FROM tsh t LEFT JOIN bsh b ON t.shingle = b.shingle)
-         |SELECT doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_shingles,
-         |  CAST(count(hit) AS BIGINT) AS n_hits,
-         |  CAST(count(hit) AS DOUBLE) / count(*) AS contam_frac
-         |FROM j GROUP BY doc_id HAVING count(hit) > 0""".stripMargin,
+    "q_decontaminate_x" -> DecontaminateXSql,
+    // the persisted-bench-set server shares the scoring tail exactly —
+    // the SAME oracle SQL pins stored-probed to recomputed
+    "q_decontaminate_stored" -> DecontaminateXSql,
     // planted construction + the three gate CTEs in the engine's CASE
     // order; keeper join is null-safe like dedupKeepRows' <=> discipline
     "q_drop_reasons" ->

@@ -643,7 +643,7 @@ object PipelineQueries {
   private def corpusFingerprint(s: SparkSession, d: String): String =
     corpusFingerprintOf(s, d, "embeddings")
 
-  private def corpusFingerprintOf(s: SparkSession, d: String,
+  private[queries] def corpusFingerprintOf(s: SparkSession, d: String,
                                   table: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -656,7 +656,7 @@ object PipelineQueries {
         f.getLen * 17L + f.getModificationTime).sum)
     }
   }
-  private def cachedArtifacts(key: String)(build: String => Unit): String =
+  private[queries] def cachedArtifacts(key: String)(build: String => Unit): String =
     artifactCache.computeIfAbsent(key, { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft-ann-art").toString
       build(dir)
