@@ -42,6 +42,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(CurationQueries.decontaminateAgainst(emptyDocs, emptyDocs).count() === 0)
   }
 
+  test("stored decontamination handles empty bench artifacts and empty corpora") {
+    import spark.implicits._
+    import graft.queries.CurationQueries
+    val some = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // an EMPTY bench set still writes a schema-bearing artifact, and
+    // probing it flags nothing; an empty corpus against a real
+    // artifact returns empty
+    val dir = java.nio.file.Files.createTempDirectory("decon-empty").toString
+    CurationQueries.benchShingleArtifacts(emptyDocs, s"$dir/e")
+    assert(CurationQueries.decontaminateFromDir(some, s"$dir/e").count() === 0)
+    CurationQueries.benchShingleArtifacts(some, s"$dir/f")
+    assert(CurationQueries.decontaminateFromDir(emptyDocs, s"$dir/f").count() === 0)
+    // self-contamination detected through the stored path
+    assert(CurationQueries.decontaminateFromDir(some, s"$dir/f").count() === 1)
+  }
+
   test("a drop list covering every shingle empties the pair pipelines") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -320,4 +320,38 @@ object EngineProps extends Properties("engine") {
       }.toSet
       got == expect
     }
+
+  // the stored-BM25 pruning contract rests on the driver-computed
+  // bucket of a literal term agreeing BIT-IDENTICALLY with the Spark
+  // expression that partitioned the storage — for ANY token, not just
+  // ASCII fixtures (md5 over UTF-8 bytes both sides)
+  private val tokenGen: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf('é', 'ß', '中', '€', '-', '_', '.'))
+  ).map(_.mkString.take(24))
+  property("tokenBucketLocal equals the storage-side tokenBucket for any token") =
+    forAll(Gen.nonEmptyListOf(tokenGen).map(_.take(16))) { toks =>
+      import spark.implicits._
+      import graft.streaming.PostingsIndex
+      val got = toks.toDF("token")
+        .select(col("token"), PostingsIndex.tokenBucket(col("token")).as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      toks.forall(t => got(t) == PostingsIndex.tokenBucketLocal(t))
+    }
+
+  // headerless-DIB wrap: stripping the BITMAPFILEHEADER from any
+  // generated BMP and re-wrapping must decode to the identical pixels
+  private val rgbGen = Gen.chooseNum(0, 0xFFFFFF)
+  property("wrapDibFrame inverts a stripped BITMAPFILEHEADER for any frame") =
+    forAll(Gen.chooseNum(1, 12), Gen.chooseNum(1, 9), rgbGen, rgbGen) {
+      (w, h, c0, c1) =>
+        import graft.functions.Multimodal
+        val bmp = Multimodal.minimalBmp(w, h)((x, y) =>
+          if ((x + y) % 2 == 0) c0 else c1)
+        val dib = java.util.Arrays.copyOfRange(bmp, 14, bmp.length)
+        // decodeImage returns an Array field — compare field-wise
+        val Some((w1, h1, ch1, m1)) =
+          Multimodal.decodeImage(Multimodal.wrapDibFrame(dib))
+        val Some((w2, h2, ch2, m2)) = Multimodal.decodeImage(bmp)
+        w1 == w2 && h1 == h2 && ch1 == ch2 && m1.sameElements(m2)
+    }
 }
