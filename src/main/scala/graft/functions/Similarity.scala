@@ -1048,6 +1048,23 @@ object Similarity {
        |            WHERE vec_id = $queryId) q
        |ORDER BY cos DESC, t.vec_id ASC LIMIT $k""".stripMargin
 
+  /** The cosine-faithful IVFADC+R oracle: the NORMALIZED ADC machinery
+    * shortlists ([[ivfPqCosOracleSql]] as a subquery), then the exact
+    * cosine re-rank joins the RAW table — cosine is scale-invariant, so
+    * the re-rank needs no normalized twin, exactly as the engine's
+    * [[exactCosineRerank]] reads raw vectors under a meta-normalized
+    * probe. */
+  def ivfPqCosRerankOracleSql(queryId: Long, k: Int, shortlist: Int = 50,
+                              nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+                              ks: Int = 8, iters: Int = 2,
+                              dim: Int = OracleDim): String =
+    s"""SELECT t.vec_id, ${cosineSql("e.embedding", "q.qe", dim)} AS cos
+       |FROM (${ivfPqCosOracleSql(queryId, shortlist, nlist, nprobe, m, ks, iters, dim)}) t
+       |JOIN embeddings e ON e.vec_id = t.vec_id
+       |CROSS JOIN (SELECT embedding AS qe FROM embeddings
+       |            WHERE vec_id = $queryId) q
+       |ORDER BY cos DESC, t.vec_id ASC LIMIT $k""".stripMargin
+
   /** The engine's sequential dot-accumulator loop on driver-local
     * arrays — [[pqTopK]]'s LUT builder; bit-identical to the executor
     * loop and to a left-associated SQL `+` chain. */

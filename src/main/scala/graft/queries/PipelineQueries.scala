@@ -717,6 +717,18 @@ object PipelineQueries {
       "vec_id", "embedding", dir, 5)
   }
 
+  /** The cos family's IVFADC+R: [[Similarity.ivfPqRerankFromDir]] over
+    * the NORMALIZED artifacts — the meta-normalized ADC shortlist,
+    * re-ranked by exact cosine on RAW vectors (cosine is
+    * scale-invariant, so the re-rank needs no normalized twin). */
+  def simIvfPqCosRerank(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"ivfpqcos:$d:${corpusFingerprint(s, d)}")(
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        normalize = true))
+    Similarity.ivfPqRerankFromDir(embChecked(s, d), "vec_id", "embedding",
+      dir, 0L, 10)
+  }
+
   /** The batch twin of `q_sim_ivfpq_cos_probe`: [[Similarity.annJoinPqFromDir]]
     * over the NORMALIZED artifacts — the meta marker makes the batch
     * join normalize its query frame in-frame, so the whole cos family
@@ -957,6 +969,7 @@ object PipelineQueries {
     "q_sim_ivfpq_cos"  -> (simIvfPqCos _),
     "q_sim_ivfpq_cos_probe" -> (simIvfPqCosProbe _),
     "q_ann_join_cos"   -> (simAnnJoinCos _),
+    "q_sim_ivfpq_cos_rerank" -> (simIvfPqCosRerank _),
     "q_sim_ivfpq_rerank" -> (simIvfPqRerank _),
     "q_sim_ivfpq_rerank_probe" -> (simIvfPqRerankProbe _),
     "q_ann_join_rerank" -> (simAnnJoinRerank _),
@@ -1458,6 +1471,7 @@ object PipelineQueries {
     "q_ann_join" -> Similarity.annJoinOracleSql(8L, 5),
     "q_ann_join_pq" -> Similarity.annJoinPqOracleSql(4L, 5),
     "q_ann_join_cos" -> Similarity.annJoinPqCosOracleSql(4L, 5),
+    "q_sim_ivfpq_cos_rerank" -> Similarity.ivfPqCosRerankOracleSql(0L, 10),
     "q_ann_join_rerank" -> Similarity.annJoinPqRerankOracleSql(4L, 5),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
