@@ -144,6 +144,18 @@ object PipelineQueries {
   def bm25TopKStoredQ(s: SparkSession, d: String): DataFrame =
     bm25StoredQ(s, d).orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
 
+  /** The full ENDPOINT call as one registry row
+    * ([[graft.streaming.PostingsIndex.searchBm25]]): df-bounded
+    * stopword cut + pruned stored scan + top-k in a single function —
+    * what a web handler actually invokes. Oracle: the df-cut scoring
+    * SQL under the same ORDER/LIMIT. */
+  def bm25ServeQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
+    graft.streaming.PostingsIndex.searchBm25(
+      s, s"$dir/tf", s"$dir/dl", Bm25Terms, 20,
+      dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.5))
+  }
+
   /** Inverted-index build — the retrieval-side artifact (keyword/BM25
     * search, doc-frequency stats) over the same corpus: per token, the
     * distinct-document frequency and the first [[PostingsCap]] doc ids
@@ -930,6 +942,7 @@ object PipelineQueries {
     "q_bm25_stored"    -> (bm25StoredQ _),
     "q_bm25_topk_stored" -> (bm25TopKStoredQ _),
     "q_bm25_df_bounded" -> (bm25DfBoundedQ _),
+    "q_bm25_serve"     -> (bm25ServeQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -1033,6 +1046,35 @@ object PipelineQueries {
   /** The one BM25 oracle — shared by `q_bm25` (corpus-recomputed) and
     * `q_bm25_index` (served from the stored tf/dl artifacts): the two
     * rows hashing equal against the SAME SQL is the parity proof. */
+  // the df-bounded server: the SAME scoring SQL over the term set
+  // restricted by the deterministic cut rule (df <= 0.5 * N) — the
+  // oracle recomputes the cut, so the bounded path is hash-checked,
+  // not just deviation-bounded. N is the document count (the dl
+  // sidecar's row count on the Spark side)
+  private val Bm25DfBoundedSql: String =
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |qt0 AS (SELECT doc_id, term FROM toks
+         |        WHERE term IN ('join', 'filter', 'dup')),
+         |nd0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |kept AS (SELECT term FROM
+         |           (SELECT term, count(DISTINCT doc_id) AS df0
+         |            FROM qt0 GROUP BY 1), nd0
+         |         WHERE df0 <= 0.5 * n),
+         |qt AS (SELECT doc_id, term FROM qt0
+         |       WHERE term IN (SELECT term FROM kept)),
+         |tf AS (SELECT doc_id, term, count(*) AS n FROM qt GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl FROM documents),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM qt GROUP BY 1),
+         |scal AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd,
+         |                avg(CAST(len($TOKS) AS DOUBLE)) AS avgdl FROM documents)
+         |SELECT tf.doc_id,
+         |  CAST(sum(ln(1.0 + (scal.nd - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))
+         |       * (tf.n * ${1.2 + 1}) / (tf.n + 1.2 * (${1 - 0.75} + 0.75 * dl.dl / scal.avgdl)))
+         |     AS DOUBLE) AS bm25,
+         |  count(*) AS n_hits
+         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN scal
+         |GROUP BY tf.doc_id""".stripMargin
+
   private val Bm25Sql: String =
     s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
        |qt AS (SELECT doc_id, term FROM toks
@@ -1123,29 +1165,11 @@ object PipelineQueries {
     // oracle recomputes the cut, so the bounded path is hash-checked,
     // not just deviation-bounded. N is the document count (the dl
     // sidecar's row count on the Spark side)
-    "q_bm25_df_bounded" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
-         |qt0 AS (SELECT doc_id, term FROM toks
-         |        WHERE term IN ('join', 'filter', 'dup')),
-         |nd0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-         |kept AS (SELECT term FROM
-         |           (SELECT term, count(DISTINCT doc_id) AS df0
-         |            FROM qt0 GROUP BY 1), nd0
-         |         WHERE df0 <= 0.5 * n),
-         |qt AS (SELECT doc_id, term FROM qt0
-         |       WHERE term IN (SELECT term FROM kept)),
-         |tf AS (SELECT doc_id, term, count(*) AS n FROM qt GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS dl FROM documents),
-         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM qt GROUP BY 1),
-         |scal AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd,
-         |                avg(CAST(len($TOKS) AS DOUBLE)) AS avgdl FROM documents)
-         |SELECT tf.doc_id,
-         |  CAST(sum(ln(1.0 + (scal.nd - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))
-         |       * (tf.n * ${1.2 + 1}) / (tf.n + 1.2 * (${1 - 0.75} + 0.75 * dl.dl / scal.avgdl)))
-         |     AS DOUBLE) AS bm25,
-         |  count(*) AS n_hits
-         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN scal
-         |GROUP BY tf.doc_id""".stripMargin,
+    "q_bm25_df_bounded" -> Bm25DfBoundedSql,
+    // the endpoint row: the df-cut scoring under the serving cut
+    "q_bm25_serve" ->
+      s"""SELECT * FROM ($Bm25DfBoundedSql)
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // same token stream; avg-of-logs merge order differs at ~1e-12 and
     // the driver's 6-decimal float rounding absorbs it (the q_tfidf
     // precedent)

@@ -675,6 +675,24 @@ object PostingsIndex {
       dl, kept, k1, b)
   }
 
+  /** THE keyword-search endpoint call — everything a web handler needs
+    * in one function: latest-consistent-pair version resolution, the
+    * df-bounded stopword cut (when `dfPath`/`maxDfFrac` are given), the
+    * token-bucket-pruned tf scan, and the top-k cut
+    * (`TakeOrderedAndProject`, deterministic doc_id tie-break — never a
+    * global sort). Scan cost: the surviving terms' posting lists; k
+    * rows leave the aggregation. */
+  def searchBm25(spark: SparkSession, tfPath: String, dlPath: String,
+                 terms: Seq[String], k: Int, k1: Double = 1.2,
+                 b: Double = 0.75,
+                 tfVersion: Option[Long] = None,
+                 dlVersion: Option[Long] = None,
+                 dfPath: Option[String] = None,
+                 maxDfFrac: Option[Double] = None): DataFrame =
+    bm25FromStored(spark, tfPath, dlPath, terms, k1, b,
+      tfVersion, dlVersion, dfPath, maxDfFrac)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+
   /** Serving read for the union-merged shard tables (tf / doc-lengths):
     * all live shards, version-pinnable under [[Snapshot]] manifests. */
   def readUnionShards(spark: SparkSession, root: String,

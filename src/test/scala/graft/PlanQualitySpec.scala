@@ -169,6 +169,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_bm25_stored", // the same scalar, served from stored artifacts
       "q_bm25_topk_stored", // the stored scalar under the TakeOrdered cut
       "q_bm25_df_bounded", // the same stored scalar, df-cut term set
+      "q_bm25_serve",  // the endpoint composition of the same scalar
       "q_tfidf_index") // the N single-row scalar, served from the dl sidecar
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
@@ -280,5 +281,13 @@ class PlanQualitySpec extends SparkSpec {
       s"df-bounded scan should prune to ONE bucket, got ${bucketsIn(dbP)}:\n${dbP.take(900)}")
     assert(bucketsIn(bs).size == 3,
       s"unbounded stored scan should carry all 3 term buckets, got ${bucketsIn(bs)}")
+    // q_bm25_serve: the endpoint call holds ALL the serving properties
+    // in one plan — single-bucket pruning from the df cut AND the
+    // TakeOrderedAndProject top-k cut
+    val srv = physical("q_bm25_serve")
+    assert(srv.contains("TakeOrderedAndProject") && !srv.contains("Sort ["),
+      s"q_bm25_serve lost the top-k cut:\n${srv.take(600)}")
+    assert(bucketsIn(srv).size == 1,
+      s"q_bm25_serve should prune to ONE bucket, got ${bucketsIn(srv)}")
   }
 }
