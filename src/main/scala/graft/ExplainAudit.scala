@@ -169,10 +169,14 @@ object ExplainAudit {
       "q_percentiles_approx", // expect ObjectHashAggregate of bounded
                           //   GK sketches (partial+final) — the memory-
                           //   safe twin of q_percentiles' exact buffers
-      "q_bm25_topk_stored") // expect the endpoint composition in ONE
+      "q_bm25_topk_stored", // expect the endpoint composition in ONE
                           //   plan: PartitionFilters on tbucket at the
                           //   stored tf scan AND TakeOrderedAndProject
                           //   on top — never a global sort
+      "q_bm25_serve")     // expect the df-cut endpoint: a SINGLE
+                          //   tbucket partition value (the stopword
+                          //   terms never enter the plan) under the
+                          //   same TakeOrderedAndProject cut
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")
