@@ -144,6 +144,20 @@ object PipelineQueries {
   def bm25TopKStoredQ(s: SparkSession, d: String): DataFrame =
     bm25StoredQ(s, d).orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
 
+  /** TF-IDF served from the PERSISTED artifacts — the stored twin of
+    * `q_tfidf_index` (which builds tf/dl in-plan): the same
+    * [[TA.tfidfFromIndex]] scorer over the parquet tables
+    * [[bm25StoredArtifacts]] wrote once. No query-term filter exists in
+    * tf-idf (it scores every (doc, term) pair), so the read is
+    * all-buckets by design; the point is zero corpus access and zero
+    * index rebuild at scoring time. Same oracle as `q_tfidf`. */
+  def tfidfStoredQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
+    TA.tfidfFromIndex(
+      graft.streaming.PostingsIndex.readTfIndex(s, s"$dir/tf").drop("tbucket"),
+      graft.streaming.PostingsIndex.readUnionShards(s, s"$dir/dl"))
+  }
+
   /** The full ENDPOINT call as one registry row
     * ([[graft.streaming.PostingsIndex.searchBm25]]): df-bounded
     * stopword cut + pruned stored scan + top-k in a single function —
@@ -943,6 +957,7 @@ object PipelineQueries {
     "q_bm25_topk_stored" -> (bm25TopKStoredQ _),
     "q_bm25_df_bounded" -> (bm25DfBoundedQ _),
     "q_bm25_serve"     -> (bm25ServeQ _),
+    "q_tfidf_stored"   -> (tfidfStoredQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -1131,6 +1146,7 @@ object PipelineQueries {
     // index-served tf-idf must equal corpus-recomputed tf-idf — the
     // SAME oracle SQL pins q_tfidf_index to q_tfidf
     "q_tfidf_index" -> TfidfSql,
+    "q_tfidf_stored" -> TfidfSql,
     // per-doc distinct token set, so count(*) IS the doc frequency; the
     // capped postings preview is the sorted id list's first 16 both ways
     "q_postings" ->

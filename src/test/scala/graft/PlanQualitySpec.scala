@@ -170,7 +170,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_bm25_topk_stored", // the stored scalar under the TakeOrdered cut
       "q_bm25_df_bounded", // the same stored scalar, df-cut term set
       "q_bm25_serve",  // the endpoint composition of the same scalar
-      "q_tfidf_index") // the N single-row scalar, served from the dl sidecar
+      "q_tfidf_index", // the N single-row scalar, served from the dl sidecar
+      "q_tfidf_stored") // the same scalar over the persisted artifacts
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
