@@ -956,10 +956,13 @@ object TfIndexVacuumProbe {
     val tmp = java.nio.file.Files.createTempDirectory("tf-vacuum").toString
     val (tfP, dlP, dfP) = (s"$tmp/tf", s"$tmp/dl", s"$tmp/df")
     (0 until nBatches).foreach { b =>
+      // pmod slices are already doc-disjoint — the fresh-docs
+      // discipline the tf/dl/df index depends on (a doc_id remap here
+      // would alias ids ACROSS batches and double-count tf/df)
       PostingsIndex.tfIndexBatch(
         base.where(org.apache.spark.sql.functions.pmod(col("doc_id"),
           org.apache.spark.sql.functions.lit(nBatches)) === b)
-          .select((col("doc_id") + b).as("doc_id"), col("text")),
+          .select(col("doc_id"), col("text")),
         b, tfP, dlP, compactEvery = 4, snapshots = true,
         dfPath = Some(dfP))
     }

@@ -748,6 +748,7 @@ object Similarity {
     // would silently rank against the wrong geometry
     Seq(("normalized", normalize.toString)).toDF("key", "value")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    normalizedMetaCache.put(dir, java.lang.Boolean.valueOf(normalize))
     val coarse = seededCentroids(v, nlist)
     val books = trainPqBooks(v, m, ks, iters, sub)
     books.zipWithIndex.flatMap { case (book, s) =>
@@ -781,15 +782,28 @@ object Similarity {
   /** Whether the artifacts at `dir` were built over unit-normalized
     * vectors ([[ivfPqWriteArtifacts]]'s meta marker). Absent meta —
     * pre-r12 artifacts, or the [[pqWriteArtifacts]] layout — means
-    * raw vectors. */
+    * raw vectors.
+    *
+    * Memoized per dir on the driver: the marker is a write-once
+    * artifact property, and without the cache EVERY probe / re-rank /
+    * batch-join / append call would pay a filesystem round-trip plus a
+    * one-row Spark read just to re-learn it — per-query overhead on
+    * the serving hot path (two remote round-trips per call on an
+    * object store). [[ivfPqWriteArtifacts]] updates the entry when it
+    * (re)writes a dir in this JVM, so a same-process rebuild with a
+    * flipped flag can't serve a stale answer. */
+  private val normalizedMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def artifactNormalized(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
-      spark.read.parquet(s"$dir/meta")
-        .where(col("key") === "normalized" && col("value") === "true")
-        .head(1).nonEmpty
-  }
+                                 dir: String): Boolean =
+    normalizedMetaCache.computeIfAbsent(dir, { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
+        spark.read.parquet(s"$dir/meta")
+          .where(col("key") === "normalized" && col("value") === "true")
+          .head(1).nonEmpty
+    })
 
   /** The stored codebooks as driver arrays — shared by the probes and
     * the incremental appenders so every consumer decodes the artifact

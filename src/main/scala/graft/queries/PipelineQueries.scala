@@ -1058,14 +1058,11 @@ object PipelineQueries {
        |  (CAST(tf.n AS DOUBLE) / dl.dl) * ln(CAST(nd.nd AS DOUBLE) / dfreq.doc_freq) AS tfidf
        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd""".stripMargin
 
-  /** The one BM25 oracle — shared by `q_bm25` (corpus-recomputed) and
-    * `q_bm25_index` (served from the stored tf/dl artifacts): the two
-    * rows hashing equal against the SAME SQL is the parity proof. */
-  // the df-bounded server: the SAME scoring SQL over the term set
-  // restricted by the deterministic cut rule (df <= 0.5 * N) — the
-  // oracle recomputes the cut, so the bounded path is hash-checked,
-  // not just deviation-bounded. N is the document count (the dl
-  // sidecar's row count on the Spark side)
+  /** The df-bounded server's oracle — [[Bm25Sql]]'s scoring SQL over
+    * the term set restricted by the deterministic cut rule
+    * (df <= 0.5 · N, N = document count = the dl sidecar's row count
+    * on the Spark side). The oracle RECOMPUTES the cut, so the bounded
+    * path is hash-checked end to end, not just deviation-bounded. */
   private val Bm25DfBoundedSql: String =
       s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
          |qt0 AS (SELECT doc_id, term FROM toks
@@ -1090,6 +1087,9 @@ object PipelineQueries {
          |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN scal
          |GROUP BY tf.doc_id""".stripMargin
 
+  /** The one BM25 oracle — shared by `q_bm25` (corpus-recomputed) and
+    * `q_bm25_index` (served from the stored tf/dl artifacts): the two
+    * rows hashing equal against the SAME SQL is the parity proof. */
   private val Bm25Sql: String =
     s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
        |qt AS (SELECT doc_id, term FROM toks
@@ -1176,11 +1176,6 @@ object PipelineQueries {
     "q_bm25_topk_stored" ->
       s"""SELECT * FROM ($Bm25Sql)
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
-    // the df-bounded server: the SAME scoring SQL over the term set
-    // restricted by the deterministic cut rule (df <= 0.5 * N) — the
-    // oracle recomputes the cut, so the bounded path is hash-checked,
-    // not just deviation-bounded. N is the document count (the dl
-    // sidecar's row count on the Spark side)
     "q_bm25_df_bounded" -> Bm25DfBoundedSql,
     // the endpoint row: the df-cut scoring under the serving cut
     "q_bm25_serve" ->

@@ -206,9 +206,8 @@ object PostingsIndex {
     // if any live shard nests tbucket= dirs, the rewrite keeps them
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bucketed = tokenBuckets || shardDirs(spark, indexPath).exists(d =>
-      fs.listStatus(d).exists(st => st.isDirectory &&
-        st.getPath.getName.startsWith("tbucket=")))
+    val bucketed = tokenBuckets ||
+      shardDirs(spark, indexPath).exists(hasTokenBucketDirs(fs, _))
     compactWith(spark, indexPath, identity,
       if (!bucketed) (df, p) => df.write.mode("overwrite").parquet(p)
       else (df, p) =>
@@ -337,24 +336,29 @@ object PostingsIndex {
 
   // ---- tf/dl consistency pairs: atomic-by-ordering version pairing ----
 
-  /** Record which (tfVersion, dlVersion) MANIFEST versions describe the
-    * SAME corpus state — written AFTER both commits of a batch
-    * succeeded, as an empty marker `_pairs/v<tf>-<dl>` under the tf
-    * root. The two roots' version counters can drift permanently (a
-    * crash between the tf and dl writes replays into an extra tf
-    * commit), so "latest of each" can pair two different corpus
-    * states; "latest recorded pair" cannot: the marker only exists if
-    * both commits it names had landed, and a crash before the marker
-    * simply leaves the previous pair current until the replay completes
-    * the batch and records a fresh one. */
+  /** Record which (tfVersion, dlVersion[, dfVersion]) MANIFEST versions
+    * describe the SAME corpus state — written AFTER every commit of a
+    * batch succeeded, as an empty marker `_pairs/v<tf>-<dl>[-<df>]`
+    * under the tf root. The roots' version counters can drift
+    * permanently (a crash between the tf and dl writes replays into an
+    * extra tf commit), so "latest of each" can pair two different
+    * corpus states; "latest recorded pair" cannot: the marker only
+    * exists if every commit it names had landed, and a crash before the
+    * marker simply leaves the previous pair current until the replay
+    * completes the batch and records a fresh one. The df version rides
+    * in the marker so a pinned df-bounded read's CUT decision is as
+    * reproducible as its scores (a pre-df-sidecar marker has no third
+    * field — readers fall back to the live df summary for those). */
   /** Pair-marker history kept on disk: enough for any realistic
     * pinned-pair rollback window, bounded so a long-lived stream does
     * not accrete one marker file per batch forever. */
   private val PairsKept = 32
 
   private def recordPair(spark: SparkSession, tfPath: String,
-                         tfV: Long, dlV: Long): Unit = {
-    val p = new Path(s"$tfPath/_pairs/v$tfV-$dlV")
+                         tfV: Long, dlV: Long,
+                         dfV: Option[Long] = None): Unit = {
+    val name = s"v$tfV-$dlV" + dfV.map(v => s"-$v").getOrElse("")
+    val p = new Path(s"$tfPath/_pairs/$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
@@ -369,7 +373,20 @@ object PostingsIndex {
     all.dropRight(PairsKept).foreach(fs.delete(_, false))
   }
 
-  private val PairRe = "v([0-9]+)-([0-9]+)".r
+  private val PairRe = "v([0-9]+)-([0-9]+)(?:-([0-9]+))?".r
+
+  /** Every recorded consistency marker at the root, as
+    * (tfVersion, dlVersion, dfVersion?) — the resolution set for
+    * [[latestConsistentVersions]] and for one-sided pins. */
+  private def recordedPairs(spark: SparkSession,
+                            tfPath: String): Seq[(Long, Long, Option[Long])] = {
+    val d = new Path(s"$tfPath/_pairs")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+      case PairRe(t, l, f) => (t.toLong, l.toLong, Option(f).map(_.toLong))
+    }
+  }
 
   /** Latest mutually-consistent (tfVersion, dlVersion) pair — what a
     * serving caller should pin instead of trusting two independent
@@ -377,14 +394,15 @@ object PostingsIndex {
     * when no explicit versions are given). None when the index was
     * built without snapshots (no versions to pair). */
   def latestConsistentPair(spark: SparkSession,
-                           tfPath: String): Option[(Long, Long)] = {
-    val d = new Path(s"$tfPath/_pairs")
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) None
-    else fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
-      case PairRe(t, l) => (t.toLong, l.toLong)
-    }.maxOption
-  }
+                           tfPath: String): Option[(Long, Long)] =
+    latestConsistentVersions(spark, tfPath).map { case (t, l, _) => (t, l) }
+
+  /** [[latestConsistentPair]] plus the df-summary version recorded with
+    * it (None for pre-df markers or an index without the sidecar). */
+  def latestConsistentVersions(spark: SparkSession,
+      tfPath: String): Option[(Long, Long, Option[Long])] =
+    recordedPairs(spark, tfPath)
+      .maxByOption { case (t, l, _) => (t, l) }
 
   /** The per-batch body (exposed for replay tests): write the batch
     * shard, commit the manifest, compact on cadence.
@@ -518,16 +536,19 @@ object PostingsIndex {
       compactUnionShards(spark, dlPath)
       dfPath.foreach(compactDfShards(spark, _))
     }
-    // the consistency pair lands strictly LAST — after both commits
+    // the consistency pair lands strictly LAST — after every commit
     // (and the cadence compaction, so the pair names versions a reader
     // resolves without _stale indirection): a crash anywhere above
     // leaves the previous pair current, and the replay that completes
     // the batch records the fresh one — so the latest recorded pair
-    // always names two versions of ONE corpus state
+    // always names versions of ONE corpus state. The df-summary
+    // version rides along so a pinned read's stopword-cut decision
+    // replays against the SAME df the pair's scores came from.
     if (snapshots) for {
       tfV <- Snapshot.latestVersion(spark, tfPath)
       dlV <- Snapshot.latestVersion(spark, dlPath)
-    } recordPair(spark, tfPath, tfV, dlV)
+    } recordPair(spark, tfPath, tfV, dlV,
+      dfPath.flatMap(Snapshot.latestVersion(spark, _)))
   }
 
   /** Re-aggregating compaction for the df summary sidecar: shards hold
@@ -579,6 +600,16 @@ object PostingsIndex {
       .drop("shard")
   }
 
+  /** THE token-bucket layout probe — the one definition of "this shard
+    * is physically partitioned by `tbucket=`" shared by the compaction
+    * rewrite (which must preserve the layout) and the mixed-layout raw
+    * read (which must split per layout): the two deciders can never
+    * disagree about what counts as a bucketed shard. */
+  private def hasTokenBucketDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: Path): Boolean =
+    fs.listStatus(dir).exists(st => st.isDirectory &&
+      st.getPath.getName.startsWith("tbucket="))
+
   /** Raw (non-manifest) read that survives a LAYOUT MIX: a root holding
     * both token-bucketed shards (nested `tbucket=` dirs) and flat ones
     * (a pre-layout index a bucketed stream later appended to) fails
@@ -594,9 +625,7 @@ object PostingsIndex {
     if (dirs.isEmpty) return spark.read.parquet(root)
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (bucketed, flat) = dirs.partition(d =>
-      fs.listStatus(d).exists(st => st.isDirectory &&
-        st.getPath.getName.startsWith("tbucket=")))
+    val (bucketed, flat) = dirs.partition(hasTokenBucketDirs(fs, _))
     if (bucketed.isEmpty || flat.isEmpty) spark.read.parquet(root)
     else {
       val bDf = spark.read.option("basePath", root)
@@ -624,10 +653,14 @@ object PostingsIndex {
     * shared scorer ([[TextAnalysis.bm25FromIndex]]) does the rest.
     *
     * Version pinning: explicit `tfVersion`/`dlVersion` win; with BOTH
-    * unset, the read resolves the latest CONSISTENT pair recorded by
-    * [[tfIndexBatch]] ([[latestConsistentPair]]) — never two
+    * unset, the read resolves the latest CONSISTENT marker recorded by
+    * [[tfIndexBatch]] ([[latestConsistentVersions]]) — never two
     * independent "latest" reads whose counters may have drifted across
-    * a split-write crash replay.
+    * a split-write crash replay. Pinning exactly ONE side resolves the
+    * partner (and the df version) from the recorded marker history —
+    * never the floating latest of the other root, which would be
+    * exactly the cross-state mix the markers exist to rule out — and
+    * throws if no recorded marker names the pinned version.
     *
     * Stopword bound: partition pruning prunes to a term's BUCKET, not
     * its posting list — a stopword's Σ df rows are corpus-scale
@@ -639,26 +672,53 @@ object PostingsIndex {
     * a true stopword by the BM25 idf formula (df→N ⇒ idf→ln(1+~0)) —
     * and docs whose ONLY hits were dropped terms leave the result set
     * (classic stopword-removal semantics); `PostingsIndexSpec` pins the
-    * bound. The df summary itself is read un-versioned: it only gates
-    * the CUT decision, never the scores, which come from tf/dl alone. */
+    * bound. The df summary is read AT THE RESOLVED VERSION (explicit
+    * `dfVersion`, else the one the consistency marker recorded), so a
+    * pinned query's cut decision — which terms are scored at all — is
+    * as reproducible as its scores; only markers predating the df
+    * sidecar fall back to the live summary. */
   def bm25FromStored(spark: SparkSession, tfPath: String, dlPath: String,
                      terms: Seq[String], k1: Double = 1.2,
                      b: Double = 0.75,
                      tfVersion: Option[Long] = None,
                      dlVersion: Option[Long] = None,
                      dfPath: Option[String] = None,
-                     maxDfFrac: Option[Double] = None): DataFrame = {
-    val (tfV, dlV) = (tfVersion, dlVersion) match {
-      case (None, None) => latestConsistentPair(spark, tfPath)
-        .map { case (t, l) => (Some(t), Some(l)) }.getOrElse((None, None))
-      case pinned => pinned
+                     maxDfFrac: Option[Double] = None,
+                     dfVersion: Option[Long] = None): DataFrame = {
+    def partnerOf(side: String, v: Long,
+                  pick: ((Long, Long, Option[Long])) => Boolean) = {
+      val hits = recordedPairs(spark, tfPath).filter(pick)
+      require(hits.nonEmpty,
+        s"$side=$v is pinned but no recorded consistency marker at " +
+          s"$tfPath/_pairs names it — a one-sided pin against the " +
+          "floating latest of the other root could mix two corpus " +
+          "states; pin both versions from a recorded marker")
+      hits.max
+    }
+    val (tfV, dlV, dfV) = (tfVersion, dlVersion) match {
+      case (None, None) => latestConsistentVersions(spark, tfPath)
+        .map { case (t, l, d) => (Some(t), Some(l), dfVersion.orElse(d)) }
+        .getOrElse((None, None, dfVersion))
+      case (Some(t), Some(l)) =>
+        // fully pinned: the cut replays against the marker-recorded df
+        // when the caller didn't pin one and the marker exists
+        val d = dfVersion.orElse(
+          recordedPairs(spark, tfPath)
+            .collect { case (`t`, `l`, df) => df }.flatten.maxOption)
+        (Some(t), Some(l), d)
+      case (Some(t), None) =>
+        val (_, l, d) = partnerOf("tfVersion", t, _._1 == t)
+        (Some(t), Some(l), dfVersion.orElse(d))
+      case (None, Some(l)) =>
+        val (t, _, d) = partnerOf("dlVersion", l, _._2 == l)
+        (Some(t), Some(l), dfVersion.orElse(d))
     }
     val dl = readUnionShards(spark, dlPath, dlV)
     val kept = (dfPath, maxDfFrac) match {
       case (Some(dp), Some(frac)) =>
         val n = dl.count().toDouble // one doc-scale aggregate
         val dfBuckets = terms.map(tokenBucketLocal).toSet
-        val dfs = readDfIndex(spark, dp, buckets = Some(dfBuckets))
+        val dfs = readDfIndex(spark, dp, dfV, buckets = Some(dfBuckets))
           .where(col("token").isin(terms: _*))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         terms.filterNot(t => dfs.getOrElse(t, 0L) > frac * n)
@@ -688,9 +748,10 @@ object PostingsIndex {
                  tfVersion: Option[Long] = None,
                  dlVersion: Option[Long] = None,
                  dfPath: Option[String] = None,
-                 maxDfFrac: Option[Double] = None): DataFrame =
+                 maxDfFrac: Option[Double] = None,
+                 dfVersion: Option[Long] = None): DataFrame =
     bm25FromStored(spark, tfPath, dlPath, terms, k1, b,
-      tfVersion, dlVersion, dfPath, maxDfFrac)
+      tfVersion, dlVersion, dfPath, maxDfFrac, dfVersion)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
 
   /** Serving read for the union-merged shard tables (tf / doc-lengths):

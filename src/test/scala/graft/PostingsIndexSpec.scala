@@ -394,6 +394,84 @@ class PostingsIndexSpec extends SparkSpec {
       s"compacted df summary wrong: $dfRows")
   }
 
+  test("a pinned df-bounded read replays its cut decision as the corpus grows") {
+    // The df summary is part of the pinned state: if the cut consulted
+    // the LIVE summary, the same pinned call would change its term set
+    // — and therefore its rows — the moment later batches push a term
+    // across the threshold. The consistency marker records the df
+    // version, and the pinned read cuts against THAT summary.
+    val dir = java.nio.file.Files.createTempDirectory("tf-dfpin").toString
+    val (tfP, dlP, dfP) = (s"$dir/tf", s"$dir/dl", s"$dir/df")
+    // batch 0: 6 docs, "join" df=2 (frac 1/3, kept at 0.5), "the" df=6 (cut)
+    val b0 = (0L until 6L).map { i =>
+      (i, if (i < 2) s"the join doc$i" else s"the plain doc$i")
+    }.toDF("doc_id", "text")
+    PostingsIndex.tfIndexBatch(b0, 0, tfP, dlP, snapshots = true,
+      dfPath = Some(dfP))
+    val v0 = PostingsIndex.latestConsistentVersions(spark, tfP).get
+    assert(v0._3.isDefined, "the marker must record the df version")
+    def run(tfV: Option[Long], dlV: Option[Long],
+            dfV: Option[Long] = None) =
+      PostingsIndex.bm25FromStored(spark, tfP, dlP, Seq("join", "the"),
+        tfVersion = tfV, dlVersion = dlV,
+        dfPath = Some(dfP), maxDfFrac = Some(0.5), dfVersion = dfV)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+    val pinned0 = run(Some(v0._1), Some(v0._2))
+    assert(pinned0.map(_._1) == Set(0L, 1L),
+      s"batch-0 cut must keep exactly the join docs: $pinned0")
+    // batch 1 floods "join": live df 12/16 crosses the 0.5 threshold
+    val b1 = (10L until 20L).map(i => (i, s"the join flood$i"))
+      .toDF("doc_id", "text")
+    PostingsIndex.tfIndexBatch(b1, 1, tfP, dlP, snapshots = true,
+      dfPath = Some(dfP))
+    assert(run(None, None).isEmpty,
+      "the LIVE read must now cut both terms (join df frac 0.75)")
+    // the SAME pinned call replays the same cut and the same rows —
+    // with and without spelling the marker's df version explicitly
+    assert(run(Some(v0._1), Some(v0._2)) == pinned0,
+      "the pinned cut decision drifted with the live df summary")
+    assert(run(Some(v0._1), Some(v0._2), v0._3) == pinned0)
+  }
+
+  test("a one-sided version pin resolves its recorded partner, never the floating latest") {
+    // Pinning only tfVersion (or only dlVersion) must not pair the pin
+    // with the OTHER root's floating latest — that is the cross-state
+    // mix the consistency markers exist to rule out. The partner comes
+    // from the recorded marker history, and an un-recorded version
+    // fails fast.
+    val dir = java.nio.file.Files.createTempDirectory("tf-oneside").toString
+    val (tfP, dlP) = (s"$dir/tf", s"$dir/dl")
+    val terms = Seq("join", "filter", "dup")
+    val b0 = Seq((1L, "join filter a"), (2L, "dup b join"))
+      .toDF("doc_id", "text")
+    PostingsIndex.tfIndexBatch(b0, 0, tfP, dlP, snapshots = true)
+    val (t0, l0) = PostingsIndex.latestConsistentPair(spark, tfP).get
+    // crash: tf advances past every recorded marker, dl stays behind
+    PostingsIndex.tfIndexBatchCrashAfterTf(
+      Seq((3L, "join c"), (4L, "filter dup d")).toDF("doc_id", "text"),
+      1, tfP)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+    val full = rowsOf(PostingsIndex.bm25FromStored(spark, tfP, dlP, terms,
+      tfVersion = Some(t0), dlVersion = Some(l0)))
+    assert(rowsOf(PostingsIndex.bm25FromStored(spark, tfP, dlP, terms,
+      tfVersion = Some(t0))) == full,
+      "tf-only pin must resolve the marker's dl partner")
+    assert(rowsOf(PostingsIndex.bm25FromStored(spark, tfP, dlP, terms,
+      dlVersion = Some(l0))) == full,
+      "dl-only pin must resolve the marker's tf partner")
+    // the crash-advanced tf latest is in NO marker: one-sided pinning
+    // it would have paired corpus state B's tf with state A's dl
+    val tfLatest = Snapshot.latestVersion(spark, tfP).get
+    assert(tfLatest > t0)
+    intercept[IllegalArgumentException] {
+      PostingsIndex.bm25FromStored(spark, tfP, dlP, terms,
+        tfVersion = Some(tfLatest))
+    }
+  }
+
   test("a new stream over a compacted index fails fast instead of losing batches") {
     // the lineage contract: the watermark skip is only safe for a TRUE
     // replay. A sink records its checkpoint in _lineage; a different
