@@ -173,10 +173,21 @@ object ExplainAudit {
                           //   plan: PartitionFilters on tbucket at the
                           //   stored tf scan AND TakeOrderedAndProject
                           //   on top — never a global sort
-      "q_bm25_serve")     // expect the df-cut endpoint: a SINGLE
+      "q_bm25_serve",     // expect the df-cut endpoint: a SINGLE
                           //   tbucket partition value (the stopword
                           //   terms never enter the plan) under the
                           //   same TakeOrderedAndProject cut
+      "q_bucket_join",    // expect NO join-side exchange: at audit
+                          //   scale the optimizer broadcasts the small
+                          //   side; at scale (broadcast disabled) the
+                          //   co-bucketed scans feed a SortMergeJoin
+                          //   with zero exchanges — PlanQualitySpec
+                          //   pins that shape mechanically. The only
+                          //   exchanges here are the tiny per-lang
+                          //   rollup + its ORDER BY
+      "q_bucket_lookup")  // expect the bucket-pruned point lookup:
+                          //   SelectedBucketsCount: 1 out of 16 at the
+                          //   scan — 1/16 of the files listed and read
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

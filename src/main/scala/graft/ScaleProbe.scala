@@ -1008,3 +1008,90 @@ object TfIndexVacuumProbe {
     spark.stop()
   }
 }
+
+/** Shuffle-bytes evidence for the bucketed co-located layout
+  * ([[graft.operators.BucketedLayout]]): the SAME doc-keyed join +
+  * per-key rollup over (a) plain parquet inputs and (b) co-bucketed
+  * catalog tables, broadcast disabled so both run the sort-merge path
+  * a 100 TB join would. The plain join shuffles BOTH row-scale sides
+  * every run; the bucketed join's scans arrive hash-partitioned off
+  * the files, so its only exchange is the tiny per-lang rollup — the
+  * corpus-scale shuffle happens ONCE, at the ingest write (measured and
+  * reported separately, so the trade is priced honestly).
+  * `sbt "runMain graft.BucketedJoinProbe [n]"`. */
+object BucketedJoinProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val tmp = java.nio.file.Files.createTempDirectory("bucket-probe").toString
+    spark.range(n).select(col("id").as("doc_id"),
+        (col("id") % 7).cast("string").as("lang"),
+        (col("id") % 997).as("n_chars"))
+      .write.parquet(s"$tmp/docs")
+    spark.range(n).select(col("id").as("vec_id"),
+        (col("id") % 5).cast("int").as("label"))
+      .write.parquet(s"$tmp/emb")
+
+    var shuffleBytes = 0L
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    def measured(label: String)(job: => Long): Unit = {
+      shuffleBytes = 0L
+      spark.sparkContext.addSparkListener(sl)
+      val t0 = System.nanoTime()
+      val out = job
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drain
+      spark.sparkContext.removeSparkListener(sl)
+      println(f"[scale] bucket_join $label @$n: out=$out " +
+        f"(rows, or files for writes), " +
+        f"shuffle write ${shuffleBytes / 1e3}%.0f KB, $secs%.2f s")
+    }
+    def fileCount(table: String): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(loc).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    def rollup(d: org.apache.spark.sql.DataFrame,
+               e: org.apache.spark.sql.DataFrame): Long =
+      d.join(e, col("doc_id") === col("vec_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("label")).as("ls"))
+        .count()
+
+    measured("plain")(rollup(
+      spark.read.parquet(s"$tmp/docs"), spark.read.parquet(s"$tmp/emb")))
+    measured("bucketed_write(once)") {
+      graft.operators.BucketedLayout.writeBucketed(
+        spark.read.parquet(s"$tmp/docs"), "graft_probe_docs_b", "doc_id", 16)
+      graft.operators.BucketedLayout.writeBucketed(
+        spark.read.parquet(s"$tmp/emb"), "graft_probe_emb_b", "vec_id", 16)
+      fileCount("graft_probe_docs_b").toLong
+    }
+    measured("bucketed")(rollup(
+      spark.table("graft_probe_docs_b"), spark.table("graft_probe_emb_b")))
+    // file-count hygiene for a long-lived layout: one repartition at
+    // write time lands exactly `buckets` files instead of tasks×buckets
+    measured("bucketed_write(1f/bucket)") {
+      graft.operators.BucketedLayout.writeBucketed(
+        spark.read.parquet(s"$tmp/docs"), "graft_probe_docs_b1", "doc_id", 16,
+        oneFilePerBucket = true)
+      fileCount("graft_probe_docs_b1").toLong
+    }
+    Seq("graft_probe_docs_b", "graft_probe_emb_b", "graft_probe_docs_b1")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+    spark.stop()
+  }
+}

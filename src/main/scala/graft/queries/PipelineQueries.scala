@@ -940,7 +940,69 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("sample_rank"))
   }
 
+  // ---- bucketed co-located layout (operators.BucketedLayout) ----
+
+  /** Buckets for the co-located doc-keyed layout. 16 here; at 100 TB
+    * size it so corpus_bytes / buckets ≈ a task's worth (hundreds of
+    * MB) — the count is a layout constant both tables must share. */
+  private val BucketCount = 16
+
+  /** The documents table as a doc_id-bucketed catalog table — written
+    * once per (corpus, session), the layout production writes at
+    * ingest. Table name carries the corpus fingerprint so a changed
+    * input rebuilds instead of serving stale buckets. */
+  private def docsBucketedTable(s: SparkSession, d: String): String = {
+    val t = s"graft_docs_b_${corpusFingerprintOf(s, d, "documents")}"
+    graft.operators.BucketedLayout.ensureBucketed(
+      s, t, "doc_id", BucketCount)(documents(s, d))
+    t
+  }
+
+  private def docsBucketed(s: SparkSession, d: String): DataFrame =
+    s.table(docsBucketedTable(s, d))
+
+  /** The embeddings table bucketed on vec_id with the SAME bucket count
+    * — co-located with [[docsBucketed]] for exchange-free equi-joins on
+    * doc_id = vec_id. */
+  private def embBucketed(s: SparkSession, d: String): DataFrame =
+    graft.operators.BucketedLayout.ensureBucketed(
+      s, s"graft_emb_b_${corpusFingerprintOf(s, d, "embeddings")}",
+      "vec_id", BucketCount)(embeddings(s, d))
+
+  /** The bare co-bucketed join — exposed for the plan pin: both scans
+    * arrive hash-partitioned on the join key, so the SortMergeJoin has
+    * NO Exchange beneath it (`PlanQualitySpec`). */
+  private[graft] def bucketJoined(s: SparkSession, d: String): DataFrame =
+    docsBucketed(s, d).join(embBucketed(s, d),
+      col("doc_id") === col("vec_id"))
+
+  /** doc-keyed star join over the bucketed layout: documents ⋈
+    * embeddings co-located on doc_id = vec_id (zero join-side shuffle;
+    * the only Exchange in the plan is the small per-lang rollup), then
+    * a per-language rollup. Result is layout-independent — the oracle
+    * recomputes it from the plain parquet — so the row proves the
+    * bucketed path changes the PLAN, not the answer. */
+  def bucketJoinQ(s: SparkSession, d: String): DataFrame =
+    bucketJoined(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("label")).as("label_sum"))
+      .orderBy(col("lang"))
+
+  /** Point lookup on the bucket key: bucket pruning reads 1/16 of the
+    * files (`SelectedBucketsCount: 1 out of 16`, plan-pinned) — the
+    * serving-path read bound for a keyed lake table without an index.
+    * Goes through [[graft.operators.BucketedLayout.pointLookup]], which
+    * forces the pruned plan past Spark 4's auto-disable rule. */
+  def bucketLookupQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.BucketedLayout.pointLookup(s, docsBucketedTable(s, d))(
+      _.where(col("doc_id") === 42)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_join"    -> (bucketJoinQ _),
+    "q_bucket_lookup"  -> (bucketLookupQ _),
     "q_neardup_gate"   -> (neardupGate _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats"     -> (textStats _),
@@ -1108,6 +1170,14 @@ object PipelineQueries {
        |GROUP BY tf.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_bucket_join" ->
+      """SELECT d.lang AS lang, count(*) AS n,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(e.label) AS BIGINT) AS label_sum
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    "q_bucket_lookup" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len($TOKS) AS n_tokens,

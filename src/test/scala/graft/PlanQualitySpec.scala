@@ -291,4 +291,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(bucketsIn(srv).size == 1,
       s"q_bm25_serve should prune to ONE bucket, got ${bucketsIn(srv)}")
   }
+
+  test("bucketed layout: co-located join and bucket-key agg are exchange-free; lookups bucket-prune") {
+    // force the sort-merge path: at sf0.001 both sides fit the
+    // broadcast threshold, which would make the co-location pin vacuous
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the bare co-bucketed join: both scans arrive hash-partitioned
+      // on the join key straight off the bucketed files — a
+      // SortMergeJoin with ZERO exchanges anywhere beneath or above it
+      val j = graft.queries.PipelineQueries.bucketJoined(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(j.contains("SortMergeJoin"), j.take(800))
+      assert(!j.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle either side:\n${j.take(900)}")
+      assert(j.contains("SelectedBucketsCount"), j.take(800))
+      // partitioning REUSE across stages: grouping the join output on
+      // the bucket key rides the same distribution — join + agg, zero
+      // exchanges in the whole plan
+      val ja = graft.queries.PipelineQueries.bucketJoined(spark, sf0001)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(!ja.contains("Exchange hashpartitioning"),
+        s"bucket-key agg over the join must stay exchange-free:\n${ja.take(900)}")
+      // the registry row's per-lang rollup is the ONLY exchange it pays
+      val full = physical("q_bucket_join")
+      val n = "Exchange hashpartitioning".r.findAllIn(full).length
+      assert(n == 1, s"q_bucket_join should shuffle once (lang rollup), got $n")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    // point lookup on the bucket key prunes to 1 of 16 bucket files
+    val lk = physical("q_bucket_lookup")
+    assert(lk.contains("SelectedBucketsCount: 1 out of 16"),
+      s"q_bucket_lookup must bucket-prune to one bucket:\n${lk.take(900)}")
+  }
 }
