@@ -185,9 +185,14 @@ object ExplainAudit {
                           //   pins that shape mechanically. The only
                           //   exchanges here are the tiny per-lang
                           //   rollup + its ORDER BY
-      "q_bucket_lookup")  // expect the bucket-pruned point lookup:
+      "q_bucket_lookup",  // expect the bucket-pruned point lookup:
                           //   SelectedBucketsCount: 1 out of 16 at the
                           //   scan — 1/16 of the files listed and read
+      "q_phrase_serve")   // expect the phrase endpoint: PartitionFilters
+                          //   naming exactly the 3 phrase terms' tbucket
+                          //   dirs at the positional-index scan, the
+                          //   adjacency fold, and TakeOrderedAndProject
+                          //   on top — never a global sort
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

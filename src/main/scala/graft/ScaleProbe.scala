@@ -1095,3 +1095,85 @@ object BucketedJoinProbe {
     spark.stop()
   }
 }
+
+/** Bytes-read evidence for the z-ordered layout
+  * ([[graft.operators.ZOrderLayout]]): the SAME narrow band filters on
+  * two INDEPENDENT dimensions over (a) a single-column-sorted layout
+  * and (b) the z-ordered rewrite, small row groups so parquet min/max
+  * skipping is the decider. Expected shape: the a-sorted layout prunes
+  * the a-band hard and reads the WHOLE table for the b-band (its
+  * worst case — the second dimension is random within every row
+  * group); the z-ordered layout prunes BOTH bands at the curve's
+  * √-locality — the bounded worst case a multi-dimension fact table
+  * needs. `sbt "runMain graft.ZOrderProbe [n]"`. */
+object ZOrderProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("zorder-probe").toString
+    // two independent uniform dims from distinct multiplicative hashes
+    val base = spark.range(n).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(65536L)).as("a"),
+      pmod(col("id") * 40503L + 2147483647L, lit(65536L)).as("b"),
+      (col("id") % 97).as("payload"))
+    // 1 MB row groups and 64 files: the probe's skipping granularity —
+    // at production scale the default 128 MB groups and thousands of
+    // files play the same role (an 8×8 z-grid here; a 1000-executor
+    // table is far finer, so these ratios are the CONSERVATIVE end)
+    val files = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    base.repartitionByRange(files, col("a")).sortWithinPartitions("a")
+      .write.option("parquet.block.size", 1024 * 1024)
+      .mode("overwrite").parquet(s"$tmp/sorted_a")
+    withBlockSize(spark, 1024 * 1024) {
+      graft.operators.ZOrderLayout.writeZOrdered(
+        base, s"$tmp/zorder", Seq("a", "b"), files = files)
+    }
+
+    var bytesRead = 0L
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytesRead += s.stageInfo.taskMetrics.inputMetrics.bytesRead
+    }
+    def measured(label: String)(job: => Long): Unit = {
+      bytesRead = 0L
+      spark.sparkContext.addSparkListener(sl)
+      val t0 = System.nanoTime()
+      val out = job
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drain
+      spark.sparkContext.removeSparkListener(sl)
+      println(f"[scale] zorder $label @$n: rows=$out, " +
+        f"read ${bytesRead / 1e6}%.1f MB, $secs%.2f s")
+    }
+    // a 1/16-wide band on each dimension
+    def bandA(p: String) = spark.read.parquet(p)
+      .where(col("a").between(30000, 34095)).count()
+    def bandB(p: String) = spark.read.parquet(p)
+      .where(col("b").between(30000, 34095)).count()
+    measured("sorted_a a-band")(bandA(s"$tmp/sorted_a"))
+    measured("sorted_a b-band")(bandB(s"$tmp/sorted_a"))
+    measured("zorder   a-band")(bandA(s"$tmp/zorder"))
+    measured("zorder   b-band")(bandB(s"$tmp/zorder"))
+    spark.stop()
+  }
+
+  /** Scope a hadoop-conf parquet block size around `body` (the write
+    * option is per-writer; ZOrderLayout's writer doesn't expose one). */
+  private def withBlockSize(spark: SparkSession, bytes: Int)(body: => Unit): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", bytes)
+    try body
+    finally prev match {
+      case Some(v) => hc.set("parquet.block.size", v)
+      case None => hc.unset("parquet.block.size")
+    }
+  }
+}

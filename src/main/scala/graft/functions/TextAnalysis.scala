@@ -236,6 +236,75 @@ object TextAnalysis {
                  text: String): org.apache.spark.sql.DataFrame =
     docs.select(col(id).as("doc_id"), tokenCount(col(text)).cast("long").as("dl"))
 
+  /** Positional postings — [[tfPostings]] extended with the sorted
+    * 0-based token positions (Lucene-style postings-with-positions, the
+    * artifact phrase search serves from): one row per (token, doc_id)
+    * with tf AND `positions: array<int>`. Row count identical to the tf
+    * table; the positions payload adds Σ tf ints — the standard
+    * positional-index size trade. Maintained continuously by
+    * [[graft.streaming.PostingsIndex.posIndexBatch]] under the same
+    * fresh-docs / plain-UNION shard discipline as tf. */
+  def positionalPostings(docs: org.apache.spark.sql.DataFrame, id: String,
+                         text: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(id).as("doc_id"),
+        posexplode(tokens(col(text))).as(Seq("pos", "token")))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("token"), col("doc_id"), col("tf"), col("positions"))
+
+  /** THE phrase-adjacency scorer — one definition shared by
+    * [[phraseMatch]] (corpus-recomputed) and
+    * [[graft.streaming.PostingsIndex.phraseFromStored]] (index-served),
+    * the [[bm25ScoreJoined]] discipline applied to phrase semantics:
+    * `post` carries (token, doc_id, positions) rows ALREADY bounded to
+    * the phrase's terms (corpus path: pre-shuffle isin cut; stored
+    * path: token-bucket-pruned read). Per doc, the term→positions map
+    * is folded left to right: a match is a position p of phrase(0) with
+    * phrase(i) present at p+i for every later slot — so OVERLAPPING
+    * occurrences each count ("value value value" matches "value value"
+    * twice), and a repeated phrase term reuses the one positions array.
+    * Emits matching docs only: (doc_id, n_matches, first_pos). All
+    * native higher-order expressions — no UDF; per-doc state is the
+    * phrase terms' positions, never the document. */
+  def phraseFromPostings(post: org.apache.spark.sql.DataFrame,
+                         phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val byDoc = post.where(col("token").isin(phrase.distinct: _*))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(
+        struct(col("token"), col("positions")))).as("pm"))
+    def posOf(t: String): Column =
+      coalesce(element_at(col("pm"), lit(t)), array().cast("array<int>"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(posOf(phrase.head)) {
+      case (acc, (t, i)) => filter(acc, p => array_contains(posOf(t), p + lit(i)))
+    }
+    byDoc.select(col("doc_id"), matches.as("m"))
+      .where(size(col("m")) > 0)
+      .select(col("doc_id"), size(col("m")).cast("long").as("n_matches"),
+        element_at(col("m"), 1).as("first_pos"))
+  }
+
+  /** Exact phrase search recomputed from the corpus: posexplode →
+    * isin(phrase terms) BEFORE the per-doc aggregation — the
+    * [[bm25FromIndex]] query-term discipline, so the shuffle carries
+    * only the phrase terms' occurrences (query-bounded), never the
+    * corpus token stream — then the shared adjacency fold. Oracle-pinned
+    * (`q_phrase`); the stored twin serves the same rows from the
+    * positional artifact with a bucket-pruned scan. */
+  def phraseMatch(docs: org.apache.spark.sql.DataFrame, id: String,
+                  text: String,
+                  phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    phraseFromPostings(
+      docs.select(col(id).as("doc_id"),
+          posexplode(tokens(col(text))).as(Seq("pos", "token")))
+        .where(col("token").isin(phrase.distinct: _*))
+        .groupBy("doc_id", "token")
+        .agg(sort_array(collect_list(col("pos"))).as("positions")),
+      phrase)
+  }
+
   /** BM25 scored purely FROM THE STORED INDEX — no corpus access: `tf`
     * is the (token, doc_id, tf) table of [[tfPostings]] (or the
     * streaming-maintained shards, merged), `dl` the (doc_id, dl)

@@ -170,6 +170,87 @@ object PipelineQueries {
       dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.5))
   }
 
+  // ---- z-ordered layout (operators.ZOrderLayout) --------------------
+
+  /** The two-dimensional selection the z-ordered layout serves: a
+    * quantity band × a price band — independent dimensions, so a
+    * single-column sort can prune at most one of them. */
+  private val ZQtyLo = 10; private val ZQtyHi = 15
+  private val ZPriceLo = 20000.0; private val ZPriceHi = 30000.0
+
+  /** The z-ordered lineitem rewrite — written once per (corpus
+    * fingerprint, JVM), the production layout a fact table would carry
+    * from ingest. */
+  private def zorderArtifacts(s: SparkSession, d: String): String =
+    cachedArtifacts(
+        s"zorder:$d:${corpusFingerprintOf(s, d, "lineitem")}") { dir =>
+      graft.operators.ZOrderLayout.writeZOrdered(
+        lineitem(s, d), s"$dir/li", Seq("l_quantity", "l_extendedprice"))
+    }
+
+  /** Two-dimensional range scan over the Z-ORDERED layout
+    * ([[graft.operators.ZOrderLayout]]): both predicates reach the
+    * parquet scan (PushedFilters, plan-pinned) and BOTH get row-group
+    * min/max skipping because the Morton curve clusters the two
+    * dimensions jointly — `ZOrderProbe` prices the bytes-read
+    * difference against a single-column-sorted copy. The result is
+    * layout-independent: the oracle recomputes from the PLAIN table, so
+    * the row proves the rewrite changes IO, never answers. */
+  def zorderScanQ(s: SparkSession, d: String): DataFrame = {
+    val dir = zorderArtifacts(s, d)
+    s.read.parquet(s"$dir/li")
+      .where(col("l_quantity").between(ZQtyLo, ZQtyHi) &&
+        col("l_extendedprice").between(ZPriceLo, ZPriceHi))
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"),
+        sum(col("l_extendedprice")).as("price_sum"))
+  }
+
+  /** The phrase under test: a real 3-gram of the corpus (3 matching
+    * docs at sf0.01), long enough to exercise the full adjacency
+    * fold. */
+  private val PhraseTerms = Seq("value", "table", "part")
+
+  /** Exact phrase search recomputed from the corpus
+    * ([[TA.phraseMatch]]): positions of the PHRASE TERMS ONLY cross the
+    * shuffle (pre-aggregation isin cut — the BM25 query-term
+    * discipline), then the shared adjacency fold. Overlapping
+    * occurrences each count; output is matching docs only. */
+  def phraseQ(s: SparkSession, d: String): DataFrame =
+    TA.phraseMatch(par(documents(s, d)), "doc_id", "text", PhraseTerms)
+
+  /** The PERSISTED positional index ([[graft.streaming.PostingsIndex
+    * .posIndexBatch]]) for this corpus — written once per (corpus
+    * fingerprint, JVM), the `q_sim_*_probe` convention. */
+  private def posStoredArtifacts(s: SparkSession, d: String): String =
+    cachedArtifacts(
+        s"posidx:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      graft.streaming.PostingsIndex.posIndexBatch(
+        par(documents(s, d)), 0L, s"$dir/pos")
+    }
+
+  /** Phrase search served purely from the STORED positional index with
+    * the PRUNED read ([[graft.streaming.PostingsIndex.phraseFromStored]]):
+    * the scan touches only the phrase terms' token-bucket dirs
+    * (PartitionFilters on `tbucket`, plan-pinned), the corpus is never
+    * consulted. Same oracle as `q_phrase` — index-served ≡
+    * corpus-recomputed. */
+  def phraseStoredQ(s: SparkSession, d: String): DataFrame = {
+    val dir = posStoredArtifacts(s, d)
+    graft.streaming.PostingsIndex.phraseFromStored(
+      s, s"$dir/pos", PhraseTerms)
+  }
+
+  /** The phrase-search ENDPOINT call ([[graft.streaming.PostingsIndex
+    * .searchPhrase]]): pruned stored scan + occurrence-ranked top-k
+    * under `TakeOrderedAndProject` (never a global sort; deterministic
+    * doc_id tie-break). */
+  def phraseServeQ(s: SparkSession, d: String): DataFrame = {
+    val dir = posStoredArtifacts(s, d)
+    graft.streaming.PostingsIndex.searchPhrase(
+      s, s"$dir/pos", PhraseTerms, 10)
+  }
+
   /** Inverted-index build — the retrieval-side artifact (keyword/BM25
     * search, doc-frequency stats) over the same corpus: per token, the
     * distinct-document frequency and the first [[PostingsCap]] doc ids
@@ -1011,6 +1092,10 @@ object PipelineQueries {
     "q_fingerprint"    -> (fingerprints _),
     "q_tfidf"          -> (tfidf _),
     "q_postings"       -> (postingsQ _),
+    "q_zorder_scan"    -> (zorderScanQ _),
+    "q_phrase"         -> (phraseQ _),
+    "q_phrase_stored"  -> (phraseStoredQ _),
+    "q_phrase_serve"   -> (phraseServeQ _),
     "q_bm25"           -> (bm25Q _),
     "q_bm25_index"     -> (bm25IndexQ _),
     "q_tfidf_index"    -> (tfidfIndexQ _),
@@ -1119,6 +1204,24 @@ object PipelineQueries {
        |  dfreq.doc_freq,
        |  (CAST(tf.n AS DOUBLE) / dl.dl) * ln(CAST(nd.nd AS DOUBLE) / dfreq.doc_freq) AS tfidf
        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd""".stripMargin
+
+  /** The phrase oracle — adjacency recomputed in SQL: every start
+    * position i of the token list (1-based in the oracle engine; the
+    * result converts to the engine's 0-based `first_pos`) where the
+    * phrase terms appear consecutively, grouped per doc. BUILT FROM
+    * [[PhraseTerms]], so the Scala phrase and its oracle can never
+    * drift. Overlapping occurrences each count on both sides. */
+  private val PhraseSql: String = {
+    val conds = PhraseTerms.zipWithIndex
+      .map { case (t, i) => s"t[CAST(i+$i AS INT)]='$t'" }.mkString(" AND ")
+    s"""WITH tk AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |hits AS (SELECT doc_id, i
+       |  FROM tk, UNNEST(generate_series(1, len(t)-${PhraseTerms.size - 1})) AS u(i)
+       |  WHERE $conds)
+       |SELECT doc_id, count(*) AS n_matches,
+       |  CAST(min(i)-1 AS INT) AS first_pos
+       |FROM hits GROUP BY doc_id""".stripMargin
+  }
 
   /** The df-bounded server's oracle — [[Bm25Sql]]'s scoring SQL over
     * the term set restricted by the deterministic cut rule
@@ -1230,6 +1333,25 @@ object PipelineQueries {
     // may merge in a different order — the driver's 6-decimal rounding
     // absorbs it (the q_tfidf precedent). avgdl is bit-equal: integer
     // token counts accumulate exactly in double in any order
+    // layout-independence: the oracle recomputes from the PLAIN table
+    // (the z-ordered rewrite may only change IO, never answers); built
+    // from the same band constants as the Spark row
+    "q_zorder_scan" ->
+      s"""SELECT l_returnflag AS flag, count(*) AS n,
+         |  sum(l_quantity) AS qty, sum(l_extendedprice) AS price_sum
+         |FROM lineitem
+         |WHERE l_quantity BETWEEN $ZQtyLo AND $ZQtyHi
+         |  AND l_extendedprice BETWEEN $ZPriceLo AND $ZPriceHi
+         |GROUP BY 1""".stripMargin,
+    "q_phrase" -> PhraseSql,
+    // index-served phrase matches must equal corpus-recomputed matches
+    // — the SAME oracle SQL pins q_phrase_stored to q_phrase
+    "q_phrase_stored" -> PhraseSql,
+    // the serving cut: occurrence-ranked, deterministic doc_id
+    // tie-break — integer keys, so the selected set is exact
+    "q_phrase_serve" ->
+      s"""SELECT * FROM ($PhraseSql)
+         |ORDER BY n_matches DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_bm25" -> Bm25Sql,
     // index-served BM25 must equal corpus-recomputed BM25 — the SAME
     // oracle SQL pins q_bm25_index to q_bm25

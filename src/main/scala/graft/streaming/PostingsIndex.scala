@@ -780,6 +780,88 @@ object PostingsIndex {
       }
       .start()
 
+  // ---- the POSITIONAL half: phrase search served from stored shards --
+
+  /** Per-batch maintenance of the positional postings table (token,
+    * doc_id, tf, positions) —
+    * [[graft.functions.TextAnalysis.positionalPostings]] as a
+    * continuously-maintained artifact, the storage phrase search
+    * ([[phraseFromStored]]) serves from. Same discipline as the tf
+    * half, because the table has the same key: shard-per-batch gives
+    * replay idempotence BY CONSTRUCTION, rows are (token, doc_id)-
+    * disjoint across doc-disjoint shards (fresh-docs), so reads are
+    * plain UNION and compaction is a rewrite ([[compactUnionShards]],
+    * which preserves the layout); shards are PHYSICALLY PARTITIONED by
+    * the same 64-way md5 token bucket, so a phrase query's scan prunes
+    * to its terms' bucket dirs at FILE level on both read paths. */
+  def posIndexBatch(batch: DataFrame, batchId: Long, posPath: String,
+                    compactEvery: Int = 0, snapshots: Boolean = false,
+                    lineage: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val merged = mergedUpTo(spark, posPath).exists(batchId <= _)
+    verifyLineage(spark, posPath, lineage, aboutToSkip = merged)
+    if (merged) logWatermarkSkip(posPath, batchId)
+    else {
+      val pos = TextAnalysis.positionalPostings(batch, "doc_id", "text")
+        .withColumn("tbucket", tokenBucket(col("token")))
+      if (snapshots) writeShardManifestSafe(pos, posPath, batchId, Seq("tbucket"))
+      else pos.write.partitionBy("tbucket").mode("overwrite")
+        .parquet(s"$posPath/shard=b$batchId")
+    }
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      compactUnionShards(spark, posPath, tokenBuckets = true)
+  }
+
+  /** Phrase search served from the STORED positional index — no corpus
+    * access: the phrase terms' buckets are computed on the driver
+    * ([[tokenBucketLocal]], zero jobs), the scan touches only those
+    * bucket dirs (PartitionFilters / manifest `keepRel` file pruning —
+    * the same pruned read as [[bm25FromStored]]), and the shared
+    * adjacency fold
+    * ([[graft.functions.TextAnalysis.phraseFromPostings]]) does the
+    * rest, so index-served matches equal corpus-recomputed matches
+    * (`q_phrase_stored` is oracle-pinned to `q_phrase`'s SQL). Scan
+    * cost: the phrase terms' posting lists — query-bounded, and a
+    * phrase's terms are discriminative by construction (a phrase OF
+    * stopwords has no rare term to cut to; callers wanting a bound
+    * compose the df-summary cut the BM25 path uses). `version` pins a
+    * committed shard set across concurrent compaction. */
+  def phraseFromStored(spark: SparkSession, posPath: String,
+                       phrase: Seq[String],
+                       version: Option[Long] = None): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val buckets = phrase.distinct.map(tokenBucketLocal).toSet
+    TextAnalysis.phraseFromPostings(
+      readTfIndex(spark, posPath, version, Some(buckets)).drop("tbucket"),
+      phrase)
+  }
+
+  /** THE phrase-search endpoint call: pruned stored scan + the top-k
+    * cut (`TakeOrderedAndProject`, deterministic doc_id tie-break —
+    * never a global sort), ranked by occurrence count. */
+  def searchPhrase(spark: SparkSession, posPath: String,
+                   phrase: Seq[String], k: Int,
+                   version: Option[Long] = None): DataFrame =
+    phraseFromStored(spark, posPath, phrase, version)
+      .orderBy(col("n_matches").desc, col("doc_id").asc).limit(k)
+
+  /** The streaming sink for the positional half: docs (doc_id, text) →
+    * continuously-maintained phrase-servable index artifacts. */
+  def startPosIndexSink(docs: DataFrame, posPath: String,
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                        compactEvery: Int = 0,
+                        snapshots: Boolean = false): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        posIndexBatch(batch, batchId, posPath, compactEvery, snapshots,
+          lineage = Some(checkpoint))
+      }
+      .start()
+
   /** Test-only fault injection: run ONLY the tf half of [[tfIndexBatch]]
     * (manifest-safe write + commit), then stop BEFORE the dl write and
     * the pair record — the split-write crash window

@@ -292,6 +292,48 @@ class PlanQualitySpec extends SparkSpec {
       s"q_bm25_serve should prune to ONE bucket, got ${bucketsIn(srv)}")
   }
 
+  test("q_zorder_scan: both range predicates reach the parquet scan") {
+    // the layout's whole point: parquet min/max skipping needs BOTH
+    // dimensions' predicates at the scan. The rendered plan truncates
+    // long PushedFilters lists (maxMetadataStringLength), so assert on
+    // the scan node's metadata, which carries the full string
+    val scan = SparkEntry.queries("q_zorder_scan")(spark, sf0001)
+      .queryExecution.sparkPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("no parquet scan in q_zorder_scan"))
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,10"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_quantity,15"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_extendedprice,20000"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_extendedprice,30000"), pushed)
+    val read = scan.metadata("ReadSchema")
+    assert(read.contains("l_returnflag") && !read.contains("l_shipdate"),
+      s"column pruning lost: $read")
+  }
+
+  test("phrase rows: stored scan prunes to the phrase buckets; serve keeps the top-k cut") {
+    // q_phrase_stored: the positional-index scan carries a tbucket
+    // partition filter naming exactly the 3 phrase terms' buckets —
+    // file-level pruning, the same contract as the stored BM25 rows
+    val dbIn = """tbucket[^\]]*IN \(([0-9,]+)\)""".r
+    val dbEq = """tbucket#\d+ = ([0-9]+)""".r
+    def bucketsIn(p: String): Set[Int] =
+      dbIn.findFirstMatchIn(p).map(_.group(1).split(",").map(_.trim.toInt).toSet)
+        .getOrElse(dbEq.findAllMatchIn(p).map(_.group(1).toInt).toSet)
+    val ps = physical("q_phrase_stored")
+    assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(ps).isDefined,
+      s"q_phrase_stored scan carries no tbucket partition filter:\n${ps.take(900)}")
+    assert(bucketsIn(ps).size == 3,
+      s"q_phrase_stored should prune to the 3 phrase buckets, got ${bucketsIn(ps)}")
+    // q_phrase_serve: the endpoint cut is TakeOrderedAndProject over
+    // the same pruned scan — never a global sort
+    val srv = physical("q_phrase_serve")
+    assert(srv.contains("TakeOrderedAndProject") && !srv.contains("Sort ["),
+      s"q_phrase_serve lost the top-k cut:\n${srv.take(600)}")
+    assert(bucketsIn(srv).size == 3,
+      s"q_phrase_serve should prune to the 3 phrase buckets, got ${bucketsIn(srv)}")
+  }
+
   test("bucketed layout: co-located join and bucket-key agg are exchange-free; lookups bucket-prune") {
     // force the sort-merge path: at sf0.001 both sides fit the
     // broadcast threshold, which would make the co-location pin vacuous
