@@ -1177,3 +1177,66 @@ object ZOrderProbe {
     }
   }
 }
+
+/** Shuffle-bound evidence for rare-first phrase serving
+  * ([[graft.streaming.PostingsIndex.phraseFromStoredBounded]]): a
+  * phrase CONTAINING a stopword can't use the BM25 df cut (dropping a
+  * phrase term changes the query), so the unbounded path shuffles the
+  * stopword's corpus-scale posting list into the per-doc aggregation.
+  * The bounded path Bloom-prunes on the RAREST term's doc set before
+  * the shuffle — both paths still READ the stopword's list (parquet
+  * has no in-list skip structure; same honest limit as positional
+  * Lucene without skips), so the metric that moves is SHUFFLE bytes,
+  * bounded by ≈ |phrase|·df(rarest) rows instead of Σ df.
+  * `sbt "runMain graft.PhraseBoundedProbe [factor]"`. */
+object PhraseBoundedProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    import graft.streaming.PostingsIndex
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    // every doc carries the stopword 'the'; 1/factor of docs open with
+    // the planted phrase "dup the" (the rare term's df ≈ N/factor)
+    val big = base.crossJoin(spark.range(factor).toDF("copy"))
+      .select((col("doc_id") * factor + col("copy")).as("doc_id"),
+        concat(when(col("copy") === 0, lit("dup the "))
+          .otherwise(lit("the ")), col("text")).as("text"))
+      .repartition(16).cache()
+    val n = big.count()
+    val tmp = java.nio.file.Files.createTempDirectory("phrase-bound").toString
+    val (posP, dfP) = (s"$tmp/pos", s"$tmp/df")
+    PostingsIndex.posIndexBatch(big, 0, posP, dfPath = Some(dfP))
+    val phrase = Seq("dup", "the")
+    var shuffle = 0L
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    def measure(label: String)(f: => Long): Unit = {
+      shuffle = 0L
+      spark.sparkContext.addSparkListener(sl)
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drain
+      spark.sparkContext.removeSparkListener(sl)
+      println(f"[scale] phrase_bounded $label%-12s $rows%9d matches, " +
+        f"shuffle write ${shuffle / 1e3}%9.0f KB, $secs%6.2f s")
+    }
+    println(s"[scale] phrase_bounded corpus=$n docs, phrase=$phrase " +
+      s"(planted 'the' df = N, 'dup the' opens 1/$factor of docs)")
+    measure("unbounded")(
+      PostingsIndex.phraseFromStored(spark, posP, phrase).count())
+    measure("rare-first")(
+      PostingsIndex.phraseFromStoredBounded(spark, posP, phrase, dfP).count())
+    spark.stop()
+  }
+}

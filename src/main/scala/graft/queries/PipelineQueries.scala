@@ -226,7 +226,7 @@ object PipelineQueries {
     cachedArtifacts(
         s"posidx:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
       graft.streaming.PostingsIndex.posIndexBatch(
-        par(documents(s, d)), 0L, s"$dir/pos")
+        par(documents(s, d)), 0L, s"$dir/pos", dfPath = Some(s"$dir/df"))
     }
 
   /** Phrase search served purely from the STORED positional index with
@@ -239,6 +239,20 @@ object PipelineQueries {
     val dir = posStoredArtifacts(s, d)
     graft.streaming.PostingsIndex.phraseFromStored(
       s, s"$dir/pos", PhraseTerms)
+  }
+
+  /** The RARE-FIRST bounded serving mode as a first-class oracled row
+    * ([[graft.streaming.PostingsIndex.phraseFromStoredBounded]]): the
+    * df sidecar picks the rarest phrase term on the driver, its doc set
+    * Bloom-prunes every other term's rows BEFORE the aggregation
+    * shuffle — bounded by ≈ |phrase|·df(rarest) instead of Σ df, and
+    * EXACT by construction (docs without the rarest term can't match;
+    * Bloom false positives die in the adjacency fold). Same oracle as
+    * `q_phrase`. */
+  def phraseBoundedQ(s: SparkSession, d: String): DataFrame = {
+    val dir = posStoredArtifacts(s, d)
+    graft.streaming.PostingsIndex.phraseFromStoredBounded(
+      s, s"$dir/pos", PhraseTerms, s"$dir/df")
   }
 
   /** The phrase-search ENDPOINT call ([[graft.streaming.PostingsIndex
@@ -1095,6 +1109,7 @@ object PipelineQueries {
     "q_zorder_scan"    -> (zorderScanQ _),
     "q_phrase"         -> (phraseQ _),
     "q_phrase_stored"  -> (phraseStoredQ _),
+    "q_phrase_bounded" -> (phraseBoundedQ _),
     "q_phrase_serve"   -> (phraseServeQ _),
     "q_bm25"           -> (bm25Q _),
     "q_bm25_index"     -> (bm25IndexQ _),
@@ -1347,6 +1362,9 @@ object PipelineQueries {
     // index-served phrase matches must equal corpus-recomputed matches
     // — the SAME oracle SQL pins q_phrase_stored to q_phrase
     "q_phrase_stored" -> PhraseSql,
+    // the rare-first bound is EXACT (no-false-negative bloom + the
+    // adjacency fold rejecting false positives) — the SAME oracle SQL
+    "q_phrase_bounded" -> PhraseSql,
     // the serving cut: occurrence-ranked, deterministic doc_id
     // tie-break — integer keys, so the selected set is exact
     "q_phrase_serve" ->

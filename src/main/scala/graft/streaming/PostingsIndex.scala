@@ -796,20 +796,36 @@ object PostingsIndex {
     * to its terms' bucket dirs at FILE level on both read paths. */
   def posIndexBatch(batch: DataFrame, batchId: Long, posPath: String,
                     compactEvery: Int = 0, snapshots: Boolean = false,
+                    dfPath: Option[String] = None,
                     lineage: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val merged = mergedUpTo(spark, posPath).exists(batchId <= _)
+    val dfMerged = dfPath.exists(p => mergedUpTo(spark, p).exists(batchId <= _))
     verifyLineage(spark, posPath, lineage, aboutToSkip = merged)
+    dfPath.foreach(p => verifyLineage(spark, p, lineage, aboutToSkip = dfMerged))
+    val pos = TextAnalysis.positionalPostings(batch, "doc_id", "text")
+      .withColumn("tbucket", tokenBucket(col("token")))
     if (merged) logWatermarkSkip(posPath, batchId)
     else {
-      val pos = TextAnalysis.positionalPostings(batch, "doc_id", "text")
-        .withColumn("tbucket", tokenBucket(col("token")))
       if (snapshots) writeShardManifestSafe(pos, posPath, batchId, Seq("tbucket"))
       else pos.write.partitionBy("tbucket").mode("overwrite")
         .parquet(s"$posPath/shard=b$batchId")
     }
-    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+    // the same vocab-scale df summary the tf half keeps — what lets
+    // phraseFromStoredBounded pick the rarest term on the driver
+    dfPath.foreach { dp =>
+      if (dfMerged) logWatermarkSkip(dp, batchId)
+      else {
+        val df = pos.groupBy("token", "tbucket").agg(count(lit(1)).as("df"))
+        if (snapshots) writeShardManifestSafe(df, dp, batchId, Seq("tbucket"))
+        else df.write.partitionBy("tbucket").mode("overwrite")
+          .parquet(s"$dp/shard=b$batchId")
+      }
+    }
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
       compactUnionShards(spark, posPath, tokenBuckets = true)
+      dfPath.foreach(compactDfShards(spark, _))
+    }
   }
 
   /** Phrase search served from the STORED positional index — no corpus
@@ -836,6 +852,52 @@ object PostingsIndex {
       phrase)
   }
 
+  /** [[phraseFromStored]] with the RARE-FIRST shuffle bound — the
+    * phrase analog of [[bm25FromStored]]'s df cut, for the case the cut
+    * can't serve (a phrase NEEDS its common terms; dropping one changes
+    * the query). A phrase with a stopword in it scans and SHUFFLES that
+    * term's corpus-scale posting list into the per-doc aggregation.
+    * Here the vocab-scale df sidecar picks the RAREST phrase term
+    * (driver decision, bucket-pruned summary read), its doc set builds
+    * a Bloom filter ([[graft.functions.Bloom.bloomSemiJoin]] — one
+    * KB-scale driver collect), and every other term's rows are pruned
+    * by it BEFORE the aggregation shuffle, which is then bounded by
+    * ≈ |phrase| · df(rarest) + fp instead of Σ df. EXACT by
+    * construction, not approximate: a doc without the rarest term
+    * cannot match the phrase (no false negatives — every doc with the
+    * term survives the bloom), and a false positive is a doc the
+    * adjacency fold rejects anyway — so the result is bit-identical to
+    * [[phraseFromStored]] and `q_phrase_bounded` shares `q_phrase`'s
+    * oracle SQL. The stopword's posting list is still READ (storage
+    * skip lists don't exist in parquet — same honest limit as Lucene
+    * without position skips); what's bounded is everything after the
+    * scan. A phrase term absent from the vocabulary short-circuits to
+    * an empty result with zero tf-scan jobs. */
+  def phraseFromStoredBounded(spark: SparkSession, posPath: String,
+                              phrase: Seq[String], dfPath: String,
+                              version: Option[Long] = None,
+                              dfVersion: Option[Long] = None): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val terms = phrase.distinct
+    val dfs = readDfIndex(spark, dfPath, dfVersion,
+        Some(terms.map(tokenBucketLocal).toSet))
+      .where(col("token").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (terms.exists(t => dfs.getOrElse(t, 0L) == 0L))
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit(0L).as("n_matches"), lit(0).cast("int").as("first_pos"))
+    val rarest = terms.minBy(t => (dfs(t), t)) // deterministic tie-break
+    val rareDocs = readTfIndex(spark, posPath, version,
+        Some(Set(tokenBucketLocal(rarest))))
+      .where(col("token") === rarest).select("doc_id")
+    val all = readTfIndex(spark, posPath, version,
+        Some(terms.map(tokenBucketLocal).toSet)).drop("tbucket")
+      .where(col("token").isin(terms: _*))
+    TextAnalysis.phraseFromPostings(
+      graft.functions.Bloom.bloomSemiJoin(all, rareDocs, "doc_id", "doc_id"),
+      phrase)
+  }
+
   /** THE phrase-search endpoint call: pruned stored scan + the top-k
     * cut (`TakeOrderedAndProject`, deterministic doc_id tie-break —
     * never a global sort), ranked by occurrence count. */
@@ -851,14 +913,15 @@ object PostingsIndex {
                         checkpoint: String,
                         trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                         compactEvery: Int = 0,
-                        snapshots: Boolean = false): StreamingQuery =
+                        snapshots: Boolean = false,
+                        dfPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         posIndexBatch(batch, batchId, posPath, compactEvery, snapshots,
-          lineage = Some(checkpoint))
+          dfPath, lineage = Some(checkpoint))
       }
       .start()
 

@@ -101,6 +101,27 @@ class PhraseSearchSpec extends SparkSpec {
     assert(top.toSeq == want, s"top-k mismatch: $top vs $want")
   }
 
+  test("rare-first bounded serving is exact: same result, empty on absent terms") {
+    val corpus = graft.Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("pos-bounded").toString
+    PostingsIndex.posIndexBatch(corpus, 0L, s"$dir/pos",
+      dfPath = Some(s"$dir/df"))
+    def bounded(ph: Seq[String]) =
+      PostingsIndex.phraseFromStoredBounded(spark, s"$dir/pos", ph, s"$dir/df")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def direct(ph: Seq[String]) =
+      PostingsIndex.phraseFromStored(spark, s"$dir/pos", ph)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // a common+rare mix (the rare term drives the bound) and a phrase of
+    // commons (worst case for the bound, still exact)
+    for (ph <- Seq(Seq("value", "table"), Seq("value", "table", "part"),
+        Seq("the", "line"), Seq("a", "a")))
+      assert(bounded(ph) == direct(ph), s"bounded ≠ direct for $ph")
+    assert(direct(Seq("value", "table")).nonEmpty)
+    // a vocabulary-absent term short-circuits to empty with zero tf scans
+    assert(bounded(Seq("value", "absent-token")) == Set.empty)
+  }
+
   test("phraseFromStored prunes the scan to the phrase terms' token buckets") {
     val dir = java.nio.file.Files.createTempDirectory("pos-prune").toString
     val posP = s"$dir/pos"
