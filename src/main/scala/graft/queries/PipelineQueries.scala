@@ -484,6 +484,20 @@ object PipelineQueries {
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(documents(s, d), "doc_id", "text")
 
+  /** PageRank over the near-dup similarity graph
+    * ([[graft.functions.GraphRank.pageRank]] on the `q_minhash_pairs`
+    * edge set): centrality for curation — a template page near-dup-
+    * linked to thousands of spun variants out-ranks an organic page
+    * with two neighbors, the graph signal the CC rows (cluster
+    * membership) can't express. Fixed 8 damped iterations so the
+    * DuckDB oracle unrolls the SAME recurrence over the SAME generated
+    * pair SQL. */
+  def pageRankQ(s: SparkSession, d: String): DataFrame =
+    graft.functions.GraphRank.pageRank(
+        Dedup.minhashPairs(documents(s, d), "doc_id", "text"),
+        "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("rank"))
+
   /** The spill-safe pair expansion ([[Dedup.minhashPairsJoin]]) against
     * the SAME generated oracle as q_minhash_pairs — identical output by
     * construction, so the degenerate-bucket escape hatch is
@@ -1136,6 +1150,7 @@ object PipelineQueries {
     "q_winnow"         -> (winnow _),
     "q_winnow_pairs"   -> (winnowPairsQ _),
     "q_minhash_pairs"  -> (minhashPairs _),
+    "q_pagerank"       -> (pageRankQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
@@ -1574,6 +1589,11 @@ object PipelineQueries {
       s"""$WINNOW_CTES
          |SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4""".stripMargin,
     "q_minhash_pairs" -> Dedup.minhashPairsOracleSql(),
+    // the unrolled-iteration twin over the SAME generated pair SQL —
+    // per-node inflow sums may merge in a different order; the driver's
+    // 6-decimal rounding absorbs the ~1e-15 drift (q_tfidf precedent)
+    "q_pagerank" ->
+      graft.functions.GraphRank.pageRankOracleSql(Dedup.minhashPairsOracleSql()),
     "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
     // the winnow CTE self-joined on fingerprint: docs sharing >= 2
     "q_winnow_pairs" ->

@@ -122,6 +122,37 @@ class PhraseSearchSpec extends SparkSpec {
     assert(bounded(Seq("value", "absent-token")) == Set.empty)
   }
 
+  test("the live positional sink maintains phrase serving across micro-batches with compaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("pos-sink").toString
+    val (posP, dfP) = (s"$dir/pos", s"$dir/df")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = PostingsIndex.startPosIndexSink(
+      mem.toDF().toDF("doc_id", "text"), posP, s"$dir/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactEvery = 2, snapshots = true, dfPath = Some(dfP))
+    val batches = Seq(
+      Seq(1L -> "value table part", 2L -> "value x table"),
+      Seq(3L -> "a value table part b", 4L -> "part value"),
+      Seq(5L -> "value table value table"))
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val all = batches.flatten.toDF("doc_id", "text")
+    val phrase = Seq("value", "table")
+    val expect = TextAnalysis.phraseMatch(all, "doc_id", "text", phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expect == Set((1L, 1L, 0), (3L, 1L, 1), (5L, 2L, 0)))
+    assert(PostingsIndex.phraseFromStored(spark, posP, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      == expect, "sink-maintained index ≠ corpus recompute")
+    // the df sidecar rode along: the bounded path serves the same rows
+    assert(PostingsIndex.phraseFromStoredBounded(spark, posP, phrase, dfP)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      == expect, "bounded serving over the sink-maintained df drifted")
+  }
+
   test("phraseFromStored prunes the scan to the phrase terms' token buckets") {
     val dir = java.nio.file.Files.createTempDirectory("pos-prune").toString
     val posP = s"$dir/pos"
