@@ -498,6 +498,19 @@ object PipelineQueries {
         "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("rank"))
 
+  /** The hub-serving cut: top-k PageRank nodes — "which templates
+    * dominate the near-dup structure" is a top-20 question, never a
+    * |V|-scale sort. `TakeOrderedAndProject` over the |V|-scale rank
+    * table, the same endpoint discipline as `q_bm25_topk`. The sort key
+    * is the 6-decimal-ROUNDED rank (then doc_id): members of a
+    * symmetric near-dup clique have IDENTICAL exact ranks, so the raw
+    * double differs only by summation-order noise (~1e-16) — ordering
+    * by it would let that noise, not the deterministic doc_id
+    * tie-break, pick which clique members make the cut. */
+  def pageRankTopKQ(s: SparkSession, d: String): DataFrame =
+    pageRankQ(s, d)
+      .orderBy(round(col("rank"), 6).desc, col("doc_id").asc).limit(20)
+
   /** The spill-safe pair expansion ([[Dedup.minhashPairsJoin]]) against
     * the SAME generated oracle as q_minhash_pairs — identical output by
     * construction, so the degenerate-bucket escape hatch is
@@ -1151,6 +1164,7 @@ object PipelineQueries {
     "q_winnow_pairs"   -> (winnowPairsQ _),
     "q_minhash_pairs"  -> (minhashPairs _),
     "q_pagerank"       -> (pageRankQ _),
+    "q_pagerank_topk"  -> (pageRankTopKQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
@@ -1594,6 +1608,13 @@ object PipelineQueries {
     // 6-decimal rounding absorbs the ~1e-15 drift (q_tfidf precedent)
     "q_pagerank" ->
       graft.functions.GraphRank.pageRankOracleSql(Dedup.minhashPairsOracleSql()),
+    // the hub-serving cut over the same unrolled-iteration oracle; the
+    // rounded sort key mirrors the Scala side (clique ranks are exactly
+    // equal — doc_id, not float noise, must break the tie)
+    "q_pagerank_topk" ->
+      s"""SELECT * FROM (${graft.functions.GraphRank.pageRankOracleSql(
+             Dedup.minhashPairsOracleSql())}) pr
+         |ORDER BY round(rank, 6) DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
     // the winnow CTE self-joined on fingerprint: docs sharing >= 2
     "q_winnow_pairs" ->

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraphRank
+
+/** Fixed-iteration PageRank: closed-form graphs, a driver-side
+  * reference recurrence, mass conservation, and the symmetric-clique
+  * tie discipline the top-k cut depends on. */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(pairs: Seq[(Long, Long)], iters: Int = 8): Map[Long, Double] =
+    GraphRank.pageRank(pairs.toDF("a", "b"), "a", "b", iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** The same recurrence, driver-side: undirected damped PageRank with
+    * fixed iterations — the independent oracle for arbitrary graphs. */
+  private def refRanks(pairs: Seq[(Long, Long)], iters: Int,
+                       d: Double = 0.85): Map[Long, Double] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nodes = out.keys.toSeq.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / out(src) }.sum
+      }
+      r = nodes.map(v => v -> ((1 - d) / n + d * inflow.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("two-node graph is the exact fixed point: both ranks 0.5 at every iteration") {
+    // r0 = 1/2 and each step maps r -> 0.075 + 0.85*r_other = 0.5 exactly
+    for (it <- Seq(1, 8)) {
+      val r = ranks(Seq(1L -> 2L), iters = it)
+      assert(r == Map(1L -> 0.5, 2L -> 0.5), s"iters=$it: $r")
+    }
+  }
+
+  test("star graph: the hub out-ranks the leaves; symmetric leaves are BIT-identical") {
+    val r = ranks(Seq(10L -> 1L, 10L -> 2L, 10L -> 3L))
+    assert(r(10L) > r(1L))
+    // topologically identical leaves must agree to the BIT — each leaf's
+    // inflow is the single term d*r(hub)/3, so no summation-order noise;
+    // this exactness is what makes the top-k doc_id tie-break meaningful
+    assert(r(1L) == r(2L) && r(2L) == r(3L), r.toString)
+    // no dangling mass on an undirected graph: ranks sum to 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
+  test("matches the driver-side reference recurrence on an irregular graph") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L,
+                    5L -> 6L, 6L -> 7L, 5L -> 7L, 7L -> 8L, 2L -> 5L)
+    val got = ranks(pairs)
+    val want = refRanks(pairs, iters = 8)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"node $k: $v vs ${want(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("a 4-clique's equal ranks make the rounded top-k cut deterministic by doc_id") {
+    // every pair of {1,2,3,4}: all four ranks are exactly equal in exact
+    // arithmetic; the serving cut orders by round(rank, 6) then id, so
+    // the selected ids are the SMALLEST ones, never float-noise winners
+    val clique = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield a -> b
+    val df = GraphRank.pageRank((clique ++ Seq(5L -> 6L)).toDF("a", "b"), "a", "b")
+      .orderBy(round(col("rank"), 6).desc, col("node").asc).limit(3)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("iteration count is honored: 1 iteration differs from 8 on an asymmetric graph") {
+    val pairs = Seq(10L -> 1L, 10L -> 2L, 1L -> 2L, 2L -> 3L)
+    val r1 = ranks(pairs, iters = 1)
+    val r8 = ranks(pairs, iters = 8)
+    assert(r1 != r8)
+    assert(math.abs(refRanks(pairs, 1)(3L) - r1(3L)) < 1e-12)
+  }
+}

@@ -251,6 +251,13 @@ class PlanQualitySpec extends SparkSpec {
     val bs = physical("q_bm25_stored")
     assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(bs).isDefined,
       s"q_bm25_stored tf scan carries no tbucket partition filter:\n${bs.take(900)}")
+    // q_pagerank_topk: the hub-serving cut compiles to
+    // TakeOrderedAndProject over the |V|-scale rank table, never a
+    // global sort
+    val pt = physical("q_pagerank_topk")
+    assert(pt.contains("TakeOrderedAndProject"), pt.take(600))
+    assert(!pt.contains("Sort ["),
+      s"q_pagerank_topk planned a full sort:\n${pt.take(600)}")
     // q_bm25_topk: the serving cut compiles to TakeOrderedAndProject,
     // never a global sort
     val bt = physical("q_bm25_topk")
