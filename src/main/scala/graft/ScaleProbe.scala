@@ -1189,6 +1189,74 @@ object ZOrderProbe {
   * Lucene without skips), so the metric that moves is SHUFFLE bytes,
   * bounded by ≈ |phrase|·df(rarest) rows instead of Σ df.
   * `sbt "runMain graft.PhraseBoundedProbe [factor]"`. */
+/** PageRank iteration-cost evidence: a synthetic power-law-ish graph at
+  * millions of edges (far beyond the near-dup fixture's pair count),
+  * timing (a) iteration scaling — cost must grow LINEARLY in the
+  * iteration count (lineage truncation working; un-truncated nesting
+  * would re-optimize a growing plan), and (b) edge scaling — per-
+  * iteration shuffle write ∝ |E| (the inflow aggregation carries one
+  * 16-byte contribution row per directed edge, nothing corpus-scale).
+  * `sbt "runMain graft.PageRankProbe [millionEdges]"`. */
+object PageRankProbe {
+  def main(args: Array[String]): Unit = {
+    val m = args.headOption.map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.GraphRank
+
+    // |V| = |E|/4 nodes; mix of a chain (connectivity) and hash edges
+    // (degree skew): dst = src*2654435761 mod V clusters mass on low
+    // residues, a rough power-law stand-in
+    def graph(edges: Long) = {
+      val v = edges / 4
+      spark.range(edges).selectExpr(
+          s"id % $v AS a",
+          s"CASE WHEN id % 2 = 0 THEN (id + 1) % $v " +
+            s"ELSE (id * 2654435761) % $v END AS b")
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+                greatest(col("a"), col("b")).as("b"))
+        .distinct()
+    }
+
+    var shuffle = 0L
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    def measure(label: String)(f: => Long): Unit = {
+      shuffle = 0L
+      spark.sparkContext.addSparkListener(sl)
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drain
+      spark.sparkContext.removeSparkListener(sl)
+      println(f"[scale] pagerank $label%-22s $rows%9d nodes, " +
+        f"shuffle write ${shuffle / 1e6}%8.1f MB, $secs%6.2f s")
+    }
+
+    val g = graph(m * 1000000L).cache()
+    println(s"[scale] pagerank graph: ${g.count()} undirected edges " +
+      s"(requested ${m}M), ~${m * 250000L} nodes")
+    for (it <- Seq(2, 4, 8))
+      measure(s"iters=$it")(
+        GraphRank.pageRank(g, "a", "b", iters = it).count())
+    g.unpersist()
+    val g2 = graph(2L * m * 1000000L).cache()
+    println(s"[scale] pagerank graph x2: ${g2.count()} undirected edges")
+    measure(s"iters=8 |E|x2")(
+      GraphRank.pageRank(g2, "a", "b", iters = 8).count())
+    spark.stop()
+  }
+}
+
 object PhraseBoundedProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)

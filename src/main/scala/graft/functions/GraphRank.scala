@@ -20,36 +20,59 @@ import org.apache.spark.storage.StorageLevel
   * SQL-expressible (the oracle unrolls the same iterations — no
   * convergence test, no float-threshold divergence between engines).
   *
-  * Scale shape: the edge list is hash-partitioned by `src` ONCE and
-  * persisted — every iteration's contribution join reuses that one
-  * partitioning (the builder brief's "reuse a partitioning across
-  * stages"), so an iteration costs one shuffle (the per-dst inflow
-  * aggregation) plus a co-partitioned join, and `localCheckpoint`
-  * truncates the plan each round (iteration i's lineage would
-  * otherwise nest i copies of the join tree — O(2^i) planning).
-  * Ranks are |V|-scale rows, edges |E|-scale; nothing corpus-scale
-  * ever sits on the driver.
+  * Scale shape: the degree-annotated edge list is hash-partitioned by
+  * `src` ONCE and persisted — every iteration's contribution join
+  * reuses both the rows and the partitioning (the builder brief's
+  * "reuse a partitioning across stages"), so an iteration costs one
+  * shuffle (the per-dst inflow aggregation, one 16-byte contribution
+  * row per directed edge) plus a co-partitioned join, and
+  * `localCheckpoint` truncates the accumulated lineage. Ranks are
+  * |V|-scale rows, edges |E|-scale; nothing corpus-scale ever sits on
+  * the driver. `PageRankProbe` (docs/SCALE.md) measures cost linear in
+  * the iteration count and shuffle ∝ |E| at millions of edges.
   */
 object GraphRank {
 
   /** PageRank over an undirected pair list (`aCol`, `bCol`) — returns
     * (node, rank). `pairs` must be deduplicated (one row per unordered
     * pair), which [[Dedup.minhashPairs]]'s `doc_a < doc_b` output is by
-    * construction. */
+    * construction.
+    *
+    * `checkpointEvery`: iterations between lineage truncations (0 =
+    * only after the final iteration). The nested iteration plan grows
+    * LINEARLY (each level adds one join + one aggregation over the same
+    * cached edge scan), so cadence is a planning-time/fault-recovery
+    * knob, not a data-path one — same-box A/B at sf0.1 measured
+    * every-1 vs every-4 inside the noise band (4.0 vs 4.35 s warm).
+    * Every-iteration is the default: each round ends at a shuffle
+    * barrier anyway, and a deep `iters` with no truncation would grow
+    * re-optimization cost linearly per action. Checkpoint values are
+    * bit-identical either way: truncation changes where the plan is
+    * cut, not any arithmetic. */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
-               iters: Int = 8, damping: Double = 0.85): DataFrame = {
+               iters: Int = 8, damping: Double = 0.85,
+               checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .repartition(col("src"))
+    // persist the PAIR list before mirroring: the union's two branches
+    // would otherwise each recompute the caller's pair pipeline (for
+    // the near-dup graph that is the whole minhash stack, twice)
+    val prs = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = prs.select(col("a").as("src"), col("b").as("dst"))
+      .union(prs.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("out"))
     val nodes = edges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // cache the degree-annotated edge list ONCE, partitioned by src:
+    // every iteration's contribution join reuses both the rows and the
+    // partitioning (re-deriving deg + the join per round costs an
+    // aggregation over |E| each iteration for no new information)
+    val withDeg = edges.join(deg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // one |V| scalar for the teleport term
-    val withDeg = edges.join(deg, "src") // co-partitioned: both sides by src
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") / col("out")).as("c"))
@@ -60,9 +83,13 @@ object GraphRank {
         .select(col("node"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint(true) // truncate the iteration's lineage
+      // the FINAL iteration always materializes: the returned frame is
+      // a checkpoint scan, so unpersisting the edge cache below cannot
+      // push a minhash recompute into the caller's action
+      if (i == iters || (checkpointEvery > 0 && i % checkpointEvery == 0))
+        ranks = ranks.localCheckpoint(true) // truncate accumulated lineage
     }
-    edges.unpersist(); nodes.unpersist()
+    prs.unpersist(); withDeg.unpersist(); nodes.unpersist()
     ranks
   }
 
