@@ -511,6 +511,51 @@ object PipelineQueries {
     pageRankQ(s, d)
       .orderBy(round(col("rank"), 6).desc, col("doc_id").asc).limit(20)
 
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    * the standard K=60 form) of the keyword ranking (BM25 over
+    * [[Bm25Terms]]) and the vector ranking (exact cosine vs query
+    * vec 0) — the modern search-endpoint composition, where neither
+    * scorer's scale is comparable so RANKS, not scores, fuse:
+    * rrf(d) = Σ_lists 1/(K + rank_list(d)) over each top-N list the
+    * doc appears in.
+    *
+    * Scale shape: each side is ALREADY a serving cut
+    * (`TakeOrderedAndProject` to N=100) before any window runs, so the
+    * rank windows operate on bounded 100-row frames — never a
+    * corpus-scale unpartitioned sort; the fusion join is 100×100 row
+    * at most. Both rank windows order by the 6-decimal-ROUNDED score
+    * then id (the `q_pagerank_topk` discipline): planted duplicate
+    * vectors tie exactly, so the deterministic id — not cross-engine
+    * summation noise — assigns their ranks, and the reciprocal-rank
+    * arithmetic (1.0/(60+rank), int rank) is then bit-identical in
+    * both engines. */
+  def hybridRrfQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (kRrf, topN) = (60, 100)
+    val kwTop = bm25Q(s, d)
+      .orderBy(round(col("bm25"), 6).desc, col("doc_id").asc).limit(topN)
+    val kw = kwTop.withColumn("kw_rank", row_number().over(
+        Window.orderBy(round(col("bm25"), 6).desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("kw_rank"))
+    val emb = embeddings(s, d)
+    val qv = emb.where(col("vec_id") === 0L).select(col("embedding").as("q_vec"))
+    val vecTop = emb.where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        Similarity.cosine(col("embedding"), col("q_vec")).as("cos_sim"))
+      .orderBy(round(col("cos_sim"), 6).desc, col("doc_id").asc).limit(topN)
+    val vec = vecTop.withColumn("vec_rank", row_number().over(
+        Window.orderBy(round(col("cos_sim"), 6).desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("vec_rank"))
+    kw.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("kw_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vec_rank")), lit(0.0))).as("rrf"),
+        col("kw_rank"), col("vec_rank"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** The spill-safe pair expansion ([[Dedup.minhashPairsJoin]]) against
     * the SAME generated oracle as q_minhash_pairs — identical output by
     * construction, so the degenerate-bucket escape hatch is
@@ -1165,6 +1210,7 @@ object PipelineQueries {
     "q_minhash_pairs"  -> (minhashPairs _),
     "q_pagerank"       -> (pageRankQ _),
     "q_pagerank_topk"  -> (pageRankTopKQ _),
+    "q_hybrid_rrf"     -> (hybridRrfQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
@@ -1415,6 +1461,35 @@ object PipelineQueries {
     "q_bm25_topk_stored" ->
       s"""SELECT * FROM ($Bm25Sql)
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // RRF: both rank windows order by the ROUNDED score then id (the
+    // engine's exact discipline), the reciprocal arithmetic is spelled
+    // with the same op order, and row_number casts to INTEGER to match
+    // Spark's rank type
+    "q_hybrid_rrf" ->
+      s"""WITH kwt AS (SELECT * FROM ($Bm25Sql) b
+         |            ORDER BY round(bm25, 6) DESC, doc_id ASC LIMIT 100),
+         |kwr AS (SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY round(bm25, 6) DESC, doc_id ASC) AS INTEGER) AS kw_rank
+         |        FROM kwt),
+         |f AS (SELECT vec_id, unnest(embedding) AS x,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |q AS (SELECT i, CAST(x AS DOUBLE) AS qx FROM f WHERE vec_id = 0),
+         |cs AS (SELECT f.vec_id AS doc_id,
+         |         sum(CAST(f.x AS DOUBLE) * qx)
+         |           / (sqrt(sum(CAST(f.x AS DOUBLE) * f.x)) * sqrt(sum(qx * qx))) AS cos_sim
+         |       FROM f JOIN q USING (i) WHERE f.vec_id <> 0
+         |       GROUP BY f.vec_id),
+         |vt AS (SELECT * FROM cs
+         |       ORDER BY round(cos_sim, 6) DESC, doc_id ASC LIMIT 100),
+         |vr AS (SELECT doc_id, CAST(row_number() OVER (
+         |          ORDER BY round(cos_sim, 6) DESC, doc_id ASC) AS INTEGER) AS vec_rank
+         |       FROM vt)
+         |SELECT doc_id,
+         |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + kw_rank), CAST(0.0 AS DOUBLE)) +
+         |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), CAST(0.0 AS DOUBLE)) AS rrf,
+         |  kw_rank, vec_rank
+         |FROM kwr FULL JOIN vr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_bm25_df_bounded" -> Bm25DfBoundedSql,
     // the endpoint row: the df-cut scoring under the serving cut
     "q_bm25_serve" ->

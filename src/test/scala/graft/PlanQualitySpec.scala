@@ -171,7 +171,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_bm25_df_bounded", // the same stored scalar, df-cut term set
       "q_bm25_serve",  // the endpoint composition of the same scalar
       "q_tfidf_index", // the N single-row scalar, served from the dl sidecar
-      "q_tfidf_stored") // the same scalar over the persisted artifacts
+      "q_tfidf_stored", // the same scalar over the persisted artifacts
+      "q_hybrid_rrf")  // bm25 scalar attach + one-row query-vector cross
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -251,6 +252,15 @@ class PlanQualitySpec extends SparkSpec {
     val bs = physical("q_bm25_stored")
     assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(bs).isDefined,
       s"q_bm25_stored tf scan carries no tbucket partition filter:\n${bs.take(900)}")
+    // q_hybrid_rrf: every ranking is a TakeOrderedAndProject cut —
+    // both top-N list cuts AND the final top-20 fusion cut (3 total);
+    // the rank windows only ever see the bounded 100-row frames those
+    // cuts produce, so the unpartitioned Window is never corpus-scale
+    // (the fusion join's own Sort nodes are fine — they order the two
+    // ≤100-row sides for the full-outer SMJ, not a corpus-scale result)
+    val hr = physical("q_hybrid_rrf")
+    val nCuts = "TakeOrderedAndProject".r.findAllIn(hr).size
+    assert(nCuts >= 3, s"q_hybrid_rrf has $nCuts TakeOrdered cuts (<3):\n${hr.take(900)}")
     // q_pagerank_topk: the hub-serving cut compiles to
     // TakeOrderedAndProject over the |V|-scale rank table, never a
     // global sort
