@@ -288,6 +288,82 @@ object Dedup {
     bucketPairCounts(winnowFingerprints(df, id, text, n, w), "fp", "shared_fps")
       .where(col("shared_fps") >= minShared)
 
+  /** ExactSubstr-style repeated-substring spans (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * suffix-array ExactSubstr dedup, re-expressed relationally): every
+    * occurrence of an `L`-token window whose CONTENT occurs ≥2 times in
+    * the corpus (another document OR another position of the same one)
+    * is marked, EXCEPT the globally-first occurrence — lexicographic
+    * min (doc_id, position), the deterministic stand-in for the paper's
+    * "keep one copy" — and the marked [i, i+L) windows are merged into
+    * maximal per-doc spans (gaps-and-islands). A repeated passage of
+    * any length ≥ L is covered end-to-end by its marked windows, so the
+    * merged span removes it wholly — the suffix-array result for
+    * passages ≥ L without the suffix array; sub-L repeats are invisible
+    * (the window-length trade every n-gram method makes).
+    *
+    * Returns (doc_id, span_start, span_end): the writer-facing cut
+    * list. Scale shape: the corpus-wide state is the (h, cnt, first)
+    * table — one map-side-combinable groupBy over fixed-width (h,
+    * doc_id, i) triples, never text; the mark join is h-keyed (AQE
+    * skew-split handles boilerplate hashes, and the `q_boilerplate`
+    * drop-list discipline composes upstream); the interval merge is a
+    * per-doc window bounded by doc length. Spans, not rewritten text,
+    * cross the final shuffle. */
+  def exactSubstrSpans(df: DataFrame, id: String, text: String,
+                       L: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(L >= 2, s"substring window must be >= 2 tokens, got $L")
+    val sh = shinglesPos(df, id, text, L)
+      .select(col("doc_id"), col("i"), md5Hash60(col("shingle")).as("h"))
+    // per-hash corpus stats: occurrence count + lexicographic-min
+    // occurrence as an orderable struct (partial-aggregable min — no
+    // corpus-scale window over skewed hash partitions)
+    val stats = sh.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("i"))).as("first"))
+    val dup = sh.join(stats.where(col("cnt") >= 2), Seq("h"))
+      .where(!(col("first.doc_id") === col("doc_id") &&
+               col("first.i") === col("i")))
+      .select(col("doc_id"), col("i").as("s"), (col("i") + L).as("e"))
+    // gaps-and-islands: a window starts a new span iff it begins past
+    // every previous window's end (touching spans merge — union
+    // semantics); s is unique per doc, so the order is total
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    dup
+      .withColumn("maxe",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("g",
+        sum(when(col("maxe").isNull || col("s") > col("maxe"), 1)
+          .otherwise(0)).over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Per-document ExactSubstr profile over [[exactSubstrSpans]]: every
+    * document's token count, merged dup-span count, tokens removed and
+    * tokens kept (docs with no repeated window report 0/0/full) — the
+    * corpus dedup report a curation run reads before committing to the
+    * cut list. */
+  def exactSubstrStats(df: DataFrame, id: String, text: String,
+                      L: Int = 50): DataFrame = {
+    val spans = exactSubstrSpans(df, id, text, L)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("dup_spans"),
+        sum(col("span_end") - col("span_start")).as("removed_tokens"))
+    df.select(col(id).as("doc_id"),
+        size(split(TextAnalysis.wsTrim(col(text)), "\\s+")).cast("long")
+          .as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).cast("long")
+          .as("removed_tokens"),
+        (col("n_tokens") - coalesce(col("removed_tokens"), lit(0L)))
+          .cast("long").as("kept_tokens"))
+  }
+
   /** The shared bucket-aggregation pair expansion: ONE groupBy on the
     * bucket key (collect_list of doc ids), in-bucket a<b expansion, then
     * the per-pair shared-bucket count — exactly the collision pairs a

@@ -556,6 +556,18 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** ExactSubstr repeated-substring dedup ([[Dedup.exactSubstrSpans]],
+    * Lee et al. 2022) at L=8 tokens over the documents fixture: the
+    * merged cut-list spans (writer-facing) and the per-doc profile. L=8
+    * is the fixture-scale stand-in for the paper's 50-token threshold —
+    * the planted near-dup passages are caught while organic 8-gram
+    * collisions stay rare. */
+  def substrSpansQ(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstrSpans(par(documents(s, d)), "doc_id", "text", L = 8)
+
+  def substrDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstrStats(par(documents(s, d)), "doc_id", "text", L = 8)
+
   /** The spill-safe pair expansion ([[Dedup.minhashPairsJoin]]) against
     * the SAME generated oracle as q_minhash_pairs — identical output by
     * construction, so the degenerate-bucket escape hatch is
@@ -1211,6 +1223,8 @@ object PipelineQueries {
     "q_pagerank"       -> (pageRankQ _),
     "q_pagerank_topk"  -> (pageRankTopKQ _),
     "q_hybrid_rrf"     -> (hybridRrfQ _),
+    "q_substr_spans"   -> (substrSpansQ _),
+    "q_substr_dedup"   -> (substrDedupQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
@@ -1280,6 +1294,35 @@ object PipelineQueries {
        |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
        |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
        |  FROM sh)""".stripMargin
+
+  // the ExactSubstr pipeline (L=8 windows, keep-first, merged spans) as
+  // one shared CTE prefix — q_substr_spans and q_substr_dedup both
+  // splice it, so the hash/window/island definitions exist exactly once.
+  // The oracle selects the keep-first occurrence via a row_number window
+  // (small data); the engine uses the partial-aggregable min(struct) —
+  // same lexicographic-min semantics, skew-safe shape.
+  private val SUBSTR_L = 8
+  private val SUBSTR_CTES =
+    s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range(len(t)-${SUBSTR_L - 1})) AS i
+       |        FROM toks WHERE len(t) >= $SUBSTR_L),
+       |sh AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |  CAST(concat('0x', substr(md5(array_to_string(t[i+1:i+$SUBSTR_L], ' ')),1,15)) AS BIGINT) AS h
+       |  FROM pos),
+       |mk AS (SELECT doc_id, i,
+       |  row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+       |  count(*) OVER (PARTITION BY h) AS cnt FROM sh),
+       |dup AS (SELECT doc_id, i AS s, i + $SUBSTR_L AS e FROM mk
+       |        WHERE cnt >= 2 AND rn > 1),
+       |mx AS (SELECT doc_id, s, e,
+       |  max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+       |  FROM dup),
+       |grp AS (SELECT doc_id, s, e,
+       |  sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY s) AS g FROM mx),
+       |spans AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+       |          FROM grp GROUP BY doc_id, g)""".stripMargin
 
   /** The one TF-IDF oracle — shared by `q_tfidf` (corpus-recomputed)
     * and `q_tfidf_index` (served from the stored tf/dl artifacts). */
@@ -1490,6 +1533,20 @@ object PipelineQueries {
          |  kw_rank, vec_rank
          |FROM kwr FULL JOIN vr USING (doc_id)
          |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_substr_spans" ->
+      s"""$SUBSTR_CTES
+         |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,
+    "q_substr_dedup" ->
+      s"""$SUBSTR_CTES,
+         |dl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+         |agg AS (SELECT doc_id, count(*) AS dup_spans,
+         |        CAST(sum(span_end - span_start) AS BIGINT) AS removed_tokens
+         |        FROM spans GROUP BY doc_id)
+         |SELECT dl.doc_id, dl.n_tokens,
+         |  COALESCE(agg.dup_spans, 0) AS dup_spans,
+         |  COALESCE(agg.removed_tokens, 0) AS removed_tokens,
+         |  dl.n_tokens - COALESCE(agg.removed_tokens, 0) AS kept_tokens
+         |FROM dl LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_bm25_df_bounded" -> Bm25DfBoundedSql,
     // the endpoint row: the df-cut scoring under the serving cut
     "q_bm25_serve" ->

@@ -342,4 +342,43 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(kept == Seq((1L, "x\nx\nx"), (2L, "y")))
   }
+
+  test("exactSubstr: keep-first, cross-doc passage coverage, span merge, within-doc repeats") {
+    def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx$i").mkString(" ")
+    val passage = toks("dup", 6) // a 6-token passage, L=4 windows cover it
+    val docs = Seq(
+      (1L, s"${toks("a", 5)} $passage ${toks("b", 5)}"),  // first occurrence — KEPT
+      (2L, s"${toks("c", 5)} $passage ${toks("d", 5)}"),  // later copy — cut
+      (3L, s"$passage ${toks("e", 4)} $passage"),          // two copies in ONE doc — both cut
+      (4L, toks("z", 12))                                  // no repeats
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", L = 4)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // doc 1 holds the lexicographic-min occurrence of every dup window →
+    // no spans; doc 2's copy sits at tokens [5, 11) and the three L=4
+    // windows starting there merge to ONE span; doc 3's copies at [0, 6)
+    // and [10, 16) — including its leading window, whose first
+    // occurrence is doc 1's [5, ...) — merge per island
+    assert(spans == Seq((2L, 5, 11), (3L, 0, 6), (3L, 10, 16)), spans.toString)
+    val stats = Dedup.exactSubstrStats(docs, "doc_id", "text", L = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(stats == Seq(
+      (1L, 16L, 0L, 0L, 16L),
+      (2L, 16L, 1L, 6L, 10L),
+      (3L, 16L, 2L, 12L, 4L),
+      (4L, 12L, 0L, 0L, 12L)), stats.toString)
+    // a repeated passage longer than L is covered END-TO-END: tile a
+    // 12-token passage into two docs, L=4 → the whole 12 tokens of the
+    // later copy are one span (window overlap chains the islands)
+    val long = Seq(
+      (1L, s"${toks("p", 12)}"),
+      (2L, s"${toks("x", 3)} ${toks("p", 12)} ${toks("y", 3)}")
+    ).toDF("doc_id", "text")
+    val ls = Dedup.exactSubstrSpans(long, "doc_id", "text", L = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(ls == Seq((2L, 3, 15)), ls.toString)
+  }
 }
