@@ -341,6 +341,33 @@ object Dedup {
       .select("doc_id", "span_start", "span_end")
   }
 
+  /** Apply the [[exactSubstrSpans]] cut list: each document's text
+    * reconstructed from the tokens OUTSIDE every dup span, in original
+    * order (the [[lineDedup]] reassembly discipline — whitespace is
+    * token-normalized, which the oracle compares unchanged; documents
+    * covered entirely drop out). The covered-position set explodes only
+    * the SPANS (∝ removed tokens), the anti-join is (doc, pos)-keyed,
+    * and the reassembly shuffle is the corpus' own tokens once — the
+    * floor for any rewrite pass. */
+  def exactSubstrApply(df: DataFrame, id: String, text: String,
+                       L: Int = 50): DataFrame = {
+    val covered = exactSubstrSpans(df, id, text, L)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+    ensureParallel(df, col(id))
+      .select(col(id).as("doc_id"),
+        posexplode(split(TextAnalysis.wsTrim(col(text)), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Per-document ExactSubstr profile over [[exactSubstrSpans]]: every
     * document's token count, merged dup-span count, tokens removed and
     * tokens kept (docs with no repeated window report 0/0/full) — the

@@ -568,6 +568,9 @@ object PipelineQueries {
   def substrDedupQ(s: SparkSession, d: String): DataFrame =
     Dedup.exactSubstrStats(par(documents(s, d)), "doc_id", "text", L = 8)
 
+  def substrApplyQ(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstrApply(par(documents(s, d)), "doc_id", "text", L = 8)
+
   /** The spill-safe pair expansion ([[Dedup.minhashPairsJoin]]) against
     * the SAME generated oracle as q_minhash_pairs — identical output by
     * construction, so the degenerate-bucket escape hatch is
@@ -1225,6 +1228,7 @@ object PipelineQueries {
     "q_hybrid_rrf"     -> (hybridRrfQ _),
     "q_substr_spans"   -> (substrSpansQ _),
     "q_substr_dedup"   -> (substrDedupQ _),
+    "q_substr_apply"   -> (substrApplyQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
@@ -1547,6 +1551,19 @@ object PipelineQueries {
          |  COALESCE(agg.removed_tokens, 0) AS removed_tokens,
          |  dl.n_tokens - COALESCE(agg.removed_tokens, 0) AS kept_tokens
          |FROM dl LEFT JOIN agg USING (doc_id)""".stripMargin,
+    // the applied cut: reconstruct each doc from tokens outside every
+    // span, original order; fully-covered docs drop out of the group-by
+    "q_substr_apply" ->
+      s"""$SUBSTR_CTES,
+         |cov AS (SELECT doc_id, unnest(range(span_start, span_end)) AS pos FROM spans),
+         |tk AS (SELECT doc_id, unnest(t) AS tok,
+         |       generate_subscripts(t, 1) - 1 AS pos FROM toks),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+         |         LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+         |         WHERE cov.pos IS NULL)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |       count(*) AS n_kept
+         |FROM kept GROUP BY doc_id""".stripMargin,
     "q_bm25_df_bounded" -> Bm25DfBoundedSql,
     // the endpoint row: the df-cut scoring under the serving cut
     "q_bm25_serve" ->

@@ -381,4 +381,20 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
     assert(ls == Seq((2L, 3, 15)), ls.toString)
   }
+
+  test("exactSubstrApply rebuilds survivors in order; fully-covered docs drop out") {
+    def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx$i").mkString(" ")
+    val passage = toks("dup", 8)
+    val docs = Seq(
+      (1L, passage),                          // the kept first occurrence
+      (2L, passage),                          // exact dup — fully covered, drops
+      (3L, s"${toks("a", 3)} $passage ${toks("b", 3)}") // copy cut, ends survive
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrApply(docs, "doc_id", "text", L = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, passage, 8L),
+      (3L, s"${toks("a", 3)} ${toks("b", 3)}", 6L)), out.toString)
+  }
 }
