@@ -1257,6 +1257,60 @@ object PageRankProbe {
   }
 }
 
+/** ExactSubstr scale evidence at the WORST-CASE shape: replicating the
+  * corpus N× makes EVERY window a duplicate (the marked-occurrence set
+  * is the entire window stream, maximal span work per doc), so the
+  * probe measures the ceiling, not a friendly sparse-dup corpus. Cost
+  * must scale ~linearly with corpus size — the shuffles carry
+  * fixed-width (h, doc, i) triples and spans, never text.
+  * `sbt "runMain graft.SubstrDedupProbe [factor]"`. */
+object SubstrDedupProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+
+    var shuffle = 0L
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    def measure(label: String)(f: => Long): Unit = {
+      shuffle = 0L
+      spark.sparkContext.addSparkListener(sl)
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drain
+      spark.sparkContext.removeSparkListener(sl)
+      println(f"[scale] substr $label%-16s $rows%9d rows, " +
+        f"shuffle write ${shuffle / 1e6}%8.1f MB, $secs%6.2f s")
+    }
+
+    for (f <- Seq(factor, 2 * factor)) {
+      val big = base.crossJoin(spark.range(f).toDF("copy"))
+        .select((col("doc_id") * (2 * factor) + col("copy")).as("doc_id"),
+          col("text"))
+        .repartition(16).cache()
+      val n = big.count()
+      println(s"[scale] substr corpus x$f: $n docs (every window duplicated $f-fold)")
+      measure(s"spans x$f")(
+        graft.functions.Dedup.exactSubstrSpans(big, "doc_id", "text", L = 8).count())
+      measure(s"apply x$f")(
+        graft.functions.Dedup.exactSubstrApply(big, "doc_id", "text", L = 8).count())
+      big.unpersist()
+    }
+    spark.stop()
+  }
+}
+
 object PhraseBoundedProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
