@@ -529,10 +529,30 @@ object PipelineQueries {
     * summation noise — assigns their ranks, and the reciprocal-rank
     * arithmetic (1.0/(60+rank), int rank) is then bit-identical in
     * both engines. */
-  def hybridRrfQ(s: SparkSession, d: String): DataFrame = {
+  def hybridRrfQ(s: SparkSession, d: String): DataFrame =
+    rrfFuse(bm25Q(s, d), s, d)
+
+  /** The STORED-artifact hybrid endpoint: the same RRF fusion with the
+    * keyword side served from the persisted token-bucket-pruned tf/dl
+    * index ([[graft.streaming.PostingsIndex.bm25FromStored]] — zero
+    * corpus access, the `q_bm25_stored` path) and the vector side over
+    * the stored embeddings table. Pinned to `q_hybrid_rrf`'s exact
+    * oracle: the serving composition returns the identical fusion the
+    * corpus-recomputed one does. */
+  def hybridRrfStoredQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
+    rrfFuse(graft.streaming.PostingsIndex
+      .bm25FromStored(s, s"$dir/tf", s"$dir/dl", Bm25Terms), s, d)
+  }
+
+  /** The one fusion implementation both hybrid rows share: rank the
+    * given keyword scoring (any frame with `doc_id`, `bm25`) and the
+    * exact-cosine vector scoring, fuse by reciprocal rank. */
+  private def rrfFuse(kwScored: DataFrame, s: SparkSession,
+                      d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (kRrf, topN) = (60, 100)
-    val kwTop = bm25Q(s, d)
+    val kwTop = kwScored
       .orderBy(round(col("bm25"), 6).desc, col("doc_id").asc).limit(topN)
     val kw = kwTop.withColumn("kw_rank", row_number().over(
         Window.orderBy(round(col("bm25"), 6).desc, col("doc_id").asc)))
@@ -1226,6 +1246,7 @@ object PipelineQueries {
     "q_pagerank"       -> (pageRankQ _),
     "q_pagerank_topk"  -> (pageRankTopKQ _),
     "q_hybrid_rrf"     -> (hybridRrfQ _),
+    "q_hybrid_rrf_stored" -> (hybridRrfStoredQ _),
     "q_substr_spans"   -> (substrSpansQ _),
     "q_substr_dedup"   -> (substrDedupQ _),
     "q_substr_apply"   -> (substrApplyQ _),
@@ -1328,6 +1349,7 @@ object PipelineQueries {
        |spans AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end
        |          FROM grp GROUP BY doc_id, g)""".stripMargin
 
+
   /** The one TF-IDF oracle — shared by `q_tfidf` (corpus-recomputed)
     * and `q_tfidf_index` (served from the stored tf/dl artifacts). */
   private val TfidfSql: String =
@@ -1408,6 +1430,39 @@ object PipelineQueries {
        |  count(*) AS n_hits
        |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN scal
        |GROUP BY tf.doc_id""".stripMargin
+
+  /** The one hybrid-RRF oracle — shared by `q_hybrid_rrf`
+    * (corpus-recomputed BM25 side) and `q_hybrid_rrf_stored` (BM25 side
+    * served from the persisted tf/dl artifacts): both rank windows
+    * order by the ROUNDED score then id (the engine's exact
+    * discipline), the reciprocal arithmetic is spelled with the same
+    * op order, and row_number casts to INTEGER to match Spark's rank
+    * type. */
+  private val HybridRrfSql: String =
+    s"""WITH kwt AS (SELECT * FROM ($Bm25Sql) b
+       |            ORDER BY round(bm25, 6) DESC, doc_id ASC LIMIT 100),
+       |kwr AS (SELECT doc_id, CAST(row_number() OVER (
+       |          ORDER BY round(bm25, 6) DESC, doc_id ASC) AS INTEGER) AS kw_rank
+       |        FROM kwt),
+       |f AS (SELECT vec_id, unnest(embedding) AS x,
+       |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |q AS (SELECT i, CAST(x AS DOUBLE) AS qx FROM f WHERE vec_id = 0),
+       |cs AS (SELECT f.vec_id AS doc_id,
+       |         sum(CAST(f.x AS DOUBLE) * qx)
+       |           / (sqrt(sum(CAST(f.x AS DOUBLE) * f.x)) * sqrt(sum(qx * qx))) AS cos_sim
+       |       FROM f JOIN q USING (i) WHERE f.vec_id <> 0
+       |       GROUP BY f.vec_id),
+       |vt AS (SELECT * FROM cs
+       |       ORDER BY round(cos_sim, 6) DESC, doc_id ASC LIMIT 100),
+       |vr AS (SELECT doc_id, CAST(row_number() OVER (
+       |          ORDER BY round(cos_sim, 6) DESC, doc_id ASC) AS INTEGER) AS vec_rank
+       |       FROM vt)
+       |SELECT doc_id,
+       |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + kw_rank), CAST(0.0 AS DOUBLE)) +
+       |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), CAST(0.0 AS DOUBLE)) AS rrf,
+       |  kw_rank, vec_rank
+       |FROM kwr FULL JOIN vr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_bucket_join" ->
@@ -1512,31 +1567,10 @@ object PipelineQueries {
     // engine's exact discipline), the reciprocal arithmetic is spelled
     // with the same op order, and row_number casts to INTEGER to match
     // Spark's rank type
-    "q_hybrid_rrf" ->
-      s"""WITH kwt AS (SELECT * FROM ($Bm25Sql) b
-         |            ORDER BY round(bm25, 6) DESC, doc_id ASC LIMIT 100),
-         |kwr AS (SELECT doc_id, CAST(row_number() OVER (
-         |          ORDER BY round(bm25, 6) DESC, doc_id ASC) AS INTEGER) AS kw_rank
-         |        FROM kwt),
-         |f AS (SELECT vec_id, unnest(embedding) AS x,
-         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         |q AS (SELECT i, CAST(x AS DOUBLE) AS qx FROM f WHERE vec_id = 0),
-         |cs AS (SELECT f.vec_id AS doc_id,
-         |         sum(CAST(f.x AS DOUBLE) * qx)
-         |           / (sqrt(sum(CAST(f.x AS DOUBLE) * f.x)) * sqrt(sum(qx * qx))) AS cos_sim
-         |       FROM f JOIN q USING (i) WHERE f.vec_id <> 0
-         |       GROUP BY f.vec_id),
-         |vt AS (SELECT * FROM cs
-         |       ORDER BY round(cos_sim, 6) DESC, doc_id ASC LIMIT 100),
-         |vr AS (SELECT doc_id, CAST(row_number() OVER (
-         |          ORDER BY round(cos_sim, 6) DESC, doc_id ASC) AS INTEGER) AS vec_rank
-         |       FROM vt)
-         |SELECT doc_id,
-         |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + kw_rank), CAST(0.0 AS DOUBLE)) +
-         |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), CAST(0.0 AS DOUBLE)) AS rrf,
-         |  kw_rank, vec_rank
-         |FROM kwr FULL JOIN vr USING (doc_id)
-         |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_hybrid_rrf" -> HybridRrfSql,
+    // the stored-artifact endpoint must return the IDENTICAL fusion —
+    // the same oracle SQL pins it to q_hybrid_rrf
+    "q_hybrid_rrf_stored" -> HybridRrfSql,
     "q_substr_spans" ->
       s"""$SUBSTR_CTES
          |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,

@@ -172,7 +172,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_bm25_serve",  // the endpoint composition of the same scalar
       "q_tfidf_index", // the N single-row scalar, served from the dl sidecar
       "q_tfidf_stored", // the same scalar over the persisted artifacts
-      "q_hybrid_rrf")  // bm25 scalar attach + one-row query-vector cross
+      "q_hybrid_rrf",  // bm25 scalar attach + one-row query-vector cross
+      "q_hybrid_rrf_stored") // the same shapes over the stored artifacts
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -261,6 +262,12 @@ class PlanQualitySpec extends SparkSpec {
     val hr = physical("q_hybrid_rrf")
     val nCuts = "TakeOrderedAndProject".r.findAllIn(hr).size
     assert(nCuts >= 3, s"q_hybrid_rrf has $nCuts TakeOrdered cuts (<3):\n${hr.take(900)}")
+    // q_hybrid_rrf_stored: the stored endpoint keeps the token-bucket
+    // pruned tf scan AND the >=3 TakeOrdered cuts in one plan
+    val hrs = physical("q_hybrid_rrf_stored")
+    assert("TakeOrderedAndProject".r.findAllIn(hrs).size >= 3, hrs.take(900))
+    assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(hrs).isDefined,
+      s"q_hybrid_rrf_stored tf scan carries no tbucket partition filter:\n${hrs.take(900)}")
     // q_pagerank_topk: the hub-serving cut compiles to
     // TakeOrderedAndProject over the |V|-scale rank table, never a
     // global sort
