@@ -395,6 +395,64 @@ object TextAnalysis {
         exp(col("xent")).as("ppl"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-importance ln(p_target(x)/p_source(x)) under hashed
+    * bag-of-n-gram multinomials — the paper's scalable recipe for
+    * "select raw-pool documents that look like the target domain".
+    * Features are unigrams + bigrams hashed into `buckets` residues
+    * (md5-60 pmod B — non-negative, so `%` is pmod in any engine);
+    * each side's distribution is add-`alpha` smoothed over the B
+    * buckets: ln w(x) = Σ_f [ln((c_t(b_f)+α)/(T_t+αB)) −
+    * ln((c_s(b_f)+α)/(T_s+αB))].
+    *
+    * `isTarget` marks the target-domain rows; every OTHER row is the
+    * source/raw pool. Returns every document (both sides) with its
+    * feature count and ln w — the raw material for the resampling cut
+    * ([[graft.queries.PipelineQueries]]'s `q_dsir_select` takes the
+    * deterministic top-k of the source side).
+    *
+    * Scale shape: the corpus-wide state is TWO B-bucket count tables
+    * (one groupBy each over fixed-width (b) rows — map-side
+    * combinable) joined into one broadcast log-ratio table; feature
+    * totals come from a no-explode scan of `docs` (2·|tokens|−1 per
+    * doc, exactly the exploded row count — the [[unigramXent]]
+    * one-consumer discipline, no cache); the probe join is
+    * broadcast-keyed and the only doc-keyed shuffle is the final
+    * per-doc sum. */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, id: String,
+                  text: String, isTarget: Column, buckets: Int = 1024,
+                  alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, sum}
+    val t = docs.select(col(id).as("doc_id"), isTarget.as("is_t"),
+      tokens(col(text)).as("tk"))
+    val uni = t.select(col("doc_id"), col("is_t"), explode(col("tk")).as("f"))
+    val bi = t.where(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("is_t"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 2)).as("i"))
+      .select(col("doc_id"), col("is_t"),
+        concat_ws(" ", slice(col("tk"), col("i") + 1, lit(2))).as("f"))
+    val feats = uni.union(bi).select(col("doc_id"), col("is_t"),
+      (Md5Long60(col("f")) % buckets).as("b"))
+    val tc = feats.where(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val sc = feats.where(!col("is_t")).groupBy("b").agg(count(lit(1)).as("cs"))
+    // totals without a second pass over the exploded stream: a doc with
+    // k >= 1 tokens contributes k unigrams + (k-1) bigrams = 2k-1
+    // features; null text contributes none (sum skips the null size)
+    val tot = t.agg(
+      sum(when(col("is_t"), size(col("tk")) * 2 - 1)).as("tt"),
+      sum(when(!col("is_t"), size(col("tk")) * 2 - 1)).as("ts"))
+    val lr = tc.join(sc, Seq("b"), "full_outer").crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(alpha)).cast("double") /
+             (col("tt") + lit(alpha * buckets))) -
+         log((coalesce(col("cs"), lit(0L)) + lit(alpha)).cast("double") /
+             (col("ts") + lit(alpha * buckets)))).as("lr"))
+    feats.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("logw"))
+  }
+
   // ---- Gopher-style quality rules (Rae et al. 2021, public ruleset) ---
 
   // Rule thresholds — single source of truth for the engine expressions

@@ -591,6 +591,25 @@ object PipelineQueries {
   def substrApplyQ(s: SparkSession, d: String): DataFrame =
     Dedup.exactSubstrApply(par(documents(s, d)), "doc_id", "text", L = 8)
 
+  /** DSIR importance weights ([[TA.dsirWeights]], Xie et al. 2023):
+    * target = the `lang = 'en'` slice, source = everything else —
+    * every doc's hashed-bigram log-importance ln(p_en/p_rest). */
+  def dsirWeightsQ(s: SparkSession, d: String): DataFrame =
+    TA.dsirWeights(par(documents(s, d)), "doc_id", "text",
+      col("lang") === "en")
+
+  /** The resampling cut DSIR exists for: the top-100 SOURCE (raw-pool)
+    * documents ranked by target-likeness — rounded-logw + doc_id
+    * ordering (the `q_pagerank_topk` tie discipline), served as a
+    * `TakeOrderedAndProject` cut. */
+  def dsirSelectQ(s: SparkSession, d: String): DataFrame =
+    TA.dsirWeights(par(documents(s, d)), "doc_id", "text",
+        col("lang") === "en")
+      .join(documents(s, d).where(col("lang") =!= "en")
+        .select(col("doc_id")), "doc_id")
+      .orderBy(round(col("logw"), 6).desc, col("doc_id").asc)
+      .limit(100)
+
   /** The spill-safe pair expansion ([[Dedup.minhashPairsJoin]]) against
     * the SAME generated oracle as q_minhash_pairs — identical output by
     * construction, so the degenerate-bucket escape hatch is
@@ -1250,6 +1269,8 @@ object PipelineQueries {
     "q_substr_spans"   -> (substrSpansQ _),
     "q_substr_dedup"   -> (substrDedupQ _),
     "q_substr_apply"   -> (substrApplyQ _),
+    "q_dsir_weights"   -> (dsirWeightsQ _),
+    "q_dsir_select"    -> (dsirSelectQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
     "q_dedup_star"     -> (dedupGroupsStar _),
@@ -1464,6 +1485,29 @@ object PipelineQueries {
        |FROM kwr FULL JOIN vr USING (doc_id)
        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** The DSIR oracle — the identical hashed unigram+bigram feature
+    * stream, add-1-smoothed bucket multinomials (B=1024), per-doc
+    * log-ratio sum. Shared by `q_dsir_weights` and `q_dsir_select`. */
+  private val DsirSql: String =
+    s"""WITH t AS (SELECT doc_id, lang = 'en' AS is_t, $TOKS AS tk FROM documents),
+       |uni AS (SELECT doc_id, is_t, unnest(tk) AS f FROM t),
+       |bi AS (SELECT doc_id, is_t, array_to_string(tk[i+1:i+2], ' ') AS f
+       |       FROM (SELECT doc_id, is_t, tk, unnest(range(len(tk)-1)) AS i
+       |             FROM t WHERE len(tk) >= 2)),
+       |feats AS (SELECT doc_id, is_t,
+       |  CAST(concat('0x', substr(md5(f),1,15)) AS BIGINT) % 1024 AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |tc AS (SELECT b, count(*) AS ct FROM feats WHERE is_t GROUP BY b),
+       |sc AS (SELECT b, count(*) AS cs FROM feats WHERE NOT is_t GROUP BY b),
+       |tot AS (SELECT count(*) FILTER (WHERE is_t) AS tt,
+       |               count(*) FILTER (WHERE NOT is_t) AS ts FROM feats),
+       |lr AS (SELECT b,
+       |  ln(CAST(COALESCE(ct, 0) + 1.0 AS DOUBLE) / (tt + 1024.0)) -
+       |  ln(CAST(COALESCE(cs, 0) + 1.0 AS DOUBLE) / (ts + 1024.0)) AS lr
+       |  FROM tc FULL JOIN sc USING (b) CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_feats, sum(lr) AS logw
+       |FROM feats JOIN lr USING (b) GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bucket_join" ->
       """SELECT d.lang AS lang, count(*) AS n,
@@ -1571,6 +1615,14 @@ object PipelineQueries {
     // the stored-artifact endpoint must return the IDENTICAL fusion —
     // the same oracle SQL pins it to q_hybrid_rrf
     "q_hybrid_rrf_stored" -> HybridRrfSql,
+    // DSIR: the same hashed-feature stream, smoothed-multinomial
+    // log-ratio per bucket, per-doc sum; md5-60 is non-negative so `%`
+    // is pmod in both engines; totals = 2k-1 features per k-token doc
+    "q_dsir_weights" -> DsirSql,
+    "q_dsir_select" ->
+      s"""SELECT w.* FROM ($DsirSql) w
+         |JOIN documents d ON w.doc_id = d.doc_id AND d.lang <> 'en'
+         |ORDER BY round(w.logw, 6) DESC, w.doc_id ASC LIMIT 100""".stripMargin,
     "q_substr_spans" ->
       s"""$SUBSTR_CTES
          |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,

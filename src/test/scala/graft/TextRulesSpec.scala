@@ -152,4 +152,27 @@ class TextRulesSpec extends SparkSpec {
     assert(out(1L)._2 == "mail me at <EMAIL> or call <PHONE> ok")
     assert(out(2L) == (0, "no pii here"))
   }
+
+  test("dsirWeights ranks target-like source docs above unrelated ones") {
+    def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx${i % 6}").mkString(" ")
+    val docs = Seq(
+      // target domain: the "med" vocabulary
+      (1L, toks("med", 24), true),
+      (2L, toks("med", 24), true),
+      // source pool: one doc in target vocabulary, one disjoint, one mixed
+      (10L, toks("med", 24), false),
+      (11L, toks("web", 24), false),
+      (12L, s"${toks("med", 12)} ${toks("web", 12)}", false)
+    ).toDF("doc_id", "text", "is_t")
+    val w = TA.dsirWeights(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet == Set(1L, 2L, 10L, 11L, 12L))
+    // target-like source doc scores highest, disjoint lowest, mixed between
+    assert(w(10L) > w(12L) && w(12L) > w(11L), w.toString)
+    // target-domain docs score like the target-like source doc (same text)
+    assert(math.abs(w(1L) - w(10L)) < 1e-9)
+    // the log-importance SIGN separates the domains: target-like
+    // positive, disjoint negative (source vocab dominates p_source)
+    assert(w(10L) > 0 && w(11L) < 0, w.toString)
+  }
 }
