@@ -422,33 +422,71 @@ object TextAnalysis {
     * per-doc sum. */
   def dsirWeights(docs: org.apache.spark.sql.DataFrame, id: String,
                   text: String, isTarget: Column, buckets: Int = 1024,
-                  alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, sum}
-    val t = docs.select(col(id).as("doc_id"), isTarget.as("is_t"),
-      tokens(col(text)).as("tk"))
-    val uni = t.select(col("doc_id"), col("is_t"), explode(col("tk")).as("f"))
+                  alpha: Double = 1.0): org.apache.spark.sql.DataFrame =
+    dsirScoreWith(docs, id, text,
+      dsirModel(docs, id, text, isTarget, buckets, alpha))
+
+  /** The hashed unigram+bigram feature stream: one row per feature
+    * occurrence, bucketed to `buckets` residues; `carry` names extra
+    * columns of `docs` to keep on every feature row. */
+  private def dsirFeatures(docs: org.apache.spark.sql.DataFrame, id: String,
+                           text: String, buckets: Int,
+                           carry: Seq[String] = Seq.empty)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keep = col("doc_id") +: carry.map(col)
+    val t = docs.select(col(id).as("doc_id") +: carry.map(col) :+
+      tokens(col(text)).as("tk"): _*)
+    val uni = t.select(keep :+ explode(col("tk")).as("f"): _*)
     val bi = t.where(size(col("tk")) >= 2)
-      .select(col("doc_id"), col("is_t"), col("tk"),
-        explode(sequence(lit(0), size(col("tk")) - 2)).as("i"))
-      .select(col("doc_id"), col("is_t"),
-        concat_ws(" ", slice(col("tk"), col("i") + 1, lit(2))).as("f"))
-    val feats = uni.union(bi).select(col("doc_id"), col("is_t"),
-      (Md5Long60(col("f")) % buckets).as("b"))
-    val tc = feats.where(col("is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
-    val sc = feats.where(!col("is_t")).groupBy("b").agg(count(lit(1)).as("cs"))
+      .select(keep ++ Seq(col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 2)).as("i")): _*)
+      .select(keep :+
+        concat_ws(" ", slice(col("tk"), col("i") + 1, lit(2))).as("f"): _*)
+    uni.union(bi).select(keep :+ (Md5Long60(col("f")) % buckets).as("b"): _*)
+  }
+
+  /** Train the DSIR model: the COMPLETE per-bucket log-ratio table —
+    * every residue in [0, buckets) has a row (unseen buckets carry the
+    * pure-smoothing ratio), so a persisted model scores documents whose
+    * features never occurred in the training corpus. B rows — a
+    * broadcast-scale train-once artifact. */
+  def dsirModel(docs: org.apache.spark.sql.DataFrame, id: String,
+                text: String, isTarget: Column, buckets: Int = 1024,
+                alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, sum}
+    val feats = dsirFeatures(docs.withColumn("__is_t", isTarget), id, text,
+      buckets, carry = Seq("__is_t"))
+    val tc = feats.where(col("__is_t")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val sc = feats.where(!col("__is_t")).groupBy("b").agg(count(lit(1)).as("cs"))
     // totals without a second pass over the exploded stream: a doc with
     // k >= 1 tokens contributes k unigrams + (k-1) bigrams = 2k-1
     // features; null text contributes none (sum skips the null size)
-    val tot = t.agg(
-      sum(when(col("is_t"), size(col("tk")) * 2 - 1)).as("tt"),
-      sum(when(!col("is_t"), size(col("tk")) * 2 - 1)).as("ts"))
-    val lr = tc.join(sc, Seq("b"), "full_outer").crossJoin(broadcast(tot))
+    val tot = docs.select(isTarget.as("is_t"), tokens(col(text)).as("tk"))
+      .agg(
+        sum(when(col("is_t"), size(col("tk")) * 2 - 1)).as("tt"),
+        sum(when(!col("is_t"), size(col("tk")) * 2 - 1)).as("ts"))
+    docs.sparkSession.range(buckets).toDF("b")
+      .join(tc, Seq("b"), "left").join(sc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
       .select(col("b"),
         (log((coalesce(col("ct"), lit(0L)) + lit(alpha)).cast("double") /
              (col("tt") + lit(alpha * buckets))) -
          log((coalesce(col("cs"), lit(0L)) + lit(alpha)).cast("double") /
              (col("ts") + lit(alpha * buckets)))).as("lr"))
-    feats.join(broadcast(lr), Seq("b"))
+  }
+
+  /** Score documents against a (possibly persisted) DSIR model: join
+    * the feature stream to the broadcast B-row log-ratio table, sum per
+    * doc. The model's bucket count is implied by its rows (complete
+    * residue table), so the scorer needs no side contract beyond the
+    * hash. */
+  def dsirScoreWith(docs: org.apache.spark.sql.DataFrame, id: String,
+                    text: String, model: org.apache.spark.sql.DataFrame,
+                    buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, sum}
+    dsirFeatures(docs, id, text, buckets)
+      .join(broadcast(model), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("logw"))
   }

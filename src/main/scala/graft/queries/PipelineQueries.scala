@@ -598,6 +598,22 @@ object PipelineQueries {
     TA.dsirWeights(par(documents(s, d)), "doc_id", "text",
       col("lang") === "en")
 
+  /** The STORED-model twin: the B-row log-ratio table persists once per
+    * corpus fingerprint ([[TA.dsirModel]] — a complete residue table,
+    * so it scores documents with never-seen features too); every later
+    * call scores purely from the stored parquet (zero training jobs),
+    * pinned to `q_dsir_weights`' exact oracle. */
+  def dsirStoredQ(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(
+        s"dsir:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      TA.dsirModel(par(documents(s, d)), "doc_id", "text",
+          col("lang") === "en")
+        .write.mode("overwrite").parquet(s"$dir/lr")
+    }
+    TA.dsirScoreWith(par(documents(s, d)), "doc_id", "text",
+      s.read.parquet(s"$dir/lr"))
+  }
+
   /** The resampling cut DSIR exists for: the top-100 SOURCE (raw-pool)
     * documents ranked by target-likeness — rounded-logw + doc_id
     * ordering (the `q_pagerank_topk` tie discipline), served as a
@@ -1270,6 +1286,7 @@ object PipelineQueries {
     "q_substr_dedup"   -> (substrDedupQ _),
     "q_substr_apply"   -> (substrApplyQ _),
     "q_dsir_weights"   -> (dsirWeightsQ _),
+    "q_dsir_stored"    -> (dsirStoredQ _),
     "q_dsir_select"    -> (dsirSelectQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
@@ -1619,6 +1636,9 @@ object PipelineQueries {
     // log-ratio per bucket, per-doc sum; md5-60 is non-negative so `%`
     // is pmod in both engines; totals = 2k-1 features per k-token doc
     "q_dsir_weights" -> DsirSql,
+    // the stored-model scorer must return the IDENTICAL weights — the
+    // same oracle SQL pins it to q_dsir_weights
+    "q_dsir_stored" -> DsirSql,
     "q_dsir_select" ->
       s"""SELECT w.* FROM ($DsirSql) w
          |JOIN documents d ON w.doc_id = d.doc_id AND d.lang <> 'en'

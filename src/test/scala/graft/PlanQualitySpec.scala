@@ -173,7 +173,9 @@ class PlanQualitySpec extends SparkSpec {
       "q_tfidf_index", // the N single-row scalar, served from the dl sidecar
       "q_tfidf_stored", // the same scalar over the persisted artifacts
       "q_hybrid_rrf",  // bm25 scalar attach + one-row query-vector cross
-      "q_hybrid_rrf_stored") // the same shapes over the stored artifacts
+      "q_hybrid_rrf_stored", // the same shapes over the stored artifacts
+      "q_dsir_weights", // (tt, ts) one-row totals attach, the bm25 shape
+      "q_dsir_select")  // the same scalar attach under the selection cut
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
