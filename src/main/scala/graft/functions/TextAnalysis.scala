@@ -395,6 +395,46 @@ object TextAnalysis {
         exp(col("xent")).as("ppl"))
   }
 
+  /** Bigram cross-entropy scoring — one Markov order up from
+    * [[unigramXent]], the next deterministic step toward the CCNet
+    * KenLM filter: per document, the mean −ln p(wᵢ | wᵢ₋₁) under the
+    * CORPUS bigram model with add-1 smoothing,
+    * p(w|c) = (c(c w) + 1) / (n(c) + V), where n(c) counts c's
+    * CONTEXT occurrences (positions 0..k−2 — so the conditional sums
+    * to 1 over the vocabulary) and V is the corpus unigram vocabulary.
+    * Catches locally-incoherent token soup that unigram frequency
+    * can't (every token common, no two adjacent ones ever co-occur).
+    * Documents with fewer than 2 tokens have no bigrams and drop out.
+    *
+    * Scale shape: the [[unigramXent]] topology one order up — a bigram
+    * count and a context count build (two map-side-combinable
+    * groupBys over the same exploded stream), a V scalar from a
+    * distinct-count, and the probe join keyed on the bigram string
+    * (broadcast when small, shuffle otherwise), then one doc-keyed
+    * aggregation. */
+  def bigramXent(docs: org.apache.spark.sql.DataFrame, id: String,
+                 text: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count, countDistinct, exp}
+    val t = docs.select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+    val bi = t.where(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 2)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i") + 1).as("ctx"),
+        concat_ws(" ", slice(col("tk"), col("i") + 1, lit(2))).as("big"))
+    val bc = bi.groupBy("big").agg(count(lit(1)).as("bc"))
+    val cc = bi.groupBy("ctx").agg(count(lit(1)).as("cc"))
+    val vocab = t.select(explode(col("tk")).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    bi.join(bc, "big").join(cc, "ctx").join(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("bc") + lit(1.0)) / (col("cc") + col("v"))))
+          .as("xent2"))
+      .select(col("doc_id"), col("n_bigrams"), col("xent2"),
+        exp(col("xent2")).as("ppl2"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per-document
     * log-importance ln(p_target(x)/p_source(x)) under hashed

@@ -591,6 +591,11 @@ object PipelineQueries {
   def substrApplyQ(s: SparkSession, d: String): DataFrame =
     Dedup.exactSubstrApply(par(documents(s, d)), "doc_id", "text", L = 8)
 
+  /** Bigram cross-entropy + perplexity per doc ([[TA.bigramXent]]) —
+    * the Markov-order-1 upgrade of `q_unigram_ppl`. */
+  def bigramPpl(s: SparkSession, d: String): DataFrame =
+    TA.bigramXent(par(documents(s, d)), "doc_id", "text")
+
   /** DSIR importance weights ([[TA.dsirWeights]], Xie et al. 2023):
     * target = the `lang = 'en'` slice, source = everything else —
     * every doc's hashed-bigram log-importance ln(p_en/p_rest). */
@@ -1263,6 +1268,7 @@ object PipelineQueries {
     "q_bm25_serve"     -> (bm25ServeQ _),
     "q_tfidf_stored"   -> (tfidfStoredQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
+    "q_bigram_ppl"     -> (bigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
     "q_dup_ngrams"     -> (dupNgrams _),
@@ -1686,6 +1692,24 @@ object PipelineQueries {
          |  avg(-ln(CAST(tc AS DOUBLE) / total)) AS xent,
          |  exp(avg(-ln(CAST(tc AS DOUBLE) / total))) AS ppl
          |FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+    // bigram model: context counts over positions 0..k-2 (so the
+    // conditional sums to 1), corpus-vocab add-1 smoothing; exp/ln in
+    // double on both engines, driver rounding absorbs merge-order ulps
+    "q_bigram_ppl" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |bi AS (SELECT doc_id, tk[i+1] AS ctx,
+         |         array_to_string(tk[i+1:i+2], ' ') AS big
+         |       FROM (SELECT doc_id, tk, unnest(range(len(tk)-1)) AS i
+         |             FROM t WHERE len(tk) >= 2)),
+         |bc AS (SELECT big, count(*) AS bc FROM bi GROUP BY big),
+         |cc AS (SELECT ctx, count(*) AS cc FROM bi GROUP BY ctx),
+         |vv AS (SELECT count(DISTINCT term) AS v
+         |       FROM (SELECT unnest(tk) AS term FROM t))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  avg(-ln(CAST(bc + 1.0 AS DOUBLE) / (cc + v))) AS xent2,
+         |  exp(avg(-ln(CAST(bc + 1.0 AS DOUBLE) / (cc + v)))) AS ppl2
+         |FROM bi JOIN bc USING (big) JOIN cc USING (ctx) CROSS JOIN vv
          |GROUP BY doc_id""".stripMargin,
     // Gopher rules: thresholds SPLICED from the TextAnalysis constants
     // (one source of truth), replace-based symbol counting (identical
