@@ -61,6 +61,10 @@ object ExplainAudit {
                           //   anywhere — nothing corpus-scale cached
       "q_semdedup",       // expect map-side NearestCentroid projection
                           //   (no centroid join) + cid-keyed self-join
+      "q_decontaminate_sem", // expect ONE fused BestCosine projection
+                          //   over the scan — zero exchanges, zero joins
+                          //   (the collected bench matrix rides in the
+                          //   expression)
       "q_bloom_semi",     // expect a map-side BloomContainsLong Filter
                           //   directly over the lineitem scan, BELOW the
                           //   exact semi-join

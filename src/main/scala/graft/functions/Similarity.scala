@@ -1663,6 +1663,160 @@ object Similarity {
        |  CAST(CASE WHEN dropped.vec_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS dropped
        |FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id""".stripMargin
 
+  // ---- cluster-balanced diversity sampling --------------------------------
+
+  /** CLUSTER-BALANCED diversity sampling: cap every embedding cluster
+    * at `quota` members so over-represented modes (template boilerplate,
+    * near-duplicate spam regions of embedding space) stop dominating
+    * the training mixture — the embedding-space complement of the
+    * per-source mixture cap
+    * ([[graft.queries.CurationQueries.mixApplyOf]]), and the
+    * "cluster-then-balance" selection step the SemDeDup line of work
+    * applies after dedup. Assignment is the seeded deterministic
+    * quantizer ([[seededCentroids]] + [[NearestCentroid]], ties to the
+    * lower centroid); retention within a cluster is the md5
+    * hash-bucket draw (keep iff bucket(id) < rate·10⁶,
+    * rate = min(1, quota/n)) — reproducible across engines and runs,
+    * uncorrelated with id order.
+    *
+    * Output: one row per KEPT vector (id, cid, rate).
+    *
+    * Scale shape: assignment is one map-side fused projection (zero
+    * corpus shuffle); cluster counts aggregate to `nlist` rows and
+    * BROADCAST back; the draw is a per-row hash comparison. The only
+    * corpus-scale movement is the one groupBy's map-side-combined
+    * (cid) counts — fixed-width rows, nlist distinct keys. */
+  def clusterSample(emb: DataFrame, id: String, vec: String,
+                    quota: Int, nlist: Int = 16,
+                    buckets: Int = 1000000): DataFrame = {
+    val v = emb.select(col(id).as("vid"), asDouble(col(vec)).as("v"))
+    val assigned = v.select(col("vid"),
+      NearestCentroid(col("v"), seededCentroids(v, nlist)).as("cid"))
+    val rates = assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n"))
+      .select(col("cid"),
+        least(lit(1.0), lit(quota).cast("double") / col("n")).as("rate"))
+    assigned.join(broadcast(rates), Seq("cid"))
+      .where(TextAnalysis.hashBucket(col("vid"), buckets).cast("double") <
+        col("rate") * buckets)
+      .select(col("vid").as(id), col("cid"), col("rate"))
+  }
+
+  /** Oracle for [[clusterSample]]: the shared seeded-assignment CTEs,
+    * the same min(1, quota/n) rate arithmetic, the same md5 draw. */
+  def clusterSampleOracleSql(quota: Int, nlist: Int = 16,
+                             buckets: Int = 1000000,
+                             dim: Int = OracleDim): String =
+    s"""WITH ${semAssignCtes(nlist, dim)},
+       |rates AS (
+       |  SELECT cid, least(1.0, CAST($quota AS DOUBLE) / count(*)) AS rate
+       |  FROM asg GROUP BY cid)
+       |SELECT asg.vec_id, asg.cid, rates.rate
+       |FROM asg JOIN rates USING (cid)
+       |WHERE CAST(CAST(concat('0x', substr(md5(CAST(asg.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % $buckets AS DOUBLE) < rate * $buckets""".stripMargin
+
+  // ---- semantic decontamination ------------------------------------------
+
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * complement of the shingle-overlap check
+    * ([[graft.queries.CurationQueries.decontaminateAgainst]]): flag
+    * training vectors whose cosine against ANY held-out benchmark
+    * vector reaches `minCos`. Paraphrased or re-worded bench leakage
+    * has near-identical embeddings but ZERO shared 5-gram shingles, so
+    * the n-gram check misses exactly the contamination this one
+    * catches.
+    *
+    * Scale shape: the bench side is the eval suite — bounded by
+    * construction (the centroid/codebook collect precedent) — so it
+    * collects once and rides into [[BestCosine]], ONE fused map-side
+    * projection over the corpus: zero shuffle, zero join, the
+    * [[NearestCentroid]] discipline with the similarity kept for the
+    * threshold. Output: one row per CONTAMINATED train vector with its
+    * best-matching bench id (cosine argmax, ties to the LOWER bench id)
+    * and the cosine.
+    *
+    * Reference analogue: the repo's pipelines dedup on exact text only
+    * (ref `crawl/dedup.py`-style exact keys); decontamination and its
+    * semantic form are the LLM-pipeline extension families (SURVEY
+    * §2.10). */
+  def decontaminateSem(train: DataFrame, bench: DataFrame, id: String,
+                       vec: String, minCos: Double): DataFrame = {
+    // bounded collect: the bench set is MBs against a 100 TB corpus
+    val rows = bench.select(col(id).cast("long"), asDouble(col(vec)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    decontaminateSemAgainst(train, rows.map(_._1), rows.map(_._2),
+      id, vec, minCos)
+  }
+
+  /** The scoring tail both the recomputed and the stored path share:
+    * ids/matrix are the bench set sorted by id, so [[BestCosine]]'s
+    * tie-to-lower-POS is tie-to-lower bench id. */
+  private def decontaminateSemAgainst(train: DataFrame, ids: Array[Long],
+                                      matrix: Array[Array[Double]], id: String,
+                                      vec: String, minCos: Double): DataFrame = {
+    if (ids.isEmpty)
+      // empty bench set → nothing can be contaminated; keep the contract schema
+      return train.select(col(id),
+        lit(null).cast("long").as("bench_id"),
+        lit(null).cast("double").as("cos_sim")).limit(0)
+    train
+      .withColumn("bc", BestCosine(col(vec), matrix))
+      .where(col("bc.cos") >= minCos)
+      .select(col(id),
+        element_at(lit(ids), col("bc.pos")).as("bench_id"),
+        col("bc.cos").as("cos_sim"))
+  }
+
+  /** Persist the bench set's (id, double-cast vector) rows — the
+    * semantic-decontamination artifact: bench sets are STATIC (a fixed
+    * eval suite) while training corpora churn, so the write-once /
+    * probe-per-batch split of `bench_shingles` / `q_sim_*_probe`
+    * applies verbatim. */
+  def benchVecArtifacts(bench: DataFrame, id: String, vec: String,
+                        dir: String): Unit =
+    bench.select(col(id).cast("long").as("bench_id"),
+        asDouble(col(vec)).as("bv"))
+      .write.mode("overwrite").parquet(s"$dir/bench_vecs")
+
+  /** Decontaminate `train` against a PERSISTED bench vector set
+    * ([[benchVecArtifacts]]) — zero bench-side compute per run;
+    * identical scoring tail to [[decontaminateSem]], so the stored path
+    * shares its oracle. */
+  def decontaminateSemFromDir(train: DataFrame, id: String, vec: String,
+                              dir: String, minCos: Double): DataFrame = {
+    val rows = train.sparkSession.read.parquet(s"$dir/bench_vecs")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    decontaminateSemAgainst(train, rows.map(_._1), rows.map(_._2),
+      id, vec, minCos)
+  }
+
+  /** Oracle for [[decontaminateSem]] over the fixture's md5-bucket
+    * bench split: the same independent-accumulator cosine chains, the
+    * argmax as the (cos DESC, bench_id ASC) row_number — bit-identical
+    * doubles, identical tie-break. */
+  def decontaminateSemOracleSql(benchBuckets: Int, benchBucket: Int,
+                                minCos: Double, dim: Int = OracleDim): String =
+    s"""WITH bkt AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % $benchBuckets AS bucket
+       |  FROM embeddings),
+       |best AS (
+       |  SELECT t.vec_id, b.vec_id AS bench_id,
+       |    ${cosineSql("t.embedding", "b.embedding", dim)} AS cos_sim,
+       |    row_number() OVER (PARTITION BY t.vec_id
+       |      ORDER BY ${cosineSql("t.embedding", "b.embedding", dim)} DESC,
+       |               b.vec_id ASC) AS rn
+       |  FROM bkt t JOIN bkt b
+       |    ON t.bucket <> $benchBucket AND b.bucket = $benchBucket)
+       |SELECT vec_id, bench_id, cos_sim FROM best
+       |WHERE rn = 1 AND cos_sim >= ${dlit(minCos)}""".stripMargin
+
   /** Oracle for [[semDedupCC]]: the same assignment + above-threshold
     * pair CTEs, then the [[Dedup.dedupGroupsOracleSql]] transitive-
     * closure walk — min(comp) per vertex is the component minimum the

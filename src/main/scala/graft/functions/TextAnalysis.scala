@@ -531,6 +531,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("logw"))
   }
 
+  /** Per-group distribution DRIFT report: KL(p_group ‖ p_corpus) over
+    * the hashed unigram+bigram feature buckets — the mixture-monitoring
+    * number a 100 TB pipeline tracks per source/crawl-snapshot to catch
+    * a feed whose content distribution shifted (spam burst, language
+    * flip, template flood) before it pollutes the mixture. Same hashed
+    * multinomial + add-`alpha` smoothing as [[dsirWeights]] (Xie et al.
+    * 2023's feature space), evaluated over the COMPLETE residue table
+    * so a group missing a bucket still pays its smoothed mass.
+    *
+    * Output: one row per group — (group, n_feats, kl); kl ≥ 0, with 0
+    * iff the group's smoothed bucket distribution matches the corpus'.
+    *
+    * Scale shape: ONE pass over the feature stream into a
+    * (group, b)-keyed count — map-side combinable, |groups|·B distinct
+    * keys; everything after runs on that |groups|·B-row table (corpus
+    * marginals, totals, the complete-residue cross, the per-group KL
+    * sum) — nothing corpus-scale moves twice. */
+  def sourceKl(docs: org.apache.spark.sql.DataFrame, id: String,
+               text: String, group: String, buckets: Int = 1024,
+               alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, sum}
+    val gc = dsirFeatures(docs, id, text, buckets, carry = Seq(group))
+      .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg"))
+    val cc = gc.groupBy("b").agg(sum(col("cg")).as("c"))
+    val gt = gc.groupBy(group).agg(sum(col("cg")).as("tg"))
+    val tot = cc.agg(sum(col("c")).as("t"))
+    val aB = lit(alpha * buckets)
+    val full = gt.crossJoin(docs.sparkSession.range(buckets).toDF("b"))
+      .join(gc, Seq(group, "b"), "left")
+      .join(broadcast(cc), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+    val pg = (coalesce(col("cg"), lit(0L)) + lit(alpha)).cast("double") /
+      (col("tg") + aB)
+    val q = (coalesce(col("c"), lit(0L)) + lit(alpha)).cast("double") /
+      (col("t") + aB)
+    full.groupBy(group)
+      .agg(first(col("tg")).as("n_feats"),
+        sum(pg * (log(pg) - log(q))).as("kl"))
+  }
+
   // ---- Gopher-style quality rules (Rae et al. 2021, public ruleset) ---
 
   // Rule thresholds — single source of truth for the engine expressions

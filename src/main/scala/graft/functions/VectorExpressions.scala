@@ -394,6 +394,93 @@ object NearestCentroid {
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(c), centroids))
 }
 
+/** Map-side best-match scan against a driver-broadcast vector matrix:
+  * returns `struct(pos: int, cos: double)` — the 1-based argmax-cosine
+  * row (ties to the LOWER position, [[NearestCentroid]]'s strict `>`)
+  * and its cosine. One fused projection, so probing a bounded reference
+  * set (an eval suite for semantic decontamination, a codebook, a
+  * centroid table) costs ZERO shuffle of the corpus — the
+  * [[NearestCentroid]] shape with the similarity value kept, for
+  * callers that must threshold on it. Null vector → null struct.
+  * Accumulator order matches [[CosineSim]]'s independent ab/aa/bb
+  * chains, so the doubles are bit-identical to the oracle's chain SQL.
+  */
+case class BestCosine(child: Expression, matrix: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(matrix.nonEmpty, "BestCosine needs at least one reference vector")
+
+  // value-based (deep) equality over the nested-Array param (see
+  // NearestCentroid / MinhashHashes)
+  override def equals(o: Any): Boolean = o match {
+    case n: BestCosine =>
+      child == n.child &&
+        java.util.Arrays.deepEquals(
+          matrix.asInstanceOf[Array[AnyRef]], n.matrix.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(matrix.asInstanceOf[Array[AnyRef]])))
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("cos", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case t =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expected array<float|double>, got $t")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    BestCosine.best(v.asInstanceOf[ArrayData], matrix, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BestCosine.best($c, $mRef, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCosine =
+    copy(child = newChild)
+}
+
+object BestCosine {
+  /** (1-based argmax-cosine position, its cosine); ties → lower pos.
+    * Same per-row accumulator loop as [[NearestCentroid.nearest]]. */
+  def best(v: ArrayData, matrix: Array[Array[Double]], isFloat: Boolean): InternalRow = {
+    var bestPos = 1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val ref = matrix(c)
+      val n = math.min(v.numElements(), ref.length)
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val yv = ref(i)
+        ab += xv * yv; aa += xv * xv; bb += yv * yv; i += 1
+      }
+      val sim = if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+      if (sim > bestSim) { bestSim = sim; bestPos = c + 1 }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestPos, bestSim))
+  }
+
+  def apply(c: Column, matrix: Array[Array[Double]]): Column =
+    ColumnBridge.column(BestCosine(ColumnBridge.expression(c), matrix))
+}
+
 object VectorExpressions {
   /** Column-level entry points. */
   def dotProduct(a: Column, b: Column): Column =

@@ -843,6 +843,70 @@ object PipelineQueries {
   def simLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
+  /** Per-source distribution drift ([[TA.sourceKl]]): KL of each
+    * source's hashed-feature distribution against the corpus — the
+    * mixture-monitoring row. */
+  def sourceKl(s: SparkSession, d: String): DataFrame =
+    TA.sourceKl(par(documents(s, d)), "doc_id", "text", "source")
+
+  /** Per-cluster retention cap for `q_cluster_sample`: binding for the
+    * fixture's over-quota clusters (500/2000 vectors over 16 seeded
+    * clusters average 31/125 members), pass-through (rate 1.0) for the
+    * small ones — both branches of min(1, quota/n) exercised. */
+  private val ClusterQuota = 20
+
+  /** Cluster-balanced diversity sampling
+    * ([[Similarity.clusterSample]]): cap each embedding cluster at
+    * [[ClusterQuota]] members via the deterministic md5 draw. */
+  def clusterSample(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterSample(embChecked(s, d), "vec_id", "embedding",
+      ClusterQuota)
+
+  // ---- semantic decontamination -----------------------------------------
+
+  /** Held-out bench bucket for the SEMANTIC decontamination rows — the
+    * md5-bucket split `q_decontaminate` uses on documents, applied to
+    * vec_id (1/16 of the embeddings table plays the eval suite). */
+  private val SemBenchBuckets = 16
+  private val SemBenchBucket = 15
+
+  /** Cosine floor above which a train vector counts as bench leakage.
+    * Production uses ~0.95 (near-copies); the fixture's embeddings are
+    * near-orthogonal synthetic vectors (max pairwise cos ≈ 0.51), so
+    * the registry row cuts at 0.35 to exercise a non-trivial positive
+    * set (39/29/361 rows at sf0.001/0.01/0.1 — the semDedup minCos=0.3
+    * precedent). Both engines compute bit-identical doubles (the
+    * BestCosine / chain-SQL pairing), so the value only moves WHICH
+    * rows match, never whether the two sides agree. */
+  private val SemDeconMinCos = 0.35
+
+  /** Embedding-space benchmark decontamination
+    * ([[Similarity.decontaminateSem]]): one fused map-side projection
+    * against the collected bench bucket — zero shuffle of the corpus. */
+  def decontaminateSem(s: SparkSession, d: String): DataFrame = {
+    val emb = embChecked(s, d)
+    val bucket = TA.hashBucket(col("vec_id"), SemBenchBuckets)
+    Similarity.decontaminateSem(
+      emb.where(bucket =!= SemBenchBucket),
+      emb.where(bucket === SemBenchBucket),
+      "vec_id", "embedding", SemDeconMinCos)
+  }
+
+  /** The stored-artifact twin: the bench bucket's vectors persist once
+    * per corpus fingerprint ([[Similarity.benchVecArtifacts]]); every
+    * later call scores from the stored parquet — zero bench-side
+    * compute per run. Same oracle as `q_decontaminate_sem`. */
+  def decontaminateSemStored(s: SparkSession, d: String): DataFrame = {
+    val emb = embChecked(s, d)
+    val bucket = TA.hashBucket(col("vec_id"), SemBenchBuckets)
+    val dir = cachedArtifacts(s"deconsem:$d:${corpusFingerprint(s, d)}")(
+      Similarity.benchVecArtifacts(
+        emb.where(bucket === SemBenchBucket), "vec_id", "embedding", _))
+    Similarity.decontaminateSemFromDir(
+      emb.where(bucket =!= SemBenchBucket), "vec_id", "embedding",
+      dir, SemDeconMinCos)
+  }
+
   /** IVF approximate top-k, oracle-checked via the SEEDED deterministic
     * quantizer ([[Similarity.ivfSeededTopK]]): fixed seed centroids and
     * zero Lloyd iterations make every double reproducible by the DuckDB
@@ -1308,6 +1372,10 @@ object PipelineQueries {
     "q_simhash"        -> (simhashes _),
     "q_sim_topk"       -> (simTopK _),
     "q_sim_lsh"        -> (simLsh _),
+    "q_decontaminate_sem" -> (decontaminateSem _),
+    "q_decontaminate_sem_stored" -> (decontaminateSemStored _),
+    "q_cluster_sample" -> (clusterSample _),
+    "q_source_kl"      -> (sourceKl _),
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
     "q_sim_ivf_iter"   -> (simIvfIter _),
@@ -1531,7 +1599,36 @@ object PipelineQueries {
        |SELECT doc_id, count(*) AS n_feats, sum(lr) AS logw
        |FROM feats JOIN lr USING (b) GROUP BY doc_id""".stripMargin
 
+  /** Oracle for q_source_kl: the DsirSql feature CTEs with `source`
+    * carried instead of the target flag, the same complete-residue
+    * cross and add-1 arithmetic. */
+  private val SourceKlSql: String =
+    s"""WITH t AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+       |uni AS (SELECT source, unnest(tk) AS f FROM t),
+       |bi AS (SELECT source, array_to_string(tk[i+1:i+2], ' ') AS f
+       |       FROM (SELECT source, tk, unnest(range(len(tk)-1)) AS i
+       |             FROM t WHERE len(tk) >= 2)),
+       |feats AS (SELECT source,
+       |  CAST(concat('0x', substr(md5(f),1,15)) AS BIGINT) % 1024 AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |gc AS (SELECT source, b, count(*) AS cg FROM feats GROUP BY 1, 2),
+       |cc AS (SELECT b, sum(cg) AS c FROM gc GROUP BY 1),
+       |gt AS (SELECT source, sum(cg) AS tg FROM gc GROUP BY 1),
+       |tot AS (SELECT sum(c) AS t FROM cc),
+       |fl AS (
+       |  SELECT gt.source, gt.tg, gc.cg, cc.c, tot.t
+       |  FROM gt CROSS JOIN (SELECT unnest(range(1024)) AS b) r
+       |  LEFT JOIN gc ON gc.source = gt.source AND gc.b = r.b
+       |  LEFT JOIN cc ON cc.b = r.b
+       |  CROSS JOIN tot)
+       |SELECT source, CAST(max(tg) AS BIGINT) AS n_feats,
+       |  sum(((COALESCE(cg, 0) + 1.0) / (tg + 1024.0)) *
+       |      (ln((COALESCE(cg, 0) + 1.0) / (tg + 1024.0)) -
+       |       ln((COALESCE(c, 0) + 1.0) / (t + 1024.0)))) AS kl
+       |FROM fl GROUP BY source""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_source_kl" -> SourceKlSql,
     "q_bucket_join" ->
       """SELECT d.lang AS lang, count(*) AS n,
         |  CAST(sum(d.n_chars) AS BIGINT) AS chars,
@@ -2022,6 +2119,14 @@ object PipelineQueries {
     "q_sim_lsh" -> Similarity.lshTopKOracleSql(0L, 10),
     "q_sim_ivf" -> Similarity.ivfSeededOracleSql(0L, 10),
     "q_sim_ivf_iter" -> Similarity.ivfIterOracleSql(0L, 10),
+    // the embedding-space decontamination pair: the stored row shares
+    // the recomputed row's SQL — stored-probed ≡ recomputed (the
+    // q_decontaminate_stored convention)
+    "q_decontaminate_sem" -> Similarity.decontaminateSemOracleSql(
+      SemBenchBuckets, SemBenchBucket, SemDeconMinCos),
+    "q_decontaminate_sem_stored" -> Similarity.decontaminateSemOracleSql(
+      SemBenchBuckets, SemBenchBucket, SemDeconMinCos),
+    "q_cluster_sample" -> Similarity.clusterSampleOracleSql(ClusterQuota),
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),

@@ -75,6 +75,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(ji.contains("BroadcastHashJoin"), ji.take(800))
   }
 
+  test("semantic decontamination is one map-side projection: zero exchanges") {
+    // the BestCosine shape: collected bench matrix rides inside the
+    // expression, so the corpus is scanned once with NO join, NO
+    // shuffle, NO window — a plan any 100 TB scan survives. Both the
+    // recomputed and the stored row must hold it.
+    Seq("q_decontaminate_sem", "q_decontaminate_sem_stored").foreach { q =>
+      val p = physical(q)
+      assert(!p.contains("Exchange"),
+        s"$q shuffles the corpus:\n${p.take(800)}")
+      assert(!p.contains("Join"),
+        s"$q joins instead of the fused projection:\n${p.take(800)}")
+      assert(p.contains("best_cosine") || p.contains("BestCosine") ||
+        p.contains("bestcosine"),
+        s"$q lost the fused BestCosine projection:\n${p.take(800)}")
+    }
+  }
+
   test("batch retrieval plan shapes stay pinned") {
     // q_ann_join / q_ann_join_pq: the routed query side must BROADCAST
     // (the zero-corpus-shuffle contract), candidates must never come
@@ -163,6 +180,7 @@ class PlanQualitySpec extends SparkSpec {
     // a broadcast scalar, not a join blow-up
     val allowed = Set("q_sim_topk", "q_sim_lsh", "q_above_avg", "q_tfidf",
       "q_unigram_ppl", // corpus-token-count scalar attach, the tfidf shape
+      "q_bigram_ppl",  // the vocabulary-size V one-row scalar, same shape
       "q_bm25",        // (N, avgdl) single-row scalar attach, same shape
       "q_bm25_index",  // the same (N, avgdl) scalar, served from the dl sidecar
       "q_bm25_topk",   // the bm25 shape under a TakeOrdered cut

@@ -567,4 +567,95 @@ class SimilaritySpec extends SparkSpec {
       "re-rank never improved on ADC anywhere in the sweep — fixture too easy")
     emb.unpersist()
   }
+
+  test("clusterSample caps over-quota clusters, passes small ones through") {
+    // two well-separated directions; seeds (first nlist rows by id) are
+    // one of each, so assignment is the planted split: 40 A-members vs
+    // 5 B-members. quota=10 → A rate 0.25 (binding), B rate 1.0
+    // (pass-through) — both branches of min(1, quota/n) exercised.
+    val dim = 8
+    def v(xs: Double*): Seq[Float] = {
+      val a = xs.toArray ++ Array.fill(dim - xs.length)(0.0)
+      a.map(_.toFloat).toSeq
+    }
+    val rows =
+      (0L, v(1, 0)) +: (1L, v(0, 1)) +:
+      (2L until 41L).map(i => (i, v(1, 0.01 * i))) ++:
+      (41L until 45L).map(i => (i, v(0.01 * i, 1)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.clusterSample(emb, "vec_id", "embedding",
+        quota = 10, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val (a, b) = got.partition(_._2 == 1)
+    // cluster B (5 members incl. seed) is under quota: ALL kept, rate 1
+    assert(b.length == 5 && b.forall(_._3 == 1.0), s"B side wrong: ${b.toSeq}")
+    // cluster A (40 members) rate = 10/40; the md5 draw keeps a strict
+    // nonempty subset
+    assert(a.forall(_._3 == 0.25), s"A rate wrong: ${a.toSeq}")
+    assert(a.nonEmpty && a.length < 40, s"A kept ${a.length} of 40")
+    // deterministic: a second run returns the identical set
+    val again = Similarity.clusterSample(emb, "vec_id", "embedding",
+        quota = 10, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("decontaminateSem flags planted leaks, ties to the lower bench id") {
+    val dim = 8
+    def v(xs: Double*): Seq[Float] = {
+      val a = xs.toArray ++ Array.fill(dim - xs.length)(0.0)
+      a.map(_.toFloat).toSeq
+    }
+    // bench: two orthogonal "eval" vectors
+    val bench = Seq(
+      (100L, v(1, 0)), (101L, v(0, 1))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, v(0.99, 0.01)),   // near-copy of bench 100 → contaminated
+      (2L, v(0.01, 0.99)),   // near-copy of bench 101 → contaminated
+      (3L, v(0, 0, 0, 1)),   // orthogonal to both → clean
+      (4L, v(1, 1))          // cos(·,100) == cos(·,101) exactly: a TIE —
+                             // must resolve to the LOWER bench id, and
+                             // cos = 1/√2 < 0.95 keeps it below the cut
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.decontaminateSem(
+        train, bench, "vec_id", "embedding", minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L), s"contaminated set wrong: $got")
+    assert(got(1L)._1 == 100L && got(2L)._1 == 101L)
+    assert(got(1L)._2 > 0.95 && got(2L)._2 > 0.95)
+    // the tie itself, below a loose floor: lower bench id wins
+    val tied = Similarity.decontaminateSem(
+        train.where($"vec_id" === 4L), bench, "vec_id", "embedding",
+        minCos = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tied == Set((4L, 100L)), s"tie must pick bench 100: $tied")
+  }
+
+  test("decontaminateSem: stored-artifact path equals recomputed, empty bench is empty") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val bucket = graft.functions.TextAnalysis.hashBucket($"vec_id", 16)
+    val train = emb.where(bucket =!= 15)
+    val bench = emb.where(bucket === 15)
+    // the fixture's synthetic embeddings are near-orthogonal (max
+    // pairwise cos ≈ 0.51), so the exercising cut sits at 0.35 — the
+    // registry row's value
+    val direct = Similarity.decontaminateSem(
+      train, bench, "vec_id", "embedding", minCos = 0.35)
+    val dir = java.nio.file.Files.createTempDirectory("decon-sem").toString
+    Similarity.benchVecArtifacts(bench, "vec_id", "embedding", dir)
+    val stored = Similarity.decontaminateSemFromDir(
+      train, "vec_id", "embedding", dir, minCos = 0.35)
+    val a = direct.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = stored.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b), "stored path must be bit-identical to recomputed")
+    // the fixture must actually exercise the positive branch
+    assert(a.nonEmpty, "fixture produced zero contaminated rows — cut too high")
+    // empty bench: the contract schema survives with zero rows
+    val none = Similarity.decontaminateSem(
+      train, bench.limit(0), "vec_id", "embedding", minCos = 0.35)
+    assert(none.columns.toSeq == Seq("vec_id", "bench_id", "cos_sim"))
+    assert(none.count() == 0)
+  }
 }
