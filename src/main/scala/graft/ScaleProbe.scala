@@ -1362,3 +1362,62 @@ object PhraseBoundedProbe {
     spark.stop()
   }
 }
+
+/** Semantic-decontamination scale evidence (docs/SCALE.md): the fused
+  * [[graft.functions.BestCosine]] scan (zero shuffle — the shipped
+  * `q_decontaminate_sem` shape) vs the crossJoin+window formulation
+  * the design rejected, over a factor×-replicated embedding corpus
+  * against a fixture-bucket bench set. The fused scan's cost is one
+  * corpus pass at |bench| fused cosine loops per row; the join form
+  * materializes |corpus|×|bench| rows and hash-shuffles them for the
+  * per-vector argmax window. `sbt "runMain graft.DeconSemProbe [factor]"`. */
+object DeconSemProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val bucket = graft.functions.TextAnalysis.hashBucket(col("vec_id"), 16)
+    val bench = emb.where(bucket === 15)
+    val nb = bench.count()
+    // replicate the TRAIN side only (the bench side is a fixed eval
+    // suite at any corpus scale); ids offset per copy
+    val train = emb.where(bucket =!= 15)
+      .crossJoin(spark.range(factor).toDF("copy"))
+      .select((col("vec_id") * factor + col("copy")).as("vec_id"),
+        col("embedding"))
+      .repartition(16).cache()
+    val n = train.count()
+    println(s"[scale] decon_sem train=$n vectors (×$factor), bench=$nb")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] decon_sem $label%-22s $rows%9d flagged, $secs%7.2f s" +
+        f" (${n / secs / 1e6}%6.2f M vec/s)")
+    }
+    time("fused BestCosine")(Similarity.decontaminateSem(
+      train, bench, "vec_id", "embedding", minCos = 0.35).count())
+    // the rejected shape: broadcast pair explosion + argmax window
+    time("crossJoin+window") {
+      val b = bench.select(col("vec_id").as("bench_id"),
+        col("embedding").as("bv"))
+      val pairs = train.crossJoin(broadcast(b))
+        .select(col("vec_id"), col("bench_id"),
+          Similarity.cosine(col("embedding"), col("bv")).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id")
+        .orderBy(col("cos_sim").desc, col("bench_id").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("cos_sim") >= 0.35)
+        .count()
+    }
+    spark.stop()
+  }
+}

@@ -1716,6 +1716,43 @@ object Similarity {
        |WHERE CAST(CAST(concat('0x', substr(md5(CAST(asg.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
        |        % $buckets AS DOUBLE) < rate * $buckets""".stripMargin
 
+  /** Embedding OUTLIER report: vectors whose cosine to their NEAREST
+    * seeded centroid is below `maxCos` — weakly attached to every mode
+    * of the corpus, the "garbage embedding" candidates (encoder
+    * failures, binary-decoded-as-text, off-distribution content) a
+    * curation pass reviews or drops. One fused [[BestCosine]]
+    * projection (assignment AND its cosine in a single map-side pass —
+    * zero corpus shuffle, like [[clusterSample]]'s assignment but
+    * keeping the similarity).
+    *
+    * Output: one row per OUTLIER (id, cid, cos_sim). */
+  def embedOutliers(emb: DataFrame, id: String, vec: String,
+                    maxCos: Double, nlist: Int = 16): DataFrame = {
+    val v = emb.select(col(id).as("vid"), asDouble(col(vec)).as("v"))
+    v.select(col("vid"),
+        BestCosine(col("v"), seededCentroids(v, nlist)).as("bc"))
+      .where(col("bc.cos") < maxCos)
+      .select(col("vid").as(id), col("bc.pos").as("cid"),
+        col("bc.cos").as("cos_sim"))
+  }
+
+  /** Oracle for [[embedOutliers]]: the shared seeded sim CTEs with the
+    * argmax row keeping its cosine. */
+  def embedOutliersOracleSql(maxCos: Double, nlist: Int = 16,
+                             dim: Int = OracleDim): String =
+    s"""WITH seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+       |sim AS (
+       |  SELECT e.vec_id, s.pos, ${cosineSql("e.embedding", "s.ce", dim)} AS cs
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |best AS (
+       |  SELECT vec_id, CAST(pos AS INTEGER) AS cid, cs,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
+       |  FROM sim)
+       |SELECT vec_id, cid, cs AS cos_sim FROM best
+       |WHERE rn = 1 AND cs < ${dlit(maxCos)}""".stripMargin
+
   // ---- semantic decontamination ------------------------------------------
 
   /** SEMANTIC benchmark decontamination — the embedding-space

@@ -862,6 +862,18 @@ object PipelineQueries {
     Similarity.clusterSample(embChecked(s, d), "vec_id", "embedding",
       ClusterQuota)
 
+  /** Outlier floor for `q_embed_outliers`: vectors whose best-centroid
+    * cosine sits below it are weakly attached to every mode (72/500
+    * fixture rows at sf0.01 — a non-trivial tail without flagging the
+    * bulk). */
+  private val OutlierMaxCos = 0.15
+
+  /** Embedding outliers ([[Similarity.embedOutliers]]): the
+    * weakly-clustered tail — drop-candidate report. */
+  def embedOutliers(s: SparkSession, d: String): DataFrame =
+    Similarity.embedOutliers(embChecked(s, d), "vec_id", "embedding",
+      OutlierMaxCos)
+
   // ---- semantic decontamination -----------------------------------------
 
   /** Held-out bench bucket for the SEMANTIC decontamination rows — the
@@ -1376,6 +1388,7 @@ object PipelineQueries {
     "q_decontaminate_sem_stored" -> (decontaminateSemStored _),
     "q_cluster_sample" -> (clusterSample _),
     "q_source_kl"      -> (sourceKl _),
+    "q_embed_outliers" -> (embedOutliers _),
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
     "q_sim_ivf_iter"   -> (simIvfIter _),
@@ -2127,6 +2140,7 @@ object PipelineQueries {
     "q_decontaminate_sem_stored" -> Similarity.decontaminateSemOracleSql(
       SemBenchBuckets, SemBenchBucket, SemDeconMinCos),
     "q_cluster_sample" -> Similarity.clusterSampleOracleSql(ClusterQuota),
+    "q_embed_outliers" -> Similarity.embedOutliersOracleSql(OutlierMaxCos),
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),

@@ -78,4 +78,25 @@ object EventStream {
       .where(!exists(shingles,
         s => Bloom.contains(Dedup.md5Hash60(s), benchBloom, bloomK)))
   }
+
+  /** Ingest-time SEMANTIC decontamination gate — the embedding-space
+    * sibling of [[curateDocStream]]'s Bloom probe: drop stream rows
+    * whose embedding reaches `minCos` against ANY benchmark vector.
+    * STATELESS by construction: the bench matrix (bounded — a static
+    * eval suite) rides inside one fused
+    * [[graft.functions.BestCosine]] projection, so the gate is a pure
+    * per-row filter — no state store, no watermark coupling, identical
+    * admit rule to the batch
+    * [[graft.functions.Similarity.decontaminateSem]] (whose oracle pins
+    * the semantics). Rows with a NULL embedding pass: the gate drops on
+    * positive evidence only (the conservative-prefilter contract); the
+    * authoritative pass is the batch row over the lake. */
+  def semGateDocStream(docs: DataFrame, benchMatrix: Array[Array[Double]],
+                       vecCol: String = "embedding",
+                       minCos: Double = 0.95): DataFrame =
+    if (benchMatrix.isEmpty) docs
+    else docs.where(coalesce(
+      graft.functions.BestCosine(col(vecCol), benchMatrix).getField("cos")
+        < minCos,
+      lit(true)))
 }

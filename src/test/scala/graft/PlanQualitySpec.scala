@@ -193,7 +193,10 @@ class PlanQualitySpec extends SparkSpec {
       "q_hybrid_rrf",  // bm25 scalar attach + one-row query-vector cross
       "q_hybrid_rrf_stored", // the same shapes over the stored artifacts
       "q_dsir_weights", // (tt, ts) one-row totals attach, the bm25 shape
-      "q_dsir_select")  // the same scalar attach under the selection cut
+      "q_dsir_select",  // the same scalar attach under the selection cut
+      "q_source_kl")    // the complete-residue cross: |sources|×1024 rows
+                        // (both sides bounded — nothing corpus-scale) +
+                        // the one-row corpus-total attach
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -600,6 +600,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("embedOutliers flags only the weakly-clustered tail") {
+    val dim = 8
+    def v(xs: Double*): Seq[Float] = {
+      val a = xs.toArray ++ Array.fill(dim - xs.length)(0.0)
+      a.map(_.toFloat).toSeq
+    }
+    // seeds (first 2 by id) define two modes; members hug a mode, the
+    // stray is near-orthogonal to both
+    val rows = Seq(
+      (0L, v(1, 0)), (1L, v(0, 1)),              // the seeds themselves
+      (2L, v(1, 0.05)), (3L, v(0.05, 1)),        // well-attached members
+      (4L, v(0.1, 0.1, 1)))                      // stray: cos ≈ 0.1 to both
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.embedOutliers(emb, "vec_id", "embedding",
+        maxCos = 0.5, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(4L), s"outliers wrong: ${got.toSeq}")
+    assert(got.head._3 < 0.2, s"stray cosine should be ~0.1: ${got.head}")
+    // seeds score 1.0 against themselves; members ~0.998 — none flagged
+  }
+
   test("decontaminateSem flags planted leaks, ties to the lower bench id") {
     val dim = 8
     def v(xs: Double*): Seq[Float] = {

@@ -1316,4 +1316,42 @@ class StreamingSpec extends SparkSpec {
       Seq((9L, contaminated)).toDF("doc_id", "text"), new Array[Long](16), stop)
     assert(arr.count() == 1) // empty bloom: nothing probes positive
   }
+
+  test("semGateDocStream: stateless embedding gate matches the batch admit rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = 8
+    def v(xs: Double*): Seq[Float] = {
+      val a = xs.toArray ++ Array.fill(dim - xs.length)(0.0)
+      a.map(_.toFloat).toSeq
+    }
+    // bench matrix: one eval vector along axis 0
+    val bench = Array(Array(1.0, 0, 0, 0, 0, 0, 0, 0))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.EventStream.semGateDocStream(
+        mem.toDF().toDF("doc_id", "embedding"), bench, minCos = 0.95)
+      .writeStream.format("memory").queryName("semgated")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, v(0.99, 0.01)), // near-copy of the bench vector: DROPPED
+      (2L, v(0, 1)),       // orthogonal: survives
+      (3L, null))          // null embedding: no evidence → survives
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("semgated").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), s"gate admitted: $got")
+    // batch parity: the admit rule is decontaminateSem's complement on
+    // the same rows (modulo the null row the batch scorer never flags)
+    val batch = graft.functions.Similarity.decontaminateSem(
+      Seq((1L, v(0.99, 0.01)), (2L, v(0, 1))).toDF("doc_id", "embedding"),
+      Seq((100L, v(1, 0))).toDF("doc_id", "embedding"),
+      "doc_id", "embedding", minCos = 0.95)
+    assert(batch.collect().map(_.getLong(0)).toSet == Set(1L),
+      "batch decontaminateSem must flag exactly the gated row")
+    // empty bench: pass-through (no BestCosine over an empty matrix)
+    val all = graft.streaming.EventStream.semGateDocStream(
+      Seq((7L, v(1, 0))).toDF("doc_id", "embedding"),
+      Array.empty[Array[Double]])
+    assert(all.count() == 1)
+  }
 }
