@@ -516,6 +516,57 @@ object TextAnalysis {
              (col("ts") + lit(alpha * buckets)))).as("lr"))
   }
 
+  /** INCREMENTAL DSIR maintenance — append one batch's feature-bucket
+    * COUNTS as a shard. The persisted log-ratio table
+    * ([[dsirModel]] → `q_dsir_stored`) is train-once: log-ratios don't
+    * add, so a live corpus would retrain from scratch per batch. The
+    * COUNT tables underneath DO add — so the online form persists
+    * (b, ct, cs) count shards per batch (the postings-index
+    * shard-per-batch discipline: a shard dir named by batchId, skipped
+    * if it already exists, so replays are idempotent BY CONSTRUCTION)
+    * and derives the model at read time. Totals need no sidecar:
+    * every feature lands in exactly one bucket, so T = Σ_b count.
+    * Returns false iff the shard already existed (replay). */
+  def dsirCountsAppend(docs: org.apache.spark.sql.DataFrame, id: String,
+                       text: String, isTarget: Column, dir: String,
+                       batchId: Long, buckets: Int = 1024): Boolean = {
+    import org.apache.spark.sql.functions.{col, count}
+    val shard = s"$dir/counts/batch=$batchId"
+    val p = new org.apache.hadoop.fs.Path(shard)
+    val fs = p.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return false
+    dsirFeatures(docs.withColumn("__is_t", isTarget), id, text, buckets,
+        carry = Seq("__is_t"))
+      .groupBy("b")
+      .agg(count(when(col("__is_t"), lit(1))).as("ct"),
+        count(when(!col("__is_t"), lit(1))).as("cs"))
+      .write.parquet(shard)
+    true
+  }
+
+  /** Derive the complete-residue log-ratio model from the accumulated
+    * count shards — the SAME arithmetic as [[dsirModel]] over the same
+    * integer counts (counts are exact and additive, so the
+    * incrementally-maintained model is BIT-IDENTICAL to a batch retrain
+    * over the union; [[graft.TextRulesSpec]] pins it). */
+  def dsirModelFromCounts(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, buckets: Int = 1024,
+                          alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, sum}
+    val c = spark.read.parquet(s"$dir/counts")
+      .groupBy("b").agg(sum(col("ct")).as("ct"), sum(col("cs")).as("cs"))
+    val tot = c.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
+    spark.range(buckets).toDF("b")
+      .join(c, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(alpha)).cast("double") /
+             (col("tt") + lit(alpha * buckets))) -
+         log((coalesce(col("cs"), lit(0L)) + lit(alpha)).cast("double") /
+             (col("ts") + lit(alpha * buckets)))).as("lr"))
+  }
+
   /** Score documents against a (possibly persisted) DSIR model: join
     * the feature stream to the broadcast B-row log-ratio table, sum per
     * doc. The model's bucket count is implied by its rows (complete

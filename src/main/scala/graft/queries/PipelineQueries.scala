@@ -619,6 +619,26 @@ object PipelineQueries {
       s.read.parquet(s"$dir/lr"))
   }
 
+  /** The INCREMENTALLY-MAINTAINED twin: the corpus arrives as three
+    * hash-split batches, each appending a count shard
+    * ([[TA.dsirCountsAppend]] — replay-idempotent by construction);
+    * scoring derives the model from the accumulated counts
+    * ([[TA.dsirModelFromCounts]]). Counts are exact and additive, so
+    * the result is pinned to `q_dsir_weights`' EXACT oracle — online
+    * maintenance ≡ batch retrain. */
+  def dsirIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"dsirincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.dsirCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", col("lang") === "en", dir, b)
+    }
+    TA.dsirScoreWith(par(documents(s, d)), "doc_id", "text",
+      TA.dsirModelFromCounts(s, dir))
+  }
+
   /** The resampling cut DSIR exists for: the top-100 SOURCE (raw-pool)
     * documents ranked by target-likeness — rounded-logw + doc_id
     * ordering (the `q_pagerank_topk` tie discipline), served as a
@@ -1369,6 +1389,7 @@ object PipelineQueries {
     "q_substr_apply"   -> (substrApplyQ _),
     "q_dsir_weights"   -> (dsirWeightsQ _),
     "q_dsir_stored"    -> (dsirStoredQ _),
+    "q_dsir_incr"      -> (dsirIncrQ _),
     "q_dsir_select"    -> (dsirSelectQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
@@ -1755,6 +1776,9 @@ object PipelineQueries {
     // the stored-model scorer must return the IDENTICAL weights — the
     // same oracle SQL pins it to q_dsir_weights
     "q_dsir_stored" -> DsirSql,
+    // counts are additive: incremental maintenance ≡ batch retrain,
+    // pinned by sharing the exact same SQL
+    "q_dsir_incr" -> DsirSql,
     "q_dsir_select" ->
       s"""SELECT w.* FROM ($DsirSql) w
          |JOIN documents d ON w.doc_id = d.doc_id AND d.lang <> 'en'

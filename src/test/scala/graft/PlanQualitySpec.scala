@@ -194,6 +194,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_hybrid_rrf_stored", // the same shapes over the stored artifacts
       "q_dsir_weights", // (tt, ts) one-row totals attach, the bm25 shape
       "q_dsir_select",  // the same scalar attach under the selection cut
+      "q_dsir_incr",    // the same complete-residue cross + totals
+                        // attach, derived from the stored count shards
       "q_source_kl")    // the complete-residue cross: |sources|×1024 rows
                         // (both sides bounded — nothing corpus-scale) +
                         // the one-row corpus-total attach

@@ -175,4 +175,38 @@ class TextRulesSpec extends SparkSpec {
     // positive, disjoint negative (source vocab dominates p_source)
     assert(w(10L) > 0 && w(11L) < 0, w.toString)
   }
+
+  test("incremental DSIR counts: 3-batch maintenance is bit-identical to batch retrain") {
+    def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx${i % 6}").mkString(" ")
+    val docs = (0L until 30L).map { i =>
+      val pfx = if (i % 3 == 0) "med" else if (i % 3 == 1) "web" else "mix"
+      (i, toks(pfx, 12 + (i % 5).toInt), i % 3 == 0)
+    }.toDF("doc_id", "text", "is_t")
+    val dir = java.nio.file.Files.createTempDirectory("dsir-incr").toString
+    // three disjoint arrival batches covering the corpus
+    for (b <- 0L until 3L)
+      assert(TA.dsirCountsAppend(docs.where($"doc_id" % 3 === b),
+        "doc_id", "text", col("is_t"), dir, b))
+    val incr = TA.dsirModelFromCounts(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = TA.dsirModel(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(incr.size == 1024 && batch.size == 1024)
+    // counts are exact integers and the log-ratio arithmetic is shared:
+    // the maintained model must be BIT-identical, not just close
+    assert(incr == batch, "incremental model diverged from batch retrain")
+    // replaying a batch is a no-op by construction (shard exists)
+    assert(!TA.dsirCountsAppend(docs.where($"doc_id" % 3 === 1L),
+      "doc_id", "text", col("is_t"), dir, 1L))
+    val replayed = TA.dsirModelFromCounts(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(replayed == incr, "replay changed the model")
+    // scoring through the maintained model equals the fused path
+    val viaCounts = TA.dsirScoreWith(docs, "doc_id", "text",
+        TA.dsirModelFromCounts(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fused = TA.dsirWeights(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaCounts == fused, "maintained-model scoring diverged")
+  }
 }
