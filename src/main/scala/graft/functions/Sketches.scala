@@ -107,6 +107,68 @@ object Sketches {
        |       ELSE CAST($num AS DOUBLE) / CAST(kth_min AS DOUBLE) END AS est_distinct
        |FROM s""".stripMargin
   }
+
+  // ---- count-min frequency sketch (Cormode & Muthukrishnan 2005) ------
+
+  /** Count-min sketch built as a RELATION: one row per populated
+    * (row, cell) counter over `d` md5-keyed hash rows × `w` cells. CMS
+    * is a LINEAR sketch — counters are plain sums, so merge order,
+    * partitioning, and shard-wise construction all commute and the
+    * final table is DETERMINISTIC (the same property that made KMV
+    * oracle-able where HLL isn't). Frequency estimates are then
+    * point-lookups: est(x) = min over rows of counter(r, h_r(x)) —
+    * always ≥ the true count, within εN with probability 1−δ at
+    * d = ln(1/δ), w = e/ε.
+    *
+    * Scale shape: d fixed-width rows per item into ONE
+    * map-side-combinable groupBy bounded by d·w cells — the corpus
+    * never shuffles and no per-term state exists, unlike an exact
+    * term-frequency groupBy whose key space is the vocabulary. */
+  def cmsCells(items: org.apache.spark.sql.DataFrame, value: String,
+               d: Int = 4, w: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    items.select(posexplode(array((0 until d).map(r =>
+        Md5Long60(concat_ws("|", lit(r.toString), col(value))) % w): _*))
+        .as(Seq("r", "c")))
+      .groupBy("r", "c").agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-lookup estimates for `terms` against a [[cmsCells]] table:
+    * probe coordinates are DRIVER-computed from the same md5 bytes
+    * ([[Md5Long60.hash60]] — zero jobs, the stored-BM25 bucket
+    * discipline), broadcast, and min-reduced per term. Terms absent
+    * from every cell estimate ≥ 0 via the left join's coalesce. */
+  def cmsEstimate(cells: org.apache.spark.sql.DataFrame, terms: Seq[String],
+                  d: Int = 4, w: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val probes = terms.distinct.flatMap(t => (0 until d).map(r =>
+        (t, r, Md5Long60.hash60(s"$r|$t".getBytes("UTF-8")) % w)))
+      .toDF("term", "r", "c")
+    broadcast(probes).join(cells, Seq("r", "c"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
+  /** DuckDB twin of [[cmsEstimate]] ∘ [[cmsCells]] over a relation `v`
+    * exposing one item per row as `v`: identical md5 cell arithmetic on
+    * both the build and the probe side. */
+  def cmsEstimateSql(terms: Seq[String], d: Int = 4, w: Int = 1024): String = {
+    val termList = terms.distinct.map(t => s"'$t'").mkString(", ")
+    def cell(x: String) =
+      s"CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR), '|', $x)), 1, 15)) AS BIGINT) % $w"
+    s"""rows AS (SELECT unnest(range($d)) AS r),
+       |cells AS (
+       |  SELECT r, ${cell("v.v")} AS c, count(*) AS n
+       |  FROM v CROSS JOIN rows GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT term, r, ${cell("term")} AS c
+       |  FROM (SELECT unnest([$termList]) AS term) CROSS JOIN rows)
+       |SELECT term, CAST(min(COALESCE(n, 0)) AS BIGINT) AS est
+       |FROM probes LEFT JOIN cells USING (r, c)
+       |GROUP BY term""".stripMargin
+  }
 }
 
 /** Bounded k-min-values buffer: sorted distinct prefix of a k-long

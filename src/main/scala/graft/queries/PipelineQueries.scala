@@ -882,6 +882,21 @@ object PipelineQueries {
     Similarity.clusterSample(embChecked(s, d), "vec_id", "embedding",
       ClusterQuota)
 
+  /** Probe terms for `q_cms_freq`: the stopword battery (high true
+    * counts) plus one vocabulary-absent term (true count 0 — its
+    * estimate is pure collision noise, demonstrating the one-sided
+    * error). */
+  private val CmsProbeTerms = Stopwords :+ "absent-term"
+
+  /** Count-min frequency estimates ([[Sketches.cmsCells]] +
+    * [[Sketches.cmsEstimate]]): term-frequency lookups from a bounded
+    * d×w counter table — never a vocabulary-scale groupBy. */
+  def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    val items = par(documents(s, d))
+      .select(explode(TA.tokens(col("text"))).as("v"))
+    Sketches.cmsEstimate(Sketches.cmsCells(items, "v"), CmsProbeTerms)
+  }
+
   /** Outlier floor for `q_embed_outliers`: vectors whose best-centroid
     * cosine sits below it are weakly attached to every mode (72/500
     * fixture rows at sf0.01 — a non-trivial tail without flagging the
@@ -1410,6 +1425,7 @@ object PipelineQueries {
     "q_cluster_sample" -> (clusterSample _),
     "q_source_kl"      -> (sourceKl _),
     "q_embed_outliers" -> (embedOutliers _),
+    "q_cms_freq"       -> (cmsFreq _),
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
     "q_sim_ivf_iter"   -> (simIvfIter _),
@@ -2165,6 +2181,10 @@ object PipelineQueries {
       SemBenchBuckets, SemBenchBucket, SemDeconMinCos),
     "q_cluster_sample" -> Similarity.clusterSampleOracleSql(ClusterQuota),
     "q_embed_outliers" -> Similarity.embedOutliersOracleSql(OutlierMaxCos),
+    "q_cms_freq" ->
+      s"""WITH toks AS (SELECT $TOKS AS t FROM documents),
+         |v AS (SELECT unnest(t) AS v FROM toks),
+         |${Sketches.cmsEstimateSql(CmsProbeTerms)}""".stripMargin,
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),

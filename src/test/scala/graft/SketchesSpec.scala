@@ -83,4 +83,32 @@ class SketchesSpec extends SparkSpec {
     // md5 of a null string is null -> skipped; 3 distinct non-null values
     assert(r.getAs[scala.collection.Seq[Long]]("kept").size == 3 && r.getAs[Double]("est") == 3.0)
   }
+
+  test("count-min estimates are one-sided and the sketch is linear") {
+    // skewed stream: 'hot' x500, 'warm' x40, 'cold' x3
+    val items = (Seq.fill(500)("hot") ++ Seq.fill(40)("warm") ++
+      Seq.fill(3)("cold") ++ (0 until 200).map(i => s"bg$i")).toDF("v")
+    val cells = Sketches.cmsCells(items, "v")
+    // d*w bounds the counter table regardless of vocabulary size
+    assert(cells.count() <= 4L * 1024)
+    val est = Sketches.cmsEstimate(cells,
+        Seq("hot", "warm", "cold", "never-seen"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS never underestimates; at 743 items over 4x1024 cells the
+    // collision surplus is tiny but not assumed zero
+    assert(est("hot") >= 500 && est("warm") >= 40 && est("cold") >= 3, est.toString)
+    assert(est("never-seen") >= 0)
+    // within the epsilon*N bound with big margin (eps = e/w)
+    assert(est("hot") <= 500 + 10 && est("cold") <= 3 + 10, est.toString)
+    // LINEARITY: shard-wise cells summed == whole-stream cells — the
+    // property that makes the sketch maintainable per batch
+    val (s1, s2) = (items.limit(300), items.exceptAll(items.limit(300)))
+    val summed = Sketches.cmsCells(s1, "v")
+      .unionByName(Sketches.cmsCells(s2, "v"))
+      .groupBy("r", "c").agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(summed == whole, "shard-summed sketch diverged from whole-stream build")
+  }
 }
