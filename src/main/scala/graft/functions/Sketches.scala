@@ -151,6 +151,39 @@ object Sketches {
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
   }
 
+  /** φ-HEAVY HITTERS via the CMS prefilter — the two-pass pattern the
+    * sketch exists for at corpus scale: pass 1 builds the bounded d·w
+    * counter table and collects it (≤ d·w longs — the centroid/codebook
+    * collect precedent); pass 2 filters each OCCURRENCE map-side by its
+    * CMS estimate (d literal-array lookups fused in codegen, zero
+    * shuffle) and exact-counts only the survivors — whose key space is
+    * the candidate set, not the vocabulary. CMS never underestimates,
+    * so no true heavy hitter is dropped (every occurrence survives);
+    * sketch false positives keep their full occurrence set and die at
+    * the exact HAVING — the result is EXACTLY `count(x) ≥ ⌈φN⌉`, which
+    * is why the oracle is the plain exact SQL while the engine plan
+    * never materializes a vocabulary-scale aggregation state for light
+    * keys... (at this fixture's 31-token vocabulary the groupBy is tiny
+    * either way; the pattern is for vocabularies that aren't). */
+  def heavyHitters(items: org.apache.spark.sql.DataFrame, value: String,
+                   phi: Double, d: Int = 4, w: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val minCount = math.ceil(phi * items.count()).toLong
+    val arrs = Array.fill(d)(Array.fill(w)(0L))
+    cmsCells(items, value, d, w).collect().foreach { r =>
+      arrs(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val est = (0 until d).map { r =>
+      element_at(lit(arrs(r)),
+        (Md5Long60(concat_ws("|", lit(r.toString), col(value))) % w)
+          .cast("int") + 1)
+    }.reduce(least(_, _))
+    items.where(est >= minCount)
+      .groupBy(value).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** DuckDB twin of [[cmsEstimate]] ∘ [[cmsCells]] over a relation `v`
     * exposing one item per row as `v`: identical md5 cell arithmetic on
     * both the build and the probe side. */

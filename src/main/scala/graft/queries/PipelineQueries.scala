@@ -897,6 +897,21 @@ object PipelineQueries {
     Sketches.cmsEstimate(Sketches.cmsCells(items, "v"), CmsProbeTerms)
   }
 
+  /** φ for `q_heavy_hitters`: splits the fixture's [840, 964]-count
+    * token band (~half above ⌈φN⌉ = 924 at sf0.01) so both the keep
+    * and the cut branch are exercised, at any SF (counts and N scale
+    * together). */
+  private val HeavyPhi = 0.034
+
+  /** φ-heavy hitters over corpus tokens ([[Sketches.heavyHitters]]):
+    * CMS-prefiltered occurrences, exact verify — result exactly
+    * `count ≥ ⌈φN⌉`, plan never holds vocabulary-scale state. */
+  def heavyHittersQ(s: SparkSession, d: String): DataFrame = {
+    val items = par(documents(s, d))
+      .select(explode(TA.tokens(col("text"))).as("v"))
+    Sketches.heavyHitters(items, "v", HeavyPhi)
+  }
+
   /** Outlier floor for `q_embed_outliers`: vectors whose best-centroid
     * cosine sits below it are weakly attached to every mode (72/500
     * fixture rows at sf0.01 — a non-trivial tail without flagging the
@@ -1426,6 +1441,7 @@ object PipelineQueries {
     "q_source_kl"      -> (sourceKl _),
     "q_embed_outliers" -> (embedOutliers _),
     "q_cms_freq"       -> (cmsFreq _),
+    "q_heavy_hitters"  -> (heavyHittersQ _),
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
     "q_sim_ivf_iter"   -> (simIvfIter _),
@@ -2185,6 +2201,15 @@ object PipelineQueries {
       s"""WITH toks AS (SELECT $TOKS AS t FROM documents),
          |v AS (SELECT unnest(t) AS v FROM toks),
          |${Sketches.cmsEstimateSql(CmsProbeTerms)}""".stripMargin,
+    // the exact phi-cut IS the contract: the CMS prefilter provably
+    // changes nothing (no false negatives; false positives die at the
+    // exact HAVING), so the oracle is the plain exact SQL
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT $TOKS AS t FROM documents),
+         |v AS (SELECT unnest(t) AS v FROM toks)
+         |SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY v
+         |HAVING count(*) >=
+         |  (SELECT CEIL(CAST($HeavyPhi AS DOUBLE) * count(*)) FROM v)""".stripMargin,
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),

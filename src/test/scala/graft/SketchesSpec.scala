@@ -111,4 +111,22 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(summed == whole, "shard-summed sketch diverged from whole-stream build")
   }
+
+  test("heavyHitters is exact even under forced sketch collisions") {
+    val items = (Seq.fill(60)("hot1") ++ Seq.fill(55)("hot2") ++
+      (0 until 85).map(i => s"light$i")).toDF("v")   // N = 200
+    def exact(phi: Double) = items.groupBy("v").count()
+      .where(col("count") >= math.ceil(phi * 200).toLong)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w = 4, d = 2: every cell is a pileup — the est prefilter passes
+    // almost everything, the exact HAVING still cuts precisely
+    val tiny = Sketches.heavyHitters(items, "v", phi = 0.25, d = 2, w = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny == exact(0.25), s"collided sketch broke exactness: $tiny")
+    assert(tiny.keySet == Set("hot1", "hot2"))
+    // default sizing at a phi that keeps only one
+    val one = Sketches.heavyHitters(items, "v", phi = 0.29)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == exact(0.29) && one.keySet == Set("hot1"))
+  }
 }
