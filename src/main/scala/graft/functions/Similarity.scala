@@ -1854,6 +1854,24 @@ object Similarity {
        |SELECT vec_id, bench_id, cos_sim FROM best
        |WHERE rn = 1 AND cos_sim >= ${dlit(minCos)}""".stripMargin
 
+  /** Spliceable CTE pair for audits that only need the CONTAMINATED id
+    * set (EXISTS ≥ minCos ⟺ max ≥ minCos — the argmax itself isn't
+    * needed): `ebkt` buckets the embeddings, `semc` yields one
+    * doc_id per flagged train vector. Same chains, same cut as
+    * [[decontaminateSemOracleSql]]. */
+  def decontaminateSemIdsCte(benchBuckets: Int, benchBucket: Int,
+                             minCos: Double, dim: Int = OracleDim): String =
+    s"""ebkt AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % $benchBuckets AS ebucket
+       |  FROM embeddings),
+       |semc AS (
+       |  SELECT DISTINCT t.vec_id AS doc_id
+       |  FROM ebkt t JOIN ebkt b2
+       |    ON t.ebucket <> $benchBucket AND b2.ebucket = $benchBucket
+       |  WHERE ${cosineSql("t.embedding", "b2.embedding", dim)} >= ${dlit(minCos)})""".stripMargin
+
   /** Oracle for [[semDedupCC]]: the same assignment + above-threshold
     * pair CTEs, then the [[Dedup.dedupGroupsOracleSql]] transitive-
     * closure walk — min(comp) per vertex is the component minimum the

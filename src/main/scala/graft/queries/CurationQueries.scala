@@ -465,6 +465,50 @@ object CurationQueries {
       .union(docs.where(bench).select(col("doc_id"), lit("bench").as("status")))
   }
 
+  /** CROSS-MODAL drop-reason audit — [[dropReasonsOf]]'s gate battery
+    * with the SEMANTIC decontamination gate spliced between the shingle
+    * check and the quality floor: bench holdout → exact dedup →
+    * shingle contamination → embedding contamination → quality floor →
+    * kept. The holdout population is ONE hash family across both
+    * modalities (doc_id and vec_id share ids and the md5 bucket), so
+    * "bench" means the same documents whether probed by text shingles
+    * or by embedding cosine — the audit a pipeline runs when its eval
+    * suite leaks through paraphrase, not verbatim copy.
+    *
+    * Scale shape: each gate contributes a (doc_id, flag)-pair left
+    * join (keepers and shingle-contam as in [[dropReasonsOf]]; the
+    * semantic set from the zero-shuffle fused [[Similarity.decontaminateSem]]
+    * scan); statuses stay disjoint by CASE order. */
+  def dropReasonsSem(s: SparkSession, d: String): DataFrame = {
+    val docs = plantDups(par(documents(s, d)))
+    val bench = TA.hashBucket(col("doc_id"), BenchBuckets) === BenchBucket
+    val train = docs.where(!bench)
+    val keepers = Dedup.dedupKeepRows(train, "doc_id", "text")
+      .select(col("doc_id"), lit(1).as("_keeper"))
+    val contaminated = decontaminateOf(docs)
+      .select(col("doc_id"), lit(1).as("_contam"))
+    val emb = embeddings(s, d).withColumn("embedding",
+      Similarity.requireWidth(col("embedding")))
+    val ebucket = TA.hashBucket(col("vec_id"), PipelineQueries.SemBenchBuckets)
+    val semContam = Similarity.decontaminateSem(
+        emb.where(ebucket =!= PipelineQueries.SemBenchBucket),
+        emb.where(ebucket === PipelineQueries.SemBenchBucket),
+        "vec_id", "embedding", PipelineQueries.SemDeconMinCos)
+      .select(col("vec_id").as("doc_id"), lit(1).as("_semc"))
+    train
+      .join(keepers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(semContam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_keeper").isNull, lit("exact_dup"))
+          .when(col("_contam") === 1, lit("contaminated"))
+          .when(col("_semc") === 1, lit("sem_contaminated"))
+          .when(TA.qualityScore(col("text"), Stopwords) < AuditQualityMin,
+            lit("low_quality"))
+          .otherwise(lit("kept")).as("status"))
+      .union(docs.where(bench).select(col("doc_id"), lit("bench").as("status")))
+  }
+
   // ---- capped soft dedup ----------------------------------------------
 
   /** Copies kept per exact fingerprint. */
@@ -700,6 +744,7 @@ object CurationQueries {
     "q_decontaminate_x" -> (decontaminateX _),
     "q_decontaminate_stored" -> (decontaminateStored _),
     "q_drop_reasons"  -> (dropReasons _),
+    "q_drop_reasons_sem" -> (dropReasonsSem _),
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
     "q_pack"          -> (packSequences _),
@@ -721,6 +766,44 @@ object CurationQueries {
        |      FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |              CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
        |            FROM documents GROUP BY source))""".stripMargin
+
+  /** Shared oracle prefix for the two drop-reason audits: planted
+    * construction + bench bucket + keeper/shingle-contamination CTEs —
+    * ONE copy (the QUALITY_SQL rule), the variants differ only in the
+    * gate list of the final CASE. */
+  private val DROP_REASONS_CTES: String =
+    s"""WITH t AS ($PLANT_CTE),
+       |b AS (SELECT doc_id, text,
+       |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |    % $BenchBuckets AS bucket FROM t),
+       |train AS (SELECT doc_id, text FROM b WHERE bucket <> $BenchBucket),
+       |keepers AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS kid
+       |            FROM train GROUP BY 1),
+       |toks AS (SELECT doc_id, $TOKS AS tk FROM t),
+       |pos AS (SELECT doc_id, tk, unnest(range(len(tk)-4)) AS i
+       |        FROM toks WHERE len(tk) >= 5),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i+1:i+5], ' ') AS shingle,
+       |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |           % $BenchBuckets AS bucket
+       |       FROM pos),
+       |bsh AS (SELECT DISTINCT shingle FROM sh WHERE bucket = $BenchBucket),
+       |contam AS (SELECT s.doc_id FROM sh s JOIN bsh ON s.shingle = bsh.shingle
+       |           WHERE s.bucket <> $BenchBucket GROUP BY s.doc_id)""".stripMargin
+
+  private val DropReasonsSql: String =
+    s"""$DROP_REASONS_CTES,
+       |r AS (SELECT tr.doc_id, tr.text, k.kid, c.doc_id AS cid
+       |      FROM train tr
+       |      JOIN keepers k ON md5(lower(tr.text)) IS NOT DISTINCT FROM k.fp
+       |      LEFT JOIN contam c ON c.doc_id = tr.doc_id)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id <> kid THEN 'exact_dup'
+       |       WHEN cid IS NOT NULL THEN 'contaminated'
+       |       WHEN $QUALITY_SQL < $AuditQualityMin THEN 'low_quality'
+       |       ELSE 'kept' END AS status
+       |FROM r
+       |UNION ALL
+       |SELECT doc_id, 'bench' AS status FROM b WHERE bucket = $BenchBucket""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // range(0, len, stride) enumerates the same starts as the engine's
@@ -800,31 +883,23 @@ object CurationQueries {
     "q_decontaminate_stored" -> DecontaminateXSql,
     // planted construction + the three gate CTEs in the engine's CASE
     // order; keeper join is null-safe like dedupKeepRows' <=> discipline
-    "q_drop_reasons" ->
-      s"""WITH t AS ($PLANT_CTE),
-         |b AS (SELECT doc_id, text,
-         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |    % $BenchBuckets AS bucket FROM t),
-         |train AS (SELECT doc_id, text FROM b WHERE bucket <> $BenchBucket),
-         |keepers AS (SELECT md5(lower(text)) AS fp, min(doc_id) AS kid
-         |            FROM train GROUP BY 1),
-         |toks AS (SELECT doc_id, $TOKS AS tk FROM t),
-         |pos AS (SELECT doc_id, tk, unnest(range(len(tk)-4)) AS i
-         |        FROM toks WHERE len(tk) >= 5),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i+1:i+5], ' ') AS shingle,
-         |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |           % $BenchBuckets AS bucket
-         |       FROM pos),
-         |bsh AS (SELECT DISTINCT shingle FROM sh WHERE bucket = $BenchBucket),
-         |contam AS (SELECT s.doc_id FROM sh s JOIN bsh ON s.shingle = bsh.shingle
-         |           WHERE s.bucket <> $BenchBucket GROUP BY s.doc_id),
-         |r AS (SELECT tr.doc_id, tr.text, k.kid, c.doc_id AS cid
+    "q_drop_reasons" -> DropReasonsSql,
+    // the cross-modal audit: the same prefix + the embedding-gate CTE
+    // (one holdout population across both modalities — the doc_id/vec_id
+    // md5 bucket), sem gate between shingle contamination and quality
+    "q_drop_reasons_sem" ->
+      s"""$DROP_REASONS_CTES,
+         |${Similarity.decontaminateSemIdsCte(PipelineQueries.SemBenchBuckets,
+              PipelineQueries.SemBenchBucket, PipelineQueries.SemDeconMinCos)},
+         |r AS (SELECT tr.doc_id, tr.text, k.kid, c.doc_id AS cid, sc.doc_id AS sid
          |      FROM train tr
          |      JOIN keepers k ON md5(lower(tr.text)) IS NOT DISTINCT FROM k.fp
-         |      LEFT JOIN contam c ON c.doc_id = tr.doc_id)
+         |      LEFT JOIN contam c ON c.doc_id = tr.doc_id
+         |      LEFT JOIN semc sc ON sc.doc_id = tr.doc_id)
          |SELECT doc_id,
          |  CASE WHEN doc_id <> kid THEN 'exact_dup'
          |       WHEN cid IS NOT NULL THEN 'contaminated'
+         |       WHEN sid IS NOT NULL THEN 'sem_contaminated'
          |       WHEN $QUALITY_SQL < $AuditQualityMin THEN 'low_quality'
          |       ELSE 'kept' END AS status
          |FROM r

@@ -929,8 +929,8 @@ object PipelineQueries {
   /** Held-out bench bucket for the SEMANTIC decontamination rows — the
     * md5-bucket split `q_decontaminate` uses on documents, applied to
     * vec_id (1/16 of the embeddings table plays the eval suite). */
-  private val SemBenchBuckets = 16
-  private val SemBenchBucket = 15
+  private[queries] val SemBenchBuckets = 16
+  private[queries] val SemBenchBucket = 15
 
   /** Cosine floor above which a train vector counts as bench leakage.
     * Production uses ~0.95 (near-copies); the fixture's embeddings are
@@ -940,7 +940,7 @@ object PipelineQueries {
     * precedent). Both engines compute bit-identical doubles (the
     * BestCosine / chain-SQL pairing), so the value only moves WHICH
     * rows match, never whether the two sides agree. */
-  private val SemDeconMinCos = 0.35
+  private[queries] val SemDeconMinCos = 0.35
 
   /** Embedding-space benchmark decontamination
     * ([[Similarity.decontaminateSem]]): one fused map-side projection
