@@ -468,7 +468,15 @@ object TextAnalysis {
 
   /** The hashed unigram+bigram feature stream: one row per feature
     * occurrence, bucketed to `buckets` residues; `carry` names extra
-    * columns of `docs` to keep on every feature row. */
+    * columns of `docs` to keep on every feature row.
+    *
+    * ONE corpus pass: the 2k−1 features of a k-token doc are built
+    * IN-ROW (tokens ++ adjacent-pair strings via transform/sequence —
+    * the curateDocStream shingle construction) and exploded once. The
+    * r12-early union-of-two-subtrees spelling tokenized the corpus
+    * twice (two FileScans under the union); same feature multiset per
+    * doc, so every aggregate consumer — and the oracle — is
+    * unchanged. */
   private def dsirFeatures(docs: org.apache.spark.sql.DataFrame, id: String,
                            text: String, buckets: Int,
                            carry: Seq[String] = Seq.empty)
@@ -477,13 +485,12 @@ object TextAnalysis {
     val keep = col("doc_id") +: carry.map(col)
     val t = docs.select(col(id).as("doc_id") +: carry.map(col) :+
       tokens(col(text)).as("tk"): _*)
-    val uni = t.select(keep :+ explode(col("tk")).as("f"): _*)
-    val bi = t.where(size(col("tk")) >= 2)
-      .select(keep ++ Seq(col("tk"),
-        explode(sequence(lit(0), size(col("tk")) - 2)).as("i")): _*)
-      .select(keep :+
-        concat_ws(" ", slice(col("tk"), col("i") + 1, lit(2))).as("f"): _*)
-    uni.union(bi).select(keep :+ (Md5Long60(col("f")) % buckets).as("b"): _*)
+    val bigrams = when(size(col("tk")) >= 2,
+        transform(sequence(lit(0), size(col("tk")) - 2),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    t.select(keep :+ explode(concat(col("tk"), bigrams)).as("f"): _*)
+      .select(keep :+ (Md5Long60(col("f")) % buckets).as("b"): _*)
   }
 
   /** Train the DSIR model: the COMPLETE per-bucket log-ratio table —
