@@ -92,6 +92,27 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("r12 sketch/sampling plan shapes stay pinned") {
+    // q_heavy_hitters: the CMS prefilter is a literal-array Filter over
+    // the exploded scan — NO join anywhere; the only exchange feeds the
+    // candidate-key aggregation
+    val hh = physical("q_heavy_hitters")
+    assert(!hh.contains("Join"), s"q_heavy_hitters joins:\n${hh.take(800)}")
+    assert(hh.contains("Filter"), hh.take(400))
+    // q_cms_freq: the probe side broadcasts against the d·w cell table
+    val cms = physical("q_cms_freq")
+    assert(cms.contains("BroadcastHashJoin"),
+      s"q_cms_freq lost the broadcast probe join:\n${cms.take(800)}")
+    assert(!cms.contains("SortMergeJoin"), cms.take(800))
+    // q_cluster_sample: map-side assignment (no centroid join), rates
+    // broadcast back — never a corpus-side SMJ
+    val cs = physical("q_cluster_sample")
+    assert(cs.contains("BroadcastHashJoin") && !cs.contains("SortMergeJoin"),
+      s"q_cluster_sample rate join shape wrong:\n${cs.take(800)}")
+    assert(cs.contains("nearestcentroid") || cs.contains("NearestCentroid"),
+      s"q_cluster_sample lost the fused assignment:\n${cs.take(800)}")
+  }
+
   test("batch retrieval plan shapes stay pinned") {
     // q_ann_join / q_ann_join_pq: the routed query side must BROADCAST
     // (the zero-corpus-shuffle contract), candidates must never come
