@@ -151,6 +151,34 @@ object Sketches {
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
   }
 
+  /** INCREMENTAL CMS maintenance: append one batch's cell counts as a
+    * shard named by batchId (skip-if-exists ⇒ replay-idempotent BY
+    * CONSTRUCTION — the dsirCountsAppend / postings-shard discipline).
+    * CMS linearity means the shard SUM is exactly the whole-stream
+    * sketch, so a live corpus keeps its frequency table current with
+    * one bounded write per batch and zero retrains. Returns false iff
+    * the shard already existed (replay). */
+  def cmsAppend(items: org.apache.spark.sql.DataFrame, value: String,
+                dir: String, batchId: Long, d: Int = 4,
+                w: Int = 1024): Boolean = {
+    val shard = s"$dir/cms/batch=$batchId"
+    val p = new org.apache.hadoop.fs.Path(shard)
+    val fs = p.getFileSystem(
+      items.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return false
+    cmsCells(items, value, d, w).write.parquet(shard)
+    true
+  }
+
+  /** The whole-stream cell table from the accumulated shards — feeds
+    * [[cmsEstimate]] unchanged. */
+  def cmsFromShards(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    spark.read.parquet(s"$dir/cms")
+      .groupBy("r", "c").agg(sum(col("n")).as("n"))
+  }
+
   /** φ-HEAVY HITTERS via the CMS prefilter — the two-pass pattern the
     * sketch exists for at corpus scale: pass 1 builds the bounded d·w
     * counter table and collects it (≤ d·w longs — the centroid/codebook

@@ -897,6 +897,23 @@ object PipelineQueries {
     Sketches.cmsEstimate(Sketches.cmsCells(items, "v"), CmsProbeTerms)
   }
 
+  /** The incrementally-maintained CMS twin: the corpus arrives as three
+    * hash-split batches, each appending a cell shard
+    * ([[Sketches.cmsAppend]] — replay-idempotent); estimates read the
+    * shard sum ([[Sketches.cmsFromShards]]). Linearity makes it
+    * oracle-pinned to `q_cms_freq`'s EXACT SQL. */
+  def cmsIncr(s: SparkSession, d: String): DataFrame = {
+    val items = par(documents(s, d))
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("v"))
+    val dir = cachedArtifacts(
+        s"cmsincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Sketches.cmsAppend(
+          items.where(TA.hashBucket(col("doc_id"), 3) === b), "v", dir, b)
+    }
+    Sketches.cmsEstimate(Sketches.cmsFromShards(s, dir), CmsProbeTerms)
+  }
+
   /** φ for `q_heavy_hitters`: splits the fixture's [840, 964]-count
     * token band (~half above ⌈φN⌉ = 924 at sf0.01) so both the keep
     * and the cut branch are exercised, at any SF (counts and N scale
@@ -1441,6 +1458,7 @@ object PipelineQueries {
     "q_source_kl"      -> (sourceKl _),
     "q_embed_outliers" -> (embedOutliers _),
     "q_cms_freq"       -> (cmsFreq _),
+    "q_cms_incr"       -> (cmsIncr _),
     "q_heavy_hitters"  -> (heavyHittersQ _),
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
@@ -1664,6 +1682,13 @@ object PipelineQueries {
        |  FROM tc FULL JOIN sc USING (b) CROSS JOIN tot)
        |SELECT doc_id, count(*) AS n_feats, sum(lr) AS logw
        |FROM feats JOIN lr USING (b) GROUP BY doc_id""".stripMargin
+
+  /** One oracle for both CMS rows (lazy: TOKS initializes later in the
+    * object body). */
+  private lazy val CmsFreqSql: String =
+    s"""WITH toks AS (SELECT $TOKS AS t FROM documents),
+       |v AS (SELECT unnest(t) AS v FROM toks),
+       |${Sketches.cmsEstimateSql(CmsProbeTerms)}""".stripMargin
 
   /** Oracle for q_source_kl: the DsirSql feature CTEs with `source`
     * carried instead of the target flag, the same complete-residue
@@ -2197,10 +2222,10 @@ object PipelineQueries {
       SemBenchBuckets, SemBenchBucket, SemDeconMinCos),
     "q_cluster_sample" -> Similarity.clusterSampleOracleSql(ClusterQuota),
     "q_embed_outliers" -> Similarity.embedOutliersOracleSql(OutlierMaxCos),
-    "q_cms_freq" ->
-      s"""WITH toks AS (SELECT $TOKS AS t FROM documents),
-         |v AS (SELECT unnest(t) AS v FROM toks),
-         |${Sketches.cmsEstimateSql(CmsProbeTerms)}""".stripMargin,
+    "q_cms_freq" -> CmsFreqSql,
+    // linearity: shard-summed cells == whole-stream cells, so the
+    // incrementally-maintained estimates share the exact same SQL
+    "q_cms_incr" -> CmsFreqSql,
     // the exact phi-cut IS the contract: the CMS prefilter provably
     // changes nothing (no false negatives; false positives die at the
     // exact HAVING), so the oracle is the plain exact SQL
