@@ -65,6 +65,12 @@ object ExplainAudit {
                           //   over the scan — zero exchanges, zero joins
                           //   (the collected bench matrix rides in the
                           //   expression)
+      "q_heavy_hitters",  // expect the literal-array CMS est Filter
+                          //   directly over the exploded scan (no join),
+                          //   one exchange into the candidate-key agg
+      "q_source_kl",      // expect ONE feature-stream pass into the
+                          //   (source, b) partial agg; everything above
+                          //   runs on |sources|·B rows
       "q_bloom_semi",     // expect a map-side BloomContainsLong Filter
                           //   directly over the lineitem scan, BELOW the
                           //   exact semi-join
