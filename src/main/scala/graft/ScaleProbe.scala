@@ -1421,3 +1421,64 @@ object DeconSemProbe {
     spark.stop()
   }
 }
+
+/** Heavy-hitter scale evidence (docs/SCALE.md): the CMS prefilter's
+  * claim is that the exact aggregation's KEY SPACE shrinks from the
+  * vocabulary to the candidate set — invisible on the 31-token fixture,
+  * so this probe synthesizes a 1M-token vocabulary with planted hot
+  * keys and measures the shuffle bytes of the CMS-prefiltered plan vs
+  * the plain exact groupBy+HAVING at the same φ (identical answers,
+  * asserted). `sbt "runMain graft.HeavyHittersProbe [rows]"`. */
+object HeavyHittersProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(8000000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    // 3 hot tokens at ~5% each; the rest spread over a 1M-key tail
+    val items = spark.range(n).select(
+      when(col("id") % 20 === 0, lit("hot_a"))
+        .when(col("id") % 20 === 1, lit("hot_b"))
+        .when(col("id") % 20 === 2, lit("hot_c"))
+        .otherwise(concat(lit("bg"), (col("id") % 1000000).cast("string")))
+        .as("v")).repartition(16).cache()
+    items.count()
+    val phi = 0.04
+    var shuffleBytes = 0L
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    def measure(label: String)(f: => Array[(String, Long)]): Array[(String, Long)] = {
+      shuffleBytes = 0L
+      spark.sparkContext.addSparkListener(sl)
+      val t0 = System.nanoTime()
+      val out = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(sl)
+      println(f"[scale] heavy_hitters $label%-16s ${out.length}%3d hitters, " +
+        f"${shuffleBytes / 1e6}%8.1f MB shuffled, $secs%6.2f s")
+      out
+    }
+    println(s"[scale] heavy_hitters corpus=$n rows, vocab≈1M, phi=$phi")
+    val minCount = math.ceil(phi * n).toLong
+    val exact = measure("exact groupBy") {
+      items.groupBy("v").count().where(col("count") >= minCount)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    }
+    val sketched = measure("CMS prefilter") {
+      graft.functions.Sketches.heavyHitters(items, "v", phi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    }
+    assert(exact.sameElements(sketched), "CMS path diverged from exact")
+    println("[scale] heavy_hitters answers identical (asserted)")
+    spark.stop()
+  }
+}
