@@ -90,3 +90,52 @@ object NgramRepetition {
       Array[Any](total, (total - distinct).toDouble / total))
   }
 }
+
+/** Unicode NFC normalization as a native expression — the corpus-text
+  * hygiene pass (mojibake from mixed crawl encodings, decomposed
+  * accents from mac filesystems/OCR) every multilingual pre-training
+  * pipeline runs before tokenization: the SAME logical character can
+  * arrive as 'é' (U+00E9) or 'e'+U+0301 and would otherwise hash,
+  * shingle, and tokenize as different text — silently defeating exact
+  * dedup and splitting term statistics. Spark has no built-in
+  * normalizer, so this wraps `java.text.Normalizer` (canonical
+  * composition, the Unicode standard's NFC) as a codegen'd
+  * UnaryExpression; the oracle twin is DuckDB's utf8proc-backed
+  * `nfc_normalize` — both implement UAX #15, and the registry row
+  * plants stable composition pairs (é-class) where the two Unicode
+  * data versions cannot differ. Fast path: already-NFC text (the
+  * overwhelming majority) is detected by `Normalizer.isNormalized`
+  * (a scan, no allocation) and returned as-is. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalize.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftext.ColumnBridge.column(
+      NfcNormalize(org.apache.spark.sql.graftext.ColumnBridge.expression(c)))
+}

@@ -897,6 +897,25 @@ object PipelineQueries {
     Sketches.cmsEstimate(Sketches.cmsCells(items, "v"), CmsProbeTerms)
   }
 
+  /** Unicode NFC hygiene ([[graft.functions.NfcNormalize]]): the
+    * fixture text is ASCII (NFC-invariant), so the row PLANTS the
+    * composition cases — every 3rd doc a decomposed " cafe"+U+0301
+    * suffix, every 3rd+1 the precomposed " café" — and outputs the
+    * normalized text plus the per-doc composed-character count (the
+    * q_pii_scrub planted-construction pattern: engine and oracle build
+    * the identical input). */
+  def nfcClean(s: SparkSession, d: String): DataFrame = {
+    // decomposed e + combining acute vs precomposed e-acute
+    val planted = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" cafe\u0301")))
+      .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" caf\u00e9")))
+      .otherwise(col("text"))
+    par(documents(s, d)).select(col("doc_id"),
+      graft.functions.NfcNormalize(planted).as("text_nfc"),
+      (length(planted) - length(graft.functions.NfcNormalize(planted)))
+        .as("composed"))
+  }
+
   /** The incrementally-maintained CMS twin: the corpus arrives as three
     * hash-split batches, each appending a cell shard
     * ([[Sketches.cmsAppend]] — replay-idempotent); estimates read the
@@ -1459,6 +1478,7 @@ object PipelineQueries {
     "q_embed_outliers" -> (embedOutliers _),
     "q_cms_freq"       -> (cmsFreq _),
     "q_cms_incr"       -> (cmsIncr _),
+    "q_nfc_clean"      -> (nfcClean _),
     "q_heavy_hitters"  -> (heavyHittersQ _),
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
@@ -2222,6 +2242,18 @@ object PipelineQueries {
       SemBenchBuckets, SemBenchBucket, SemDeconMinCos),
     "q_cluster_sample" -> Similarity.clusterSampleOracleSql(ClusterQuota),
     "q_embed_outliers" -> Similarity.embedOutliersOracleSql(OutlierMaxCos),
+    // both sides build the identical planted input; JDK Normalizer and
+    // DuckDB's utf8proc both implement UAX #15 NFC — the planted pairs
+    // are stable compositions where Unicode data versions cannot differ
+    "q_nfc_clean" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+        |       WHEN doc_id % 3 = 1 THEN text || ' caf' || chr(233)
+        |       ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS text_nfc,
+        |  CAST(length(t) - length(nfc_normalize(t)) AS INTEGER) AS composed
+        |FROM p""".stripMargin,
     "q_cms_freq" -> CmsFreqSql,
     // linearity: shard-summed cells == whole-stream cells, so the
     // incrementally-maintained estimates share the exact same SQL

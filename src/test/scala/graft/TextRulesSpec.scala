@@ -176,6 +176,26 @@ class TextRulesSpec extends SparkSpec {
     assert(w(10L) > 0 && w(11L) < 0, w.toString)
   }
 
+  test("NfcNormalize composes decomposed sequences, passes NFC text through") {
+    val df = Seq(
+      (1L, "cafe\u0301"),         // decomposed -> composes to 4 chars
+      (2L, "caf\u00e9"),           // already NFC → unchanged
+      (3L, "plain ascii"),         // NFC-invariant
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df.select($"id", graft.functions.NfcNormalize($"t").as("n"),
+        length(graft.functions.NfcNormalize($"t")).as("len"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(got(1L)._1 == "caf\u00e9" && got(1L)._2 == 4,
+      s"composition failed: ${got(1L)}")
+    assert(got(2L)._1 == "caf\u00e9" && got(3L)._1 == "plain ascii")
+    assert(got(4L)._1 == null, "null must propagate")
+    // idempotent: normalizing twice is the identity on the first pass
+    val twice = df.where($"id" === 1L).select(
+      graft.functions.NfcNormalize(graft.functions.NfcNormalize($"t"))).head().getString(0)
+    assert(twice == "caf\u00e9")
+  }
+
   test("incremental DSIR counts: 3-batch maintenance is bit-identical to batch retrain") {
     def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx${i % 6}").mkString(" ")
     val docs = (0L until 30L).map { i =>
