@@ -162,10 +162,7 @@ object Sketches {
                 dir: String, batchId: Long, d: Int = 4,
                 w: Int = 1024): Boolean = {
     val shard = s"$dir/cms/batch=$batchId"
-    val p = new org.apache.hadoop.fs.Path(shard)
-    val fs = p.getFileSystem(
-      items.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) return false
+    if (!ShardWrite.claim(items.sparkSession, shard)) return false
     cmsCells(items, value, d, w).write.parquet(shard)
     true
   }

@@ -539,10 +539,7 @@ object TextAnalysis {
                        batchId: Long, buckets: Int = 1024): Boolean = {
     import org.apache.spark.sql.functions.{col, count}
     val shard = s"$dir/counts/batch=$batchId"
-    val p = new org.apache.hadoop.fs.Path(shard)
-    val fs = p.getFileSystem(
-      docs.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) return false
+    if (!ShardWrite.claim(docs.sparkSession, shard)) return false
     dsirFeatures(docs.withColumn("__is_t", isTarget), id, text, buckets,
         carry = Seq("__is_t"))
       .groupBy("b")

@@ -229,4 +229,35 @@ class TextRulesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaCounts == fused, "maintained-model scoring diverged")
   }
+
+  test("count-shard appends heal TORN shards instead of skipping them") {
+    // a writer killed mid-write leaves the shard DIRECTORY present but
+    // no _SUCCESS marker — a bare exists() replay check would skip the
+    // retry and silently lose the batch's counts (an additive table
+    // can't detect a missing addend). The claim must rewrite it.
+    def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx${i % 6}").mkString(" ")
+    val docs = (0L until 12L).map(i =>
+      (i, toks(if (i % 2 == 0) "med" else "web", 10), i % 2 == 0))
+      .toDF("doc_id", "text", "is_t")
+    val dir = java.nio.file.Files.createTempDirectory("dsir-torn").toString
+    // batch 0 written cleanly
+    assert(TA.dsirCountsAppend(docs.where($"doc_id" < 6), "doc_id", "text",
+      col("is_t"), dir, 0L))
+    // batch 1: simulate the crash — directory with debris, NO _SUCCESS
+    val torn = new java.io.File(s"$dir/counts/batch=1")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(torn, "part-00000.parquet").toPath, "garbage")
+    // the retry must claim (heal) it, not skip
+    assert(TA.dsirCountsAppend(docs.where($"doc_id" >= 6), "doc_id", "text",
+      col("is_t"), dir, 1L), "torn shard was skipped as a replay")
+    val healed = TA.dsirModelFromCounts(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val clean = TA.dsirModel(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(healed == clean, "healed shards diverged from the clean build")
+    // and a COMPLETE shard still skips on replay
+    assert(!TA.dsirCountsAppend(docs.where($"doc_id" >= 6), "doc_id", "text",
+      col("is_t"), dir, 1L))
+  }
 }
