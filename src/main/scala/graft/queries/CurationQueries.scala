@@ -689,6 +689,22 @@ object CurationQueries {
         (least(col("start_tok") + col("n_tokens"), (col("bin") + 1) * seqLen)
           - col("start_tok")).as("tok_to"))
 
+  /** Pack-shard WRITER MANIFEST: one row per context-window shard —
+    * slice count, token count (== seqLen everywhere but the corpus
+    * tail: the tiling invariant made queryable), distinct docs, and the
+    * doc-id span. The sidecar a training-data writer ships next to its
+    * shards so a loader can size reads and audit coverage without
+    * opening them. Aggregates the [[packRowsOf]] slices — bounded at
+    * one row per shard. */
+  def packManifest(s: SparkSession, d: String): DataFrame =
+    packRowsOf(par(documents(s, d)), chunkWidth = 512)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_slices"),
+        sum(col("tok_to") - col("tok_from")).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
   // ---- semantic dedup --------------------------------------------------
 
   /** Embeddings with the oracle-parity width guard (the generated SQL
@@ -749,6 +765,7 @@ object CurationQueries {
     "q_token_budget"  -> (tokenBudget _),
     "q_pack"          -> (packSequences _),
     "q_pack_rows"     -> (packRows _),
+    "q_pack_manifest" -> (packManifest _),
     "q_semdedup"      -> (semDedupQ _),
     "q_semdedup_cc"   -> (semDedupCCQ _),
     "q_pipeline_semantic" -> (pipelineSemantic _))
@@ -766,6 +783,22 @@ object CurationQueries {
        |      FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |              CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
        |            FROM documents GROUP BY source))""".stripMargin
+
+  /** q_pack_rows oracle, shared with the manifest row. */
+  private val PackRowsSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |             AS BIGINT) AS start_tok
+       |      FROM t)
+       |SELECT doc_id, bin,
+       |  GREATEST(start_tok, bin * 2048) - start_tok AS tok_from,
+       |  LEAST(start_tok + n_tokens, (bin + 1) * 2048) - start_tok AS tok_to
+       |FROM c, UNNEST(generate_series(start_tok // 2048,
+       |         (start_tok + n_tokens - 1) // 2048)) AS u(bin)
+       |WHERE n_tokens > 0""".stripMargin
 
   /** Shared oracle prefix for the two drop-reason audits: planted
     * construction + bench bucket + keeper/shingle-contamination CTEs —
@@ -943,20 +976,17 @@ object CurationQueries {
          |  start_tok // 2048 AS bin,
          |  start_tok % 2048 AS bin_offset
          |FROM c""".stripMargin,
-    "q_pack_rows" ->
-      s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
-         |           FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
-         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |             AS BIGINT) AS start_tok
-         |      FROM t)
-         |SELECT doc_id, bin,
-         |  GREATEST(start_tok, bin * 2048) - start_tok AS tok_from,
-         |  LEAST(start_tok + n_tokens, (bin + 1) * 2048) - start_tok AS tok_to
-         |FROM c, UNNEST(generate_series(start_tok // 2048,
-         |         (start_tok + n_tokens - 1) // 2048)) AS u(bin)
-         |WHERE n_tokens > 0""".stripMargin,
+    "q_pack_rows" -> PackRowsSql,
+    // the writer manifest: one row per context-window shard over the
+    // same slice SQL — n_tokens == seqLen everywhere but the tail is
+    // the tiling invariant made queryable
+    "q_pack_manifest" ->
+      s"""WITH pr AS ($PackRowsSql)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_slices,
+         |  CAST(sum(tok_to - tok_from) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM pr GROUP BY bin""".stripMargin,
     "q_semdedup" -> Similarity.semDedupOracleSql(),
     "q_semdedup_cc" -> Similarity.semDedupCCOracleSql(),
     // the semdedup twin as a subquery; NOT IN over its dropped members,
