@@ -916,6 +916,35 @@ object PipelineQueries {
         .as("composed"))
   }
 
+  /** Script-mix detection: per-doc counts of Cyrillic/Greek/Han code
+    * points + the dominant script — the mixed-script signal behind
+    * homoglyph spam ("pаypal" with a Cyrillic а) and wrong-charset
+    * mojibake, and the cheap pre-filter before language-ID. Counts via
+    * the replace-length trick over Unicode SCRIPT classes (Java
+    * `\p{IsXxx}` ↔ RE2 `\p{Xxx}` — same UTS #24 script property);
+    * BMP-only planted chars so both engines count code points
+    * identically. Fixture text is ASCII, so the row plants one script
+    * suffix per id class (the q_nfc_clean construction). */
+  def scriptMix(s: SparkSession, d: String): DataFrame = {
+    val planted = when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" \u043f\u0440")))  // Cyrillic п р
+      .when(col("doc_id") % 4 === 1,
+        concat(col("text"), lit(" \u03b1\u03b2")))  // Greek α β
+      .when(col("doc_id") % 4 === 2,
+        concat(col("text"), lit(" \u4e2d")))        // Han 中
+      .otherwise(col("text"))
+    def cnt(cls: String) =
+      length(planted) - length(regexp_replace(planted, cls, ""))
+    val (nc, ng, nh) = (cnt("[\\p{IsCyrillic}]"), cnt("[\\p{IsGreek}]"),
+      cnt("[\\p{IsHan}]"))
+    par(documents(s, d)).select(col("doc_id"),
+      nc.as("n_cyrillic"), ng.as("n_greek"), nh.as("n_han"),
+      when(nc >= ng && nc >= nh && nc > 0, lit("cyrillic"))
+        .when(ng >= nh && ng > 0, lit("greek"))
+        .when(nh > 0, lit("han"))
+        .otherwise(lit("latin")).as("script"))
+  }
+
   /** The incrementally-maintained CMS twin: the corpus arrives as three
     * hash-split batches, each appending a cell shard
     * ([[Sketches.cmsAppend]] — replay-idempotent); estimates read the
@@ -1479,6 +1508,7 @@ object PipelineQueries {
     "q_cms_freq"       -> (cmsFreq _),
     "q_cms_incr"       -> (cmsIncr _),
     "q_nfc_clean"      -> (nfcClean _),
+    "q_script_mix"     -> (scriptMix _),
     "q_heavy_hitters"  -> (heavyHittersQ _),
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
@@ -2254,6 +2284,28 @@ object PipelineQueries {
         |SELECT doc_id, nfc_normalize(t) AS text_nfc,
         |  CAST(length(t) - length(nfc_normalize(t)) AS INTEGER) AS composed
         |FROM p""".stripMargin,
+    // same planted construction; Java \p{IsXxx} and RE2 \p{Xxx} are the
+    // same UTS #24 script property, chars kept in the BMP so both
+    // engines count code points identically
+    "q_script_mix" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text || ' ' || chr(1087) || chr(1088)
+        |       WHEN doc_id % 4 = 1 THEN text || ' ' || chr(945) || chr(946)
+        |       WHEN doc_id % 4 = 2 THEN text || ' ' || chr(20013)
+        |       ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  length(t) - length(regexp_replace(t, '[\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
+        |  length(t) - length(regexp_replace(t, '[\p{Greek}]', '', 'g')) AS n_greek,
+        |  length(t) - length(regexp_replace(t, '[\p{Han}]', '', 'g')) AS n_han
+        |FROM p)
+        |SELECT doc_id, CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+        |  CAST(n_greek AS BIGINT) AS n_greek, CAST(n_han AS BIGINT) AS n_han,
+        |  CASE WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han AND n_cyrillic > 0 THEN 'cyrillic'
+        |       WHEN n_greek >= n_han AND n_greek > 0 THEN 'greek'
+        |       WHEN n_han > 0 THEN 'han'
+        |       ELSE 'latin' END AS script
+        |FROM c""".stripMargin,
     "q_cms_freq" -> CmsFreqSql,
     // linearity: shard-summed cells == whole-stream cells, so the
     // incrementally-maintained estimates share the exact same SQL
