@@ -945,6 +945,33 @@ object PipelineQueries {
         .otherwise(lit("latin")).as("script"))
   }
 
+  /** Unicode-confusables fold map (UTS #39 skeleton idea, focused on
+    * the Cyrillic/Greek Latin-lookalikes that carry real homoglyph
+    * spam): ONE Scala constant generates both the engine `translate`
+    * and the oracle's chr() strings — zero drift possible. */
+  private val ConfusablesFrom: String =
+    "\u0430\u0435\u0456\u0458\u043e\u0440\u0441\u0455\u0443\u0445" + // Cyrillic a e i j o p c s y x lookalikes
+    "\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425\u0423" + // Cyrillic A B E K M H O P C T X Y lookalikes
+    "\u03bf\u039f\u03bd"                                             // ο Ο ν
+  private val ConfusablesTo: String = "aeijopcsyx" + "ABEKMHOPCTXY" + "oOv"
+
+  /** Homoglyph folding — the FIX for what `q_script_mix` detects: map
+    * Latin-lookalike Cyrillic/Greek code points to their Latin
+    * skeletons so dedup keys, shingles, and term statistics stop being
+    * evadable by swapping one а for an a ("pаypal" folds to "paypal").
+    * Output: the folded text and the confusable-char count (computed
+    * by the delete-form of translate — length drop = occurrences).
+    * Planted construction on the ASCII fixture. */
+  def homoglyphFold(s: SparkSession, d: String): DataFrame = {
+    val planted = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" p\u0430yp\u0430l")))
+      .otherwise(col("text"))
+    par(documents(s, d)).select(col("doc_id"),
+      translate(planted, ConfusablesFrom, ConfusablesTo).as("text_fold"),
+      (length(planted) - length(translate(planted, ConfusablesFrom, "")))
+        .as("n_confusable"))
+  }
+
   /** The incrementally-maintained CMS twin: the corpus arrives as three
     * hash-split batches, each appending a cell shard
     * ([[Sketches.cmsAppend]] — replay-idempotent); estimates read the
@@ -1509,6 +1536,7 @@ object PipelineQueries {
     "q_cms_incr"       -> (cmsIncr _),
     "q_nfc_clean"      -> (nfcClean _),
     "q_script_mix"     -> (scriptMix _),
+    "q_homoglyph_fold" -> (homoglyphFold _),
     "q_heavy_hitters"  -> (heavyHittersQ _),
     "q_sim_neardup"    -> (simNearDup _),
     "q_sim_ivf"        -> (simIvf _),
@@ -2284,6 +2312,21 @@ object PipelineQueries {
         |SELECT doc_id, nfc_normalize(t) AS text_nfc,
         |  CAST(length(t) - length(nfc_normalize(t)) AS INTEGER) AS composed
         |FROM p""".stripMargin,
+    // the from/to strings are GENERATED from the same Scala constants
+    // the engine's translate uses — the map cannot drift
+    "q_homoglyph_fold" -> {
+      def chrs(t: String) = t.map(c => s"chr(${c.toInt})").mkString(" || ")
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0
+         |       THEN text || ' p' || chr(1072) || 'yp' || chr(1072) || 'l'
+         |       ELSE text END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  translate(t, ${chrs(ConfusablesFrom)}, ${chrs(ConfusablesTo)}) AS text_fold,
+         |  CAST(length(t) - length(translate(t, ${chrs(ConfusablesFrom)}, ''))
+         |       AS INTEGER) AS n_confusable
+         |FROM p""".stripMargin
+    },
     // same planted construction; Java \p{IsXxx} and RE2 \p{Xxx} are the
     // same UTS #24 script property, chars kept in the BMP so both
     // engines count code points identically
