@@ -165,4 +165,37 @@ class EmptyInputSpec extends SparkSpec {
       java.util.List.of[org.apache.spark.sql.Row](), Multimodal.mediaSchema)
     assert(Multimodal.frameStats(emptyMedia).count() === 0)
   }
+
+  test("r12 additions return empty (or fail fast) on empty corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.{Sketches, TextAnalysis}
+    val some = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // semantic decontamination: empty train → nothing flagged; empty
+    // bench → nothing contaminates (contract schema kept)
+    assert(Similarity.decontaminateSem(
+      emptyEmb, some, "vec_id", "embedding", 0.5).count() === 0)
+    assert(Similarity.decontaminateSem(
+      some, emptyEmb, "vec_id", "embedding", 0.5).count() === 0)
+    // quota sampling / outliers need seeds — empty corpus fails FAST
+    // with the seeded-quantizer message, never an NPE
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.clusterSample(emptyEmb, "vec_id", "embedding", 10))
+    assert(e1.getMessage.contains("non-empty"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.embedOutliers(emptyEmb, "vec_id", "embedding", 0.5))
+    assert(e2.getMessage.contains("non-empty"))
+    // corpus statistics: empty in, empty out
+    assert(TextAnalysis.sourceKl(
+      emptyDocs.withColumn("source", lit("s")), "doc_id", "text",
+      "source").count() === 0)
+    val emptyV = emptyDocs.select(col("doc_id").cast("string").as("v"))
+    assert(Sketches.cmsCells(emptyV, "v").count() === 0)
+    assert(Sketches.cmsEstimate(Sketches.cmsCells(emptyV, "v"),
+      Seq("x")).collect().map(r => r.getLong(1)).forall(_ == 0L))
+    assert(Sketches.heavyHitters(emptyV, "v", 0.1).count() === 0)
+    // hygiene projections pass empty through
+    assert(emptyDocs.select(
+      graft.functions.NfcNormalize(col("text"))).count() === 0)
+  }
 }
