@@ -5,11 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2 && args.length <= 3,
+      s"usage: Verify <sfDir> <outDir> [name1,name2,...] — got ${args.length} args; " +
+        "query names must be ONE comma-separated arg (space-separated names would " +
+        "silently run only the first)")
     val (sfDir, outDir) = (args(0), args(1))
     // optional comma-separated name filter (local iteration only — the
     // driver always runs the full registry)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions())

@@ -23,6 +23,39 @@ object Similarity {
     * must guard the input with [[requireWidth]]. */
   val OracleDim: Int = 64
 
+  /** PRODUCTION PQ defaults — the dense codebook `AnnRecallProbe`
+    * measured (SCALE.md `ann_recall` row, r12): 12-bit codes (m=4,
+    * ks=8) score recall@10 at 0.16–0.21 on the probe fixture and FALL
+    * as nprobe grows (ADC ordering is mostly quantization noise), while
+    * m=8/ks=16 (32-bit codes) holds 0.25–0.27 ADC and 0.82–0.86 after
+    * a 200-candidate re-rank. Every production entry point
+    * ([[pqTopK]]/[[ivfPqTopK]]/[[ivfPqRerankTopK]] and the artifact
+    * builders) defaults here; the registry's 12-bit rows pin m=4/ks=8
+    * EXPLICITLY as fixture-scale oracle pins, never as a
+    * recommendation. */
+  val DefaultM: Int = 8
+  val DefaultKs: Int = 16
+
+  /** Sentinel `shortlist` value: derive it from the candidate count via
+    * [[rerankShortlist]] instead of a fixed constant. */
+  val AutoShortlist: Int = 0
+
+  /** The re-rank shortlist rule `AnnRecallProbe` measured (SCALE.md):
+    * a FIXED shortlist dilutes as nprobe admits more candidates
+    * (rerank@50 fell 0.55 → 0.38 as nprobe grew 1 → 8 with 12-bit
+    * codes), so the shortlist must scale WITH the candidate count
+    * ≈ nprobe/nlist × corpus. One quarter of the candidate set matches
+    * the measured stable point (shortlist 200 of ~1 000 candidates
+    * held rerank recall 0.82–0.86); the 4·k floor keeps tiny corpora
+    * from starving the re-rank below a useful margin over k. */
+  def rerankShortlist(corpusRows: Long, nlist: Int, nprobe: Int, k: Int): Int = {
+    require(corpusRows >= 0 && nlist >= 1 && nprobe >= 1 && k >= 1,
+      s"rerankShortlist(corpusRows=$corpusRows, nlist=$nlist, nprobe=$nprobe, k=$k)")
+    val candidates = math.ceil(corpusRows.toDouble * nprobe / nlist)
+    math.min(math.max(4L * k, math.ceil(candidates / 4.0).toLong),
+      Int.MaxValue.toLong).toInt
+  }
+
   /** Pass-through that fails loudly on any row whose vector width is not
     * `dim` — the guard that keeps the engine and the dim-unrolled oracle
     * SQL honest with each other. Cheap (one size() branch per row). */
@@ -326,7 +359,7 @@ object Similarity {
     * keeps the identical scoring plan. Returns (id, adc_dot): top `k`
     * by approximate dot, ties by id. */
   def pqTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
-             k: Int, m: Int = 4, ks: Int = 8, iters: Int = 2,
+             k: Int, m: Int = DefaultM, ks: Int = DefaultKs, iters: Int = 2,
              dim: Int = OracleDim): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
@@ -419,8 +452,8 @@ object Similarity {
     * Scale shape: codes derive in ONE map-side pass (m [[NearestCentroid]]
     * assignments per row, no shuffle); writing them partitions like any
     * table write. */
-  def pqTrain(emb: DataFrame, id: String, vec: String, m: Int = 4,
-              ks: Int = 8, iters: Int = 2,
+  def pqTrain(emb: DataFrame, id: String, vec: String, m: Int = DefaultM,
+              ks: Int = DefaultKs, iters: Int = 2,
               dim: Int = OracleDim): (DataFrame, DataFrame) = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
@@ -439,7 +472,7 @@ object Similarity {
 
   /** [[pqTrain]] to disk: `dir/codebooks` + `dir/codes` parquet. */
   def pqWriteArtifacts(emb: DataFrame, id: String, vec: String, dir: String,
-                       m: Int = 4, ks: Int = 8, iters: Int = 2,
+                       m: Int = DefaultM, ks: Int = DefaultKs, iters: Int = 2,
                        dim: Int = OracleDim): Unit = {
     val (codebooks, codes) = pqTrain(emb, id, vec, m, ks, iters, dim)
     codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -731,8 +764,8 @@ object Similarity {
     * by `list` (callers may repartition before writing at scale) turns
     * the probe's list filter into partition pruning. */
   def ivfPqWriteArtifacts(emb: DataFrame, id: String, vec: String,
-                          dir: String, nlist: Int = 16, m: Int = 4,
-                          ks: Int = 8, iters: Int = 2,
+                          dir: String, nlist: Int = 16, m: Int = DefaultM,
+                          ks: Int = DefaultKs, iters: Int = 2,
                           dim: Int = OracleDim,
                           normalize: Boolean = false): Unit = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
@@ -748,7 +781,7 @@ object Similarity {
     // would silently rank against the wrong geometry
     Seq(("normalized", normalize.toString)).toDF("key", "value")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    normalizedMetaCache.put(dir, java.lang.Boolean.valueOf(normalize))
+    invalidateNormalizedMeta(spark, dir)
     val coarse = seededCentroids(v, nlist)
     val books = trainPqBooks(v, m, ks, iters, sub)
     books.zipWithIndex.flatMap { case (book, s) =>
@@ -784,26 +817,50 @@ object Similarity {
     * pre-r12 artifacts, or the [[pqWriteArtifacts]] layout — means
     * raw vectors.
     *
-    * Memoized per dir on the driver: the marker is a write-once
-    * artifact property, and without the cache EVERY probe / re-rank /
-    * batch-join / append call would pay a filesystem round-trip plus a
-    * one-row Spark read just to re-learn it — per-query overhead on
-    * the serving hot path (two remote round-trips per call on an
-    * object store). [[ivfPqWriteArtifacts]] updates the entry when it
-    * (re)writes a dir in this JVM, so a same-process rebuild with a
-    * flipped flag can't serve a stale answer. */
+    * Memoized per dir on the driver, keyed by the CANONICAL (qualified)
+    * path and invalidated by the meta table's modification time: a raw
+    * string key would split aliases of the same dir (trailing slash,
+    * relative vs absolute) into separate entries, and a forever-cache would
+    * mis-remember the flag after ANOTHER process rebuilt the artifacts
+    * with a flipped geometry — exactly the failure the meta marker was
+    * introduced to eliminate (r12 ADVICE). The steady-state cost per
+    * call is therefore ONE `getFileStatus` round-trip (no Spark job);
+    * the one-row parquet read re-runs only when the marker's mtime
+    * moved. [[ivfPqWriteArtifacts]] additionally evicts the entry when
+    * it (re)writes a dir in this JVM, closing the same-process
+    * same-millisecond rewrite window mtime granularity can't see. */
   private val normalizedMetaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+
+  /** Alias-proof cache key for `dir/meta`: scheme+authority qualified,
+    * trailing slashes and `.` segments folded by the Path normalizer. */
+  private def canonicalMeta(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): (org.apache.hadoop.fs.FileSystem,
+                                           org.apache.hadoop.fs.Path) = {
+    val raw = new org.apache.hadoop.fs.Path(dir, "meta")
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(raw))
+  }
+
+  private[functions] def invalidateNormalizedMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    normalizedMetaCache.remove(canonicalMeta(spark, dir)._2.toString)
 
   private def artifactNormalized(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): Boolean =
-    normalizedMetaCache.computeIfAbsent(dir, { _ =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
-        spark.read.parquet(s"$dir/meta")
+                                 dir: String): Boolean = {
+    val (fs, p) = canonicalMeta(spark, dir)
+    val stamp = if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L
+    val cached = normalizedMetaCache.get(p.toString)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val flag = stamp >= 0 &&
+        spark.read.parquet(p.toString)
           .where(col("key") === "normalized" && col("value") === "true")
           .head(1).nonEmpty
-    })
+      normalizedMetaCache.put(p.toString, (stamp, flag))
+      flag
+    }
+  }
 
   /** The stored codebooks as driver arrays — shared by the probes and
     * the incremental appenders so every consumer decodes the artifact
@@ -908,8 +965,8 @@ object Similarity {
     * m code assignments + m literal lookups — into
     * TakeOrderedAndProject; zero shuffles, zero joins. */
   def ivfPqTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
-                k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
-                ks: Int = 8, iters: Int = 2,
+                k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
+                ks: Int = DefaultKs, iters: Int = 2,
                 dim: Int = OracleDim,
                 normalize: Boolean = false): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
@@ -950,11 +1007,18 @@ object Similarity {
     * (AQE broadcasts the tiny side), so raw vectors are read for
     * `shortlist` rows, never the corpus. */
   def ivfPqRerankTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
-                      k: Int, shortlist: Int = 50, nlist: Int = 16,
-                      nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                      k: Int, shortlist: Int = AutoShortlist, nlist: Int = 16,
+                      nprobe: Int = 4, m: Int = DefaultM, ks: Int = DefaultKs,
                       iters: Int = 2, dim: Int = OracleDim): DataFrame = {
-    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
-    val cand = ivfPqTopK(emb, id, vec, queryId, shortlist, nlist, nprobe,
+    // AutoShortlist: scale with the candidate count ([[rerankShortlist]]
+    // — the AnnRecallProbe tuning rule). The corpus count here is one
+    // metadata-only parquet job next to the training scans this fused
+    // path already pays; the stored-artifact twins derive it from the
+    // codes table instead.
+    val sl = if (shortlist == AutoShortlist)
+      rerankShortlist(emb.count(), nlist, nprobe, k) else shortlist
+    require(sl >= k, s"shortlist=$sl must cover k=$k")
+    val cand = ivfPqTopK(emb, id, vec, queryId, sl, nlist, nprobe,
       m, ks, iters, dim).select(col(id))
     exactCosineRerank(cand, emb, id, vec, queryId, k)
   }
@@ -985,12 +1049,26 @@ object Similarity {
     * fused path. */
   def ivfPqRerankFromDir(emb: DataFrame, id: String, vec: String,
                          dir: String, queryId: Long, k: Int,
-                         shortlist: Int = 50, nprobe: Int = 4): DataFrame = {
-    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
-    val cand = ivfPqProbeFromDir(emb, id, vec, dir, queryId, shortlist,
+                         shortlist: Int = AutoShortlist,
+                         nprobe: Int = 4): DataFrame = {
+    val sl = if (shortlist == AutoShortlist)
+      storedShortlist(emb.sparkSession, dir, nprobe, k) else shortlist
+    require(sl >= k, s"shortlist=$sl must cover k=$k")
+    val cand = ivfPqProbeFromDir(emb, id, vec, dir, queryId, sl,
       nprobe).select(col(id))
     exactCosineRerank(cand, emb, id, vec, queryId, k)
   }
+
+  /** [[rerankShortlist]] resolved against a PERSISTED index: corpus
+    * rows from the codes table (a metadata-only parquet count — row
+    * counts live in the footers, no data pages read) and nlist from the
+    * tiny coarse artifact. One count job per serving call; callers on a
+    * hot path that know their corpus size pass `shortlist` explicitly
+    * and skip it. */
+  private def storedShortlist(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, nprobe: Int, k: Int): Int =
+    rerankShortlist(readArtifact(spark, s"$dir/codes").count(),
+      readArtifact(spark, s"$dir/coarse").count().toInt, nprobe, k)
 
   /** BATCH IVFADC+R over the persisted index — the query-set twin of
     * [[ivfPqRerankFromDir]]: every query's `shortlist`-candidate ADC
@@ -1005,10 +1083,12 @@ object Similarity {
     * candidate set only, never corpus × queries. */
   def annJoinPqRerankFromDir(queries: DataFrame, corpus: DataFrame,
                              id: String, vec: String, dir: String, k: Int,
-                             shortlist: Int = 20, nprobe: Int = 4,
+                             shortlist: Int = AutoShortlist, nprobe: Int = 4,
                              maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
-    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
-    val cand = annJoinPqFromDir(queries, id, vec, dir, shortlist, nprobe,
+    val sl = if (shortlist == AutoShortlist)
+      storedShortlist(queries.sparkSession, dir, nprobe, k) else shortlist
+    require(sl >= k, s"shortlist=$sl must cover k=$k")
+    val cand = annJoinPqFromDir(queries, id, vec, dir, sl, nprobe,
       maxBroadcastBytes).select(col("query_id"), col(id))
     val v = corpus.select(col(id), transform(col(vec), _.cast("double")).as("v"))
     // NO broadcast hint on the query re-attach: a hint would override
@@ -1034,7 +1114,7 @@ object Similarity {
     * shortlist, exact-cosine re-scored per query. */
   def annJoinPqRerankOracleSql(nq: Long, k: Int, shortlist: Int = 20,
                                nlist: Int = 16, nprobe: Int = 4,
-                               m: Int = 4, ks: Int = 8, iters: Int = 2,
+                               m: Int = DefaultM, ks: Int = DefaultKs, iters: Int = 2,
                                dim: Int = OracleDim): String =
     s"""WITH rsc AS (
        |  SELECT t.query_id, t.vec_id,
@@ -1052,8 +1132,8 @@ object Similarity {
   /** Oracle for [[ivfPqRerankTopK]]: the verified ADC machinery as a
     * subquery shortlist, re-scored by the exact unrolled cosine. */
   def ivfPqRerankOracleSql(queryId: Long, k: Int, shortlist: Int = 50,
-                           nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
-                           ks: Int = 8, iters: Int = 2,
+                           nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
+                           ks: Int = DefaultKs, iters: Int = 2,
                            dim: Int = OracleDim): String =
     s"""SELECT t.vec_id, ${cosineSql("e.embedding", "q.qe", dim)} AS cos
        |FROM (${ivfPqOracleSql(queryId, shortlist, nlist, nprobe, m, ks, iters, dim)}) t
@@ -1069,8 +1149,8 @@ object Similarity {
     * [[exactCosineRerank]] reads raw vectors under a meta-normalized
     * probe. */
   def ivfPqCosRerankOracleSql(queryId: Long, k: Int, shortlist: Int = 50,
-                              nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
-                              ks: Int = 8, iters: Int = 2,
+                              nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
+                              ks: Int = DefaultKs, iters: Int = 2,
                               dim: Int = OracleDim): String =
     s"""SELECT t.vec_id, ${cosineSql("e.embedding", "q.qe", dim)} AS cos
        |FROM (${ivfPqCosOracleSql(queryId, shortlist, nlist, nprobe, m, ks, iters, dim)}) t
@@ -1150,7 +1230,7 @@ object Similarity {
     * then the query-codeword dot as the same left-associated chain the
     * driver's LUT loop runs, and subspace scores added in subspace
     * order — every double retraces the engine's exact op sequence. */
-  def pqOracleSql(queryId: Long, k: Int, m: Int = 4, ks: Int = 8,
+  def pqOracleSql(queryId: Long, k: Int, m: Int = DefaultM, ks: Int = DefaultKs,
                   iters: Int = 2, dim: Int = OracleDim): String = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
@@ -1246,7 +1326,7 @@ object Similarity {
     * probed. Every double retraces one of the two parents' already-
     * verified op sequences. */
   def ivfPqOracleSql(queryId: Long, k: Int, nlist: Int = 16,
-                     nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                     nprobe: Int = 4, m: Int = DefaultM, ks: Int = DefaultKs,
                      iters: Int = 2, dim: Int = OracleDim): String =
     "WITH " + ivfPqOracleCtes(queryId, k, nlist, nprobe, m, ks, iters, dim,
       "embeddings")
@@ -1258,7 +1338,7 @@ object Similarity {
     * (zero vectors pass through), so every downstream double is
     * bit-identical to the Spark path's. */
   def ivfPqCosOracleSql(queryId: Long, k: Int, nlist: Int = 16,
-                        nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                        nprobe: Int = 4, m: Int = DefaultM, ks: Int = DefaultKs,
                         iters: Int = 2, dim: Int = OracleDim): String =
     s"""WITH embeddings_n AS (
        |${normalizedTableSql(dim)}),
@@ -1322,7 +1402,7 @@ object Similarity {
     * doubles because codebooks/coarse/codes are a pure function of the
     * corpus and params. */
   def annJoinPqOracleSql(nq: Long, k: Int, nlist: Int = 16,
-                         nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                         nprobe: Int = 4, m: Int = DefaultM, ks: Int = DefaultKs,
                          iters: Int = 2, dim: Int = OracleDim): String =
     "WITH " + annJoinPqOracleCtes(nq, k, nlist, nprobe, m, ks, iters, dim,
       "embeddings")
@@ -1332,7 +1412,7 @@ object Similarity {
     * unit-normalized SQL twin of the table (queries included: the
     * meta-driven in-frame normalization replays the same doubles). */
   def annJoinPqCosOracleSql(nq: Long, k: Int, nlist: Int = 16,
-                            nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+                            nprobe: Int = 4, m: Int = DefaultM, ks: Int = DefaultKs,
                             iters: Int = 2, dim: Int = OracleDim): String =
     s"""WITH embeddings_n AS (
        |${normalizedTableSql(dim)}),

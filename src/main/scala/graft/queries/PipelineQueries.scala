@@ -1086,20 +1086,25 @@ object PipelineQueries {
     * codebooks, asymmetric lookup-table scoring, fully oracle-checked
     * down to the codebook doubles. */
   def simPq(s: SparkSession, d: String): DataFrame =
-    Similarity.pqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
+    // m=4/ks=8: the 12-bit FIXTURE-SCALE oracle pin, not the production
+    // default (Similarity.DefaultM/DefaultKs = 8/16 per AnnRecallProbe)
+    Similarity.pqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10,
+      m = 4, ks = 8)
 
   /** IVF-PQ ([[Similarity.ivfPqTopK]]) — the standard web-scale ANN
     * composition: seeded coarse lists route the probe to nprobe/nlist of
     * the corpus, PQ ADC scores within the probed lists only; oracle
     * composes the two parents' already-verified CTE machinery. */
   def simIvfPq(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfPqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
+    Similarity.ivfPqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10,
+      m = 4, ks = 8)
 
   /** IVF-PQ + exact re-rank ([[Similarity.ivfPqRerankTopK]]) — the
     * IVFADC+R serving shape: a 50-candidate ADC shortlist re-scored by
     * exact cosine on raw vectors, top-10 returned. */
   def simIvfPqRerank(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfPqRerankTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
+    Similarity.ivfPqRerankTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10,
+      shortlist = 50, m = 4, ks = 8)
 
   /** IVFADC+R over the PERSISTED index — the serving split: stored
     * coarse routing + codes shortlist (zero training jobs), raw-vector
@@ -1107,9 +1112,10 @@ object PipelineQueries {
     * rerank row. */
   def simIvfPqRerankProbe(s: SparkSession, d: String): DataFrame = {
     val dir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
-      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        m = 4, ks = 8))
     Similarity.ivfPqRerankFromDir(embChecked(s, d), "vec_id", "embedding",
-      dir, 0L, 10)
+      dir, 0L, 10, shortlist = 50)
   }
 
   /** Index-once/probe-many: the PQ/IVF-PQ artifact dirs are cached per
@@ -1156,7 +1162,8 @@ object PipelineQueries {
     * is spec-pinned bit-identical to the fused scoring). */
   def simPqProbe(s: SparkSession, d: String): DataFrame = {
     val dir = cachedArtifacts(s"pq:$d:${corpusFingerprint(s, d)}")(
-      Similarity.pqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
+      Similarity.pqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        m = 4, ks = 8))
     Similarity.pqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
 
@@ -1166,7 +1173,8 @@ object PipelineQueries {
     * `q_sim_ivfpq`. */
   def simIvfPqProbe(s: SparkSession, d: String): DataFrame = {
     val dir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
-      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        m = 4, ks = 8))
     Similarity.ivfPqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
 
@@ -1179,7 +1187,7 @@ object PipelineQueries {
     * twin of the table — hash-exact. */
   def simIvfPqCos(s: SparkSession, d: String): DataFrame =
     Similarity.ivfPqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10,
-      normalize = true)
+      m = 4, ks = 8, normalize = true)
 
   /** The persisted twin of `q_sim_ivfpq_cos`: artifacts written
     * normalized (the geometry recorded in the self-describing meta
@@ -1188,7 +1196,7 @@ object PipelineQueries {
   def simIvfPqCosProbe(s: SparkSession, d: String): DataFrame = {
     val dir = cachedArtifacts(s"ivfpqcos:$d:${corpusFingerprint(s, d)}")(
       Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
-        normalize = true))
+        m = 4, ks = 8, normalize = true))
     Similarity.ivfPqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
 
@@ -1198,7 +1206,8 @@ object PipelineQueries {
     * whole query set in one plan, zero training jobs. */
   def simAnnJoinPq(s: SparkSession, d: String): DataFrame = {
     val dir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
-      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        m = 4, ks = 8))
     Similarity.annJoinPqFromDir(embChecked(s, d).where(col("vec_id") < 4),
       "vec_id", "embedding", dir, 5)
   }
@@ -1210,9 +1219,9 @@ object PipelineQueries {
   def simIvfPqCosRerank(s: SparkSession, d: String): DataFrame = {
     val dir = cachedArtifacts(s"ivfpqcos:$d:${corpusFingerprint(s, d)}")(
       Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
-        normalize = true))
+        m = 4, ks = 8, normalize = true))
     Similarity.ivfPqRerankFromDir(embChecked(s, d), "vec_id", "embedding",
-      dir, 0L, 10)
+      dir, 0L, 10, shortlist = 50)
   }
 
   /** The batch twin of `q_sim_ivfpq_cos_probe`: [[Similarity.annJoinPqFromDir]]
@@ -1223,7 +1232,7 @@ object PipelineQueries {
   def simAnnJoinCos(s: SparkSession, d: String): DataFrame = {
     val dir = cachedArtifacts(s"ivfpqcos:$d:${corpusFingerprint(s, d)}")(
       Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
-        normalize = true))
+        m = 4, ks = 8, normalize = true))
     Similarity.annJoinPqFromDir(embChecked(s, d).where(col("vec_id") < 4),
       "vec_id", "embedding", dir, 5)
   }
@@ -1234,7 +1243,8 @@ object PipelineQueries {
     * the candidate set only, exact-cosine per-query top-k. */
   def simAnnJoinRerank(s: SparkSession, d: String): DataFrame = {
     val dir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
-      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        m = 4, ks = 8))
     Similarity.annJoinPqRerankFromDir(
       embChecked(s, d).where(col("vec_id") < 4), embChecked(s, d),
       "vec_id", "embedding", dir, k = 5, shortlist = 20)
@@ -2362,22 +2372,29 @@ object PipelineQueries {
          |SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY v
          |HAVING count(*) >=
          |  (SELECT CEIL(CAST($HeavyPhi AS DOUBLE) * count(*)) FROM v)""".stripMargin,
-    "q_sim_pq" -> Similarity.pqOracleSql(0L, 10),
-    "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10),
-    "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10),
+    // m=4/ks=8 on the PQ family: 12-bit fixture-scale oracle pins,
+    // matching the engine rows' explicit pins — the PRODUCTION default
+    // is the dense codebook (Similarity.DefaultM/DefaultKs)
+    "q_sim_pq" -> Similarity.pqOracleSql(0L, 10, m = 4, ks = 8),
+    "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10, m = 4, ks = 8),
+    "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10, m = 4, ks = 8),
     // the cosine-faithful twin: same machinery over a unit-normalized
     // SQL twin of the table; the persisted probe shares it (stored
     // codes + meta-driven query normalization replay the same doubles)
-    "q_sim_ivfpq_cos" -> Similarity.ivfPqCosOracleSql(0L, 10),
-    "q_sim_ivfpq_cos_probe" -> Similarity.ivfPqCosOracleSql(0L, 10),
-    "q_sim_ivfpq_rerank" -> Similarity.ivfPqRerankOracleSql(0L, 10),
-    "q_sim_ivfpq_rerank_probe" -> Similarity.ivfPqRerankOracleSql(0L, 10),
-    "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10),
+    "q_sim_ivfpq_cos" -> Similarity.ivfPqCosOracleSql(0L, 10, m = 4, ks = 8),
+    "q_sim_ivfpq_cos_probe" -> Similarity.ivfPqCosOracleSql(0L, 10, m = 4, ks = 8),
+    "q_sim_ivfpq_rerank" ->
+      Similarity.ivfPqRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8),
+    "q_sim_ivfpq_rerank_probe" ->
+      Similarity.ivfPqRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8),
+    "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10, m = 4, ks = 8),
     "q_ann_join" -> Similarity.annJoinOracleSql(8L, 5),
-    "q_ann_join_pq" -> Similarity.annJoinPqOracleSql(4L, 5),
-    "q_ann_join_cos" -> Similarity.annJoinPqCosOracleSql(4L, 5),
-    "q_sim_ivfpq_cos_rerank" -> Similarity.ivfPqCosRerankOracleSql(0L, 10),
-    "q_ann_join_rerank" -> Similarity.annJoinPqRerankOracleSql(4L, 5),
+    "q_ann_join_pq" -> Similarity.annJoinPqOracleSql(4L, 5, m = 4, ks = 8),
+    "q_ann_join_cos" -> Similarity.annJoinPqCosOracleSql(4L, 5, m = 4, ks = 8),
+    "q_sim_ivfpq_cos_rerank" ->
+      Similarity.ivfPqCosRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8),
+    "q_ann_join_rerank" ->
+      Similarity.annJoinPqRerankOracleSql(4L, 5, shortlist = 20, m = 4, ks = 8),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for
