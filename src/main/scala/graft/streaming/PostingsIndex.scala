@@ -701,10 +701,27 @@ object PostingsIndex {
         .getOrElse((None, None, dfVersion))
       case (Some(t), Some(l)) =>
         // fully pinned: the cut replays against the marker-recorded df
-        // when the caller didn't pin one and the marker exists
-        val d = dfVersion.orElse(
-          recordedPairs(spark, tfPath)
-            .collect { case (`t`, `l`, df) => df }.flatten.maxOption)
+        // when the caller didn't pin one and the marker exists. A
+        // MISSING marker (pruned past PairsKept, or a foreign pin) with
+        // the df cut active must FAIL, not fall back to the live df
+        // summary — the pinned read's stopword-cut decision would
+        // otherwise drift with corpus growth, the exact drift the
+        // marker exists to prevent (r12 ADVICE; mirrors partnerOf).
+        // A marker recorded BEFORE the df sidecar existed (df=None) is
+        // the one documented live-summary fallback.
+        val hits = recordedPairs(spark, tfPath)
+          .collect { case (`t`, `l`, df) => df }
+        val d = dfVersion.orElse {
+          if (hits.nonEmpty) hits.flatten.maxOption
+          else if (dfPath.isDefined && maxDfFrac.isDefined)
+            throw new IllegalArgumentException(
+              s"tfVersion=$t/dlVersion=$l are pinned with the df cut " +
+                s"active, but no recorded consistency marker at " +
+                s"$tfPath/_pairs names them (pruned past retention?) — " +
+                "pass dfVersion explicitly; the live df summary would " +
+                "silently drift the pinned read's stopword-cut decision")
+          else None
+        }
         (Some(t), Some(l), d)
       case (Some(t), None) =>
         val (_, l, d) = partnerOf("tfVersion", t, _._1 == t)
@@ -871,8 +888,17 @@ object PostingsIndex {
     * oracle SQL. The stopword's posting list is still READ (storage
     * skip lists don't exist in parquet — same honest limit as Lucene
     * without position skips); what's bounded is everything after the
-    * scan. A phrase term absent from the vocabulary short-circuits to
-    * an empty result with zero tf-scan jobs. */
+    * scan. A phrase term with NO df row falls back to the unbounded
+    * [[phraseFromStored]] rather than short-circuiting to empty:
+    * [[posIndexBatch]] writes the pos shard BEFORE the df shard with no
+    * consistency pairing (unlike the tf/dl `_pairs` machinery), so a
+    * read landing between the two writes — or after a crash between
+    * them — can see a term live in the pos index while its df row is
+    * still missing; df=0 therefore means 'UNKNOWN', not 'absent'
+    * (r12 ADVICE). The fallback keeps the result exact in that window
+    * at the cost of the unbounded scan; a truly-absent term yields the
+    * same empty result there (no posting rows → the adjacency fold
+    * matches nothing). */
   def phraseFromStoredBounded(spark: SparkSession, posPath: String,
                               phrase: Seq[String], dfPath: String,
                               version: Option[Long] = None,
@@ -884,8 +910,7 @@ object PostingsIndex {
       .where(col("token").isin(terms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (terms.exists(t => dfs.getOrElse(t, 0L) == 0L))
-      return spark.range(0).select(col("id").as("doc_id"),
-        lit(0L).as("n_matches"), lit(0).cast("int").as("first_pos"))
+      return phraseFromStored(spark, posPath, phrase, version)
     val rarest = terms.minBy(t => (dfs(t), t)) // deterministic tie-break
     val rareDocs = readTfIndex(spark, posPath, version,
         Some(Set(tokenBucketLocal(rarest))))

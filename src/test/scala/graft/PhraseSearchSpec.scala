@@ -118,8 +118,41 @@ class PhraseSearchSpec extends SparkSpec {
         Seq("the", "line"), Seq("a", "a")))
       assert(bounded(ph) == direct(ph), s"bounded ≠ direct for $ph")
     assert(direct(Seq("value", "table")).nonEmpty)
-    // a vocabulary-absent term short-circuits to empty with zero tf scans
+    // a vocabulary-absent term still yields empty (via the unbounded
+    // fallback — df=0 means UNKNOWN, not absent; see the torn-window test)
     assert(bounded(Seq("value", "absent-token")) == Set.empty)
+  }
+
+  test("bounded phrase serving treats a missing df row as unknown: pos/df torn window stays exact") {
+    // r12 ADVICE: posIndexBatch writes the pos shard BEFORE the df shard
+    // with no consistency pairing, so a read between the two writes (or
+    // after a crash between them) sees a term live in the pos index with
+    // df=0 in the sidecar. Short-circuiting to empty there returns WRONG
+    // matches; the bounded path must fall back to the unbounded exact
+    // scan instead. Simulated by indexing batch 1 without the df sidecar:
+    // its terms are phrase-servable but df-invisible.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pos-torn").toString
+    val (posP, dfP) = (s"$dir/pos", s"$dir/df")
+    PostingsIndex.posIndexBatch(
+      Seq((1L, "alpha beta gamma"), (2L, "alpha beta")).toDF("doc_id", "text"),
+      0L, posP, dfPath = Some(dfP))
+    // the torn window: pos shard lands, df shard does not
+    PostingsIndex.posIndexBatch(
+      Seq((3L, "omega alpha beta")).toDF("doc_id", "text"), 1L, posP)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = rows(PostingsIndex.phraseFromStored(spark, posP,
+      Seq("omega", "alpha")))
+    assert(direct == Set((3L, 1L, 0)), s"fixture: $direct")
+    // df knows nothing of 'omega' (df=0) — the bounded path must match
+    // the exact result, not return empty
+    assert(rows(PostingsIndex.phraseFromStoredBounded(spark, posP,
+      Seq("omega", "alpha"), dfP)) == direct)
+    // known-term phrases keep the bounded fast path exact too
+    assert(rows(PostingsIndex.phraseFromStoredBounded(spark, posP,
+        Seq("alpha", "beta"), dfP)) ==
+      rows(PostingsIndex.phraseFromStored(spark, posP, Seq("alpha", "beta"))))
   }
 
   test("the live positional sink maintains phrase serving across micro-batches with compaction") {

@@ -472,6 +472,46 @@ class PostingsIndexSpec extends SparkSpec {
     }
   }
 
+  test("a fully-pinned df-cut read fails fast once its marker is pruned, never drifts to live") {
+    // r12 ADVICE: recordPair prunes markers beyond PairsKept; a fully
+    // pinned (tfVersion, dlVersion) read with the df cut active used to
+    // resolve df from those markers and SILENTLY fall back to the LIVE
+    // df summary once the marker was gone — the pinned read's
+    // stopword-cut decision then drifted with corpus growth, the exact
+    // drift the marker exists to prevent. It must throw instead
+    // (mirroring the one-sided partnerOf), and an explicit dfVersion
+    // must still serve.
+    val dir = java.nio.file.Files.createTempDirectory("tf-dfprune").toString
+    val (tfP, dlP, dfP) = (s"$dir/tf", s"$dir/dl", s"$dir/df")
+    // the plain doc keeps df("join") = 2/3 under the 0.9 cut
+    val b0 = Seq((1L, "join filter a"), (2L, "join b"), (3L, "plain c"))
+      .toDF("doc_id", "text")
+    PostingsIndex.tfIndexBatch(b0, 0, tfP, dlP, snapshots = true,
+      dfPath = Some(dfP))
+    val v0 = PostingsIndex.latestConsistentVersions(spark, tfP).get
+    def run(dfV: Option[Long]) =
+      PostingsIndex.bm25FromStored(spark, tfP, dlP, Seq("join"),
+        tfVersion = Some(v0._1), dlVersion = Some(v0._2),
+        dfPath = Some(dfP), maxDfFrac = Some(0.9), dfVersion = dfV)
+        .collect().map(_.getLong(0)).toSet
+    val pinned = run(None)
+    assert(pinned == Set(1L, 2L))
+    // simulate the PairsKept prune: delete v0's marker file
+    val pairs = new org.apache.hadoop.fs.Path(s"$tfP/_pairs")
+    val fs = pairs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = s"v${v0._1}-${v0._2}" + v0._3.map(v => s"-$v").getOrElse("")
+    assert(fs.delete(new org.apache.hadoop.fs.Path(pairs, name), false),
+      s"fixture bug: marker $name not found to delete")
+    intercept[IllegalArgumentException] { run(None) }
+    // the pin still serves when the caller spells the df version
+    assert(run(v0._3) == pinned)
+    // and WITHOUT the df cut the marker-less pin keeps working (no df
+    // decision to drift)
+    assert(PostingsIndex.bm25FromStored(spark, tfP, dlP, Seq("join"),
+        tfVersion = Some(v0._1), dlVersion = Some(v0._2))
+      .collect().map(_.getLong(0)).toSet == pinned)
+  }
+
   test("a new stream over a compacted index fails fast instead of losing batches") {
     // the lineage contract: the watermark skip is only safe for a TRUE
     // replay. A sink records its checkpoint in _lineage; a different
