@@ -511,6 +511,32 @@ object PipelineQueries {
     pageRankQ(s, d)
       .orderBy(round(col("rank"), 6).desc, col("doc_id").asc).limit(20)
 
+  /** The INCREMENTALLY-MAINTAINED twin of `q_pagerank` (the
+    * `q_dsir_incr` discipline on the graph family): the pair set
+    * arrives as three hash-split batches, each appending a pair shard
+    * ([[graft.functions.GraphRank.pairsAppend]] — `_SUCCESS`-claimed,
+    * replay-idempotent, torn shards healed); the rank derives at read
+    * over the shard union ([[graft.functions.GraphRank.pageRankFromPairs]]).
+    * Each shard holds a disjoint slice of the pair set (hash of doc_a),
+    * so the union IS the batch pair set and the row shares
+    * `q_pagerank`'s exact oracle SQL — online edge maintenance ≡ batch
+    * recompute, and serving reads fixed-width stored pairs instead of
+    * re-mining the minhash stack. */
+  def pageRankIncrQ(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(
+        s"princr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      val pairs = Dedup.minhashPairs(documents(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try for (b <- 0L until 3L)
+        graft.functions.GraphRank.pairsAppend(
+          pairs.where(TA.hashBucket(col("doc_a"), 3) === b),
+          "doc_a", "doc_b", dir, b)
+      finally pairs.unpersist()
+    }
+    graft.functions.GraphRank.pageRankFromPairs(s, dir)
+      .select(col("node").as("doc_id"), col("rank"))
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     * the standard K=60 form) of the keyword ranking (BM25 over
     * [[Bm25Terms]]) and the vector ranking (exact cosine vs query
@@ -1514,6 +1540,7 @@ object PipelineQueries {
     "q_minhash_pairs"  -> (minhashPairs _),
     "q_pagerank"       -> (pageRankQ _),
     "q_pagerank_topk"  -> (pageRankTopKQ _),
+    "q_pagerank_incr"  -> (pageRankIncrQ _),
     "q_hybrid_rrf"     -> (hybridRrfQ _),
     "q_hybrid_rrf_stored" -> (hybridRrfStoredQ _),
     "q_substr_spans"   -> (substrSpansQ _),
@@ -2173,6 +2200,10 @@ object PipelineQueries {
       s"""SELECT * FROM (${graft.functions.GraphRank.pageRankOracleSql(
              Dedup.minhashPairsOracleSql())}) pr
          |ORDER BY round(rank, 6) DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // the shard union IS the batch pair set (disjoint hash slices), so
+    // incremental edge maintenance shares the exact recompute oracle
+    "q_pagerank_incr" ->
+      graft.functions.GraphRank.pageRankOracleSql(Dedup.minhashPairsOracleSql()),
     "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
     // the winnow CTE self-joined on fingerprint: docs sharing >= 2
     "q_winnow_pairs" ->

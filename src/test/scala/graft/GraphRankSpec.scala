@@ -81,4 +81,46 @@ class GraphRankSpec extends SparkSpec {
     assert(r1 != r8)
     assert(math.abs(refRanks(pairs, 1)(3L) - r1(3L)) < 1e-12)
   }
+
+  test("incremental pair shards: rank over the union equals a batch recompute; replay and torn shards heal") {
+    // the q_cms_incr/q_dsir_incr maintenance discipline on the graph
+    // family: pairsAppend claims batch-named shards under _SUCCESS,
+    // pageRankFromPairs derives the rank at read over the union
+    val dir = java.nio.file.Files.createTempDirectory("pr-incr").toString
+    val all = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L,
+                  5L -> 6L, 6L -> 7L, 5L -> 7L, 7L -> 8L, 2L -> 5L)
+    val batches = all.grouped(4).toSeq // 3 disjoint pair slices
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(GraphRank.pairsAppend(b.toDF("a", "b"), "a", "b", dir, i))
+    }
+    def fromShards(): Map[Long, Double] =
+      GraphRank.pageRankFromPairs(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val incr = fromShards()
+    val batch = ranks(all)
+    assert(incr.keySet == batch.keySet)
+    // same pair set, same fixed iteration — only partial-aggregation
+    // order can differ, far inside the serving cut's 6-decimal rounding
+    incr.foreach { case (k, v) =>
+      assert(math.abs(v - batch(k)) < 1e-12, s"node $k: $v vs ${batch(k)}")
+    }
+    // REPLAY: re-appending an existing batch id returns false and
+    // changes nothing (no duplicated edges, no rank drift)
+    assert(!GraphRank.pairsAppend(batches(1).toDF("a", "b"), "a", "b", dir, 1))
+    assert(fromShards() == incr)
+    // TORN SHARD: a writer that died mid-commit left the dir without
+    // _SUCCESS — the next append claims and rewrites it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/pairs/batch=2/_SUCCESS"), false))
+    assert(GraphRank.pairsAppend(batches(2).toDF("a", "b"), "a", "b", dir, 2),
+      "a torn shard must be claimable")
+    assert(fromShards() == incr)
+    // a NEW batch of edges shifts the ranks — maintenance is live
+    assert(GraphRank.pairsAppend(Seq(8L -> 9L).toDF("a", "b"), "a", "b", dir, 3))
+    val grown = fromShards()
+    assert(grown.keySet == incr.keySet + 9L)
+    assert(grown != incr)
+  }
 }
