@@ -586,6 +586,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("logw"))
   }
 
+  /** The model as a driver array for the STATELESS in-row scorer
+    * ([[dsirScoreInRow]]): `lr(b)` is bucket `b`'s log-ratio. The model
+    * is a complete residue table by construction ([[dsirModel]] /
+    * [[dsirModelFromCounts]]), so the array is dense — B doubles of
+    * bounded metadata, the BestCosine bench-matrix discipline. */
+  def dsirModelArray(model: org.apache.spark.sql.DataFrame): Array[Double] = {
+    import org.apache.spark.sql.functions.col
+    val rows = model.select(col("b"), col("lr")).collect()
+    val lr = new Array[Double](rows.length)
+    rows.foreach(r => lr(r.getLong(0).toInt) = r.getDouble(1))
+    lr
+  }
+
+  /** Per-ROW DSIR importance score against a DRIVER-LITERAL model — the
+    * streaming-gate form of [[dsirScoreWith]]: the same 2k−1 in-row
+    * feature construction ([[dsirFeatures]]' tokens ++ adjacent
+    * bigrams), each feature's log-ratio looked up in the B-double model
+    * literal, summed by an in-row left fold. No explode, no join, no
+    * per-doc aggregation shuffle — a pure projection, which is what
+    * lets an ingest gate apply the importance rule per micro-batch row
+    * with zero state. Same feature multiset and same addends as the
+    * batch scorer; only the summation ORDER can differ (left fold vs
+    * partial-aggregate merge), bounded by the usual ~1e-15 noise a
+    * threshold away from a tie never sees. */
+  def dsirScoreInRow(text: Column, lr: Array[Double]): Column = {
+    require(lr.nonEmpty, "dsirScoreInRow needs a non-empty model")
+    val tk = tokens(text)
+    val bigrams = when(size(tk) >= 2,
+        transform(sequence(lit(0), size(tk) - 2),
+          i => concat_ws(" ", slice(tk, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val model = array(lr.map(lit): _*)
+    aggregate(
+      transform(concat(tk, bigrams),
+        f => element_at(model, (Md5Long60(f) % lr.length).cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
   /** Per-group distribution DRIFT report: KL(p_group ‖ p_corpus) over
     * the hashed unigram+bigram feature buckets — the mixture-monitoring
     * number a 100 TB pipeline tracks per source/crawl-snapshot to catch

@@ -85,12 +85,31 @@ object Serving {
         sum("value").as("sum_value"),
         avg("value").as("avg_value"))
 
+  /** The `window()` OPERATOR itself, batch-oracled (r12 VERDICT item 7):
+    * [[hourlyRollup]] proxies the streaming rollup through `date_trunc`,
+    * but the engine extension §2.8 actually ships —
+    * [[graft.streaming.EventStream.windowedCounts]] — groups by Spark's
+    * tumbling `window(ts, len)` struct, whose epoch-aligned start/END
+    * arithmetic `date_trunc` cannot spell at sub-hour widths. This is
+    * that exact expression on the same batch frame (15-minute bars from
+    * the event fixture, both window bounds projected), oracled against
+    * DuckDB's `time_bucket` — so the window semantics themselves, not
+    * just an hourly proxy, carry an oracle row. */
+  def eventWindow(df: DataFrame, windowLen: String = "15 minutes"): DataFrame =
+    df.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("value").as("sum_value"),
+        avg("value").as("avg_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"), col("avg_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_api_olhc"    -> ((s, d) => olhcWindow(events(s, d), 7L, "2024-01-15 00:00:00")),
     "q_api_latest"  -> ((s, d) => latest(events(s, d), 7L)),
     "q_api_recent"  -> ((s, d) => recentGlobal(events(s, d), 6)),
     "q_api_history" -> ((s, d) => history(events(s, d), 3L, 2000)),
-    "q_stream_hourly" -> ((s, d) => hourlyRollup(events(s, d))))
+    "q_stream_hourly" -> ((s, d) => hourlyRollup(events(s, d))),
+    "q_event_window" -> ((s, d) => eventWindow(events(s, d))))
 
   val oracle: Map[String, String] = Map(
     "q_api_olhc" ->
@@ -108,5 +127,16 @@ object Serving {
     "q_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, sum(value) AS sum_value, avg(value) AS avg_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // time_bucket with an epoch origin replays Spark's epoch-aligned
+    // tumbling windows exactly (both default to origin-aligned buckets
+    // at sub-day widths; the origin is spelled to keep that explicit)
+    "q_event_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts,
+        |         TIMESTAMP '1970-01-01 00:00:00') AS w_start,
+        |       time_bucket(INTERVAL '15 minutes', ts,
+        |         TIMESTAMP '1970-01-01 00:00:00') + INTERVAL '15 minutes' AS w_end,
+        |       event_type, count(*) AS n,
+        |       sum(value) AS sum_value, avg(value) AS avg_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin)
 }

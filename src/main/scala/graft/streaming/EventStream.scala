@@ -99,4 +99,35 @@ object EventStream {
       graft.functions.BestCosine(col(vecCol), benchMatrix).getField("cos")
         < minCos,
       lit(true)))
+
+  /** Ingest-time DSIR importance gate — the streaming form of the batch
+    * `q_dsir_select` cut (r12 VERDICT item 5): admit a document iff its
+    * importance score against the trained model reaches `minLogw`. The
+    * model rides as a B-double driver literal
+    * ([[graft.functions.TextAnalysis.dsirModelArray]] over the stored
+    * ([[graft.functions.TextAnalysis.dsirModel]] → `q_dsir_stored`) or
+    * incrementally-maintained
+    * ([[graft.functions.TextAnalysis.dsirModelFromCounts]] →
+    * `q_dsir_incr`) table), and scoring is the fused per-row fold
+    * [[graft.functions.TextAnalysis.dsirScoreInRow]] — STATELESS by
+    * construction (no explode, no join, no per-doc aggregation), so the
+    * gate composes with any downstream stage without watermark
+    * coupling, the [[semGateDocStream]] discipline. Admit semantics are
+    * the batch scorer's thresholded logw ([[graft.StreamingSpec]] pins
+    * stream ≡ batch admit parity); NULL text carries no evidence either
+    * way and is DROPPED — an importance sampler admits on positive
+    * evidence, the dual of the decontamination gates' drop-on-evidence.
+    *
+    * Thresholds, not ranks: the batch cut serves "top-100 by logw",
+    * which a stream cannot evaluate (rank is corpus-global); a live
+    * gate pins the logw VALUE at the batch cut's boundary — recalibrate
+    * it when the model retrains, exactly like any drift-managed
+    * acceptance threshold. */
+  def dsirGateDocStream(docs: DataFrame, lr: Array[Double],
+                        minLogw: Double,
+                        textCol: String = "text"): DataFrame =
+    docs.where(coalesce(
+      graft.functions.TextAnalysis.dsirScoreInRow(col(textCol), lr)
+        >= minLogw,
+      lit(false)))
 }

@@ -1354,4 +1354,47 @@ class StreamingSpec extends SparkSpec {
       Array.empty[Array[Double]])
     assert(all.count() == 1)
   }
+
+  test("dsirGateDocStream: stateless importance gate matches the batch admit rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val TA = graft.functions.TextAnalysis
+    // train on the fixture: target = English docs, source = the rest —
+    // the exact q_dsir_weights model
+    val docs = Tables.documents(spark, sf0001)
+    val model = TA.dsirModel(docs, "doc_id", "text", col("lang") === "en")
+    val lr = TA.dsirModelArray(model)
+    assert(lr.length == 1024)
+    // batch scores over the SOURCE pool (the q_dsir_select population);
+    // threshold at the median logw so both admit and drop are populated
+    // and no score sits at the boundary
+    val batch = TA.dsirScoreWith(docs.where(col("lang") =!= "en"),
+        "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sorted = batch.values.toSeq.sorted
+    val thr = {
+      val m = sorted(sorted.length / 2)
+      val below = sorted.filter(_ < m).lastOption.getOrElse(m - 1.0)
+      (m + below) / 2 // mid-gap: summation-order noise cannot flip a row
+    }
+    val wantAdmit = batch.filter(_._2 >= thr).keySet
+    assert(wantAdmit.nonEmpty && wantAdmit.size < batch.size,
+      s"fixture must populate both sides of the cut: ${wantAdmit.size}/${batch.size}")
+    val rows = docs.where(col("lang") =!= "en")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.dsirGateDocStream(
+        mem.toDF().toDF("doc_id", "text"), lr, thr)
+      .writeStream.format("memory").queryName("dsirgated")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    mem.addData((999999L, null: String)) // no evidence → dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dsirgated").collect().map(_.getLong(0)).toSet
+    assert(got == wantAdmit,
+      s"stream admit diverged from batch: extra=${got -- wantAdmit} " +
+        s"missing=${wantAdmit -- got}")
+  }
 }
