@@ -331,6 +331,33 @@ object TextAnalysis {
       .join(broadcast(scal)), col("tf"), k1, b)
   }
 
+  /** [[bm25FromIndex]] with the per-term document frequencies SUPPLIED
+    * instead of recomputed from the scanned slice — the scorer a
+    * BLOCK-PRUNED read needs ([[graft.streaming.PostingsIndex
+    * .searchBm25Wand]]): when the tf scan is restricted to surviving
+    * doc blocks, counting rows per token would understate df and
+    * inflate idf, so the GLOBAL df (from the sidecar the pruning
+    * decision already read) joins in as a bounded literal frame
+    * (token, doc_freq). Same [[bm25ScoreJoined]] tail, so supplied-df
+    * scores are bit-identical to recomputed-df scores whenever the df
+    * values match. `dl` must remain the FULL sidecar — (N, avgdl) are
+    * corpus constants, never block-local. */
+  def bm25FromIndexGivenDf(tf: org.apache.spark.sql.DataFrame,
+                           dl: org.apache.spark.sql.DataFrame,
+                           terms: Seq[String],
+                           dfreq: org.apache.spark.sql.DataFrame,
+                           k1: Double = 1.2,
+                           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count}
+    val qtf = tf.where(col("token").isin(terms: _*))
+    val scal = dl.agg(count(lit(1)).cast("double").as("nd"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    bm25ScoreJoined(qtf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "token")
+      .join(broadcast(scal)), col("tf"), k1, b)
+  }
+
   /** TF-IDF served purely FROM THE STORED INDEX — the [[bm25FromIndex]]
     * discipline applied to the other corpus-statistics scorer: `tf` is
     * [[tfPostings]]' (token, doc_id, tf) table, `dl` the (doc_id, dl)

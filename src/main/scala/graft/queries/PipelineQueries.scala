@@ -144,6 +144,26 @@ object PipelineQueries {
   def bm25TopKStoredQ(s: SparkSession, d: String): DataFrame =
     bm25StoredQ(s, d).orderBy(col("bm25").desc, col("doc_id").asc).limit(20)
 
+  /** Block-max (WAND-lite) BM25 top-k
+    * ([[graft.streaming.PostingsIndex.searchBm25Wand]]) — EXACT
+    * impact-ordered early termination: the (tbucket, dblock) layout +
+    * block-max sidecar let the top-k scorer skip whole doc-block
+    * partition dirs whose score upper bound cannot reach the seed
+    * block's k-th score. Exact by construction (a doc lives entirely
+    * inside one block), so it shares `q_bm25_topk`'s oracle SQL;
+    * on this fixture's near-uniform tf the prune keeps most blocks —
+    * the file-level shrink is pinned on a planted skewed corpus in
+    * `PostingsIndexSpec`, the honest split (pruning POWER is
+    * distribution-dependent; pruning CORRECTNESS is not). */
+  def bm25WandQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
+    val wdir = cachedArtifacts(
+        s"wand:$d:${corpusFingerprintOf(s, d, "documents")}")(
+      graft.streaming.PostingsIndex.wandLayoutFrom(s, s"$dir/tf", _, span = 64L))
+    graft.streaming.PostingsIndex.searchBm25Wand(
+      s, wdir, s"$dir/dl", Bm25Terms, 20)
+  }
+
   /** TF-IDF served from the PERSISTED artifacts — the stored twin of
     * `q_tfidf_index` (which builds tf/dl in-plan): the same
     * [[TA.tfidfFromIndex]] scorer over the parquet tables
@@ -1518,6 +1538,7 @@ object PipelineQueries {
     "q_bm25_topk"      -> (bm25TopKQ _),
     "q_bm25_stored"    -> (bm25StoredQ _),
     "q_bm25_topk_stored" -> (bm25TopKStoredQ _),
+    "q_bm25_wand"      -> (bm25WandQ _),
     "q_bm25_df_bounded" -> (bm25DfBoundedQ _),
     "q_bm25_serve"     -> (bm25ServeQ _),
     "q_tfidf_stored"   -> (tfidfStoredQ _),
@@ -1931,6 +1952,11 @@ object PipelineQueries {
     // the stored-artifact serving cut must return the SAME top-k as the
     // corpus-recomputed one — the SAME oracle SQL pins it to q_bm25_topk
     "q_bm25_topk_stored" ->
+      s"""SELECT * FROM ($Bm25Sql)
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // block-max pruning is EXACT (skipped blocks provably cannot reach
+    // the k-th score), so the WAND row pins to the same full top-k SQL
+    "q_bm25_wand" ->
       s"""SELECT * FROM ($Bm25Sql)
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // RRF: both rank windows order by the ROUNDED score then id (the

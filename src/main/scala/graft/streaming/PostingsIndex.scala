@@ -771,6 +771,154 @@ object PostingsIndex {
       tfVersion, dlVersion, dfPath, maxDfFrac, dfVersion)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
 
+  // ---- block-max (WAND-lite) serving layout ------------------------
+
+  /** Doc-RANGE block id: `floor(doc_id / span)`. Ranges, not hashes,
+    * because block pruning only bites when per-block maxima DIFFER —
+    * and real corpora are skewed along insertion order (a template
+    * flood lands in one crawl window, a hot topic in one snapshot),
+    * which ranges preserve and a uniform hash would deliberately
+    * destroy. The block is a pure function of doc_id, so every term's
+    * postings for one document land in the SAME block — the property
+    * that makes skipping a block exact (a skipped doc loses ALL its
+    * contributions, never some). */
+  def docBlock(docId: org.apache.spark.sql.Column, span: Long): org.apache.spark.sql.Column =
+    floor(docId / span).cast("long")
+
+  /** ONE-TIME WAND layout derivation over the stored tf artifact — the
+    * impact-metadata answer to "a top-k over several mid-df terms still
+    * scores every posting of every surviving term" (r12 VERDICT item
+    * 4): rewrite the tf table partitioned by (tbucket, dblock) and
+    * write the BLOCK-MAX sidecar (token, tbucket, dblock, max_tf, df) —
+    * the per-(term, doc-block) score-bound metadata of block-max WAND
+    * (Ding & Suel 2011), columnar-translated: Lucene's skip pointers
+    * become partition dirs, the block max becomes a sidecar row. A
+    * maintenance-window op like compaction/z-ordering (run it after
+    * compaction cadences; readers of the OLD layout are unaffected —
+    * this writes a separate serving dir). Scale shape: one shuffle of
+    * the tf table into the two-level layout; the sidecar is
+    * vocab × blocks rows, bucket-partitioned like the df summary.
+    * `span` is the block-size knob: serving collects (query terms ×
+    * blocks) sidecar rows, so size it to keep corpus/span in the
+    * thousands at target scale. */
+  def wandLayoutFrom(spark: SparkSession, tfPath: String, wandPath: String,
+                     span: Long = 64L,
+                     version: Option[Long] = None): Unit = {
+    require(span >= 1, s"span=$span must be positive")
+    val tf = readTfIndex(spark, tfPath, version)
+      .withColumn("tbucket",
+        coalesce(col("tbucket"), tokenBucket(col("token"))))
+      .withColumn("dblock", docBlock(col("doc_id"), span))
+    tf.write.partitionBy("tbucket", "dblock").mode("overwrite")
+      .parquet(s"$wandPath/tf")
+    tf.groupBy("token", "tbucket", "dblock")
+      .agg(max(col("tf")).as("max_tf"), count(lit(1)).as("df"))
+      .write.partitionBy("tbucket").mode("overwrite")
+      .parquet(s"$wandPath/bm")
+  }
+
+  /** BM25 top-k with BLOCK-MAX pruning — exact WAND-lite over the
+    * [[wandLayoutFrom]] layout, two phases:
+    *
+    *  1. SEED: the block-max sidecar rows of the query terms (a
+    *     (terms × blocks)-row bucket-pruned collect) give each block an
+    *     upper bound on any resident doc's FULL score —
+    *     `Σ_t idf(t) · saturation(max_tf(t, blk))` with the dl→0 bound
+    *     on the length normalizer (every real contrib is ≤ it). The
+    *     highest-bound block alone is scored exactly; its k-th score
+    *     seeds the threshold θ.
+    *  2. PRUNE + SCORE: blocks whose bound is strictly below θ are
+    *     SKIPPED — at the FILE level, since `dblock` is a partition
+    *     dir — and the surviving blocks are scored exactly
+    *     ([[TextAnalysis.bm25FromIndexGivenDf]]: global df from the
+    *     sidecar, full dl sidecar for N/avgdl), top-k cut last.
+    *
+    * EXACT by construction, not score-deviating like the df cut: a doc
+    * lives entirely inside one block ([[docBlock]]), so a skipped doc's
+    * whole score is ≤ its block's bound < θ ≤ the true k-th score —
+    * it cannot enter the top-k under any tie-break. The θ comparison
+    * inflates the bound by 1 ulp-scale margin so driver-vs-executor
+    * double noise can only KEEP a block, never skip one wrongly.
+    * Shares `q_bm25_topk`'s oracle SQL (`q_bm25_wand`);
+    * [[graft.PostingsIndexSpec]] pins the file-level shrink on a
+    * planted mid-df query. */
+  def searchBm25Wand(spark: SparkSession, wandPath: String, dlPath: String,
+                     terms: Seq[String], k: Int, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(k >= 1, "top-k needs k >= 1")
+    val (keptBlocks, score) = wandPlan(spark, wandPath, dlPath, terms, k, k1, b)
+    score(keptBlocks)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** The pruning decision + block scorer behind [[searchBm25Wand]],
+    * split out so the spec can assert WHICH blocks survived. Returns
+    * (surviving block ids, scorer over a block set). */
+  private[graft] def wandPlan(spark: SparkSession, wandPath: String,
+                              dlPath: String, terms: Seq[String], k: Int,
+                              k1: Double, b: Double)
+      : (Seq[Long], Seq[Long] => DataFrame) = {
+    import spark.implicits._
+    val distinctTerms = terms.distinct
+    val buckets: Seq[Integer] = distinctTerms.map(tokenBucketLocal)
+      .toSet.toSeq.map((b: Int) => Integer.valueOf(b))
+    val dl = readUnionShards(spark, dlPath)
+    val bmRows = spark.read.parquet(s"$wandPath/bm")
+      .where(col("tbucket").isin(buckets: _*) &&
+        col("token").isin(distinctTerms: _*))
+      .select(col("token"), col("dblock").cast("long"),
+        col("max_tf").cast("long"), col("df").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // global df per term = Σ over its blocks (sidecar rows partition the
+    // posting list); the scorer needs these as a literal frame
+    val dfGlobal: Map[String, Long] =
+      bmRows.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._4).sum }
+    val dfreq = dfGlobal.toSeq.toDF("token", "doc_freq")
+    def score(blocks: Seq[Long]): DataFrame =
+      TextAnalysis.bm25FromIndexGivenDf(
+        spark.read.parquet(s"$wandPath/tf")
+          .where(col("tbucket").isin(buckets: _*) &&
+            col("dblock").isin(blocks.map(java.lang.Long.valueOf): _*))
+          .drop("tbucket", "dblock"),
+        dl, distinctTerms, dfreq, k1, b)
+    if (bmRows.isEmpty)
+      // no query term exists in the index: exact empty result
+      return (Seq.empty,
+        _ => dl.select(col("doc_id")).limit(0)
+          .withColumn("bm25", lit(0.0)).withColumn("n_hits", lit(0L)))
+    // driver copies of (N, avgdl) for the BOUND only — the exact scorer
+    // keeps its own in-plan broadcast row, so scores never depend on
+    // these driver doubles
+    val Array(nd, _) = dl
+      .agg(count(lit(1)).cast("double"), avg(col("dl").cast("double")))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    def idf(dfT: Long) = math.log(1.0 + (nd - dfT + 0.5) / (dfT + 0.5))
+    // dl→0 bound on the saturation: contrib(tf, dl) is increasing in tf
+    // and decreasing in dl, so max_tf with the k1(1−b) floor dominates
+    def ub(maxTf: Long, dfT: Long): Double =
+      idf(dfT) * (maxTf * (k1 + 1)) / (maxTf + k1 * (1 - b))
+    val ubScore: Map[Long, Double] = bmRows
+      .groupBy(_._2)
+      .map { case (blk, rs) =>
+        blk -> rs.map { case (t, _, maxTf, _) => ub(maxTf, dfGlobal(t)) }.sum
+      }
+    val ordered = ubScore.toSeq.sortBy { case (blk, s) => (-s, blk) }
+    // phase 1: exact scores of the top-bound block seed θ
+    val seed = score(Seq(ordered.head._1))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+      .select(col("bm25")).collect().map(_.getDouble(0))
+    val theta =
+      if (seed.length < k) Double.NegativeInfinity else seed.min
+    // keep any block whose bound could reach θ; the epsilon inflation
+    // makes driver-double noise err toward KEEPING
+    val kept = ordered.collect {
+      case (blk, s) if s * (1 + 1e-9) + 1e-12 >= theta => blk
+    }
+    (kept, score)
+  }
+
   /** Serving read for the union-merged shard tables (tf / doc-lengths):
     * all live shards, version-pinnable under [[Snapshot]] manifests. */
   def readUnionShards(spark: SparkSession, root: String,

@@ -209,6 +209,8 @@ class PlanQualitySpec extends SparkSpec {
       "q_bm25_topk_stored", // the stored scalar under the TakeOrdered cut
       "q_bm25_df_bounded", // the same stored scalar, df-cut term set
       "q_bm25_serve",  // the endpoint composition of the same scalar
+      "q_bm25_wand",   // the same (N, avgdl) scalar attach over the
+                       // block-pruned scan (df joins by token, never BNLJ)
       "q_tfidf_index", // the N single-row scalar, served from the dl sidecar
       "q_tfidf_stored", // the same scalar over the persisted artifacts
       "q_hybrid_rrf",  // bm25 scalar attach + one-row query-vector cross

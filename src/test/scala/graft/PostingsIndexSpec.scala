@@ -512,6 +512,69 @@ class PostingsIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == pinned)
   }
 
+  test("block-max WAND: planted skew prunes whole doc-block files; top-k stays exact") {
+    // a mid-df query over a skewed corpus — the shape the plain stored
+    // top-k scores in full: docs 0-49 (block 0) carry tf=12 of 'mid',
+    // the other blocks only tf=1, so block 0's k-th exact score exceeds
+    // every other block's upper bound and they are skipped AT FILE
+    // LEVEL (dblock partition dirs)
+    val dir = java.nio.file.Files.createTempDirectory("wand").toString
+    val (tfP, dlP, wP) = (s"$dir/tf", s"$dir/dl", s"$dir/wand")
+    val docs = (0L until 200L).map { i =>
+      val text =
+        if (i < 50) ("mid " * 12) + "common"
+        else if (i % 2 == 0) "mid common pad pad"
+        else "common pad pad pad"
+      (i, text)
+    }.toDF("doc_id", "text")
+    PostingsIndex.tfIndexBatch(docs, 0, tfP, dlP)
+    PostingsIndex.wandLayoutFrom(spark, tfP, wP, span = 50L)
+    val terms = Seq("mid", "common")
+    val k = 10
+    val (kept, _) = PostingsIndex.wandPlan(spark, wP, dlP, terms, k, 1.2, 0.75)
+    assert(kept == Seq(0L),
+      s"the planted skew must prune blocks 1-3 after seeding on block 0: $kept")
+    // FILE-level evidence: the block filter shrinks the SCANNED file
+    // set beyond what term-bucket pruning alone achieves — measured on
+    // the executed scan's numFiles metric (DataFrame.inputFiles ignores
+    // filters, so it cannot witness partition pruning)
+    val buckets = terms.map(PostingsIndex.tokenBucketLocal)
+      .toSet.toSeq.map((b: Int) => Integer.valueOf(b))
+    def files(blockFilter: Boolean): Long = {
+      import org.apache.spark.sql.functions.col
+      val base = spark.read.parquet(s"$wP/tf")
+        .where(col("tbucket").isin(buckets: _*))
+      val df = if (blockFilter)
+        base.where(col("dblock").isin(kept.map(java.lang.Long.valueOf): _*))
+      else base
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    assert(files(blockFilter = true) < files(blockFilter = false),
+      s"block pruning must shrink the file set: ${files(true)} vs ${files(false)}")
+    // EXACT: the pruned top-k equals the corpus-recomputed top-k,
+    // scores included
+    val wand = PostingsIndex.searchBm25Wand(spark, wP, dlP, terms, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    import org.apache.spark.sql.functions.col
+    val full = graft.functions.TextAnalysis.bm25(docs, "doc_id", "text", terms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(wand.map(_._1).toSeq == full.map(_._1).toSeq,
+      s"pruned top-k ids diverged:\n${wand.toSeq}\nvs\n${full.toSeq}")
+    wand.zip(full).foreach { case ((id, w), (_, f)) =>
+      assert(math.abs(w - f) < 1e-9, s"doc $id: $w vs $f")
+    }
+    // uniform corpora are the null case: pruning keeps blocks, result
+    // identical to the unpruned stored path (the q_bm25_wand oracle row
+    // pins this on the fixture) — and an absent term yields empty
+    assert(PostingsIndex.searchBm25Wand(spark, wP, dlP,
+      Seq("never-seen"), k).collect().isEmpty)
+  }
+
   test("a new stream over a compacted index fails fast instead of losing batches") {
     // the lineage contract: the watermark skip is only safe for a TRUE
     // replay. A sink records its checkpoint in _lineage; a different
