@@ -868,6 +868,74 @@ object AnnRecallProbe {
   }
 }
 
+/** Cost-and-recall evidence for the r13 PRODUCTION ANN defaults
+  * (docs/SCALE.md): the dense codebook (m=8/ks=16 —
+  * [[Similarity.DefaultM]]/[[Similarity.DefaultKs]]) + normalize-at-
+  * index-time + candidate-proportional AUTO rerank shortlist, measured
+  * at 100k vectors (50× the recall probe's corpus) on the same
+  * deterministic diverse-direction generator as the self-sweep probe.
+  * Reports build time, per-query stored-probe latency (ADC and
+  * auto-shortlist rerank), the resolved shortlist, and recall@10 vs
+  * exact cosine — so the default configuration's cost story is
+  * measured, not asserted. nlist scales with the corpus (256 here, the
+  * semdedup/ann_join probes' discipline); m/ks stay the shipped
+  * defaults. `sbt "runMain graft.AnnDenseProbe [n]"`. */
+object AnnDenseProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dim = 64
+    val nlist = 256
+    val emb = spark.range(n).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(1), lit(dim)),
+        j => sin(col("vec_id") * j.cast("double") * 0.7321)).as("embedding"))
+      .repartition(16).cache()
+    emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("ann-dense").toString
+    val t0 = System.nanoTime()
+    // the call a production pipeline makes: ALL codebook defaults
+    // (dense m=8/ks=16), cosine-faithful geometry
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      nlist = nlist, normalize = true)
+    println(f"[scale] ann_dense build @$n nlist=$nlist m/ks=default: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val k = 10
+    val qids = 0L until 10L
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val exact = qids.map(q => q -> ids(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k))).toMap
+    for (np <- Seq(4, 8, 16)) {
+      val sl = Similarity.rerankShortlist(n, nlist, np, k)
+      def timeAvg(f: Long => org.apache.spark.sql.DataFrame): (Double, Double) = {
+        var secs = 0.0; var rec = 0.0
+        qids.foreach { q =>
+          val s0 = System.nanoTime()
+          val got = ids(f(q))
+          secs += (System.nanoTime() - s0) / 1e9
+          rec += got.intersect(exact(q)).size / k.toDouble
+        }
+        (secs / qids.length, rec / qids.length)
+      }
+      val (adcS, adcR) = timeAvg(q => Similarity.ivfPqProbeFromDir(
+        emb, "vec_id", "embedding", dir, q, k, nprobe = np))
+      // default AUTO shortlist — resolved inside the call
+      val (rrS, rrR) = timeAvg(q => Similarity.ivfPqRerankFromDir(
+        emb, "vec_id", "embedding", dir, q, k, nprobe = np))
+      println(f"[scale] ann_dense @$n nprobe=$np (scan ~${np.toDouble / nlist}%.3f, " +
+        f"auto shortlist=$sl): adc $adcS%.2f s recall@10=$adcR%.2f; " +
+        f"rerank(auto) $rrS%.2f s recall@10=$rrR%.2f")
+    }
+    spark.stop()
+  }
+}
+
 /** Stopword-bound evidence for the stored BM25 scorer (docs/SCALE.md):
   * tf/dl/df artifacts over a factor×-replicated corpus whose every doc
   * carries a planted stopword; the same two-term query served
