@@ -651,6 +651,70 @@ object TextAnalysis {
       lit(0.0), (acc, x) => acc + x)
   }
 
+  /** MULTICLASS NAIVE BAYES text classifier — the deterministic,
+    * fully-reproducible stand-in for the FastText-style quality/domain/
+    * language classifiers every large-scale curation pipeline trains
+    * (CCNet, RefinedWeb, DCLM all gate on one): the SAME hashed
+    * unigram+bigram feature space as DSIR ([[dsirFeatures]] — NB over
+    * hashed multinomials is exactly DSIR generalized from 2 classes to
+    * C), add-`alpha` smoothed per-class bucket likelihoods plus
+    * doc-count log-priors. Counts-based, so training is two bounded
+    * aggregations (classes × buckets and classes rows) and the model is
+    * oracle-replayable to the bit.
+    *
+    * Returns the COMPLETE (label, b) grid — every class has all
+    * `buckets` rows (unseen buckets carry pure smoothing mass), so a
+    * persisted model scores documents whose features never occurred in
+    * training. C×B rows — broadcast-scale. */
+  def nbModel(docs: org.apache.spark.sql.DataFrame, id: String,
+              text: String, label: String, buckets: Int = 1024,
+              alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count}
+    val feats = dsirFeatures(docs.withColumn("__c", col(label)), id, text,
+      buckets, carry = Seq("__c"))
+    val cnt = feats.groupBy("__c", "b").agg(count(lit(1)).as("cnt"))
+    val tot = feats.groupBy("__c").agg(count(lit(1)).as("tot"))
+    val prior = docs.groupBy(col(label).as("__c"))
+      .agg(count(lit(1)).as("ndocs"))
+    val nAll = docs.agg(count(lit(1)).as("n"))
+    prior.select(col("__c"))
+      .crossJoin(docs.sparkSession.range(buckets).toDF("b"))
+      .join(cnt, Seq("__c", "b"), "left")
+      .join(tot, Seq("__c")).join(prior, Seq("__c"))
+      .crossJoin(broadcast(nAll))
+      .select(col("__c").as("label"), col("b"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(alpha)).cast("double") /
+            (col("tot") + lit(alpha * buckets))).as("llh"),
+        log(col("ndocs").cast("double") / col("n")).as("logprior"))
+  }
+
+  /** Classify documents against a (possibly persisted) NB model:
+    * argmax_c [ log P(c) + Σ_features log P(b | c) ]. The feature
+    * stream joins the broadcast C×B model — C score rows per feature —
+    * then one (doc, class) aggregation and a C-row-per-doc argmax
+    * window; the tie-break is the engine-wide ROUNDED-score-then-label
+    * discipline, so equal-scored classes resolve deterministically in
+    * both engines. Zero-feature documents (empty text) carry no
+    * evidence and emit no row — the same absent-row contract as the
+    * other per-doc scorers; callers wanting a prior-only fallback
+    * left-join the result. Output: (doc_id, pred, score). */
+  def nbClassify(docs: org.apache.spark.sql.DataFrame, id: String,
+                 text: String, model: org.apache.spark.sql.DataFrame,
+                 buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, first, sum}
+    val scored = dsirFeatures(docs, id, text, buckets)
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("llh")).as("s"), first(col("logprior")).as("lp"))
+      .select(col("doc_id"), col("label"), (col("lp") + col("s")).as("score"))
+    scored.withColumn("_rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(round(col("score"), 6).desc, col("label").asc)))
+      .where(col("_rn") === 1).drop("_rn")
+      .select(col("doc_id"), col("label").as("pred"), col("score"))
+  }
+
   /** Per-group distribution DRIFT report: KL(p_group ‖ p_corpus) over
     * the hashed unigram+bigram feature buckets — the mixture-monitoring
     * number a 100 TB pipeline tracks per source/crawl-snapshot to catch

@@ -542,8 +542,13 @@ object PipelineQueries {
     * `q_pagerank`'s exact oracle SQL — online edge maintenance ≡ batch
     * recompute, and serving reads fixed-width stored pairs instead of
     * re-mining the minhash stack. */
-  def pageRankIncrQ(s: SparkSession, d: String): DataFrame = {
-    val dir = cachedArtifacts(
+  /** The accumulated pair-shard dir shared by the incremental graph
+    * rows (`q_pagerank_incr`, `q_cc_incr`): the minhash pair set split
+    * into three disjoint hash slices, each appended under the
+    * `_SUCCESS` claim discipline — mined once per corpus fingerprint,
+    * served many times. */
+  private def pairShardsDir(s: SparkSession, d: String): String =
+    cachedArtifacts(
         s"princr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
       val pairs = Dedup.minhashPairs(documents(s, d), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -553,9 +558,23 @@ object PipelineQueries {
           "doc_a", "doc_b", dir, b)
       finally pairs.unpersist()
     }
-    graft.functions.GraphRank.pageRankFromPairs(s, dir)
+
+  def pageRankIncrQ(s: SparkSession, d: String): DataFrame =
+    graft.functions.GraphRank.pageRankFromPairs(s, pairShardsDir(s, d))
       .select(col("node").as("doc_id"), col("rank"))
-  }
+
+  /** The incremental twin of `q_dedup_groups` — the OTHER graph-family
+    * recompute the r12 verdict named: connected components derived at
+    * read over the SAME accumulated pair shards as `q_pagerank_incr`
+    * (one maintained edge set serves both graph queries). The shard
+    * union is the exact distinct pair set, so the row shares
+    * `q_dedup_groups`' transitive-closure oracle — online edge
+    * maintenance ≡ batch recompute, and serving skips the minhash
+    * re-mine. */
+  def ccIncrQ(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      s.read.parquet(s"${pairShardsDir(s, d)}/pairs"),
+      pairsDistinct = true)
 
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     * the standard K=60 form) of the keyword ranking (BM25 over
@@ -663,6 +682,35 @@ object PipelineQueries {
     }
     TA.dsirScoreWith(par(documents(s, d)), "doc_id", "text",
       s.read.parquet(s"$dir/lr"))
+  }
+
+  /** Multiclass Naive Bayes classification ([[TA.nbModel]] →
+    * [[TA.nbClassify]]) — the deterministic stand-in for the
+    * FastText-style classifier gate (CCNet/RefinedWeb/DCLM): trained on
+    * the fixture's `lang` labels over the DSIR hashed feature space,
+    * then every document argmax-classified. Self-classification on
+    * purpose: the row pins the TRAIN + SCORE arithmetic end to end
+    * against a DuckDB replay of the same counts; accuracy is the
+    * corpus's business, determinism is the engine's. */
+  def nbClassifyQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    TA.nbClassify(docs, "doc_id", "text",
+      TA.nbModel(docs, "doc_id", "text", "lang"))
+  }
+
+  /** The STORED-model twin of `q_nb_classify`: the C×B likelihood grid
+    * persists once per corpus fingerprint (complete residue table per
+    * class, so never-seen features score smoothed mass); serving reads
+    * the parquet model only — zero training jobs, the `q_dsir_stored`
+    * discipline. Same oracle as the fused row. */
+  def nbStoredQ(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(
+        s"nb:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      TA.nbModel(par(documents(s, d)), "doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$dir/model")
+    }
+    TA.nbClassify(par(documents(s, d)), "doc_id", "text",
+      s.read.parquet(s"$dir/model"))
   }
 
   /** The INCREMENTALLY-MAINTAINED twin: the corpus arrives as three
@@ -1562,6 +1610,7 @@ object PipelineQueries {
     "q_pagerank"       -> (pageRankQ _),
     "q_pagerank_topk"  -> (pageRankTopKQ _),
     "q_pagerank_incr"  -> (pageRankIncrQ _),
+    "q_cc_incr"        -> (ccIncrQ _),
     "q_hybrid_rrf"     -> (hybridRrfQ _),
     "q_hybrid_rrf_stored" -> (hybridRrfStoredQ _),
     "q_substr_spans"   -> (substrSpansQ _),
@@ -1570,6 +1619,8 @@ object PipelineQueries {
     "q_dsir_weights"   -> (dsirWeightsQ _),
     "q_dsir_stored"    -> (dsirStoredQ _),
     "q_dsir_incr"      -> (dsirIncrQ _),
+    "q_nb_classify"    -> (nbClassifyQ _),
+    "q_nb_stored"      -> (nbStoredQ _),
     "q_dsir_select"    -> (dsirSelectQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
@@ -1819,6 +1870,43 @@ object PipelineQueries {
        |SELECT doc_id, count(*) AS n_feats, sum(lr) AS logw
        |FROM feats JOIN lr USING (b) GROUP BY doc_id""".stripMargin
 
+  /** The Naive Bayes oracle — the DsirSql feature CTEs with the class
+    * label carried, per-(class, bucket) add-1 likelihoods over the
+    * COMPLETE class×bucket grid, doc-count log-priors, per-(doc, class)
+    * score sum, rounded-score-then-label argmax. Shared by
+    * `q_nb_classify` and `q_nb_stored` (the stored model replays the
+    * same counts). */
+  private val NbSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, $TOKS AS tk FROM documents),
+       |uni AS (SELECT doc_id, lang, unnest(tk) AS f FROM t),
+       |bi AS (SELECT doc_id, lang, array_to_string(tk[i+1:i+2], ' ') AS f
+       |       FROM (SELECT doc_id, lang, tk, unnest(range(len(tk)-1)) AS i
+       |             FROM t WHERE len(tk) >= 2)),
+       |feats AS (SELECT doc_id, lang,
+       |  CAST(concat('0x', substr(md5(f),1,15)) AS BIGINT) % 1024 AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+       |cnt AS (SELECT lang, b, count(*) AS cnt FROM feats GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS tot FROM feats GROUP BY 1),
+       |prior AS (SELECT lang, count(*) AS ndocs FROM documents GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |grid AS (SELECT p.lang, r.range AS b FROM prior p CROSS JOIN range(1024) r),
+       |model AS (SELECT g.lang, g.b,
+       |    ln(CAST(COALESCE(c.cnt, 0) + 1.0 AS DOUBLE) / (tt.tot + 1024.0)) AS llh,
+       |    ln(CAST(p.ndocs AS DOUBLE) / nn.n) AS logprior
+       |  FROM grid g
+       |  LEFT JOIN cnt c ON c.lang = g.lang AND c.b = g.b
+       |  JOIN tot tt ON tt.lang = g.lang
+       |  JOIN prior p ON p.lang = g.lang
+       |  CROSS JOIN nn),
+       |sc AS (SELECT f.doc_id, m.lang,
+       |    any_value(m.logprior) + sum(m.llh) AS score
+       |  FROM (SELECT doc_id, b FROM feats) f JOIN model m ON m.b = f.b
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, lang AS pred, score FROM (
+       |  SELECT doc_id, lang, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang ASC) AS rn
+       |  FROM sc) WHERE rn = 1""".stripMargin
+
   /** One oracle for both CMS rows (lazy: TOKS initializes later in the
     * object body). */
   private lazy val CmsFreqSql: String =
@@ -1977,6 +2065,9 @@ object PipelineQueries {
     // counts are additive: incremental maintenance ≡ batch retrain,
     // pinned by sharing the exact same SQL
     "q_dsir_incr" -> DsirSql,
+    "q_nb_classify" -> NbSql,
+    // the stored model replays the same counts — same oracle SQL
+    "q_nb_stored" -> NbSql,
     "q_dsir_select" ->
       s"""SELECT w.* FROM ($DsirSql) w
          |JOIN documents d ON w.doc_id = d.doc_id AND d.lang <> 'en'
@@ -2259,6 +2350,9 @@ object PipelineQueries {
         |           AND f.doc_id = k.kid""".stripMargin,
     "q_dedup_groups" -> Dedup.dedupGroupsOracleSql(),
     "q_dedup_star" -> Dedup.dedupGroupsOracleSql(),
+    // CC over the accumulated pair shards: the shard union IS the pair
+    // set, so incremental maintenance shares the exact recompute oracle
+    "q_cc_incr" -> Dedup.dedupGroupsOracleSql(),
     // same md5-60 hash order, same (hash, doc_id) tie-break
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, sample_rank FROM (

@@ -122,5 +122,14 @@ class GraphRankSpec extends SparkSpec {
     val grown = fromShards()
     assert(grown.keySet == incr.keySet + 9L)
     assert(grown != incr)
+    // the SAME shard union serves connected components (q_cc_incr):
+    // shard-derived CC must equal CC over the full pair set
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Dedup.connectedComponents(df, "a", "b",
+          pairsDistinct = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(spark.read.parquet(s"$dir/pairs")
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))) ==
+      cc((all ++ Seq(8L -> 9L)).toDF("a", "b")))
   }
 }

@@ -219,6 +219,9 @@ class PlanQualitySpec extends SparkSpec {
       "q_dsir_select",  // the same scalar attach under the selection cut
       "q_dsir_incr",    // the same complete-residue cross + totals
                         // attach, derived from the stored count shards
+      "q_nb_classify",  // the classes×buckets grid cross (C×B bounded
+                        // rows) + the one-row doc-count attach
+      "q_nb_stored",    // same grid, read from the persisted model
       "q_source_kl")    // the complete-residue cross: |sources|×1024 rows
                         // (both sides bounded — nothing corpus-scale) +
                         // the one-row corpus-total attach

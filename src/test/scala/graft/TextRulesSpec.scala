@@ -260,4 +260,46 @@ class TextRulesSpec extends SparkSpec {
     assert(!TA.dsirCountsAppend(docs.where($"doc_id" >= 6), "doc_id", "text",
       col("is_t"), dir, 1L))
   }
+
+  test("naive bayes: planted vocabularies classify correctly; priors break even evidence; stored model identical") {
+    // two classes with disjoint planted vocabularies + shared filler;
+    // class 'a' has 3x the documents of 'b' (priors must matter)
+    val train = (
+      (0L until 6L).map(i => (i, "a", "alpha beta shared filler")) ++
+      (6L until 8L).map(i => (i, "b", "gamma delta shared filler"))
+    ).toDF("doc_id", "lang", "text")
+    val model = TA.nbModel(train, "doc_id", "text", "lang")
+    // complete grid: both classes carry all 1024 buckets
+    assert(model.groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 1024L, "b" -> 1024L))
+    def preds(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      TA.nbClassify(df, "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // class-distinct evidence wins regardless of priors
+    val got = preds(Seq((100L, "alpha beta beta"), (101L, "delta gamma"))
+      .toDF("doc_id", "text"))
+    assert(got == Map(100L -> "a", 101L -> "b"), got.toString)
+    // evidence-neutral text (shared vocab only): the 3:1 prior decides
+    assert(preds(Seq((102L, "shared filler")).toDF("doc_id", "text")) ==
+      Map(102L -> "a"))
+    // null text carries no features, hence no row (the absent-row
+    // contract; empty STRING tokenizes to one empty token in both
+    // engines, so it scores like any single-feature doc)
+    assert(preds(Seq((103L, null: String)).toDF("doc_id", "text")).isEmpty)
+    // a persisted model round-trips to the identical classification
+    val dir = java.nio.file.Files.createTempDirectory("nb-model").toString + "/model"
+    model.write.parquet(dir)
+    val stored = TA.nbClassify(
+        Seq((100L, "alpha beta beta"), (102L, "shared filler"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val fused = TA.nbClassify(
+        Seq((100L, "alpha beta beta"), (102L, "shared filler"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(stored == fused)
+  }
 }
