@@ -439,6 +439,140 @@ object Similarity {
     if (nrm == 0) a else a.map(_ / nrm)
   }
 
+  // ---- scalar quantization (SQ8) --------------------------------------
+
+  /** SCALAR QUANTIZATION top-k — the third member of the
+    * vector-compression family (FAISS's `SQ8` / the int8 columns every
+    * vector store ships): each vector stores a per-vector scale
+    * (max |x| / 127) plus one int8 code per dimension (4 dims per
+    * stored float32 — 8× vs raw doubles), and scoring is ASYMMETRIC
+    * like ADC: the query stays exact, each doc contributes
+    * `scale · Σ_i round(x_i/scale) · q_i`. Against PQ: 8 bits/dim vs
+    * m·log₂ks bits/vector — far denser codes, no training step, no
+    * codebook artifact; the right tool when memory allows ~1 byte/dim
+    * and recall must stay near-exact. Rounding is spelled
+    * `floor(x/scale + 0.5)` (half toward +∞) because `round()` differs
+    * across engines (half-up vs banker's); the oracle replays the same
+    * floor. Zero vectors (scale 0) score 0 — the cosine guard's
+    * sibling. Scale shape: a pure map-side projection into
+    * TakeOrderedAndProject — no shuffle, no joins; here codes derive
+    * inline (the fixture stores raw vectors), the persisted twin
+    * ([[sqWriteArtifacts]]/[[sqProbeFromDir]]) scans stored int8 codes
+    * only. Returns (id, sq_dot). */
+  def sqTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+             k: Int, dim: Int = OracleDim): DataFrame = {
+    val v = emb.select(col(id).as("vid"),
+      transform(col(vec), _.cast("double")).as("v"))
+    val qv = collectQueryVector(v, queryId)
+    sqScore(v, qv)
+      .where(col("vid") =!= queryId)
+      .select(col("vid").as(id), col("sq_dot"))
+      .orderBy(col("sq_dot").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** The ONE SQ8 quantize-and-score projection shared by the fused and
+    * stored paths (the [[exactCosineRerank]] single-definition
+    * discipline): input (vid, v), output (vid, sq_dot). */
+  private def sqScore(v: DataFrame, qv: Array[Double]): DataFrame = {
+    val qvLit = array(qv.map(lit): _*)
+    val maxabs = aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))
+    // Spark floor returns LONG; the scoring fold wants doubles (the
+    // values are integral either way, so the cast is exact)
+    val codes = transform(col("v"),
+      x => floor(x / col("_s") + lit(0.5)).cast("double"))
+    v.withColumn("_s", maxabs / lit(127.0))
+      .select(col("vid"),
+        when(col("_s") === 0, lit(0.0))
+          .otherwise(col("_s") *
+            VectorExpressions.dotProduct(codes, qvLit)).as("sq_dot"))
+  }
+
+  /** Persist the SQ8 artifact: `dir/codes` = (vid, s, code array<tinyint>)
+    * — 1 byte/dim plus one double, derived in one map-side pass. */
+  def sqWriteArtifacts(emb: DataFrame, id: String, vec: String,
+                       dir: String): Unit = {
+    val v = emb.select(col(id).as("vid"),
+      transform(col(vec), _.cast("double")).as("v"))
+    val maxabs = aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))
+    v.withColumn("s", maxabs / lit(127.0))
+      .select(col("vid"), col("s"),
+        transform(col("v"), x =>
+          when(col("s") === 0, lit(0L))
+            .otherwise(floor(x / col("s") + lit(0.5)))
+            .cast("tinyint"))
+          .as("code"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** SQ8 serving from the persisted codes — zero raw-vector reads for
+    * the scored corpus (the query vector alone comes from `emb`):
+    * score = `s · Σ code_i · q_i`, the same doubles as the fused path
+    * because `code_i` is the identical floor value ([[graft.SimilaritySpec]]
+    * pins it; `q_sim_sq_probe` shares `q_sim_sq`'s oracle). */
+  def sqProbeFromDir(emb: DataFrame, id: String, vec: String, dir: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val v = emb.select(col(id).as("vid"),
+      transform(col(vec), _.cast("double")).as("v"))
+    val qv = collectQueryVector(v, queryId)
+    val qvLit = array(qv.map(lit): _*)
+    readArtifact(spark, s"$dir/codes")
+      .where(col("vid") =!= queryId)
+      .select(col("vid").as(id),
+        when(col("s") === 0, lit(0.0))
+          .otherwise(col("s") * VectorExpressions.dotProduct(
+            transform(col("code"), _.cast("double")), qvLit)).as("sq_dot"))
+      .orderBy(col("sq_dot").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** SQ8 + exact re-rank — the recall-recovery tail on the densest
+    * codes: the int8 shortlist re-scored by exact cosine, the
+    * [[ivfPqRerankTopK]] contract. */
+  def sqRerankTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+                   k: Int, shortlist: Int = 50,
+                   dim: Int = OracleDim): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must cover k=$k")
+    val cand = sqTopK(emb, id, vec, queryId, shortlist, dim).select(col(id))
+    exactCosineRerank(cand, emb, id, vec, queryId, k)
+  }
+
+  /** Oracle for [[sqTopK]] (and [[sqProbeFromDir]], which stores the
+    * identical floor codes): unrolled per-element max-abs, the same
+    * `floor(x/s + 0.5)` half-up rounding, the same left-associated
+    * code·query chain scaled once. */
+  def sqOracleSql(queryId: Long, k: Int, dim: Int = OracleDim): String = {
+    val maxabs = (0 until dim)
+      .map(i => s"abs(CAST(embedding[${i + 1}] AS DOUBLE))")
+      .mkString("greatest(", ", ", ")")
+    val chain = (0 until dim).map(i =>
+      s"floor(CAST(e.embedding[${i + 1}] AS DOUBLE) / e.s + 0.5) * " +
+        s"CAST(q.qe[${i + 1}] AS DOUBLE)").mkString(" + ")
+    s"""WITH es AS (SELECT vec_id, embedding, $maxabs / 127.0 AS s
+       |            FROM embeddings),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryId)
+       |SELECT e.vec_id,
+       |       CASE WHEN e.s = 0 THEN CAST(0.0 AS DOUBLE)
+       |            ELSE e.s * ($chain) END AS sq_dot
+       |FROM es e CROSS JOIN q
+       |WHERE e.vec_id <> $queryId
+       |ORDER BY sq_dot DESC, e.vec_id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Oracle for [[sqRerankTopK]]: the SQ shortlist re-scored by the
+    * exact unrolled cosine. */
+  def sqRerankOracleSql(queryId: Long, k: Int, shortlist: Int = 50,
+                        dim: Int = OracleDim): String =
+    s"""SELECT t.vec_id, ${cosineSql("e.embedding", "q.qe", dim)} AS cos
+       |FROM (${sqOracleSql(queryId, shortlist, dim)}) t
+       |JOIN embeddings e ON e.vec_id = t.vec_id
+       |CROSS JOIN (SELECT embedding AS qe FROM embeddings
+       |            WHERE vec_id = $queryId) q
+       |ORDER BY cos DESC, t.vec_id ASC LIMIT $k""".stripMargin
+
   /** PQ TRAINING AS A PERSISTED ARTIFACT (r7 VERDICT item 4) — the
     * production shape: train once, write codebooks + per-vector codes as
     * tables, probe many times with ZERO training jobs. Returns

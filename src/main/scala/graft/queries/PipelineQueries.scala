@@ -1185,6 +1185,30 @@ object PipelineQueries {
     Similarity.pqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10,
       m = 4, ks = 8)
 
+  /** Scalar quantization (SQ8, [[Similarity.sqTopK]]) — the third
+    * vector-compression family member: per-vector int8 codes (1
+    * byte/dim, 8× vs raw doubles), exact query, asymmetric scoring;
+    * no training step, no codebook. Oracle unrolls the identical
+    * max-abs scale + half-up floor rounding. */
+  def simSq(s: SparkSession, d: String): DataFrame =
+    Similarity.sqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
+
+  /** The persisted-SQ8 probe ([[Similarity.sqWriteArtifacts]] →
+    * [[Similarity.sqProbeFromDir]]): serving scans stored int8 codes
+    * only — identical floor values, so the row shares `q_sim_sq`'s
+    * oracle. */
+  def simSqProbe(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"sq:$d:${corpusFingerprint(s, d)}")(
+      Similarity.sqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _))
+    Similarity.sqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
+  }
+
+  /** SQ8 + exact re-rank ([[Similarity.sqRerankTopK]]) — the
+    * recall-recovery tail on the densest codes. */
+  def simSqRerank(s: SparkSession, d: String): DataFrame =
+    Similarity.sqRerankTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10,
+      shortlist = 50)
+
   /** IVF-PQ ([[Similarity.ivfPqTopK]]) — the standard web-scale ANN
     * composition: seeded coarse lists route the probe to nprobe/nlist of
     * the corpus, PQ ADC scores within the probed lists only; oracle
@@ -1651,6 +1675,9 @@ object PipelineQueries {
     "q_sim_ivf"        -> (simIvf _),
     "q_sim_ivf_iter"   -> (simIvfIter _),
     "q_sim_pq"         -> (simPq _),
+    "q_sim_sq"         -> (simSq _),
+    "q_sim_sq_probe"   -> (simSqProbe _),
+    "q_sim_sq_rerank"  -> (simSqRerank _),
     "q_sim_pq_probe"   -> (simPqProbe _),
     "q_sim_ivfpq"      -> (simIvfPq _),
     "q_sim_ivfpq_cos"  -> (simIvfPqCos _),
@@ -2527,6 +2554,10 @@ object PipelineQueries {
     // matching the engine rows' explicit pins — the PRODUCTION default
     // is the dense codebook (Similarity.DefaultM/DefaultKs)
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10, m = 4, ks = 8),
+    "q_sim_sq" -> Similarity.sqOracleSql(0L, 10),
+    // the stored int8 codes are the identical floor values — same oracle
+    "q_sim_sq_probe" -> Similarity.sqOracleSql(0L, 10),
+    "q_sim_sq_rerank" -> Similarity.sqRerankOracleSql(0L, 10, shortlist = 50),
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10, m = 4, ks = 8),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10, m = 4, ks = 8),
     // the cosine-faithful twin: same machinery over a unit-normalized

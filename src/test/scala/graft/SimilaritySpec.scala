@@ -479,6 +479,46 @@ class SimilaritySpec extends SparkSpec {
       s"batch rerank diverged from single-query:\n$batch\nvs\n$served")
   }
 
+  test("SQ8: int8 codes recall planted neighbors; stored probe equals fused; zero vectors score 0") {
+    val rnd = new scala.util.Random(23)
+    val dim = 64
+    val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def noisy() = q.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val rows =
+      (0L, q.toSeq) +:
+      (1L until 201L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)) ++:
+      (201L to 205L).map(i => (i, noisy().toSeq)) :+
+      (206L, Seq.fill(dim)(0.0f)) // zero vector: scale 0 → score 0
+    val emb = rows.toDF("vec_id", "embedding")
+    val fused = Similarity.sqTopK(emb, "vec_id", "embedding", 0L, 5, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // 8-bit codes are near-exact: all 5 planted neighbors recalled
+    assert((201L to 205L).toSet == fused.map(_._1).toSet,
+      s"SQ8 missed planted neighbors: $fused")
+    // the persisted int8 artifact serves the identical doubles
+    val dir = java.nio.file.Files.createTempDirectory("sq8").toString
+    Similarity.sqWriteArtifacts(emb, "vec_id", "embedding", dir)
+    val stored = Similarity.sqProbeFromDir(emb, "vec_id", "embedding", dir, 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == fused, s"stored SQ8 diverged:\n$stored\nvs\n$fused")
+    // codes are genuine int8: every value in [-127, 127]
+    val codes = spark.read.parquet(s"$dir/codes")
+    import org.apache.spark.sql.functions.{exists => aexists}
+    assert(codes.where(aexists(col("code"),
+      c => c > 127 || c < -127)).count() == 0)
+    // the zero vector scores exactly 0, never NaN
+    val z = Similarity.sqProbeFromDir(emb, "vec_id", "embedding", dir, 0L, 207)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(z(206L) == 0.0 && !z.values.exists(_.isNaN))
+    // exhaustive-shortlist rerank degrades to exact brute force
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rr = Similarity.sqRerankTopK(emb, "vec_id", "embedding", 0L, 5,
+        shortlist = 1000, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr == exact, s"SQ8 rerank-with-no-pruning diverged:\n$rr\nvs\n$exact")
+  }
+
   test("bucketPairs only emits pairs above the cosine floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Similarity.bucketPairs(emb, "vec_id", "embedding", minCos = 0.5)
