@@ -433,6 +433,30 @@ object PipelineQueries {
       .select(col("doc_id"), col("bucket"),
         TA.splitLabelFromBucket(col("bucket")).as("split"))
 
+  /** LEAKAGE-PROOF train/val/test split — the group-aware upgrade of
+    * `q_hash_split` every eval-hygiene audit asks for: hashing DOC ids
+    * lets two near-duplicates straddle train and test (the classic
+    * contamination-by-split bug), so here the split hashes each doc's
+    * near-dup COMPONENT representative ([[Dedup.dedupGroups]]' CC over
+    * the minhash pair graph; singletons fall back to their own id via
+    * the left join). Every member of a component therefore lands in the
+    * SAME split by construction, and singleton assignments stay
+    * IDENTICAL to `q_hash_split` (same md5-60 bucket of the same id).
+    * Scale shape: the pair graph is collision-sized, the CC output
+    * |members|-sized, and the fallback join keys on doc_id — the split
+    * itself stays a map-side hash. */
+  def splitLeakproofQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    docs.select(col("doc_id"))
+      .join(Dedup.dedupGroups(docs, "doc_id", "text"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_rep"), col("doc_id")).as("rep"))
+      .select(col("doc_id"), col("rep"),
+        TA.hashBucket(col("rep")).as("bucket"))
+      .select(col("doc_id"), col("rep"), col("bucket"),
+        TA.splitLabelFromBucket(col("bucket")).as("split"))
+  }
+
   /** PII scrub over deterministically-dirtied text (the fixture corpus
     * has no PII, so each doc_id % 5 == 0 row gets a synthetic email +
     * phone appended — engine and oracle construct the identical dirty
@@ -1622,6 +1646,7 @@ object PipelineQueries {
     "q_dup_lines"      -> (dupLines _),
     "q_line_dedup"     -> (lineDedupQ _),
     "q_hash_split"     -> (hashSplit _),
+    "q_split_leakproof" -> (splitLeakproofQ _),
     "q_pii_scrub"      -> (piiScrub _),
     "q_explode"        -> (explodeTokens _),
     "q_dedup_exact"    -> (dedupExact _),
@@ -2388,6 +2413,20 @@ object PipelineQueries {
          |             doc_id) AS sample_rank
          |  FROM documents)
          |WHERE sample_rank <= $StratifiedN""".stripMargin,
+    // the split hashes the CC representative (the verified dedupGroups
+    // CTE machinery); singletons coalesce to their own id, so their
+    // rows replicate q_hash_split's arithmetic exactly
+    "q_split_leakproof" ->
+      s"""WITH cc AS (SELECT * FROM (${Dedup.dedupGroupsOracleSql()}) g),
+         |rep AS (SELECT d.doc_id, COALESCE(cc.component_rep, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id)
+         |SELECT doc_id, rep, bucket,
+         |  CASE WHEN bucket < ${TA.TrainPerMille} THEN 'train'
+         |       WHEN bucket < ${TA.TrainPerMille + TA.ValPerMille} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, rep,
+         |  CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+         |  FROM rep)""".stripMargin,
     // the gate decision over the truncation-constructed batch — the
     // docs CTE is the engine's truncation verbatim in DuckDB terms
     "q_neardup_gate" -> Dedup.gateDecisionOracleSql(

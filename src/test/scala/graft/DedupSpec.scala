@@ -397,4 +397,29 @@ class DedupSpec extends SparkSpec {
       (1L, passage, 8L),
       (3L, s"${toks("a", 3)} ${toks("b", 3)}", 6L)), out.toString)
   }
+
+  test("leakage-proof split: near-dup components never straddle splits; singletons match the doc-hash split") {
+    val rows = graft.queries.PipelineQueries
+      .queries("q_split_leakproof")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // the guarantee the row exists for: one split per component
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"component $rep straddles splits: ${members.toSeq}")
+    }
+    // singletons (rep == own id, no near-dup partner) must assign
+    // exactly as q_hash_split — the upgrade changes grouped docs only
+    val plain = graft.queries.PipelineQueries
+      .queries("q_hash_split")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val groupSizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val singles = rows.filter(r => r._1 == r._2 && groupSizes(r._2) == 1)
+    assert(singles.nonEmpty)
+    singles.foreach { case (id, _, split) =>
+      assert(plain(id) == split, s"singleton $id diverged from q_hash_split")
+    }
+    // and the fixture actually exercises the guard: some multi-member
+    // component exists
+    assert(groupSizes.values.exists(_ > 1), "fixture has no near-dup groups")
+  }
 }
