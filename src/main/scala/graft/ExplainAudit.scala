@@ -198,11 +198,31 @@ object ExplainAudit {
       "q_bucket_lookup",  // expect the bucket-pruned point lookup:
                           //   SelectedBucketsCount: 1 out of 16 at the
                           //   scan — 1/16 of the files listed and read
-      "q_phrase_serve")   // expect the phrase endpoint: PartitionFilters
+      "q_phrase_serve",   // expect the phrase endpoint: PartitionFilters
                           //   naming exactly the 3 phrase terms' tbucket
                           //   dirs at the positional-index scan, the
                           //   adjacency fold, and TakeOrderedAndProject
                           //   on top — never a global sort
+      "q_bm25_wand",      // expect BOTH partition filters at the WAND
+                          //   tf scan — tbucket (query terms) AND dblock
+                          //   (surviving doc blocks) — under the top-k
+                          //   cut; global df joins as a broadcast literal
+      "q_sim_sq",         // expect ONE map-side quantize-and-score
+                          //   projection (max-abs fold + floor codes +
+                          //   literal query dot) into
+                          //   TakeOrderedAndProject — zero exchanges
+      "q_sim_sq_probe",   // the persisted twin: a scan of ONLY the int8
+                          //   codes table (no raw vectors) into the cut
+      "q_nb_classify",    // expect the feature stream joined to the
+                          //   BROADCAST C×B model grid, one (doc, class)
+                          //   aggregation, and the argmax window over
+                          //   C-row frames — never corpus-scale windows
+      "q_pagerank_incr",  // expect the stored pair-shard scan (fixed-
+                          //   width rows, no minhash pipeline anywhere)
+                          //   feeding the iteration's cached edge join
+      "q_split_leakproof") // expect the CC output left-joined to the doc
+                          //   ids and ONE map-side md5-bucket projection
+                          //   — the split itself adds no shuffle
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

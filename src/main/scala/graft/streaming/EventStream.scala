@@ -100,6 +100,36 @@ object EventStream {
         < minCos,
       lit(true)))
 
+  /** STREAM-STREAM interval join — the last §2.8 "not present" shape
+    * (the reference has no streaming joins at all): correlate two live
+    * event streams on a key within an event-time window, e.g. ticks to
+    * news mentions, clicks to impressions, alerts to fills. Both sides
+    * carry watermarks, so Spark BOUNDS the join state: a buffered left
+    * row is dropped once the right watermark passes `leftTs + within`
+    * (and symmetrically), giving O(events per watermark horizon) state
+    * regardless of stream length — the property a naive cache-the-other-
+    * side implementation lacks. Inner join; rows pair when
+    * `|leftTs − rightTs| ≤ within` on equal keys. Output columns:
+    * key, l_ts, r_ts, plus each side's `payload` column renamed
+    * l_/r_. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String = "user_id",
+                   tsCol: String = "ts", payload: String = "value",
+                   within: String = "10 minutes",
+                   lateness: String = "1 hour"): DataFrame = {
+    val l = left.select(col(key).as("k"), col(tsCol).as("l_ts"),
+        col(payload).as(s"l_$payload"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col(key).as("r_k"), col(tsCol).as("r_ts"),
+        col(payload).as(s"r_$payload"))
+      .withWatermark("r_ts", lateness)
+    l.join(r, col("k") === col("r_k") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("k").as(key), col("l_ts"), col("r_ts"),
+        col(s"l_$payload"), col(s"r_$payload"))
+  }
+
   /** Ingest-time DSIR importance gate — the streaming form of the batch
     * `q_dsir_select` cut (r12 VERDICT item 5): admit a document iff its
     * importance score against the trained model reaches `minLogw`. The

@@ -367,6 +367,29 @@ class PlanQualitySpec extends SparkSpec {
       s"q_bm25_serve should prune to ONE bucket, got ${bucketsIn(srv)}")
   }
 
+  test("r13 rows: WAND scan carries BOTH partition filters; SQ8 is an exchange-free TakeOrdered") {
+    // q_bm25_wand: the phase-2 scoring scan must prune on BOTH layout
+    // dims — tbucket (query terms) AND dblock (surviving blocks) — as
+    // partition filters; losing either silently reverts to a full scan
+    val w = physical("q_bm25_wand")
+    assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(w).isDefined,
+      s"q_bm25_wand lost the tbucket partition filter:\n${w.take(900)}")
+    assert("""PartitionFilters: \[[^\]]*dblock""".r.findFirstIn(w).isDefined,
+      s"q_bm25_wand lost the dblock partition filter:\n${w.take(900)}")
+    assert(w.contains("TakeOrderedAndProject"), "q_bm25_wand lost the top-k cut")
+    // q_sim_sq: the whole scorer is one map-side projection into
+    // TakeOrderedAndProject — any Exchange means the quantize-and-score
+    // stopped being a scan
+    val s = physical("q_sim_sq")
+    assert(s.contains("TakeOrderedAndProject"), s.take(600))
+    assert(!s.contains("Exchange"),
+      s"q_sim_sq must be exchange-free:\n${s.take(900)}")
+    // the persisted twin likewise scans stored codes straight into the cut
+    val sp = physical("q_sim_sq_probe")
+    assert(sp.contains("TakeOrderedAndProject") && !sp.contains("Exchange"),
+      s"q_sim_sq_probe must be an exchange-free stored scan:\n${sp.take(900)}")
+  }
+
   test("q_zorder_scan: both range predicates reach the parquet scan") {
     // the layout's whole point: parquet min/max skipping needs BOTH
     // dimensions' predicates at the scan. The rendered plan truncates

