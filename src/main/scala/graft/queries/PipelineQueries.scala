@@ -157,9 +157,14 @@ object PipelineQueries {
     * distribution-dependent; pruning CORRECTNESS is not). */
   def bm25WandQ(s: SparkSession, d: String): DataFrame = {
     val dir = bm25StoredArtifacts(s, d)
+    // span sizes the dir tree: blocks ≈ corpus/span, and each block
+    // multiplies the term buckets' dir count — 1024 keeps the fixture
+    // layouts at a handful of blocks (the planted-skew spec exercises
+    // real pruning at its own span; this row pins exactness + plan)
     val wdir = cachedArtifacts(
         s"wand:$d:${corpusFingerprintOf(s, d, "documents")}")(
-      graft.streaming.PostingsIndex.wandLayoutFrom(s, s"$dir/tf", _, span = 64L))
+      graft.streaming.PostingsIndex.wandLayoutFrom(s, s"$dir/tf", _,
+        span = 1024L))
     graft.streaming.PostingsIndex.searchBm25Wand(
       s, wdir, s"$dir/dl", Bm25Terms, 20)
   }

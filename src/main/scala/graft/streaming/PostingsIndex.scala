@@ -876,10 +876,13 @@ object PostingsIndex {
     val dfGlobal: Map[String, Long] =
       bmRows.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._4).sum }
     val dfreq = dfGlobal.toSeq.toDF("token", "doc_freq")
+    // ONE relation for both phases: partition discovery over the
+    // (tbucket × dblock) dir tree runs once, and each phase's block
+    // filter prunes the shared file index instead of re-listing it
+    val tf = spark.read.parquet(s"$wandPath/tf")
     def score(blocks: Seq[Long]): DataFrame =
       TextAnalysis.bm25FromIndexGivenDf(
-        spark.read.parquet(s"$wandPath/tf")
-          .where(col("tbucket").isin(buckets: _*) &&
+        tf.where(col("tbucket").isin(buckets: _*) &&
             col("dblock").isin(blocks.map(java.lang.Long.valueOf): _*))
           .drop("tbucket", "dblock"),
         dl, distinctTerms, dfreq, k1, b)
