@@ -405,7 +405,7 @@ object TextAnalysis {
     * shuffle-joins otherwise. */
   def unigramXent(docs: org.apache.spark.sql.DataFrame, id: String,
                   text: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{avg, broadcast, col, count, exp, sum}
+    import org.apache.spark.sql.functions.{col, count, sum}
     val toks = explodedTerms(docs, id, text)
     val freq = toks.groupBy("term").agg(count(lit(1)).as("tc"))
     // size(tokens(null)) is null → sum skips it, exactly matching the
@@ -413,6 +413,19 @@ object TextAnalysis {
     // its one empty-string token on both sides
     val total = docs.agg(
       sum(size(tokens(col(text)))).as("total"))
+    xentScore(toks, freq, total)
+  }
+
+  /** The ONE xent scoring tail — probe join, per-doc mean, ppl — shared
+    * by [[unigramXent]] (counts built in-plan) and
+    * [[unigramXentFromCounts]] (counts read from maintained shards), the
+    * [[bm25FromIndex]] single-definition discipline: `toks` carries
+    * (doc_id, term) rows, `freq` (term, tc), `total` one row. */
+  private def xentScore(toks: org.apache.spark.sql.DataFrame,
+                        freq: org.apache.spark.sql.DataFrame,
+                        total: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count, exp}
     toks.join(freq, "term")
       .join(broadcast(total))
       .groupBy("doc_id")
@@ -420,6 +433,41 @@ object TextAnalysis {
         avg(-log(col("tc").cast("double") / col("total"))).as("xent"))
       .select(col("doc_id"), col("n_tokens"), col("xent"),
         exp(col("xent")).as("ppl"))
+  }
+
+  /** INCREMENTAL unigram-LM maintenance — the count-shard discipline
+    * ([[dsirCountsAppend]]/[[Sketches.cmsAppend]]) on the perplexity
+    * filter's corpus statistics: each batch appends its (term, tc)
+    * vocabulary-scale counts as a `_SUCCESS`-claimed shard (replay
+    * skips, torn shards heal), and scoring derives the frequency table
+    * at read by summing shards. Counts are exact integers and additive,
+    * so online maintenance ≡ batch recount. Returns false iff the shard
+    * already existed (replay). */
+  def unigramCountsAppend(docs: org.apache.spark.sql.DataFrame, id: String,
+                          text: String, dir: String,
+                          batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions.{col, count}
+    val shard = s"$dir/counts/batch=$batchId"
+    if (!ShardWrite.claim(docs.sparkSession, shard)) return false
+    explodedTerms(docs, id, text)
+      .groupBy("term").agg(count(lit(1)).as("tc"))
+      .write.parquet(shard)
+    true
+  }
+
+  /** Score documents against the ACCUMULATED count shards: freq sums
+    * per term, and the corpus total is Σ tc over the summed table —
+    * the same integer as the batch path's token-count sum (every token
+    * occurrence lands in exactly one count). Same scoring tail, so
+    * `q_unigram_incr` shares `q_unigram_ppl`'s exact oracle. */
+  def unigramXentFromCounts(docs: org.apache.spark.sql.DataFrame,
+                            id: String, text: String,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val freq = docs.sparkSession.read.parquet(s"$dir/counts")
+      .groupBy("term").agg(sum(col("tc")).as("tc"))
+    val total = freq.agg(sum(col("tc")).as("total"))
+    xentScore(explodedTerms(docs, id, text), freq, total)
   }
 
   /** Bigram cross-entropy scoring — one Markov order up from

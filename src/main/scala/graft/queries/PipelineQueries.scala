@@ -347,6 +347,27 @@ object PipelineQueries {
   def unigramPpl(s: SparkSession, d: String): DataFrame =
     TA.unigramXent(par(documents(s, d)), "doc_id", "text")
 
+  /** The INCREMENTALLY-MAINTAINED perplexity filter: the corpus arrives
+    * as three hash-split batches, each appending a (term, tc) count
+    * shard ([[TA.unigramCountsAppend]] — `_SUCCESS`-claimed, replay-
+    * idempotent, torn shards healed); scoring derives the frequency
+    * table from the accumulated shards ([[TA.unigramXentFromCounts]]).
+    * Token counts are exact and additive, so the row shares
+    * `q_unigram_ppl`'s exact oracle — with this, every corpus-statistics
+    * family the engine maintains (CMS, DSIR, PageRank/CC edges, df/tf
+    * postings, unigram LM) has an online twin. */
+  def unigramIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"uniincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.unigramCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+    }
+    TA.unigramXentFromCounts(par(documents(s, d)), "doc_id", "text", dir)
+  }
+
   /** Gopher-style quality-rule battery (Rae et al. 2021): per-rule 0/1
     * flags + conjunction — the standard pre-training filter set. */
   def qualityRules(s: SparkSession, d: String): DataFrame = {
@@ -1644,6 +1665,7 @@ object PipelineQueries {
     "q_bm25_serve"     -> (bm25ServeQ _),
     "q_tfidf_stored"   -> (tfidfStoredQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
+    "q_unigram_incr"   -> (unigramIncrQ _),
     "q_bigram_ppl"     -> (bigramPpl _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
@@ -2165,6 +2187,17 @@ object PipelineQueries {
     // the driver's 6-decimal float rounding absorbs it (the q_tfidf
     // precedent)
     "q_unigram_ppl" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS tc FROM toks GROUP BY term),
+         |tot AS (SELECT count(*) AS total FROM toks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  avg(-ln(CAST(tc AS DOUBLE) / total)) AS xent,
+         |  exp(avg(-ln(CAST(tc AS DOUBLE) / total))) AS ppl
+         |FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+    // counts are additive: incremental maintenance ≡ batch recount,
+    // pinned by sharing the exact same SQL (the q_dsir_incr discipline)
+    "q_unigram_incr" ->
       s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
          |freq AS (SELECT term, count(*) AS tc FROM toks GROUP BY term),
          |tot AS (SELECT count(*) AS total FROM toks)

@@ -261,6 +261,30 @@ class TextRulesSpec extends SparkSpec {
       col("is_t"), dir, 1L))
   }
 
+  test("unigram count shards: incremental scoring equals batch; replay skips; torn shard heals") {
+    val docs = (0L until 9L).map(i => (i, s"tok${i % 3} common filler"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("uni-incr").toString
+    assert(TA.unigramCountsAppend(docs.where($"doc_id" < 5), "doc_id", "text", dir, 0L))
+    assert(TA.unigramCountsAppend(docs.where($"doc_id" >= 5), "doc_id", "text", dir, 1L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = rows(TA.unigramXentFromCounts(docs, "doc_id", "text", dir))
+    assert(incr == rows(TA.unigramXent(docs, "doc_id", "text")),
+      "count-derived scoring diverged from the batch recount")
+    // replay: the complete shard skips, nothing changes
+    assert(!TA.unigramCountsAppend(docs.where($"doc_id" >= 5), "doc_id", "text", dir, 1L))
+    assert(rows(TA.unigramXentFromCounts(docs, "doc_id", "text", dir)) == incr)
+    // torn shard (no _SUCCESS) heals by rewrite instead of skipping
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/counts/batch=1/_SUCCESS"), false))
+    assert(TA.unigramCountsAppend(docs.where($"doc_id" >= 5), "doc_id", "text", dir, 1L),
+      "torn shard was skipped as a replay")
+    assert(rows(TA.unigramXentFromCounts(docs, "doc_id", "text", dir)) == incr)
+  }
+
   test("naive bayes: planted vocabularies classify correctly; priors break even evidence; stored model identical") {
     // two classes with disjoint planted vocabularies + shared filler;
     // class 'a' has 3x the documents of 'b' (priors must matter)
