@@ -128,8 +128,16 @@ object GraphRank {
                         dir: String, iters: Int = 8,
                         damping: Double = 0.85,
                         checkpointEvery: Int = 1): DataFrame =
-    pageRank(spark.read.parquet(s"$dir/pairs"), "doc_a", "doc_b",
+    pageRank(readPairShards(spark, dir), "doc_a", "doc_b",
       iters, damping, checkpointEvery)
+
+  /** The accumulated pair-shard union. Schema is EXPLICIT: a shard
+    * written from an empty batch (quiet day / empty partition replay)
+    * carries `_SUCCESS` but no data files, and schema inference over an
+    * all-empty dir would throw instead of returning zero edges. */
+  def readPairShards(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    spark.read.schema("doc_a LONG, doc_b LONG").parquet(s"$dir/pairs")
 
   /** The unrolled-iteration oracle twin: the SAME fixed iteration count
     * and the SAME IEEE operation order — the teleport term is spelled

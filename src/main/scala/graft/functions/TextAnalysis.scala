@@ -464,7 +464,10 @@ object TextAnalysis {
                             id: String, text: String,
                             dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, sum}
-    val freq = docs.sparkSession.read.parquet(s"$dir/counts")
+    // explicit schema: an all-empty shard set (quiet-day batches) must
+    // score zero docs, not fail schema inference
+    val freq = docs.sparkSession.read.schema("term STRING, tc BIGINT")
+      .parquet(s"$dir/counts")
       .groupBy("term").agg(sum(col("tc")).as("tc"))
     val total = freq.agg(sum(col("tc")).as("total"))
     xentScore(explodedTerms(docs, id, text), freq, total)

@@ -623,7 +623,7 @@ object PipelineQueries {
     * re-mine. */
   def ccIncrQ(s: SparkSession, d: String): DataFrame =
     Dedup.connectedComponents(
-      s.read.parquet(s"${pairShardsDir(s, d)}/pairs"),
+      graft.functions.GraphRank.readPairShards(s, pairShardsDir(s, d)),
       pairsDistinct = true)
 
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,

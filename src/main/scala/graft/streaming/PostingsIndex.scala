@@ -864,7 +864,12 @@ object PostingsIndex {
     val buckets: Seq[Integer] = distinctTerms.map(tokenBucketLocal)
       .toSet.toSeq.map((b: Int) => Integer.valueOf(b))
     val dl = readUnionShards(spark, dlPath)
-    val bmRows = spark.read.parquet(s"$wandPath/bm")
+    // explicit schemas on both layout reads: a layout derived from an
+    // empty index has `_SUCCESS`-only dirs, and inference would throw
+    // where the exact answer is an empty result
+    val bmRows = spark.read
+      .schema("token STRING, dblock BIGINT, max_tf BIGINT, df BIGINT, tbucket INT")
+      .parquet(s"$wandPath/bm")
       .where(col("tbucket").isin(buckets: _*) &&
         col("token").isin(distinctTerms: _*))
       .select(col("token"), col("dblock").cast("long"),
@@ -879,7 +884,9 @@ object PostingsIndex {
     // ONE relation for both phases: partition discovery over the
     // (tbucket × dblock) dir tree runs once, and each phase's block
     // filter prunes the shared file index instead of re-listing it
-    val tf = spark.read.parquet(s"$wandPath/tf")
+    val tf = spark.read
+      .schema("token STRING, doc_id BIGINT, tf BIGINT, tbucket INT, dblock BIGINT")
+      .parquet(s"$wandPath/tf")
     def score(blocks: Seq[Long]): DataFrame =
       TextAnalysis.bm25FromIndexGivenDf(
         tf.where(col("tbucket").isin(buckets: _*) &&

@@ -198,4 +198,53 @@ class EmptyInputSpec extends SparkSpec {
     assert(emptyDocs.select(
       graft.functions.NfcNormalize(col("text"))).count() === 0)
   }
+
+  test("r13 additions return empty (or fail fast) on empty corpora") {
+    import spark.implicits._
+    import graft.functions.{GraphRank, TextAnalysis}
+    import graft.streaming.PostingsIndex
+    // SQ8: an empty corpus has no query vector — the same descriptive
+    // failure as every collectQueryVector consumer
+    val eq = intercept[IllegalArgumentException](
+      Similarity.sqTopK(emptyEmb, "vec_id", "embedding", 0L, 5))
+    assert(eq.getMessage.contains("not found"))
+    // an empty pair-shard accumulation: appends claim fine, rank over
+    // zero edges fails fast at the |V| count (pageRank requires a
+    // non-empty vertex set to seed ranks)
+    val dir = java.nio.file.Files.createTempDirectory("empty-pairs").toString
+    val emptyPairs = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    assert(GraphRank.pairsAppend(emptyPairs, "a", "b", dir, 0L))
+    assert(GraphRank.pageRankFromPairs(spark, dir).count() === 0)
+    // CC over the empty shard union: no pairs, no components
+    assert(graft.functions.Dedup.connectedComponents(
+      GraphRank.readPairShards(spark, dir), "doc_a", "doc_b",
+      pairsDistinct = true).count() === 0)
+    // NB: training on an empty corpus has no classes — the model grid
+    // is empty and classification returns no rows (never an NPE)
+    val emptyLabeled = emptyDocs.withColumn("lang",
+      org.apache.spark.sql.functions.lit("en")).where("1=0")
+    val m = TextAnalysis.nbModel(emptyLabeled, "doc_id", "text", "lang")
+    assert(m.count() === 0)
+    assert(TextAnalysis.nbClassify(emptyDocs, "doc_id", "text", m).count() === 0)
+    // unigram count shards over an empty batch: claimable, zero rows,
+    // and scoring an empty corpus from them returns empty
+    val udir = java.nio.file.Files.createTempDirectory("empty-uni").toString
+    assert(TextAnalysis.unigramCountsAppend(emptyDocs, "doc_id", "text", udir, 0L))
+    assert(TextAnalysis.unigramXentFromCounts(
+      emptyDocs, "doc_id", "text", udir).count() === 0)
+    // WAND: a query whose terms have no sidecar rows takes the exact
+    // empty short-circuit — zero tf-scan jobs, empty result (the
+    // one-doc layout is the smallest real layout; an all-empty-corpus
+    // LAYOUT cannot be derived because readTfIndex has nothing to
+    // infer from, the documented empty-index boundary)
+    val wdir = java.nio.file.Files.createTempDirectory("empty-wand").toString
+    val (tfP, dlP) = (s"$wdir/tf", s"$wdir/dl")
+    PostingsIndex.tfIndexBatch(
+      Seq((1L, "solitary token")).toDF("doc_id", "text"), 0, tfP, dlP)
+    PostingsIndex.wandLayoutFrom(spark, tfP, s"$wdir/wand", span = 8L)
+    assert(PostingsIndex.searchBm25Wand(spark, s"$wdir/wand", dlP,
+      Seq("never-indexed"), 5).count() === 0)
+  }
 }
