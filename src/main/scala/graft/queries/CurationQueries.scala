@@ -465,6 +465,19 @@ object CurationQueries {
       .union(docs.where(bench).select(col("doc_id"), lit("bench").as("status")))
   }
 
+  /** The CURATION RUN REPORT — the per-feed summary a pipeline
+    * operator actually reads after a pass: the [[dropReasons]] gate
+    * battery rolled up to (source, status) counts, so a feed whose
+    * exact-dup or contamination rate spiked is one row, not a
+    * doc-level audit scan. Scale shape: the doc-level statuses reduce
+    * map-side into |sources|×|statuses| rows — the report is bounded
+    * metadata no matter the corpus. */
+  def dropReportQ(s: SparkSession, d: String): DataFrame =
+    dropReasons(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n"))
+
   /** CROSS-MODAL drop-reason audit — [[dropReasonsOf]]'s gate battery
     * with the SEMANTIC decontamination gate spliced between the shingle
     * check and the quality floor: bench holdout → exact dedup →
@@ -761,6 +774,7 @@ object CurationQueries {
     "q_decontaminate_stored" -> (decontaminateStored _),
     "q_drop_reasons"  -> (dropReasons _),
     "q_drop_reasons_sem" -> (dropReasonsSem _),
+    "q_drop_report"   -> (dropReportQ _),
     "q_dedup_cap"     -> (dedupCap _),
     "q_token_budget"  -> (tokenBudget _),
     "q_pack"          -> (packSequences _),
@@ -917,6 +931,12 @@ object CurationQueries {
     // planted construction + the three gate CTEs in the engine's CASE
     // order; keeper join is null-safe like dedupKeepRows' <=> discipline
     "q_drop_reasons" -> DropReasonsSql,
+    // the per-feed rollup of the same battery — counts over the
+    // verified status CTEs, source re-attached by doc_id
+    "q_drop_report" ->
+      s"""SELECT d.source, r.status, CAST(count(*) AS BIGINT) AS n
+         |FROM ($DropReasonsSql) r JOIN documents d ON d.doc_id = r.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     // the cross-modal audit: the same prefix + the embedding-gate CTE
     // (one holdout population across both modalities — the doc_id/vec_id
     // md5 bucket), sem gate between shingle contamination and quality

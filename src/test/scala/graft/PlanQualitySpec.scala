@@ -201,6 +201,7 @@ class PlanQualitySpec extends SparkSpec {
     // a broadcast scalar, not a join blow-up
     val allowed = Set("q_sim_topk", "q_sim_lsh", "q_above_avg", "q_tfidf",
       "q_unigram_ppl", // corpus-token-count scalar attach, the tfidf shape
+      "q_unigram_incr", // the same scalar, derived from the count shards
       "q_bigram_ppl",  // the vocabulary-size V one-row scalar, same shape
       "q_bm25",        // (N, avgdl) single-row scalar attach, same shape
       "q_bm25_index",  // the same (N, avgdl) scalar, served from the dl sidecar
