@@ -720,16 +720,31 @@ object TextAnalysis {
   def nbModel(docs: org.apache.spark.sql.DataFrame, id: String,
               text: String, label: String, buckets: Int = 1024,
               alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, count}
+    import org.apache.spark.sql.functions.{col, count}
     val feats = dsirFeatures(docs.withColumn("__c", col(label)), id, text,
       buckets, carry = Seq("__c"))
     val cnt = feats.groupBy("__c", "b").agg(count(lit(1)).as("cnt"))
     val tot = feats.groupBy("__c").agg(count(lit(1)).as("tot"))
     val prior = docs.groupBy(col(label).as("__c"))
       .agg(count(lit(1)).as("ndocs"))
-    val nAll = docs.agg(count(lit(1)).as("n"))
+    nbAssemble(docs.sparkSession, cnt, tot, prior, buckets, alpha)
+  }
+
+  /** The ONE model-assembly tail — complete grid, smoothing, priors —
+    * shared by [[nbModel]] (counts built in-plan) and
+    * [[nbModelFromCounts]] (counts summed from maintained shards):
+    * counts are exact integers, so the two paths assemble
+    * BIT-IDENTICAL models whenever their counts agree. */
+  private def nbAssemble(spark: org.apache.spark.sql.SparkSession,
+                         cnt: org.apache.spark.sql.DataFrame,
+                         tot: org.apache.spark.sql.DataFrame,
+                         prior: org.apache.spark.sql.DataFrame,
+                         buckets: Int,
+                         alpha: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, sum}
+    val nAll = prior.agg(sum(col("ndocs")).as("n"))
     prior.select(col("__c"))
-      .crossJoin(docs.sparkSession.range(buckets).toDF("b"))
+      .crossJoin(spark.range(buckets).toDF("b"))
       .join(cnt, Seq("__c", "b"), "left")
       .join(tot, Seq("__c")).join(prior, Seq("__c"))
       .crossJoin(broadcast(nAll))
@@ -737,6 +752,58 @@ object TextAnalysis {
         log((coalesce(col("cnt"), lit(0L)) + lit(alpha)).cast("double") /
             (col("tot") + lit(alpha * buckets))).as("llh"),
         log(col("ndocs").cast("double") / col("n")).as("logprior"))
+  }
+
+  /** INCREMENTAL NB maintenance — the count-shard discipline on the
+    * classifier gate: each batch appends its per-class feature-bucket
+    * counts AND its per-class doc counts (priors add too) as
+    * independently `_SUCCESS`-claimed shards — a crash between the two
+    * writes replays with only the missing one re-written, the
+    * tf/dl split-write contract. Returns false iff BOTH shards already
+    * existed (true replay). */
+  def nbCountsAppend(docs: org.apache.spark.sql.DataFrame, id: String,
+                     text: String, label: String, dir: String,
+                     batchId: Long, buckets: Int = 1024): Boolean = {
+    import org.apache.spark.sql.functions.{col, count}
+    val spark = docs.sparkSession
+    val featShard = s"$dir/feat/batch=$batchId"
+    val docShard = s"$dir/docs/batch=$batchId"
+    var wrote = false
+    if (ShardWrite.claim(spark, featShard)) {
+      dsirFeatures(docs.withColumn("__c", col(label)), id, text, buckets,
+          carry = Seq("__c"))
+        .groupBy("__c", "b").agg(count(lit(1)).as("cnt"))
+        .write.parquet(featShard)
+      wrote = true
+    }
+    if (ShardWrite.claim(spark, docShard)) {
+      docs.groupBy(col(label).as("__c")).agg(count(lit(1)).as("ndocs"))
+        .write.parquet(docShard)
+      wrote = true
+    }
+    wrote
+  }
+
+  /** Assemble the NB model from the accumulated count shards — the same
+    * integer counts, the same [[nbAssemble]] arithmetic, so the
+    * incrementally-maintained model is BIT-IDENTICAL to a batch retrain
+    * over the union ([[graft.TextRulesSpec]] pins it; `q_nb_incr`
+    * shares `q_nb_classify`'s oracle). Feature totals need no sidecar:
+    * every feature lands in exactly one (class, bucket) cell, so
+    * tot(c) = Σ_b cnt. Explicit schemas — an all-empty shard set reads
+    * as zero counts, never a schema-inference throw. */
+  def nbModelFromCounts(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, buckets: Int = 1024,
+                        alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val cnt = spark.read.schema("__c STRING, b BIGINT, cnt BIGINT")
+      .parquet(s"$dir/feat")
+      .groupBy("__c", "b").agg(sum(col("cnt")).as("cnt"))
+    val tot = cnt.groupBy("__c").agg(sum(col("cnt")).as("tot"))
+    val prior = spark.read.schema("__c STRING, ndocs BIGINT")
+      .parquet(s"$dir/docs")
+      .groupBy("__c").agg(sum(col("ndocs")).as("ndocs"))
+    nbAssemble(spark, cnt, tot, prior, buckets, alpha)
   }
 
   /** Classify documents against a (possibly persisted) NB model:

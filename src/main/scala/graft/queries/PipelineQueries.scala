@@ -473,8 +473,14 @@ object PipelineQueries {
     * itself stays a map-side hash. */
   def splitLeakproofQ(s: SparkSession, d: String): DataFrame = {
     val docs = par(documents(s, d))
+    // components derive from the MAINTAINED pair shards (the
+    // q_cc_incr read) — the split pass reads stored 16-byte pairs
+    // instead of re-mining the minhash stack; identical components by
+    // the shard-union contract, same transitive-closure oracle
     docs.select(col("doc_id"))
-      .join(Dedup.dedupGroups(docs, "doc_id", "text"), Seq("doc_id"), "left")
+      .join(Dedup.connectedComponents(
+          graft.functions.GraphRank.readPairShards(s, pairShardsDir(s, d)),
+          pairsDistinct = true), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component_rep"), col("doc_id")).as("rep"))
       .select(col("doc_id"), col("rep"),
@@ -761,6 +767,27 @@ object PipelineQueries {
     }
     TA.nbClassify(par(documents(s, d)), "doc_id", "text",
       s.read.parquet(s"$dir/model"))
+  }
+
+  /** The INCREMENTALLY-MAINTAINED classifier: three hash-split batches
+    * append per-class feature AND doc-count shards
+    * ([[TA.nbCountsAppend]]); the model assembles from the accumulated
+    * counts ([[TA.nbModelFromCounts]]) — counts (and priors) are
+    * additive, so online maintenance ≡ batch retrain, pinned to
+    * `q_nb_classify`'s exact oracle. The gate a live pipeline runs
+    * stays current as labeled batches stream in, with no retrain
+    * jobs. */
+  def nbIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"nbincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.nbCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", "lang", dir, b)
+    }
+    TA.nbClassify(par(documents(s, d)), "doc_id", "text",
+      TA.nbModelFromCounts(s, dir))
   }
 
   /** The INCREMENTALLY-MAINTAINED twin: the corpus arrives as three
@@ -1697,6 +1724,7 @@ object PipelineQueries {
     "q_dsir_incr"      -> (dsirIncrQ _),
     "q_nb_classify"    -> (nbClassifyQ _),
     "q_nb_stored"      -> (nbStoredQ _),
+    "q_nb_incr"        -> (nbIncrQ _),
     "q_dsir_select"    -> (dsirSelectQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
@@ -2147,6 +2175,8 @@ object PipelineQueries {
     "q_nb_classify" -> NbSql,
     // the stored model replays the same counts — same oracle SQL
     "q_nb_stored" -> NbSql,
+    // counts and priors are additive: incremental ≡ batch retrain
+    "q_nb_incr" -> NbSql,
     "q_dsir_select" ->
       s"""SELECT w.* FROM ($DsirSql) w
          |JOIN documents d ON w.doc_id = d.doc_id AND d.lang <> 'en'

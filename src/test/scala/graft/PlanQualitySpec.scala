@@ -223,6 +223,7 @@ class PlanQualitySpec extends SparkSpec {
       "q_nb_classify",  // the classes×buckets grid cross (C×B bounded
                         // rows) + the one-row doc-count attach
       "q_nb_stored",    // same grid, read from the persisted model
+      "q_nb_incr",      // same grid, assembled from the count shards
       "q_source_kl")    // the complete-residue cross: |sources|×1024 rows
                         // (both sides bounded — nothing corpus-scale) +
                         // the one-row corpus-total attach

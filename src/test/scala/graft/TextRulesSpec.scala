@@ -326,4 +326,35 @@ class TextRulesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(stored == fused)
   }
+
+  test("naive bayes count shards: incremental model is bit-identical to batch; split-write crash heals") {
+    val train = (
+      (0L until 6L).map(i => (i, "a", "alpha beta shared filler")) ++
+      (6L until 8L).map(i => (i, "b", "gamma delta shared filler"))
+    ).toDF("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("nb-incr").toString
+    assert(TA.nbCountsAppend(train.where($"doc_id" < 4), "doc_id", "text",
+      "lang", dir, 0L))
+    assert(TA.nbCountsAppend(train.where($"doc_id" >= 4), "doc_id", "text",
+      "lang", dir, 1L))
+    def modelRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val incr = modelRows(TA.nbModelFromCounts(spark, dir))
+    assert(incr == modelRows(TA.nbModel(train, "doc_id", "text", "lang")),
+      "count-assembled model diverged from the batch retrain")
+    // full replay: both shards complete → skipped, model unchanged
+    assert(!TA.nbCountsAppend(train.where($"doc_id" >= 4), "doc_id", "text",
+      "lang", dir, 1L))
+    assert(modelRows(TA.nbModelFromCounts(spark, dir)) == incr)
+    // split-write crash: the doc-count shard of batch 1 is torn — the
+    // replay rewrites ONLY it (feat shard skips), and the model heals
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/docs/batch=1/_SUCCESS"), false))
+    assert(TA.nbCountsAppend(train.where($"doc_id" >= 4), "doc_id", "text",
+      "lang", dir, 1L), "torn doc-count shard was skipped as a replay")
+    assert(modelRows(TA.nbModelFromCounts(spark, dir)) == incr)
+  }
 }
