@@ -103,6 +103,45 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
+  /** RANDOM-PROJECTION dimensionality reduction (Johnson–Lindenstrauss):
+    * project each embedding onto `outDim` fixed Gaussian directions
+    * scaled by 1/√outDim, so expected squared norms — and with them
+    * pairwise distances — are preserved within the JL bound. The
+    * embedding-toolbox step BEFORE clustering/ANN when the raw width is
+    * the cost driver: a 64→16 projection quarters every downstream
+    * dot product and the bytes every vector artifact stores. The
+    * matrix is the [[hyperplanes]] deterministic generator (the LSH
+    * planes' sibling — scaling applied on the DRIVER so engine and
+    * oracle share the exact literal doubles); per row the projection
+    * is `outDim` codegen'd [[VectorExpressions.dotProduct]] folds — a
+    * pure map-side projection, no shuffle, no UDF. Output one row per
+    * (vector, output dimension): (vec_id, j, x) — the exploded form
+    * keeps the oracle a plain UNION of per-dimension chains. */
+  def randomProject(emb: DataFrame, id: String, vec: String,
+                    outDim: Int = 16, dim: Int = OracleDim,
+                    seed: Long = 42L): DataFrame = {
+    require(outDim >= 1, "randomProject needs outDim >= 1")
+    val planes = hyperplanes(outDim, dim, seed)
+      .map(_.map(_ / math.sqrt(outDim)))
+    emb.select(col(id).as("vec_id"),
+        transform(col(vec), _.cast("double")).as("v"))
+      .select(col("vec_id"), posexplode(array(planes.map(p =>
+          VectorExpressions.dotProduct(col("v"), array(p.map(lit): _*))): _*))
+        .as(Seq("j", "x")))
+  }
+
+  /** Oracle for [[randomProject]]: one left-associated projection chain
+    * per output dimension over the SAME driver-scaled plane literals,
+    * unioned in dimension order. */
+  def randomProjectOracleSql(outDim: Int = 16, dim: Int = OracleDim,
+                             seed: Long = 42L): String = {
+    val planes = hyperplanes(outDim, dim, seed)
+      .map(_.map(_ / math.sqrt(outDim)))
+    planes.zipWithIndex.map { case (p, j) =>
+      s"SELECT vec_id, $j AS j, ${dotPlaneSql("embedding", p)} AS x FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+  }
+
   /** Sign-bit LSH bucket id: bit p = (v · plane_p) >= 0. Vectors with the
     * same bucket are cosine-close with high probability. Projections use
     * the codegen'd DotProduct expression — the HOF form made bucketing

@@ -1262,6 +1262,14 @@ object PipelineQueries {
     Similarity.pqTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10,
       m = 4, ks = 8)
 
+  /** Random-projection dimensionality reduction
+    * ([[Similarity.randomProject]], Johnson–Lindenstrauss): 64 → 16
+    * dims via deterministic scaled Gaussian directions — the toolbox
+    * step before clustering/ANN when raw width drives cost. One
+    * map-side projection; oracled per output dimension. */
+  def embedRp(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProject(embChecked(s, d), "vec_id", "embedding")
+
   /** Scalar quantization (SQ8, [[Similarity.sqTopK]]) — the third
     * vector-compression family member: per-vector int8 codes (1
     * byte/dim, 8× vs raw doubles), exact query, asymmetric scoring;
@@ -1756,6 +1764,7 @@ object PipelineQueries {
     "q_sim_ivf_iter"   -> (simIvfIter _),
     "q_sim_pq"         -> (simPq _),
     "q_sim_sq"         -> (simSq _),
+    "q_embed_rp"       -> (embedRp _),
     "q_sim_sq_probe"   -> (simSqProbe _),
     "q_sim_sq_rerank"  -> (simSqRerank _),
     "q_sim_pq_probe"   -> (simPqProbe _),
@@ -2662,6 +2671,7 @@ object PipelineQueries {
     // is the dense codebook (Similarity.DefaultM/DefaultKs)
     "q_sim_pq" -> Similarity.pqOracleSql(0L, 10, m = 4, ks = 8),
     "q_sim_sq" -> Similarity.sqOracleSql(0L, 10),
+    "q_embed_rp" -> Similarity.randomProjectOracleSql(),
     // the stored int8 codes are the identical floor values — same oracle
     "q_sim_sq_probe" -> Similarity.sqOracleSql(0L, 10),
     "q_sim_sq_rerank" -> Similarity.sqRerankOracleSql(0L, 10, shortlist = 50),

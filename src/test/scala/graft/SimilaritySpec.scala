@@ -479,6 +479,41 @@ class SimilaritySpec extends SparkSpec {
       s"batch rerank diverged from single-query:\n$batch\nvs\n$served")
   }
 
+  test("random projection: deterministic, and pairwise distances hold within the JL distortion band") {
+    val emb = Tables.embeddings(spark, sf0001).limit(20).cache()
+    try {
+      val orig = emb.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+      def proj(): Map[Long, Array[Double]] =
+        Similarity.randomProject(emb, "vec_id", "embedding", outDim = 16)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+          .groupBy(_._1).view
+          .mapValues(_.sortBy(_._2).map(_._3)).toMap
+          .map { case (k, v) => k -> v.toArray }
+      val p = proj()
+      assert(p.values.forall(_.length == 16))
+      // deterministic: the fixed-seed matrix reprojects bit-identically
+      assert(proj().map { case (k, v) => k -> v.toSeq } ==
+        p.map { case (k, v) => k -> v.toSeq })
+      def d2(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val ids = orig.keys.toSeq.sorted
+      val ratios = for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        od = d2(orig(ids(i)), orig(ids(j))) if od > 0
+      } yield d2(p(ids(i)), p(ids(j))) / od
+      val mean = ratios.sum / ratios.size
+      // 1/√outDim scaling makes the projection norm-preserving in
+      // expectation; at outDim=16 the JL distortion band is wide but
+      // bounded — the properties that make the projection USABLE, not
+      // just deterministic
+      assert(math.abs(mean - 1.0) < 0.25, s"mean distance ratio $mean")
+      assert(ratios.forall(r => r > 0.25 && r < 2.5),
+        s"distance ratio outside the JL band: min=${ratios.min} max=${ratios.max}")
+    } finally emb.unpersist()
+  }
+
   test("SQ8: int8 codes recall planted neighbors; stored probe equals fused; zero vectors score 0") {
     val rnd = new scala.util.Random(23)
     val dim = 64
