@@ -936,6 +936,74 @@ object AnnDenseProbe {
   }
 }
 
+/** Block-max WAND pruning priced at scale (docs/SCALE.md): a 100k-doc
+  * corpus with the planted skew real corpora have along insertion order
+  * (one crawl window carries the high-tf template flood), laid out at
+  * 16 doc-range blocks. Measures the block survivor count, the bytes
+  * the pruned scoring scan reads vs the unpruned stored top-k, wall
+  * times, and asserts the two top-k results agree — the exactness +
+  * cost story in one run. `sbt "runMain graft.WandProbe [n]"`. */
+object WandProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.PostingsIndex
+    val span = n / 16
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") < span, lit(("mid " * 12) + "common"))
+        .otherwise(when(col("id") % 2 === 0, lit("mid common pad pad"))
+          .otherwise(lit("common pad pad pad"))).as("text"))
+      .repartition(16)
+    val dir = java.nio.file.Files.createTempDirectory("wand-probe").toString
+    val (tfP, dlP, wP) = (s"$dir/tf", s"$dir/dl", s"$dir/wand")
+    PostingsIndex.tfIndexBatch(docs, 0, tfP, dlP)
+    val t0 = System.nanoTime()
+    PostingsIndex.wandLayoutFrom(spark, tfP, wP, span = span)
+    println(f"[scale] wand layout @$n docs, span=$span (16 blocks): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s rewrite")
+    val terms = Seq("mid", "common")
+    val k = 10
+    var bytes = 0L
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes += s.stageInfo.taskMetrics.inputMetrics.bytesRead
+    }
+    def measured[T](f: => T): (T, Long, Double) = {
+      bytes = 0L
+      spark.sparkContext.addSparkListener(sl)
+      val t = System.nanoTime()
+      val r = f
+      val secs = (System.nanoTime() - t) / 1e9
+      Thread.sleep(1500)
+      spark.sparkContext.removeSparkListener(sl)
+      (r, bytes, secs)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (kept, _) = PostingsIndex.wandPlan(spark, wP, dlP, terms, k, 1.2, 0.75)
+    val (wand, wandBytes, wandSecs) = measured(
+      rows(PostingsIndex.searchBm25Wand(spark, wP, dlP, terms, k)))
+    val (plain, plainBytes, plainSecs) = measured(
+      rows(PostingsIndex.bm25FromStored(spark, tfP, dlP, terms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)))
+    require(wand.map(_._1) == plain.map(_._1),
+      s"WAND top-k ids diverged from the unpruned stored path")
+    println(f"[scale] wand_probe @$n docs, query=[mid(df~56%%), common(df=N)]: " +
+      f"blocks kept ${kept.length}/16; WAND $wandSecs%.2f s / " +
+      f"${wandBytes / 1e6}%.1f MB read (incl. the seed phase) vs unpruned " +
+      f"stored top-k $plainSecs%.2f s / ${plainBytes / 1e6}%.1f MB; " +
+      "top-k ids identical")
+    spark.stop()
+  }
+}
+
 /** Stopword-bound evidence for the stored BM25 scorer (docs/SCALE.md):
   * tf/dl/df artifacts over a factor×-replicated corpus whose every doc
   * carries a planted stopword; the same two-term query served

@@ -338,6 +338,46 @@ object EngineProps extends Properties("engine") {
       toks.forall(t => got(t) == PostingsIndex.tokenBucketLocal(t))
     }
 
+  // SQ8 quantization error bound: for any vector, the reconstruction
+  // scale·code differs from each raw component by at most scale/2 (the
+  // half-up rounding radius) — the property that makes 8-bit scoring
+  // near-exact, checked through the real engine expressions
+  private val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100.0, 100.0))
+    .map(_.take(16))
+  property("SQ8 codes reconstruct every component within scale/2") =
+    forAll(vecGen) { xs =>
+      val rows = java.util.List.of(
+        org.apache.spark.sql.Row(1L, xs.map(_.toFloat).toArray.toSeq))
+      val df = spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+      val dir = java.nio.file.Files.createTempDirectory("sq-prop").toString
+      graft.functions.Similarity.sqWriteArtifacts(df, "vec_id", "embedding", dir)
+      val r = spark.read.parquet(s"$dir/codes").head()
+      val s = r.getDouble(1)
+      val codes = r.getSeq[Byte](2)
+      val raw = xs.map(_.toFloat.toDouble)
+      if (s == 0) raw.forall(_ == 0.0)
+      else raw.zip(codes).forall { case (x, c) =>
+        math.abs(x - s * c) <= s / 2 + 1e-12 && math.abs(c.toInt) <= 127
+      }
+    }
+
+  // the candidate-proportional rerank shortlist: monotone in corpus,
+  // nprobe, and k; never below 4k; exactly candidates/4 once past the
+  // floor — the AnnRecallProbe tuning rule as an algebraic property
+  property("rerankShortlist is monotone with a 4k floor") =
+    forAll(Gen.chooseNum(0L, 10000000L), Gen.chooseNum(1, 64),
+      Gen.chooseNum(1, 64), Gen.chooseNum(1, 100)) { (n, nlist, nprobe, k) =>
+      val sl = graft.functions.Similarity.rerankShortlist(n, nlist, nprobe, k)
+      val more = graft.functions.Similarity.rerankShortlist(n + 100000, nlist, nprobe, k)
+      sl >= 4 * k && sl >= k && more >= sl
+    }
+
   // headerless-DIB wrap: stripping the BITMAPFILEHEADER from any
   // generated BMP and re-wrapping must decode to the identical pixels
   private val rgbGen = Gen.chooseNum(0, 0xFFFFFF)
