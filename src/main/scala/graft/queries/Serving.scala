@@ -103,13 +103,28 @@ object Serving {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"), col("avg_value"))
 
+  /** SLIDING event-time windows — `window(ts, len, slide)` with
+    * len = 2·slide, the overlap shape trend dashboards use (every event
+    * counted in len/slide windows). The oracle enumerates the same
+    * windows as len/slide shifted tumbling grids unioned — an event's
+    * sliding windows are exactly the slide-aligned starts within
+    * (ts − len, ts], which Spark's window() generates and
+    * `time_bucket(slide) − j·slide` replays. */
+  def eventSlidingWindow(df: DataFrame, len: String = "30 minutes",
+                         slide: String = "15 minutes"): DataFrame =
+    df.groupBy(window(col("ts"), len, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_api_olhc"    -> ((s, d) => olhcWindow(events(s, d), 7L, "2024-01-15 00:00:00")),
     "q_api_latest"  -> ((s, d) => latest(events(s, d), 7L)),
     "q_api_recent"  -> ((s, d) => recentGlobal(events(s, d), 6)),
     "q_api_history" -> ((s, d) => history(events(s, d), 3L, 2000)),
     "q_stream_hourly" -> ((s, d) => hourlyRollup(events(s, d))),
-    "q_event_window" -> ((s, d) => eventWindow(events(s, d))))
+    "q_event_window" -> ((s, d) => eventWindow(events(s, d))),
+    "q_event_sliding" -> ((s, d) => eventSlidingWindow(events(s, d))))
 
   val oracle: Map[String, String] = Map(
     "q_api_olhc" ->
@@ -138,5 +153,20 @@ object Serving {
         |         TIMESTAMP '1970-01-01 00:00:00') + INTERVAL '15 minutes' AS w_end,
         |       event_type, count(*) AS n,
         |       sum(value) AS sum_value, avg(value) AS avg_value
-        |FROM events GROUP BY 1, 2, 3""".stripMargin)
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // sliding = len/slide shifted tumbling grids unioned: every event's
+    // two 30-min windows are its 15-min bucket start and that minus one
+    // slide — exactly Spark's window(ts, len, slide) enumeration
+    "q_event_sliding" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts,
+        |           TIMESTAMP '1970-01-01 00:00:00') AS w_start,
+        |         event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts,
+        |           TIMESTAMP '1970-01-01 00:00:00') - INTERVAL '15 minutes' AS w_start,
+        |         event_type, value FROM events)
+        |SELECT w_start, w_start + INTERVAL '30 minutes' AS w_end,
+        |       event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM w GROUP BY 1, 2, 3""".stripMargin)
 }

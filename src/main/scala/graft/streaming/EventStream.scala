@@ -100,6 +100,24 @@ object EventStream {
         < minCos,
       lit(true)))
 
+  /** Event-time SESSION windows in streaming — activity bursts per key
+    * closed by a `gap` of silence ([[graft.operators.Sessionize]] /
+    * `q_session` is the batch twin): `session_window` merges
+    * overlapping per-event candidate windows into variable-length
+    * sessions inside Spark's session-aware state store, and the
+    * watermark FINALIZES a session once event time passes its end +
+    * gap — so in append mode a session emits exactly once, complete,
+    * and state is O(open sessions), not O(events). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** STREAM-STREAM interval join — the last §2.8 "not present" shape
     * (the reference has no streaming joins at all): correlate two live
     * event streams on a key within an event-time window, e.g. ticks to

@@ -1355,6 +1355,41 @@ class StreamingSpec extends SparkSpec {
     assert(all.count() == 1)
   }
 
+  test("sessionCounts: streaming session windows close on the gap and emit once, complete") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.EventStream.sessionCounts(
+        mem.toDF().toDF("user_id", "ts", "value"), gap = "30 minutes",
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // session A: three events inside one 30-min-gap burst; session B:
+    // a separate burst 2 h later (the gap splits them)
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 10:25:00"), 3.0),
+      (1L, ts("2024-01-01 12:30:00"), 4.0))
+    q.processAllAvailable()
+    // advance the watermark far past both sessions so append mode
+    // finalizes them
+    mem.addData((99L, ts("2024-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .where(col("user_id") === 1L)
+      .collect().map(r => (r.getTimestamp(0).toString,
+        r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4))).toSet
+    // session A spans first..last event + gap; one row, all three
+    // events aggregated — never a partial emit
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:55:00.0", 3L, 6.0),
+      ("2024-01-01 12:30:00.0", "2024-01-01 13:00:00.0", 1L, 4.0)),
+      s"sessions: $got")
+  }
+
   test("intervalJoin: stream-stream pairs within the event-time window only; state is watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
