@@ -275,6 +275,49 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** TEMPERATURE-scaled mixture plan (T = 2) — the reweighting
+    * multilingual/multi-source pipelines actually run (the XLM-R /
+    * mT5 exponent trick): sample source i with token mass ∝ share^(1/T)
+    * so low-resource sources stop being drowned without flattening to
+    * uniform (the [[mixPlanOf]] extreme). Downsample-only realization:
+    * rate_i = (share_i)^(1/T − 1) normalized so the SMALLEST source
+    * keeps everything; at T = 2 that collapses to
+    * `sqrt(min_tokens / n_tokens_i)` — total cancels, and the whole
+    * rate is one exact-int division + one IEEE sqrt (both correctly
+    * rounded), so the doubles are BIT-IDENTICAL cross-engine with no
+    * pow() in sight. Same |sources|-row post-agg frame as the flat
+    * plan. */
+  def mixTempPlanOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy() // post-agg frame: |sources| rows
+    docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TA.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("min_tokens", min(col("n_tokens")).over(w))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens"))
+          .as("token_share"),
+        sqrt(col("min_tokens").cast("double") / col("n_tokens"))
+          .as("temp_rate"))
+  }
+
+  def mixTempPlan(s: SparkSession, d: String): DataFrame =
+    mixTempPlanOf(par(documents(s, d)))
+
+  /** Apply the temperature plan — the [[mixApplyOf]] hash-bucket
+    * machinery over [[mixTempPlanOf]]'s rates: exact on both sides
+    * because the T=2 rate doubles are bit-identical (sqrt of an exact
+    * integer ratio). */
+  def mixTempApply(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val rates = mixTempPlanOf(docs).select(col("source"), col("temp_rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .where(TA.hashBucket(col("doc_id"), MixBuckets).cast("double") <
+        col("temp_rate") * MixBuckets)
+      .select(col("doc_id"), col("source"))
+  }
+
   // ---- benchmark decontamination ---------------------------------------
 
   /** Hash bucket (mod [[BenchBuckets]]) whose documents form the held-out
@@ -769,6 +812,8 @@ object CurationQueries {
     "q_quality_topp"  -> (qualityTopP _),
     "q_mix_plan"      -> (mixPlan _),
     "q_mix_apply"     -> (mixApply _),
+    "q_mix_temp"      -> (mixTempPlan _),
+    "q_mix_temp_apply" -> (mixTempApply _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_x" -> (decontaminateX _),
     "q_decontaminate_stored" -> (decontaminateStored _),
@@ -794,6 +839,17 @@ object CurationQueries {
        |FROM (SELECT source, n_docs, n_tokens,
        |        CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
        |        count(*) OVER () AS n_sources
+       |      FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
+       |            FROM documents GROUP BY source))""".stripMargin
+
+  private val MIX_TEMP_SQL =
+    s"""SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+       |  sqrt(CAST(min_tokens AS DOUBLE) / n_tokens) AS temp_rate
+       |FROM (SELECT source, n_docs, n_tokens,
+       |        CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+       |        CAST(min(n_tokens) OVER () AS BIGINT) AS min_tokens
        |      FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |              CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
        |            FROM documents GROUP BY source))""".stripMargin
@@ -893,6 +949,15 @@ object CurationQueries {
     // sum(BIGINT) is HUGEINT in DuckDB — cast back at each level so the
     // arithmetic runs in the same int64/double domains as the engine
     "q_mix_plan" -> MIX_PLAN_SQL,
+    // T=2 temperature plan: the rate is sqrt of an exact integer ratio
+    // (total cancels), so the doubles hash-match with no pow()
+    "q_mix_temp" -> MIX_TEMP_SQL,
+    "q_mix_temp_apply" ->
+      s"""WITH plan AS ($MIX_TEMP_SQL)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN plan ON d.source = plan.source
+         |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |           % 1000000 AS DOUBLE) < temp_rate * 1000000""".stripMargin,
     // the plan SQL spliced as a CTE (one source of truth with
     // q_mix_plan), the q_hash_split md5 bucket at per-million
     // resolution, strict < on bit-identical doubles both sides
