@@ -40,6 +40,23 @@ object Similarity {
     * [[rerankShortlist]] instead of a fixed constant. */
   val AutoShortlist: Int = 0
 
+  /** The coarse-list count rule every scale probe converged on (SCALE.md:
+    * semdedup "nlist scaled 16→256 with the corpus keeps clusters ~160
+    * wide"; ann_join 512 lists at 100k): size `nlist` so each inverted
+    * list holds ≈`targetListSize` vectors — probes then scan
+    * nprobe·targetListSize candidates at ANY corpus size, which is what
+    * keeps per-query cost flat as the corpus grows. A FIXED nlist (the
+    * oracle rows' fixture-scale 16) makes candidate counts grow linearly
+    * with the corpus instead. Callers pass this to the builders at
+    * indexing time; it is not a data-dependent default because the
+    * oracle twins spell nlist as a literal. */
+  def scaledNlist(corpusRows: Long, targetListSize: Long = 160L): Int = {
+    require(corpusRows >= 0 && targetListSize >= 1,
+      s"scaledNlist(corpusRows=$corpusRows, targetListSize=$targetListSize)")
+    math.min(math.max(1L, math.ceil(corpusRows.toDouble / targetListSize).toLong),
+      1L << 20).toInt
+  }
+
   /** The re-rank shortlist rule `AnnRecallProbe` measured (SCALE.md):
     * a FIXED shortlist dilutes as nprobe admits more candidates
     * (rerank@50 fell 0.55 → 0.38 as nprobe grew 1 → 8 with 12-bit

@@ -15,6 +15,21 @@ class AnnDefaultsSpec extends SparkSpec {
 
   private def sf01 = "/root/testdata/sf0.1"
 
+  test("scaledNlist keeps the per-list population flat as the corpus grows") {
+    // the probes' empirical rule made algebraic: ≈160 vectors/list
+    assert(Similarity.scaledNlist(2000L) == 13)
+    assert(Similarity.scaledNlist(40000L) == 250)   // the semdedup probe's 256-ballpark
+    assert(Similarity.scaledNlist(100000L) == 625)  // the ann_join probe's 512-ballpark
+    // candidates per probe stay ≈ nprobe·target at both scales
+    for (n <- Seq(10000L, 10000000L)) {
+      val perList = n.toDouble / Similarity.scaledNlist(n)
+      assert(perList >= 80 && perList <= 200, s"n=$n perList=$perList")
+    }
+    // floors and caps
+    assert(Similarity.scaledNlist(0L) == 1)
+    assert(Similarity.scaledNlist(Long.MaxValue / 4) == (1 << 20))
+  }
+
   test("rerankShortlist scales with the candidate count and floors at 4k") {
     // probe-fixture shape: 2 000 vectors, nlist=16, nprobe=4 → 500
     // candidates → shortlist 125 (= candidates/4, above the 40 floor)
