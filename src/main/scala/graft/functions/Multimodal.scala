@@ -204,6 +204,110 @@ object Multimodal {
     Some((w, h, ch, Array.tabulate(ch)(i => sums(i).toDouble / n)))
   }
 
+  /** PERCEPTUAL image hash (dHash, the difference-hash family every
+    * image-dedup pipeline starts with): exact AREA-AVERAGE downsample
+    * to a (dw+1)×dh gray grid, bit (y·dw + x) set iff cell (x+1, y)
+    * is brighter than cell (x, y). Near-duplicate images — recompressed,
+    * resized, slightly edited — keep most bits, so Hamming distance is
+    * the image-side near-dup key ([[phashPairs]] banding; the text
+    * side's SimHash discipline).
+    *
+    * DETERMINISM is engineered, not assumed: the downsample is integer
+    * pixel-sum binning (`cy = y·dh/h`), never a platform-resampler
+    * (Graphics2D interpolation differs across JVMs), and the
+    * brightness comparison cross-multiplies integer sums
+    * (`sumA·cntB > sumB·cntA`) so no float rounding can flip a bit —
+    * for byte-exact decoders (BMP/PNG) the hash is a pure function of
+    * the pixels, which is what lets `q_multimodal_phash` oracle it in
+    * closed form. Images smaller than the grid (w ≤ dw, h < dh) have
+    * no defined cells → None (the fallback row). */
+  def dHash(bytes: Array[Byte], dw: Int = 8, dh: Int = 8): Option[Long] = {
+    if (bytes == null) return None
+    val img =
+      try javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < dw + 1 || h < dh) return None
+    val sums = Array.ofDim[Long](dh, dw + 1)
+    val cnts = Array.ofDim[Long](dh, dw + 1)
+    var y = 0
+    while (y < h) {
+      val cy = y * dh / h
+      var x = 0
+      while (x < w) {
+        val cx = x * (dw + 1) / w
+        val argb = img.getRGB(x, y)
+        sums(cy)(cx) += ((argb >>> 16) & 0xff) + ((argb >>> 8) & 0xff) +
+          (argb & 0xff)
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < dh) {
+      var cx = 0
+      while (cx < dw) {
+        if (sums(cy)(cx + 1) * cnts(cy)(cx) > sums(cy)(cx) * cnts(cy)(cx + 1))
+          hash |= 1L << (cy * dw + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-image dHash through the same `mapPartitions` codec boundary as
+    * [[imageStats]]: decodable blobs emit their 64-bit perceptual hash
+    * (`decoded = true`), everything else a zero-hash fallback row. */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("phash", LongType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        dHash(r.getAs[Array[Byte]](blobIdx)) match {
+          case Some(hv) => Row(r.getLong(idIdx), true, hv)
+          case None => Row(r.getLong(idIdx), false, 0L)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Image NEAR-DUP candidate pairs from perceptual hashes — the
+    * [[graft.functions.Dedup.simhash]] banding discipline on the image
+    * side: the 64-bit hash splits into four 16-bit bands; two images
+    * whose Hamming distance is ≤ 3 agree on at least ONE whole band
+    * (pigeonhole over 4 bands), so candidates come from equal-band
+    * buckets — never an all-pairs self-join — and the exact
+    * `bit_count(a XOR b)` verify keeps only true near-dups. Input:
+    * (media_id, phash) rows; output (id_a, id_b, hamming), id_a < id_b. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band LSH guarantees recall only for hamming <= 3; re-band for more")
+    val banded = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Image statistics through the SAME `mapPartitions` decode boundary
     * as [[extractFeatures]] — but with the REAL decoder in front:
     * decodable blobs report actual dimensions and channel means
@@ -846,6 +950,33 @@ object Multimodal {
           }
         Row(i, "video", blob,
           Row((i * 37 % 1920 + 1).toInt, (i * 17 % 1080 + 1).toInt, "MJPG"))
+      }
+    }(RowEncoder.encoderFor(mediaSchema))
+
+  /** Fixture generator for `q_multimodal_phash`: one REAL 18×16 BMP per
+    * id whose 8 cell-row gradients each run left→right (brighter) or
+    * right→left, the direction of cell-row dy (0..6) taken from BIT dy
+    * of the id (row 7 always decreasing, keeping the hash below 2⁵⁶ so
+    * the oracle's BIGINT arithmetic never wraps). [[dHash]]'s grid is
+    * exactly 2×2 pixels per cell here, gradients are strictly monotone
+    * across cells, so the hash has the CLOSED FORM
+    * `Σ_{dy≤6, bit dy of id clear} 0xFF << 8·dy` — the DuckDB twin
+    * recomputes it arithmetically, and row equality proves decode +
+    * downsample + comparison invert the pixel encoding. id % 5 == 0
+    * rows stay opaque payloads (the fallback path in the same plan). */
+  def synthesizePhashMedia(docs: DataFrame, id: String): DataFrame =
+    docs.select(col(id).cast(LongType).as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        val blob: Array[Byte] =
+          if (i % 5 == 0) s"opaque payload $i".getBytes("UTF-8")
+          else minimalBmp(18, 16) { (x, y) =>
+            val dy = y / 2
+            val up = dy < 7 && ((i >> dy) & 1) == 0
+            val v = if (up) x * 14 else (17 - x) * 14
+            (v << 16) | (v << 8) | v
+          }
+        Row(i, "image", blob, Row(18, 16, "stub"))
       }
     }(RowEncoder.encoderFor(mediaSchema))
 

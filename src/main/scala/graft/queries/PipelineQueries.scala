@@ -1544,6 +1544,19 @@ object PipelineQueries {
     Multimodal.frameStats(
       Multimodal.synthesizeFrameMedia(par(documents(s, d)), "doc_id"))
 
+  /** PERCEPTUAL image hashing ([[Multimodal.dHash]] via
+    * [[Multimodal.imagePhash]]) — the image-side near-dup key (SimHash's
+    * multimodal sibling): real BMP gradients whose per-cell-row
+    * direction is an id bit, decoded + area-averaged + compared by the
+    * engine, while the oracle recomputes the 64-bit hash in closed
+    * form — equality proves decode, exact integer downsample, and the
+    * bit comparisons all invert the encoding. Opaque rows exercise the
+    * zero-hash fallback in the same plan; [[Multimodal.phashPairs]] is
+    * the banded near-dup pair miner over these hashes (spec-pinned). */
+  def multimodalPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.imagePhash(
+      Multimodal.synthesizePhashMedia(par(documents(s, d)), "doc_id"))
+
   /** COMPRESSED-codec rasterization, oracle-checked: MJPEG AVIs —
     * `00dc` chunks holding REAL JDK-encoded JPEGs of solid gray frames
     * ([[Multimodal.synthesizeMjpegMedia]]) — through the same container
@@ -1786,6 +1799,7 @@ object PipelineQueries {
     "q_multimodal_video" -> (multimodalVideo _),
     "q_multimodal_pixels" -> (multimodalPixels _),
     "q_multimodal_mjpeg" -> (multimodalMjpeg _),
+    "q_multimodal_phash" -> (multimodalPhash _),
     "q_pipeline_clean"  -> (pipelineClean _),
     "q_pipeline_neardup" -> (pipelineNearDup _))
 
@@ -2764,6 +2778,14 @@ object PipelineQueries {
     // pixel parity: a solid-color frame's channel mean is exactly
     // c/255 (IEEE division of the same rational on both sides), so the
     // BMP rasterization is hash-checkable through arithmetic SQL
+    // the dHash closed form: cell-row dy's byte is 0xFF iff bit dy of
+    // the id is clear (gradient runs brighter left->right), row 7 always
+    // 0 — pure integer arithmetic both engines share
+    "q_multimodal_phash" ->
+      """SELECT doc_id AS media_id, doc_id % 5 <> 0 AS decoded,
+        |  CASE WHEN doc_id % 5 = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (CASE WHEN (doc_id >> 0) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 0) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 1) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 8) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 2) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 16) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 3) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 24) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 4) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 32) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 5) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 40) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 6) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 48) ELSE CAST(0 AS BIGINT) END) END AS phash
+        |FROM documents""".stripMargin,
     "q_multimodal_pixels" ->
       """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
         |  true AS decoded,

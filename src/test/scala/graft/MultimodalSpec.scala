@@ -349,4 +349,36 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("dHash: near-dup images land at small hamming, different images far; banding mines the pair") {
+    import spark.implicits._
+    def gradient(w: Int, h: Int, reversed: Boolean, noise: Int => Int) =
+      Multimodal.minimalBmp(w, h) { (x, y) =>
+        val base = if (reversed) (w - 1 - x) * 255 / (w - 1)
+                   else x * 255 / (w - 1)
+        val v = math.max(0, math.min(255, base + noise(x * 31 + y * 7)))
+        (v << 16) | (v << 8) | v
+      }
+    val orig = gradient(64, 48, reversed = false, _ => 0)
+    // a recompress-style perturbation: tiny deterministic per-pixel noise
+    val near = gradient(64, 48, reversed = false, s => (s % 5) - 2)
+    val far = gradient(64, 48, reversed = true, _ => 0)
+    val Some(hOrig) = Multimodal.dHash(orig)
+    val Some(hNear) = Multimodal.dHash(near)
+    val Some(hFar) = Multimodal.dHash(far)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hOrig, hNear) <= 3,
+      s"near-dup hamming ${ham(hOrig, hNear)} too far")
+    assert(ham(hOrig, hFar) >= 20,
+      s"reversed gradient hamming ${ham(hOrig, hFar)} too close")
+    // undersized images have no defined cells -> fallback, never a crash
+    assert(Multimodal.dHash(Multimodal.minimalBmp(4, 4)((_, _) => 0)).isEmpty)
+    // the banded miner finds exactly the planted near-dup pair
+    val hashes = Seq((1L, hOrig), (2L, hNear), (3L, hFar))
+      .toDF("media_id", "phash")
+    val pairs = Multimodal.phashPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)), s"pairs: $pairs")
+    assert(pairs.head._3 == ham(hOrig, hNear))
+  }
 }
