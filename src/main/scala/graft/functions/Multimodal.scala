@@ -288,11 +288,20 @@ object Multimodal {
     * (pigeonhole over 4 bands), so candidates come from equal-band
     * buckets — never an all-pairs self-join — and the exact
     * `bit_count(a XOR b)` verify keeps only true near-dups. Input:
-    * (media_id, phash) rows; output (id_a, id_b, hamming), id_a < id_b. */
+    * (media_id, phash) rows; output (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Undecodable images: [[imagePhash]] emits `phash = 0, decoded =
+    * false` fallback rows, which would collide in ALL four bands and
+    * pair every unreadable blob with every other at hamming 0 — so when
+    * the input carries the `decoded` column it is filtered here; inputs
+    * without the column are trusted to be pre-filtered hash rows. */
   def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4-band LSH guarantees recall only for hamming <= 3; re-band for more")
-    val banded = hashes.select(col("media_id"), col("phash"),
+    val decodedOnly =
+      if (hashes.columns.contains("decoded")) hashes.where(col("decoded"))
+      else hashes
+    val banded = decodedOnly.select(col("media_id"), col("phash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("phash"), b * 16)

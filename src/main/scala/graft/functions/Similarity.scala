@@ -37,8 +37,11 @@ object Similarity {
   val DefaultKs: Int = 16
 
   /** Sentinel `shortlist` value: derive it from the candidate count via
-    * [[rerankShortlist]] instead of a fixed constant. */
-  val AutoShortlist: Int = 0
+    * [[rerankShortlist]] instead of a fixed constant. NEGATIVE on
+    * purpose: an erroneous explicit `shortlist = 0` must still trip the
+    * `shortlist >= k` guard loudly instead of silently switching to
+    * auto-derivation (and paying its count jobs). */
+  val AutoShortlist: Int = -1
 
   /** The coarse-list count rule every scale probe converged on (SCALE.md:
     * semdedup "nlist scaled 16→256 with the corpus keeps clusters ~160

@@ -759,7 +759,13 @@ object TextAnalysis {
     * counts AND its per-class doc counts (priors add too) as
     * independently `_SUCCESS`-claimed shards — a crash between the two
     * writes replays with only the missing one re-written, the
-    * tf/dl split-write contract. Returns false iff BOTH shards already
+    * tf/dl split-write contract. An empty PAIRING MARKER
+    * `$dir/_pairs/batch=<id>` commits ONLY after both shards are
+    * complete, and [[nbModelFromCounts]] reads only marker-named
+    * batches — so a crash between the two shard commits can never
+    * surface a model whose likelihoods include a batch whose priors
+    * don't (the tf/dl `_pairs` atomic-by-ordering contract, applied to
+    * the feat/docs split). Returns false iff BOTH shards already
     * existed (true replay). */
   def nbCountsAppend(docs: org.apache.spark.sql.DataFrame, id: String,
                      text: String, label: String, dir: String,
@@ -781,7 +787,26 @@ object TextAnalysis {
         .write.parquet(docShard)
       wrote = true
     }
+    // pairing marker LAST: both halves are now complete. Idempotent —
+    // an empty-file create over an existing marker is a no-op replay.
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_pairs/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
     wrote
+  }
+
+  /** Batch ids whose feat AND docs shards both committed — the only
+    * batches [[nbModelFromCounts]] may assemble from. */
+  private def nbPairedBatches(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_pairs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
   }
 
   /** Assemble the NB model from the accumulated count shards — the same
@@ -791,17 +816,23 @@ object TextAnalysis {
     * shares `q_nb_classify`'s oracle). Feature totals need no sidecar:
     * every feature lands in exactly one (class, bucket) cell, so
     * tot(c) = Σ_b cnt. Explicit schemas — an all-empty shard set reads
-    * as zero counts, never a schema-inference throw. */
+    * as zero counts, never a schema-inference throw. Only batches the
+    * `_pairs` markers name are read (partition-pruned on `batch`), so a
+    * half-committed append — feat landed, docs didn't — is invisible
+    * here until its replay completes both halves. */
   def nbModelFromCounts(spark: org.apache.spark.sql.SparkSession,
                         dir: String, buckets: Int = 1024,
                         alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, sum}
+    val paired = nbPairedBatches(spark, dir)
     val cnt = spark.read.schema("__c STRING, b BIGINT, cnt BIGINT")
       .parquet(s"$dir/feat")
+      .where(col("batch").isin(paired: _*))
       .groupBy("__c", "b").agg(sum(col("cnt")).as("cnt"))
     val tot = cnt.groupBy("__c").agg(sum(col("cnt")).as("tot"))
     val prior = spark.read.schema("__c STRING, ndocs BIGINT")
       .parquet(s"$dir/docs")
+      .where(col("batch").isin(paired: _*))
       .groupBy("__c").agg(sum(col("ndocs")).as("ndocs"))
     nbAssemble(spark, cnt, tot, prior, buckets, alpha)
   }

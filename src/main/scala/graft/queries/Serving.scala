@@ -111,11 +111,23 @@ object Serving {
     * (ts − len, ts], which Spark's window() generates and
     * `time_bucket(slide) − j·slide` replays. */
   def eventSlidingWindow(df: DataFrame, len: String = "30 minutes",
-                         slide: String = "15 minutes"): DataFrame =
+                         slide: String = "15 minutes"): DataFrame = {
+    // the registered oracle hardcodes the TWO-armed shifted-grid union,
+    // which is only equivalent when len = exactly 2·slide — reject any
+    // other shape loudly rather than silently diverging from the oracle
+    val mins = "(\\d+) minutes".r
+    (len, slide) match {
+      case (mins(l), mins(sl)) =>
+        require(l.toLong == 2 * sl.toLong,
+          s"eventSlidingWindow is oracle-pinned to len = 2*slide; got len=$len slide=$slide")
+      case _ => throw new IllegalArgumentException(
+        s"eventSlidingWindow expects '<n> minutes' durations; got len=$len slide=$slide")
+    }
     df.groupBy(window(col("ts"), len, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_api_olhc"    -> ((s, d) => olhcWindow(events(s, d), 7L, "2024-01-15 00:00:00")),

@@ -380,5 +380,14 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)), s"pairs: $pairs")
     assert(pairs.head._3 == ham(hOrig, hNear))
+    // imagePhash fallback rows (decoded=false, phash=0) must NOT pair
+    // with each other: composed with the decoded flag present, the
+    // miner filters them before banding
+    val withFallbacks = Seq((1L, true, hOrig), (2L, true, hNear),
+        (10L, false, 0L), (11L, false, 0L), (12L, false, 0L))
+      .toDF("media_id", "decoded", "phash")
+    val filtered = Multimodal.phashPairs(withFallbacks, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered == Set((1L, 2L)), s"fallback rows paired: $filtered")
   }
 }

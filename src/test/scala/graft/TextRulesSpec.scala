@@ -356,5 +356,22 @@ class TextRulesSpec extends SparkSpec {
     assert(TA.nbCountsAppend(train.where($"doc_id" >= 4), "doc_id", "text",
       "lang", dir, 1L), "torn doc-count shard was skipped as a replay")
     assert(modelRows(TA.nbModelFromCounts(spark, dir)) == incr)
+    // crash WINDOW between the two shard commits: batch 2's feat shard
+    // lands but its docs shard (and pairing marker) never do — the
+    // reader must NOT assemble a model whose likelihoods include batch
+    // 2 but whose priors don't; the unpaired batch is invisible
+    val extra = Seq((8L, "b", "epsilon zeta shared")).toDF(
+      "doc_id", "lang", "text")
+    assert(TA.nbCountsAppend(extra, "doc_id", "text", "lang", dir, 2L))
+    // rewind to the crash point: docs shard + marker gone, feat kept
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/docs/batch=2"), true))
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/_pairs/batch=2"), false))
+    assert(modelRows(TA.nbModelFromCounts(spark, dir)) == incr,
+      "half-committed batch leaked into the assembled model")
+    // the replayed append completes the docs half + marker → now counted
+    assert(TA.nbCountsAppend(extra, "doc_id", "text", "lang", dir, 2L))
+    assert(modelRows(TA.nbModelFromCounts(spark, dir)) ==
+      modelRows(TA.nbModel(train.union(extra), "doc_id", "text", "lang")))
   }
 }
