@@ -176,9 +176,11 @@ object ExplainAudit {
       "q_multimodal_pixels", // expect a pure MapPartitions codec
                           //   boundary (container walk + BMP raster) —
                           //   no hash exchange; blobs never shuffle
-      "q_percentiles_approx", // expect ObjectHashAggregate of bounded
-                          //   GK sketches (partial+final) — the memory-
-                          //   safe twin of q_percentiles' exact buffers
+      "q_percentiles_disc", // expect exact rank selection: windows
+                          //   partitioned by (group, value-bucket), the
+                          //   ordered-offset pass only on the bucket-
+                          //   totals frame — never a value-scale
+                          //   unpartitioned window
       "q_bm25_topk_stored", // expect the endpoint composition in ONE
                           //   plan: PartitionFilters on tbucket at the
                           //   stored tf scan AND TakeOrderedAndProject

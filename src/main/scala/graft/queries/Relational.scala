@@ -242,18 +242,19 @@ object Relational {
         col("ps").getItem(1).as("p90"),
         col("ps").getItem(2).as("p99"))
 
-  /** The SCALE path for grouped percentiles, as a registered query —
-    * the approx twin of [[percentiles]]: `approx_percentile`
+  /** The SKETCH path for grouped percentiles: `approx_percentile`
     * (Greenwald–Khanna summaries) holds a bounded sketch per group
     * instead of the exact per-group value-count map, so executor
-    * memory is O(accuracy-bound) REGARDLESS of group size — the
-    * documented 100 TB answer for q_percentiles' known memory boundary
-    * (docs/SCALE.md). Accuracy 10000 bounds rank error to n/10000 per
-    * group. The sketch algorithm is engine-specific, so this row
-    * deliberately has NO DuckDB oracle (the driver records the weaker
-    * rows-only check); `AnalyticsSpec` pins |approx − exact| within
-    * the rank-error bound against [[percentiles]] on the same data —
-    * the verification an approx operator can actually promise. */
+    * memory is O(accuracy-bound) REGARDLESS of group size. Accuracy
+    * 10000 bounds rank error to n/10000 per group. The sketch is
+    * engine-specific and not DuckDB-replayable, so this is a LIBRARY
+    * function, not a registry row — the registry's exact-at-scale
+    * answer is [[percentilesDisc]] (rank selection, also bounded
+    * memory, hash-oracled); `AnalyticsSpec` pins |approx − exact|
+    * within the rank-error bound against [[percentiles]] on the same
+    * data — the verification an approx operator can actually promise.
+    * Reach for GK over rank selection when one pass must produce MANY
+    * quantiles per group or the extra prefix-sum stage is unwanted. */
   def percentilesApprox(s: SparkSession, d: String): DataFrame =
     graft.functions.Parallelism.ensureParallel(lineitem(s, d))
       .groupBy("l_returnflag")
@@ -264,6 +265,63 @@ object Relational {
         col("ps").getItem(0).as("p50"),
         col("ps").getItem(1).as("p90"),
         col("ps").getItem(2).as("p99"))
+
+  /** EXACT distributed discrete percentiles by RANK SELECTION — the
+    * q_token_budget two-level prefix-sum discipline applied to order
+    * statistics, so the exact answer needs neither a per-group
+    * value-count map ([[percentiles]]' memory boundary) nor a
+    * single-partition sort:
+    *   1. collapse to (group, value, cnt) — map-side combine does most
+    *      of the reduction before the one shuffle;
+    *   2. bucket values by a monotone coarse key and run the
+    *      within-bucket cumulative counts in windows PARTITIONED by
+    *      (group, bucket) — parallel across all buckets;
+    *   3. the only ordered-offset pass runs on the tiny per-bucket
+    *      totals frame (groups × buckets rows), broadcast back;
+    *   4. each target rank r_q = max(1, ceil(q·n)) — DuckDB
+    *      `quantile_disc`'s exact rank rule — falls in exactly one
+    *      value's run (cum − cnt < r_q ≤ cum); a conditional max per
+    *      group picks it.
+    * Memory is bounded by the widest (group, bucket) value slice, which
+    * the bucket width controls — at 100 TB, narrow the buckets (or add
+    * a third level) instead of growing an executor map. */
+  def percentilesDisc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val vc = graft.functions.Parallelism.ensureParallel(lineitem(s, d))
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("vb", floor(col("v") / 1000.0).cast("long"))
+    val within = vc.withColumn("within_cum",
+      sum(col("cnt")).over(
+        Window.partitionBy("l_returnflag", "vb").orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-(group, bucket) totals: the ONLY ordered cumsum runs here,
+    // partitioned by group over ~#buckets rows, then broadcasts back
+    val offsets = vc.groupBy("l_returnflag", "vb")
+      .agg(sum(col("cnt")).as("bucket_cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_cnt")).over(
+          Window.partitionBy("l_returnflag").orderBy(col("vb").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val targets = offsets.groupBy("l_returnflag")
+      .agg(sum(col("bucket_cnt")).as("n"))
+      .select(col("l_returnflag") +: qs.map { case (name, q) =>
+        greatest(lit(1L), ceil(lit(q) * col("n"))).as(s"r_$name") }: _*)
+    within
+      .join(broadcast(offsets.select("l_returnflag", "vb", "offset")),
+        Seq("l_returnflag", "vb"))
+      .withColumn("cum", col("offset") + col("within_cum"))
+      .join(broadcast(targets), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        qs.map { case (name, _) =>
+          max(when(col(s"r_$name") > col("cum") - col("cnt") &&
+            col(s"r_$name") <= col("cum"), col("v"))).as(name) }.head,
+        qs.tail.map { case (name, _) =>
+          max(when(col(s"r_$name") > col("cum") - col("cnt") &&
+            col(s"r_$name") <= col("cum"), col("v"))).as(name) }: _*)
+  }
 
   /** Pivot: event counts per user across a fixed event-type set. */
   def pivotCounts(s: SparkSession, d: String): DataFrame =
@@ -324,7 +382,7 @@ object Relational {
     "q_string_agg"    -> (stringAgg _),
     "q_histogram"     -> (histogram _),
     "q_percentiles"   -> (percentiles _),
-    "q_percentiles_approx" -> (percentilesApprox _),
+    "q_percentiles_disc" -> (percentilesDisc _),
     "q_pivot"         -> (pivotCounts _),
     "q_stats_agg"     -> (statsAgg _),
     "q_rollup"        -> (rollupAgg _),
@@ -379,6 +437,12 @@ object Relational {
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.9) AS p90,
         |  quantile_cont(l_extendedprice, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_percentiles_disc" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90,
+        |  quantile_disc(l_extendedprice, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,

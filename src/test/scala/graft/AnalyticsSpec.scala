@@ -54,14 +54,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(d("max").toDouble == 14.0)
   }
 
-  test("q_percentiles_approx: inside the GK rank-error window of q_percentiles") {
-    // the scale twin's verifiable promise: approx_percentile(…, acc)
-    // returns a REAL data value whose rank is within n/acc of the
+  test("percentilesApprox: inside the GK rank-error window of q_percentiles") {
+    // the GK library twin's verifiable promise: approx_percentile(…,
+    // acc) returns a REAL data value whose rank is within n/acc of the
     // target rank. Pin both the approx value and the exact interpolated
     // percentile inside the same order-statistic window [rank−slack,
     // rank+slack] per (group, p) on the fixture — the check an approx
     // operator can actually make (a DuckDB hash oracle cannot: the
-    // sketch is engine-specific, hence the deliberate rows-only row).
+    // sketch is engine-specific; the REGISTRY's exact bounded-memory
+    // answer is q_percentiles_disc, which IS hash-oracled).
     import graft.queries.Relational
     val d = "/root/testdata/sf0.001"
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -295,12 +295,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!mp.contains("Exchange hashpartitioning"),
       s"pixel decode must not shuffle:\n${mp.take(800)}")
     assert(mp.contains("MapPartitions"), mp.take(800))
-    // q_percentiles_approx: bounded GK sketches aggregate through the
-    // object-hash path with a map-side partial — no exact value-count
-    // map per group
-    val pa = physical("q_percentiles_approx")
+    // percentilesApprox (library GK twin): bounded sketches aggregate
+    // through the object-hash path with a map-side partial — no exact
+    // value-count map per group
+    val pa = graft.queries.Relational.percentilesApprox(spark, sf0001)
+      .queryExecution.executedPlan.toString
     assert(pa.contains("ObjectHashAggregate"), pa.take(600))
     assert(pa.contains("approx_percentile"), pa.take(600))
+    // q_percentiles_disc: exact rank selection with NO corpus-scale
+    // unpartitioned window — the within-bucket cumsums are partitioned
+    // by (l_returnflag, vb); the only ordered-offset window runs on the
+    // aggregated bucket-totals frame
+    val pd = SparkEntry.queries("q_percentiles_disc")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val pdWins = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(pd).map(_.group(1)).toList
+    assert(pdWins.nonEmpty && pdWins.forall(s =>
+        s.contains("l_returnflag#")),
+      s"q_percentiles_disc has an unpartitioned window:\n$pdWins")
     // q_bm25_stored: the persisted-artifact server scans ONLY the
     // query terms' token-bucket dirs — partition pruning, plan-pinned
     val bs = physical("q_bm25_stored")
