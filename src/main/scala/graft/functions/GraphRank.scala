@@ -139,6 +139,57 @@ object GraphRank {
                      dir: String): DataFrame =
     spark.read.schema("doc_a LONG, doc_b LONG").parquet(s"$dir/pairs")
 
+  /** TOMBSTONES for the maintained edge set — the retire channel on
+    * the graph family: `$dir/retire/batch=<id>` holds the doc_ids
+    * leaving the corpus, appended under the same `_SUCCESS` claim
+    * discipline as the pair shards (replay-idempotent, torn shards
+    * healed). Pair existence is PAIRWISE under the minhash miner (a
+    * pair's bands depend only on its two documents), so dropping every
+    * edge that touches a tombstoned doc — [[readRetainedPairs]] — is
+    * EXACTLY the pair set a re-mine over the retained corpus would
+    * produce; `q_pagerank_retire` pins the derived rank to that
+    * retained-set oracle. Returns false iff the shard already existed
+    * (replay). */
+  def retireAppend(docIds: DataFrame, idCol: String, dir: String,
+                   batchId: Long): Boolean = {
+    val shard = s"$dir/retire/batch=$batchId"
+    if (!ShardWrite.claim(docIds.sparkSession, shard)) return false
+    docIds.select(col(idCol).as("doc_id")).distinct().write.parquet(shard)
+    true
+  }
+
+  /** The accumulated tombstone set (empty when no retire shard was
+    * ever written). */
+  def retiredDocs(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame =
+    ShardWrite.readOrEmpty(spark, s"$dir/retire", "doc_id LONG")
+      .select(col("doc_id"))
+
+  /** [[readPairShards]] minus every edge touching a tombstoned doc —
+    * the retained-set edge view both graph serves (PageRank, CC) read.
+    * Two anti-joins on the (usually small) tombstone side; AQE
+    * broadcasts it below the threshold, hash-partitions past it. */
+  def readRetainedPairs(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val gone = retiredDocs(spark, dir)
+    readPairShards(spark, dir)
+      .join(gone.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_anti")
+      .join(gone.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[pageRankFromPairs]] over the RETAINED edge set — rank over the
+    * corpus minus its tombstones, sharing the same iteration as the
+    * batch path (so the row pins to the retained-corpus oracle). */
+  def pageRankFromPairsRetained(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, iters: Int = 8,
+                                damping: Double = 0.85,
+                                checkpointEvery: Int = 1): DataFrame =
+    pageRank(readRetainedPairs(spark, dir), "doc_a", "doc_b",
+      iters, damping, checkpointEvery)
+
   /** The unrolled-iteration oracle twin: the SAME fixed iteration count
     * and the SAME IEEE operation order — the teleport term is spelled
     * `(1 - d) / n` on both sides (one subtraction, one division, in

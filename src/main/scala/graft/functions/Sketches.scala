@@ -160,19 +160,38 @@ object Sketches {
     * the shard already existed (replay). */
   def cmsAppend(items: org.apache.spark.sql.DataFrame, value: String,
                 dir: String, batchId: Long, d: Int = 4,
-                w: Int = 1024): Boolean = {
-    val shard = s"$dir/cms/batch=$batchId"
+                w: Int = 1024): Boolean =
+    cmsWrite(items, value, s"$dir/cms/batch=$batchId", d, w)
+
+  /** TOMBSTONES for the CMS shards — CMS is LINEAR, so retiring a
+    * stream slice is exact: the retired items' cell table lands in
+    * `$dir/retire/batch=<id>` (same `_SUCCESS` claim discipline) and
+    * [[cmsFromShards]] subtracts it — the resulting cells are
+    * bit-identical to a sketch built over the retained stream alone
+    * (`q_cms_retire` pins it to the retained-set oracle). */
+  def cmsRetire(items: org.apache.spark.sql.DataFrame, value: String,
+                dir: String, batchId: Long, d: Int = 4,
+                w: Int = 1024): Boolean =
+    cmsWrite(items, value, s"$dir/retire/batch=$batchId", d, w)
+
+  private def cmsWrite(items: org.apache.spark.sql.DataFrame, value: String,
+                       shard: String, d: Int, w: Int): Boolean = {
     if (!ShardWrite.claim(items.sparkSession, shard)) return false
     cmsCells(items, value, d, w).write.parquet(shard)
     true
   }
 
   /** The whole-stream cell table from the accumulated shards — feeds
-    * [[cmsEstimate]] unchanged. */
+    * [[cmsEstimate]] unchanged. Subtracts the retire channel (exact:
+    * CMS linearity). */
   def cmsFromShards(spark: org.apache.spark.sql.SparkSession,
                     dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, sum}
     spark.read.parquet(s"$dir/cms")
+      .select(col("r"), col("c"), col("n"))
+      .unionByName(ShardWrite
+        .readOrEmpty(spark, s"$dir/retire", "r INT, c BIGINT, n BIGINT")
+        .select(col("r"), col("c"), (-col("n")).as("n")))
       .groupBy("r", "c").agg(sum(col("n")).as("n"))
   }
 

@@ -445,9 +445,28 @@ object TextAnalysis {
     * already existed (replay). */
   def unigramCountsAppend(docs: org.apache.spark.sql.DataFrame, id: String,
                           text: String, dir: String,
-                          batchId: Long): Boolean = {
+                          batchId: Long): Boolean =
+    unigramCountsWrite(docs, id, text, s"$dir/counts/batch=$batchId")
+
+  /** TOMBSTONES for the unigram-LM count shards — the retire channel:
+    * documents leaving the corpus (takedowns, dedup retro-drops,
+    * license pulls) replay their content through here, appending their
+    * (term, tc) contribution to `$dir/retire/batch=<id>` under the SAME
+    * `_SUCCESS` claim discipline as ingest (replay skips, torn shards
+    * heal). [[unigramXentFromCounts]] subtracts the retire channel at
+    * read — counts are exact integers, so ingest − retire ≡ a batch
+    * recount over the retained corpus (`q_unigram_retire` pins it to
+    * the retained-set oracle). Retire batch ids are their own
+    * namespace — independent of ingest ids. */
+  def unigramCountsRetire(docs: org.apache.spark.sql.DataFrame, id: String,
+                          text: String, dir: String,
+                          batchId: Long): Boolean =
+    unigramCountsWrite(docs, id, text, s"$dir/retire/batch=$batchId")
+
+  private def unigramCountsWrite(docs: org.apache.spark.sql.DataFrame,
+                                 id: String, text: String,
+                                 shard: String): Boolean = {
     import org.apache.spark.sql.functions.{col, count}
-    val shard = s"$dir/counts/batch=$batchId"
     if (!ShardWrite.claim(docs.sparkSession, shard)) return false
     explodedTerms(docs, id, text)
       .groupBy("term").agg(count(lit(1)).as("tc"))
@@ -464,11 +483,19 @@ object TextAnalysis {
                             id: String, text: String,
                             dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, sum}
+    val spark = docs.sparkSession
     // explicit schema: an all-empty shard set (quiet-day batches) must
-    // score zero docs, not fail schema inference
-    val freq = docs.sparkSession.read.schema("term STRING, tc BIGINT")
+    // score zero docs, not fail schema inference. The retire channel
+    // ([[unigramCountsRetire]]) subtracts — vanished terms net to tc=0
+    // and are dropped (a zero-count term must not reach the log)
+    val freq = spark.read.schema("term STRING, tc BIGINT")
       .parquet(s"$dir/counts")
+      .select(col("term"), col("tc"))
+      .unionByName(ShardWrite
+        .readOrEmpty(spark, s"$dir/retire", "term STRING, tc BIGINT")
+        .select(col("term"), (-col("tc")).as("tc")))
       .groupBy("term").agg(sum(col("tc")).as("tc"))
+      .where(col("tc") > 0)
     val total = freq.agg(sum(col("tc")).as("total"))
     xentScore(explodedTerms(docs, id, text), freq, total)
   }
@@ -614,9 +641,26 @@ object TextAnalysis {
     * Returns false iff the shard already existed (replay). */
   def dsirCountsAppend(docs: org.apache.spark.sql.DataFrame, id: String,
                        text: String, isTarget: Column, dir: String,
-                       batchId: Long, buckets: Int = 1024): Boolean = {
+                       batchId: Long, buckets: Int = 1024): Boolean =
+    dsirCountsWrite(docs, id, text, isTarget,
+      s"$dir/counts/batch=$batchId", buckets)
+
+  /** TOMBSTONES for the DSIR count shards — the
+    * [[unigramCountsRetire]] retire channel on the importance-weight
+    * family: retired documents replay their (b, ct, cs) contribution
+    * into `$dir/retire/batch=<id>` (same claim discipline), and
+    * [[dsirModelFromCounts]] subtracts at read — ingest − retire ≡ a
+    * retrain over the retained corpus, exactly (integer counts). */
+  def dsirCountsRetire(docs: org.apache.spark.sql.DataFrame, id: String,
+                       text: String, isTarget: Column, dir: String,
+                       batchId: Long, buckets: Int = 1024): Boolean =
+    dsirCountsWrite(docs, id, text, isTarget,
+      s"$dir/retire/batch=$batchId", buckets)
+
+  private def dsirCountsWrite(docs: org.apache.spark.sql.DataFrame,
+                              id: String, text: String, isTarget: Column,
+                              shard: String, buckets: Int): Boolean = {
     import org.apache.spark.sql.functions.{col, count}
-    val shard = s"$dir/counts/batch=$batchId"
     if (!ShardWrite.claim(docs.sparkSession, shard)) return false
     dsirFeatures(docs.withColumn("__is_t", isTarget), id, text, buckets,
         carry = Seq("__is_t"))
@@ -637,6 +681,10 @@ object TextAnalysis {
                           alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, sum}
     val c = spark.read.parquet(s"$dir/counts")
+      .select(col("b"), col("ct"), col("cs"))
+      .unionByName(ShardWrite
+        .readOrEmpty(spark, s"$dir/retire", "b BIGINT, ct BIGINT, cs BIGINT")
+        .select(col("b"), (-col("ct")).as("ct"), (-col("cs")).as("cs")))
       .groupBy("b").agg(sum(col("ct")).as("ct"), sum(col("cs")).as("cs"))
     val tot = c.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
     spark.range(buckets).toDF("b")
@@ -769,11 +817,36 @@ object TextAnalysis {
     * existed (true replay). */
   def nbCountsAppend(docs: org.apache.spark.sql.DataFrame, id: String,
                      text: String, label: String, dir: String,
-                     batchId: Long, buckets: Int = 1024): Boolean = {
+                     batchId: Long, buckets: Int = 1024): Boolean =
+    nbCountsWrite(docs, id, text, label, dir, batchId, buckets,
+      featTable = "feat", docsTable = "docs", marker = "batch")
+
+  /** TOMBSTONES for the classifier's count shards — the retire channel
+    * with the SAME split-write safety as ingest: the retired docs'
+    * feature counts land in `feat_retire`, their doc counts (prior
+    * mass) in `docs_retire`, each `_SUCCESS`-claimed, and the
+    * `_pairs/retire=<id>` marker commits only after BOTH — so a crash
+    * can never surface a model where likelihoods forgot a batch but
+    * priors didn't. [[nbModelFromCounts]] subtracts marker-named
+    * retire batches: ingest − retire ≡ retrain over the retained
+    * corpus, bit-exactly (integer counts through the one
+    * [[nbAssemble]] arithmetic). */
+  def nbCountsRetire(docs: org.apache.spark.sql.DataFrame, id: String,
+                     text: String, label: String, dir: String,
+                     batchId: Long, buckets: Int = 1024): Boolean =
+    nbCountsWrite(docs, id, text, label, dir, batchId, buckets,
+      featTable = "feat_retire", docsTable = "docs_retire",
+      marker = "retire")
+
+  private def nbCountsWrite(docs: org.apache.spark.sql.DataFrame,
+                            id: String, text: String, label: String,
+                            dir: String, batchId: Long, buckets: Int,
+                            featTable: String, docsTable: String,
+                            marker: String): Boolean = {
     import org.apache.spark.sql.functions.{col, count}
     val spark = docs.sparkSession
-    val featShard = s"$dir/feat/batch=$batchId"
-    val docShard = s"$dir/docs/batch=$batchId"
+    val featShard = s"$dir/$featTable/batch=$batchId"
+    val docShard = s"$dir/$docsTable/batch=$batchId"
     var wrote = false
     if (ShardWrite.claim(spark, featShard)) {
       dsirFeatures(docs.withColumn("__c", col(label)), id, text, buckets,
@@ -789,24 +862,26 @@ object TextAnalysis {
     }
     // pairing marker LAST: both halves are now complete. Idempotent —
     // an empty-file create over an existing marker is a no-op replay.
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/_pairs/batch=$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+    val mk = new org.apache.hadoop.fs.Path(s"$dir/_pairs/$marker=$batchId")
+    val fs = mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mk)) {
+      fs.mkdirs(mk.getParent)
+      fs.create(mk, true).close()
     }
     wrote
   }
 
-  /** Batch ids whose feat AND docs shards both committed — the only
+  /** Batch ids whose feat AND docs shards both committed (per channel:
+    * `batch=` markers for ingest, `retire=` for tombstones) — the only
     * batches [[nbModelFromCounts]] may assemble from. */
   private def nbPairedBatches(spark: org.apache.spark.sql.SparkSession,
-                              dir: String): Seq[Long] = {
+                              dir: String, marker: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_pairs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      .filter(_.startsWith(s"$marker="))
+      .map(_.stripPrefix(s"$marker=").toLong)
   }
 
   /** Assemble the NB model from the accumulated count shards — the same
@@ -824,16 +899,35 @@ object TextAnalysis {
                         dir: String, buckets: Int = 1024,
                         alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, sum}
-    val paired = nbPairedBatches(spark, dir)
-    val cnt = spark.read.schema("__c STRING, b BIGINT, cnt BIGINT")
-      .parquet(s"$dir/feat")
-      .where(col("batch").isin(paired: _*))
+    val paired = nbPairedBatches(spark, dir, "batch")
+    val retired = nbPairedBatches(spark, dir, "retire")
+    // marker-named batches only, per channel; a channel whose dir is
+    // missing (or whose marker set is empty) contributes zero rows.
+    // The `batch` partition column only exists when the dir does, so
+    // the filter is applied inside the non-empty branch.
+    def channel(table: String, schema: String, keep: Seq[Long],
+                sign: Int, cols: Seq[String]) = {
+      val base = ShardWrite.readOrEmpty(spark, s"$dir/$table", schema)
+      val filtered =
+        if (keep.isEmpty || !base.columns.contains("batch"))
+          base.where(lit(keep.nonEmpty))
+        else base.where(col("batch").isin(keep: _*))
+      filtered.select(cols.init.map(col) :+
+        (col(cols.last) * sign).as(cols.last): _*)
+    }
+    val featSchema = "__c STRING, b BIGINT, cnt BIGINT"
+    val docsSchema = "__c STRING, ndocs BIGINT"
+    val cnt = channel("feat", featSchema, paired, 1, Seq("__c", "b", "cnt"))
+      .unionByName(
+        channel("feat_retire", featSchema, retired, -1, Seq("__c", "b", "cnt")))
       .groupBy("__c", "b").agg(sum(col("cnt")).as("cnt"))
     val tot = cnt.groupBy("__c").agg(sum(col("cnt")).as("tot"))
-    val prior = spark.read.schema("__c STRING, ndocs BIGINT")
-      .parquet(s"$dir/docs")
-      .where(col("batch").isin(paired: _*))
+    val prior = channel("docs", docsSchema, paired, 1, Seq("__c", "ndocs"))
+      .unionByName(
+        channel("docs_retire", docsSchema, retired, -1, Seq("__c", "ndocs")))
       .groupBy("__c").agg(sum(col("ndocs")).as("ndocs"))
+      // a fully-retired class carries no prior mass and leaves the grid
+      .where(col("ndocs") > 0)
     nbAssemble(spark, cnt, tot, prior, buckets, alpha)
   }
 

@@ -810,6 +810,145 @@ object PipelineQueries {
       TA.dsirModelFromCounts(s, dir))
   }
 
+  // ---- document tombstones across the maintained stored families ----
+
+  /** The tombstone rule every `q_*_retire` row (and its oracle) shares:
+    * docs with doc_id % 10 == 7 leave the corpus after ingest. One
+    * deterministic predicate, so engine fixtures and the SQL twins
+    * construct the identical retained set. */
+  private val RetiredPred = col("doc_id") % 10 === 7
+  private val RetainedPred = col("doc_id") % 10 =!= 7
+
+  /** Turn any documents-based oracle into its RETAINED-SET twin: a
+    * same-named CTE shadows the base table with the tombstone filter
+    * (DuckDB resolves `main.documents` to the table, later references
+    * to the CTE — including inside subqueries, which is what lets one
+    * wrapper serve the nested pagerank/pairs SQL too). The engine rows
+    * it checks subtract a retire CHANNEL from maintained shards; the
+    * oracle recomputes from the filtered corpus — equality proves
+    * ingest − retire ≡ retained-set recompute, end to end. */
+  private def retainedWrap(sql: String): String = {
+    require(sql.startsWith("WITH "), "retainedWrap expects a WITH-led oracle")
+    "WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 10 <> 7),\n" +
+      sql.stripPrefix("WITH ")
+  }
+
+  /** q_unigram_retire: full-corpus ingest (three hash-split count-shard
+    * appends) then ONE retire batch replaying the tombstoned docs'
+    * (term, tc) contribution ([[TA.unigramCountsRetire]]); scoring
+    * reads ingest − retire. Oracle = `q_unigram_ppl`'s SQL over the
+    * retained corpus. */
+  def unigramRetireQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"uniret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.unigramCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+      TA.unigramCountsRetire(docs.where(RetiredPred), "doc_id", "text",
+        dir, 0L)
+    }
+    TA.unigramXentFromCounts(docs.where(RetainedPred), "doc_id", "text", dir)
+  }
+
+  /** q_nb_retire: the classifier's count shards with tombstones — the
+    * retire channel subtracts likelihood AND prior mass under the
+    * split-write pairing markers ([[TA.nbCountsRetire]]); the model
+    * assembled over the retained counts classifies the retained docs.
+    * Oracle = `q_nb_classify`'s SQL over the retained corpus. */
+  def nbRetireQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"nbret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.nbCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", "lang", dir, b)
+      TA.nbCountsRetire(docs.where(RetiredPred), "doc_id", "text", "lang",
+        dir, 0L)
+    }
+    TA.nbClassify(docs.where(RetainedPred), "doc_id", "text",
+      TA.nbModelFromCounts(s, dir))
+  }
+
+  /** q_dsir_retire: importance-weight counts with tombstones
+    * ([[TA.dsirCountsRetire]]); the retained-count model scores the
+    * retained docs. Oracle = `q_dsir_weights`' SQL over the retained
+    * corpus. */
+  def dsirRetireQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"dsirret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.dsirCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", col("lang") === "en", dir, b)
+      TA.dsirCountsRetire(docs.where(RetiredPred), "doc_id", "text",
+        col("lang") === "en", dir, 0L)
+    }
+    TA.dsirScoreWith(docs.where(RetainedPred), "doc_id", "text",
+      TA.dsirModelFromCounts(s, dir))
+  }
+
+  /** q_cms_retire: the frequency sketch with tombstones — CMS is
+    * linear, so subtracting the retired items' cell table
+    * ([[Sketches.cmsRetire]]) yields cells BIT-IDENTICAL to a sketch
+    * over the retained stream; the estimates share `q_cms_freq`'s
+    * closed-form oracle over the retained corpus. */
+  def cmsRetireQ(s: SparkSession, d: String): DataFrame = {
+    val items = par(documents(s, d))
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("v"))
+    val dir = cachedArtifacts(
+        s"cmsret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Sketches.cmsAppend(
+          items.where(TA.hashBucket(col("doc_id"), 3) === b), "v", dir, b)
+      Sketches.cmsRetire(items.where(RetiredPred), "v", dir, 0L)
+    }
+    Sketches.cmsEstimate(Sketches.cmsFromShards(s, dir), CmsProbeTerms)
+  }
+
+  /** q_pagerank_retire: the maintained edge set with tombstones — the
+    * stored pairs (copied from the `q_pagerank_incr` shards, no
+    * re-mine) plus a doc_id retire shard; rank derives over edges not
+    * touching a tombstoned doc ([[graft.functions.GraphRank
+    * .readRetainedPairs]] — exact, pair existence is pairwise under
+    * the minhash miner). Oracle = the same unrolled-iteration SQL over
+    * pairs mined from the retained corpus. */
+  def pageRankRetireQ(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(
+        s"prret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      graft.functions.GraphRank.pairsAppend(
+        graft.functions.GraphRank.readPairShards(s, pairShardsDir(s, d)),
+        "doc_a", "doc_b", dir, 0L)
+      graft.functions.GraphRank.retireAppend(
+        documents(s, d).where(RetiredPred), "doc_id", dir, 0L)
+    }
+    graft.functions.GraphRank.pageRankFromPairsRetained(s, dir)
+      .select(col("node").as("doc_id"), col("rank"))
+  }
+
+  /** q_bm25_retire: the stored postings index with tombstones — the
+    * retire channel ([[graft.streaming.PostingsIndex.retireAppend]])
+    * holds the tombstoned doc_ids; serving anti-joins them out of the
+    * tf and dl reads AND corrects the df summary's overcount exactly
+    * (the df-bounded cut re-decides over retained counts), with ZERO
+    * index rewrite. Oracle = the df-bounded BM25 SQL over the retained
+    * corpus. */
+  def bm25RetireQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
+    val ret = cachedArtifacts(
+        s"bm25ret:$d:${corpusFingerprintOf(s, d, "documents")}") { rdir =>
+      graft.streaming.PostingsIndex.retireAppend(
+        documents(s, d).where(RetiredPred).select("doc_id"), rdir, 0L)
+    }
+    graft.streaming.PostingsIndex.bm25FromStored(
+      s, s"$dir/tf", s"$dir/dl", Bm25Terms,
+      dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.5),
+      retirePath = Some(ret))
+  }
+
   /** The resampling cut DSIR exists for: the top-100 SOURCE (raw-pool)
     * documents ranked by target-likeness — rounded-logw + doc_id
     * ordering (the `q_pagerank_topk` tie discipline), served as a
@@ -1743,9 +1882,15 @@ object PipelineQueries {
     "q_dsir_weights"   -> (dsirWeightsQ _),
     "q_dsir_stored"    -> (dsirStoredQ _),
     "q_dsir_incr"      -> (dsirIncrQ _),
+    "q_dsir_retire"    -> (dsirRetireQ _),
     "q_nb_classify"    -> (nbClassifyQ _),
     "q_nb_stored"      -> (nbStoredQ _),
     "q_nb_incr"        -> (nbIncrQ _),
+    "q_nb_retire"      -> (nbRetireQ _),
+    "q_unigram_retire" -> (unigramRetireQ _),
+    "q_cms_retire"     -> (cmsRetireQ _),
+    "q_pagerank_retire" -> (pageRankRetireQ _),
+    "q_bm25_retire"    -> (bm25RetireQ _),
     "q_dsir_select"    -> (dsirSelectQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
@@ -2200,6 +2345,12 @@ object PipelineQueries {
     "q_nb_stored" -> NbSql,
     // counts and priors are additive: incremental ≡ batch retrain
     "q_nb_incr" -> NbSql,
+    // tombstones: ingest − retire ≡ recompute over the retained corpus,
+    // pinned by ONE wrapper filtering the documents CTE — the engine
+    // subtracts maintained shards, the oracle recomputes from scratch
+    "q_nb_retire" -> retainedWrap(NbSql),
+    "q_dsir_retire" -> retainedWrap(DsirSql),
+    "q_bm25_retire" -> retainedWrap(Bm25DfBoundedSql),
     "q_dsir_select" ->
       s"""SELECT w.* FROM ($DsirSql) w
          |JOIN documents d ON w.doc_id = d.doc_id AND d.lang <> 'en'
@@ -2259,6 +2410,17 @@ object PipelineQueries {
          |  exp(avg(-ln(CAST(tc AS DOUBLE) / total))) AS ppl
          |FROM toks JOIN freq USING (term) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+    // tombstones: ingest − retire count shards ≡ recount over the
+    // retained corpus (scored docs filtered the same way)
+    "q_unigram_retire" -> retainedWrap(
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS tc FROM toks GROUP BY term),
+         |tot AS (SELECT count(*) AS total FROM toks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  avg(-ln(CAST(tc AS DOUBLE) / total)) AS xent,
+         |  exp(avg(-ln(CAST(tc AS DOUBLE) / total))) AS ppl
+         |FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin),
     // bigram model: context counts over positions 0..k-2 (so the
     // conditional sums to 1), corpus-vocab add-1 smoothing; exp/ln in
     // double on both engines, driver rounding absorbs merge-order ulps
@@ -2453,6 +2615,13 @@ object PipelineQueries {
     // 6-decimal rounding absorbs the ~1e-15 drift (q_tfidf precedent)
     "q_pagerank" ->
       graft.functions.GraphRank.pageRankOracleSql(Dedup.minhashPairsOracleSql()),
+    // tombstones: edges touching retired docs dropped from the stored
+    // pair shards ≡ pairs re-mined over the retained corpus (pair
+    // existence is pairwise), same unrolled iterations — the outer
+    // documents CTE shadows the table for the nested pairs subquery
+    "q_pagerank_retire" -> retainedWrap(
+      graft.functions.GraphRank.pageRankOracleSql(
+        Dedup.minhashPairsOracleSql())),
     // the hub-serving cut over the same unrolled-iteration oracle; the
     // rounded sort key mirrors the Scala side (clique ranks are exactly
     // equal — doc_id, not float noise, must break the tie)
@@ -2671,6 +2840,9 @@ object PipelineQueries {
     // linearity: shard-summed cells == whole-stream cells, so the
     // incrementally-maintained estimates share the exact same SQL
     "q_cms_incr" -> CmsFreqSql,
+    // tombstones: CMS linearity makes ingest − retire bit-identical to
+    // a sketch over the retained stream
+    "q_cms_retire" -> retainedWrap(CmsFreqSql),
     // the exact phi-cut IS the contract: the CMS prefilter provably
     // changes nothing (no false negatives; false positives die at the
     // exact HAVING), so the oracle is the plain exact SQL

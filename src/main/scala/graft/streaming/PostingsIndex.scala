@@ -647,6 +647,38 @@ object PostingsIndex {
     readTfIndex(spark, dfPath, version, buckets)
       .drop("tbucket").groupBy("token").agg(sum(col("df")).as("df"))
 
+  // ---- document tombstones (the retire channel) ---------------------
+
+  /** TOMBSTONES for the postings family: docs leaving the corpus
+    * (takedowns, retro-dedup, license pulls) append their ids to
+    * `$retirePath/batch=<id>` under the same `_SUCCESS` claim
+    * discipline as every other maintained shard (replay skips, torn
+    * shards heal) — no index rewrite. Readers that accept `retirePath`
+    * ([[bm25FromStored]]/[[searchBm25]]) subtract at read: tf and dl
+    * rows are doc-level, so an anti-join excludes them exactly, and
+    * the df summary's overcount is corrected from the tombstoned slice
+    * of the (bucket-pruned) posting lists — the served scores equal a
+    * fresh index over the retained corpus (`q_bm25_retire` pins it).
+    * Version pins still pin the INDEX state; tombstones are corpus
+    * membership, applied on top of whichever version is read.
+    * Compaction may fold tombstones in permanently later — this
+    * channel is what makes retires immediate without it. Returns
+    * false iff the shard already existed (replay). */
+  def retireAppend(docIds: DataFrame, retirePath: String,
+                   batchId: Long): Boolean = {
+    val shard = s"$retirePath/batch=$batchId"
+    if (!graft.functions.ShardWrite.claim(docIds.sparkSession, shard))
+      return false
+    docIds.select(col("doc_id")).distinct().write.parquet(shard)
+    true
+  }
+
+  /** The accumulated tombstone set (zero rows when the channel was
+    * never written). */
+  def retiredDocs(spark: SparkSession, retirePath: String): DataFrame =
+    graft.functions.ShardWrite.readOrEmpty(spark, retirePath, "doc_id LONG")
+      .select(col("doc_id"))
+
   /** BM25 served from the STORED layout with REAL pruning: the query
     * terms' buckets are computed on the driver ([[tokenBucketLocal]],
     * zero jobs), the tf scan touches only those bucket dirs, and the
@@ -684,7 +716,8 @@ object PostingsIndex {
                      dlVersion: Option[Long] = None,
                      dfPath: Option[String] = None,
                      maxDfFrac: Option[Double] = None,
-                     dfVersion: Option[Long] = None): DataFrame = {
+                     dfVersion: Option[Long] = None,
+                     retirePath: Option[String] = None): DataFrame = {
     def partnerOf(side: String, v: Long,
                   pick: ((Long, Long, Option[Long])) => Boolean) = {
       val hits = recordedPairs(spark, tfPath).filter(pick)
@@ -730,15 +763,33 @@ object PostingsIndex {
         val (t, _, d) = partnerOf("dlVersion", l, _._2 == l)
         (Some(t), Some(l), dfVersion.orElse(d))
     }
-    val dl = readUnionShards(spark, dlPath, dlV)
+    val gone = retirePath.map(rp => retiredDocs(spark, rp))
+    val dl = {
+      val dl0 = readUnionShards(spark, dlPath, dlV)
+      gone.fold(dl0)(g => dl0.join(g, Seq("doc_id"), "left_anti"))
+    }
     val kept = (dfPath, maxDfFrac) match {
       case (Some(dp), Some(frac)) =>
-        val n = dl.count().toDouble // one doc-scale aggregate
+        val n = dl.count().toDouble // one doc-scale aggregate (retained)
         val dfBuckets = terms.map(tokenBucketLocal).toSet
         val dfs = readDfIndex(spark, dp, dfV, buckets = Some(dfBuckets))
           .where(col("token").isin(terms: _*))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        terms.filterNot(t => dfs.getOrElse(t, 0L) > frac * n)
+        // the stored df summary counts tombstoned docs too; subtract
+        // their per-term contribution EXACTLY — tf is doc-level, so the
+        // retired slice of the (bucket-pruned) posting lists is the df
+        // overcount. Cost: the query terms' postings ∩ tombstones.
+        val dfsGone = gone.map { g =>
+          readTfIndex(spark, tfPath, tfV, Some(dfBuckets))
+            .where(col("token").isin(terms: _*))
+            .join(g, Seq("doc_id"), "left_semi")
+            .groupBy("token").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }.getOrElse(Map.empty[String, Long])
+        terms.filterNot { t =>
+          val df = dfs.getOrElse(t, 0L) - dfsGone.getOrElse(t, 0L)
+          df > frac * n
+        }
       case _ => terms
     }
     if (kept.isEmpty)
@@ -747,8 +798,9 @@ object PostingsIndex {
         .withColumn("bm25", lit(0.0))
         .withColumn("n_hits", lit(0L))
     val buckets = kept.map(tokenBucketLocal).toSet
+    val tf0 = readTfIndex(spark, tfPath, tfV, Some(buckets)).drop("tbucket")
     TextAnalysis.bm25FromIndex(
-      readTfIndex(spark, tfPath, tfV, Some(buckets)).drop("tbucket"),
+      gone.fold(tf0)(g => tf0.join(g, Seq("doc_id"), "left_anti")),
       dl, kept, k1, b)
   }
 
@@ -766,9 +818,10 @@ object PostingsIndex {
                  dlVersion: Option[Long] = None,
                  dfPath: Option[String] = None,
                  maxDfFrac: Option[Double] = None,
-                 dfVersion: Option[Long] = None): DataFrame =
+                 dfVersion: Option[Long] = None,
+                 retirePath: Option[String] = None): DataFrame =
     bm25FromStored(spark, tfPath, dlPath, terms, k1, b,
-      tfVersion, dlVersion, dfPath, maxDfFrac, dfVersion)
+      tfVersion, dlVersion, dfPath, maxDfFrac, dfVersion, retirePath)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
 
   // ---- block-max (WAND-lite) serving layout ------------------------

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraphRank, ShardWrite, Sketches, TextAnalysis => TA}
+import graft.streaming.PostingsIndex
+
+/** Tombstone (retire-channel) contracts across the maintained stored
+  * families: replay-idempotent retires, torn-shard healing, exact
+  * subtraction (ingest − retire ≡ recompute over the retained corpus),
+  * and half-commit invisibility where a family splits its write. The
+  * oracle rows (`q_*_retire`) pin the arithmetic against DuckDB; this
+  * suite pins the OPERATIONAL behavior no SQL row can express.
+  */
+class RetireSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma alpha"),
+    (2L, "beta beta delta"),
+    (3L, "gamma epsilon zeta"),
+    (4L, "alpha zeta zeta eta"),
+    (7L, "omega omega theta alpha")).toDF("doc_id", "text")
+  private val retired = docs.where($"doc_id" === 7L)
+  private val retained = docs.where($"doc_id" =!= 7L)
+
+  test("unigram retire: subtraction exact, replay idempotent, torn shard heals") {
+    val dir = tmp("uni-ret")
+    assert(TA.unigramCountsAppend(docs, "doc_id", "text", dir, 0L))
+    assert(TA.unigramCountsRetire(retired, "doc_id", "text", dir, 0L))
+    def score(frame: org.apache.spark.sql.DataFrame) = frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaChannel = score(
+      TA.unigramXentFromCounts(retained, "doc_id", "text", dir))
+    // exactness: ingest − retire ≡ a fresh count over the retained set
+    val fresh = tmp("uni-fresh")
+    assert(TA.unigramCountsAppend(retained, "doc_id", "text", fresh, 0L))
+    assert(viaChannel ==
+      score(TA.unigramXentFromCounts(retained, "doc_id", "text", fresh)))
+    // a term living ONLY in retired docs nets tc = 0 and must vanish
+    // (zero counts reaching ln() would poison every doc it joined) —
+    // 'omega'/'theta' retired away, the retained scoring unaffected
+    assert(viaChannel.nonEmpty)
+    // replay: the second retire append is a no-op, counts unchanged
+    assert(!TA.unigramCountsRetire(retired, "doc_id", "text", dir, 0L))
+    assert(viaChannel == score(
+      TA.unigramXentFromCounts(retained, "doc_id", "text", dir)))
+    // torn retire shard: drop its _SUCCESS — the replay rewrites it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/retire/batch=0/_SUCCESS"), false))
+    assert(TA.unigramCountsRetire(retired, "doc_id", "text", dir, 0L),
+      "torn retire shard was skipped as a replay")
+    assert(viaChannel == score(
+      TA.unigramXentFromCounts(retained, "doc_id", "text", dir)))
+  }
+
+  test("nb retire: half-committed retire batch is invisible until both halves land") {
+    val labeled = docs.withColumn("lang",
+      when($"doc_id" % 2 === 0, "a").otherwise("b"))
+    val ret = labeled.where($"doc_id" === 7L)
+    val kept = labeled.where($"doc_id" =!= 7L)
+    val dir = tmp("nb-ret")
+    assert(TA.nbCountsAppend(labeled, "doc_id", "text", "lang", dir, 0L))
+    def rows(m: org.apache.spark.sql.DataFrame) = m.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val full = rows(TA.nbModelFromCounts(spark, dir))
+    // crash window: feat_retire lands, docs_retire + marker never do —
+    // simulate by retiring then rewinding the docs half and the marker
+    assert(TA.nbCountsRetire(ret, "doc_id", "text", "lang", dir, 0L))
+    val retiredModel = rows(TA.nbModelFromCounts(spark, dir))
+    assert(retiredModel == rows(
+      TA.nbModel(kept, "doc_id", "text", "lang")),
+      "retire-channel model diverged from the retained-set retrain")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/docs_retire/batch=0"), true))
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$dir/_pairs/retire=0"), false))
+    assert(rows(TA.nbModelFromCounts(spark, dir)) == full,
+      "half-committed retire batch leaked into the assembled model")
+    // the replayed retire completes the docs half + marker → applied
+    assert(TA.nbCountsRetire(ret, "doc_id", "text", "lang", dir, 0L))
+    assert(rows(TA.nbModelFromCounts(spark, dir)) == retiredModel)
+  }
+
+  test("cms retire: linear subtraction equals the retained-stream sketch") {
+    val items = docs.select($"doc_id",
+      explode(split($"text", " ")).as("v"))
+    val dir = tmp("cms-ret")
+    assert(Sketches.cmsAppend(items, "v", dir, 0L))
+    assert(Sketches.cmsRetire(items.where($"doc_id" === 7L), "v", dir, 0L))
+    def cells(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Sketches.cmsCells(items.where($"doc_id" =!= 7L), "v")
+    // the subtracted table may carry netted-to-zero cells the direct
+    // build never had rows for — equality holds on the nonzero support
+    assert(cells(Sketches.cmsFromShards(spark, dir).where($"n" =!= 0)) ==
+      cells(direct))
+  }
+
+  test("pair-shard retire: exactly the edges touching tombstoned docs drop") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (7L, 4L))
+      .toDF("doc_a", "doc_b")
+    val dir = tmp("pairs-ret")
+    assert(GraphRank.pairsAppend(pairs, "doc_a", "doc_b", dir, 0L))
+    assert(GraphRank.retireAppend(retired, "doc_id", dir, 0L))
+    val kept = GraphRank.readRetainedPairs(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(kept.map(p => Set(p._1, p._2)) == Set(Set(1L, 2L), Set(2L, 3L)),
+      s"retained edges wrong: $kept")
+    // replay-idempotent; and with no retire channel the read keeps all
+    assert(!GraphRank.retireAppend(retired, "doc_id", dir, 0L))
+    val virgin = tmp("pairs-virgin")
+    assert(GraphRank.pairsAppend(pairs, "doc_a", "doc_b", virgin, 0L))
+    assert(GraphRank.readRetainedPairs(spark, virgin).count() == 4)
+  }
+
+  test("postings retire: stored-index serving equals a fresh index over the retained corpus") {
+    val root = tmp("bm25-ret")
+    PostingsIndex.tfIndexBatch(docs, 0L, s"$root/tf", s"$root/dl",
+      dfPath = Some(s"$root/df"))
+    assert(PostingsIndex.retireAppend(
+      retired.select($"doc_id"), s"$root/retire", 0L))
+    val terms = Seq("alpha", "zeta")
+    def scores(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val served = scores(PostingsIndex.bm25FromStored(spark,
+      s"$root/tf", s"$root/dl", terms,
+      dfPath = Some(s"$root/df"), maxDfFrac = Some(0.9),
+      retirePath = Some(s"$root/retire")))
+    val fresh = tmp("bm25-fresh")
+    PostingsIndex.tfIndexBatch(retained, 0L, s"$fresh/tf", s"$fresh/dl",
+      dfPath = Some(s"$fresh/df"))
+    assert(served == scores(PostingsIndex.bm25FromStored(spark,
+      s"$fresh/tf", s"$fresh/dl", terms,
+      dfPath = Some(s"$fresh/df"), maxDfFrac = Some(0.9))))
+    // the tombstoned doc is gone from the result set; N/avgdl moved
+    assert(!served.exists(_._1 == 7L))
+    // df correction: 'alpha' appears in 3/5 docs stored, 2/4 retained —
+    // a 0.55 cut keeps it only because the retired contribution is
+    // subtracted from BOTH df and N (2/4 = 0.5 <= 0.55; stored 0.6 > 0.55)
+    val cut = scores(PostingsIndex.bm25FromStored(spark,
+      s"$root/tf", s"$root/dl", Seq("alpha"),
+      dfPath = Some(s"$root/df"), maxDfFrac = Some(0.55),
+      retirePath = Some(s"$root/retire")))
+    assert(cut.nonEmpty, "retained-set df cut dropped a term it should keep")
+  }
+
+  test("readOrEmpty: a never-written channel reads as zero rows of the declared schema") {
+    val df = ShardWrite.readOrEmpty(spark, "/tmp/graft-no-such-dir-xyz",
+      "doc_id LONG")
+    assert(df.columns.toSeq == Seq("doc_id") && df.count() == 0)
+  }
+}
