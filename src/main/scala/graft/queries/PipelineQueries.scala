@@ -157,16 +157,22 @@ object PipelineQueries {
     * distribution-dependent; pruning CORRECTNESS is not). */
   def bm25WandQ(s: SparkSession, d: String): DataFrame = {
     val dir = bm25StoredArtifacts(s, d)
-    // span sizes the dir tree: blocks ≈ corpus/span, and each block
-    // multiplies the term buckets' dir count — 1024 keeps the fixture
-    // layouts at a handful of blocks (the planted-skew spec exercises
-    // real pruning at its own span; this row pins exactness + plan)
-    val wdir = cachedArtifacts(
+    graft.streaming.PostingsIndex.searchBm25Wand(
+      s, wandDir(s, d), s"$dir/dl", Bm25Terms, 20)
+  }
+
+  /** The WAND (tbucket, dblock) layout shared by `q_bm25_wand` and the
+    * hybrid endpoint: span sizes the dir tree — blocks ≈ corpus/span,
+    * and each block multiplies the term buckets' dir count — 1024 keeps
+    * the fixture layouts at a handful of blocks (the planted-skew spec
+    * exercises real pruning at its own span; the rows pin exactness +
+    * plan). */
+  private def wandDir(s: SparkSession, d: String): String = {
+    val dir = bm25StoredArtifacts(s, d)
+    cachedArtifacts(
         s"wand:$d:${corpusFingerprintOf(s, d, "documents")}")(
       graft.streaming.PostingsIndex.wandLayoutFrom(s, s"$dir/tf", _,
         span = 1024L))
-    graft.streaming.PostingsIndex.searchBm25Wand(
-      s, wdir, s"$dir/dl", Bm25Terms, 20)
   }
 
   /** TF-IDF served from the PERSISTED artifacts — the stored twin of
@@ -671,13 +677,9 @@ object PipelineQueries {
     * exact-cosine vector scoring, fuse by reciprocal rank. */
   private def rrfFuse(kwScored: DataFrame, s: SparkSession,
                       d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (kRrf, topN) = (60, 100)
+    val topN = 100
     val kwTop = kwScored
       .orderBy(round(col("bm25"), 6).desc, col("doc_id").asc).limit(topN)
-    val kw = kwTop.withColumn("kw_rank", row_number().over(
-        Window.orderBy(round(col("bm25"), 6).desc, col("doc_id").asc)))
-      .select(col("doc_id"), col("kw_rank"))
     val emb = embeddings(s, d)
     val qv = emb.where(col("vec_id") === 0L).select(col("embedding").as("q_vec"))
     val vecTop = emb.where(col("vec_id") =!= 0L)
@@ -685,6 +687,21 @@ object PipelineQueries {
       .select(col("vec_id").as("doc_id"),
         Similarity.cosine(col("embedding"), col("q_vec")).as("cos_sim"))
       .orderBy(round(col("cos_sim"), 6).desc, col("doc_id").asc).limit(topN)
+    rrfFuseLists(kwTop, vecTop)
+  }
+
+  /** The fusion TAIL shared by every hybrid row — rank the two
+    * ALREADY-CUT lists (kwTop: doc_id+bm25; vecTop: doc_id+cos_sim) by
+    * the engine-wide rounded-score-then-id discipline, fuse by
+    * reciprocal rank, serve the top 20. The rank windows are
+    * unpartitioned but only ever see the bounded ≤topN frames the
+    * upstream cuts produce — never corpus-scale. */
+  private def rrfFuseLists(kwTop: DataFrame, vecTop: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kRrf = 60
+    val kw = kwTop.withColumn("kw_rank", row_number().over(
+        Window.orderBy(round(col("bm25"), 6).desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("kw_rank"))
     val vec = vecTop.withColumn("vec_rank", row_number().over(
         Window.orderBy(round(col("cos_sim"), 6).desc, col("doc_id").asc)))
       .select(col("doc_id"), col("vec_rank"))
@@ -695,6 +712,44 @@ object PipelineQueries {
         col("kw_rank"), col("vec_rank"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(20)
+  }
+
+  /** THE production search endpoint in ONE plan — every serving-side
+    * optimization the engine maintains, composed: the keyword list is
+    * WAND-pruned stored BM25 ([[graft.streaming.PostingsIndex
+    * .searchBm25Wand]] — token-bucket partition pruning AND block-max
+    * doc-block pruning on the stored layout), the vector list is the
+    * stored IVFADC+R serve ([[Similarity.ivfPqRerankFromDir]] — coarse
+    * routing from persisted lists, ADC shortlist over stored codes,
+    * exact-cosine re-rank of the shortlist only), and RRF fuses the two
+    * bounded lists. Zero training jobs, zero corpus-scale scans: the tf
+    * read touches surviving (tbucket, dblock) dirs, the codes read
+    * nprobe/nlist of the corpus, raw vectors only for the shortlist.
+    *
+    * Oracle: its OWN end-to-end SQL ([[HybridWandAnnSql]]) that replays
+    * the pruned machinery — the WAND list is exact by construction so
+    * the raw-ordered top-100 of `Bm25Sql` reproduces it, and the vector
+    * list replays the ADC-shortlist + exact-rerank pipeline
+    * ([[Similarity.ivfPqRerankOracleSql]]). Deliberately NOT
+    * `q_hybrid_rrf`'s exact-cosine oracle: a genuinely PRUNED ANN list
+    * (nprobe 4/16, shortlist 200) is not exhaustive-equivalent at any
+    * scale, and pinning it to an exhaustive oracle would force the row
+    * to disable the very pruning it exists to exercise. shortlist/
+    * nprobe/m/ks are fixture-scale oracle pins (the q_sim_* precedent);
+    * production sizes come from [[Similarity.rerankShortlist]] /
+    * [[Similarity.scaledNlist]]. */
+  def hybridWandAnnQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
+    val kwTop = graft.streaming.PostingsIndex.searchBm25Wand(
+      s, wandDir(s, d), s"$dir/dl", Bm25Terms, 100)
+    val vdir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        m = 4, ks = 8))
+    val vecTop = Similarity.ivfPqRerankFromDir(
+        embChecked(s, d), "vec_id", "embedding", vdir, 0L, 100,
+        shortlist = 200, nprobe = 4)
+      .select(col("vec_id").as("doc_id"), col("cos").as("cos_sim"))
+    rrfFuseLists(kwTop, vecTop)
   }
 
   /** ExactSubstr repeated-substring dedup ([[Dedup.exactSubstrSpans]],
@@ -1875,6 +1930,7 @@ object PipelineQueries {
     "q_pagerank_incr"  -> (pageRankIncrQ _),
     "q_cc_incr"        -> (ccIncrQ _),
     "q_hybrid_rrf"     -> (hybridRrfQ _),
+    "q_hybrid_wand_ann" -> (hybridWandAnnQ _),
     "q_hybrid_rrf_stored" -> (hybridRrfStoredQ _),
     "q_substr_spans"   -> (substrSpansQ _),
     "q_substr_dedup"   -> (substrDedupQ _),
@@ -2122,6 +2178,34 @@ object PipelineQueries {
        |FROM kwr FULL JOIN vr USING (doc_id)
        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** The production-endpoint oracle — `q_hybrid_wand_ann`'s END-TO-END
+    * replay of the pruned machinery: the keyword list is the raw-ordered
+    * top-100 of [[Bm25Sql]] (WAND is exact by construction, so its cut
+    * reproduces the unpruned ranking bit-for-bit — the `q_bm25_wand`
+    * precedent at k=100), the vector list replays the ADC shortlist +
+    * exact-cosine re-rank ([[Similarity.ivfPqRerankOracleSql]], same
+    * literal shortlist/nprobe pins as the engine row), and both rank
+    * windows + the fusion use the exact rounded-score-then-id
+    * arithmetic of [[HybridRrfSql]]. */
+  private lazy val HybridWandAnnSql: String =
+    s"""WITH kwt AS (SELECT * FROM ($Bm25Sql) b
+       |            ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+       |kwr AS (SELECT doc_id, CAST(row_number() OVER (
+       |          ORDER BY round(bm25, 6) DESC, doc_id ASC) AS INTEGER) AS kw_rank
+       |        FROM kwt),
+       |vt AS (SELECT vec_id AS doc_id, cos FROM (
+       |         ${Similarity.ivfPqRerankOracleSql(0L, 100, shortlist = 200,
+                    m = 4, ks = 8).replace("\n", "\n         ")}) rr),
+       |vr AS (SELECT doc_id, CAST(row_number() OVER (
+       |          ORDER BY round(cos, 6) DESC, doc_id ASC) AS INTEGER) AS vec_rank
+       |       FROM vt)
+       |SELECT doc_id,
+       |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + kw_rank), CAST(0.0 AS DOUBLE)) +
+       |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), CAST(0.0 AS DOUBLE)) AS rrf,
+       |  kw_rank, vec_rank
+       |FROM kwr FULL JOIN vr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** The DSIR oracle — the identical hashed unigram+bigram feature
     * stream, add-1-smoothed bucket multinomials (B=1024), per-doc
     * log-ratio sum. Shared by `q_dsir_weights` and `q_dsir_select`. */
@@ -2327,6 +2411,8 @@ object PipelineQueries {
     // with the same op order, and row_number casts to INTEGER to match
     // Spark's rank type
     "q_hybrid_rrf" -> HybridRrfSql,
+    // the production endpoint replays the PRUNED machinery end to end
+    "q_hybrid_wand_ann" -> HybridWandAnnSql,
     // the stored-artifact endpoint must return the IDENTICAL fusion —
     // the same oracle SQL pins it to q_hybrid_rrf
     "q_hybrid_rrf_stored" -> HybridRrfSql,

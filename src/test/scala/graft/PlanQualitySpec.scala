@@ -224,6 +224,13 @@ class PlanQualitySpec extends SparkSpec {
                         // rows) + the one-row doc-count attach
       "q_nb_stored",    // same grid, read from the persisted model
       "q_nb_incr",      // same grid, assembled from the count shards
+      "q_nb_retire",    // same grid, ingest − retire count channels
+      "q_dsir_retire",  // the dsir totals attach over ingest − retire
+      "q_unigram_retire", // the corpus-token-count scalar, retire-netted
+      "q_bm25_retire",  // the (N, avgdl) scalar over the retained dl
+      "q_hybrid_wand_ann", // bm25 scalar attach + one-row query-vector
+                        // cross, the q_hybrid_rrf shapes over the
+                        // WAND + IVFADC+R serving reads
       "q_source_kl")    // the complete-residue cross: |sources|×1024 rows
                         // (both sides bounded — nothing corpus-scale) +
                         // the one-row corpus-total attach
@@ -333,6 +340,19 @@ class PlanQualitySpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(hrs).size >= 3, hrs.take(900))
     assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(hrs).isDefined,
       s"q_hybrid_rrf_stored tf scan carries no tbucket partition filter:\n${hrs.take(900)}")
+    // q_hybrid_wand_ann — the production endpoint in ONE plan: the
+    // WAND-pruned keyword scan keeps BOTH partition filters (tbucket
+    // from the query terms, dblock from the surviving blocks), the
+    // ANN side is candidate-bounded, and every ranking is a
+    // TakeOrderedAndProject cut (kw top-100, ADC shortlist, exact
+    // re-rank top-100, fusion top-20 => >= 4)
+    val hwa = physical("q_hybrid_wand_ann")
+    assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(hwa).isDefined,
+      s"q_hybrid_wand_ann lost the tbucket partition filter:\n${hwa.take(900)}")
+    assert("""PartitionFilters: \[[^\]]*dblock""".r.findFirstIn(hwa).isDefined,
+      s"q_hybrid_wand_ann lost the dblock partition filter:\n${hwa.take(900)}")
+    assert("TakeOrderedAndProject".r.findAllIn(hwa).size >= 4,
+      s"q_hybrid_wand_ann lost its serving cuts:\n${hwa.take(900)}")
     // q_pagerank_topk: the hub-serving cut compiles to
     // TakeOrderedAndProject over the |V|-scale rank table, never a
     // global sort
