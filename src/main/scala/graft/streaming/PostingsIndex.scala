@@ -858,6 +858,7 @@ object PostingsIndex {
                      span: Long = 64L,
                      version: Option[Long] = None): Unit = {
     require(span >= 1, s"span=$span must be positive")
+    writeSpanMarker(spark, wandPath, span)
     val tf = readTfIndex(spark, tfPath, version)
       .withColumn("tbucket",
         coalesce(col("tbucket"), tokenBucket(col("token"))))
@@ -868,6 +869,111 @@ object PostingsIndex {
       .agg(max(col("tf")).as("max_tf"), count(lit(1)).as("df"))
       .write.partitionBy("tbucket").mode("overwrite")
       .parquet(s"$wandPath/bm")
+  }
+
+  /** MAINTENANCE for the WAND layout — per-batch shard appends, so the
+    * block-max serving structure stays current WITHOUT a rewrite per
+    * batch: each fresh-docs batch writes its own (tbucket, dblock)
+    * tf shard and its block-max sidecar shard (`shard=b<id>`, the
+    * [[tfIndexBatch]] watermark-replay discipline — a batch at or below
+    * a committed m-shard's watermark skips). The shard UNION is exact
+    * because both sidecar statistics are mergeable: batches are
+    * doc-disjoint so per-(term, block) df rows ADD, and max_tf rows
+    * merge by MAX (idempotent) — [[wandPlan]] folds shard-split sidecar
+    * rows with exactly that (max, sum) merge, so a sharded layout
+    * serves bit-identically to a compacted one and `q_bm25_wand`'s
+    * oracle is unchanged. [[compactWandShards]] folds the shards on a
+    * maintenance cadence. `span` must match the layout's recorded
+    * `_span` marker — block identity is a pure function of (doc_id,
+    * span), and mixing spans would scatter one doc across blocks,
+    * breaking the skip-exactness argument. */
+  def wandIndexBatch(batch: DataFrame, batchId: Long, wandPath: String,
+                     span: Long = 64L): Unit = {
+    require(span >= 1, s"span=$span must be positive")
+    val spark = batch.sparkSession
+    writeSpanMarker(spark, wandPath, span)
+    val tfMerged = mergedUpTo(spark, s"$wandPath/tf").exists(batchId <= _)
+    val bmMerged = mergedUpTo(spark, s"$wandPath/bm").exists(batchId <= _)
+    if (tfMerged && bmMerged) { logWatermarkSkip(wandPath, batchId); return }
+    val tf = TextAnalysis.tfPostings(batch, "doc_id", "text")
+      .withColumn("tbucket", tokenBucket(col("token")))
+      .withColumn("dblock", docBlock(col("doc_id"), span))
+    if (!tfMerged &&
+        graft.functions.ShardWrite.claim(spark, s"$wandPath/tf/shard=b$batchId"))
+      tf.write.partitionBy("tbucket", "dblock").mode("overwrite")
+        .parquet(s"$wandPath/tf/shard=b$batchId")
+    if (!bmMerged &&
+        graft.functions.ShardWrite.claim(spark, s"$wandPath/bm/shard=b$batchId"))
+      tf.groupBy("token", "tbucket", "dblock")
+        .agg(max(col("tf")).as("max_tf"), count(lit(1)).as("df"))
+        .write.partitionBy("tbucket").mode("overwrite")
+        .parquet(s"$wandPath/bm/shard=b$batchId")
+  }
+
+  /** Fold the accumulated WAND shards into one merged shard per table —
+    * the maintenance-window compaction for [[wandIndexBatch]] layouts,
+    * on the [[compactWith]] loss-proof commit order (merged shard lands
+    * before the inputs are deleted; a replayed compaction over ≤1 shard
+    * is a no-op). tf rows are doc-disjoint so the merge is the plain
+    * union; sidecar rows re-aggregate by (max, sum) — the same merge
+    * the reader applies, so a pinned query is BIT-STABLE across the
+    * rewrite. Partition dims re-derive from content: tbucket from the
+    * token, dblock from doc_id and the layout's `_span` marker (never a
+    * caller-remembered number). */
+  def compactWandShards(spark: SparkSession, wandPath: String)
+      : ((Int, Int), (Int, Int)) = {
+    val span = readSpanMarker(spark, wandPath).getOrElse(
+      throw new IllegalStateException(
+        s"$wandPath has no _span marker — not a maintained WAND layout"))
+    val tfRes = compactWith(spark, s"$wandPath/tf", identity,
+      (df, p) => df
+        .drop("tbucket", "dblock")
+        .withColumn("tbucket", tokenBucket(col("token")))
+        .withColumn("dblock", docBlock(col("doc_id"), span))
+        .write.partitionBy("tbucket", "dblock").mode("overwrite").parquet(p))
+    val bmRes = compactWith(spark, s"$wandPath/bm",
+      df => df.drop("tbucket")
+        .groupBy("token", "dblock")
+        .agg(max(col("max_tf")).as("max_tf"), sum(col("df")).as("df")),
+      (df, p) => df
+        .withColumn("tbucket", tokenBucket(col("token")))
+        .write.partitionBy("tbucket").mode("overwrite").parquet(p))
+    (tfRes, bmRes)
+  }
+
+  /** The layout's block-span contract, recorded at the root: writers
+    * record it once, rewrites re-derive `dblock` from it, and a
+    * conflicting span THROWS — two spans in one layout would scatter
+    * docs across blocks and void the pruning-exactness proof. */
+  private def writeSpanMarker(spark: SparkSession, wandPath: String,
+                              span: Long): Unit = {
+    val p = new Path(s"$wandPath/_span")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readSpanMarker(spark, wandPath) match {
+      case Some(existing) =>
+        require(existing == span,
+          s"$wandPath was laid out with span=$existing; got span=$span")
+      case None =>
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        out.write(span.toString.getBytes("UTF-8"))
+        out.close()
+    }
+  }
+
+  private def readSpanMarker(spark: SparkSession,
+                             wandPath: String): Option[Long] = {
+    val p = new Path(s"$wandPath/_span")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
   }
 
   /** BM25 top-k with BLOCK-MAX pruning — exact WAND-lite over the
@@ -920,6 +1026,10 @@ object PostingsIndex {
     // explicit schemas on both layout reads: a layout derived from an
     // empty index has `_SUCCESS`-only dirs, and inference would throw
     // where the exact answer is an empty result
+    // shard-split sidecar rows (the wandIndexBatch maintained layout)
+    // fold by the mergeable-statistics rule — max_tf by MAX, df by SUM
+    // (doc-disjoint batches) — so a sharded layout reads IDENTICALLY to
+    // a compacted or one-shot one; single-row keys are unchanged
     val bmRows = spark.read
       .schema("token STRING, dblock BIGINT, max_tf BIGINT, df BIGINT, tbucket INT")
       .parquet(s"$wandPath/bm")
@@ -929,6 +1039,9 @@ object PostingsIndex {
         col("max_tf").cast("long"), col("df").cast("long"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(r => (r._1, r._2)).map { case ((t, blk), rs) =>
+        (t, blk, rs.map(_._3).max, rs.map(_._4).sum)
+      }.toArray
     // global df per term = Σ over its blocks (sidecar rows partition the
     // posting list); the scorer needs these as a literal frame
     val dfGlobal: Map[String, Long] =
@@ -944,7 +1057,9 @@ object PostingsIndex {
       TextAnalysis.bm25FromIndexGivenDf(
         tf.where(col("tbucket").isin(buckets: _*) &&
             col("dblock").isin(blocks.map(java.lang.Long.valueOf): _*))
-          .drop("tbucket", "dblock"),
+          // explicit projection: the maintained layout adds a `shard`
+          // partition level that must not leak into the scorer
+          .select(col("token"), col("doc_id"), col("tf")),
         dl, distinctTerms, dfreq, k1, b)
     if (bmRows.isEmpty)
       // no query term exists in the index: exact empty result

@@ -575,6 +575,58 @@ class PostingsIndexSpec extends SparkSpec {
       Seq("never-seen"), k).collect().isEmpty)
   }
 
+  test("WAND maintenance: sharded appends serve bit-identically; compaction is bit-stable and replay-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("wand-maint").toString
+    val (tfP, dlP) = (s"$dir/tf", s"$dir/dl")
+    val docs = (0L until 200L).map { i =>
+      val text =
+        if (i < 50) ("mid " * 12) + "common"
+        else if (i % 2 == 0) "mid common pad pad"
+        else "common pad pad pad"
+      (i, text)
+    }.toDF("doc_id", "text")
+    PostingsIndex.tfIndexBatch(docs, 0, tfP, dlP)
+    // one-shot layout = the reference answer
+    val wOne = s"$dir/wand-oneshot"
+    PostingsIndex.wandLayoutFrom(spark, tfP, wOne, span = 50L)
+    val terms = Seq("mid", "common")
+    def top(wp: String) = PostingsIndex.searchBm25Wand(spark, wp, dlP,
+      terms, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reference = top(wOne)
+    // maintained layout: three doc-hash-split batch appends — blocks
+    // STRADDLE batches, so the sidecar's (max, sum) shard merge is
+    // genuinely exercised, not just a disjoint union
+    val wM = s"$dir/wand-maint"
+    val parts = (0 until 3).map(b =>
+      docs.where(graft.functions.TextAnalysis
+        .hashBucket(org.apache.spark.sql.functions.col("doc_id"), 3) === b))
+    parts.zipWithIndex.foreach { case (p, b) =>
+      PostingsIndex.wandIndexBatch(p, b.toLong, wM, span = 50L) }
+    assert(top(wM) == reference,
+      "sharded WAND layout diverged from the one-shot layout")
+    // a conflicting span on an existing layout must throw, not scatter
+    intercept[IllegalArgumentException] {
+      PostingsIndex.wandIndexBatch(parts(0), 99L, wM, span = 64L)
+    }
+    // replayed batch append: both shards exist -> no-op, result stable
+    PostingsIndex.wandIndexBatch(parts(1), 1L, wM, span = 50L)
+    assert(top(wM) == reference)
+    // compaction folds the shards; the serve is BIT-stable across it
+    val ((tfIn, tfOut), (bmIn, bmOut)) =
+      PostingsIndex.compactWandShards(spark, wM)
+    assert(tfIn == 3 && tfOut == 1 && bmIn == 3 && bmOut == 1,
+      s"compaction shape: tf $tfIn->$tfOut bm $bmIn->$bmOut")
+    assert(top(wM) == reference, "serve drifted across the compaction")
+    // replayed compaction: <= 1 shard per table -> no-op
+    val ((a, _), (c, _)) = PostingsIndex.compactWandShards(spark, wM)
+    assert(a <= 1 && c <= 1)
+    // a batch at or below the merged watermark must SKIP (its rows
+    // live in the m-shard now; re-appending would double-count)
+    PostingsIndex.wandIndexBatch(parts(2), 2L, wM, span = 50L)
+    assert(top(wM) == reference,
+      "replay below the compaction watermark re-appended rows")
+  }
+
   test("a new stream over a compacted index fails fast instead of losing batches") {
     // the lineage contract: the watermark skip is only safe for a TRUE
     // replay. A sink records its checkpoint in _lineage; a different
