@@ -460,6 +460,182 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Decoded, MONO-MIXED, [-1,1]-normalized samples — the raw-material
+    * read behind [[audioEnergyHash]]: the same JDK reader set and PCM
+    * encodings as [[decodeAudio]] (signed 16 either endianness, signed/
+    * unsigned 8), channels averaged per frame. None exactly when
+    * [[decodeAudio]] would fall back. */
+  def decodeAudioSamples(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (bytes == null) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val ch = fmt.getChannels
+      val bits = fmt.getSampleSizeInBits
+      val enc = fmt.getEncoding
+      if (ais.getFrameLength <= 0 || fmt.getSampleRate <= 0 || ch <= 0)
+        return None
+      val signed16 = enc == AudioFormat.Encoding.PCM_SIGNED && bits == 16
+      val signed8 = enc == AudioFormat.Encoding.PCM_SIGNED && bits == 8
+      val unsigned8 = enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8
+      if (!signed16 && !signed8 && !unsigned8) return None
+      val data = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = ais.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = ais.read(chunk) }
+        buf.toByteArray
+      }
+      val bytesPer = if (signed16) 2 else 1
+      val frameBytes = bytesPer * ch
+      val nFrames = data.length / frameBytes
+      val out = new Array[Double](nFrames)
+      val big = fmt.isBigEndian
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = f * frameBytes + c * bytesPer
+          acc +=
+            (if (signed16) {
+              val s = if (big) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+                      else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+              s / 32768.0
+            } else if (signed8) data(o) / 128.0
+            else ((data(o) & 0xff) - 128) / 128.0)
+          c += 1
+        }
+        out(f) = acc / ch
+        f += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally ais.close()
+  }
+
+  /** AUDIO FINGERPRINT — the [[dHash]] difference discipline applied
+    * TEMPORALLY (the energy-band comparison family Chromaprint/
+    * AcoustID built on, reduced to its deterministic core): the sample
+    * stream splits into `windows` equal integer-boundary blocks, per
+    * block the mean-square ENERGY, and bit w is set iff block w is
+    * strictly louder than block w+1 — a (windows−1)-bit envelope
+    * signature. Near-dup audio — re-encoded, amplitude-perturbed,
+    * slightly trimmed — keeps most bits (the comparisons survive any
+    * monotone gain change), so Hamming distance is the audio-side
+    * near-dup key and [[phashPairs]]' 4×16-bit banding applies to it
+    * unchanged. Windows default 64 → 63 bits (bit 63 stays clear on
+    * both engines — no sign-overflow edge in the SQL twin). Streams
+    * shorter than one sample per window have undefined blocks → None
+    * (the fallback row). */
+  def audioEnergyHash(samples: Array[Double],
+                      windows: Int = 64): Option[Long] = {
+    if (samples == null || samples.length < windows) return None
+    val n = samples.length
+    val e = new Array[Double](windows)
+    var w = 0
+    while (w < windows) {
+      val from = w.toLong * n / windows
+      val to = (w + 1).toLong * n / windows
+      var s = 0.0
+      var i = from
+      while (i < to) { s += samples(i.toInt) * samples(i.toInt); i += 1 }
+      e(w) = s / (to - from)
+      w += 1
+    }
+    var hash = 0L
+    w = 0
+    while (w < windows - 1) {
+      if (e(w) > e(w + 1)) hash |= 1L << w
+      w += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-row audio fingerprint through the same `mapPartitions` codec
+    * boundary as [[audioStats]]: decodable blobs emit their 63-bit
+    * energy hash (`decoded = true`), everything else a zero-hash
+    * fallback row — [[phashPairs]] filters those before banding. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("ahash", LongType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeAudioSamples(r.getAs[Array[Byte]](blobIdx))
+          .flatMap(audioEnergyHash(_)) match {
+          case Some(hv) => Row(r.getLong(idIdx), true, hv)
+          case None => Row(r.getLong(idIdx), false, 0L)
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** A minimal 16-bit mono PCM WAV (44-byte RIFF header, little-endian
+    * samples) — the audio synthesis primitive the closed-form fixtures
+    * need: what the JDK reader decodes from this container is exactly
+    * `samples`, no transcoding. */
+  def minimalWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(o: Int, s: String): Unit =
+      s.getBytes("ISO-8859-1").zipWithIndex.foreach { case (b, i) => out(o + i) = b }
+    ascii(0, "RIFF"); writeLE32(out, 4, 36L + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); writeLE32(out, 16, 16L)
+    out(20) = 1; out(21) = 0            // PCM
+    out(22) = 1; out(23) = 0            // mono
+    writeLE32(out, 24, sampleRate.toLong)
+    writeLE32(out, 28, sampleRate * 2L) // byte rate
+    out(32) = 2; out(33) = 0            // block align
+    out(34) = 16; out(35) = 0           // bits per sample
+    ascii(36, "data"); writeLE32(out, 40, dataLen.toLong)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    out
+  }
+
+  /** Closed-form audio-hash fixture (the [[synthesizePhashMedia]]
+    * pattern on the audio side): id % 5 == 0 rows are opaque payloads;
+    * every other id becomes a 64-block 16-bit mono WAV where block w is
+    * LOUD (amplitude 16000) iff bit w of the id is set, quiet (2000)
+    * otherwise — constant within a block, so block energies are exact
+    * squares and [[audioEnergyHash]] bit w has the closed form
+    * `bit_w(id) = 1 AND bit_{w+1}(id) = 0`, which the DuckDB twin
+    * recomputes arithmetically. 125 samples per block at 8 kHz (1 s of
+    * audio), so integer window boundaries land exactly on the
+    * amplitude switches. */
+  def synthesizeAudioHashMedia(docs: DataFrame, id: String): DataFrame =
+    docs.select(col(id).cast(LongType).as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        val blob: Array[Byte] =
+          if (i % 5 == 0) s"opaque payload $i".getBytes("UTF-8")
+          else {
+            val perBlock = 125
+            val samples = new Array[Short](64 * perBlock)
+            var w = 0
+            while (w < 64) {
+              val amp: Short =
+                if (((i >> w) & 1L) == 1L) 16000 else 2000
+              java.util.Arrays.fill(samples, w * perBlock,
+                (w + 1) * perBlock, amp)
+              w += 1
+            }
+            minimalWav(samples, 8000)
+          }
+        Row(i, "audio", blob, Row(0, 0, "stub"))
+      }
+    }(RowEncoder.encoderFor(mediaSchema))
+
   // ---- video container metadata: dependency-free box/header parse ----
 
   private def be32(b: Array[Byte], o: Int): Long =
@@ -986,6 +1162,70 @@ object Multimodal {
             (v << 16) | (v << 8) | v
           }
         Row(i, "image", blob, Row(18, 16, "stub"))
+      }
+    }(RowEncoder.encoderFor(mediaSchema))
+
+  /** Per-sampled-frame perceptual hashing — [[imagePhash]] pushed
+    * through the video container boundary: each `..db`/`..dc` frame of
+    * a frame-bearing AVI rasterizes ([[wrapDibFrame]] → the real BMP/
+    * JPEG readers) and hashes ([[dHash]]), one row per (media, frame).
+    * The per-frame hash SEQUENCE is the video near-dup key: re-encoded
+    * or trimmed copies keep most per-frame bits, so the existing
+    * banding + `bit_count` verify ([[phashPairs]] over a composite
+    * (media, frame) id, or frame-majority voting above it) applies
+    * unchanged. Undecodable frames emit `decoded = false` zero-hash
+    * rows; a blob that is not a frame-bearing AVI emits ONE fallback
+    * row — the [[frameStats]] mixed-corpus discipline. */
+  def videoPhash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("decoded", BooleanType),
+      StructField("phash", LongType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val blobIdx = media.schema.fieldIndex("blob")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        extractAviFrames(r.getAs[Array[Byte]](blobIdx)) match {
+          case Some(frames) => frames.iterator.zipWithIndex.map {
+            case (f, k) => dHash(wrapDibFrame(f)) match {
+              case Some(hv) => Row(id, k, true, hv)
+              case None => Row(id, k, false, 0L)
+            }
+          }
+          case None => Iterator.single(Row(id, 0, false, 0L))
+        }
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Closed-form video-hash fixture — [[synthesizePhashMedia]]'s
+    * gradient BMP, one per frame, with the per-cell-row direction bit
+    * taken from (id + frame_idx): container walk + rasterization +
+    * [[dHash]] must invert to
+    * `Σ_{dy≤6, bit dy of (id+k) clear} 0xFF << 8·dy` per frame, which
+    * the DuckDB twin recomputes arithmetically. `id % 3 + 1` frames
+    * per video (the [[synthesizeFrameMedia]] fan-out), id % 5 == 0
+    * rows opaque. */
+  def synthesizeVhashMedia(docs: DataFrame, id: String): DataFrame =
+    docs.select(col(id).cast(LongType).as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0)
+        val blob: Array[Byte] =
+          if (i % 5 == 0) s"opaque payload $i".getBytes("UTF-8")
+          else {
+            val frames = (0 to (i % 3).toInt).map { k =>
+              minimalBmp(18, 16) { (x, y) =>
+                val dy = y / 2
+                val up = dy < 7 && (((i + k) >> dy) & 1) == 0
+                val v = if (up) x * 14 else (17 - x) * 14
+                (v << 16) | (v << 8) | v
+              }
+            }
+            minimalAviFrames(40000L, 18, 16, 1, frames)
+          }
+        Row(i, "video", blob, Row(18, 16, "stub"))
       }
     }(RowEncoder.encoderFor(mediaSchema))
 

@@ -1751,6 +1751,30 @@ object PipelineQueries {
     Multimodal.imagePhash(
       Multimodal.synthesizePhashMedia(par(documents(s, d)), "doc_id"))
 
+  /** AUDIO fingerprinting ([[Multimodal.audioEnergyHash]] via
+    * [[Multimodal.audioFingerprint]]) — the audio-side near-dup key
+    * completing the "every modality has one" story (text SimHash,
+    * image dHash, now the temporal energy-difference hash): real WAVs
+    * whose 64 constant-amplitude blocks encode the id's bits, decoded
+    * by the JDK reader and energy-compared by the engine, while the
+    * oracle recomputes the 63-bit hash in closed form — equality
+    * proves decode, integer windowing, and every energy comparison
+    * invert the synthesis. Opaque rows exercise the fallback. */
+  def multimodalAudioHash(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioFingerprint(
+      Multimodal.synthesizeAudioHashMedia(par(documents(s, d)), "doc_id"))
+
+  /** VIDEO per-frame perceptual hashing ([[Multimodal.videoPhash]]) —
+    * the frame-hash SEQUENCE that near-dup-keys the last modality:
+    * AVI container walk, frame rasterization, and dHash per sampled
+    * frame, with the per-frame gradient direction encoding
+    * (id + frame) bits so the oracle recomputes every hash in closed
+    * form. id % 5 rows opaque, id % 3 + 1 frames otherwise (the
+    * `q_multimodal_pixels` fan-out). */
+  def multimodalVhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoPhash(
+      Multimodal.synthesizeVhashMedia(par(documents(s, d)), "doc_id"))
+
   /** COMPRESSED-codec rasterization, oracle-checked: MJPEG AVIs —
     * `00dc` chunks holding REAL JDK-encoded JPEGs of solid gray frames
     * ([[Multimodal.synthesizeMjpegMedia]]) — through the same container
@@ -2001,6 +2025,8 @@ object PipelineQueries {
     "q_multimodal_pixels" -> (multimodalPixels _),
     "q_multimodal_mjpeg" -> (multimodalMjpeg _),
     "q_multimodal_phash" -> (multimodalPhash _),
+    "q_multimodal_audiohash" -> (multimodalAudioHash _),
+    "q_multimodal_vhash" -> (multimodalVhash _),
     "q_pipeline_clean"  -> (pipelineClean _),
     "q_pipeline_neardup" -> (pipelineNearDup _))
 
@@ -3044,6 +3070,34 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 5 = 0 THEN CAST(0 AS BIGINT)
         |       ELSE (CASE WHEN (doc_id >> 0) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 0) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 1) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 8) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 2) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 16) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 3) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 24) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 4) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 32) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 5) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 40) ELSE CAST(0 AS BIGINT) END) + (CASE WHEN (doc_id >> 6) & 1 = 0 THEN 255 * (CAST(1 AS BIGINT) << 48) ELSE CAST(0 AS BIGINT) END) END AS phash
         |FROM documents""".stripMargin,
+    // the audio energy hash in closed form: block w is loud iff bit w
+    // of the id is set, so hash bit w = bit_w AND NOT bit_{w+1} —
+    // pure integer arithmetic both engines share (63 comparisons; the
+    // generated sum keeps every shift in BIGINT)
+    "q_multimodal_audiohash" ->
+      s"""SELECT doc_id AS media_id, doc_id % 5 <> 0 AS decoded,
+         |  CASE WHEN doc_id % 5 = 0 THEN CAST(0 AS BIGINT) ELSE ${
+           (0 until 63).map(w =>
+             s"(CASE WHEN (doc_id >> $w) & 1 = 1 AND (doc_id >> ${w + 1}) & 1 = 0" +
+             s" THEN (CAST(1 AS BIGINT) << $w) ELSE CAST(0 AS BIGINT) END)")
+             .mkString(" + ")} END AS ahash
+         |FROM documents""".stripMargin,
+    // per-frame dHash in closed form: cell-row dy's gradient direction
+    // is bit dy of (id + frame), so byte dy of the hash is 0xFF iff
+    // that bit is clear — the q_multimodal_phash arithmetic with the
+    // frame index folded in, over the q_multimodal_pixels frame fan-out
+    "q_multimodal_vhash" ->
+      s"""SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
+         |  true AS decoded,
+         |  ${(0 until 7).map(dy =>
+             s"(CASE WHEN ((doc_id + k) >> $dy) & 1 = 0" +
+             s" THEN 255 * (CAST(1 AS BIGINT) << ${8 * dy}) ELSE CAST(0 AS BIGINT) END)")
+             .mkString(" + ")} AS phash
+         |FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS u(k)
+         |WHERE doc_id % 5 <> 0
+         |UNION ALL
+         |SELECT doc_id, 0, false, CAST(0 AS BIGINT)
+         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     "q_multimodal_pixels" ->
       """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
         |  true AS decoded,

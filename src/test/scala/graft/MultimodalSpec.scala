@@ -390,4 +390,82 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(filtered == Set((1L, 2L)), s"fallback rows paired: $filtered")
   }
+
+  test("audio energy hash: gain-invariant near-dups, banding mines the pair, undersized falls back") {
+    // a 64-block envelope: blocks loud where the pattern bit is set
+    def wav(pattern: Long, gain: Double): Array[Byte] = {
+      val per = 125
+      val samples = new Array[Short](64 * per)
+      (0 until 64).foreach { w =>
+        val amp = ((if (((pattern >> w) & 1) == 1) 16000 else 2000) * gain).toShort
+        java.util.Arrays.fill(samples, w * per, (w + 1) * per, amp)
+      }
+      Multimodal.minimalWav(samples, 8000)
+    }
+    val pattern = 0x5a3cL
+    val Some(hOrig) = Multimodal.decodeAudioSamples(wav(pattern, 1.0))
+      .flatMap(Multimodal.audioEnergyHash(_))
+    // a pure gain change (re-mastered copy) preserves EVERY energy
+    // comparison — hamming 0
+    val Some(hQuiet) = Multimodal.decodeAudioSamples(wav(pattern, 0.5))
+      .flatMap(Multimodal.audioEnergyHash(_))
+    assert(hOrig == hQuiet, "energy hash must be gain-invariant")
+    // a different envelope lands far
+    val Some(hOther) = Multimodal.decodeAudioSamples(wav(~pattern & 0xffffL, 1.0))
+      .flatMap(Multimodal.audioEnergyHash(_))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hOrig, hOther) >= 8, s"hamming ${ham(hOrig, hOther)}")
+    // the closed form the oracle uses: bit w = bit_w(p) & !bit_{w+1}(p)
+    val expect = (0 until 63).map(w =>
+      if (((pattern >> w) & 1) == 1 && ((pattern >> (w + 1)) & 1) == 0)
+        1L << w else 0L).sum
+    assert(hOrig == expect, f"hash $hOrig%x vs closed form $expect%x")
+    // fewer samples than windows -> no defined blocks -> fallback
+    assert(Multimodal.audioEnergyHash(Array.fill(10)(0.5)).isEmpty)
+    // the SAME 4x16-band miner works on the audio hash unchanged
+    val hashes = Seq((1L, true, hOrig), (2L, true, hQuiet),
+        (3L, true, hOther), (9L, false, 0L))
+      .toDF("media_id", "decoded", "phash")
+    val pairs = Multimodal.phashPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"audio banding pairs: $pairs")
+  }
+
+  test("video frame-phash: per-frame sequence, composite-id banding finds the near-dup video") {
+    import org.apache.spark.sql.functions.col
+    // two 2-frame videos: media 1 and its recompressed-ish twin 2
+    // (tiny per-pixel noise), media 3 a reversed-gradient stranger
+    def gradFrame(seed: Long, noise: Int => Int) =
+      Multimodal.minimalBmp(64, 48) { (x, y) =>
+        val dy = y / 6
+        val up = dy < 7 && ((seed >> dy) & 1) == 0
+        val base = if (up) x * 4 else (63 - x) * 4
+        val v = math.max(0, math.min(255, base + noise(x * 31 + y)))
+        (v << 16) | (v << 8) | v
+      }
+    def avi(seed: Long, noise: Int => Int) =
+      Multimodal.minimalAviFrames(40000L, 64, 48, 1,
+        (0 until 2).map(k => gradFrame(seed + k, noise)))
+    val media = Seq(
+      (1L, "video", avi(6L, _ => 0)),
+      (2L, "video", avi(6L, s => (s % 5) - 2)),
+      (3L, "video", avi(0x55L, _ => 0)),
+      (9L, "video", "not an avi".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "blob")
+    val fp = Multimodal.videoPhash(media)
+    val rows = fp.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.count(_._1 == 1L) == 2 && rows.filter(_._1 == 1L).forall(_._3))
+    assert(rows.filter(_._1 == 9L).toSeq == Seq((9L, 0, false, 0L)))
+    // frame-level near-dup mining through the SAME banded miner, keyed
+    // by the composite (media, frame) id
+    val pairs = Multimodal.phashPairs(
+        fp.where(col("decoded")).select(
+          (col("media_id") * 1000 + col("frame_idx")).as("media_id"),
+          col("phash")), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every frame of 1 pairs with the same frame of 2; 3 pairs with none
+    assert(pairs == Set((1000L, 2000L), (1001L, 2001L)),
+      s"frame pairs: $pairs")
+  }
 }
