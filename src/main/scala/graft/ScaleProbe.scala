@@ -1618,3 +1618,162 @@ object HeavyHittersProbe {
     spark.stop()
   }
 }
+
+/** SQ8's recall curve, measured the way `AnnDenseProbe` measured PQ's
+  * (r13 verdict item 6): 100k synthetic vectors, recall@10 of the fused
+  * int8 scan, the stored-codes serve, and the exact re-rank tail, plus
+  * measured bytes/vector of the SQ8 codes artifact vs the dense-PQ
+  * codes — so the compression-ladder recommendation (raw → SQ8 → PQ) is
+  * a measured trade, not an asserted one.
+  * `sbt "runMain graft.SqProbe [n]"` → docs/SCALE.md. */
+object SqProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dim = 64
+    val emb = spark.range(n).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(1), lit(dim)),
+        j => sin(col("vec_id") * j.cast("double") * 0.7321)).as("embedding"))
+      .repartition(16).cache()
+    emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("sq-probe").toString
+    var t0 = System.nanoTime()
+    Similarity.sqWriteArtifacts(emb, "vec_id", "embedding", dir)
+    println(f"[scale] sq8 build @$n: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // measured artifact density vs the dense-PQ codes at the same n
+    val pqDir = java.nio.file.Files.createTempDirectory("sq-probe-pq").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", pqDir,
+      nlist = 256, normalize = true)
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    }
+    println(f"[scale] sq8 codes ${dirBytes(s"$dir/codes").toDouble / n}%.0f B/vec " +
+      f"vs dense-PQ codes ${dirBytes(s"$pqDir/codes").toDouble / n}%.0f B/vec " +
+      f"(raw float64 = ${8 * dim} B/vec)")
+    val k = 10
+    val qids = 0L until 10L
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    // TWO exact baselines, because SQ8 approximates the raw DOT while
+    // the serving contract (and the re-rank) is COSINE: recall of the
+    // SQ-alone scan vs exact-dot isolates pure quantization error;
+    // recall of the re-rank vs exact-cosine is the end-to-end number
+    val exactCos = qids.map(q => q -> ids(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k))).toMap
+    val exactDot = qids.map { q =>
+      val qv = emb.where(col("vec_id") === q)
+        .select(col("embedding").as("q_vec"))
+      q -> ids(emb.where(col("vec_id") =!= q)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), graft.functions.VectorExpressions
+          .dotProduct(col("embedding"), col("q_vec")).as("d"))
+        .orderBy(col("d").desc, col("vec_id").asc).limit(k))
+    }.toMap
+    def timeAvg(truth: Map[Long, Set[Long]])(
+        f: Long => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      var secs = 0.0; var rec = 0.0
+      qids.foreach { q =>
+        val s0 = System.nanoTime()
+        val got = ids(f(q))
+        secs += (System.nanoTime() - s0) / 1e9
+        rec += got.intersect(truth(q)).size / k.toDouble
+      }
+      (secs / qids.length, rec / qids.length)
+    }
+    val (fS, fR) = timeAvg(exactDot)(q =>
+      Similarity.sqTopK(emb, "vec_id", "embedding", q, k, dim = dim))
+    val (pS, pR) = timeAvg(exactDot)(q =>
+      Similarity.sqProbeFromDir(emb, "vec_id", "embedding", dir, q, k))
+    println(f"[scale] sq8 @$n vs exact-dot: fused $fS%.2f s recall@10=$fR%.2f; " +
+      f"stored $pS%.2f s recall@10=$pR%.2f")
+    for (sl <- Seq(4 * k, 200)) {
+      val (rS, rR) = timeAvg(exactCos)(q => Similarity.sqRerankTopK(
+        emb, "vec_id", "embedding", q, k, shortlist = sl, dim = dim))
+      println(f"[scale] sq8 rerank @$n shortlist=$sl vs exact-cosine: " +
+        f"$rS%.2f s recall@10=$rR%.2f")
+    }
+    spark.stop()
+  }
+}
+
+/** The planted-flood batch skew probe (r13 verdict item 7): 10k
+  * verbatim copies of one template dropped into the sf0.1 corpus put
+  * ~10k members into ONE band bucket per band — the |bucket|² shape the
+  * streaming gate mitigates with its hot-band list, now priced for the
+  * BATCH miners. Measures the quadratic blow-up on an uncapped run at
+  * growing flood sizes, then shows both batch mitigations bounding the
+  * output at the full 10k flood: the `maxBucket` degenerate-bucket cap
+  * and the mined boilerplate drop list (identical organic pair sets,
+  * asserted). `sbt "runMain graft.FloodProbe [floodSize]"`. */
+object FloodProbe {
+  def main(args: Array[String]): Unit = {
+    val floodN = args.headOption.map(_.toLong).getOrElse(10000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text")
+    val template = "breaking news template header shared across every " +
+      "syndicated copy of this article body text goes here verbatim"
+    def corpus(copies: Long) = base.union(
+      spark.range(copies).select(
+        (col("id") + 1000000L).as("doc_id"), lit(template).as("text")))
+      .repartition(16).cache()
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // the quadratic staircase: uncapped pair counts/times at small
+    // flood sizes (the full 10k flood is ~8e8 expanded pairs — priced
+    // by extrapolation, not executed)
+    for (c <- Seq(500L, 1000L, 2000L)) {
+      val df = corpus(c); df.count()
+      val (pairs, secs) = timed(
+        Dedup.minhashPairs(df, "doc_id", "text").count())
+      println(f"[flood] uncapped copies=$c%5d: $pairs%9d pairs $secs%7.1f s")
+      df.unpersist()
+    }
+    val df = corpus(floodN); df.count()
+    val (capped, capSecs) = timed(
+      Dedup.minhashPairs(df, "doc_id", "text",
+        maxBucket = Some(1000)).count())
+    println(f"[flood] maxBucket=1000 copies=$floodN: $capped%9d pairs $capSecs%7.1f s")
+    val (drop, dropSecs) = timed {
+      val dl = graft.queries.PipelineQueries.boilerplateOf(
+        df, minDf = 5000, topK = 100)
+      Dedup.minhashPairs(df, "doc_id", "text",
+        dropShingles = Some(dl)).count()
+    }
+    println(f"[flood] drop-list    copies=$floodN: $drop%9d pairs $dropSecs%7.1f s " +
+      "(incl. mining)")
+    // both mitigations keep the SAME organic pairs (flood docs have ids
+    // >= 1000000 — everything below is the organic corpus)
+    val organicCap = Dedup.minhashPairs(df, "doc_id", "text",
+        maxBucket = Some(1000))
+      .where(col("doc_a") < 1000000L && col("doc_b") < 1000000L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val organicDrop = Dedup.minhashPairs(df, "doc_id", "text",
+        dropShingles = Some(graft.queries.PipelineQueries.boilerplateOf(
+          df, minDf = 5000, topK = 100)))
+      .where(col("doc_a") < 1000000L && col("doc_b") < 1000000L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(organicCap == organicDrop,
+      s"mitigations disagree on organic pairs: ${organicCap.size} vs ${organicDrop.size}")
+    println(s"[flood] organic pairs identical under both mitigations: ${organicCap.size}")
+    spark.stop()
+  }
+}

@@ -478,7 +478,8 @@ object Dedup {
   def minhashPairs(df: DataFrame, id: String, text: String,
                    shingleN: Int = 5, k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5,
-                   dropShingles: Option[DataFrame] = None): DataFrame = {
+                   dropShingles: Option[DataFrame] = None,
+                   maxBucket: Option[Int] = None): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"minhashPairs needs bands in [1,k] dividing k (k=$k, bands=$bands): " +
         "bands>k would hash zero signature rows per band — every doc " +
@@ -517,18 +518,30 @@ object Dedup {
     // in all bands), shuffling the expansion with signatures attached
     // measured 2.5× the whole pipeline; shuffling 24-byte rows is noise.
     // The 16 per-band copies of a surviving pair collapse in distinct.
-    bandedPairTail(banded, k, threshold)
+    bandedPairTail(banded, k, threshold, maxBucket)
   }
 
   /** The bucket-aggregation pair-expansion tail over a banded-signature
     * frame — shared by [[minhashPairs]] and
-    * [[minhashPairsFromSignatures]]. */
+    * [[minhashPairsFromSignatures]]. `maxBucket` is the DEGENERATE-
+    * BUCKET CAP (the batch twin of the streaming gate's hot-band
+    * mitigation): a band bucket larger than the cap is boilerplate by
+    * construction — organic near-dup cliques are tens to thousands
+    * wide, a template flood is the only thing that puts 10k+ docs in
+    * ONE bucket — and its |bucket|^2 expansion is dropped whole.
+    * Recall contract: flood members still pair through any NON-flooded
+    * band they share with a genuine near-dup; only the degenerate
+    * buckets' pair space disappears (the dropShingles/dropBands
+    * semantics at bucket granularity, decided inline with zero extra
+    * passes). None (the oracle rows' setting) expands every bucket. */
   private def bandedPairTail(banded: DataFrame, k: Int,
-                             threshold: Double): DataFrame =
+                             threshold: Double,
+                             maxBucket: Option[Int] = None): DataFrame =
     banded
       .groupBy("band", "band_hash")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
-      .where(size(col("ds")) > 1)
+      .where(size(col("ds")) > 1 &&
+        maxBucket.fold(lit(true))(m => size(col("ds")) <= m))
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .where(col("a.doc_id") < col("b.doc_id"))
@@ -566,7 +579,8 @@ object Dedup {
   def minhashPairsFromSignatures(sigs: DataFrame, k: Int = 64,
                                  bands: Int = 16,
                                  threshold: Double = 0.5,
-                                 dropBands: Option[DataFrame] = None): DataFrame = {
+                                 dropBands: Option[DataFrame] = None,
+                                 maxBucket: Option[Int] = None): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"minhashPairsFromSignatures needs bands in [1,k] dividing k (k=$k, bands=$bands)")
     val checked = sigs
@@ -580,7 +594,7 @@ object Dedup {
     val pruned = dropBands.fold(banded)(d =>
       banded.join(broadcast(d.select("band", "band_hash")),
         Seq("band", "band_hash"), "left_anti"))
-    bandedPairTail(pruned, k, threshold)
+    bandedPairTail(pruned, k, threshold, maxBucket)
   }
 
   /** (doc_id, sig, band, band_hash) band fan-out shared by the two pair

@@ -295,19 +295,31 @@ object Multimodal {
     * pair every unreadable blob with every other at hamming 0 — so when
     * the input carries the `decoded` column it is filtered here; inputs
     * without the column are trusted to be pre-filtered hash rows. */
-  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3,
+                 maxBucket: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3,
       "4-band LSH guarantees recall only for hamming <= 3; re-band for more")
     val decodedOnly =
       if (hashes.columns.contains("decoded")) hashes.where(col("decoded"))
       else hashes
-    val banded = decodedOnly.select(col("media_id"), col("phash"),
+    val banded0 = decodedOnly.select(col("media_id"), col("phash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("phash"), b * 16)
             .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select(col("media_id"), col("phash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+    // degenerate-bucket cap (the minhash miners' maxBucket, on the
+    // image side): a band bucket holding more members than any organic
+    // near-dup clique is a template flood, and joining it costs
+    // |bucket|^2 — drop those buckets whole (semi-join against the
+    // under-cap bucket keys). None expands every bucket.
+    val banded = maxBucket.fold(banded0) { m =>
+      banded0.join(
+        banded0.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= m).select("band", "key"),
+        Seq("band", "key"), "left_semi")
+    }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.media_id") < col("b.media_id"))

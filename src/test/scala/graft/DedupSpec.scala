@@ -168,6 +168,44 @@ class DedupSpec extends SparkSpec {
     assert(jac((0L, 2L)) == 1.0 && jac((0L, 1L)) > 0.5)
   }
 
+  test("maxBucket caps a planted template flood; organic pairs survive through clean bands") {
+    // a 200-copy template flood: every copy collides in EVERY band →
+    // one n²-pair degenerate bucket per band — the no-drop-list attack
+    // shape (identical docs, so no shingle has low df to key a drop
+    // list around)
+    val flood = (1000L until 1200L).map(i =>
+      (i, "the same template text repeated verbatim across the flood " +
+          "with enough tokens to shingle"))
+      .toDF("doc_id", "text")
+    val noisy = corpus.union(flood)
+    // the capped run drops the flood buckets whole; organic pairs keep
+    // their own (small) buckets
+    val capped = Dedup.minhashPairs(noisy, "doc_id", "text",
+        threshold = 0.5, maxBucket = Some(50))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "flood pairs survived the bucket cap")
+    assert(capped.contains((0L, 1L)) && capped.contains((0L, 2L)),
+      s"organic near-dups lost to the cap: $capped")
+    // uncapped on the SAME corpus: the flood expands (the fixture is
+    // small enough to afford the n² here; at 10k copies it is not —
+    // ScaleProbe measures that shape)
+    val raw = Dedup.minhashPairs(noisy, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw.count { case (a, b) => a >= 1000L && b >= 1000L } ==
+      200 * 199 / 2, "fixture flood did not fully collide")
+    // the image-side miner's cap behaves identically: one 100-member
+    // equal-hash flood vs one organic near-dup pair
+    import org.apache.spark.sql.functions.col
+    val hashes = ((0L until 100L).map(i => (i, 0x1234567890abcdefL)) ++
+      Seq((200L, 0x0f0f0f0f0f0f0f0fL), (201L, 0x0f0f0f0f0f0f0f0eL)))
+      .toDF("media_id", "phash")
+    val imgCapped = graft.functions.Multimodal.phashPairs(
+        hashes, maxHamming = 3, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(imgCapped == Set((200L, 201L)), s"image cap: $imgCapped")
+  }
+
   test("star CC production convergence equals the exact check on all shapes") {
     // clique + pair + chain + reversed dup + self-loop: the fixture zoo
     val pairs = Seq(
