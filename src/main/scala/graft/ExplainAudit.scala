@@ -222,9 +222,25 @@ object ExplainAudit {
       "q_pagerank_incr",  // expect the stored pair-shard scan (fixed-
                           //   width rows, no minhash pipeline anywhere)
                           //   feeding the iteration's cached edge join
-      "q_split_leakproof") // expect the CC output left-joined to the doc
+      "q_split_leakproof", // expect the CC output left-joined to the doc
                           //   ids and ONE map-side md5-bucket projection
                           //   — the split itself adds no shuffle
+      "q_hybrid_wand_ann", // the production endpoint in ONE plan: the
+                          //   WAND tf scan carries BOTH partition
+                          //   filters, the ANN side reads stored codes,
+                          //   and every ranking is a TakeOrdered cut
+                          //   (kw top-100, ADC shortlist, exact rerank,
+                          //   fusion top-20)
+      "q_bm25_retire",    // tombstoned serving: the retained dl/tf
+                          //   anti-joins sit under the same pruned
+                          //   scan + scalar attach — no corpus rescan,
+                          //   no index rewrite
+      "q_nb_retire",      // ingest − retire count channels union into
+                          //   ONE bounded (class, bucket) aggregation —
+                          //   the model grid stays C×B broadcast-scale
+      "q_multimodal_audiohash") // expect a pure MapPartitions codec
+                          //   boundary (WAV decode + energy fold) —
+                          //   no hash exchange; blobs never shuffle
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

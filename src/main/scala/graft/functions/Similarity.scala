@@ -578,7 +578,7 @@ object Similarity {
       transform(col(vec), _.cast("double")).as("v"))
     val qv = collectQueryVector(v, queryId)
     val qvLit = array(qv.map(lit): _*)
-    readArtifact(spark, s"$dir/codes")
+    readCodesRetained(spark, dir)
       .where(col("vid") =!= queryId)
       .select(col("vid").as(id),
         when(col("s") === 0, lit(0.0))
@@ -718,7 +718,7 @@ object Similarity {
     val spark = emb.sparkSession
     val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
     pqProbeCodes(readArtifact(spark, s"$dir/codebooks"),
-      readArtifact(spark, s"$dir/codes"),
+      readCodesRetained(spark, dir),
       collectQueryVector(v, queryId), k, idOut = id, excludeId = Some(queryId))
   }
 
@@ -879,7 +879,7 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"pq codes artifact width "), size(col("code")).cast("string"),
         lit(s" does not match codebooks m=$m"))).cast("double"))
-    listJoin(readArtifact(spark, s"$dir/codes"), routed, q, nprobe,
+    listJoin(readCodesRetained(spark, dir), routed, q, nprobe,
         m * sub, maxBroadcastBytes)
       .where(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"), checked.as("adc_dot"))
@@ -971,8 +971,14 @@ object Similarity {
     // convention: a self-describing meta table makes every later
     // consumer (probes, appenders, batch joins) treat queries and new
     // vectors the same way the index was built — a mis-remembered flag
-    // would silently rank against the wrong geometry
-    Seq(("normalized", normalize.toString)).toDF("key", "value")
+    // would silently rank against the wrong geometry. corpus_rows rides
+    // along (one count the build path can afford) so the auto-shortlist
+    // serving reads size themselves with ZERO extra jobs; appends
+    // refresh it, and a count staled by a crash between a codes append
+    // and its meta rewrite only UNDER-sizes a shortlist hint — sizing,
+    // never correctness
+    Seq(("normalized", normalize.toString),
+        ("corpus_rows", v.count().toString)).toDF("key", "value")
       .write.mode("overwrite").parquet(s"$dir/meta")
     invalidateNormalizedMeta(spark, dir)
     val coarse = seededCentroids(v, nlist)
@@ -1004,6 +1010,44 @@ object Similarity {
     (if (graft.streaming.Snapshot.enabled(spark, path))
        graft.streaming.Snapshot.readVersion(spark, path)
      else None).getOrElse(spark.read.parquet(path))
+
+  // ---- vector tombstones (the retire channel on the ANN family) ----
+
+  /** TOMBSTONES for a stored vector index: vectors leaving the corpus
+    * append their ids to `$dir/retire/batch=<id>` under the same
+    * `_SUCCESS` claim discipline as every other maintained family
+    * (replay skips, torn shards heal) — no codes rewrite, no retrain.
+    * Every codes-scanning probe reads through [[readCodesRetained]],
+    * which anti-joins the channel: for SQ8 the served ranking is then
+    * EXACTLY a fresh quantization of the retained corpus (per-vector
+    * scales — no trained state), which `q_sim_sq_retire` pins to the
+    * retained-set oracle; for PQ/IVF-PQ the codebooks and coarse lists
+    * remain trained on the historical corpus (quantizer training is a
+    * statistic, not membership — the FAISS remove_ids contract), and
+    * `SimilaritySpec` pins the probe equal to one over a codes table
+    * with the rows physically removed. Returns false iff the shard
+    * already existed (replay). */
+  def retireFromDir(vecIds: DataFrame, idCol: String, dir: String,
+                    batchId: Long): Boolean = {
+    val shard = s"$dir/retire/batch=$batchId"
+    if (!ShardWrite.claim(vecIds.sparkSession, shard)) return false
+    vecIds.select(col(idCol).as("vid")).distinct().write.parquet(shard)
+    true
+  }
+
+  /** The stored codes minus the tombstone channel — what every probe
+    * scans. A dir with no retire channel reads unchanged (the common
+    * case costs one existence check, no extra plan nodes). */
+  private def readCodesRetained(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    val codes = readArtifact(spark, s"$dir/codes")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retire")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) codes
+    else codes.join(
+      spark.read.schema("vid LONG").parquet(s"$dir/retire").select("vid"),
+      Seq("vid"), "left_anti")
+  }
 
   /** Whether the artifacts at `dir` were built over unit-normalized
     * vectors ([[ivfPqWriteArtifacts]]'s meta marker). Absent meta —
@@ -1111,6 +1155,30 @@ object Similarity {
     // probes keep reading the previous manifest until this commit lands
     if (graft.streaming.Snapshot.enabled(spark, s"$dir/codes"))
       graft.streaming.Snapshot.commit(spark, s"$dir/codes", Seq(""))
+    // refresh the meta corpus_rows sizing hint (when the layout carries
+    // meta at all): read-modify-write of the tiny key/value table. A
+    // crash before this rewrite leaves the hint one batch small — the
+    // auto shortlist then under-sizes slightly until the next append;
+    // sizing, never correctness (scores come from the codes table)
+    val (metaFs, metaP) = canonicalMeta(spark, dir)
+    if (metaFs.exists(metaP)) {
+      import spark.implicits._
+      val appended = v.count()
+      val kept = spark.read.parquet(metaP.toString)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val updated = kept.map {
+        case ("corpus_rows", n) => ("corpus_rows", (n.toLong + appended).toString)
+        case other => other
+      }
+      val withRows =
+        if (updated.exists(_._1 == "corpus_rows")) updated.toSeq
+        else updated.toSeq :+ (("corpus_rows",
+          readArtifact(spark, s"$dir/codes").count().toString))
+      withRows.toDF("key", "value")
+        .write.mode("overwrite").parquet(metaP.toString)
+      invalidateNormalizedMeta(spark, dir)
+      corpusRowsCache.remove(metaP.toString)
+    }
   }
 
   /** The probe half of [[ivfPqWriteArtifacts]]: select `nprobe` lists
@@ -1134,7 +1202,7 @@ object Similarity {
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     require(coarse.nonEmpty, "empty coarse-centroid artifact")
     val probed = probedLists(coarse, qv, nprobe)
-    val codes = readArtifact(spark, s"$dir/codes")
+    val codes = readCodesRetained(spark, dir)
       .where(col("list").isin(probed.map(Integer.valueOf): _*))
     pqProbeCodes(readArtifact(spark, s"$dir/codebooks"), codes.drop("list"),
       qv, k, idOut = id, excludeId = Some(queryId))
@@ -1253,15 +1321,38 @@ object Similarity {
   }
 
   /** [[rerankShortlist]] resolved against a PERSISTED index: corpus
-    * rows from the codes table (a metadata-only parquet count — row
-    * counts live in the footers, no data pages read) and nlist from the
-    * tiny coarse artifact. One count job per serving call; callers on a
-    * hot path that know their corpus size pass `shortlist` explicitly
-    * and skip it. */
+    * rows from the artifact's meta `corpus_rows` row when the writer
+    * recorded one (mtime-memoized like the geometry flag — steady
+    * state is one `getFileStatus`, zero jobs), else a metadata-only
+    * parquet count over the codes table; nlist from the tiny coarse
+    * artifact. Callers on a hot path that know their corpus size pass
+    * `shortlist` explicitly and skip even that. */
   private def storedShortlist(spark: org.apache.spark.sql.SparkSession,
-                              dir: String, nprobe: Int, k: Int): Int =
-    rerankShortlist(readArtifact(spark, s"$dir/codes").count(),
+                              dir: String, nprobe: Int, k: Int): Int = {
+    val rows = metaCorpusRows(spark, dir).getOrElse(
+      readArtifact(spark, s"$dir/codes").count())
+    rerankShortlist(rows,
       readArtifact(spark, s"$dir/coarse").count().toInt, nprobe, k)
+  }
+
+  private val corpusRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Long])]()
+
+  private def metaCorpusRows(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Option[Long] = {
+    val (fs, p) = canonicalMeta(spark, dir)
+    if (!fs.exists(p)) return None
+    val stamp = fs.getFileStatus(p).getModificationTime
+    val cached = corpusRowsCache.get(p.toString)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val rows = spark.read.parquet(p.toString)
+        .where(col("key") === "corpus_rows")
+        .head(1).headOption.map(_.getString(1).toLong)
+      corpusRowsCache.put(p.toString, (stamp, rows))
+      rows
+    }
+  }
 
   /** BATCH IVFADC+R over the persisted index — the query-set twin of
     * [[ivfPqRerankFromDir]]: every query's `shortlist`-candidate ADC

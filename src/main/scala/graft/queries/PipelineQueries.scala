@@ -882,10 +882,23 @@ object PipelineQueries {
     * it checks subtract a retire CHANNEL from maintained shards; the
     * oracle recomputes from the filtered corpus — equality proves
     * ingest − retire ≡ retained-set recompute, end to end. */
-  private def retainedWrap(sql: String): String = {
-    require(sql.startsWith("WITH "), "retainedWrap expects a WITH-led oracle")
-    "WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 10 <> 7),\n" +
-      sql.stripPrefix("WITH ")
+  private def retainedWrap(sql: String): String =
+    retainedWrapOn(sql, "documents", "doc_id")
+
+  /** [[retainedWrap]] for any base table/id (the ANN retire rows filter
+    * `embeddings` on `vec_id`). Handles both `WITH` and `WITH
+    * RECURSIVE` oracles — the shadow CTE slots in after the RECURSIVE
+    * keyword, which DuckDB permits for non-recursive members. */
+  private def retainedWrapOn(sql: String, table: String,
+                             idCol: String): String = {
+    val shadow =
+      s"$table AS (SELECT * FROM main.$table WHERE $idCol % 10 <> 7),\n"
+    if (sql.startsWith("WITH RECURSIVE "))
+      "WITH RECURSIVE " + shadow + sql.stripPrefix("WITH RECURSIVE ")
+    else {
+      require(sql.startsWith("WITH "), "retainedWrap expects a WITH-led oracle")
+      "WITH " + shadow + sql.stripPrefix("WITH ")
+    }
   }
 
   /** q_unigram_retire: full-corpus ingest (three hash-split count-shard
@@ -971,18 +984,38 @@ object PipelineQueries {
     * .readRetainedPairs]] — exact, pair existence is pairwise under
     * the minhash miner). Oracle = the same unrolled-iteration SQL over
     * pairs mined from the retained corpus. */
-  def pageRankRetireQ(s: SparkSession, d: String): DataFrame = {
-    val dir = cachedArtifacts(
+  /** Pair shards + a doc_id tombstone shard — the retained-edge view
+    * both graph retire rows serve from (the `pairShardsDir` sharing
+    * discipline: one maintained edge set, many serves). */
+  private def pairRetireDir(s: SparkSession, d: String): String = {
+    // resolve the source shards BEFORE entering the cache block:
+    // cachedArtifacts is a computeIfAbsent, and a nested computeIfAbsent
+    // on the same map throws "Recursive update"
+    val src = pairShardsDir(s, d)
+    cachedArtifacts(
         s"prret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
       graft.functions.GraphRank.pairsAppend(
-        graft.functions.GraphRank.readPairShards(s, pairShardsDir(s, d)),
+        graft.functions.GraphRank.readPairShards(s, src),
         "doc_a", "doc_b", dir, 0L)
       graft.functions.GraphRank.retireAppend(
         documents(s, d).where(RetiredPred), "doc_id", dir, 0L)
     }
-    graft.functions.GraphRank.pageRankFromPairsRetained(s, dir)
-      .select(col("node").as("doc_id"), col("rank"))
   }
+
+  def pageRankRetireQ(s: SparkSession, d: String): DataFrame =
+    graft.functions.GraphRank.pageRankFromPairsRetained(s, pairRetireDir(s, d))
+      .select(col("node").as("doc_id"), col("rank"))
+
+  /** q_cc_retire: connected components over the SAME retained edge view
+    * — tombstoned docs leave their duplicate clusters at read; the
+    * components equal a re-mine + recompute over the retained corpus
+    * (pairwise pair existence again), so the row shares
+    * `q_dedup_groups`' transitive-closure oracle over the filtered
+    * documents CTE. */
+  def ccRetireQ(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      graft.functions.GraphRank.readRetainedPairs(s, pairRetireDir(s, d)),
+      pairsDistinct = true)
 
   /** q_bm25_retire: the stored postings index with tombstones — the
     * retire channel ([[graft.streaming.PostingsIndex.retireAppend]])
@@ -1482,6 +1515,25 @@ object PipelineQueries {
     Similarity.sqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
 
+  /** q_sim_sq_retire: VECTOR tombstones on the stored SQ8 index —
+    * retired vec_ids (the `% 10 == 7` rule) land in the artifact's
+    * retire channel ([[Similarity.retireFromDir]]) and every probe
+    * anti-joins them out of the codes scan. SQ8 has no trained state
+    * (per-vector scales only), so the tombstoned serve is EXACTLY a
+    * fresh quantization of the retained corpus: the row shares the
+    * sq oracle over the vec_id-filtered embeddings CTE. The PQ/IVF
+    * family's tombstones (codebooks = historical statistics, the
+    * FAISS remove_ids contract) are spec-pinned in `SimilaritySpec`
+    * instead — their retrain-free semantics have no SQL twin. */
+  def simSqRetire(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"sqret:$d:${corpusFingerprint(s, d)}") { dir =>
+      Similarity.sqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", dir)
+      Similarity.retireFromDir(
+        embeddings(s, d).where(col("vec_id") % 10 === 7), "vec_id", dir, 0L)
+    }
+    Similarity.sqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
+  }
+
   /** SQ8 + exact re-rank ([[Similarity.sqRerankTopK]]) — the
     * recall-recovery tail on the densest codes. */
   def simSqRerank(s: SparkSession, d: String): DataFrame =
@@ -1970,6 +2022,7 @@ object PipelineQueries {
     "q_unigram_retire" -> (unigramRetireQ _),
     "q_cms_retire"     -> (cmsRetireQ _),
     "q_pagerank_retire" -> (pageRankRetireQ _),
+    "q_cc_retire"      -> (ccRetireQ _),
     "q_bm25_retire"    -> (bm25RetireQ _),
     "q_dsir_select"    -> (dsirSelectQ _),
     "q_minhash_join"   -> (minhashJoin _),
@@ -2004,6 +2057,7 @@ object PipelineQueries {
     "q_sim_sq"         -> (simSq _),
     "q_embed_rp"       -> (embedRp _),
     "q_sim_sq_probe"   -> (simSqProbe _),
+    "q_sim_sq_retire" -> (simSqRetire _),
     "q_sim_sq_rerank"  -> (simSqRerank _),
     "q_sim_pq_probe"   -> (simPqProbe _),
     "q_sim_ivfpq"      -> (simIvfPq _),
@@ -2734,6 +2788,8 @@ object PipelineQueries {
     "q_pagerank_retire" -> retainedWrap(
       graft.functions.GraphRank.pageRankOracleSql(
         Dedup.minhashPairsOracleSql())),
+    // the same retained edge view through the CC serve
+    "q_cc_retire" -> retainedWrap(Dedup.dedupGroupsOracleSql()),
     // the hub-serving cut over the same unrolled-iteration oracle; the
     // rounded sort key mirrors the Scala side (clique ranks are exactly
     // equal — doc_id, not float noise, must break the tie)
@@ -2972,6 +3028,10 @@ object PipelineQueries {
     "q_embed_rp" -> Similarity.randomProjectOracleSql(),
     // the stored int8 codes are the identical floor values — same oracle
     "q_sim_sq_probe" -> Similarity.sqOracleSql(0L, 10),
+    // vector tombstones: no trained state in SQ8, so the anti-joined
+    // serve equals a fresh quantization of the retained embeddings
+    "q_sim_sq_retire" -> retainedWrapOn(
+      Similarity.sqOracleSql(0L, 10), "embeddings", "vec_id"),
     "q_sim_sq_rerank" -> Similarity.sqRerankOracleSql(0L, 10, shortlist = 50),
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10, m = 4, ks = 8),
     "q_sim_ivfpq" -> Similarity.ivfPqOracleSql(0L, 10, m = 4, ks = 8),

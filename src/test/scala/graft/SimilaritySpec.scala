@@ -554,6 +554,70 @@ class SimilaritySpec extends SparkSpec {
     assert(rr == exact, s"SQ8 rerank-with-no-pruning diverged:\n$rr\nvs\n$exact")
   }
 
+  test("vector tombstones: probes exclude retired ids; PQ serve equals a physically-filtered codes table") {
+    val rnd = new scala.util.Random(91)
+    val dim = 32
+    val emb = (0L until 200L)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_retire").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      nlist = 16, m = 4, ks = 8, iters = 2, dim = dim)
+    val retired = (0L until 200L).filter(_ % 10 == 7)
+    assert(Similarity.retireFromDir(
+      retired.toDF("vec_id"), "vec_id", dir, 0L))
+    // replay-idempotent
+    assert(!Similarity.retireFromDir(
+      retired.toDF("vec_id"), "vec_id", dir, 0L))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = ids(Similarity.ivfPqProbeFromDir(
+      emb, "vec_id", "embedding", dir, 0L, 10, nprobe = 16))
+    assert(served.nonEmpty && !served.exists(r => retired.contains(r._1)))
+    // the FAISS remove_ids contract: codebooks/coarse stay trained on
+    // the historical corpus, membership changes — so the tombstoned
+    // serve must equal a probe over a codes table with the rows
+    // PHYSICALLY removed under the same quantizer artifacts
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_retire2").toString
+    Seq("codebooks", "coarse", "meta").foreach { t =>
+      spark.read.parquet(s"$dir/$t").write.parquet(s"$dir2/$t") }
+    spark.read.parquet(s"$dir/codes")
+      .where(!col("vid").isin(retired.map(java.lang.Long.valueOf): _*))
+      .write.parquet(s"$dir2/codes")
+    assert(served == ids(Similarity.ivfPqProbeFromDir(
+      emb, "vec_id", "embedding", dir2, 0L, 10, nprobe = 16)))
+    // SQ8 probes read through the same channel
+    val sdir = java.nio.file.Files.createTempDirectory("sq_retire").toString
+    Similarity.sqWriteArtifacts(emb, "vec_id", "embedding", sdir)
+    Similarity.retireFromDir(retired.toDF("vec_id"), "vec_id", sdir, 0L)
+    val sqServed = Similarity.sqProbeFromDir(
+      emb, "vec_id", "embedding", sdir, 0L, 10)
+      .collect().map(_.getLong(0))
+    assert(sqServed.nonEmpty && !sqServed.exists(retired.contains))
+  }
+
+  test("meta corpus_rows: recorded at write, refreshed by appends, serves the auto shortlist") {
+    val rnd = new scala.util.Random(17)
+    val dim = 32
+    def vecs(from: Long, until: Long) = (from until until)
+      .map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val emb = vecs(0L, 150L)
+    val dir = java.nio.file.Files.createTempDirectory("meta_rows").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      nlist = 16, m = 4, ks = 8, iters = 2, dim = dim)
+    def metaRows: Long = spark.read.parquet(s"$dir/meta")
+      .where(col("key") === "corpus_rows").head().getString(1).toLong
+    assert(metaRows == 150L)
+    // the appender keeps the sizing hint current
+    Similarity.pqAppendToDir(vecs(150L, 200L), "vec_id", "embedding", dir)
+    assert(metaRows == 200L)
+    assert(spark.read.parquet(s"$dir/codes").count() == 200L)
+    // the geometry flag survived the meta rewrite
+    assert(spark.read.parquet(s"$dir/meta")
+      .where(col("key") === "normalized").head().getString(1) == "false")
+  }
+
   test("bucketPairs only emits pairs above the cosine floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val pairs = Similarity.bucketPairs(emb, "vec_id", "embedding", minCos = 0.5)
