@@ -137,19 +137,22 @@ object Bench {
           // name the record by the round it RECORDS (r13 verdict item
           // 8 — the old max+1 rule mislabeled the driver's CLOSING
           // window, which runs minutes after that round's CORRECTNESS
-          // file lands): a FRESH newest CORRECTNESS_r{N} means this
-          // bench is round N's closing record; a stale one means a new
-          // round is underway and this is a mid-round N+1 run
+          // file lands). Deterministic signal, no mtimes (a git
+          // checkout resets those): the driver writes BENCH_r{N}.json
+          // strictly AFTER round N's closing bench, so for
+          // N = max CORRECTNESS round, an existing BENCH_r{N}.json
+          // means round N is fully closed (this is a mid-round N+1
+          // run); absent means this IS round N's closing window
           val re = "CORRECTNESS_r(\\d+)\\.json".r
-          val prev = Option(repo.listFiles()).toSeq.flatten
-            .flatMap(f => re.findFirstMatchIn(f.getName)
-              .map(m => (m.group(1).toInt, f.lastModified())))
-          if (prev.isEmpty) 1
-          else {
-            val (maxR, mtime) = prev.maxBy(_._1)
-            val freshMs = 3L * 60 * 60 * 1000
-            if (System.currentTimeMillis() - mtime < freshMs) maxR
-            else maxR + 1
+          val maxR = Option(repo.listFiles()).toSeq.flatten
+            .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+            .maxOption
+          maxR match {
+            case None => 1
+            case Some(n) =>
+              if (new java.io.File(repo, f"BENCH_r$n%02d.json").isFile)
+                n + 1
+              else n
           }
         }
       val docs = new java.io.File(repo, "docs")

@@ -42,8 +42,143 @@ object ShardWrite {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(
+    else empty(spark, schema)
+  }
+
+  private def empty(spark: SparkSession,
+                    schema: String): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(schema))
+
+  // ---- compaction for the additive batch-shard channels -------------
+  //
+  // The count-shard families (unigram LM, DSIR, CMS — ingest AND
+  // retire channels) accumulate one `batch=<id>` dir per append; at a
+  // batch per hour that is thousands of dirs a year, each a listing +
+  // footer read at serve time. [[compactShards]] folds them into one
+  // merged dir named `batch=m<stamp>u<maxBatch>` — the postings-index
+  // m-shard WATERMARK discipline: the name carries the highest batch id
+  // the merged shard (transitively) contains, and
+  //
+  //  * [[claimBatch]] SKIPS a replayed append at or below the watermark
+  //    (its rows live in the m-shard now; re-appending would double
+  //    count an additive table), and
+  //  * [[readShards]] reads m-shards plus only the plain batch dirs
+  //    ABOVE the watermark — so the crash window between the merged
+  //    commit and the consumed-dir deletes can never double-count at
+  //    read; the next compaction's recovery preamble deletes the
+  //    leftovers.
+  //
+  // The merged shard is written to a `_`-prefixed staging dir (invisible
+  // to every reader) and RENAMED into place — atomic on local/HDFS
+  // filesystems — so readers observe either the old shard set or the
+  // complete merged dir, never a torn one.
+
+  private val MergedShardRe = "m[0-9a-f]+u([0-9]+)".r
+
+  private def fsOf(spark: SparkSession, table: String) = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def shardDirs(spark: SparkSession, table: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val (fs, p) = fsOf(spark, table)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+  }
+
+  private def shardId(name: String): Option[Either[Long, Long]] = {
+    // Left(plainId) | Right(mergedWatermark)
+    val v = name.stripPrefix("batch=")
+    MergedShardRe.findFirstMatchIn(v) match {
+      case Some(m) => Some(Right(m.group(1).toLong))
+      case None => v.toLongOption.map(Left(_))
+    }
+  }
+
+  /** Highest batch id folded into a COMPLETE merged shard of `table`
+    * (None when never compacted). */
+  def watermark(spark: SparkSession, table: String): Option[Long] = {
+    val (fs, _) = fsOf(spark, table)
+    shardDirs(spark, table)
+      .filter(st => fs.exists(
+        new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => shardId(st.getPath.getName))
+      .collect { case Right(w) => w }.maxOption
+  }
+
+  /** [[claim]] for the batch appenders of a compactable additive
+    * channel: None when the batch must be SKIPPED — its shard already
+    * complete (plain replay) or its id at/below the merged watermark
+    * (replay of a compaction-consumed batch) — else the shard path to
+    * write. */
+  def claimBatch(spark: SparkSession, table: String,
+                 batchId: Long): Option[String] = {
+    if (watermark(spark, table).exists(batchId <= _)) return None
+    val shard = s"$table/batch=$batchId"
+    if (claim(spark, shard)) Some(shard) else None
+  }
+
+  /** The serving read of a compactable channel: complete m-shards plus
+    * complete plain shards ABOVE the watermark (the consumed-leftover
+    * exclusion that makes the compaction crash window double-count
+    * free). Missing table → zero rows of the schema. */
+  def readShards(spark: SparkSession, table: String,
+                 schema: String): org.apache.spark.sql.DataFrame = {
+    val (fs, _) = fsOf(spark, table)
+    val complete = shardDirs(spark, table).filter(st => fs.exists(
+      new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+    val wm = complete.flatMap(st => shardId(st.getPath.getName))
+      .collect { case Right(w) => w }.maxOption
+    val live = complete.filter(st => shardId(st.getPath.getName) match {
+      case Some(Left(id)) => wm.forall(id > _)
+      case Some(Right(_)) => true
+      case None => true // foreign naming: keep, never silently drop data
+    })
+    if (live.isEmpty) empty(spark, schema)
+    else spark.read.schema(schema)
+      .parquet(live.map(_.getPath.toString): _*)
+  }
+
+  /** Fold `table`'s live shards into ONE merged m-shard. `merge` is the
+    * channel's re-aggregation (count sums; identity for doc-disjoint
+    * rows; distinct for id sets). Returns (shards in, shards out);
+    * ≤ 1 live shard is a no-op. Loss-proof order: recovery preamble
+    * (stale staging + consumed leftovers deleted) → merged rows to the
+    * hidden staging dir → atomic rename into place → consumed dirs
+    * deleted. */
+  def compactShards(spark: SparkSession, table: String, schema: String)(
+      merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Int, Int) = {
+    val (fs, root) = fsOf(spark, table)
+    val staging = new org.apache.hadoop.fs.Path(root, "_compacting")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    // recovery preamble: a crash after a previous rename left consumed
+    // plain dirs behind — the watermark proves their content is inside
+    // the m-shard, so deleting them is safe (readers already skip them)
+    val wm = watermark(spark, table)
+    shardDirs(spark, table).foreach { st =>
+      shardId(st.getPath.getName) match {
+        case Some(Left(id)) if wm.exists(id <= _) => fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    val complete = shardDirs(spark, table).filter(st => fs.exists(
+      new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+    if (complete.length <= 1) return (complete.length, complete.length)
+    val maxB = complete.flatMap(st => shardId(st.getPath.getName))
+      .map { case Left(id) => id; case Right(w) => w }.max
+    merge(spark.read.schema(schema)
+        .parquet(complete.map(_.getPath.toString): _*))
+      .write.parquet(staging.toString)
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val target = new org.apache.hadoop.fs.Path(root, s"batch=m${stamp}u$maxB")
+    require(fs.rename(staging, target),
+      s"compaction rename failed: $staging -> $target")
+    complete.foreach(st => fs.delete(st.getPath, true))
+    (complete.length, shardDirs(spark, table).length)
   }
 }

@@ -446,7 +446,7 @@ object TextAnalysis {
   def unigramCountsAppend(docs: org.apache.spark.sql.DataFrame, id: String,
                           text: String, dir: String,
                           batchId: Long): Boolean =
-    unigramCountsWrite(docs, id, text, s"$dir/counts/batch=$batchId")
+    unigramCountsWrite(docs, id, text, s"$dir/counts", batchId)
 
   /** TOMBSTONES for the unigram-LM count shards — the retire channel:
     * documents leaving the corpus (takedowns, dedup retro-drops,
@@ -461,17 +461,35 @@ object TextAnalysis {
   def unigramCountsRetire(docs: org.apache.spark.sql.DataFrame, id: String,
                           text: String, dir: String,
                           batchId: Long): Boolean =
-    unigramCountsWrite(docs, id, text, s"$dir/retire/batch=$batchId")
+    unigramCountsWrite(docs, id, text, s"$dir/retire", batchId)
 
   private def unigramCountsWrite(docs: org.apache.spark.sql.DataFrame,
                                  id: String, text: String,
-                                 shard: String): Boolean = {
-    import org.apache.spark.sql.functions.{col, count}
-    if (!ShardWrite.claim(docs.sparkSession, shard)) return false
-    explodedTerms(docs, id, text)
-      .groupBy("term").agg(count(lit(1)).as("tc"))
-      .write.parquet(shard)
-    true
+                                 table: String, batchId: Long): Boolean =
+    ShardWrite.claimBatch(docs.sparkSession, table, batchId) match {
+      case None => false
+      case Some(shard) =>
+        import org.apache.spark.sql.functions.{col, count}
+        explodedTerms(docs, id, text)
+          .groupBy("term").agg(count(lit(1)).as("tc"))
+          .write.parquet(shard)
+        true
+    }
+
+  /** MAINTENANCE for the unigram count channels — the postings m-shard
+    * watermark discipline on the additive tables: both channels fold to
+    * one merged shard each (term counts re-SUM), replays of consumed
+    * batches skip at the watermark, and the crash window between the
+    * merged commit and the consumed-dir deletes is double-count-free by
+    * the reader's above-watermark rule ([[ShardWrite.compactShards]]).
+    * Scores are bit-stable across the rewrite (integer sums). */
+  def compactUnigramCounts(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): ((Int, Int), (Int, Int)) = {
+    import org.apache.spark.sql.functions.{col, sum}
+    def fold(table: String) =
+      ShardWrite.compactShards(spark, table, "term STRING, tc BIGINT")(
+        _.groupBy("term").agg(sum(col("tc")).as("tc")))
+    (fold(s"$dir/counts"), fold(s"$dir/retire"))
   }
 
   /** Score documents against the ACCUMULATED count shards: freq sums
@@ -487,12 +505,14 @@ object TextAnalysis {
     // explicit schema: an all-empty shard set (quiet-day batches) must
     // score zero docs, not fail schema inference. The retire channel
     // ([[unigramCountsRetire]]) subtracts — vanished terms net to tc=0
-    // and are dropped (a zero-count term must not reach the log)
-    val freq = spark.read.schema("term STRING, tc BIGINT")
-      .parquet(s"$dir/counts")
+    // and are dropped (a zero-count term must not reach the log).
+    // Both channels read through the watermark rule (m-shards + plain
+    // shards above them), so a mid-compaction crash never double-counts
+    val freq = ShardWrite
+      .readShards(spark, s"$dir/counts", "term STRING, tc BIGINT")
       .select(col("term"), col("tc"))
       .unionByName(ShardWrite
-        .readOrEmpty(spark, s"$dir/retire", "term STRING, tc BIGINT")
+        .readShards(spark, s"$dir/retire", "term STRING, tc BIGINT")
         .select(col("term"), (-col("tc")).as("tc")))
       .groupBy("term").agg(sum(col("tc")).as("tc"))
       .where(col("tc") > 0)
@@ -643,7 +663,7 @@ object TextAnalysis {
                        text: String, isTarget: Column, dir: String,
                        batchId: Long, buckets: Int = 1024): Boolean =
     dsirCountsWrite(docs, id, text, isTarget,
-      s"$dir/counts/batch=$batchId", buckets)
+      s"$dir/counts", batchId, buckets)
 
   /** TOMBSTONES for the DSIR count shards — the
     * [[unigramCountsRetire]] retire channel on the importance-weight
@@ -655,20 +675,34 @@ object TextAnalysis {
                        text: String, isTarget: Column, dir: String,
                        batchId: Long, buckets: Int = 1024): Boolean =
     dsirCountsWrite(docs, id, text, isTarget,
-      s"$dir/retire/batch=$batchId", buckets)
+      s"$dir/retire", batchId, buckets)
 
   private def dsirCountsWrite(docs: org.apache.spark.sql.DataFrame,
                               id: String, text: String, isTarget: Column,
-                              shard: String, buckets: Int): Boolean = {
-    import org.apache.spark.sql.functions.{col, count}
-    if (!ShardWrite.claim(docs.sparkSession, shard)) return false
-    dsirFeatures(docs.withColumn("__is_t", isTarget), id, text, buckets,
-        carry = Seq("__is_t"))
-      .groupBy("b")
-      .agg(count(when(col("__is_t"), lit(1))).as("ct"),
-        count(when(!col("__is_t"), lit(1))).as("cs"))
-      .write.parquet(shard)
-    true
+                              table: String, batchId: Long,
+                              buckets: Int): Boolean =
+    ShardWrite.claimBatch(docs.sparkSession, table, batchId) match {
+      case None => false
+      case Some(shard) =>
+        import org.apache.spark.sql.functions.{col, count}
+        dsirFeatures(docs.withColumn("__is_t", isTarget), id, text, buckets,
+            carry = Seq("__is_t"))
+          .groupBy("b")
+          .agg(count(when(col("__is_t"), lit(1))).as("ct"),
+            count(when(!col("__is_t"), lit(1))).as("cs"))
+          .write.parquet(shard)
+        true
+    }
+
+  /** [[compactUnigramCounts]] on the DSIR channels: (b, ct, cs) rows
+    * re-sum per bucket, both channels, same watermark discipline. */
+  def compactDsirCounts(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): ((Int, Int), (Int, Int)) = {
+    import org.apache.spark.sql.functions.{col, sum}
+    def fold(table: String) =
+      ShardWrite.compactShards(spark, table, "b BIGINT, ct BIGINT, cs BIGINT")(
+        _.groupBy("b").agg(sum(col("ct")).as("ct"), sum(col("cs")).as("cs")))
+    (fold(s"$dir/counts"), fold(s"$dir/retire"))
   }
 
   /** Derive the complete-residue log-ratio model from the accumulated
@@ -680,10 +714,10 @@ object TextAnalysis {
                           dir: String, buckets: Int = 1024,
                           alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, sum}
-    val c = spark.read.parquet(s"$dir/counts")
-      .select(col("b"), col("ct"), col("cs"))
+    val c = ShardWrite
+      .readShards(spark, s"$dir/counts", "b BIGINT, ct BIGINT, cs BIGINT")
       .unionByName(ShardWrite
-        .readOrEmpty(spark, s"$dir/retire", "b BIGINT, ct BIGINT, cs BIGINT")
+        .readShards(spark, s"$dir/retire", "b BIGINT, ct BIGINT, cs BIGINT")
         .select(col("b"), (-col("ct")).as("ct"), (-col("cs")).as("cs")))
       .groupBy("b").agg(sum(col("ct")).as("ct"), sum(col("cs")).as("cs"))
     val tot = c.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ShardWrite, Sketches, TextAnalysis => TA}
+
+/** The additive count-shard channels under the m-shard watermark
+  * discipline ([[ShardWrite.compactShards]]): folding is bit-stable,
+  * replays of consumed batches skip, and the crash window between the
+  * merged commit and the consumed-dir deletes never double-counts at
+  * read (the above-watermark rule). The NB family is deliberately NOT
+  * compactable — its `_pairs` markers carry per-batch identity.
+  */
+class CountShardCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma alpha"),
+    (2L, "beta beta delta"),
+    (3L, "gamma epsilon zeta"),
+    (4L, "alpha zeta zeta eta"),
+    (7L, "omega omega theta alpha")).toDF("doc_id", "text")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("unigram channels: compaction folds both, scores bit-stable, consumed replay skips") {
+    val dir = tmp("uni-compact")
+    for (b <- 0L until 3L)
+      assert(TA.unigramCountsAppend(docs.where($"doc_id" % 3 === b),
+        "doc_id", "text", dir, b))
+    assert(TA.unigramCountsRetire(docs.where($"doc_id" === 7L),
+      "doc_id", "text", dir, 0L))
+    val retained = docs.where($"doc_id" =!= 7L)
+    def score = TA.unigramXentFromCounts(retained, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = score
+    val ((cIn, cOut), (rIn, rOut)) = TA.compactUnigramCounts(spark, dir)
+    assert(cIn == 3 && cOut == 1, s"counts $cIn->$cOut")
+    assert(rIn <= 1 && rOut <= 1) // one retire shard: no-op
+    assert(score == before, "scores drifted across the compaction")
+    // a replay of a consumed batch must SKIP (watermark), not re-append
+    assert(!TA.unigramCountsAppend(docs.where($"doc_id" % 3 === 1L),
+      "doc_id", "text", dir, 1L),
+      "consumed batch re-appended below the watermark")
+    assert(score == before)
+    // a FRESH batch above the watermark still lands and counts
+    assert(TA.unigramCountsAppend(
+      Seq((8L, "alpha alpha")).toDF("doc_id", "text"), "doc_id", "text",
+      dir, 3L))
+    assert(score != before, "post-compaction appends were lost")
+    // re-compaction folds the m-shard with the new batch
+    val ((c2In, c2Out), _) = TA.compactUnigramCounts(spark, dir)
+    assert(c2In == 2 && c2Out == 1)
+  }
+
+  test("crash between merged commit and consumed deletes never double-counts at read") {
+    val dir = tmp("uni-crash")
+    for (b <- 0L until 2L)
+      assert(TA.unigramCountsAppend(docs.where($"doc_id" % 2 === b),
+        "doc_id", "text", dir, b))
+    def freq = ShardWrite
+      .readShards(spark, s"$dir/counts", "term STRING, tc BIGINT")
+      .groupBy("term").agg(sum($"tc").as("tc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = freq
+    TA.compactUnigramCounts(spark, dir)
+    // simulate the crash: re-create a consumed plain shard NEXT TO the
+    // committed m-shard (exactly what a death between the rename and
+    // the deletes leaves behind)
+    assert(TA.unigramCountsAppend(docs.where($"doc_id" % 2 === 0L),
+      "doc_id", "text", s"${dir}2", 0L)) // build the shard content...
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"${dir}2/counts/batch=0"),
+      new org.apache.hadoop.fs.Path(s"$dir/counts/batch=0")))
+    // the reader's above-watermark rule makes the leftover invisible
+    assert(freq == before, "consumed leftover double-counted at read")
+    // and the next compaction's recovery preamble deletes it
+    TA.compactUnigramCounts(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/counts/batch=0")))
+    assert(freq == before)
+  }
+
+  test("dsir and cms channels fold under the same discipline") {
+    val dir = tmp("dsir-compact")
+    for (b <- 0L until 3L)
+      assert(TA.dsirCountsAppend(docs.where($"doc_id" % 3 === b),
+        "doc_id", "text", $"doc_id" % 2 === 0, dir, b))
+    def model = TA.dsirModelFromCounts(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val before = model
+    val ((dIn, dOut), _) = TA.compactDsirCounts(spark, dir)
+    assert(dIn == 3 && dOut == 1)
+    assert(model == before)
+
+    val cdir = tmp("cms-compact")
+    val items = docs.select($"doc_id", explode(split($"text", " ")).as("v"))
+    for (b <- 0L until 3L)
+      assert(Sketches.cmsAppend(items.where($"doc_id" % 3 === b), "v", cdir, b))
+    assert(Sketches.cmsRetire(items.where($"doc_id" === 7L), "v", cdir, 0L))
+    def cells = Sketches.cmsFromShards(spark, cdir).where($"n" =!= 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val cBefore = cells
+    val ((in1, out1), _) = Sketches.compactCmsShards(spark, cdir)
+    assert(in1 == 3 && out1 == 1)
+    assert(cells == cBefore, "CMS cells drifted across the compaction")
+  }
+}
