@@ -108,13 +108,29 @@ object GraphRank {
     * pair set by a hash of the pair. Returns false iff the shard
     * already existed (replay). */
   def pairsAppend(pairs: DataFrame, aCol: String, bCol: String,
-                  dir: String, batchId: Long): Boolean = {
-    val shard = s"$dir/pairs/batch=$batchId"
-    if (!ShardWrite.claim(pairs.sparkSession, shard)) return false
-    pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
-      .write.parquet(shard)
-    true
-  }
+                  dir: String, batchId: Long): Boolean =
+    ShardWrite.claimBatch(pairs.sparkSession, s"$dir/pairs", batchId) match {
+      case None => false
+      case Some(shard) =>
+        pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))
+          .write.parquet(shard)
+        true
+    }
+
+  /** MAINTENANCE for the graph channels — the count-shard compaction
+    * discipline ([[ShardWrite.compactShards]]) on the edge list and the
+    * tombstone set: pairs fold by plain union (the disjoint-pair caller
+    * contract; a DISTINCT would mask a contract violation, so it is
+    * deliberately not applied), tombstones by distinct (set semantics).
+    * Replays of consumed batches skip at the watermark; reads are
+    * double-count-free across the crash window by the above-watermark
+    * rule. */
+  def compactPairShards(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): ((Int, Int), (Int, Int)) =
+    (ShardWrite.compactShards(spark, s"$dir/pairs",
+        "doc_a LONG, doc_b LONG")(identity),
+      ShardWrite.compactShards(spark, s"$dir/retire",
+        "doc_id LONG")(_.distinct()))
 
   /** Rank derived at read over the accumulated pair shards — the
     * serving half of [[pairsAppend]]: one pruned scan of the fixed-width
@@ -137,7 +153,7 @@ object GraphRank {
     * all-empty dir would throw instead of returning zero edges. */
   def readPairShards(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame =
-    spark.read.schema("doc_a LONG, doc_b LONG").parquet(s"$dir/pairs")
+    ShardWrite.readShards(spark, s"$dir/pairs", "doc_a LONG, doc_b LONG")
 
   /** TOMBSTONES for the maintained edge set — the retire channel on
     * the graph family: `$dir/retire/batch=<id>` holds the doc_ids
@@ -151,19 +167,19 @@ object GraphRank {
     * retained-set oracle. Returns false iff the shard already existed
     * (replay). */
   def retireAppend(docIds: DataFrame, idCol: String, dir: String,
-                   batchId: Long): Boolean = {
-    val shard = s"$dir/retire/batch=$batchId"
-    if (!ShardWrite.claim(docIds.sparkSession, shard)) return false
-    docIds.select(col(idCol).as("doc_id")).distinct().write.parquet(shard)
-    true
-  }
+                   batchId: Long): Boolean =
+    ShardWrite.claimBatch(docIds.sparkSession, s"$dir/retire", batchId) match {
+      case None => false
+      case Some(shard) =>
+        docIds.select(col(idCol).as("doc_id")).distinct().write.parquet(shard)
+        true
+    }
 
   /** The accumulated tombstone set (empty when no retire shard was
     * ever written). */
   def retiredDocs(spark: org.apache.spark.sql.SparkSession,
                   dir: String): DataFrame =
-    ShardWrite.readOrEmpty(spark, s"$dir/retire", "doc_id LONG")
-      .select(col("doc_id"))
+    ShardWrite.readShards(spark, s"$dir/retire", "doc_id LONG")
 
   /** [[readPairShards]] minus every edge touching a tombstoned doc —
     * the retained-set edge view both graph serves (PageRank, CC) read.

@@ -1028,12 +1028,19 @@ object Similarity {
     * with the rows physically removed. Returns false iff the shard
     * already existed (replay). */
   def retireFromDir(vecIds: DataFrame, idCol: String, dir: String,
-                    batchId: Long): Boolean = {
-    val shard = s"$dir/retire/batch=$batchId"
-    if (!ShardWrite.claim(vecIds.sparkSession, shard)) return false
-    vecIds.select(col(idCol).as("vid")).distinct().write.parquet(shard)
-    true
-  }
+                    batchId: Long): Boolean =
+    ShardWrite.claimBatch(vecIds.sparkSession, s"$dir/retire", batchId) match {
+      case None => false
+      case Some(shard) =>
+        vecIds.select(col(idCol).as("vid")).distinct().write.parquet(shard)
+        true
+    }
+
+  /** Fold the vector tombstone channel into one distinct m-shard —
+    * the [[ShardWrite.compactShards]] discipline. */
+  def compactRetiredVecs(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): (Int, Int) =
+    ShardWrite.compactShards(spark, s"$dir/retire", "vid LONG")(_.distinct())
 
   /** The stored codes minus the tombstone channel — what every probe
     * scans. A dir with no retire channel reads unchanged (the common
@@ -1045,7 +1052,7 @@ object Similarity {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) codes
     else codes.join(
-      spark.read.schema("vid LONG").parquet(s"$dir/retire").select("vid"),
+      ShardWrite.readShards(spark, s"$dir/retire", "vid LONG"),
       Seq("vid"), "left_anti")
   }
 

@@ -665,19 +665,27 @@ object PostingsIndex {
     * channel is what makes retires immediate without it. Returns
     * false iff the shard already existed (replay). */
   def retireAppend(docIds: DataFrame, retirePath: String,
-                   batchId: Long): Boolean = {
-    val shard = s"$retirePath/batch=$batchId"
-    if (!graft.functions.ShardWrite.claim(docIds.sparkSession, shard))
-      return false
-    docIds.select(col("doc_id")).distinct().write.parquet(shard)
-    true
-  }
+                   batchId: Long): Boolean =
+    graft.functions.ShardWrite
+      .claimBatch(docIds.sparkSession, retirePath, batchId) match {
+      case None => false
+      case Some(shard) =>
+        docIds.select(col("doc_id")).distinct().write.parquet(shard)
+        true
+    }
 
   /** The accumulated tombstone set (zero rows when the channel was
-    * never written). */
+    * never written); reads through the compaction watermark rule. */
   def retiredDocs(spark: SparkSession, retirePath: String): DataFrame =
-    graft.functions.ShardWrite.readOrEmpty(spark, retirePath, "doc_id LONG")
-      .select(col("doc_id"))
+    graft.functions.ShardWrite.readShards(spark, retirePath, "doc_id LONG")
+
+  /** Fold the tombstone channel's batch shards into one distinct
+    * m-shard — the [[graft.functions.ShardWrite.compactShards]]
+    * discipline (set semantics, so distinct is the exact merge). */
+  def compactRetire(spark: SparkSession,
+                    retirePath: String): (Int, Int) =
+    graft.functions.ShardWrite.compactShards(spark, retirePath,
+      "doc_id LONG")(_.distinct())
 
   /** BM25 served from the STORED layout with REAL pruning: the query
     * terms' buckets are computed on the driver ([[tokenBucketLocal]],

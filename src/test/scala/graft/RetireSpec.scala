@@ -151,6 +151,40 @@ class RetireSpec extends SparkSpec {
     assert(cut.nonEmpty, "retained-set df cut dropped a term it should keep")
   }
 
+  test("pair + tombstone channels compact under the watermark discipline") {
+    val dir = tmp("pairs-compact")
+    val pairSets = Seq(Seq((1L, 2L)), Seq((2L, 3L)), Seq((3L, 7L), (7L, 4L)))
+    pairSets.zipWithIndex.foreach { case (ps, b) =>
+      assert(GraphRank.pairsAppend(ps.toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b", dir, b.toLong))
+    }
+    assert(GraphRank.retireAppend(retired, "doc_id", dir, 0L))
+    assert(GraphRank.retireAppend(
+      docs.where($"doc_id" === 4L), "doc_id", dir, 1L))
+    def kept = GraphRank.readRetainedPairs(spark, dir)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    val before = kept
+    assert(before == Set(Set(1L, 2L), Set(2L, 3L)))
+    val ((pIn, pOut), (rIn, rOut)) = GraphRank.compactPairShards(spark, dir)
+    assert(pIn == 3 && pOut == 1 && rIn == 2 && rOut == 1)
+    assert(kept == before, "retained pairs drifted across compaction")
+    // consumed replays skip on BOTH channels
+    assert(!GraphRank.pairsAppend(pairSets(1).toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b", dir, 1L))
+    assert(!GraphRank.retireAppend(retired, "doc_id", dir, 0L))
+    assert(kept == before)
+    // the postings/ANN tombstone channels share the machinery
+    val rp = tmp("post-retire")
+    assert(PostingsIndex.retireAppend(retired.select($"doc_id"), rp, 0L))
+    assert(PostingsIndex.retireAppend(
+      docs.where($"doc_id" === 4L).select($"doc_id"), rp, 1L))
+    val rBefore = PostingsIndex.retiredDocs(spark, rp)
+      .collect().map(_.getLong(0)).toSet
+    assert(PostingsIndex.compactRetire(spark, rp) == ((2, 1)))
+    assert(PostingsIndex.retiredDocs(spark, rp)
+      .collect().map(_.getLong(0)).toSet == rBefore)
+  }
+
   test("readOrEmpty: a never-written channel reads as zero rows of the declared schema") {
     val df = ShardWrite.readOrEmpty(spark, "/tmp/graft-no-such-dir-xyz",
       "doc_id LONG")
