@@ -185,6 +185,47 @@ class RetireSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == rBefore)
   }
 
+  test("streaming retire sink: one event stream fans into the channels; restart replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("stream-retire")
+    val ckpt = tmp("stream-retire-ckpt")
+    // ingest baseline: the unigram channel over the full corpus, the
+    // pair channel over a planted edge set
+    assert(TA.unigramCountsAppend(docs, "doc_id", "text", s"$dir/uni", 0L))
+    assert(GraphRank.pairsAppend(
+      Seq((1L, 2L), (3L, 7L)).toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b", s"$dir/graph", 0L))
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF.toDF("doc_id", "text")
+    def sink() = graft.streaming.RetireStream.startRetireSink(
+        events, ckpt, trigger = Trigger.AvailableNow())(
+      (b, id) => TA.unigramCountsRetire(b, "doc_id", "text", s"$dir/uni", id),
+      (b, id) => GraphRank.retireAppend(b, "doc_id", s"$dir/graph", id))
+    mem.addData((7L, "omega omega theta alpha"))
+    val q = sink(); q.awaitTermination()
+    def score = TA.unigramXentFromCounts(retained, "doc_id", "text",
+        s"$dir/uni")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val afterRetire = score
+    // the subtraction equals a fresh count over the retained set
+    val fresh = tmp("stream-retire-fresh")
+    assert(TA.unigramCountsAppend(retained, "doc_id", "text", fresh, 0L))
+    assert(afterRetire == TA.unigramXentFromCounts(
+        retained, "doc_id", "text", fresh)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet)
+    // the edge touching doc 7 dropped
+    assert(GraphRank.readRetainedPairs(spark, s"$dir/graph")
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet ==
+      Set(Set(1L, 2L)))
+    // RESTART from the same checkpoint: a re-delivered batch re-runs the
+    // same batch id into every channel — each skips (claim discipline),
+    // nothing double-subtracts
+    val q2 = sink(); q2.awaitTermination()
+    assert(score == afterRetire, "restart replay double-subtracted")
+  }
+
   test("readOrEmpty: a never-written channel reads as zero rows of the declared schema") {
     val df = ShardWrite.readOrEmpty(spark, "/tmp/graft-no-such-dir-xyz",
       "doc_id LONG")
