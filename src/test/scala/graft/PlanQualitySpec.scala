@@ -353,6 +353,16 @@ class PlanQualitySpec extends SparkSpec {
       s"q_hybrid_wand_ann lost the dblock partition filter:\n${hwa.take(900)}")
     assert("TakeOrderedAndProject".r.findAllIn(hwa).size >= 4,
       s"q_hybrid_wand_ann lost its serving cuts:\n${hwa.take(900)}")
+    // q_bm25_retire: the tombstone anti-joins must NOT cost the stored
+    // scan its token-bucket pruning — the retained serve stays a pruned
+    // read plus small joins, never a full index rescan
+    val br = physical("q_bm25_retire")
+    assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(br).isDefined,
+      s"q_bm25_retire lost the tbucket partition filter:\n${br.take(900)}")
+    // q_sim_sq_retire: the tombstone anti-join sits under the same
+    // TakeOrderedAndProject cut as the untombstoned probe
+    val sr = physical("q_sim_sq_retire")
+    assert(sr.contains("TakeOrderedAndProject"), sr.take(600))
     // q_pagerank_topk: the hub-serving cut compiles to
     // TakeOrderedAndProject over the |V|-scale rank table, never a
     // global sort
