@@ -297,22 +297,27 @@ object Relational {
         Window.partitionBy("l_returnflag", "vb").orderBy(col("v").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // per-(group, bucket) totals: the ONLY ordered cumsum runs here,
-    // partitioned by group over ~#buckets rows, then broadcasts back
+    // partitioned by group over ~#buckets rows, then broadcasts back.
+    // The group total n (and with it every target rank) rides in the
+    // SAME small frame as two more windows over it — a separate targets
+    // branch would be a third consumer of the value-count pipeline, and
+    // with no exchange reuse across the branches that is a third full
+    // scan+shuffle (measured: 3 scans → 2, the tokenBudgetOf trade)
     val offsets = vc.groupBy("l_returnflag", "vb")
       .agg(sum(col("cnt")).as("bucket_cnt"))
       .withColumn("offset",
         coalesce(sum(col("bucket_cnt")).over(
           Window.partitionBy("l_returnflag").orderBy(col("vb").asc)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val targets = offsets.groupBy("l_returnflag")
-      .agg(sum(col("bucket_cnt")).as("n"))
-      .select(col("l_returnflag") +: qs.map { case (name, q) =>
-        greatest(lit(1L), ceil(lit(q) * col("n"))).as(s"r_$name") }: _*)
+      .withColumn("n", sum(col("bucket_cnt")).over(
+        Window.partitionBy("l_returnflag")))
+    val ranked = offsets.select(
+      Seq(col("l_returnflag"), col("vb"), col("offset")) ++
+        qs.map { case (name, q) =>
+          greatest(lit(1L), ceil(lit(q) * col("n"))).as(s"r_$name") }: _*)
     within
-      .join(broadcast(offsets.select("l_returnflag", "vb", "offset")),
-        Seq("l_returnflag", "vb"))
+      .join(broadcast(ranked), Seq("l_returnflag", "vb"))
       .withColumn("cum", col("offset") + col("within_cum"))
-      .join(broadcast(targets), Seq("l_returnflag"))
       .groupBy("l_returnflag")
       .agg(
         qs.map { case (name, _) =>
