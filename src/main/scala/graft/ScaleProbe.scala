@@ -1777,3 +1777,82 @@ object FloodProbe {
     spark.stop()
   }
 }
+
+/** Tombstone serving overhead at scale (r14): a 100k-doc stored
+  * postings index with 10% of the corpus retired — what does the
+  * retire channel cost at serve time vs the untombstoned read, and is
+  * the served result still exactly a fresh index over the retained
+  * corpus? Also prices the ANN side: a 100k-vector SQ8 probe with 10%
+  * tombstones vs without. `sbt "runMain graft.RetireProbe [n]"`. */
+object RetireProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("common filler "),
+        when(col("id") % 7 === 0, "alpha beta gamma")
+          .when(col("id") % 7 === 1, "alpha delta")
+          .otherwise("epsilon zeta eta"),
+        lit(" tail"), (col("id") % 97).cast("string")).as("text"))
+      .repartition(16).cache()
+    docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("retire-probe").toString
+    graft.streaming.PostingsIndex.tfIndexBatch(docs, 0L,
+      s"$dir/tf", s"$dir/dl", dfPath = Some(s"$dir/df"))
+    val retired = docs.where(col("doc_id") % 10 === 7).select("doc_id")
+    graft.streaming.PostingsIndex.retireAppend(retired, s"$dir/retire", 0L)
+    val terms = Seq("alpha", "epsilon")
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def serve(retire: Option[String]) = graft.streaming.PostingsIndex
+      .searchBm25(spark, s"$dir/tf", s"$dir/dl", terms, 20,
+        dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.9),
+        retirePath = retire)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (plain, tPlain) = timeIt(serve(None))
+    val (tomb, tTomb) = timeIt(serve(Some(s"$dir/retire")))
+    println(f"[scale] bm25 serve @$n: plain $tPlain%.2f s, " +
+      f"10%% tombstoned $tTomb%.2f s (${tTomb / tPlain}%.2fx)")
+    // exactness: the tombstoned serve equals a fresh index over the
+    // retained corpus
+    val fresh = java.nio.file.Files.createTempDirectory("retire-fresh").toString
+    graft.streaming.PostingsIndex.tfIndexBatch(
+      docs.where(col("doc_id") % 10 =!= 7), 0L,
+      s"$fresh/tf", s"$fresh/dl", dfPath = Some(s"$fresh/df"))
+    val freshTop = graft.streaming.PostingsIndex
+      .searchBm25(spark, s"$fresh/tf", s"$fresh/dl", terms, 20,
+        dfPath = Some(s"$fresh/df"), maxDfFrac = Some(0.9))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(tomb == freshTop, "tombstoned serve diverged from fresh index")
+    println(s"[scale] bm25 tombstoned == fresh retained index (asserted), " +
+      s"${plain.size}/${tomb.size} rows")
+    // ANN side: SQ8 probe with/without tombstones
+    val dim = 64
+    val emb = spark.range(n).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(1), lit(dim)),
+        j => sin(col("vec_id") * j.cast("double") * 0.7321)).as("embedding"))
+      .repartition(16).cache()
+    emb.count()
+    val sdir = java.nio.file.Files.createTempDirectory("retire-sq").toString
+    Similarity.sqWriteArtifacts(emb, "vec_id", "embedding", sdir)
+    def sqServe() = Similarity.sqProbeFromDir(
+      emb, "vec_id", "embedding", sdir, 0L, 10).collect()
+    val (_, sPlain) = timeIt(sqServe())
+    Similarity.retireFromDir(
+      emb.where(col("vec_id") % 10 === 7).select("vec_id"), "vec_id", sdir, 0L)
+    val (got, sTomb) = timeIt(sqServe())
+    assert(!got.exists(_.getLong(0) % 10 == 7))
+    println(f"[scale] sq8 probe @$n: plain $sPlain%.2f s, " +
+      f"10%% tombstoned $sTomb%.2f s (${sTomb / sPlain}%.2fx)")
+    spark.stop()
+  }
+}
