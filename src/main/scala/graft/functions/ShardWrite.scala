@@ -75,7 +75,12 @@ object ShardWrite {
   // filesystems — so readers observe either the old shard set or the
   // complete merged dir, never a torn one.
 
-  private val MergedShardRe = "m[0-9a-f]+u([0-9]+)".r
+  // Anchored: ONLY exact compaction-produced names parse as m-shards.
+  // An unanchored match would let a stray copy like `batch=m1au2.bak`
+  // impersonate a merged shard and its digits become a watermark that
+  // wrongly suppresses plain shards at read and skips appends in
+  // [[claimBatch]].
+  private val MergedShardRe = "^m[0-9a-f]+u([0-9]+)$".r
 
   private def fsOf(spark: SparkSession, table: String) = {
     val p = new org.apache.hadoop.fs.Path(table)
@@ -90,12 +95,22 @@ object ShardWrite {
       st.isDirectory && st.getPath.getName.startsWith("batch="))
   }
 
-  private def shardId(name: String): Option[Either[Long, Long]] = {
-    // Left(plainId) | Right(mergedWatermark)
-    val v = name.stripPrefix("batch=")
+  /** Left(plainId) | Right(mergedWatermark). A `batch=` dir whose name
+    * is NEITHER a plain batch id nor an exact m-shard name is a loud
+    * error (the postings layout-mix precedent): an additive channel
+    * that silently READ a foreign dir would double-count, and one that
+    * silently SKIPPED it would drop data — both invisible. Fail fast
+    * and name the path so the operator moves or deletes it. */
+  private def shardId(path: org.apache.hadoop.fs.Path): Either[Long, Long] = {
+    val v = path.getName.stripPrefix("batch=")
     MergedShardRe.findFirstMatchIn(v) match {
-      case Some(m) => Some(Right(m.group(1).toLong))
-      case None => v.toLongOption.map(Left(_))
+      case Some(m) => Right(m.group(1).toLong)
+      case None => v.toLongOption.map(Left(_)).getOrElse(
+        throw new IllegalStateException(
+          s"foreign shard dir under an additive channel root: $path " +
+          "(expected batch=<long> or batch=m<hex>u<long>; move or " +
+          "delete it — reading it could double-count, skipping it " +
+          "could drop data)"))
     }
   }
 
@@ -106,7 +121,7 @@ object ShardWrite {
     shardDirs(spark, table)
       .filter(st => fs.exists(
         new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .flatMap(st => shardId(st.getPath.getName))
+      .map(st => shardId(st.getPath))
       .collect { case Right(w) => w }.maxOption
   }
 
@@ -122,22 +137,33 @@ object ShardWrite {
     if (claim(spark, shard)) Some(shard) else None
   }
 
-  /** The serving read of a compactable channel: complete m-shards plus
-    * complete plain shards ABOVE the watermark (the consumed-leftover
-    * exclusion that makes the compaction crash window double-count
-    * free). Missing table → zero rows of the schema. */
+  /** The serving read of a compactable channel: the SINGLE
+    * max-watermark m-shard plus complete plain shards ABOVE that
+    * watermark. Both exclusions close a compaction crash window:
+    *  - plain shards at/below the watermark are consumed leftovers
+    *    (death between the merged rename and the plain-dir deletes);
+    *  - m-shards BELOW the max watermark are superseded leftovers
+    *    (death between a re-compaction's rename and the OLD m-shard's
+    *    delete) — each compaction consumes the previous m-shard and
+    *    strictly raises the watermark, so reading both would
+    *    double-count every row of the old one.
+    * Missing table → zero rows of the schema. */
   def readShards(spark: SparkSession, table: String,
                  schema: String): org.apache.spark.sql.DataFrame = {
     val (fs, _) = fsOf(spark, table)
     val complete = shardDirs(spark, table).filter(st => fs.exists(
       new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-    val wm = complete.flatMap(st => shardId(st.getPath.getName))
-      .collect { case Right(w) => w }.maxOption
-    val live = complete.filter(st => shardId(st.getPath.getName) match {
-      case Some(Left(id)) => wm.forall(id > _)
-      case Some(Right(_)) => true
-      case None => true // foreign naming: keep, never silently drop data
-    })
+    val ids = complete.map(st => st -> shardId(st.getPath))
+    val wm = ids.collect { case (_, Right(w)) => w }.maxOption
+    require(wm.isEmpty || ids.count { case (_, Right(w)) => wm.contains(w)
+                                      case _ => false } == 1,
+      s"two complete m-shards share watermark ${wm.get} under $table — " +
+      "ambiguous channel state (compaction never produces ties); " +
+      "refusing to read")
+    val live = ids.collect {
+      case (st, Left(id)) if wm.forall(id > _) => st
+      case (st, Right(w)) if wm.contains(w) => st
+    }
     if (live.isEmpty) empty(spark, schema)
     else spark.read.schema(schema)
       .parquet(live.map(_.getPath.toString): _*)
@@ -156,20 +182,23 @@ object ShardWrite {
     val (fs, root) = fsOf(spark, table)
     val staging = new org.apache.hadoop.fs.Path(root, "_compacting")
     if (fs.exists(staging)) fs.delete(staging, true)
-    // recovery preamble: a crash after a previous rename left consumed
-    // plain dirs behind — the watermark proves their content is inside
-    // the m-shard, so deleting them is safe (readers already skip them)
+    // recovery preamble: a crash after a previous rename left CONSUMED
+    // dirs behind — plain shards at/below the watermark AND superseded
+    // m-shards below the max watermark. The watermark proves their
+    // content is inside the surviving m-shard, so deleting them is safe
+    // (readers already skip them).
     val wm = watermark(spark, table)
     shardDirs(spark, table).foreach { st =>
-      shardId(st.getPath.getName) match {
-        case Some(Left(id)) if wm.exists(id <= _) => fs.delete(st.getPath, true)
+      shardId(st.getPath) match {
+        case Left(id) if wm.exists(id <= _) => fs.delete(st.getPath, true)
+        case Right(w) if wm.exists(w < _) => fs.delete(st.getPath, true)
         case _ => ()
       }
     }
     val complete = shardDirs(spark, table).filter(st => fs.exists(
       new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
     if (complete.length <= 1) return (complete.length, complete.length)
-    val maxB = complete.flatMap(st => shardId(st.getPath.getName))
+    val maxB = complete.map(st => shardId(st.getPath))
       .map { case Left(id) => id; case Right(w) => w }.max
     merge(spark.read.schema(schema)
         .parquet(complete.map(_.getPath.toString): _*))

@@ -82,6 +82,68 @@ class CountShardCompactionSpec extends SparkSpec {
     assert(freq == before)
   }
 
+  test("crash between re-compaction rename and old m-shard delete never double-counts") {
+    // the OTHER half of the crash window: a superseded m-shard left
+    // NEXT TO its successor. Readers must serve only the max-watermark
+    // m-shard, and the next compaction's preamble must delete the old one.
+    val dir = tmp("uni-mm-crash")
+    for (b <- 0L until 2L)
+      assert(TA.unigramCountsAppend(docs.where($"doc_id" % 2 === b),
+        "doc_id", "text", dir, b))
+    def freq = ShardWrite
+      .readShards(spark, s"$dir/counts", "term STRING, tc BIGINT")
+      .groupBy("term").agg(sum($"tc").as("tc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    TA.compactUnigramCounts(spark, dir) // -> m-shard u1
+    val before = freq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stash a copy of the u1 m-shard, append batch 2, re-compact (-> u2),
+    // then restore the stash: exactly what a death between the u2 rename
+    // and the u1 delete leaves behind — two complete m-shards coexisting
+    val m1 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/counts"))
+      .map(_.getPath).find(_.getName.startsWith("batch=m")).get
+    val stash = new org.apache.hadoop.fs.Path(s"$dir/stash-${m1.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, m1, fs, stash, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    assert(TA.unigramCountsAppend(
+      Seq((8L, "alpha alpha")).toDF("doc_id", "text"), "doc_id", "text",
+      dir, 2L))
+    val after = freq
+    TA.compactUnigramCounts(spark, dir) // -> m-shard u2, deletes u1
+    assert(fs.rename(stash,
+      new org.apache.hadoop.fs.Path(s"$dir/counts/${m1.getName}")))
+    // superseded m-shard is invisible at read (max-watermark rule)
+    assert(freq == after, "superseded m-shard double-counted at read")
+    // and the next compaction's recovery preamble deletes it
+    TA.compactUnigramCounts(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/counts/${m1.getName}")))
+    assert(freq == after)
+    assert(before != after) // the batch-2 append is actually in the counts
+  }
+
+  test("foreign batch= dirs and unanchored m-shard look-alikes fail fast") {
+    val dir = tmp("uni-foreign")
+    assert(TA.unigramCountsAppend(docs, "doc_id", "text", dir, 0L))
+    def freq = ShardWrite
+      .readShards(spark, s"$dir/counts", "term STRING, tc BIGINT")
+      .count()
+    val n = freq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stray copy whose name merely CONTAINS an m-shard pattern must not
+    // parse as one (anchored regex) — it is foreign, and foreign is loud
+    val src = new org.apache.hadoop.fs.Path(s"$dir/counts/batch=0")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/counts/batch=m1au2.bak")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, bak, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalStateException] { freq }
+    assert(e.getMessage.contains("batch=m1au2.bak"),
+      s"error must name the offending path: ${e.getMessage}")
+    fs.delete(bak, true)
+    assert(freq == n)
+  }
+
   test("dsir and cms channels fold under the same discipline") {
     val dir = tmp("dsir-compact")
     for (b <- 0L until 3L)
