@@ -1425,9 +1425,10 @@ object Similarity {
   def ivfPqRerankOracleSql(queryId: Long, k: Int, shortlist: Int = 50,
                            nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
                            ks: Int = DefaultKs, iters: Int = 2,
-                           dim: Int = OracleDim): String =
+                           dim: Int = OracleDim,
+                           candPred: String = ""): String =
     s"""SELECT t.vec_id, ${cosineSql("e.embedding", "q.qe", dim)} AS cos
-       |FROM (${ivfPqOracleSql(queryId, shortlist, nlist, nprobe, m, ks, iters, dim)}) t
+       |FROM (${ivfPqOracleSql(queryId, shortlist, nlist, nprobe, m, ks, iters, dim, candPred)}) t
        |JOIN embeddings e ON e.vec_id = t.vec_id
        |CROSS JOIN (SELECT embedding AS qe FROM embeddings
        |            WHERE vec_id = $queryId) q
@@ -1618,9 +1619,10 @@ object Similarity {
     * verified op sequences. */
   def ivfPqOracleSql(queryId: Long, k: Int, nlist: Int = 16,
                      nprobe: Int = 4, m: Int = DefaultM, ks: Int = DefaultKs,
-                     iters: Int = 2, dim: Int = OracleDim): String =
+                     iters: Int = 2, dim: Int = OracleDim,
+                     candPred: String = ""): String =
     "WITH " + ivfPqOracleCtes(queryId, k, nlist, nprobe, m, ks, iters, dim,
-      "embeddings")
+      "embeddings", candPred)
 
   /** Oracle for `ivfPqTopK(normalize = true)`: the identical coarse +
     * per-subspace machinery run over a UNIT-NORMALIZED twin of the
@@ -1648,11 +1650,21 @@ object Similarity {
        |  FROM (SELECT vec_id, embedding, sqrt($aa) AS nrm FROM embeddings)""".stripMargin
   }
 
+  /** `candPred` (e.g. `"vec_id % 10 <> 7"`): restrict the CANDIDATE
+    * set of the final ADC cut without touching the training CTEs —
+    * the retire-channel replay. The engine's tombstoned serve
+    * anti-joins retired ids out of the stored CODES only; codebooks,
+    * coarse lists and per-vector assignments remain trained on the
+    * historical corpus (the FAISS remove_ids contract), which is
+    * exactly a predicate on the final selection and nowhere else. */
   private def ivfPqOracleCtes(queryId: Long, k: Int, nlist: Int,
                               nprobe: Int, m: Int, ks: Int,
-                              iters: Int, dim: Int, tbl: String): String = {
+                              iters: Int, dim: Int, tbl: String,
+                              candPred: String = ""): String = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
+    val cand = if (candPred.isEmpty) ""
+               else s"\n    AND sc0.vec_id IN (SELECT vec_id FROM $tbl WHERE $candPred)"
     val joins = (1 until m)
       .map(s => s"  JOIN sc$s ON sc$s.vec_id = sc0.vec_id").mkString("\n")
     val sum = (0 until m).map(s => s"sc$s.d").mkString(" + ")
@@ -1682,7 +1694,7 @@ object Similarity {
        |$joins
        |  JOIN casg ON casg.vec_id = sc0.vec_id
        |  WHERE casg.pos IN (SELECT pos FROM cprobe)
-       |    AND sc0.vec_id <> $queryId)
+       |    AND sc0.vec_id <> $queryId$cand)
        |ORDER BY adc_dot DESC, vec_id ASC LIMIT $k""".stripMargin
   }
 

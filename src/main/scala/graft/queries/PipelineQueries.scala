@@ -752,6 +752,32 @@ object PipelineQueries {
     rrfFuseLists(kwTop, vecTop)
   }
 
+  /** q_hybrid_wand_ann_retire: the production endpoint AFTER a
+    * takedown — both fused lists honor their tombstone channels in the
+    * same ONE plan: the keyword list is the WAND-pruned stored BM25
+    * with the document retire channel threaded through the pruned
+    * scorer (block bounds stay valid under deletion — [[graft
+    * .streaming.PostingsIndex.searchBm25Wand]]), the vector list is
+    * the stored IVFADC+R serve over RETAINED codes
+    * ([[ivfPqRetiredArtifacts]]). Oracle: [[HybridWandAnnRetireSql]] —
+    * the end-to-end pruned-machinery replay of `q_hybrid_wand_ann`
+    * with the keyword SQL over the retained corpus and the ADC
+    * candidate cut restricted to retained vec_ids; pruning is
+    * exercised by the correctness gate WITH tombstones active, not
+    * disabled. */
+  def hybridWandAnnRetireQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
+    val kwTop = graft.streaming.PostingsIndex.searchBm25Wand(
+      s, wandDir(s, d), s"$dir/dl", Bm25Terms, 100,
+      retirePath = Some(bm25RetireChannel(s, d)))
+    val vecTop = Similarity.ivfPqRerankFromDir(
+        embChecked(s, d), "vec_id", "embedding",
+        ivfPqRetiredArtifacts(s, d), 0L, 100,
+        shortlist = 200, nprobe = 4)
+      .select(col("vec_id").as("doc_id"), col("cos").as("cos_sim"))
+    rrfFuseLists(kwTop, vecTop)
+  }
+
   /** ExactSubstr repeated-substring dedup ([[Dedup.exactSubstrSpans]],
     * Lee et al. 2022) at L=8 tokens over the documents fixture: the
     * merged cut-list spans (writer-facing) and the per-doc profile. L=8
@@ -1026,15 +1052,36 @@ object PipelineQueries {
     * corpus. */
   def bm25RetireQ(s: SparkSession, d: String): DataFrame = {
     val dir = bm25StoredArtifacts(s, d)
-    val ret = cachedArtifacts(
+    graft.streaming.PostingsIndex.bm25FromStored(
+      s, s"$dir/tf", s"$dir/dl", Bm25Terms,
+      dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.5),
+      retirePath = Some(bm25RetireChannel(s, d)))
+  }
+
+  /** The document tombstone channel every keyword-side retire row
+    * shares: the `% 10 == 7` docs appended once per corpus
+    * fingerprint. */
+  private def bm25RetireChannel(s: SparkSession, d: String): String =
+    cachedArtifacts(
         s"bm25ret:$d:${corpusFingerprintOf(s, d, "documents")}") { rdir =>
       graft.streaming.PostingsIndex.retireAppend(
         documents(s, d).where(RetiredPred).select("doc_id"), rdir, 0L)
     }
-    graft.streaming.PostingsIndex.bm25FromStored(
-      s, s"$dir/tf", s"$dir/dl", Bm25Terms,
-      dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.5),
-      retirePath = Some(ret))
+
+  /** q_bm25_wand_retire: tombstones on the BLOCK-MAX serving path —
+    * [[graft.streaming.PostingsIndex.searchBm25Wand]] with the retire
+    * channel threaded through the pruned scorer: retired rows
+    * anti-join out of the tf scan and dl, df re-derives over the
+    * retained corpus, and block pruning stays exact because deletion
+    * only lowers true block maxima (the stored sidecar bound still
+    * dominates every retained score). Oracle = the exact BM25 SQL over
+    * the retained corpus under the same top-k cut — pruned tombstoned
+    * serve ≡ retained-corpus recompute. */
+  def bm25WandRetireQ(s: SparkSession, d: String): DataFrame = {
+    val dir = bm25StoredArtifacts(s, d)
+    graft.streaming.PostingsIndex.searchBm25Wand(
+      s, wandDir(s, d), s"$dir/dl", Bm25Terms, 20,
+      retirePath = Some(bm25RetireChannel(s, d)))
   }
 
   /** The resampling cut DSIR exists for: the top-100 SOURCE (raw-pool)
@@ -1534,6 +1581,38 @@ object PipelineQueries {
     Similarity.sqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
 
+  /** q_sim_ivfpq_rerank_retire: VECTOR tombstones on the stored
+    * IVFADC+R serve, ORACLE-EXACT — the exact-cosine re-rank boundary
+    * is what makes a hash oracle reachable for the PQ family's retire
+    * contract: codebooks/coarse lists stay trained on the historical
+    * corpus (the FAISS remove_ids contract — training is a statistic,
+    * not membership), the ADC shortlist is cut over RETAINED codes
+    * ([[Similarity.retireFromDir]] → the readCodesRetained anti-join),
+    * and the shortlist re-scores by exact cosine on raw vectors. The
+    * DuckDB twin replays the identical split: full-corpus training
+    * CTEs, candidate predicate on the final ADC cut only
+    * ([[Similarity.ivfPqRerankOracleSql]]'s `candPred`). The
+    * non-reranked PQ retire paths stay spec-pinned (`SimilaritySpec`)
+    * — raw-ADC ranks have no retained-set SQL twin. */
+  def simIvfPqRerankRetire(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfPqRetiredArtifacts(s, d)
+    Similarity.ivfPqRerankFromDir(embChecked(s, d), "vec_id", "embedding",
+      dir, 0L, 10, shortlist = 50)
+  }
+
+  /** The tombstoned IVF-PQ artifact dir shared by the ANN retire rows:
+    * full-corpus artifacts + the `% 10 == 7` vec_ids in the retire
+    * channel. A dir of its OWN (never the plain `ivfpq:` artifacts) —
+    * the channel lives inside the artifact dir and every probe on it
+    * subtracts, so sharing would tombstone the non-retire rows too. */
+  private def ivfPqRetiredArtifacts(s: SparkSession, d: String): String =
+    cachedArtifacts(s"ivfpqret:$d:${corpusFingerprint(s, d)}") { dir =>
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding",
+        dir, m = 4, ks = 8)
+      Similarity.retireFromDir(
+        embeddings(s, d).where(col("vec_id") % 10 === 7), "vec_id", dir, 0L)
+    }
+
   /** SQ8 + exact re-rank ([[Similarity.sqRerankTopK]]) — the
     * recall-recovery tail on the densest codes. */
   def simSqRerank(s: SparkSession, d: String): DataFrame =
@@ -1979,6 +2058,7 @@ object PipelineQueries {
     "q_bm25_stored"    -> (bm25StoredQ _),
     "q_bm25_topk_stored" -> (bm25TopKStoredQ _),
     "q_bm25_wand"      -> (bm25WandQ _),
+    "q_bm25_wand_retire" -> (bm25WandRetireQ _),
     "q_bm25_df_bounded" -> (bm25DfBoundedQ _),
     "q_bm25_serve"     -> (bm25ServeQ _),
     "q_tfidf_stored"   -> (tfidfStoredQ _),
@@ -2007,6 +2087,7 @@ object PipelineQueries {
     "q_cc_incr"        -> (ccIncrQ _),
     "q_hybrid_rrf"     -> (hybridRrfQ _),
     "q_hybrid_wand_ann" -> (hybridWandAnnQ _),
+    "q_hybrid_wand_ann_retire" -> (hybridWandAnnRetireQ _),
     "q_hybrid_rrf_stored" -> (hybridRrfStoredQ _),
     "q_substr_spans"   -> (substrSpansQ _),
     "q_substr_dedup"   -> (substrDedupQ _),
@@ -2058,6 +2139,7 @@ object PipelineQueries {
     "q_embed_rp"       -> (embedRp _),
     "q_sim_sq_probe"   -> (simSqProbe _),
     "q_sim_sq_retire" -> (simSqRetire _),
+    "q_sim_ivfpq_rerank_retire" -> (simIvfPqRerankRetire _),
     "q_sim_sq_rerank"  -> (simSqRerank _),
     "q_sim_pq_probe"   -> (simPqProbe _),
     "q_sim_ivfpq"      -> (simIvfPq _),
@@ -2286,6 +2368,34 @@ object PipelineQueries {
        |FROM kwr FULL JOIN vr USING (doc_id)
        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** [[HybridWandAnnSql]] after a takedown — `q_hybrid_wand_ann_retire`'s
+    * replay: the keyword list is the retained-corpus [[Bm25Sql]] (the
+    * tombstoned WAND serve is exact over the retained corpus), the
+    * vector list keeps the full-corpus training CTEs and restricts
+    * only the final ADC candidate cut to retained vec_ids
+    * ([[Similarity.ivfPqRerankOracleSql]] `candPred` — the engine's
+    * readCodesRetained anti-join, FAISS remove_ids semantics), fusion
+    * arithmetic unchanged. */
+  private lazy val HybridWandAnnRetireSql: String =
+    s"""WITH kwt AS (SELECT * FROM (${retainedWrap(Bm25Sql)}) b
+       |            ORDER BY bm25 DESC, doc_id ASC LIMIT 100),
+       |kwr AS (SELECT doc_id, CAST(row_number() OVER (
+       |          ORDER BY round(bm25, 6) DESC, doc_id ASC) AS INTEGER) AS kw_rank
+       |        FROM kwt),
+       |vt AS (SELECT vec_id AS doc_id, cos FROM (
+       |         ${Similarity.ivfPqRerankOracleSql(0L, 100, shortlist = 200,
+                    m = 4, ks = 8, candPred = "vec_id % 10 <> 7")
+                    .replace("\n", "\n         ")}) rr),
+       |vr AS (SELECT doc_id, CAST(row_number() OVER (
+       |          ORDER BY round(cos, 6) DESC, doc_id ASC) AS INTEGER) AS vec_rank
+       |       FROM vt)
+       |SELECT doc_id,
+       |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + kw_rank), CAST(0.0 AS DOUBLE)) +
+       |  COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), CAST(0.0 AS DOUBLE)) AS rrf,
+       |  kw_rank, vec_rank
+       |FROM kwr FULL JOIN vr USING (doc_id)
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+
   /** The DSIR oracle — the identical hashed unigram+bigram feature
     * stream, add-1-smoothed bucket multinomials (B=1024), per-doc
     * log-ratio sum. Shared by `q_dsir_weights` and `q_dsir_select`. */
@@ -2486,6 +2596,12 @@ object PipelineQueries {
     "q_bm25_wand" ->
       s"""SELECT * FROM ($Bm25Sql)
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // tombstoned WAND: pruning stays exact under deletion (stored
+    // block maxima only over-bound), so the row pins to the exact
+    // retained-corpus top-k — the pruned serve with the channel active
+    "q_bm25_wand_retire" ->
+      s"""SELECT * FROM (${retainedWrap(Bm25Sql)})
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // RRF: both rank windows order by the ROUNDED score then id (the
     // engine's exact discipline), the reciprocal arithmetic is spelled
     // with the same op order, and row_number casts to INTEGER to match
@@ -2493,6 +2609,11 @@ object PipelineQueries {
     "q_hybrid_rrf" -> HybridRrfSql,
     // the production endpoint replays the PRUNED machinery end to end
     "q_hybrid_wand_ann" -> HybridWandAnnSql,
+    // the endpoint after a takedown: the same pruned replay with the
+    // keyword SQL over the retained corpus and the ADC candidate cut
+    // restricted to retained vec_ids (training CTEs untouched — the
+    // FAISS remove_ids contract)
+    "q_hybrid_wand_ann_retire" -> HybridWandAnnRetireSql,
     // the stored-artifact endpoint must return the IDENTICAL fusion —
     // the same oracle SQL pins it to q_hybrid_rrf
     "q_hybrid_rrf_stored" -> HybridRrfSql,
@@ -3042,6 +3163,13 @@ object PipelineQueries {
     "q_sim_ivfpq_cos_probe" -> Similarity.ivfPqCosOracleSql(0L, 10, m = 4, ks = 8),
     "q_sim_ivfpq_rerank" ->
       Similarity.ivfPqRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8),
+    // PQ-family tombstones at the exact-rerank boundary: full-corpus
+    // training, retained-codes shortlist (candPred on the final ADC
+    // cut only), exact-cosine re-rank — the one PQ retire shape with a
+    // DuckDB-replayable answer
+    "q_sim_ivfpq_rerank_retire" ->
+      Similarity.ivfPqRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8,
+        candPred = "vec_id % 10 <> 7"),
     "q_sim_ivfpq_rerank_probe" ->
       Similarity.ivfPqRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8),
     "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10, m = 4, ks = 8),

@@ -1008,13 +1008,33 @@ object PostingsIndex {
     * double noise can only KEEP a block, never skip one wrongly.
     * Shares `q_bm25_topk`'s oracle SQL (`q_bm25_wand`);
     * [[graft.PostingsIndexSpec]] pins the file-level shrink on a
-    * planted mid-df query. */
+    * planted mid-df query.
+    *
+    * TOMBSTONES (`retirePath`, the [[retireAppend]] channel): the
+    * served ranking equals a fresh WAND layout over the RETAINED
+    * corpus, with zero layout rewrite. Retired rows anti-join out of
+    * the tf scan and the dl sidecar; df re-derives over the retained
+    * corpus (the sidecar's per-term overcount is subtracted exactly
+    * from the tombstoned slice of the bucket-pruned postings — the
+    * [[bm25FromStored]] correction). Block-max pruning stays EXACT
+    * under deletion WITHOUT touching the stored sidecar: removing docs
+    * can only LOWER a block's true maxima, so the stored `max_tf`
+    * remains a valid upper bound for every retained doc, and the
+    * retained-df idf used in the bound is the same idf the exact
+    * scorer applies — the bound still dominates every retained doc's
+    * full score, so a skipped block still cannot hide a top-k result.
+    * (Stale-high maxima can only KEEP extra blocks — pruning POWER
+    * degrades with heavy tombstoning until the next layout rebuild;
+    * correctness never does.) A missing/never-written channel adds
+    * zero plan nodes. */
   def searchBm25Wand(spark: SparkSession, wandPath: String, dlPath: String,
                      terms: Seq[String], k: Int, k1: Double = 1.2,
-                     b: Double = 0.75): DataFrame = {
+                     b: Double = 0.75,
+                     retirePath: Option[String] = None): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(k >= 1, "top-k needs k >= 1")
-    val (keptBlocks, score) = wandPlan(spark, wandPath, dlPath, terms, k, k1, b)
+    val (keptBlocks, score) =
+      wandPlan(spark, wandPath, dlPath, terms, k, k1, b, retirePath)
     score(keptBlocks)
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
   }
@@ -1024,13 +1044,24 @@ object PostingsIndex {
     * (surviving block ids, scorer over a block set). */
   private[graft] def wandPlan(spark: SparkSession, wandPath: String,
                               dlPath: String, terms: Seq[String], k: Int,
-                              k1: Double, b: Double)
+                              k1: Double, b: Double,
+                              retirePath: Option[String] = None)
       : (Seq[Long], Seq[Long] => DataFrame) = {
     import spark.implicits._
     val distinctTerms = terms.distinct
     val buckets: Seq[Integer] = distinctTerms.map(tokenBucketLocal)
       .toSet.toSeq.map((b: Int) => Integer.valueOf(b))
-    val dl = readUnionShards(spark, dlPath)
+    // tombstones: gate on channel existence so a never-retired layout
+    // serves the IDENTICAL plan (the readCodesRetained discipline) —
+    // the anti-joins exist only when there is something to subtract
+    val gone = retirePath.filter { rp =>
+      val p = new Path(rp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }.map(rp => retiredDocs(spark, rp))
+    val dl = {
+      val dl0 = readUnionShards(spark, dlPath)
+      gone.fold(dl0)(g => dl0.join(g, Seq("doc_id"), "left_anti"))
+    }
     // explicit schemas on both layout reads: a layout derived from an
     // empty index has `_SUCCESS`-only dirs, and inference would throw
     // where the exact answer is an empty result
@@ -1050,25 +1081,41 @@ object PostingsIndex {
       .groupBy(r => (r._1, r._2)).map { case ((t, blk), rs) =>
         (t, blk, rs.map(_._3).max, rs.map(_._4).sum)
       }.toArray
-    // global df per term = Σ over its blocks (sidecar rows partition the
-    // posting list); the scorer needs these as a literal frame
-    val dfGlobal: Map[String, Long] =
-      bmRows.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._4).sum }
-    val dfreq = dfGlobal.toSeq.toDF("token", "doc_freq")
     // ONE relation for both phases: partition discovery over the
     // (tbucket × dblock) dir tree runs once, and each phase's block
     // filter prunes the shared file index instead of re-listing it
     val tf = spark.read
       .schema("token STRING, doc_id BIGINT, tf BIGINT, tbucket INT, dblock BIGINT")
       .parquet(s"$wandPath/tf")
-    def score(blocks: Seq[Long]): DataFrame =
+    // global df per term = Σ over its blocks (sidecar rows partition
+    // the posting list), MINUS the tombstoned slice of the bucket-
+    // pruned postings when a retire channel exists — exact because tf
+    // rows are doc-level, so each retired doc removes exactly one df
+    // count per term it contains. Cost: query terms' postings ∩
+    // tombstones, the bm25FromStored correction's cost class.
+    val dfGoneByTerm: Map[String, Long] = gone.map { g =>
+      tf.where(col("tbucket").isin(buckets: _*) &&
+          col("token").isin(distinctTerms: _*))
+        .join(g, Seq("doc_id"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }.getOrElse(Map.empty[String, Long])
+    val dfGlobal: Map[String, Long] =
+      bmRows.groupBy(_._1).map { case (t, rs) =>
+        t -> (rs.map(_._4).sum - dfGoneByTerm.getOrElse(t, 0L))
+      }
+    val dfreq = dfGlobal.toSeq.toDF("token", "doc_freq")
+    def score(blocks: Seq[Long]): DataFrame = {
+      val tfPruned = tf
+        .where(col("tbucket").isin(buckets: _*) &&
+          col("dblock").isin(blocks.map(java.lang.Long.valueOf): _*))
+        // explicit projection: the maintained layout adds a `shard`
+        // partition level that must not leak into the scorer
+        .select(col("token"), col("doc_id"), col("tf"))
       TextAnalysis.bm25FromIndexGivenDf(
-        tf.where(col("tbucket").isin(buckets: _*) &&
-            col("dblock").isin(blocks.map(java.lang.Long.valueOf): _*))
-          // explicit projection: the maintained layout adds a `shard`
-          // partition level that must not leak into the scorer
-          .select(col("token"), col("doc_id"), col("tf")),
+        gone.fold(tfPruned)(g => tfPruned.join(g, Seq("doc_id"), "left_anti")),
         dl, distinctTerms, dfreq, k1, b)
+    }
     if (bmRows.isEmpty)
       // no query term exists in the index: exact empty result
       return (Seq.empty,

@@ -212,6 +212,10 @@ class PlanQualitySpec extends SparkSpec {
       "q_bm25_serve",  // the endpoint composition of the same scalar
       "q_bm25_wand",   // the same (N, avgdl) scalar attach over the
                        // block-pruned scan (df joins by token, never BNLJ)
+      "q_bm25_wand_retire", // the same scalar over the retained dl;
+                       // tombstones are keyed anti-joins, never BNLJ
+      "q_hybrid_wand_ann_retire", // the q_hybrid_wand_ann shapes with
+                       // both retire channels active (keyed anti-joins)
       "q_tfidf_index", // the N single-row scalar, served from the dl sidecar
       "q_tfidf_stored", // the same scalar over the persisted artifacts
       "q_hybrid_rrf",  // bm25 scalar attach + one-row query-vector cross
@@ -353,6 +357,24 @@ class PlanQualitySpec extends SparkSpec {
       s"q_hybrid_wand_ann lost the dblock partition filter:\n${hwa.take(900)}")
     assert("TakeOrderedAndProject".r.findAllIn(hwa).size >= 4,
       s"q_hybrid_wand_ann lost its serving cuts:\n${hwa.take(900)}")
+    // q_hybrid_wand_ann_retire: the takedown-aware endpoint keeps the
+    // IDENTICAL plan shape — both partition filters and every serving
+    // cut survive the tombstone anti-joins (the retire channel is
+    // O(tombstones) joins layered on the pruned scans, never a rescan)
+    val hwr = physical("q_hybrid_wand_ann_retire")
+    assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(hwr).isDefined,
+      s"q_hybrid_wand_ann_retire lost the tbucket partition filter:\n${hwr.take(900)}")
+    assert("""PartitionFilters: \[[^\]]*dblock""".r.findFirstIn(hwr).isDefined,
+      s"q_hybrid_wand_ann_retire lost the dblock partition filter:\n${hwr.take(900)}")
+    assert("TakeOrderedAndProject".r.findAllIn(hwr).size >= 4,
+      s"q_hybrid_wand_ann_retire lost its serving cuts:\n${hwr.take(900)}")
+    // q_bm25_wand_retire: the tombstoned WAND serve keeps both
+    // partition filters too
+    val bwr = physical("q_bm25_wand_retire")
+    assert("""PartitionFilters: \[[^\]]*tbucket""".r.findFirstIn(bwr).isDefined,
+      s"q_bm25_wand_retire lost the tbucket partition filter:\n${bwr.take(900)}")
+    assert("""PartitionFilters: \[[^\]]*dblock""".r.findFirstIn(bwr).isDefined,
+      s"q_bm25_wand_retire lost the dblock partition filter:\n${bwr.take(900)}")
     // q_bm25_retire: the tombstone anti-joins must NOT cost the stored
     // scan its token-bucket pruning — the retained serve stays a pruned
     // read plus small joins, never a full index rescan

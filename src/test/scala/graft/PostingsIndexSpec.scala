@@ -575,6 +575,69 @@ class PostingsIndexSpec extends SparkSpec {
       Seq("never-seen"), k).collect().isEmpty)
   }
 
+  test("WAND tombstones: the pruned serve equals a fresh layout over the retained corpus") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("wand-ret").toString
+    val (tfP, dlP, wP, retP) = (s"$dir/tf", s"$dir/dl", s"$dir/wand", s"$dir/retire")
+    val docs = (0L until 200L).map { i =>
+      val text =
+        if (i < 50) ("mid " * 12) + "common"
+        else if (i % 2 == 0) "mid common pad pad"
+        else "common pad pad pad"
+      (i, text)
+    }.toDF("doc_id", "text")
+    PostingsIndex.tfIndexBatch(docs, 0, tfP, dlP)
+    PostingsIndex.wandLayoutFrom(spark, tfP, wP, span = 50L)
+    // retire 40 of block 0's 50 heavy docs — the retained top-10 is a
+    // genuinely different ranking (docs 40-49), df/N/avgdl all move
+    val retired = docs.where(col("doc_id") < 40)
+    PostingsIndex.retireAppend(retired.select("doc_id"), retP, 0L)
+    val terms = Seq("mid", "common")
+    val k = 10
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = rows(PostingsIndex.searchBm25Wand(spark, wP, dlP, terms, k,
+      retirePath = Some(retP)))
+    // ground truth 1: a FRESH index + layout over the retained corpus
+    val (tfR, dlR, wR) = (s"$dir/tfR", s"$dir/dlR", s"$dir/wandR")
+    val retained = docs.where(col("doc_id") >= 40)
+    PostingsIndex.tfIndexBatch(retained, 0, tfR, dlR)
+    PostingsIndex.wandLayoutFrom(spark, tfR, wR, span = 50L)
+    val fresh = rows(PostingsIndex.searchBm25Wand(spark, wR, dlR, terms, k))
+    assert(served.map(_._1) == fresh.map(_._1),
+      s"tombstoned WAND ids diverged from the retained-corpus layout:\n$served\nvs\n$fresh")
+    served.zip(fresh).foreach { case ((id, s), (_, f)) =>
+      assert(math.abs(s - f) < 1e-9, s"doc $id: $s vs $f") }
+    // ground truth 2: the unpruned corpus recompute
+    val full = rows(graft.functions.TextAnalysis
+      .bm25(retained, "doc_id", "text", terms)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(k))
+    assert(served.map(_._1) == full.map(_._1))
+    // no retired doc can be served, and the survivors of block 0 are
+    assert(served.forall(_._1 >= 40))
+    assert(served.map(_._1).toSet == (40L until 50L).toSet)
+    // pruning still bites WITH tombstones active: stale block maxima
+    // only over-bound, so block 0 still seeds and the tail blocks'
+    // bounds stay below the retained theta on this skew
+    val (kept, _) = PostingsIndex.wandPlan(spark, wP, dlP, terms, k,
+      1.2, 0.75, retirePath = Some(retP))
+    assert(kept.contains(0L) && kept.length < 4,
+      s"tombstoned WAND stopped pruning: kept=$kept")
+    // a never-written channel is plan-transparent: IDENTICAL physical
+    // plan to the no-channel call (zero extra plan nodes — the
+    // readCodesRetained discipline)
+    val plain = PostingsIndex.searchBm25Wand(spark, wP, dlP, terms, k)
+    val ghost = PostingsIndex.searchBm25Wand(spark, wP, dlP, terms, k,
+      retirePath = Some(s"$dir/never-written"))
+    // expression ids and plan ids differ between any two builds of the
+    // same plan — strip them so the comparison sees plan SHAPE only
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+    assert(shape(ghost) == shape(plain),
+      "a missing retire channel must not change the serving plan")
+  }
+
   test("WAND maintenance: sharded appends serve bit-identically; compaction is bit-stable and replay-safe") {
     val dir = java.nio.file.Files.createTempDirectory("wand-maint").toString
     val (tfP, dlP) = (s"$dir/tf", s"$dir/dl")
