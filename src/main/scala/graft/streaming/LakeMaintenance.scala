@@ -153,4 +153,71 @@ object LakeMaintenance {
     fs.delete(tmp, true)
     Some((files.length, compacted.length))
   }
+
+  /** RETIRE-CHANNEL EVICTION kernel: rewrite ONE directory's parquet
+    * files to their `distinct()` rows MINUS those whose `key` column
+    * appears in `ids` (a one-column frame named `key`). Returns true
+    * iff the dir intersected `ids` and was rewritten; a dir with no
+    * retired rows is left byte-untouched (only the existence-probe scan
+    * is paid).
+    *
+    * Same loss-proof swap as [[compactFlat]]'s kernel (captured file
+    * list → hidden temp → stamped renames in → originals delete /
+    * snapshot-retire), with one addition that makes a CRASH INSIDE THE
+    * SWAP heal by rerun: the rewrite starts from `distinct()`. The
+    * worst crash window leaves originals alongside already-renamed
+    * filtered files — duplicated retained rows — and the rerun's
+    * distinct collapses exactly those duplicates (legitimate rows are
+    * unique in every channel this kernel serves: gate state rows are
+    * set-semantics memberships, output rows are unique by their id via
+    * the replay anti-join). So rerunning eviction until it completes
+    * CONVERGES to precisely the retained row set — the caller keeps the
+    * retire channel until every dir rewrote, making the rerun
+    * automatic. */
+  def evictFromDir(spark: SparkSession, dir: String,
+                   ids: org.apache.spark.sql.DataFrame, key: String,
+                   snapshotRoot: Option[String] = None): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val files = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return false
+    val df = spark.read.parquet(files.map(_.getPath.toString): _*)
+    val hit = df.join(org.apache.spark.sql.functions.broadcast(ids),
+      Seq(key), "left_semi").head(1).nonEmpty
+    if (!hit) return false
+    val tmp = new Path(p, ".evict_tmp")
+    fs.delete(tmp, true)
+    df.distinct()
+      .join(org.apache.spark.sql.functions.broadcast(ids), Seq(key), "left_anti")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val filtered = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val stamp = java.lang.Long.toHexString(System.nanoTime()) + "-" +
+      java.util.UUID.randomUUID().toString
+    val renamed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val allRenamed = filtered.zipWithIndex.forall { case (f, i) =>
+      val dest = new Path(p, f"evicted-$stamp-$i%05d.parquet")
+      val ok = fs.rename(f.getPath, dest)
+      if (ok) renamed += dest
+      ok
+    }
+    if (!allRenamed) {
+      renamed.foreach(fs.delete(_, false)) // originals all intact
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"eviction: rename into $p failed; directory left unchanged")
+    }
+    snapshotRoot.filter(Snapshot.enabled(spark, _)) match {
+      case Some(r) =>
+        val rootUri = new Path(r).toUri.getPath.stripSuffix("/")
+        val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        Snapshot.commit(spark, r, Seq(rel),
+          retired = files.map(_.getPath).toSeq)
+      case None => files.foreach(f => fs.delete(f.getPath, false))
+    }
+    fs.delete(tmp, true)
+    true
+  }
 }

@@ -292,6 +292,99 @@ object NearDupGate {
     fs.delete(tmp, true)
   }
 
+  // ---- document tombstones (the retire channel on gate STATE) -------
+
+  private def retireDir(statePath: String): String = s"$statePath/retire"
+
+  /** TOMBSTONES for the gate's memory: docs leaving the corpus
+    * (takedowns, license pulls) append their ids to
+    * `$statePath/retire/batch=<id>` under the standard `_SUCCESS`
+    * claim discipline ([[graft.functions.ShardWrite.claimBatch]] —
+    * replays skip, torn shards heal). Effect is IMMEDIATE at probe
+    * time: [[curateBatch]] anti-joins the channel out of every seen
+    * band/fingerprint row before the admit decision, so a retired
+    * document stops suppressing near-duplicates of itself from the
+    * next batch on — fresh near-identical content is admissible again,
+    * which is the POINT of a takedown (the suppressed copy was only
+    * inadmissible because the retired one existed). [[readOutput]]
+    * subtracts the channel too, so external corpus readers never see a
+    * taken-down row even before the physical rewrite.
+    * [[evictRetired]] (wired into the sink's maintenance window)
+    * then rewrites the touched leaves so the bytes leave the lake.
+    * Identity note: a RE-INGEST of the retired doc_id itself stays
+    * blocked by the output replay anti-join until eviction rewrites
+    * the output leaf — re-admitting an id is indistinguishable from a
+    * crash replay of its original batch, so the gate resolves that
+    * ambiguity toward exactly-once output; near-dups under NEW ids
+    * admit immediately. Cluster note: the gate registers EVERY
+    * processed doc's bands (drops included — that is what makes exact
+    * copies of drops keep dropping), so a takedown that intends to
+    * free a neighborhood must retire every id carrying that content:
+    * the admitted representative plus its logged rejected copies.
+    * Ids never retired keep their normal suppressing effect, by
+    * design. Returns false iff the shard already existed. */
+  def retireAppend(docIds: DataFrame, statePath: String,
+                   batchId: Long): Boolean =
+    graft.functions.ShardWrite
+      .claimBatch(docIds.sparkSession, retireDir(statePath), batchId) match {
+      case None => false
+      case Some(shard) =>
+        docIds.select(col("doc_id")).distinct().write.parquet(shard)
+        true
+    }
+
+  /** The accumulated tombstone set, or None when the channel was never
+    * written (the common case costs one existence check and adds zero
+    * plan nodes downstream). */
+  private def retiredDocs(spark: SparkSession,
+                          statePath: String): Option[DataFrame] = {
+    val p = new Path(retireDir(statePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(graft.functions.ShardWrite
+      .readShards(spark, retireDir(statePath), "doc_id LONG"))
+  }
+
+  /** MAINTENANCE: physically rewrite every leaf holding rows of
+    * tombstoned docs — bands, sigs AND output — then CONSUME the
+    * channel. Runs in the compaction window ([[startNearDupSink]] wires
+    * it in before [[compactLayouts]]); per-leaf rewrites use the
+    * loss-proof converging kernel ([[LakeMaintenance.evictFromDir]]):
+    * a crash anywhere inside the window leaves the channel in place
+    * (it deletes LAST, only after every layout rewrote), so the next
+    * window reruns the eviction and the distinct-based rewrite
+    * converges — and the probe-time subtraction keeps decisions
+    * correct throughout the crash window. Returns (leaves scanned,
+    * leaves rewritten). */
+  def evictRetired(spark: SparkSession, outPath: String,
+                   statePath: String): (Int, Int) = {
+    val fs = new Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(statePath, "_gate_params")
+    if (!fs.exists(marker) || readMarker(fs, marker).contains(";")) return (0, 0)
+    val gp = GateParams.parse(readMarker(fs, marker)).getOrElse(return (0, 0))
+    val ids = retiredDocs(spark, statePath).getOrElse(return (0, 0))
+    val idsP = ids.persist()
+    try {
+      var scanned = 0; var rewritten = 0
+      if (idsP.head(1).nonEmpty) {
+        for (l <- GateParams.Layouts) {
+          val root = new Path(layoutDir(l, outPath, statePath))
+          leafSizes(fs, root, gp, l).foreach { case (p, _) =>
+            scanned += 1
+            if (LakeMaintenance.evictFromDir(spark, nodeDir(root, p).toString,
+                idsP, "doc_id", snapshotRoot = Some(root.toString)))
+              rewritten += 1
+          }
+        }
+      }
+      // channel consumed only after EVERY leaf rewrote — the crash
+      // contract above
+      fs.delete(new Path(retireDir(statePath)), true)
+      (scanned, rewritten)
+    } finally idsP.unpersist()
+  }
+
   /** The hash column each layout is keyed by — ONE definition so the
     * write path, the probe path, and the split rewrite can never
     * disagree on where a row lives. */
@@ -478,7 +571,15 @@ object NearDupGate {
       // below (when enabled) use the identical leaf list
       val probeLeaves =
         touchedLeaves(probe, col("band_hash"), nb, gp.splitSet("bands"))
+      // tombstoned docs are subtracted from the SEEN side before any
+      // admit decision — a retired doc must stop suppressing
+      // near-duplicates immediately, not at the next eviction window.
+      // The sigs fetch needs no twin filter: colliding seen_ids derive
+      // from these filtered rows. Absent channel → identical plan.
+      val retired = retiredDocs(spark, statePath)
       val stateBands = readLeaves(spark, s"$statePath/bands", probeLeaves)
+        .map(sb => retired.fold(sb)(r =>
+          sb.join(broadcast(r), Seq("doc_id"), "left_anti")))
 
       // ---- gate 1: state collisions ---------------------------------
       // short docs: exact fingerprint match drops outright
@@ -639,10 +740,18 @@ object NearDupGate {
     * under concurrent maintenance — the production path for external
     * readers); falls back to a recursive-lookup read, which is only
     * safe while the gate's maintenance is paused. */
-  def readOutput(spark: SparkSession, outPath: String): DataFrame =
-    (if (Snapshot.enabled(spark, outPath)) Snapshot.readVersion(spark, outPath)
-     else None).getOrElse(
-      spark.read.option("recursiveFileLookup", "true").parquet(outPath))
+  def readOutput(spark: SparkSession, outPath: String,
+                 statePath: Option[String] = None): DataFrame = {
+    val raw =
+      (if (Snapshot.enabled(spark, outPath)) Snapshot.readVersion(spark, outPath)
+       else None).getOrElse(
+        spark.read.option("recursiveFileLookup", "true").parquet(outPath))
+    // with the gate's statePath given, pending tombstones subtract at
+    // read — a taken-down doc is invisible to corpus readers from the
+    // instant of retireAppend, not the next eviction window
+    statePath.flatMap(sp => retiredDocs(spark, sp)).fold(raw)(r =>
+      raw.join(broadcast(r), Seq("doc_id"), "left_anti"))
+  }
 
   /** Write-once / verify-always parameter marker in the state dir.
     * Returns the EFFECTIVE layout: the marker's for an existing state
@@ -1313,6 +1422,10 @@ object NearDupGate {
           threshold, buckets)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
           val s = batch.sparkSession
+          // tombstone eviction first: leaves the compactor then folds
+          // are already free of retired rows. Crash-safe by the channel
+          // contract (consumed only after every leaf rewrote).
+          evictRetired(s, outPath, statePath)
           compactLayouts(s, outPath, statePath)
           // mine hot bands BEFORE the split pick: a mitigated leaf
           // shrinks below target, so the split takes a genuinely

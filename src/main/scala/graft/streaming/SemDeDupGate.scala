@@ -100,13 +100,114 @@ object SemDeDupGate {
     * under concurrent maintenance), plain partitioned read otherwise
     * (safe only while maintenance is paused). Mirrors
     * [[NearDupGate.readOutput]]. */
-  def readOutput(spark: SparkSession, outPath: String): DataFrame =
-    (if (Snapshot.enabled(spark, outPath))
-       // manifest partition cols come back as strings — cast to match
-       // the plain partitioned read's inferred int
-       Snapshot.readVersion(spark, outPath, partitionCols = Seq("list"))
-         .map(_.withColumn("list", col("list").cast("int")))
-     else None).getOrElse(spark.read.parquet(outPath))
+  def readOutput(spark: SparkSession, outPath: String,
+                 statePath: Option[String] = None): DataFrame = {
+    val raw =
+      (if (Snapshot.enabled(spark, outPath))
+         // manifest partition cols come back as strings — cast to match
+         // the plain partitioned read's inferred int
+         Snapshot.readVersion(spark, outPath, partitionCols = Seq("list"))
+           .map(_.withColumn("list", col("list").cast("int")))
+       else None).getOrElse(spark.read.parquet(outPath))
+    // with the gate's statePath given, pending tombstones subtract at
+    // read — a taken-down vector is invisible to corpus readers from
+    // the instant of retireAppend, not the next eviction window
+    statePath.flatMap(sp => retiredVids(spark, sp)).fold(raw)(r =>
+      raw.join(broadcast(r), Seq("vid"), "left_anti"))
+  }
+
+  // ---- vector tombstones (the retire channel on gate STATE) --------
+
+  private def retireDir(statePath: String): String = s"$statePath/retire"
+
+  /** TOMBSTONES for the gate's memory — the embedding-space twin of
+    * [[NearDupGate.retireAppend]]: vec ids leaving the corpus append
+    * to `$statePath/retire/batch=<id>` under the `_SUCCESS` claim
+    * discipline (replays skip, torn shards heal). Effect is IMMEDIATE
+    * at probe time: [[curateBatch]] anti-joins the channel out of the
+    * seen rows before the cosine gate, so a retired REPRESENTATIVE
+    * stops suppressing its semantic neighborhood from the next batch
+    * on — under survivors-only registration this matters doubly: the
+    * representative is the ONLY state row covering its cluster, so
+    * without eviction a takedown would leave the whole cluster
+    * suppressed by a vector that no longer exists. [[evictRetired]]
+    * rewrites the touched lists in the maintenance window. Returns
+    * false iff the shard already existed (replay). */
+  def retireAppend(vecIds: DataFrame, statePath: String,
+                   batchId: Long): Boolean =
+    graft.functions.ShardWrite
+      .claimBatch(vecIds.sparkSession, retireDir(statePath), batchId) match {
+      case None => false
+      case Some(shard) =>
+        vecIds.select(col("vid")).distinct().write.parquet(shard)
+        true
+    }
+
+  private def retiredVids(spark: SparkSession,
+                          statePath: String): Option[DataFrame] = {
+    val p = new Path(retireDir(statePath))
+    val fs = fsOf(spark, statePath)
+    if (!fs.exists(p)) None
+    else Some(graft.functions.ShardWrite
+      .readShards(spark, retireDir(statePath), "vid LONG"))
+  }
+
+  /** MAINTENANCE: physically rewrite every `list=`/`sub=` dir holding
+    * tombstoned vectors — state vecs AND output — then CONSUME the
+    * channel, behind the gate's `_sem_fence` (a crash mid-window heals
+    * through [[recoverMaintenance]], which reruns this; the converging
+    * [[LakeMaintenance.evictFromDir]] kernel makes the rerun exact).
+    * The channel deletes before the fence clears: a crash between the
+    * two leaves only the fence, which the rerun clears as a no-op.
+    * Returns (dirs scanned, dirs rewritten). */
+  def evictRetired(spark: SparkSession, outPath: String,
+                   statePath: String): (Int, Int) = {
+    readFence(spark, statePath).foreach { f =>
+      require(f == "evicting",
+        s"a DIFFERENT maintenance operation is interrupted ($f) — run " +
+          "recoverMaintenance to complete it before evicting")
+    }
+    val ids = retiredVids(spark, statePath) match {
+      case None =>
+        // channel already consumed — a crash between the channel delete
+        // and the fence clear leaves only the fence; clearing it IS the
+        // remaining recovery
+        if (readFence(spark, statePath).contains("evicting"))
+          clearFence(spark, statePath)
+        return (0, 0)
+      case Some(i) => i
+    }
+    val idsP = ids.persist()
+    try {
+      writeFence(spark, statePath, "evicting")
+      var scanned = 0; var rewritten = 0
+      if (idsP.head(1).nonEmpty) {
+        for (root <- Seq(outPath, vecsPath(statePath))) {
+          val rootP = new Path(root)
+          val fs = fsOf(spark, root)
+          if (fs.exists(rootP)) {
+            fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
+              .filter(_.getName.startsWith("list=")).foreach { lp =>
+                scanned += 1
+                if (LakeMaintenance.evictFromDir(spark, lp.toString, idsP,
+                    "vid", snapshotRoot = Some(root))) rewritten += 1
+                fs.listStatus(lp).filter(_.isDirectory).map(_.getPath)
+                  .filter(_.getName.startsWith("sub=")).foreach { sp =>
+                    scanned += 1
+                    if (LakeMaintenance.evictFromDir(spark, sp.toString, idsP,
+                        "vid", snapshotRoot = Some(root))) rewritten += 1
+                  }
+              }
+          }
+        }
+      }
+      // channel consumed only after EVERY dir rewrote, fence cleared
+      // only after the channel consumed — see the crash contract above
+      fsOf(spark, statePath).delete(new Path(retireDir(statePath)), true)
+      clearFence(spark, statePath)
+      (scanned, rewritten)
+    } finally idsP.unpersist()
+  }
 
   private def readFence(spark: SparkSession, statePath: String): Option[String] = {
     val fs = fsOf(spark, statePath)
@@ -142,6 +243,8 @@ object SemDeDupGate {
       case Some(f) if f.startsWith("splitting=") =>
         val Array(l, n) = f.stripPrefix("splitting=").split(":", 2)
         splitList(spark, statePath, l.toInt, n.toInt); true
+      case Some("evicting") =>
+        evictRetired(spark, outPath, statePath); true
       case Some(other) => throw new IllegalStateException(
         s"unknown maintenance fence at $statePath: $other")
     }
@@ -273,15 +376,23 @@ object SemDeDupGate {
             .as("sub")).distinct().collect().map(_.getInt(0)).toSeq
         listSubDirs(spark, vecsPath(statePath), l, subs)
       }
+      // tombstoned vectors subtract from the SEEN side before the
+      // cosine gate — a retired representative must stop suppressing
+      // its neighborhood immediately, not at the next eviction window.
+      // Absent channel → identical plan (the WAND/codes discipline).
+      val retired = retiredVids(spark, statePath)
       val seenOpt = (flatDirs ++ splitDirs) match {
         case Nil => None
         case dirs =>
           // per-dir reads with the list id attached as a literal — the
           // partition column lives only in the dir name
-          Some(hold(dirs.map { case (l, d) =>
+          val seen0 = dirs.map { case (l, d) =>
             spark.read.parquet(d).select(col("vid").as("seen_id"),
               col("v").as("seen_v"), lit(l).as("list"))
-          }.reduce(_ unionByName _)))
+          }.reduce(_ unionByName _)
+          Some(hold(retired.fold(seen0)(r => seen0.join(
+            broadcast(r.select(col("vid").as("seen_id"))),
+            Seq("seen_id"), "left_anti"))))
       }
       val stateDropped = seenOpt.map(seen =>
         routed.join(seen, Seq("list"))
