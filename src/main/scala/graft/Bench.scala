@@ -171,6 +171,15 @@ object Bench {
             (if (i == 1) "" else i.toString) + ".json"))
         .find(!_.exists).get
       java.nio.file.Files.writeString(out.toPath, fullLine)
+      // STABLE root-level alias, refreshed every window: the driver's
+      // BENCH_r{N}.json carries a capture-window-truncated queries map
+      // (62 of 209 in r14 — the r14 verdict's "what's wrong" item 3),
+      // so the repo root keeps a SELF-CONTAINED full record right next
+      // to it. `source` names the exact per-window file for provenance.
+      java.nio.file.Files.writeString(
+        new java.io.File(repo, "BENCH_FULL_LATEST.json").toPath,
+        fullLine.dropRight(1) +
+          s""","round":$round,"source":"docs/${out.getName}"}""")
       // publish min-over-windows per query for the round (r13 verdict
       // item 8's noise answer): fold this window into
       // BENCH_MIN_r{N}.json — per-query minimum across every window of
@@ -181,16 +190,20 @@ object Bench {
         val winRe = (f"BENCH_FULL_r$round%02d" + "(-rerun\\d*)?\\.json").r
         val windows = Option(docs.listFiles()).toSeq.flatten
           .filter(f => winRe.pattern.matcher(f.getName).matches())
-        val qRe = "\"([^\"]+)\":([0-9.]+)".r
+        // a REAL JSON reader (Jackson rides Spark's classpath), not the
+        // old substring/regex scrape whose `indexOf("}")` silently broke
+        // on any nested object inside `queries` (r14 ADVICE)
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val mins = scala.collection.mutable.Map.empty[String, Double]
         windows.foreach { f =>
-          val txt = java.nio.file.Files.readString(f.toPath)
-          val qsStart = txt.indexOf("\"queries\":{")
-          if (qsStart >= 0) {
-            val qs = txt.substring(qsStart + 11, txt.indexOf("}", qsStart))
-            qRe.findAllMatchIn(qs).foreach { m =>
-              val (k, v) = (m.group(1), m.group(2).toDouble)
-              mins(k) = math.min(mins.getOrElse(k, Double.MaxValue), v)
+          val node = om.readTree(java.nio.file.Files.readString(f.toPath))
+          val qs = node.get("queries")
+          if (qs != null && qs.isObject) {
+            qs.properties().forEach { e =>
+              if (e.getValue.isNumber) {
+                val (k, v) = (e.getKey, e.getValue.asDouble())
+                mins(k) = math.min(mins.getOrElse(k, Double.MaxValue), v)
+              }
             }
           }
         }
