@@ -92,9 +92,7 @@ object Dedup {
   def lineDedup(df: DataFrame, id: String, text: String,
                 minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = ensureParallel(df, col(id))
-      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
-      .withColumn("_lk", md5(col("line")))
+    val lines = docLines(df, id, text)
     // blank/whitespace-only lines are EXEMPT from the cross-doc
     // threshold (CCNet/C4 discipline): once >= minDocs docs contain an
     // empty line — inevitable in any multi-paragraph corpus — counting
@@ -104,6 +102,22 @@ object Dedup {
       .agg(countDistinct(col(id)).as("_ld_nd"))
       .where(col("_ld_nd") >= minDocs)
       .select("_lk")
+    lineApplyHot(lines, id, hot)
+  }
+
+  /** The exploded (id, pos, line, _lk) rows [[lineDedup]] mines and
+    * rewrites from — one definition so the fused and the incremental
+    * path tokenize identically. */
+  private def docLines(df: DataFrame, id: String, text: String): DataFrame =
+    ensureParallel(df, col(id))
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .withColumn("_lk", md5(col("line")))
+
+  /** The rewrite tail shared by [[lineDedup]] and
+    * [[lineDedupFromShards]]: strip the hot line keys, reassemble each
+    * document from its surviving lines in original order. */
+  private def lineApplyHot(lines: DataFrame, id: String,
+                           hot: DataFrame): DataFrame =
     lines.join(hot, Seq("_lk"), "left_anti")
       .groupBy(col(id))
       .agg(
@@ -112,7 +126,61 @@ object Dedup {
             x => x("line")),
           "\n").as("clean_text"),
         count(lit(1)).as("n_kept"))
+
+  // ---- incremental line-dedup: the line-occurrence table as a
+  // ---- maintained artifact -------------------------------------------
+
+  /** Per-batch maintenance of the CROSS-DOC LINE statistics — the
+    * incremental twin of [[lineDedup]]'s mining half, closing the r14
+    * verdict's "largest recurring recompute" (every run re-exploded the
+    * full corpus): each fresh-docs batch appends its per-line-key
+    * DISTINCT-DOC counts to `$dir/batch=<id>` under the standard
+    * `_SUCCESS` claim discipline ([[ShardWrite.claimBatch]] — replays
+    * skip, torn shards heal). Batches are doc-disjoint, so per-batch
+    * distinct-doc counts ADD — the shard sum equals a whole-corpus
+    * `countDistinct`, which is what makes the hot-line decision at
+    * read ([[hotLinesFromShards]]) EXACT, not approximate. Blank lines
+    * are excluded here exactly as in the fused path. Returns false iff
+    * the shard already existed (replay). */
+  def lineStatsAppend(batch: DataFrame, id: String, text: String,
+                      dir: String, batchId: Long): Boolean =
+    ShardWrite.claimBatch(batch.sparkSession, dir, batchId) match {
+      case None => false
+      case Some(shard) =>
+        docLines(batch, id, text)
+          .where(col("line").rlike("\\S"))
+          .groupBy("_lk").agg(countDistinct(col(id)).as("nd"))
+          .write.parquet(shard)
+        true
+    }
+
+  /** The hot-line key set derived from the accumulated shards: line
+    * keys whose summed distinct-doc count crosses `minDocs`. Reads
+    * through the compaction watermark rule. */
+  def hotLinesFromShards(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    ShardWrite.readShards(spark, dir, "_lk STRING, nd BIGINT")
+      .groupBy("_lk").agg(sum(col("nd")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("_lk")
   }
+
+  /** [[lineDedup]] SERVED from the maintained line statistics: the hot
+    * set comes from the shards (zero corpus-wide mining jobs), only the
+    * documents being rewritten explode. Bit-identical to the fused path
+    * over the same corpus by count additivity; shares its oracle. */
+  def lineDedupFromShards(df: DataFrame, id: String, text: String,
+                          dir: String, minDocs: Int): DataFrame =
+    lineApplyHot(docLines(df, id, text), id,
+      hotLinesFromShards(df.sparkSession, dir, minDocs))
+
+  /** Fold the line-stat shards into one merged m-shard — counts
+    * re-aggregate by sum ([[ShardWrite.compactShards]] discipline). */
+  def compactLineStats(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): (Int, Int) =
+    ShardWrite.compactShards(spark, dir, "_lk STRING, nd BIGINT")(
+      _.groupBy("_lk").agg(sum(col("nd")).as("nd")))
 
   /** Unlock parallelism for tiny single-file inputs — the key-ed form of
     * [[Parallelism.ensureParallel]]: callers pass the expression their
@@ -312,10 +380,23 @@ object Dedup {
     * cross the final shuffle. */
   def exactSubstrSpans(df: DataFrame, id: String, text: String,
                        L: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(L >= 2, s"substring window must be >= 2 tokens, got $L")
-    val sh = shinglesPos(df, id, text, L)
+    spansFromWindows(substrWindows(df, id, text, L), L)
+  }
+
+  /** The mined (doc_id, i, h) window table — one definition shared by
+    * the fused path and the incremental appender so the two can never
+    * hash differently. */
+  private def substrWindows(df: DataFrame, id: String, text: String,
+                            L: Int): DataFrame =
+    shinglesPos(df, id, text, L)
       .select(col("doc_id"), col("i"), md5Hash60(col("shingle")).as("h"))
+
+  /** The span derivation over a window table — [[exactSubstrSpans]]'s
+    * whole decision half, factored so the shard-served path
+    * ([[exactSubstrSpansFromShards]]) replays the identical plan. */
+  private def spansFromWindows(sh: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // per-hash corpus stats: occurrence count + lexicographic-min
     // occurrence as an orderable struct (partial-aggregable min — no
     // corpus-scale window over skewed hash partitions)
@@ -339,6 +420,88 @@ object Dedup {
       .groupBy(col("doc_id"), col("g"))
       .agg(min("s").as("span_start"), max("e").as("span_end"))
       .select("doc_id", "span_start", "span_end")
+  }
+
+  // ---- incremental ExactSubstr: the window table as a maintained
+  // ---- artifact --------------------------------------------------------
+
+  private val SubstrWindowSchema = "doc_id BIGINT, i INT, h BIGINT"
+
+  /** Per-batch maintenance of the ExactSubstr WINDOW TABLE — the
+    * incremental twin of [[exactSubstrSpans]]'s mining half, closing
+    * the r14 verdict's "largest recurring recompute": each fresh-docs
+    * batch tokenizes and hashes ONCE, appending its (doc_id, i, h)
+    * rows to `$dir/batch=<id>` under the `_SUCCESS` claim discipline
+    * ([[ShardWrite.claimBatch]]). Rows are doc-disjoint across
+    * fresh-doc batches, so the shard union IS the whole-corpus window
+    * table and the span derivation at read is EXACT — duplicate
+    * windows across documents land in different shards and still meet
+    * in the read-side hash aggregation. `L` is the layout contract:
+    * recorded at the root on first append (the WAND `_span`
+    * discipline), verified on every later one — two window lengths in
+    * one table would make the hash keys incomparable. Returns false
+    * iff the shard already existed (replay). */
+  def substrWindowsAppend(batch: DataFrame, id: String, text: String,
+                          dir: String, batchId: Long, L: Int = 50): Boolean = {
+    require(L >= 2, s"substring window must be >= 2 tokens, got $L")
+    val spark = batch.sparkSession
+    verifyLMarker(spark, dir, L)
+    ShardWrite.claimBatch(spark, dir, batchId) match {
+      case None => false
+      case Some(shard) =>
+        substrWindows(batch, id, text, L).write.parquet(shard)
+        true
+    }
+  }
+
+  /** [[exactSubstrSpans]] SERVED from the maintained window table:
+    * zero tokenize/hash jobs at read — the mine ran once per batch at
+    * ingest. `L` re-derives from the recorded marker, never a
+    * caller-remembered number. */
+  def exactSubstrSpansFromShards(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame = {
+    val l = readLMarker(spark, dir).getOrElse(throw new IllegalStateException(
+      s"$dir has no _L marker — not a maintained ExactSubstr window table"))
+    spansFromWindows(ShardWrite.readShards(spark, dir, SubstrWindowSchema), l)
+  }
+
+  /** Fold the window-table shards into one merged m-shard — rows are
+    * doc-disjoint so the merge is the identity union
+    * ([[ShardWrite.compactShards]] discipline). */
+  def compactSubstrWindows(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): (Int, Int) =
+    ShardWrite.compactShards(spark, dir, SubstrWindowSchema)(identity)
+
+  private def verifyLMarker(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, l: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_L")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readLMarker(spark, dir) match {
+      case Some(existing) =>
+        require(existing == l,
+          s"$dir was mined with L=$existing; got L=$l — one window " +
+            "length per table (hash keys are L-bound)")
+      case None =>
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        out.write(l.toString.getBytes("UTF-8"))
+        out.close()
+    }
+  }
+
+  private def readLMarker(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_L")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](16)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
   }
 
   /** Apply the [[exactSubstrSpans]] cut list: each document's text

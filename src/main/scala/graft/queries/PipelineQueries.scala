@@ -445,15 +445,19 @@ object PipelineQueries {
     * stripped corpus-wide; each doc's own content line survives unless
     * the fixture duplicated that text across ≥5 docs (then BOTH sides
     * drop it — cross-doc semantics, not an artifact). */
-  def lineDedupQ(s: SparkSession, d: String): DataFrame = {
-    val dirty = documents(s, d).select(col("doc_id"),
+  def lineDedupQ(s: SparkSession, d: String): DataFrame =
+    Dedup.lineDedup(lineDedupFixture(s, d), "doc_id", "text", minDocs = 5)
+
+  /** The dirtied corpus `q_line_dedup` and `q_line_dedup_incr` share —
+    * one definition so the fused and shard-served rows rewrite the
+    * identical input. */
+  private def lineDedupFixture(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 2 === 0, lit("\nFollow us on social media"))
           .otherwise(lit("")),
         when(col("doc_id") % 3 === 0, concat(lit("\nShare this in "), col("lang")))
           .otherwise(lit(""))).as("text"))
-    Dedup.lineDedup(dirty, "doc_id", "text", minDocs = 5)
-  }
 
   /** Deterministic hash-based train/val/test assignment: md5-derived
     * bucket of the id string — engine-independent, order-uncorrelated,
@@ -789,6 +793,43 @@ object PipelineQueries {
 
   def substrDedupQ(s: SparkSession, d: String): DataFrame =
     Dedup.exactSubstrStats(par(documents(s, d)), "doc_id", "text", L = 8)
+
+  /** q_substr_incr: the INCREMENTALLY-MAINTAINED ExactSubstr — three
+    * hash-split batches tokenize + hash once each at ingest
+    * ([[Dedup.substrWindowsAppend]]), spans derive from the
+    * accumulated window shards with zero mining jobs at read
+    * ([[Dedup.exactSubstrSpansFromShards]]). Doc-disjoint batches make
+    * the shard union the exact whole-corpus window table, so the row
+    * shares `q_substr_spans`' oracle. */
+  def substrIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"substrincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.substrWindowsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b, L = 8)
+    }
+    Dedup.exactSubstrSpansFromShards(s, dir)
+  }
+
+  /** q_line_dedup_incr: the incrementally-maintained cross-doc line
+    * statistics ([[Dedup.lineStatsAppend]] — per-batch distinct-doc
+    * counts, additive across doc-disjoint batches), served by
+    * rewriting the corpus against the shard-derived hot set
+    * ([[Dedup.lineDedupFromShards]]). Same dirtied fixture and oracle
+    * as `q_line_dedup`. */
+  def lineDedupIncrQ(s: SparkSession, d: String): DataFrame = {
+    val dirty = lineDedupFixture(s, d)
+    val dir = cachedArtifacts(
+        s"lineincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.lineStatsAppend(
+          dirty.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+    }
+    Dedup.lineDedupFromShards(dirty, "doc_id", "text", dir, minDocs = 5)
+  }
 
   def substrApplyQ(s: SparkSession, d: String): DataFrame =
     Dedup.exactSubstrApply(par(documents(s, d)), "doc_id", "text", L = 8)
@@ -2070,6 +2111,7 @@ object PipelineQueries {
     "q_dup_ngrams"     -> (dupNgrams _),
     "q_dup_lines"      -> (dupLines _),
     "q_line_dedup"     -> (lineDedupQ _),
+    "q_line_dedup_incr" -> (lineDedupIncrQ _),
     "q_hash_split"     -> (hashSplit _),
     "q_split_leakproof" -> (splitLeakproofQ _),
     "q_pii_scrub"      -> (piiScrub _),
@@ -2090,6 +2132,7 @@ object PipelineQueries {
     "q_hybrid_wand_ann_retire" -> (hybridWandAnnRetireQ _),
     "q_hybrid_rrf_stored" -> (hybridRrfStoredQ _),
     "q_substr_spans"   -> (substrSpansQ _),
+    "q_substr_incr"    -> (substrIncrQ _),
     "q_substr_dedup"   -> (substrDedupQ _),
     "q_substr_apply"   -> (substrApplyQ _),
     "q_dsir_weights"   -> (dsirWeightsQ _),
@@ -2396,6 +2439,30 @@ object PipelineQueries {
        |FROM kwr FULL JOIN vr USING (doc_id)
        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** The cross-doc line-dedup oracle — identical dirty construction as
+    * [[lineDedupFixture]]; shared by `q_line_dedup` (fused mine) and
+    * `q_line_dedup_incr` (shard-served hot set). */
+  private val LineDedupSql: String =
+    """WITH dirty AS (SELECT doc_id,
+      |  text ||
+      |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Follow us on social media' ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Share this in ' || lang ELSE '' END AS t
+      |FROM documents),
+      |lines AS (SELECT doc_id,
+      |  unnest(string_split(t, chr(10))) AS line,
+      |  generate_subscripts(string_split(t, chr(10)), 1) AS pos
+      |FROM dirty),
+      |hot AS (SELECT line FROM lines
+      |        WHERE regexp_matches(line, '\S')
+      |        GROUP BY line
+      |        HAVING count(DISTINCT doc_id) >= 5),
+      |kept AS (SELECT l.* FROM lines l
+      |         WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.line = l.line))
+      |SELECT doc_id,
+      |  string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |  count(*) AS n_kept
+      |FROM kept GROUP BY doc_id""".stripMargin
+
   /** The DSIR oracle — the identical hashed unigram+bigram feature
     * stream, add-1-smoothed bucket multinomials (B=1024), per-doc
     * log-ratio sum. Shared by `q_dsir_weights` and `q_dsir_select`. */
@@ -2645,6 +2712,11 @@ object PipelineQueries {
     "q_substr_spans" ->
       s"""$SUBSTR_CTES
          |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,
+    // the shard-served spans are exact by doc-disjoint batch union, so
+    // the incremental row pins to the identical SQL
+    "q_substr_incr" ->
+      s"""$SUBSTR_CTES
+         |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,
     "q_substr_dedup" ->
       s"""$SUBSTR_CTES,
          |dl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
@@ -2773,27 +2845,11 @@ object PipelineQueries {
         |    / len(string_split(t, chr(10))) AS dup_line_frac
         |FROM lined""".stripMargin,
     // cross-doc line dedup: identical dirty construction as the engine;
-    // docs whose every line is boilerplate drop out of the group-by
-    "q_line_dedup" ->
-      """WITH dirty AS (SELECT doc_id,
-        |  text ||
-        |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Follow us on social media' ELSE '' END ||
-        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Share this in ' || lang ELSE '' END AS t
-        |FROM documents),
-        |lines AS (SELECT doc_id,
-        |  unnest(string_split(t, chr(10))) AS line,
-        |  generate_subscripts(string_split(t, chr(10)), 1) AS pos
-        |FROM dirty),
-        |hot AS (SELECT line FROM lines
-        |        WHERE regexp_matches(line, '\S')
-        |        GROUP BY line
-        |        HAVING count(DISTINCT doc_id) >= 5),
-        |kept AS (SELECT l.* FROM lines l
-        |         WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.line = l.line))
-        |SELECT doc_id,
-        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-        |  count(*) AS n_kept
-        |FROM kept GROUP BY doc_id""".stripMargin,
+    // docs whose every line is boilerplate drop out of the group-by.
+    // Count additivity over doc-disjoint batches makes the shard-served
+    // rewrite bit-identical to the fused one — the same SQL pins both.
+    "q_line_dedup" -> LineDedupSql,
+    "q_line_dedup_incr" -> LineDedupSql,
     "q_dup_ngrams" ->
       s"""WITH g AS (SELECT doc_id,
          |  CASE WHEN len($TOKS) >= 2

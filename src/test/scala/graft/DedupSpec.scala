@@ -420,6 +420,64 @@ class DedupSpec extends SparkSpec {
     assert(ls == Seq((2L, 3, 15)), ls.toString)
   }
 
+  test("incremental ExactSubstr/line-dedup: shard-served == fused; replay skips; compaction bit-stable; L-bound") {
+    def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx$i").mkString(" ")
+    val passage = toks("dup", 6)
+    val docs = Seq(
+      (1L, s"${toks("a", 5)} $passage ${toks("b", 5)}"),
+      (2L, s"${toks("c", 5)} $passage ${toks("d", 5)}"),
+      (3L, s"$passage ${toks("e", 4)} $passage"),
+      (4L, toks("z", 12))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("substr-incr").toString
+    // three doc-disjoint batches mine the window table once each
+    for (b <- 0L until 3L)
+      assert(Dedup.substrWindowsAppend(docs.where($"doc_id" % 3 === b),
+        "doc_id", "text", dir, b, L = 4))
+    def spans = Dedup.exactSubstrSpansFromShards(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val fused = Dedup.exactSubstrSpans(docs, "doc_id", "text", L = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == fused, s"shard-served spans diverged:\n$spans\nvs\n$fused")
+    // replay of a consumed batch skips; a DIFFERENT window length throws
+    assert(!Dedup.substrWindowsAppend(docs.where($"doc_id" % 3 === 1L),
+      "doc_id", "text", dir, 1L, L = 4))
+    val lx = intercept[IllegalArgumentException] {
+      Dedup.substrWindowsAppend(docs, "doc_id", "text", dir, 9L, L = 5)
+    }
+    assert(lx.getMessage.contains("L-bound") || lx.getMessage.contains("L=4"))
+    // compaction folds to one m-shard, spans bit-stable, replay skips
+    val (in1, out1) = Dedup.compactSubstrWindows(spark, dir)
+    assert(in1 == 3 && out1 == 1)
+    assert(spans == fused)
+    assert(!Dedup.substrWindowsAppend(docs.where($"doc_id" % 3 === 2L),
+      "doc_id", "text", dir, 2L, L = 4),
+      "a compaction-consumed batch must skip at the watermark")
+
+    // line-dedup twin over the boilerplate fixture
+    val ldocs = Seq(
+      (1L, "unique one\nSHARED FOOTER"),
+      (2L, "unique two\nSHARED FOOTER\nalso two"),
+      (3L, "SHARED FOOTER\nunique three"),
+      (4L, "SHARED FOOTER"),
+      (5L, "solo five")
+    ).toDF("doc_id", "text")
+    val ldir = java.nio.file.Files.createTempDirectory("line-incr").toString
+    for (b <- 0L until 3L)
+      assert(Dedup.lineStatsAppend(ldocs.where($"doc_id" % 3 === b),
+        "doc_id", "text", ldir, b))
+    def served = Dedup.lineDedupFromShards(ldocs, "doc_id", "text", ldir, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val lfused = Dedup.lineDedup(ldocs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(served == lfused)
+    assert(!Dedup.lineStatsAppend(ldocs.where($"doc_id" % 3 === 0L),
+      "doc_id", "text", ldir, 0L))
+    val (lin, lout) = Dedup.compactLineStats(spark, ldir)
+    assert(lin == 3 && lout == 1)
+    assert(served == lfused)
+  }
+
   test("exactSubstrApply rebuilds survivors in order; fully-covered docs drop out") {
     def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx$i").mkString(" ")
     val passage = toks("dup", 8)
