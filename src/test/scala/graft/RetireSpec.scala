@@ -226,6 +226,71 @@ class RetireSpec extends SparkSpec {
     assert(score == afterRetire, "restart replay double-subtracted")
   }
 
+  test("retire sink crash drill: deaths mid-fan-out AND mid-maintenance heal to the batch-twin state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("crash-retire")
+    val ckpt = tmp("crash-retire-ckpt")
+    // ingest baseline on two channels with different subtraction shapes
+    assert(TA.unigramCountsAppend(docs, "doc_id", "text", s"$dir/uni", 0L))
+    assert(GraphRank.pairsAppend(
+      Seq((1L, 2L), (3L, 7L), (2L, 7L)).toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b", s"$dir/graph", 0L))
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF.toDF("doc_id", "text")
+    // CRASH 1: die between the fan-out's two appends (first channel
+    // committed, second never ran) — the window the claim discipline
+    // exists for. CRASH 2: die INSIDE the maintenance window, after
+    // compacting one channel but before the other.
+    val dieInFanout = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val dieInMaint = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def sink() = graft.streaming.RetireStream.startRetireSink(
+        events, ckpt, trigger = Trigger.AvailableNow(),
+        compactEvery = 1,
+        maintenance = { _ =>
+          TA.compactUnigramCounts(spark, s"$dir/uni")
+          if (dieInMaint.getAndSet(false))
+            throw new RuntimeException("injected death inside maintenance")
+          GraphRank.compactPairShards(spark, s"$dir/graph")
+        })(
+      (b, id) => TA.unigramCountsRetire(b, "doc_id", "text", s"$dir/uni", id),
+      (b, id) => {
+        if (dieInFanout.getAndSet(false))
+          throw new RuntimeException("injected death mid-fan-out")
+        GraphRank.retireAppend(b, "doc_id", s"$dir/graph", id)
+      })
+    mem.addData((7L, "omega omega theta alpha"))
+    // attempt 1 dies mid-fan-out: the unigram retire landed, the graph
+    // one never ran, the checkpoint did not commit
+    val q1 = sink()
+    intercept[Exception] { q1.awaitTermination() }
+    // attempt 2 replays the SAME batch id: channel 1 skips (claim),
+    // channel 2 completes — then dies inside the maintenance window
+    // with the unigram channel compacted and the graph one untouched
+    val q2 = sink()
+    intercept[Exception] { q2.awaitTermination() }
+    // attempt 3 replays again: both appends skip, maintenance reruns
+    // end to end (compaction is replay-safe under the watermark), the
+    // checkpoint finally commits
+    val q3 = sink(); q3.awaitTermination()
+    // every channel equals its batch twin over the retained corpus
+    val fresh = tmp("crash-retire-fresh")
+    assert(TA.unigramCountsAppend(retained, "doc_id", "text", fresh, 0L))
+    def scoreAt(d: String) = TA.unigramXentFromCounts(
+        retained, "doc_id", "text", d)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(scoreAt(s"$dir/uni") == scoreAt(fresh),
+      "unigram channel did not heal to the retained-corpus twin")
+    assert(GraphRank.readRetainedPairs(spark, s"$dir/graph")
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet ==
+      Set(Set(1L, 2L)),
+      "graph channel did not heal to the retained edge set")
+    // a full restart once healthy is a pure no-op on every channel
+    val q4 = sink(); q4.awaitTermination()
+    assert(scoreAt(s"$dir/uni") == scoreAt(fresh))
+  }
+
   test("readOrEmpty: a never-written channel reads as zero rows of the declared schema") {
     val df = ShardWrite.readOrEmpty(spark, "/tmp/graft-no-such-dir-xyz",
       "doc_id LONG")
