@@ -624,18 +624,30 @@ object SemDeDupGate {
   /** The gate as a streaming sink: vectors stream → semantically-deduped
     * lake, one [[curateBatch]] per micro-batch inside foreachBatch;
     * recovers any interrupted maintenance at the top of every batch. */
+  /** `compactEvery` > 0 wires the maintenance window in on the
+    * [[NearDupGate.startNearDupSink]] cadence (batchId % compactEvery
+    * == compactEvery − 1): tombstone eviction first ([[evictRetired]] —
+    * so the compactor then folds already-clean lists), then
+    * [[compactState]]. Both run inside foreachBatch, where the
+    * stream's own appends are naturally paused, and both self-heal
+    * through [[recoverMaintenance]] at the top of every batch. */
   def startSemDeDupSink(vecs: DataFrame, outPath: String, statePath: String,
                         checkpoint: String,
                         trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                         minCos: Double = 0.8, nlist: Int = 16,
-                        nprobe: Int = 4): StreamingQuery =
+                        nprobe: Int = 4,
+                        compactEvery: Int = 0): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         recoverMaintenance(batch.sparkSession, outPath, statePath)
         curateBatch(batch, outPath, statePath, minCos, nlist, nprobe)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          evictRetired(batch.sparkSession, outPath, statePath)
+          compactState(batch.sparkSession, outPath, statePath)
+        }
         ()
       }
       .start()

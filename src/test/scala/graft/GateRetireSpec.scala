@@ -195,6 +195,31 @@ class GateRetireSpec extends SparkSpec {
       out, state, minCos = 0.9, nlist = 4, nprobe = 2) == 0L)
   }
 
+  test("SemDeDupGate sink wiring: compactEvery runs eviction in the maintenance window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    def vec() = Array.fill(dim)(rnd.nextGaussian()).toSeq
+    val dir = tmp("sdg-sink")
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    assert(SemDeDupGate.curateBatch(
+      (0 until 6).map(i => (i.toLong, vec())).toDF("vid", "v"),
+      out, state, minCos = 0.9, nlist = 4, nprobe = 2) == 6L)
+    assert(SemDeDupGate.retireAppend(Seq(1L).toDF("vid"), state, 0L))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData((50L, vec()))
+    val q = SemDeDupGate.startSemDeDupSink(
+      mem.toDF.toDF("vid", "v"), out, state, s"$dir/ckpt",
+      Trigger.AvailableNow(), minCos = 0.9, nlist = 4, nprobe = 2,
+      compactEvery = 1)
+    q.awaitTermination(60000)
+    // the maintenance window consumed the channel and scrubbed vid 1
+    assert(!fs(state).exists(new Path(s"$state/retire")))
+    assert(!spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$state/vecs").select("vid").as[Long].collect().contains(1L))
+  }
+
   test("SemDeDupGate: a crash mid-eviction heals through recoverMaintenance") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(dim)(rnd.nextGaussian())
