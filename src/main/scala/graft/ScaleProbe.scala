@@ -1835,6 +1835,30 @@ object RetireProbe {
     assert(tomb == freshTop, "tombstoned serve diverged from fresh index")
     println(s"[scale] bm25 tombstoned == fresh retained index (asserted), " +
       s"${plain.size}/${tomb.size} rows")
+    // WAND serving path (r15): block-max pruned serve with the SAME
+    // channel — stale block maxima only over-bound under deletion, so
+    // the pruned tombstoned serve must equal a fresh layout over the
+    // retained corpus, at the usual O(tombstones) anti-join overhead
+    graft.streaming.PostingsIndex.wandLayoutFrom(spark, s"$dir/tf",
+      s"$dir/wand", span = 4096L)
+    def wandServe(retire: Option[String]) = graft.streaming.PostingsIndex
+      .searchBm25Wand(spark, s"$dir/wand", s"$dir/dl", terms, 20,
+        retirePath = retire)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (_, wPlain) = timeIt(wandServe(None))
+    val (wTomb, tWTomb) = timeIt(wandServe(Some(s"$dir/retire")))
+    graft.streaming.PostingsIndex.wandLayoutFrom(spark, s"$fresh/tf",
+      s"$fresh/wand", span = 4096L)
+    val wFresh = graft.streaming.PostingsIndex
+      .searchBm25Wand(spark, s"$fresh/wand", s"$fresh/dl", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wTomb.map(_._1) == wFresh.map(_._1),
+      "tombstoned WAND serve diverged from the fresh retained layout")
+    wTomb.zip(wFresh).foreach { case ((id, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"doc $id: $a vs $b") }
+    println(f"[scale] bm25 WAND serve @$n: plain $wPlain%.2f s, " +
+      f"10%% tombstoned $tWTomb%.2f s (${tWTomb / wPlain}%.2fx); " +
+      "tombstoned == fresh retained layout (asserted)")
     // ANN side: SQ8 probe with/without tombstones
     val dim = 64
     val emb = spark.range(n).toDF("vec_id")
