@@ -1042,6 +1042,57 @@ object Similarity {
                          dir: String): (Int, Int) =
     ShardWrite.compactShards(spark, s"$dir/retire", "vid LONG")(_.distinct())
 
+  /** PHYSICAL tombstone fold — the maintenance-window completion of
+    * [[retireFromDir]], FAISS `remove_ids` made byte-real: rewrite the
+    * stored codes table WITHOUT the tombstoned rows, then CONSUME the
+    * channel, so the serve-time anti-join cost stops growing with
+    * takedown history. Serving is BIT-IDENTICAL before and after
+    * ([[readCodesRetained]] already subtracted the channel — the fold
+    * only moves the subtraction from read time to rest; the spec pins
+    * it). Codebooks, coarse lists and the meta geometry stay untouched
+    * (training is historical statistics, exactly the remove_ids
+    * contract); the `corpus_rows` sizing hint refreshes to the
+    * retained count. Loss-proof and crash-convergent through the
+    * shared eviction kernel ([[graft.streaming.LakeMaintenance
+    * .evictFromDir]]): the channel deletes LAST, so a death anywhere
+    * inside the window reruns the fold to the same final bytes — run
+    * it in the same paused window as compaction (mid-swap readers can
+    * transiently see duplicated retained rows, the documented
+    * compaction caveat). Returns true iff a fold ran (false: no
+    * channel, or nothing tombstoned intersects the codes). */
+  def foldRetired(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Boolean = {
+    val retP = new org.apache.hadoop.fs.Path(s"$dir/retire")
+    val fs = retP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(retP)) return false
+    val ids = ShardWrite.readShards(spark, s"$dir/retire", "vid LONG").persist()
+    try {
+      val rewrote = graft.streaming.LakeMaintenance.evictFromDir(
+        spark, s"$dir/codes", ids, "vid",
+        snapshotRoot = Some(s"$dir/codes"))
+      if (rewrote) {
+        // refresh the corpus_rows sizing hint to the retained count
+        val (metaFs, metaP) = canonicalMeta(spark, dir)
+        if (metaFs.exists(metaP)) {
+          import spark.implicits._
+          val rows = spark.read.parquet(s"$dir/codes").count()
+          val kept = spark.read.parquet(metaP.toString)
+            .collect().map(r => (r.getString(0), r.getString(1)))
+            .filterNot(_._1 == "corpus_rows")
+          (kept.toSeq :+ (("corpus_rows", rows.toString)))
+            .toDF("key", "value")
+            .write.mode("overwrite").parquet(metaP.toString)
+          invalidateNormalizedMeta(spark, dir)
+          corpusRowsCache.remove(metaP.toString)
+        }
+      }
+      // channel consumed only after the rewrite landed — the crash
+      // contract: a death before this delete reruns the fold
+      fs.delete(retP, true)
+      rewrote
+    } finally ids.unpersist()
+  }
+
   /** The stored codes minus the tombstone channel — what every probe
     * scans. A dir with no retire channel reads unchanged (the common
     * case costs one existence check, no extra plan nodes). */

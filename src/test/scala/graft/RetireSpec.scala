@@ -291,6 +291,69 @@ class RetireSpec extends SparkSpec {
     assert(scoreAt(s"$dir/uni") == scoreAt(fresh))
   }
 
+  test("ANN tombstone fold: physical remove_ids, serving bit-identical, crash-convergent") {
+    import graft.functions.Similarity
+    val dim = 16
+    val emb = spark.range(200L).toDF("vec_id")
+      .select(col("vec_id"), transform(sequence(lit(1), lit(dim)),
+        j => sin(col("vec_id") * j.cast("double") * 0.7321)).as("embedding"))
+    val dir = tmp("fold-ivfpq")
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir,
+      m = 4, ks = 8)
+    Similarity.retireFromDir(
+      emb.where(col("vec_id") % 10 === 7).select("vec_id"), "vec_id", dir, 0L)
+    def probe() = Similarity.ivfPqRerankFromDir(
+        emb, "vec_id", "embedding", dir, 0L, 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = probe() // channel-subtracted serve
+    assert(before.nonEmpty && !before.exists(_._1 % 10 == 7))
+    val codesBefore = spark.read.parquet(s"$dir/codes").count()
+    assert(Similarity.foldRetired(spark, dir), "fold must run")
+    val fsP = new org.apache.hadoop.fs.Path(s"$dir/retire")
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(fsP), "the channel must be consumed")
+    // physically gone, serving bit-identical, sizing hint refreshed
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.where(col("vid") % 10 === 7).isEmpty)
+    assert(codes.count() == codesBefore - 20)
+    assert(probe() == before, "fold changed the served ranking")
+    assert(spark.read.parquet(s"$dir/meta")
+      .where(col("key") === "corpus_rows").head().getString(1).toLong ==
+      codesBefore - 20)
+    // replay: a second fold with no channel is a no-op
+    assert(!Similarity.foldRetired(spark, dir))
+    // crash inside the swap window: filtered files renamed in, the
+    // originals back alongside (duplicated retained rows), channel
+    // still present — the rerun converges to the exact retained set
+    val codesP = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val aside = new org.apache.hadoop.fs.Path(tmp("fold-aside"))
+    val origs = fs.listStatus(codesP)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    origs.foreach { o =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, o.getPath, fs,
+        new org.apache.hadoop.fs.Path(aside, o.getPath.getName), false, true,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    Similarity.retireFromDir(
+      emb.where(col("vec_id") % 10 === 3).select("vec_id"), "vec_id", dir, 1L)
+    val wantAfter = probe() // channel-subtracted truth for %10==3,7 gone
+    // simulate: kernel ran, originals reappear, channel intact
+    graft.streaming.LakeMaintenance.evictFromDir(spark, s"$dir/codes",
+      emb.where(col("vec_id") % 10 === 3).select(col("vec_id").as("vid")),
+      "vid")
+    fs.listStatus(aside).foreach { o =>
+      fs.rename(o.getPath, new org.apache.hadoop.fs.Path(codesP, o.getPath.getName))
+    }
+    val dup = spark.read.parquet(s"$dir/codes")
+    assert(dup.count() > dup.dropDuplicates("vid").count(),
+      "the simulated window must actually duplicate retained rows")
+    assert(Similarity.foldRetired(spark, dir))
+    val healed = spark.read.parquet(s"$dir/codes")
+    assert(healed.where(col("vid") % 10 === 3).isEmpty)
+    assert(healed.count() == healed.dropDuplicates("vid").count())
+    assert(probe() == wantAfter, "post-crash fold diverged")
+  }
+
   test("readOrEmpty: a never-written channel reads as zero rows of the declared schema") {
     val df = ShardWrite.readOrEmpty(spark, "/tmp/graft-no-such-dir-xyz",
       "doc_id LONG")
