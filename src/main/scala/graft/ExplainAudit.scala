@@ -238,9 +238,25 @@ object ExplainAudit {
       "q_nb_retire",      // ingest − retire count channels union into
                           //   ONE bounded (class, bucket) aggregation —
                           //   the model grid stays C×B broadcast-scale
-      "q_multimodal_audiohash") // expect a pure MapPartitions codec
+      "q_multimodal_audiohash", // expect a pure MapPartitions codec
                           //   boundary (WAV decode + energy fold) —
                           //   no hash exchange; blobs never shuffle
+      "q_bm25_wand_retire", // tombstoned WAND: BOTH partition filters
+                          //   survive the retire anti-joins; the df
+                          //   correction joins as a broadcast literal
+      "q_hybrid_wand_ann_retire", // the takedown-aware endpoint keeps
+                          //   the q_hybrid_wand_ann shape: both
+                          //   partition filters + >=4 TakeOrdered cuts
+                          //   with O(tombstones) anti-joins layered in
+      "q_sim_ivfpq_rerank_retire", // retained-codes ADC shortlist into
+                          //   the exact-cosine rerank cut — the
+                          //   remove_ids serve, no retrain, no rewrite
+      "q_substr_incr",    // window table served from shards: NO
+                          //   tokenize/hash stage anywhere in the plan —
+                          //   the mine ran at ingest
+      "q_line_dedup_incr") // hot-line set from summed count shards
+                          //   broadcast into the anti-join; only the
+                          //   docs being rewritten explode
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")
