@@ -21,6 +21,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the full rows; set-semantics channels (pairs, postings, ANN codes)
   * use the ids alone.
   *
+  * The GATE channels ride the same sink (r15): [[NearDupGate
+  * .retireAppend]] / [[SemDeDupGate.retireAppend]] are
+  * (DataFrame, batchId) appenders like every other family's, so one
+  * event stream also evicts the gates' suppressing memory — their
+  * `evictRetired` maintenance then runs on the gates' own compaction
+  * cadence (`GateRetireSpec` pins the semantics; the fan-out contract
+  * here is the same claim-idempotence the other channels pin).
+  *
   * `maintenance` runs INSIDE foreachBatch on the `compactEvery` cadence
   * (batchId % compactEvery == compactEvery − 1) — the window where the
   * stream's own appends are naturally paused, the

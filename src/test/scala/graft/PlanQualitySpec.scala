@@ -385,6 +385,15 @@ class PlanQualitySpec extends SparkSpec {
     // TakeOrderedAndProject cut as the untombstoned probe
     val sr = physical("q_sim_sq_retire")
     assert(sr.contains("TakeOrderedAndProject"), sr.take(600))
+    // q_substr_incr: the ENTIRE point of the maintained window table is
+    // that serving never re-mines — the plan must contain no Generate
+    // (the shingle explode) and no tokenization; it is shard scans into
+    // hash aggregations + the bounded per-doc span windows
+    val si = physical("q_substr_incr")
+    assert(!si.contains("Generate"),
+      s"q_substr_incr re-mines at read (explode in plan):\n${si.take(900)}")
+    assert(!si.contains("minhash") && !si.contains("split("),
+      s"q_substr_incr tokenizes at read:\n${si.take(900)}")
     // q_pagerank_topk: the hub-serving cut compiles to
     // TakeOrderedAndProject over the |V|-scale rank table, never a
     // global sort
