@@ -1099,6 +1099,34 @@ object PipelineQueries {
       retirePath = Some(bm25RetireChannel(s, d)))
   }
 
+  /** q_bm25_fold: the PHYSICAL tombstone fold end to end ([[graft
+    * .streaming.PostingsIndex.foldRetiredPostings]]) — its OWN
+    * artifact build (the fold rewrites shards, so sharing
+    * `bm25StoredArtifacts` would tombstone the other rows' reads):
+    * ingest → retire channel → fold (tf/dl anti-joined into one
+    * m-shard each, df sidecar recomputed from retained tf, channel
+    * consumed) → serve WITH NO retirePath. Oracle = the retained-
+    * corpus df-bounded SQL, the SAME oracle as `q_bm25_retire` — so
+    * read-time subtraction and byte-real folding are pinned to the
+    * identical answer. */
+  def bm25FoldQ(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(
+        s"tffold:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      graft.streaming.PostingsIndex.tfIndexBatch(
+        par(documents(s, d)), 0L, s"$dir/tf", s"$dir/dl",
+        dfPath = Some(s"$dir/df"))
+      graft.streaming.PostingsIndex.retireAppend(
+        documents(s, d).where(RetiredPred).select("doc_id"),
+        s"$dir/retire", 0L)
+      graft.streaming.PostingsIndex.foldRetiredPostings(
+        s, s"$dir/tf", s"$dir/dl", s"$dir/retire",
+        dfPath = Some(s"$dir/df"))
+    }
+    graft.streaming.PostingsIndex.bm25FromStored(
+      s, s"$dir/tf", s"$dir/dl", Bm25Terms,
+      dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.5))
+  }
+
   /** The document tombstone channel every keyword-side retire row
     * shares: the `% 10 == 7` docs appended once per corpus
     * fingerprint. */
@@ -2148,6 +2176,7 @@ object PipelineQueries {
     "q_pagerank_retire" -> (pageRankRetireQ _),
     "q_cc_retire"      -> (ccRetireQ _),
     "q_bm25_retire"    -> (bm25RetireQ _),
+    "q_bm25_fold"      -> (bm25FoldQ _),
     "q_dsir_select"    -> (dsirSelectQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
@@ -2705,6 +2734,9 @@ object PipelineQueries {
     "q_nb_retire" -> retainedWrap(NbSql),
     "q_dsir_retire" -> retainedWrap(DsirSql),
     "q_bm25_retire" -> retainedWrap(Bm25DfBoundedSql),
+    // the PHYSICAL fold must serve the identical answer the read-time
+    // subtraction did — the same retained-corpus SQL pins both
+    "q_bm25_fold" -> retainedWrap(Bm25DfBoundedSql),
     "q_dsir_select" ->
       s"""SELECT w.* FROM ($DsirSql) w
          |JOIN documents d ON w.doc_id = d.doc_id AND d.lang <> 'en'

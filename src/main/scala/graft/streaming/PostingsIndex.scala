@@ -222,7 +222,8 @@ object PostingsIndex {
   private def compactWith(spark: SparkSession, indexPath: String,
                           merge: DataFrame => DataFrame,
                           writeMerged: (DataFrame, String) => Unit =
-                            (df, p) => df.write.mode("overwrite").parquet(p)): (Int, Int) = {
+                            (df, p) => df.write.mode("overwrite").parquet(p),
+                          force: Boolean = false): (Int, Int) = {
     val allDirs = shardDirs(spark, indexPath)
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -260,7 +261,10 @@ object PostingsIndex {
           .map(_.toString)), files)
       }
     }
-    if (dirs.length <= 1) return (dirs.length, dirs.length)
+    // `force` (the tombstone fold): a SINGLE live shard must still
+    // rewrite — the fold's merge drops rows, it is not a pure union
+    if (dirs.isEmpty || mergeInput.isEmpty || (!force && dirs.length <= 1))
+      return (dirs.length, dirs.length)
     val merged = merge(spark.read.parquet(mergeInput: _*))
     val stamp = java.lang.Long.toHexString(System.nanoTime())
     // the merged shard's name carries the replay watermark: the highest
@@ -686,6 +690,69 @@ object PostingsIndex {
                     retirePath: String): (Int, Int) =
     graft.functions.ShardWrite.compactShards(spark, retirePath,
       "doc_id LONG")(_.distinct())
+
+  /** PHYSICAL tombstone fold for the postings family — the maintenance
+    * completion of [[retireAppend]]: until now takedowns subtracted at
+    * READ forever, so the channel (and every serve's anti-join input)
+    * grew with takedown history. The fold makes deletions byte-real in
+    * ONE maintenance window, as a compaction variant:
+    *
+    *  - tf and dl live shards fold into one m-shard each WITHOUT the
+    *    retired docs' rows — [[compactWith]] with an anti-join merge,
+    *    replay watermark and token-bucket layout preserved (so later
+    *    appends still skip correctly and pruned reads still prune);
+    *  - the df summary sidecar REWRITES from the retained tf (df is a
+    *    per-token count over doc-level rows — recomputing it from the
+    *    already-folded tf is exact, and cheaper to reason about than
+    *    per-shard subtraction across unaligned compaction histories);
+    *  - the channel is consumed LAST, so a crash ANYWHERE inside the
+    *    window reruns the fold (each piece is an idempotent rewrite)
+    *    and serves correctly throughout (readers still subtract the
+    *    still-present channel).
+    *
+    * After the fold, serving WITHOUT `retirePath` equals the
+    * tombstoned serve before it (the oracle row pins this end to end).
+    * Version note: under [[Snapshot]] manifests the replaced shards
+    * retire into `_stale`, so PINNED pre-fold versions still resolve
+    * the pre-takedown corpus — vacuum retention is therefore the legal
+    * deletion horizon; without manifests there are no pinned reads and
+    * the fold is immediately global. Returns true iff a fold ran. */
+  def foldRetiredPostings(spark: SparkSession, tfPath: String,
+                          dlPath: String, retirePath: String,
+                          dfPath: Option[String] = None): Boolean = {
+    val retP = new Path(retirePath)
+    val fs = retP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(retP)) return false
+    val gone = retiredDocs(spark, retirePath).persist()
+    try {
+      if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      // distinct() makes the rerun CONVERGE across the non-manifest
+      // crash window (m-shard landed, originals not yet deleted →
+      // duplicated retained rows in the rerun's input): tf rows are
+      // unique per (token, doc) and dl rows per doc, so distinct
+      // collapses exactly the window's duplicates
+      compactWith(spark, tfPath,
+        _.join(gone, Seq("doc_id"), "left_anti").distinct(),
+        (df, p) => df.drop("tbucket")
+          .withColumn("tbucket", tokenBucket(col("token")))
+          .write.partitionBy("tbucket").mode("overwrite").parquet(p),
+        force = true)
+      compactWith(spark, dlPath,
+        _.join(gone, Seq("doc_id"), "left_anti").distinct(),
+        force = true)
+      dfPath.foreach { dp =>
+        val retainedDf = readTfIndex(spark, tfPath)
+          .groupBy("token", "tbucket").agg(count(lit(1)).as("df"))
+        compactWith(spark, dp, _ => retainedDf,
+          (df, p) => df.drop("tbucket")
+            .withColumn("tbucket", tokenBucket(col("token")))
+            .write.partitionBy("tbucket").mode("overwrite").parquet(p),
+          force = true)
+      }
+      fs.delete(retP, true)
+      true
+    } finally gone.unpersist()
+  }
 
   /** BM25 served from the STORED layout with REAL pruning: the query
     * terms' buckets are computed on the driver ([[tokenBucketLocal]],

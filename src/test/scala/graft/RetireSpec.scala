@@ -291,6 +291,62 @@ class RetireSpec extends SparkSpec {
     assert(scoreAt(s"$dir/uni") == scoreAt(fresh))
   }
 
+  test("postings tombstone fold: byte-real takedown, serving identical, crash-convergent") {
+    val dir = tmp("post-fold")
+    val (tfP, dlP, dfP, retP) =
+      (s"$dir/tf", s"$dir/dl", s"$dir/df", s"$dir/retire")
+    for (b <- 0L until 2L)
+      PostingsIndex.tfIndexBatch(docs.where($"doc_id" % 2 === b), b,
+        tfP, dlP, dfPath = Some(dfP))
+    PostingsIndex.retireAppend(retired.select("doc_id"), retP, 0L)
+    val terms = Seq("alpha", "zeta", "beta")
+    def serve(retire: Option[String]) = PostingsIndex.bm25FromStored(
+        spark, tfP, dlP, terms, dfPath = Some(dfP), maxDfFrac = Some(0.9),
+        retirePath = retire)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val truth = serve(Some(retP)) // read-time subtraction = the contract
+    assert(truth.nonEmpty && !truth.exists(_._1 == 7L))
+    // stash the pre-fold tf shard dirs to simulate the crash window
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(tmp("post-fold-aside"))
+    val preDirs = fs.listStatus(new org.apache.hadoop.fs.Path(tfP))
+      .filter(_.isDirectory).map(_.getPath)
+    preDirs.foreach { d =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, d, fs,
+        new org.apache.hadoop.fs.Path(aside, d.getName), false, true,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    assert(PostingsIndex.foldRetiredPostings(spark, tfP, dlP, retP,
+      dfPath = Some(dfP)), "fold must run")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(retP)),
+      "the channel must be consumed")
+    // byte-real: doc 7 gone from tf and dl; the UNRETIRED serve now
+    // equals the tombstoned serve exactly (the q_bm25_fold oracle pins
+    // this against DuckDB too)
+    assert(PostingsIndex.readTfIndex(spark, tfP)
+      .where($"doc_id" === 7L).isEmpty)
+    assert(serve(None) == truth, "folded serve diverged from the contract")
+    // a second fold with no channel is a no-op
+    assert(!PostingsIndex.foldRetiredPostings(spark, tfP, dlP, retP,
+      dfPath = Some(dfP)))
+    // crash window: the fold's m-shard landed but the consumed shard
+    // dirs came back (death before the deletes) AND the channel is
+    // still present (death before its delete) — the rerun converges
+    fs.listStatus(aside).foreach { d =>
+      fs.rename(d.getPath,
+        new org.apache.hadoop.fs.Path(s"$tfP/${d.getPath.getName}"))
+    }
+    PostingsIndex.retireAppend(retired.select("doc_id"), retP, 0L)
+    assert(PostingsIndex.foldRetiredPostings(spark, tfP, dlP, retP,
+      dfPath = Some(dfP)))
+    assert(serve(None) == truth, "post-crash fold diverged")
+    val tfRows = PostingsIndex.readTfIndex(spark, tfP)
+    assert(tfRows.count() ==
+      tfRows.dropDuplicates("token", "doc_id").count(),
+      "the rerun must collapse the crash window's duplicates")
+  }
+
   test("ANN tombstone fold: physical remove_ids, serving bit-identical, crash-convergent") {
     import graft.functions.Similarity
     val dim = 16
