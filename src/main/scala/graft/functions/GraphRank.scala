@@ -181,6 +181,41 @@ object GraphRank {
                   dir: String): DataFrame =
     ShardWrite.readShards(spark, s"$dir/retire", "doc_id LONG")
 
+  /** PHYSICAL tombstone fold for the edge list — the maintenance
+    * completion of [[retireAppend]]: [[readRetainedPairs]] pays two
+    * anti-joins against a tombstone set that grows with takedown
+    * history; the fold drops the tombstoned edges from the BYTES and
+    * consumes the channel. It rides [[ShardWrite.compactShards]] with
+    * the drop as the merge, which gives the loss-proof commit order
+    * for free AND the no-tie watermark guarantee: compaction only runs
+    * over ≥2 live shards, so the folded m-shard's watermark strictly
+    * exceeds the consumed one's — when the channel has tombstones but
+    * the pair table has nothing new to compact, the fold deliberately
+    * WAITS (returns false, channel kept; read-time subtraction remains
+    * correct) and piggybacks the next compaction cadence. Channel
+    * deletion is safe-by-set-semantics against retire replays: a
+    * re-appended tombstone anti-joins edges that no longer exist.
+    * Returns true iff the fold consumed the channel. */
+  def foldRetiredPairs(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Boolean = {
+    val retP = new org.apache.hadoop.fs.Path(s"$dir/retire")
+    val fs = retP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(retP)) return false
+    val gone = retiredDocs(spark, dir).persist()
+    try {
+      if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      val (in, _) = ShardWrite.compactShards(spark, s"$dir/pairs",
+          "doc_a LONG, doc_b LONG")(p =>
+        p.join(gone.withColumnRenamed("doc_id", "doc_a"),
+            Seq("doc_a"), "left_anti")
+          .join(gone.withColumnRenamed("doc_id", "doc_b"),
+            Seq("doc_b"), "left_anti"))
+      if (in <= 1) return false // nothing to compact — wait for ingest
+      fs.delete(retP, true)
+      true
+    } finally gone.unpersist()
+  }
+
   /** [[readPairShards]] minus every edge touching a tombstoned doc —
     * the retained-set edge view both graph serves (PageRank, CC) read.
     * Two anti-joins on the (usually small) tombstone side; AQE

@@ -1073,6 +1073,31 @@ object PipelineQueries {
     graft.functions.GraphRank.pageRankFromPairsRetained(s, pairRetireDir(s, d))
       .select(col("node").as("doc_id"), col("rank"))
 
+  /** q_pagerank_fold: the edge list's PHYSICAL tombstone fold
+    * ([[graft.functions.GraphRank.foldRetiredPairs]]) — two pair-shard
+    * appends (the fold needs ≥2 live shards: it rides compaction, so
+    * its watermark strictly increases) + the retire channel, folded to
+    * one retained m-shard with the channel consumed; the rank then
+    * derives from the PLAIN pair read (no anti-joins anywhere in the
+    * plan). Shares `q_pagerank_retire`'s retained-corpus oracle. */
+  def pageRankFoldQ(s: SparkSession, d: String): DataFrame = {
+    val src = pairShardsDir(s, d)
+    val dir = cachedArtifacts(
+        s"prfold:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      val pairs = graft.functions.GraphRank.readPairShards(s, src)
+      for (b <- 0L until 2L)
+        graft.functions.GraphRank.pairsAppend(
+          pairs.where(TA.hashBucket(col("doc_a"), 2) === b),
+          "doc_a", "doc_b", dir, b)
+      graft.functions.GraphRank.retireAppend(
+        documents(s, d).where(RetiredPred), "doc_id", dir, 0L)
+      require(graft.functions.GraphRank.foldRetiredPairs(s, dir),
+        "pair fold must consume the channel at two live shards")
+    }
+    graft.functions.GraphRank.pageRankFromPairs(s, dir)
+      .select(col("node").as("doc_id"), col("rank"))
+  }
+
   /** q_cc_retire: connected components over the SAME retained edge view
     * — tombstoned docs leave their duplicate clusters at read; the
     * components equal a re-mine + recompute over the retained corpus
@@ -1125,6 +1150,39 @@ object PipelineQueries {
     graft.streaming.PostingsIndex.bm25FromStored(
       s, s"$dir/tf", s"$dir/dl", Bm25Terms,
       dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.5))
+  }
+
+  /** q_bm25_wand_fold: the WAND layout's physical tombstone fold end
+    * to end ([[graft.streaming.PostingsIndex.foldRetiredWand]]) — its
+    * own maintained (sharded) layout + its own channels (one per
+    * family dir, the RetireStream fan-out shape): batch appends →
+    * retire → postings fold (dl must lose the docs too — N/avgdl) +
+    * WAND fold (tf rows dropped, block-max sidecar RECOMPUTED from
+    * retained rows) → serve with NO retirePath. Shares
+    * `q_bm25_wand_retire`'s retained-corpus oracle: read-time
+    * subtraction and byte-real folding pinned identical on the pruned
+    * path too. */
+  def bm25WandFoldQ(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(
+        s"wandfold:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      val docs = par(documents(s, d))
+      for (b <- 0L until 3L) {
+        val slice = docs.where(TA.hashBucket(col("doc_id"), 3) === b)
+        graft.streaming.PostingsIndex.tfIndexBatch(
+          slice, b, s"$dir/tf", s"$dir/dl")
+        graft.streaming.PostingsIndex.wandIndexBatch(
+          slice, b, s"$dir/wand", span = 1024L)
+      }
+      val ret = documents(s, d).where(RetiredPred).select("doc_id")
+      graft.streaming.PostingsIndex.retireAppend(ret, s"$dir/retP", 0L)
+      graft.streaming.PostingsIndex.retireAppend(ret, s"$dir/retW", 0L)
+      graft.streaming.PostingsIndex.foldRetiredPostings(
+        s, s"$dir/tf", s"$dir/dl", s"$dir/retP")
+      graft.streaming.PostingsIndex.foldRetiredWand(
+        s, s"$dir/wand", s"$dir/retW")
+    }
+    graft.streaming.PostingsIndex.searchBm25Wand(
+      s, s"$dir/wand", s"$dir/dl", Bm25Terms, 20)
   }
 
   /** The document tombstone channel every keyword-side retire row
@@ -2174,9 +2232,11 @@ object PipelineQueries {
     "q_unigram_retire" -> (unigramRetireQ _),
     "q_cms_retire"     -> (cmsRetireQ _),
     "q_pagerank_retire" -> (pageRankRetireQ _),
+    "q_pagerank_fold"  -> (pageRankFoldQ _),
     "q_cc_retire"      -> (ccRetireQ _),
     "q_bm25_retire"    -> (bm25RetireQ _),
     "q_bm25_fold"      -> (bm25FoldQ _),
+    "q_bm25_wand_fold" -> (bm25WandFoldQ _),
     "q_dsir_select"    -> (dsirSelectQ _),
     "q_minhash_join"   -> (minhashJoin _),
     "q_dedup_groups"   -> (dedupGroups _),
@@ -2698,6 +2758,11 @@ object PipelineQueries {
     "q_bm25_wand_retire" ->
       s"""SELECT * FROM (${retainedWrap(Bm25Sql)})
          |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // the physically-folded layout must serve what the channel-
+    // subtracted one did — the same retained-corpus SQL pins both
+    "q_bm25_wand_fold" ->
+      s"""SELECT * FROM (${retainedWrap(Bm25Sql)})
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     // RRF: both rank windows order by the ROUNDED score then id (the
     // engine's exact discipline), the reciprocal arithmetic is spelled
     // with the same op order, and row_number casts to INTEGER to match
@@ -2995,6 +3060,10 @@ object PipelineQueries {
     // existence is pairwise), same unrolled iterations — the outer
     // documents CTE shadows the table for the nested pairs subquery
     "q_pagerank_retire" -> retainedWrap(
+      graft.functions.GraphRank.pageRankOracleSql(
+        Dedup.minhashPairsOracleSql())),
+    // byte-real edge fold = the same retained edge view, channel gone
+    "q_pagerank_fold" -> retainedWrap(
       graft.functions.GraphRank.pageRankOracleSql(
         Dedup.minhashPairsOracleSql())),
     // the same retained edge view through the CC serve

@@ -1016,6 +1016,62 @@ object PostingsIndex {
     (tfRes, bmRes)
   }
 
+  /** PHYSICAL tombstone fold for the MAINTAINED WAND layout — the
+    * [[foldRetiredPostings]] twin on the serving structure: the
+    * tombstoned WAND serve pays anti-joins per query AND loses pruning
+    * power over time (stale block maxima only over-bound); the fold
+    * drops the retired docs' tf rows from the bytes, RECOMPUTES the
+    * block-max sidecar from the retained rows (fresh maxima — pruning
+    * power restored), and consumes the channel. Same commit order as
+    * [[compactWandShards]] (forced, so a single live shard still
+    * rewrites); the tf merge's distinct() converges the non-manifest
+    * crash window. While the channel exists — including mid-crash —
+    * serving stays correct by passing `retirePath` (the r15 serving
+    * contract); once consumed, the unretired serve IS the retained
+    * serve. One-shot [[wandLayoutFrom]] layouts have no shard dirs to
+    * fold — rebuild them from the folded tf artifact instead (the
+    * error message says so). Returns true iff the fold consumed the
+    * channel. */
+  def foldRetiredWand(spark: SparkSession, wandPath: String,
+                      retirePath: String): Boolean = {
+    val span = readSpanMarker(spark, wandPath).getOrElse(
+      throw new IllegalStateException(
+        s"$wandPath has no _span marker — not a maintained WAND layout"))
+    val retP = new Path(retirePath)
+    val fs = retP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(retP)) return false
+    require(shardDirs(spark, s"$wandPath/tf").nonEmpty,
+      s"$wandPath/tf has no shard dirs — a one-shot wandLayoutFrom " +
+        "layout folds by REBUILDING from the folded tf artifact " +
+        "(foldRetiredPostings then wandLayoutFrom), not in place")
+    val gone = retiredDocs(spark, retirePath).persist()
+    try {
+      if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      compactWith(spark, s"$wandPath/tf",
+        _.join(gone, Seq("doc_id"), "left_anti").distinct(),
+        (df, p) => df
+          .drop("tbucket", "dblock")
+          .withColumn("tbucket", tokenBucket(col("token")))
+          .withColumn("dblock", docBlock(col("doc_id"), span))
+          .write.partitionBy("tbucket", "dblock").mode("overwrite").parquet(p),
+        force = true)
+      // sidecar: recompute from the FOLDED tf — block identity from
+      // (doc_id, span), never the dir name; fresh maxima, exact df
+      val retainedBm = spark.read
+        .schema("token STRING, doc_id BIGINT, tf BIGINT, tbucket INT, dblock BIGINT")
+        .parquet(s"$wandPath/tf")
+        .groupBy(col("token"), docBlock(col("doc_id"), span).as("dblock"))
+        .agg(max(col("tf")).as("max_tf"), count(lit(1)).as("df"))
+      compactWith(spark, s"$wandPath/bm", _ => retainedBm,
+        (df, p) => df
+          .withColumn("tbucket", tokenBucket(col("token")))
+          .write.partitionBy("tbucket").mode("overwrite").parquet(p),
+        force = true)
+      fs.delete(retP, true)
+      true
+    } finally gone.unpersist()
+  }
+
   /** The layout's block-span contract, recorded at the root: writers
     * record it once, rewrites re-derive `dblock` from it, and a
     * conflicting span THROWS — two spans in one layout would scatter

@@ -347,6 +347,106 @@ class RetireSpec extends SparkSpec {
       "the rerun must collapse the crash window's duplicates")
   }
 
+  test("pairs fold: byte-real edge drop, waits without a strictly-increasing watermark") {
+    val dir = tmp("pairs-fold")
+    // ONE live shard: the fold must WAIT (no strictly-increasing
+    // watermark possible), keeping the channel — read-time subtraction
+    // stays the serving contract
+    assert(GraphRank.pairsAppend(
+      Seq((1L, 2L), (2L, 7L), (3L, 7L)).toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b", dir, 0L))
+    assert(GraphRank.retireAppend(retired, "doc_id", dir, 0L))
+    assert(!GraphRank.foldRetiredPairs(spark, dir),
+      "a single live shard must not fold (watermark tie)")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/retire")),
+      "the channel must survive a waiting fold")
+    def retained = GraphRank.readRetainedPairs(spark, dir)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(retained == Set(Set(1L, 2L)))
+    // a second shard arrives: now the fold runs, edges leave the BYTES,
+    // the channel is consumed, and the PLAIN read equals the retained view
+    assert(GraphRank.pairsAppend(
+      Seq((2L, 3L), (4L, 7L)).toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b", dir, 1L))
+    assert(GraphRank.foldRetiredPairs(spark, dir))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/retire")))
+    assert(GraphRank.readPairShards(spark, dir)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet ==
+      Set(Set(1L, 2L), Set(2L, 3L)),
+      "tombstoned edges must be gone from the plain read")
+    // a consumed-batch replay still skips at the folded watermark, and
+    // a REPLAYED retire is inert by set semantics (its edges are gone)
+    assert(!GraphRank.pairsAppend(
+      Seq((2L, 3L), (4L, 7L)).toDF("doc_a", "doc_b"),
+      "doc_a", "doc_b", dir, 1L))
+    assert(GraphRank.retireAppend(retired, "doc_id", dir, 0L))
+    assert(retained == Set(Set(1L, 2L), Set(2L, 3L)))
+  }
+
+  test("WAND fold: byte-real, sidecar recomputed (pruning power restored), serve identical") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = tmp("wand-fold")
+    val (tfP, dlP, wP) = (s"$dir/tf", s"$dir/dl", s"$dir/wand")
+    // planted skew: docs 0-49 heavy on 'mid'; retire the heavy half of
+    // block 0 so the recomputed block maxima genuinely DROP
+    val wdocs = (0L until 200L).map { i =>
+      val text =
+        if (i < 50) ("mid " * 12) + "common"
+        else if (i % 2 == 0) "mid common pad pad"
+        else "common pad pad pad"
+      (i, text)
+    }.toDF("doc_id", "text")
+    for (b <- 0L until 2L) {
+      val slice = wdocs.where($"doc_id" % 2 === b)
+      PostingsIndex.tfIndexBatch(slice, b, tfP, dlP)
+      PostingsIndex.wandIndexBatch(slice, b, wP, span = 50L)
+    }
+    val gone = wdocs.where($"doc_id" < 40).select("doc_id")
+    PostingsIndex.retireAppend(gone, s"$dir/retP", 0L)
+    PostingsIndex.retireAppend(gone, s"$dir/retW", 0L)
+    val terms = Seq("mid", "common")
+    def serve() = PostingsIndex.searchBm25Wand(spark, wP, dlP, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val truth = PostingsIndex.searchBm25Wand(spark, wP, dlP, terms, 10,
+        retirePath = Some(s"$dir/retW"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def maxMid = spark.read
+      .schema("token STRING, dblock BIGINT, max_tf BIGINT, df BIGINT, tbucket INT")
+      .parquet(s"$wP/bm").where(c("token") === "mid" && c("dblock") === 0L)
+      .agg(org.apache.spark.sql.functions.max(c("max_tf"))).head().getLong(0)
+    assert(maxMid == 12L)
+    PostingsIndex.foldRetiredPostings(spark, tfP, dlP, s"$dir/retP")
+    assert(PostingsIndex.foldRetiredWand(spark, wP, s"$dir/retW"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/retW")))
+    // byte-real + identical serve with NO channel
+    val folded = serve()
+    assert(folded.map(_._1) == truth.map(_._1),
+      s"folded WAND serve diverged:\n$folded\nvs\n$truth")
+    folded.zip(truth).foreach { case ((id, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9, s"doc $id: $a vs $b") }
+    assert(folded.forall(_._1 >= 40))
+    // pruning power restored: block 0 still holds heavy docs 40-49, so
+    // its max stays 12, but the sidecar rows now count RETAINED df only
+    assert(maxMid == 12L)
+    val dfMid = spark.read
+      .schema("token STRING, dblock BIGINT, max_tf BIGINT, df BIGINT, tbucket INT")
+      .parquet(s"$wP/bm").where(c("token") === "mid" && c("dblock") === 0L)
+      .agg(org.apache.spark.sql.functions.sum(c("df"))).head().getLong(0)
+    assert(dfMid == 10L, s"block-0 df must be the 10 retained heavy docs, got $dfMid")
+    // one-shot layouts refuse in-place folding with a pointed error
+    val oneShot = s"$dir/oneshot"
+    PostingsIndex.wandLayoutFrom(spark, tfP, oneShot, span = 50L)
+    PostingsIndex.retireAppend(gone, s"$dir/retO", 0L)
+    val e = intercept[IllegalArgumentException] {
+      PostingsIndex.foldRetiredWand(spark, oneShot, s"$dir/retO")
+    }
+    assert(e.getMessage.contains("wandLayoutFrom"))
+  }
+
   test("ANN tombstone fold: physical remove_ids, serving bit-identical, crash-convergent") {
     import graft.functions.Similarity
     val dim = 16
