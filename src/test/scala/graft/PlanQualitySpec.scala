@@ -232,6 +232,10 @@ class PlanQualitySpec extends SparkSpec {
       "q_dsir_retire",  // the dsir totals attach over ingest − retire
       "q_unigram_retire", // the corpus-token-count scalar, retire-netted
       "q_bm25_retire",  // the (N, avgdl) scalar over the retained dl
+      "q_bm25_fold",    // the same scalar over the FOLDED dl — the
+                        // byte-real takedown serve, channel gone
+      "q_bm25_wand_fold", // the q_bm25_wand scalar shapes over the
+                        // folded layout (keyed joins only otherwise)
       "q_hybrid_wand_ann", // bm25 scalar attach + one-row query-vector
                         // cross, the q_hybrid_rrf shapes over the
                         // WAND + IVFADC+R serving reads
