@@ -154,14 +154,49 @@ object Dedup {
         true
     }
 
+  /** TOMBSTONES for the line-statistics channel — the count-channel
+    * retire shape ([[graft.functions.TextAnalysis.unigramCountsRetire]]'s
+    * discipline): the retired docs' per-line distinct-doc contributions
+    * append POSITIVE to `retireDir` under the `_SUCCESS` claim rule, and
+    * [[hotLinesFromShards]] subtracts them at read. Exact by additivity:
+    * fresh-doc batches are doc-disjoint, so a retired doc's contribution
+    * to each line key is exactly the rows this replay re-derives — the
+    * netted counts equal a recompute over the retained corpus. The
+    * channel is NOT folded into the count shards (the unigram/DSIR/NB/
+    * CMS rationale: count re-subtraction is not idempotent, and the
+    * subtraction input is line-vocabulary-bounded after its own
+    * [[compactLineStats]]-style compaction, not takedown-history-
+    * bounded). Returns false iff the shard already existed (replay). */
+  def lineStatsRetire(batch: DataFrame, id: String, text: String,
+                      retireDir: String, batchId: Long): Boolean =
+    ShardWrite.claimBatch(batch.sparkSession, retireDir, batchId) match {
+      case None => false
+      case Some(shard) =>
+        docLines(batch, id, text)
+          .where(col("line").rlike("\\S"))
+          .groupBy("_lk").agg(countDistinct(col(id)).as("nd"))
+          .write.parquet(shard)
+        true
+    }
+
   /** The hot-line key set derived from the accumulated shards: line
     * keys whose summed distinct-doc count crosses `minDocs`. Reads
-    * through the compaction watermark rule. */
+    * through the compaction watermark rule; a retire channel
+    * ([[lineStatsRetire]]) subtracts — a line key netted to zero
+    * vanished with its documents and must not gate anything. */
   def hotLinesFromShards(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, minDocs: Int): DataFrame = {
+                         dir: String, minDocs: Int,
+                         retirePath: Option[String] = None): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    ShardWrite.readShards(spark, dir, "_lk STRING, nd BIGINT")
-      .groupBy("_lk").agg(sum(col("nd")).as("nd"))
+    val live = ShardWrite.readShards(spark, dir, "_lk STRING, nd BIGINT")
+    val netted = retirePath match {
+      case None => live
+      case Some(rp) =>
+        live.unionByName(
+          ShardWrite.readShards(spark, rp, "_lk STRING, nd BIGINT")
+            .select(col("_lk"), (-col("nd")).as("nd")))
+    }
+    netted.groupBy("_lk").agg(sum(col("nd")).as("nd"))
       .where(col("nd") >= minDocs)
       .select("_lk")
   }
@@ -169,11 +204,14 @@ object Dedup {
   /** [[lineDedup]] SERVED from the maintained line statistics: the hot
     * set comes from the shards (zero corpus-wide mining jobs), only the
     * documents being rewritten explode. Bit-identical to the fused path
-    * over the same corpus by count additivity; shares its oracle. */
+    * over the same corpus by count additivity; shares its oracle. With
+    * `retirePath`, the hot set decides over RETAINED counts — callers
+    * pass the retained document set to rewrite. */
   def lineDedupFromShards(df: DataFrame, id: String, text: String,
-                          dir: String, minDocs: Int): DataFrame =
+                          dir: String, minDocs: Int,
+                          retirePath: Option[String] = None): DataFrame =
     lineApplyHot(docLines(df, id, text), id,
-      hotLinesFromShards(df.sparkSession, dir, minDocs))
+      hotLinesFromShards(df.sparkSession, dir, minDocs, retirePath))
 
   /** Fold the line-stat shards into one merged m-shard — counts
     * re-aggregate by sum ([[ShardWrite.compactShards]] discipline). */
@@ -457,13 +495,52 @@ object Dedup {
   /** [[exactSubstrSpans]] SERVED from the maintained window table:
     * zero tokenize/hash jobs at read — the mine ran once per batch at
     * ingest. `L` re-derives from the recorded marker, never a
-    * caller-remembered number. */
+    * caller-remembered number. With `retirePath` (a doc-id tombstone
+    * channel — [[windowRetireAppend]]), the retired docs' window rows
+    * anti-join out BEFORE the span derivation: the window table is
+    * doc-keyed, so the retained rows are EXACTLY the retained corpus's
+    * window table — a window repeated only because of a retired doc
+    * correctly stops being marked, and the retired doc's own spans
+    * vanish. Equality with a retained-corpus recompute is the oracle
+    * row's pin, not an approximation. */
   def exactSubstrSpansFromShards(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): DataFrame = {
+                                 dir: String,
+                                 retirePath: Option[String] = None): DataFrame = {
     val l = readLMarker(spark, dir).getOrElse(throw new IllegalStateException(
       s"$dir has no _L marker — not a maintained ExactSubstr window table"))
-    spansFromWindows(ShardWrite.readShards(spark, dir, SubstrWindowSchema), l)
+    spansFromWindows(readWindowsRetained(spark, dir, retirePath), l)
   }
+
+  /** The accumulated window rows minus a tombstone channel — what the
+    * span derivation scans. No channel → the plain read, zero extra
+    * plan nodes. */
+  private def readWindowsRetained(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String,
+                                  retirePath: Option[String]): DataFrame = {
+    val rows = ShardWrite.readShards(spark, dir, SubstrWindowSchema)
+    retirePath match {
+      case None => rows
+      case Some(rp) =>
+        rows.join(ShardWrite.readShards(spark, rp, "doc_id LONG"),
+          Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** TOMBSTONES for the window-mine families: doc ids leaving the
+    * corpus append to `retirePath` under the `_SUCCESS` claim
+    * discipline — the doc-id-SET channel shape shared with the
+    * postings/pairs/codes families. Readers subtract by anti-join
+    * ([[exactSubstrSpansFromShards]]); [[foldRetiredWindows]] makes the
+    * deletion byte-real later. Returns false iff the shard already
+    * existed (replay). */
+  def windowRetireAppend(docIds: DataFrame, idCol: String,
+                         retirePath: String, batchId: Long): Boolean =
+    ShardWrite.claimBatch(docIds.sparkSession, retirePath, batchId) match {
+      case None => false
+      case Some(shard) =>
+        docIds.select(col(idCol).as("doc_id")).distinct().write.parquet(shard)
+        true
+    }
 
   /** Fold the window-table shards into one merged m-shard — rows are
     * doc-disjoint so the merge is the identity union
@@ -471,6 +548,34 @@ object Dedup {
   def compactSubstrWindows(spark: org.apache.spark.sql.SparkSession,
                            dir: String): (Int, Int) =
     ShardWrite.compactShards(spark, dir, SubstrWindowSchema)(identity)
+
+  /** PHYSICAL tombstone fold for the window table — the maintenance
+    * completion of [[windowRetireAppend]], same shape as the edge
+    * list's ([[GraphRank.foldRetiredPairs]]): the retired docs' rows
+    * drop from the BYTES as a compaction variant (anti-join merge, so
+    * the loss-proof commit order and the strictly-increasing watermark
+    * come from [[ShardWrite.compactShards]] for free), then the channel
+    * is consumed. Window rows are doc-keyed SETS, so channel deletion
+    * is replay-safe (a re-appended tombstone anti-joins rows that no
+    * longer exist). With fewer than two live shards there is nothing to
+    * compact and the fold WAITS (returns false, channel kept — read-
+    * time subtraction stays correct) for the next ingest cadence.
+    * Returns true iff the fold consumed the channel. */
+  def foldRetiredWindows(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, retirePath: String): Boolean = {
+    val retP = new org.apache.hadoop.fs.Path(retirePath)
+    val fs = retP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(retP)) return false
+    val gone = ShardWrite.readShards(spark, retirePath, "doc_id LONG").persist()
+    try {
+      if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      val (in, _) = ShardWrite.compactShards(spark, dir, SubstrWindowSchema)(
+        _.join(gone, Seq("doc_id"), "left_anti"))
+      if (in <= 1) return false // nothing to compact — wait for ingest
+      fs.delete(retP, true)
+      true
+    } finally gone.unpersist()
+  }
 
   private def verifyLMarker(spark: org.apache.spark.sql.SparkSession,
                             dir: String, l: Int): Unit = {

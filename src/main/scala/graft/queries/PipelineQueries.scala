@@ -813,6 +813,50 @@ object PipelineQueries {
     Dedup.exactSubstrSpansFromShards(s, dir)
   }
 
+  /** q_substr_retire: document tombstones on the maintained window
+    * table — full-corpus ingest (three hash-split window-shard
+    * appends) then ONE retire batch recording the tombstoned doc ids
+    * ([[Dedup.windowRetireAppend]]); the span derivation anti-joins
+    * the retired docs' rows out at read. The window table is
+    * doc-keyed, so retained rows ARE the retained corpus's window
+    * table — the oracle recomputes `q_substr_spans` over the retained
+    * corpus and equality is exact, not approximate. */
+  def substrRetireQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"substrret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.substrWindowsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", s"$dir/win", b, L = 8)
+      Dedup.windowRetireAppend(docs.where(RetiredPred), "doc_id",
+        s"$dir/ret", 0L)
+    }
+    Dedup.exactSubstrSpansFromShards(s, s"$dir/win", Some(s"$dir/ret"))
+  }
+
+  /** q_substr_fold: the window table's PHYSICAL tombstone fold end to
+    * end ([[Dedup.foldRetiredWindows]]) — same ingest + retire as
+    * `q_substr_retire`, then the fold drops the retired docs' rows
+    * from the BYTES (anti-join compaction merge, channel consumed) and
+    * the serve runs with NO retirePath. Shares `q_substr_retire`'s
+    * retained-corpus oracle: read-time subtraction and byte-real
+    * folding pinned identical. */
+  def substrFoldQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"substrfold:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.substrWindowsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", s"$dir/win", b, L = 8)
+      Dedup.windowRetireAppend(docs.where(RetiredPred), "doc_id",
+        s"$dir/ret", 0L)
+      Dedup.foldRetiredWindows(s, s"$dir/win", s"$dir/ret")
+    }
+    Dedup.exactSubstrSpansFromShards(s, s"$dir/win")
+  }
+
   /** q_line_dedup_incr: the incrementally-maintained cross-doc line
     * statistics ([[Dedup.lineStatsAppend]] — per-batch distinct-doc
     * counts, additive across doc-disjoint batches), served by
@@ -829,6 +873,30 @@ object PipelineQueries {
           "doc_id", "text", dir, b)
     }
     Dedup.lineDedupFromShards(dirty, "doc_id", "text", dir, minDocs = 5)
+  }
+
+  /** q_line_dedup_retire: tombstones on the maintained line
+    * statistics — full-corpus ingest (three count-shard appends) then
+    * ONE retire batch replaying the tombstoned docs' per-line
+    * distinct-doc contributions on the SAME dirtied text
+    * ([[Dedup.lineStatsRetire]]); the hot-line decision nets
+    * ingest − retire (exact by doc-disjoint additivity) and the
+    * RETAINED docs are rewritten against it. Oracle = `q_line_dedup`'s
+    * SQL over the retained corpus — a footer hot only because of
+    * retired docs must stop being stripped. */
+  def lineDedupRetireQ(s: SparkSession, d: String): DataFrame = {
+    val dirty = lineDedupFixture(s, d)
+    val dir = cachedArtifacts(
+        s"lineret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.lineStatsAppend(
+          dirty.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", s"$dir/cnt", b)
+      Dedup.lineStatsRetire(dirty.where(RetiredPred), "doc_id", "text",
+        s"$dir/ret", 0L)
+    }
+    Dedup.lineDedupFromShards(dirty.where(RetainedPred), "doc_id", "text",
+      s"$dir/cnt", minDocs = 5, Some(s"$dir/ret"))
   }
 
   def substrApplyQ(s: SparkSession, d: String): DataFrame =
@@ -2198,6 +2266,7 @@ object PipelineQueries {
     "q_dup_lines"      -> (dupLines _),
     "q_line_dedup"     -> (lineDedupQ _),
     "q_line_dedup_incr" -> (lineDedupIncrQ _),
+    "q_line_dedup_retire" -> (lineDedupRetireQ _),
     "q_hash_split"     -> (hashSplit _),
     "q_split_leakproof" -> (splitLeakproofQ _),
     "q_pii_scrub"      -> (piiScrub _),
@@ -2219,6 +2288,8 @@ object PipelineQueries {
     "q_hybrid_rrf_stored" -> (hybridRrfStoredQ _),
     "q_substr_spans"   -> (substrSpansQ _),
     "q_substr_incr"    -> (substrIncrQ _),
+    "q_substr_retire"  -> (substrRetireQ _),
+    "q_substr_fold"    -> (substrFoldQ _),
     "q_substr_dedup"   -> (substrDedupQ _),
     "q_substr_apply"   -> (substrApplyQ _),
     "q_dsir_weights"   -> (dsirWeightsQ _),
@@ -2814,6 +2885,14 @@ object PipelineQueries {
     "q_substr_incr" ->
       s"""$SUBSTR_CTES
          |SELECT doc_id, span_start, span_end FROM spans""".stripMargin,
+    // the retire (read-time anti-join) and fold (byte-real) twins both
+    // pin to the retained-corpus recompute — exact by doc-keyed rows
+    "q_substr_retire" -> retainedWrap(
+      s"""$SUBSTR_CTES
+         |SELECT doc_id, span_start, span_end FROM spans""".stripMargin),
+    "q_substr_fold" -> retainedWrap(
+      s"""$SUBSTR_CTES
+         |SELECT doc_id, span_start, span_end FROM spans""".stripMargin),
     "q_substr_dedup" ->
       s"""$SUBSTR_CTES,
          |dl AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
@@ -2947,6 +3026,7 @@ object PipelineQueries {
     // rewrite bit-identical to the fused one — the same SQL pins both.
     "q_line_dedup" -> LineDedupSql,
     "q_line_dedup_incr" -> LineDedupSql,
+    "q_line_dedup_retire" -> retainedWrap(LineDedupSql),
     "q_dup_ngrams" ->
       s"""WITH g AS (SELECT doc_id,
          |  CASE WHEN len($TOKS) >= 2

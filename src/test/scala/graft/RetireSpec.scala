@@ -515,4 +515,81 @@ class RetireSpec extends SparkSpec {
       "doc_id LONG")
     assert(df.columns.toSeq == Seq("doc_id") && df.count() == 0)
   }
+
+  test("window-table retire + fold: anti-join exact, waits on one shard, byte-real drop") {
+    import graft.functions.Dedup
+    val dir = tmp("win-ret")
+    val (win, ret) = (s"$dir/win", s"$dir/ret")
+    // two doc-disjoint ingest batches at L=2, then doc 7 retires
+    assert(Dedup.substrWindowsAppend(
+      docs.where($"doc_id" <= 3L), "doc_id", "text", win, 0L, L = 2))
+    assert(Dedup.substrWindowsAppend(
+      docs.where($"doc_id" >= 4L), "doc_id", "text", win, 1L, L = 2))
+    assert(Dedup.windowRetireAppend(retired, "doc_id", ret, 0L))
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val truth = spans(Dedup.exactSubstrSpansFromShards(spark, win, Some(ret)))
+    // exactness: the anti-joined read ≡ a fresh mine over the retained set
+    assert(truth == spans(
+      Dedup.exactSubstrSpans(retained, "doc_id", "text", L = 2)))
+    assert(!truth.exists(_._1 == 7L))
+    // fold: retired rows leave the BYTES, channel consumed, plain read
+    // equals the tombstoned serve
+    assert(Dedup.foldRetiredWindows(spark, win, ret), "fold must run")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ret)),
+      "the channel must be consumed")
+    assert(spans(Dedup.exactSubstrSpansFromShards(spark, win)) == truth,
+      "folded serve diverged from the tombstoned contract")
+    assert(ShardWrite.readShards(spark, win, "doc_id BIGINT, i INT, h BIGINT")
+      .where($"doc_id" === 7L).isEmpty, "retired rows must be gone")
+    // a REPLAYED retire is inert by set semantics: one m-shard remains,
+    // so the fold WAITS (no strictly-increasing watermark) and the
+    // read-time subtraction anti-joins rows that no longer exist
+    assert(Dedup.windowRetireAppend(retired, "doc_id", ret, 1L))
+    assert(!Dedup.foldRetiredWindows(spark, win, ret),
+      "a single live m-shard must not fold (watermark tie)")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ret)),
+      "the channel must survive a waiting fold")
+    assert(spans(Dedup.exactSubstrSpansFromShards(spark, win, Some(ret)))
+      == truth)
+  }
+
+  test("line-stats retire: hot set nets to retained counts, zero-netted keys vanish") {
+    import graft.functions.Dedup
+    val dir = tmp("line-ret")
+    val (cnt, ret) = (s"$dir/cnt", s"$dir/ret")
+    // the footer crosses minDocs=3 ONLY counting retired doc 7; the
+    // 'only7' line lives in doc 7 alone (must net to exactly zero)
+    val lined = Seq(
+      (1L, "content one\nFOOTER"),
+      (2L, "content two\nFOOTER"),
+      (3L, "content three"),
+      (7L, "content seven\nFOOTER\nonly7")).toDF("doc_id", "text")
+    assert(Dedup.lineStatsAppend(
+      lined.where($"doc_id" <= 3L), "doc_id", "text", cnt, 0L))
+    assert(Dedup.lineStatsAppend(
+      lined.where($"doc_id" === 7L), "doc_id", "text", cnt, 1L))
+    assert(Dedup.lineStatsRetire(
+      lined.where($"doc_id" === 7L), "doc_id", "text", ret, 0L))
+    // before the retire the footer is hot; netted, nothing crosses 3
+    assert(Dedup.hotLinesFromShards(spark, cnt, 3).count() == 1)
+    assert(Dedup.hotLinesFromShards(spark, cnt, 3, Some(ret)).isEmpty,
+      "netted counts must drop the footer below minDocs")
+    // a key netted to zero must not linger with a zero row gating reads
+    // (minDocs >= 2 guards the API; assert via the served rewrite)
+    val live = lined.where($"doc_id" =!= 7L)
+    def rewrite(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(
+      rewrite(Dedup.lineDedupFromShards(live, "doc_id", "text", cnt,
+        minDocs = 3, Some(ret))) ==
+      rewrite(Dedup.lineDedup(live, "doc_id", "text", minDocs = 3)),
+      "netted serve diverged from the retained-corpus fused rewrite")
+    // replay: the second retire append is a no-op
+    assert(!Dedup.lineStatsRetire(
+      lined.where($"doc_id" === 7L), "doc_id", "text", ret, 0L))
+    assert(Dedup.hotLinesFromShards(spark, cnt, 3, Some(ret)).isEmpty)
+  }
 }
