@@ -1148,9 +1148,19 @@ object PipelineQueries {
     * one retained m-shard with the channel consumed; the rank then
     * derives from the PLAIN pair read (no anti-joins anywhere in the
     * plan). Shares `q_pagerank_retire`'s retained-corpus oracle. */
-  def pageRankFoldQ(s: SparkSession, d: String): DataFrame = {
+  def pageRankFoldQ(s: SparkSession, d: String): DataFrame =
+    graft.functions.GraphRank.pageRankFromPairs(s, foldedPairsDir(s, d))
+      .select(col("node").as("doc_id"), col("rank"))
+
+  /** The FOLDED edge list shared by `q_pagerank_fold` and `q_cc_fold`:
+    * two pair-shard appends, the `% 10 == 7` tombstones, then the
+    * physical fold ([[graft.functions.GraphRank.foldRetiredPairs]]) —
+    * the channel is consumed inside the build, so the dir's PLAIN read
+    * is the retained edge view and sharing it cannot tombstone any
+    * other row's reads. */
+  private def foldedPairsDir(s: SparkSession, d: String): String = {
     val src = pairShardsDir(s, d)
-    val dir = cachedArtifacts(
+    cachedArtifacts(
         s"prfold:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
       val pairs = graft.functions.GraphRank.readPairShards(s, src)
       for (b <- 0L until 2L)
@@ -1162,9 +1172,18 @@ object PipelineQueries {
       require(graft.functions.GraphRank.foldRetiredPairs(s, dir),
         "pair fold must consume the channel at two live shards")
     }
-    graft.functions.GraphRank.pageRankFromPairs(s, dir)
-      .select(col("node").as("doc_id"), col("rank"))
   }
+
+  /** q_cc_fold: connected components over the FOLDED edge list — the
+    * byte-real twin of `q_cc_retire` (which anti-joins at read): after
+    * [[graft.functions.GraphRank.foldRetiredPairs]] the plain shard
+    * read IS the retained edge view, so the components equal a re-mine
+    * over the retained corpus and the row shares `q_dedup_groups`'
+    * transitive-closure oracle over the filtered documents CTE. */
+  def ccFoldQ(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      graft.functions.GraphRank.readPairShards(s, foldedPairsDir(s, d)),
+      pairsDistinct = true)
 
   /** q_cc_retire: connected components over the SAME retained edge view
     * — tombstoned docs leave their duplicate clusters at read; the
@@ -1776,6 +1795,25 @@ object PipelineQueries {
     Similarity.sqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
   }
 
+  /** q_sim_sq_fold: the ANN family's PHYSICAL tombstone fold end to
+    * end ([[Similarity.foldRetired]] — the byte-real `remove_ids`) —
+    * its own artifact build: SQ8 codes → retire channel → fold (codes
+    * rewritten minus the tombstoned vids under the eviction snapshot
+    * discipline, `corpus_rows` refreshed, channel consumed) → probe
+    * with NO channel present. Shares `q_sim_sq_retire`'s retained-
+    * corpus oracle: read-time anti-join and physical deletion pinned
+    * to the identical answer. */
+  def simSqFold(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"sqfold:$d:${corpusFingerprint(s, d)}") { dir =>
+      Similarity.sqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", dir)
+      Similarity.retireFromDir(
+        embeddings(s, d).where(col("vec_id") % 10 === 7), "vec_id", dir, 0L)
+      require(Similarity.foldRetired(s, dir),
+        "SQ fold must rewrite the codes and consume the channel")
+    }
+    Similarity.sqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
+  }
+
   /** q_sim_ivfpq_rerank_retire: VECTOR tombstones on the stored
     * IVFADC+R serve, ORACLE-EXACT — the exact-cosine re-rank boundary
     * is what makes a hash oracle reachable for the PQ family's retire
@@ -2305,6 +2343,7 @@ object PipelineQueries {
     "q_pagerank_retire" -> (pageRankRetireQ _),
     "q_pagerank_fold"  -> (pageRankFoldQ _),
     "q_cc_retire"      -> (ccRetireQ _),
+    "q_cc_fold"        -> (ccFoldQ _),
     "q_bm25_retire"    -> (bm25RetireQ _),
     "q_bm25_fold"      -> (bm25FoldQ _),
     "q_bm25_wand_fold" -> (bm25WandFoldQ _),
@@ -2342,6 +2381,7 @@ object PipelineQueries {
     "q_embed_rp"       -> (embedRp _),
     "q_sim_sq_probe"   -> (simSqProbe _),
     "q_sim_sq_retire" -> (simSqRetire _),
+    "q_sim_sq_fold"   -> (simSqFold _),
     "q_sim_ivfpq_rerank_retire" -> (simIvfPqRerankRetire _),
     "q_sim_sq_rerank"  -> (simSqRerank _),
     "q_sim_pq_probe"   -> (simPqProbe _),
@@ -3148,6 +3188,8 @@ object PipelineQueries {
         Dedup.minhashPairsOracleSql())),
     // the same retained edge view through the CC serve
     "q_cc_retire" -> retainedWrap(Dedup.dedupGroupsOracleSql()),
+    // the folded edge list reads identically to the retained view
+    "q_cc_fold" -> retainedWrap(Dedup.dedupGroupsOracleSql()),
     // the hub-serving cut over the same unrolled-iteration oracle; the
     // rounded sort key mirrors the Scala side (clique ranks are exactly
     // equal — doc_id, not float noise, must break the tie)
@@ -3389,6 +3431,9 @@ object PipelineQueries {
     // vector tombstones: no trained state in SQ8, so the anti-joined
     // serve equals a fresh quantization of the retained embeddings
     "q_sim_sq_retire" -> retainedWrapOn(
+      Similarity.sqOracleSql(0L, 10), "embeddings", "vec_id"),
+    // the physical fold serves the identical retained quantization
+    "q_sim_sq_fold" -> retainedWrapOn(
       Similarity.sqOracleSql(0L, 10), "embeddings", "vec_id"),
     "q_sim_sq_rerank" -> Similarity.sqRerankOracleSql(0L, 10, shortlist = 50),
     "q_sim_pq_probe" -> Similarity.pqOracleSql(0L, 10, m = 4, ks = 8),
