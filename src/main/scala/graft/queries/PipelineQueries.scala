@@ -2182,6 +2182,53 @@ object PipelineQueries {
       .select("doc_id")
   }
 
+  /** The salted corpus `q_neardup_gate_retire` gates: every interior
+    * whitespace run becomes a doc-unique ` d<id> ` token, so every
+    * word 5-shingle carries the salt and NO two distinct batch-1 docs
+    * can collide — the only near-dup pairs in the whole experiment are
+    * copy ↔ original. That construction is what makes SEQUENTIAL
+    * gating provably equal to the oracle's single-batch decision (no
+    * chains, no components bridging a retired doc's neighborhood —
+    * the failure mode an unsalted fixture would hit whenever a retired
+    * doc had been an admitted representative). Docs under 3 tokens are
+    * excluded so everything stays on the word-shingle path. */
+  private def gateRetireFixture(s: SparkSession, d: String): DataFrame = {
+    val trimmed = regexp_replace(col("text"), "^\\s+|\\s+$", "")
+    par(documents(s, d))
+      .where(size(split(trimmed, "\\s+")) >= 3)
+      .select(col("doc_id"),
+        regexp_replace(trimmed, lit("\\s+"),
+          concat(lit(" d"), col("doc_id"), lit(" "))).as("text"))
+  }
+
+  /** q_neardup_gate_retire: the streaming admit gate END TO END across
+    * a takedown, ORACLED — batch 1 curates the salted corpus into the
+    * lake + state, the `% 10 == 7` docs retire
+    * ([[graft.streaming.NearDupGate.retireAppend]] — pending
+    * tombstones subtract from both the admit decision and corpus
+    * reads, no eviction needed), then batch 2 re-submits EXACT COPIES
+    * (new ids, +1e6) of every retired doc and of the retained
+    * `% 10 == 3` docs: copies of retired content must ADMIT (their
+    * suppressor is gone), copies of retained content must still DROP.
+    * Oracle: the recursive gate-decision SQL over retained ∪ batch-2
+    * as ONE batch — equal to the engine's sequential decisions by the
+    * fixture's no-chain construction ([[gateRetireFixture]]). */
+  def neardupGateRetireQ(s: SparkSession, d: String): DataFrame = {
+    val fix = gateRetireFixture(s, d)
+    val dir = cachedArtifacts(
+        s"ndgret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      graft.streaming.NearDupGate.curateBatch(fix, s"$dir/out", s"$dir/state")
+      graft.streaming.NearDupGate.retireAppend(
+        fix.where(RetiredPred).select("doc_id"), s"$dir/state", 0L)
+      graft.streaming.NearDupGate.curateBatch(
+        fix.where(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        s"$dir/out", s"$dir/state")
+    }
+    graft.streaming.NearDupGate.readOutput(s, s"$dir/out", Some(s"$dir/state"))
+      .select("doc_id")
+  }
+
   /** Rows to keep per language in [[stratifiedSample]] — one literal
     * shared with the generated oracle SQL. */
   private val StratifiedN = 25
@@ -2272,6 +2319,7 @@ object PipelineQueries {
     "q_bucket_join"    -> (bucketJoinQ _),
     "q_bucket_lookup"  -> (bucketLookupQ _),
     "q_neardup_gate"   -> (neardupGate _),
+    "q_neardup_gate_retire" -> (neardupGateRetireQ _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats"     -> (textStats _),
     "q_text_quality"   -> (textQuality _),
@@ -3261,6 +3309,19 @@ object PipelineQueries {
       s"""SELECT doc_id, CASE WHEN doc_id % 5 = 0
          |  THEN array_to_string(($TOKS)[1:3], ' ')
          |  ELSE text END AS text FROM documents""".stripMargin),
+    // the gate across a takedown: retained batch-1 ∪ copy batch-2 as
+    // one decision — equal to the sequential engine by the salted
+    // fixture's no-chain construction (every pair is copy ↔ original)
+    "q_neardup_gate_retire" -> Dedup.gateDecisionOracleSql(
+      s"""SELECT b.doc_id + o.off AS doc_id, b.text
+         |FROM (SELECT doc_id,
+         |        regexp_replace(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'),
+         |          '\\s+', ' d' || CAST(doc_id AS VARCHAR) || ' ', 'g') AS text
+         |      FROM documents
+         |      WHERE len($TOKS) >= 3) b
+         |CROSS JOIN (VALUES (0), (1000000)) AS o(off)
+         |WHERE (o.off = 0 AND b.doc_id % 10 <> 7)
+         |   OR (o.off = 1000000 AND (b.doc_id % 10 = 7 OR b.doc_id % 10 = 3))""".stripMargin),
     // the groups oracle as a derived table, then the same quality
     // expression as every other quality consumer and a row_number
     // argmax with the engine's exact (quality DESC, doc_id) tie-break
