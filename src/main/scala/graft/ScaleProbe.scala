@@ -1880,3 +1880,94 @@ object RetireProbe {
     spark.stop()
   }
 }
+
+/** Takedown-HISTORY growth evidence (r15, docs/SCALE.md): the
+  * subtract-at-read contract prices a serve at O(accumulated retire
+  * shards) — every read lists and unions the whole channel — while
+  * the physical fold resets that cost to the plain-read floor and
+  * bounds the channel by the COMPACTION CADENCE instead of the
+  * takedown history. This probe accumulates 64 small (0.2%) retire
+  * batches against a 100k-doc stored postings index, timing the
+  * tombstoned serve at 1/8/32/64 batches, then folds and times the
+  * plain serve — asserting at the end that the folded index equals a
+  * fresh build over the retained corpus.
+  * `sbt "runMain graft.RetireGrowthProbe [n]"`. */
+object RetireGrowthProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("common filler "),
+        when(col("id") % 7 === 0, "alpha beta gamma")
+          .when(col("id") % 7 === 1, "alpha delta")
+          .otherwise("epsilon zeta eta"),
+        lit(" tail"), (col("id") % 97).cast("string")).as("text"))
+      .repartition(16).cache()
+    docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("retire-growth").toString
+    // two ingest batches so the fold has a strictly-increasing watermark
+    for (b <- 0L until 2L)
+      graft.streaming.PostingsIndex.tfIndexBatch(
+        docs.where(col("doc_id") % 2 === b), b,
+        s"$dir/tf", s"$dir/dl", dfPath = Some(s"$dir/df"))
+    val terms = Seq("alpha", "epsilon")
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def serve(retire: Option[String]) = graft.streaming.PostingsIndex
+      .searchBm25(spark, s"$dir/tf", s"$dir/dl", terms, 20,
+        dfPath = Some(s"$dir/df"), maxDfFrac = Some(0.9),
+        retirePath = retire)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // JVM/codegen warm-up OUTSIDE the measurements, then min-of-3 per
+    // point — single timings at this scale are warm-up-dominated
+    serve(None); serve(None)
+    def minOf3[T](f: => T): Double =
+      (1 to 3).map(_ => timeIt(f)._2).min
+    val tPlain0 = minOf3(serve(None))
+    val checkpoints = Set(1, 8, 32, 64)
+    val grown = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    for (b <- 0 until 64) {
+      // batch b retires the doc_id % 500 == b slice — 64 disjoint
+      // 0.2% takedowns, the drip a real takedown queue produces
+      graft.streaming.PostingsIndex.retireAppend(
+        docs.where(col("doc_id") % 500 === b).select("doc_id"),
+        s"$dir/retire", b.toLong)
+      if (checkpoints(b + 1))
+        grown += ((b + 1, minOf3(serve(Some(s"$dir/retire")))))
+    }
+    println(f"[scale] bm25 serve @$n, plain floor $tPlain0%.2f s; " +
+      "tombstoned serve vs accumulated retire batches: " +
+      grown.map { case (k, t) => f"$k%d -> $t%.2f s" }.mkString(", "))
+    // the fold makes the takedowns byte-real and resets the serve
+    val (_, tFold) = timeIt(
+      graft.streaming.PostingsIndex.foldRetiredPostings(
+        spark, s"$dir/tf", s"$dir/dl", s"$dir/retire",
+        dfPath = Some(s"$dir/df")))
+    val tAfter = minOf3(serve(None))
+    val folded = serve(None)
+    println(f"[scale] fold ran in $tFold%.2f s; post-fold plain serve " +
+      f"$tAfter%.2f s (vs ${grown.last._2}%.2f s at 64 pending batches)")
+    // exactness: the folded index equals a fresh build over retained
+    val fresh = java.nio.file.Files.createTempDirectory("retire-growth-f").toString
+    graft.streaming.PostingsIndex.tfIndexBatch(
+      docs.where(col("doc_id") % 500 >= 64), 0L,
+      s"$fresh/tf", s"$fresh/dl", dfPath = Some(s"$fresh/df"))
+    val freshTop = graft.streaming.PostingsIndex
+      .searchBm25(spark, s"$fresh/tf", s"$fresh/dl", terms, 20,
+        dfPath = Some(s"$fresh/df"), maxDfFrac = Some(0.9))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(folded == freshTop,
+      "folded serve diverged from a fresh retained-corpus index")
+    println(s"[scale] folded == fresh retained index (asserted), " +
+      s"${folded.size} rows")
+    spark.stop()
+  }
+}
