@@ -398,6 +398,16 @@ class PlanQualitySpec extends SparkSpec {
       s"q_substr_incr re-mines at read (explode in plan):\n${si.take(900)}")
     assert(!si.contains("minhash") && !si.contains("split("),
       s"q_substr_incr tokenizes at read:\n${si.take(900)}")
+    // the tombstoned serves keep the no-remine contract: the retire
+    // read adds ONE anti-join on the doc-id channel, never an explode;
+    // the folded serve must read like the plain incremental one
+    for (name <- Seq("q_substr_retire", "q_substr_fold")) {
+      val p = physical(name)
+      assert(!p.contains("Generate"),
+        s"$name re-mines at read (explode in plan):\n${p.take(900)}")
+      assert(!p.contains("split("),
+        s"$name tokenizes at read:\n${p.take(900)}")
+    }
     // q_pagerank_topk: the hub-serving cut compiles to
     // TakeOrderedAndProject over the |V|-scale rank table, never a
     // global sort
