@@ -254,9 +254,17 @@ object ExplainAudit {
       "q_substr_incr",    // window table served from shards: NO
                           //   tokenize/hash stage anywhere in the plan —
                           //   the mine ran at ingest
-      "q_line_dedup_incr") // hot-line set from summed count shards
+      "q_substr_retire",  // tombstoned window serve: the doc-id channel
+                          //   anti-join is the ONLY addition — still no
+                          //   Generate/tokenize anywhere
+      "q_substr_fold",    // post-fold serve: reads like the plain
+                          //   incremental row (one m-shard, no channel)
+      "q_line_dedup_incr", // hot-line set from summed count shards
                           //   broadcast into the anti-join; only the
                           //   docs being rewritten explode
+      "q_line_dedup_retire") // netted hot set: the retire counts union
+                          //   NEGATIVE into the same sum — one extra
+                          //   shard scan, no second explode
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")
