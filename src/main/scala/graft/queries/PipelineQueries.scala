@@ -2229,6 +2229,41 @@ object PipelineQueries {
       .select("doc_id")
   }
 
+  /** q_semdedup_gate_retire: the EMBEDDING gate end to end across a
+    * takedown, ORACLED — batch 1 curates the corpus
+    * ([[graft.streaming.SemDeDupGate.curateBatch]] at nprobe = 1, so
+    * gate 1 compares only within the query's own list and gate 2 IS
+    * the batch semDedup rule — the gate decision provably equals
+    * `q_semdedup`'s oracle), the `% 10 == 7` vec_ids retire, then
+    * batch 2 re-submits EXACT COPIES (+1e6 ids) of every batch-1
+    * SURVIVOR with `% 10` in {7, 3}: copies of retired survivors
+    * ADMIT (same-list retained survivors are pairwise < minCos by the
+    * gate-2 invariant, and the suppressor's state row is channel-
+    * subtracted), copies of retained survivors still DROP (cos = 1
+    * with their registered original). Oracle: ONE pass over the
+    * semDedup survivors — retained ids verbatim, retired ids shifted
+    * +1e6 (their admitted copies). */
+  def semGateRetireQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embChecked(s, d).select(col("vec_id").as("vid"),
+      col("embedding").as("v"))
+    val dir = cachedArtifacts(
+        s"sgret:$d:${corpusFingerprint(s, d)}") { dir =>
+      graft.streaming.SemDeDupGate.curateBatch(emb, s"$dir/out",
+        s"$dir/state", minCos = 0.3, nlist = 16, nprobe = 1)
+      graft.streaming.SemDeDupGate.retireAppend(
+        emb.where(col("vid") % 10 === 7).select("vid"), s"$dir/state", 0L)
+      val admitted1 = graft.streaming.SemDeDupGate
+        .readOutput(s, s"$dir/out").select("vid")
+      graft.streaming.SemDeDupGate.curateBatch(
+        emb.join(admitted1, Seq("vid"), "left_semi")
+          .where(col("vid") % 10 === 7 || col("vid") % 10 === 3)
+          .select((col("vid") + 1000000L).as("vid"), col("v")),
+        s"$dir/out", s"$dir/state", minCos = 0.3, nlist = 16, nprobe = 1)
+    }
+    graft.streaming.SemDeDupGate.readOutput(s, s"$dir/out", Some(s"$dir/state"))
+      .select(col("vid").as("vec_id"))
+  }
+
   /** Rows to keep per language in [[stratifiedSample]] — one literal
     * shared with the generated oracle SQL. */
   private val StratifiedN = 25
@@ -2320,6 +2355,7 @@ object PipelineQueries {
     "q_bucket_lookup"  -> (bucketLookupQ _),
     "q_neardup_gate"   -> (neardupGate _),
     "q_neardup_gate_retire" -> (neardupGateRetireQ _),
+    "q_semdedup_gate_retire" -> (semGateRetireQ _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_text_stats"     -> (textStats _),
     "q_text_quality"   -> (textQuality _),
@@ -3322,6 +3358,14 @@ object PipelineQueries {
          |CROSS JOIN (VALUES (0), (1000000)) AS o(off)
          |WHERE (o.off = 0 AND b.doc_id % 10 <> 7)
          |   OR (o.off = 1000000 AND (b.doc_id % 10 = 7 OR b.doc_id % 10 = 3))""".stripMargin),
+    // the embedding gate across a takedown: retained survivors keep
+    // their ids; retired survivors appear as their admitted +1e6
+    // copies; copies of retained survivors drop (absent)
+    "q_semdedup_gate_retire" ->
+      s"""SELECT CASE WHEN vec_id % 10 = 7 THEN vec_id + 1000000
+         |       ELSE vec_id END AS vec_id
+         |FROM (${Similarity.semDedupOracleSql()}) s
+         |WHERE dropped = 0""".stripMargin,
     // the groups oracle as a derived table, then the same quality
     // expression as every other quality consumer and a row_number
     // argmax with the engine's exact (quality DESC, doc_id) tie-break
