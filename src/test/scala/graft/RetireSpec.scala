@@ -197,12 +197,23 @@ class RetireSpec extends SparkSpec {
     assert(GraphRank.pairsAppend(
       Seq((1L, 2L), (3L, 7L)).toDF("doc_a", "doc_b"),
       "doc_a", "doc_b", s"$dir/graph", 0L))
+    // the r15 window-mine channels ride the same sink: the window
+    // table takes the doc-id-set shape, the line stats the
+    // content-replay (count) shape
+    assert(graft.functions.Dedup.substrWindowsAppend(
+      docs, "doc_id", "text", s"$dir/win", 0L, L = 2))
+    assert(graft.functions.Dedup.lineStatsAppend(
+      docs, "doc_id", "text", s"$dir/line", 0L))
     val mem = MemoryStream[(Long, String)]
     val events = mem.toDF.toDF("doc_id", "text")
     def sink() = graft.streaming.RetireStream.startRetireSink(
         events, ckpt, trigger = Trigger.AvailableNow())(
       (b, id) => TA.unigramCountsRetire(b, "doc_id", "text", s"$dir/uni", id),
-      (b, id) => GraphRank.retireAppend(b, "doc_id", s"$dir/graph", id))
+      (b, id) => GraphRank.retireAppend(b, "doc_id", s"$dir/graph", id),
+      (b, id) => graft.functions.Dedup.windowRetireAppend(
+        b, "doc_id", s"$dir/winret", id),
+      (b, id) => graft.functions.Dedup.lineStatsRetire(
+        b, "doc_id", "text", s"$dir/lineret", id))
     mem.addData((7L, "omega omega theta alpha"))
     val q = sink(); q.awaitTermination()
     def score = TA.unigramXentFromCounts(retained, "doc_id", "text",
@@ -219,11 +230,25 @@ class RetireSpec extends SparkSpec {
     assert(GraphRank.readRetainedPairs(spark, s"$dir/graph")
       .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet ==
       Set(Set(1L, 2L)))
+    // the window table's tombstoned read equals a retained-corpus mine,
+    // and the netted line stats equal a retained-corpus count
+    def winSpans = graft.functions.Dedup.exactSubstrSpansFromShards(
+        spark, s"$dir/win", Some(s"$dir/winret"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(winSpans == graft.functions.Dedup.exactSubstrSpans(
+        retained, "doc_id", "text", L = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+    def hotNetted = graft.functions.Dedup.hotLinesFromShards(
+        spark, s"$dir/line", 2, Some(s"$dir/lineret"))
+      .collect().map(_.getString(0)).toSet
+    val hotAfterRetire = hotNetted
     // RESTART from the same checkpoint: a re-delivered batch re-runs the
     // same batch id into every channel — each skips (claim discipline),
     // nothing double-subtracts
     val q2 = sink(); q2.awaitTermination()
     assert(score == afterRetire, "restart replay double-subtracted")
+    assert(hotNetted == hotAfterRetire,
+      "line-stats channel double-subtracted on replay")
   }
 
   test("retire sink crash drill: deaths mid-fan-out AND mid-maintenance heal to the batch-twin state") {
