@@ -394,6 +394,78 @@ object Dedup {
     bucketPairCounts(winnowFingerprints(df, id, text, n, w), "fp", "shared_fps")
       .where(col("shared_fps") >= minShared)
 
+  // ---- incremental winnow: the fingerprint table as a maintained
+  // ---- artifact ------------------------------------------------------
+
+  private val WinnowFpSchema = "doc_id BIGINT, fp BIGINT"
+
+  /** Per-batch maintenance of the winnow FINGERPRINT table — the
+    * incremental twin of [[winnowPairs]]' mining half, the same shape
+    * as the ExactSubstr window table ([[substrWindowsAppend]]):
+    * fingerprints are PER-DOC (windowed minima over the doc's own
+    * shingle-hash stream, no cross-doc state), so the shard union
+    * across doc-disjoint batches IS the whole-corpus fingerprint table
+    * and pair derivation at read is EXACT. The (n, w) parameters are
+    * the table's layout contract — recorded at the root on first
+    * append, verified on every later one (two shingle/window widths in
+    * one table would make fingerprints incomparable). Returns false
+    * iff the shard already existed (replay). */
+  def winnowFpAppend(batch: DataFrame, id: String, text: String,
+                     dir: String, batchId: Long,
+                     n: Int = 5, w: Int = 4): Boolean = {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    val spark = batch.sparkSession
+    verifyParamsMarker(spark, s"$dir/_NW", s"$n,$w",
+      "shingle/window widths (fingerprints are (n,w)-bound)")
+    ShardWrite.claimBatch(spark, dir, batchId) match {
+      case None => false
+      case Some(shard) =>
+        winnowFingerprints(batch, id, text, n, w).write.parquet(shard)
+        true
+    }
+  }
+
+  /** [[winnowPairs]] SERVED from the maintained fingerprint table:
+    * zero shingle/hash/window jobs at read — the mine ran once per
+    * batch at ingest; the pair bucketing is the only corpus-scale
+    * work. Bit-identical to the fused path over the same corpus (the
+    * shard union is the exact distinct fingerprint table); shares its
+    * oracle. With `retirePath` (the doc-id tombstone channel —
+    * [[windowRetireAppend]]'s shape), retired docs' fingerprints
+    * anti-join out BEFORE pair generation: pairs that existed only
+    * through a retired doc vanish, pairwise-exact. */
+  def winnowPairsFromShards(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, minShared: Int = 2,
+                            retirePath: Option[String] = None): DataFrame = {
+    require(readParamsMarker(spark, s"$dir/_NW").isDefined,
+      s"$dir has no _NW marker — not a maintained winnow fingerprint table")
+    val fps = ShardWrite.readShards(spark, dir, WinnowFpSchema)
+    val retained = retirePath match {
+      case None => fps
+      case Some(rp) =>
+        fps.join(ShardWrite.readShards(spark, rp, "doc_id LONG"),
+          Seq("doc_id"), "left_anti")
+    }
+    bucketPairCounts(retained, "fp", "shared_fps")
+      .where(col("shared_fps") >= minShared)
+  }
+
+  /** Fold the fingerprint shards into one merged m-shard — rows are
+    * doc-disjoint so the merge is the identity union
+    * ([[ShardWrite.compactShards]] discipline). */
+  def compactWinnowShards(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (Int, Int) =
+    ShardWrite.compactShards(spark, dir, WinnowFpSchema)(identity)
+
+  /** PHYSICAL tombstone fold for the fingerprint table — identical
+    * contract to [[foldRetiredWindows]] (doc-keyed SET rows, doc-id
+    * channel): retired docs' fingerprints drop from the bytes as an
+    * anti-join compaction merge, the channel is consumed after; with
+    * fewer than two live shards the fold WAITS. */
+  def foldRetiredWinnowFps(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, retirePath: String): Boolean =
+    foldRetiredDocKeyed(spark, dir, retirePath, WinnowFpSchema)
+
   /** ExactSubstr-style repeated-substring spans (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" — the
     * suffix-array ExactSubstr dedup, re-expressed relationally): every
@@ -562,14 +634,26 @@ object Dedup {
     * time subtraction stays correct) for the next ingest cadence.
     * Returns true iff the fold consumed the channel. */
   def foldRetiredWindows(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, retirePath: String): Boolean = {
+                         dir: String, retirePath: String): Boolean =
+    foldRetiredDocKeyed(spark, dir, retirePath, SubstrWindowSchema)
+
+  /** The shared fold kernel for doc-keyed SET tables with a doc-id
+    * tombstone channel ([[foldRetiredWindows]],
+    * [[foldRetiredWinnowFps]]): anti-join compaction merge (loss-proof
+    * commit order and the strictly-increasing watermark come from
+    * [[ShardWrite.compactShards]]), channel consumed after. Deletion
+    * is replay-safe by set semantics — a re-appended tombstone
+    * anti-joins rows that no longer exist. */
+  private def foldRetiredDocKeyed(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, retirePath: String,
+                                  schema: String): Boolean = {
     val retP = new org.apache.hadoop.fs.Path(retirePath)
     val fs = retP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(retP)) return false
     val gone = ShardWrite.readShards(spark, retirePath, "doc_id LONG").persist()
     try {
       if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
-      val (in, _) = ShardWrite.compactShards(spark, dir, SubstrWindowSchema)(
+      val (in, _) = ShardWrite.compactShards(spark, dir, schema)(
         _.join(gone, Seq("doc_id"), "left_anti"))
       if (in <= 1) return false // nothing to compact — wait for ingest
       fs.delete(retP, true)
@@ -591,6 +675,43 @@ object Dedup {
         val out = fs.create(p, true)
         out.write(l.toString.getBytes("UTF-8"))
         out.close()
+    }
+  }
+
+  /** Write-once / verify-always parameter marker (the `_L` / `_span`
+    * discipline generalized): first writer records `value` at `path`,
+    * every later writer must present the identical value or the append
+    * is rejected loudly — `what` names the contract in the error. */
+  private def verifyParamsMarker(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, value: String,
+                                 what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readParamsMarker(spark, path) match {
+      case Some(existing) =>
+        require(existing == value,
+          s"${p.getParent} was mined with ${p.getName}=$existing; got " +
+            s"$value — one set of $what per table")
+      case None =>
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        out.write(value.getBytes("UTF-8"))
+        out.close()
+    }
+  }
+
+  private def readParamsMarker(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim)
+      } finally in.close()
     }
   }
 

@@ -565,6 +565,64 @@ object PipelineQueries {
   def winnowPairsQ(s: SparkSession, d: String): DataFrame =
     Dedup.winnowPairs(documents(s, d), "doc_id", "text")
 
+  /** q_winnow_incr: the INCREMENTALLY-MAINTAINED winnow — three
+    * hash-split batches shingle + hash + window once each at ingest
+    * ([[Dedup.winnowFpAppend]]); pairs derive from the accumulated
+    * fingerprint shards with zero mining jobs at read
+    * ([[Dedup.winnowPairsFromShards]]). Fingerprints are per-doc, so
+    * the shard union is the exact whole-corpus table and the row
+    * shares `q_winnow_pairs`' oracle. */
+  def winnowIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"winnowincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.winnowFpAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+    }
+    Dedup.winnowPairsFromShards(s, dir)
+  }
+
+  /** q_winnow_retire: document tombstones on the maintained
+    * fingerprint table — pairs that existed only through a retired doc
+    * vanish at read (pairwise-exact, the pair-shard discipline).
+    * Oracle = `q_winnow_pairs`' SQL over the retained corpus. */
+  def winnowRetireQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"winnowret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.winnowFpAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", s"$dir/fps", b)
+      Dedup.windowRetireAppend(docs.where(RetiredPred), "doc_id",
+        s"$dir/ret", 0L)
+    }
+    Dedup.winnowPairsFromShards(s, s"$dir/fps",
+      retirePath = Some(s"$dir/ret"))
+  }
+
+  /** q_winnow_fold: the fingerprint table's PHYSICAL tombstone fold
+    * ([[Dedup.foldRetiredWinnowFps]] — the shared doc-keyed fold
+    * kernel) — same ingest + retire as `q_winnow_retire`, fold, serve
+    * with NO retirePath. Shares the retained-corpus oracle. */
+  def winnowFoldQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"winnowfold:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.winnowFpAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", s"$dir/fps", b)
+      Dedup.windowRetireAppend(docs.where(RetiredPred), "doc_id",
+        s"$dir/ret", 0L)
+      require(Dedup.foldRetiredWinnowFps(s, s"$dir/fps", s"$dir/ret"),
+        "winnow fold must consume the channel at three live shards")
+    }
+    Dedup.winnowPairsFromShards(s, s"$dir/fps")
+  }
+
   // no global orderBy: the driver canonicalizes row order before hashing,
   // and a total sort of the pair set is pure cost at corpus scale
   def minhashPairs(s: SparkSession, d: String): DataFrame =
@@ -2399,6 +2457,9 @@ object PipelineQueries {
     "q_boilerplate"    -> (boilerplate _),
     "q_winnow"         -> (winnow _),
     "q_winnow_pairs"   -> (winnowPairsQ _),
+    "q_winnow_incr"    -> (winnowIncrQ _),
+    "q_winnow_retire"  -> (winnowRetireQ _),
+    "q_winnow_fold"    -> (winnowFoldQ _),
     "q_minhash_pairs"  -> (minhashPairs _),
     "q_pagerank"       -> (pageRankQ _),
     "q_pagerank_topk"  -> (pageRankTopKQ _),
@@ -2522,6 +2583,16 @@ object PipelineQueries {
        |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
        |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
        |  FROM sh)""".stripMargin
+
+  /** The winnow pair oracle — shared verbatim by the fused, shard-
+    * served, retire, and fold rows (the latter two via retainedWrap). */
+  private val WinnowPairsSql: String =
+    s"""$WINNOW_CTES,
+       |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared_fps
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
   // the ExactSubstr pipeline (L=8 windows, keep-first, merged spans) as
   // one shared CTE prefix — q_substr_spans and q_substr_dedup both
@@ -3287,13 +3358,13 @@ object PipelineQueries {
       graft.functions.GraphRank.pageRankOracleSql(Dedup.minhashPairsOracleSql()),
     "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
     // the winnow CTE self-joined on fingerprint: docs sharing >= 2
-    "q_winnow_pairs" ->
-      s"""$WINNOW_CTES,
-         |fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE wn = 4)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(count(*) AS BIGINT) AS shared_fps
-         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q_winnow_pairs" -> WinnowPairsSql,
+    // shard-served fingerprints are the exact whole-corpus table (per-
+    // doc rows, doc-disjoint batches) — identical SQL; the retire and
+    // fold twins pin to the retained-corpus recompute
+    "q_winnow_incr" -> WinnowPairsSql,
+    "q_winnow_retire" -> retainedWrap(WinnowPairsSql),
+    "q_winnow_fold" -> retainedWrap(WinnowPairsSql),
     // same mined drop list (distinct-pair df >= minDf, top-k by
     // (df DESC, shingle)), ANTI JOINed before the signature CTEs
     "q_minhash_dropped" -> Dedup.minhashPairsOracleSql(

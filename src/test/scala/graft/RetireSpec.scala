@@ -581,6 +581,58 @@ class RetireSpec extends SparkSpec {
       == truth)
   }
 
+  test("winnow fingerprint table: (n,w) contract, retire anti-join exact, byte-real fold") {
+    import graft.functions.Dedup
+    val dir = tmp("winnow-ret")
+    val (fps, ret) = (s"$dir/fps", s"$dir/ret")
+    // a long shared passage so winnow actually pairs docs: 1 and 7
+    // share a paragraph (pair exists only through doc 7), 2 and 3 share
+    // another (pure retained pair)
+    val passA = (1 to 12).map(i => s"alpha$i").mkString(" ")
+    val passB = (1 to 12).map(i => s"beta$i").mkString(" ")
+    val wdocs = Seq(
+      (1L, s"$passA one tail"),
+      (2L, s"$passB two tail"),
+      (3L, s"$passB three tail"),
+      (7L, s"$passA seven tail")).toDF("doc_id", "text")
+    assert(Dedup.winnowFpAppend(
+      wdocs.where($"doc_id" <= 2L), "doc_id", "text", fps, 0L))
+    assert(Dedup.winnowFpAppend(
+      wdocs.where($"doc_id" >= 3L), "doc_id", "text", fps, 1L))
+    // the (n, w) layout contract rejects a mismatched later append
+    intercept[IllegalArgumentException] {
+      Dedup.winnowFpAppend(wdocs, "doc_id", "text", fps, 2L, n = 3, w = 4)
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shard-served ≡ fused over the same corpus
+    assert(pairs(Dedup.winnowPairsFromShards(spark, fps)) ==
+      pairs(Dedup.winnowPairs(wdocs, "doc_id", "text")))
+    assert(pairs(Dedup.winnowPairsFromShards(spark, fps))
+      .contains((1L, 7L)))
+    // retire doc 7: the (1,7) pair vanishes, (2,3) survives — equal to
+    // a fused re-mine over the retained corpus
+    assert(Dedup.windowRetireAppend(retired, "doc_id", ret, 0L))
+    val want = pairs(Dedup.winnowPairs(
+      wdocs.where($"doc_id" =!= 7L), "doc_id", "text"))
+    assert(pairs(Dedup.winnowPairsFromShards(spark, fps, retirePath = Some(ret)))
+      == want)
+    assert(want == Set((2L, 3L)))
+    // the fold drops the fingerprints from the BYTES and consumes the
+    // channel; the plain read then equals the retained serve
+    assert(Dedup.foldRetiredWinnowFps(spark, fps, ret), "fold must run")
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(ret)))
+    assert(pairs(Dedup.winnowPairsFromShards(spark, fps)) == want)
+    assert(ShardWrite.readShards(spark, fps, "doc_id BIGINT, fp BIGINT")
+      .where($"doc_id" === 7L).isEmpty, "retired fingerprints must be gone")
+    // a non-maintained dir is rejected loudly (no _NW marker)
+    intercept[IllegalArgumentException] {
+      Dedup.winnowPairsFromShards(spark, tmp("not-a-table"))
+    }
+  }
+
   test("line-stats retire: hot set nets to retained counts, zero-netted keys vanish") {
     import graft.functions.Dedup
     val dir = tmp("line-ret")
