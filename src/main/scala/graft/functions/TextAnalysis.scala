@@ -1012,14 +1012,28 @@ object TextAnalysis {
   def sourceKl(docs: org.apache.spark.sql.DataFrame, id: String,
                text: String, group: String, buckets: Int = 1024,
                alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, sum}
-    val gc = dsirFeatures(docs, id, text, buckets, carry = Seq(group))
-      .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg"))
+    import org.apache.spark.sql.functions.{col, count}
+    sourceKlFromGroupCounts(
+      dsirFeatures(docs, id, text, buckets, carry = Seq(group))
+        .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg")),
+      group, buckets, alpha)
+  }
+
+  /** The KL derivation over an already-aggregated (group, bucket, cg)
+    * count frame — split out so the fused path ([[sourceKl]]) and the
+    * maintained-counts path ([[sourceKlFromCounts]]) share one
+    * definition: online maintenance ≡ batch recompute is then
+    * structural, not re-derived. */
+  private def sourceKlFromGroupCounts(gc: org.apache.spark.sql.DataFrame,
+                                      group: String, buckets: Int,
+                                      alpha: Double)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, sum}
     val cc = gc.groupBy("b").agg(sum(col("cg")).as("c"))
     val gt = gc.groupBy(group).agg(sum(col("cg")).as("tg"))
     val tot = cc.agg(sum(col("c")).as("t"))
     val aB = lit(alpha * buckets)
-    val full = gt.crossJoin(docs.sparkSession.range(buckets).toDF("b"))
+    val full = gt.crossJoin(gc.sparkSession.range(buckets).toDF("b"))
       .join(gc, Seq(group, "b"), "left")
       .join(broadcast(cc), Seq("b"), "left")
       .crossJoin(broadcast(tot))
@@ -1030,6 +1044,73 @@ object TextAnalysis {
     full.groupBy(group)
       .agg(first(col("tg")).as("n_feats"),
         sum(pg * (log(pg) - log(q))).as("kl"))
+  }
+
+  /** Per-batch maintenance of the drift monitor's (group, bucket)
+    * feature counts — the incremental twin of [[sourceKl]]'s counting
+    * half: each fresh-docs batch appends its per-(group, bucket) count
+    * shard under the `_SUCCESS` claim discipline. Feature occurrences
+    * are per-doc, so counts ADD across doc-disjoint batches and the
+    * shard sum equals the fused count — the KL at read is EXACT, the
+    * drift monitor stays current with zero corpus re-scans. The group
+    * value is stored as a string column `g` (the monitored groups —
+    * source, lang — are strings; one read schema for every channel).
+    * Returns false iff the shard already existed (replay). */
+  def sourceKlCountsAppend(batch: org.apache.spark.sql.DataFrame,
+                           id: String, text: String, group: String,
+                           dir: String, batchId: Long,
+                           buckets: Int = 1024): Boolean =
+    ShardWrite.claimBatch(batch.sparkSession, dir, batchId) match {
+      case None => false
+      case Some(shard) =>
+        import org.apache.spark.sql.functions.{col, count}
+        dsirFeatures(batch, id, text, buckets, carry = Seq(group))
+          .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg"))
+          .select(col(group).cast("string").as("g"), col("b"), col("cg"))
+          .write.parquet(shard)
+        true
+    }
+
+  /** TOMBSTONES for the drift monitor — the count-channel retire shape
+    * ([[unigramCountsRetire]]'s discipline): the retired docs' (group,
+    * bucket) contributions append POSITIVE to `$dir/retire`, and
+    * [[sourceKlFromCounts]] subtracts them at read. Exact by
+    * additivity. Returns false iff the shard already existed. */
+  def sourceKlCountsRetire(batch: org.apache.spark.sql.DataFrame,
+                           id: String, text: String, group: String,
+                           dir: String, batchId: Long,
+                           buckets: Int = 1024): Boolean =
+    ShardWrite.claimBatch(batch.sparkSession, s"$dir/retire",
+        batchId) match {
+      case None => false
+      case Some(shard) =>
+        import org.apache.spark.sql.functions.{col, count}
+        dsirFeatures(batch, id, text, buckets, carry = Seq(group))
+          .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg"))
+          .select(col(group).cast("string").as("g"), col("b"), col("cg"))
+          .write.parquet(shard)
+        true
+    }
+
+  /** [[sourceKl]] SERVED from the maintained counts: ingest − retire
+    * nets to the retained corpus's exact (group, bucket) counts (rows
+    * netted to zero vanish — a fully-retired group must not linger as
+    * a zero-feature row), then the SAME KL derivation as the fused
+    * path. Bit-identical to a recompute by count additivity; shares
+    * its oracle. */
+  def sourceKlFromCounts(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, group: String,
+                         buckets: Int = 1024, alpha: Double = 1.0)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val schema = "g STRING, b BIGINT, cg BIGINT"
+    val netted = ShardWrite.readShards(spark, dir, schema)
+      .unionByName(ShardWrite.readOrEmpty(spark, s"$dir/retire", schema)
+        .select(col("g"), col("b"), (-col("cg")).as("cg")))
+      .groupBy("g", "b").agg(sum(col("cg")).as("cg"))
+      .where(col("cg") > 0)
+    sourceKlFromGroupCounts(netted.withColumnRenamed("g", group),
+      group, buckets, alpha)
   }
 
   // ---- Gopher-style quality rules (Rae et al. 2021, public ruleset) ---

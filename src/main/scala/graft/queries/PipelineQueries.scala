@@ -1586,6 +1586,43 @@ object PipelineQueries {
   def sourceKl(s: SparkSession, d: String): DataFrame =
     TA.sourceKl(par(documents(s, d)), "doc_id", "text", "source")
 
+  /** q_source_kl_incr: the drift monitor SERVED from maintained
+    * (source, bucket) count shards ([[TA.sourceKlCountsAppend]]) —
+    * mixture monitoring that stays current as batches stream in, with
+    * zero corpus re-scans at read. Exact by count additivity; shares
+    * `q_source_kl`'s oracle. */
+  def sourceKlIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"klincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.sourceKlCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", "source", dir, b)
+    }
+    TA.sourceKlFromCounts(s, dir, "source")
+  }
+
+  /** q_source_kl_retire: the drift monitor with tombstones — the
+    * retired docs' (source, bucket) contributions replay into the
+    * retire channel ([[TA.sourceKlCountsRetire]]) and the KL derives
+    * from netted counts. A takedown is visible in the NEXT drift
+    * reading with no recount. Oracle = `q_source_kl`'s SQL over the
+    * retained corpus. */
+  def sourceKlRetireQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"klret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.sourceKlCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", "source", dir, b)
+      TA.sourceKlCountsRetire(docs.where(RetiredPred),
+        "doc_id", "text", "source", dir, 0L)
+    }
+    TA.sourceKlFromCounts(s, dir, "source")
+  }
+
   /** Per-cluster retention cap for `q_cluster_sample`: binding for the
     * fixture's over-quota clusters (500/2000 vectors over 16 seeded
     * clusters average 31/125 members), pass-through (rate 1.0) for the
@@ -2511,6 +2548,8 @@ object PipelineQueries {
     "q_decontaminate_sem_stored" -> (decontaminateSemStored _),
     "q_cluster_sample" -> (clusterSample _),
     "q_source_kl"      -> (sourceKl _),
+    "q_source_kl_incr" -> (sourceKlIncrQ _),
+    "q_source_kl_retire" -> (sourceKlRetireQ _),
     "q_embed_outliers" -> (embedOutliers _),
     "q_cms_freq"       -> (cmsFreq _),
     "q_cms_incr"       -> (cmsIncr _),
@@ -2915,6 +2954,10 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q_source_kl" -> SourceKlSql,
+    // maintained counts are additive across doc-disjoint batches —
+    // identical SQL; the retire twin pins to the retained recompute
+    "q_source_kl_incr" -> SourceKlSql,
+    "q_source_kl_retire" -> retainedWrap(SourceKlSql),
     "q_bucket_join" ->
       """SELECT d.lang AS lang, count(*) AS n,
         |  CAST(sum(d.n_chars) AS BIGINT) AS chars,

@@ -239,9 +239,12 @@ class PlanQualitySpec extends SparkSpec {
       "q_hybrid_wand_ann", // bm25 scalar attach + one-row query-vector
                         // cross, the q_hybrid_rrf shapes over the
                         // WAND + IVFADC+R serving reads
-      "q_source_kl")    // the complete-residue cross: |sources|×1024 rows
+      "q_source_kl",    // the complete-residue cross: |sources|×1024 rows
                         // (both sides bounded — nothing corpus-scale) +
                         // the one-row corpus-total attach
+      "q_source_kl_incr", // the same bounded cross + scalar, derived
+                        // from the maintained count shards
+      "q_source_kl_retire") // same shapes over ingest − retire counts
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
