@@ -424,6 +424,58 @@ object CurationQueries {
       docs.where(bucket === BenchBucket))
   }
 
+  /** The LARGE-BENCH decontamination path: when the eval suite's
+    * distinct shingle set outgrows a comfortable broadcast (a full
+    * eval-harness battery is GBs of shingle strings), broadcast an
+    * 8-MB-capped BLOOM of the shingle hashes instead
+    * ([[graft.functions.Bloom]] — codegen'd native expressions, the
+    * `q_bloom_semi` machinery), prune the train shingle stream
+    * map-side (~98%+ of shingles drop at the default sizing), and
+    * exact-verify ONLY the survivors against the bench set with a
+    * string-keyed semi-join. No false negatives (Bloom guarantee) and
+    * the verify removes false positives, so the result is EXACTLY
+    * [[decontaminateAgainst]]'s — the same oracle pins it. Totals
+    * (n_shingles) come from the unpruned stream: one map-side-combined
+    * per-doc count, no join. */
+  def decontaminateBloomAgainst(train: DataFrame, bench: DataFrame,
+                                n: Int = 5, mBits: Int = 1 << 16,
+                                k: Int = 3): DataFrame = {
+    import graft.functions.Bloom
+    val trainSh = Dedup.shingles(train, "doc_id", "text", n)
+    val benchSh = Dedup.shingles(bench, "doc_id", "text", n)
+      .select("shingle").distinct()
+    // ONE aggregate job: bloom words + a distinct estimate, rebuilt
+    // once at sizedBits if the floor would saturate (the bloomSemiJoin
+    // sizing discipline)
+    val hashed = benchSh.select(Dedup.md5Hash60(col("shingle")).as("h"))
+    val first = hashed.select(Bloom.bloomAgg(col("h"), mBits, k).as("w"),
+      approx_count_distinct(col("h")).as("n")).head()
+    val need = Bloom.sizedBits(first.getLong(1), mBits)
+    val words = if (need <= mBits) first.getSeq[Long](0).toArray
+      else hashed.select(Bloom.bloomAgg(col("h"), need, k).as("w"))
+        .head().getSeq[Long](0).toArray
+    val totals = trainSh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh
+      .where(Bloom.contains(Dedup.md5Hash60(col("shingle")), words, k))
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles")).as("contam_frac"))
+  }
+
+  /** The bloom-pruned registry row — same fixture split as
+    * `q_decontaminate_x`, same oracle: the pruned path must be
+    * indistinguishable from the broadcast-exact one. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val bucket = TA.hashBucket(col("doc_id"), BenchBuckets)
+    decontaminateBloomAgainst(
+      docs.where(bucket =!= BenchBucket),
+      docs.where(bucket === BenchBucket))
+  }
+
   /** Persist a bench set's distinct shingle fingerprints — the
     * decontamination artifact: bench sets are STATIC (a fixed eval
     * suite) while training corpora churn, so shingling the bench once
@@ -817,6 +869,7 @@ object CurationQueries {
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_x" -> (decontaminateX _),
     "q_decontaminate_stored" -> (decontaminateStored _),
+    "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_drop_reasons"  -> (dropReasons _),
     "q_drop_reasons_sem" -> (dropReasonsSem _),
     "q_drop_report"   -> (dropReportQ _),
@@ -993,6 +1046,9 @@ object CurationQueries {
     // the persisted-bench-set server shares the scoring tail exactly —
     // the SAME oracle SQL pins stored-probed to recomputed
     "q_decontaminate_stored" -> DecontaminateXSql,
+    // the bloom prune has no false negatives and the string verify
+    // removes false positives — identical answer, identical SQL
+    "q_decontaminate_bloom" -> DecontaminateXSql,
     // planted construction + the three gate CTEs in the engine's CASE
     // order; keeper join is null-safe like dedupKeepRows' <=> discipline
     "q_drop_reasons" -> DropReasonsSql,
