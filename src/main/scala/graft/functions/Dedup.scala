@@ -179,6 +179,73 @@ object Dedup {
         true
     }
 
+  // ---- incremental boilerplate: the shingle doc-frequency table as a
+  // ---- maintained channel ---------------------------------------------
+
+  private val ShingleDfSchema = "shingle STRING, df BIGINT"
+
+  /** Per-batch maintenance of the BOILERPLATE miner's shingle
+    * doc-frequency counts — the online twin of
+    * [[graft.queries.PipelineQueries.boilerplateOf]]'s counting half:
+    * each fresh-docs batch appends its per-shingle distinct-doc counts
+    * (shingles are distinct per doc, so count(*) IS the batch's doc
+    * frequency and counts ADD across doc-disjoint batches). The mined
+    * drop list ([[boilerplateFromShards]]) then stays current as
+    * batches stream in — the degenerate-bucket mitigation every
+    * pair-space operator feeds on no longer needs corpus re-scans.
+    * Returns false iff the shard already existed (replay). */
+  def shingleDfAppend(batch: DataFrame, id: String, text: String,
+                      dir: String, batchId: Long, n: Int = 5): Boolean =
+    ShardWrite.claimBatch(batch.sparkSession, dir, batchId) match {
+      case None => false
+      case Some(shard) =>
+        shingles(batch, id, text, n)
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .write.parquet(shard)
+        true
+    }
+
+  /** TOMBSTONES for the boilerplate channel — the count-channel retire
+    * shape: the retired docs' shingle contributions append POSITIVE to
+    * `$dir/retire` and [[boilerplateFromShards]] subtracts at read.
+    * Exact by doc-disjoint additivity. Returns false iff the shard
+    * already existed (replay). */
+  def shingleDfRetire(batch: DataFrame, id: String, text: String,
+                      dir: String, batchId: Long, n: Int = 5): Boolean =
+    ShardWrite.claimBatch(batch.sparkSession, s"$dir/retire",
+        batchId) match {
+      case None => false
+      case Some(shard) =>
+        shingles(batch, id, text, n)
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .write.parquet(shard)
+        true
+    }
+
+  /** The boilerplate drop list served from the maintained counts:
+    * ingest − retire nets to the retained corpus's exact doc
+    * frequencies (zero-netted shingles vanish), then the same
+    * minDf cut + (doc_freq DESC, shingle ASC) top-k as the fused
+    * miner. Bit-identical by count additivity; shares its oracle. */
+  def boilerplateFromShards(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, minDf: Int,
+                            topK: Int): DataFrame =
+    ShardWrite.readShards(spark, dir, ShingleDfSchema)
+      .unionByName(ShardWrite.readOrEmpty(spark, s"$dir/retire",
+          ShingleDfSchema)
+        .select(col("shingle"), (-col("df")).as("df")))
+      .groupBy("shingle").agg(sum(col("df")).as("doc_freq"))
+      .where(col("doc_freq") >= minDf)
+      .orderBy(col("doc_freq").desc, col("shingle").asc)
+      .limit(topK)
+
+  /** Fold the shingle-count shards into one merged m-shard — counts
+    * re-aggregate by sum ([[ShardWrite.compactShards]] discipline). */
+  def compactShingleDf(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): (Int, Int) =
+    ShardWrite.compactShards(spark, dir, ShingleDfSchema)(
+      _.groupBy("shingle").agg(sum(col("df")).as("df")))
+
   /** The hot-line key set derived from the accumulated shards: line
     * keys whose summed distinct-doc count crosses `minDocs`. Reads
     * through the compaction watermark rule; a retire channel

@@ -553,6 +553,49 @@ object PipelineQueries {
       .orderBy(col("doc_freq").desc, col("shingle").asc)
       .limit(topK)
 
+  /** q_boilerplate_incr: the drop-list miner SERVED from maintained
+    * shingle doc-frequency shards ([[Dedup.shingleDfAppend]]) — the
+    * degenerate-bucket mitigation stays current per ingest batch with
+    * zero corpus re-scans. Exact by count additivity; shares
+    * `q_boilerplate`'s oracle. */
+  def boilerplateIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"boilincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.shingleDfAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+    }
+    Dedup.boilerplateFromShards(s, dir, BoilerMinDf, BoilerTopK)
+  }
+
+  /** minDf for the retire row: the fixture's planted repeats all cross
+    * a `% 10 == 7` doc, so at the miner's default 3 the retained drop
+    * list is EMPTY (a trivially-green oracle row asserts nothing); at
+    * 2 the retained corpus still mines real shingles and the
+    * subtraction is exercised. Shared with the SQL twin. */
+  private val RetireBoilerMinDf = 2
+
+  /** q_boilerplate_retire: the miner with tombstones — retired docs'
+    * shingle counts net out ([[Dedup.shingleDfRetire]]), so a shingle
+    * hot only because of taken-down documents leaves the drop list in
+    * the NEXT reading. Oracle = the miner's SQL at
+    * [[RetireBoilerMinDf]] over the retained corpus. */
+  def boilerplateRetireQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"boilret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Dedup.shingleDfAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+      Dedup.shingleDfRetire(docs.where(RetiredPred), "doc_id", "text",
+        dir, 0L)
+    }
+    Dedup.boilerplateFromShards(s, dir, RetireBoilerMinDf, BoilerTopK)
+  }
+
   /** Winnowing fingerprints — the ROLLING-hash document fingerprint of
     * the builder brief (windowed minima over the shingle-hash stream,
     * MOSS-style): sub-document passage-level dedup keys where
@@ -2492,6 +2535,8 @@ object PipelineQueries {
     "q_dedup_keep"     -> (dedupKeep _),
     "q_ngram_jaccard"  -> (ngramJaccard _),
     "q_boilerplate"    -> (boilerplate _),
+    "q_boilerplate_incr" -> (boilerplateIncrQ _),
+    "q_boilerplate_retire" -> (boilerplateRetireQ _),
     "q_winnow"         -> (winnow _),
     "q_winnow_pairs"   -> (winnowPairsQ _),
     "q_winnow_incr"    -> (winnowIncrQ _),
@@ -2622,6 +2667,18 @@ object PipelineQueries {
        |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
        |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
        |  FROM sh)""".stripMargin
+
+  /** The boilerplate-miner oracle — shared by the fused, shard-served,
+    * and retire rows (the retire one at its own minDf, via
+    * retainedWrap). */
+  private def boilerplateSqlAt(minDf: Int): String =
+    s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM pos)
+       |SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+       |FROM sh GROUP BY shingle HAVING count(*) >= $minDf
+       |ORDER BY doc_freq DESC, shingle ASC LIMIT $BoilerTopK""".stripMargin
+  private val BoilerplateSql: String = boilerplateSqlAt(BoilerMinDf)
 
   /** The winnow pair oracle — shared verbatim by the fused, shard-
     * served, retire, and fold rows (the latter two via retainedWrap). */
@@ -3317,13 +3374,11 @@ object PipelineQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     // same toks/pos/sh distinct-shingle CTEs as the jaccard oracle; the
     // (doc_freq DESC, shingle) order makes the top-k fully deterministic
-    "q_boilerplate" ->
-      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |pos AS (SELECT doc_id, t, unnest(range(len(t)-4)) AS i FROM toks WHERE len(t) >= 5),
-         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+5], ' ') AS shingle FROM pos)
-         |SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
-         |FROM sh GROUP BY shingle HAVING count(*) >= $BoilerMinDf
-         |ORDER BY doc_freq DESC, shingle ASC LIMIT $BoilerTopK""".stripMargin,
+    "q_boilerplate" -> BoilerplateSql,
+    // maintained shingle doc-frequency counts are additive — identical
+    // SQL; the retire twin pins to the retained recompute
+    "q_boilerplate_incr" -> BoilerplateSql,
+    "q_boilerplate_retire" -> retainedWrap(boilerplateSqlAt(RetireBoilerMinDf)),
     "q_dedup_keep" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id IN (
