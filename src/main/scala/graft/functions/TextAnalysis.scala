@@ -539,18 +539,34 @@ object TextAnalysis {
     * aggregation. */
   def bigramXent(docs: org.apache.spark.sql.DataFrame, id: String,
                  text: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{avg, broadcast, col, count, countDistinct, exp}
+    import org.apache.spark.sql.functions.{col, count, countDistinct}
     val t = docs.select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
-    val bi = t.where(size(col("tk")) >= 2)
+    val bi = bigramStream(t)
+    bigramScore(bi,
+      bi.groupBy("big").agg(count(lit(1)).as("bc")),
+      bi.groupBy("ctx").agg(count(lit(1)).as("cc")),
+      t.select(explode(col("tk")).as("term"))
+        .agg(countDistinct(col("term")).as("v")))
+  }
+
+  /** The per-doc (ctx, bigram) stream both bigram paths explode. */
+  private def bigramStream(t: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    t.where(size(col("tk")) >= 2)
       .select(col("doc_id"), col("tk"),
         explode(sequence(lit(0), size(col("tk")) - 2)).as("i"))
       .select(col("doc_id"),
         element_at(col("tk"), col("i") + 1).as("ctx"),
         concat_ws(" ", slice(col("tk"), col("i") + 1, lit(2))).as("big"))
-    val bc = bi.groupBy("big").agg(count(lit(1)).as("bc"))
-    val cc = bi.groupBy("ctx").agg(count(lit(1)).as("cc"))
-    val vocab = t.select(explode(col("tk")).as("term"))
-      .agg(countDistinct(col("term")).as("v"))
+
+  /** The scoring tail both bigram paths share — one definition, so
+    * fused and maintained-counts serving cannot drift. */
+  private def bigramScore(bi: org.apache.spark.sql.DataFrame,
+                          bc: org.apache.spark.sql.DataFrame,
+                          cc: org.apache.spark.sql.DataFrame,
+                          vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count, exp}
     bi.join(bc, "big").join(cc, "ctx").join(broadcast(vocab))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -558,6 +574,81 @@ object TextAnalysis {
           .as("xent2"))
       .select(col("doc_id"), col("n_bigrams"), col("xent2"),
         exp(col("xent2")).as("ppl2"))
+  }
+
+  /** Per-batch maintenance of the bigram LM's counts — the online twin
+    * of [[bigramXent]]'s counting half. The model needs THREE count
+    * tables (bigram, context, distinct-vocab) and a half-committed
+    * subset would score WRONG (not just stale), so all three kinds
+    * land in ONE kind-tagged shard under ONE `_SUCCESS` claim — the
+    * atomic-batch alternative to the NB family's split-write pairing
+    * markers. Counts ADD across doc-disjoint batches. Returns false
+    * iff the shard already existed (replay). */
+  def bigramCountsAppend(batch: org.apache.spark.sql.DataFrame,
+                         id: String, text: String,
+                         dir: String, batchId: Long): Boolean =
+    ShardWrite.claimBatch(batch.sparkSession, dir, batchId) match {
+      case None => false
+      case Some(shard) => bigramCountRows(batch, id, text)
+          .write.parquet(shard); true
+    }
+
+  /** TOMBSTONES for the bigram LM — the count-channel retire shape:
+    * the retired docs' bigram/context/term counts append POSITIVE to
+    * `$dir/retire`; [[bigramXentFromCounts]] nets at read. A term
+    * netted to zero leaves the VOCAB (v shrinks — exactly the
+    * retained-corpus countDistinct, since per-term counts are additive
+    * and zero-netted rows vanish). */
+  def bigramCountsRetire(batch: org.apache.spark.sql.DataFrame,
+                         id: String, text: String,
+                         dir: String, batchId: Long): Boolean =
+    ShardWrite.claimBatch(batch.sparkSession, s"$dir/retire",
+        batchId) match {
+      case None => false
+      case Some(shard) => bigramCountRows(batch, id, text)
+          .write.parquet(shard); true
+    }
+
+  private def bigramCountRows(batch: org.apache.spark.sql.DataFrame,
+                              id: String, text: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count}
+    val t = batch.select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+    val bi = bigramStream(t)
+    bi.groupBy("big").agg(count(lit(1)).as("c"))
+      .select(lit("b").as("kind"), col("big").as("k"), col("c"))
+      .unionByName(bi.groupBy("ctx").agg(count(lit(1)).as("c"))
+        .select(lit("c").as("kind"), col("ctx").as("k"), col("c")))
+      .unionByName(t.select(explode(col("tk")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .select(lit("t").as("kind"), col("term").as("k"), col("c")))
+  }
+
+  /** [[bigramXent]] SERVED from the maintained counts: ingest − retire
+    * nets to the retained corpus's exact counts (zero-netted rows
+    * vanish — unseen bigrams drop from the joins, retired-only terms
+    * leave the vocabulary), then the SAME scoring tail as the fused
+    * path. Bit-identical by count additivity for any doc set whose
+    * bigrams the retained corpus contains (in particular the retained
+    * corpus itself); shares the fused oracle. */
+  def bigramXentFromCounts(docs: org.apache.spark.sql.DataFrame,
+                           id: String, text: String, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val spark = docs.sparkSession
+    val schema = "kind STRING, k STRING, c BIGINT"
+    val netted = ShardWrite.readShards(spark, dir, schema)
+      .unionByName(ShardWrite.readOrEmpty(spark, s"$dir/retire", schema)
+        .select(col("kind"), col("k"), (-col("c")).as("c")))
+      .groupBy("kind", "k").agg(sum(col("c")).as("c"))
+      .where(col("c") > 0)
+    val t = docs.select(col(id).as("doc_id"), tokens(col(text)).as("tk"))
+    bigramScore(bigramStream(t),
+      netted.where(col("kind") === "b")
+        .select(col("k").as("big"), col("c").as("bc")),
+      netted.where(col("kind") === "c")
+        .select(col("k").as("ctx"), col("c").as("cc")),
+      netted.where(col("kind") === "t").agg(count(lit(1)).as("v")))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for

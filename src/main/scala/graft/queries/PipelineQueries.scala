@@ -1008,6 +1008,42 @@ object PipelineQueries {
   def bigramPpl(s: SparkSession, d: String): DataFrame =
     TA.bigramXent(par(documents(s, d)), "doc_id", "text")
 
+  /** q_bigram_incr: the bigram LM SERVED from maintained kind-tagged
+    * count shards ([[TA.bigramCountsAppend]] — bigram + context +
+    * vocab counts land atomically per batch under one claim). Exact by
+    * additivity; shares `q_bigram_ppl`'s oracle. */
+  def bigramIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"biincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.bigramCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+    }
+    TA.bigramXentFromCounts(docs, "doc_id", "text", dir)
+  }
+
+  /** q_bigram_retire: the bigram LM with tombstones — the retired
+    * docs' counts replay into the retire channel
+    * ([[TA.bigramCountsRetire]]); the retained docs score against
+    * netted counts, with retired-only terms GONE from the vocabulary
+    * (v is the retained countDistinct by zero-netted-row deletion).
+    * Oracle = `q_bigram_ppl`'s SQL over the retained corpus. */
+  def bigramRetireQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"biret:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        TA.bigramCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+      TA.bigramCountsRetire(docs.where(RetiredPred), "doc_id", "text",
+        dir, 0L)
+    }
+    TA.bigramXentFromCounts(docs.where(RetainedPred), "doc_id", "text", dir)
+  }
+
   /** DSIR importance weights ([[TA.dsirWeights]], Xie et al. 2023):
     * target = the `lang = 'en'` slice, source = everything else —
     * every doc's hashed-bigram log-importance ln(p_en/p_rest). */
@@ -2520,6 +2556,8 @@ object PipelineQueries {
     "q_unigram_ppl"    -> (unigramPpl _),
     "q_unigram_incr"   -> (unigramIncrQ _),
     "q_bigram_ppl"     -> (bigramPpl _),
+    "q_bigram_incr"    -> (bigramIncrQ _),
+    "q_bigram_retire"  -> (bigramRetireQ _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
     "q_dup_ngrams"     -> (dupNgrams _),
@@ -2667,6 +2705,24 @@ object PipelineQueries {
        |  min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
        |  count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
        |  FROM sh)""".stripMargin
+
+  /** The bigram-LM oracle — shared by the fused and maintained rows
+    * (the retire twin via retainedWrap). */
+  private val BigramPplSql: String =
+    s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |bi AS (SELECT doc_id, tk[i+1] AS ctx,
+         |         array_to_string(tk[i+1:i+2], ' ') AS big
+         |       FROM (SELECT doc_id, tk, unnest(range(len(tk)-1)) AS i
+         |             FROM t WHERE len(tk) >= 2)),
+         |bc AS (SELECT big, count(*) AS bc FROM bi GROUP BY big),
+         |cc AS (SELECT ctx, count(*) AS cc FROM bi GROUP BY ctx),
+         |vv AS (SELECT count(DISTINCT term) AS v
+         |       FROM (SELECT unnest(tk) AS term FROM t))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  avg(-ln(CAST(bc + 1.0 AS DOUBLE) / (cc + v))) AS xent2,
+         |  exp(avg(-ln(CAST(bc + 1.0 AS DOUBLE) / (cc + v)))) AS ppl2
+         |FROM bi JOIN bc USING (big) JOIN cc USING (ctx) CROSS JOIN vv
+         |GROUP BY doc_id""".stripMargin
 
   /** The boilerplate-miner oracle — shared by the fused, shard-served,
     * and retire rows (the retire one at its own minDf, via
@@ -3254,21 +3310,9 @@ object PipelineQueries {
     // bigram model: context counts over positions 0..k-2 (so the
     // conditional sums to 1), corpus-vocab add-1 smoothing; exp/ln in
     // double on both engines, driver rounding absorbs merge-order ulps
-    "q_bigram_ppl" ->
-      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
-         |bi AS (SELECT doc_id, tk[i+1] AS ctx,
-         |         array_to_string(tk[i+1:i+2], ' ') AS big
-         |       FROM (SELECT doc_id, tk, unnest(range(len(tk)-1)) AS i
-         |             FROM t WHERE len(tk) >= 2)),
-         |bc AS (SELECT big, count(*) AS bc FROM bi GROUP BY big),
-         |cc AS (SELECT ctx, count(*) AS cc FROM bi GROUP BY ctx),
-         |vv AS (SELECT count(DISTINCT term) AS v
-         |       FROM (SELECT unnest(tk) AS term FROM t))
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  avg(-ln(CAST(bc + 1.0 AS DOUBLE) / (cc + v))) AS xent2,
-         |  exp(avg(-ln(CAST(bc + 1.0 AS DOUBLE) / (cc + v)))) AS ppl2
-         |FROM bi JOIN bc USING (big) JOIN cc USING (ctx) CROSS JOIN vv
-         |GROUP BY doc_id""".stripMargin,
+    "q_bigram_ppl" -> BigramPplSql,
+    "q_bigram_incr" -> BigramPplSql,
+    "q_bigram_retire" -> retainedWrap(BigramPplSql),
     // Gopher rules: thresholds SPLICED from the TextAnalysis constants
     // (one source of truth), replace-based symbol counting (identical
     // greedy left-to-right semantics both engines), 0/1 int flags; pass

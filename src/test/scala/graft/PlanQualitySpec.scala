@@ -203,6 +203,9 @@ class PlanQualitySpec extends SparkSpec {
       "q_unigram_ppl", // corpus-token-count scalar attach, the tfidf shape
       "q_unigram_incr", // the same scalar, derived from the count shards
       "q_bigram_ppl",  // the vocabulary-size V one-row scalar, same shape
+      "q_bigram_incr", // the same V scalar, derived from the kind-tagged
+                       // count shards
+      "q_bigram_retire", // the same V scalar over ingest − retire counts
       "q_bm25",        // (N, avgdl) single-row scalar attach, same shape
       "q_bm25_index",  // the same (N, avgdl) scalar, served from the dl sidecar
       "q_bm25_topk",   // the bm25 shape under a TakeOrdered cut
