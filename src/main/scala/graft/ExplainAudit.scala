@@ -262,9 +262,22 @@ object ExplainAudit {
       "q_line_dedup_incr", // hot-line set from summed count shards
                           //   broadcast into the anti-join; only the
                           //   docs being rewritten explode
-      "q_line_dedup_retire") // netted hot set: the retire counts union
+      "q_line_dedup_retire", // netted hot set: the retire counts union
                           //   NEGATIVE into the same sum — one extra
                           //   shard scan, no second explode
+      "q_winnow_incr",    // fingerprint table served from shards: no
+                          //   shingle/hash/window stage in the plan —
+                          //   the pair bucketing is the only corpus work
+      "q_decontaminate_bloom", // the bloom prune is a map-side Filter
+                          //   (native contains expression) ABOVE the
+                          //   shingle stream; only survivors reach the
+                          //   string-keyed exact semi-join
+      "q_source_kl_incr", // drift from maintained counts: shard scan
+                          //   into the bounded |sources|×B grid — no
+                          //   corpus-scale feature explode at read
+      "q_bigram_incr")    // LM scoring from the kind-tagged count
+                          //   shards: the corpus explodes once for the
+                          //   probe stream; counts come from shard scans
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")
