@@ -1183,6 +1183,25 @@ object TextAnalysis {
         true
     }
 
+  /** Fold the drift monitor's count shards (ingest channel) into one
+    * merged m-shard — counts re-aggregate by sum
+    * ([[ShardWrite.compactShards]] discipline). */
+  def compactSourceKlCounts(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, sum}
+    ShardWrite.compactShards(spark, dir, "g STRING, b BIGINT, cg BIGINT")(
+      _.groupBy("g", "b").agg(sum(col("cg")).as("cg")))
+  }
+
+  /** Fold the bigram LM's kind-tagged count shards into one merged
+    * m-shard — counts re-aggregate by sum per (kind, key). */
+  def compactBigramCounts(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, sum}
+    ShardWrite.compactShards(spark, dir, "kind STRING, k STRING, c BIGINT")(
+      _.groupBy("kind", "k").agg(sum(col("c")).as("c")))
+  }
+
   /** [[sourceKl]] SERVED from the maintained counts: ingest − retire
     * nets to the retained corpus's exact (group, bucket) counts (rows
     * netted to zero vanish — a fully-retired group must not linger as

@@ -168,4 +168,42 @@ class CountShardCompactionSpec extends SparkSpec {
     assert(in1 == 3 && out1 == 1)
     assert(cells == cBefore, "CMS cells drifted across the compaction")
   }
+
+  test("r15 count channels (drift, bigram, boilerplate) fold bit-stable too") {
+    import graft.functions.Dedup
+    val wide = docs.withColumn("source",
+      concat(lit("s"), ($"doc_id" % 2).cast("string")))
+    val kdir = tmp("kl-compact")
+    for (b <- 0L until 3L)
+      assert(TA.sourceKlCountsAppend(wide.where($"doc_id" % 3 === b),
+        "doc_id", "text", "source", kdir, b))
+    def kl = TA.sourceKlFromCounts(spark, kdir, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val kBefore = kl
+    val (kIn, kOut) = TA.compactSourceKlCounts(spark, kdir)
+    assert(kIn == 3 && kOut == 1)
+    assert(kl == kBefore, "KL drifted across the compaction")
+
+    val bdir = tmp("bi-compact")
+    for (b <- 0L until 3L)
+      assert(TA.bigramCountsAppend(docs.where($"doc_id" % 3 === b),
+        "doc_id", "text", bdir, b))
+    def ppl = TA.bigramXentFromCounts(docs, "doc_id", "text", bdir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val pBefore = ppl
+    val (bIn, bOut) = TA.compactBigramCounts(spark, bdir)
+    assert(bIn == 3 && bOut == 1)
+    assert(ppl == pBefore, "bigram ppl drifted across the compaction")
+
+    val sdir = tmp("boil-compact")
+    for (b <- 0L until 3L)
+      assert(Dedup.shingleDfAppend(docs.where($"doc_id" % 3 === b),
+        "doc_id", "text", sdir, b, n = 2))
+    def hot = Dedup.boilerplateFromShards(spark, sdir, 2, 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val hBefore = hot
+    val (sIn, sOut) = Dedup.compactShingleDf(spark, sdir)
+    assert(sIn == 3 && sOut == 1)
+    assert(hot == hBefore, "drop list drifted across the compaction")
+  }
 }
