@@ -1971,3 +1971,81 @@ object RetireGrowthProbe {
     spark.stop()
   }
 }
+
+/** Bloom-decontamination evidence (r15, docs/SCALE.md): at what bench
+  * size does the 8-MB-capped Bloom prune beat broadcasting the exact
+  * shingle-string set? A 100k-doc train corpus with a planted 1%
+  * contamination rate is decontaminated against a bench of 2k and 20k
+  * docs through both paths; the probe reports the map-side survival
+  * fraction (how much of the train shingle stream reaches the exact
+  * verify), wall times, and asserts both paths return the identical
+  * contaminated set. `sbt "runMain graft.BloomDeconProbe [n]"`. */
+object BloomDeconProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.{Bloom, Dedup}
+    import graft.queries.CurationQueries
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // 12-token docs, token vocabulary wide enough that bench shingles
+    // are rare in train EXCEPT the planted 1% contaminated docs, which
+    // copy a bench doc's text verbatim
+    def corpus(rows: Long, salt: String) = spark.range(rows)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit(s"$salt$j"), ((col("id") * (j + 7)) % 9973)
+            .cast("string"))): _*).as("text"))
+    for (benchN <- Seq(2000L, 20000L)) {
+      val bench = corpus(benchN, "b").repartition(16).cache()
+      val clean = corpus(n, "t")
+      // plant: doc_id % 100 == 3 copies bench doc (doc_id % benchN)
+      val train = clean.as("c")
+        .join(bench.select(col("doc_id").as("bid"),
+          col("text").as("btext")),
+          col("c.doc_id") % benchN === col("bid"), "left")
+        .select(col("c.doc_id").as("doc_id"),
+          when(col("c.doc_id") % 100 === 3, col("btext"))
+            .otherwise(col("c.text")).as("text"))
+        .repartition(16).cache()
+      train.count(); bench.count()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val (exact, tExact) = timeIt(toSet(
+        CurationQueries.decontaminateAgainst(train, bench)))
+      val (bloomed, tBloom) = timeIt(toSet(
+        CurationQueries.decontaminateBloomAgainst(train, bench)))
+      assert(bloomed == exact,
+        s"bloom path diverged from broadcast-exact at bench=$benchN")
+      // survival fraction: how much of the train stream passes the prune
+      val trainSh = Dedup.shingles(train, "doc_id", "text", 5).cache()
+      val total = trainSh.count()
+      val hashed = Dedup.shingles(bench, "doc_id", "text", 5)
+        .select(Dedup.md5Hash60(col("shingle")).as("h"))
+      val first = hashed.select(Bloom.bloomAgg(col("h"), 1 << 16, 3).as("w"),
+        approx_count_distinct(col("h")).as("nk")).head()
+      val need = Bloom.sizedBits(first.getLong(1), 1 << 16)
+      val words = if (need <= (1 << 16)) first.getSeq[Long](0).toArray
+        else hashed.select(Bloom.bloomAgg(col("h"), need, 3).as("w"))
+          .head().getSeq[Long](0).toArray
+      val survive = trainSh.where(
+        Bloom.contains(Dedup.md5Hash60(col("shingle")), words, 3)).count()
+      trainSh.unpersist(); train.unpersist(); bench.unpersist()
+      println(f"[scale] bloom decon @$n train / $benchN bench: " +
+        f"exact ${tExact}%.2f s, bloom ${tBloom}%.2f s; " +
+        f"${words.length * 64}%d filter bits, survival " +
+        f"${survive.toDouble / total}%.4f ($survive/$total shingles reach " +
+        f"the verify); ${exact.size} contaminated docs, paths identical " +
+        "(asserted)")
+    }
+    spark.stop()
+  }
+}
