@@ -147,12 +147,18 @@ object Dedup {
     ShardWrite.claimBatch(batch.sparkSession, dir, batchId) match {
       case None => false
       case Some(shard) =>
-        docLines(batch, id, text)
-          .where(col("line").rlike("\\S"))
-          .groupBy("_lk").agg(countDistinct(col(id)).as("nd"))
-          .write.parquet(shard)
+        lineStatRows(batch, id, text).write.parquet(shard)
         true
     }
+
+  /** The per-batch line-statistics mine BOTH channels write — one
+    * definition so ingest and retire counts can never drift (the
+    * bigramCountRows discipline). */
+  private def lineStatRows(batch: DataFrame, id: String,
+                           text: String): DataFrame =
+    docLines(batch, id, text)
+      .where(col("line").rlike("\\S"))
+      .groupBy("_lk").agg(countDistinct(col(id)).as("nd"))
 
   /** TOMBSTONES for the line-statistics channel — the count-channel
     * retire shape ([[graft.functions.TextAnalysis.unigramCountsRetire]]'s
@@ -172,10 +178,7 @@ object Dedup {
     ShardWrite.claimBatch(batch.sparkSession, retireDir, batchId) match {
       case None => false
       case Some(shard) =>
-        docLines(batch, id, text)
-          .where(col("line").rlike("\\S"))
-          .groupBy("_lk").agg(countDistinct(col(id)).as("nd"))
-          .write.parquet(shard)
+        lineStatRows(batch, id, text).write.parquet(shard)
         true
     }
 
@@ -199,11 +202,16 @@ object Dedup {
     ShardWrite.claimBatch(batch.sparkSession, dir, batchId) match {
       case None => false
       case Some(shard) =>
-        shingles(batch, id, text, n)
-          .groupBy("shingle").agg(count(lit(1)).as("df"))
-          .write.parquet(shard)
+        shingleDfRows(batch, id, text, n).write.parquet(shard)
         true
     }
+
+  /** The per-batch shingle doc-frequency mine BOTH channels write —
+    * one definition so ingest and retire counts can never drift. */
+  private def shingleDfRows(batch: DataFrame, id: String, text: String,
+                            n: Int): DataFrame =
+    shingles(batch, id, text, n)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
 
   /** TOMBSTONES for the boilerplate channel — the count-channel retire
     * shape: the retired docs' shingle contributions append POSITIVE to
@@ -216,9 +224,7 @@ object Dedup {
         batchId) match {
       case None => false
       case Some(shard) =>
-        shingles(batch, id, text, n)
-          .groupBy("shingle").agg(count(lit(1)).as("df"))
-          .write.parquet(shard)
+        shingleDfRows(batch, id, text, n).write.parquet(shard)
         true
     }
 
@@ -231,7 +237,7 @@ object Dedup {
                             dir: String, minDf: Int,
                             topK: Int): DataFrame =
     ShardWrite.readShards(spark, dir, ShingleDfSchema)
-      .unionByName(ShardWrite.readOrEmpty(spark, s"$dir/retire",
+      .unionByName(ShardWrite.readShards(spark, s"$dir/retire",
           ShingleDfSchema)
         .select(col("shingle"), (-col("df")).as("df")))
       .groupBy("shingle").agg(sum(col("df")).as("doc_freq"))
@@ -729,21 +735,9 @@ object Dedup {
   }
 
   private def verifyLMarker(spark: org.apache.spark.sql.SparkSession,
-                            dir: String, l: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_L")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readLMarker(spark, dir) match {
-      case Some(existing) =>
-        require(existing == l,
-          s"$dir was mined with L=$existing; got L=$l — one window " +
-            "length per table (hash keys are L-bound)")
-      case None =>
-        fs.mkdirs(p.getParent)
-        val out = fs.create(p, true)
-        out.write(l.toString.getBytes("UTF-8"))
-        out.close()
-    }
-  }
+                            dir: String, l: Int): Unit =
+    verifyParamsMarker(spark, s"$dir/_L", l.toString,
+      "window length (hash keys are L-bound)")
 
   /** Write-once / verify-always parameter marker (the `_L` / `_span`
     * discipline generalized): first writer records `value` at `path`,
@@ -777,25 +771,18 @@ object Dedup {
       try {
         val buf = new Array[Byte](64)
         val n = in.read(buf)
-        Some(new String(buf, 0, n, "UTF-8").trim)
+        // a 0-byte marker is a TORN write (death between create and
+        // write) — treat as absent so the next verify heals it by
+        // rewriting, instead of bricking the table on new String(-1)
+        if (n <= 0) None
+        else Some(new String(buf, 0, n, "UTF-8").trim).filter(_.nonEmpty)
       } finally in.close()
     }
   }
 
   private def readLMarker(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_L")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](16)
-        val n = in.read(buf)
-        Some(new String(buf, 0, n, "UTF-8").trim.toInt)
-      } finally in.close()
-    }
-  }
+                          dir: String): Option[Int] =
+    readParamsMarker(spark, s"$dir/_L").map(_.toInt)
 
   /** Apply the [[exactSubstrSpans]] cut list: each document's text
     * reconstructed from the tokens OUTSIDE every dup span, in original

@@ -1070,24 +1070,28 @@ object Similarity {
       val rewrote = graft.streaming.LakeMaintenance.evictFromDir(
         spark, s"$dir/codes", ids, "vid",
         snapshotRoot = Some(s"$dir/codes"))
-      if (rewrote) {
-        // refresh the corpus_rows sizing hint to the retained count
-        val (metaFs, metaP) = canonicalMeta(spark, dir)
-        if (metaFs.exists(metaP)) {
-          import spark.implicits._
-          val rows = spark.read.parquet(s"$dir/codes").count()
-          val kept = spark.read.parquet(metaP.toString)
-            .collect().map(r => (r.getString(0), r.getString(1)))
-            .filterNot(_._1 == "corpus_rows")
-          (kept.toSeq :+ (("corpus_rows", rows.toString)))
-            .toDF("key", "value")
-            .write.mode("overwrite").parquet(metaP.toString)
-          invalidateNormalizedMeta(spark, dir)
-          corpusRowsCache.remove(metaP.toString)
-        }
+      // refresh the corpus_rows sizing hint UNCONDITIONALLY before the
+      // channel delete: gating it on `rewrote` left a crash window —
+      // death after a COMPLETED rewrite but before this refresh made
+      // the rerun's evict a no-op (rewrote = false), the old code then
+      // skipped the refresh and consumed the channel, freezing the
+      // pre-takedown count forever. Recounting the codes is cheap
+      // relative to the rewrite and convergent on any rerun.
+      val (metaFs, metaP) = canonicalMeta(spark, dir)
+      if (metaFs.exists(metaP)) {
+        import spark.implicits._
+        val rows = spark.read.parquet(s"$dir/codes").count()
+        val kept = spark.read.parquet(metaP.toString)
+          .collect().map(r => (r.getString(0), r.getString(1)))
+          .filterNot(_._1 == "corpus_rows")
+        (kept.toSeq :+ (("corpus_rows", rows.toString)))
+          .toDF("key", "value")
+          .write.mode("overwrite").parquet(metaP.toString)
+        invalidateNormalizedMeta(spark, dir)
+        corpusRowsCache.remove(metaP.toString)
       }
-      // channel consumed only after the rewrite landed — the crash
-      // contract: a death before this delete reruns the fold
+      // channel consumed only after the rewrite AND refresh landed —
+      // the crash contract: a death before this delete reruns the fold
       fs.delete(retP, true)
       rewrote
     } finally ids.unpersist()

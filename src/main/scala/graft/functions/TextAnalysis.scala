@@ -638,7 +638,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     val schema = "kind STRING, k STRING, c BIGINT"
     val netted = ShardWrite.readShards(spark, dir, schema)
-      .unionByName(ShardWrite.readOrEmpty(spark, s"$dir/retire", schema)
+      .unionByName(ShardWrite.readShards(spark, s"$dir/retire", schema)
         .select(col("kind"), col("k"), (-col("c")).as("c")))
       .groupBy("kind", "k").agg(sum(col("c")).as("c"))
       .where(col("c") > 0)
@@ -1154,13 +1154,23 @@ object TextAnalysis {
     ShardWrite.claimBatch(batch.sparkSession, dir, batchId) match {
       case None => false
       case Some(shard) =>
-        import org.apache.spark.sql.functions.{col, count}
-        dsirFeatures(batch, id, text, buckets, carry = Seq(group))
-          .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg"))
-          .select(col(group).cast("string").as("g"), col("b"), col("cg"))
+        sourceKlCountRows(batch, id, text, group, buckets)
           .write.parquet(shard)
         true
     }
+
+  /** The per-batch (group, bucket) counts BOTH drift channels write —
+    * one definition so ingest and retire can never drift (the
+    * [[bigramCountRows]] discipline). */
+  private def sourceKlCountRows(batch: org.apache.spark.sql.DataFrame,
+                                id: String, text: String, group: String,
+                                buckets: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count}
+    dsirFeatures(batch, id, text, buckets, carry = Seq(group))
+      .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg"))
+      .select(col(group).cast("string").as("g"), col("b"), col("cg"))
+  }
 
   /** TOMBSTONES for the drift monitor — the count-channel retire shape
     * ([[unigramCountsRetire]]'s discipline): the retired docs' (group,
@@ -1175,10 +1185,7 @@ object TextAnalysis {
         batchId) match {
       case None => false
       case Some(shard) =>
-        import org.apache.spark.sql.functions.{col, count}
-        dsirFeatures(batch, id, text, buckets, carry = Seq(group))
-          .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg"))
-          .select(col(group).cast("string").as("g"), col("b"), col("cg"))
+        sourceKlCountRows(batch, id, text, group, buckets)
           .write.parquet(shard)
         true
     }
@@ -1215,7 +1222,7 @@ object TextAnalysis {
     import org.apache.spark.sql.functions.{col, sum}
     val schema = "g STRING, b BIGINT, cg BIGINT"
     val netted = ShardWrite.readShards(spark, dir, schema)
-      .unionByName(ShardWrite.readOrEmpty(spark, s"$dir/retire", schema)
+      .unionByName(ShardWrite.readShards(spark, s"$dir/retire", schema)
         .select(col("g"), col("b"), (-col("cg")).as("cg")))
       .groupBy("g", "b").agg(sum(col("cg")).as("cg"))
       .where(col("cg") > 0)

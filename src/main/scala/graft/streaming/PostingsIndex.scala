@@ -706,9 +706,13 @@ object PostingsIndex {
     *    already-folded tf is exact, and cheaper to reason about than
     *    per-shard subtraction across unaligned compaction histories);
     *  - the channel is consumed LAST, so a crash ANYWHERE inside the
-    *    window reruns the fold (each piece is an idempotent rewrite)
-    *    and serves correctly throughout (readers still subtract the
-    *    still-present channel).
+    *    window reruns the fold (each piece is an idempotent rewrite);
+    *  - a `_fold_fence` on the dl root brackets the whole window: the
+    *    read-side df correction (tf ∩ tombstones) is ZERO once tf is
+    *    folded, so a serve between the tf fold and the sidecar rewrite
+    *    would pair retained tf bytes with a STALE df — fenced serves
+    *    fail loudly instead of silently mis-ranking, and the fold's
+    *    rerun is the recovery (it raises, heals, and clears the fence).
     *
     * After the fold, serving WITHOUT `retirePath` equals the
     * tombstoned serve before it (the oracle row pins this end to end).
@@ -717,6 +721,46 @@ object PostingsIndex {
     * the pre-takedown corpus — vacuum retention is therefore the legal
     * deletion horizon; without manifests there are no pinned reads and
     * the fold is immediately global. Returns true iff a fold ran. */
+  // ---- fold fence: the stale-sidecar crash window made LOUD ---------
+  //
+  // Between a committed tf fold and the df/bm sidecar rewrite, the
+  // sidecar still counts the retired docs while the read-side
+  // correction (tf ∩ tombstones) is already zero — a serve in that
+  // window would silently mis-rank (wrong stopword cut, wrong idf).
+  // The fold therefore raises a fence at entry and clears it only
+  // after EVERY piece is consistent again; serves fail fast on the
+  // fence (the `_sem_fence` discipline) and the fold's rerun — which
+  // is idempotent — is the recovery. The fence lives on the root BOTH
+  // serve shapes read (dl for the flat index, the layout root for
+  // WAND).
+  private def foldFence(root: String) = new Path(s"$root/_fold_fence")
+
+  private def raiseFoldFence(spark: SparkSession, root: String): Unit = {
+    val p = foldFence(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  private def clearFoldFence(spark: SparkSession, root: String): Unit = {
+    val p = foldFence(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+  }
+
+  /** Serves call this on every fenced root they read: a present fence
+    * means a tombstone fold died between the tf fold and the sidecar
+    * rewrite — scores computed now would be silently wrong, so fail
+    * loudly and name the recovery. */
+  private def requireNoFoldFence(spark: SparkSession, root: String): Unit = {
+    val p = foldFence(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"$root has an interrupted tombstone fold (_fold_fence present) — " +
+        "the df/block-max sidecar may not match the folded tf bytes; " +
+        "rerun foldRetiredPostings/foldRetiredWand to heal before serving")
+  }
+
   def foldRetiredPostings(spark: SparkSession, tfPath: String,
                           dlPath: String, retirePath: String,
                           dfPath: Option[String] = None): Boolean = {
@@ -726,6 +770,10 @@ object PostingsIndex {
     val gone = retiredDocs(spark, retirePath).persist()
     try {
       if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      // fence FIRST: from here until every piece below is consistent,
+      // a serve could read a folded tf against a stale df sidecar —
+      // fail those loudly instead of mis-ranking (scaladoc above)
+      raiseFoldFence(spark, dlPath)
       // distinct() makes the rerun CONVERGE across the non-manifest
       // crash window (m-shard landed, originals not yet deleted →
       // duplicated retained rows in the rerun's input): tf rows are
@@ -749,6 +797,10 @@ object PostingsIndex {
             .write.partitionBy("tbucket").mode("overwrite").parquet(p),
           force = true)
       }
+      // every piece consistent again → fence off, THEN the channel
+      // (a death between the two leaves a correct-serving state: the
+      // sidecars are retained and tf ∩ tombstones is already empty)
+      clearFoldFence(spark, dlPath)
       fs.delete(retP, true)
       true
     } finally gone.unpersist()
@@ -793,6 +845,7 @@ object PostingsIndex {
                      maxDfFrac: Option[Double] = None,
                      dfVersion: Option[Long] = None,
                      retirePath: Option[String] = None): DataFrame = {
+    requireNoFoldFence(spark, dlPath)
     def partnerOf(side: String, v: Long,
                   pick: ((Long, Long, Option[Long])) => Boolean) = {
       val hits = recordedPairs(spark, tfPath).filter(pick)
@@ -1047,6 +1100,7 @@ object PostingsIndex {
     val gone = retiredDocs(spark, retirePath).persist()
     try {
       if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      raiseFoldFence(spark, wandPath)
       compactWith(spark, s"$wandPath/tf",
         _.join(gone, Seq("doc_id"), "left_anti").distinct(),
         (df, p) => df
@@ -1067,6 +1121,7 @@ object PostingsIndex {
           .withColumn("tbucket", tokenBucket(col("token")))
           .write.partitionBy("tbucket").mode("overwrite").parquet(p),
         force = true)
+      clearFoldFence(spark, wandPath)
       fs.delete(retP, true)
       true
     } finally gone.unpersist()
@@ -1156,6 +1211,8 @@ object PostingsIndex {
                      retirePath: Option[String] = None): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(k >= 1, "top-k needs k >= 1")
+    requireNoFoldFence(spark, wandPath)
+    requireNoFoldFence(spark, dlPath)
     val (keptBlocks, score) =
       wandPlan(spark, wandPath, dlPath, terms, k, k1, b, retirePath)
     score(keptBlocks)

@@ -370,6 +370,20 @@ class RetireSpec extends SparkSpec {
     assert(tfRows.count() ==
       tfRows.dropDuplicates("token", "doc_id").count(),
       "the rerun must collapse the crash window's duplicates")
+    // fold fence: a death between the tf fold and the df rewrite
+    // leaves the fence up — serves must FAIL LOUDLY (the sidecar no
+    // longer matches the folded tf bytes; scoring would be silently
+    // wrong), and the fold's rerun heals and clears it
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dlP/_fold_fence")),
+      "a completed fold must leave no fence")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dlP/_fold_fence"), true).close()
+    intercept[IllegalArgumentException] { serve(None) }
+    intercept[IllegalArgumentException] { serve(Some(retP)) }
+    PostingsIndex.retireAppend(retired.select("doc_id"), retP, 1L)
+    assert(PostingsIndex.foldRetiredPostings(spark, tfP, dlP, retP,
+      dfPath = Some(dfP)), "the fold rerun is the fence's recovery")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dlP/_fold_fence")))
+    assert(serve(None) == truth)
   }
 
   test("pairs fold: byte-real edge drop, waits without a strictly-increasing watermark") {
@@ -462,6 +476,17 @@ class RetireSpec extends SparkSpec {
       .parquet(s"$wP/bm").where(c("token") === "mid" && c("dblock") === 0L)
       .agg(org.apache.spark.sql.functions.sum(c("df"))).head().getLong(0)
     assert(dfMid == 10L, s"block-0 df must be the 10 retained heavy docs, got $dfMid")
+    // fold fence: a death between the wand tf fold and the bm sidecar
+    // recompute leaves the fence up — the pruned serve must fail
+    // loudly (stale sidecar df would feed the idf), rerun heals
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wP/_fold_fence")))
+    fs.create(new org.apache.hadoop.fs.Path(s"$wP/_fold_fence"), true).close()
+    intercept[IllegalArgumentException] { serve() }
+    PostingsIndex.retireAppend(gone, s"$dir/retW", 1L)
+    assert(PostingsIndex.foldRetiredWand(spark, wP, s"$dir/retW"),
+      "the fold rerun is the fence's recovery")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wP/_fold_fence")))
+    assert(serve().map(_._1) == truth.map(_._1))
     // one-shot layouts refuse in-place folding with a pointed error
     val oneShot = s"$dir/oneshot"
     PostingsIndex.wandLayoutFrom(spark, tfP, oneShot, span = 50L)
