@@ -2049,3 +2049,77 @@ object BloomDeconProbe {
     spark.stop()
   }
 }
+
+/** Gate-takedown evidence at scale (r15, docs/SCALE.md): the streaming
+  * near-dup gate's retire story priced at a 100k-doc state — (a) the
+  * admit decision with pending tombstones (probe-time subtraction) vs
+  * without, (b) the physical eviction's cost and its leaf-rewrite
+  * count, (c) post-eviction admit correctness: a near-dup of retired
+  * content admits, a near-dup of retained content still drops.
+  * `sbt "runMain graft.GateRetireProbe [n]"`. */
+object GateRetireProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.NearDupGate
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // doc-unique salted text (the q_neardup_gate_retire construction):
+    // no organic pairs, so admit counts are exactly predictable and
+    // every measured cost is the machinery's, not the fixture's
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit(s"w$j"), col("id"))): _*).as("text"))
+      .repartition(16).cache()
+    docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("gate-retire").toString
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    val (admitted, tIngest) = timeIt(
+      NearDupGate.curateBatch(docs, out, state))
+    println(f"[scale] gate ingest @$n: $admitted admitted in $tIngest%.1f s")
+    // retire 10%
+    val retired = docs.where(col("doc_id") % 10 === 7).select("doc_id")
+    NearDupGate.retireAppend(retired, state, 0L)
+    // copies of retired content (new ids) must ADMIT against the
+    // tombstone-subtracted state; copies of retained content DROP
+    val copies = docs
+      .where(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val (admit2, tProbe) = timeIt(
+      NearDupGate.curateBatch(copies, out, state))
+    val wantAdmit = retired.count()
+    assert(admit2 == wantAdmit,
+      s"expected exactly the $wantAdmit retired-content copies to admit, got $admit2")
+    println(f"[scale] tombstoned admit batch (20%% of corpus, half " +
+      f"suppressed): $tProbe%.1f s, admits exact ($admit2)")
+    // physical eviction: leaves rewritten, channel consumed
+    val ((scanned, rewritten), tEvict) = timeIt(
+      NearDupGate.evictRetired(spark, out, state))
+    println(f"[scale] eviction @${wantAdmit} tombstoned docs (+ their " +
+      f"$wantAdmit copies' traces): $tEvict%.1f s, " +
+      f"$rewritten/$scanned leaves rewritten")
+    // post-eviction: the lake holds no retired ids; fresh near-dups of
+    // the NEW representatives still drop (cluster stays gated)
+    val served = NearDupGate.readOutput(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!served.exists(id => id < 10000000L && id % 10 == 7),
+      "retired ids must be gone from the lake after eviction")
+    val (admit3, _) = timeIt(NearDupGate.curateBatch(
+      docs.where(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")),
+      out, state))
+    assert(admit3 == 0L,
+      s"the cluster must stay gated through its new representative, got $admit3 admits")
+    println(s"[scale] post-eviction: retired ids scrubbed, cluster still " +
+      "gated via the admitted copies (asserted)")
+    spark.stop()
+  }
+}
