@@ -558,6 +558,24 @@ class RetireSpec extends SparkSpec {
     assert(healed.where(col("vid") % 10 === 3).isEmpty)
     assert(healed.count() == healed.dropDuplicates("vid").count())
     assert(probe() == wantAfter, "post-crash fold diverged")
+    // crash AFTER a completed rewrite but BEFORE the meta refresh: the
+    // rerun's evict finds nothing to rewrite (rewrote = false) — the
+    // corpus_rows refresh must run anyway, or the stale count freezes
+    // forever once the channel is consumed
+    val metaP = s"$dir/meta"
+    val keptMeta = spark.read.parquet(metaP).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .map { case ("corpus_rows", _) => ("corpus_rows", "999999")
+             case kv => kv }.toSeq
+    keptMeta.toDF("key", "value").write.mode("overwrite").parquet(metaP)
+    Similarity.retireFromDir(
+      emb.where(col("vec_id") % 10 === 3).select("vec_id"), "vec_id", dir, 2L)
+    Similarity.foldRetired(spark, dir) // evict no-op, refresh must still run
+    assert(spark.read.parquet(metaP)
+      .where(col("key") === "corpus_rows").head().getString(1).toLong ==
+      healed.count(),
+      "corpus_rows must refresh even when the rerun's rewrite is a no-op")
+    assert(!fs.exists(fsP))
   }
 
   test("readOrEmpty: a never-written channel reads as zero rows of the declared schema") {
