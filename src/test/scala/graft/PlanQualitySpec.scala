@@ -414,6 +414,14 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("split("),
         s"$name tokenizes at read:\n${p.take(900)}")
     }
+    // q_winnow_incr: pair derivation keeps its bucket-expansion
+    // Generate (that IS the read-side work), but the shingle mine must
+    // never rerun — no tokenization anywhere in the plan
+    for (name <- Seq("q_winnow_incr", "q_winnow_retire", "q_winnow_fold")) {
+      val p = physical(name)
+      assert(!p.contains("split("),
+        s"$name re-tokenizes at read:\n${p.take(900)}")
+    }
     // q_pagerank_topk: the hub-serving cut compiles to
     // TakeOrderedAndProject over the |V|-scale rank table, never a
     // global sort
