@@ -714,9 +714,12 @@ object Dedup {
     * tombstone channel ([[foldRetiredWindows]],
     * [[foldRetiredWinnowFps]]): anti-join compaction merge (loss-proof
     * commit order and the strictly-increasing watermark come from
-    * [[ShardWrite.compactShards]]), channel consumed after. Deletion
-    * is replay-safe by set semantics — a re-appended tombstone
-    * anti-joins rows that no longer exist. */
+    * [[ShardWrite.compactShards]]), channel consumed after. The
+    * consume deletes only the COMPLETE shards the fold's read covered
+    * ([[ShardWrite.consumeCompleteShards]]) — a concurrently in-flight
+    * tombstone append (claimed, no `_SUCCESS` yet) survives for the
+    * next fold; replays of consumed batches are safe by set semantics
+    * (a re-appended tombstone anti-joins rows that no longer exist). */
   private def foldRetiredDocKeyed(spark: org.apache.spark.sql.SparkSession,
                                   dir: String, retirePath: String,
                                   schema: String): Boolean = {
@@ -725,11 +728,13 @@ object Dedup {
     if (!fs.exists(retP)) return false
     val gone = ShardWrite.readShards(spark, retirePath, "doc_id LONG").persist()
     try {
-      if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      if (gone.head(1).isEmpty) {
+        ShardWrite.consumeCompleteShards(spark, retirePath); return false
+      }
       val (in, _) = ShardWrite.compactShards(spark, dir, schema)(
         _.join(gone, Seq("doc_id"), "left_anti"))
       if (in <= 1) return false // nothing to compact — wait for ingest
-      fs.delete(retP, true)
+      ShardWrite.consumeCompleteShards(spark, retirePath)
       true
     } finally gone.unpersist()
   }
@@ -769,13 +774,18 @@ object Dedup {
     else {
       val in = fs.open(p)
       try {
+        // read to EOF in a loop: a single read() may SHORT-READ on
+        // non-local filesystems (HDFS read() is not guaranteed to
+        // fill), silently truncating the value and tripping the
+        // verify-always check with a bogus mismatch
+        val out = new java.io.ByteArrayOutputStream(64)
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
         // a 0-byte marker is a TORN write (death between create and
         // write) — treat as absent so the next verify heals it by
-        // rewriting, instead of bricking the table on new String(-1)
-        if (n <= 0) None
-        else Some(new String(buf, 0, n, "UTF-8").trim).filter(_.nonEmpty)
+        // rewriting, instead of bricking the table
+        Some(new String(out.toByteArray, "UTF-8").trim).filter(_.nonEmpty)
       } finally in.close()
     }
   }

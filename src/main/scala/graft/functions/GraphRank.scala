@@ -192,9 +192,11 @@ object GraphRank {
     * exceeds the consumed one's — when the channel has tombstones but
     * the pair table has nothing new to compact, the fold deliberately
     * WAITS (returns false, channel kept; read-time subtraction remains
-    * correct) and piggybacks the next compaction cadence. Channel
-    * deletion is safe-by-set-semantics against retire replays: a
-    * re-appended tombstone anti-joins edges that no longer exist.
+    * correct) and piggybacks the next compaction cadence. The consume
+    * deletes only the COMPLETE tombstone shards the fold read
+    * ([[ShardWrite.consumeCompleteShards]] — an in-flight append
+    * survives); replays are safe by set semantics: a re-appended
+    * tombstone anti-joins edges that no longer exist.
     * Returns true iff the fold consumed the channel. */
   def foldRetiredPairs(spark: org.apache.spark.sql.SparkSession,
                        dir: String): Boolean = {
@@ -203,7 +205,9 @@ object GraphRank {
     if (!fs.exists(retP)) return false
     val gone = retiredDocs(spark, dir).persist()
     try {
-      if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      if (gone.head(1).isEmpty) {
+        ShardWrite.consumeCompleteShards(spark, s"$dir/retire"); return false
+      }
       val (in, _) = ShardWrite.compactShards(spark, s"$dir/pairs",
           "doc_a LONG, doc_b LONG")(p =>
         p.join(gone.withColumnRenamed("doc_id", "doc_a"),
@@ -211,7 +215,7 @@ object GraphRank {
           .join(gone.withColumnRenamed("doc_id", "doc_b"),
             Seq("doc_b"), "left_anti"))
       if (in <= 1) return false // nothing to compact — wait for ingest
-      fs.delete(retP, true)
+      ShardWrite.consumeCompleteShards(spark, s"$dir/retire")
       true
     } finally gone.unpersist()
   }
@@ -240,6 +244,109 @@ object GraphRank {
                                 checkpointEvery: Int = 1): DataFrame =
     pageRank(readRetainedPairs(spark, dir), "doc_a", "doc_b",
       iters, damping, checkpointEvery)
+
+  // ---- STORED-RANK serving artifact --------------------------------
+  //
+  // PageRank was the only maintained family whose SERVE re-ran the
+  // corpus-scale job: BM25 serves from stored tf/dl, ANN from stored
+  // codes, DSIR/NB from stored count-derived models — but
+  // [[pageRankFromPairs]] re-iterates 8 rounds over the shard union at
+  // every read. The rank store applies the `q_bm25_stored` /
+  // `q_dsir_stored` discipline to the graph family: ranks compute ONCE
+  // per edge-STATE fingerprint in the maintenance window, persist as a
+  // |V|-scale parquet table, and the serve is a scan (top-k under
+  // TakeOrderedAndProject) with ZERO iteration joins in the plan.
+  //
+  // Staleness contract: the fingerprint covers the pair shards AND the
+  // retire channel (file names + lengths + mtimes of every complete
+  // shard), so an append or a takedown invalidates the artifact and
+  // the next [[refreshRankStore]] — the maintenance-window call —
+  // recomputes over the RETAINED edge view. The serve itself NEVER
+  // falls back to the iterative job: a missing or stale artifact
+  // throws loudly and names the refresh as the recovery (the
+  // `_fold_fence` fail-fast discipline — silently re-iterating would
+  // hide an unbounded cost regression behind a correct answer).
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Fingerprint of the maintained edge STATE (pairs + tombstones):
+    * hex of a fold over every complete shard's file names, lengths
+    * and mtimes. Cheap (two listings), deterministic, and any append,
+    * takedown, compaction or fold changes it. */
+  def edgeStateFingerprint(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): String = {
+    def fold(sub: String): Long = {
+      val (fs, p) = fsOf(spark, s"$dir/$sub")
+      if (!fs.exists(p)) 0L
+      else {
+        val it = fs.listFiles(p, true)
+        var acc = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          acc += f.getPath.getName.hashCode * 31L +
+            f.getLen * 17L + f.getModificationTime
+        }
+        acc
+      }
+    }
+    java.lang.Long.toHexString(fold("pairs") * 13L + fold("retire"))
+  }
+
+  /** Maintenance-window refresh of the stored rank table: recompute
+    * iff the edge-state fingerprint has no committed artifact —
+    * write-once per fingerprint, so replays (and every serve-path
+    * call) are a listing-only no-op. Ranks derive over the RETAINED
+    * edge view (≡ the plain view when no tombstones), land in a
+    * `_`-prefixed staging dir and RENAME to `$dir/ranks/fp=<fp>`
+    * (atomic on local/HDFS — readers see the old artifact set or the
+    * complete new one, never a torn dir); superseded fp dirs are
+    * deleted after the commit. Returns true iff a recompute ran. */
+  def refreshRankStore(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, iters: Int = 8,
+                       damping: Double = 0.85): Boolean = {
+    val fp = edgeStateFingerprint(spark, dir)
+    val (fs, root) = fsOf(spark, s"$dir/ranks")
+    val target = new org.apache.hadoop.fs.Path(root, s"fp=$fp")
+    if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")))
+      return false // current — write-once per fingerprint
+    val staging = new org.apache.hadoop.fs.Path(root, "_staging")
+    if (fs.exists(staging)) fs.delete(staging, true) // crashed refresh
+    if (fs.exists(target)) fs.delete(target, true)   // torn artifact
+    pageRank(readRetainedPairs(spark, dir), "doc_a", "doc_b",
+        iters, damping)
+      .write.parquet(staging.toString)
+    require(fs.rename(staging, target),
+      s"rank-store rename failed: $staging -> $target")
+    // superseded artifacts go AFTER the commit (a death here leaves
+    // extra complete dirs; the read resolves by CURRENT fingerprint,
+    // so stale ones are invisible and the next refresh sweeps them)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith("fp=") && st.getPath != target)
+        fs.delete(st.getPath, true)
+    }
+    true
+  }
+
+  /** The SERVE of the rank store: one parquet scan of the CURRENT
+    * fingerprint's artifact — (node, rank), zero iteration joins in
+    * the plan. Throws when the artifact is missing or stale instead
+    * of silently re-running the iterative job (the refresh is the
+    * recovery, and it belongs in the maintenance window, not on the
+    * serving path). */
+  def rankStoreRead(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val fp = edgeStateFingerprint(spark, dir)
+    val (fs, _) = fsOf(spark, s"$dir/ranks")
+    val target = new org.apache.hadoop.fs.Path(s"$dir/ranks/fp=$fp")
+    require(fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")),
+      s"rank store at $dir/ranks has no committed artifact for the " +
+        s"current edge state (fp=$fp) — run refreshRankStore in the " +
+        "maintenance window; the serve never re-iterates")
+    spark.read.schema("node LONG, rank DOUBLE").parquet(target.toString)
+  }
 
   /** The unrolled-iteration oracle twin: the SAME fixed iteration count
     * and the SAME IEEE operation order — the teleport term is spelled

@@ -169,6 +169,27 @@ object ShardWrite {
       .parquet(live.map(_.getPath.toString): _*)
   }
 
+  /** Consume a channel's COMPLETE shards only — the channel-deletion
+    * half of the tombstone folds. Deleting the whole channel ROOT
+    * would also destroy a concurrently in-flight append (a claimed
+    * dir with no `_SUCCESS` yet — its tombstones were NOT folded);
+    * deleting just the complete dirs — plain and merged, exactly what
+    * the fold's read covered directly or via the watermark — leaves
+    * the in-flight writer untouched: its shard commits into the
+    * surviving channel and the next fold consumes it. Replays of
+    * already-consumed batches are safe by the channels' SET semantics
+    * (a re-appended tombstone anti-joins rows that no longer exist).
+    * The root goes too once nothing survives under it. */
+  def consumeCompleteShards(spark: SparkSession, table: String): Unit = {
+    val (fs, root) = fsOf(spark, table)
+    if (!fs.exists(root)) return
+    shardDirs(spark, table).foreach { st =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        fs.delete(st.getPath, true)
+    }
+    if (fs.listStatus(root).isEmpty) fs.delete(root, true)
+  }
+
   /** Fold `table`'s live shards into ONE merged m-shard. `merge` is the
     * channel's re-aggregation (count sums; identity for doc-disjoint
     * rows; distinct for id sets). Returns (shards in, shards out);

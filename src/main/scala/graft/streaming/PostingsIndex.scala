@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.functions.{Sketches, TextAnalysis}
+import graft.functions.{ShardWrite, Sketches, TextAnalysis}
 
 /** Continuously-maintained inverted index over a document stream — the
   * streaming twin of [[graft.queries.PipelineQueries.postingsOf]]: each
@@ -748,6 +748,37 @@ object PostingsIndex {
     fs.delete(p, false)
   }
 
+  private def foldFenceExists(spark: SparkSession, root: String): Boolean = {
+    val p = foldFence(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Self-heal for a STALE fence on an early-return path — the r15
+    * ADVICE hole: if a crashed fold's channel was then removed
+    * out-of-band (or swapped empty), "rerun the fold" returned false
+    * without touching the fence and serving stayed bricked until the
+    * fence file was deleted by hand. The heal restores the EXACT
+    * invariant the fence guards — sidecar ≡ the current tf bytes — by
+    * recomputing the sidecar from whatever tf holds now (no tombstones
+    * needed), then clears the fence; tombstones lost out-of-band are
+    * the operator's removal, not a serving inconsistency. No-op when
+    * no fence is up. */
+  private def healPostingsFence(spark: SparkSession, tfPath: String,
+                                dlPath: String,
+                                dfPath: Option[String]): Unit = {
+    if (!foldFenceExists(spark, dlPath)) return
+    dfPath.foreach { dp =>
+      val retainedDf = readTfIndex(spark, tfPath)
+        .groupBy("token", "tbucket").agg(count(lit(1)).as("df"))
+      compactWith(spark, dp, _ => retainedDf,
+        (df, p) => df.drop("tbucket")
+          .withColumn("tbucket", tokenBucket(col("token")))
+          .write.partitionBy("tbucket").mode("overwrite").parquet(p),
+        force = true)
+    }
+    clearFoldFence(spark, dlPath)
+  }
+
   /** Serves call this on every fenced root they read: a present fence
     * means a tombstone fold died between the tf fold and the sidecar
     * rewrite — scores computed now would be silently wrong, so fail
@@ -766,10 +797,19 @@ object PostingsIndex {
                           dfPath: Option[String] = None): Boolean = {
     val retP = new Path(retirePath)
     val fs = retP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(retP)) return false
+    if (!fs.exists(retP)) {
+      // channel gone but a crashed fold's fence may still brick serves
+      // — the advertised recovery IS this rerun, so it must self-heal
+      healPostingsFence(spark, tfPath, dlPath, dfPath)
+      return false
+    }
     val gone = retiredDocs(spark, retirePath).persist()
     try {
-      if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      if (gone.head(1).isEmpty) {
+        healPostingsFence(spark, tfPath, dlPath, dfPath)
+        ShardWrite.consumeCompleteShards(spark, retirePath)
+        return false
+      }
       // fence FIRST: from here until every piece below is consistent,
       // a serve could read a folded tf against a stale df sidecar —
       // fail those loudly instead of mis-ranking (scaladoc above)
@@ -799,9 +839,11 @@ object PostingsIndex {
       }
       // every piece consistent again → fence off, THEN the channel
       // (a death between the two leaves a correct-serving state: the
-      // sidecars are retained and tf ∩ tombstones is already empty)
+      // sidecars are retained and tf ∩ tombstones is already empty).
+      // Consume only the COMPLETE tombstone shards — an in-flight
+      // append survives for the next fold (ShardWrite scaladoc)
       clearFoldFence(spark, dlPath)
-      fs.delete(retP, true)
+      ShardWrite.consumeCompleteShards(spark, retirePath)
       true
     } finally gone.unpersist()
   }
@@ -1092,14 +1134,23 @@ object PostingsIndex {
         s"$wandPath has no _span marker — not a maintained WAND layout"))
     val retP = new Path(retirePath)
     val fs = retP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(retP)) return false
+    if (!fs.exists(retP)) {
+      // channel removed out-of-band after a crashed fold: heal the
+      // fence so the rerun (the advertised recovery) unbricks serving
+      healWandFence(spark, wandPath, span)
+      return false
+    }
     require(shardDirs(spark, s"$wandPath/tf").nonEmpty,
       s"$wandPath/tf has no shard dirs — a one-shot wandLayoutFrom " +
         "layout folds by REBUILDING from the folded tf artifact " +
         "(foldRetiredPostings then wandLayoutFrom), not in place")
     val gone = retiredDocs(spark, retirePath).persist()
     try {
-      if (gone.head(1).isEmpty) { fs.delete(retP, true); return false }
+      if (gone.head(1).isEmpty) {
+        healWandFence(spark, wandPath, span)
+        ShardWrite.consumeCompleteShards(spark, retirePath)
+        return false
+      }
       raiseFoldFence(spark, wandPath)
       compactWith(spark, s"$wandPath/tf",
         _.join(gone, Seq("doc_id"), "left_anti").distinct(),
@@ -1111,20 +1162,38 @@ object PostingsIndex {
         force = true)
       // sidecar: recompute from the FOLDED tf — block identity from
       // (doc_id, span), never the dir name; fresh maxima, exact df
-      val retainedBm = spark.read
-        .schema("token STRING, doc_id BIGINT, tf BIGINT, tbucket INT, dblock BIGINT")
-        .parquet(s"$wandPath/tf")
-        .groupBy(col("token"), docBlock(col("doc_id"), span).as("dblock"))
-        .agg(max(col("tf")).as("max_tf"), count(lit(1)).as("df"))
-      compactWith(spark, s"$wandPath/bm", _ => retainedBm,
-        (df, p) => df
-          .withColumn("tbucket", tokenBucket(col("token")))
-          .write.partitionBy("tbucket").mode("overwrite").parquet(p),
-        force = true)
+      rebuildWandSidecar(spark, wandPath, span)
       clearFoldFence(spark, wandPath)
-      fs.delete(retP, true)
+      ShardWrite.consumeCompleteShards(spark, retirePath)
       true
     } finally gone.unpersist()
+  }
+
+  /** Rewrite the WAND block-max sidecar from the CURRENT tf bytes —
+    * the sidecar-consistency half shared by the fold's main path and
+    * the stale-fence heal. */
+  private def rebuildWandSidecar(spark: SparkSession, wandPath: String,
+                                 span: Long): Unit = {
+    val retainedBm = spark.read
+      .schema("token STRING, doc_id BIGINT, tf BIGINT, tbucket INT, dblock BIGINT")
+      .parquet(s"$wandPath/tf")
+      .groupBy(col("token"), docBlock(col("doc_id"), span).as("dblock"))
+      .agg(max(col("tf")).as("max_tf"), count(lit(1)).as("df"))
+    compactWith(spark, s"$wandPath/bm", _ => retainedBm,
+      (df, p) => df
+        .withColumn("tbucket", tokenBucket(col("token")))
+        .write.partitionBy("tbucket").mode("overwrite").parquet(p),
+      force = true)
+  }
+
+  /** [[healPostingsFence]]'s WAND twin: restore sidecar ≡ tf bytes
+    * from whatever tf holds now, then clear the fence. No-op when no
+    * fence is up. */
+  private def healWandFence(spark: SparkSession, wandPath: String,
+                            span: Long): Unit = {
+    if (!foldFenceExists(spark, wandPath)) return
+    rebuildWandSidecar(spark, wandPath, span)
+    clearFoldFence(spark, wandPath)
   }
 
   /** The layout's block-span contract, recorded at the root: writers
@@ -1155,9 +1224,13 @@ object PostingsIndex {
     else {
       val in = fs.open(p)
       try {
+        // loop to EOF: a single read() may short-read on non-local
+        // filesystems, truncating the span digits (Dedup marker fix)
+        val out = new java.io.ByteArrayOutputStream(32)
         val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, "UTF-8").trim.toLong)
       } finally in.close()
     }
   }

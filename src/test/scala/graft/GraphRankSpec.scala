@@ -132,4 +132,53 @@ class GraphRankSpec extends SparkSpec {
         .select(col("doc_a").as("a"), col("doc_b").as("b"))) ==
       cc((all ++ Seq(8L -> 9L)).toDF("a", "b")))
   }
+
+  test("rank store: write-once per edge state, serve never iterates, appends and takedowns invalidate") {
+    val dir = java.nio.file.Files.createTempDirectory("pr-store").toString
+    val all = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L,
+                  5L -> 6L, 6L -> 7L, 5L -> 7L, 7L -> 8L, 2L -> 5L)
+    all.grouped(4).zipWithIndex.foreach { case (b, i) =>
+      assert(GraphRank.pairsAppend(b.toDF("a", "b"), "a", "b", dir, i))
+    }
+    def read(): Map[Long, Double] = GraphRank.rankStoreRead(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the serve NEVER falls back to the iterative job: no artifact →
+    // loud throw naming the refresh as the recovery
+    intercept[IllegalArgumentException] { read() }
+    assert(GraphRank.refreshRankStore(spark, dir), "first refresh ranks")
+    val stored = read()
+    val direct = ranks(all)
+    assert(stored.keySet == direct.keySet)
+    stored.foreach { case (k, v) =>
+      assert(math.abs(v - direct(k)) < 1e-12, s"node $k: $v vs ${direct(k)}") }
+    // write-once per fingerprint: a replayed refresh is a no-op
+    assert(!GraphRank.refreshRankStore(spark, dir))
+    // an APPEND changes the edge-state fingerprint: the stale artifact
+    // must not serve, and the maintenance refresh catches up
+    assert(GraphRank.pairsAppend(Seq(8L -> 9L).toDF("a", "b"), "a", "b", dir, 3))
+    intercept[IllegalArgumentException] { read() }
+    assert(GraphRank.refreshRankStore(spark, dir))
+    assert(read().keySet == direct.keySet + 9L)
+    // a TAKEDOWN invalidates too; the refreshed store is the RETAINED
+    // ranks (tombstoned node and its edges gone)
+    assert(GraphRank.retireAppend(Seq(9L).toDF("id"), "id", dir, 0L))
+    intercept[IllegalArgumentException] { read() }
+    assert(GraphRank.refreshRankStore(spark, dir))
+    val retained = read()
+    assert(!retained.contains(9L))
+    retained.foreach { case (k, v) =>
+      assert(math.abs(v - direct(k)) < 1e-12, s"retained node $k drifted") }
+    // crashed refresh: stale staging debris must not block the rerun
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/ranks/_staging"))
+    assert(GraphRank.retireAppend(Seq(8L).toDF("id"), "id", dir, 1L))
+    assert(GraphRank.refreshRankStore(spark, dir),
+      "refresh must heal a crashed predecessor's staging dir")
+    assert(!read().contains(8L))
+    // exactly one committed artifact survives (superseded fps swept)
+    val fps = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/ranks"))
+      .filter(_.getPath.getName.startsWith("fp="))
+    assert(fps.length == 1, fps.map(_.getPath.getName).mkString(","))
+  }
 }

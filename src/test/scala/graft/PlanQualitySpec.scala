@@ -429,6 +429,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(pt.contains("TakeOrderedAndProject"), pt.take(600))
     assert(!pt.contains("Sort ["),
       s"q_pagerank_topk planned a full sort:\n${pt.take(600)}")
+    // the rank STORE serves: zero iteration joins anywhere in the plan
+    // — the serve is one artifact scan, never the 8-iteration job (the
+    // r15 verdict's #1 gap); the topk twin keeps the
+    // TakeOrderedAndProject cut on top of that scan
+    for (name <- Seq("q_pagerank_stored", "q_pagerank_stored_retire")) {
+      val p = physical(name)
+      assert(!p.contains("Join"),
+        s"$name re-iterates at serve:\n${p.take(900)}")
+    }
+    val pts = physical("q_pagerank_topk_stored")
+    assert(!pts.contains("Join"),
+      s"q_pagerank_topk_stored re-iterates at serve:\n${pts.take(900)}")
+    assert(pts.contains("TakeOrderedAndProject"), pts.take(600))
+    assert(!pts.contains("Sort ["),
+      s"q_pagerank_topk_stored planned a full sort:\n${pts.take(600)}")
     // q_bm25_topk: the serving cut compiles to TakeOrderedAndProject,
     // never a global sort
     val bt = physical("q_bm25_topk")

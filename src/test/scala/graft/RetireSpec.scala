@@ -384,6 +384,35 @@ class RetireSpec extends SparkSpec {
       dfPath = Some(dfP)), "the fold rerun is the fence's recovery")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dlP/_fold_fence")))
     assert(serve(None) == truth)
+    // stale fence, channel REMOVED out-of-band (the r15 ADVICE hole):
+    // the advertised recovery — rerun the fold — must still self-heal
+    // (sidecar rewritten from the current tf, fence cleared) instead
+    // of early-returning false with serving bricked forever
+    fs.create(new org.apache.hadoop.fs.Path(s"$dlP/_fold_fence"), true).close()
+    intercept[IllegalArgumentException] { serve(None) }
+    assert(!PostingsIndex.foldRetiredPostings(spark, tfP, dlP, retP,
+      dfPath = Some(dfP)), "no channel → no fold ran")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dlP/_fold_fence")),
+      "the rerun must clear a stale fence even with the channel gone")
+    assert(serve(None) == truth, "healed serve diverged")
+    // stale fence + channel present but EMPTY (complete empty shard):
+    // same self-heal on the gone-empty early return, and the consume
+    // must leave an in-flight (no _SUCCESS) tombstone append intact
+    val emptyShard = s"$retP/batch=5"
+    retired.select("doc_id").where($"doc_id" < 0).write.parquet(emptyShard)
+    val inFlight = new org.apache.hadoop.fs.Path(s"$retP/batch=6")
+    fs.mkdirs(inFlight) // claimed, not yet _SUCCESS-committed
+    fs.create(new org.apache.hadoop.fs.Path(s"$dlP/_fold_fence"), true).close()
+    assert(!PostingsIndex.foldRetiredPostings(spark, tfP, dlP, retP,
+      dfPath = Some(dfP)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dlP/_fold_fence")),
+      "gone-empty rerun must clear the fence")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(emptyShard)),
+      "the complete-but-empty shard is consumed")
+    assert(fs.exists(inFlight),
+      "an in-flight tombstone append must survive the consume")
+    assert(serve(None) == truth)
+    fs.delete(inFlight, true)
   }
 
   test("pairs fold: byte-real edge drop, waits without a strictly-increasing watermark") {
