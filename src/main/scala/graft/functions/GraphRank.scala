@@ -322,9 +322,12 @@ object GraphRank {
       s"rank-store rename failed: $staging -> $target")
     // superseded artifacts go AFTER the commit (a death here leaves
     // extra complete dirs; the read resolves by CURRENT fingerprint,
-    // so stale ones are invisible and the next refresh sweeps them)
+    // so stale ones are invisible and the next refresh sweeps them).
+    // Compare NAMES: listStatus returns fully-qualified paths
+    // (file:/...) that never equal the caller-built unqualified target
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      if (st.getPath.getName.startsWith("fp=") && st.getPath != target)
+      if (st.getPath.getName.startsWith("fp=") &&
+          st.getPath.getName != target.getName)
         fs.delete(st.getPath, true)
     }
     true
