@@ -144,6 +144,39 @@ class GateRetireSpec extends SparkSpec {
       out, state) == 0L)
   }
 
+  test("evictFromDir refuses a non-set channel: intra-file duplicates fail loudly") {
+    // the kernel's distinct()-based crash convergence is only loss-free
+    // on SET-semantics channels; a channel with legitimate duplicate
+    // rows (duplicates INSIDE one file — the crash window only ever
+    // duplicates ACROSS files) must be rejected before the rewrite can
+    // silently collapse them
+    val dir = tmp("evict-nonset")
+    Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("doc_id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      LakeMaintenance.evictFromDir(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    }
+    assert(ex.getMessage.contains("not set-semantics"), ex.getMessage)
+    // untouched: the refusal must leave the channel bytes alone
+    assert(spark.read.parquet(dir).count() == 3L)
+    // and a dir whose duplicates are only CROSS-file (the legitimate
+    // crash window) still rewrites fine
+    val dir2 = tmp("evict-crashdup")
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir2)
+    val f2 = fs(dir2)
+    val part = f2.listStatus(new Path(dir2))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(f2, part.getPath, f2,
+      new Path(dir2, "evicted-copy-00000.parquet"), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    assert(LakeMaintenance.evictFromDir(spark, dir2,
+      Seq(2L).toDF("doc_id"), "doc_id"))
+    val healed = spark.read.parquet(dir2).collect()
+    assert(healed.map(_.getLong(0)).toSeq == Seq(1L),
+      "cross-file duplicates must collapse and the tombstone evict")
+  }
+
   // ---- SemDeDupGate ---------------------------------------------------
 
   private val dim = 32
