@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, ShardWrite, TextAnalysis => TA}
+import graft.queries.{CurationQueries, PipelineQueries}
+
+/** ONE-COMMAND CURATION RUN (r15 verdict item 4) — the production
+  * composition the registry rows exercise piecewise, shipped as a
+  * RESUMABLE driver main: raw documents → bench holdout → exact dedup
+  * → near-dup components → benchmark decontamination → quality floor →
+  * mixture downsampling → context-window packing → shard manifest +
+  * drop report.
+  *
+  * Resume contract — the claim discipline the maintained channels
+  * already use ([[graft.functions.ShardWrite.claim]]): every stage
+  * writes `outDir/<stage>` exactly once; a COMPLETE stage (directory +
+  * `_SUCCESS`) is skipped on rerun, a TORN one (writer died
+  * mid-commit, no `_SUCCESS`) is deleted and rewritten. Stages read
+  * their upstream STAGE OUTPUT, never recompute it, and every stage is
+  * a deterministic pure function of (corpus bytes, upstream parquet) —
+  * hash-bucket sampling, min-id component retention, no rand(), no
+  * timestamps — so a killed run resumed from any point produces the
+  * identical row sets as a one-shot run (`CurationRunSpec` kills it
+  * mid-DAG and pins stage-for-stage equality).
+  *
+  * Scale shape per stage (each already verified by its registry twin):
+  * exact dedup is fingerprint-keyed (`q_dedup_keep`), near-dup is the
+  * banded minhash miner + large-star CC (`q_minhash_pairs`,
+  * `q_dedup_groups`), decontamination broadcasts the bench shingle set
+  * (`q_decontaminate_x`), the mixture plan aggregates to |sources|
+  * rows and broadcasts back (`q_mix_apply`), packing is the two-level
+  * chunked prefix sum (`q_pack_rows`) — nothing corpus-scale sits on
+  * the driver, and the DAG's intermediate tables are (doc_id)-keyed
+  * columns, not copies of the corpus.
+  *
+  * Usage: `runMain graft.CurationRun <sfDir> <outDir>` — rerun the
+  * same command after a crash to resume.
+  */
+object CurationRun {
+
+  /** Stage names in dependency order. */
+  val Stages: Seq[String] = Seq("bench", "exact", "neardup", "decon",
+    "quality", "mix", "pack", "manifest", "report")
+
+  /** Run (or resume) the DAG; returns the stages that RAN this call
+    * (complete ones skip). `stopAfter` stops the DAG after the named
+    * stage completes — the spec's kill hook. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          stopAfter: Option[String] = None): Seq[String] = {
+    require(stopAfter.forall(Stages.contains),
+      s"unknown stopAfter stage: $stopAfter")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    def stage(name: String): DataFrame =
+      spark.read.parquet(s"$outDir/$name")
+    // each builder reads ONLY upstream stage parquet + the corpus
+    val build: Map[String, () => DataFrame] = Map(
+      // held-out eval population: one hash family, never mutated
+      "bench" -> (() => docs
+        .where(TA.hashBucket(col("doc_id"), CurationQueries.BenchBuckets)
+          === CurationQueries.BenchBucket)
+        .select("doc_id")),
+      // exact dedup over the TRAIN side (bench held out first):
+      // fingerprint-keyed keep-min-id — (doc_id) keepers
+      "exact" -> (() => Dedup.dedupKeepRows(
+          docs.join(stage("bench"), Seq("doc_id"), "left_anti"),
+          "doc_id", "text")
+        .select("doc_id")),
+      // near-dup components over the exact keepers: banded minhash
+      // pairs → CC → keep each component's min id (singletons keep)
+      "neardup" -> (() => {
+        val kept = docs.join(stage("exact"), Seq("doc_id"), "left_semi")
+        val drop = Dedup.connectedComponents(
+            Dedup.minhashPairs(kept, "doc_id", "text"), pairsDistinct = true)
+          .where(col("doc_id") =!= col("component_rep"))
+          .select("doc_id")
+        kept.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
+      }),
+      // benchmark decontamination: drop survivors sharing 5-gram
+      // shingles with the held-out bench docs (broadcast bench side)
+      "decon" -> (() => {
+        val kept = docs.join(stage("neardup"), Seq("doc_id"), "left_semi")
+        val bench = docs.join(stage("bench"), Seq("doc_id"), "left_semi")
+        kept.join(CurationQueries.decontaminateAgainst(kept, bench)
+            .select("doc_id"), Seq("doc_id"), "left_anti")
+          .select("doc_id")
+      }),
+      // quality floor: the audit battery's gate, applied
+      "quality" -> (() => docs
+        .join(stage("decon"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TA.qualityScore(col("text"), PipelineQueries.Stopwords)
+            .as("quality"),
+          TA.tokenCount(col("text")).as("n_tokens"))
+        .where(col("quality") >= CurationQueries.AuditQualityMin)),
+      // mixture: per-source token-share plan over the SURVIVORS,
+      // hash-bucket downsampling (deterministic, id-order-free)
+      "mix" -> (() => CurationQueries.mixApplyOf(
+        docs.join(stage("quality"), Seq("doc_id"), "left_semi"))),
+      // pack the final kept docs into 2048-token context windows:
+      // one row per (doc, window) slice with doc-relative offsets
+      "pack" -> (() => CurationQueries.packRowsOf(
+        docs.join(stage("mix"), Seq("doc_id"), "left_semi"))),
+      // writer manifest: one row per shard — the loader sidecar
+      "manifest" -> (() => stage("pack")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_slices"),
+          sum(col("tok_to") - col("tok_from")).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))),
+      // per-feed drop report: every doc's FIRST failing gate, rolled
+      // up to (source, status) — the operator's one-page audit
+      "report" -> (() => docs
+        .join(stage("bench").withColumn("_b", lit(1)), Seq("doc_id"), "left")
+        .join(stage("exact").withColumn("_e", lit(1)), Seq("doc_id"), "left")
+        .join(stage("neardup").withColumn("_n", lit(1)), Seq("doc_id"), "left")
+        .join(stage("decon").withColumn("_d", lit(1)), Seq("doc_id"), "left")
+        .join(stage("quality").select(col("doc_id"), lit(1).as("_q")),
+          Seq("doc_id"), "left")
+        .join(stage("mix").select(col("doc_id"), lit(1).as("_m")),
+          Seq("doc_id"), "left")
+        .select(col("source"),
+          when(col("_b") === 1, lit("bench"))
+            .when(col("_e").isNull, lit("exact_dup"))
+            .when(col("_n").isNull, lit("near_dup"))
+            .when(col("_d").isNull, lit("contaminated"))
+            .when(col("_q").isNull, lit("low_quality"))
+            .when(col("_m").isNull, lit("mix_downsampled"))
+            .otherwise(lit("kept")).as("status"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n"))))
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = Stages.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val name = it.next()
+      if (ShardWrite.claim(spark, s"$outDir/$name")) {
+        build(name)().write.parquet(s"$outDir/$name")
+        ran += name
+      }
+      if (stopAfter.contains(name)) stop = true
+    }
+    ran.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: CurationRun <sfDir> <outDir>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ran = run(spark, args(0), args(1))
+    val skipped = Stages.filterNot(ran.contains)
+    println(s"[curation] ran: ${ran.mkString(", ")}" +
+      (if (skipped.nonEmpty) s"; resumed past: ${skipped.mkString(", ")}"
+       else ""))
+    val report = spark.read.parquet(s"${args(1)}/report")
+      .orderBy("source", "status").collect()
+    report.foreach(r => println(
+      s"[curation] ${r.getString(0)} ${r.getString(1)}: ${r.getLong(2)}"))
+    spark.stop()
+  }
+}

@@ -2120,6 +2120,149 @@ object GateRetireProbe {
       s"the cluster must stay gated through its new representative, got $admit3 admits")
     println(s"[scale] post-eviction: retired ids scrubbed, cluster still " +
       "gated via the admitted copies (asserted)")
+
+    // ---- DENSITY-THRESHOLDED eviction (r16): rewrite ∝ footprint ----
+    // The phase above prices the r15 worst case: uniform takedowns put
+    // a few tombstones in EVERY leaf, so the unconditional pass
+    // rewrites O(state) for an O(takedown) footprint. With a density
+    // bound, a SMALL takedown carries everywhere (counting scan only,
+    // zero rewrites, admits exact through the channel); only once
+    // accumulated takedowns cross the per-leaf bound do leaves rewrite
+    // — cost follows the takedown mass, not the leaf count.
+    val dir2 = java.nio.file.Files.createTempDirectory("gate-dense").toString
+    val (out2, state2) = (s"$dir2/out", s"$dir2/state")
+    NearDupGate.curateBatch(docs, out2, state2)
+    val small = docs.where(col("doc_id") % 50 === 7).select("doc_id") // 2%
+    NearDupGate.retireAppend(small, state2, 0L)
+    val ((sc1, rw1), tSmall) = timeIt(
+      NearDupGate.evictRetired(spark, out2, state2, minEvictDensity = 0.25))
+    println(f"[scale] density-gated eviction @2%% uniform takedown " +
+      f"(bound 0.25): $tSmall%.1f s, $rw1/$sc1 leaves rewritten " +
+      "(carried: channel kept)")
+    // carried state stays EXACT: copies of the retired 2% admit,
+    // copies of retained content drop
+    val copies2 = docs
+      .where(col("doc_id") % 50 === 7 || col("doc_id") % 50 === 3)
+      .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+    val (admit4, _) = timeIt(NearDupGate.curateBatch(copies2, out2, state2))
+    val wantAdmit2 = small.count()
+    assert(admit4 == wantAdmit2,
+      s"carried state must admit exactly the $wantAdmit2 retired-content copies, got $admit4")
+    println(f"[scale] carried-state admits exact ($admit4)")
+    // accumulate takedowns past the bound: now the rewrite is earned
+    NearDupGate.retireAppend(
+      docs.where(col("doc_id") % 2 === 0).select("doc_id"), state2, 1L)
+    val ((sc2, rw2), tBig) = timeIt(
+      NearDupGate.evictRetired(spark, out2, state2, minEvictDensity = 0.25))
+    println(f"[scale] density-gated eviction after accumulating to " +
+      f"~52%% takedown: $tBig%.1f s, $rw2/$sc2 leaves rewritten " +
+      f"(small-takedown window cost $tSmall%.1f s vs rewrite window " +
+      f"$tBig%.1f s — cost follows the takedown mass)")
+    spark.stop()
+  }
+}
+
+/** COUNT-CHANNEL GROWTH (r16, the r15 verdict's item 7): the count
+  * families (unigram LM, DSIR, NB, CMS, source-KL, bigram, line-stats)
+  * deliberately never FOLD their retire side — re-subtraction is
+  * non-idempotent, and the channels are VALUE-keyed, so every shard is
+  * bounded by the vocabulary (or the d·w cell space), not the corpus.
+  * This probe measures that boundedness instead of asserting it: a
+  * fixed-vocab corpus takes 64 drip takedown batches on the unigram-LM
+  * and CMS channels; the serve is timed as pending batches grow
+  * 1→8→32→64, both channels compact (ingest and retire each fold to
+  * ONE m-shard), and the serve is timed again — flat, with scores
+  * asserted bit-identical across the compaction (integer sums) and the
+  * folded retire shard's row count asserted ≤ |vocab| (resp. d·w).
+  * `sbt "runMain graft.CountChannelGrowthProbe [n]"`. */
+object CountChannelGrowthProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.{Sketches, TextAnalysis => TA}
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def minOf3[T](f: => T): Double =
+      (1 to 3).map(_ => timeIt(f)._2).min
+    // FIXED 200-word vocabulary: every doc draws 10 words by id
+    // arithmetic, so takedown shards can never exceed 200 rows no
+    // matter how many documents a batch retires
+    val vocabSize = 200
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j =>
+        concat(lit("w"), ((col("id") * 31 + j * 7) % vocabSize)
+          .cast("string"))): _*).as("text"))
+      .repartition(16).cache()
+    docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("count-growth").toString
+    for (b <- 0L until 2L) {
+      val slice = docs.where(col("doc_id") % 2 === b)
+      TA.unigramCountsAppend(slice, "doc_id", "text", s"$dir/uni", b)
+      Sketches.cmsAppend(slice.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("v")), "v", s"$dir/cms", b)
+    }
+    val probeDocs = docs.where(col("doc_id") < 64).cache()
+    probeDocs.count()
+    val cmsTerms = Seq("w0", "w17", "w123")
+    def serveUni(): Seq[(Long, Double)] =
+      TA.unigramXentFromCounts(probeDocs, "doc_id", "text", s"$dir/uni")
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("xent")))
+        .toSeq.sorted
+    def serveCms(): Seq[(String, Long)] =
+      Sketches.cmsEstimate(Sketches.cmsFromShards(spark, s"$dir/cms"),
+        cmsTerms).collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq.sorted
+    serveUni(); serveCms() // codegen/JIT warm-up outside the timings
+    val uniFloor = minOf3(serveUni())
+    val cmsFloor = minOf3(serveCms())
+    val checkpoints = Set(1, 8, 32, 64)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    for (b <- 0 until 64) {
+      // 64 disjoint 0.2%-of-corpus takedowns — the drip a real queue
+      // produces; each retire shard is vocab-bounded by construction
+      val slice = docs.where(col("doc_id") % 500 === b)
+      TA.unigramCountsRetire(slice, "doc_id", "text", s"$dir/uni", b.toLong)
+      Sketches.cmsRetire(slice.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("v")), "v", s"$dir/cms", b.toLong)
+      if (checkpoints(b + 1))
+        curve += ((b + 1, minOf3(serveUni()), minOf3(serveCms())))
+    }
+    println(f"[scale] count channels @$n docs, |vocab|=$vocabSize: " +
+      f"floors uni $uniFloor%.2f s / cms $cmsFloor%.2f s; " +
+      "serve vs pending retire batches (uni/cms): " +
+      curve.map { case (k, u, c) => f"$k%d -> $u%.2f/$c%.2f s" }
+        .mkString(", "))
+    val preUni = serveUni(); val preCms = serveCms()
+    val (_, tCompact) = timeIt {
+      TA.compactUnigramCounts(spark, s"$dir/uni")
+      Sketches.compactCmsShards(spark, s"$dir/cms")
+    }
+    val uniAfter = minOf3(serveUni())
+    val cmsAfter = minOf3(serveCms())
+    // integer sums: compaction is bit-invisible to the scores
+    assert(serveUni() == preUni, "unigram scores changed across compaction")
+    assert(serveCms() == preCms, "cms estimates changed across compaction")
+    // the folded channels are ONE value-bounded shard each — takedown
+    // HISTORY is gone from the read no matter how many batches landed
+    val uniRetRows = spark.read.parquet(s"$dir/uni/retire").count()
+    val cmsRetRows = spark.read.parquet(s"$dir/cms/retire").count()
+    assert(uniRetRows <= vocabSize,
+      s"folded unigram retire shard must be vocab-bounded, got $uniRetRows")
+    assert(cmsRetRows <= 4L * 1024L,
+      s"folded cms retire shard must be cell-bounded, got $cmsRetRows")
+    println(f"[scale] compaction $tCompact%.1f s; post-compaction serve " +
+      f"uni $uniAfter%.2f s / cms $cmsAfter%.2f s (vs ${curve.last._2}%.2f/" +
+      f"${curve.last._3}%.2f s at 64 pending batches); folded retire " +
+      f"shards: $uniRetRows rows (≤ $vocabSize vocab) / $cmsRetRows cells " +
+      "(≤ 4096); scores bit-identical across the fold (asserted)")
     spark.stop()
   }
 }

@@ -295,31 +295,28 @@ object GraphRank {
     java.lang.Long.toHexString(fold("pairs") * 13L + fold("retire"))
   }
 
-  /** Maintenance-window refresh of the stored rank table: recompute
-    * iff the edge-state fingerprint has no committed artifact —
-    * write-once per fingerprint, so replays (and every serve-path
-    * call) are a listing-only no-op. Ranks derive over the RETAINED
-    * edge view (≡ the plain view when no tombstones), land in a
-    * `_`-prefixed staging dir and RENAME to `$dir/ranks/fp=<fp>`
+  /** The shared derived-store kernel: recompute `build` iff the
+    * edge-state fingerprint has no committed artifact under
+    * `$dir/$sub` — write-once per fingerprint, so replays (and every
+    * serve-path call) are a listing-only no-op. The table lands in a
+    * `_`-prefixed staging dir and RENAMES to `$dir/$sub/fp=<fp>`
     * (atomic on local/HDFS — readers see the old artifact set or the
     * complete new one, never a torn dir); superseded fp dirs are
     * deleted after the commit. Returns true iff a recompute ran. */
-  def refreshRankStore(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, iters: Int = 8,
-                       damping: Double = 0.85): Boolean = {
+  private def refreshStore(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, sub: String,
+                           build: () => DataFrame): Boolean = {
     val fp = edgeStateFingerprint(spark, dir)
-    val (fs, root) = fsOf(spark, s"$dir/ranks")
+    val (fs, root) = fsOf(spark, s"$dir/$sub")
     val target = new org.apache.hadoop.fs.Path(root, s"fp=$fp")
     if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")))
       return false // current — write-once per fingerprint
     val staging = new org.apache.hadoop.fs.Path(root, "_staging")
     if (fs.exists(staging)) fs.delete(staging, true) // crashed refresh
     if (fs.exists(target)) fs.delete(target, true)   // torn artifact
-    pageRank(readRetainedPairs(spark, dir), "doc_a", "doc_b",
-        iters, damping)
-      .write.parquet(staging.toString)
+    build().write.parquet(staging.toString)
     require(fs.rename(staging, target),
-      s"rank-store rename failed: $staging -> $target")
+      s"derived-store rename failed: $staging -> $target")
     // superseded artifacts go AFTER the commit (a death here leaves
     // extra complete dirs; the read resolves by CURRENT fingerprint,
     // so stale ones are invisible and the next refresh sweeps them).
@@ -333,23 +330,60 @@ object GraphRank {
     true
   }
 
-  /** The SERVE of the rank store: one parquet scan of the CURRENT
-    * fingerprint's artifact — (node, rank), zero iteration joins in
-    * the plan. Throws when the artifact is missing or stale instead
-    * of silently re-running the iterative job (the refresh is the
-    * recovery, and it belongs in the maintenance window, not on the
-    * serving path). */
-  def rankStoreRead(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): DataFrame = {
+  /** The SERVE of a derived store: one parquet scan of the CURRENT
+    * fingerprint's artifact — zero derivation joins in the plan.
+    * Throws when the artifact is missing or stale instead of silently
+    * re-running the corpus-scale job (the refresh is the recovery,
+    * and it belongs in the maintenance window, not on the serving
+    * path). */
+  private def storeRead(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, sub: String, schema: String,
+                        refreshName: String): DataFrame = {
     val fp = edgeStateFingerprint(spark, dir)
-    val (fs, _) = fsOf(spark, s"$dir/ranks")
-    val target = new org.apache.hadoop.fs.Path(s"$dir/ranks/fp=$fp")
+    val (fs, _) = fsOf(spark, s"$dir/$sub")
+    val target = new org.apache.hadoop.fs.Path(s"$dir/$sub/fp=$fp")
     require(fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")),
-      s"rank store at $dir/ranks has no committed artifact for the " +
-        s"current edge state (fp=$fp) — run refreshRankStore in the " +
-        "maintenance window; the serve never re-iterates")
-    spark.read.schema("node LONG, rank DOUBLE").parquet(target.toString)
+      s"derived store at $dir/$sub has no committed artifact for the " +
+        s"current edge state (fp=$fp) — run $refreshName in the " +
+        "maintenance window; the serve never re-derives")
+    spark.read.schema(schema).parquet(target.toString)
   }
+
+  /** Maintenance-window refresh of the stored RANK table — ranks
+    * derive over the RETAINED edge view (≡ the plain view when no
+    * tombstones) through the same fixed iteration as the batch path.
+    * Returns true iff a recompute ran. */
+  def refreshRankStore(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, iters: Int = 8,
+                       damping: Double = 0.85): Boolean =
+    refreshStore(spark, dir, "ranks", () =>
+      pageRank(readRetainedPairs(spark, dir), "doc_a", "doc_b",
+        iters, damping))
+
+  /** One scan of the current rank artifact — (node, rank). */
+  def rankStoreRead(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    storeRead(spark, dir, "ranks", "node LONG, rank DOUBLE",
+      "refreshRankStore")
+
+  /** Maintenance-window refresh of the stored COMPONENT table — the
+    * same edge-state-fingerprint discipline on the OTHER graph serve:
+    * connected components over the retained edge view, persisted once,
+    * served as a scan (the duplicate-cluster lookup a curation
+    * pipeline hits far more often than it changes edges). Returns
+    * true iff a recompute ran. */
+  def refreshComponentStore(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Boolean =
+    refreshStore(spark, dir, "components", () =>
+      Dedup.connectedComponents(readRetainedPairs(spark, dir),
+        pairsDistinct = true))
+
+  /** One scan of the current component artifact —
+    * (doc_id, component_rep). */
+  def componentStoreRead(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    storeRead(spark, dir, "components",
+      "doc_id LONG, component_rep LONG", "refreshComponentStore")
 
   /** The unrolled-iteration oracle twin: the SAME fixed iteration count
     * and the SAME IEEE operation order — the teleport term is spelled

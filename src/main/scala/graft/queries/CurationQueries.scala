@@ -323,8 +323,8 @@ object CurationQueries {
   /** Hash bucket (mod [[BenchBuckets]]) whose documents form the held-out
     * "benchmark" set — the same md5 family as q_hash_split, so
     * membership is deterministic and engine-independent. */
-  private val BenchBuckets = 16
-  private val BenchBucket = 15
+  private[graft] val BenchBuckets = 16
+  private[graft] val BenchBucket = 15
 
   private lazy val DecontaminateXSql: String =
       s"""WITH train AS (SELECT doc_id, text FROM documents
@@ -516,7 +516,7 @@ object CurationQueries {
   // ---- drop-reason audit -------------------------------------------------
 
   /** Quality floor shared by the audit and the pipeline compositions. */
-  private val AuditQualityMin = 0.5
+  private[graft] val AuditQualityMin = 0.5
 
   /** Per-document curation AUDIT — the observability layer a production
     * pipeline runs next to its yield numbers: every document gets the

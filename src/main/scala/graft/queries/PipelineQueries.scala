@@ -16,7 +16,7 @@ import graft.functions.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis =>
   */
 object PipelineQueries {
 
-  private[queries] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   // parallelism unlock for the expression-only text pipelines: the
   // single-row-group documents fixture scans as ONE partition and the
@@ -754,6 +754,19 @@ object PipelineQueries {
   def pageRankTopKStoredQ(s: SparkSession, d: String): DataFrame =
     pageRankStoredQ(s, d)
       .orderBy(round(col("rank"), 6).desc, col("doc_id").asc).limit(20)
+
+  /** q_cc_stored: the stored COMPONENT table — the `q_pagerank_stored`
+    * discipline on the other graph serve: connected components compute
+    * once per edge-state fingerprint in the maintenance window
+    * ([[graft.functions.GraphRank.refreshComponentStore]]), and the
+    * duplicate-cluster lookup is ONE scan, zero CC iterations in the
+    * plan. Shares `q_dedup_groups`' transitive-closure oracle (the
+    * `q_cc_incr` pin: the shard union is the exact pair set). */
+  def ccStoredQ(s: SparkSession, d: String): DataFrame = {
+    val dir = pairShardsDir(s, d)
+    graft.functions.GraphRank.refreshComponentStore(s, dir)
+    graft.functions.GraphRank.componentStoreRead(s, dir)
+  }
 
   /** q_pagerank_stored_retire: takedowns reach the STORED artifact —
     * the retire channel is part of the edge-state fingerprint, so a
@@ -2660,6 +2673,7 @@ object PipelineQueries {
     "q_pagerank_stored" -> (pageRankStoredQ _),
     "q_pagerank_topk_stored" -> (pageRankTopKStoredQ _),
     "q_pagerank_stored_retire" -> (pageRankStoredRetireQ _),
+    "q_cc_stored"      -> (ccStoredQ _),
     "q_cc_incr"        -> (ccIncrQ _),
     "q_hybrid_rrf"     -> (hybridRrfQ _),
     "q_hybrid_wand_ann" -> (hybridWandAnnQ _),
@@ -3621,6 +3635,8 @@ object PipelineQueries {
     // CC over the accumulated pair shards: the shard union IS the pair
     // set, so incremental maintenance shares the exact recompute oracle
     "q_cc_incr" -> Dedup.dedupGroupsOracleSql(),
+    // the stored component table serves the same transitive closure
+    "q_cc_stored" -> Dedup.dedupGroupsOracleSql(),
     // same md5-60 hash order, same (hash, doc_id) tie-break
     "q_stratified_sample" ->
       s"""SELECT doc_id, lang, sample_rank FROM (

@@ -355,9 +355,22 @@ object NearDupGate {
     * window reruns the eviction and the distinct-based rewrite
     * converges — and the probe-time subtraction keeps decisions
     * correct throughout the crash window. Returns (leaves scanned,
-    * leaves rewritten). */
+    * leaves rewritten).
+    *
+    * `minEvictDensity` > 0 bounds the rewrite to the takedown's actual
+    * FOOTPRINT (the r15 verdict's #3 — uniform 10% takedowns rewrote
+    * 192/192 leaves): a leaf rewrites only when its tombstoned-row
+    * fraction reaches the bound
+    * ([[LakeMaintenance.evictFromDirIfDense]]); under-threshold leaves
+    * are CARRIED — byte-untouched, decisions stay exact through the
+    * probe-time channel subtraction — so the channel is kept (its
+    * shards compacted to one m-shard so channel reads stay flat) and
+    * the stragglers fold when density accumulates or a full
+    * (minEvictDensity = 0, the default) pass runs on the compaction
+    * cadence. */
   def evictRetired(spark: SparkSession, outPath: String,
-                   statePath: String): (Int, Int) = {
+                   statePath: String,
+                   minEvictDensity: Double = 0.0): (Int, Int) = {
     val fs = new Path(statePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val marker = new Path(statePath, "_gate_params")
@@ -366,21 +379,31 @@ object NearDupGate {
     val ids = retiredDocs(spark, statePath).getOrElse(return (0, 0))
     val idsP = ids.persist()
     try {
-      var scanned = 0; var rewritten = 0
+      var scanned = 0; var rewritten = 0; var carried = false
       if (idsP.head(1).nonEmpty) {
         for (l <- GateParams.Layouts) {
           val root = new Path(layoutDir(l, outPath, statePath))
           leafSizes(fs, root, gp, l).foreach { case (p, _) =>
             scanned += 1
-            if (LakeMaintenance.evictFromDir(spark, nodeDir(root, p).toString,
-                idsP, "doc_id", snapshotRoot = Some(root.toString)))
-              rewritten += 1
+            val (rw, cr) = LakeMaintenance.evictFromDirIfDense(spark,
+              nodeDir(root, p).toString, idsP, "doc_id", minEvictDensity,
+              snapshotRoot = Some(root.toString))
+            if (rw) rewritten += 1
+            carried ||= cr
           }
         }
       }
-      // channel consumed only after EVERY leaf rewrote — the crash
-      // contract above
-      fs.delete(new Path(retireDir(statePath)), true)
+      if (!carried)
+        // channel consumed only after EVERY leaf rewrote — the crash
+        // contract above; only COMPLETE shards (an in-flight retire
+        // append survives for the next window)
+        graft.functions.ShardWrite.consumeCompleteShards(
+          spark, retireDir(statePath))
+      else
+        // stragglers stay in the channel: compact it so the read the
+        // probe path pays stays one m-shard, not takedown-history dirs
+        graft.functions.ShardWrite.compactShards(spark,
+          retireDir(statePath), "doc_id LONG")(_.distinct())
       (scanned, rewritten)
     } finally idsP.unpersist()
   }

@@ -159,9 +159,16 @@ object SemDeDupGate {
     * [[LakeMaintenance.evictFromDir]] kernel makes the rerun exact).
     * The channel deletes before the fence clears: a crash between the
     * two leaves only the fence, which the rerun clears as a no-op.
-    * Returns (dirs scanned, dirs rewritten). */
+    * Returns (dirs scanned, dirs rewritten).
+    *
+    * `minEvictDensity` > 0 bounds the rewrite to the takedown's
+    * footprint (the NearDupGate.evictRetired contract): a list/sub dir
+    * rewrites only at tombstone density ≥ the bound; carried dirs stay
+    * exact through the probe-time subtraction and the channel is kept
+    * (compacted to one m-shard) instead of consumed. */
   def evictRetired(spark: SparkSession, outPath: String,
-                   statePath: String): (Int, Int) = {
+                   statePath: String,
+                   minEvictDensity: Double = 0.0): (Int, Int) = {
     readFence(spark, statePath).foreach { f =>
       require(f == "evicting",
         s"a DIFFERENT maintenance operation is interrupted ($f) — run " +
@@ -180,7 +187,7 @@ object SemDeDupGate {
     val idsP = ids.persist()
     try {
       writeFence(spark, statePath, "evicting")
-      var scanned = 0; var rewritten = 0
+      var scanned = 0; var rewritten = 0; var carried = false
       if (idsP.head(1).nonEmpty) {
         for (root <- Seq(outPath, vecsPath(statePath))) {
           val rootP = new Path(root)
@@ -189,21 +196,34 @@ object SemDeDupGate {
             fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
               .filter(_.getName.startsWith("list=")).foreach { lp =>
                 scanned += 1
-                if (LakeMaintenance.evictFromDir(spark, lp.toString, idsP,
-                    "vid", snapshotRoot = Some(root))) rewritten += 1
+                val (rw, cr) = LakeMaintenance.evictFromDirIfDense(spark,
+                  lp.toString, idsP, "vid", minEvictDensity,
+                  snapshotRoot = Some(root))
+                if (rw) rewritten += 1
+                carried ||= cr
                 fs.listStatus(lp).filter(_.isDirectory).map(_.getPath)
                   .filter(_.getName.startsWith("sub=")).foreach { sp =>
                     scanned += 1
-                    if (LakeMaintenance.evictFromDir(spark, sp.toString, idsP,
-                        "vid", snapshotRoot = Some(root))) rewritten += 1
+                    val (rw2, cr2) = LakeMaintenance.evictFromDirIfDense(spark,
+                      sp.toString, idsP, "vid", minEvictDensity,
+                      snapshotRoot = Some(root))
+                    if (rw2) rewritten += 1
+                    carried ||= cr2
                   }
               }
           }
         }
       }
       // channel consumed only after EVERY dir rewrote, fence cleared
-      // only after the channel consumed — see the crash contract above
-      fsOf(spark, statePath).delete(new Path(retireDir(statePath)), true)
+      // only after the channel consumed — see the crash contract above;
+      // carried dirs keep the channel (probe subtraction stays the
+      // serving contract), compacted so its read stays one m-shard
+      if (!carried)
+        graft.functions.ShardWrite.consumeCompleteShards(
+          spark, retireDir(statePath))
+      else
+        graft.functions.ShardWrite.compactShards(spark,
+          retireDir(statePath), "vid LONG")(_.distinct())
       clearFence(spark, statePath)
       (scanned, rewritten)
     } finally idsP.unpersist()

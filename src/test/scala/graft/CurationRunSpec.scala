@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The one-command curation DAG ([[CurationRun]]): one-shot vs
+  * killed-and-resumed equality, stage for stage — the r15 verdict's
+  * "done" bar for item 4. */
+class CurationRunSpec extends SparkSpec {
+
+  private def rows(dir: String): Set[String] =
+    spark.read.parquet(dir).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("killed mid-DAG and resumed equals the one-shot run, stage for stage") {
+    val out1 = java.nio.file.Files.createTempDirectory("cur-oneshot").toString
+    val out2 = java.nio.file.Files.createTempDirectory("cur-resumed").toString
+    val ran1 = CurationRun.run(spark, sf0001, out1)
+    assert(ran1 == CurationRun.Stages, s"one-shot must run every stage: $ran1")
+    // the kill: the DAG dies after decon — and the next stage is TORN
+    // (its dir exists with partial bytes but no _SUCCESS: a writer
+    // killed mid-commit)
+    val ran2a = CurationRun.run(spark, sf0001, out2,
+      stopAfter = Some("decon"))
+    assert(ran2a == Seq("bench", "exact", "neardup", "decon"))
+    val f = new org.apache.hadoop.fs.Path(out2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val torn = new org.apache.hadoop.fs.Path(s"$out2/quality")
+    f.mkdirs(torn)
+    val o = f.create(new org.apache.hadoop.fs.Path(torn, "part-junk.parquet"), true)
+    o.write("not parquet".getBytes("UTF-8")); o.close()
+    // resume: complete stages skip, the torn one heals and rewrites,
+    // the rest run
+    val ran2b = CurationRun.run(spark, sf0001, out2)
+    assert(ran2b == Seq("quality", "mix", "pack", "manifest", "report"),
+      s"resume must skip the complete prefix and heal the torn stage: $ran2b")
+    // stage-for-stage equality with the one-shot run
+    for (s <- CurationRun.Stages)
+      assert(rows(s"$out1/$s") == rows(s"$out2/$s"), s"stage $s diverged")
+    // a second resume is a complete no-op
+    assert(CurationRun.run(spark, sf0001, out2).isEmpty)
+    // report sanity: statuses partition the corpus (every doc exactly
+    // one status), and the pipeline actually kept something
+    val total = Tables.documents(spark, sf0001).count()
+    val rep = spark.read.parquet(s"$out1/report")
+    assert(rep.agg(sum("n")).head.getLong(0) == total,
+      "the drop report must cover every document exactly once")
+    assert(rep.where(col("status") === "kept")
+      .agg(coalesce(sum("n"), lit(0L))).head.getLong(0) > 0L)
+    // pack tiling invariant: every bin but the corpus-final one holds
+    // exactly 2048 tokens
+    val bins = spark.read.parquet(s"$out1/manifest")
+      .orderBy(col("bin").desc).collect()
+    assert(bins.drop(1).forall(_.getAs[Long]("n_tokens") == 2048L))
+  }
+}

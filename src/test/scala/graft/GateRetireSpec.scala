@@ -177,6 +177,65 @@ class GateRetireSpec extends SparkSpec {
       "cross-file duplicates must collapse and the tombstone evict")
   }
 
+  test("evictFromDirIfDense: under-threshold dirs carry byte-untouched, dense dirs rewrite") {
+    val dir = tmp("evict-dense")
+    (1L to 10L).map(i => (i, s"v$i")).toDF("doc_id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val ids = Seq(3L, 7L).toDF("doc_id") // density 0.2
+    // threshold above the density: carried, bytes untouched
+    assert(LakeMaintenance.evictFromDirIfDense(spark, dir, ids, "doc_id",
+      minDensity = 0.5) == ((false, true)))
+    assert(spark.read.parquet(dir).count() == 10L)
+    // threshold at/below the density: rewrites
+    assert(LakeMaintenance.evictFromDirIfDense(spark, dir, ids, "doc_id",
+      minDensity = 0.2) == ((true, false)))
+    assert(spark.read.parquet(dir).select("doc_id").as[Long]
+      .collect().toSet == (1L to 10L).toSet -- Set(3L, 7L))
+    // no intersection at all: (false, false) either way
+    assert(LakeMaintenance.evictFromDirIfDense(spark, dir, ids, "doc_id",
+      minDensity = 0.5) == ((false, false)))
+  }
+
+  test("NearDupGate: density-thresholded eviction carries sparse leaves with admits still exact") {
+    val dir = tmp("ndg-dense")
+    val (out, state) = (s"$dir/out", s"$dir/state")
+    assert(NearDupGate.curateBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), out, state) == 2L)
+    assert(NearDupGate.curateBatch(
+      Seq((10L, nearDupOf(base, "tok57", "x"))).toDF("doc_id", "text"),
+      out, state) == 0L)
+    assert(NearDupGate.retireAppend(Seq(1L, 10L).toDF("doc_id"), state, 0L))
+    // threshold 1.0: only fully-retired leaves rewrite; leaves mixing
+    // retained doc 2's rows are CARRIED — channel must survive
+    val (scanned, rewritten) =
+      NearDupGate.evictRetired(spark, out, state, minEvictDensity = 1.0)
+    assert(scanned > 0)
+    assert(fs(state).exists(new Path(s"$state/retire")),
+      "carried leaves must keep the channel")
+    assert(rewritten < scanned, s"$rewritten of $scanned")
+    // decisions stay EXACT over the partially-evicted state: the
+    // retired neighborhood admits, the retained one still gates
+    assert(NearDupGate.curateBatch(
+      Seq((20L, nearDupOf(base, "tok57", "y"))).toDF("doc_id", "text"),
+      out, state) == 1L)
+    assert(NearDupGate.curateBatch(
+      Seq((21L, nearDupOf(other, "alpha57", "z"))).toDF("doc_id", "text"),
+      out, state) == 0L)
+    // corpus readers stay tombstone-clean through the channel
+    val served = NearDupGate.readOutput(spark, out, Some(state))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!served.contains(1L) && served.contains(2L) && served.contains(20L))
+    // the full pass on the compaction cadence folds the stragglers:
+    // channel consumed, bytes gone everywhere
+    NearDupGate.evictRetired(spark, out, state)
+    assert(!fs(state).exists(new Path(s"$state/retire")))
+    def docIdsUnder(root: String): Set[Long] =
+      spark.read.option("recursiveFileLookup", "true").parquet(root)
+        .select("doc_id").as[Long].collect().toSet
+    assert(!docIdsUnder(s"$state/bands").contains(1L))
+    assert(!docIdsUnder(out).contains(1L))
+  }
+
   // ---- SemDeDupGate ---------------------------------------------------
 
   private val dim = 32

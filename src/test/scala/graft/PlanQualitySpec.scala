@@ -433,10 +433,11 @@ class PlanQualitySpec extends SparkSpec {
     // — the serve is one artifact scan, never the 8-iteration job (the
     // r15 verdict's #1 gap); the topk twin keeps the
     // TakeOrderedAndProject cut on top of that scan
-    for (name <- Seq("q_pagerank_stored", "q_pagerank_stored_retire")) {
+    for (name <- Seq("q_pagerank_stored", "q_pagerank_stored_retire",
+                     "q_cc_stored")) {
       val p = physical(name)
       assert(!p.contains("Join"),
-        s"$name re-iterates at serve:\n${p.take(900)}")
+        s"$name re-derives at serve:\n${p.take(900)}")
     }
     val pts = physical("q_pagerank_topk_stored")
     assert(!pts.contains("Join"),
