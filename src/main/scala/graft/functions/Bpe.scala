@@ -1,0 +1,276 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and application — the
+  * subword step a training-data pipeline runs between curation and
+  * packing (token budgets, context-window packing, and per-source
+  * mixture shares are all denominated in TOKENIZER tokens, not
+  * whitespace words; `q_token_budget`/`q_pack` upstream of this file
+  * count whitespace tokens, which over-budgets agglutinative and
+  * under-budgets CJK text).
+  *
+  * Semantics (Sennrich et al. 2016, the standard greedy variant):
+  * training iterates "count adjacent symbol pairs over the word
+  * vocabulary, merge the most frequent pair everywhere" for a fixed
+  * number of merges; application replays the learned merges in rank
+  * order over each word. No end-of-word sentinel is appended (a
+  * documented simplification — adding one is a one-line change to
+  * [[delimited]] mirrored in the oracle).
+  *
+  * Scale shape: the ONLY corpus-scale job is the initial word count
+  * (one map-side-combinable groupBy). Training then iterates over the
+  * VOCABULARY table — bounded by distinct words, not corpus size — and
+  * each iteration is one explode+groupBy plus a 1-row argmax collect
+  * (the bounded-driver-artifact pattern: kmeans centroids, WAND
+  * bounds). Application is a chain of literal `replace` string ops —
+  * whole-stage-codegen'd, zero shuffles before the final doc-keyed
+  * aggregation, and the merge list itself is a tiny broadcast-free
+  * driver literal (the dsirScoreInRow precedent). At a production
+  * merge count (tens of thousands) the training loop persists the
+  * re-delimited vocabulary every k merges instead of growing the
+  * replace chain; the oracle rows pin the semantics at a small count.
+  *
+  * Symbol representation: a word's symbol sequence is one string with
+  * every symbol wrapped in single spaces — adjacent symbols are
+  * separated by exactly TWO spaces ("abc" → " a  b  c "). Whitespace
+  * tokenization guarantees no symbol contains a space, so the pattern
+  * " x  y " matches the pair (x, y) exactly at symbol boundaries
+  * (a prefix/suffix of a longer symbol lacks the flanking spaces), and
+  * one left-to-right non-overlapping `replace` pass IS the greedy BPE
+  * merge: merging (x, y) consumes y and emits xy ≠ y, so a single pass
+  * can never create a new (x, y) adjacency. Spark's `StringReplace`
+  * and DuckDB's `replace` share that left-to-right non-overlap
+  * contract, which is what lets the oracle replay training verbatim.
+  */
+object Bpe {
+
+  /** Merge count for the oracle rows — small enough that the DuckDB
+    * twin unrolls the training loop, large enough that merged symbols
+    * merge again (multi-character tokens appear). */
+  val DefaultMerges = 8
+
+  /** One learned merge: rank is 1-based priority order. */
+  final case class Merge(merge_rank: Int, x: String, y: String, cnt: Long)
+
+  /** The delimited symbol form: every code point wrapped in spaces.
+    * `(?s)` so the dot crosses the line-terminator class — Java and
+    * RE2 disagree on U+2028/U+0085 without it, and `\s+` word
+    * splitting only strips the ASCII whitespace class. */
+  private[graft] def delimited(word: Column): Column =
+    regexp_replace(word, "(?s)(.)", " $1 ")
+
+  /** Symbols of a delimited string (inverse of [[delimited]] modulo
+    * merges). `trim` strips the outer single spaces; symbols are
+    * separated by exactly two. */
+  private[graft] def symbols(ds: Column): Column = split(trim(ds), "  ")
+
+  /** Literal search/replacement strings for merging (x, y) → xy. */
+  private[graft] def mergePattern(x: String, y: String): (String, String) =
+    (s" $x  $y ", s" $x$y ")
+
+  /** The (word, wc) vocabulary table — BPE training's one corpus-scale
+    * job. Tokenization matches [[TextAnalysis.tokens]] (and the TOKS
+    * SQL twin) so counts reconcile with every other text row. */
+  def wordCounts(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Train up to numMerges merges over a (word, wc) vocabulary table.
+    * Ties break on (cnt DESC, x ASC, y ASC) — binary string order on
+    * both engines — so the sequence is deterministic. Stops early if
+    * the pair space runs dry (single-symbol vocabulary). */
+  def trainMerges(wordCounts: DataFrame, numMerges: Int): Seq[Merge] = {
+    val d0 = wordCounts
+      .select(delimited(col("word")).as("ds"), col("wc").cast("long").as("wc"))
+      .persist()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+      // the re-delimit chain so far: iteration i scans the cached base
+      // plus i-1 codegen'd literal replaces — no per-iteration rewrite
+      var ds: Column = col("ds")
+      var rank = 1
+      var dry = false
+      while (rank <= numMerges && !dry) {
+        val syms = symbols(ds)
+        val best = d0.select(col("wc"),
+            explode(zip_with(
+              slice(syms, lit(1), size(syms) - 1),
+              slice(syms, lit(2), size(syms) - 1),
+              (l, r) => struct(l.as("x"), r.as("y")))).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("wc")).as("cnt"))
+          .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+          .limit(1).collect()
+        if (best.isEmpty) dry = true
+        else {
+          val r = best(0)
+          val m = Merge(rank, r.getString(0), r.getString(1), r.getLong(2))
+          out += m
+          val (pat, rep) = mergePattern(m.x, m.y)
+          ds = replace(ds, lit(pat), lit(rep))
+          rank += 1
+        }
+      }
+      out.toSeq
+    } finally { d0.unpersist() }
+  }
+
+  /** Encode a word column under an ORDERED merge list: the delimited
+    * form folded through one literal replace per merge — a pure
+    * codegen'd projection, scan-speed at any corpus size. */
+  def encodeExpr(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(delimited(word)) { (c, m) =>
+      val (pat, rep) = mergePattern(m.x, m.y)
+      replace(c, lit(pat), lit(rep))
+    }
+
+  /** Subword token count of one word under the merges. */
+  def tokenCountExpr(word: Column, merges: Seq[Merge]): Column =
+    size(symbols(encodeExpr(word, merges)))
+
+  /** Per-document tokenizer statistics: whitespace word count and the
+    * BPE token count under the merges — the numbers `q_token_budget`/
+    * `q_pack` should be denominated in. One explode + one doc-keyed
+    * aggregation; the encode itself never shuffles. A Zipf-heavy
+    * corpus can instead encode DISTINCT words and join counts back —
+    * trades the scan-speed projection for a vocabulary-sized shuffle;
+    * not worth it until words are long and the merge chain is deep. */
+  def docTokenStats(docs: DataFrame, id: String, text: String,
+                    merges: Seq[Merge]): DataFrame =
+    docs.select(col(id), explode(TextAnalysis.tokens(col(text))).as("word"))
+      .select(col(id), tokenCountExpr(col("word"), merges).as("nt"))
+      .groupBy(id).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("nt")).as("n_bpe_tokens"))
+
+  /** Merges as a DataFrame (the registry/serving shape). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+  }
+
+  // ---- stored tokenizer artifact (the q_dsir_stored discipline) ----
+
+  /** Persist a trained merge list as the tokenizer artifact: train
+    * once per corpus fingerprint, every downstream job reads the
+    * rank-ordered parquet instead of re-counting pairs. */
+  def writeMerges(spark: SparkSession, merges: Seq[Merge],
+                  dir: String): Unit =
+    mergesDf(spark, merges).repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/bpe_merges")
+
+  /** Read the stored merge list back in rank order — a bounded
+    * driver-side artifact (merge-count rows). */
+  def readMerges(spark: SparkSession, dir: String): Seq[Merge] =
+    spark.read.parquet(s"$dir/bpe_merges")
+      .orderBy(col("merge_rank"))
+      .collect()
+      .map(r => Merge(r.getAs[Int]("merge_rank"), r.getAs[String]("x"),
+        r.getAs[String]("y"), r.getAs[Long]("cnt")))
+      .toSeq
+
+  // ---- maintained word-count channel (the unigram-LM discipline) ----
+  // Word counts are exact integers and additive, so ingest − retire ≡
+  // a batch recount over the retained corpus, and the trained merges
+  // are IDENTICAL (same counts → same argmax sequence). The channel is
+  // value-keyed (vocabulary-bounded, not history-bounded), so it keeps
+  // subtract-at-read like the other count families; compaction folds
+  // history (CountChannelGrowthProbe measured the curve).
+
+  private val CountSchema = "word STRING, wc BIGINT"
+
+  /** Append one ingest batch's (word, wc) contribution as a
+    * `_SUCCESS`-claimed shard. Returns false iff replayed. */
+  def wordCountsAppend(docs: DataFrame, id: String, text: String,
+                       dir: String, batchId: Long): Boolean =
+    countsWrite(docs, id, text, s"$dir/counts", batchId)
+
+  /** The retire channel: tombstoned docs replay their word counts here;
+    * [[wordCountsFromShards]] subtracts at read. */
+  def wordCountsRetire(docs: DataFrame, id: String, text: String,
+                       dir: String, batchId: Long): Boolean =
+    countsWrite(docs, id, text, s"$dir/retire", batchId)
+
+  private def countsWrite(docs: DataFrame, id: String, text: String,
+                          table: String, batchId: Long): Boolean =
+    ShardWrite.claimBatch(docs.sparkSession, table, batchId) match {
+      case None => false
+      case Some(shard) =>
+        wordCounts(docs, id, text).write.parquet(shard)
+        true
+    }
+
+  /** The vocabulary table from the accumulated shards: ingest − retire,
+    * vanished words net to wc = 0 and drop (a zero-count word must not
+    * reach pair counting). Reads through the m-shard watermark rule. */
+  def wordCountsFromShards(spark: SparkSession, dir: String): DataFrame =
+    ShardWrite.readShards(spark, s"$dir/counts", CountSchema)
+      .select(col("word"), col("wc"))
+      .unionByName(ShardWrite.readShards(spark, s"$dir/retire", CountSchema)
+        .select(col("word"), (-col("wc")).as("wc")))
+      .groupBy("word").agg(sum(col("wc")).as("wc"))
+      .where(col("wc") > 0)
+
+  /** Fold both channels to one merged m-shard each (watermark
+    * discipline; counts re-SUM, so training is bit-stable across the
+    * rewrite). */
+  def compactWordCounts(spark: SparkSession,
+                        dir: String): ((Int, Int), (Int, Int)) = {
+    def fold(table: String) =
+      ShardWrite.compactShards(spark, table, CountSchema)(
+        _.groupBy("word").agg(sum(col("wc")).as("wc")))
+    (fold(s"$dir/counts"), fold(s"$dir/retire"))
+  }
+
+  // ---- DuckDB oracle twins (generated from the same literals) ----
+
+  /** The unrolled-training CTE chain: w (vocabulary), d0 (delimited),
+    * then per merge i: pair counts p_i, argmax b_i, re-delimited d_i.
+    * Returned WITHOUT a final SELECT so train and apply rows share it.
+    * `toks` is the tokenizer SQL snippet (PipelineQueries.TOKS). */
+  private def trainCtes(toks: String, m: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH toks AS (SELECT doc_id, unnest($toks) AS word FROM documents),\n"
+    sb ++= "w AS (SELECT word, count(*) AS wc FROM toks GROUP BY word),\n"
+    sb ++= "d0 AS (SELECT regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS ds, wc FROM w)"
+    for (i <- 1 to m) {
+      sb ++= s""",
+p$i AS (SELECT syms[i] AS x, syms[i+1] AS y, wc FROM (
+  SELECT string_split(trim(ds), '  ') AS syms, wc,
+         unnest(range(1, len(string_split(trim(ds), '  ')))) AS i
+  FROM d${i - 1})),
+b$i AS (SELECT x, y, CAST(sum(wc) AS BIGINT) AS cnt FROM p$i GROUP BY x, y
+        ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+d$i AS (SELECT replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds, wc
+        FROM d${i - 1} CROSS JOIN b$i)"""
+    }
+    sb.toString
+  }
+
+  /** Oracle for the trained merge list itself. */
+  def trainOracleSql(toks: String, m: Int = DefaultMerges): String =
+    trainCtes(toks, m) + "\n" +
+      (1 to m).map(i =>
+        s"SELECT $i AS merge_rank, x, y, cnt FROM b$i")
+        .mkString("", "\nUNION ALL\n", "")
+
+  /** Oracle for per-document token stats: replays training, then
+    * applies the b_i merges to the document word stream in rank order
+    * (each b_i is one row — the cross joins are scalar). */
+  def applyOracleSql(toks: String, m: Int = DefaultMerges): String = {
+    val sb = new StringBuilder
+    sb ++= trainCtes(toks, m)
+    sb ++= ",\ne0 AS (SELECT doc_id, regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS ds FROM toks)"
+    for (i <- 1 to m)
+      sb ++= s""",
+e$i AS (SELECT doc_id, replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds
+        FROM e${i - 1} CROSS JOIN b$i)"""
+    sb ++= s"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(trim(ds), '  '))) AS BIGINT) AS n_bpe_tokens
+FROM e$m GROUP BY doc_id"""
+    sb.toString
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.functions.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis => TA}
+import graft.functions.{Bpe, Dedup, Multimodal, Similarity, Sketches, TextAnalysis => TA}
 
 /** LLM-data-pipeline operators (builder brief extensions) over the
   * `documents`/`embeddings` fixtures. Every hash-based op (MinHash,
@@ -372,6 +372,85 @@ object PipelineQueries {
           "doc_id", "text", dir, b)
     }
     TA.unigramXentFromCounts(par(documents(s, d)), "doc_id", "text", dir)
+  }
+
+  // ---- BPE tokenizer family ([[graft.functions.Bpe]]) ----
+
+  /** q_bpe_train: the tokenizer's merge table trained in-plan — the
+    * one corpus-scale word count, then [[Bpe.DefaultMerges]] greedy
+    * pair merges over the vocabulary table. The oracle unrolls the
+    * identical loop ([[Bpe.trainOracleSql]]), so the argmax sequence —
+    * tie-breaks included — is DuckDB-pinned, not spec-pinned. */
+  def bpeTrainQ(s: SparkSession, d: String): DataFrame =
+    Bpe.mergesDf(s,
+      Bpe.trainMerges(Bpe.wordCounts(par(documents(s, d)), "doc_id", "text"),
+        Bpe.DefaultMerges))
+
+  /** The trained tokenizer as a persisted artifact, once per corpus
+    * fingerprint (the q_dsir_stored discipline): downstream rows read
+    * the rank-ordered merge parquet instead of re-counting pairs. */
+  private def bpeArtifact(s: SparkSession, d: String): String =
+    cachedArtifacts(s"bpe:$d:${corpusFingerprintOf(s, d, "documents")}") {
+      dir =>
+        Bpe.writeMerges(s,
+          Bpe.trainMerges(
+            Bpe.wordCounts(par(documents(s, d)), "doc_id", "text"),
+            Bpe.DefaultMerges), dir)
+    }
+
+  /** q_bpe_stored: the artifact round-trip — merges read back from the
+    * stored parquet, zero training jobs at serve. Shares q_bpe_train's
+    * oracle (stored ≡ trained, end to end). */
+  def bpeStoredQ(s: SparkSession, d: String): DataFrame =
+    Bpe.mergesDf(s, Bpe.readMerges(s, bpeArtifact(s, d)))
+
+  /** q_bpe_tokens: per-document TOKENIZER token counts under the
+    * stored merges — the number token budgets / packing / mixture
+    * shares should be denominated in. The encode is a chain of
+    * codegen'd literal replaces (zero shuffles before the doc-keyed
+    * agg); the oracle replays training AND application in SQL. */
+  def bpeTokensQ(s: SparkSession, d: String): DataFrame =
+    Bpe.docTokenStats(par(documents(s, d)), "doc_id", "text",
+      Bpe.readMerges(s, bpeArtifact(s, d)))
+
+  /** q_bpe_incr: the tokenizer maintained ONLINE — the corpus arrives
+    * as three hash-split batches appending (word, wc) count shards
+    * ([[Bpe.wordCountsAppend]], `_SUCCESS`-claimed, replay-idempotent);
+    * training reads the summed shards. Word counts are exact integers
+    * and additive, so shard-maintained ≡ batch recount and the merge
+    * sequence is identical — pinned by sharing q_bpe_train's oracle. */
+  def bpeIncrQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"bpeincr:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Bpe.wordCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+    }
+    Bpe.mergesDf(s,
+      Bpe.trainMerges(Bpe.wordCountsFromShards(s, dir), Bpe.DefaultMerges))
+  }
+
+  /** q_bpe_retire: tokenizer takedowns — retired docs replay their
+    * word counts through the retire channel ([[Bpe.wordCountsRetire]])
+    * and training reads ingest − retire. Oracle = q_bpe_train's SQL
+    * over the retained corpus: a takedown CHANGES THE TOKENIZER the
+    * next maintenance window, which is exactly the contractual point
+    * (the retired text's subwords stop being privileged). */
+  def bpeRetireQ(s: SparkSession, d: String): DataFrame = {
+    val docs = par(documents(s, d))
+    val dir = cachedArtifacts(
+        s"bperet:$d:${corpusFingerprintOf(s, d, "documents")}") { dir =>
+      for (b <- 0L until 3L)
+        Bpe.wordCountsAppend(
+          docs.where(TA.hashBucket(col("doc_id"), 3) === b),
+          "doc_id", "text", dir, b)
+      Bpe.wordCountsRetire(docs.where(RetiredPred), "doc_id", "text",
+        dir, 0L)
+    }
+    Bpe.mergesDf(s,
+      Bpe.trainMerges(Bpe.wordCountsFromShards(s, dir), Bpe.DefaultMerges))
   }
 
   /** Gopher-style quality-rule battery (Rae et al. 2021): per-rule 0/1
@@ -2644,6 +2723,11 @@ object PipelineQueries {
     "q_bigram_ppl"     -> (bigramPpl _),
     "q_bigram_incr"    -> (bigramIncrQ _),
     "q_bigram_retire"  -> (bigramRetireQ _),
+    "q_bpe_train"      -> (bpeTrainQ _),
+    "q_bpe_stored"     -> (bpeStoredQ _),
+    "q_bpe_tokens"     -> (bpeTokensQ _),
+    "q_bpe_incr"       -> (bpeIncrQ _),
+    "q_bpe_retire"     -> (bpeRetireQ _),
     "q_quality_rules"  -> (qualityRules _),
     "q_repetition"     -> (repetition _),
     "q_dup_ngrams"     -> (dupNgrams _),
@@ -3405,6 +3489,19 @@ object PipelineQueries {
     "q_bigram_ppl" -> BigramPplSql,
     "q_bigram_incr" -> BigramPplSql,
     "q_bigram_retire" -> retainedWrap(BigramPplSql),
+    // BPE tokenizer: the oracle UNROLLS the greedy training loop — per
+    // merge, pair counts over the delimited vocabulary, argmax with the
+    // (cnt DESC, x, y) tie-break, one literal replace (both engines
+    // share left-to-right non-overlap replace semantics, which IS the
+    // greedy merge — see graft.functions.Bpe). stored ≡ trained and
+    // shard-maintained ≡ batch recount share the same SQL; the retire
+    // twin retrains over the retained corpus (takedowns change the
+    // tokenizer, by contract).
+    "q_bpe_train" -> Bpe.trainOracleSql(TOKS),
+    "q_bpe_stored" -> Bpe.trainOracleSql(TOKS),
+    "q_bpe_incr" -> Bpe.trainOracleSql(TOKS),
+    "q_bpe_retire" -> retainedWrap(Bpe.trainOracleSql(TOKS)),
+    "q_bpe_tokens" -> Bpe.applyOracleSql(TOKS),
     // Gopher rules: thresholds SPLICED from the TextAnalysis constants
     // (one source of truth), replace-based symbol counting (identical
     // greedy left-to-right semantics both engines), 0/1 int flags; pass

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** BPE tokenizer semantics on planted vocabularies: the greedy merge
+  * sequence (hand-computed), left-to-right non-overlap application,
+  * the stored-artifact round-trip, and the maintained word-count
+  * channel (replay idempotence, retire subtraction, compaction
+  * bit-stability). The registry rows pin engine ≡ DuckDB on the real
+  * fixtures; this spec pins the semantics a SQL twin can't isolate.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wc(rows: (String, Long)*) = rows.toSeq.toDF("word", "wc")
+
+  test("trainMerges reproduces the hand-computed greedy sequence") {
+    // classic Sennrich toy: pairs counted over the vocabulary weighted
+    // by word frequency.
+    //   low:5 lower:2 newest:6 widest:3
+    // iteration 1: (e,s) = 6+3 = 9 wins (t,?): es
+    // iteration 2: (es,t) = 9: est
+    // iteration 3: (l,o) = 5+2 = 7: lo
+    // iteration 4: (lo,w) = 7: low
+    val m = Bpe.trainMerges(
+      wc("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    assert(m.map(x => (x.x, x.y, x.cnt)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+    assert(m.map(_.merge_rank) == Seq(1, 2, 3, 4))
+  }
+
+  test("ties break on (cnt DESC, x ASC, y ASC) — binary string order") {
+    // ab:1 cd:1 -> pairs (a,b)=1, (c,d)=1; (a,b) wins the tie
+    val m = Bpe.trainMerges(wc("ab" -> 1L, "cd" -> 1L), 1)
+    assert(m.head.x == "a" && m.head.y == "b")
+  }
+
+  test("training stops early when the pair space runs dry") {
+    // single-char words have no adjacent pairs after zero merges
+    assert(Bpe.trainMerges(wc("a" -> 9L, "b" -> 3L), 5).isEmpty)
+    // one mergeable pair, then dry: "ab" -> [ab]
+    val m = Bpe.trainMerges(wc("ab" -> 2L), 5)
+    assert(m.size == 1 && m.head.x == "a" && m.head.y == "b")
+  }
+
+  test("application is greedy left-to-right, non-overlapping") {
+    val merges = Seq(Bpe.Merge(1, "a", "a", 0L))
+    val enc = Seq("aaaa", "aaa", "a", "baab").toDF("word")
+      .select(col("word"),
+        Bpe.tokenCountExpr(col("word"), merges).as("n"),
+        Bpe.symbols(Bpe.encodeExpr(col("word"), merges)).as("toks"))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getSeq[String](2))).toMap
+    assert(enc("aaaa") == ((2, Seq("aa", "aa"))))   // not 3 overlapping
+    assert(enc("aaa") == ((2, Seq("aa", "a"))))     // leftmost first
+    assert(enc("a") == ((1, Seq("a"))))
+    assert(enc("baab") == ((3, Seq("b", "aa", "b"))))
+  }
+
+  test("merges apply in rank order — later merges see earlier output") {
+    // (a,b) then (ab,c): "abc" -> [abc]; reversed priority would stop
+    // at [a, bc]... which rank order makes unreachable
+    val merges =
+      Seq(Bpe.Merge(1, "a", "b", 0L), Bpe.Merge(2, "ab", "c", 0L))
+    val toks = Seq("abc").toDF("word")
+      .select(Bpe.symbols(Bpe.encodeExpr(col("word"), merges)).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("abc"))
+  }
+
+  test("multi-byte code points delimit per code point, not per char") {
+    // pairs (é,t) and (t,é) tie at 3; binary byte order puts
+    // "t" (0x74) before "é" (0xC3A9), so (t,é) wins — the same order
+    // DuckDB's UTF-8 binary collation produces
+    val merges = Bpe.trainMerges(wc("été" -> 3L), 1)
+    assert(merges.head.x == "t" && merges.head.y == "é")
+    val n = Seq("été").toDF("word")
+      .select(Bpe.tokenCountExpr(col("word"), merges).as("n"))
+      .head().getInt(0)
+    assert(n == 2) // [é, té]
+  }
+
+  test("stored artifact round-trips bit-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-art").toString
+    val trained = Bpe.trainMerges(
+      wc("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    Bpe.writeMerges(spark, trained, dir)
+    assert(Bpe.readMerges(spark, dir) == trained)
+  }
+
+  private val docs = Seq(
+    (0L, "low low lower"), (1L, "newest widest"), (2L, "newest newest"),
+    (7L, "zzz zzz zzz zzz zzz zzz zzz zzz")    // retired under %10==7
+  ).toDF("doc_id", "text")
+
+  test("shard-maintained word counts train identically to batch") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-incr").toString
+    for (b <- 0L until 3L)
+      Bpe.wordCountsAppend(docs.where(pmod(col("doc_id"), lit(3)) === b),
+        "doc_id", "text", dir, b)
+    // replayed batch is a no-op (claim already taken)
+    assert(!Bpe.wordCountsAppend(docs, "doc_id", "text", dir, 1L))
+    val online = Bpe.trainMerges(Bpe.wordCountsFromShards(spark, dir), 4)
+    val batch = Bpe.trainMerges(
+      Bpe.wordCounts(docs, "doc_id", "text"), 4)
+    assert(online == batch)
+    // compaction folds to one m-shard per channel, training bit-stable
+    Bpe.compactWordCounts(spark, dir)
+    assert(Bpe.trainMerges(Bpe.wordCountsFromShards(spark, dir), 4) == batch)
+  }
+
+  test("retire channel subtraction ≡ retraining on the retained corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-ret").toString
+    Bpe.wordCountsAppend(docs, "doc_id", "text", dir, 0L)
+    Bpe.wordCountsRetire(docs.where(col("doc_id") === 7L),
+      "doc_id", "text", dir, 0L)
+    val online = Bpe.trainMerges(Bpe.wordCountsFromShards(spark, dir), 4)
+    val retrain = Bpe.trainMerges(
+      Bpe.wordCounts(docs.where(col("doc_id") =!= 7L), "doc_id", "text"), 4)
+    assert(online == retrain)
+    // the takedown actually changed the tokenizer: with doc 7 in, the
+    // dominant pair is (z,z) from 8 copies of "zzz"
+    val withAll = Bpe.trainMerges(Bpe.wordCounts(docs, "doc_id", "text"), 1)
+    assert(withAll.head.x == "z" && withAll.head.y == "z")
+    assert(online.head.x != "z")
+  }
+
+  test("docTokenStats counts words and subword tokens per document") {
+    val merges = Seq(Bpe.Merge(1, "l", "o", 0L), Bpe.Merge(2, "lo", "w", 0L))
+    val got = Bpe.docTokenStats(docs.where(col("doc_id") === 0L),
+        "doc_id", "text", merges)
+      .head()
+    // "low low lower": 3 words; low->1 tok ×2, lower->[low,e,r]=3
+    assert(got.getAs[Long]("n_words") == 3L)
+    assert(got.getAs[Long]("n_bpe_tokens") == 5L)
+  }
+}
