@@ -2344,4 +2344,109 @@ object Similarity {
        |              AND rep.component_rep <> asg.vec_id
        |       THEN 1 ELSE 0 END AS INTEGER) AS dropped
        |FROM asg LEFT JOIN rep ON asg.vec_id = rep.vec_id""".stripMargin
+
+  // ---- MMR diversified top-k (Carbonell & Goldstein 1998) ----
+
+  /** Maximal-marginal-relevance diversified top-k: greedily pick the
+    * candidate maximizing λ·rel − (1−λ)·max_sim-to-already-selected —
+    * the rerank that keeps a retrieval (or data-selection) head from
+    * collapsing onto near-duplicates the dedup stack intentionally
+    * kept (legitimate same-topic variants).
+    *
+    * Scale shape: the corpus-scale half is the SHORTLIST (exact
+    * cosine top-N here — map-side scored, TakeOrderedAndProject, no
+    * corpus shuffle; the stored-ANN probes are drop-in shortlist
+    * sources). The greedy half is inherently sequential but runs on
+    * the BOUNDED shortlist: k iterations, each a ≤N×k broadcast grid
+    * + a 1-row argmax collect (the bounded-driver-artifact pattern).
+    * MMR scores are rounded to 6 decimals before the argmax, with the
+    * id tie-break, so the selection sequence is deterministic
+    * cross-engine (the RRF rounded-score discipline); the oracle
+    * unrolls the same greedy loop ([[mmrOracleSql]]). */
+  def mmrTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+              k: Int, shortlistN: Int, lambda: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val q = emb.where(col(id) === queryId).select(col(vec).as("q_vec"))
+    val shortlist = emb.where(col(id) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(id).as("vec_id"), col(vec).as("emb"),
+        cosine(col(vec), col("q_vec")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(shortlistN)
+      .persist()
+    try {
+      val picks =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+      var rank = 1
+      var dry = false
+      while (rank <= k && !dry) {
+        val selIds = picks.map(_._2).toSeq
+        val scored =
+          if (selIds.isEmpty)
+            shortlist.select(col("vec_id"), col("rel"),
+              round(lit(lambda) * col("rel"), 6).as("mmr"))
+          else {
+            // bounded ≤N×k grid: shortlist rows × selected vectors
+            val sel = broadcast(shortlist
+              .where(col("vec_id").isin(selIds: _*))
+              .select(col("emb").as("sel_emb")))
+            shortlist.where(!col("vec_id").isin(selIds: _*))
+              .crossJoin(sel)
+              .groupBy(col("vec_id"), col("rel"))
+              .agg(max(cosine(col("emb"), col("sel_emb"))).as("max_sim"))
+              .select(col("vec_id"), col("rel"),
+                round(lit(lambda) * col("rel") -
+                  lit(1.0 - lambda) * col("max_sim"), 6).as("mmr"))
+          }
+        val best = scored.orderBy(col("mmr").desc, col("vec_id").asc)
+          .limit(1).collect()
+        if (best.isEmpty) dry = true
+        else {
+          val r = best(0)
+          picks += ((rank, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+          rank += 1
+        }
+      }
+      import spark.implicits._
+      picks.toSeq.toDF("sel_rank", "vec_id", "rel", "mmr")
+    } finally { shortlist.unpersist() }
+  }
+
+  /** Oracle for [[mmrTopK]]: the same shortlist cut, then the greedy
+    * loop unrolled — per pick, the λ-blend over max cosine to the
+    * accumulated selected set, rounded to 6 decimals with the id
+    * tie-break (identical argmax sequence by construction). Every CTE
+    * is MATERIALIZED: pick_i references all_{i-1} twice and all_i a
+    * third time, so DuckDB's default inlining re-evaluates the corpus
+    * cosine scan 3^k times — materialization makes the unrolled greedy
+    * linear in k (1.3 s vs unbounded at sf0.01). */
+  def mmrOracleSql(k: Int, shortlistN: Int, lambda: Double,
+                   dim: Int = OracleDim): String = {
+    val l = dlit(lambda)
+    val oml = dlit(1.0 - lambda)
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+rel AS MATERIALIZED (SELECT vec_id, embedding,
+          ${cosineSql("embedding", "qe", dim)} AS rel
+        FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        ORDER BY rel DESC, vec_id ASC LIMIT $shortlistN),
+sel1 AS MATERIALIZED (SELECT vec_id, rel, 1 AS sel_rank, round($l * rel, 6) AS mmr
+         FROM rel ORDER BY round($l * rel, 6) DESC, vec_id ASC LIMIT 1),
+all1 AS MATERIALIZED (SELECT vec_id, rel, sel_rank, mmr FROM sel1)"""
+    for (i <- 2 to k) {
+      sb ++= s""",
+pick$i AS MATERIALIZED (SELECT r.vec_id, r.rel,
+             round($l * r.rel - $oml *
+               max(${cosineSql("r.embedding", "s.embedding", dim)}), 6) AS mmr
+           FROM rel r JOIN rel s
+             ON s.vec_id IN (SELECT vec_id FROM all${i - 1})
+           WHERE r.vec_id NOT IN (SELECT vec_id FROM all${i - 1})
+           GROUP BY r.vec_id, r.rel
+           ORDER BY mmr DESC, r.vec_id ASC LIMIT 1),
+all$i AS MATERIALIZED (SELECT * FROM all${i - 1}
+          UNION ALL SELECT vec_id, rel, $i AS sel_rank, mmr FROM pick$i)"""
+    }
+    sb ++= s"\nSELECT sel_rank, vec_id, rel, mmr FROM all$k"
+    sb.toString
+  }
 }

@@ -1793,6 +1793,21 @@ object PipelineQueries {
   def simLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embChecked(s, d), "vec_id", "embedding", 0L, 10)
 
+  // one source of truth for the MMR row's parameters — spliced into
+  // the engine call AND the unrolled oracle
+  private val MmrK = 8
+  private val MmrN = 20
+  private val MmrLambda = 0.7
+
+  /** q_mmr: maximal-marginal-relevance diversified top-k
+    * ([[Similarity.mmrTopK]]) — exact-cosine shortlist, then the greedy
+    * λ-blend rerank whose selection sequence is deterministic
+    * cross-engine (rounded scores + id tie-break); the oracle unrolls
+    * the same greedy loop pick by pick. */
+  def mmrQ(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrTopK(embChecked(s, d), "vec_id", "embedding", 0L,
+      MmrK, MmrN, MmrLambda)
+
   /** Per-source distribution drift ([[TA.sourceKl]]): KL of each
     * source's hashed-feature distribution against the corpus — the
     * mixture-monitoring row. */
@@ -2800,6 +2815,7 @@ object PipelineQueries {
     "q_sample_quantiles" -> (sampleQuantiles _),
     "q_simhash"        -> (simhashes _),
     "q_sim_topk"       -> (simTopK _),
+    "q_mmr"            -> (mmrQ _),
     "q_sim_lsh"        -> (simLsh _),
     "q_decontaminate_sem" -> (decontaminateSem _),
     "q_decontaminate_sem_stored" -> (decontaminateSemStored _),
@@ -3639,6 +3655,9 @@ object PipelineQueries {
         |FROM f JOIN q USING (i) WHERE f.vec_id <> 0
         |GROUP BY f.vec_id
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // MMR: the unrolled greedy rerank — same shortlist cut, same
+    // rounded-score + id argmax per pick, same λ literals
+    "q_mmr" -> Similarity.mmrOracleSql(MmrK, MmrN, MmrLambda),
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
