@@ -3,15 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, ShardWrite, TextAnalysis => TA}
+import graft.functions.{Bpe, Dedup, ShardWrite, TextAnalysis => TA}
 import graft.queries.{CurationQueries, PipelineQueries}
 
 /** ONE-COMMAND CURATION RUN (r15 verdict item 4) — the production
   * composition the registry rows exercise piecewise, shipped as a
   * RESUMABLE driver main: raw documents → bench holdout → exact dedup
   * → near-dup components → benchmark decontamination → quality floor →
-  * mixture downsampling → context-window packing → shard manifest +
-  * drop report.
+  * mixture downsampling → tokenizer training → context-window packing
+  * → shard manifest + drop report.
   *
   * Resume contract — the claim discipline the maintained channels
   * already use ([[graft.functions.ShardWrite.claim]]): every stage
@@ -42,7 +42,7 @@ object CurationRun {
 
   /** Stage names in dependency order. */
   val Stages: Seq[String] = Seq("bench", "exact", "neardup", "decon",
-    "quality", "mix", "pack", "manifest", "report")
+    "quality", "mix", "tokenizer", "pack", "manifest", "report")
 
   /** Run (or resume) the DAG; returns the stages that RAN this call
     * (complete ones skip). `stopAfter` stops the DAG after the named
@@ -99,6 +99,17 @@ object CurationRun {
       // hash-bucket downsampling (deterministic, id-order-free)
       "mix" -> (() => CurationQueries.mixApplyOf(
         docs.join(stage("quality"), Seq("doc_id"), "left_semi"))),
+      // post-curation tokenizer: BPE merges trained on the mixture
+      // survivors — the subword artifact the downstream trainer loads
+      // (q_bpe_train's machinery; the one corpus-scale job is the word
+      // count, the merge loop iterates on the vocabulary table). pack
+      // below stays denominated in whitespace tokens (its oracle-pinned
+      // contract); re-denominating windows in BPE tokens is a
+      // parameter swap on packRowsOf's token counter
+      "tokenizer" -> (() => Bpe.mergesDf(spark,
+        Bpe.trainMerges(Bpe.wordCounts(
+          docs.join(stage("mix"), Seq("doc_id"), "left_semi"),
+          "doc_id", "text"), numMerges = 16))),
       // pack the final kept docs into 2048-token context windows:
       // one row per (doc, window) slice with doc-relative offsets
       "pack" -> (() => CurationQueries.packRowsOf(

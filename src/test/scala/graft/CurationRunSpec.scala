@@ -31,7 +31,8 @@ class CurationRunSpec extends SparkSpec {
     // resume: complete stages skip, the torn one heals and rewrites,
     // the rest run
     val ran2b = CurationRun.run(spark, sf0001, out2)
-    assert(ran2b == Seq("quality", "mix", "pack", "manifest", "report"),
+    assert(ran2b == Seq("quality", "mix", "tokenizer", "pack", "manifest",
+      "report"),
       s"resume must skip the complete prefix and heal the torn stage: $ran2b")
     // stage-for-stage equality with the one-shot run
     for (s <- CurationRun.Stages)
@@ -46,6 +47,12 @@ class CurationRunSpec extends SparkSpec {
       "the drop report must cover every document exactly once")
     assert(rep.where(col("status") === "kept")
       .agg(coalesce(sum("n"), lit(0L))).head.getLong(0) > 0L)
+    // the tokenizer artifact is trained and non-degenerate: ranked
+    // merges over the kept corpus
+    val merges = spark.read.parquet(s"$out1/tokenizer")
+      .orderBy("merge_rank").collect()
+    assert(merges.length == 16)
+    assert(merges.map(_.getAs[Int]("merge_rank")).toSeq == (1 to 16))
     // pack tiling invariant: every bin but the corpus-final one holds
     // exactly 2048 tokens
     val bins = spark.read.parquet(s"$out1/manifest")
