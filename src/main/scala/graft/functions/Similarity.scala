@@ -2365,15 +2365,23 @@ object Similarity {
     * unrolls the same greedy loop ([[mmrOracleSql]]). */
   def mmrTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
               k: Int, shortlistN: Int, lambda: Double): DataFrame = {
-    val spark = emb.sparkSession
     val q = emb.where(col(id) === queryId).select(col(vec).as("q_vec"))
-    val shortlist = emb.where(col(id) =!= queryId)
+    mmrGreedy(emb.where(col(id) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(id).as("vec_id"), col(vec).as("emb"),
         cosine(col(vec), col("q_vec")).as("rel"))
       .orderBy(col("rel").desc, col("vec_id").asc)
-      .limit(shortlistN)
-      .persist()
+      .limit(shortlistN), k, lambda)
+  }
+
+  /** The greedy MMR loop over ANY bounded shortlist frame
+    * `(vec_id, emb, rel)` — [[mmrTopK]] feeds it the exact-cosine cut,
+    * [[graft.queries.PipelineQueries]]'s ANN row feeds it the stored
+    * IVFADC+R probe's re-ranked candidates (the production shape:
+    * zero corpus-scale work at serve beyond the pruned probe). */
+  def mmrGreedy(shortlistDf: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val spark = shortlistDf.sparkSession
+    val shortlist = shortlistDf.persist()
     try {
       val picks =
         scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
@@ -2421,15 +2429,36 @@ object Similarity {
     * cosine scan 3^k times — materialization makes the unrolled greedy
     * linear in k (1.3 s vs unbounded at sf0.01). */
   def mmrOracleSql(k: Int, shortlistN: Int, lambda: Double,
-                   dim: Int = OracleDim): String = {
+                   dim: Int = OracleDim): String =
+    mmrGreedySql(
+      s"""SELECT vec_id, embedding,
+         ${cosineSql("embedding", "qe", dim)} AS rel
+         FROM embeddings
+         CROSS JOIN (SELECT embedding AS qe FROM embeddings
+                     WHERE vec_id = 0) q
+         WHERE vec_id <> 0
+         ORDER BY rel DESC, vec_id ASC LIMIT $shortlistN""", k, lambda, dim)
+
+  /** Oracle for the stored-ANN MMR composition: the verified IVFADC+R
+    * machinery shortlists ([[ivfPqCosRerankOracleSql]] as a subquery),
+    * raw embeddings joined back for the pairwise-similarity half, then
+    * the same unrolled greedy. */
+  def mmrAnnOracleSql(k: Int, topN: Int, lambda: Double,
+                      shortlist: Int, m: Int, ks: Int,
+                      dim: Int = OracleDim): String =
+    mmrGreedySql(
+      s"""SELECT t.vec_id, e.embedding, t.cos AS rel
+         FROM (${ivfPqCosRerankOracleSql(0L, topN, shortlist, m = m, ks = ks)}) t
+         JOIN embeddings e ON e.vec_id = t.vec_id""", k, lambda, dim)
+
+  /** The unrolled greedy over any `(vec_id, embedding, rel)` shortlist
+    * SQL. */
+  private def mmrGreedySql(relSql: String, k: Int, lambda: Double,
+                           dim: Int): String = {
     val l = dlit(lambda)
     val oml = dlit(1.0 - lambda)
     val sb = new StringBuilder
-    sb ++= s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-rel AS MATERIALIZED (SELECT vec_id, embedding,
-          ${cosineSql("embedding", "qe", dim)} AS rel
-        FROM embeddings CROSS JOIN q WHERE vec_id <> 0
-        ORDER BY rel DESC, vec_id ASC LIMIT $shortlistN),
+    sb ++= s"""WITH rel AS MATERIALIZED ($relSql),
 sel1 AS MATERIALIZED (SELECT vec_id, rel, 1 AS sel_rank, round($l * rel, 6) AS mmr
          FROM rel ORDER BY round($l * rel, 6) DESC, vec_id ASC LIMIT 1),
 all1 AS MATERIALIZED (SELECT vec_id, rel, sel_rank, mmr FROM sel1)"""

@@ -1808,6 +1808,26 @@ object PipelineQueries {
     Similarity.mmrTopK(embChecked(s, d), "vec_id", "embedding", 0L,
       MmrK, MmrN, MmrLambda)
 
+  /** q_mmr_ann: the PRODUCTION MMR composition — the stored IVFADC+R
+    * probe (zero training jobs at serve) shortlists top-[[MmrN]] by
+    * exact rerank cosine, raw embeddings join back for the
+    * pairwise-similarity half (candidate rows only, the IVFADC+R
+    * read discipline), then the same bounded greedy. Oracle replays
+    * the pruned ADC machinery end-to-end, not an exhaustive twin. */
+  def mmrAnnQ(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"ivfpqcos:$d:${corpusFingerprint(s, d)}")(
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        m = 4, ks = 8, normalize = true))
+    val top = Similarity.ivfPqRerankFromDir(embChecked(s, d), "vec_id",
+      "embedding", dir, 0L, MmrN, shortlist = 50)
+    Similarity.mmrGreedy(
+      embChecked(s, d).select(col("vec_id"), col("embedding").as("emb"))
+        .join(broadcast(top.select(col("vec_id"), col("cos").as("rel"))),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("emb"), col("rel")),
+      MmrK, MmrLambda)
+  }
+
   /** Per-source distribution drift ([[TA.sourceKl]]): KL of each
     * source's hashed-feature distribution against the corpus — the
     * mixture-monitoring row. */
@@ -2816,6 +2836,7 @@ object PipelineQueries {
     "q_simhash"        -> (simhashes _),
     "q_sim_topk"       -> (simTopK _),
     "q_mmr"            -> (mmrQ _),
+    "q_mmr_ann"        -> (mmrAnnQ _),
     "q_sim_lsh"        -> (simLsh _),
     "q_decontaminate_sem" -> (decontaminateSem _),
     "q_decontaminate_sem_stored" -> (decontaminateSemStored _),
@@ -3658,6 +3679,8 @@ object PipelineQueries {
     // MMR: the unrolled greedy rerank — same shortlist cut, same
     // rounded-score + id argmax per pick, same λ literals
     "q_mmr" -> Similarity.mmrOracleSql(MmrK, MmrN, MmrLambda),
+    "q_mmr_ann" -> Similarity.mmrAnnOracleSql(MmrK, MmrN, MmrLambda,
+      shortlist = 50, m = 4, ks = 8),
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
