@@ -275,9 +275,13 @@ object ExplainAudit {
       "q_source_kl_incr", // drift from maintained counts: shard scan
                           //   into the bounded |sources|×B grid — no
                           //   corpus-scale feature explode at read
-      "q_bigram_incr")    // LM scoring from the kind-tagged count
+      "q_bigram_incr",    // LM scoring from the kind-tagged count
                           //   shards: the corpus explodes once for the
                           //   probe stream; counts come from shard scans
+      "q_bpe_tokens")     // tokenizer apply: expect the merge chain as
+                          //   ONE codegen'd Project of literal replaces
+                          //   over the exploded word stream — no join,
+                          //   one doc-keyed exchange
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

@@ -2266,3 +2266,73 @@ object CountChannelGrowthProbe {
     spark.stop()
   }
 }
+
+/** BPE training/apply cost shape at scale (the r16 tokenizer family's
+  * measured claim): the merge LOOP is vocabulary-bounded — corpus rows
+  * pay only in the one word-count job — and the apply chain runs at
+  * scan speed. Two corpora share a FIXED synthetic vocabulary (md5-hex
+  * words, 16-symbol alphabet so merges have real pair structure); the
+  * probe times the word-count job and the 16-merge loop separately on
+  * each, then times the 32-merge encode chain over the large corpus.
+  * Merges trained on both corpora are asserted IDENTICAL (counts scale
+  * by the row ratio; the argmax sequence is scale-invariant for the
+  * uniform id→word map). `sbt "runMain graft.BpeProbe [rows]"`. */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.Bpe
+    val bigRows = args.headOption.map(_.toLong).getOrElse(8000000L)
+    val smallRows = bigRows / 8
+    val vocab = 50000L
+    def word = substring(md5(col("id").mod(vocab).cast("string")), 1, 8)
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(rows: Long): (Seq[Bpe.Merge], Double, Double) = {
+      val (wc, tCount) = time {
+        val t = spark.range(rows).select(word.as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wc"))
+          .persist()
+        t.count() // materialize: the corpus-scale job, timed alone
+        t
+      }
+      val (m, tLoop) = time(Bpe.trainMerges(wc, 16))
+      wc.unpersist()
+      (m, tCount, tLoop)
+    }
+    // warm-up: the first Spark job pays JIT/codegen setup that would
+    // otherwise land on the small corpus's word-count timing
+    spark.range(smallRows).select(word.as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc")).count()
+    val (mSmall, cSmall, lSmall) = run(smallRows)
+    val (mBig, cBig, lBig) = run(bigRows)
+    require(mSmall.map(x => (x.x, x.y)) == mBig.map(x => (x.x, x.y)),
+      "merge sequence must be scale-invariant for the uniform map")
+    // apply: a 32-merge chain over the large corpus's word stream
+    val merges32 = {
+      val wc = spark.range(bigRows).select(word.as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc")).persist()
+      val m = Bpe.trainMerges(wc, 32); wc.unpersist(); m
+    }
+    val (_, tApply) = time {
+      spark.range(bigRows).select(word.as("word"))
+        .select(Bpe.tokenCountExpr(col("word"), merges32).as("n"))
+        .agg(sum(col("n"))).head()
+    }
+    println(f"[bpeprobe] vocab=$vocab fixed; corpus ${smallRows}: " +
+      f"word-count $cSmall%.1f s, 16-merge loop $lSmall%.1f s; " +
+      f"corpus ${bigRows}: word-count $cBig%.1f s, 16-merge loop $lBig%.1f s " +
+      f"(loop ratio ${lBig / lSmall}%.2f — vocab-bounded; " +
+      f"count ratio ${cBig / cSmall}%.2f — corpus-scale)")
+    println(f"[bpeprobe] 32-merge encode over $bigRows%d words: " +
+      f"$tApply%.1f s (${bigRows / tApply / 1e6}%.1f M words/s)")
+    spark.stop()
+  }
+}

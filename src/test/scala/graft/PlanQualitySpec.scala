@@ -585,4 +585,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(lk.contains("SelectedBucketsCount: 1 out of 16"),
       s"q_bucket_lookup must bucket-prune to one bucket:\n${lk.take(900)}")
   }
+
+  test("r16 rows: BPE apply is a join-free codegen scan; one doc-keyed shuffle") {
+    // the encode chain is literal replaces over the exploded word
+    // stream — any Join/second exchange means the apply stopped being
+    // the scan-speed projection the 100 TB story depends on
+    val p = physical("q_bpe_tokens")
+    assert(!p.contains("Join"), s"q_bpe_tokens plans a join:\n${p.take(900)}")
+    assert(p.contains("Generate explode"), p.take(600))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"q_bpe_tokens should shuffle once (doc agg), got $n")
+  }
 }
