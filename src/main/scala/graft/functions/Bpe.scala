@@ -145,6 +145,73 @@ object Bpe {
         count(lit(1)).as("n_words"),
         sum(col("nt")).as("n_bpe_tokens"))
 
+  /** The token-id vocabulary under the merges — the artifact a trainer
+    * actually loads: every surviving symbol with its corpus occurrence
+    * count and a deterministic id (frequency-ranked, symbol tie-break).
+    * The id window runs over the SYMBOL vocabulary — bounded by
+    * |alphabet| + numMerges, never corpus- or word-vocab-scale. */
+  def vocab(docs: DataFrame, id: String, text: String,
+            merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(TextAnalysis.tokens(col(text))).as("word"))
+      .select(explode(symbols(encodeExpr(col("word"), merges))).as("symbol"))
+      .groupBy("symbol").agg(count(lit(1)).as("n_occ"))
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("symbol").asc)))
+      .select(col("token_id"), col("symbol"), col("n_occ"))
+  }
+
+  /** Oracle for [[vocab]]: the apply CTE chain's final delimited form,
+    * re-exploded to symbols. */
+  def vocabOracleSql(toks: String, m: Int = DefaultMerges): String = {
+    val sb = new StringBuilder
+    sb ++= trainCtes(toks, m)
+    sb ++= ",\ne0 AS (SELECT doc_id, regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS ds FROM toks)"
+    for (i <- 1 to m)
+      sb ++= s""",
+e$i AS (SELECT doc_id, replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds
+        FROM e${i - 1} CROSS JOIN b$i)"""
+    sb ++= s"""
+SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, symbol ASC) AS INTEGER)
+         AS token_id,
+       symbol, n_occ FROM (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n_occ FROM (
+    SELECT unnest(string_split(trim(ds), '  ')) AS symbol FROM e$m)
+  GROUP BY symbol)"""
+    sb.toString
+  }
+
+  /** Per-document BPE token count as ONE expression (higher-order
+    * functions: transform each word to its subword count, aggregate-
+    * sum) — no explode, no shuffle: the form a downstream consumer
+    * (packing, token budgets) composes into its own plan. The exploded
+    * twin [[docTokenStats]] is the oracle row; equality is pinned by
+    * `q_pack_bpe` sharing the apply oracle's count. */
+  def docTokenCountExpr(text: Column, merges: Seq[Merge]): Column =
+    aggregate(
+      transform(TextAnalysis.tokens(text),
+        w => size(symbols(encodeExpr(w, merges)))),
+      lit(0), (a, x) => a + x)
+
+  /** The `t (doc_id, n_tokens)` oracle CTE chain for BPE-denominated
+    * consumers: training unrolled, merges applied to the word stream,
+    * counts summed per document. Composable with any tail that reads
+    * `t` (the pack-rows twin). */
+  def docTokenCountCtes(toks: String, m: Int = DefaultMerges): String = {
+    val sb = new StringBuilder
+    sb ++= trainCtes(toks, m)
+    sb ++= ",\ne0 AS (SELECT doc_id, regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS ds FROM toks)"
+    for (i <- 1 to m)
+      sb ++= s""",
+e$i AS (SELECT doc_id, replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds
+        FROM e${i - 1} CROSS JOIN b$i)"""
+    sb ++= s""",
+t AS (SELECT doc_id, CAST(sum(len(string_split(trim(ds), '  '))) AS INTEGER)
+        AS n_tokens
+      FROM e$m GROUP BY doc_id)"""
+    sb.toString
+  }
+
   /** Merges as a DataFrame (the registry/serving shape). */
   def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -733,7 +733,7 @@ object CurationQueries {
 
   def packSequencesOf(docs: DataFrame, seqLen: Long = 2048,
                       chunkWidth: Long = 65536): DataFrame =
-    packBase(docs, chunkWidth)
+    packBase(docs, chunkWidth, TA.tokenCount(col("text")))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"start_tok div $seqLen").as("bin"),
         expr(s"start_tok % $seqLen").as("bin_offset"))
@@ -743,9 +743,9 @@ object CurationQueries {
     * token offset via the two-level chunked prefix-sum decomposition
     * (per-chunk windows parallel; the only unpartitioned window runs
     * on the ⌈idRange/chunkWidth⌉-row chunk-totals frame). */
-  private def packBase(docs: DataFrame, chunkWidth: Long): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      TA.tokenCount(col("text")).as("n_tokens"))
+  private def packBase(docs: DataFrame, chunkWidth: Long,
+                       nTok: Column): DataFrame = {
+    val base = docs.select(col("doc_id"), nTok.as("n_tokens"))
       .withColumn("ck", expr(s"doc_id div $chunkWidth"))
     val within = base.withColumn("within_cum",
       sum(col("n_tokens")).over(
@@ -785,8 +785,9 @@ object CurationQueries {
     packRowsOf(par(documents(s, d)), chunkWidth = 512)
 
   def packRowsOf(docs: DataFrame, seqLen: Long = 2048,
-                 chunkWidth: Long = 65536): DataFrame =
-    packBase(docs, chunkWidth)
+                 chunkWidth: Long = 65536,
+                 nTok: Column = TA.tokenCount(col("text"))): DataFrame =
+    packBase(docs, chunkWidth, nTok)
       .where(col("n_tokens") > 0)
       .select(col("doc_id"), col("start_tok"), col("n_tokens"),
         explode(sequence(expr(s"start_tok div $seqLen"),
@@ -908,10 +909,11 @@ object CurationQueries {
        |            FROM documents GROUP BY source))""".stripMargin
 
   /** q_pack_rows oracle, shared with the manifest row. */
-  private val PackRowsSql: String =
-    s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
-       |           FROM documents),
-       |c AS (SELECT doc_id, n_tokens,
+  /** The pack-rows SQL below a `t (doc_id, n_tokens)` CTE — one copy
+    * shared by the whitespace-token row and the BPE-denominated twin
+    * (which swaps only what n_tokens counts). */
+  private[queries] val PackRowsTail: String =
+    s"""c AS (SELECT doc_id, n_tokens,
        |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |             AS BIGINT) AS start_tok
@@ -922,6 +924,11 @@ object CurationQueries {
        |FROM c, UNNEST(generate_series(start_tok // 2048,
        |         (start_tok + n_tokens - 1) // 2048)) AS u(bin)
        |WHERE n_tokens > 0""".stripMargin
+
+  private val PackRowsSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
+       |           FROM documents),
+       |$PackRowsTail""".stripMargin
 
   /** Shared oracle prefix for the two drop-reason audits: planted
     * construction + bench bucket + keeper/shingle-contamination CTEs —

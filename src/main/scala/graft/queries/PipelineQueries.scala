@@ -413,6 +413,27 @@ object PipelineQueries {
     Bpe.docTokenStats(par(documents(s, d)), "doc_id", "text",
       Bpe.readMerges(s, bpeArtifact(s, d)))
 
+  /** q_bpe_vocab: the token-id vocabulary under the stored merges —
+    * frequency-ranked ids with the symbol tie-break (the file a
+    * trainer loads next to the merge table). The rank window runs on
+    * the symbol vocabulary (|alphabet| + merges rows), never the
+    * corpus. */
+  def bpeVocabQ(s: SparkSession, d: String): DataFrame =
+    Bpe.vocab(par(documents(s, d)), "doc_id", "text",
+      Bpe.readMerges(s, bpeArtifact(s, d)))
+
+  /** q_pack_bpe: context-window packing DENOMINATED IN TOKENIZER
+    * TOKENS — the two-level chunked prefix sum (`q_pack_rows`'s
+    * machinery) with n_tokens swapped from whitespace words to the
+    * per-doc BPE count, computed as ONE higher-order expression
+    * ([[Bpe.docTokenCountExpr]] — no explode, no extra shuffle). The
+    * oracle composes the unrolled train/apply CTEs with the shared
+    * pack tail: what a training-data writer actually ships. */
+  def packBpeQ(s: SparkSession, d: String): DataFrame =
+    CurationQueries.packRowsOf(par(documents(s, d)),
+      nTok = Bpe.docTokenCountExpr(col("text"),
+        Bpe.readMerges(s, bpeArtifact(s, d))))
+
   /** q_bpe_incr: the tokenizer maintained ONLINE — the corpus arrives
     * as three hash-split batches appending (word, wc) count shards
     * ([[Bpe.wordCountsAppend]], `_SUCCESS`-claimed, replay-idempotent);
@@ -2761,6 +2782,8 @@ object PipelineQueries {
     "q_bpe_train"      -> (bpeTrainQ _),
     "q_bpe_stored"     -> (bpeStoredQ _),
     "q_bpe_tokens"     -> (bpeTokensQ _),
+    "q_bpe_vocab"      -> (bpeVocabQ _),
+    "q_pack_bpe"       -> (packBpeQ _),
     "q_bpe_incr"       -> (bpeIncrQ _),
     "q_bpe_retire"     -> (bpeRetireQ _),
     "q_quality_rules"  -> (qualityRules _),
@@ -3539,6 +3562,9 @@ object PipelineQueries {
     "q_bpe_incr" -> Bpe.trainOracleSql(TOKS),
     "q_bpe_retire" -> retainedWrap(Bpe.trainOracleSql(TOKS)),
     "q_bpe_tokens" -> Bpe.applyOracleSql(TOKS),
+    "q_bpe_vocab" -> Bpe.vocabOracleSql(TOKS),
+    "q_pack_bpe" -> (Bpe.docTokenCountCtes(TOKS) + ",\n" +
+      CurationQueries.PackRowsTail),
     // Gopher rules: thresholds SPLICED from the TextAnalysis constants
     // (one source of truth), replace-based symbol counting (identical
     // greedy left-to-right semantics both engines), 0/1 int flags; pass

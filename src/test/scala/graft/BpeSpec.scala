@@ -126,6 +126,27 @@ class BpeSpec extends SparkSpec {
     assert(online.head.x != "z")
   }
 
+  test("vocab ranks symbols by frequency with the symbol tie-break") {
+    val merges = Seq(Bpe.Merge(1, "l", "o", 0L), Bpe.Merge(2, "lo", "w", 0L))
+    // "low low lower": low→[low]×2, lower→[low,e,r] → low:3, e:1, r:1
+    val v = Bpe.vocab(docs.where(col("doc_id") === 0L),
+        "doc_id", "text", merges)
+      .orderBy("token_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(v == Seq((1, "low", 3L), (2, "e", 1L), (3, "r", 1L)))
+  }
+
+  test("the HOF per-doc count equals the exploded per-doc count") {
+    val merges = Bpe.trainMerges(Bpe.wordCounts(docs, "doc_id", "text"), 4)
+    val hof = docs.select(col("doc_id"),
+        Bpe.docTokenCountExpr(col("text"), merges).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = Bpe.docTokenStats(docs, "doc_id", "text", merges)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(hof == exploded)
+  }
+
   test("docTokenStats counts words and subword tokens per document") {
     val merges = Seq(Bpe.Merge(1, "l", "o", 0L), Bpe.Merge(2, "lo", "w", 0L))
     val got = Bpe.docTokenStats(docs.where(col("doc_id") === 0L),
