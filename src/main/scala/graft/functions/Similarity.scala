@@ -2379,6 +2379,10 @@ object Similarity {
     * [[graft.queries.PipelineQueries]]'s ANN row feeds it the stored
     * IVFADC+R probe's re-ranked candidates (the production shape:
     * zero corpus-scale work at serve beyond the pruned probe). */
+  /* The returned frame is the k picks themselves — bounded by
+   * construction (like the merge tables and centroid frames), so its
+   * LocalRelation plan is the right shape: the distributed work is the
+   * shortlist job and the k argmax jobs that already ran. */
   def mmrGreedy(shortlistDf: DataFrame, k: Int, lambda: Double): DataFrame = {
     val spark = shortlistDf.sparkSession
     val shortlist = shortlistDf.persist()
