@@ -117,18 +117,32 @@ object Bpe {
     } finally { d0.unpersist() }
   }
 
-  /** Encode a word column under an ORDERED merge list: the delimited
-    * form folded through one literal replace per merge — a pure
-    * codegen'd projection, scan-speed at any corpus size. */
+  /** Encode a word column under an ORDERED merge list as the literal
+    * replace chain — ONE nested replace per merge. This is the oracle
+    * reference form (DuckDB replays it verbatim) and stays exact at
+    * the registry rows' merge count, but the plan grows with |merges|:
+    * production tokenizers use [[encodeNative]], which implements the
+    * identical pass semantics in one expression ([[graft.BpeSpec]]
+    * pins chain ≡ native). */
   def encodeExpr(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(delimited(word)) { (c, m) =>
       val (pat, rep) = mergePattern(m.x, m.y)
       replace(c, lit(pat), lit(rep))
     }
 
-  /** Subword token count of one word under the merges. */
+  /** The native encoder ([[BpeEncode]]): same rank-order one-pass
+    * merge semantics, constant plan size at any merge count, the
+    * merge table a plan reference object. Returns the symbol array
+    * directly (the chain form's [[symbols]] split included). */
+  def encodeNative(word: Column, merges: Seq[Merge]): Column = {
+    import org.apache.spark.sql.graftext.ColumnBridge
+    ColumnBridge.column(BpeEncode(
+      ColumnBridge.expression(word), merges.map(m => (m.x, m.y))))
+  }
+
+  /** Subword token count of one word under the merges (native path). */
   def tokenCountExpr(word: Column, merges: Seq[Merge]): Column =
-    size(symbols(encodeExpr(word, merges)))
+    size(encodeNative(word, merges))
 
   /** Per-document tokenizer statistics: whitespace word count and the
     * BPE token count under the merges — the numbers `q_token_budget`/
@@ -154,7 +168,7 @@ object Bpe {
             merges: Seq[Merge]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs.select(explode(TextAnalysis.tokens(col(text))).as("word"))
-      .select(explode(symbols(encodeExpr(col("word"), merges))).as("symbol"))
+      .select(explode(encodeNative(col("word"), merges)).as("symbol"))
       .groupBy("symbol").agg(count(lit(1)).as("n_occ"))
       .withColumn("token_id", row_number().over(
         Window.orderBy(col("n_occ").desc, col("symbol").asc)))
@@ -190,7 +204,7 @@ SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, symbol ASC) AS INTEGER)
   def docTokenCountExpr(text: Column, merges: Seq[Merge]): Column =
     aggregate(
       transform(TextAnalysis.tokens(text),
-        w => size(symbols(encodeExpr(w, merges)))),
+        w => tokenCountExpr(w, merges)),
       lit(0), (a, x) => a + x)
 
   /** The `t (doc_id, n_tokens)` oracle CTE chain for BPE-denominated

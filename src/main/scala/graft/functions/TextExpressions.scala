@@ -139,3 +139,102 @@ object NfcNormalize {
     org.apache.spark.sql.graftext.ColumnBridge.column(
       NfcNormalize(org.apache.spark.sql.graftext.ColumnBridge.expression(c)))
 }
+
+/** Native BPE encoder — the production-merge-count twin of
+  * [[Bpe.encodeExpr]]'s literal-replace chain. The chain IS the oracle
+  * semantics (one left-to-right non-overlapping pass per merge, in
+  * rank order), but it builds one nested expression per merge: fine at
+  * the oracle rows' 8 merges, impossible at a production tokenizer's
+  * tens of thousands (plan size and codegen both blow up). This
+  * expression walks the word's code-point symbols once per TOUCHED
+  * merge — a symbol-presence set skips the merges whose pair can't
+  * occur, which for natural words is almost all of them — inside one
+  * codegen'd call, with the merge table embedded as a plan reference
+  * object (driver-side constant, like the PQ codebook literals).
+  * [[graft.BpeSpec]] pins native ≡ replace-chain on planted overlap
+  * cases, multi-byte code points, and trained merges.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expected string, got $t")
+  }
+
+  @transient private lazy val table = new BpeEncode.MergeTable(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncode.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", table,
+      classOf[BpeEncode.MergeTable].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncode.compute($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}
+
+object BpeEncode {
+  /** Rank-ordered merge table shipped into generated code as one
+    * reference object. */
+  final class MergeTable(val merges: Seq[(String, String)])
+      extends Serializable {
+    val xs: Array[String] = merges.map(_._1).toArray
+    val ys: Array[String] = merges.map(_._2).toArray
+    val outs: Array[String] = merges.map(m => m._1 + m._2).toArray
+  }
+
+  /** The replace-chain semantics on the symbol list: for each merge in
+    * rank order, ONE left-to-right non-overlapping pass (i advances by
+    * 2 over a merged pair). The presence set is a superset of the live
+    * symbols (merged-away symbols are not evicted — a stale hit only
+    * costs a no-op pass), so skipped merges provably cannot occur. */
+  def compute(word: org.apache.spark.unsafe.types.UTF8String,
+              t: MergeTable): ArrayData = {
+    val s = word.toString
+    var syms = new java.util.ArrayList[String](s.length min 16)
+    val present = new java.util.HashSet[String]()
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      val n = Character.charCount(cp)
+      val sym = s.substring(ci, ci + n)
+      syms.add(sym)
+      present.add(sym)
+      ci += n
+    }
+    // split("", "  ") yields [""] — the chain form counts an empty word
+    // as one empty symbol, so the native twin must too
+    if (syms.isEmpty) syms.add("")
+    var m = 0
+    while (m < t.xs.length && syms.size > 1) {
+      if (present.contains(t.xs(m)) && present.contains(t.ys(m))) {
+        val x = t.xs(m); val y = t.ys(m)
+        var merged = false
+        val out = new java.util.ArrayList[String](syms.size)
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms.get(i) == x && syms.get(i + 1) == y) {
+            out.add(t.outs(m)); merged = true; i += 2
+          } else { out.add(syms.get(i)); i += 1 }
+        }
+        if (merged) { syms = out; present.add(t.outs(m)) }
+      }
+      m += 1
+    }
+    val arr = new Array[Any](syms.size)
+    var i = 0
+    while (i < syms.size) {
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(syms.get(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}

@@ -126,6 +126,26 @@ class BpeSpec extends SparkSpec {
     assert(online.head.x != "z")
   }
 
+  test("native encoder ≡ the literal-replace chain, symbol for symbol") {
+    // overlap runs, rank-order composition, multi-byte code points,
+    // merges that can't occur, and the empty word — plus merges
+    // trained on the fixture corpus applied to every fixture word
+    val merges = Bpe.trainMerges(Bpe.wordCounts(docs, "doc_id", "text"), 6) ++
+      Seq(Bpe.Merge(7, "q", "q", 0L))    // a pair absent from every word
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .union(Seq("aaaa", "", "été", "zzz", "xyzzy").toDF("word"))
+    val rows = words.select(
+        Bpe.symbols(Bpe.encodeExpr(col("word"), merges)).as("chain"),
+        Bpe.encodeNative(col("word"), merges).as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"chain=${r.getSeq[String](0)} native=${r.getSeq[String](1)}")
+    }
+  }
+
   test("vocab ranks symbols by frequency with the symbol tie-break") {
     val merges = Seq(Bpe.Merge(1, "l", "o", 0L), Bpe.Merge(2, "lo", "w", 0L))
     // "low low lower": low→[low]×2, lower→[low,e,r] → low:3, e:1, r:1
