@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   * whole-stage-codegen'd, zero shuffles before the final doc-keyed
   * aggregation, and the merge list itself is a tiny broadcast-free
   * driver literal (the dsirScoreInRow precedent). At a production
-  * merge count (tens of thousands) the training loop persists the
-  * re-delimited vocabulary every k merges instead of growing the
-  * replace chain; the oracle rows pin the semantics at a small count.
+  * merge count (tens of thousands) the training loop materializes the
+  * re-delimited vocabulary every `persistEvery` merges instead of
+  * growing the replace chain, and application switches to the native
+  * [[BpeEncode]] expression; the oracle rows pin the semantics at a
+  * small count.
   *
   * Symbol representation: a word's symbol sequence is one string with
   * every symbol wrapped in single spaces — adjacent symbols are
@@ -80,21 +82,33 @@ object Bpe {
   /** Train up to numMerges merges over a (word, wc) vocabulary table.
     * Ties break on (cnt DESC, x ASC, y ASC) — binary string order on
     * both engines — so the sequence is deterministic. Stops early if
-    * the pair space runs dry (single-symbol vocabulary). */
-  def trainMerges(wordCounts: DataFrame, numMerges: Int): Seq[Merge] = {
-    val d0 = wordCounts
+    * the pair space runs dry (single-symbol vocabulary).
+    *
+    * `persistEvery`: iteration i normally re-scans the cached base
+    * through i−1 chained replaces — quadratic in merge count, fine at
+    * the oracle rows' 8, wrong at a production tokenizer's tens of
+    * thousands. Every `persistEvery` accepted merges the re-delimited
+    * vocabulary is MATERIALIZED into a fresh cached frame and the
+    * chain resets — per-iteration work becomes one scan + ≤k replaces
+    * at any merge count. Materialization changes plan shape only:
+    * merges are bit-identical for any k ([[graft.BpeSpec]] pins it). */
+  def trainMerges(wordCounts: DataFrame, numMerges: Int,
+                  persistEvery: Int = 64): Seq[Merge] = {
+    require(persistEvery >= 1, s"persistEvery must be >= 1: $persistEvery")
+    var base = wordCounts
       .select(delimited(col("word")).as("ds"), col("wc").cast("long").as("wc"))
       .persist()
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
-      // the re-delimit chain so far: iteration i scans the cached base
-      // plus i-1 codegen'd literal replaces — no per-iteration rewrite
-      var ds: Column = col("ds")
+      // the re-delimit chain since the last materialization: iteration
+      // scans the cached base plus ≤persistEvery codegen'd replaces
+      var chain: Column = col("ds")
+      var chainLen = 0
       var rank = 1
       var dry = false
       while (rank <= numMerges && !dry) {
-        val syms = symbols(ds)
-        val best = d0.select(col("wc"),
+        val syms = symbols(chain)
+        val best = base.select(col("wc"),
             explode(zip_with(
               slice(syms, lit(1), size(syms) - 1),
               slice(syms, lit(2), size(syms) - 1),
@@ -109,12 +123,21 @@ object Bpe {
           val m = Merge(rank, r.getString(0), r.getString(1), r.getLong(2))
           out += m
           val (pat, rep) = mergePattern(m.x, m.y)
-          ds = replace(ds, lit(pat), lit(rep))
+          chain = replace(chain, lit(pat), lit(rep))
+          chainLen += 1
+          if (chainLen >= persistEvery) {
+            val next = base.select(chain.as("ds"), col("wc")).persist()
+            next.count()     // materialize before dropping the parent
+            base.unpersist()
+            base = next
+            chain = col("ds")
+            chainLen = 0
+          }
           rank += 1
         }
       }
       out.toSeq
-    } finally { d0.unpersist() }
+    } finally { base.unpersist() }
   }
 
   /** Encode a word column under an ORDERED merge list as the literal

@@ -36,6 +36,14 @@ class BpeSpec extends SparkSpec {
     assert(m.head.x == "a" && m.head.y == "b")
   }
 
+  test("vocabulary materialization cadence does not change the merges") {
+    val wcT = wc("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val ref = Bpe.trainMerges(wcT, 6)
+    for (k <- Seq(1, 2, 5))
+      assert(Bpe.trainMerges(wcT, 6, persistEvery = k) == ref,
+        s"persistEvery=$k diverged")
+  }
+
   test("training stops early when the pair space runs dry") {
     // single-char words have no adjacent pairs after zero merges
     assert(Bpe.trainMerges(wc("a" -> 9L, "b" -> 3L), 5).isEmpty)
