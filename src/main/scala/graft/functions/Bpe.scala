@@ -127,7 +127,8 @@ object Bpe {
           chainLen += 1
           if (chainLen >= persistEvery) {
             val next = base.select(chain.as("ds"), col("wc")).persist()
-            next.count()     // materialize before dropping the parent
+            try next.count() // materialize before dropping the parent
+            catch { case t: Throwable => next.unpersist(); throw t }
             base.unpersist()
             base = next
             chain = col("ds")
@@ -198,9 +199,10 @@ object Bpe {
       .select(col("token_id"), col("symbol"), col("n_occ"))
   }
 
-  /** Oracle for [[vocab]]: the apply CTE chain's final delimited form,
-    * re-exploded to symbols. */
-  def vocabOracleSql(toks: String, m: Int = DefaultMerges): String = {
+  /** Training + application CTE chain (train, then each merge applied
+    * to the document word stream in rank order) — ONE copy shared by
+    * every apply-side oracle (tokens, vocab, pack). */
+  private def applyCtes(toks: String, m: Int): String = {
     val sb = new StringBuilder
     sb ++= trainCtes(toks, m)
     sb ++= ",\ne0 AS (SELECT doc_id, regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS ds FROM toks)"
@@ -208,15 +210,19 @@ object Bpe {
       sb ++= s""",
 e$i AS (SELECT doc_id, replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds
         FROM e${i - 1} CROSS JOIN b$i)"""
-    sb ++= s"""
+    sb.toString
+  }
+
+  /** Oracle for [[vocab]]: the apply chain's final delimited form,
+    * re-exploded to symbols. */
+  def vocabOracleSql(toks: String, m: Int = DefaultMerges): String =
+    applyCtes(toks, m) + s"""
 SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, symbol ASC) AS INTEGER)
          AS token_id,
        symbol, n_occ FROM (
   SELECT symbol, CAST(count(*) AS BIGINT) AS n_occ FROM (
     SELECT unnest(string_split(trim(ds), '  ')) AS symbol FROM e$m)
   GROUP BY symbol)"""
-    sb.toString
-  }
 
   /** Per-document BPE token count as ONE expression (higher-order
     * functions: transform each word to its subword count, aggregate-
@@ -234,20 +240,11 @@ SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, symbol ASC) AS INTEGER)
     * consumers: training unrolled, merges applied to the word stream,
     * counts summed per document. Composable with any tail that reads
     * `t` (the pack-rows twin). */
-  def docTokenCountCtes(toks: String, m: Int = DefaultMerges): String = {
-    val sb = new StringBuilder
-    sb ++= trainCtes(toks, m)
-    sb ++= ",\ne0 AS (SELECT doc_id, regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS ds FROM toks)"
-    for (i <- 1 to m)
-      sb ++= s""",
-e$i AS (SELECT doc_id, replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds
-        FROM e${i - 1} CROSS JOIN b$i)"""
-    sb ++= s""",
+  def docTokenCountCtes(toks: String, m: Int = DefaultMerges): String =
+    applyCtes(toks, m) + s""",
 t AS (SELECT doc_id, CAST(sum(len(string_split(trim(ds), '  '))) AS INTEGER)
         AS n_tokens
       FROM e$m GROUP BY doc_id)"""
-    sb.toString
-  }
 
   /** Merges as a DataFrame (the registry/serving shape). */
   def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
@@ -363,18 +360,9 @@ d$i AS (SELECT replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds, wc
   /** Oracle for per-document token stats: replays training, then
     * applies the b_i merges to the document word stream in rank order
     * (each b_i is one row — the cross joins are scalar). */
-  def applyOracleSql(toks: String, m: Int = DefaultMerges): String = {
-    val sb = new StringBuilder
-    sb ++= trainCtes(toks, m)
-    sb ++= ",\ne0 AS (SELECT doc_id, regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS ds FROM toks)"
-    for (i <- 1 to m)
-      sb ++= s""",
-e$i AS (SELECT doc_id, replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds
-        FROM e${i - 1} CROSS JOIN b$i)"""
-    sb ++= s"""
+  def applyOracleSql(toks: String, m: Int = DefaultMerges): String =
+    applyCtes(toks, m) + s"""
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(len(string_split(trim(ds), '  '))) AS BIGINT) AS n_bpe_tokens
 FROM e$m GROUP BY doc_id"""
-    sb.toString
-  }
 }
