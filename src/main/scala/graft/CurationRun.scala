@@ -109,7 +109,7 @@ object CurationRun {
       "tokenizer" -> (() => Bpe.mergesDf(spark,
         Bpe.trainMerges(Bpe.wordCounts(
           docs.join(stage("mix"), Seq("doc_id"), "left_semi"),
-          "doc_id", "text"), numMerges = 16))),
+          "text"), numMerges = 16))),
       // pack the final kept docs into 2048-token context windows:
       // one row per (doc, window) slice with doc-relative offsets
       "pack" -> (() => CurationQueries.packRowsOf(

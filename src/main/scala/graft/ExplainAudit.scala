@@ -278,9 +278,10 @@ object ExplainAudit {
       "q_bigram_incr",    // LM scoring from the kind-tagged count
                           //   shards: the corpus explodes once for the
                           //   probe stream; counts come from shard scans
-      "q_bpe_tokens")     // tokenizer apply: expect the merge chain as
-                          //   ONE codegen'd Project of literal replaces
-                          //   over the exploded word stream — no join,
+      "q_bpe_tokens")     // tokenizer apply: expect the native
+                          //   codegen'd BpeEncode expression (merge
+                          //   table as a plan reference object) over
+                          //   the exploded word stream — no join,
                           //   one doc-keyed exchange
     picks.foreach { name =>
       println(s"\n## $name\n")

@@ -75,7 +75,7 @@ object Bpe {
   /** The (word, wc) vocabulary table — BPE training's one corpus-scale
     * job. Tokenization matches [[TextAnalysis.tokens]] (and the TOKS
     * SQL twin) so counts reconcile with every other text row. */
-  def wordCounts(docs: DataFrame, id: String, text: String): DataFrame =
+  def wordCounts(docs: DataFrame, text: String): DataFrame =
     docs.select(explode(TextAnalysis.tokens(col(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
 
@@ -188,7 +188,7 @@ object Bpe {
     * count and a deterministic id (frequency-ranked, symbol tie-break).
     * The id window runs over the SYMBOL vocabulary — bounded by
     * |alphabet| + numMerges, never corpus- or word-vocab-scale. */
-  def vocab(docs: DataFrame, id: String, text: String,
+  def vocab(docs: DataFrame, text: String,
             merges: Seq[Merge]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs.select(explode(TextAnalysis.tokens(col(text))).as("word"))
@@ -201,15 +201,22 @@ object Bpe {
 
   /** Training + application CTE chain (train, then each merge applied
     * to the document word stream in rank order) — ONE copy shared by
-    * every apply-side oracle (tokens, vocab, pack). */
+    * every apply-side oracle (tokens, vocab, pack). Each step LEFT
+    * JOINs its (≤1-row) trained merge b_i so a dried-up training run
+    * (b_i empty past the last learnable merge) degrades e_i to e_{i-1}
+    * — matching the engine, which gracefully applies the shorter merge
+    * list — instead of emptying every downstream CTE through a CROSS
+    * JOIN with zero rows. */
   private def applyCtes(toks: String, m: Int): String = {
     val sb = new StringBuilder
     sb ++= trainCtes(toks, m)
     sb ++= ",\ne0 AS (SELECT doc_id, regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS ds FROM toks)"
     for (i <- 1 to m)
       sb ++= s""",
-e$i AS (SELECT doc_id, replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds
-        FROM e${i - 1} CROSS JOIN b$i)"""
+e$i AS (SELECT doc_id,
+          CASE WHEN x IS NULL THEN ds
+               ELSE replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') END AS ds
+        FROM e${i - 1} LEFT JOIN b$i ON TRUE)"""
     sb.toString
   }
 
@@ -284,22 +291,22 @@ t AS (SELECT doc_id, CAST(sum(len(string_split(trim(ds), '  '))) AS INTEGER)
 
   /** Append one ingest batch's (word, wc) contribution as a
     * `_SUCCESS`-claimed shard. Returns false iff replayed. */
-  def wordCountsAppend(docs: DataFrame, id: String, text: String,
+  def wordCountsAppend(docs: DataFrame, text: String,
                        dir: String, batchId: Long): Boolean =
-    countsWrite(docs, id, text, s"$dir/counts", batchId)
+    countsWrite(docs, text, s"$dir/counts", batchId)
 
   /** The retire channel: tombstoned docs replay their word counts here;
     * [[wordCountsFromShards]] subtracts at read. */
-  def wordCountsRetire(docs: DataFrame, id: String, text: String,
+  def wordCountsRetire(docs: DataFrame, text: String,
                        dir: String, batchId: Long): Boolean =
-    countsWrite(docs, id, text, s"$dir/retire", batchId)
+    countsWrite(docs, text, s"$dir/retire", batchId)
 
-  private def countsWrite(docs: DataFrame, id: String, text: String,
+  private def countsWrite(docs: DataFrame, text: String,
                           table: String, batchId: Long): Boolean =
     ShardWrite.claimBatch(docs.sparkSession, table, batchId) match {
       case None => false
       case Some(shard) =>
-        wordCounts(docs, id, text).write.parquet(shard)
+        wordCounts(docs, text).write.parquet(shard)
         true
     }
 
@@ -344,8 +351,10 @@ p$i AS (SELECT syms[i] AS x, syms[i+1] AS y, wc FROM (
   FROM d${i - 1})),
 b$i AS (SELECT x, y, CAST(sum(wc) AS BIGINT) AS cnt FROM p$i GROUP BY x, y
         ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
-d$i AS (SELECT replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') AS ds, wc
-        FROM d${i - 1} CROSS JOIN b$i)"""
+d$i AS (SELECT CASE WHEN x IS NULL THEN ds
+                    ELSE replace(ds, ' '||x||'  '||y||' ', ' '||x||y||' ') END AS ds,
+               wc
+        FROM d${i - 1} LEFT JOIN b$i ON TRUE)"""
     }
     sb.toString
   }

@@ -2366,11 +2366,19 @@ object Similarity {
   def mmrTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
               k: Int, shortlistN: Int, lambda: Double): DataFrame = {
     val q = emb.where(col(id) === queryId).select(col(vec).as("q_vec"))
+    // the shortlist CUT orders by the ROUNDED relevance (6 decimals,
+    // id tie-break) — the same rounded-score discipline the greedy
+    // argmax uses: an FP boundary tie at the cut would otherwise flip
+    // shortlist membership cross-engine, and the greedy rerank
+    // amplifies one flip into a different selection sequence. The
+    // emitted `rel` column stays the raw double (what the λ-blend
+    // consumes); only the ordering is rounded, mirrored in
+    // [[mmrOracleSql]]'s ORDER BY.
     mmrGreedy(emb.where(col(id) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(id).as("vec_id"), col(vec).as("emb"),
         cosine(col(vec), col("q_vec")).as("rel"))
-      .orderBy(col("rel").desc, col("vec_id").asc)
+      .orderBy(round(col("rel"), 6).desc, col("vec_id").asc)
       .limit(shortlistN), k, lambda)
   }
 
@@ -2441,7 +2449,7 @@ object Similarity {
          CROSS JOIN (SELECT embedding AS qe FROM embeddings
                      WHERE vec_id = 0) q
          WHERE vec_id <> 0
-         ORDER BY rel DESC, vec_id ASC LIMIT $shortlistN""", k, lambda, dim)
+         ORDER BY round(rel, 6) DESC, vec_id ASC LIMIT $shortlistN""", k, lambda, dim)
 
   /** Oracle for the stored-ANN MMR composition: the verified IVFADC+R
     * machinery shortlists ([[ivfPqCosRerankOracleSql]] as a subquery),

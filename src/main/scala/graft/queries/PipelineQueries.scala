@@ -383,7 +383,7 @@ object PipelineQueries {
     * tie-breaks included — is DuckDB-pinned, not spec-pinned. */
   def bpeTrainQ(s: SparkSession, d: String): DataFrame =
     Bpe.mergesDf(s,
-      Bpe.trainMerges(Bpe.wordCounts(par(documents(s, d)), "doc_id", "text"),
+      Bpe.trainMerges(Bpe.wordCounts(par(documents(s, d)), "text"),
         Bpe.DefaultMerges))
 
   /** The trained tokenizer as a persisted artifact, once per corpus
@@ -394,7 +394,7 @@ object PipelineQueries {
       dir =>
         Bpe.writeMerges(s,
           Bpe.trainMerges(
-            Bpe.wordCounts(par(documents(s, d)), "doc_id", "text"),
+            Bpe.wordCounts(par(documents(s, d)), "text"),
             Bpe.DefaultMerges), dir)
     }
 
@@ -406,9 +406,12 @@ object PipelineQueries {
 
   /** q_bpe_tokens: per-document TOKENIZER token counts under the
     * stored merges — the number token budgets / packing / mixture
-    * shares should be denominated in. The encode is a chain of
-    * codegen'd literal replaces (zero shuffles before the doc-keyed
-    * agg); the oracle replays training AND application in SQL. */
+    * shares should be denominated in. The encode is the native
+    * codegen'd [[graft.functions.BpeEncode]] expression (merge table a
+    * plan reference object, constant plan size at any merge count;
+    * zero shuffles before the doc-keyed agg — `PlanQualitySpec` gates
+    * join-free/one-exchange); the oracle replays training AND
+    * application in SQL. */
   def bpeTokensQ(s: SparkSession, d: String): DataFrame =
     Bpe.docTokenStats(par(documents(s, d)), "doc_id", "text",
       Bpe.readMerges(s, bpeArtifact(s, d)))
@@ -419,7 +422,7 @@ object PipelineQueries {
     * the symbol vocabulary (|alphabet| + merges rows), never the
     * corpus. */
   def bpeVocabQ(s: SparkSession, d: String): DataFrame =
-    Bpe.vocab(par(documents(s, d)), "doc_id", "text",
+    Bpe.vocab(par(documents(s, d)), "text",
       Bpe.readMerges(s, bpeArtifact(s, d)))
 
   /** q_pack_bpe: context-window packing DENOMINATED IN TOKENIZER
@@ -447,7 +450,7 @@ object PipelineQueries {
       for (b <- 0L until 3L)
         Bpe.wordCountsAppend(
           docs.where(TA.hashBucket(col("doc_id"), 3) === b),
-          "doc_id", "text", dir, b)
+          "text", dir, b)
     }
     Bpe.mergesDf(s,
       Bpe.trainMerges(Bpe.wordCountsFromShards(s, dir), Bpe.DefaultMerges))
@@ -466,9 +469,8 @@ object PipelineQueries {
       for (b <- 0L until 3L)
         Bpe.wordCountsAppend(
           docs.where(TA.hashBucket(col("doc_id"), 3) === b),
-          "doc_id", "text", dir, b)
-      Bpe.wordCountsRetire(docs.where(RetiredPred), "doc_id", "text",
-        dir, 0L)
+          "text", dir, b)
+      Bpe.wordCountsRetire(docs.where(RetiredPred), "text", dir, 0L)
     }
     Bpe.mergesDf(s,
       Bpe.trainMerges(Bpe.wordCountsFromShards(s, dir), Bpe.DefaultMerges))

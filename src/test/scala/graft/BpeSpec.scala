@@ -106,12 +106,12 @@ class BpeSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("bpe-incr").toString
     for (b <- 0L until 3L)
       Bpe.wordCountsAppend(docs.where(pmod(col("doc_id"), lit(3)) === b),
-        "doc_id", "text", dir, b)
+        "text", dir, b)
     // replayed batch is a no-op (claim already taken)
-    assert(!Bpe.wordCountsAppend(docs, "doc_id", "text", dir, 1L))
+    assert(!Bpe.wordCountsAppend(docs, "text", dir, 1L))
     val online = Bpe.trainMerges(Bpe.wordCountsFromShards(spark, dir), 4)
     val batch = Bpe.trainMerges(
-      Bpe.wordCounts(docs, "doc_id", "text"), 4)
+      Bpe.wordCounts(docs, "text"), 4)
     assert(online == batch)
     // compaction folds to one m-shard per channel, training bit-stable
     Bpe.compactWordCounts(spark, dir)
@@ -120,16 +120,15 @@ class BpeSpec extends SparkSpec {
 
   test("retire channel subtraction ≡ retraining on the retained corpus") {
     val dir = java.nio.file.Files.createTempDirectory("bpe-ret").toString
-    Bpe.wordCountsAppend(docs, "doc_id", "text", dir, 0L)
-    Bpe.wordCountsRetire(docs.where(col("doc_id") === 7L),
-      "doc_id", "text", dir, 0L)
+    Bpe.wordCountsAppend(docs, "text", dir, 0L)
+    Bpe.wordCountsRetire(docs.where(col("doc_id") === 7L), "text", dir, 0L)
     val online = Bpe.trainMerges(Bpe.wordCountsFromShards(spark, dir), 4)
     val retrain = Bpe.trainMerges(
-      Bpe.wordCounts(docs.where(col("doc_id") =!= 7L), "doc_id", "text"), 4)
+      Bpe.wordCounts(docs.where(col("doc_id") =!= 7L), "text"), 4)
     assert(online == retrain)
     // the takedown actually changed the tokenizer: with doc 7 in, the
     // dominant pair is (z,z) from 8 copies of "zzz"
-    val withAll = Bpe.trainMerges(Bpe.wordCounts(docs, "doc_id", "text"), 1)
+    val withAll = Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 1)
     assert(withAll.head.x == "z" && withAll.head.y == "z")
     assert(online.head.x != "z")
   }
@@ -138,7 +137,7 @@ class BpeSpec extends SparkSpec {
     // overlap runs, rank-order composition, multi-byte code points,
     // merges that can't occur, and the empty word — plus merges
     // trained on the fixture corpus applied to every fixture word
-    val merges = Bpe.trainMerges(Bpe.wordCounts(docs, "doc_id", "text"), 6) ++
+    val merges = Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 6) ++
       Seq(Bpe.Merge(7, "q", "q", 0L))    // a pair absent from every word
     val words = docs
       .select(explode(split(col("text"), " ")).as("word"))
@@ -157,15 +156,14 @@ class BpeSpec extends SparkSpec {
   test("vocab ranks symbols by frequency with the symbol tie-break") {
     val merges = Seq(Bpe.Merge(1, "l", "o", 0L), Bpe.Merge(2, "lo", "w", 0L))
     // "low low lower": low→[low]×2, lower→[low,e,r] → low:3, e:1, r:1
-    val v = Bpe.vocab(docs.where(col("doc_id") === 0L),
-        "doc_id", "text", merges)
+    val v = Bpe.vocab(docs.where(col("doc_id") === 0L), "text", merges)
       .orderBy("token_id").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(v == Seq((1, "low", 3L), (2, "e", 1L), (3, "r", 1L)))
   }
 
   test("the HOF per-doc count equals the exploded per-doc count") {
-    val merges = Bpe.trainMerges(Bpe.wordCounts(docs, "doc_id", "text"), 4)
+    val merges = Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 4)
     val hof = docs.select(col("doc_id"),
         Bpe.docTokenCountExpr(col("text"), merges).cast("long").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
