@@ -272,8 +272,13 @@ t AS (SELECT doc_id, CAST(sum(len(string_split(trim(ds), '  '))) AS INTEGER)
   /** Read the stored merge list back in rank order — a bounded
     * driver-side artifact (merge-count rows). */
   def readMerges(spark: SparkSession, dir: String): Seq[Merge] =
-    spark.read.parquet(s"$dir/bpe_merges")
-      .orderBy(col("merge_rank"))
+    mergesFrom(spark.read.parquet(s"$dir/bpe_merges"))
+
+  /** A merge-table FRAME back to the driver-side rank-ordered list —
+    * the consumer half of [[mergesDf]] (any stage/registry parquet of
+    * the merge schema, not just the `bpe_merges` artifact layout). */
+  def mergesFrom(df: DataFrame): Seq[Merge] =
+    df.orderBy(col("merge_rank"))
       .collect()
       .map(r => Merge(r.getAs[Int]("merge_rank"), r.getAs[String]("x"),
         r.getAs[String]("y"), r.getAs[Long]("cnt")))

@@ -233,12 +233,19 @@ object CurationQueries {
   def mixPlan(s: SparkSession, d: String): DataFrame =
     mixPlanOf(par(documents(s, d)))
 
-  def mixPlanOf(docs: DataFrame): DataFrame = {
+  /** `nTok` is the per-document token-count expression the mixture is
+    * DENOMINATED in — whitespace words by default, the trained
+    * tokenizer's subword count for the BPE-denominated twin
+    * (`q_mix_plan_bpe` passes [[graft.functions.Bpe.docTokenCountExpr]]
+    * under the stored merges: every real budget/mixture share is
+    * counted in tokenizer tokens, not words). */
+  def mixPlanOf(docs: DataFrame,
+                nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
     val w = Window.partitionBy() // post-agg frame: |sources| rows
     docs
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(TA.tokenCount(col("text"))).as("n_tokens"))
+        sum(nTok).as("n_tokens"))
       .withColumn("total_tokens", sum(col("n_tokens")).over(w))
       .withColumn("n_sources", count(lit(1)).over(w))
       .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -267,8 +274,9 @@ object CurationQueries {
   def mixApply(s: SparkSession, d: String): DataFrame =
     mixApplyOf(par(documents(s, d)))
 
-  def mixApplyOf(docs: DataFrame): DataFrame = {
-    val rates = mixPlanOf(docs).select(col("source"), col("sampling_rate"))
+  def mixApplyOf(docs: DataFrame,
+                 nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
+    val rates = mixPlanOf(docs, nTok).select(col("source"), col("sampling_rate"))
     docs.join(broadcast(rates), Seq("source"))
       .where(TA.hashBucket(col("doc_id"), MixBuckets).cast("double") <
         col("sampling_rate") * MixBuckets)
@@ -678,7 +686,12 @@ object CurationQueries {
   def tokenBudget(s: SparkSession, d: String): DataFrame =
     tokenBudgetOf(par(documents(s, d)))
 
-  def tokenBudgetOf(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+  /** `nTok` swaps the budget's denomination — whitespace words by
+    * default, the trained tokenizer's subword count for
+    * `q_token_budget_bpe` (the number a real training-mix budget is
+    * actually stated in). */
+  def tokenBudgetOf(docs: DataFrame, budget: Long = TokenBudget,
+                    nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
     // NO cache (the qualityTopPOf trade, same reasoning): the offsets
     // branch re-runs the regex-heavy score/tokenize scan but aggregates
     // with map-side partials straight to ≤ B+1 rows — one extra
@@ -687,7 +700,7 @@ object CurationQueries {
     // that no persisted storage outlives the action.
     val scored = docs.select(col("doc_id"),
       TA.qualityScore(col("text"), Stopwords).as("quality"),
-      TA.tokenCount(col("text")).as("n_tokens"))
+      nTok.as("n_tokens"))
       .withColumn("qb", floor(col("quality") * BudgetBuckets).cast("int"))
     val within = scored.withColumn("within_cum",
       sum(col("n_tokens")).over(

@@ -437,6 +437,63 @@ object PipelineQueries {
       nTok = Bpe.docTokenCountExpr(col("text"),
         Bpe.readMerges(s, bpeArtifact(s, d))))
 
+  /** Budget for `q_token_budget_bpe` — roughly half the sf0.01 corpus
+    * BPE token mass (101.5k under the 8 stored merges), so the greedy
+    * boundary lands mid-corpus like the whitespace row's. */
+  private val BpeTokenBudget = 50000L
+
+  /** q_token_budget_bpe: greedy quality-ordered token-budget selection
+    * DENOMINATED IN TOKENIZER TOKENS — `q_token_budget`'s two-level
+    * distributed prefix sum with n_tokens swapped from whitespace words
+    * to the per-doc subword count under the stored merges (the
+    * denomination a real training-mix budget is stated in). The oracle
+    * composes the unrolled train/apply CTEs with the same quality-
+    * ordered cumsum tail. */
+  def tokenBudgetBpeQ(s: SparkSession, d: String): DataFrame =
+    CurationQueries.tokenBudgetOf(par(documents(s, d)),
+      budget = BpeTokenBudget,
+      nTok = Bpe.docTokenCountExpr(col("text"),
+        Bpe.readMerges(s, bpeArtifact(s, d))))
+
+  /** q_mix_plan_bpe: the per-source mixture plan with token mass,
+    * shares, and sampling rates denominated in TOKENIZER tokens under
+    * the stored merges — what a production mixture actually balances
+    * (whitespace words over-budget agglutinative and under-budget CJK
+    * sources). Same |sources|-row post-agg frame; the only change is
+    * what the map-side sum folds. */
+  def mixPlanBpeQ(s: SparkSession, d: String): DataFrame =
+    CurationQueries.mixPlanOf(par(documents(s, d)),
+      nTok = Bpe.docTokenCountExpr(col("text"),
+        Bpe.readMerges(s, bpeArtifact(s, d))))
+
+  /** q_mix_apply_bpe: the BPE-denominated plan APPLIED — the same
+    * deterministic md5 hash-bucket downsampling as `q_mix_apply`, with
+    * rates from [[mixPlanBpeQ]]'s token mass. Rates are exact-int
+    * divisions, so the keep-test doubles are bit-identical
+    * cross-engine like the whitespace row's. */
+  def mixApplyBpeQ(s: SparkSession, d: String): DataFrame =
+    CurationQueries.mixApplyOf(par(documents(s, d)),
+      nTok = Bpe.docTokenCountExpr(col("text"),
+        Bpe.readMerges(s, bpeArtifact(s, d))))
+
+  /** The BPE-denominated mixture plan's CTE chain (train/apply CTEs →
+    * per-source subword mass → rates), ending in `mixplan` — ONE copy
+    * shared by the plan row and the apply row's keep-test. */
+  private lazy val MixPlanBpeCtes: String =
+    Bpe.docTokenCountCtes(TOKS) + s""",
+agg AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(coalesce(t.n_tokens, 0)) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+        GROUP BY d.source),
+mixplan AS (SELECT source, n_docs, n_tokens,
+    CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+    least(CAST(1 AS DOUBLE),
+          CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)) AS sampling_rate
+  FROM (SELECT source, n_docs, n_tokens,
+          CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+          count(*) OVER () AS n_sources
+        FROM agg))"""
+
   /** q_bpe_incr: the tokenizer maintained ONLINE — the corpus arrives
     * as three hash-split batches appending (word, wc) count shards
     * ([[Bpe.wordCountsAppend]], `_SUCCESS`-claimed, replay-idempotent);
@@ -2786,6 +2843,9 @@ object PipelineQueries {
     "q_bpe_tokens"     -> (bpeTokensQ _),
     "q_bpe_vocab"      -> (bpeVocabQ _),
     "q_pack_bpe"       -> (packBpeQ _),
+    "q_token_budget_bpe" -> (tokenBudgetBpeQ _),
+    "q_mix_plan_bpe"   -> (mixPlanBpeQ _),
+    "q_mix_apply_bpe"  -> (mixApplyBpeQ _),
     "q_bpe_incr"       -> (bpeIncrQ _),
     "q_bpe_retire"     -> (bpeRetireQ _),
     "q_quality_rules"  -> (qualityRules _),
@@ -3567,6 +3627,30 @@ object PipelineQueries {
     "q_bpe_vocab" -> Bpe.vocabOracleSql(TOKS),
     "q_pack_bpe" -> (Bpe.docTokenCountCtes(TOKS) + ",\n" +
       CurationQueries.PackRowsTail),
+    // BPE-denominated dataset mechanics: the unrolled train/apply CTE
+    // chain feeds t (doc_id, n_tokens in SUBWORD tokens); docs whose
+    // token stream is empty never reach t (unnest emits no rows), so
+    // the LEFT JOIN + coalesce(0) restores them — the engine's
+    // higher-order count is 0 there, not absent. The budget tail is
+    // q_token_budget's single-window spelling; the mix plan/apply SQL
+    // mirrors q_mix_plan/q_mix_apply with the BPE mass swapped in.
+    "q_token_budget_bpe" -> (Bpe.docTokenCountCtes(TOKS) + s""",
+q AS (SELECT d.doc_id, $QUALITY_SQL AS quality,
+        CAST(coalesce(t.n_tokens, 0) AS INTEGER) AS n_tokens
+      FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id),
+c AS (SELECT doc_id, quality, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+      FROM q)
+SELECT doc_id, quality, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= $BpeTokenBudget"""),
+    "q_mix_plan_bpe" -> (MixPlanBpeCtes + "\nSELECT * FROM mixplan"),
+    "q_mix_apply_bpe" -> (MixPlanBpeCtes + """
+SELECT d.doc_id, d.source
+FROM documents d JOIN mixplan ON d.source = mixplan.source
+WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS DOUBLE) < sampling_rate * 1000000"""),
     // Gopher rules: thresholds SPLICED from the TextAnalysis constants
     // (one source of truth), replace-based symbol counting (identical
     // greedy left-to-right semantics both engines), 0/1 int flags; pass

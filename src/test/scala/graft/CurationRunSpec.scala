@@ -31,7 +31,7 @@ class CurationRunSpec extends SparkSpec {
     // resume: complete stages skip, the torn one heals and rewrites,
     // the rest run
     val ran2b = CurationRun.run(spark, sf0001, out2)
-    assert(ran2b == Seq("quality", "mix", "tokenizer", "pack", "manifest",
+    assert(ran2b == Seq("quality", "tokenizer", "mix", "pack", "manifest",
       "report"),
       s"resume must skip the complete prefix and heal the torn stage: $ran2b")
     // stage-for-stage equality with the one-shot run
@@ -58,5 +58,27 @@ class CurationRunSpec extends SparkSpec {
     val bins = spark.read.parquet(s"$out1/manifest")
       .orderBy(col("bin").desc).collect()
     assert(bins.drop(1).forall(_.getAs[Long]("n_tokens") == 2048L))
+    // the pack is DENOMINATED in the run's own trained tokenizer: the
+    // manifest's total token mass equals the BPE subword count of the
+    // mix survivors under the tokenizer stage's merges — and differs
+    // from the whitespace word mass (the tokenizer is not a word
+    // counter)
+    val trained = graft.functions.Bpe.mergesFrom(
+      spark.read.parquet(s"$out1/tokenizer"))
+    val kept = Tables.documents(spark, sf0001)
+      .join(spark.read.parquet(s"$out1/mix").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val Seq(bpeMass, wsMass) = kept.agg(
+        sum(graft.functions.Bpe.docTokenCountExpr(col("text"), trained)
+          .cast("long")),
+        sum(graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long")))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val packed = spark.read.parquet(s"$out1/manifest")
+      .agg(sum("n_tokens")).head().getLong(0)
+    assert(packed == bpeMass,
+      s"pack must tile the BPE token mass: packed=$packed bpe=$bpeMass")
+    assert(bpeMass != wsMass,
+      "fixture degenerate: BPE and whitespace masses coincide")
   }
 }
