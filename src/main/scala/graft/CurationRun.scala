@@ -3,18 +3,31 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Bpe, Dedup, ShardWrite, TextAnalysis => TA}
+import graft.functions.{Bpe, Dedup, ShardWrite, Similarity, TextAnalysis => TA}
 import graft.queries.{CurationQueries, PipelineQueries}
 
-/** ONE-COMMAND CURATION RUN (r15 verdict item 4) — the production
-  * composition the registry rows exercise piecewise, shipped as a
-  * RESUMABLE driver main: raw documents → bench holdout → exact dedup
-  * → near-dup components → benchmark decontamination → quality floor →
-  * tokenizer training → mixture downsampling → context-window packing
-  * → shard manifest + drop report. The mixture shares and the pack
-  * windows are DENOMINATED in the run's own trained tokenizer tokens
+/** ONE-COMMAND CURATION RUN (r15 verdict item 4; cross-modal per r16
+  * item 2) — the production composition the registry rows exercise
+  * piecewise, shipped as a RESUMABLE driver main: raw documents →
+  * bench holdout → exact dedup → near-dup components → SEMANTIC dedup
+  * (embedding components) → benchmark decontamination (shingles) →
+  * SEMANTIC decontamination (embedding cosine vs the same held-out
+  * population) → cluster-balanced sampling → quality floor → tokenizer
+  * training → mixture downsampling → context-window packing → shard
+  * manifest + drop report. The mixture shares and the pack windows are
+  * DENOMINATED in the run's own trained tokenizer tokens
   * ([[graft.functions.Bpe.docTokenCountExpr]] under the `tokenizer`
   * stage's merges), not whitespace words.
+  *
+  * Cross-modal contract: the text and embedding tables share ids (the
+  * fixtures' doc_id ≡ vec_id), and ONE md5-bucket holdout population
+  * covers both modalities — the `bench` stage's doc ids select the
+  * bench EMBEDDINGS for semantic decontamination too (the
+  * `q_drop_reasons_sem` convention). Only (id) drop-key sets ever
+  * cross the modality boundary — anti-join keys, never vectors. A doc
+  * without an embedding row passes the embedding gates untouched (it
+  * cannot be judged semantically), exactly like the registry
+  * compositions.
   *
   * Resume contract — the claim discipline the maintained channels
   * already use ([[graft.functions.ShardWrite.claim]]): every stage
@@ -31,12 +44,17 @@ import graft.queries.{CurationQueries, PipelineQueries}
   * Scale shape per stage (each already verified by its registry twin):
   * exact dedup is fingerprint-keyed (`q_dedup_keep`), near-dup is the
   * banded minhash miner + large-star CC (`q_minhash_pairs`,
-  * `q_dedup_groups`), decontamination broadcasts the bench shingle set
-  * (`q_decontaminate_x`), the mixture plan aggregates to |sources|
-  * rows and broadcasts back (`q_mix_apply`), packing is the two-level
-  * chunked prefix sum (`q_pack_rows`) — nothing corpus-scale sits on
-  * the driver, and the DAG's intermediate tables are (doc_id)-keyed
-  * columns, not copies of the corpus.
+  * `q_dedup_groups`), semantic dedup joins pairs cluster-locally and
+  * feeds key-only CC (`q_semdedup_cc`), decontamination broadcasts the
+  * bench shingle set (`q_decontaminate_x`), semantic decontamination
+  * collects the bounded bench vectors into one fused map-side
+  * projection (`q_decontaminate_sem`), cluster balancing aggregates to
+  * nlist rows and broadcasts rates back (`q_cluster_sample`), the
+  * mixture plan aggregates to |sources| rows and broadcasts back
+  * (`q_mix_apply_bpe`), packing is the two-level chunked prefix sum
+  * (`q_pack_bpe`) — nothing corpus-scale sits on the driver, and the
+  * DAG's intermediate tables are (doc_id)-keyed columns, not copies of
+  * the corpus.
   *
   * Usage: `runMain graft.CurationRun <sfDir> <outDir>` — rerun the
   * same command after a crash to resume.
@@ -51,8 +69,9 @@ object CurationRun {
     * is the standard order: the tokenizer sees the full cleaned corpus,
     * then the mixture is balanced in the tokens the trainer will
     * actually consume. */
-  val Stages: Seq[String] = Seq("bench", "exact", "neardup", "decon",
-    "quality", "tokenizer", "mix", "pack", "manifest", "report")
+  val Stages: Seq[String] = Seq("bench", "exact", "neardup", "semdedup",
+    "decon", "semdecon", "cluster", "quality", "tokenizer", "mix",
+    "pack", "manifest", "report")
 
   /** Run (or resume) the DAG; returns the stages that RAN this call
     * (complete ones skip). `stopAfter` stops the DAG after the named
@@ -63,8 +82,15 @@ object CurationRun {
       s"unknown stopAfter stage: $stopAfter")
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
+    val embs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
     def stage(name: String): DataFrame =
       spark.read.parquet(s"$outDir/$name")
+    // the embedding rows of a (doc_id)-keyed survivor stage — the one
+    // place ids cross INTO the embedding modality (a key-only semi-join)
+    def embOf(survivors: DataFrame): DataFrame =
+      embs.join(survivors.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
     // each builder reads ONLY upstream stage parquet + the corpus
     val build: Map[String, () => DataFrame] = Map(
       // held-out eval population: one hash family, never mutated
@@ -88,18 +114,59 @@ object CurationRun {
           .select("doc_id")
         kept.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
       }),
+      // SEMANTIC dedup over the near-dup survivors: embedding-space
+      // components (q_semdedup_cc's machinery — cluster-local
+      // above-threshold pairs → CC), keep each component's min id;
+      // paraphrased/re-worded duplicates share no shingles but sit on
+      // top of each other in embedding space
+      "semdedup" -> (() => {
+        val kept = stage("neardup")
+        val drop = Similarity.semDedupCC(embOf(kept), "vec_id", "embedding")
+          .where(col("dropped") === 1)
+          .select(col("vec_id").as("doc_id"))
+        kept.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
+      }),
       // benchmark decontamination: drop survivors sharing 5-gram
       // shingles with the held-out bench docs (broadcast bench side)
       "decon" -> (() => {
-        val kept = docs.join(stage("neardup"), Seq("doc_id"), "left_semi")
+        val kept = docs.join(stage("semdedup"), Seq("doc_id"), "left_semi")
         val bench = docs.join(stage("bench"), Seq("doc_id"), "left_semi")
         kept.join(CurationQueries.decontaminateAgainst(kept, bench)
             .select("doc_id"), Seq("doc_id"), "left_anti")
           .select("doc_id")
       }),
+      // SEMANTIC decontamination: the same held-out population's
+      // EMBEDDINGS (one holdout across modalities), bounded bench-side
+      // collect riding into one fused map-side BestCosine projection
+      // (q_decontaminate_sem's machinery) — catches the paraphrased
+      // bench leakage the shingle gate structurally misses
+      "semdecon" -> (() => {
+        val kept = stage("decon")
+        val contaminated = Similarity.decontaminateSem(
+            embOf(kept), embOf(stage("bench")), "vec_id", "embedding",
+            PipelineQueries.SemDeconMinCos)
+          .select(col("vec_id").as("doc_id"))
+        kept.join(contaminated, Seq("doc_id"), "left_anti")
+          .select("doc_id")
+      }),
+      // cluster-balanced sampling: cap every embedding cluster at the
+      // quota via the deterministic md5 draw (q_cluster_sample's
+      // machinery) so over-represented modes stop dominating the mix;
+      // docs whose embedding loses the draw drop, docs without an
+      // embedding pass through
+      "cluster" -> (() => {
+        val kept = stage("semdecon")
+        val keptEmb = embOf(kept)
+        val survivors = Similarity.clusterSample(keptEmb, "vec_id",
+            "embedding", PipelineQueries.ClusterQuota)
+          .select(col("vec_id").as("doc_id"))
+        val drop = keptEmb.select(col("vec_id").as("doc_id"))
+          .join(survivors, Seq("doc_id"), "left_anti")
+        kept.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
+      }),
       // quality floor: the audit battery's gate, applied
       "quality" -> (() => docs
-        .join(stage("decon"), Seq("doc_id"), "left_semi")
+        .join(stage("cluster"), Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
           TA.qualityScore(col("text"), PipelineQueries.Stopwords)
             .as("quality"),
@@ -144,7 +211,10 @@ object CurationRun {
         .join(stage("bench").withColumn("_b", lit(1)), Seq("doc_id"), "left")
         .join(stage("exact").withColumn("_e", lit(1)), Seq("doc_id"), "left")
         .join(stage("neardup").withColumn("_n", lit(1)), Seq("doc_id"), "left")
+        .join(stage("semdedup").withColumn("_sd", lit(1)), Seq("doc_id"), "left")
         .join(stage("decon").withColumn("_d", lit(1)), Seq("doc_id"), "left")
+        .join(stage("semdecon").withColumn("_sc", lit(1)), Seq("doc_id"), "left")
+        .join(stage("cluster").withColumn("_cl", lit(1)), Seq("doc_id"), "left")
         .join(stage("quality").select(col("doc_id"), lit(1).as("_q")),
           Seq("doc_id"), "left")
         .join(stage("mix").select(col("doc_id"), lit(1).as("_m")),
@@ -153,7 +223,10 @@ object CurationRun {
           when(col("_b") === 1, lit("bench"))
             .when(col("_e").isNull, lit("exact_dup"))
             .when(col("_n").isNull, lit("near_dup"))
+            .when(col("_sd").isNull, lit("sem_dup"))
             .when(col("_d").isNull, lit("contaminated"))
+            .when(col("_sc").isNull, lit("sem_contaminated"))
+            .when(col("_cl").isNull, lit("cluster_capped"))
             .when(col("_q").isNull, lit("low_quality"))
             .when(col("_m").isNull, lit("mix_downsampled"))
             .otherwise(lit("kept")).as("status"))

@@ -1955,7 +1955,7 @@ mixplan AS (SELECT source, n_docs, n_tokens,
     * fixture's over-quota clusters (500/2000 vectors over 16 seeded
     * clusters average 31/125 members), pass-through (rate 1.0) for the
     * small ones — both branches of min(1, quota/n) exercised. */
-  private val ClusterQuota = 20
+  private[graft] val ClusterQuota = 20
 
   /** Cluster-balanced diversity sampling
     * ([[Similarity.clusterSample]]): cap each embedding cluster at
@@ -2114,7 +2114,7 @@ mixplan AS (SELECT source, n_docs, n_tokens,
     * precedent). Both engines compute bit-identical doubles (the
     * BestCosine / chain-SQL pairing), so the value only moves WHICH
     * rows match, never whether the two sides agree. */
-  private[queries] val SemDeconMinCos = 0.35
+  private[graft] val SemDeconMinCos = 0.35
 
   /** Embedding-space benchmark decontamination
     * ([[Similarity.decontaminateSem]]): one fused map-side projection

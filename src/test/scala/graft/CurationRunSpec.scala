@@ -21,18 +21,18 @@ class CurationRunSpec extends SparkSpec {
     // killed mid-commit)
     val ran2a = CurationRun.run(spark, sf0001, out2,
       stopAfter = Some("decon"))
-    assert(ran2a == Seq("bench", "exact", "neardup", "decon"))
+    assert(ran2a == Seq("bench", "exact", "neardup", "semdedup", "decon"))
     val f = new org.apache.hadoop.fs.Path(out2).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val torn = new org.apache.hadoop.fs.Path(s"$out2/quality")
+    val torn = new org.apache.hadoop.fs.Path(s"$out2/semdecon")
     f.mkdirs(torn)
     val o = f.create(new org.apache.hadoop.fs.Path(torn, "part-junk.parquet"), true)
     o.write("not parquet".getBytes("UTF-8")); o.close()
     // resume: complete stages skip, the torn one heals and rewrites,
     // the rest run
     val ran2b = CurationRun.run(spark, sf0001, out2)
-    assert(ran2b == Seq("quality", "tokenizer", "mix", "pack", "manifest",
-      "report"),
+    assert(ran2b == Seq("semdecon", "cluster", "quality", "tokenizer",
+      "mix", "pack", "manifest", "report"),
       s"resume must skip the complete prefix and heal the torn stage: $ran2b")
     // stage-for-stage equality with the one-shot run
     for (s <- CurationRun.Stages)
@@ -47,6 +47,22 @@ class CurationRunSpec extends SparkSpec {
       "the drop report must cover every document exactly once")
     assert(rep.where(col("status") === "kept")
       .agg(coalesce(sum("n"), lit(0L))).head.getLong(0) > 0L)
+    // the cross-modal gates BIND on the fixture and the report
+    // attributes them by first-failing-gate: since the stages are
+    // nested survivor sets, sem_dup must equal |neardup| − |semdedup|
+    // and sem_contaminated must equal |decon| − |semdecon|
+    val byStatus = rep.groupBy("status").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def stageCount(s: String) = spark.read.parquet(s"$out1/$s").count()
+    assert(byStatus.getOrElse("sem_dup", 0L) > 0L,
+      "semantic dedup must bind on the seeded fixture")
+    assert(byStatus.getOrElse("sem_contaminated", 0L) > 0L,
+      "semantic decontamination must bind on the seeded fixture")
+    assert(byStatus("sem_dup") == stageCount("neardup") - stageCount("semdedup"))
+    assert(byStatus("sem_contaminated") ==
+      stageCount("decon") - stageCount("semdecon"))
+    assert(byStatus.getOrElse("cluster_capped", 0L) ==
+      stageCount("semdecon") - stageCount("cluster"))
     // the tokenizer artifact is trained and non-degenerate: ranked
     // merges over the kept corpus
     val merges = spark.read.parquet(s"$out1/tokenizer")
