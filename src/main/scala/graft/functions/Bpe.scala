@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   * training iterates "count adjacent symbol pairs over the word
   * vocabulary, merge the most frequent pair everywhere" for a fixed
   * number of merges; application replays the learned merges in rank
-  * order over each word. No end-of-word sentinel is appended (a
-  * documented simplification — adding one is a one-line change to
-  * [[delimited]] mirrored in the oracle).
+  * order over each word. By default no end-of-word sentinel is
+  * appended (a documented simplification); the published `</w>`
+  * semantics is the OPT-IN `eow` flag on train/encode, oracle-pinned
+  * by its own registry row (`q_bpe_train_eow`).
   *
   * Scale shape: the ONLY corpus-scale job is the initial word count
   * (one map-side-combinable groupBy). Training then iterates over the
@@ -53,6 +54,19 @@ object Bpe {
     * merge again (multi-character tokens appear). */
   val DefaultMerges = 8
 
+  /** The OPT-IN end-of-word sentinel symbol (Sennrich et al.'s `</w>`)
+    * — appended to every word's symbol stream when `eow = true`, so
+    * word-final subwords train and apply as distinct tokens ("est" vs
+    * "est</w>"). Off by default: the registry's primary rows pin the
+    * sentinel-free semantics; `q_bpe_train_eow` pins this one (the
+    * `q_ema_ref` checkable-deviation precedent). Standard-caveat note:
+    * a corpus word containing the literal characters `<`,`/`,`w`,`>`
+    * can MERGE into a symbol equal to the sentinel (the delimited form
+    * wraps code points, so the raw string never collides, but merges
+    * can rebuild it) — the same ambiguity every published `</w>`
+    * implementation shares. */
+  val Sentinel = "</w>"
+
   /** One learned merge: rank is 1-based priority order. */
   final case class Merge(merge_rank: Int, x: String, y: String, cnt: Long)
 
@@ -62,6 +76,13 @@ object Bpe {
     * splitting only strips the ASCII whitespace class. */
   private[graft] def delimited(word: Column): Column =
     regexp_replace(word, "(?s)(.)", " $1 ")
+
+  /** [[delimited]] with the optional sentinel appended as one more
+    * symbol: `" a  b  c "` → `" a  b  c  </w> "` (the trailing single
+    * space of the delimited form plus the literal's leading space make
+    * the exactly-two-space separator). */
+  private[graft] def delim(word: Column, eow: Boolean): Column =
+    if (eow) concat(delimited(word), lit(s" $Sentinel ")) else delimited(word)
 
   /** Symbols of a delimited string (inverse of [[delimited]] modulo
     * merges). `trim` strips the outer single spaces; symbols are
@@ -91,12 +112,28 @@ object Bpe {
     * vocabulary is MATERIALIZED into a fresh cached frame and the
     * chain resets — per-iteration work becomes one scan + ≤k replaces
     * at any merge count. Materialization changes plan shape only:
-    * merges are bit-identical for any k ([[graft.BpeSpec]] pins it). */
+    * merges are bit-identical for any k ([[graft.BpeSpec]] pins it).
+    *
+    * `minWc`: frequency floor on the vocabulary — words with wc <
+    * minWc never enter pair counting. A 100 TB crawl's distinct-word
+    * table is 10⁸–10⁹ rows dominated by a typo/URL tail; the floor
+    * bounds what the merge loop scans every iteration (real trainers
+    * floor for exactly this reason). NOT a transparent optimization:
+    * dropping tail mass CHANGES the pair counts and therefore can
+    * change the trained sequence — [[graft.BpeSpec]] pins both the
+    * sensitivity and floor ≡ pre-filtered-vocabulary equivalence.
+    *
+    * `eow`: append the [[Sentinel]] to every word's symbol stream
+    * (published Sennrich semantics — word-final tokens distinct);
+    * changes the trained sequence by construction. */
   def trainMerges(wordCounts: DataFrame, numMerges: Int,
-                  persistEvery: Int = 64): Seq[Merge] = {
+                  persistEvery: Int = 64, minWc: Long = 1L,
+                  eow: Boolean = false): Seq[Merge] = {
     require(persistEvery >= 1, s"persistEvery must be >= 1: $persistEvery")
+    require(minWc >= 1, s"minWc must be >= 1: $minWc")
     var base = wordCounts
-      .select(delimited(col("word")).as("ds"), col("wc").cast("long").as("wc"))
+      .where(col("wc") >= minWc)
+      .select(delim(col("word"), eow).as("ds"), col("wc").cast("long").as("wc"))
       .persist()
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -148,8 +185,9 @@ object Bpe {
     * production tokenizers use [[encodeNative]], which implements the
     * identical pass semantics in one expression ([[graft.BpeSpec]]
     * pins chain ≡ native). */
-  def encodeExpr(word: Column, merges: Seq[Merge]): Column =
-    merges.foldLeft(delimited(word)) { (c, m) =>
+  def encodeExpr(word: Column, merges: Seq[Merge],
+                 eow: Boolean = false): Column =
+    merges.foldLeft(delim(word, eow)) { (c, m) =>
       val (pat, rep) = mergePattern(m.x, m.y)
       replace(c, lit(pat), lit(rep))
     }
@@ -158,23 +196,26 @@ object Bpe {
     * merge semantics, constant plan size at any merge count, the
     * merge table a plan reference object. Returns the symbol array
     * directly (the chain form's [[symbols]] split included). */
-  def encodeNative(word: Column, merges: Seq[Merge]): Column = {
+  def encodeNative(word: Column, merges: Seq[Merge],
+                   eow: Boolean = false): Column = {
     import org.apache.spark.sql.graftext.ColumnBridge
     ColumnBridge.column(BpeEncode(
-      ColumnBridge.expression(word), merges.map(m => (m.x, m.y))))
+      ColumnBridge.expression(word), merges.map(m => (m.x, m.y)), eow))
   }
 
   /** Subword token count of one word under the merges (native path). */
-  def tokenCountExpr(word: Column, merges: Seq[Merge]): Column =
-    size(encodeNative(word, merges))
+  def tokenCountExpr(word: Column, merges: Seq[Merge],
+                     eow: Boolean = false): Column =
+    size(encodeNative(word, merges, eow))
 
   /** Per-document tokenizer statistics: whitespace word count and the
     * BPE token count under the merges — the numbers `q_token_budget`/
     * `q_pack` should be denominated in. One explode + one doc-keyed
-    * aggregation; the encode itself never shuffles. A Zipf-heavy
-    * corpus can instead encode DISTINCT words and join counts back —
-    * trades the scan-speed projection for a vocabulary-sized shuffle;
-    * not worth it until words are long and the merge chain is deep. */
+    * aggregation; the encode itself never shuffles. Encodes every word
+    * OCCURRENCE — and stays the measured default even on a repeat-heavy
+    * corpus (`BpeProbe`: the native encode undercuts the shuffles the
+    * distinct-word shape adds); [[docTokenStatsDistinct]] is the
+    * heavy-encode-regime alternative. */
   def docTokenStats(docs: DataFrame, id: String, text: String,
                     merges: Seq[Merge]): DataFrame =
     docs.select(col(id), explode(TextAnalysis.tokens(col(text))).as("word"))
@@ -182,6 +223,32 @@ object Bpe {
       .groupBy(id).agg(
         count(lit(1)).as("n_words"),
         sum(col("nt")).as("n_bpe_tokens"))
+
+  /** [[docTokenStats]] with the encode run ONCE PER DISTINCT WORD and
+    * the per-(doc, word) occurrence counts joined back — a
+    * vocabulary-sized shuffle bought back by corpus_occurrences/|vocab|
+    * fewer encode calls. MEASURED verdict (`BpeProbe` @8M occurrences,
+    * mean word frequency 160): the per-occurrence [[docTokenStats]]
+    * WINS (2.3 vs 7.0 s) — the native [[BpeEncode]] costs ~0.26 µs/word,
+    * cheaper than what this shape's two extra shuffles cost per row, so
+    * the Zipf-folklore "encode the vocabulary once" default comes from
+    * regex/interpreter-cost encoders, not this one. Reach for this
+    * variant only when per-word encode dominates the shuffle — very
+    * long words, 10⁴-merge tables with dense presence-set hits, or an
+    * encode that leaves codegen. [[graft.BpeSpec]] pins the two shapes
+    * equal row-for-row. */
+  def docTokenStatsDistinct(docs: DataFrame, id: String, text: String,
+                            merges: Seq[Merge]): DataFrame = {
+    val occ = docs
+      .select(col(id), explode(TextAnalysis.tokens(col(text))).as("word"))
+      .groupBy(col(id), col("word")).agg(count(lit(1)).as("occ"))
+    val dict = occ.select("word").distinct()
+      .select(col("word"), tokenCountExpr(col("word"), merges).as("nt"))
+    occ.join(dict, Seq("word"))
+      .groupBy(id).agg(
+        sum(col("occ")).as("n_words"),
+        sum(col("occ") * col("nt")).as("n_bpe_tokens"))
+  }
 
   /** The token-id vocabulary under the merges — the artifact a trainer
     * actually loads: every surviving symbol with its corpus occurrence
@@ -337,17 +404,50 @@ t AS (SELECT doc_id, CAST(sum(len(string_split(trim(ds), '  '))) AS INTEGER)
     (fold(s"$dir/counts"), fold(s"$dir/retire"))
   }
 
+  /** The STREAMING sink twin of [[wordCountsAppend]] (the
+    * `startTfIndexSink` discipline every other maintained family has):
+    * a document stream continuously feeds the tokenizer's (word, wc)
+    * ingest channel, one `_SUCCESS`-claimed shard per micro-batch —
+    * replay-idempotent through [[graft.functions.ShardWrite.claimBatch]]
+    * (a foreachBatch retry of a committed batch id is a no-op, and a
+    * batch at/below a compaction watermark never double-counts).
+    * `compactEvery > 0` folds both channels to one m-shard every N
+    * batches inside the sink's own maintenance window; training reads
+    * [[wordCountsFromShards]] at any point and sees exactly the
+    * documents ingested so far ([[graft.BpeSpec]] pins sink-fed ≡
+    * batch recount across replays and compaction). */
+  def startBpeCountSink(docs: DataFrame, text: String, dir: String,
+                        checkpoint: String,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger
+                            .ProcessingTime("10 seconds"),
+                        compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        wordCountsAppend(batch, text, dir, batchId)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compactWordCounts(batch.sparkSession, dir)
+        ()
+      }
+      .start()
+
   // ---- DuckDB oracle twins (generated from the same literals) ----
 
   /** The unrolled-training CTE chain: w (vocabulary), d0 (delimited),
     * then per merge i: pair counts p_i, argmax b_i, re-delimited d_i.
     * Returned WITHOUT a final SELECT so train and apply rows share it.
     * `toks` is the tokenizer SQL snippet (PipelineQueries.TOKS). */
-  private def trainCtes(toks: String, m: Int): String = {
+  private def trainCtes(toks: String, m: Int,
+                        eow: Boolean = false): String = {
+    val sentinel = if (eow) s" || ' $Sentinel '" else ""
     val sb = new StringBuilder
     sb ++= s"WITH toks AS (SELECT doc_id, unnest($toks) AS word FROM documents),\n"
     sb ++= "w AS (SELECT word, count(*) AS wc FROM toks GROUP BY word),\n"
-    sb ++= "d0 AS (SELECT regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS ds, wc FROM w)"
+    sb ++= s"d0 AS (SELECT regexp_replace(word, '(?s)(.)', ' \\1 ', 'g')$sentinel AS ds, wc FROM w)"
     for (i <- 1 to m) {
       sb ++= s""",
 p$i AS (SELECT syms[i] AS x, syms[i+1] AS y, wc FROM (
@@ -365,8 +465,9 @@ d$i AS (SELECT CASE WHEN x IS NULL THEN ds
   }
 
   /** Oracle for the trained merge list itself. */
-  def trainOracleSql(toks: String, m: Int = DefaultMerges): String =
-    trainCtes(toks, m) + "\n" +
+  def trainOracleSql(toks: String, m: Int = DefaultMerges,
+                     eow: Boolean = false): String =
+    trainCtes(toks, m, eow) + "\n" +
       (1 to m).map(i =>
         s"SELECT $i AS merge_rank, x, y, cnt FROM b$i")
         .mkString("", "\nUNION ALL\n", "")

@@ -1498,9 +1498,10 @@ object Similarity {
   def ivfPqCosRerankOracleSql(queryId: Long, k: Int, shortlist: Int = 50,
                               nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
                               ks: Int = DefaultKs, iters: Int = 2,
-                              dim: Int = OracleDim): String =
+                              dim: Int = OracleDim,
+                              candPred: String = ""): String =
     s"""SELECT t.vec_id, ${cosineSql("e.embedding", "q.qe", dim)} AS cos
-       |FROM (${ivfPqCosOracleSql(queryId, shortlist, nlist, nprobe, m, ks, iters, dim)}) t
+       |FROM (${ivfPqCosOracleSql(queryId, shortlist, nlist, nprobe, m, ks, iters, dim, candPred)}) t
        |JOIN embeddings e ON e.vec_id = t.vec_id
        |CROSS JOIN (SELECT embedding AS qe FROM embeddings
        |            WHERE vec_id = $queryId) q
@@ -1694,12 +1695,13 @@ object Similarity {
     * bit-identical to the Spark path's. */
   def ivfPqCosOracleSql(queryId: Long, k: Int, nlist: Int = 16,
                         nprobe: Int = 4, m: Int = DefaultM, ks: Int = DefaultKs,
-                        iters: Int = 2, dim: Int = OracleDim): String =
+                        iters: Int = 2, dim: Int = OracleDim,
+                        candPred: String = ""): String =
     s"""WITH embeddings_n AS (
        |${normalizedTableSql(dim)}),
        |""".stripMargin +
       ivfPqOracleCtes(queryId, k, nlist, nprobe, m, ks, iters, dim,
-        "embeddings_n")
+        "embeddings_n", candPred)
 
   private def normalizedTableSql(dim: Int): String = {
     val aa = (1 to dim)
@@ -2432,6 +2434,29 @@ object Similarity {
     } finally { shortlist.unpersist() }
   }
 
+  /** The (mean relevance, mean pairwise cosine) of [[mmrTopK]]'s picks
+    * — the measurement kernel behind [[graft.MmrDefaultsProbe]] and the
+    * default-contract floor in [[graft.MmrSpec]]: relevance is the mean
+    * query cosine of the selected k, diversity is the mean pairwise
+    * cosine AMONG them (lower = more diverse; λ=1.0 degenerates to
+    * pure-relevance top-k, the baseline both numbers are read against).
+    * k is bounded, so the pairwise grid is driver-side arithmetic over
+    * the collected pick vectors ([[localCosine]] — the engine's own op
+    * order). */
+  def mmrTradeoff(emb: DataFrame, id: String, vec: String, queryId: Long,
+                  k: Int, shortlistN: Int, lambda: Double): (Double, Double) = {
+    val rows = mmrTopK(emb, id, vec, queryId, k, shortlistN, lambda)
+      .join(emb.select(col(id).as("vec_id"), asDouble(col(vec)).as("v")),
+        Seq("vec_id"))
+      .select(col("rel"), col("v")).collect()
+      .map(r => (r.getDouble(0), r.getSeq[Double](1).toArray))
+    val rel = rows.map(_._1).sum / rows.length
+    val pairs = for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+    } yield localCosine(rows(i)._2, rows(j)._2)
+    (rel, if (pairs.isEmpty) 0.0 else pairs.sum / pairs.length)
+  }
+
   /** Oracle for [[mmrTopK]]: the same shortlist cut, then the greedy
     * loop unrolled — per pick, the λ-blend over max cosine to the
     * accumulated selected set, rounded to 6 decimals with the id
@@ -2457,10 +2482,12 @@ object Similarity {
     * the same unrolled greedy. */
   def mmrAnnOracleSql(k: Int, topN: Int, lambda: Double,
                       shortlist: Int, m: Int, ks: Int,
-                      dim: Int = OracleDim): String =
+                      dim: Int = OracleDim,
+                      candPred: String = ""): String =
     mmrGreedySql(
       s"""SELECT t.vec_id, e.embedding, t.cos AS rel
-         FROM (${ivfPqCosRerankOracleSql(0L, topN, shortlist, m = m, ks = ks)}) t
+         FROM (${ivfPqCosRerankOracleSql(0L, topN, shortlist, m = m, ks = ks,
+           candPred = candPred)}) t
          JOIN embeddings e ON e.vec_id = t.vec_id""", k, lambda, dim)
 
   /** The unrolled greedy over any `(vec_id, embedding, rel)` shortlist

@@ -154,7 +154,8 @@ object NfcNormalize {
   * [[graft.BpeSpec]] pins native ≡ replace-chain on planted overlap
   * cases, multi-byte code points, and trained merges.
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+                     eow: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -168,13 +169,13 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   override def nullSafeEval(input: Any): Any =
     BpeEncode.compute(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table, eow)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeMerges", table,
       classOf[BpeEncode.MergeTable].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeEncode.compute($c, $ref);")
+      s"${ev.value} = graft.functions.BpeEncode.compute($c, $ref, $eow);")
   }
 
   override protected def withNewChildInternal(c: Expression): BpeEncode =
@@ -197,7 +198,7 @@ object BpeEncode {
     * symbols (merged-away symbols are not evicted — a stale hit only
     * costs a no-op pass), so skipped merges provably cannot occur. */
   def compute(word: org.apache.spark.unsafe.types.UTF8String,
-              t: MergeTable): ArrayData = {
+              t: MergeTable, eow: Boolean): ArrayData = {
     val s = word.toString
     var syms = new java.util.ArrayList[String](s.length min 16)
     val present = new java.util.HashSet[String]()
@@ -210,6 +211,11 @@ object BpeEncode {
       present.add(sym)
       ci += n
     }
+    // the opt-in end-of-word sentinel joins the symbol stream BEFORE
+    // the empty-word special case: an empty word under eow is exactly
+    // the sentinel symbol, matching the chain form's trim+split
+    if (eow) { syms.add(graft.functions.Bpe.Sentinel)
+               present.add(graft.functions.Bpe.Sentinel) }
     // split("", "  ") yields [""] — the chain form counts an empty word
     // as one empty symbol, so the native twin must too
     if (syms.isEmpty) syms.add("")

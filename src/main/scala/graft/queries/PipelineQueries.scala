@@ -437,6 +437,18 @@ object PipelineQueries {
       nTok = Bpe.docTokenCountExpr(col("text"),
         Bpe.readMerges(s, bpeArtifact(s, d))))
 
+  /** q_bpe_train_eow: the PUBLISHED Sennrich semantics as an OPT-IN —
+    * the end-of-word sentinel joins every word's symbol stream, so
+    * word-final subwords train as distinct tokens ("est" vs "est</w>").
+    * The default rows pin the repo's sentinel-free semantics; this row
+    * pins the deviation under its own oracle (the `q_ema_ref`
+    * checkable-deviation precedent): [[Bpe.trainOracleSql]] with the
+    * sentinel concatenated into the delimited form. */
+  def bpeTrainEowQ(s: SparkSession, d: String): DataFrame =
+    Bpe.mergesDf(s,
+      Bpe.trainMerges(Bpe.wordCounts(par(documents(s, d)), "text"),
+        Bpe.DefaultMerges, eow = true))
+
   /** Budget for `q_token_budget_bpe` — roughly half the sf0.01 corpus
     * BPE token mass (101.5k under the 8 stored merges), so the greedy
     * boundary lands mid-corpus like the whitespace row's. */
@@ -1908,6 +1920,32 @@ mixplan AS (SELECT source, n_docs, n_tokens,
       MmrK, MmrLambda)
   }
 
+  /** q_mmr_ann_retire: VECTOR tombstones on the diversified serve —
+    * the MMR-ANN composition over a tombstoned NORMALIZED artifact dir
+    * (codebooks/coarse lists historical per the FAISS remove_ids
+    * contract; the ADC shortlist anti-joins the retire channel), so a
+    * takedown vanishes from the diversified head the next probe. The
+    * oracle is the MMR-ANN SQL with the candidate predicate on the
+    * final ADC cut ONLY (the `q_sim_ivfpq_rerank_retire` convention) —
+    * hash-proven like the rest of the retire family. */
+  def mmrAnnRetireQ(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(
+        s"ivfpqcosret:$d:${corpusFingerprint(s, d)}") { dir =>
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding",
+        dir, m = 4, ks = 8, normalize = true)
+      Similarity.retireFromDir(
+        embeddings(s, d).where(col("vec_id") % 10 === 7), "vec_id", dir, 0L)
+    }
+    val top = Similarity.ivfPqRerankFromDir(embChecked(s, d), "vec_id",
+      "embedding", dir, 0L, MmrN, shortlist = 50)
+    Similarity.mmrGreedy(
+      embChecked(s, d).select(col("vec_id"), col("embedding").as("emb"))
+        .join(broadcast(top.select(col("vec_id"), col("cos").as("rel"))),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("emb"), col("rel")),
+      MmrK, MmrLambda)
+  }
+
   /** Per-source distribution drift ([[TA.sourceKl]]): KL of each
     * source's hashed-feature distribution against the corpus — the
     * mixture-monitoring row. */
@@ -2843,6 +2881,7 @@ mixplan AS (SELECT source, n_docs, n_tokens,
     "q_bpe_tokens"     -> (bpeTokensQ _),
     "q_bpe_vocab"      -> (bpeVocabQ _),
     "q_pack_bpe"       -> (packBpeQ _),
+    "q_bpe_train_eow"  -> (bpeTrainEowQ _),
     "q_token_budget_bpe" -> (tokenBudgetBpeQ _),
     "q_mix_plan_bpe"   -> (mixPlanBpeQ _),
     "q_mix_apply_bpe"  -> (mixApplyBpeQ _),
@@ -2922,6 +2961,7 @@ mixplan AS (SELECT source, n_docs, n_tokens,
     "q_sim_topk"       -> (simTopK _),
     "q_mmr"            -> (mmrQ _),
     "q_mmr_ann"        -> (mmrAnnQ _),
+    "q_mmr_ann_retire" -> (mmrAnnRetireQ _),
     "q_sim_lsh"        -> (simLsh _),
     "q_decontaminate_sem" -> (decontaminateSem _),
     "q_decontaminate_sem_stored" -> (decontaminateSemStored _),
@@ -3623,6 +3663,8 @@ mixplan AS (SELECT source, n_docs, n_tokens,
     "q_bpe_stored" -> Bpe.trainOracleSql(TOKS),
     "q_bpe_incr" -> Bpe.trainOracleSql(TOKS),
     "q_bpe_retire" -> retainedWrap(Bpe.trainOracleSql(TOKS)),
+    // the opt-in sentinel deviation, oracle-pinned like the default
+    "q_bpe_train_eow" -> Bpe.trainOracleSql(TOKS, eow = true),
     "q_bpe_tokens" -> Bpe.applyOracleSql(TOKS),
     "q_bpe_vocab" -> Bpe.vocabOracleSql(TOKS),
     "q_pack_bpe" -> (Bpe.docTokenCountCtes(TOKS) + ",\n" +
@@ -3793,6 +3835,11 @@ WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS B
     "q_mmr" -> Similarity.mmrOracleSql(MmrK, MmrN, MmrLambda),
     "q_mmr_ann" -> Similarity.mmrAnnOracleSql(MmrK, MmrN, MmrLambda,
       shortlist = 50, m = 4, ks = 8),
+    // MMR-ANN tombstones: full-corpus training CTEs, candidate
+    // predicate on the final ADC cut only — the retire family's
+    // remove_ids replay applied to the diversified serve
+    "q_mmr_ann_retire" -> Similarity.mmrAnnOracleSql(MmrK, MmrN, MmrLambda,
+      shortlist = 50, m = 4, ks = 8, candPred = "vec_id % 10 <> 7"),
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

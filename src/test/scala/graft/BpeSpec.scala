@@ -173,6 +173,93 @@ class BpeSpec extends SparkSpec {
     assert(hof == exploded)
   }
 
+  test("end-of-word sentinel changes the trained sequence as published") {
+    // Sennrich toy with </w>: merges 1-2 are unchanged ((e,s), (es,t)
+    // still dominate at 9), but merge 3 becomes (est, </w>) = 9 —
+    // word-final "est" is now a distinct token — where the
+    // sentinel-free default learned (l,o) = 7
+    val wcT = wc("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val eow = Bpe.trainMerges(wcT, 3, eow = true)
+    assert(eow.map(x => (x.x, x.y)) == Seq(
+      ("e", "s"), ("es", "t"), ("est", Bpe.Sentinel)))
+    val plain = Bpe.trainMerges(wcT, 3)
+    assert(plain.map(x => (x.x, x.y)) == Seq(
+      ("e", "s"), ("es", "t"), ("l", "o")))
+  }
+
+  test("eow application: chain ≡ native, sentinel merges into the tail") {
+    val wcT = wc("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.trainMerges(wcT, 4, eow = true)
+    val rows = Seq("newest", "widest", "low", "", "est")
+      .toDF("word")
+      .select(col("word"),
+        Bpe.symbols(Bpe.encodeExpr(col("word"), merges, eow = true)).as("chain"),
+        Bpe.encodeNative(col("word"), merges, eow = true).as("native"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"word=${r.getString(0)}: chain=${r.getSeq[String](1)} " +
+          s"native=${r.getSeq[String](2)}")
+    }
+    val byWord = rows.map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // merge 3 is (est, </w>): word-final "est" is one token CARRYING
+    // the sentinel — the published behavior the default mode lacks
+    assert(byWord("newest") == Seq("n", "e", "w", "est" + Bpe.Sentinel))
+    assert(byWord("est") == Seq("est" + Bpe.Sentinel))
+    assert(byWord("") == Seq(Bpe.Sentinel)) // empty word = sentinel only
+  }
+
+  test("minWc floor ≡ training on the pre-filtered vocabulary") {
+    val wcT = wc("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    assert(Bpe.trainMerges(wcT, 4, minWc = 3L) ==
+      Bpe.trainMerges(wcT.where(col("wc") >= 3L), 4))
+  }
+
+  test("minWc floor is NOT transparent: tail mass can decide the argmax") {
+    // the (w,y) pair owns 6 counts spread across three tail words of
+    // wc 2 each; the head word "xy" owns (x,y) = 4. Unfloored, the
+    // tail wins; minWc = 3 evicts the tail and flips merge 1.
+    val wcT = wc("xy" -> 4L, "awy" -> 2L, "bwy" -> 2L, "cwy" -> 2L)
+    val unfloored = Bpe.trainMerges(wcT, 1)
+    assert(unfloored.head.x == "w" && unfloored.head.y == "y" &&
+      unfloored.head.cnt == 6L)
+    val floored = Bpe.trainMerges(wcT, 1, minWc = 3L)
+    assert(floored.head.x == "x" && floored.head.y == "y" &&
+      floored.head.cnt == 4L)
+  }
+
+  test("streaming count sink ≡ batch recount across replay and compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bpe-sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("bpe-sink-cp").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Bpe.startBpeCountSink(
+      mem.toDF().toDF("doc_id", "text"), "text", dir, cp,
+      trigger = Trigger.ProcessingTime(0), compactEvery = 2)
+    try {
+      mem.addData((0L, "low low lower"), (1L, "newest widest"))
+      q.processAllAvailable()
+      mem.addData((2L, "newest newest"))
+      q.processAllAvailable()
+      mem.addData((3L, "low est"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Bpe.wordCountsFromShards(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Bpe.wordCounts(docs.where(col("doc_id") < 3L)
+        .unionByName(Seq((3L, "low est")).toDF("doc_id", "text")), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // replaying a committed batch id by hand is a no-op (the sink's
+    // foreachBatch retry path): the claim is already taken or folded
+    assert(!Bpe.wordCountsAppend(
+      Seq((9L, "poison poison")).toDF("doc_id", "text"), "text", dir, 1L))
+    assert(Bpe.wordCountsFromShards(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == batch)
+  }
+
   test("docTokenStats counts words and subword tokens per document") {
     val merges = Seq(Bpe.Merge(1, "l", "o", 0L), Bpe.Merge(2, "lo", "w", 0L))
     val got = Bpe.docTokenStats(docs.where(col("doc_id") === 0L),
@@ -181,5 +268,14 @@ class BpeSpec extends SparkSpec {
     // "low low lower": 3 words; low->1 tok ×2, lower->[low,e,r]=3
     assert(got.getAs[Long]("n_words") == 3L)
     assert(got.getAs[Long]("n_bpe_tokens") == 5L)
+  }
+
+  test("distinct-encode-and-join stats ≡ per-occurrence stats") {
+    val merges = Bpe.trainMerges(Bpe.wordCounts(docs, "text"), 6)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(toMap(Bpe.docTokenStatsDistinct(docs, "doc_id", "text", merges)) ==
+      toMap(Bpe.docTokenStats(docs, "doc_id", "text", merges)))
   }
 }

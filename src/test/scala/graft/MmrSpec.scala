@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.functions.Similarity
 
 /** MMR diversified top-k on planted geometry: relevance alone would
@@ -49,5 +51,41 @@ class MmrSpec extends SparkSpec {
       .collect()
     assert(got.length == 2)
     assert(got.map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("default contract holds the measured trade floor on the probe fixture") {
+    // MmrDefaultsProbe (r17, SCALE.md `mmr_defaults` row) swept λ and
+    // the shortlist N on sf0.1: at the registry defaults (λ=0.7,
+    // N=2.5k) the picks' mean pairwise cosine improved 19-51% over the
+    // pure-relevance baseline at ≤3.6% mean-relevance give-up across
+    // probe queries, and N=k is DEGENERATE (the whole shortlist is
+    // selected, so λ cannot act). Regressing any of that fails here,
+    // not just a prose doc.
+    val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      val k = 8
+      for (q <- Seq(0L, 1L, 2L)) {
+        val (relBase, divBase) = Similarity.mmrTradeoff(emb01, "vec_id",
+          "embedding", q, k, shortlistN = 20, lambda = 1.0)
+        val (relMmr, divMmr) = Similarity.mmrTradeoff(emb01, "vec_id",
+          "embedding", q, k, shortlistN = 20, lambda = 0.7)
+        assert(divMmr <= 0.9 * divBase,
+          s"q=$q: defaults must improve diversity ≥10%: $divMmr vs $divBase")
+        assert(relMmr >= 0.95 * relBase,
+          s"q=$q: defaults must retain ≥95% relevance: $relMmr vs $relBase")
+        // N = k leaves MMR nothing to choose from — the measured reason
+        // the default shortlist is 2.5k, pinned so nobody "optimizes"
+        // the shortlist down to k
+        val degenerate = Similarity.mmrTopK(emb01, "vec_id", "embedding",
+            q, k, shortlistN = k, lambda = 0.3)
+          .collect().map(_.getLong(1)).toSet
+        val topk = Similarity.mmrTopK(emb01, "vec_id", "embedding",
+            q, k, shortlistN = k, lambda = 1.0)
+          .collect().map(_.getLong(1)).toSet
+        assert(degenerate == topk,
+          "N=k must select exactly the shortlist regardless of λ")
+      }
+    } finally emb01.unpersist()
   }
 }
