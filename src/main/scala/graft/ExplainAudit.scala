@@ -278,11 +278,21 @@ object ExplainAudit {
       "q_bigram_incr",    // LM scoring from the kind-tagged count
                           //   shards: the corpus explodes once for the
                           //   probe stream; counts come from shard scans
-      "q_bpe_tokens")     // tokenizer apply: expect the native
+      "q_bpe_tokens",     // tokenizer apply: expect the native
                           //   codegen'd BpeEncode expression (merge
                           //   table as a plan reference object) over
                           //   the exploded word stream — no join,
                           //   one doc-keyed exchange
+      "q_token_budget_bpe", // the BPE-denominated budget: expect the
+                          //   same two-level prefix-sum shape as
+                          //   q_token_budget (qb-partitioned doc-side
+                          //   window, broadcast offsets) with the
+                          //   subword count as ONE bpeencode projection
+                          //   — never a join against an encoded vocab
+      "q_mix_apply_bpe")  // BPE-denominated mixture: the |sources|-row
+                          //   plan aggregates map-side and BROADCASTS
+                          //   back; the corpus side reads once with a
+                          //   per-row hash keep-test, no corpus shuffle
     picks.foreach { name =>
       println(s"\n## $name\n")
       SparkEntry.queries(name)(spark, d).explain("formatted")

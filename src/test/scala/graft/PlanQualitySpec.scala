@@ -596,4 +596,24 @@ class PlanQualitySpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(n == 1, s"q_bpe_tokens should shuffle once (doc agg), got $n")
   }
+
+  test("r17 rows: BPE-denominated mechanics keep the decomposed/broadcast shapes") {
+    // q_token_budget_bpe: swapping the token counter must not lose the
+    // two-level prefix sum — the doc-side cumsum window still carries
+    // qb as a PARTITION column; the subword count is the native
+    // BpeEncode expression, never a join against an encoded vocabulary
+    val tb = SparkEntry.queries("q_token_budget_bpe")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(tb).map(_.group(1)).toList
+    assert(specs.exists(s =>
+      "^qb#\\d+, quality#\\d+ DESC".r.findFirstIn(s).isDefined),
+      s"q_token_budget_bpe lost its partitioned document-side window:\n$specs")
+    assert(tb.contains("bpeencode"), tb.take(600))
+    // q_mix_apply_bpe: the |sources|-row plan side BROADCASTS back; the
+    // corpus side must not shuffle for the rate join
+    val mx = physical("q_mix_apply_bpe")
+    assert(mx.contains("BroadcastHashJoin"), mx.take(900))
+    assert(!mx.contains("SortMergeJoin"), mx.take(900))
+  }
 }
