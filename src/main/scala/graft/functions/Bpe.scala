@@ -442,12 +442,13 @@ t AS (SELECT doc_id, CAST(sum(len(string_split(trim(ds), '  '))) AS INTEGER)
     * Returned WITHOUT a final SELECT so train and apply rows share it.
     * `toks` is the tokenizer SQL snippet (PipelineQueries.TOKS). */
   private def trainCtes(toks: String, m: Int,
-                        eow: Boolean = false): String = {
+                        eow: Boolean = false, minWc: Long = 1L): String = {
     val sentinel = if (eow) s" || ' $Sentinel '" else ""
+    val floor = if (minWc > 1L) s" WHERE wc >= $minWc" else ""
     val sb = new StringBuilder
     sb ++= s"WITH toks AS (SELECT doc_id, unnest($toks) AS word FROM documents),\n"
     sb ++= "w AS (SELECT word, count(*) AS wc FROM toks GROUP BY word),\n"
-    sb ++= s"d0 AS (SELECT regexp_replace(word, '(?s)(.)', ' \\1 ', 'g')$sentinel AS ds, wc FROM w)"
+    sb ++= s"d0 AS (SELECT regexp_replace(word, '(?s)(.)', ' \\1 ', 'g')$sentinel AS ds, wc FROM w$floor)"
     for (i <- 1 to m) {
       sb ++= s""",
 p$i AS (SELECT syms[i] AS x, syms[i+1] AS y, wc FROM (
@@ -466,8 +467,8 @@ d$i AS (SELECT CASE WHEN x IS NULL THEN ds
 
   /** Oracle for the trained merge list itself. */
   def trainOracleSql(toks: String, m: Int = DefaultMerges,
-                     eow: Boolean = false): String =
-    trainCtes(toks, m, eow) + "\n" +
+                     eow: Boolean = false, minWc: Long = 1L): String =
+    trainCtes(toks, m, eow, minWc) + "\n" +
       (1 to m).map(i =>
         s"SELECT $i AS merge_rank, x, y, cnt FROM b$i")
         .mkString("", "\nUNION ALL\n", "")

@@ -295,12 +295,13 @@ object CurationQueries {
     * rounded), so the doubles are BIT-IDENTICAL cross-engine with no
     * pow() in sight. Same |sources|-row post-agg frame as the flat
     * plan. */
-  def mixTempPlanOf(docs: DataFrame): DataFrame = {
+  def mixTempPlanOf(docs: DataFrame,
+                    nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
     val w = Window.partitionBy() // post-agg frame: |sources| rows
     docs
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(TA.tokenCount(col("text"))).as("n_tokens"))
+        sum(nTok).as("n_tokens"))
       .withColumn("total_tokens", sum(col("n_tokens")).over(w))
       .withColumn("min_tokens", min(col("n_tokens")).over(w))
       .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -317,9 +318,12 @@ object CurationQueries {
     * machinery over [[mixTempPlanOf]]'s rates: exact on both sides
     * because the T=2 rate doubles are bit-identical (sqrt of an exact
     * integer ratio). */
-  def mixTempApply(s: SparkSession, d: String): DataFrame = {
-    val docs = par(documents(s, d))
-    val rates = mixTempPlanOf(docs).select(col("source"), col("temp_rate"))
+  def mixTempApply(s: SparkSession, d: String): DataFrame =
+    mixTempApplyOf(par(documents(s, d)))
+
+  def mixTempApplyOf(docs: DataFrame,
+                     nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
+    val rates = mixTempPlanOf(docs, nTok).select(col("source"), col("temp_rate"))
     docs.join(broadcast(rates), Seq("source"))
       .where(TA.hashBucket(col("doc_id"), MixBuckets).cast("double") <
         col("temp_rate") * MixBuckets)

@@ -488,6 +488,46 @@ object PipelineQueries {
       nTok = Bpe.docTokenCountExpr(col("text"),
         Bpe.readMerges(s, bpeArtifact(s, d))))
 
+  /** Frequency floor for `q_bpe_train_floor`, chosen to BIND on the
+    * fixture: the synthetic vocabulary is 31 words, near-uniform at
+    * wc 840-964 plus one rare word at 26, so a floor in the Zipf-tail
+    * range (2-100) evicts only the rare word and leaves every argmax
+    * unchanged — a no-op rerun of `q_bpe_train` that would verify
+    * nothing. 900 lands inside the mass (15 of 31 words evicted) and
+    * flips the sequence from merge 4 on, so the row actually checks
+    * that BOTH engines apply the cut to the vocabulary before pair
+    * counting — the semantics is threshold-position-independent; the
+    * realistic tail-eviction shape (and its 19.8× loop saving) is
+    * `BpeProbe`'s crawl-shaped measurement. */
+  private val BpeFloorMinWc = 900L
+
+  /** q_bpe_train_floor: the `minWc` vocabulary floor HASH-PROVEN — the
+    * web-scale training knob (`BpeProbe`: 19.8× on a crawl-shaped
+    * tail) under its own unrolled oracle, which applies the identical
+    * `wc >= minWc` cut to the vocabulary CTE before delimiting. The
+    * floor is a semantic knob (tail mass feeds pair counts), so the
+    * row's merge table legitimately differs from the unfloored one. */
+  def bpeTrainFloorQ(s: SparkSession, d: String): DataFrame =
+    Bpe.mergesDf(s,
+      Bpe.trainMerges(Bpe.wordCounts(par(documents(s, d)), "text"),
+        Bpe.DefaultMerges, minWc = BpeFloorMinWc))
+
+  /** q_mix_temp_bpe / q_mix_temp_apply_bpe: the T=2 temperature
+    * mixture DENOMINATED in tokenizer tokens — rate =
+    * sqrt(min_tokens/n_tokens) over subword mass, still an exact
+    * integer ratio under one IEEE sqrt, so the keep-test doubles stay
+    * bit-identical cross-engine. Same |sources|-row post-agg frame and
+    * broadcast-back apply as the whitespace twins. */
+  def mixTempPlanBpeQ(s: SparkSession, d: String): DataFrame =
+    CurationQueries.mixTempPlanOf(par(documents(s, d)),
+      nTok = Bpe.docTokenCountExpr(col("text"),
+        Bpe.readMerges(s, bpeArtifact(s, d))))
+
+  def mixTempApplyBpeQ(s: SparkSession, d: String): DataFrame =
+    CurationQueries.mixTempApplyOf(par(documents(s, d)),
+      nTok = Bpe.docTokenCountExpr(col("text"),
+        Bpe.readMerges(s, bpeArtifact(s, d))))
+
   /** The BPE-denominated mixture plan's CTE chain (train/apply CTEs →
     * per-source subword mass → rates), ending in `mixplan` — ONE copy
     * shared by the plan row and the apply row's keep-test. */
@@ -504,6 +544,22 @@ mixplan AS (SELECT source, n_docs, n_tokens,
   FROM (SELECT source, n_docs, n_tokens,
           CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
           count(*) OVER () AS n_sources
+        FROM agg))"""
+
+  /** The T=2 temperature twin of [[MixPlanBpeCtes]], ending in
+    * `tempplan` — shared by the plan row and the apply keep-test. */
+  private lazy val MixTempBpeCtes: String =
+    Bpe.docTokenCountCtes(TOKS) + s""",
+agg AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(coalesce(t.n_tokens, 0)) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+        GROUP BY d.source),
+tempplan AS (SELECT source, n_docs, n_tokens,
+    CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+    sqrt(CAST(min_tokens AS DOUBLE) / n_tokens) AS temp_rate
+  FROM (SELECT source, n_docs, n_tokens,
+          CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+          CAST(min(n_tokens) OVER () AS BIGINT) AS min_tokens
         FROM agg))"""
 
   /** q_bpe_incr: the tokenizer maintained ONLINE — the corpus arrives
@@ -2882,6 +2938,9 @@ mixplan AS (SELECT source, n_docs, n_tokens,
     "q_bpe_vocab"      -> (bpeVocabQ _),
     "q_pack_bpe"       -> (packBpeQ _),
     "q_bpe_train_eow"  -> (bpeTrainEowQ _),
+    "q_bpe_train_floor" -> (bpeTrainFloorQ _),
+    "q_mix_temp_bpe"   -> (mixTempPlanBpeQ _),
+    "q_mix_temp_apply_bpe" -> (mixTempApplyBpeQ _),
     "q_token_budget_bpe" -> (tokenBudgetBpeQ _),
     "q_mix_plan_bpe"   -> (mixPlanBpeQ _),
     "q_mix_apply_bpe"  -> (mixApplyBpeQ _),
@@ -3688,6 +3747,16 @@ c AS (SELECT doc_id, quality, n_tokens,
 SELECT doc_id, quality, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= $BpeTokenBudget"""),
     "q_mix_plan_bpe" -> (MixPlanBpeCtes + "\nSELECT * FROM mixplan"),
+    "q_mix_temp_bpe" -> (MixTempBpeCtes + "\nSELECT * FROM tempplan"),
+    "q_mix_temp_apply_bpe" -> (MixTempBpeCtes + """
+SELECT d.doc_id, d.source
+FROM documents d JOIN tempplan ON d.source = tempplan.source
+WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS DOUBLE) < temp_rate * 1000000"""),
+    // the floor hash-proven: identical training SQL with the wc cut in
+    // the vocabulary CTE — legitimately different merges (tail mass
+    // feeds pair counts)
+    "q_bpe_train_floor" -> Bpe.trainOracleSql(TOKS, minWc = BpeFloorMinWc),
     "q_mix_apply_bpe" -> (MixPlanBpeCtes + """
 SELECT d.doc_id, d.source
 FROM documents d JOIN mixplan ON d.source = mixplan.source
