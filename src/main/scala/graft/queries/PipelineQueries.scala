@@ -528,6 +528,28 @@ object PipelineQueries {
       nTok = Bpe.docTokenCountExpr(col("text"),
         Bpe.readMerges(s, bpeArtifact(s, d))))
 
+  /** q_bpe_compression: per-source tokenizer FERTILITY report under
+    * the stored merges — word characters per subword token, the
+    * standard "does the tokenizer serve this source" monitor (a
+    * low chars-per-token source is being shredded into characters:
+    * under-represented in training, over-billed by every token-
+    * denominated budget). One corpus pass: both sums are map-side-
+    * combinable per-doc expression folds, |sources| output rows.
+    * Oracle composes the unrolled train/apply chain with a word-chars
+    * CTE over the same token stream. */
+  def bpeCompressionQ(s: SparkSession, d: String): DataFrame = {
+    val merges = Bpe.readMerges(s, bpeArtifact(s, d))
+    par(documents(s, d)).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(aggregate(transform(TA.tokens(col("text")), w => length(w)),
+          lit(0), (a, x) => a + x)).as("n_chars"),
+        sum(Bpe.docTokenCountExpr(col("text"), merges)).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens"))
+          .as("chars_per_token"))
+  }
+
   /** The BPE-denominated mixture plan's CTE chain (train/apply CTEs →
     * per-source subword mass → rates), ending in `mixplan` — ONE copy
     * shared by the plan row and the apply row's keep-test. */
@@ -2941,6 +2963,7 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     "q_bpe_train_floor" -> (bpeTrainFloorQ _),
     "q_mix_temp_bpe"   -> (mixTempPlanBpeQ _),
     "q_mix_temp_apply_bpe" -> (mixTempApplyBpeQ _),
+    "q_bpe_compression" -> (bpeCompressionQ _),
     "q_token_budget_bpe" -> (tokenBudgetBpeQ _),
     "q_mix_plan_bpe"   -> (mixPlanBpeQ _),
     "q_mix_apply_bpe"  -> (mixApplyBpeQ _),
@@ -3757,6 +3780,20 @@ WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS B
     // the vocabulary CTE — legitimately different merges (tail mass
     // feeds pair counts)
     "q_bpe_train_floor" -> Bpe.trainOracleSql(TOKS, minWc = BpeFloorMinWc),
+    // fertility monitor: the apply chain's token counts + a word-chars
+    // CTE over the same token stream, rolled up per source; the ratio
+    // is one double division of exact integer sums
+    "q_bpe_compression" -> (Bpe.docTokenCountCtes(TOKS) + s""",
+ch AS (SELECT doc_id, CAST(sum(length(word)) AS INTEGER) AS n_chars
+       FROM toks GROUP BY doc_id)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(coalesce(ch.n_chars, 0)) AS BIGINT) AS n_chars,
+  CAST(sum(coalesce(t.n_tokens, 0)) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(coalesce(ch.n_chars, 0)) AS DOUBLE)
+    / CAST(sum(coalesce(t.n_tokens, 0)) AS BIGINT) AS chars_per_token
+FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+                 LEFT JOIN ch ON d.doc_id = ch.doc_id
+GROUP BY d.source"""),
     "q_mix_apply_bpe" -> (MixPlanBpeCtes + """
 SELECT d.doc_id, d.source
 FROM documents d JOIN mixplan ON d.source = mixplan.source
