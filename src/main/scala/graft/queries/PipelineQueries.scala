@@ -353,6 +353,52 @@ object PipelineQueries {
   def unigramPpl(s: SparkSession, d: String): DataFrame =
     TA.unigramXent(par(documents(s, d)), "doc_id", "text")
 
+  /** q_ppl_buckets: the CCNet head/middle/tail split (Wenzek et al.
+    * 2020) — every document assigned its corpus perplexity TERTILE, the
+    * classic LM-quality mixture knob (head trains, tail drops, middle
+    * is the judgment call). Boundaries are EXACT discrete percentiles
+    * of the per-doc cross-entropy: the `q_percentiles_disc` two-level
+    * rank-selection discipline (collapse to (value, cnt), bucketed
+    * cumulative counts, the only ordered pass on the bucket-totals
+    * frame, rank max(1, ceil(q·n)) — DuckDB `quantile_disc`'s rule,
+    * already hash-validated by that row) collapsed to a 2-value
+    * driver-scale frame and broadcast back. Cross-engine determinism:
+    * the bucketing key is round(xent, 6) on BOTH sides — the RRF
+    * rounded-score discipline — since raw partial-aggregation doubles
+    * agree only to the compare tolerance, and a boundary-straddling
+    * ulp would flip a bucket. */
+  def pplBucketsQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = TA.unigramXent(par(documents(s, d)), "doc_id", "text")
+      .select(col("doc_id"), round(col("xent"), 6).as("xent6"))
+    val vc = x.groupBy(col("xent6").as("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("vb", floor(col("v") * 16).cast("long"))
+    val within = vc.withColumn("within_cum",
+      sum(col("cnt")).over(Window.partitionBy("vb").orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = vc.groupBy("vb").agg(sum(col("cnt")).as("bucket_cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("bucket_cnt")).over(Window.orderBy(col("vb").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bucket_cnt")).over(Window.partitionBy()))
+    val ranked = offsets.select(col("vb"), col("offset"),
+      greatest(lit(1L), ceil(lit(1.0 / 3.0) * col("n"))).as("r1"),
+      greatest(lit(1L), ceil(lit(2.0 / 3.0) * col("n"))).as("r2"))
+    // 1-row boundary frame: the bounded scalar-attach shape
+    val bounds = within.join(broadcast(ranked), Seq("vb"))
+      .withColumn("cum", col("offset") + col("within_cum"))
+      .agg(
+        max(when(col("r1") > col("cum") - col("cnt") &&
+          col("r1") <= col("cum"), col("v"))).as("b1"),
+        max(when(col("r2") > col("cum") - col("cnt") &&
+          col("r2") <= col("cum"), col("v"))).as("b2"))
+    x.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("xent6"),
+        when(col("xent6") <= col("b1"), lit("head"))
+          .when(col("xent6") <= col("b2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** The INCREMENTALLY-MAINTAINED perplexity filter: the corpus arrives
     * as three hash-split batches, each appending a (term, tc) count
     * shard ([[TA.unigramCountsAppend]] — `_SUCCESS`-claimed, replay-
@@ -2950,6 +2996,7 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     "q_bm25_serve"     -> (bm25ServeQ _),
     "q_tfidf_stored"   -> (tfidfStoredQ _),
     "q_unigram_ppl"    -> (unigramPpl _),
+    "q_ppl_buckets"    -> (pplBucketsQ _),
     "q_unigram_incr"   -> (unigramIncrQ _),
     "q_bigram_ppl"     -> (bigramPpl _),
     "q_bigram_incr"    -> (bigramIncrQ _),
@@ -3705,6 +3752,25 @@ tempplan AS (SELECT source, n_docs, n_tokens,
          |  exp(avg(-ln(CAST(tc AS DOUBLE) / total))) AS ppl
          |FROM toks JOIN freq USING (term) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
+    // CCNet tertiles: the same xent machinery rounded to the shared
+    // 6-decimal key, boundaries via quantile_disc (whose exact-rank
+    // rule max(1, ceil(q·n)) the engine's rank selection replays —
+    // q_percentiles_disc validated the rule), CASE cut shared
+    "q_ppl_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS tc FROM toks GROUP BY term),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |x AS (SELECT doc_id, round(avg(-ln(CAST(tc AS DOUBLE) / total)), 6) AS xent6
+         |      FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |      GROUP BY doc_id),
+         |b AS (SELECT quantile_disc(xent6, CAST(1 AS DOUBLE) / 3) AS b1,
+         |             quantile_disc(xent6, CAST(2 AS DOUBLE) / 3) AS b2
+         |      FROM x)
+         |SELECT doc_id, xent6,
+         |  CASE WHEN xent6 <= b1 THEN 'head'
+         |       WHEN xent6 <= b2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM x CROSS JOIN b""".stripMargin,
     // counts are additive: incremental maintenance ≡ batch recount,
     // pinned by sharing the exact same SQL (the q_dsir_incr discipline)
     "q_unigram_incr" ->

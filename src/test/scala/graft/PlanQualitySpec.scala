@@ -247,7 +247,10 @@ class PlanQualitySpec extends SparkSpec {
                         // the one-row corpus-total attach
       "q_source_kl_incr", // the same bounded cross + scalar, derived
                         // from the maintained count shards
-      "q_source_kl_retire") // same shapes over ingest − retire counts
+      "q_source_kl_retire", // same shapes over ingest − retire counts
+      "q_ppl_buckets")  // the 2-value tertile-boundary frame attach —
+                        // the bm25 (N, avgdl) scalar shape over the
+                        // unigram xent machinery
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
