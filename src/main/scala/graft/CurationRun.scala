@@ -75,9 +75,15 @@ object CurationRun {
 
   /** Run (or resume) the DAG; returns the stages that RAN this call
     * (complete ones skip). `stopAfter` stops the DAG after the named
-    * stage completes — the spec's kill hook. */
+    * stage completes — the spec's kill hook. `clusterQuota` is the
+    * cluster-balance cap (registry default; at the small fixtures the
+    * default rarely binds — clusters sit under 20 members — so the
+    * stage passes through, which is the operator's documented
+    * under-quota behavior; `CurationRunSpec` also runs a tight quota
+    * to pin the BINDING path + its report attribution). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          stopAfter: Option[String] = None): Seq[String] = {
+          stopAfter: Option[String] = None,
+          clusterQuota: Int = PipelineQueries.ClusterQuota): Seq[String] = {
     require(stopAfter.forall(Stages.contains),
       s"unknown stopAfter stage: $stopAfter")
     val docs = Tables.documents(spark, sfDir)
@@ -158,7 +164,7 @@ object CurationRun {
         val kept = stage("semdecon")
         val keptEmb = embOf(kept)
         val survivors = Similarity.clusterSample(keptEmb, "vec_id",
-            "embedding", PipelineQueries.ClusterQuota)
+            "embedding", clusterQuota)
           .select(col("vec_id").as("doc_id"))
         val drop = keptEmb.select(col("vec_id").as("doc_id"))
           .join(survivors, Seq("doc_id"), "left_anti")

@@ -97,4 +97,23 @@ class CurationRunSpec extends SparkSpec {
     assert(bpeMass != wsMass,
       "fixture degenerate: BPE and whitespace masses coincide")
   }
+
+  test("a binding cluster quota drops docs and the report attributes them") {
+    // the default quota (20) sits above the fixture's ~13-member
+    // clusters — the pass-through path the main test reconciles at 0;
+    // this run tightens the quota so the gate BINDS and the
+    // first-failing-gate attribution is exercised for cluster_capped
+    val out = java.nio.file.Files.createTempDirectory("cur-quota").toString
+    CurationRun.run(spark, sf0001, out, clusterQuota = 4)
+    val rep = spark.read.parquet(s"$out/report")
+    val capped = rep.where(col("status") === "cluster_capped")
+      .agg(coalesce(sum("n"), lit(0L))).head.getLong(0)
+    assert(capped > 0L, "quota 4 must cap at least one cluster")
+    def stageCount(s: String) = spark.read.parquet(s"$out/$s").count()
+    assert(capped == stageCount("semdecon") - stageCount("cluster"))
+    assert(rep.agg(sum("n")).head.getLong(0) ==
+      Tables.documents(spark, sf0001).count())
+    assert(rep.where(col("status") === "kept")
+      .agg(coalesce(sum("n"), lit(0L))).head.getLong(0) > 0L)
+  }
 }
