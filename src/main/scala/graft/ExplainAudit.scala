@@ -173,6 +173,11 @@ object ExplainAudit {
       "q_pack_rows",      // expect q_pack's chunk-partitioned running
                           //   sum plus ONE bounded per-doc Generate
                           //   (bin sequence) — no corpus-wide window
+      "q_pack_shuffled",  // expect the SAME decomposition in hash
+                          //   order: cumsum window partitioned by the
+                          //   md5-60 high-bits chunk (ordered hk, id),
+                          //   offsets only over the nChunks-row totals
+                          //   frame, then the shared bounded Generate
       "q_multimodal_pixels", // expect a pure MapPartitions codec
                           //   boundary (container walk + BMP raster) —
                           //   no hash exchange; blobs never shuffle

@@ -761,15 +761,24 @@ object CurationQueries {
     * (per-chunk windows parallel; the only unpartitioned window runs
     * on the ⌈idRange/chunkWidth⌉-row chunk-totals frame). */
   private def packBase(docs: DataFrame, chunkWidth: Long,
-                       nTok: Column): DataFrame = {
-    val base = docs.select(col("doc_id"), nTok.as("n_tokens"))
-      .withColumn("ck", expr(s"doc_id div $chunkWidth"))
+                       nTok: Column): DataFrame =
+    runningOffsets(
+      docs.select(col("doc_id"), nTok.as("n_tokens"))
+        .withColumn("ck", expr(s"doc_id div $chunkWidth")),
+      Seq(col("doc_id").asc))
+
+  /** The two-level chunked prefix sum itself, over any `(doc_id,
+    * n_tokens, ck, …)` frame whose chunk key `ck` is MONOTONE in
+    * `order` (so chunk-total order ≡ global row order). Per-chunk
+    * windows run parallel; the only unpartitioned window runs on the
+    * chunk-totals frame (one row per chunk), never on documents. */
+  private def runningOffsets(base: DataFrame, order: Seq[Column]): DataFrame = {
     val within = base.withColumn("within_cum",
       sum(col("n_tokens")).over(
-        Window.partitionBy("ck").orderBy(col("doc_id").asc)
+        Window.partitionBy("ck").orderBy(order: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // per-chunk totals: the only unpartitioned window runs on this
-    // aggregated frame (⌈idRange/chunkWidth⌉ rows), never on documents
+    // aggregated frame (one row per chunk), never on documents
     val offsets = base.groupBy("ck")
       .agg(sum(col("n_tokens")).as("chunk_tokens"))
       .withColumn("offset",
@@ -804,7 +813,14 @@ object CurationQueries {
   def packRowsOf(docs: DataFrame, seqLen: Long = 2048,
                  chunkWidth: Long = 65536,
                  nTok: Column = TA.tokenCount(col("text"))): DataFrame =
-    packBase(docs, chunkWidth, nTok)
+    sliceRows(packBase(docs, chunkWidth, nTok), seqLen)
+
+  /** The slice emission below any `(doc_id, n_tokens, start_tok)`
+    * frame — the engine twin of [[PackSliceSelect]], shared by the
+    * id-order and shuffled pack writers. Bounded per-doc explode
+    * (⌈n_tokens/seqLen⌉+1 rows max); empty docs emit no rows. */
+  private def sliceRows(frame: DataFrame, seqLen: Long): DataFrame =
+    frame
       .where(col("n_tokens") > 0)
       .select(col("doc_id"), col("start_tok"), col("n_tokens"),
         explode(sequence(expr(s"start_tok div $seqLen"),
@@ -814,6 +830,50 @@ object CurationQueries {
           .as("tok_from"),
         (least(col("start_tok") + col("n_tokens"), (col("bin") + 1) * seqLen)
           - col("start_tok")).as("tok_to"))
+
+  /** Epoch seed for the q_pack_shuffled registry row — spliced into
+    * BOTH the engine hash input and the oracle's md5 argument. */
+  private[queries] val PackEpochSeed = 1
+
+  /** Epoch-seeded SHUFFLED pack rows — [[packRowsOf]] with the corpus
+    * laid out in deterministic hash order instead of doc_id order.
+    * Contiguous id-order packing puts each source's documents (crawl
+    * batches, ingest shards — ids are assigned in arrival order) in
+    * long same-source runs, so early training windows see one source
+    * and late windows another; every production packer shuffles first.
+    * Doing the shuffle by a SEEDED hash keeps the run reproducible
+    * (same epoch ⇒ byte-identical shards, a different epoch ⇒ a fresh
+    * permutation) with no materialized permutation table.
+    *
+    * Order key: the 60-bit md5 of `"<epoch>:<doc_id>"`
+    * ([[Dedup.md5Hash60]], the registry's one hash family — the
+    * DuckDB twin is `CAST('0x'||substr(md5(…),1,15) AS BIGINT)`),
+    * ties broken by doc_id (a hash collision must order identically
+    * on both engines). Scale shape: the SAME two-level decomposition
+    * as [[packBase]] — the chunk key is the hash's high bits
+    * (`hk div 2⁶⁰/nChunks`, monotone in the order key and uniform, so
+    * chunks balance regardless of id density), per-chunk windows
+    * parallel, the only unpartitioned window on the nChunks-row
+    * totals frame, then the shared bounded slice explode. */
+  def packRowsShuffled(s: SparkSession, d: String): DataFrame =
+    // nChunks 64: the fixture's ~6k docs then span every chunk, so the
+    // registry row exercises the multi-chunk hash decomposition
+    packRowsShuffledOf(par(documents(s, d)), nChunks = 64,
+      epoch = PackEpochSeed)
+
+  def packRowsShuffledOf(docs: DataFrame, seqLen: Long = 2048,
+                         nChunks: Int = 1024, epoch: Int = 0,
+                         nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
+    require(nChunks > 0 && (nChunks & (nChunks - 1)) == 0,
+      s"nChunks must be a power of two for an exact hash-span split, got $nChunks")
+    val span = (1L << 60) / nChunks
+    val base = docs.select(col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("hk", Dedup.md5Hash60(
+        concat(lit(s"$epoch:"), col("doc_id").cast("string"))))
+      .withColumn("ck", expr(s"hk div $span"))
+    sliceRows(
+      runningOffsets(base, Seq(col("hk").asc, col("doc_id").asc)), seqLen)
+  }
 
   /** Pack-shard WRITER MANIFEST: one row per context-window shard —
     * slice count, token count (== seqLen everywhere but the corpus
@@ -895,6 +955,7 @@ object CurationQueries {
     "q_token_budget"  -> (tokenBudget _),
     "q_pack"          -> (packSequences _),
     "q_pack_rows"     -> (packRows _),
+    "q_pack_shuffled" -> (packRowsShuffled _),
     "q_pack_manifest" -> (packManifest _),
     "q_semdedup"      -> (semDedupQ _),
     "q_semdedup_cc"   -> (semDedupCCQ _),
@@ -929,23 +990,45 @@ object CurationQueries {
   /** The pack-rows SQL below a `t (doc_id, n_tokens)` CTE — one copy
     * shared by the whitespace-token row and the BPE-denominated twin
     * (which swaps only what n_tokens counts). */
+  /** The slice emission below any `c (doc_id, n_tokens, start_tok)`
+    * CTE — shared by the id-order, BPE, and shuffled pack oracles. */
+  private[queries] val PackSliceSelect: String =
+    """SELECT doc_id, bin,
+      |  GREATEST(start_tok, bin * 2048) - start_tok AS tok_from,
+      |  LEAST(start_tok + n_tokens, (bin + 1) * 2048) - start_tok AS tok_to
+      |FROM c, UNNEST(generate_series(start_tok // 2048,
+      |         (start_tok + n_tokens - 1) // 2048)) AS u(bin)
+      |WHERE n_tokens > 0""".stripMargin
+
   private[queries] val PackRowsTail: String =
     s"""c AS (SELECT doc_id, n_tokens,
        |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |             AS BIGINT) AS start_tok
        |      FROM t)
-       |SELECT doc_id, bin,
-       |  GREATEST(start_tok, bin * 2048) - start_tok AS tok_from,
-       |  LEAST(start_tok + n_tokens, (bin + 1) * 2048) - start_tok AS tok_to
-       |FROM c, UNNEST(generate_series(start_tok // 2048,
-       |         (start_tok + n_tokens - 1) // 2048)) AS u(bin)
-       |WHERE n_tokens > 0""".stripMargin
+       |$PackSliceSelect""".stripMargin
 
   private val PackRowsSql: String =
     s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
        |           FROM documents),
        |$PackRowsTail""".stripMargin
+
+  /** q_pack_shuffled oracle: the same slice emission below a running
+    * sum ordered by the seeded 60-bit md5 (ties → doc_id), the exact
+    * DuckDB twin of [[Dedup.md5Hash60]] over `"<epoch>:<doc_id>"`. */
+  private val PackShuffledSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
+       |           FROM documents),
+       |h AS (SELECT doc_id, n_tokens,
+       |        CAST(concat('0x', substr(md5(concat('$PackEpochSeed:',
+       |               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hk
+       |      FROM t),
+       |c AS (SELECT doc_id, n_tokens,
+       |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY hk, doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |             AS BIGINT) AS start_tok
+       |      FROM h)
+       |$PackSliceSelect""".stripMargin
 
   /** Shared oracle prefix for the two drop-reason audits: planted
     * construction + bench bucket + keeper/shingle-contamination CTEs —
@@ -1142,6 +1225,7 @@ object CurationQueries {
          |  start_tok % 2048 AS bin_offset
          |FROM c""".stripMargin,
     "q_pack_rows" -> PackRowsSql,
+    "q_pack_shuffled" -> PackShuffledSql,
     // the writer manifest: one row per context-window shard over the
     // same slice SQL — n_tokens == seqLen everywhere but the tail is
     // the tiling invariant made queryable

@@ -448,6 +448,56 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packRowsShuffledOf: hash-order fold, tiling invariant, epoch determinism") {
+    import graft.queries.CurationQueries
+    val sizes = Seq(0L -> 5, 1L -> 2000, 2L -> 100, 63L -> 3000,
+      64L -> 10, 700L -> 2048, 700000L -> 7)
+    val docs = sizes.map { case (id, n) =>
+      (id, (0 until n).map(i => s"t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(epoch: Int) = CurationQueries
+      .packRowsShuffledOf(docs, seqLen = 1024, nChunks = 8, epoch = epoch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = run(epoch = 3)
+    // the sequential spelling the two-level hash decomposition must be
+    // bit-equal to: fold token counts in (md5_60("3:id"), id) order
+    val hashOrder = sizes.sortBy { case (id, _) =>
+      (graft.functions.Md5Long60.hash60(s"3:$id".getBytes), id)
+    }
+    var cum = 0L
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for ((id, n) <- hashOrder) {
+      var b = cum / 1024
+      while (b * 1024 < cum + n) {
+        want += ((id, b, math.max(cum, b * 1024) - cum,
+          math.min(cum + n, (b + 1) * 1024) - cum))
+        b += 1
+      }
+      cum += n
+    }
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      want.sortBy(r => (r._1, r._2)).toSeq,
+      "shuffled slices must equal the sequential hash-order fold")
+    // the tiling invariant survives the permutation: every window full
+    // except the corpus tail, per-doc slice lengths still sum to n
+    val total = sizes.map(_._2.toLong).sum
+    val byBin = rows.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val lastBin = (total - 1) / 1024
+    for (b <- 0L until lastBin)
+      assert(byBin(b) == 1024L, s"bin $b holds ${byBin(b)} tokens")
+    assert(byBin(lastBin) == total - lastBin * 1024)
+    // same epoch ⇒ byte-identical; a different epoch ⇒ a genuinely
+    // different layout (some doc starts in a different window)
+    assert(run(epoch = 3).sorted.toSeq == rows.sorted.toSeq,
+      "same epoch must reproduce the identical pack")
+    val other = run(epoch = 4)
+    def startBins(rs: Array[(Long, Long, Long, Long)]) =
+      rs.filter(_._3 == 0L).map(r => r._1 -> r._2).toMap
+    assert(startBins(other) != startBins(rows),
+      "epoch 4 must permute the corpus differently than epoch 3")
+  }
+
   test("postingsOf: true df with a bounded sorted min-k preview") {
     import graft.queries.PipelineQueries
     // 20 docs share token "common"; each has a unique token too

@@ -618,5 +618,19 @@ class PlanQualitySpec extends SparkSpec {
     val mx = physical("q_mix_apply_bpe")
     assert(mx.contains("BroadcastHashJoin"), mx.take(900))
     assert(!mx.contains("SortMergeJoin"), mx.take(900))
+    // q_pack_shuffled: the hash-order permutation must keep the
+    // two-level decomposition — the doc-side cumsum window is
+    // PARTITIONED by the hash-span chunk (ordered hk, doc_id), the
+    // only unpartitioned window runs over the nChunks-row totals
+    // frame, and the slices come from the shared bounded explode
+    val ps = SparkEntry.queries("q_pack_shuffled")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val psWins = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(ps).map(_.group(1)).toList
+    assert(psWins.exists(s =>
+      "^ck#\\d+L?, hk#\\d+L? ASC".r.findFirstIn(s).isDefined),
+      s"q_pack_shuffled lost the chunk-partitioned hash-order window:\n$psWins")
+    assert(physical("q_pack_shuffled").contains("Generate explode"),
+      "q_pack_shuffled must explode the bounded per-doc bin sequence")
   }
 }
