@@ -330,6 +330,68 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** REPEAT mixture plan — the upsampling half the filter-only mixtures
+    * can't express. [[mixPlanOf]] caps every rate at 1 because a WHERE
+    * can only drop rows; real recipes give small high-quality sources
+    * MULTIPLE EPOCHS (Wikipedia/books at 2-5 passes vs <1 for crawl).
+    * Same uniform-by-source token target `total div n_sources`,
+    * realized as `epochs_full` whole passes plus a fractional pass at
+    * `frac_rate`: `epochs_full = target div n_tokens` (0 for a source
+    * bigger than its target — the plain downsample falls out as the
+    * epochs_full = 0 case), `frac_rate = (target mod n_tokens) /
+    * n_tokens`. All-integer div/mod until one exact double division, so
+    * the rates are BIT-IDENTICAL cross-engine (the q_mix_temp
+    * discipline). Same |sources|-row post-agg frame as the flat plan. */
+  def mixRepeatPlanOf(docs: DataFrame,
+                      nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
+    val w = Window.partitionBy() // post-agg frame: |sources| rows
+    docs
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTok).as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .withColumn("target", expr("total_tokens div n_sources"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens"))
+          .as("token_share"),
+        expr("target div n_tokens").as("epochs_full"),
+        ((col("target") % col("n_tokens")).cast("double") / col("n_tokens"))
+          .as("frac_rate"))
+  }
+
+  def mixRepeatPlan(s: SparkSession, d: String): DataFrame =
+    mixRepeatPlanOf(par(documents(s, d)))
+
+  /** APPLY the repeat plan: every doc emits epochs 0..epochs_full-1
+    * whole, plus epoch epochs_full iff its EPOCH-SALTED hash bucket
+    * clears frac_rate — the salt (`"doc_id:epoch"` through the same
+    * md5 family) makes the fractional pass a fresh deterministic draw
+    * rather than a rerun of the mixApply subset, while staying
+    * reproducible and engine-independent. Output one row per (doc,
+    * epoch) copy — the repetition schedule a pack writer consumes.
+    *
+    * Scale shape: the plan aggregates to |sources| rows and BROADCASTS
+    * back; the apply side is one scan + a BOUNDED per-row explode
+    * (epochs_full+1 copies — the source imbalance ratio, single digits
+    * in real recipes) + a per-row hash test. No shuffle of the corpus. */
+  def mixRepeatApply(s: SparkSession, d: String): DataFrame =
+    mixRepeatApplyOf(par(documents(s, d)))
+
+  def mixRepeatApplyOf(docs: DataFrame,
+                       nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
+    val plan = mixRepeatPlanOf(docs, nTok)
+      .select(col("source"), col("epochs_full"), col("frac_rate"))
+    docs.join(broadcast(plan), Seq("source"))
+      .select(col("doc_id"), col("source"), col("epochs_full"), col("frac_rate"),
+        explode(sequence(lit(0L), col("epochs_full"))).as("epoch"))
+      .where(col("epoch") < col("epochs_full") ||
+        TA.hashBucket(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string")), MixBuckets).cast("double") <
+          col("frac_rate") * MixBuckets)
+      .select(col("doc_id"), col("source"), col("epoch"))
+  }
+
   // ---- benchmark decontamination ---------------------------------------
 
   /** Hash bucket (mod [[BenchBuckets]]) whose documents form the held-out
@@ -944,6 +1006,8 @@ object CurationQueries {
     "q_mix_apply"     -> (mixApply _),
     "q_mix_temp"      -> (mixTempPlan _),
     "q_mix_temp_apply" -> (mixTempApply _),
+    "q_mix_repeat"    -> (mixRepeatPlan _),
+    "q_mix_repeat_apply" -> (mixRepeatApply _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_x" -> (decontaminateX _),
     "q_decontaminate_stored" -> (decontaminateStored _),
@@ -968,6 +1032,21 @@ object CurationQueries {
        |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
        |  least(CAST(1 AS DOUBLE),
        |        CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)) AS sampling_rate
+       |FROM (SELECT source, n_docs, n_tokens,
+       |        CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+       |        count(*) OVER () AS n_sources
+       |      FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
+       |            FROM documents GROUP BY source))""".stripMargin
+
+  // the repeat-mixture plan — q_mix_repeat's oracle AND the CTE
+  // q_mix_repeat_apply builds on (one copy, the MIX_PLAN_SQL rule)
+  private val MIX_REPEAT_SQL =
+    s"""SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+       |  (total_tokens // n_sources) // n_tokens AS epochs_full,
+       |  CAST((total_tokens // n_sources) % n_tokens AS DOUBLE) / n_tokens
+       |    AS frac_rate
        |FROM (SELECT source, n_docs, n_tokens,
        |        CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
        |        count(*) OVER () AS n_sources
@@ -1127,6 +1206,19 @@ object CurationQueries {
          |FROM documents d JOIN plan ON d.source = plan.source
          |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          |           % 1000000 AS DOUBLE) < sampling_rate * 1000000""".stripMargin,
+    "q_mix_repeat" -> MIX_REPEAT_SQL,
+    // epochs 0..full-1 unconditional; the fractional pass draws on the
+    // EPOCH-SALTED md5 bucket ("doc_id:epoch"), the engine's exact twin
+    "q_mix_repeat_apply" ->
+      s"""WITH plan AS ($MIX_REPEAT_SQL),
+         |e AS (SELECT d.doc_id, d.source, p.epochs_full, p.frac_rate, u.epoch
+         |      FROM documents d JOIN plan p ON d.source = p.source,
+         |           UNNEST(generate_series(0, p.epochs_full)) AS u(epoch))
+         |SELECT doc_id, source, epoch FROM e
+         |WHERE epoch < epochs_full
+         |   OR CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |        ':', CAST(epoch AS VARCHAR))), 1, 15)) AS BIGINT)
+         |        % 1000000 AS DOUBLE) < frac_rate * 1000000""".stripMargin,
     // same toks/pos CTEs as every shingle oracle; benchmark membership
     // is the q_hash_split md5 bucket of the doc id
     "q_decontaminate" ->

@@ -448,6 +448,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixRepeatPlanOf/ApplyOf: integer epoch arithmetic, per-doc copy counts, salted fractional draw") {
+    import graft.queries.CurationQueries
+    // skewed corpus: "big" dwarfs the target (downsample case,
+    // epochs_full = 0), "small" earns multiple whole passes
+    val docs = ((0 until 40).map(i => (i.toLong, "big", ("w " * 50).trim)) ++
+      (100 until 104).map(i => (i.toLong, "small", ("w " * 30).trim)))
+      .toDF("doc_id", "source", "text")
+    val plan = CurationQueries.mixRepeatPlanOf(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    // big: 2000 tokens, small: 120, total 2120, target = 2120/2 = 1060
+    val (bigTok, bigFull, bigFrac) = plan("big")
+    val (smTok, smFull, smFrac) = plan("small")
+    assert(bigTok == 2000L && smTok == 120L)
+    assert(bigFull == 0L && bigFrac == 1060.0 / 2000, "big is a pure downsample")
+    assert(smFull == 8L && smFrac == (1060L % 120).toDouble / 120,
+      s"small must earn 1060/120 = 8 whole passes, got $smFull")
+    // apply: every doc appears epochs_full or epochs_full+1 times, the
+    // whole passes are exactly epochs 0..full-1, and the one
+    // fractional admit matches the salted md5 recomputed here
+    val out = CurationQueries.mixRepeatApplyOf(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out.groupBy(_._1).foreach { case (id, rs) =>
+      val (src, full, frac) =
+        if (id < 100) ("big", bigFull, bigFrac) else ("small", smFull, smFrac)
+      assert(rs.forall(_._2 == src))
+      val epochs = rs.map(_._3).sorted.toSeq
+      val admit = graft.functions.Md5Long60.hash60(s"$id:$full".getBytes)
+        .%(1000000).toDouble < frac * 1000000
+      val want = (0L until full) ++ (if (admit) Seq(full) else Nil)
+      assert(epochs == want, s"doc $id epochs $epochs, want $want")
+    }
+    // the fractional pass must not be empty or total on this fixture —
+    // otherwise the salted-draw branch went untested
+    val fracSmall = out.count(r => r._2 == "small" && r._3 == smFull)
+    assert(fracSmall > 0 && fracSmall < 4, s"small fractional admits: $fracSmall")
+  }
+
   test("packRowsShuffledOf: hash-order fold, tiling invariant, epoch determinism") {
     import graft.queries.CurationQueries
     val sizes = Seq(0L -> 5, 1L -> 2000, 2L -> 100, 63L -> 3000,

@@ -618,6 +618,14 @@ class PlanQualitySpec extends SparkSpec {
     val mx = physical("q_mix_apply_bpe")
     assert(mx.contains("BroadcastHashJoin"), mx.take(900))
     assert(!mx.contains("SortMergeJoin"), mx.take(900))
+    // q_mix_repeat_apply: same discipline as the other mixture applies —
+    // the |sources|-row plan broadcasts back, the corpus never shuffles,
+    // and the epoch fan-out is a bounded Generate
+    val mr = physical("q_mix_repeat_apply")
+    assert(mr.contains("BroadcastHashJoin"), mr.take(900))
+    assert(!mr.contains("SortMergeJoin"), mr.take(900))
+    assert(mr.contains("Generate explode"),
+      "q_mix_repeat_apply must explode the bounded epoch sequence")
     // q_pack_shuffled: the hash-order permutation must keep the
     // two-level decomposition — the doc-side cumsum window is
     // PARTITIONED by the hash-span chunk (ordered hk, doc_id), the
