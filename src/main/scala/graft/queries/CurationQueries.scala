@@ -133,6 +133,58 @@ object CurationQueries {
             _.getField("tok")), " ").as("chunk_text"))
   }
 
+  // ---- fill-in-the-middle transform -------------------------------------
+
+  /** FIM application rate, per-million (p = 0.5 — the published
+    * apply-to-half default). Spliced into engine AND oracle. */
+  private val FimRatePerM = 500000
+
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022): select docs
+    * at [[FimRatePerM]] and split each at two token cuts 0 ≤ a ≤ b ≤ n
+    * into (prefix, middle, suffix) — the training row a code/infilling
+    * model reorders to PSM (`<PRE> prefix <SUF> suffix <MID> middle`,
+    * one literal concat away from these columns). Everything is
+    * DETERMINISTIC where the paper uses rand(): selection is a salted
+    * md5 bucket (`"fim:doc_id"`, independent of the mixture draws by
+    * the salt), the cuts are two more salted hashes taken mod (n+1)
+    * and mod (n−a+1) — integer arithmetic end-to-end, so both engines
+    * agree bit-exactly and a re-run reproduces the dataset (the
+    * reproducibility rand() can never give across engines). Unselected
+    * docs pass through whole (prefix = text, cuts = n, empty
+    * middle/suffix): one output row per doc either way.
+    *
+    * Scale shape: pure per-row projection — tokenize once, three
+    * hashes, two array slices; no shuffle, no explode, scan-speed at
+    * 100 TB. */
+  def fimTransform(s: SparkSession, d: String): DataFrame =
+    fimTransformOf(par(documents(s, d)))
+
+  def fimTransformOf(docs: DataFrame, ratePerM: Int = FimRatePerM): DataFrame =
+    docs
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("fim",
+        when(TA.hashBucket(concat(lit("fim:"), col("doc_id").cast("string")),
+          MixBuckets) < ratePerM, 1).otherwise(0))
+      .withColumn("cut_a",
+        when(col("fim") === 1,
+          Dedup.md5Hash60(concat(lit("fim_a:"), col("doc_id").cast("string")))
+            % (col("n") + 1))
+          .otherwise(col("n").cast("long")))
+      .withColumn("cut_b",
+        when(col("fim") === 1,
+          col("cut_a") +
+            Dedup.md5Hash60(concat(lit("fim_b:"), col("doc_id").cast("string")))
+              % (col("n") - col("cut_a") + 1))
+          .otherwise(col("n").cast("long")))
+      .select(col("doc_id"), col("fim"), col("cut_a"), col("cut_b"),
+        concat_ws(" ", slice(col("toks"), lit(1), col("cut_a").cast("int")))
+          .as("prefix"),
+        concat_ws(" ", slice(col("toks"), (col("cut_a") + 1).cast("int"),
+          (col("cut_b") - col("cut_a")).cast("int"))).as("middle"),
+        concat_ws(" ", slice(col("toks"), (col("cut_b") + 1).cast("int"),
+          (col("n") - col("cut_b")).cast("int"))).as("suffix"))
+
   // ---- quality top-p per language --------------------------------------
 
   /** Keep the top-`TopP` fraction by quality within each language — the
@@ -1001,6 +1053,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk"         -> (chunks _),
     "q_cdc_chunk"     -> (cdcChunks _),
+    "q_fim"           -> (fimTransform _),
     "q_quality_topp"  -> (qualityTopP _),
     "q_mix_plan"      -> (mixPlan _),
     "q_mix_apply"     -> (mixApply _),
@@ -1178,6 +1231,34 @@ object CurationQueries {
          |  CAST(count(*) AS INTEGER) AS n_chunk_tokens,
          |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
          |FROM c GROUP BY doc_id, chunk_idx""".stripMargin,
+    // the three salted md5 draws and the (n+1)/(n-a+1) cut moduli are
+    // the engine's exact integer arithmetic; list slices t[i:j] are
+    // 1-based inclusive, matching the engine's slice(toks, start, len)
+    "q_fim" ->
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |s AS (SELECT doc_id, t, len(t) AS n,
+         |  CASE WHEN CAST(concat('0x', substr(md5(concat('fim:',
+         |           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         |         % 1000000 < $FimRatePerM
+         |       THEN 1 ELSE 0 END AS fim
+         |FROM toks),
+         |a AS (SELECT doc_id, t, n, fim,
+         |  CASE WHEN fim = 1
+         |       THEN CAST(concat('0x', substr(md5(concat('fim_a:',
+         |              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % (n + 1)
+         |       ELSE CAST(n AS BIGINT) END AS cut_a
+         |FROM s),
+         |c AS (SELECT doc_id, t, n, fim, cut_a,
+         |  CASE WHEN fim = 1
+         |       THEN cut_a + CAST(concat('0x', substr(md5(concat('fim_b:',
+         |              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % (n - cut_a + 1)
+         |       ELSE CAST(n AS BIGINT) END AS cut_b
+         |FROM a)
+         |SELECT doc_id, fim, cut_a, cut_b,
+         |  coalesce(array_to_string(t[1:cut_a], ' '), '') AS prefix,
+         |  coalesce(array_to_string(t[cut_a+1:cut_b], ' '), '') AS middle,
+         |  coalesce(array_to_string(t[cut_b+1:n], ' '), '') AS suffix
+         |FROM c""".stripMargin,
     "q_quality_topp" ->
       s"""WITH q AS (SELECT doc_id, lang, $QUALITY_SQL AS quality FROM documents),
          |r AS (SELECT doc_id, lang, quality,

@@ -448,6 +448,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("fimTransformOf: reassembly, cut bounds, salted selection and cut draws") {
+    import graft.queries.CurationQueries
+    import graft.functions.Md5Long60
+    // 20 docs of varied lengths (1..39 tokens); ids 3,4,5,7,9,10,12,
+    // 15,17,18 fall under the "fim:" bucket at rate 0.5 — both
+    // branches execute
+    val docs = (0 until 20).map { i =>
+      (i.toLong, (0 until (2 * i + 1)).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = CurationQueries.fimTransformOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5), r.getString(6)))).toMap
+    assert(out.values.count(_._1 == 1) == 10, "rate-0.5 selection on this fixture")
+    def toks(s: String) = if (s.isEmpty) Seq.empty else s.split(" ").toSeq
+    for (i <- 0 until 20) {
+      val n = 2 * i + 1
+      val (fim, a, b, pre, mid, suf) = out(i.toLong)
+      val wantSel =
+        Md5Long60.hash60(s"fim:$i".getBytes) % 1000000 < 500000
+      assert((fim == 1) == wantSel, s"doc $i selection")
+      if (fim == 1) {
+        val wantA = Md5Long60.hash60(s"fim_a:$i".getBytes) % (n + 1)
+        val wantB = wantA + Md5Long60.hash60(s"fim_b:$i".getBytes) % (n - wantA + 1)
+        assert(a == wantA && b == wantB, s"doc $i cuts ($a,$b) want ($wantA,$wantB)")
+      } else assert(a == n && b == n && mid.isEmpty && suf.isEmpty,
+        s"unselected doc $i must pass through whole")
+      assert(0 <= a && a <= b && b <= n)
+      // the three slices reassemble the document exactly
+      assert(toks(pre) ++ toks(mid) ++ toks(suf) ==
+        (0 until n).map(j => s"w$j"), s"doc $i reassembly")
+      assert(toks(pre).size == a && toks(mid).size == b - a)
+    }
+  }
+
   test("mixRepeatPlanOf/ApplyOf: integer epoch arithmetic, per-doc copy counts, salted fractional draw") {
     import graft.queries.CurationQueries
     // skewed corpus: "big" dwarfs the target (downsample case,
