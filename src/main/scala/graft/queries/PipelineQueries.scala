@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.{Bpe, Dedup, Multimodal, Similarity, Sketches, TextAnalysis => TA}
@@ -794,20 +794,51 @@ tempplan AS (SELECT source, n_docs, n_tokens,
         TA.splitLabelFromBucket(col("bucket")).as("split"))
   }
 
-  /** PII scrub over deterministically-dirtied text (the fixture corpus
-    * has no PII, so each doc_id % 5 == 0 row gets a synthetic email +
-    * phone appended — engine and oracle construct the identical dirty
-    * input, the scrub semantics are what is compared). */
-  def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val dirty = when(col("doc_id") % 5 === 0,
+  /** The deterministically-dirtied text the PII rows run on (the
+    * fixture corpus has no PII, so each doc_id % 5 == 0 row gets a
+    * synthetic email + phone appended) — ONE copy shared by
+    * [[piiScrub]] and [[lossMask]], with [[DIRTY_CTE]] as its oracle
+    * twin. */
+  private def dirtyText: Column =
+    when(col("doc_id") % 5 === 0,
       concat(col("text"), lit(" contact: user"), col("doc_id"),
         lit("@example.com or 555-123-4567")))
       .otherwise(col("text"))
+
+  /** PII scrub over [[dirtyText]] — engine and oracle construct the
+    * identical dirty input, the scrub semantics are what is compared. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val dirty = dirtyText
     par(documents(s, d)).select(
       col("doc_id"),
       TA.piiCount(dirty).as("n_pii"),
       TA.scrubPii(dirty).as("scrubbed"))
   }
+
+  /** LOSS-MASK spans — the training-time complement of [[piiScrub]]'s
+    * data-time redaction: instead of rewriting the text, emit the
+    * token POSITIONS a loss function should zero (doc_id, pos, reason),
+    * so the model trains on the surrounding context without ever
+    * being rewarded for memorizing an email address or phone number.
+    * A token masks as 'pii_email' / 'pii_phone' when it FULLY matches
+    * the shared anchored pattern (whitespace tokenization keeps each
+    * contact intact as one token; the email test runs first, the
+    * [[TA.piiCount]] sequential-precedence discipline). Masked rows
+    * only — the sidecar stays sparse (mask density ~ PII density).
+    *
+    * Scale shape: one per-doc tokenize + bounded posexplode + two
+    * per-row anchored regex tests; no shuffle anywhere. */
+  def lossMask(s: SparkSession, d: String): DataFrame =
+    lossMaskOf(par(documents(s, d)), dirtyText)
+
+  def lossMaskOf(docs: DataFrame, text: Column): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(TA.tokens(text)).as(Seq("pos", "tok")))
+      .withColumn("reason",
+        when(col("tok").rlike(s"^${TA.EmailRe}$$"), "pii_email")
+          .when(col("tok").rlike(s"^${TA.PhoneRe}$$"), "pii_phone"))
+      .where(col("reason").isNotNull)
+      .select(col("doc_id"), col("pos"), col("reason"))
 
   /** Generator/UDTF-analog coverage: positional token explode — one
     * output row per (doc, position, token). */
@@ -3026,6 +3057,7 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     "q_hash_split"     -> (hashSplit _),
     "q_split_leakproof" -> (splitLeakproofQ _),
     "q_pii_scrub"      -> (piiScrub _),
+    "q_loss_mask"      -> (lossMask _),
     "q_explode"        -> (explodeTokens _),
     "q_dedup_exact"    -> (dedupExact _),
     "q_dedup_keep"     -> (dedupKeep _),
@@ -3147,6 +3179,15 @@ tempplan AS (SELECT source, n_docs, n_tokens,
   // escaping here, and s""-splicing below copies the VALUE verbatim
   private[queries] val TOKS =
     "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+
+  /** [[dirtyText]]'s oracle twin — the PII fixture construction as a
+    * spliceable CTE body exposing `text` (so [[TOKS]] composes). */
+  private val DIRTY_CTE =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+      |       ELSE text END AS text
+      |FROM documents""".stripMargin
 
   private val STOPLIST = Stopwords.map(w => s"'$w'").mkString(",")
 
@@ -3954,17 +3995,27 @@ WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS B
     // counted after the email pass, mirroring piiCount's sequential
     // reconcile-with-scrub semantics.
     "q_pii_scrub" ->
-      s"""WITH dirty AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 5 = 0
-         |       THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
-         |       ELSE text END AS t
-         |FROM documents)
+      s"""WITH dirty AS ($DIRTY_CTE)
          |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(t, '${TA.EmailRe}'))
-         |     + len(regexp_extract_all(regexp_replace(t, '${TA.EmailRe}', '<EMAIL>', 'g'), '${TA.PhoneRe}')) AS INT) AS n_pii,
-         |  regexp_replace(regexp_replace(t, '${TA.EmailRe}', '<EMAIL>', 'g'),
+         |  CAST(len(regexp_extract_all(text, '${TA.EmailRe}'))
+         |     + len(regexp_extract_all(regexp_replace(text, '${TA.EmailRe}', '<EMAIL>', 'g'), '${TA.PhoneRe}')) AS INT) AS n_pii,
+         |  regexp_replace(regexp_replace(text, '${TA.EmailRe}', '<EMAIL>', 'g'),
          |                 '${TA.PhoneRe}', '<PHONE>', 'g') AS scrubbed
          |FROM dirty""".stripMargin,
+    // token-level mask positions over the SAME dirty CTE: a token masks
+    // when it FULLY matches the anchored shared pattern (email first —
+    // the piiCount precedence); regexp_matches is partial, ^...$ anchors
+    "q_loss_mask" ->
+      s"""WITH dirty AS ($DIRTY_CTE),
+         |toks AS (SELECT doc_id,
+         |  generate_subscripts($TOKS, 1) - 1 AS pos, unnest($TOKS) AS tok
+         |FROM dirty)
+         |SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         |  CASE WHEN regexp_matches(tok, '^${TA.EmailRe}$$') THEN 'pii_email'
+         |       ELSE 'pii_phone' END AS reason
+         |FROM toks
+         |WHERE regexp_matches(tok, '^${TA.EmailRe}$$')
+         |   OR regexp_matches(tok, '^${TA.PhoneRe}$$')""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,

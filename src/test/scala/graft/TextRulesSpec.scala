@@ -153,6 +153,26 @@ class TextRulesSpec extends SparkSpec {
     assert(out(2L) == (0, "no pii here"))
   }
 
+  test("lossMask emits exact PII token positions, email precedence, masked rows only") {
+    import graft.queries.PipelineQueries
+    val df = Seq(
+      // pos:     0    1  2  3                          4  5    6
+      (1L, "mail me at jane.doe+x@mail.example.org or call 555-123-4567 ok"),
+      (2L, "no pii here"),
+      (3L, "555-123-4567 starts and ends 777 888-999-0000")
+    ).toDF("doc_id", "text")
+    val out = PipelineQueries.lossMaskOf(df, col("text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, 3, "pii_email"), (1L, 6, "pii_phone"),
+      (3L, 0, "pii_phone"), (3L, 5, "pii_phone")),
+      s"got $out")
+    // a partial hit inside a longer token must NOT mask (anchored match)
+    val part = PipelineQueries.lossMaskOf(
+      Seq((9L, "x555-123-4567y embedded")).toDF("doc_id", "text"), col("text"))
+    assert(part.count() == 0, "embedded pattern inside a token is not a PII token")
+  }
+
   test("dsirWeights ranks target-like source docs above unrelated ones") {
     def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx${i % 6}").mkString(" ")
     val docs = Seq(
