@@ -758,7 +758,44 @@ object Similarity {
   def annJoin(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, nlist: Int = 16,
               nprobe: Int = 4,
-              maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
+              maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame =
+    rankPerQuery(
+      annCandidates(corpus, queries, id, vec, nlist, nprobe, maxBroadcastBytes),
+      k, id)
+
+  /** HARD-NEGATIVE mining for contrastive/embedding-model training —
+    * [[annJoin]]'s candidate machinery with a similarity BAND instead
+    * of a plain top-k: for each anchor, the top `m` neighbors whose
+    * cosine lands in [lo, hi). Above `hi` a candidate is presumed a
+    * positive/near-duplicate (training on it as a negative would
+    * punish correct geometry); below `lo` it is an easy negative the
+    * model already separates. The band is where the gradient is. Both
+    * cut tests run on the SAME bit-identical cosine the oracle
+    * computes, so band membership can never straddle engines.
+    *
+    * Scale shape: identical to [[annJoin]] — routed queries broadcast
+    * (or list-keyed sort-merge past the gate), zero corpus shuffle,
+    * the band filter prunes BEFORE the per-anchor rank so the top-k
+    * shuffle carries only in-band candidates. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, m: Int, lo: Double, hi: Double,
+                    nlist: Int = 16, nprobe: Int = 4,
+                    maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    rankPerQuery(
+      annCandidates(corpus, queries, id, vec, nlist, nprobe, maxBroadcastBytes)
+        .where(col("cos_sim") >= lo && col("cos_sim") < hi),
+      m, id)
+  }
+
+  /** The shared candidate frame of [[annJoin]] and [[hardNegatives]]:
+    * (qid, vid, cos_sim) for every routed-list candidate pair, self
+    * matches dropped. One copy of the route/assign/size-gated-join
+    * composition — a per-operator copy would let the two paths drift
+    * on the routing or the gate. */
+  private def annCandidates(corpus: DataFrame, queries: DataFrame,
+                            id: String, vec: String, nlist: Int, nprobe: Int,
+                            maxBroadcastBytes: Long): DataFrame = {
     val v = corpus.select(col(id).as("vid"),
       transform(col(vec), _.cast("double")).as("v"))
     val q = queries.select(col(id).as("qid"),
@@ -771,13 +808,17 @@ object Similarity {
       .where(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         cosine(col("v"), col("qv")).as("cos_sim"))
+  }
+
+  /** Per-anchor (cos desc, id asc) top-k over a candidate frame. */
+  private def rankPerQuery(cand: DataFrame, k: Int, id: String): DataFrame =
+    cand
       .withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos_sim").desc, col("vid").asc)))
       .where(col("_rn") <= k).drop("_rn")
       .select(col("qid").as("query_id"), col("vid").as(id), col("cos_sim"))
       .orderBy(col("query_id"), col("cos_sim").desc, col(id))
-  }
 
   /** Broadcast gate default: stay safely inside Spark's own 10 MB
     * autoBroadcast comfort zone; a routed side past this is exactly the
@@ -896,8 +937,11 @@ object Similarity {
     * the single query row generalized to a query TABLE — per-query
     * probe ranking and per-query top-k are the same window, partitioned
     * by qid. */
-  def annJoinOracleSql(nq: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                       dim: Int = OracleDim): String =
+  /** [[annCandidates]]' oracle twin — the routed-candidate CTE chain
+    * ending in `cand (query_id, vec_id, cos_sim)`, shared verbatim by
+    * the plain top-k and the hard-negative band tails. */
+  private def annCandidateCtes(nq: Long, nlist: Int, nprobe: Int,
+                               dim: Int): String =
     s"""WITH seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
@@ -917,19 +961,41 @@ object Similarity {
        |  SELECT qid, pos FROM (
        |    SELECT qid, pos,
        |           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, pos ASC) AS rn
-       |    FROM qsim) WHERE rn <= $nprobe)
+       |    FROM qsim) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT q.qid AS query_id, e.vec_id,
+       |         ${cosineSql("e.embedding", "q.qe", dim)} AS cos_sim
+       |  FROM embeddings e
+       |  JOIN asg ON asg.vec_id = e.vec_id
+       |  JOIN probe ON probe.pos = asg.pos
+       |  JOIN q ON q.qid = probe.qid
+       |  WHERE e.vec_id <> q.qid)""".stripMargin
+
+  def annJoinOracleSql(nq: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                       dim: Int = OracleDim): String =
+    s"""${annCandidateCtes(nq, nlist, nprobe, dim)}
        |SELECT query_id, vec_id, cos_sim FROM (
        |  SELECT cand.*, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
-       |  FROM (
-       |    SELECT q.qid AS query_id, e.vec_id,
-       |           ${cosineSql("e.embedding", "q.qe", dim)} AS cos_sim
-       |    FROM embeddings e
-       |    JOIN asg ON asg.vec_id = e.vec_id
-       |    JOIN probe ON probe.pos = asg.pos
-       |    JOIN q ON q.qid = probe.qid
-       |    WHERE e.vec_id <> q.qid) cand)
+       |  FROM cand)
        |WHERE rn <= $k
+       |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
+
+  /** The [[hardNegatives]] oracle: the shared candidate CTEs with the
+    * band predicate applied BEFORE the per-anchor rank (exactly where
+    * the engine filters). `lo`/`hi` splice as decimal literals — both
+    * engines parse them to the same nearest double, and the cosine
+    * they cut on is already bit-identical. */
+  def hardNegativesOracleSql(nq: Long, m: Int, lo: String, hi: String,
+                             nlist: Int = 16, nprobe: Int = 4,
+                             dim: Int = OracleDim): String =
+    s"""${annCandidateCtes(nq, nlist, nprobe, dim)}
+       |SELECT query_id, vec_id, cos_sim FROM (
+       |  SELECT cand.*, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+       |  FROM cand
+       |  WHERE cos_sim >= $lo AND cos_sim < $hi)
+       |WHERE rn <= $m
        |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin
 
   /** Coarse-list probe selection — the driver loop shared by the fused

@@ -2667,6 +2667,16 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     Similarity.annJoin(embChecked(s, d),
       embChecked(s, d).where(col("vec_id") < 8), "vec_id", "embedding", 5)
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]) — the same
+    * anchors as q_ann_join, negatives banded to cosine [0.15, 0.3):
+    * on this fixture p90 ≈ 0.16 and the max ≈ 0.49, so both cuts do
+    * real work (easy negatives dropped below, presumed positives
+    * excluded above). */
+  def simHardNegatives(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(embChecked(s, d),
+      embChecked(s, d).where(col("vec_id") < 8), "vec_id", "embedding",
+      m = 5, lo = 0.15, hi = 0.3)
+
   /** Embedding-cosine near-dup pairs via LSH buckets — oracle-checked:
     * the hyperplanes are driver-fixed literals shared with the generated
     * DuckDB SQL ([[Similarity.bucketPairsOracleSql]]). */
@@ -3161,6 +3171,7 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     "q_ann_join_rerank" -> (simAnnJoinRerank _),
     "q_sim_ivfpq_probe" -> (simIvfPqProbe _),
     "q_ann_join"       -> (simAnnJoin _),
+    "q_hard_negatives" -> (simHardNegatives _),
     "q_ann_join_pq"    -> (simAnnJoinPq _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_feat" -> (multimodalFeatures _),
@@ -4411,6 +4422,7 @@ WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS B
       Similarity.ivfPqRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8),
     "q_sim_ivfpq_probe" -> Similarity.ivfPqOracleSql(0L, 10, m = 4, ks = 8),
     "q_ann_join" -> Similarity.annJoinOracleSql(8L, 5),
+    "q_hard_negatives" -> Similarity.hardNegativesOracleSql(8L, 5, "0.15", "0.3"),
     "q_ann_join_pq" -> Similarity.annJoinPqOracleSql(4L, 5, m = 4, ks = 8),
     "q_ann_join_cos" -> Similarity.annJoinPqCosOracleSql(4L, 5, m = 4, ks = 8),
     "q_sim_ivfpq_cos_rerank" ->

@@ -366,6 +366,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: band excludes the planted positive; equals band-filtered candidates") {
+    val rnd = new scala.util.Random(61)
+    val dim = 32
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0L until 200L).map(i => (i, vec()))
+    // same planted construction as the annJoin spec: 150+i is a noisy
+    // copy of query i — cosine ≈ 0.99, i.e. a POSITIVE a negative
+    // miner must not return
+    val planted = base.map { case (i, v) =>
+      if (i >= 150L && i < 153L) {
+        val src = base((i - 150L).toInt)._2
+        (i, src.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      } else (i, v)
+    }
+    val emb = planted.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val (lo, hi) = (0.1, 0.9)
+    val hn = Similarity.hardNegatives(emb, emb.where($"vec_id" < 3),
+        "vec_id", "embedding", m = 10, lo = lo, hi = hi)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(hn.nonEmpty)
+    assert(hn.forall(t => t._3 >= lo && t._3 < hi), "every mined cosine in band")
+    assert(!hn.exists(t => t._2 == 150L + t._1),
+      "the planted near-copy is a positive — the hi cut must exclude it")
+    // exact parity: the unbanded candidate ranking (k = corpus), band-
+    // filtered and re-cut per anchor, must reproduce the mined set —
+    // the band commutes with the rank exactly
+    val all = Similarity.annJoin(emb, emb.where($"vec_id" < 3),
+        "vec_id", "embedding", 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    (0L until 3L).foreach { qid =>
+      val want = all.filter(t => t._1 == qid && t._3 >= lo && t._3 < hi)
+        .sortBy(t => (-t._3, t._2)).take(10)
+      assert(hn.filter(_._1 == qid).toList == want.toList, s"qid=$qid diverged")
+    }
+  }
+
   test("annJoin size gate: shuffled fallback equals the broadcast path, plans differ") {
     val rnd = new scala.util.Random(131)
     val dim = 32
