@@ -975,6 +975,33 @@ object CurationQueries {
     packRowsShuffledOf(par(documents(s, d)), nChunks = 64,
       epoch = PackEpochSeed)
 
+  /** CURRICULUM pack rows — the corpus laid out easy-first: the running
+    * offset runs in (perplexity, doc_id) order, so early context
+    * windows hold the head of the CCNet quality spectrum and the tail
+    * lands last (curriculum learning's data-order knob, Bengio et al.
+    * 2009, with the q_ppl_buckets xent as the difficulty proxy). The
+    * sort key is the SAME round(xent, 6) both engines already share,
+    * ties broken by doc_id.
+    *
+    * Scale shape: the reused two-level decomposition with a VALUE
+    * bucket as the chunk key (`floor(xent6·16)`, the q_ppl_buckets
+    * bucketing — monotone in the sort key, so chunk-total order ≡
+    * global order); per-chunk windows parallel, the only unpartitioned
+    * window on the bucket-totals frame, then the shared bounded slice
+    * explode. The xent scoring itself is the already-priced
+    * q_unigram machinery (one explode + broadcast-probe join). */
+  def packRowsCurriculum(s: SparkSession, d: String): DataFrame =
+    packRowsCurriculumOf(par(documents(s, d)))
+
+  def packRowsCurriculumOf(docs: DataFrame, seqLen: Long = 2048): DataFrame = {
+    val base = TA.unigramXent(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("xent"), 6).as("xent6"))
+      .withColumn("ck", floor(col("xent6") * 16).cast("long"))
+    sliceRows(
+      runningOffsets(base, Seq(col("xent6").asc, col("doc_id").asc)), seqLen)
+  }
+
   def packRowsShuffledOf(docs: DataFrame, seqLen: Long = 2048,
                          nChunks: Int = 1024, epoch: Int = 0,
                          nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
@@ -1073,6 +1100,7 @@ object CurationQueries {
     "q_pack"          -> (packSequences _),
     "q_pack_rows"     -> (packRows _),
     "q_pack_shuffled" -> (packRowsShuffled _),
+    "q_pack_curriculum" -> (packRowsCurriculum _),
     "q_pack_manifest" -> (packManifest _),
     "q_semdedup"      -> (semDedupQ _),
     "q_semdedup_cc"   -> (semDedupCCQ _),
@@ -1399,6 +1427,23 @@ object CurationQueries {
          |FROM c""".stripMargin,
     "q_pack_rows" -> PackRowsSql,
     "q_pack_shuffled" -> PackShuffledSql,
+    // the q_unigram xent CTEs (rounded to the shared 6-decimal key, the
+    // q_ppl_buckets discipline) feeding the shared slice emission below
+    // a running sum in (xent6, doc_id) order
+    "q_pack_curriculum" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS tc FROM toks GROUP BY term),
+         |tot AS (SELECT count(*) AS total FROM toks),
+         |t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        round(avg(-ln(CAST(tc AS DOUBLE) / total)), 6) AS xent6
+         |      FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |      GROUP BY doc_id),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY xent6, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS BIGINT) AS start_tok
+         |      FROM t)
+         |$PackSliceSelect""".stripMargin,
     // the writer manifest: one row per context-window shard over the
     // same slice SQL — n_tokens == seqLen everywhere but the tail is
     // the tiling invariant made queryable

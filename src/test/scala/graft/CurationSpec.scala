@@ -571,6 +571,42 @@ class CurationSpec extends SparkSpec {
       "epoch 4 must permute the corpus differently than epoch 3")
   }
 
+  test("packRowsCurriculumOf: easy-first fold in (xent, id) order, tie-break, tiling") {
+    import graft.queries.CurationQueries
+    // each doc is ONE unique token repeated n times: tc = n, so
+    // xent = -ln(n/total) — bigger docs are analytically EASIER, and
+    // docs 1 and 3 tie exactly (same n) to exercise the id tie-break
+    val sizes = Seq(0L -> 50, 1L -> 10, 2L -> 30, 3L -> 10)
+    val docs = sizes.map { case (id, n) =>
+      (id, Seq.fill(n)(s"t$id").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = CurationQueries.packRowsCurriculumOf(docs, seqLen = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // hand fold in (-ln(n/total) asc → n desc, id asc) order:
+    // doc0 (n=50), doc2 (30), doc1 (10), doc3 (10)
+    val order = Seq(0L -> 50, 2L -> 30, 1L -> 10, 3L -> 10)
+    var cum = 0L
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for ((id, n) <- order) {
+      var b = cum / 64
+      while (b * 64 < cum + n) {
+        want += ((id, b, math.max(cum, b * 64) - cum,
+          math.min(cum + n, (b + 1) * 64) - cum))
+        b += 1
+      }
+      cum += n
+    }
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      want.sortBy(r => (r._1, r._2)).toSeq,
+      s"curriculum slices must equal the easy-first sequential fold: got ${rows.toSeq}")
+    // the easiest doc opens window 0; the hardest-tied pair closes the
+    // corpus in id order
+    assert(rows.filter(r => r._2 == 0 && r._3 == 0).map(_._1).min == 0L)
+    val byBin = rows.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    for (b <- 0L until (100L - 1) / 64)
+      assert(byBin(b) == 64L, s"bin $b holds ${byBin(b)} tokens")
+  }
+
   test("postingsOf: true df with a bounded sorted min-k preview") {
     import graft.queries.PipelineQueries
     // 20 docs share token "common"; each has a unique token too
