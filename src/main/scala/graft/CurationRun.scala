@@ -51,8 +51,10 @@ import graft.queries.{CurationQueries, PipelineQueries}
   * projection (`q_decontaminate_sem`), cluster balancing aggregates to
   * nlist rows and broadcasts rates back (`q_cluster_sample`), the
   * mixture plan aggregates to |sources| rows and broadcasts back
-  * (`q_mix_apply_bpe`), packing is the two-level chunked prefix sum
-  * (`q_pack_bpe`) — nothing corpus-scale sits on the driver, and the
+  * (`q_mix_apply_bpe`), packing is the two-level chunked prefix sum in
+  * the epoch-seeded hash order (`q_pack_bpe`'s denomination under
+  * `q_pack_shuffled`'s layout) — nothing corpus-scale sits on the
+  * driver, and the
   * DAG's intermediate tables are (doc_id)-keyed columns, not copies of
   * the corpus.
   *
@@ -83,7 +85,8 @@ object CurationRun {
     * to pin the BINDING path + its report attribution). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           stopAfter: Option[String] = None,
-          clusterQuota: Int = PipelineQueries.ClusterQuota): Seq[String] = {
+          clusterQuota: Int = PipelineQueries.ClusterQuota,
+          shuffleEpoch: Int = 0): Seq[String] = {
     require(stopAfter.forall(Stages.contains),
       s"unknown stopAfter stage: $stopAfter")
     val docs = Tables.documents(spark, sfDir)
@@ -197,20 +200,28 @@ object CurationRun {
         nTok = Bpe.docTokenCountExpr(col("text"),
           Bpe.mergesFrom(stage("tokenizer"))))),
       // pack the final kept docs into context windows of 2048
-      // TOKENIZER tokens (q_pack_bpe's oracle-pinned machinery): one
-      // row per (doc, window) slice with doc-relative subword offsets
-      "pack" -> (() => CurationQueries.packRowsOf(
+      // TOKENIZER tokens (q_pack_bpe's oracle-pinned denomination) in
+      // the epoch-seeded SHUFFLED layout (q_pack_shuffled's machinery):
+      // production packers never ship id-order shards — arrival-order
+      // ids put each source in long same-source runs — and the seeded
+      // hash keeps the permutation reproducible (resume ≡ one-shot)
+      // with the next epoch one parameter away
+      "pack" -> (() => CurationQueries.packRowsShuffledOf(
         docs.join(stage("mix"), Seq("doc_id"), "left_semi"),
+        epoch = shuffleEpoch,
         nTok = Bpe.docTokenCountExpr(col("text"),
           Bpe.mergesFrom(stage("tokenizer"))))),
-      // writer manifest: one row per shard — the loader sidecar
+      // writer manifest: one row per shard — the loader sidecar; the
+      // epoch rides along so a loader resuming mid-run knows WHICH
+      // permutation the shards are laid out in
       "manifest" -> (() => stage("pack")
         .groupBy("bin")
         .agg(count(lit(1)).as("n_slices"),
           sum(col("tok_to") - col("tok_from")).as("n_tokens"),
           countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))),
+          max(col("doc_id")).as("last_doc"))
+        .withColumn("epoch", lit(shuffleEpoch))),
       // per-feed drop report: every doc's FIRST failing gate, rolled
       // up to (source, status) — the operator's one-page audit
       "report" -> (() => docs

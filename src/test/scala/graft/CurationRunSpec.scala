@@ -96,6 +96,25 @@ class CurationRunSpec extends SparkSpec {
       s"pack must tile the BPE token mass: packed=$packed bpe=$bpeMass")
     assert(bpeMass != wsMass,
       "fixture degenerate: BPE and whitespace masses coincide")
+    // the pack layout is the epoch-seeded SHUFFLE of the kept corpus:
+    // byte-equal to the registry machinery at the run's epoch, and a
+    // genuinely different permutation from the id-order layout
+    import graft.queries.CurationQueries
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val bpeTok = graft.functions.Bpe.docTokenCountExpr(col("text"), trained)
+    assert(rows(s"$out1/pack") ==
+      canon(CurationQueries.packRowsShuffledOf(kept, epoch = 0, nTok = bpeTok)),
+      "the run's pack must equal q_pack_shuffled's machinery at epoch 0")
+    def startBins(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.where(col("tok_from") === 0L).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(startBins(spark.read.parquet(s"$out1/pack")) !=
+      startBins(CurationQueries.packRowsOf(kept, nTok = bpeTok)),
+      "the shuffled layout must differ from the id-order layout")
+    // the manifest records the permutation epoch the shards follow
+    assert(spark.read.parquet(s"$out1/manifest")
+      .select("epoch").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
   }
 
   test("a binding cluster quota drops docs and the report attributes them") {
