@@ -185,6 +185,70 @@ object CurationQueries {
         concat_ws(" ", slice(col("toks"), (col("cut_b") + 1).cast("int"),
           (col("n") - col("cut_b")).cast("int"))).as("suffix"))
 
+  // ---- span corruption ---------------------------------------------------
+
+  /** A span STARTS at ~1/[[SpanStride]] of positions and runs
+    * [[SpanLen]] tokens → expected corruption SpanLen/SpanStride = 15%,
+    * the published T5 rate at mean span 3. Spliced into engine AND
+    * oracle. */
+  private val SpanStride = 20
+  private val SpanLen = 3
+
+  /** SPAN-CORRUPTION transform (the T5/UL2 denoising objective, Raffel
+    * et al. 2020): mask spans of tokens and emit the training pair —
+    * `inputs` with each masked run collapsed to one `<extra_id_k>`
+    * sentinel, `targets` as the sentinels followed by the tokens they
+    * hide. Where the paper samples spans with rand(), this derives
+    * them deterministically: position p starts a span iff the salted
+    * md5 of `"sc:doc:p"` clears 1/SpanStride, and a position is masked
+    * iff any of the SpanLen positions ending at it started one —
+    * adjacent/overlapping spans merge into one longer run (one
+    * sentinel), which is exactly how the reference implementation
+    * collapses them. Sentinels number 0,1,… per doc in position order.
+    *
+    * Scale shape: the start/masked/run-start flags are PURE PER-ROW
+    * hash tests (SpanLen+1 salted hashes per position — no lag chain,
+    * no self-join); the only window is the doc-partitioned sentinel
+    * counter, and the reassembly groupBy reuses the same doc_id
+    * exchange (the q_cdc_chunk subset rule: ONE shuffle end-to-end). */
+  def spanCorrupt(s: SparkSession, d: String): DataFrame =
+    spanCorruptOf(par(documents(s, d)))
+
+  def spanCorruptOf(docs: DataFrame): DataFrame = {
+    def startAt(p: Column): Column =
+      p >= 0 && Dedup.md5Hash60(concat(lit("sc:"), col("doc_id").cast("string"),
+        lit(":"), p.cast("string"))) % SpanStride === 0
+    val toks = docs.select(col("doc_id"),
+      posexplode(TA.tokens(col("text"))).as(Seq("pos", "tok")))
+    val flags = toks
+      .withColumn("masked", (0 until SpanLen)
+        .map(i => startAt(col("pos") - i)).reduce(_ || _))
+      .withColumn("masked_prev", (1 to SpanLen)
+        .map(i => startAt(col("pos") - i)).reduce(_ || _))
+      .withColumn("run_start", col("masked") && !col("masked_prev"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sp = flags.withColumn("span_id",
+      sum(col("run_start").cast("long")).over(w) - 1)
+    val sentinel =
+      concat(lit("<extra_id_"), col("span_id").cast("string"), lit(">"))
+    def joined(elem: Column): Column =
+      array_join(transform(array_sort(collect_list(elem)),
+        _.getField("e")), " ")
+    sp.groupBy("doc_id").agg(
+      sum(col("masked").cast("long")).as("n_masked"),
+      sum(col("run_start").cast("long")).as("n_spans"),
+      joined(
+        when(!col("masked"), struct(col("pos"), col("tok").as("e")))
+          .when(col("run_start"), struct(col("pos"), sentinel.as("e"))))
+        .as("inputs"),
+      joined(
+        when(col("run_start"), struct(col("pos"),
+          concat(sentinel, lit(" "), col("tok")).as("e")))
+          .when(col("masked"), struct(col("pos"), col("tok").as("e"))))
+        .as("targets"))
+  }
+
   // ---- quality top-p per language --------------------------------------
 
   /** Keep the top-`TopP` fraction by quality within each language — the
@@ -1081,6 +1145,7 @@ object CurationQueries {
     "q_chunk"         -> (chunks _),
     "q_cdc_chunk"     -> (cdcChunks _),
     "q_fim"           -> (fimTransform _),
+    "q_span_corrupt"  -> (spanCorrupt _),
     "q_quality_topp"  -> (qualityTopP _),
     "q_mix_plan"      -> (mixPlan _),
     "q_mix_apply"     -> (mixApply _),
@@ -1287,6 +1352,43 @@ object CurationQueries {
          |  coalesce(array_to_string(t[cut_a+1:cut_b], ' '), '') AS middle,
          |  coalesce(array_to_string(t[cut_b+1:n], ' '), '') AS suffix
          |FROM c""".stripMargin,
+    // the span flags are the engine's exact per-position hash tests
+    // (s_i = "a span started i positions back"); string_agg skips the
+    // CASE's NULL branches like collect_list skips null structs, and
+    // the empty aggregate coalesces to '' (array_join's empty result)
+    "q_span_corrupt" -> {
+      def s(i: Int) =
+        s"""(pos >= $i AND CAST(concat('0x', substr(md5(concat('sc:',
+           |    CAST(doc_id AS VARCHAR), ':', CAST(pos - $i AS VARCHAR))),
+           |    1, 15)) AS BIGINT) % $SpanStride = 0)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id,
+         |  generate_subscripts($TOKS, 1) - 1 AS pos, unnest($TOKS) AS tok
+         |FROM documents),
+         |f AS (SELECT doc_id, pos, tok,
+         |        (s0 OR s1 OR s2) AS masked,
+         |        (s0 OR s1 OR s2) AND NOT (s1 OR s2 OR s3) AS run_start
+         |      FROM (SELECT doc_id, pos, tok,
+         |              ${s(0)} AS s0, ${s(1)} AS s1,
+         |              ${s(2)} AS s2, ${s(3)} AS s3
+         |            FROM toks)),
+         |sp AS (SELECT *, CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+         |         OVER (PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) - 1 AS span_id
+         |       FROM f)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |  coalesce(string_agg(CASE
+         |    WHEN NOT masked THEN tok
+         |    WHEN run_start THEN concat('<extra_id_', CAST(span_id AS VARCHAR), '>')
+         |    END, ' ' ORDER BY pos), '') AS inputs,
+         |  coalesce(string_agg(CASE
+         |    WHEN run_start THEN concat('<extra_id_', CAST(span_id AS VARCHAR), '> ', tok)
+         |    WHEN masked THEN tok
+         |    END, ' ' ORDER BY pos), '') AS targets
+         |FROM sp GROUP BY doc_id""".stripMargin
+    },
     "q_quality_topp" ->
       s"""WITH q AS (SELECT doc_id, lang, $QUALITY_SQL AS quality FROM documents),
          |r AS (SELECT doc_id, lang, quality,

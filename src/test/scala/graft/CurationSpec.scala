@@ -483,6 +483,50 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("spanCorruptOf: sentinel-splice reconstruction, numbering, counts, rate") {
+    import graft.queries.CurationQueries
+    val docs = Seq(
+      (1L, (0 until 2000).map(i => s"t$i").mkString(" ")),
+      (2L, "alpha beta"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = CurationQueries.spanCorruptOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    def toks(s: String) = if (s.isEmpty) Seq.empty[String] else s.split(" ").toSeq
+    def isSentinel(t: String) = t.startsWith("<extra_id_")
+    for ((id, text) <- Seq(1L -> docs.collect()(0).getString(1),
+      2L -> "alpha beta", 3L -> "solo")) {
+      val orig = toks(text)
+      val (nMasked, nSpans, inputs, targets) = out(id)
+      // parse targets into spans keyed by sentinel number
+      val spans = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+      toks(targets).foreach { t =>
+        if (isSentinel(t)) {
+          assert(t == s"<extra_id_${spans.size}>",
+            s"doc $id sentinel out of order: $t after ${spans.size} spans")
+          spans += Vector.empty
+        } else spans(spans.size - 1) = spans.last :+ t
+      }
+      assert(spans.size == nSpans && spans.map(_.size).sum == nMasked,
+        s"doc $id span counts")
+      assert(spans.forall(_.nonEmpty), s"doc $id empty span")
+      // splice each sentinel's span back into inputs → the original doc
+      var k = 0
+      val rebuilt = toks(inputs).flatMap { t =>
+        if (isSentinel(t)) {
+          assert(t == s"<extra_id_$k>", s"doc $id inputs sentinel order")
+          k += 1; spans(k - 1)
+        } else Seq(t)
+      }
+      assert(k == nSpans, s"doc $id inputs must carry every sentinel once")
+      assert(rebuilt == orig, s"doc $id reconstruction diverged")
+    }
+    // the 2000-token doc corrupts near the designed 15% rate
+    val rate = out(1L)._1.toDouble / 2000
+    assert(rate > 0.08 && rate < 0.25, s"corruption rate $rate off design")
+  }
+
   test("mixRepeatPlanOf/ApplyOf: integer epoch arithmetic, per-doc copy counts, salted fractional draw") {
     import graft.queries.CurationQueries
     // skewed corpus: "big" dwarfs the target (downsample case,
