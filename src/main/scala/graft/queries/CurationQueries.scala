@@ -1009,6 +1009,36 @@ object CurationQueries {
         (least(col("start_tok") + col("n_tokens"), (col("bin") + 1) * seqLen)
           - col("start_tok")).as("tok_to"))
 
+  /** EOD-accounted pack rows — [[packRowsOf]] with every document
+    * contributing n+1 slots: its tokens plus one end-of-document
+    * separator (the `<|endoftext|>` every GPT-style packer appends so
+    * the model learns document boundaries). Slot `n_tokens-1` of each
+    * doc's [tok_from, tok_to) range IS the separator; the tiling
+    * invariant (every window exactly seqLen slots) now counts
+    * separators, which is exactly how a real token budget is spent.
+    * Same scale shape as the base row — only the counter changes. */
+  def packRowsEod(s: SparkSession, d: String): DataFrame =
+    packRowsOf(par(documents(s, d)), chunkWidth = 512,
+      nTok = TA.tokenCount(col("text")) + 1)
+
+  /** Pack PROVENANCE sidecar — the manifest's per-source refinement:
+    * one row per (window, source) with slice/token counts, the "what
+    * feeds window X" audit a mixture owner reads when a training run
+    * spikes (is the spike's data region dominated by one feed?).
+    * Aggregates the [[packRowsOf]] slices against the doc→source map:
+    * one doc-keyed hash join + a bounded groupBy — |bins|·|sources|
+    * output rows max. */
+  def packSources(s: SparkSession, d: String): DataFrame =
+    packSourcesOf(par(documents(s, d)), chunkWidth = 512)
+
+  def packSourcesOf(docs: DataFrame, seqLen: Long = 2048,
+                    chunkWidth: Long = 65536): DataFrame =
+    packRowsOf(docs, seqLen, chunkWidth)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("bin", "source")
+      .agg(count(lit(1)).as("n_slices"),
+        sum(col("tok_to") - col("tok_from")).as("n_tokens"))
+
   /** Epoch seed for the q_pack_shuffled registry row — spliced into
     * BOTH the engine hash input and the oracle's md5 argument. */
   private[queries] val PackEpochSeed = 1
@@ -1164,6 +1194,8 @@ object CurationQueries {
     "q_token_budget"  -> (tokenBudget _),
     "q_pack"          -> (packSequences _),
     "q_pack_rows"     -> (packRows _),
+    "q_pack_eod"      -> (packRowsEod _),
+    "q_pack_sources"  -> (packSources _),
     "q_pack_shuffled" -> (packRowsShuffled _),
     "q_pack_curriculum" -> (packRowsCurriculum _),
     "q_pack_manifest" -> (packManifest _),
@@ -1233,10 +1265,14 @@ object CurationQueries {
        |      FROM t)
        |$PackSliceSelect""".stripMargin
 
-  private val PackRowsSql: String =
-    s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
+  /** The pack-rows SQL over any per-doc slot counter — `len(toks)` for
+    * the base row, `len(toks) + 1` for the EOD-accounted twin. */
+  private def packRowsSqlOver(nTokSql: String): String =
+    s"""WITH t AS (SELECT doc_id, CAST($nTokSql AS INTEGER) AS n_tokens
        |           FROM documents),
        |$PackRowsTail""".stripMargin
+
+  private val PackRowsSql: String = packRowsSqlOver(s"len($TOKS)")
 
   /** q_pack_shuffled oracle: the same slice emission below a running
     * sum ordered by the seeded 60-bit md5 (ties → doc_id), the exact
@@ -1528,6 +1564,18 @@ object CurationQueries {
          |  start_tok % 2048 AS bin_offset
          |FROM c""".stripMargin,
     "q_pack_rows" -> PackRowsSql,
+    // the same tail over n+1 slots per doc: the end-of-document
+    // separator spends budget exactly like a token
+    "q_pack_eod" -> packRowsSqlOver(s"len($TOKS) + 1"),
+    // per-(window, source) provenance: the pack SQL as a CTE joined
+    // back to the doc->source map; sums cast back from HUGEINT
+    "q_pack_sources" ->
+      s"""WITH r AS ($PackRowsSql)
+         |SELECT r.bin, d.source,
+         |  CAST(count(*) AS BIGINT) AS n_slices,
+         |  CAST(sum(r.tok_to - r.tok_from) AS BIGINT) AS n_tokens
+         |FROM r JOIN documents d ON r.doc_id = d.doc_id
+         |GROUP BY r.bin, d.source""".stripMargin,
     "q_pack_shuffled" -> PackShuffledSql,
     // the q_unigram xent CTEs (rounded to the shared 6-decimal key, the
     // q_ppl_buckets discipline) feeding the shared slice emission below

@@ -651,6 +651,42 @@ class CurationSpec extends SparkSpec {
       assert(byBin(b) == 64L, s"bin $b holds ${byBin(b)} tokens")
   }
 
+  test("packRowsOf EOD accounting and packSourcesOf provenance reconcile") {
+    import graft.queries.CurationQueries
+    import graft.functions.{TextAnalysis => TA}
+    val sizes = Seq((0L, "a", 5), (1L, "a", 2000), (2L, "b", 100),
+      (63L, "b", 3000), (64L, "a", 10))
+    val docs = sizes.map { case (id, src, n) =>
+      (id, src, (0 until n).map(i => s"t$i").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // EOD: every doc's slices now sum to n+1 — the separator spends
+    // budget like a token — and full windows still tile at seqLen
+    val eod = CurationQueries.packRowsOf(docs, seqLen = 1024, chunkWidth = 64,
+        nTok = TA.tokenCount(col("text")) + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perDoc = eod.groupBy(_._1).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    for ((id, _, n) <- sizes)
+      assert(perDoc(id) == n + 1L, s"doc $id must pack n+1 slots, got ${perDoc(id)}")
+    val total = sizes.map(_._3.toLong + 1).sum
+    val byBin = eod.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    for (b <- 0L until (total - 1) / 1024)
+      assert(byBin(b) == 1024L, s"bin $b holds ${byBin(b)} slots")
+    // provenance: per-bin source rows sum back to the window totals,
+    // per-source totals equal the source's document mass
+    val prov = CurationQueries.packSourcesOf(docs, seqLen = 1024, chunkWidth = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val rows = CurationQueries.packRowsOf(docs, seqLen = 1024, chunkWidth = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val wantBin = rows.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    assert(prov.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap == wantBin,
+      "per-window provenance must sum to the window totals")
+    val bySrc = prov.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(bySrc == Map("a" -> (5L + 2000 + 10), "b" -> (100L + 3000)),
+      s"per-source provenance mass: $bySrc")
+    assert(prov.map(_._3).sum == rows.length.toLong,
+      "provenance slice counts must cover every slice once")
+  }
+
   test("postingsOf: true df with a bounded sorted min-k preview") {
     import graft.queries.PipelineQueries
     // 20 docs share token "common"; each has a unique token too
