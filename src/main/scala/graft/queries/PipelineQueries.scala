@@ -2107,6 +2107,48 @@ tempplan AS (SELECT source, n_docs, n_tokens,
   def sourceKl(s: SparkSession, d: String): DataFrame =
     TA.sourceKl(par(documents(s, d)), "doc_id", "text", "source")
 
+  /** Per-source DISTRIBUTIONAL-SHAPE monitor — `q_source_kl`'s sibling
+    * for a different failure mode: KL catches a source whose CONTENT
+    * drifted, this catches one whose WORD-FREQUENCY SHAPE is wrong
+    * (template/spam farms repeat a tiny vocabulary; scraped-garbage
+    * feeds have no frequency head at all). Natural text follows Zipf,
+    * and on the frequency SPECTRUM (how many words occur exactly wc
+    * times) Zipf shows as a straight log-log line — so the row fits
+    * ln(n_words) on ln(wc) by least squares per source and ships the
+    * slope next to the type-token ratio (n_types/n_tokens, exact
+    * integer division so it is bit-identical cross-engine).
+    *
+    * Scale shape: two map-side-combinable groupBys (word counts, then
+    * the spectrum — the spectrum is tiny: one row per DISTINCT count
+    * value per source) and the regression runs entirely on that
+    * spectrum frame. The corpus is touched once; nothing
+    * vocabulary-scale crosses a window. */
+  def zipfShape(s: SparkSession, d: String): DataFrame =
+    zipfShapeOf(par(documents(s, d)))
+
+  def zipfShapeOf(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("source"),
+      explode(TA.tokens(col("text"))).as("w"))
+    val wc = words.groupBy("source", "w").agg(count(lit(1)).as("wc"))
+    val spec = wc.groupBy(col("source"), col("wc"))
+      .agg(count(lit(1)).as("nw"))
+      .withColumn("lx", log(col("wc").cast("double")))
+      .withColumn("ly", log(col("nw").cast("double")))
+    spec.groupBy("source").agg(
+        sum(col("wc") * col("nw")).as("n_tokens"),
+        sum(col("nw")).as("n_types"),
+        count(lit(1)).cast("double").as("np"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        ((col("np") * col("sxy") - col("sx") * col("sy")) /
+          when(col("np") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+            col("np") * col("sxx") - col("sx") * col("sx")))
+          .as("zipf_slope"))
+  }
+
   /** q_source_kl_incr: the drift monitor SERVED from maintained
     * (source, bucket) count shards ([[TA.sourceKlCountsAppend]]) —
     * mixture monitoring that stays current as batches stream in, with
@@ -3138,6 +3180,7 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     "q_decontaminate_sem_stored" -> (decontaminateSemStored _),
     "q_cluster_sample" -> (clusterSample _),
     "q_source_kl"      -> (sourceKl _),
+    "q_zipf"           -> (zipfShape _),
     "q_source_kl_incr" -> (sourceKlIncrQ _),
     "q_source_kl_retire" -> (sourceKlRetireQ _),
     "q_embed_outliers" -> (embedOutliers _),
@@ -3586,6 +3629,26 @@ tempplan AS (SELECT source, n_docs, n_tokens,
 
   val oracle: Map[String, String] = Map(
     "q_source_kl" -> SourceKlSql,
+    // spectrum regression: same least-squares sums as the engine, the
+    // denominator nullif-guarded on both sides; integer sums cast back
+    // from HUGEINT, ttr an exact integer division
+    "q_zipf" ->
+      s"""WITH w AS (SELECT source, unnest($TOKS) AS w FROM documents),
+         |wc AS (SELECT source, w, count(*) AS wc FROM w GROUP BY 1, 2),
+         |sp AS (SELECT source, wc, CAST(count(*) AS BIGINT) AS nw,
+         |         ln(CAST(wc AS DOUBLE)) AS lx, ln(CAST(count(*) AS DOUBLE)) AS ly
+         |       FROM wc GROUP BY 1, 2),
+         |a AS (SELECT source,
+         |        CAST(sum(wc * nw) AS BIGINT) AS n_tokens,
+         |        CAST(sum(nw) AS BIGINT) AS n_types,
+         |        CAST(count(*) AS DOUBLE) AS np,
+         |        sum(lx) AS sx, sum(ly) AS sy,
+         |        sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+         |      FROM sp GROUP BY source)
+         |SELECT source, n_tokens, n_types,
+         |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+         |  (np * sxy - sx * sy) / nullif(np * sxx - sx * sx, 0) AS zipf_slope
+         |FROM a""".stripMargin,
     // maintained counts are additive across doc-disjoint batches —
     // identical SQL; the retire twin pins to the retained recompute
     "q_source_kl_incr" -> SourceKlSql,

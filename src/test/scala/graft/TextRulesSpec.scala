@@ -173,6 +173,43 @@ class TextRulesSpec extends SparkSpec {
     assert(part.count() == 0, "embedded pattern inside a token is not a PII token")
   }
 
+  test("zipfShapeOf: spectrum regression, degenerate-spectrum null, exact ttr") {
+    import graft.queries.PipelineQueries
+    // "zipfy": an exact power-law SPECTRUM — 64 words once, 16 words
+    // twice, 4 words x4, 1 word x8: n_words(wc) = 64/wc², so the
+    // log-log fit is an exact line of slope -2.  "flat": 10 words
+    // x 5 occurrences each — a ONE-POINT spectrum: no line to fit
+    val zipfyWords = Seq(1 -> 64, 2 -> 16, 4 -> 4, 8 -> 1).flatMap {
+      case (wc, nw) => (0 until nw).flatMap(i => Seq.fill(wc)(s"w${wc}_$i"))
+    }
+    val flatWords = (0 until 10).flatMap(i => Seq.fill(5)(s"f$i"))
+    val docs = Seq((1L, "zipfy", zipfyWords.mkString(" ")),
+      (2L, "flat", flatWords.mkString(" "))).toDF("doc_id", "source", "text")
+    val out = PipelineQueries.zipfShapeOf(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val (fTok, fTyp, fTtr, fSlope) = out("flat")
+    assert(fTok == 50L && fTyp == 10L && fTtr == 0.2 && fSlope.isEmpty,
+      "a one-point spectrum has no slope (null), ttr exact")
+    val (zTok, zTyp, zSlope) = (out("zipfy")._1, out("zipfy")._2, out("zipfy")._4)
+    assert(zTok == zipfyWords.size.toLong && zTyp == 85L)
+    // independent hand fit over the spectrum (count value -> #words)
+    val spectrum = zipfyWords.groupBy(identity).values.map(_.size)
+      .groupBy(identity).map { case (wc, g) => (wc, g.size) }
+    val pts = spectrum.toSeq.map { case (wc, nw) =>
+      (math.log(wc.toDouble), math.log(nw.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(zSlope.get - want) < 1e-9,
+      s"zipfy slope ${zSlope.get} vs hand fit $want")
+    assert(math.abs(zSlope.get - (-2.0)) < 1e-9,
+      "the exact 64/wc² spectrum must fit slope -2")
+  }
+
   test("dsirWeights ranks target-like source docs above unrelated ones") {
     def toks(pfx: String, n: Int) = (0 until n).map(i => s"$pfx${i % 6}").mkString(" ")
     val docs = Seq(
