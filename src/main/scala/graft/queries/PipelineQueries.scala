@@ -534,6 +534,22 @@ object PipelineQueries {
       nTok = Bpe.docTokenCountExpr(col("text"),
         Bpe.readMerges(s, bpeArtifact(s, d))))
 
+  /** q_mix_repeat_bpe / q_mix_repeat_apply_bpe: the epoch-repeat
+    * mixture denominated in TOKENIZER tokens under the stored merges —
+    * epoch counts are exactly where the denomination matters most
+    * (a whole extra pass over a CJK source is a very different token
+    * budget in subwords than in whitespace words). Same integer
+    * div/mod plan arithmetic, same epoch-salted fractional draw. */
+  def mixRepeatPlanBpeQ(s: SparkSession, d: String): DataFrame =
+    CurationQueries.mixRepeatPlanOf(par(documents(s, d)),
+      nTok = Bpe.docTokenCountExpr(col("text"),
+        Bpe.readMerges(s, bpeArtifact(s, d))))
+
+  def mixRepeatApplyBpeQ(s: SparkSession, d: String): DataFrame =
+    CurationQueries.mixRepeatApplyOf(par(documents(s, d)),
+      nTok = Bpe.docTokenCountExpr(col("text"),
+        Bpe.readMerges(s, bpeArtifact(s, d))))
+
   /** Frequency floor for `q_bpe_train_floor`, chosen to BIND on the
     * fixture: the synthetic vocabulary is 31 words, near-uniform at
     * wc 840-964 plus one rare word at 26, so a floor in the Zipf-tail
@@ -609,6 +625,23 @@ mixplan AS (SELECT source, n_docs, n_tokens,
     CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
     least(CAST(1 AS DOUBLE),
           CAST(total_tokens AS DOUBLE) / (n_sources * n_tokens)) AS sampling_rate
+  FROM (SELECT source, n_docs, n_tokens,
+          CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+          count(*) OVER () AS n_sources
+        FROM agg))"""
+
+  /** The epoch-repeat twin of [[MixPlanBpeCtes]], ending in
+    * `repeatplan` — shared by the plan row and the apply fan-out. */
+  private lazy val MixRepeatBpeCtes: String =
+    Bpe.docTokenCountCtes(TOKS) + s""",
+agg AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(coalesce(t.n_tokens, 0)) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id
+        GROUP BY d.source),
+repeatplan AS (SELECT source, n_docs, n_tokens,
+    CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+    (total_tokens // n_sources) // n_tokens AS epochs_full,
+    CAST((total_tokens // n_sources) % n_tokens AS DOUBLE) / n_tokens AS frac_rate
   FROM (SELECT source, n_docs, n_tokens,
           CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
           count(*) OVER () AS n_sources
@@ -3097,6 +3130,8 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     "q_token_budget_bpe" -> (tokenBudgetBpeQ _),
     "q_mix_plan_bpe"   -> (mixPlanBpeQ _),
     "q_mix_apply_bpe"  -> (mixApplyBpeQ _),
+    "q_mix_repeat_bpe" -> (mixRepeatPlanBpeQ _),
+    "q_mix_repeat_apply_bpe" -> (mixRepeatApplyBpeQ _),
     "q_bpe_incr"       -> (bpeIncrQ _),
     "q_bpe_retire"     -> (bpeRetireQ _),
     "q_quality_rules"  -> (qualityRules _),
@@ -3980,6 +4015,18 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN mixplan ON d.source = mixplan.source
 WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
            % 1000000 AS DOUBLE) < sampling_rate * 1000000"""),
+    "q_mix_repeat_bpe" -> (MixRepeatBpeCtes + "\nSELECT * FROM repeatplan"),
+    // the engine's lateral epoch fan-out + epoch-salted draw, over the
+    // BPE-denominated plan CTE
+    "q_mix_repeat_apply_bpe" -> (MixRepeatBpeCtes + """,
+e AS (SELECT d.doc_id, d.source, p.epochs_full, p.frac_rate, u.epoch
+      FROM documents d JOIN repeatplan p ON d.source = p.source,
+           UNNEST(generate_series(0, p.epochs_full)) AS u(epoch))
+SELECT doc_id, source, epoch FROM e
+WHERE epoch < epochs_full
+   OR CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        ':', CAST(epoch AS VARCHAR))), 1, 15)) AS BIGINT)
+        % 1000000 AS DOUBLE) < frac_rate * 1000000"""),
     // Gopher rules: thresholds SPLICED from the TextAnalysis constants
     // (one source of truth), replace-based symbol counting (identical
     // greedy left-to-right semantics both engines), 0/1 int flags; pass
