@@ -178,6 +178,28 @@ object ExplainAudit {
                           //   md5-60 high-bits chunk (ordered hk, id),
                           //   offsets only over the nChunks-row totals
                           //   frame, then the shared bounded Generate
+      "q_pack_curriculum", // the easy-first layout: cumsum window
+                          //   partitioned by the xent VALUE bucket,
+                          //   the unigram scalar as a one-row attach,
+                          //   then the same bounded slice Generate
+      "q_fim",            // expect a pure per-row projection — three
+                          //   salted hashes + two array slices, no
+                          //   hash exchange anywhere
+      "q_span_corrupt",   // expect per-row hash flags (no lag chain)
+                          //   and ONE doc_id exchange shared by the
+                          //   sentinel-counter window and the
+                          //   reassembly aggregation (subset rule)
+      "q_loss_mask",      // expect tokenize + bounded posexplode +
+                          //   two anchored regex tests — no exchange
+      "q_mix_repeat_apply", // expect the |sources|-row plan broadcast
+                          //   back over one scan + a bounded epoch
+                          //   Generate — the corpus never shuffles
+      "q_hard_negatives", // expect q_ann_join's routed-broadcast
+                          //   candidate join with the band filter
+                          //   BELOW the per-anchor rank window
+      "q_zipf",           // expect two map-side-combinable partial
+                          //   aggregation pairs; the regression runs
+                          //   on the spectrum frame — no window
       "q_multimodal_pixels", // expect a pure MapPartitions codec
                           //   boundary (container walk + BMP raster) —
                           //   no hash exchange; blobs never shuffle

@@ -248,9 +248,11 @@ class PlanQualitySpec extends SparkSpec {
       "q_source_kl_incr", // the same bounded cross + scalar, derived
                         // from the maintained count shards
       "q_source_kl_retire", // same shapes over ingest − retire counts
-      "q_ppl_buckets")  // the 2-value tertile-boundary frame attach —
+      "q_ppl_buckets",  // the 2-value tertile-boundary frame attach —
                         // the bm25 (N, avgdl) scalar shape over the
                         // unigram xent machinery
+      "q_pack_curriculum") // the same one-row corpus-token-total attach
+                        // (the unigram xent scalar) under the pack tail
     val offenders = for {
       (name, fn) <- SparkEntry.queries.toSeq
       p = fn(spark, sf0001).queryExecution.executedPlan.toString
@@ -626,6 +628,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!mr.contains("SortMergeJoin"), mr.take(900))
     assert(mr.contains("Generate explode"),
       "q_mix_repeat_apply must explode the bounded epoch sequence")
+    // q_fim / q_loss_mask: pure per-row transforms — no hash exchange
+    // anywhere (the only exchange is the fixture parallelism unlock)
+    for (q <- Seq("q_fim", "q_loss_mask")) {
+      val p = physical(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle:\n${p.take(800)}")
+    }
+    // q_span_corrupt: the sentinel counter window and the reassembly
+    // aggregation share ONE doc_id exchange (the q_cdc_chunk subset
+    // rule); the flags are per-row hash tests, never a lag chain
+    val sc = physical("q_span_corrupt")
+    assert("Exchange hashpartitioning".r.findAllIn(sc).length == 1,
+      s"q_span_corrupt must shuffle exactly once:\n${sc.take(900)}")
+    // q_pack_curriculum: the cumsum window stays partitioned by the
+    // xent value bucket — never a corpus-wide unpartitioned window
+    val pc = SparkEntry.queries("q_pack_curriculum")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val pcWins = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(pc).map(_.group(1)).toList
+    assert(pcWins.exists(s => "^ck#\\d+L?, xent6#\\d+".r.findFirstIn(s).isDefined),
+      s"q_pack_curriculum lost the bucket-partitioned window:\n$pcWins")
+    // q_zipf: two map-side-combinable aggregations, regression on the
+    // spectrum frame — partial HashAggregates present, no window at all
+    val zf = physical("q_zipf")
+    assert("HashAggregate".r.findAllIn(zf).length >= 4,
+      s"q_zipf lost its partial aggregations:\n${zf.take(800)}")
+    assert(!zf.contains("Window"), "q_zipf must not need a window")
     // q_pack_shuffled: the hash-order permutation must keep the
     // two-level decomposition — the doc-side cumsum window is
     // PARTITIONED by the hash-span chunk (ordered hk, doc_id), the
