@@ -1496,7 +1496,39 @@ object Similarity {
   def annJoinPqRerankFromDir(queries: DataFrame, corpus: DataFrame,
                              id: String, vec: String, dir: String, k: Int,
                              shortlist: Int = AutoShortlist, nprobe: Int = 4,
-                             maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
+                             maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame =
+    rankRescored(rescoredShortlist(queries, corpus, id, vec, dir, k,
+      shortlist, nprobe, maxBroadcastBytes), k, id)
+
+  /** STORED-INDEX hard-negative mining — [[hardNegatives]]' production
+    * serve: the persisted IVFADC+R machinery shortlists (zero training
+    * jobs, stored codes only), raw vectors are read for the candidate
+    * set only and re-scored by EXACT cosine, and the [lo, hi) band +
+    * per-anchor rank runs on those exact scores — the band must never
+    * cut on quantized ADC values, or a presumed positive could slip
+    * under `hi` by quantization error. Same shortlist-bounded shapes
+    * as the rerank row. */
+  def hardNegativesFromDir(queries: DataFrame, corpus: DataFrame,
+                           id: String, vec: String, dir: String, m: Int,
+                           lo: Double, hi: Double,
+                           shortlist: Int = AutoShortlist, nprobe: Int = 4,
+                           maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
+    require(lo < hi, s"empty band [$lo, $hi)")
+    rankRescored(
+      rescoredShortlist(queries, corpus, id, vec, dir, m, shortlist, nprobe,
+        maxBroadcastBytes)
+        .where(col("cos") >= lo && col("cos") < hi),
+      m, id)
+  }
+
+  /** The exact-rescored candidate frame `(query_id, id, cos)` shared
+    * by [[annJoinPqRerankFromDir]] and [[hardNegativesFromDir]] — one
+    * copy of the stored-shortlist → raw-join → exact-cosine
+    * composition. */
+  private def rescoredShortlist(queries: DataFrame, corpus: DataFrame,
+                                id: String, vec: String, dir: String, k: Int,
+                                shortlist: Int, nprobe: Int,
+                                maxBroadcastBytes: Long): DataFrame = {
     val sl = if (shortlist == AutoShortlist)
       storedShortlist(queries.sparkSession, dir, nprobe, k) else shortlist
     require(sl >= k, s"shortlist=$sl must cover k=$k")
@@ -1514,12 +1546,29 @@ object Similarity {
     cand.join(v, Seq(id)).join(q, Seq("query_id"))
       .select(col("query_id"), col(id),
         VectorExpressions.cosineSim(col("v"), col("qv")).as("cos"))
+  }
+
+  /** Per-anchor (cos desc, id asc) top-k over a rescored frame —
+    * the rerank family's cut, column names as the oracle compares. */
+  private def rankRescored(frame: DataFrame, k: Int, id: String): DataFrame =
+    frame
       .withColumn("_rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col(id).asc)))
       .where(col("_rn") <= k).drop("_rn")
       .orderBy(col("query_id"), col("cos").desc, col(id))
-  }
+
+  /** The exact-rescored shortlist CTE `rsc (query_id, vec_id, cos)` —
+    * [[rescoredShortlist]]'s oracle twin, shared by the rerank and
+    * stored-hard-negative tails. */
+  private def rescoredCte(nq: Long, shortlist: Int, nlist: Int, nprobe: Int,
+                          m: Int, ks: Int, iters: Int, dim: Int): String =
+    s"""WITH rsc AS (
+       |  SELECT t.query_id, t.vec_id,
+       |         ${cosineSql("e.embedding", "qe.embedding", dim)} AS cos
+       |  FROM (${annJoinPqOracleSql(nq, shortlist, nlist, nprobe, m, ks, iters, dim)}) t
+       |  JOIN embeddings e ON e.vec_id = t.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = t.query_id)""".stripMargin
 
   /** Oracle for [[annJoinPqRerankFromDir]] with the query set
     * `vec_id < nq`: the verified batch-ADC machinery as a subquery
@@ -1528,17 +1577,29 @@ object Similarity {
                                nlist: Int = 16, nprobe: Int = 4,
                                m: Int = DefaultM, ks: Int = DefaultKs, iters: Int = 2,
                                dim: Int = OracleDim): String =
-    s"""WITH rsc AS (
-       |  SELECT t.query_id, t.vec_id,
-       |         ${cosineSql("e.embedding", "qe.embedding", dim)} AS cos
-       |  FROM (${annJoinPqOracleSql(nq, shortlist, nlist, nprobe, m, ks, iters, dim)}) t
-       |  JOIN embeddings e ON e.vec_id = t.vec_id
-       |  JOIN embeddings qe ON qe.vec_id = t.query_id)
+    s"""${rescoredCte(nq, shortlist, nlist, nprobe, m, ks, iters, dim)}
        |SELECT query_id, vec_id, cos FROM (
        |  SELECT query_id, vec_id, cos,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos DESC, vec_id ASC) AS rn
        |  FROM rsc) WHERE rn <= $k
+       |ORDER BY query_id, cos DESC, vec_id""".stripMargin
+
+  /** The [[hardNegativesFromDir]] oracle: the shared rescored CTE with
+    * the band applied on the EXACT cosines before the per-anchor rank
+    * — exactly where the engine filters. */
+  def hardNegativesFromDirOracleSql(nq: Long, mTop: Int, lo: String, hi: String,
+                                    shortlist: Int = 20,
+                                    nlist: Int = 16, nprobe: Int = 4,
+                                    m: Int = DefaultM, ks: Int = DefaultKs,
+                                    iters: Int = 2,
+                                    dim: Int = OracleDim): String =
+    s"""${rescoredCte(nq, shortlist, nlist, nprobe, m, ks, iters, dim)}
+       |SELECT query_id, vec_id, cos FROM (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM rsc WHERE cos >= $lo AND cos < $hi) WHERE rn <= $mTop
        |ORDER BY query_id, cos DESC, vec_id""".stripMargin
 
   /** Oracle for [[ivfPqRerankTopK]]: the verified ADC machinery as a

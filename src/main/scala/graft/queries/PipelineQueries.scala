@@ -2733,6 +2733,25 @@ tempplan AS (SELECT source, n_docs, n_tokens,
       "vec_id", "embedding", dir, k = 5, shortlist = 20)
   }
 
+  /** q_hard_negatives_stored — the miner's PRODUCTION serve
+    * ([[Similarity.hardNegativesFromDir]]): the persisted IVFADC+R
+    * index shortlists (zero training jobs), raw vectors read for the
+    * candidate set only, and the q_hard_negatives band + rank runs on
+    * the EXACT rescored cosines (never on quantized ADC values, where
+    * a presumed positive could slip under `hi` by quantization
+    * error). Wider shortlist than the rerank row: the band discards
+    * the head of the shortlist, so the miner needs more candidates to
+    * fill m than a plain top-k does. */
+  def simHardNegativesStored(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
+      Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
+        m = 4, ks = 8))
+    Similarity.hardNegativesFromDir(
+      embChecked(s, d).where(col("vec_id") < 4), embChecked(s, d),
+      "vec_id", "embedding", dir, m = 5, lo = 0.15, hi = 0.3,
+      shortlist = 50)
+  }
+
   /** Batch ANN join ([[Similarity.annJoin]]) — top-k neighbors for
     * EVERY query vector in one plan (cross-dataset retrieval /
     * hard-negative mining), queries drawn from the corpus itself
@@ -3247,6 +3266,7 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     "q_sim_ivfpq_rerank" -> (simIvfPqRerank _),
     "q_sim_ivfpq_rerank_probe" -> (simIvfPqRerankProbe _),
     "q_ann_join_rerank" -> (simAnnJoinRerank _),
+    "q_hard_negatives_stored" -> (simHardNegativesStored _),
     "q_sim_ivfpq_probe" -> (simIvfPqProbe _),
     "q_ann_join"       -> (simAnnJoin _),
     "q_hard_negatives" -> (simHardNegatives _),
@@ -4539,6 +4559,9 @@ WHERE epoch < epochs_full
       Similarity.ivfPqCosRerankOracleSql(0L, 10, shortlist = 50, m = 4, ks = 8),
     "q_ann_join_rerank" ->
       Similarity.annJoinPqRerankOracleSql(4L, 5, shortlist = 20, m = 4, ks = 8),
+    "q_hard_negatives_stored" ->
+      Similarity.hardNegativesFromDirOracleSql(4L, 5, "0.15", "0.3",
+        shortlist = 50, m = 4, ks = 8),
     // blob bytes recovered position-by-position from hex(blob): byte i is
     // hex chars [2i+1, 2i+2], so the oracle sums exactly the same
     // (byte & 0xff) values the engine's byteSumFeatures folds — works for

@@ -468,6 +468,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesFromDir: exhaustive settings degrade to the brute miner") {
+    // the stored-index contract: with nothing pruned (nprobe == nlist,
+    // corpus-wide shortlist) the stored shortlist covers everything,
+    // the exact re-score IS the exact cosine, and the banded rank must
+    // reproduce the brute-force hardNegatives result per anchor
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-hn").toString
+    Similarity.ivfPqWriteArtifacts(emb, "vec_id", "embedding", dir, nlist = 4)
+    val stored = Similarity.hardNegativesFromDir(
+        emb.where($"vec_id" < 3), emb, "vec_id", "embedding", dir,
+        m = 5, lo = 0.1, hi = 0.35, shortlist = 100000, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // brute miner over the same anchors: exact-cosine candidates,
+    // band, rank — the stored path with no pruning must match exactly
+    val brute = Similarity.hardNegatives(emb, emb.where($"vec_id" < 3),
+        "vec_id", "embedding", m = 5, lo = 0.1, hi = 0.35,
+        nlist = 1, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(stored.nonEmpty, "band must be populated on the fixture")
+    assert(stored.sorted == brute.sorted,
+      s"stored miner with no pruning diverged from the brute miner")
+    // every mined cosine sits inside the band
+    assert(stored.forall(t => t._3 >= 0.1 && t._3 < 0.35))
+  }
+
   test("ivfPqRerankTopK: exhaustive shortlist + full probes degrade to exact brute force") {
     // the IVFADC+R contract collapses to exact search when nothing is
     // pruned: nprobe == nlist (every list scanned) and a corpus-wide
