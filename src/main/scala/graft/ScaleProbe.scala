@@ -2430,3 +2430,76 @@ object BpeProbe {
     spark.stop()
   }
 }
+
+/** Pack-layout evidence row (late r17): ingest assigns doc ids in
+  * arrival order, so a corpus's ids sit in contiguous SOURCE blocks —
+  * the exact shape where id-order packing produces single-source
+  * context windows. This probe measures, at millions of docs,
+  *  (a) the fraction of windows >90% single-source under the id-order
+  *      layout vs the epoch-seeded shuffled layout (the semantic
+  *      payoff the shuffle buys),
+  *  (b) the layouts' wall cost on the same two-level decomposition
+  *      (the shuffle adds one md5 per doc — it should NOT add a pass),
+  *  (c) the hash-chunk balance that replaces id-range chunking
+  *      (uniform hash ⇒ chunks balance regardless of id density).
+  * `sbt "runMain graft.PackLayoutProbe [nDocs]"`. */
+object PackLayoutProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.queries.CurationQueries
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val block = n / 4 // 4 sources in contiguous id blocks
+    // deterministic 6..34-token lengths; no text materialized — the
+    // pack machinery takes the per-doc count as an expression
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      (col("id") * 37 % 29 + 6).as("len"))
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // fraction of windows where one source holds >90% of the slots
+    def domFrac(rows: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val per = rows.select(col("bin"),
+          expr(s"doc_id div $block").as("src"),
+          (col("tok_to") - col("tok_from")).as("m"))
+        .groupBy("bin", "src").agg(sum("m").as("m"))
+      val top = per.groupBy("bin").agg(max(col("m")).as("top"),
+        sum(col("m")).as("tot"))
+      val r = top.agg(
+        avg((col("top") > col("tot") * 0.9).cast("double")),
+        sum(col("tot"))).head
+      (r.getDouble(0), r.getLong(1))
+    }
+    val ((fi, massI), ti) =
+      time(domFrac(CurationQueries.packRowsOf(docs, nTok = col("len"))))
+    val ((fs, massS), ts) =
+      time(domFrac(CurationQueries.packRowsShuffledOf(docs, epoch = 1,
+        nTok = col("len"))))
+    require(massI == massS,
+      s"layouts must pack the same token mass: $massI vs $massS")
+    println(f"[packprobe] $n%d docs in 4 contiguous source blocks, " +
+      f"${massI}%d tokens: >90%%-single-source windows — id-order " +
+      f"$fi%.3f vs shuffled $fs%.4f; wall $ti%.1f s vs $ts%.1f s " +
+      "(same decomposition + one md5/doc)")
+    // hash-chunk balance at the default nChunks=1024: the shuffled
+    // layout's only unpartitioned window runs over these totals
+    val span = (1L << 60) / 1024
+    val bal = docs.select(
+        Dedup.md5Hash60(concat(lit("1:"), col("doc_id").cast("string")))
+          .as("hk"), col("len"))
+      .select(expr(s"hk div $span").as("ck"), col("len"))
+      .groupBy("ck").agg(sum("len").as("m"))
+      .agg(max(col("m")).cast("double") / avg(col("m")),
+        count(lit(1))).head
+    println(f"[packprobe] hash-chunk balance: ${bal.getLong(1)}%d chunks, " +
+      f"max/mean token mass ${bal.getDouble(0)}%.3f (id-range chunking " +
+      "over these clustered ids would put whole sources in single chunks)")
+    spark.stop()
+  }
+}
