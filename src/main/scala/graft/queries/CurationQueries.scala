@@ -1243,12 +1243,9 @@ object CurationQueries {
        |              CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
        |            FROM documents GROUP BY source))""".stripMargin
 
-  /** q_pack_rows oracle, shared with the manifest row. */
-  /** The pack-rows SQL below a `t (doc_id, n_tokens)` CTE — one copy
-    * shared by the whitespace-token row and the BPE-denominated twin
-    * (which swaps only what n_tokens counts). */
   /** The slice emission below any `c (doc_id, n_tokens, start_tok)`
-    * CTE — shared by the id-order, BPE, and shuffled pack oracles. */
+    * CTE — shared by the id-order, BPE, shuffled, curriculum, and
+    * EOD pack oracles. */
   private[queries] val PackSliceSelect: String =
     """SELECT doc_id, bin,
       |  GREATEST(start_tok, bin * 2048) - start_tok AS tok_from,
@@ -1257,6 +1254,10 @@ object CurationQueries {
       |         (start_tok + n_tokens - 1) // 2048)) AS u(bin)
       |WHERE n_tokens > 0""".stripMargin
 
+  /** The id-order running sum + slice tail below a `t (doc_id,
+    * n_tokens)` CTE — one copy shared by the whitespace-token row, the
+    * EOD twin, the manifest, and the BPE-denominated twin (which swap
+    * only what n_tokens counts). */
   private[queries] val PackRowsTail: String =
     s"""c AS (SELECT doc_id, n_tokens,
        |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
