@@ -940,8 +940,10 @@ object Similarity {
   /** [[annCandidates]]' oracle twin — the routed-candidate CTE chain
     * ending in `cand (query_id, vec_id, cos_sim)`, shared verbatim by
     * the plain top-k and the hard-negative band tails. */
-  private def annCandidateCtes(nq: Long, nlist: Int, nprobe: Int,
-                               dim: Int): String =
+  /** The coarse-assignment CTE chain `seeds, sim, asg (vec_id, pos)` —
+    * the oracle twin of [[seededCentroids]] + [[NearestCentroid]],
+    * shared by the candidate CTEs and the semantic-pack oracle. */
+  private[graft] def coarseAsgCtes(nlist: Int, dim: Int = OracleDim): String =
     s"""WITH seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) AS pos, embedding AS ce
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $nlist)),
@@ -952,7 +954,11 @@ object Similarity {
        |  SELECT vec_id, pos FROM (
        |    SELECT vec_id, pos,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, pos ASC) AS rn
-       |    FROM sim) WHERE rn = 1),
+       |    FROM sim) WHERE rn = 1)""".stripMargin
+
+  private def annCandidateCtes(nq: Long, nlist: Int, nprobe: Int,
+                               dim: Int): String =
+    s"""${coarseAsgCtes(nlist, dim)},
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $nq),
        |qsim AS (
        |  SELECT q.qid, s.pos, ${cosineSql("q.qe", "s.ce", dim)} AS cs

@@ -1069,6 +1069,49 @@ object CurationQueries {
     packRowsShuffledOf(par(documents(s, d)), nChunks = 64,
       epoch = PackEpochSeed)
 
+  /** SEMANTIC pack rows — the in-context-pretraining layout (Shi et
+    * al. 2023: training windows of RELATED documents teach long-range
+    * use of context that random neighbors can't): pack the corpus in
+    * (embedding-cluster, doc_id) order, so each context window holds
+    * topically similar documents. The cluster is the SAME seeded IVF
+    * coarse assignment the ANN family is oracled on ([[
+    * Similarity.seededCentroids]] + `NearestCentroid`) — deterministic
+    * cross-engine, ties to the lower centroid position. The published
+    * method orders by greedy nearest-neighbor traversal; the bucket
+    * realization trades that precision for ZERO extra machinery (the
+    * assignment is corpus-linear and already maintained for ANN) —
+    * within a window the docs share a coarse cluster, which is the
+    * property the training objective consumes.
+    *
+    * Cross-modal contract: only (doc_id, list) keys cross from the
+    * embedding side — never vectors (the q_pipeline_semantic rule).
+    * Scale shape: one map-side centroid assignment + a doc-keyed
+    * join + the SAME two-level decomposition with a composite chunk
+    * key (list·2⁴⁰ + id-range chunk — monotone in the sort, so
+    * chunk-total order ≡ global order; clusters far larger than a
+    * chunk split across chunks, keeping per-chunk windows bounded). */
+  def packRowsSemantic(s: SparkSession, d: String): DataFrame =
+    packRowsSemanticOf(par(documents(s, d)), embChecked(s, d),
+      nlist = 16, idWidth = 512)
+
+  def packRowsSemanticOf(docs: DataFrame, emb: DataFrame,
+                         seqLen: Long = 2048, nlist: Int = 1024,
+                         idWidth: Long = 65536,
+                         nTok: Column = TA.tokenCount(col("text"))): DataFrame = {
+    val v = emb.select(col("vec_id").as("doc_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val coarse = Similarity.seededCentroids(
+      v.select(col("doc_id").as("vid"), col("v")), nlist)
+    val asg = v.select(col("doc_id"),
+      graft.functions.NearestCentroid(col("v"), coarse).as("list"))
+    val base = docs.select(col("doc_id"), nTok.as("n_tokens"))
+      .join(asg, Seq("doc_id"))
+      .withColumn("ck",
+        col("list").cast("long") * lit(1L << 40) + expr(s"doc_id div $idWidth"))
+    sliceRows(
+      runningOffsets(base, Seq(col("list").asc, col("doc_id").asc)), seqLen)
+  }
+
   /** CURRICULUM pack rows — the corpus laid out easy-first: the running
     * offset runs in (perplexity, doc_id) order, so early context
     * windows hold the head of the CCNet quality spectrum and the tail
@@ -1198,6 +1241,7 @@ object CurationQueries {
     "q_pack_sources"  -> (packSources _),
     "q_pack_shuffled" -> (packRowsShuffled _),
     "q_pack_curriculum" -> (packRowsCurriculum _),
+    "q_pack_semantic" -> (packRowsSemantic _),
     "q_pack_manifest" -> (packManifest _),
     "q_semdedup"      -> (semDedupQ _),
     "q_semdedup_cc"   -> (semDedupCCQ _),
@@ -1591,6 +1635,20 @@ object CurationQueries {
          |      GROUP BY doc_id),
          |c AS (SELECT doc_id, n_tokens,
          |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY xent6, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS BIGINT) AS start_tok
+         |      FROM t)
+         |$PackSliceSelect""".stripMargin,
+    // the ANN family's coarse-assignment CTEs (seeds/sim/asg — the
+    // seeded-centroid + nearest-with-position-tie-break oracle twin)
+    // feeding the shared slice emission in (cluster, doc_id) order
+    "q_pack_semantic" ->
+      s"""${Similarity.coarseAsgCtes(16)},
+         |t AS (SELECT d.doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens,
+         |             a.pos AS list
+         |      FROM documents d JOIN asg a ON a.vec_id = d.doc_id),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY list, doc_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |             AS BIGINT) AS start_tok
          |      FROM t)

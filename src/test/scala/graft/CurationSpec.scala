@@ -615,6 +615,47 @@ class CurationSpec extends SparkSpec {
       "epoch 4 must permute the corpus differently than epoch 3")
   }
 
+  test("packRowsSemanticOf: cluster-grouped fold in (list, id) order, tiling") {
+    import graft.queries.CurationQueries
+    // seeded centroids are the two smallest-id vectors VERBATIM (no
+    // Lloyd iteration); every other vector equals one of them exactly,
+    // so cluster membership is analytic: docs 0,3,5 -> centroid 1
+    // (ex-doc0's direction), docs 1,2,4 -> centroid 2
+    val a = Seq(1.0f, 0f, 0f, 0f); val b = Seq(0f, 1f, 0f, 0f)
+    val emb = Seq((0L, a), (1L, b), (2L, b), (3L, a), (4L, b), (5L, a))
+      .toDF("vec_id", "embedding")
+    val sizes = Map(0L -> 3, 1L -> 5, 2L -> 7, 3L -> 11, 4L -> 13, 5L -> 17)
+    val docs = sizes.toSeq.sortBy(_._1).map { case (id, n) =>
+      (id, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = CurationQueries
+      .packRowsSemanticOf(docs, emb, seqLen = 16, nlist = 2, idWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // hand fold: cluster 1 ids ascending (0, 3, 5), then cluster 2
+    // (1, 2, 4)
+    val order = Seq(0L, 3L, 5L, 1L, 2L, 4L)
+    var cum = 0L
+    val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (id <- order) {
+      val n = sizes(id)
+      var bn = cum / 16
+      while (bn * 16 < cum + n) {
+        want += ((id, bn, math.max(cum, bn * 16) - cum,
+          math.min(cum + n, (bn + 1) * 16) - cum))
+        bn += 1
+      }
+      cum += n
+    }
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      want.sortBy(r => (r._1, r._2)).toSeq,
+      s"semantic slices must equal the cluster-grouped fold: got ${rows.toSeq}")
+    // tiling invariant survives: full windows hold exactly seqLen
+    val total = sizes.values.map(_.toLong).sum
+    val byBin = rows.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    for (bn <- 0L until (total - 1) / 16)
+      assert(byBin(bn) == 16L, s"bin $bn holds ${byBin(bn)} tokens")
+  }
+
   test("packRowsCurriculumOf: easy-first fold in (xent, id) order, tie-break, tiling") {
     import graft.queries.CurationQueries
     // each doc is ONE unique token repeated n times: tc = n, so

@@ -649,6 +649,20 @@ class PlanQualitySpec extends SparkSpec {
       .findAllMatchIn(pc).map(_.group(1)).toList
     assert(pcWins.exists(s => "^ck#\\d+L?, xent6#\\d+".r.findFirstIn(s).isDefined),
       s"q_pack_curriculum lost the bucket-partitioned window:\n$pcWins")
+    // q_pack_semantic: the cluster-grouped layout keeps the two-level
+    // decomposition — the cumsum window is partitioned by the
+    // composite (list·2^40 + id-range) chunk, ordered (list, doc_id);
+    // only (doc_id, list) keys cross the modality boundary
+    val psem = SparkEntry.queries("q_pack_semantic")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val psemWins = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(psem).map(_.group(1)).toList
+    assert(psemWins.exists(s =>
+      "^ck#\\d+L?, list#\\d+".r.findFirstIn(s).isDefined),
+      s"q_pack_semantic lost the chunk-partitioned cluster window:\n$psemWins")
+    assert(!psem.contains("embedding#") ||
+      !"windowspecdefinition\\([^)]*embedding".r.findFirstIn(psem).isDefined,
+      "vectors must never enter a window")
     // q_zipf: two map-side-combinable aggregations, regression on the
     // spectrum frame — partial HashAggregates present, no window at all
     val zf = physical("q_zipf")
