@@ -1319,13 +1319,13 @@ object CurationQueries {
 
   private val PackRowsSql: String = packRowsSqlOver(s"len($TOKS)")
 
-  /** q_pack_shuffled oracle: the same slice emission below a running
-    * sum ordered by the seeded 60-bit md5 (ties → doc_id), the exact
-    * DuckDB twin of [[Dedup.md5Hash60]] over `"<epoch>:<doc_id>"`. */
-  private val PackShuffledSql: String =
-    s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
-       |           FROM documents),
-       |h AS (SELECT doc_id, n_tokens,
+  /** The hash-ordered running sum + slice tail below a `t (doc_id,
+    * n_tokens)` CTE — the exact DuckDB twin of [[Dedup.md5Hash60]]
+    * over `"<epoch>:<doc_id>"` (ties → doc_id); one copy shared by
+    * the whitespace shuffled row and the BPE-denominated production
+    * twin. */
+  private[queries] val PackShuffledTail: String =
+    s"""h AS (SELECT doc_id, n_tokens,
        |        CAST(concat('0x', substr(md5(concat('$PackEpochSeed:',
        |               CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hk
        |      FROM t),
@@ -1335,6 +1335,11 @@ object CurationQueries {
        |             AS BIGINT) AS start_tok
        |      FROM h)
        |$PackSliceSelect""".stripMargin
+
+  private val PackShuffledSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens
+       |           FROM documents),
+       |$PackShuffledTail""".stripMargin
 
   /** Shared oracle prefix for the two drop-reason audits: planted
     * construction + bench bucket + keeper/shingle-contamination CTEs —

@@ -483,6 +483,19 @@ object PipelineQueries {
       nTok = Bpe.docTokenCountExpr(col("text"),
         Bpe.readMerges(s, bpeArtifact(s, d))))
 
+  /** q_pack_shuffled_bpe: the PRODUCTION pack combination `CurationRun`
+    * ships — the epoch-seeded SHUFFLED layout under the TOKENIZER
+    * denomination — as its own hash-proven registry row (the run's
+    * spec pins it structurally; this pins it against DuckDB). Same
+    * epoch salt as q_pack_shuffled, same stored merges as q_pack_bpe,
+    * oracle = the unrolled train/apply CTEs feeding the shared
+    * hash-ordered tail. */
+  def packShuffledBpeQ(s: SparkSession, d: String): DataFrame =
+    CurationQueries.packRowsShuffledOf(par(documents(s, d)),
+      nChunks = 64, epoch = CurationQueries.PackEpochSeed,
+      nTok = Bpe.docTokenCountExpr(col("text"),
+        Bpe.readMerges(s, bpeArtifact(s, d))))
+
   /** q_bpe_train_eow: the PUBLISHED Sennrich semantics as an OPT-IN —
     * the end-of-word sentinel joins every word's symbol stream, so
     * word-final subwords train as distinct tokens ("est" vs "est</w>").
@@ -3141,6 +3154,7 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     "q_bpe_tokens"     -> (bpeTokensQ _),
     "q_bpe_vocab"      -> (bpeVocabQ _),
     "q_pack_bpe"       -> (packBpeQ _),
+    "q_pack_shuffled_bpe" -> (packShuffledBpeQ _),
     "q_bpe_train_eow"  -> (bpeTrainEowQ _),
     "q_bpe_train_floor" -> (bpeTrainFloorQ _),
     "q_mix_temp_bpe"   -> (mixTempPlanBpeQ _),
@@ -3987,6 +4001,8 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     "q_bpe_vocab" -> Bpe.vocabOracleSql(TOKS),
     "q_pack_bpe" -> (Bpe.docTokenCountCtes(TOKS) + ",\n" +
       CurationQueries.PackRowsTail),
+    "q_pack_shuffled_bpe" -> (Bpe.docTokenCountCtes(TOKS) + ",\n" +
+      CurationQueries.PackShuffledTail),
     // BPE-denominated dataset mechanics: the unrolled train/apply CTE
     // chain feeds t (doc_id, n_tokens in SUBWORD tokens); docs whose
     // token stream is empty never reach t (unnest emits no rows), so
