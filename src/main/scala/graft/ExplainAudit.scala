@@ -182,6 +182,16 @@ object ExplainAudit {
                           //   partitioned by the xent VALUE bucket,
                           //   the unigram scalar as a one-row attach,
                           //   then the same bounded slice Generate
+      "q_pack_semantic",  // the cluster-grouped layout: one map-side
+                          //   NearestCentroid projection + a doc-keyed
+                          //   join, cumsum window partitioned by the
+                          //   composite (list, id-range) chunk — only
+                          //   (doc_id, list) keys cross the modality
+      "q_pack_shuffled_bpe", // the PRODUCTION combination: the hash-
+                          //   order decomposition with the native
+                          //   bpeencode count — same shapes as the
+                          //   shuffled row, no joins, no explode
+                          //   before the shared slice Generate
       "q_fim",            // expect a pure per-row projection — three
                           //   salted hashes + two array slices, no
                           //   hash exchange anywhere
