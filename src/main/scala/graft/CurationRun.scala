@@ -83,12 +83,24 @@ object CurationRun {
     * stage passes through, which is the operator's documented
     * under-quota behavior; `CurationRunSpec` also runs a tight quota
     * to pin the BINDING path + its report attribution). */
+  /** The pack layouts the run can ship, each the machinery of an
+    * already-oracled registry row: `shuffled` (default — the
+    * reproducible epoch-seeded permutation, q_pack_shuffled_bpe),
+    * `curriculum` (easy-first by unigram perplexity,
+    * q_pack_curriculum's ordering under the run's BPE slot counts),
+    * `semantic` (in-context windows by embedding cluster,
+    * q_pack_semantic's ordering under the BPE counts). */
+  val PackLayouts: Set[String] = Set("shuffled", "curriculum", "semantic")
+
   def run(spark: SparkSession, sfDir: String, outDir: String,
           stopAfter: Option[String] = None,
           clusterQuota: Int = PipelineQueries.ClusterQuota,
-          shuffleEpoch: Int = 0): Seq[String] = {
+          shuffleEpoch: Int = 0,
+          packLayout: String = "shuffled"): Seq[String] = {
     require(stopAfter.forall(Stages.contains),
       s"unknown stopAfter stage: $stopAfter")
+    require(PackLayouts.contains(packLayout),
+      s"unknown packLayout: $packLayout (one of $PackLayouts)")
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
     val embs = Tables.embeddings(spark, sfDir)
@@ -201,19 +213,28 @@ object CurationRun {
           Bpe.mergesFrom(stage("tokenizer"))))),
       // pack the final kept docs into context windows of 2048
       // TOKENIZER tokens (q_pack_bpe's oracle-pinned denomination) in
-      // the epoch-seeded SHUFFLED layout (q_pack_shuffled's machinery):
-      // production packers never ship id-order shards — arrival-order
-      // ids put each source in long same-source runs — and the seeded
-      // hash keeps the permutation reproducible (resume ≡ one-shot)
-      // with the next epoch one parameter away
-      "pack" -> (() => CurationQueries.packRowsShuffledOf(
-        docs.join(stage("mix"), Seq("doc_id"), "left_semi"),
-        epoch = shuffleEpoch,
-        nTok = Bpe.docTokenCountExpr(col("text"),
-          Bpe.mergesFrom(stage("tokenizer"))))),
+      // the chosen LAYOUT — shuffled by default (production packers
+      // never ship id-order shards: arrival-order ids put each source
+      // in long same-source runs, and the seeded hash keeps the
+      // permutation reproducible, resume ≡ one-shot, with the next
+      // epoch one parameter away); curriculum and semantic expose the
+      // other two oracled orderings under the same BPE slot counts
+      "pack" -> (() => {
+        val kept = docs.join(stage("mix"), Seq("doc_id"), "left_semi")
+        def bpeTok = Bpe.docTokenCountExpr(col("text"),
+          Bpe.mergesFrom(stage("tokenizer")))
+        packLayout match {
+          case "shuffled" => CurationQueries.packRowsShuffledOf(
+            kept, epoch = shuffleEpoch, nTok = bpeTok)
+          case "curriculum" => CurationQueries.packRowsCurriculumOf(
+            kept, nTok = Some(bpeTok))
+          case "semantic" => CurationQueries.packRowsSemanticOf(
+            kept, embOf(kept), nlist = 16, idWidth = 512, nTok = bpeTok)
+        }
+      }),
       // writer manifest: one row per shard — the loader sidecar; the
-      // epoch rides along so a loader resuming mid-run knows WHICH
-      // permutation the shards are laid out in
+      // layout + epoch ride along so a loader resuming mid-run knows
+      // WHICH order the shards are laid out in
       "manifest" -> (() => stage("pack")
         .groupBy("bin")
         .agg(count(lit(1)).as("n_slices"),
@@ -221,6 +242,7 @@ object CurationRun {
           countDistinct(col("doc_id")).as("n_docs"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
+        .withColumn("layout", lit(packLayout))
         .withColumn("epoch", lit(shuffleEpoch))),
       // per-feed drop report: every doc's FIRST failing gate, rolled
       // up to (source, status) — the operator's one-page audit

@@ -1085,6 +1085,10 @@ object CurationQueries {
     *
     * Cross-modal contract: only (doc_id, list) keys cross from the
     * embedding side — never vectors (the q_pipeline_semantic rule).
+    * A doc WITHOUT an embedding row drops from the pack (inner join,
+    * mirrored exactly in the oracle) — the layout is only defined
+    * where the ordering key exists; callers wanting a fallback bucket
+    * should union unembedded docs onto a sentinel list upstream.
     * Scale shape: one map-side centroid assignment + a doc-keyed
     * join + the SAME two-level decomposition with a composite chunk
     * key (list·2⁴⁰ + id-range chunk — monotone in the sort, so
@@ -1130,11 +1134,22 @@ object CurationQueries {
   def packRowsCurriculum(s: SparkSession, d: String): DataFrame =
     packRowsCurriculumOf(par(documents(s, d)))
 
-  def packRowsCurriculumOf(docs: DataFrame, seqLen: Long = 2048): DataFrame = {
-    val base = TA.unigramXent(docs, "doc_id", "text")
+  /** `nTok` optionally re-denominates the SLOT counts (e.g. the BPE
+    * subword count for a production run) while the ORDERING stays the
+    * whitespace-unigram xent — difficulty proxy and budget
+    * denomination are independent knobs; None keeps the counts the
+    * xent machinery already computed (no extra join). */
+  def packRowsCurriculumOf(docs: DataFrame, seqLen: Long = 2048,
+                           nTok: Option[Column] = None): DataFrame = {
+    val x = TA.unigramXent(docs, "doc_id", "text")
       .select(col("doc_id"), col("n_tokens"),
         round(col("xent"), 6).as("xent6"))
-      .withColumn("ck", floor(col("xent6") * 16).cast("long"))
+    val counted = nTok match {
+      case None => x
+      case Some(c) => x.drop("n_tokens")
+        .join(docs.select(col("doc_id"), c.as("n_tokens")), Seq("doc_id"))
+    }
+    val base = counted.withColumn("ck", floor(col("xent6") * 16).cast("long"))
     sliceRows(
       runningOffsets(base, Seq(col("xent6").asc, col("doc_id").asc)), seqLen)
   }

@@ -117,6 +117,43 @@ class CurationRunSpec extends SparkSpec {
       .select("epoch").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
   }
 
+  test("pack layouts: curriculum and semantic runs ship their oracled orderings") {
+    import graft.queries.CurationQueries
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    for (layout <- Seq("curriculum", "semantic")) {
+      val out = java.nio.file.Files.createTempDirectory(s"cur-$layout").toString
+      CurationRun.run(spark, sf0001, out, packLayout = layout)
+      val trained = graft.functions.Bpe.mergesFrom(
+        spark.read.parquet(s"$out/tokenizer"))
+      val kept = Tables.documents(spark, sf0001)
+        .join(spark.read.parquet(s"$out/mix").select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      val bpeTok = graft.functions.Bpe.docTokenCountExpr(col("text"), trained)
+      val want = layout match {
+        case "curriculum" =>
+          CurationQueries.packRowsCurriculumOf(kept, nTok = Some(bpeTok))
+        case _ =>
+          val embKept = Tables.embeddings(spark, sf0001)
+            .select(col("vec_id"), col("embedding"))
+            .join(kept.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi")
+          CurationQueries.packRowsSemanticOf(kept, embKept,
+            nlist = 16, idWidth = 512, nTok = bpeTok)
+      }
+      assert(rows(s"$out/pack") == canon(want),
+        s"$layout run pack must equal its registry machinery")
+      assert(spark.read.parquet(s"$out/manifest")
+        .select("layout").distinct().collect().map(_.getString(0)).toSeq ==
+        Seq(layout), s"$layout manifest must record the layout")
+      // layouts permute, never change mass: full windows still tile
+      val bins = spark.read.parquet(s"$out/manifest")
+        .orderBy(col("bin").desc).collect()
+      assert(bins.drop(1).forall(_.getAs[Long]("n_tokens") == 2048L),
+        s"$layout tiling invariant")
+    }
+  }
+
   test("a binding cluster quota drops docs and the report attributes them") {
     // the default quota (20) sits above the fixture's ~13-member
     // clusters — the pass-through path the main test reconciles at 0;
