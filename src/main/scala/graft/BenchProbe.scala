@@ -23,7 +23,7 @@ object BenchProbe {
         s"usage: BenchProbe [--cpus=N] q_name...  (unknown: ${unknown.mkString(",")})")
       sys.exit(1)
     }
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder())
       .withExtensions(new GraftExtensions())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -288,7 +288,7 @@ object CurationRun {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: CurationRun <sfDir> <outDir>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.tuned(SparkSession.builder())
       .withExtensions(new GraftExtensions())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
