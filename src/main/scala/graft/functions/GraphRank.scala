@@ -62,34 +62,39 @@ object GraphRank {
       .union(prs.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("out"))
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // cache the degree-annotated edge list ONCE, partitioned by src:
     // every iteration's contribution join reuses both the rows and the
     // partitioning (re-deriving deg + the join per round costs an
     // aggregation over |E| each iteration for no new information)
     val withDeg = edges.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // one |V| scalar for the teleport term
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    // |V| and the rank-0 frame both come from `deg` (one row per
+    // vertex) — the separate nodes.distinct() cache the r16 shape kept
+    // was a second |V|-shuffle per call for rows deg already has
+    val n = deg.count() // one |V| scalar for the teleport term
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iters) {
-      val inflow = withDeg
+      // the mirror above gives every vertex out-degree ≥ 1 AND
+      // in-degree ≥ 1, so the inflow aggregation below covers every
+      // vertex — the per-iteration `nodes LEFT JOIN inflow` the r16
+      // shape carried (one more |V|-scale join + exchange per round)
+      // was a no-op: coalesce(inflow, 0) could never fire on the
+      // mirrored edge set this function always builds. The teleport
+      // arithmetic is unchanged — (1−d)/n + d·Σc, same IEEE op order
+      // as the oracle’s unrolled CTEs ([[pageRankOracleSql]]).
+      ranks = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") / col("out")).as("c"))
-        .groupBy("node").agg(sum(col("c")).as("inflow"))
-      // left join: on an undirected graph every node has inflow, but a
-      // directed caller-supplied edge set must not lose sinks
-      ranks = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .groupBy("node")
+        .agg((lit((1 - damping) / n) +
+          lit(damping) * sum(col("c"))).as("rank"))
       // the FINAL iteration always materializes: the returned frame is
       // a checkpoint scan, so unpersisting the edge cache below cannot
       // push a minhash recompute into the caller's action
       if (i == iters || (checkpointEvery > 0 && i % checkpointEvery == 0))
         ranks = ranks.localCheckpoint(true) // truncate accumulated lineage
     }
-    prs.unpersist(); withDeg.unpersist(); nodes.unpersist()
+    prs.unpersist(); withDeg.unpersist()
     ranks
   }
 

@@ -445,6 +445,18 @@ object Similarity {
     * train differently). `v` carries (vid, v: array<double>). */
   private def trainPqBooks(v: DataFrame, m: Int, ks: Int, iters: Int,
                            sub: Int): Array[Array[Array[Double]]] =
+    // NOTE (r17): parallelizing the m independent subspace trainings
+    // across driver threads was tried and REVERTED: the shared `v`
+    // plan fragment holds higher-order-function lambdas whose
+    // NamedLambdaVariable state is MUTABLE, and over LocalRelation
+    // inputs the optimizer evaluates those projections DRIVER-SIDE
+    // (ConvertToLocalRelation) during each thread's query optimization
+    // — concurrent optimization of plans sharing one expression tree
+    // races on that state and corrupts seed vectors (reproduced:
+    // SimilaritySpec determinism failures on toDF fixtures; parquet
+    // inputs never fold, which is why the sf0.01 oracle still passed).
+    // Sequential training is the correctness-safe shape; the win was
+    // ~0.2-0.4 s on 4 of 275 bench rows.
     Array.tabulate(m) { s =>
       kmeansDeterministicLocalCentroids(
         v.select(col("vid"), slice(col("v"), s * sub + 1, sub).as("vs")),
@@ -2525,46 +2537,64 @@ object Similarity {
   /* The returned frame is the k picks themselves — bounded by
    * construction (like the merge tables and centroid frames), so its
    * LocalRelation plan is the right shape: the distributed work is the
-   * shortlist job and the k argmax jobs that already ran. */
+   * shortlist job that already ran.
+   *
+   * r17 optimization: the greedy loop itself runs DRIVER-SIDE over the
+   * collected shortlist instead of issuing k sequential Spark jobs
+   * (each a broadcast grid + 1-row argmax collect — ~2 jobs per pick,
+   * ~0.5–1 s of pure job-launch latency per MMR row at any scale). The
+   * shortlist is BOUNDED by construction (≤ shortlistN rows — the same
+   * bounded-driver-artifact class as the BPE merge table and the
+   * k-means centroid frames), so one collect of (id, vec, rel) replaces
+   * 2k round-trips while the corpus-scale work stays exactly where it
+   * was: in the shortlist job. Bit-identical by construction:
+   * [[localCosine]] is the same fused Σab/Σa²/Σb² loop as the codegen'd
+   * [[CosineSim]], max over the selected set is order-insensitive, and
+   * the 6-decimal HALF_UP round matches Spark's `round` (both go
+   * through BigDecimal.valueOf(x).setScale(6, HALF_UP)) — MmrSpec pins
+   * the selection sequence and the oracle rows hash-pin the doubles. */
   def mmrGreedy(shortlistDf: DataFrame, k: Int, lambda: Double): DataFrame = {
     val spark = shortlistDf.sparkSession
-    val shortlist = shortlistDf.persist()
-    try {
-      val picks =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
-      var rank = 1
-      var dry = false
-      while (rank <= k && !dry) {
-        val selIds = picks.map(_._2).toSeq
-        val scored =
-          if (selIds.isEmpty)
-            shortlist.select(col("vec_id"), col("rel"),
-              round(lit(lambda) * col("rel"), 6).as("mmr"))
+    // ONE bounded collect: (vec_id, vector-as-double, rel); ordering is
+    // irrelevant — every pick below is an explicit (mmr DESC, id ASC)
+    // argmax, never a positional cut
+    val rows = shortlistDf
+      .select(col("vec_id"), asDouble(col("emb")).as("emb"), col("rel"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val picks =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val taken = scala.collection.mutable.Set.empty[Long]
+    var rank = 1
+    while (rank <= k && taken.size < rows.length) {
+      var bestId = Long.MinValue; var bestRel = 0.0
+      var bestMmr = Double.NegativeInfinity; var found = false
+      for ((id, emb, rel) <- rows if !taken.contains(id)) {
+        val mmr =
+          if (selected.isEmpty) round6(lambda * rel)
           else {
-            // bounded ≤N×k grid: shortlist rows × selected vectors
-            val sel = broadcast(shortlist
-              .where(col("vec_id").isin(selIds: _*))
-              .select(col("emb").as("sel_emb")))
-            shortlist.where(!col("vec_id").isin(selIds: _*))
-              .crossJoin(sel)
-              .groupBy(col("vec_id"), col("rel"))
-              .agg(max(cosine(col("emb"), col("sel_emb"))).as("max_sim"))
-              .select(col("vec_id"), col("rel"),
-                round(lit(lambda) * col("rel") -
-                  lit(1.0 - lambda) * col("max_sim"), 6).as("mmr"))
+            var maxSim = Double.NegativeInfinity
+            for (s <- selected) {
+              val c = localCosine(emb, s)
+              if (c > maxSim) maxSim = c
+            }
+            round6(lambda * rel - (1.0 - lambda) * maxSim)
           }
-        val best = scored.orderBy(col("mmr").desc, col("vec_id").asc)
-          .limit(1).collect()
-        if (best.isEmpty) dry = true
-        else {
-          val r = best(0)
-          picks += ((rank, r.getLong(0), r.getDouble(1), r.getDouble(2)))
-          rank += 1
+        if (!found || mmr > bestMmr || (mmr == bestMmr && id < bestId)) {
+          found = true; bestId = id; bestRel = rel; bestMmr = mmr
         }
       }
-      import spark.implicits._
-      picks.toSeq.toDF("sel_rank", "vec_id", "rel", "mmr")
-    } finally { shortlist.unpersist() }
+      picks += ((rank, bestId, bestRel, bestMmr))
+      taken += bestId
+      selected += rows.find(_._1 == bestId).get._2
+      rank += 1
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("sel_rank", "vec_id", "rel", "mmr")
   }
 
   /** The (mean relevance, mean pairwise cosine) of [[mmrTopK]]'s picks
