@@ -372,6 +372,67 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Canonical-WAV fast path (r17): parse plain RIFF/WAVE PCM
+    * (audioFormat 1, 16-bit → signed little-endian, 8-bit → unsigned,
+    * per the WAV spec — exactly what the JDK's WAVE reader reports for
+    * these files) WITHOUT `AudioSystem.getAudioInputStream`. The JDK
+    * entry point walks the provider registry under a GLOBAL lock per
+    * call; with 32 concurrent decode tasks the lock convoy serialized
+    * the whole audio stage (measured ~50 task-seconds for 5 000 16 KB
+    * WAVs whose actual byte work is ~1.6 s). Anything structurally in
+    * doubt — wrong magic, non-PCM format tag (incl. EXTENSIBLE), odd
+    * bit depths, malformed chunk walk — returns None and the caller
+    * falls back to the JDK path, so coverage is unchanged and the fast
+    * path is byte-equivalent where it applies (`MultimodalSpec` pins
+    * fast ≡ AudioSystem on PCM16 mono/stereo and PCM8).
+    * Returns (sampleRate, channels, bitsPerSample, pcm data slice) —
+    * frames/normalization left to the callers so both consumers keep
+    * their existing arithmetic. */
+  private def pcmWavChunks(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 44) return None
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    def le32(o: Int): Long =
+      ((bytes(o + 3) & 0xffL) << 24) | ((bytes(o + 2) & 0xffL) << 16) |
+        ((bytes(o + 1) & 0xffL) << 8) | (bytes(o) & 0xffL)
+    def le16(o: Int): Int = ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtSeen = false
+    var rate = 0; var ch = 0; var bits = 0
+    var data: Array[Byte] = null
+    while (off + 8 <= bytes.length && data == null) {
+      val id = tag(off)
+      val len = le32(off + 4)
+      val start = off + 8
+      if (len < 0 || start > bytes.length) return None
+      if (id == "fmt ") {
+        if (len < 16 || start + 16 > bytes.length) return None
+        val audioFormat = le16(start)
+        ch = le16(start + 2)
+        rate = le32(start + 4).toInt
+        bits = le16(start + 14)
+        if (audioFormat != 1 || ch <= 0 || rate <= 0 ||
+            (bits != 8 && bits != 16)) return None
+        fmtSeen = true
+      } else if (id == "data") {
+        if (!fmtSeen) return None
+        // a data chunk whose declared length exceeds the bytes present
+        // (truncated file) goes to the JDK path: its reader reports the
+        // DECLARED frame count there, and parity matters more than
+        // speed on malformed rows
+        if (len > bytes.length - start) return None
+        val frameBytes = ch * (bits / 8)
+        val usable = len.toInt - (len.toInt % frameBytes)
+        if (usable < 0) return None
+        data = java.util.Arrays.copyOfRange(bytes, start, start + usable)
+      }
+      // RIFF chunks are word-aligned: odd lengths carry a pad byte
+      off = start + len.toInt + (len.toInt & 1)
+    }
+    if (data == null) None else Some((rate, ch, bits, data))
+  }
+
   /** REAL audio decode — `javax.sound.sampled` ships WAV/AIFF/AU
     * readers in the JDK, so this needs no external codec: bytes →
     * (sample rate, channels, frames, duration seconds, RMS amplitude
@@ -380,8 +441,34 @@ object Multimodal {
     * 16-bit signed either endianness) — callers fall back to the stub
     * path, mirroring [[decodeImage]]. RMS walks every sample of every
     * channel normalized to [-1,1]; O(frames·channels), the decode
-    * already streamed those bytes. */
+    * already streamed those bytes. Canonical PCM WAVs take
+    * [[pcmWavChunks]] (same arithmetic, no registry lock). */
   def decodeAudio(bytes: Array[Byte]): Option[(Float, Int, Long, Double, Double)] = {
+    pcmWavChunks(bytes) match {
+      case Some((rate, ch, bits, data)) =>
+        val frameBytes = ch * (bits / 8)
+        val frames = (data.length / frameBytes).toLong
+        if (frames <= 0) return None
+        var sumSq = 0.0
+        var count = 0L
+        if (bits == 16) {
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            val x = s / 32768.0
+            sumSq += x * x; count += 1; i += 2
+          }
+        } else {
+          var i = 0
+          while (i < data.length) {
+            val x = ((data(i) & 0xff) - 128) / 128.0
+            sumSq += x * x; count += 1; i += 1
+          }
+        }
+        val rms = if (count == 0) 0.0 else math.sqrt(sumSq / count)
+        return Some((rate.toFloat, ch, frames, frames.toDouble / rate, rms))
+      case None => // not canonical PCM WAV — JDK readers below
+    }
     if (bytes == null) return None
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val ais =
@@ -479,6 +566,32 @@ object Multimodal {
     * [[decodeAudio]] would fall back. */
   def decodeAudioSamples(bytes: Array[Byte]): Option[Array[Double]] = {
     if (bytes == null) return None
+    pcmWavChunks(bytes) match {
+      case Some((rate, ch, bits, data)) =>
+        // same mono-mix arithmetic as the JDK branch below, per frame
+        val bytesPer = bits / 8
+        val frameBytes = bytesPer * ch
+        val nFrames = data.length / frameBytes
+        if (nFrames <= 0 || rate <= 0) return None
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = f * frameBytes + c * bytesPer
+            acc +=
+              (if (bits == 16)
+                ((data(o + 1) << 8) | (data(o) & 0xff)).toShort / 32768.0
+              else ((data(o) & 0xff) - 128) / 128.0)
+            c += 1
+          }
+          out(f) = acc / ch
+          f += 1
+        }
+        return Some(out)
+      case None => // not canonical PCM WAV — JDK readers below
+    }
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val ais =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))

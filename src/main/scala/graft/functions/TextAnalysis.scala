@@ -1104,9 +1104,17 @@ object TextAnalysis {
                text: String, group: String, buckets: Int = 1024,
                alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count}
+    // materialize the (group, bucket) counts ONCE before the KL tail:
+    // its three consumers (per-bucket totals, per-group totals, the
+    // dense joined grid) would otherwise each re-run the corpus-scale
+    // feature explode + hash + aggregation — measured 3× the feature
+    // pass in the executed stages (r17). The checkpointed table is the
+    // AGGREGATED bucketed frame (≤ |groups|·buckets rows), not corpus
+    // rows — the same truncation point pageRank uses per iteration.
     sourceKlFromGroupCounts(
       dsirFeatures(docs, id, text, buckets, carry = Seq(group))
-        .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg")),
+        .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg"))
+        .localCheckpoint(true),
       group, buckets, alpha)
   }
 

@@ -288,10 +288,18 @@ object Relational {
   def percentilesDisc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    // materialize the collapsed (group, value, cnt) table ONCE: the
+    // within-bucket window branch and the per-bucket offsets branch
+    // both consume it, and exchange reuse only shares the exchange —
+    // the value-collapse FINAL aggregation itself re-ran per branch
+    // (two ~equal 32-task stages in the executed plan, r17). The
+    // checkpoint point is the already-collapsed value-count table
+    // (distinct values, not rows) — the same truncation pageRank uses.
     val vc = graft.functions.Parallelism.ensureParallel(lineitem(s, d))
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("vb", floor(col("v") / 1000.0).cast("long"))
+      .localCheckpoint(true)
     val within = vc.withColumn("within_cum",
       sum(col("cnt")).over(
         Window.partitionBy("l_returnflag", "vb").orderBy(col("v").asc)

@@ -468,4 +468,78 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1000L, 2000L), (1001L, 2001L)),
       s"frame pairs: $pairs")
   }
+
+  test("canonical-PCM fast path equals the JDK decode (r17): stereo16, u8, fallback") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // reference decode straight through the JDK reader — the exact
+    // pre-r17 arithmetic — to differential-test the RIFF fast path
+    def jdkSamples(bytes: Array[Byte]): Option[Array[Double]] = {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val ch = fmt.getChannels
+        val bits = fmt.getSampleSizeInBits
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = ais.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = ais.read(chunk) }
+        val data = buf.toByteArray
+        val bytesPer = bits / 8
+        val frameBytes = bytesPer * ch
+        val nFrames = data.length / frameBytes
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = f * frameBytes + c * bytesPer
+            acc += (if (bits == 16)
+                ((data(o + 1) << 8) | (data(o) & 0xff)).toShort / 32768.0
+              else ((data(o) & 0xff) - 128) / 128.0)
+            c += 1
+          }
+          out(f) = acc / ch
+          f += 1
+        }
+        Some(out)
+      } finally ais.close()
+    }
+    def wavVia(fmt: AudioFormat, pcm: Array[Byte], frames: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(7)
+    // 16-bit stereo little-endian
+    val n16 = 500
+    val pcm16 = Array.fill(n16 * 4)(rnd.nextInt(256).toByte)
+    val wav16 = wavVia(new AudioFormat(8000f, 16, 2, true, false), pcm16, n16.toLong)
+    assert(Multimodal.decodeAudioSamples(wav16).map(_.toSeq) ==
+      jdkSamples(wav16).map(_.toSeq))
+    // 8-bit unsigned mono (the WAV-spec 8-bit encoding)
+    val n8 = 300
+    val pcm8 = Array.fill(n8)(rnd.nextInt(256).toByte)
+    val wav8 = wavVia(new AudioFormat(8000f, 8, 1, false, false), pcm8, n8.toLong)
+    assert(Multimodal.decodeAudioSamples(wav8).map(_.toSeq) ==
+      jdkSamples(wav8).map(_.toSeq))
+    // decodeAudio's (rate, ch, frames, dur, rms) tuple agrees too
+    val Some((r16, c16, f16, _, _)) = Multimodal.decodeAudio(wav16)
+    assert(r16 == 8000f && c16 == 2 && f16 == n16.toLong)
+    // a non-WAV container (AU) must still decode via the JDK fallback
+    val au = {
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm16), new AudioFormat(8000f, 16, 2, true, true), n16.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.AU, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeAudioSamples(au).isDefined)
+    // truncated data chunk (declared > present) falls back, not crashes
+    assert(Multimodal.decodeAudioSamples(wav16.dropRight(40)) ==
+      jdkSamples(wav16.dropRight(40)).filter(_.nonEmpty) ||
+      Multimodal.decodeAudioSamples(wav16.dropRight(40)).isDefined)
+  }
 }
