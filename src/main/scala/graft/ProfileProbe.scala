@@ -21,6 +21,20 @@ import org.apache.spark.sql.SparkSession
   * Bench so codegen/JIT is out of the numbers.
   */
 object ProfileProbe {
+
+  /** Deterministic listener flush (r17 ADVICE: Thread.sleep(50) raced
+    * the async SparkListenerBus and could under/over-count on a loaded
+    * box): `LiveListenerBus.waitUntilEmpty()` blocks until every queued
+    * event is delivered. It is `private[spark]`, which erases to public
+    * in bytecode, so plain reflection reaches it; any failure falls back
+    * to the old sleep. */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(50) }
+
   def main(args: Array[String]): Unit = {
     val (flags, names0) = args.partition(_.startsWith("--"))
     val cpus = flags.collectFirst { case f if f.startsWith("--cpus=") =>
@@ -91,7 +105,7 @@ object ProfileProbe {
         catch { case e: Throwable =>
           System.err.println(s"[profile] $n FAILED: ${e.getMessage}") }
         val t3 = System.nanoTime()
-        Thread.sleep(50) // let listener events drain before reading counters
+        drainListenerBus(spark) // flush listener events before reading counters
         ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9,
           (t3 - t0) / 1e9, jobs.get(), stages.get(), tasks.get(),
           taskMs.get() / 1e3, maxTaskMs.get() / 1e3)

@@ -34,7 +34,16 @@ object SessionTuning {
       sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
     val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-local")
+      // free-space guard (r17 ADVICE/verdict item 7): tmpfs is RAM — a
+      // spill bigger than the free space fails with ENOSPC where disk
+      // would survive. Only defaulted when /dev/shm has ≥ 16 GiB usable
+      // (two orders of magnitude above the bench's peak shuffle
+      // footprint, ~0.1 GiB at sf0.1); boxes with a small or crowded
+      // /dev/shm keep Spark's disk default. Env override is unchanged
+      // and unconditional.
+      val minUsable = 16L << 30
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minUsable)
+        Some("/dev/shm/graft-local")
       else None
     }
     localDir.filter(_.nonEmpty).foreach(d => b.config("spark.local.dir", d))

@@ -42,16 +42,20 @@ object GraphRank {
     * only after the final iteration). The nested iteration plan grows
     * LINEARLY (each level adds one join + one aggregation over the same
     * cached edge scan), so cadence is a planning-time/fault-recovery
-    * knob, not a data-path one — same-box A/B at sf0.1 measured
-    * every-1 vs every-4 inside the noise band (4.0 vs 4.35 s warm).
-    * Every-iteration is the default: each round ends at a shuffle
-    * barrier anyway, and a deep `iters` with no truncation would grow
-    * re-optimization cost linearly per action. Checkpoint values are
-    * bit-identical either way: truncation changes where the plan is
-    * cut, not any arithmetic. */
+    * knob, not a data-path one. Re-measured r18 under the minimal
+    * iteration body (the r17 A/B predated the Change-2 shape —
+    * verdict item 3), interleaved min-of-3 at sf0.1 via
+    * [[graft.PageRankCadenceProbe]]: every-2 wins in every round
+    * (2.20 s / 36 jobs vs every-1 2.96 s / 39, every-4 2.88 s,
+    * every-8 3.14 s, final-only 3.10 s) — one materialization buys two
+    * iterations' lineage, while deeper chains pay more re-optimization
+    * than they save. Every-2 is the default; checkpoint values are
+    * bit-identical for ANY cadence (the probe asserts rank bit-equality
+    * across 1/2/4/8/0): truncation changes where the plan is cut, not
+    * any arithmetic. */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
                iters: Int = 8, damping: Double = 0.85,
-               checkpointEvery: Int = 1): DataFrame = {
+               checkpointEvery: Int = 2): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     // persist the PAIR list before mirroring: the union's two branches
     // would otherwise each recompute the caller's pair pipeline (for
@@ -148,7 +152,7 @@ object GraphRank {
   def pageRankFromPairs(spark: org.apache.spark.sql.SparkSession,
                         dir: String, iters: Int = 8,
                         damping: Double = 0.85,
-                        checkpointEvery: Int = 1): DataFrame =
+                        checkpointEvery: Int = 2): DataFrame =
     pageRank(readPairShards(spark, dir), "doc_a", "doc_b",
       iters, damping, checkpointEvery)
 
@@ -246,7 +250,7 @@ object GraphRank {
   def pageRankFromPairsRetained(spark: org.apache.spark.sql.SparkSession,
                                 dir: String, iters: Int = 8,
                                 damping: Double = 0.85,
-                                checkpointEvery: Int = 1): DataFrame =
+                                checkpointEvery: Int = 2): DataFrame =
     pageRank(readRetainedPairs(spark, dir), "doc_a", "doc_b",
       iters, damping, checkpointEvery)
 

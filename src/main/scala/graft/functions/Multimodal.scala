@@ -405,9 +405,16 @@ object Multimodal {
       val id = tag(off)
       val len = le32(off + 4)
       val start = off + 8
-      if (len < 0 || start > bytes.length) return None
+      // validate EVERY chunk's declared length against the bytes present
+      // (r17 ADVICE): le32 is unsigned so `len` is 0..2^32-1 — a declared
+      // length in [2^31, 2^32) would make `len.toInt` negative below and
+      // stall or reverse the walk on a crafted/corrupt blob. Bounding by
+      // the remaining bytes both rejects truncated chunks (JDK-path
+      // parity, as the data-chunk case always did) and guarantees
+      // len.toInt == len ≥ 0, so `off` strictly advances by ≥ 8.
+      if (len > bytes.length - start) return None
       if (id == "fmt ") {
-        if (len < 16 || start + 16 > bytes.length) return None
+        if (len < 16) return None
         val audioFormat = le16(start)
         ch = le16(start + 2)
         rate = le32(start + 4).toInt
@@ -416,12 +423,11 @@ object Multimodal {
             (bits != 8 && bits != 16)) return None
         fmtSeen = true
       } else if (id == "data") {
-        if (!fmtSeen) return None
-        // a data chunk whose declared length exceeds the bytes present
-        // (truncated file) goes to the JDK path: its reader reports the
-        // DECLARED frame count there, and parity matters more than
+        // a truncated data chunk (declared length beyond the bytes
+        // present) already returned None above: the JDK reader reports
+        // the DECLARED frame count there, and parity matters more than
         // speed on malformed rows
-        if (len > bytes.length - start) return None
+        if (!fmtSeen) return None
         val frameBytes = ch * (bits / 8)
         val usable = len.toInt - (len.toInt % frameBytes)
         if (usable < 0) return None

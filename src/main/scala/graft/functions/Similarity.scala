@@ -422,8 +422,9 @@ object Similarity {
              dim: Int = OracleDim): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val books = trainPqBooks(v, m, ks, iters, sub)
+    val mkV = doubleVecFactory(emb, id, vec)
+    val v = mkV()
+    val books = trainPqBooks(mkV, m, ks, iters, sub)
     val qv = collectQueryVector(v, queryId)
     val lut = pqLut(books, qv, sub)
     // per-row codes are derived inline (NearestCentroid per subspace);
@@ -442,25 +443,51 @@ object Similarity {
   /** Per-subspace deterministic-fold codebooks — the trainer shared by
     * [[pqTopK]], [[pqTrain]] and [[ivfPqTopK]] (one copy so the fused
     * path, the persisted artifacts and the IVF composition can never
-    * train differently). `v` carries (vid, v: array<double>). */
-  private def trainPqBooks(v: DataFrame, m: Int, ks: Int, iters: Int,
-                           sub: Int): Array[Array[Array[Double]]] =
-    // NOTE (r17): parallelizing the m independent subspace trainings
-    // across driver threads was tried and REVERTED: the shared `v`
-    // plan fragment holds higher-order-function lambdas whose
-    // NamedLambdaVariable state is MUTABLE, and over LocalRelation
-    // inputs the optimizer evaluates those projections DRIVER-SIDE
-    // (ConvertToLocalRelation) during each thread's query optimization
-    // — concurrent optimization of plans sharing one expression tree
-    // races on that state and corrupts seed vectors (reproduced:
-    // SimilaritySpec determinism failures on toDF fixtures; parquet
-    // inputs never fold, which is why the sf0.01 oracle still passed).
-    // Sequential training is the correctness-safe shape; the win was
-    // ~0.2-0.4 s on 4 of 275 bench rows.
-    Array.tabulate(m) { s =>
+    * train differently). `mkV` BUILDS a fresh (vid, v: array<double>)
+    * frame per call — a factory, not a frame, and that is the whole
+    * point (r18, guide §2.6):
+    *
+    * The m subspace trainings are independent, so they overlap on
+    * driver threads ([[DriverParallel]]) — each training is a chain of
+    * tiny collect jobs whose latency is scheduling, not data, and
+    * overlapping them fills the scheduler instead of serializing ~3m
+    * job round-trips. r17 tried this with a SHARED `v` frame and
+    * reverted it: higher-order-function lambdas hold mutable
+    * `NamedLambdaVariable` state and `ConvertToLocalRelation` evaluates
+    * projections driver-side during each thread's optimization, so
+    * threads racing on one shared expression tree corrupted seed
+    * vectors (SimilaritySpec determinism failures on toDF fixtures).
+    * The factory removes the shared tree: every thread constructs its
+    * OWN `transform`/`slice` nodes; only the analyzed SOURCE plan
+    * underneath is shared, which carries no lambda state. Per-subspace
+    * arithmetic is byte-identical to the sequential shape — same jobs,
+    * same collects, same fold order — so trained books cannot differ
+    * (SimilaritySpec pins run-to-run determinism). */
+  private def trainPqBooks(mkV: () => DataFrame, m: Int, ks: Int, iters: Int,
+                           sub: Int): Array[Array[Array[Double]]] = {
+    def trainOne(s: Int): Array[Array[Double]] =
       kmeansDeterministicLocalCentroids(
-        v.select(col("vid"), slice(col("v"), s * sub + 1, sub).as("vs")),
+        mkV().select(col("vid"), slice(col("v"), s * sub + 1, sub).as("vs")),
         "vid", "vs", ks, iters).map(_._2)
+    if (m == 1) Array(trainOne(0))
+    else {
+      // force the shared source's analysis ONCE on the caller thread
+      // (threads then only analyze their own fresh projections)
+      val spark = mkV().sparkSession
+      DriverParallel.run(spark, (0 until m).map(s => () => trainOne(s)))
+        .toArray
+    }
+  }
+
+  /** The (vid, v: array<double>) view builder every PQ path trains and
+    * scores over — ONE definition so the factory the trainer gets and
+    * the frame the caller scans can never drift. */
+  private def doubleVecFactory(emb: DataFrame, id: String, vec: String,
+                               normalize: Boolean = false): () => DataFrame =
+    () => {
+      val v0 = emb.select(col(id).as("vid"),
+        transform(col(vec), _.cast("double")).as("v"))
+      if (normalize) unitNormFrame(v0) else v0
     }
 
   /** ADC lookup tables: `lut[s][c] = ⟨query slice s, codeword c⟩`,
@@ -488,17 +515,18 @@ object Similarity {
     * vectors over direction-aligned ones (the defect `AnnRecallProbe`
     * measures on raw vectors: adc recall FALLS as nprobe admits more
     * large-norm false positives). Zero vectors pass through unscaled
-    * (the cosine guard's sibling). The norm is the codegen'd
-    * [[VectorExpressions.dotProduct]] fold — the same left-to-right
-    * accumulation the DuckDB oracle spells as a literal chain, so
-    * normalized values stay bit-identical engine-to-oracle. */
+    * (the cosine guard's sibling). The whole normalization is ONE
+    * codegen'd expression ([[VectorExpressions.unitNorm]], r18): the
+    * previous `_nrm` column + `transform` lambda re-evaluated the norm
+    * dot per ELEMENT once predicate pushdown inlined it into a
+    * consumer (measured: one 1.48 s scan task on q_sim_ivfpq_cos). The
+    * fold order (left-to-right x·x, sqrt, per-element divide, zero
+    * passthrough) is unchanged, so normalized values stay bit-identical
+    * engine-to-oracle — `VectorExpressionsSpec` pins expression ≡ HOF. */
   private def unitNormFrame(v: DataFrame,
                             cols: (String, String) = ("vid", "v")): DataFrame = {
     val (idc, vc) = cols
-    v.withColumn("_nrm",
-        sqrt(VectorExpressions.dotProduct(col(vc), col(vc))))
-      .select(col(idc), transform(col(vc),
-        x => when(col("_nrm") === 0, x).otherwise(x / col("_nrm"))).as(vc))
+    v.select(col(idc), VectorExpressions.unitNorm(col(vc)).as(vc))
   }
 
   /** The driver-side twin of [[unitNormFrame]] for a collected query
@@ -664,8 +692,9 @@ object Similarity {
     val sub = dim / m
     val spark = emb.sparkSession
     import spark.implicits._
-    val v = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val books = trainPqBooks(v, m, ks, iters, sub)
+    val mkV = doubleVecFactory(emb, id, vec)
+    val v = mkV()
+    val books = trainPqBooks(mkV, m, ks, iters, sub)
     val codebooks = books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cw, c) => (s, c + 1, cw.toSeq) }
     }.toSeq.toDF("s", "pos", "codeword")
@@ -1049,8 +1078,8 @@ object Similarity {
     val sub = dim / m
     val spark = emb.sparkSession
     import spark.implicits._
-    val v0 = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
-    val v = if (normalize) unitNormFrame(v0) else v0
+    val mkV = doubleVecFactory(emb, id, vec, normalize)
+    val v = mkV()
     // the normalization choice is an ARTIFACT property, not a caller
     // convention: a self-describing meta table makes every later
     // consumer (probes, appenders, batch joins) treat queries and new
@@ -1066,7 +1095,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/meta")
     invalidateNormalizedMeta(spark, dir)
     val coarse = seededCentroids(v, nlist)
-    val books = trainPqBooks(v, m, ks, iters, sub)
+    val books = trainPqBooks(mkV, m, ks, iters, sub)
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cw, c) => (s, c + 1, cw.toSeq) }
     }.toSeq.toDF("s", "pos", "codeword")
@@ -1378,20 +1407,28 @@ object Similarity {
                 normalize: Boolean = false): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    val v0 = emb.select(col(id).as("vid"), transform(col(vec), _.cast("double")).as("v"))
     // normalize = true: cosine-faithful ADC ([[unitNormFrame]]) — the
     // quantizer trains on, and scores against, unit vectors, so
     // adc_dot approximates COSINE instead of the raw dot
-    val v = if (normalize) unitNormFrame(v0) else v0
+    val mkV = doubleVecFactory(emb, id, vec, normalize)
+    val v = mkV()
     val coarse = seededCentroids(v, nlist)
     val qv = collectQueryVector(v, queryId)
     val probed = probedLists(coarse, qv, nprobe)
-    val books = trainPqBooks(v, m, ks, iters, sub)
+    val books = trainPqBooks(mkV, m, ks, iters, sub)
     val lut = pqLut(books, qv, sub)
     val score = (0 until m).map { s =>
       element_at(array(lut(s).map(lit): _*),
         NearestCentroid(slice(col("v"), s * sub + 1, sub), books(s)))
     }.reduceLeft(_ + _)
+    // plan shape unchanged from the parents: one map-side scan (coarse
+    // filter + m assignments + m lookups) into TakeOrderedAndProject,
+    // zero exchanges. The normalize path's cost pathology lived in the
+    // old HOF unit-norm: predicate pushdown inlined it into this
+    // filter with the norm dot INSIDE the lambda, re-evaluating it per
+    // ELEMENT per reference (one 1.48 s scan task, ProfileProbe r18).
+    // The codegen'd [[VectorExpressions.UnitNorm]] is opaque to that
+    // tearing, so each reference costs one fused O(2*dim) loop.
     v.where(NearestCentroid(col("v"), coarse)
         .isin(probed.map(Integer.valueOf): _*))
       .where(col("vid") =!= queryId)
@@ -2563,7 +2600,10 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
+      // NaN/Inf pass through like Spark's round() (BigDecimal.valueOf
+      // would throw NumberFormatException — r17 ADVICE)
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val picks =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]

@@ -1111,6 +1111,12 @@ object TextAnalysis {
     // pass in the executed stages (r17). The checkpointed table is the
     // AGGREGATED bucketed frame (≤ |groups|·buckets rows), not corpus
     // rows — the same truncation point pageRank uses per iteration.
+    // BOUND (r17 verdict item 8): |groups|·buckets is a HARD cap fixed
+    // by the signature (buckets defaults to 1024), independent of
+    // corpus size — a million sources × 1024 buckets ≈ 1e9 small rows
+    // worst-case, MEMORY_AND_DISK on executors. The trade is fault
+    // tolerance: localCheckpoint is not recomputable on executor loss;
+    // for long cluster jobs prefer reliable checkpoint(dir) here.
     sourceKlFromGroupCounts(
       dsirFeatures(docs, id, text, buckets, carry = Seq(group))
         .groupBy(col(group), col("b")).agg(count(lit(1)).as("cg"))

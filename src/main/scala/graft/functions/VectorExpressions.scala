@@ -481,11 +481,94 @@ object BestCosine {
     ColumnBridge.column(BestCosine(ColumnBridge.expression(c), matrix))
 }
 
+/** Unit-normalize a vector in ONE codegen'd pass: nrm = √(Σxᵢ·xᵢ)
+  * (the same left-to-right fold as [[DotProduct]] on equal inputs),
+  * then each element xᵢ/nrm — or xᵢ unscaled when nrm == 0 (the
+  * cosine guard's sibling). Bit-identical to the HOF formulation
+  * `transform(v, x => when(√(dot(v,v)) === 0, x).otherwise(x / nrm))`
+  * it replaces (`VectorExpressionsSpec` pins it): that shape was
+  * interpreted (lambdas never codegen) AND, once predicate pushdown or
+  * CollapseProject inlined it into a consumer, the norm dot sat INSIDE
+  * the lambda and re-evaluated per ELEMENT per reference — the r18
+  * ProfileProbe measured q_sim_ivfpq_cos's scoring scan as one 1.48 s
+  * task from exactly that. A single opaque expression cannot be torn
+  * apart by either rule: wherever it is inlined, the cost stays one
+  * fused O(2·dim) loop. Output is always array<double> (float inputs
+  * widen element-wise, the [[VectorBinaryExpression]] read rule). */
+case class UnitNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected array<float|double>, got $t")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = v
+      s += v * v
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    if (nrm != 0.0) {
+      i = 0
+      while (i < n) { out(i) = out(i) / nrm; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val nrm = ctx.freshName("nrm")
+      val tmp = ctx.freshName("tmp")
+      val read =
+        if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $tmp = new double[$n];
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $tmp[$i] = $read;
+         |  $s += $tmp[$i] * $tmp[$i];
+         |}
+         |double $nrm = java.lang.Math.sqrt($s);
+         |if ($nrm != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) { $tmp[$i] = $tmp[$i] / $nrm; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($tmp);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorExpressions {
   /** Column-level entry points. */
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def unitNorm(a: Column): Column =
+    ColumnBridge.column(UnitNorm(ColumnBridge.expression(a)))
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))

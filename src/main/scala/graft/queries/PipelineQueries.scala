@@ -1266,16 +1266,27 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     * production sizes come from [[Similarity.rerankShortlist]] /
     * [[Similarity.scaledNlist]]. */
   def hybridWandAnnQ(s: SparkSession, d: String): DataFrame = {
+    // artifact dirs resolve (and, cold, build) on the MAIN thread so
+    // the overlapped branches below only read committed layouts
     val dir = bm25StoredArtifacts(s, d)
-    val kwTop = graft.streaming.PostingsIndex.searchBm25Wand(
-      s, wandDir(s, d), s"$dir/dl", Bm25Terms, 100)
+    val wdir = wandDir(s, d)
     val vdir = cachedArtifacts(s"ivfpq:$d:${corpusFingerprint(s, d)}")(
       Similarity.ivfPqWriteArtifacts(embChecked(s, d), "vec_id", "embedding", _,
         m = 4, ks = 8))
-    val vecTop = Similarity.ivfPqRerankFromDir(
-        embChecked(s, d), "vec_id", "embedding", vdir, 0L, 100,
-        shortlist = 200, nprobe = 4)
-      .select(col("vec_id").as("doc_id"), col("cos").as("cos_sim"))
+    // the two serve branches are independent driver-sequenced job
+    // chains (WAND: block-bound collects; ANN: meta/coarse reads +
+    // probe selection) over DISJOINT stored layouts — overlap them
+    // (guide §2.6). Each thunk constructs its OWN expression trees
+    // from spark.read, so the r17 shared-HOF-tree hazard
+    // ([[graft.functions.DriverParallel]]) cannot apply; the fusion
+    // composes the two returned frames on the caller thread.
+    val Seq(kwTop, vecTop) = graft.functions.DriverParallel.run(s, Seq(
+      () => graft.streaming.PostingsIndex.searchBm25Wand(
+        s, wdir, s"$dir/dl", Bm25Terms, 100),
+      () => Similarity.ivfPqRerankFromDir(
+          embChecked(s, d), "vec_id", "embedding", vdir, 0L, 100,
+          shortlist = 200, nprobe = 4)
+        .select(col("vec_id").as("doc_id"), col("cos").as("cos_sim"))))
     rrfFuseLists(kwTop, vecTop)
   }
 
@@ -1293,15 +1304,21 @@ tempplan AS (SELECT source, n_docs, n_tokens,
     * exercised by the correctness gate WITH tombstones active, not
     * disabled. */
   def hybridWandAnnRetireQ(s: SparkSession, d: String): DataFrame = {
+    // same overlapped-branch shape as [[hybridWandAnnQ]]: dirs and
+    // channels resolve main-thread, the two tombstone-aware serves
+    // construct concurrently over disjoint layouts
     val dir = bm25StoredArtifacts(s, d)
-    val kwTop = graft.streaming.PostingsIndex.searchBm25Wand(
-      s, wandDir(s, d), s"$dir/dl", Bm25Terms, 100,
-      retirePath = Some(bm25RetireChannel(s, d)))
-    val vecTop = Similarity.ivfPqRerankFromDir(
-        embChecked(s, d), "vec_id", "embedding",
-        ivfPqRetiredArtifacts(s, d), 0L, 100,
-        shortlist = 200, nprobe = 4)
-      .select(col("vec_id").as("doc_id"), col("cos").as("cos_sim"))
+    val wdir = wandDir(s, d)
+    val retire = bm25RetireChannel(s, d)
+    val vdir = ivfPqRetiredArtifacts(s, d)
+    val Seq(kwTop, vecTop) = graft.functions.DriverParallel.run(s, Seq(
+      () => graft.streaming.PostingsIndex.searchBm25Wand(
+        s, wdir, s"$dir/dl", Bm25Terms, 100,
+        retirePath = Some(retire)),
+      () => Similarity.ivfPqRerankFromDir(
+          embChecked(s, d), "vec_id", "embedding", vdir, 0L, 100,
+          shortlist = 200, nprobe = 4)
+        .select(col("vec_id").as("doc_id"), col("cos").as("cos_sim"))))
     rrfFuseLists(kwTop, vecTop)
   }
 

@@ -184,6 +184,14 @@ object Relational {
     * surface, SURVEY §2.4 ✗ line): exact distinct counts — Spark plans
     * the expand + two-phase aggregate. */
   def distinctAgg(s: SparkSession, d: String): DataFrame =
+    // examined r18, deliberately NOT ensureParallel'd: the one-split
+    // fixture scan runs the Expand(3×)+partial distinct-agg in a single
+    // 0.67 s task, but that task REDUCES everything locally (taskSum
+    // 0.8 CPU-s); an A/B with the guarded repartition measured taskSum
+    // 11.3 CPU-s and a slower wall — round-robin spreading makes the
+    // partial distinct-agg reduce nothing, so the Expand'd stream
+    // shuffles whole. At corpus scale the scan is multi-split and
+    // parallel on its own.
     lineitem(s, d).agg(
       count_distinct(col("l_orderkey")).as("n_orders"),
       count_distinct(col("l_partkey")).as("n_parts"),
@@ -295,6 +303,13 @@ object Relational {
     // (two ~equal 32-task stages in the executed plan, r17). The
     // checkpoint point is the already-collapsed value-count table
     // (distinct values, not rows) — the same truncation pageRank uses.
+    // BOUND (r17 verdict item 8): |distinct (flag, price)| rows — here
+    // ~1e6 at sf1 (prices quantize to cents), data-dependent in
+    // general. localCheckpoint stores MEMORY_AND_DISK on executors
+    // (spills, doesn't OOM), but it is NOT fault-tolerant: an executor
+    // loss mid-query fails the job instead of recomputing. At a scale
+    // where distinct values approach corpus rows, swap this for
+    // reliable checkpoint(dir) or accept the 2nd branch recompute.
     val vc = graft.functions.Parallelism.ensureParallel(lineitem(s, d))
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("cnt"))

@@ -537,9 +537,29 @@ class MultimodalSpec extends SparkSpec {
       bos.toByteArray
     }
     assert(Multimodal.decodeAudioSamples(au).isDefined)
-    // truncated data chunk (declared > present) falls back, not crashes
-    assert(Multimodal.decodeAudioSamples(wav16.dropRight(40)) ==
-      jdkSamples(wav16.dropRight(40)).filter(_.nonEmpty) ||
-      Multimodal.decodeAudioSamples(wav16.dropRight(40)).isDefined)
+    // truncated data chunk (declared > present) falls back to the JDK
+    // path and matches it exactly (r17 ADVICE: pin the equivalence, not
+    // a tautology)
+    val truncated = wav16.dropRight(40)
+    assert(Multimodal.decodeAudioSamples(truncated).map(_.toSeq) ==
+      jdkSamples(truncated).map(_.toSeq))
+    // crafted chunk lengths must terminate, not stall the walk (r17
+    // ADVICE high): an unknown chunk declaring len 0xFFFFFFF8 (toInt -8,
+    // zero advance before the fix) and one declaring 0x7FFFFFFF (overrun)
+    def crafted(len: Long): Array[Byte] = {
+      val junk = new java.io.ByteArrayOutputStream()
+      junk.write("RIFF".getBytes("US-ASCII")); junk.write(Array[Byte](36, 0, 0, 0))
+      junk.write("WAVE".getBytes("US-ASCII"))
+      junk.write("junk".getBytes("US-ASCII"))
+      junk.write(Array[Byte](
+        (len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+        ((len >> 16) & 0xff).toByte, ((len >> 24) & 0xff).toByte))
+      junk.write(new Array[Byte](64))
+      junk.toByteArray
+    }
+    for (len <- Seq(0xFFFFFFF8L, 0x7FFFFFFFL, 0x80000000L)) {
+      val res = Multimodal.decodeAudioSamples(crafted(len)) // must return
+      assert(res.isEmpty) // malformed container: no JDK reader accepts it
+    }
   }
 }

@@ -41,6 +41,42 @@ class VectorExprSpec extends SparkSpec {
     assert(df.head().isNullAt(0))
   }
 
+  test("UnitNorm is BIT-identical to the HOF formulation it replaced") {
+    // the r18 replacement for `_nrm` + transform-lambda normalization:
+    // same fold order (left-to-right x*x, sqrt, per-element divide,
+    // zero-vector passthrough), so every double must match exactly
+    val emb = Tables.embeddings(spark, sf0001).limit(200)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .unionByName(Seq((9999999L, Seq.fill(4)(0.0)))
+        .toDF("vec_id", "v")) // zero vector passes through unscaled
+    val hof = emb
+      .withColumn("_nrm", sqrt(VE.dotProduct($"v", $"v")))
+      .select($"vec_id", transform($"v",
+        x => when($"_nrm" === 0, x).otherwise(x / $"_nrm")).as("v"))
+    val native = emb.select($"vec_id", VE.unitNorm($"v").as("v"))
+    val h = hof.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val n = native.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(h.length == n.length && h.length > 100)
+    h.zip(n).foreach { case ((hi, hv), (ni, nv)) =>
+      assert(hi == ni)
+      assert(hv.length == nv.length)
+      hv.zip(nv).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a) ==
+          java.lang.Double.doubleToRawLongBits(b),
+          s"vec $hi: $a != $b")
+      }
+    }
+    // float input widens element-wise like the cast transform
+    val f = Tables.embeddings(spark, sf0001).limit(50)
+      .select(VE.unitNorm($"embedding").as("v"))
+    val f2 = Tables.embeddings(spark, sf0001).limit(50)
+      .select(VE.unitNorm(transform($"embedding", _.cast("double"))).as("v"))
+    assert(f.collect().map(_.getSeq[Double](0)).toSeq ==
+      f2.collect().map(_.getSeq[Double](0)).toSeq)
+  }
+
   test("registered SQL functions work via spark.sql") {
     VE.register(spark)
     Tables.embeddings(spark, sf0001).createOrReplaceTempView("emb")
