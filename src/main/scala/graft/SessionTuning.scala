@@ -32,6 +32,17 @@ object SessionTuning {
   def tuned(b: SparkSession.Builder): SparkSession.Builder = {
     b.config("spark.shuffle.sort.bypassMergeThreshold",
       sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
+    // let AQE coalesce the output partitioning of CACHED plans too
+    // (r18, guide §2.2 "partitioning scale-adaptive, not constant"):
+    // the iterative families persist small working sets (PageRank's
+    // degree-annotated edges, BPE's word table) whose cached layout
+    // otherwise pins every downstream stage at the static shuffle
+    // width — 8 iterations × 32-task stages over kilobytes locally.
+    // Scale-adaptive by construction: AQE coalesces toward the
+    // advisory partition size, so corpus-scale cached frames keep
+    // their width. Off-switch: SPARK_GRAFT_CACHED_COALESCE=false.
+    b.config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      sys.env.getOrElse("SPARK_GRAFT_CACHED_COALESCE", "true"))
     val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = new java.io.File("/dev/shm")
       // free-space guard (r17 ADVICE/verdict item 7): tmpfs is RAM — a

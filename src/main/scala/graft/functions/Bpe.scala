@@ -145,19 +145,49 @@ object Bpe {
       var dry = false
       while (rank <= numMerges && !dry) {
         val syms = symbols(chain)
-        val best = base.select(col("wc"),
+        // per-merge argmax in ONE job (r18, verdict item 5): the
+        // DataFrame groupBy+TakeOrdered shape paid 2 AQE stage-jobs per
+        // merge — pure scheduling latency on a contractually sequential
+        // loop (8 merges = 8 actions, nothing to batch). The RDD shape
+        // is the same aggregation (reduceByKey = map-side combine +
+        // one count shuffle, exactly the partial/final agg it
+        // replaces) folded to a single 1-candidate-per-partition
+        // action. BIT-EXACT by construction: counts are Long sums
+        // (order-free), and the (cnt DESC, x ASC, y ASC) tie-break
+        // compares the strings as unsigned UTF-8 bytes — Spark's
+        // UTF8String binary order, the order the old `orderBy` and the
+        // DuckDB oracle use (Java String.compareTo would diverge on
+        // surrogate pairs). BpeSpec pins the trained sequences.
+        val pairCounts = base.select(col("wc"),
             explode(zip_with(
               slice(syms, lit(1), size(syms) - 1),
               slice(syms, lit(2), size(syms) - 1),
               (l, r) => struct(l.as("x"), r.as("y")))).as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum(col("wc")).as("cnt"))
-          .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
-          .limit(1).collect()
+          .select(col("p.x").as("x"), col("p.y").as("y"), col("wc"))
+          .rdd
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+          .reduceByKey(_ + _)
+        def utf8Lt(a: String, b: String): Boolean =
+          java.util.Arrays.compareUnsigned(
+            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+        def pick(l: Option[((String, String), Long)],
+                 r: Option[((String, String), Long)])
+            : Option[((String, String), Long)] = (l, r) match {
+          case (None, b) => b
+          case (a, None) => a
+          case (Some(a @ ((ax, ay), ac)), Some(b @ ((bx, by), bc))) =>
+            if (ac != bc) { if (ac > bc) Some(a) else Some(b) }
+            else if (ax != bx) { if (utf8Lt(ax, bx)) Some(a) else Some(b) }
+            else if (utf8Lt(ay, by) || ay == by) Some(a) else Some(b)
+        }
+        val best = pairCounts
+          .map(Option(_))
+          .fold(Option.empty[((String, String), Long)])(pick)
         if (best.isEmpty) dry = true
         else {
-          val r = best(0)
-          val m = Merge(rank, r.getString(0), r.getString(1), r.getLong(2))
+          val ((bx, by), bc) = best.get
+          val m = Merge(rank, bx, by, bc)
           out += m
           val (pat, rep) = mergePattern(m.x, m.y)
           chain = replace(chain, lit(pat), lit(rep))
